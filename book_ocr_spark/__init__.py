@@ -1,0 +1,21 @@
+"""book_ocr_spark — a PySpark-native main-content extraction engine.
+
+A from-scratch reimplementation of the capabilities specified by the
+reference repo ``XBF2016/book-ocr`` (a three-stage page pipeline:
+preprocess -> recognize -> compose; see
+``/root/reference/docs/technical_architecture.md:68``), re-targeted at
+tables of multi-turn conversation / agent transcripts:
+
+  * page          -> conversation (``conv_id``)
+  * column        -> turn (``turn_idx``)
+  * F1 preprocess -> payload normalization (charset / control chars / EOL)
+  * F2+F3 recognize -> block segmentation + boilerplate classification
+                      (HTML DOM heuristics, PDF layout-block parse)
+  * F5 compose    -> window over (conv_id, turn_idx): stable ordering,
+                      running char offsets, per-conversation documents
+
+Everything is expressed as PySpark DataFrame operations plus
+Arrow-vectorized pandas UDFs — no per-row Python UDFs anywhere.
+"""
+
+__version__ = "0.1.0"

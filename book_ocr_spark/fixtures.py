@@ -1,0 +1,176 @@
+"""Deterministic synthetic `transcripts` fixtures (seeded, no external
+data) — the graft of the reference's sample-page fixtures used for its
+3-page end-to-end hash check (/root/reference/docs/technical_architecture.md:214).
+
+Three payload kinds are carried in `text` (FIXTURES.md §1):
+  * html  — page with <nav>, link-farm sidebar, <footer> boilerplate and
+            a <main> body of <p>/<h2>/<pre> blocks whose plain text is
+            the golden target (link/text density controlled, so the
+            jusText-style classifier has a known right answer);
+  * pdf   — JSON {"blocks": [...]} layout blocks with a shuffled
+            on-disk order and an `order` field giving the true reading
+            order (exercises the ordering logic);
+  * plain — pass-through text with noisy whitespace / control chars.
+
+Everything derives from numpy PCG64 streams keyed by (seed, conv index)
+so generation is order-independent and reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+VOCAB = (
+    "the spark engine reads a parquet table and shuffles rows across many "
+    "executors while catalyst prunes columns pushes filters folds constants "
+    "and plans broadcast joins for small dimensions with adaptive execution "
+    "handling skewed keys through salting plus windowed aggregation over "
+    "ordered turns composing documents from extracted spans of main content"
+).split()
+
+LINK_WORDS = "home about login signup pricing docs blog careers terms privacy".split()
+
+BASE_TS = pd.Timestamp("2026-01-01T00:00:00")
+
+ROLES = ("user", "assistant", "tool")
+TOOL_NAMES = ("search", "python", "browser")
+
+
+def _sentence(rng: np.random.Generator, lo: int = 8, hi: int = 20) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    words = [VOCAB[int(i)] for i in rng.integers(0, len(VOCAB), n)]
+    return " ".join(words)
+
+
+def _html_payload(rng: np.random.Generator) -> str:
+    nav = "<nav><ul>" + "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in LINK_WORDS[:5]
+    ) + "</ul></nav>"
+    sidebar = '<div class="sidebar">' + " ".join(
+        f'<a href="/{w}">{w}</a>' for w in LINK_WORDS
+    ) + "</div>"
+    paras = []
+    n_paras = int(rng.integers(1, 4))
+    if rng.random() < 0.5:
+        paras.append(f"<h2>{_sentence(rng, 3, 6)}</h2>")
+    for _ in range(n_paras):
+        paras.append(f"<p>{_sentence(rng, 12, 25)}</p>")
+    if rng.random() < 0.3:
+        paras.append(f"<pre>x = {int(rng.integers(0, 99))} + {int(rng.integers(0, 99))}</pre>")
+    main = "<main>" + "".join(paras) + "</main>"
+    footer = f"<footer><p>copyright {int(rng.integers(2019, 2027))} example corp</p></footer>"
+    return f"<html><body>{nav}{sidebar}{main}{footer}</body></html>"
+
+
+def _pdf_payload(rng: np.random.Generator) -> str:
+    n_blocks = int(rng.integers(2, 6))
+    blocks = []
+    for i in range(n_blocks):
+        blocks.append(
+            {
+                "page": 1 + i // 4,
+                "x0": int(rng.integers(0, 400)),
+                "y0": 60 * i,
+                "x1": int(rng.integers(400, 600)),
+                "y1": 60 * i + 50,
+                "text": _sentence(rng, 6, 16),
+                "order": i,
+                "kind": "heading" if i == 0 and rng.random() < 0.4 else "main",
+            }
+        )
+    # shuffle the on-disk array order; `order` carries the truth
+    perm = rng.permutation(n_blocks)
+    return json.dumps({"blocks": [blocks[int(j)] for j in perm]})
+
+
+def _plain_payload(rng: np.random.Generator) -> str:
+    s = _sentence(rng, 10, 22)
+    # inject noisy whitespace deterministically
+    s = s.replace(" ", "  ", 1).replace(" ", "\t", 1)
+    if rng.random() < 0.3:
+        s = s + "\r\n" + _sentence(rng, 4, 9)
+    if rng.random() < 0.2:
+        s = "\x0b" + s + " "
+    return s
+
+
+def gen_transcripts(
+    n_convs: int = 200,
+    seed: int = 42,
+    median_turns: int = 8,
+    skew_convs: int = 0,
+    skew_factor: int = 1000,
+    dirty: bool = False,
+) -> pd.DataFrame:
+    """Generate the `transcripts` table (schema per BASELINE.json
+    input_hint). First `skew_convs` conversations get
+    ``median_turns * skew_factor`` turns (the skew tail exercising the
+    salted compose path, SURVEY.md §4.2)."""
+    frames = []
+    for ci in range(n_convs):
+        rng = np.random.default_rng([seed, ci])
+        if ci < skew_convs:
+            n_turns = median_turns * skew_factor
+        else:
+            n_turns = max(2, int(rng.lognormal(np.log(median_turns), 0.6)))
+        conv_id = f"conv_{ci:06d}"
+        kinds = rng.integers(0, 3, n_turns)  # 0 html 1 pdf 2 plain
+        texts, tools = [], []
+        for ti in range(n_turns):
+            k = int(kinds[ti])
+            if k == 0:
+                texts.append(_html_payload(rng))
+                kind = "html"
+            elif k == 1:
+                texts.append(_pdf_payload(rng))
+                kind = "pdf"
+            else:
+                texts.append(_plain_payload(rng))
+                kind = "plain"
+            role = ROLES[ti % 3]
+            # tool rows carry a tool name, not a kind tag -> exercises
+            # content sniffing in detect_kind()
+            tools.append(TOOL_NAMES[ti % 3] if role == "tool" else kind)
+        if dirty:
+            for ti in range(0, n_turns, 5):
+                texts[ti] = _dirtify(texts[ti], rng)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": np.arange(n_turns, dtype="int32"),
+                    "role": [ROLES[t % 3] for t in range(n_turns)],
+                    "text": texts,
+                    "tool": tools,
+                    "ts": BASE_TS
+                    + pd.to_timedelta(ci * 3600 + np.arange(n_turns) * 30, unit="s"),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    if dirty:
+        # duplicate (conv_id, turn_idx) rows — quarantine-path fodder
+        dups = df.iloc[:: max(1, len(df) // 7)].copy()
+        df = pd.concat([df, dups], ignore_index=True)
+    return df
+
+
+def _dirtify(text: str, rng: np.random.Generator) -> str:
+    r = rng.random()
+    if r < 0.25:
+        return ""  # empty payload
+    if r < 0.5:
+        return text.replace("é", "Ã©") if "é" in text else "cafÃ© " + text[:40]
+    if r < 0.75:
+        return text.replace("</p>", "", 1)  # unclosed tag
+    return '{"blocks": [broken json'  # malformed pdf payload
+
+
+def to_spark(spark, pdf: pd.DataFrame):
+    """pandas fixture -> Spark DataFrame with the declared schema."""
+    from book_ocr_spark.schemas import TRANSCRIPTS
+
+    return spark.createDataFrame(pdf, schema=TRANSCRIPTS)

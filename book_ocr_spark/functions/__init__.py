@@ -1,0 +1,10 @@
+"""Pure, vectorized pandas functions — the heuristic core.
+
+These functions are engine-agnostic: they operate on ``pd.Series`` /
+``pd.DataFrame`` batches. The Spark operators in
+``book_ocr_spark.operators`` call them from inside Arrow-vectorized
+pandas UDFs; the single-process golden oracle
+(``book_ocr_spark.oracle``) calls the very same functions directly.
+One shared implementation is what makes the per-turn byte-equality
+invariant (BASELINE.json input_hint) achievable and honest.
+"""

@@ -1,0 +1,315 @@
+"""Stage-1/2 batch heuristics: payload detection, block segmentation,
+boilerplate classification — the engine's "recognizer".
+
+Reference analogs (all [spec] in the reference — its pipeline is
+specified but unimplemented; see SURVEY.md §0):
+  * payload-kind detect   <- input format validation (docs/prd.md:51-52)
+  * HTML block split      <- F2 projection-profile column segmentation
+                             (/root/reference/docs/technical_architecture.md:96-98)
+  * block classification  <- F3 recognition + confidence
+                             (/root/reference/docs/technical_architecture.md:99-101),
+                             with jusText/Readability-style link-density /
+                             text-density / stopword features
+  * PDF layout-block parse<- column bbox ordering (docs/prd.md:56-65)
+  * span assembly         <- meta.json column records (docs/prd.md:56-65)
+
+All operations are pandas-vectorized over the whole Arrow batch. The
+single intentionally non-vectorizable step is ``json.loads`` per PDF
+payload (a string->tree parse has no columnar form); it is a bulk
+``Series.map`` over the batch, never a per-row Spark UDF dispatch.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from .textops import (
+    ANCHOR_RE,
+    COMMENT_RE,
+    SCRIPT_STYLE_RE,
+    canon_ws,
+    html_to_text,
+    normalize_raw,
+    stopword_ratio,
+)
+
+# ---------------------------------------------------------------------------
+# Tunables (the reference exposes thresholds via config + custom dict,
+# docs/technical_architecture.md:145; ours are module constants passed
+# around explicitly so Spark closures capture plain values).
+# ---------------------------------------------------------------------------
+MIN_MAIN_LEN = 25  # chars; shorter 'main' blocks are boilerplate noise
+MIN_HEAD_LEN = 3
+MAX_LINK_DENSITY = 0.33  # jusText-style link-density cutoff
+
+BLOCK_TAGS = (
+    "nav|header|footer|aside|article|section|main|div|p|h[1-6]|li|ul|ol|"
+    "table|pre|blockquote"
+)
+BLOCK_SPLIT_RE = rf"(?i)(?=<(?:{BLOCK_TAGS})\b)"
+OPEN_TAG_RE = r"(?i)^<([a-z][a-z0-9]*)"
+CONTAINER_TAGS = frozenset({"nav", "header", "footer", "aside", "main", "article", "section"})
+BOILER_CONTEXT = frozenset({"nav", "header", "footer", "aside"})
+CONTAINER_CLOSE_RE = r"(?i)</(?:nav|header|footer|aside|main|article|section)\s*>"
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+KINDS = ("html", "pdf", "plain")
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — preprocess
+# ---------------------------------------------------------------------------
+def detect_kind(tool: pd.Series, text: pd.Series) -> pd.Series:
+    """Payload-kind detection: trust the `tool` tag when it is one of
+    the known kinds, else sniff content (graft of TIFF/PNG input-format
+    handling, /root/reference/docs/prd.md:52)."""
+    tool = tool.fillna("")
+    text = text.fillna("")
+    kind = tool.where(tool.isin(KINDS), other=None)
+    is_pdf = text.str.match(r"\s*\{") & text.str.contains('"blocks"', regex=False)
+    is_html = text.str.contains(r"(?s)<[a-zA-Z][^>]*>", regex=True)
+    sniffed = pd.Series(
+        np.where(is_pdf, "pdf", np.where(is_html, "html", "plain")),
+        index=text.index,
+        dtype="object",
+    )
+    return kind.fillna(sniffed)
+
+
+def preprocess_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    """Stage-1 normalize: returns DataFrame(kind, clean) aligned to the
+    input index."""
+    clean = normalize_raw(text)
+    kind = detect_kind(tool, clean)
+    return pd.DataFrame({"kind": kind, "clean": clean})
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — segmentation (per payload kind) -> flat blocks frame
+# ---------------------------------------------------------------------------
+def _segment_html(s: pd.Series) -> pd.DataFrame:
+    """HTML -> blocks [row, ord, text, label, conf, keep].
+
+    Split on opening block-level tags (the analog of projection-profile
+    valleys); track container context by forward-fill so content nested
+    inside <nav>/<footer>/<aside>/<header> is classified as boilerplate
+    even when the splitter separates it from its container tag.
+    """
+    if s.empty:
+        return _empty_blocks()
+    body = s.str.replace(SCRIPT_STYLE_RE, " ", regex=True)
+    body = body.str.replace(COMMENT_RE, " ", regex=True)
+    frags = body.str.split(BLOCK_SPLIT_RE).explode()
+    frags = frags[frags.notna() & (frags.str.strip() != "")]
+    if frags.empty:
+        return _empty_blocks()
+
+    df = pd.DataFrame({"row": frags.index, "frag": frags.to_numpy()})
+    df["ord"] = df.groupby("row").cumcount()
+    frag = df["frag"]
+
+    tag = frag.str.extract(OPEN_TAG_RE, expand=False).str.lower().fillna("_text")
+    opens_container = tag.isin(CONTAINER_TAGS)
+    closes_container = frag.str.contains(CONTAINER_CLOSE_RE, regex=True)
+
+    # Context: a container-opening fragment sets context; a fragment
+    # containing a container close ends it for FOLLOWING fragments.
+    ctx = pd.Series(np.where(opens_container, tag, None), index=df.index, dtype="object")
+    after_close = closes_container.groupby(df["row"]).shift(1, fill_value=False)
+    ctx = ctx.mask(after_close & ctx.isna(), "body")
+    ctx = ctx.groupby(df["row"]).ffill().fillna("body")
+
+    txt = html_to_text(frag)
+    linked = frag.str.findall(ANCHOR_RE).str.join(" ")
+    link_len = html_to_text(linked).str.len().astype("float64")
+    tlen = txt.str.len().astype("float64")
+    link_density = link_len / tlen.clip(lower=1.0)
+    stop_ratio = stopword_ratio(txt)
+
+    label = pd.Series("main", index=df.index, dtype="object")
+    label = label.mask(tag.isin(HEADING_TAGS), "heading")
+    label = label.mask(tag == "pre", "code")
+
+    in_body = ~ctx.isin(BOILER_CONTEXT) & ~tag.isin(BOILER_CONTEXT)
+    min_len = pd.Series(MIN_MAIN_LEN, index=df.index, dtype="float64")
+    min_len = min_len.mask(label.isin(("heading", "code")), float(MIN_HEAD_LEN))
+    low_link = (link_density <= MAX_LINK_DENSITY) | (label == "code")
+    keep = in_body & (tlen >= min_len) & low_link
+
+    density_score = (1.0 - link_density).clip(0.0, 1.0)
+    len_score = (tlen / 80.0).clip(0.05, 1.0)
+    stop_score = (0.5 + stop_ratio).clip(0.5, 1.0)
+    conf = density_score * len_score * stop_score
+
+    return pd.DataFrame(
+        {"row": df["row"], "ord": df["ord"], "text": txt, "label": label,
+         "conf": conf, "keep": keep}
+    ).reset_index(drop=True)
+
+
+def _loads_blocks(payload: str):
+    try:
+        obj = json.loads(payload)
+        blocks = obj.get("blocks")
+        return blocks if isinstance(blocks, list) and blocks else None
+    except (ValueError, AttributeError):
+        return None
+
+
+def _segment_pdf(s: pd.Series) -> tuple[pd.DataFrame, pd.Series]:
+    """PDF layout-block JSON -> blocks frame + per-row parse-failure mask.
+
+    Blocks are re-ordered by (page, order, y0, x0) — the graft of the
+    reference's column-index ordering (docs/technical_architecture.md:123).
+    """
+    failed = pd.Series(False, index=s.index)
+    if s.empty:
+        return _empty_blocks(), failed
+    parsed = s.map(_loads_blocks)  # bulk parse over the Arrow batch
+    failed = parsed.isna()
+    ok = parsed[~failed]
+    if ok.empty:
+        return _empty_blocks(), failed
+
+    rows, recs = [], []
+    for idx, blocks in ok.items():
+        for b in blocks:
+            rows.append(idx)
+            recs.append(b if isinstance(b, dict) else {})
+    bdf = pd.DataFrame.from_records(recs)
+    bdf["row"] = rows
+    for c, default in (("page", 0), ("order", 0), ("y0", 0), ("x0", 0)):
+        if c not in bdf:
+            bdf[c] = default
+        bdf[c] = pd.to_numeric(bdf[c], errors="coerce").fillna(0)
+    if "text" not in bdf:
+        bdf["text"] = ""
+    if "kind" not in bdf:
+        bdf["kind"] = None
+
+    bdf = bdf.sort_values(["row", "page", "order", "y0", "x0"], kind="stable")
+    bdf["ord"] = bdf.groupby("row").cumcount()
+
+    txt = canon_ws(bdf["text"].fillna("").astype("string").astype(object))
+    tlen = txt.str.len().astype("float64")
+    label = pd.Series("main", index=bdf.index, dtype="object")
+    label = label.mask(bdf["kind"] == "heading", "heading")
+    label = label.mask(bdf["kind"] == "code", "code")
+    keep = tlen > 0
+    conf = (0.6 + tlen / 400.0).clip(0.6, 1.0)
+
+    return pd.DataFrame(
+        {"row": bdf["row"], "ord": bdf["ord"], "text": txt, "label": label,
+         "conf": conf, "keep": keep}
+    ).reset_index(drop=True), failed
+
+
+def _segment_plain(s: pd.Series) -> pd.DataFrame:
+    """Plain text -> single 'main' block (stage-1 normalization already
+    ran; here we canonicalize whitespace only)."""
+    if s.empty:
+        return _empty_blocks()
+    txt = canon_ws(s)
+    tlen = txt.str.len().astype("float64")
+    stop_ratio = stopword_ratio(txt)
+    conf = (0.4 + stop_ratio).clip(0.4, 0.95)
+    return pd.DataFrame(
+        {"row": s.index, "ord": 0, "text": txt, "label": "main",
+         "conf": conf, "keep": tlen > 0}
+    ).reset_index(drop=True)
+
+
+def _empty_blocks() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"row": pd.Series(dtype="int64"), "ord": pd.Series(dtype="int64"),
+         "text": pd.Series(dtype="object"), "label": pd.Series(dtype="object"),
+         "conf": pd.Series(dtype="float64"), "keep": pd.Series(dtype="bool")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — assembly: blocks -> per-turn extracted_text + spans + conf
+# ---------------------------------------------------------------------------
+def _assemble(blocks: pd.DataFrame, index: pd.Index) -> pd.DataFrame:
+    """Kept blocks (document order) -> per-input-row outputs.
+
+    extracted_text = '\\n'.join(kept block texts); spans are char
+    offsets [start, end) into extracted_text with the block label —
+    the graft of meta.json's (index, text, bbox) records
+    (/root/reference/docs/prd.md:56-65). Offsets are computed with a
+    grouped cumulative sum (vectorized), never a Python loop.
+    """
+    out = pd.DataFrame(index=index)
+    kept = blocks[blocks["keep"]].sort_values(["row", "ord"], kind="stable")
+
+    n_blocks = blocks.groupby("row").size()
+    out["n_blocks"] = n_blocks.reindex(index).fillna(0).astype("int32")
+
+    if kept.empty:
+        out["extracted_text"] = ""
+        out["starts"] = [[] for _ in range(len(index))]
+        out["ends"] = [[] for _ in range(len(index))]
+        out["labels"] = [[] for _ in range(len(index))]
+        out["conf"] = 0.0
+        out["n_kept"] = np.int32(0)
+        return out
+
+    step = kept["text"].str.len().astype("int64") + 1  # +1 for the '\n' joiner
+    start = step.groupby(kept["row"]).cumsum() - step
+    end = start + step - 1
+
+    grouped = kept.groupby("row")
+    agg_text = grouped["text"].agg("\n".join)
+    agg_conf = grouped["conf"].mean()
+    agg_n = grouped.size()
+    starts = start.groupby(kept["row"]).agg(list)
+    ends = end.groupby(kept["row"]).agg(list)
+    labels = kept.groupby("row")["label"].agg(list)
+
+    out["extracted_text"] = agg_text.reindex(index).fillna("")
+    s_r, e_r, l_r = (x.reindex(index) for x in (starts, ends, labels))
+    out["starts"] = [v if isinstance(v, list) else [] for v in s_r]
+    out["ends"] = [v if isinstance(v, list) else [] for v in e_r]
+    out["labels"] = [v if isinstance(v, list) else [] for v in l_r]
+    out["conf"] = agg_conf.reindex(index).fillna(0.0).astype("float64")
+    out["n_kept"] = agg_n.reindex(index).fillna(0).astype("int32")
+    return out
+
+
+def recognize_batch(clean: pd.Series, kind: pd.Series) -> pd.DataFrame:
+    """Stage-2 recognize over a batch: segmentation + classification +
+    span assembly. Returns DataFrame(extracted_text, starts, ends,
+    labels, conf, n_blocks, n_kept, failed) aligned to the input index.
+    """
+    clean = clean.fillna("")
+    index = clean.index
+    parts = []
+    pdf_failed = pd.Series(False, index=index)
+
+    html_s = clean[kind == "html"]
+    if not html_s.empty:
+        parts.append(_segment_html(html_s))
+    pdf_s = clean[kind == "pdf"]
+    if not pdf_s.empty:
+        pblocks, pfail = _segment_pdf(pdf_s)
+        parts.append(pblocks)
+        pdf_failed.loc[pfail.index] = pfail
+    plain_s = clean[(kind != "html") & (kind != "pdf")]
+    if not plain_s.empty:
+        parts.append(_segment_plain(plain_s))
+
+    blocks = pd.concat(parts, ignore_index=True) if parts else _empty_blocks()
+    out = _assemble(blocks, index)
+    out["failed"] = (pdf_failed | (clean.str.len() == 0)).astype("bool")
+    return out
+
+
+def extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    """Full stage-1 + stage-2 over one batch (what the Spark pipeline
+    computes via two chained pandas UDFs; fused here for the oracle and
+    for single-UDF deployments)."""
+    pre = preprocess_batch(text, tool)
+    return recognize_batch(pre["clean"], pre["kind"])

@@ -1,0 +1,112 @@
+"""Low-level vectorized text operations (pandas str ops, no per-row Python).
+
+Reference analogs:
+  * control-char strip / whitespace canonicalization — graft of F1
+    adaptive binarization ("normalize the input signal",
+    /root/reference/docs/technical_architecture.md:93-95).
+  * mojibake repair — graft of F1 deskew ("correct global distortion
+    before segmentation", /root/reference/docs/technical_architecture.md:95).
+  * entity decode + NFC — graft of F4 OpenCC conversion
+    (/root/reference/docs/technical_architecture.md:102-103); the
+    length-invariant discipline of F4 is honored by
+    :func:`assert_length_invariant`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# Control chars except \n and \t.
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+# HTML machinery.
+SCRIPT_STYLE_RE = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+TAG_RE = r"(?s)<[^>]*>"
+ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+# Entity decode order matters: '&amp;' must be decoded LAST so that
+# '&amp;lt;' correctly becomes the literal '&lt;' and is not
+# double-decoded into '<'.
+ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+# Common UTF-8-as-latin1 mojibake sequences (structural repair; the
+# fixture's dirty variant injects these).
+MOJIBAKE = [
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("â", "’"),  # â€™ -> ’
+    ("â", "—"),  # â€” -> —
+]
+
+STOPWORDS = (
+    "the|a|an|of|to|and|in|is|it|that|for|on|with|as|this|be|are|was|at|by"
+)
+STOPWORD_RE = rf"(?i)\b(?:{STOPWORDS})\b"
+WORD_RE = r"\S+"
+
+
+def normalize_raw(s: pd.Series) -> pd.Series:
+    """Stage-1 signal normalization: EOL canon, control strip, mojibake
+    repair, unicode NFC. Vectorized; preserves payload structure."""
+    s = s.fillna("")
+    s = s.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
+    s = s.str.replace(CONTROL_RE, "", regex=True)
+    for bad, good in MOJIBAKE:
+        s = s.str.replace(bad, good, regex=False)
+    return s.str.normalize("NFC")
+
+
+def strip_tags(s: pd.Series) -> pd.Series:
+    """Remove markup tags, replacing each with a space (so adjacent
+    words don't fuse)."""
+    return s.str.replace(TAG_RE, " ", regex=True)
+
+
+def decode_entities(s: pd.Series) -> pd.Series:
+    """Decode the fixed HTML entity set. Call *after* strip_tags so
+    entity-encoded angle brackets are never parsed as markup."""
+    for ent, ch in ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s
+
+
+def canon_ws(s: pd.Series) -> pd.Series:
+    """Canonicalize whitespace: collapse runs of spaces/tabs, tighten
+    around newlines, collapse blank lines, strip ends."""
+    s = s.str.replace(r"[ \t\f\v ]+", " ", regex=True)
+    s = s.str.replace(r" ?\n ?", "\n", regex=True)
+    s = s.str.replace(r"\n{2,}", "\n", regex=True)
+    return s.str.strip()
+
+
+def html_to_text(s: pd.Series) -> pd.Series:
+    """tags -> entities -> whitespace, in the only correct order."""
+    return canon_ws(decode_entities(strip_tags(s)))
+
+
+def stopword_ratio(txt: pd.Series) -> pd.Series:
+    """Fraction of tokens that are English stopwords (quality signal)."""
+    words = txt.str.count(WORD_RE)
+    stops = txt.str.count(STOPWORD_RE)
+    return (stops / words.clip(lower=1)).astype("float64")
+
+
+def assert_length_invariant(before: pd.Series, after: pd.Series) -> None:
+    """Hard invariant check in the spirit of the reference's OpenCC
+    conversion contract — 字符数一致 / character count preserved
+    (/root/reference/docs/prd.md:35, docs/tasks.md:76). Used by tests
+    on transforms that promise length preservation."""
+    lb, la = before.str.len(), after.str.len()
+    bad = lb != la
+    if bool(bad.any()):
+        idx = bad[bad].index[:5].tolist()
+        raise AssertionError(f"length invariant violated at rows {idx}")

@@ -1,0 +1,79 @@
+"""Single-process pure-pandas oracle — produces golden outputs.
+
+This is the graft of the reference's golden/hash acceptance check
+("CI takes 3 sample pages end-to-end and hash-verifies the artifacts",
+/root/reference/docs/technical_architecture.md:214). The oracle runs
+the exact same pure heuristic functions as the Spark pipeline's pandas
+UDFs, but composes them with plain pandas (sort/groupby/cumsum), so a
+byte-equal comparison verifies Spark's *distribution* logic: ordering,
+windowing, offset arithmetic, partitioning — the parts that can break
+at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .functions.heuristics import extract_batch
+
+SEP = "\n"  # turn joiner inside a composed conversation document
+
+
+def oracle_extract(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Full pipeline (stage 1+2+3) in pandas. Returns the
+    extracted_turns table: one row per (conv_id, turn_idx), sorted,
+    with spans as list[dict(start, end, label)]."""
+    t = transcripts.sort_values(["conv_id", "turn_idx"], kind="stable")
+    t = t.drop_duplicates(["conv_id", "turn_idx"], keep="first").reset_index(drop=True)
+
+    rec = extract_batch(t["text"], t["tool"])
+
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].astype("int32"),
+            "role": t["role"],
+            "extracted_text": rec["extracted_text"],
+            "spans": [
+                [
+                    {"start": int(s), "end": int(e), "label": l}
+                    for s, e, l in zip(ss, ee, ll)
+                ]
+                for ss, ee, ll in zip(rec["starts"], rec["ends"], rec["labels"])
+            ],
+            "conf": rec["conf"].astype("float64"),
+            "n_blocks": rec["n_blocks"].astype("int32"),
+            "n_kept": rec["n_kept"].astype("int32"),
+            "failed": rec["failed"],
+            "ts": t["ts"],
+        }
+    )
+
+    # Stage 3 compose: stable ordering + running character offsets
+    # (graft of F5 typesetting, /root/reference/docs/technical_architecture.md:104-105).
+    grp = out.groupby("conv_id", sort=True)
+    out["turn_seq"] = (grp.cumcount() + 1).astype("int32")
+    step = out["extracted_text"].str.len().astype("int64") + len(SEP)
+    out["char_offset"] = step.groupby(out["conv_id"]).cumsum() - step
+    return out.reset_index(drop=True)
+
+
+def oracle_compose_docs(extracted: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation composed documents (graft of the per-page dual
+    render + ordered book, /root/reference/docs/prd.md:23-24)."""
+    e = extracted.sort_values(["conv_id", "turn_idx"], kind="stable")
+    line = "[" + e["role"].fillna("") + "#" + e["turn_idx"].astype(str) + "] " + e[
+        "extracted_text"
+    ].fillna("")
+    e = e.assign(line=line)
+    grp = e.groupby("conv_id", sort=True)
+    docs = pd.DataFrame(
+        {
+            "doc": grp["line"].agg(SEP.join),
+            "n_turns": grp.size().astype("int32"),
+            "n_failed": grp["failed"].sum().astype("int32"),
+            "avg_conf": grp["conf"].mean().astype("float64"),
+        }
+    ).reset_index()
+    docs["doc_len"] = docs["doc"].str.len().astype("int64")
+    return docs

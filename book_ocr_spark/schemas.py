@@ -1,0 +1,125 @@
+"""Explicit StructTypes for every table the engine touches.
+
+The reference declares fixed, strictly-validated Pydantic models
+(``/root/reference/docs/technical_architecture.md:121-137``); the Spark
+analog is an explicit StructType per table — schemas are *declared*,
+never inferred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# Input: transcripts (authoritative shape per BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+TRANSCRIPTS = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Stage-2 recognizer UDF output (pre-zip: parallel arrays; zipped JVM-side
+# into spans array<struct<start,end,label>> — see operators/recognize.py)
+# ---------------------------------------------------------------------------
+RECOGNIZE_UDF = StructType(
+    [
+        StructField("extracted_text", StringType(), True),
+        StructField("starts", ArrayType(LongType()), True),
+        StructField("ends", ArrayType(LongType()), True),
+        StructField("labels", ArrayType(StringType()), True),
+        StructField("conf", DoubleType(), True),
+        StructField("n_blocks", IntegerType(), True),
+        StructField("n_kept", IntegerType(), True),
+        StructField("failed", BooleanType(), True),
+    ]
+)
+
+SPAN = StructType(
+    [
+        StructField("start", IntegerType(), True),
+        StructField("end", IntegerType(), True),
+        StructField("label", StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Output: extracted_turns (analog of the reference's meta.json record,
+# /root/reference/docs/prd.md:56-65 — (index, text, bbox, conf) per column)
+# ---------------------------------------------------------------------------
+EXTRACTED_TURNS = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("extracted_text", StringType(), True),
+        StructField("spans", ArrayType(SPAN), True),
+        StructField("conf", DoubleType(), True),
+        StructField("n_blocks", IntegerType(), True),
+        StructField("n_kept", IntegerType(), True),
+        StructField("failed", BooleanType(), True),
+        StructField("turn_seq", IntegerType(), True),
+        StructField("char_offset", LongType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Per-conversation composed documents (analog of the per-page dual render +
+# global ordered book, /root/reference/docs/prd.md:23-24)
+# ---------------------------------------------------------------------------
+CONV_DOCS = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("doc", StringType(), True),
+        StructField("n_turns", IntegerType(), True),
+        StructField("n_failed", IntegerType(), True),
+        StructField("avg_conf", DoubleType(), True),
+        StructField("doc_len", LongType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Checkpoints (mirror of the reference's Checkpoint model,
+# /root/reference/docs/technical_architecture.md:133-136)
+# ---------------------------------------------------------------------------
+CHECKPOINTS = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("status", StringType(), False),  # pending | done | failed
+        StructField("run_id", StringType(), True),
+        StructField("updated_at", TimestampType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Per-partition lineage + metrics (reference analog: per-page elapsed +
+# confidence stats, /root/reference/docs/technical_architecture.md:156)
+# ---------------------------------------------------------------------------
+METRICS = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("n_turns", LongType(), True),
+        StructField("n_failed", LongType(), True),
+        StructField("avg_conf", DoubleType(), True),
+        StructField("elapsed_s", DoubleType(), True),
+        StructField("lineage", StringType(), True),
+        StructField("updated_at", TimestampType(), True),
+    ]
+)
