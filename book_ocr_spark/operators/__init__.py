@@ -1,0 +1,3 @@
+"""Spark operators: thin DataFrame-level wrappers around the pure
+heuristics in ``book_ocr_spark.functions``, plus the distributed-only
+logic (windows, salting, joins) that has no single-node analog."""

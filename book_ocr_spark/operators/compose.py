@@ -1,0 +1,174 @@
+"""Stage 3 — compose: stable turn ordering, running character offsets,
+per-conversation document assembly.
+
+Graft of F5 DualTypesetter + the column-index ordering window
+(/root/reference/docs/technical_architecture.md:104-105,123): the
+reference lays columns out in index order with fixed spacing; we lay
+turns out in ``turn_idx`` order with a fixed separator and carry the
+running char offset of each turn inside its conversation document.
+
+Skew handling (north_rule: "explicit salting for skewed long
+conversations"): AQE skew-join splitting does NOT apply to window
+functions — a single conversation with 10^7 turns lands on one task in
+the naive plan. ``compose_turns(..., bucket_size=B)`` switches to a
+two-level plan: window within (conv_id, turn_idx DIV B) buckets, then a
+tiny per-bucket prefix aggregation (num_buckets rows, broadcast-joined
+back) converts bucket-local offsets into global offsets. Output is
+bit-identical to the single-level plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\n"  # must match oracle.SEP
+
+
+def _step(col: str = "extracted_text"):
+    """Per-turn contribution to the running offset: text length + the
+    1-char separator that compose places between turns."""
+    return F.length(F.coalesce(F.col(col), F.lit(""))).cast("long") + F.lit(len(SEP)).cast("long")
+
+
+def compose_turns(df: DataFrame, bucket_size: int | None = None) -> DataFrame:
+    """Add ``turn_seq`` (1-based stable order, graft of Column.index)
+    and ``char_offset`` (running offset of this turn inside the
+    conversation document, graft of the bbox/char-span accumulation).
+
+    ``bucket_size``: if set, use the salted two-level plan (identical
+    results; bounded per-task work for monster conversations).
+    """
+    if bucket_size is None:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        wcum = w.rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn("turn_seq", F.row_number().over(w).cast("int")).withColumn(
+            "char_offset", F.coalesce(F.sum(_step()).over(wcum), F.lit(0)).cast("long")
+        )
+
+    bucket = (F.col("turn_idx").cast("long") / F.lit(bucket_size)).cast("long")
+    dfb = df.withColumn("_bucket", bucket)
+
+    wl = Window.partitionBy("conv_id", "_bucket").orderBy("turn_idx")
+    wlcum = wl.rowsBetween(Window.unboundedPreceding, -1)
+    local = dfb.withColumn("_lseq", F.row_number().over(wl).cast("long")).withColumn(
+        "_loff", F.coalesce(F.sum(_step()).over(wlcum), F.lit(0)).cast("long")
+    )
+
+    # Per-bucket totals: tiny (n_convs * n_buckets rows) -> the prefix
+    # window over buckets is cheap, and the join back is broadcast.
+    totals = (
+        dfb.groupBy("conv_id", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"), F.sum(_step()).alias("_blen"))
+    )
+    wb = Window.partitionBy("conv_id").orderBy("_bucket")
+    wbcum = wb.rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "conv_id",
+        "_bucket",
+        F.coalesce(F.sum("_bn").over(wbcum), F.lit(0)).alias("_bseq"),
+        F.coalesce(F.sum("_blen").over(wbcum), F.lit(0)).alias("_boff"),
+    )
+
+    out = local.join(F.broadcast(bases), ["conv_id", "_bucket"], "inner")
+    return (
+        out.withColumn("turn_seq", (F.col("_bseq") + F.col("_lseq")).cast("int"))
+        .withColumn("char_offset", (F.col("_boff") + F.col("_loff")).cast("long"))
+        .drop("_bucket", "_lseq", "_loff", "_bseq", "_boff")
+    )
+
+
+def compose_docs(
+    extracted: DataFrame,
+    bucket_size: int | None = None,
+    turn_cap: int | None = None,
+) -> DataFrame:
+    """Per-conversation composed documents: ordered concat of
+    ``[role#turn_idx] extracted_text`` lines (graft of the dual-page
+    render, /root/reference/docs/prd.md:23).
+
+    * order is enforced by ``array_sort`` on (turn_idx, line) structs —
+      stable regardless of shuffle arrival order;
+    * ``turn_cap`` bounds collect_list memory on monster conversations
+      (graft of the reference's input-size guard, docs/prd.md:29) and
+      reports truncation in ``truncated``;
+    * ``bucket_size`` enables two-level concat for skewed conversations
+      (partial doc per bucket, then ordered concat of bucket docs).
+    """
+    line = F.format_string(
+        "[%s#%d] %s",
+        F.coalesce(F.col("role"), F.lit("")),
+        F.col("turn_idx"),
+        F.coalesce(F.col("extracted_text"), F.lit("")),
+    )
+    base = extracted.withColumn("_line", line)
+
+    def _finish(df: DataFrame) -> DataFrame:
+        return df.select(
+            "conv_id",
+            "doc",
+            F.col("n_turns").cast("int").alias("n_turns"),
+            F.col("n_failed").cast("int").alias("n_failed"),
+            (F.col("_conf_sum") / F.greatest(F.col("n_turns").cast("double"), F.lit(1.0))).alias("avg_conf"),
+            F.length("doc").cast("long").alias("doc_len"),
+            F.col("truncated"),
+        )
+
+    if bucket_size is None:
+        items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_line"))))
+        if turn_cap is not None:
+            kept = F.slice(items, 1, turn_cap)
+        else:
+            kept = items
+        agg = base.groupBy("conv_id").agg(
+            F.array_join(F.transform(kept, lambda x: x["_line"]), SEP).alias("doc"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("failed").cast("long")).alias("n_failed"),
+            F.sum("conf").alias("_conf_sum"),
+            (F.size(items) > F.lit(turn_cap if turn_cap is not None else 2**31 - 1)).alias(
+                "truncated"
+            ),
+        )
+        return _finish(agg)
+
+    # Two-level: partial concat per (conv_id, bucket), then ordered
+    # concat of the (few) bucket docs per conversation.
+    bucket = (F.col("turn_idx").cast("long") / F.lit(bucket_size)).cast("long")
+    partial = (
+        base.withColumn("_bucket", bucket)
+        .groupBy("conv_id", "_bucket")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_line")))),
+                    lambda x: x["_line"],
+                ),
+                SEP,
+            ).alias("_bdoc"),
+            F.count(F.lit(1)).alias("_bn"),
+            F.sum(F.col("failed").cast("long")).alias("_bfailed"),
+            F.sum("conf").alias("_bconf"),
+        )
+    )
+    agg = partial.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_bucket"), F.col("_bdoc")))),
+                lambda x: x["_bdoc"],
+            ),
+            SEP,
+        ).alias("doc"),
+        F.sum("_bn").alias("n_turns"),
+        F.sum("_bfailed").alias("n_failed"),
+        F.sum("_bconf").alias("_conf_sum"),
+        F.lit(False).alias("truncated"),
+    )
+    return _finish(agg)
+
+
+def dedup_turns(df: DataFrame) -> DataFrame:
+    """Drop duplicate (conv_id, turn_idx) rows (dirty-input guard,
+    analog of the reference's input validation, docs/prd.md:43).
+    Duplicates in the dirty fixture are exact copies, so keep-any is
+    deterministic at the value level."""
+    return df.dropDuplicates(["conv_id", "turn_idx"])

@@ -1,0 +1,68 @@
+"""Stages 1+2 as Arrow-vectorized pandas UDFs.
+
+Graft of F1 preprocess + F2 segmentation + F3 recognition + F4
+normalization (/root/reference/docs/technical_architecture.md:93-103).
+The two stages are FUSED into one pandas UDF for the hot path: each
+pandas UDF is a JVM->Python->JVM Arrow round trip, so chaining two
+separate UDFs would double the transfer volume for zero benefit. The
+unfused stage-1 UDF is still exposed for API parity and tests.
+
+Spans travel back from Python as three parallel primitive arrays
+(starts/ends/labels) and are zipped JVM-side with ``arrays_zip`` into
+``array<struct<start,end,label>>`` — primitive Arrow lists are cheaper
+to transfer than list-of-struct and sidestep pandas->Arrow nested
+struct conversion edge cases.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from book_ocr_spark.functions.heuristics import extract_batch, preprocess_batch
+from book_ocr_spark.schemas import RECOGNIZE_UDF
+
+PREPROCESS_UDF = StructType(
+    [StructField("kind", StringType()), StructField("clean", StringType())]
+)
+
+
+@F.pandas_udf(PREPROCESS_UDF)
+def preprocess_udf(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    """Stage 1 only (payload-kind detect + signal normalization)."""
+    return preprocess_batch(text, tool)
+
+
+@F.pandas_udf(RECOGNIZE_UDF)
+def extract_udf(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    """Fused stage 1+2: normalize -> segment -> classify -> assemble."""
+    return extract_batch(text, tool)
+
+
+def with_extraction(df: DataFrame) -> DataFrame:
+    """transcripts -> per-turn extraction columns.
+
+    Output: conv_id, turn_idx, role, ts, extracted_text,
+    spans array<struct<start:int,end:int,label:string>>, conf,
+    n_blocks, n_kept, failed.
+    """
+    r = df.withColumn("_r", extract_udf(F.col("text"), F.col("tool")))
+    spans = F.arrays_zip(
+        F.col("_r.starts").cast("array<int>").alias("start"),
+        F.col("_r.ends").cast("array<int>").alias("end"),
+        F.col("_r.labels").alias("label"),
+    )
+    return r.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        F.col("_r.extracted_text").alias("extracted_text"),
+        spans.alias("spans"),
+        F.col("_r.conf").alias("conf"),
+        F.col("_r.n_blocks").alias("n_blocks"),
+        F.col("_r.n_kept").alias("n_kept"),
+        F.col("_r.failed").alias("failed"),
+    )

@@ -1,0 +1,2 @@
+"""Job plans: the end-to-end pipeline, checkpoint/resume, and
+per-partition metrics instrumentation."""

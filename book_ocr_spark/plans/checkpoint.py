@@ -1,0 +1,68 @@
+"""Checkpoint store + resume anti-join.
+
+Mirror of the reference's CheckpointStore with its pending->done/failed
+state machine and transactional flip
+(/root/reference/docs/technical_architecture.md:115,148) and of
+``boocr resume`` = process only the missing pages
+(/root/reference/docs/prd.md:41,71,77).
+
+The store is an append-only log table; the *current* status of a
+partition is its latest row (resolved with a max_by aggregation — the
+parquet analog of Iceberg MERGE). Resume = broadcast anti-join of the
+input against done partitions (SURVEY.md §2.3 J1).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from book_ocr_spark.schemas import CHECKPOINTS
+from book_ocr_spark.sources import io
+
+PENDING, DONE, FAILED = "pending", "done", "failed"
+
+
+def part_id_col(n_parts: int, key: str = "conv_id"):
+    """Deterministic partition id: pmod(murmur3(conv_id), n_parts) —
+    the SAME function Spark's HashPartitioning uses for
+    repartition(n_parts, conv_id), so the logical part_id equals the
+    physical shuffle partition (asserted in tests)."""
+    return F.pmod(F.hash(F.col(key)), F.lit(n_parts)).cast("int")
+
+
+def mark(
+    spark: SparkSession,
+    path: str,
+    parts: list[int],
+    status: str,
+    run_id: str,
+) -> None:
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    rows = [(int(p), status, run_id, now) for p in parts]
+    if not rows:
+        return
+    io.append_log(spark.createDataFrame(rows, schema=CHECKPOINTS), path)
+
+
+def current_status(spark: SparkSession, path: str) -> DataFrame:
+    """part_id -> latest status (latest updated_at wins; ties broken by
+    status rank so done > failed > pending within one timestamp)."""
+    if not io.exists(path):
+        return spark.createDataFrame([], schema=CHECKPOINTS).select("part_id", "status")
+    log = io.read_table(spark, path, CHECKPOINTS)
+    rank = F.when(F.col("status") == DONE, 2).when(F.col("status") == FAILED, 1).otherwise(0)
+    key = F.struct(F.col("updated_at"), rank.alias("_rank"), F.col("status"))
+    return log.groupBy("part_id").agg(F.max_by("status", key).alias("status"))
+
+
+def done_parts(spark: SparkSession, path: str) -> DataFrame:
+    return current_status(spark, path).filter(F.col("status") == DONE).select("part_id")
+
+
+def filter_resume(df: DataFrame, done: DataFrame) -> DataFrame:
+    """input \\ done — broadcast anti-join on part_id (the checkpoint
+    side is at most n_parts rows, always broadcastable)."""
+    return df.join(F.broadcast(done), "part_id", "left_anti")

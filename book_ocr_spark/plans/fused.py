@@ -1,0 +1,175 @@
+"""The fused hot path: extraction + compose prefix-scan + per-partition
+metrics in ONE mapInPandas pass.
+
+Why this exists (measured, see tests/test_plan_shape.py): a Window
+after an ArrowEvalPython node forces a second hash(conv_id) exchange,
+because EvalPython does not propagate its child's output partitioning.
+At 10^12 turns that second shuffle of all extracted text dominates the
+job. Instead we exploit the physical layout we already paid for:
+
+    repartition(n_parts, conv_id)      <- the ONLY wide exchange
+    -> dropDuplicates(conv_id,turn_idx)   (reuses the exchange;
+                                           sorts by (conv_id, turn_idx))
+    -> sortWithinPartitions               (elided when already sorted)
+    -> mapInPandas(fused)                 <- one Python round trip:
+         stage 1+2 extract_batch()         (same pure fns as oracle)
+         stage 3 prefix-scan               turn_seq / char_offset with a
+                                           cross-batch carry per conv
+         metrics                           per logical part_id, timed
+
+The prefix-scan is correct because after the exchange every
+conversation is wholly contained in one partition and rows arrive
+sorted by (conv_id, turn_idx); Arrow batches preserve that order, so a
+(conv_id -> running seq/offset) carry between batches is exact while
+memory stays bounded by the Arrow batch size (the graft of the
+reference's paged-read <=2GB memory cap, /root/reference/docs/prd.md:69).
+
+Skew note: a monster conversation still serializes onto one task here —
+wall-clock imbalance, never OOM. For extreme skew the pipeline switches
+to the salted two-level window path (operators/compose.py), trading two
+extra exchanges for intra-conversation parallelism.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from book_ocr_spark import __version__
+from book_ocr_spark.functions.heuristics import extract_batch
+from book_ocr_spark.plans.metrics import METRIC_FIELDS, REC_DATA, REC_METRICS
+from book_ocr_spark.schemas import RECOGNIZE_UDF
+
+FUSED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("role", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+    + [StructField(f.name, f.dataType, True) for f in RECOGNIZE_UDF.fields]
+    + [
+        StructField("turn_seq", IntegerType(), True),
+        StructField("char_offset", LongType(), True),
+        StructField("part_id", IntegerType(), True),
+        StructField("rec", StringType(), False),
+    ]
+    + METRIC_FIELDS
+)
+
+_DATA_COLS = [f.name for f in FUSED_SCHEMA.fields if not f.name.startswith("m_") and f.name != "rec"]
+_METRIC_COLS = [f.name for f in METRIC_FIELDS]
+_ALL_COLS = [f.name for f in FUSED_SCHEMA.fields]
+
+
+def fused_extract_compose(df: DataFrame, lineage_prefix: str) -> DataFrame:
+    """`df`: transcripts (+part_id), ALREADY repartitioned by conv_id
+    and sorted by (conv_id, turn_idx) within partitions."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        t0 = time.perf_counter()
+        carry_conv: str | None = None
+        carry_seq = 0
+        carry_off = 0
+        acc: dict[int, list[float]] = {}  # part_id -> [n, n_failed, conf_sum]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rec = extract_batch(pdf["text"], pdf["tool"])
+
+            step = rec["extracted_text"].str.len().astype("int64") + 1
+            conv = pdf["conv_id"]
+            seq = (conv.groupby(conv, sort=False).cumcount() + 1).astype("int64")
+            off = step.groupby(conv, sort=False).cumsum() - step
+            if carry_conv is not None:
+                cont = conv == carry_conv
+                seq = seq.where(~cont, seq + carry_seq)
+                off = off.where(~cont, off + carry_off)
+            last_conv = conv.iloc[-1]
+            last_mask = conv == last_conv
+            carry_seq = int(seq[last_mask].iloc[-1])
+            carry_off = int(off[last_mask].iloc[-1] + step[last_mask].iloc[-1])
+            carry_conv = last_conv
+
+            out = pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pdf["turn_idx"],
+                    "role": pdf["role"],
+                    "ts": pdf["ts"],
+                    "extracted_text": rec["extracted_text"],
+                    "starts": rec["starts"],
+                    "ends": rec["ends"],
+                    "labels": rec["labels"],
+                    "conf": rec["conf"],
+                    "n_blocks": rec["n_blocks"],
+                    "n_kept": rec["n_kept"],
+                    "failed": rec["failed"],
+                    "turn_seq": seq.astype("int32"),
+                    "char_offset": off.astype("int64"),
+                    "part_id": pdf["part_id"],
+                    "rec": REC_DATA,
+                }
+            )
+            for m in _METRIC_COLS:
+                out[m] = None
+
+            g = out.groupby("part_id").agg(
+                n=("part_id", "size"), nf=("failed", "sum"), cs=("conf", "sum")
+            )
+            for part, row in g.iterrows():
+                a = acc.setdefault(int(part), [0.0, 0.0, 0.0])
+                a[0] += float(row["n"])
+                a[1] += float(row["nf"])
+                a[2] += float(row["cs"])
+
+            yield out[_ALL_COLS]
+
+        if not acc:
+            return
+        elapsed = time.perf_counter() - t0
+        total = sum(a[0] for a in acc.values())
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        parts = sorted(acc)
+        mrows: dict[str, list] = {c: [None] * len(parts) for c in _DATA_COLS}
+        mrows["part_id"] = parts
+        mrows["rec"] = [REC_METRICS] * len(parts)
+        mrows["m_n_turns"] = [int(acc[p][0]) for p in parts]
+        mrows["m_n_failed"] = [int(acc[p][1]) for p in parts]
+        mrows["m_avg_conf"] = [acc[p][2] / acc[p][0] for p in parts]
+        mrows["m_elapsed_s"] = [elapsed * acc[p][0] / total for p in parts]
+        mrows["m_lineage"] = [
+            f"{lineage_prefix}|task={pid}|part={p}|v={__version__}" for p in parts
+        ]
+        mrows["m_updated_at"] = [now] * len(parts)
+        yield pd.DataFrame(mrows)[_ALL_COLS]
+
+    out = df.mapInPandas(gen, schema=FUSED_SCHEMA)
+    # Zip parallel span arrays into array<struct<start,end,label>> —
+    # a pure projection, no partitioning requirement, no shuffle.
+    spans = F.when(
+        F.col("rec") == REC_DATA,
+        F.arrays_zip(
+            F.col("starts").cast("array<int>").alias("start"),
+            F.col("ends").cast("array<int>").alias("end"),
+            F.col("labels").alias("label"),
+        ),
+    )
+    return out.withColumn("spans", spans).drop("starts", "ends", "labels")

@@ -1,0 +1,128 @@
+"""Per-partition lineage + metrics, measured inside the tasks.
+
+Graft of the reference's per-page verbose stats — elapsed time +
+confidence statistics per unit of work
+(/root/reference/docs/technical_architecture.md:156) — lifted to
+Spark's unit of work, the partition.
+
+Design: a ``mapInPandas`` wrapper times the REAL work of its own
+partition (it sits directly above the extraction+compose subtree, so
+consuming its input batches IS executing the pipeline for that
+partition), passes data batches through unchanged, and emits one
+trailing metrics row tagged ``rec='metrics'``. The unified stream is
+written ONCE, partitioned by (rec, part_id):
+
+    out/turns/rec=data/part_id=K/...      <- the extracted_turns table
+    out/turns/rec=metrics/part_id=K/...   <- one tiny row per partition
+
+so per-partition metrics cost zero extra passes over the data, and the
+canonical extracted table is simply the ``rec=data`` subtree.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from book_ocr_spark import __version__
+
+REC_DATA, REC_METRICS = "data", "metrics"
+
+METRIC_FIELDS = [
+    StructField("m_n_turns", LongType(), True),
+    StructField("m_n_failed", LongType(), True),
+    StructField("m_avg_conf", DoubleType(), True),
+    StructField("m_elapsed_s", DoubleType(), True),
+    StructField("m_lineage", StringType(), True),
+    StructField("m_updated_at", TimestampType(), True),
+]
+
+
+def instrumented(df: DataFrame, lineage_prefix: str) -> DataFrame:
+    """Wrap `df` (must carry conf/failed/part_id columns) so every
+    physical partition times itself and appends one metrics row."""
+    # All data fields become nullable: the trailing metrics row carries
+    # NULLs in every data column.
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        + [StructField("rec", StringType(), False)]
+        + METRIC_FIELDS
+    )
+    data_cols = [f.name for f in df.schema.fields]
+    metric_names = [f.name for f in METRIC_FIELDS]
+    all_cols = data_cols + ["rec"] + metric_names
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Metrics are keyed by the LOGICAL part_id carried in the data,
+        # not the physical partition index: AQE may coalesce or split
+        # physical partitions at will (and should stay free to), so one
+        # task can host several logical partitions. Task wall time is
+        # attributed to its logical partitions proportionally to rows.
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        t0 = time.perf_counter()
+        acc: dict[int, list[float]] = {}  # part_id -> [n, n_failed, conf_sum]
+        for pdf in batches:
+            g = pdf.groupby("part_id").agg(
+                n=("part_id", "size"),
+                nf=("failed", "sum"),
+                cs=("conf", "sum"),
+            )
+            for part, row in g.iterrows():
+                a = acc.setdefault(int(part), [0.0, 0.0, 0.0])
+                a[0] += float(row["n"])
+                a[1] += float(row["nf"])
+                a[2] += float(row["cs"])
+            out = pdf.copy()
+            out["rec"] = REC_DATA
+            for m in metric_names:
+                out[m] = None
+            yield out[all_cols]
+        if not acc:
+            return
+        elapsed = time.perf_counter() - t0
+        total = sum(a[0] for a in acc.values())
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        parts = sorted(acc)
+        mrows: dict[str, list] = {c: [None] * len(parts) for c in data_cols}
+        mrows["part_id"] = parts
+        mrows["rec"] = [REC_METRICS] * len(parts)
+        mrows["m_n_turns"] = [int(acc[p][0]) for p in parts]
+        mrows["m_n_failed"] = [int(acc[p][1]) for p in parts]
+        mrows["m_avg_conf"] = [acc[p][2] / acc[p][0] for p in parts]
+        mrows["m_elapsed_s"] = [elapsed * acc[p][0] / total for p in parts]
+        mrows["m_lineage"] = [
+            f"{lineage_prefix}|task={pid}|part={p}|v={__version__}" for p in parts
+        ]
+        mrows["m_updated_at"] = [now] * len(parts)
+        yield pd.DataFrame(mrows)[all_cols]
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def read_metrics(spark, turns_path: str) -> DataFrame:
+    """Read the metrics subtree back in the canonical METRICS shape."""
+    raw = spark.read.parquet(f"{turns_path}/rec={REC_METRICS}")
+    return raw.select(
+        F.col("part_id").cast("int").alias("part_id"),
+        F.col("m_n_turns").alias("n_turns"),
+        F.col("m_n_failed").alias("n_failed"),
+        F.col("m_avg_conf").alias("avg_conf"),
+        F.col("m_elapsed_s").alias("elapsed_s"),
+        F.col("m_lineage").alias("lineage"),
+        F.col("m_updated_at").alias("updated_at"),
+    )

@@ -1,0 +1,144 @@
+"""The end-to-end extraction job: scan -> resume anti-join ->
+repartition(conv_id) -> fused extract+compose+metrics -> chunked,
+idempotent write.
+
+This is the Spark lifecycle designed in SURVEY.md §3.2 (the graft of
+``boocr run`` / ``boocr resume``, /root/reference/docs/prd.md:21-25,41):
+
+  * ONE wide exchange in the hot path — ``repartition(n_parts,
+    conv_id)``; dropDuplicates and the fused compose both reuse it
+    (asserted by plan-shape tests);
+  * ONE Python round trip — the fused mapInPandas (plans/fused.py)
+    runs stages 1-3 and emits per-partition lineage+metrics rows;
+  * resume is a broadcast anti-join against done checkpoint partitions;
+  * work is split into chunks of partitions; each chunk is one write
+    job followed by a checkpoint flip to done — the graft of the
+    reference's per-page pending->done transactional flip
+    (docs/technical_architecture.md:148) at partition granularity.
+    Dynamic partition overwrite makes a crashed chunk's re-run
+    idempotent;
+  * extreme conversation skew switches to the salted two-level window
+    path (``bucket_size``), trading extra exchanges for
+    intra-conversation parallelism.
+
+At 100 TB: n_parts scales to O(10^5), chunks bound the blast radius of
+a failure, and the only wide exchange is hash(conv_id).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.compose import compose_turns, dedup_turns
+from book_ocr_spark.operators.recognize import with_extraction
+from book_ocr_spark.plans import checkpoint as cp
+from book_ocr_spark.plans.fused import fused_extract_compose
+from book_ocr_spark.plans.metrics import REC_DATA, instrumented
+from book_ocr_spark.schemas import TRANSCRIPTS
+from book_ocr_spark.sources import io
+
+TURNS_SUBDIR = "turns"
+CHECKPOINT_SUBDIR = "checkpoints"
+
+# Canonical column order for the unified turns table so both plan
+# variants write identical parquet schemas.
+_OUT_COLS = [
+    "conv_id", "turn_idx", "role", "ts", "extracted_text", "spans", "conf",
+    "n_blocks", "n_kept", "failed", "turn_seq", "char_offset", "part_id",
+    "rec", "m_n_turns", "m_n_failed", "m_avg_conf", "m_elapsed_s",
+    "m_lineage", "m_updated_at",
+]
+
+
+def build_extract_plan(
+    transcripts: DataFrame,
+    n_parts: int,
+    bucket_size: int | None = None,
+) -> DataFrame:
+    """The window-based transformation DAG (no I/O): transcripts ->
+    extracted_turns with part_id. Used by the salted-skew path and as
+    the reference plan in oracle-parity tests; the default hot path is
+    the fused plan below."""
+    df = transcripts.withColumn("part_id", cp.part_id_col(n_parts))
+    df = df.repartition(n_parts, "conv_id")
+    df = dedup_turns(df)
+    df = with_extraction(df.drop("part_id"))
+    df = compose_turns(df, bucket_size=bucket_size)
+    return df.withColumn("part_id", cp.part_id_col(n_parts))
+
+
+def build_fused_plan(
+    transcripts: DataFrame, n_parts: int, lineage_prefix: str = "adhoc"
+) -> DataFrame:
+    """The fused hot-path DAG: one exchange, one Python round trip,
+    metrics included (rec column tags data vs metrics rows)."""
+    df = transcripts.withColumn("part_id", cp.part_id_col(n_parts))
+    df = df.repartition(n_parts, "conv_id")
+    df = dedup_turns(df)
+    df = df.sortWithinPartitions("conv_id", "turn_idx")
+    return fused_extract_compose(df, lineage_prefix)
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    n_parts: int = 32,
+    n_chunks: int = 1,
+    bucket_size: int | None = None,
+    resume: bool = False,
+    run_id: str | None = None,
+    transcripts: DataFrame | None = None,
+) -> dict:
+    """Execute the extraction job. Returns a small summary dict.
+
+    ``resume=True`` skips partitions whose checkpoint status is done
+    (the EP2 path, docs/prd.md:41); a fresh run processes everything.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    turns_path = f"{out_path}/{TURNS_SUBDIR}"
+    ckpt_path = f"{out_path}/{CHECKPOINT_SUBDIR}"
+
+    src = transcripts if transcripts is not None else io.read_table(spark, input_path, TRANSCRIPTS)
+    src = src.withColumn("part_id", cp.part_id_col(n_parts))
+
+    if resume:
+        done = {r.part_id for r in cp.done_parts(spark, ckpt_path).collect()}
+    else:
+        done = set()
+    todo = [p for p in range(n_parts) if p not in done]
+    if not todo:
+        return {"run_id": run_id, "parts_processed": [], "chunks": 0}
+
+    cp.mark(spark, ckpt_path, todo, cp.PENDING, run_id)
+
+    chunk_size = max(1, (len(todo) + n_chunks - 1) // n_chunks)
+    chunks = [todo[i : i + chunk_size] for i in range(0, len(todo), chunk_size)]
+    lineage = f"src={input_path}|run={run_id}"
+
+    for chunk in chunks:
+        chunk_df = src.filter(F.col("part_id").isin(chunk)).drop("part_id")
+        if bucket_size is None:
+            out = build_fused_plan(chunk_df, n_parts, lineage_prefix=lineage)
+        else:
+            plan = build_extract_plan(chunk_df, n_parts, bucket_size=bucket_size)
+            out = instrumented(plan, lineage_prefix=lineage)
+        io.write_partitioned(out.select(*_OUT_COLS), turns_path, ["rec", "part_id"])
+        cp.mark(spark, ckpt_path, chunk, cp.DONE, run_id)
+
+    return {"run_id": run_id, "parts_processed": todo, "chunks": len(chunks)}
+
+
+def read_extracted(spark: SparkSession, out_path: str) -> DataFrame:
+    """The canonical extracted_turns table = the rec=data subtree
+    (metric columns are null there and dropped on read)."""
+    df = spark.read.parquet(f"{out_path}/{TURNS_SUBDIR}/rec={REC_DATA}")
+    return df.drop(*[c for c in df.columns if c.startswith("m_")])
+
+
+def read_quarantine(spark: SparkSession, out_path: str) -> DataFrame:
+    """Failed-turn quarantine (graft of failed.txt, docs/prd.md:43)."""
+    return read_extracted(spark, out_path).filter(F.col("failed"))

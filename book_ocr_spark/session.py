@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Defaults are sized for the sandbox (single JVM, local[N]); on a real
+cluster the same knobs apply with cluster-appropriate values — they are
+all plain Spark confs, nothing sandbox-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "book-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Oracle comparison + reproducibility: DuckDB timestamps are
+        # UTC-naive, Spark's are session-TZ — pin UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime re-plan, post-shuffle coalesce, skew-join split.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow is the backbone of every pandas UDF here; bound the
+        # batch so UDF memory stays flat regardless of input size
+        # (graft of the reference's <=2GB paged-read memory cap,
+        # /root/reference/docs/prd.md:69).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Reuse Python workers: analog of the reference's
+        # single-process GPU worker amortization
+        # (/root/reference/docs/technical_architecture.md:167).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_parallelism(master)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _default_parallelism(master: str) -> int:
+    """shuffle.partitions ~ cores for local mode (the 200 default is
+    wrong at both ends)."""
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return max(4, int(inner))
+        except ValueError:
+            return 8
+    return 2 * (os.cpu_count() or 8)

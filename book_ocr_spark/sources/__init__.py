@@ -1,0 +1,2 @@
+"""Sources & sinks. Storage is kept behind one module (io.py) so the
+parquet <-> Iceberg swap is a one-file change (SURVEY.md §7)."""

@@ -1,0 +1,61 @@
+"""Table I/O behind a single seam.
+
+Production target is Iceberg (`spark.read.table` / `writeTo(...).append()`
+with snapshot isolation replacing the reference's meta.jsonl->meta.json
+merge, /root/reference/docs/technical_architecture.md:114). The Iceberg
+runtime jar is not available in this sandbox, so the default backend is
+partitioned parquet with dynamic partition overwrite — which preserves
+the two properties the pipeline depends on:
+
+  * idempotent per-partition re-writes (overwrite only the part_id
+    dirs a chunk touched -> crash + rerun never duplicates rows);
+  * append-only metrics/checkpoint logs resolved by latest timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+ICEBERG_AVAILABLE = False
+try:  # pragma: no cover - sandbox has no Iceberg jar
+    import importlib.util
+
+    ICEBERG_AVAILABLE = importlib.util.find_spec("pyiceberg") is not None
+except ImportError:  # pragma: no cover
+    pass
+
+
+def read_table(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Overwrite only the partitions present in `df` (dynamic mode) —
+    the parquet stand-in for an Iceberg REPLACE of affected partitions."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def append_log(df: DataFrame, path: str) -> None:
+    """Append-only log table (checkpoints, metrics). Resolution of
+    current state is by latest updated_at — the parquet analog of
+    Iceberg MERGE."""
+    df.write.mode("append").parquet(path)
+
+
+def exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        name.endswith(".parquet") or name.startswith("part-")
+        for root, _, files in os.walk(path)
+        for name in files
+    )

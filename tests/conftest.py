@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import pytest
+
+from book_ocr_spark.fixtures import gen_transcripts
+from book_ocr_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="boocr-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def transcripts_pd():
+    """Unit-scale fixture (FIXTURES.md §6): 20 conversations."""
+    return gen_transcripts(n_convs=20, seed=42)
+
+
+@pytest.fixture(scope="session")
+def transcripts_skew_pd():
+    """Skew fixture: 2 conversations with ~50x the median turn count."""
+    return gen_transcripts(n_convs=12, seed=42, skew_convs=2, skew_factor=50)
+
+
+@pytest.fixture(scope="session")
+def transcripts_dirty_pd():
+    return gen_transcripts(n_convs=15, seed=7, dirty=True)
+
+
+@pytest.fixture(scope="session")
+def transcripts_df(spark, transcripts_pd):
+    from book_ocr_spark.fixtures import to_spark
+
+    return to_spark(spark, transcripts_pd)

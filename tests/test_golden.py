@@ -1,0 +1,169 @@
+"""Golden byte-equality: the Spark pipeline must match the
+single-process pandas oracle exactly — text, spans, conf, ordering,
+offsets (BASELINE.json input_hint; reference analog: the 3-sample
+end-to-end hash check, /root/reference/docs/technical_architecture.md:214).
+"""
+
+import pandas as pd
+import pytest
+
+from book_ocr_spark.fixtures import to_spark
+from book_ocr_spark.operators.compose import compose_docs
+from book_ocr_spark.oracle import oracle_compose_docs, oracle_extract
+from book_ocr_spark.plans.pipeline import build_extract_plan
+
+
+def _spans_tuples(series):
+    return series.map(
+        lambda arr: [(r["start"], r["end"], r["label"]) for r in arr]
+        if arr is not None
+        else None
+    )
+
+
+def _run_and_compare(spark, pdf, bucket_size=None, n_parts=8):
+    sdf = to_spark(spark, pdf)
+    got = (
+        build_extract_plan(sdf, n_parts=n_parts, bucket_size=bucket_size)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = oracle_extract(pdf).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ["conv_id", "turn_idx", "role", "extracted_text", "n_blocks", "n_kept", "failed"]:
+        assert (got[col] == exp[col]).all(), col
+    # exact float equality — same pure functions on both sides
+    assert (got["conf"] == exp["conf"]).all()
+    assert (got["turn_seq"] == exp["turn_seq"]).all()
+    assert (got["char_offset"] == exp["char_offset"]).all()
+    got_spans = got["spans"].map(lambda arr: [(r["start"], r["end"], r["label"]) for r in arr])
+    exp_spans = _spans_tuples(exp["spans"])
+    assert (got_spans == exp_spans).all()
+    return got, exp
+
+
+def test_pipeline_matches_oracle(spark, transcripts_pd):
+    _run_and_compare(spark, transcripts_pd)
+
+
+def _fused_extracted(spark, pdf, n_parts=8):
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    sdf = to_spark(spark, pdf)
+    return (
+        build_fused_plan(sdf, n_parts=n_parts)
+        .filter(F.col("rec") == "data")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_fused_plan_matches_oracle(spark, transcripts_pd):
+    """The production (fused mapInPandas) plan must be byte-equal to
+    the oracle too — same invariant, different physical strategy."""
+    got = _fused_extracted(spark, transcripts_pd)
+    exp = oracle_extract(transcripts_pd).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ["conv_id", "turn_idx", "role", "extracted_text", "n_blocks", "n_kept", "failed"]:
+        assert (got[col] == exp[col]).all(), col
+    assert (got["conf"] == exp["conf"]).all()
+    assert (got["turn_seq"] == exp["turn_seq"]).all()
+    assert (got["char_offset"] == exp["char_offset"]).all()
+    got_spans = got["spans"].map(lambda arr: [(r["start"], r["end"], r["label"]) for r in arr])
+    assert (got_spans == _spans_tuples(exp["spans"])).all()
+
+
+def test_fused_plan_matches_oracle_skew(spark, transcripts_skew_pd):
+    got = _fused_extracted(spark, transcripts_skew_pd, n_parts=4)
+    exp = oracle_extract(transcripts_skew_pd).reset_index(drop=True)
+    assert got["extracted_text"].equals(exp["extracted_text"])
+    assert got["char_offset"].equals(exp["char_offset"])
+    assert got["turn_seq"].equals(exp["turn_seq"])
+
+
+def test_fused_plan_small_arrow_batches(spark, transcripts_pd):
+    """Cross-batch carry correctness: force tiny Arrow batches so
+    conversations straddle batch boundaries inside one partition."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        sdf = to_spark(spark, transcripts_pd)
+        got = (
+            build_fused_plan(sdf, n_parts=2)
+            .filter(F.col("rec") == "data")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exp = oracle_extract(transcripts_pd).reset_index(drop=True)
+    assert got["turn_seq"].equals(exp["turn_seq"])
+    assert got["char_offset"].equals(exp["char_offset"])
+    assert got["extracted_text"].equals(exp["extracted_text"])
+
+
+def test_pipeline_matches_oracle_salted(spark, transcripts_skew_pd):
+    _run_and_compare(spark, transcripts_skew_pd, bucket_size=64)
+
+
+def test_salted_equals_unsalted(spark, transcripts_skew_pd):
+    got_salted, _ = _run_and_compare(spark, transcripts_skew_pd, bucket_size=64)
+    got_plain, _ = _run_and_compare(spark, transcripts_skew_pd, bucket_size=None)
+    assert got_salted["char_offset"].equals(got_plain["char_offset"])
+    assert got_salted["turn_seq"].equals(got_plain["turn_seq"])
+
+
+def test_dirty_input_dedup_and_quarantine(spark, transcripts_dirty_pd):
+    got, exp = _run_and_compare(spark, transcripts_dirty_pd)
+    # duplicates removed exactly once
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    assert got["failed"].sum() == exp["failed"].sum() > 0
+
+
+def test_compose_docs_matches_oracle(spark, transcripts_pd):
+    sdf = to_spark(spark, transcripts_pd)
+    extracted = build_extract_plan(sdf, n_parts=8)
+    got = compose_docs(extracted).orderBy("conv_id").toPandas().reset_index(drop=True)
+    exp = oracle_compose_docs(oracle_extract(transcripts_pd)).reset_index(drop=True)
+    for col in ["conv_id", "doc", "n_turns", "n_failed", "doc_len"]:
+        assert (got[col] == exp[col]).all(), col
+    assert got["avg_conf"].sub(exp["avg_conf"]).abs().max() < 1e-12
+    assert not got["truncated"].any()
+
+
+def test_compose_docs_two_level_equal(spark, transcripts_skew_pd):
+    sdf = to_spark(spark, transcripts_skew_pd)
+    extracted = build_extract_plan(sdf, n_parts=8)
+    a = compose_docs(extracted).orderBy("conv_id").toPandas()
+    b = compose_docs(extracted, bucket_size=64).orderBy("conv_id").toPandas()
+    assert a["doc"].reset_index(drop=True).equals(b["doc"].reset_index(drop=True))
+    assert a["n_turns"].reset_index(drop=True).equals(b["n_turns"].reset_index(drop=True))
+
+
+def test_compose_docs_turn_cap(spark, transcripts_pd):
+    sdf = to_spark(spark, transcripts_pd)
+    extracted = build_extract_plan(sdf, n_parts=8)
+    capped = compose_docs(extracted, turn_cap=2).orderBy("conv_id").toPandas()
+    full = compose_docs(extracted).orderBy("conv_id").toPandas()
+    many = full["n_turns"] > 2
+    assert capped.loc[many, "truncated"].all()
+    # capped doc is a prefix of the full doc
+    for c, f in zip(capped.loc[many, "doc"], full.loc[many, "doc"]):
+        assert f.startswith(c)
+
+
+def test_conf_in_unit_interval(spark, transcripts_pd):
+    got, _ = _run_and_compare(spark, transcripts_pd)
+    ok = got["conf"].between(0.0, 1.0)
+    assert ok.all()

@@ -1,0 +1,135 @@
+"""Stage-1/2 heuristics: segmentation, classification, span assembly.
+
+Reference analogs: column-detection tolerance test (docs/tasks.md:69),
+OCR component floor (docs/tasks.md:73), conversion invariants
+(docs/tasks.md:76-77).
+"""
+
+import json
+
+import pandas as pd
+
+from book_ocr_spark.functions.heuristics import (
+    detect_kind,
+    extract_batch,
+    preprocess_batch,
+    recognize_batch,
+)
+
+
+def test_detect_kind_trusts_tag_then_sniffs():
+    tool = pd.Series(["html", "pdf", "plain", "search", "python", None])
+    text = pd.Series(
+        [
+            "whatever",
+            "whatever",
+            "<p>looks like html but tagged plain</p>",
+            '{"blocks": [{"text": "x"}]}',
+            "<div>sniffed html</div>",
+            "just words",
+        ]
+    )
+    k = detect_kind(tool, text)
+    assert list(k) == ["html", "pdf", "plain", "pdf", "html", "plain"]
+
+
+def test_html_boilerplate_dropped_main_kept():
+    page = (
+        "<html><body>"
+        "<nav><ul><li><a href='/h'>home</a></li><li><a href='/a'>about</a></li></ul></nav>"
+        "<div class='sidebar'><a href='/1'>one</a> <a href='/2'>two</a> <a href='/3'>three</a></div>"
+        "<main><h2>A short heading</h2>"
+        "<p>This is the real main content of the page and it is long enough to keep.</p>"
+        "<pre>x = 1 + 2</pre></main>"
+        "<footer><p>copyright 2026 example corp</p></footer>"
+        "</body></html>"
+    )
+    out = extract_batch(pd.Series([page]), pd.Series(["html"]))
+    txt = out["extracted_text"][0]
+    assert "home" not in txt and "about" not in txt
+    assert "copyright" not in txt
+    assert "one" not in txt  # link farm dropped by link density
+    assert "real main content" in txt
+    assert out["labels"][0] == ["heading", "main", "code"]
+    # spans index into extracted_text exactly
+    for s, e, lab in zip(out["starts"][0], out["ends"][0], out["labels"][0]):
+        seg = txt[s:e]
+        assert seg == seg.strip() and len(seg) > 0
+    assert txt[out["starts"][0][2] : out["ends"][0][2]] == "x = 1 + 2"
+
+
+def test_footer_content_dropped_even_when_split_from_container():
+    page = "<footer><div><p>Terms of service and privacy and cookies text long enough.</p></div></footer>"
+    out = extract_batch(pd.Series([page]), pd.Series(["html"]))
+    assert out["extracted_text"][0] == ""
+    assert out["n_kept"][0] == 0
+
+
+def test_content_after_closed_container_is_kept():
+    page = (
+        "<nav><a href='/x'>x</a></nav>"
+        "<p>Content after the nav closes must be kept because it is body text.</p>"
+    )
+    out = extract_batch(pd.Series([page]), pd.Series(["html"]))
+    assert "must be kept" in out["extracted_text"][0]
+
+
+def test_pdf_blocks_reordered_by_order_field():
+    payload = json.dumps(
+        {
+            "blocks": [
+                {"page": 1, "order": 2, "y0": 10, "x0": 0, "text": "third block here"},
+                {"page": 1, "order": 0, "y0": 30, "x0": 0, "text": "first block here"},
+                {"page": 1, "order": 1, "y0": 20, "x0": 0, "text": "second block here"},
+            ]
+        }
+    )
+    out = extract_batch(pd.Series([payload]), pd.Series(["pdf"]))
+    assert out["extracted_text"][0] == "first block here\nsecond block here\nthird block here"
+    assert out["failed"][0] == False  # noqa: E712
+
+
+def test_pdf_parse_failure_quarantined():
+    out = extract_batch(
+        pd.Series(['{"blocks": [broken', '{"no_blocks": 1}', ""]),
+        pd.Series(["pdf", "pdf", "pdf"]),
+    )
+    assert list(out["failed"]) == [True, True, True]
+    assert list(out["extracted_text"]) == ["", "", ""]
+
+
+def test_plain_whitespace_canonicalized():
+    out = extract_batch(
+        pd.Series(["  hello\t\tworld \r\n next  line \x0b"]), pd.Series(["plain"])
+    )
+    assert out["extracted_text"][0] == "hello world\nnext line"
+    assert out["labels"][0] == ["main"]
+    assert out["starts"][0] == [0]
+    assert out["ends"][0] == [len("hello world\nnext line")]
+
+
+def test_span_invariants_on_fixture(transcripts_pd):
+    out = extract_batch(transcripts_pd["text"], transcripts_pd["tool"])
+    for txt, ss, ee, ll in zip(
+        out["extracted_text"], out["starts"], out["ends"], out["labels"]
+    ):
+        prev_end = -1
+        assert len(ss) == len(ee) == len(ll)
+        for s, e in zip(ss, ee):
+            assert 0 <= s <= e <= len(txt)
+            assert s > prev_end  # monotone, non-overlapping
+            prev_end = e
+
+
+def test_dirty_fixture_no_crash_and_quarantine(transcripts_dirty_pd):
+    out = extract_batch(transcripts_dirty_pd["text"], transcripts_dirty_pd["tool"])
+    assert len(out) == len(transcripts_dirty_pd)
+    assert out["failed"].sum() > 0  # empties + broken pdf quarantined
+
+
+def test_stage1_stage2_equals_fused(transcripts_pd):
+    pre = preprocess_batch(transcripts_pd["text"], transcripts_pd["tool"])
+    two_step = recognize_batch(pre["clean"], pre["kind"])
+    fused = extract_batch(transcripts_pd["text"], transcripts_pd["tool"])
+    assert (two_step["extracted_text"] == fused["extracted_text"]).all()
+    assert (two_step["conf"] == fused["conf"]).all()

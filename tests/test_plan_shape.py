@@ -1,0 +1,91 @@
+"""Plan-shape guards: the perf contract, asserted on the optimized
+physical plan (SURVEY.md §5.2 item 6 — analog of the reference's
+5s/page benchmark assertion, docs/tasks.md:94).
+
+These tests pin the properties that matter at 100 TB:
+  * ONE wide exchange in the extraction hot path (the explicit
+    repartition by conv_id); the compose window must reuse it;
+  * resume anti-join is a broadcast join, never a shuffle join;
+  * parquet scans push filters and prune columns.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.fixtures import to_spark
+from book_ocr_spark.plans import checkpoint as cp
+from book_ocr_spark.plans.pipeline import build_extract_plan, build_fused_plan
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _explain(df) -> str:
+    # public API: capture explain("formatted")
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fused_hot_path_single_exchange(spark, transcripts_df):
+    """The production plan: exactly ONE wide exchange (the explicit
+    repartition by conv_id); dedup and compose reuse it."""
+    plan = _explain(build_fused_plan(transcripts_df, n_parts=8))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_fused_hot_path_single_python_pass(spark, transcripts_df):
+    """One Python round trip: the fused mapInPandas; no separate
+    ArrowEvalPython stage."""
+    plan = _explain(build_fused_plan(transcripts_df, n_parts=8))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_window_path_exchange_budget(spark, transcripts_df):
+    """The window-based reference plan pays one extra exchange after
+    the UDF (EvalPython drops partitioning propagation) — pinned here
+    so a regression to three+ is caught."""
+    plan = _explain(build_extract_plan(transcripts_df, n_parts=8))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, plan
+
+
+def test_resume_anti_join_is_broadcast(spark, transcripts_df):
+    done = spark.createDataFrame([(0,), (1,)], "part_id int")
+    df = transcripts_df.withColumn("part_id", cp.part_id_col(8))
+    resumed = cp.filter_resume(df, done)
+    plan = _explain(resumed)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_pushdown_and_pruning(spark, tmp_path, transcripts_df):
+    path = str(tmp_path / "t.parquet")
+    transcripts_df.write.parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .filter(F.col("conv_id") == "conv_000003")
+        .select("conv_id", "turn_idx")
+    )
+    plan = _explain(q)
+    assert "PushedFilters" in plan and "conv_000003" in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "text" not in m.group(1), plan  # column pruned
+
+
+def test_window_path_arrow_nodes_minimal(spark, transcripts_df):
+    """Exactly one Arrow UDF round trip in the window-based plan (the
+    fused stage-1+2 UDF) — the unfused two-stage variant would show two."""
+    plan = _explain(build_extract_plan(transcripts_df, n_parts=8))
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    assert n_arrow == 1, plan

@@ -1,0 +1,95 @@
+"""Chunked run, per-partition metrics, and resume semantics.
+
+Acceptance-D analog (/root/reference/docs/prd.md:77): damage 3
+partitions' checkpoints -> resume recomputes exactly those, and the
+final table equals the uninterrupted run.
+"""
+
+import pandas as pd
+import pytest
+
+from book_ocr_spark.fixtures import to_spark
+from book_ocr_spark.oracle import oracle_extract
+from book_ocr_spark.plans import checkpoint as cp
+from book_ocr_spark.plans.metrics import read_metrics
+from book_ocr_spark.plans.pipeline import read_extracted, read_quarantine, run
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_chunked_run_metrics_and_resume(spark, transcripts_pd, out_dir):
+    sdf = to_spark(spark, transcripts_pd)
+    exp = oracle_extract(transcripts_pd).reset_index(drop=True)
+
+    res = run(spark, "<fixture>", out_dir, n_parts=8, n_chunks=3, transcripts=sdf)
+    assert res["chunks"] == 3
+
+    got = read_extracted(spark, out_dir).orderBy("conv_id", "turn_idx").toPandas()
+    assert got["extracted_text"].reset_index(drop=True).equals(exp["extracted_text"])
+
+    # per-partition metrics agree with the data, per part
+    m = read_metrics(spark, f"{out_dir}/turns").toPandas().set_index("part_id")
+    per = (
+        read_extracted(spark, out_dir)
+        .groupBy("part_id")
+        .count()
+        .toPandas()
+        .set_index("part_id")
+    )
+    assert m["n_turns"].sort_index().equals(per["count"].sort_index().astype("int64"))
+    assert (m["elapsed_s"] > 0).all()
+    assert m["lineage"].str.contains("run=").all()
+
+    # all parts done
+    st = cp.current_status(spark, f"{out_dir}/checkpoints").toPandas()
+    assert set(st["status"]) == {"done"}
+
+    # acceptance-D: damage 3 parts -> resume recomputes exactly those
+    victims = [0, 3, 5]
+    cp.mark(spark, f"{out_dir}/checkpoints", victims, cp.FAILED, "damage")
+    res2 = run(
+        spark, "<fixture>", out_dir, n_parts=8, n_chunks=1, resume=True, transcripts=sdf
+    )
+    assert sorted(res2["parts_processed"]) == victims
+    got2 = read_extracted(spark, out_dir).orderBy("conv_id", "turn_idx").toPandas()
+    assert got2["extracted_text"].reset_index(drop=True).equals(exp["extracted_text"])
+    assert len(got2) == len(exp)
+
+    # resume again with everything done -> no-op
+    res3 = run(
+        spark, "<fixture>", out_dir, n_parts=8, resume=True, transcripts=sdf
+    )
+    assert res3["parts_processed"] == []
+
+
+def test_rerun_is_idempotent(spark, transcripts_pd, out_dir):
+    """Crash-replay safety: running the same chunk twice must not
+    duplicate rows (dynamic partition overwrite)."""
+    sdf = to_spark(spark, transcripts_pd)
+    run(spark, "<fixture>", out_dir, n_parts=4, transcripts=sdf)
+    n1 = read_extracted(spark, out_dir).count()
+    run(spark, "<fixture>", out_dir, n_parts=4, transcripts=sdf)  # full re-run
+    n2 = read_extracted(spark, out_dir).count()
+    assert n1 == n2 == len(oracle_extract(transcripts_pd))
+
+
+def test_quarantine_table(spark, transcripts_dirty_pd, out_dir):
+    sdf = to_spark(spark, transcripts_dirty_pd)
+    run(spark, "<fixture>", out_dir, n_parts=4, transcripts=sdf)
+    q = read_quarantine(spark, out_dir)
+    exp = oracle_extract(transcripts_dirty_pd)
+    assert q.count() == int(exp["failed"].sum()) > 0
+
+
+def test_checkpoint_status_machine(spark, out_dir):
+    path = f"{out_dir}/ckpt"
+    cp.mark(spark, path, [0, 1, 2], cp.PENDING, "r1")
+    cp.mark(spark, path, [0, 1], cp.DONE, "r1")
+    cp.mark(spark, path, [2], cp.FAILED, "r1")
+    st = cp.current_status(spark, path).toPandas().set_index("part_id")["status"]
+    assert st[0] == "done" and st[1] == "done" and st[2] == "failed"
+    done = {r.part_id for r in cp.done_parts(spark, path).collect()}
+    assert done == {0, 1}

@@ -1,0 +1,49 @@
+"""Unit tests for the vectorized text ops (reference test analog:
+component-level tolerance tests, /root/reference/docs/tasks.md:64-84)."""
+
+import pandas as pd
+import pytest
+
+from book_ocr_spark.functions import textops as T
+
+
+def test_normalize_raw_eol_control_nfc():
+    s = pd.Series(["a\r\nb\rc", "x\x00y\x0bz", "café"])
+    out = T.normalize_raw(s)
+    assert out[0] == "a\nb\nc"
+    assert out[1] == "xyz"
+    assert out[2] == "café"  # NFC composes e + combining acute
+
+
+def test_normalize_raw_mojibake():
+    out = T.normalize_raw(pd.Series(["cafÃ©", "donât"]))
+    assert out[0] == "café"
+    assert out[1] == "don’t"
+
+
+def test_strip_tags_then_entities_order():
+    # entity-encoded angle brackets must survive as literals
+    s = pd.Series(["<p>a &lt;b&gt; c</p>", "&amp;lt; stays encoded-once"])
+    out = T.decode_entities(T.strip_tags(s))
+    assert out[0].split() == ["a", "<b>", "c"]
+    assert out[1].startswith("&lt;")
+
+
+def test_canon_ws():
+    s = pd.Series(["  a\t\tb  \n\n\n c ", "x y"])
+    out = T.canon_ws(s)
+    assert out[0] == "a b\nc"
+    assert out[1] == "x y"
+
+
+def test_stopword_ratio():
+    r = T.stopword_ratio(pd.Series(["the cat is on a mat", "zork quux"]))
+    assert r[0] == pytest.approx(4 / 6)
+    assert r[1] == 0.0
+
+
+def test_length_invariant_check():
+    a = pd.Series(["abc", "defg"])
+    T.assert_length_invariant(a, pd.Series(["xyz", "1234"]))
+    with pytest.raises(AssertionError):
+        T.assert_length_invariant(a, pd.Series(["xy", "1234"]))
