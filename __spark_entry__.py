@@ -1,38 +1,664 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship fused extraction pipeline on
+transcripts synthesized deterministically from sf0.001 parquet.
+`queries()` exposes one DataFrame callable per implemented operator
+from SURVEY.md §2 (plus the training-data ops); `oracle_sql()` gives
+the DuckDB-equivalent SQL for each SQL-expressible one.
+
+Conventions:
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * float aggregates are rounded to 4dp on both sides (cross-engine
+    double summation order differs);
+  * Spark integer outputs are cast to bigint where DuckDB returns
+    BIGINT (count/row_number/etc.) so schemas align.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts derived from the documents table:
+    conv_id = doc_id mod 50, turn_idx = dense rank of doc_id within the
+    conversation; payload kind 'plain'. No external data; pure SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(50))).orderBy("doc_id")
+    return docs.select(
+        F.format_string("conv_%03d", F.pmod(F.col("doc_id"), F.lit(50)).cast("int")).alias(
+            "conv_id"
+        ),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("plain").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused extraction pipeline (1 exchange, 1 Python pass)
+    over transcripts synthesized from sf0.001 documents."""
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    t = _synth_transcripts(spark, "/root/testdata/sf0.001")
+    out = build_fused_plan(t, n_parts=8, lineage_prefix="entry")
+    return out.filter(F.col("rec") == "data").select(
+        "conv_id", "turn_idx", "extracted_text", "spans", "conf", "turn_seq", "char_offset"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational operator coverage (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A2/A4 hash aggregate with partial+final (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """J3 equi-join chain with broadcast dims (orders⋈customer⋈nation⋈region)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """J1 resume anti-join: input minus done (here: customers with no
+    high-value order — non-empty at every sf)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_customers_with_open_orders(spark, sf_dir):
+    """J2 replay semi-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_order_window_compose(spark, sf_dir):
+    """W1+W4: stable ordering + running offsets (the compose window on
+    relational data: row_number + running sum over preceding rows)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, -1)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.round(F.coalesce(F.sum("o_totalprice").over(wcum), F.lit(0.0)), 4).alias(
+            "prior_spend"
+        ),
+    ).orderBy("o_custkey", "order_seq")
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    """A5/O4 top-k per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def q_ordered_collect(spark, sf_dir):
+    """A1/S5 ordered collect: per-order line numbers concatenated in
+    order (the graft of page->columns assembly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = F.array_sort(F.collect_list(F.struct("l_linenumber")))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(items, lambda x: x["l_linenumber"].cast("string")), ","
+            ).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def q_rollup_metrics(spark, sf_dir):
+    """§2.4 rollup: per-flag/status metrics in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def q_nations_except(spark, sf_dir):
+    """X1 set difference: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).distinct().orderBy("nationkey")
+
+
+def q_nations_intersect(spark, sf_dir):
+    """X3 intersection: nations present on both sides."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q_union_event_slices(spark, sf_dir):
+    """X2 union of filtered slices (meta parts union analog)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("value") > 95)
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_user_event_lag(spark, sf_dir):
+    """W3 lead/lag cursor over an ordered stream (progress-pointer
+    analog); value delta vs previous event of the same user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_global_page_numbers(spark, sf_dir):
+    """W2/F6a/O1: global ordered sequence + zero-padded naming."""
+    n = _t(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return n.select(
+        "n_name",
+        F.format_string("page_%03d", F.row_number().over(w)).alias("page"),
+    ).orderBy("n_name")
+
+
+def q_daily_event_rollup(spark, sf_dir):
+    """D2/T4 time bucketing: daily tumbling aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """F6b JSON extraction with explicit schema."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+def q_validation_filter(spark, sf_dir):
+    """P1/S8 validation predicate + quarantine counting."""
+    e = _t(spark, sf_dir, "events")
+    bad = (F.col("value") < 1.0) | F.col("event_type").isin("error")
+    return (
+        e.filter(bad)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_quarantined"))
+        .orderBy("event_type")
+    )
+
+
+def q_asof_last_signup_before_purchase(spark, sf_dir):
+    """As-of join (SURVEY §2.3 note): for each purchase, the most
+    recent prior signup ts of the same user — expressed as a
+    union+window last_value(ignorenulls) plan, no per-row Python."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    ).filter(F.col("event_type").isin("signup", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "last_signup_ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data ops over documents
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical doc per content hash (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + per-language stats."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return (
+        d.select("lang", toks.alias("n_tokens"), F.length("text").cast("bigint").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean word length per source."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    n_stop = (
+        F.size(
+            F.expr(
+                r"regexp_extract_all(text, '\\b(the|a|of|to|and|in|is|it|that|for|on|with|as)\\b', 0)"
+            )
+        ).cast("double")
+    )
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1.0)), 4)
+    return (
+        d.select("source", stop_ratio.alias("stop_ratio"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: hash of whitespace-canonicalized text."""
+    d = _t(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", F.md5(canon).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries — the extraction pipeline itself
+# ---------------------------------------------------------------------------
+
+def q_pipeline_plain_sql(spark, sf_dir):
+    """The full 3-stage pipeline on plain payloads, SQL-expressible:
+    stage-2 for 'plain' is whitespace canonicalization; stage-3 is the
+    compose window. Oracle-checkable end to end."""
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    t = _synth_transcripts(spark, sf_dir)
+    out = build_fused_plan(t, n_parts=8, lineage_prefix="q")
+    return (
+        out.filter(F.col("rec") == "data")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "extracted_text",
+            F.col("turn_seq").cast("bigint").alias("turn_seq"),
+            "char_offset",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_pipeline_mixed(spark, sf_dir):
+    """Full pipeline over the seeded mixed-payload fixture (html/pdf/
+    plain). Not SQL-expressible (DOM heuristics) -> rows-only check;
+    byte-equality vs the pandas oracle is enforced in tests/."""
+    from book_ocr_spark.fixtures import gen_transcripts, to_spark
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    t = to_spark(spark, gen_transcripts(n_convs=100, seed=42))
+    out = build_fused_plan(t, n_parts=8, lineage_prefix="q")
+    return (
+        out.filter(F.col("rec") == "data")
+        .select(
+            "conv_id", "turn_idx", "extracted_text", "conf", "n_blocks", "n_kept",
+            "turn_seq", "char_offset",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_compose_docs(spark, sf_dir):
+    """Per-conversation composed document (S5 ordered merge sink) over
+    the plain synthesized transcripts — SQL-expressible."""
+    from book_ocr_spark.operators.compose import compose_docs
+    from book_ocr_spark.plans.pipeline import build_extract_plan
+
+    t = _synth_transcripts(spark, sf_dir)
+    extracted = build_extract_plan(t, n_parts=8)
+    return (
+        compose_docs(extracted)
+        .select(
+            "conv_id",
+            "doc",
+            F.col("n_turns").cast("bigint").alias("n_turns"),
+            "doc_len",
+        )
+        .orderBy("conv_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_open_orders": q_customers_with_open_orders,
+        "order_window_compose": q_order_window_compose,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "ordered_collect": q_ordered_collect,
+        "rollup_metrics": q_rollup_metrics,
+        "nations_except": q_nations_except,
+        "nations_intersect": q_nations_intersect,
+        "union_event_slices": q_union_event_slices,
+        "user_event_lag": q_user_event_lag,
+        "global_page_numbers": q_global_page_numbers,
+        "daily_event_rollup": q_daily_event_rollup,
+        "json_props": q_json_props,
+        "validation_filter": q_validation_filter,
+        "asof_last_signup_before_purchase": q_asof_last_signup_before_purchase,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "pipeline_plain_sql": q_pipeline_plain_sql,
+        "pipeline_mixed": q_pipeline_mixed,
+        "compose_docs": q_compose_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT r_name, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "customers_with_open_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            ORDER BY c_custkey
+        """,
+        "order_window_compose": """
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER w AS order_seq,
+                   ROUND(COALESCE(SUM(o_totalprice) OVER
+                       (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 4)
+                       AS prior_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, order_seq
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders) t
+            WHERE rk <= 3 ORDER BY o_custkey, rk
+        """,
+        "ordered_collect": """
+            SELECT l_orderkey,
+                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY l_linenumber) AS line_numbers,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+        """,
+        "rollup_metrics": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
+        """,
+        "nations_except": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT ALL
+                SELECT s_nationkey AS nationkey FROM supplier) t
+            ORDER BY nationkey
+        """,
+        "nations_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey
+        """,
+        "union_event_slices": """
+            SELECT event_type, COUNT(*) AS n FROM (
+                SELECT * FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT * FROM events WHERE value > 95) t
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "user_event_lag": """
+            SELECT user_id, event_id,
+                   ROUND(value - LAG(value) OVER w, 4) AS delta,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
+        """,
+        "global_page_numbers": """
+            SELECT n_name,
+                   PRINTF('page_%03d', ROW_NUMBER() OVER (ORDER BY n_name)) AS page
+            FROM nation ORDER BY n_name
+        """,
+        "daily_event_rollup": """
+            SELECT DATE_TRUNC('day', ts) AS day, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "json_props": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1 ORDER BY k_bucket
+        """,
+        "validation_filter": """
+            SELECT event_type, COUNT(*) AS n_quarantined
+            FROM events
+            WHERE value < 1.0 OR event_type IN ('error')
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "asof_last_signup_before_purchase": """
+            SELECT user_id, event_id, last_signup_ts FROM (
+                SELECT user_id, event_id, event_type,
+                       MAX(CASE WHEN event_type = 'signup' THEN ts END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS last_signup_ts
+                FROM events
+                WHERE event_type IN ('signup', 'purchase')) t
+            WHERE event_type = 'purchase'
+            ORDER BY user_id, event_id
+        """,
+        "dedup_exact": """
+            SELECT MD5(text) AS content_hash,
+                   MIN(doc_id) AS canonical_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY canonical_doc_id
+        """,
+        "token_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(n_tokens) AS total_tokens,
+                   ROUND(AVG(n_tokens), 4) AS avg_tokens,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM (SELECT lang,
+                         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+                         CAST(LENGTH(text) AS BIGINT) AS n_chars
+                  FROM documents) t
+            GROUP BY lang ORDER BY lang
+        """,
+        "quality_scores": """
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio
+            FROM (SELECT source,
+                         ROUND(CAST(LEN(regexp_extract_all(text,
+                               '\\b(the|a|of|to|and|in|is|it|that|for|on|with|as)\\b', 0)) AS DOUBLE)
+                         / GREATEST(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE), 1.0), 4)
+                         AS stop_ratio
+                  FROM documents) t
+            GROUP BY source ORDER BY source
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "pipeline_plain_sql": """
+            WITH t AS (
+                SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INT)
+                           AS turn_idx,
+                       TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS extracted_text
+                FROM documents)
+            SELECT conv_id, turn_idx, extracted_text,
+                   ROW_NUMBER() OVER w AS turn_seq,
+                   COALESCE(SUM(LENGTH(extracted_text) + 1) OVER
+                       (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS char_offset
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ORDER BY conv_id, turn_idx
+        """,
+        "compose_docs": """
+            WITH t AS (
+                SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INT)
+                           AS turn_idx,
+                       TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS extracted_text
+                FROM documents)
+            SELECT conv_id,
+                   STRING_AGG('[user#' || turn_idx || '] ' || extracted_text,
+                              chr(10) ORDER BY turn_idx) AS doc,
+                   COUNT(*) AS n_turns,
+                   CAST(LENGTH(STRING_AGG('[user#' || turn_idx || '] ' || extracted_text,
+                              chr(10) ORDER BY turn_idx)) AS BIGINT) AS doc_len
+            FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+    }

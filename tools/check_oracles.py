@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same sf directory, compare row count, column names/dtypes, and
+order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from book_ocr_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            if len(got) == 0:
+                failures.append((name, "0 rows"))
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        g, e = canon(got), canon(exp)
+        if len(g) != len(e):
+            failures.append((name, f"rowcount {len(g)} vs {len(e)}"))
+            print(f"FAIL {name}: rowcount {len(g)} vs {len(e)}")
+            continue
+        if list(g.columns) != list(e.columns):
+            failures.append((name, f"columns {list(g.columns)} vs {list(e.columns)}"))
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            continue
+        bad = None
+        for c in g.columns:
+            a, b = g[c], e[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                eq = np.isclose(
+                    a.astype("float64"), b.astype("float64"),
+                    rtol=1e-9, atol=1e-9, equal_nan=True,
+                )
+            else:
+                eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy() if hasattr(eq, "to_numpy") else eq))
+                bad = f"col {c} row {i}: {a.iloc[i]!r} vs {b.iloc[i]!r}"
+                break
+        if bad:
+            failures.append((name, bad))
+            print(f"FAIL {name}: {bad}")
+        else:
+            print(f"PASS {name} ({len(g)} rows, {len(g.columns)} cols)")
+
+    spark.stop()
+    print(f"\n{len(failures)} failures" if failures else "\nALL ORACLE CHECKS PASS")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
