@@ -1,0 +1,168 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the flagship fused extraction pipeline (turns/sec, the
+BASELINE.json metric) + representative relational/training-data queries
+from ``__spark_entry__``. Query timings execute the full plan via the
+noop sink (no driver collect, no disk write skew).
+
+``--scaling``: runs the SAME pipeline input at local[8] and local[32]
+and reports throughput at both plus scaling efficiency
+(= speedup/4, target >= 0.8 per BASELINE.json north_rule) — the
+sandbox proxy for N vs 4N executors.
+
+Usage:
+    python bench.py              # driver per-round entry
+    python bench.py --scaling    # evidence for BASELINE.md scaling row
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TMP = os.environ.get("SPARK_GRAFT_TMP", "/tmp/book_ocr_bench")
+
+# ~96k synthetic turns at sf=0.1 (scales linearly with sf, floor 200
+# convs so sf0.001 still measures something).
+CONVS_PER_SF = 100_000
+SEED = 20260816
+
+
+def _sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _make_spark(master: str):
+    from book_ocr_spark.session import get_spark
+
+    return get_spark(app_name="bench", master=master)
+
+
+def _gen_input(spark, sf: float, path: str) -> int:
+    """Synthesize the bench transcripts once (distributed, seeded) and
+    persist to parquet so every timed run reads the same bytes.
+    SPARK_GRAFT_BENCH_CONVS overrides the conv count (scaling runs
+    need enough work for compute to dominate fixed overhead)."""
+    from book_ocr_spark.fixtures import gen_transcripts_spark
+
+    n_convs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", 0)
+    ) or max(200, int(CONVS_PER_SF * sf))
+    t = gen_transcripts_spark(
+        spark, n_convs=n_convs, seed=SEED, median_turns=8,
+        skew_convs=2, skew_factor=200,
+    )
+    t.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def _run_pipeline(spark, path: str) -> float:
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    t = spark.read.parquet(path)
+    n_parts = spark.sparkContext.defaultParallelism
+    t0 = time.perf_counter()
+    _noop(build_fused_plan(t, n_parts=n_parts, lineage_prefix="bench"))
+    return time.perf_counter() - t0
+
+
+def bench_round() -> dict:
+    import __spark_entry__ as entry
+
+    spark = _make_spark(f"local[{CPUS}]")
+    sf = _sf(SF_DIR)
+    tpath = f"{TMP}/transcripts_sf{sf}.parquet"
+
+    n_turns = _gen_input(spark, sf, tpath)
+
+    headline = [
+        "pricing_summary",
+        "region_revenue",
+        "top3_orders_per_customer",
+        "order_window_compose",
+        "asof_last_signup_before_purchase",
+        "dedup_exact",
+        "minhash_near_dup",
+        "ann_cosine_topk",
+        "token_stats",
+        "compose_docs",
+    ]
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        _noop(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: fused extraction pipeline, warm + timed
+    _run_pipeline(spark, tpath)  # warm JIT/codegen/python workers
+    dt = _run_pipeline(spark, tpath)
+    timings["extract_pipeline"] = round(dt, 3)
+    tps = n_turns / dt
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(tps, 1),
+        "cpus": CPUS,
+    }
+
+
+def bench_scaling() -> dict:
+    """Same input, local[8] vs local[32]: the sandbox evidence for the
+    north_rule's N->4N scaling-efficiency >= 0.8 criterion."""
+    sf = _sf(SF_DIR)
+    tpath = f"{TMP}/transcripts_sf{sf}.parquet"
+    out: dict = {"sf": sf}
+
+    spark = _make_spark("local[8]")
+    n_turns = _gen_input(spark, sf, tpath)
+    out["turns"] = n_turns
+    _run_pipeline(spark, tpath)
+    t8 = min(_run_pipeline(spark, tpath) for _ in range(3))
+    spark.stop()
+
+    spark = _make_spark("local[32]")
+    _run_pipeline(spark, tpath)
+    t32 = min(_run_pipeline(spark, tpath) for _ in range(3))
+    spark.stop()
+
+    tp8, tp32 = n_turns / t8, n_turns / t32
+    out.update(
+        {
+            "metric": "scaling_efficiency",
+            "value": round((tp32 / tp8) / 4.0, 3),
+            "unit": "ratio",
+            "local8": {"sec": round(t8, 3), "turns_per_sec": round(tp8, 1)},
+            "local32": {"sec": round(t32, 3), "turns_per_sec": round(tp32, 1)},
+        }
+    )
+    return out
+
+
+if __name__ == "__main__":
+    result = bench_scaling() if "--scaling" in sys.argv else bench_round()
+    shutil.rmtree(TMP, ignore_errors=True)
+    print(json.dumps(result))

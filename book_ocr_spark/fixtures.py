@@ -97,6 +97,56 @@ def _plain_payload(rng: np.random.Generator) -> str:
     return s
 
 
+def _gen_conv(
+    ci: int,
+    seed: int,
+    median_turns: int,
+    skew_convs: int,
+    skew_factor: int,
+    dirty: bool,
+) -> pd.DataFrame:
+    """One conversation's rows. Keyed only by (seed, ci) so generation
+    is order-independent: the Spark-distributed generator below yields
+    byte-identical rows regardless of which partition a conv lands on."""
+    rng = np.random.default_rng([seed, ci])
+    if ci < skew_convs:
+        n_turns = median_turns * skew_factor
+    else:
+        n_turns = max(2, int(rng.lognormal(np.log(median_turns), 0.6)))
+    conv_id = f"conv_{ci:06d}"
+    kinds = rng.integers(0, 3, n_turns)  # 0 html 1 pdf 2 plain
+    texts, tools = [], []
+    for ti in range(n_turns):
+        k = int(kinds[ti])
+        if k == 0:
+            texts.append(_html_payload(rng))
+            kind = "html"
+        elif k == 1:
+            texts.append(_pdf_payload(rng))
+            kind = "pdf"
+        else:
+            texts.append(_plain_payload(rng))
+            kind = "plain"
+        role = ROLES[ti % 3]
+        # tool rows carry a tool name, not a kind tag -> exercises
+        # content sniffing in detect_kind()
+        tools.append(TOOL_NAMES[ti % 3] if role == "tool" else kind)
+    if dirty:
+        for ti in range(0, n_turns, 5):
+            texts[ti] = _dirtify(texts[ti], rng)
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": np.arange(n_turns, dtype="int32"),
+            "role": [ROLES[t % 3] for t in range(n_turns)],
+            "text": texts,
+            "tool": tools,
+            "ts": BASE_TS
+            + pd.to_timedelta(ci * 3600 + np.arange(n_turns) * 30, unit="s"),
+        }
+    )
+
+
 def gen_transcripts(
     n_convs: int = 200,
     seed: int = 42,
@@ -109,53 +159,51 @@ def gen_transcripts(
     input_hint). First `skew_convs` conversations get
     ``median_turns * skew_factor`` turns (the skew tail exercising the
     salted compose path, SURVEY.md §4.2)."""
-    frames = []
-    for ci in range(n_convs):
-        rng = np.random.default_rng([seed, ci])
-        if ci < skew_convs:
-            n_turns = median_turns * skew_factor
-        else:
-            n_turns = max(2, int(rng.lognormal(np.log(median_turns), 0.6)))
-        conv_id = f"conv_{ci:06d}"
-        kinds = rng.integers(0, 3, n_turns)  # 0 html 1 pdf 2 plain
-        texts, tools = [], []
-        for ti in range(n_turns):
-            k = int(kinds[ti])
-            if k == 0:
-                texts.append(_html_payload(rng))
-                kind = "html"
-            elif k == 1:
-                texts.append(_pdf_payload(rng))
-                kind = "pdf"
-            else:
-                texts.append(_plain_payload(rng))
-                kind = "plain"
-            role = ROLES[ti % 3]
-            # tool rows carry a tool name, not a kind tag -> exercises
-            # content sniffing in detect_kind()
-            tools.append(TOOL_NAMES[ti % 3] if role == "tool" else kind)
-        if dirty:
-            for ti in range(0, n_turns, 5):
-                texts[ti] = _dirtify(texts[ti], rng)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": np.arange(n_turns, dtype="int32"),
-                    "role": [ROLES[t % 3] for t in range(n_turns)],
-                    "text": texts,
-                    "tool": tools,
-                    "ts": BASE_TS
-                    + pd.to_timedelta(ci * 3600 + np.arange(n_turns) * 30, unit="s"),
-                }
-            )
-        )
+    frames = [
+        _gen_conv(ci, seed, median_turns, skew_convs, skew_factor, dirty)
+        for ci in range(n_convs)
+    ]
     df = pd.concat(frames, ignore_index=True)
     if dirty:
         # duplicate (conv_id, turn_idx) rows — quarantine-path fodder
         dups = df.iloc[:: max(1, len(df) // 7)].copy()
         df = pd.concat([df, dups], ignore_index=True)
     return df
+
+
+def gen_transcripts_spark(
+    spark,
+    n_convs: int = 200,
+    seed: int = 42,
+    median_turns: int = 8,
+    skew_convs: int = 0,
+    skew_factor: int = 1000,
+    dirty: bool = False,
+    n_parts: int | None = None,
+):
+    """Distributed fixture generator: conversations fan out across
+    executors via ``spark.range(n_convs)`` + ``mapInPandas``; each conv
+    derives from the same (seed, ci)-keyed PCG64 stream as the driver-
+    side generator, so at any scale the data is deterministic and equal
+    to ``gen_transcripts`` (asserted in tests). This is how bench-scale
+    inputs are synthesized — no driver-side materialization, scales to
+    arbitrary n_convs."""
+    from book_ocr_spark.schemas import TRANSCRIPTS
+
+    n_parts = n_parts or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            for ci in pdf["id"]:
+                yield _gen_conv(
+                    int(ci), seed, median_turns, skew_convs, skew_factor, dirty
+                )
+
+    return (
+        spark.range(n_convs)
+        .repartition(n_parts)
+        .mapInPandas(gen, schema=TRANSCRIPTS)
+    )
 
 
 def _dirtify(text: str, rng: np.random.Generator) -> str:
