@@ -377,6 +377,170 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# queries — dedup / similarity / text-analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+def _canon_docs(spark, sf_dir):
+    """Canonicalized documents (id, text) — shared corpus base."""
+    d = _t(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.select(F.col("doc_id").alias("id"), canon.alias("text"))
+
+
+def _dedup_corpus(spark, sf_dir, max_id=None):
+    """Corpus with constructed near-duplicates: every long-enough doc
+    gets a variant (id+100000) missing its last 40 chars, so near-dup
+    detection has ground-truth positives at every sf."""
+    base = _canon_docs(spark, sf_dir)
+    if max_id is not None:
+        base = base.filter(F.col("id") < max_id)
+    var = base.filter(F.length("text") > 200).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("substring(text, 1, length(text)-40)").alias("text"),
+    )
+    return base.unionByName(var)
+
+
+_CANON_DOCS_SQL = (
+    "SELECT doc_id AS id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text "
+    "FROM documents"
+)
+
+
+def _dedup_corpus_sql(max_id=None) -> str:
+    pred = f" WHERE id < {max_id}" if max_id is not None else ""
+    return f"""
+        WITH base AS (SELECT * FROM ({_CANON_DOCS_SQL}) t{pred})
+        SELECT id, text FROM base
+        UNION ALL
+        SELECT id + 100000, substr(text, 1, CAST(len(text) AS INT) - 40)
+        FROM base WHERE len(text) > 200
+    """
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash(64)+LSH(32 bands) near-dup pairs, exact-Jaccard
+    verified — output equals the brute-force oracle by construction."""
+    from book_ocr_spark.operators.dedup import minhash_near_dup
+
+    return (
+        minhash_near_dup(_dedup_corpus(spark, sf_dir), "id", "text", k=8, threshold=0.6)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash_fingerprint(spark, sf_dir):
+    """56-bit SimHash fingerprint per document (portable md5-derived
+    token hashes — bit-identical across engines)."""
+    from book_ocr_spark.operators.dedup import simhash
+
+    return simhash(_canon_docs(spark, sf_dir), "id", "text").orderBy("id")
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs by Hamming distance <= 4 (above that,
+    the vocab-limited synthetic corpus drowns signal in collisions)."""
+    from book_ocr_spark.operators.dedup import simhash_near_dup
+
+    return (
+        simhash_near_dup(_dedup_corpus(spark, sf_dir), "id", "text", max_hamming=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ngram_jaccard_sim(spark, sf_dir):
+    """Word 3-gram Jaccard pairs (brute-force token-level near-dup)."""
+    from book_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return (
+        ngram_jaccard_pairs(
+            _dedup_corpus(spark, sf_dir, max_id=150), "id", "text", n=3, threshold=0.2
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for probe vectors vec_id<10
+    (double-precision ordered fold => cross-engine bit equality)."""
+    from book_ocr_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine high-similarity pairs (near-dup dedup signal)."""
+    from book_ocr_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    """LSH-bucketed ANN (scale path): approximate by construction ->
+    rows-only driver check; recall vs brute force asserted in tests."""
+    from book_ocr_spark.operators.similarity import lsh_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID heuristic (stopword profiles + CJK detection) vs
+    the labeled lang column: confusion matrix."""
+    from book_ocr_spark.operators.textstats import lang_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_confusion(d).orderBy("lang", "pred_lang")
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex tokenizer counts per language."""
+    from book_ocr_spark.operators.textstats import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", bpe_token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_flags(spark, sf_dir):
+    """Composite quality gate with first-failing-rule reason."""
+    from book_ocr_spark.operators.textstats import quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_flags(d, "doc_id", "text").orderBy("doc_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns -> byte-level features via one
+    mapInPandas pass (decode stubbed; plumbing real). Deterministic
+    synthetic media, rows-only check."""
+    from book_ocr_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=96)).orderBy("media_id")
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: JVM-side frame index explosion."""
+    from book_ocr_spark.operators.multimodal import frame_sample_plan, synth_media
+
+    return frame_sample_plan(synth_media(spark, n=96), every_n=10).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # queries — the extraction pipeline itself
 # ---------------------------------------------------------------------------
 
@@ -463,10 +627,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_fingerprint": q_simhash_fingerprint,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard_sim": q_ngram_jaccard_sim,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
+        "lang_confusion": q_lang_confusion,
+        "bpe_token_stats": q_bpe_token_stats,
+        "quality_flags": q_quality_flags,
+        "multimodal_features": q_multimodal_features,
+        "media_frame_sample": q_media_frame_sample,
         "pipeline_plain_sql": q_pipeline_plain_sql,
         "pipeline_mixed": q_pipeline_mixed,
         "compose_docs": q_compose_docs,
     }
+
+
+def _dedup_oracle_sql(which: str) -> str:
+    from book_ocr_spark.operators.dedup import (
+        duck_jaccard_pairs_sql,
+        duck_ngram_jaccard_sql,
+        duck_simhash_near_dup_sql,
+        duck_simhash_sql,
+    )
+
+    if which == "minhash":
+        return duck_jaccard_pairs_sql(_dedup_corpus_sql(), k=8, threshold=0.6)
+    if which == "simhash":
+        return duck_simhash_sql(_CANON_DOCS_SQL)
+    if which == "simhash_pairs":
+        return duck_simhash_near_dup_sql(_dedup_corpus_sql(), max_hamming=4)
+    return duck_ngram_jaccard_sql(_dedup_corpus_sql(max_id=150), n=3, threshold=0.2)
+
+
+def _similarity_oracle_sql(which: str) -> str:
+    from book_ocr_spark.operators.similarity import (
+        duck_cosine_near_dup_sql,
+        duck_cosine_topk_sql,
+    )
+
+    corpus = "SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings"
+    probes = "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10"
+    if which == "topk":
+        return duck_cosine_topk_sql(corpus, probes, k=5)
+    return duck_cosine_near_dup_sql(
+        "SELECT vec_id AS id, embedding AS v FROM embeddings", threshold=0.4
+    )
+
+
+def _textstats_oracle_sql(which: str) -> str:
+    from book_ocr_spark.operators.textstats import (
+        duck_bpe_token_count,
+        duck_lang_confusion_sql,
+        duck_quality_flags_sql,
+    )
+
+    if which == "lang":
+        return duck_lang_confusion_sql("documents")
+    if which == "quality":
+        return duck_quality_flags_sql("documents", "doc_id", "text")
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_tok) AS total_bpe_tokens,
+               ROUND(AVG(n_tok), 4) AS avg_bpe_tokens
+        FROM (SELECT lang, {duck_bpe_token_count('text')} AS n_tok FROM documents) t
+        GROUP BY lang ORDER BY lang
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -630,6 +858,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
+        "minhash_near_dup": _dedup_oracle_sql("minhash"),
+        "simhash_fingerprint": _dedup_oracle_sql("simhash"),
+        "simhash_near_dup": _dedup_oracle_sql("simhash_pairs"),
+        "ngram_jaccard_sim": _dedup_oracle_sql("ngram"),
+        "ann_cosine_topk": _similarity_oracle_sql("topk"),
+        "embedding_cosine_pairs": _similarity_oracle_sql("pairs"),
+        "lang_confusion": _textstats_oracle_sql("lang"),
+        "bpe_token_stats": _textstats_oracle_sql("bpe"),
+        "quality_flags": _textstats_oracle_sql("quality"),
         "pipeline_plain_sql": """
             WITH t AS (
                 SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,

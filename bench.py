@@ -62,9 +62,12 @@ def _gen_input(spark, sf: float, path: str) -> int:
     n_convs = int(
         os.environ.get("SPARK_GRAFT_BENCH_CONVS", 0)
     ) or max(200, int(CONVS_PER_SF * sf))
+    # 64 output files regardless of the generating session's core count:
+    # the scan stage of a timed run must never be limited by how few
+    # files the generator happened to write.
     t = gen_transcripts_spark(
         spark, n_convs=n_convs, seed=SEED, median_turns=8,
-        skew_convs=2, skew_factor=200,
+        skew_convs=2, skew_factor=200, n_parts=64,
     )
     t.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
@@ -131,32 +134,42 @@ def bench_round() -> dict:
 
 
 def bench_scaling() -> dict:
-    """Same input, local[8] vs local[32]: the sandbox evidence for the
-    north_rule's N->4N scaling-efficiency >= 0.8 criterion."""
+    """Same input at N and 4N local cores: the sandbox evidence for
+    the north_rule's N->4N scaling-efficiency >= 0.8 criterion.
+
+    SPARK_GRAFT_SCALE_MASTERS picks the pair (default "4,16"): on a
+    32-core box, 4 vs 16 keeps BOTH configurations inside the machine
+    (each task slot pairs a JVM thread with a Python worker, so
+    local[32] would oversubscribe 32 cores 2x, while local[8]'s
+    Python workers borrow the 24 idle cores and inflate the baseline
+    — neither effect exists on a real multi-executor cluster)."""
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_MASTERS", "4,16").split(",")
+    )
     sf = _sf(SF_DIR)
     tpath = f"{TMP}/transcripts_sf{sf}.parquet"
     out: dict = {"sf": sf}
 
-    spark = _make_spark("local[8]")
+    spark = _make_spark(f"local[{lo}]")
     n_turns = _gen_input(spark, sf, tpath)
     out["turns"] = n_turns
     _run_pipeline(spark, tpath)
-    t8 = min(_run_pipeline(spark, tpath) for _ in range(3))
+    t_lo = min(_run_pipeline(spark, tpath) for _ in range(3))
     spark.stop()
 
-    spark = _make_spark("local[32]")
+    spark = _make_spark(f"local[{hi}]")
     _run_pipeline(spark, tpath)
-    t32 = min(_run_pipeline(spark, tpath) for _ in range(3))
+    t_hi = min(_run_pipeline(spark, tpath) for _ in range(3))
     spark.stop()
 
-    tp8, tp32 = n_turns / t8, n_turns / t32
+    tp_lo, tp_hi = n_turns / t_lo, n_turns / t_hi
     out.update(
         {
             "metric": "scaling_efficiency",
-            "value": round((tp32 / tp8) / 4.0, 3),
+            "value": round((tp_hi / tp_lo) / (hi / lo), 3),
             "unit": "ratio",
-            "local8": {"sec": round(t8, 3), "turns_per_sec": round(tp8, 1)},
-            "local32": {"sec": round(t32, 3), "turns_per_sec": round(tp32, 1)},
+            f"local{lo}": {"sec": round(t_lo, 3), "turns_per_sec": round(tp_lo, 1)},
+            f"local{hi}": {"sec": round(t_hi, 3), "turns_per_sec": round(tp_hi, 1)},
         }
     )
     return out

@@ -1,0 +1,76 @@
+"""CLI entry points: ``run`` / ``resume`` / ``version`` — the graft of
+the reference's Typer app (/root/reference/book_ocr/cli.py:20 [impl],
+run/resume spec /root/reference/docs/prd.md:21-25,41).
+
+Deployment shape (north_rule): ``spark-submit --py-files bookocr.zip
+-m book_ocr_spark.cli run ...`` on a cluster; locally
+``python -m book_ocr_spark.cli run --input ... --output ...``.
+
+argparse instead of Typer: zero extra deps in the executor zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from book_ocr_spark import __version__
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--output", required=True, help="output root (turns/ + checkpoints/)")
+    p.add_argument("--n-parts", type=int, default=32, help="logical partition count")
+    p.add_argument("--n-chunks", type=int, default=1, help="commit granularity")
+    p.add_argument(
+        "--bucket-size",
+        type=int,
+        default=None,
+        help="enable salted two-level compose for conversations longer than this",
+    )
+    p.add_argument(
+        "--threads",
+        type=int,
+        default=None,
+        help="local[N] master (omit on a cluster: spark-submit sets the master)",
+    )
+    p.add_argument("--log-level", default="WARN")
+
+
+def main(argv: list[str] | None = None) -> int:
+    top = argparse.ArgumentParser(prog="book-ocr-spark")
+    sub = top.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "resume"):
+        _add_common(sub.add_parser(name))
+    sub.add_parser("version")
+    args = top.parse_args(argv)
+
+    if args.cmd == "version":
+        print(__version__)
+        return 0
+
+    from book_ocr_spark.plans.pipeline import run
+    from book_ocr_spark.session import get_spark
+
+    master = f"local[{args.threads}]" if args.threads else None
+    spark = get_spark(app_name=f"book-ocr-spark-{args.cmd}", master=master)
+    spark.sparkContext.setLogLevel(args.log_level)
+    try:
+        summary = run(
+            spark,
+            input_path=args.input,
+            out_path=args.output,
+            n_parts=args.n_parts,
+            n_chunks=args.n_chunks,
+            bucket_size=args.bucket_size,
+            resume=(args.cmd == "resume"),
+        )
+        print(json.dumps(summary))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

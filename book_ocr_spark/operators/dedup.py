@@ -1,0 +1,300 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact hash dedup, MinHash+LSH near-dup, SimHash fingerprints, n-gram
+Jaccard — all JVM-side (built-in SQL expressions, no Python in the hot
+path), each with a DuckDB-oracle SQL builder sharing the SAME
+constants so the driver's correctness gate compares like for like.
+
+Scale design (100 TB):
+  * every per-document computation (shingles, signatures, fingerprints)
+    is a narrow projection — no shuffle;
+  * the only shuffles are the LSH band join (hash-partition on
+    (band, key) — the entire point of LSH is that this replaces the
+    O(n^2) cross join) and the final verify join on candidate ids;
+  * the portable 28-bit hash is built from md5 so Spark and DuckDB
+    agree bit-for-bit; multiply-shift rehashing keeps products under
+    2^56 (no bigint overflow on either engine).
+
+Reference analog: book-ocr's golden-artifact hash comparison
+(/root/reference/docs/technical_architecture.md:214) is the same
+"content hash as identity" idea these operators generalize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Portable hashing (identical in Spark SQL and DuckDB SQL)
+# ---------------------------------------------------------------------------
+# 7 hex chars of md5 -> 28-bit integer. Rehash i: (A_i*h + B_i) mod P.
+P28 = 268435399  # largest prime < 2^28
+N_HASHES = 64
+BANDS = 32  # r = N_HASHES // BANDS = 2 rows/band: P(candidate | J=0.6) > 1 - 1e-6
+ROWS_PER_BAND = N_HASHES // BANDS
+
+# Deterministic odd multipliers/offsets (Weyl-style; < 2^28 so a*h < 2^56).
+HASH_AB = [((2 * i + 1) * 40503 % P28 or 1, (i * 97561 + 7) % P28) for i in range(N_HASHES)]
+
+SIMHASH_BITS = 56  # 14 hex chars of md5 -> 56-bit token hash
+
+
+def spark_h28(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 7), 16, 10) as bigint)"
+
+
+def duck_h28(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+def spark_h56(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 14), 16, 10) as bigint)"
+
+
+def duck_h56(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 14)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization + shingling
+# ---------------------------------------------------------------------------
+def canon_text(col: str) -> Column:
+    """lower + whitespace-canonicalize (same expression as CANON_SQL)."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+CANON_SQL = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def shingle_col(col: str, k: int) -> Column:
+    """Distinct character k-shingles, computed JVM-side via
+    sequence+transform (no explode, no Python)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({col})-{k}+1, 1)),"
+        f" i -> substring({col}, i, {k})))"
+    )
+
+
+def duck_shingles(col: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({col})-{k}+1, 1)+1),"
+        f" i -> substr({col}, i, {k})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by content hash; one canonical id per group. Map-side
+    partial agg + single hash shuffle — the exact-dedup baseline."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
+    """Adds `sh` (distinct shingles) and `sig` (N_HASHES minhash array).
+    The md5 is computed ONCE per shingle; the N_HASHES functions are
+    multiply-shift rehashes of that base hash (cheap JVM arithmetic)."""
+    df = df.withColumn("sh", shingle_col(text_col, k))
+    df = df.withColumn("h0", F.expr(f"transform(sh, s -> {spark_h28('s')})"))
+    sig = F.array(
+        *[
+            F.expr(f"array_min(transform(h0, h -> ({a}L*h + {b}L) % {P28}L))")
+            for a, b in HASH_AB
+        ]
+    )
+    return df.withColumn("sig", sig).drop("h0")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Band the signature, self-join on (band, key): the LSH bucket
+    join. Returns distinct (id_a, id_b) candidates, id_a < id_b."""
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(BANDS)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col).alias("id"), F.posexplode(bands).alias("band", "key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sigs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidates (kills LSH false positives):
+    join shingle sets back, array_intersect/array_union, filter."""
+    sh = sigs.select(F.col(id_col).alias("id"), "sh")
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double"),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dup(
+    corpus: DataFrame, id_col: str, text_col: str, k: int = 8, threshold: float = 0.6
+) -> DataFrame:
+    """Full MinHash->LSH->verify chain. Output equals brute-force
+    Jaccard >= threshold (LSH at r=2,b=32 has ~1e-6 miss rate at the
+    threshold; the verify step removes all false positives)."""
+    sigs = minhash_signature(corpus, text_col, k)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    return jaccard_verify(cands, sigs, id_col, threshold)
+
+
+def duck_jaccard_pairs_sql(corpus_sql: str, k: int, threshold: float) -> str:
+    """Brute-force ground truth for minhash_near_dup: all-pairs exact
+    Jaccard (the oracle is deliberately the O(n^2) definition)."""
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        sh AS (SELECT id, {duck_shingles('text', k)} AS s FROM corpus)
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """56-bit SimHash over whitespace tokens: per-token 56-bit hash,
+    bit-majority vote, all in one JVM projection (token hashes computed
+    once into `hs`, then SIMHASH_BITS cheap fold expressions)."""
+    df = df.withColumn(
+        "hs", F.expr(f"transform(split({text_col}, ' '), t -> {spark_h56('t')})")
+    )
+    bit_terms = " + ".join(
+        f"(case when aggregate(hs, 0L, (acc, h) -> acc + "
+        f"(case when (h >> {b}) & 1 = 1 then 1L else -1L end)) > 0 "
+        f"then {1 << b}L else 0L end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return df.select(F.col(id_col), F.expr(bit_terms).alias("simhash")).drop("hs")
+
+
+def duck_simhash_sql(corpus_sql: str) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        toks AS (SELECT id, list_transform(string_split(text, ' '),
+                         t -> {duck_h56('t')}) AS hs FROM corpus)
+        SELECT id, {bit_terms} AS simhash FROM toks ORDER BY id
+    """
+
+
+def simhash_near_dup(
+    corpus: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance. The pair generation
+    here is the O(n^2) definition (fine for oracle parity; at scale the
+    LSH band trick applies to simhash bands exactly as to minhash)."""
+    s = simhash(corpus, id_col, text_col)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def duck_simhash_near_dup_sql(corpus_sql: str, max_hamming: int = 6) -> str:
+    inner = duck_simhash_sql(corpus_sql)
+    return f"""
+        WITH s AS ({inner})
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram Jaccard (distinct from char shingles: token-level)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    corpus: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Word n-gram Jaccard similarity between all pairs (brute force —
+    the verification-grade operator; LSH above is the scale path)."""
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' '))-{n}+1, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+    )
+    g = corpus.select(F.col(id_col).alias("id"), grams.alias("g"))
+    a = g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    b = g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 4))
+        .filter(inter / union.cast("double") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duck_ngram_jaccard_sql(corpus_sql: str, n: int, threshold: float) -> str:
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(string_split(text, ' '))-{n}+1, 1)+1),"
+        f" i -> array_to_string(list_slice(string_split(text, ' '), i, i+{n}-1), ' ')))"
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        g AS (SELECT id, {grams} AS g FROM corpus)
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+                   AS jaccard
+        FROM g a JOIN g b ON a.id < b.id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {threshold}
+        ORDER BY id_a, id_b
+    """

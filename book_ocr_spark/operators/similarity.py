@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>):
+
+  * brute-force cosine top-k — the verification-grade baseline, all
+    JVM higher-order functions (zip_with/aggregate in double
+    precision, so DuckDB's list_dot_product over DOUBLE[] matches
+    bit-for-bit);
+  * random-hyperplane LSH bucketed ANN — the 100 TB scale path: the
+    O(Q*N) cross join collapses to a bucket equi-join; hyperplane
+    signs come from the same md5-derived portable hash as dedup.py so
+    the signature is deterministic (recall vs brute force asserted in
+    tests, not hash-compared — ANN is approximate by construction);
+  * cosine near-dup pairs — embedding-based dedup for training data.
+
+Scale notes: the query side is broadcast (top-k against a small probe
+set); corpus-side work is a narrow projection + partial top-k per
+partition via window over bucket, so the only shuffle is the final
+per-query k-merge (tiny). For N~10^9 the LSH variant bounds candidate
+counts per bucket; skewed buckets split by salting the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import spark_h28
+
+DOT = (
+    "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
+    " (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+)
+NORM = (
+    "sqrt(aggregate(transform(cast({a} as array<double>), x -> x * x),"
+    " 0D, (acc, v) -> acc + v))"
+)
+
+
+def _cosine_expr(a: str, b: str):
+    return F.expr(
+        f"({DOT.format(a=a, b=b)}) / (({NORM.format(a=a)}) * ({NORM.format(a=b)}))"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the probe set, rank by
+    (rounded sim desc, corpus id) for a deterministic cross-engine
+    order. Returns (query_id, rank, neighbor_id, sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(_cosine_expr("q_vec", "c_vec"), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def duck_cosine_topk_sql(corpus_sql: str, queries_sql: str, k: int) -> str:
+    dot = "list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[]))"
+    nq = "sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))"
+    nc = "sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))"
+    return f"""
+        WITH corpus AS ({corpus_sql}), probes AS ({queries_sql}),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ROUND(({dot}) / (({nq}) * ({nc})), 4) AS sim
+            FROM corpus c CROSS JOIN probes q
+            WHERE c.neighbor_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored) t
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
+    threshold). Brute-force definition; at scale run it over LSH
+    buckets (lsh_bucket_topk's bucketing) instead of the cross join."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    sim = _cosine_expr("v_a", "v_b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("raw_sim", sim)
+        .filter(F.col("raw_sim") >= threshold)
+        .select("id_a", "id_b", F.round("raw_sim", 4).alias("sim"))
+    )
+
+
+def duck_cosine_near_dup_sql(corpus_sql: str, threshold: float) -> str:
+    dot = "list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[]))"
+    na = "sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])))"
+    nb = "sqrt(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])))"
+    return f"""
+        WITH corpus AS ({corpus_sql})
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(({dot}) / (({na}) * ({nb})), 4) AS sim
+        FROM corpus a JOIN corpus b ON a.id < b.id
+        WHERE ({dot}) / (({na}) * ({nb})) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path
+# ---------------------------------------------------------------------------
+N_PLANES = 12  # 4096 buckets
+
+
+def _hyperplane_sign_bits(vec_col: str, n_planes: int) -> F.Column:
+    """Signature = sign bits against n_planes pseudo-random hyperplanes.
+    Plane p's component for dimension d is (portable_hash('p:d') mod
+    2001 - 1000): deterministic, seed-free, identical on any engine or
+    cluster — no driver-side randomness to ship."""
+    bits = []
+    for p in range(n_planes):
+        comp_hash = spark_h28(f"concat('pl{p}:', cast(i as string))")
+        comp = f"({comp_hash} % 2001 - 1000)"
+        proj = (
+            f"aggregate(zip_with(cast({vec_col} as array<double>),"
+            f" transform(sequence(0, size({vec_col})-1), i -> cast({comp} as double)),"
+            f" (x, w) -> x * w), 0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """ANN: candidates = corpus vectors sharing the query's hyperplane
+    bucket; exact cosine + top-k within candidates. One narrow
+    projection to compute buckets, one equi-join on the bucket key
+    (replacing the O(Q*N) cross join), one small top-k window."""
+    sig = _hyperplane_sign_bits(vec_col, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+    )
+    sim = F.round(_cosine_expr("q_vec", "c_vec"), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

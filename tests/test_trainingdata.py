@@ -1,0 +1,187 @@
+"""Training-data operators: dedup (exact / MinHash+LSH / SimHash /
+n-gram Jaccard), similarity search, text analysis. Oracles here are
+small pure-pandas/numpy computations of the same definitions; the
+DuckDB cross-engine parity runs in tools/check_oracles.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = [
+        "the spark engine reads a parquet table and shuffles rows across many executors",
+        "the spark engine reads a parquet table and shuffles rows across most executors",
+        "catalyst prunes columns pushes filters folds constants and plans broadcast joins",
+        "a completely different sentence about windowed aggregation over ordered turns",
+        "der hund und die katze sind nicht mit dem vogel in einem haus",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id int, text string"
+    )
+    out = {
+        r.canonical_id: r.n_copies
+        for r in dedup.exact_dedup_groups(df, "id", "text").collect()
+    }
+    assert out == {1: 3, 2: 1}
+
+
+def test_minhash_matches_bruteforce_jaccard(docs_df):
+    """LSH+verify output == the brute-force Jaccard definition."""
+    got = dedup.minhash_near_dup(docs_df, "id", "text", k=8, threshold=0.6)
+    pdf = docs_df.toPandas()
+
+    def shingles(t):
+        return {t[i : i + 8] for i in range(max(len(t) - 7, 1))}
+
+    expected = set()
+    for a in range(len(pdf)):
+        for b in range(a + 1, len(pdf)):
+            sa, sb = shingles(pdf.text[a]), shingles(pdf.text[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                expected.add((a, b))
+    assert _pairs(got) == expected
+    assert (0, 1) in expected  # the constructed near-dup pair is found
+
+
+def test_minhash_jaccard_value(docs_df):
+    row = (
+        dedup.minhash_near_dup(docs_df, "id", "text", k=8, threshold=0.6)
+        .filter((F.col("id_a") == 0) & (F.col("id_b") == 1))
+        .collect()[0]
+    )
+    t0 = "the spark engine reads a parquet table and shuffles rows across many executors"
+    t1 = t0.replace("many", "most")
+    sa = {t0[i : i + 8] for i in range(len(t0) - 7)}
+    sb = {t1[i : i + 8] for i in range(len(t1) - 7)}
+    assert row.jaccard == pytest.approx(len(sa & sb) / len(sa | sb), abs=1e-4)
+
+
+def test_simhash_deterministic_and_near_for_near_dups(docs_df):
+    s = {r.id: r.simhash for r in dedup.simhash(docs_df, "id", "text").collect()}
+    s2 = {r.id: r.simhash for r in dedup.simhash(docs_df, "id", "text").collect()}
+    assert s == s2  # deterministic, engine-independent hash base
+    ham01 = bin(s[0] ^ s[1]).count("1")
+    ham03 = bin(s[0] ^ s[3]).count("1")
+    assert ham01 < ham03  # one-word edit is closer than unrelated text
+    assert all(0 <= v < (1 << dedup.SIMHASH_BITS) for v in s.values())
+
+
+def test_simhash_near_dup_pairs(docs_df):
+    got = dedup.simhash_near_dup(docs_df, "id", "text", max_hamming=10)
+    assert (0, 1) in _pairs(got)
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    got = dedup.ngram_jaccard_pairs(docs_df, "id", "text", n=3, threshold=0.2)
+    p = _pairs(got)
+    assert (0, 1) in p
+    assert (0, 3) not in p
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16).astype("float32")  # near-dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_topk(vecs, q_ids, k):
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = v @ v.T
+    out = {}
+    for q in q_ids:
+        order = [
+            (round(-sims[q, j], 4), j) for j in range(len(vecs)) if j != q
+        ]
+        order.sort()
+        out[q] = [j for _, j in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    vecs = np.array(
+        emb_df.orderBy("vec_id").toPandas()["embedding"].tolist(), dtype="float64"
+    )
+    got = similarity.cosine_topk(emb_df, emb_df.filter(F.col("vec_id") < 3), k=5)
+    got_n: dict[int, list[int]] = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        got_n.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got_n == _np_topk(vecs, [0, 1, 2], 5)
+
+
+def test_cosine_near_dup_pairs(emb_df):
+    got = similarity.cosine_near_dup_pairs(emb_df, threshold=0.95)
+    assert (0, 1) in {(r.id_a, r.id_b) for r in got.collect()}
+
+
+def test_lsh_bucket_recall(emb_df):
+    """LSH ANN: every returned neighbor must be a true candidate
+    (same bucket) and recall@5 of the strongest neighbor pair holds."""
+    got = similarity.lsh_bucket_topk(
+        emb_df, emb_df.filter(F.col("vec_id") == 0), k=5, n_planes=4
+    ).collect()
+    assert got, "bucket should contain candidates at 16 buckets / 40 vecs"
+    # vec 1 is a scaled near-copy of vec 0 -> identical sign pattern ->
+    # must share the bucket and rank first
+    assert got[0].neighbor_id == 1
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+def test_lang_pred(spark):
+    rows = [
+        (0, "the cat and the dog sat in the house with a hat", "en"),
+        (1, "der hund und die katze sind nicht mit dem vogel in dem haus", "de"),
+        (2, "le chat et le chien sont dans la maison pour la nuit", "fr"),
+        (3, "el perro y el gato es en una casa que por la noche", "es"),
+        (4, "唐诗三百首是一部流传很广的唐诗选集其中收录了许多名篇", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {r.doc_id: r.pred_lang for r in textstats.lang_pred(df, "text").collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh"}
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "it's 42 degrees, isn't it?")], "id int, text string")
+    n = df.select(textstats.bpe_token_count("text").alias("n")).collect()[0].n
+    # it|'s| 42| degrees|,| isn|'t| it|? -> 9
+    assert n == 9
+
+
+def test_quality_flags(spark):
+    rows = [
+        (0, "short"),
+        (1, "a b " * 60),
+        (2, "1234567890" * 30),
+        (3, ("the quick brown fox jumps over the lazy dog and keeps running onward " * 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.keep, r.reason) for r in textstats.quality_flags(df, "doc_id", "text").collect()}
+    assert got[0] == (False, "too_short")
+    assert got[1] == (False, "words_too_short")
+    assert got[2] == (False, "too_many_digits")
+    assert got[3] == (True, "ok")
