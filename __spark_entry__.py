@@ -419,12 +419,12 @@ def _dedup_corpus_sql(max_id=None) -> str:
 
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash(64)+LSH(32 bands) near-dup pairs, exact-Jaccard
-    verified — output equals the brute-force oracle by construction."""
+    """MinHash(64)+LSH(32 bands) near-dup pairs over word 3-grams,
+    exact-Jaccard verified — output equals the brute-force oracle."""
     from book_ocr_spark.operators.dedup import minhash_near_dup
 
     return (
-        minhash_near_dup(_dedup_corpus(spark, sf_dir), "id", "text", k=8, threshold=0.6)
+        minhash_near_dup(_dedup_corpus(spark, sf_dir), "id", "text", k=3, threshold=0.6)
         .orderBy("id_a", "id_b")
     )
 
@@ -654,7 +654,7 @@ def _dedup_oracle_sql(which: str) -> str:
     )
 
     if which == "minhash":
-        return duck_jaccard_pairs_sql(_dedup_corpus_sql(), k=8, threshold=0.6)
+        return duck_jaccard_pairs_sql(_dedup_corpus_sql(), k=3, threshold=0.6)
     if which == "simhash":
         return duck_simhash_sql(_CANON_DOCS_SQL)
     if which == "simhash_pairs":

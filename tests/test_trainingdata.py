@@ -42,18 +42,29 @@ def test_exact_dedup_groups(spark):
     assert out == {1: 3, 2: 1}
 
 
-def test_minhash_matches_bruteforce_jaccard(docs_df):
-    """LSH+verify output == the brute-force Jaccard definition."""
-    got = dedup.minhash_near_dup(docs_df, "id", "text", k=8, threshold=0.6)
-    pdf = docs_df.toPandas()
+def _char_shingles(t, k=8):
+    return {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
 
-    def shingles(t):
-        return {t[i : i + 8] for i in range(max(len(t) - 7, 1))}
+
+def _word_grams(t, n=3):
+    w = t.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+
+@pytest.mark.parametrize(
+    ("unit", "k", "grams"),
+    [("char", 8, _char_shingles), ("word", 3, _word_grams)],
+)
+def test_minhash_matches_bruteforce_jaccard(docs_df, unit, k, grams):
+    """LSH+verify output == the brute-force Jaccard definition, for
+    both shingle units."""
+    got = dedup.minhash_near_dup(docs_df, "id", "text", k=k, threshold=0.6, unit=unit)
+    pdf = docs_df.toPandas()
 
     expected = set()
     for a in range(len(pdf)):
         for b in range(a + 1, len(pdf)):
-            sa, sb = shingles(pdf.text[a]), shingles(pdf.text[b])
+            sa, sb = grams(pdf.text[a]), grams(pdf.text[b])
             j = len(sa & sb) / len(sa | sb)
             if j >= 0.6:
                 expected.add((a, b))
@@ -63,14 +74,13 @@ def test_minhash_matches_bruteforce_jaccard(docs_df):
 
 def test_minhash_jaccard_value(docs_df):
     row = (
-        dedup.minhash_near_dup(docs_df, "id", "text", k=8, threshold=0.6)
+        dedup.minhash_near_dup(docs_df, "id", "text", k=8, threshold=0.6, unit="char")
         .filter((F.col("id_a") == 0) & (F.col("id_b") == 1))
         .collect()[0]
     )
     t0 = "the spark engine reads a parquet table and shuffles rows across many executors"
     t1 = t0.replace("many", "most")
-    sa = {t0[i : i + 8] for i in range(len(t0) - 7)}
-    sb = {t1[i : i + 8] for i in range(len(t1) - 7)}
+    sa, sb = _char_shingles(t0), _char_shingles(t1)
     assert row.jaccard == pytest.approx(len(sa & sb) / len(sa | sb), abs=1e-4)
 
 
