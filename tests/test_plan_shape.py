@@ -83,6 +83,82 @@ def test_parquet_pushdown_and_pruning(spark, tmp_path, transcripts_df):
     assert m and "text" not in m.group(1), plan  # column pruned
 
 
+def test_training_ops_stay_jvm_side(spark):
+    """Dedup/similarity/textstats operators must compile to pure JVM
+    expressions: no Python eval nodes anywhere in their plans."""
+    from book_ocr_spark.operators import dedup, similarity, textstats
+
+    docs = spark.createDataFrame([(0, "a b c d e"), (1, "b c d e f")], "id int, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    plans = [
+        _explain(dedup.minhash_near_dup(docs, "id", "text")),
+        _explain(dedup.simhash(docs, "id", "text")),
+        _explain(similarity.cosine_topk(emb, emb, k=1)),
+        _explain(textstats.quality_flags(docs, "id", "text")),
+        _explain(textstats.lang_pred(docs, "text")),
+    ]
+    for plan in plans:
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_lsh_bucket_join_is_equi_join(spark):
+    """The ANN scale path must plan the bucket join as a hash equi-join
+    with the probe side broadcast — never a cartesian/nested-loop."""
+    from book_ocr_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2), F.rand(3)).cast("array<float>").alias("embedding"),
+    )
+    plan = _explain(lsh_bucket_topk(emb, emb.limit(3), k=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_lsh_candidate_join_is_equi_join(spark):
+    """MinHash LSH banding: candidate generation must be an equi-join
+    on (band, key), not a cross product."""
+    from book_ocr_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)], "id int, text string"
+    )
+    plan = _explain(lsh_candidate_pairs(minhash_signature(docs, "text"), "id"))
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_documents_scan_prunes_columns(spark, tmp_path):
+    """quality_flags over a wide table must read only (id, text)."""
+    from book_ocr_spark.operators.textstats import quality_flags
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "hello world", "en", "src0", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    plan = _explain(quality_flags(spark.read.parquet(path), "doc_id", "text"))
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1), plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """rank<=k over a window should plan the WindowGroupLimit pushdown
+    (partial top-k before the shuffle), not a full sort+filter."""
+    from book_ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).cast("array<float>").alias("embedding"),
+    )
+    plan = _explain(cosine_topk(emb, emb.limit(2), k=3))
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_window_path_arrow_nodes_minimal(spark, transcripts_df):
     """Exactly one Arrow UDF round trip in the window-based plan (the
     fused stage-1+2 UDF) — the unfused two-stage variant would show two."""
