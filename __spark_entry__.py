@@ -376,13 +376,73 @@ def q_doc_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quantity_percentiles(spark, sf_dir):
+    """A2 per-group distribution stats: exact interpolated percentiles
+    (the graft of per-page confidence statistics,
+    /root/reference/docs/technical_architecture.md:156)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_cube_order_metrics(spark, sf_dir):
+    """§2.4 grouping-sets family: CUBE over (status, order year)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube(F.col("o_orderstatus"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("order_year").cast("bigint"), F.lit(-1)).alias("order_year"),
+            "n",
+            "revenue",
+        )
+        .orderBy("status", "order_year")
+    )
+
+
+def q_order_gap_days(spark, sf_dir):
+    """D1/D2 date arithmetic + W3 lag: days since the customer's
+    previous order (average per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        o.select("o_custkey", gap.alias("gap"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .orderBy("o_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / similarity / text-analysis (training-data ops)
 # ---------------------------------------------------------------------------
 
 def _canon_docs(spark, sf_dir):
-    """Canonicalized documents (id, text) — shared corpus base."""
-    d = _t(spark, sf_dir, "documents")
+    """Canonicalized documents (id, text) — shared corpus base.
+    The documents table arrives as one parquet file, so heavy per-doc
+    work (shingling, hashing) would run on a single task without the
+    explicit spread repartition."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return d.select(F.col("doc_id").alias("id"), canon.alias("text"))
 
@@ -623,6 +683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "validation_filter": q_validation_filter,
         "asof_last_signup_before_purchase": q_asof_last_signup_before_purchase,
+        "quantity_percentiles": q_quantity_percentiles,
+        "cube_order_metrics": q_cube_order_metrics,
+        "order_gap_days": q_order_gap_days,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -857,6 +920,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "quantity_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "cube_order_metrics": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS order_year,
+                   COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, EXTRACT(year FROM o_orderdate))
+            ORDER BY status, order_year
+        """,
+        "order_gap_days": """
+            SELECT o_custkey, COUNT(gap) AS n_gaps,
+                   ROUND(AVG(gap), 4) AS avg_gap_days,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_days
+            FROM (SELECT o_custkey,
+                         DATE_DIFF('day',
+                             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap
+                  FROM orders) t
+            GROUP BY o_custkey HAVING COUNT(gap) > 0 ORDER BY o_custkey
         """,
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
         "simhash_fingerprint": _dedup_oracle_sql("simhash"),

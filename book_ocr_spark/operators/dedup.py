@@ -33,8 +33,13 @@ N_HASHES = 64
 BANDS = 32  # r = N_HASHES // BANDS = 2 rows/band: P(candidate | J=0.6) > 1 - 1e-6
 ROWS_PER_BAND = N_HASHES // BANDS
 
-# Deterministic odd multipliers/offsets (Weyl-style; < 2^28 so a*h < 2^56).
-HASH_AB = [((2 * i + 1) * 40503 % P28 or 1, (i * 97561 + 7) % P28) for i in range(N_HASHES)]
+# Deterministic multipliers/offsets, linear in the hash index so the
+# signature expression can compute them arithmetically (never a literal
+# array inside a lambda — Catalyst re-builds those per evaluation):
+#   a_i = (2i+1)*40503   (odd, <= 5.2e6)
+#   b_i = i*97561 + 7    (<= 6.2e6)
+# a_i*h + b_i < 2^51 for h < 2^28 — no bigint overflow on any engine.
+HASH_AB = [((2 * i + 1) * 40503, i * 97561 + 7) for i in range(N_HASHES)]
 
 SIMHASH_BITS = 56  # 14 hex chars of md5 -> 56-bit token hash
 
@@ -82,15 +87,22 @@ def duck_shingles(col: str, k: int) -> str:
     )
 
 
-def word_gram_col(col: str, n: int) -> Column:
-    """Distinct word n-grams. Preferred shingle unit for near-dup
-    detection: on vocabulary-limited corpora char shingles give random
-    pairs Jaccard ~0.2-0.3 (candidate explosion in any LSH banding),
-    while word n-grams push noise to ~0.001 with true near-dups still
-    ~0.9 — a clean margin at any banding."""
+def word_grams_from_tokens(tokens_attr: str, n: int) -> Column:
+    """Distinct word n-grams over an ALREADY-MATERIALIZED token-array
+    column. The lambda must reference a column attribute, not an
+    inline `split(...)` expression: an expression in the lambda body is
+    re-evaluated for every element, turning gram construction into
+    O(words^2) per document (measured 5x slowdown at sf0.1).
+
+    Word grams are the preferred shingle unit for near-dup detection:
+    on vocabulary-limited corpora char shingles give random pairs
+    Jaccard ~0.2-0.3 (candidate explosion in any LSH banding), while
+    word n-grams push noise to ~0.001 with true near-dups still ~0.9 —
+    a clean margin at any banding."""
+    t = tokens_attr
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({col}, ' '))-{n}+1, 1)),"
-        f" i -> concat_ws(' ', slice(split({col}, ' '), i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(size({t})-{n}+1, 1)),"
+        f" i -> concat_ws(' ', slice({t}, i, {n}))))"
     )
 
 
@@ -120,37 +132,58 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(
-    df: DataFrame, text_col: str, k: int = 3, unit: str = "word"
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, unit: str = "word"
 ) -> DataFrame:
-    """Adds `sh` (distinct shingles) and `sig` (N_HASHES minhash array).
-    The md5 is computed ONCE per shingle; the N_HASHES functions are
-    multiply-shift rehashes of that base hash (cheap JVM arithmetic).
-    ``unit``: 'word' (n-gram, default — see word_gram_col for why) or
-    'char' (k-shingle)."""
-    sh = word_gram_col(text_col, k) if unit == "word" else shingle_col(text_col, k)
-    df = df.withColumn("sh", sh)
-    df = df.withColumn("h0", F.expr(f"transform(sh, s -> {spark_h28('s')})"))
-    sig = F.array(
-        *[
-            F.expr(f"array_min(transform(h0, h -> ({a}L*h + {b}L) % {P28}L))")
-            for a, b in HASH_AB
-        ]
+    """(id, sh): distinct shingles per document. ``unit``: 'word'
+    (n-gram, default — see word_grams_from_tokens for why) or 'char'
+    (k-shingle)."""
+    if unit == "word":
+        toks = df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_w")
+        )
+        return toks.select("id", word_grams_from_tokens("_w", k).alias("sh"))
+    return df.select(F.col(id_col).alias("id"), shingle_col(text_col, k).alias("sh"))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, unit: str = "word"
+) -> DataFrame:
+    """(id, sh, sig): shingle set + N_HASHES minhash signature.
+
+    Formulation chosen by measurement (sf0.1, 10k docs, local[32]):
+    explode shingles -> one md5 per shingle -> hash-aggregate with
+    N_HASHES unrolled `min((a_i*h+b_i) % P)` expressions. The min
+    aggregate is whole-stage-codegen'd plain arithmetic with map-side
+    partial aggregation, so the shuffle carries one row per (doc,
+    partial signature). The tempting pure-projection alternative —
+    `transform(sequence(...), j -> array_min(transform(h0, ...)))` —
+    is 6x slower: nested lambda evaluation is interpreted per element
+    and never enters codegen.
+    """
+    grams = shingle_sets(df, id_col, text_col, k, unit)
+    hexp = grams.select("id", F.explode("sh").alias("g")).select(
+        "id", F.expr(spark_h28("g")).alias("h")
     )
-    return df.withColumn("sig", sig).drop("h0")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P28)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(HASH_AB)
+    ]
+    sigs = (
+        hexp.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_m{i}" for i in range(N_HASHES)]).alias("sig"))
+    )
+    return grams.join(sigs, "id")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     """Band the signature, self-join on (band, key): the LSH bucket
     join. Returns distinct (id_a, id_b) candidates, id_a < id_b."""
-    bands = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
-            )
-            for b in range(BANDS)
-        ]
+    bands = F.expr(
+        f"transform(sequence(0, {BANDS - 1}), b ->"
+        f" array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+        f" v -> cast(v as string)), ','))"
     )
     exploded = sigs.select(F.col(id_col).alias("id"), F.posexplode(bands).alias("band", "key"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -194,13 +227,37 @@ def minhash_near_dup(
     k: int = 3,
     threshold: float = 0.6,
     unit: str = "word",
+    materialize: bool = True,
 ) -> DataFrame:
     """Full MinHash->LSH->verify chain. Output equals brute-force
     Jaccard >= threshold (LSH at r=2,b=32 has ~1e-6 miss rate at the
-    threshold; the verify step removes all false positives)."""
-    sigs = minhash_signature(corpus, text_col, k, unit=unit)
-    cands = lsh_candidate_pairs(sigs, id_col)
-    return jaccard_verify(cands, sigs, id_col, threshold)
+    threshold; the verify step removes all false positives).
+
+    ``materialize`` persists the (id, shingles) projection: it feeds
+    the signature aggregation AND both sides of the verify join, so
+    without it the shingle+md5 work recomputes per consumer. At
+    warehouse scale, write the shingle/signature projections to tables
+    once and run banding/verification against those tables instead
+    (same plan, durable materialization)."""
+    grams = shingle_sets(corpus, id_col, text_col, k, unit)
+    if materialize:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    hexp = grams.select("id", F.explode("sh").alias("g")).select(
+        "id", F.expr(spark_h28("g")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P28)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(HASH_AB)
+    ]
+    sigs = (
+        hexp.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_m{i}" for i in range(N_HASHES)]).alias("sig"))
+    )
+    cands = lsh_candidate_pairs(sigs, "id")
+    return jaccard_verify(cands, grams, "id", threshold)
 
 
 def duck_jaccard_pairs_sql(
@@ -228,18 +285,28 @@ def duck_jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """56-bit SimHash over whitespace tokens: per-token 56-bit hash,
-    bit-majority vote, all in one JVM projection (token hashes computed
-    once into `hs`, then SIMHASH_BITS cheap fold expressions)."""
-    df = df.withColumn(
-        "hs", F.expr(f"transform(split({text_col}, ' '), t -> {spark_h56('t')})")
-    )
-    bit_terms = " + ".join(
-        f"(case when aggregate(hs, 0L, (acc, h) -> acc + "
-        f"(case when (h >> {b}) & 1 = 1 then 1L else -1L end)) > 0 "
-        f"then {1 << b}L else 0L end)"
+    bit-majority vote.
+
+    Same formulation rationale as minhash_signature: explode tokens ->
+    one md5 each -> hash-aggregate with SIMHASH_BITS unrolled
+    sign-vote sums (codegen'd, map-side combined) — measured ~10x
+    faster than the per-row lambda-fold projection."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).select("id", F.expr(spark_h56("t")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
         for b in range(SIMHASH_BITS)
-    )
-    return df.select(F.col(id_col), F.expr(bit_terms).alias("simhash")).drop("hs")
+    ]
+    votes = toks.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col("id").alias(id_col), sim.alias("simhash"))
 
 
 def duck_simhash_sql(corpus_sql: str) -> str:
@@ -295,11 +362,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Word n-gram Jaccard similarity between all pairs (brute force —
     the verification-grade operator; LSH above is the scale path)."""
-    grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' '))-{n}+1, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
-    )
-    g = corpus.select(F.col(id_col).alias("id"), grams.alias("g"))
+    g = shingle_sets(corpus, id_col, text_col, n, "word").withColumnRenamed("sh", "g")
     a = g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
     b = g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))

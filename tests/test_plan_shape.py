@@ -125,7 +125,7 @@ def test_lsh_candidate_join_is_equi_join(spark):
     docs = spark.createDataFrame(
         [(i, f"w{i} x y z a b c") for i in range(20)], "id int, text string"
     )
-    plan = _explain(lsh_candidate_pairs(minhash_signature(docs, "text"), "id"))
+    plan = _explain(lsh_candidate_pairs(minhash_signature(docs, "id", "text"), "id"))
     assert "CartesianProduct" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
