@@ -376,6 +376,35 @@ def q_doc_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_user_sessions(spark, sf_dir):
+    """Sessionization (gaps-and-islands): split each user's event
+    stream at >30-minute silences; per-session metrics. The standard
+    pre-training sessionization of interaction logs — lag + windowed
+    cumsum, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("_new", new_sess)
+        .withColumn("session_seq", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def q_quantity_percentiles(spark, sf_dir):
     """A2 per-group distribution stats: exact interpolated percentiles
     (the graft of per-page confidence statistics,
@@ -683,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "validation_filter": q_validation_filter,
         "asof_last_signup_before_purchase": q_asof_last_signup_before_purchase,
+        "user_sessions": q_user_sessions,
         "quantity_percentiles": q_quantity_percentiles,
         "cube_order_metrics": q_cube_order_metrics,
         "order_gap_days": q_order_gap_days,
@@ -920,6 +950,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_seq
+                FROM g)
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "quantity_percentiles": """
             SELECT l_returnflag,
