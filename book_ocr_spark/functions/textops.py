@@ -14,6 +14,8 @@ Reference analogs:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 # Control chars except \n and \t.
@@ -54,14 +56,23 @@ STOPWORD_RE = rf"(?i)\b(?:{STOPWORDS})\b"
 WORD_RE = r"\S+"
 
 
+# Fused single-pass replacements: one compiled alternation + dict
+# lookup instead of one full pass per pattern. Alternation order ==
+# list order, so the sequential-replace semantics are preserved
+# (matches are never re-scanned, same as chained .str.replace).
+_MOJIBAKE_RE = re.compile("|".join(re.escape(b) for b, _ in MOJIBAKE))
+_MOJIBAKE_MAP = dict(MOJIBAKE)
+_ENTITY_RE = re.compile("|".join(re.escape(e) for e, _ in ENTITIES))
+_ENTITY_MAP = dict(ENTITIES)
+
+
 def normalize_raw(s: pd.Series) -> pd.Series:
     """Stage-1 signal normalization: EOL canon, control strip, mojibake
     repair, unicode NFC. Vectorized; preserves payload structure."""
     s = s.fillna("")
     s = s.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
     s = s.str.replace(CONTROL_RE, "", regex=True)
-    for bad, good in MOJIBAKE:
-        s = s.str.replace(bad, good, regex=False)
+    s = s.str.replace(_MOJIBAKE_RE, lambda m: _MOJIBAKE_MAP[m.group(0)], regex=True)
     return s.str.normalize("NFC")
 
 
@@ -72,20 +83,28 @@ def strip_tags(s: pd.Series) -> pd.Series:
 
 
 def decode_entities(s: pd.Series) -> pd.Series:
-    """Decode the fixed HTML entity set. Call *after* strip_tags so
-    entity-encoded angle brackets are never parsed as markup."""
-    for ent, ch in ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    return s
+    """Decode the fixed HTML entity set in one alternation pass
+    ('&amp;' is the LAST alternative, so '&amp;lt;' still decodes to
+    the literal '&lt;' — replaced spans are never re-scanned). Call
+    *after* strip_tags so entity-encoded angle brackets are never
+    parsed as markup."""
+    return s.str.replace(_ENTITY_RE, lambda m: _ENTITY_MAP[m.group(0)], regex=True)
+
+
+_WS_RUN_RE = re.compile("[ \\t\\f\\v\u00a0\\n]+")
+
+
+def _ws_repl(m: re.Match) -> str:
+    return "\n" if "\n" in m.group(0) else " "
 
 
 def canon_ws(s: pd.Series) -> pd.Series:
-    """Canonicalize whitespace: collapse runs of spaces/tabs, tighten
-    around newlines, collapse blank lines, strip ends."""
-    s = s.str.replace(r"[ \t\f\v ]+", " ", regex=True)
-    s = s.str.replace(r" ?\n ?", "\n", regex=True)
-    s = s.str.replace(r"\n{2,}", "\n", regex=True)
-    return s.str.strip()
+    """Canonicalize whitespace: collapse runs of spaces/tabs/nbsp,
+    tighten around newlines, collapse blank lines, strip ends. One
+    pass: a whitespace run becomes a newline if it contains one, else
+    a single space — equivalent to the 3-pass collapse/tighten/dedupe
+    chain (same character class, including U+00A0)."""
+    return s.str.replace(_WS_RUN_RE, _ws_repl, regex=True).str.strip()
 
 
 def html_to_text(s: pd.Series) -> pd.Series:
