@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis — the reference's declared
+test stack, /root/reference/docs/technical_architecture.md:28 [spec]):
+for ARBITRARY payloads, extraction must uphold its structural
+contract — the span-offset discipline that the compose stage and every
+downstream consumer rely on (graft of the bbox tolerance tests,
+/root/reference/docs/tasks.md:69)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from book_ocr_spark.functions.heuristics import extract_batch  # noqa: E402
+
+payload_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S", "Z", "Cc"),
+    ),
+    max_size=400,
+)
+html_ish = st.builds(
+    lambda parts: "<html><body>" + "".join(parts) + "</body></html>",
+    st.lists(
+        st.one_of(
+            st.builds(lambda t: f"<p>{t}</p>", payload_text),
+            st.builds(lambda t: f"<nav>{t}</nav>", payload_text),
+            payload_text,
+        ),
+        max_size=5,
+    ),
+)
+any_payload = st.one_of(payload_text, html_ish)
+tool_tag = st.sampled_from(["html", "pdf", "plain", "search", "", None])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(any_payload, tool_tag), min_size=1, max_size=8))
+def test_extraction_span_invariants(rows):
+    text = pd.Series([r[0] for r in rows])
+    tool = pd.Series([r[1] for r in rows], dtype="object")
+    out = extract_batch(text, tool)
+
+    assert list(out.index) == list(text.index)
+    for _, r in out.iterrows():
+        starts, ends, labels = list(r["starts"]), list(r["ends"]), list(r["labels"])
+        # parallel span arrays, one per kept block
+        assert len(starts) == len(ends) == len(labels) == r["n_kept"]
+        assert r["n_kept"] <= r["n_blocks"]
+        doc = r["extracted_text"]
+        prev_end = -1
+        for s, e, lab in zip(starts, ends, labels):
+            assert 0 <= s <= e <= len(doc)          # within the document
+            assert s > prev_end                      # monotone, non-overlapping
+            prev_end = e
+            assert lab in ("main", "heading", "code")
+            # NOTE: a span's own text MAY contain newlines (plain/pdf
+            # payloads keep internal line structure); the separator
+            # discipline is the tiling property asserted below.
+        # spans + 1-char separators tile the document exactly
+        if starts:
+            assert ends[-1] == len(doc)
+            assert all(s2 == e1 + 1 for e1, s2 in zip(ends, starts[1:]))
+        else:
+            assert doc == ""
+        assert 0.0 <= r["conf"] <= 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(payload_text)
+def test_plain_extraction_idempotent(t):
+    """Extracting already-extracted plain text is a fixed point —
+    normalization is idempotent (the reference's length-invariant
+    discipline generalized)."""
+    once = extract_batch(pd.Series([t]), pd.Series(["plain"]))
+    twice = extract_batch(once["extracted_text"], pd.Series(["plain"]))
+    assert twice["extracted_text"].iloc[0] == once["extracted_text"].iloc[0]

@@ -1,0 +1,47 @@
+"""Build the spark-submit deployment zip (north_rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+    python tools/package.py            # -> dist/book_ocr_spark.zip
+    spark-submit --py-files dist/book_ocr_spark.zip \
+        $(python -c 'import book_ocr_spark.cli as c; print(c.__file__)') \
+        run --input ... --output ...
+
+The zip contains only the package sources (no tests, no caches), is
+importable via zipimport, and is reproducible: fixed file order and
+zeroed timestamps so the same tree always produces the same bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "book_ocr_spark"
+
+
+def build(out_path: str | None = None) -> str:
+    out_path = out_path or os.path.join(ROOT, "dist", f"{PKG}.zip")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    src_root = os.path.join(ROOT, PKG)
+    files = []
+    for dirpath, dirnames, filenames in os.walk(src_root):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for name in sorted(filenames):
+            if name.endswith(".py"):
+                full = os.path.join(dirpath, name)
+                files.append((full, os.path.relpath(full, ROOT)))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for full, arc in files:
+            info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as f:
+                zf.writestr(info, f.read())
+    return out_path
+
+
+if __name__ == "__main__":
+    path = build(sys.argv[1] if len(sys.argv) > 1 else None)
+    print(path)
