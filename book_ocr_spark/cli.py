@@ -27,7 +27,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--bucket-size",
         type=int,
         default=None,
-        help="enable salted two-level compose for conversations longer than this",
+        help="salt bucket width in turns for the two-level skew path",
+    )
+    p.add_argument(
+        "--skew-threshold",
+        type=int,
+        default=None,
+        help="with --bucket-size: only conversations above this turn "
+        "count take the salted path (hybrid auto-skew routing)",
     )
     p.add_argument(
         "--threads",
@@ -64,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
             n_parts=args.n_parts,
             n_chunks=args.n_chunks,
             bucket_size=args.bucket_size,
+            skew_threshold=args.skew_threshold,
             resume=(args.cmd == "resume"),
         )
         print(json.dumps(summary))

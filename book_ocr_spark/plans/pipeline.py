@@ -97,6 +97,35 @@ def build_fused_plan(
     return fused_extract_compose(df, lineage_prefix)
 
 
+def build_hybrid_plan(
+    transcripts: DataFrame,
+    n_parts: int,
+    skew_threshold: int,
+    bucket_size: int,
+    lineage_prefix: str = "adhoc",
+) -> DataFrame:
+    """Auto-skew routing (SURVEY.md §4.2 item 1): conversations with
+    more than ``skew_threshold`` turns take the salted two-level path
+    (extraction + compose spread over turn buckets); everything else
+    takes the fused single-exchange hot path; one unioned output.
+
+    The detection pre-pass is a map-side-combined count per conv_id —
+    one cheap aggregation whose result (the skewed id set) is tiny by
+    definition and broadcast to both semi/anti joins, so routing adds
+    no extra wide shuffle of the data itself. Lineage records which
+    path produced each partition's rows."""
+    counts = transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    skewed_ids = counts.filter(F.col("_n") > skew_threshold).select("conv_id")
+    normal = transcripts.join(F.broadcast(skewed_ids), "conv_id", "left_anti")
+    skewed = transcripts.join(F.broadcast(skewed_ids), "conv_id", "left_semi")
+    out_n = build_fused_plan(normal, n_parts, lineage_prefix=f"{lineage_prefix}|path=fused")
+    out_s = instrumented(
+        build_extract_plan(skewed, n_parts, bucket_size=bucket_size),
+        lineage_prefix=f"{lineage_prefix}|path=salted",
+    )
+    return out_n.select(*_OUT_COLS).unionByName(out_s.select(*_OUT_COLS))
+
+
 def run(
     spark: SparkSession,
     input_path: str,
@@ -104,6 +133,7 @@ def run(
     n_parts: int = 32,
     n_chunks: int = 1,
     bucket_size: int | None = None,
+    skew_threshold: int | None = None,
     resume: bool = False,
     run_id: str | None = None,
     transcripts: DataFrame | None = None,
@@ -112,6 +142,9 @@ def run(
 
     ``resume=True`` skips partitions whose checkpoint status is done
     (the EP2 path, docs/prd.md:41); a fresh run processes everything.
+    ``bucket_size`` alone forces the salted path for everything;
+    ``skew_threshold`` + ``bucket_size`` enables hybrid auto-skew
+    routing (salted path only for conversations above the threshold).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     turns_path = f"{out_path}/{TURNS_SUBDIR}"
@@ -136,7 +169,11 @@ def run(
 
     for chunk in chunks:
         chunk_df = src.filter(F.col("part_id").isin(chunk)).drop("part_id")
-        if bucket_size is None:
+        if bucket_size is not None and skew_threshold is not None:
+            out = build_hybrid_plan(
+                chunk_df, n_parts, skew_threshold, bucket_size, lineage_prefix=lineage
+            )
+        elif bucket_size is None:
             out = build_fused_plan(chunk_df, n_parts, lineage_prefix=lineage)
         else:
             plan = build_extract_plan(chunk_df, n_parts, bucket_size=bucket_size)

@@ -167,3 +167,37 @@ def test_conf_in_unit_interval(spark, transcripts_pd):
     got, _ = _run_and_compare(spark, transcripts_pd)
     ok = got["conf"].between(0.0, 1.0)
     assert ok.all()
+
+
+def test_hybrid_auto_skew_routing(spark, transcripts_skew_pd):
+    """Hybrid plan: skewed convs via the salted path, the rest fused —
+    unioned output equals the pure fused plan; lineage records which
+    path handled each partition."""
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.plans.fused import REC_DATA, REC_METRICS
+    from book_ocr_spark.plans.pipeline import build_fused_plan, build_hybrid_plan
+
+    sdf = to_spark(spark, transcripts_skew_pd)
+    hybrid = build_hybrid_plan(
+        sdf, n_parts=4, skew_threshold=100, bucket_size=64, lineage_prefix="t"
+    )
+    fused = build_fused_plan(sdf, n_parts=4, lineage_prefix="t")
+
+    cols = ["conv_id", "turn_idx", "extracted_text", "conf", "turn_seq", "char_offset"]
+    a = (
+        hybrid.filter(F.col("rec") == REC_DATA)
+        .select(*cols).orderBy("conv_id", "turn_idx").toPandas()
+    )
+    b = (
+        fused.filter(F.col("rec") == REC_DATA)
+        .select(*cols).orderBy("conv_id", "turn_idx").toPandas()
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+    lineage = [
+        r.m_lineage
+        for r in hybrid.filter(F.col("rec") == REC_METRICS).select("m_lineage").collect()
+    ]
+    assert any("path=fused" in ln for ln in lineage)
+    assert any("path=salted" in ln for ln in lineage)
