@@ -577,6 +577,42 @@ def q_ann_lsh_bucket(spark, sf_dir):
     )
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF ANN (k-means-lite coarse cells, Lloyd x2, nprobe=4 of 16):
+    the clustered-corpus scale path. Approximate -> rows-only check;
+    recall asserted in tests on clustered fixtures."""
+    from book_ocr_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+def q_post_signup_activity(spark, sf_dir):
+    """Interval join: the same user's events landing within 24 hours
+    AFTER each signup event (equi on the user key + range predicate on
+    the timestamp — the canonical event-attribution join)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    return (
+        s.join(e, cond)
+        .groupBy("signup_event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("signup_event_id")
+    )
+
+
 def q_lang_confusion(spark, sf_dir):
     """Language-ID heuristic (stopword profiles + CJK detection) vs
     the labeled lang column: confusion matrix."""
@@ -727,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_bucket": q_ann_lsh_bucket,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "post_signup_activity": q_post_signup_activity,
         "lang_confusion": q_lang_confusion,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_flags": q_quality_flags,
@@ -950,6 +988,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "post_signup_activity": """
+            SELECT s.event_id AS signup_event_id, COUNT(*) AS n_events,
+                   ROUND(SUM(e.value), 4) AS total_value
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'signup') s
+            JOIN events e
+              ON e.user_id = s.user_id
+             AND e.ts > s.ts
+             AND e.ts <= s.ts + INTERVAL 24 HOURS
+            GROUP BY s.event_id ORDER BY signup_event_id
         """,
         "user_sessions": """
             WITH g AS (

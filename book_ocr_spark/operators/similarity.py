@@ -126,6 +126,102 @@ def duck_cosine_near_dup_sql(corpus_sql: str, threshold: float) -> str:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN — the clustered-corpus scale path (k-means-lite coarse cells)
+# ---------------------------------------------------------------------------
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+):
+    """Coarse quantizer via Lloyd iterations, pure DataFrame ops.
+
+    Deterministic init (the n_cells lowest ids); each iteration:
+    assign every vector to its nearest centroid (N x K broadcast
+    cross-join — exactly the IVF assignment cost at scale), then
+    recompute centroids as the per-cell dimension-wise mean
+    (posexplode -> hash agg -> ordered re-assembly). The centroid
+    table is K rows — driver-sized by construction, like every
+    production k-means (MLlib does the same collect per iteration).
+
+    Returns (assignments DF (id, cell), centroids DF (cell, c_vec)).
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    w_init = Window.orderBy("id")
+    centroids = (
+        c.orderBy("id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("cell"),
+            F.col("v").cast("array<double>").alias("c_vec"),
+        )
+    )
+    assign = None
+    for _ in range(iters):
+        sim = _cosine_expr("v", "c_vec")
+        w = Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+        assign = (
+            c.crossJoin(F.broadcast(centroids))
+            .withColumn("_sim", sim)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "cell", "v")
+        )
+        centroids = (
+            assign.select("cell", F.posexplode(F.col("v").cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select("cell", F.expr("transform(_pm, x -> x.m)").alias("c_vec"))
+        )
+    return assign.select("id", "cell"), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest cells per query, exact cosine
+    top-k within the probed cells' inverted lists. The candidate join
+    is a hash equi-join on `cell` — the clustered-corpus counterpart
+    of the hyperplane-bucket path (use IVF when the corpus has cluster
+    structure, LSH when it doesn't)."""
+    assign, centroids = ivf_build(corpus, id_col, vec_col, n_cells, iters)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _cosine_expr("q_vec", "c_vec"))
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    sim = F.round(_cosine_expr("q_vec", "c_vec"), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
 N_PLANES = 12  # 4096 buckets

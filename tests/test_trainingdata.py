@@ -195,3 +195,31 @@ def test_quality_flags(spark):
     assert got[1] == (False, "words_too_short")
     assert got[2] == (False, "too_many_digits")
     assert got[3] == (True, "ok")
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with coarse cells must recover the true top-1 neighbor on a
+    corpus WITH cluster structure (its design domain), probing only a
+    fraction of cells."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 16)) * 10
+    vecs = np.vstack([
+        centers[i % 8] + rng.normal(scale=0.5, size=16) for i in range(160)
+    ]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    got = similarity.ivf_topk(df, queries, k=3, n_cells=8, nprobe=2, iters=2)
+    rows = got.orderBy("query_id", "rank").collect()
+    assert rows
+
+    v = vecs.astype("float64")
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ v.T
+    for q in range(5):
+        order = sorted(((round(-sims[q, j], 4), j) for j in range(len(v)) if j != q))
+        true_top1 = order[0][1]
+        mine = [r.neighbor_id for r in rows if r.query_id == q]
+        assert true_top1 in mine, (q, true_top1, mine)
