@@ -150,16 +150,18 @@ def bench_scaling() -> dict:
     tpath = f"{TMP}/transcripts_sf{sf}.parquet"
     out: dict = {"sf": sf}
 
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+
     spark = _make_spark(f"local[{lo}]")
     n_turns = _gen_input(spark, sf, tpath)
     out["turns"] = n_turns
     _run_pipeline(spark, tpath)
-    t_lo = min(_run_pipeline(spark, tpath) for _ in range(3))
+    t_lo = min(_run_pipeline(spark, tpath) for _ in range(reps))
     spark.stop()
 
     spark = _make_spark(f"local[{hi}]")
     _run_pipeline(spark, tpath)
-    t_hi = min(_run_pipeline(spark, tpath) for _ in range(3))
+    t_hi = min(_run_pipeline(spark, tpath) for _ in range(reps))
     spark.stop()
 
     tp_lo, tp_hi = n_turns / t_lo, n_turns / t_hi

@@ -86,6 +86,40 @@ def _pdf_payload(rng: np.random.Generator) -> str:
     return json.dumps({"blocks": [blocks[int(j)] for j in perm]})
 
 
+def _markdown_payload(rng: np.random.Generator) -> str:
+    parts = []
+    if rng.random() < 0.7:
+        parts.append(f"## {_sentence(rng, 3, 6)}")
+    n_paras = int(rng.integers(1, 4))
+    for _ in range(n_paras):
+        words = _sentence(rng, 12, 22).split()
+        if rng.random() < 0.4:  # bold a word (stripped by extraction)
+            i = int(rng.integers(0, len(words)))
+            words[i] = f"**{words[i]}**"
+        if rng.random() < 0.4:  # inline link (reduced to anchor text)
+            i = int(rng.integers(0, len(words)))
+            words[i] = f"[{words[i]}](/{words[i]})"
+        parts.append(" ".join(words))
+    if rng.random() < 0.4:
+        parts.append("\n".join(f"- {_sentence(rng, 4, 8)}" for _ in range(3)))
+    if rng.random() < 0.3:
+        parts.append(f"```\nx = {int(rng.integers(0, 99))} + {int(rng.integers(0, 99))}\n```")
+    # nav/footer link farm: must be classified out as boilerplate
+    parts.append(" ".join(f"[{w}](/{w})" for w in LINK_WORDS[:6]))
+    return "\n\n".join(parts)
+
+
+def _json_payload(rng: np.random.Generator) -> str:
+    obj = {
+        "tool": TOOL_NAMES[int(rng.integers(0, len(TOOL_NAMES)))],
+        "status": "ok",
+        "stdout": _sentence(rng, 6, 14),
+        "result": {"items": [_sentence(rng, 5, 12) for _ in range(int(rng.integers(1, 4)))]},
+        "exit_code": 0,
+    }
+    return json.dumps(obj)
+
+
 def _plain_payload(rng: np.random.Generator) -> str:
     s = _sentence(rng, 10, 22)
     # inject noisy whitespace deterministically
@@ -114,7 +148,7 @@ def _gen_conv(
     else:
         n_turns = max(2, int(rng.lognormal(np.log(median_turns), 0.6)))
     conv_id = f"conv_{ci:06d}"
-    kinds = rng.integers(0, 3, n_turns)  # 0 html 1 pdf 2 plain
+    kinds = rng.integers(0, 5, n_turns)  # html pdf plain markdown json
     texts, tools = [], []
     for ti in range(n_turns):
         k = int(kinds[ti])
@@ -124,6 +158,12 @@ def _gen_conv(
         elif k == 1:
             texts.append(_pdf_payload(rng))
             kind = "pdf"
+        elif k == 3:
+            texts.append(_markdown_payload(rng))
+            kind = "markdown"
+        elif k == 4:
+            texts.append(_json_payload(rng))
+            kind = "json"
         else:
             texts.append(_plain_payload(rng))
             kind = "plain"

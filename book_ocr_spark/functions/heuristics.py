@@ -56,7 +56,17 @@ BOILER_CONTEXT = frozenset({"nav", "header", "footer", "aside"})
 CONTAINER_CLOSE_RE = r"(?i)</(?:nav|header|footer|aside|main|article|section)\s*>"
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
-KINDS = ("html", "pdf", "plain")
+KINDS = ("html", "pdf", "plain", "markdown", "json")
+
+# Markdown structure.
+MD_SNIFF_RE = r"(?m)^#{1,6} |```|\[[^\]]+\]\([^)]+\)"
+MD_HEADING_RE = r"^\s*#{1,6}\s"
+MD_LINK_RE = r"\[([^\]]*)\]\([^)]*\)"
+MD_BULLET_RE = r"(?m)^\s*[-*+]\s+"
+MD_BOLD_RE = r"\*\*|__"
+
+# JSON tool-output keys whose string leaves are code-like.
+JSON_CODE_KEYS = frozenset({"stdout", "stderr", "code", "traceback", "command"})
 
 
 # ---------------------------------------------------------------------------
@@ -70,9 +80,15 @@ def detect_kind(tool: pd.Series, text: pd.Series) -> pd.Series:
     text = text.fillna("")
     kind = tool.where(tool.isin(KINDS), other=None)
     is_pdf = text.str.match(r"\s*\{") & text.str.contains('"blocks"', regex=False)
+    is_json = text.str.match(r"\s*[\{\[]") & ~is_pdf
     is_html = text.str.contains(r"(?s)<[a-zA-Z][^>]*>", regex=True)
+    is_md = text.str.contains(MD_SNIFF_RE, regex=True)
     sniffed = pd.Series(
-        np.where(is_pdf, "pdf", np.where(is_html, "html", "plain")),
+        np.select(
+            [is_pdf, is_json, is_html, is_md],
+            ["pdf", "json", "html", "markdown"],
+            default="plain",
+        ),
         index=text.index,
         dtype="object",
     )
@@ -215,6 +231,145 @@ def _segment_pdf(s: pd.Series) -> tuple[pd.DataFrame, pd.Series]:
     ).reset_index(drop=True), failed
 
 
+def _segment_markdown(s: pd.Series) -> pd.DataFrame:
+    """Markdown -> blocks: fence-split isolates code blocks (odd
+    segments), text segments split on blank lines; headings keep their
+    own label with the hashes stripped, inline links reduce to their
+    anchor text, and link-farm blocks (nav lines) drop on the same
+    link-density rule as HTML. All pandas-vectorized; ord is the
+    (fence-segment, paragraph) composite so document order survives
+    the double explode."""
+    if s.empty:
+        return _empty_blocks()
+    seg = s.str.split("```").explode()
+    fr = pd.DataFrame(
+        {
+            "row": seg.index,
+            "fence": seg.groupby(level=0).cumcount().to_numpy(),
+            "content": seg.to_numpy(),
+        }
+    )
+    fr["is_code"] = fr["fence"] % 2 == 1  # odd segments sit inside fences
+
+    code_fr = fr[fr["is_code"]].copy()
+    code_txt = canon_ws(code_fr["content"].astype(object))
+    code_df = pd.DataFrame(
+        {
+            "row": code_fr["row"],
+            "ord": code_fr["fence"] * 1000,  # composite (fence, para) order
+            "text": code_txt.to_numpy(),
+            "label": "code",
+        }
+    )
+    code_df = code_df[pd.Series(code_df["text"]).str.len() > 0]
+
+    text_fr = fr[~fr["is_code"]].copy()
+    text_fr["content"] = text_fr["content"].str.split(r"\n\s*\n")
+    text_fr = text_fr.explode("content")
+    text_fr["sub"] = text_fr.groupby(["row", "fence"]).cumcount()
+    text_fr = text_fr[
+        text_fr["content"].notna() & (text_fr["content"].str.strip() != "")
+    ]
+    if text_fr.empty and code_df.empty:
+        return _empty_blocks()
+
+    pdfr = pd.DataFrame(
+        {
+            "row": text_fr["row"],
+            "ord": (text_fr["fence"] * 1000 + text_fr["sub"] + 1),
+            "raw": text_fr["content"].to_numpy(),
+        }
+    ).reset_index(drop=True)
+    raw = pdfr["raw"].astype(object)
+
+    heading = raw.str.match(MD_HEADING_RE)
+    txt = raw.str.replace(MD_HEADING_RE, "", regex=True)
+    link_text = raw.str.findall(MD_LINK_RE).str.join(" ")
+    txt = txt.str.replace(MD_LINK_RE, r"\1", regex=True)
+    txt = txt.str.replace(MD_BULLET_RE, "", regex=True)
+    txt = canon_ws(txt.str.replace(MD_BOLD_RE, "", regex=True))
+
+    tlen = txt.str.len().astype("float64")
+    link_density = link_text.str.len().astype("float64") / tlen.clip(lower=1.0)
+    stop_ratio = stopword_ratio(txt)
+
+    label = pd.Series("main", index=pdfr.index, dtype="object")
+    label = label.mask(heading.to_numpy(), "heading")
+    min_len = pd.Series(MIN_MAIN_LEN, index=pdfr.index, dtype="float64").mask(
+        heading.to_numpy(), float(MIN_HEAD_LEN)
+    )
+    keep = (tlen >= min_len) & (link_density <= MAX_LINK_DENSITY)
+    conf = (
+        (1.0 - link_density).clip(0.0, 1.0)
+        * (tlen / 80.0).clip(0.05, 1.0)
+        * (0.5 + stop_ratio).clip(0.5, 1.0)
+    )
+
+    text_df = pd.DataFrame(
+        {"row": pdfr["row"], "ord": pdfr["ord"], "text": txt.to_numpy(),
+         "label": label.to_numpy(), "conf": conf.to_numpy(), "keep": keep.to_numpy()}
+    )
+    if not code_df.empty:
+        code_df = code_df.assign(
+            conf=0.8, keep=code_df["text"].str.len() >= MIN_HEAD_LEN
+        )
+        text_df = pd.concat([text_df, code_df], ignore_index=True)
+    return text_df.sort_values(["row", "ord"], kind="stable").reset_index(drop=True)
+
+
+def _json_leaves(payload: str):
+    try:
+        obj = json.loads(payload)
+    except ValueError:
+        return None
+    out: list[tuple[str, str]] = []
+
+    def walk(x, key: str) -> None:
+        if isinstance(x, dict):
+            for k, v in x.items():
+                walk(v, k)
+        elif isinstance(x, list):
+            for v in x:
+                walk(v, key)
+        elif isinstance(x, str):
+            out.append((key, x))
+
+    walk(obj, "")
+    return out
+
+
+def _segment_json(s: pd.Series) -> tuple[pd.DataFrame, pd.Series]:
+    """JSON tool output -> blocks: string leaves in traversal order
+    (dict insertion order — json.loads preserves it), labeled code
+    when the key is code-like (stdout/stderr/...). Malformed JSON ->
+    parse-failure mask, same contract as the PDF segmenter."""
+    failed = pd.Series(False, index=s.index)
+    if s.empty:
+        return _empty_blocks(), failed
+    parsed = s.map(_json_leaves)  # bulk parse over the Arrow batch
+    failed = parsed.isna()
+    ok = parsed[~failed]
+    rows, ords, keys, texts = [], [], [], []
+    for idx, leaves in ok.items():
+        for i, (k, v) in enumerate(leaves):
+            rows.append(idx)
+            ords.append(i)
+            keys.append(k)
+            texts.append(v)
+    if not rows:
+        return _empty_blocks(), failed
+    txt = canon_ws(pd.Series(texts, dtype=object))
+    tlen = txt.str.len().astype("float64")
+    label = pd.Series(
+        ["code" if k in JSON_CODE_KEYS else "main" for k in keys], dtype="object"
+    )
+    return pd.DataFrame(
+        {"row": rows, "ord": ords, "text": txt.to_numpy(), "label": label.to_numpy(),
+         "conf": (0.6 + tlen / 400.0).clip(0.6, 1.0).to_numpy(),
+         "keep": (tlen > 0).to_numpy()}
+    ), failed
+
+
 def _segment_plain(s: pd.Series) -> pd.DataFrame:
     """Plain text -> single 'main' block (stage-1 normalization already
     ran; here we canonicalize whitespace only)."""
@@ -338,7 +493,15 @@ def recognize_batch(clean: pd.Series, kind: pd.Series) -> pd.DataFrame:
         pblocks, pfail = _segment_pdf(pdf_s)
         parts.append(pblocks)
         pdf_failed.loc[pfail.index] = pfail
-    plain_s = clean[(kind != "html") & (kind != "pdf")]
+    md_s = clean[kind == "markdown"]
+    if not md_s.empty:
+        parts.append(_segment_markdown(md_s))
+    json_s = clean[kind == "json"]
+    if not json_s.empty:
+        jblocks, jfail = _segment_json(json_s)
+        parts.append(jblocks)
+        pdf_failed.loc[jfail.index] = jfail
+    plain_s = clean[~kind.isin(("html", "pdf", "markdown", "json"))]
     if not plain_s.empty:
         parts.append(_segment_plain(plain_s))
 

@@ -1,0 +1,89 @@
+"""Markdown and JSON tool-output payload kinds: detection,
+segmentation, boilerplate rules, ordering, failure handling."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from book_ocr_spark.functions.heuristics import detect_kind, extract_batch
+
+MD = (
+    "## Title Here\n\n"
+    "the spark engine reads a parquet table and shuffles rows across executors\n\n"
+    "```\nx = 1 + 2\n```\n\n"
+    "catalyst prunes **columns** and plans [broadcast](/b) joins for dimensions\n\n"
+    "[home](/home) [about](/about) [login](/login) [docs](/docs) [blog](/blog)"
+)
+JS = (
+    '{"tool": "python", "status": "ok", "stdout": "ran 3 cells fine", '
+    '"result": {"items": ["first finding here", "second finding here"]}, '
+    '"exit_code": 0}'
+)
+
+
+def test_detect_kind_new_payloads():
+    text = pd.Series([MD, JS, '{"blocks": [{"text": "t"}]}', "<p>hi</p>", "plain words"])
+    tool = pd.Series(["search", "python", "browser", "search", "python"])
+    assert list(detect_kind(tool, text)) == ["markdown", "json", "pdf", "html", "plain"]
+
+
+def test_markdown_extraction():
+    out = extract_batch(pd.Series([MD]), pd.Series(["markdown"]))
+    r = out.iloc[0]
+    labels = list(r["labels"])
+    doc = r["extracted_text"]
+    # heading kept with hashes stripped, first
+    assert labels[0] == "heading" and doc.startswith("Title Here")
+    # code fence preserved as a code block, in document position
+    assert "code" in labels
+    assert "x = 1 + 2" in doc
+    # bold markers stripped, link reduced to anchor text
+    assert "**" not in doc and "](/" not in doc
+    assert "broadcast joins" in doc
+    # the trailing link-farm line is boilerplate -> dropped
+    assert "home about login" not in doc
+    assert r["n_kept"] < r["n_blocks"]
+    # block order = document order
+    assert doc.index("Title Here") < doc.index("x = 1 + 2") < doc.index("catalyst")
+
+
+def test_json_extraction_order_and_labels():
+    out = extract_batch(pd.Series([JS]), pd.Series(["json"]))
+    r = out.iloc[0]
+    doc = r["extracted_text"]
+    labels = list(r["labels"])
+    # string leaves in traversal order; ints are not leaves
+    assert doc.splitlines() == [
+        "python", "ok", "ran 3 cells fine", "first finding here", "second finding here",
+    ]
+    # stdout leaf is code-labeled
+    assert labels[doc.splitlines().index("ran 3 cells fine")] == "code"
+    assert not r["failed"]
+
+
+def test_json_malformed_is_quarantined():
+    out = extract_batch(
+        pd.Series(['{"broken": tool output', JS]), pd.Series(["json", "json"])
+    )
+    assert bool(out.iloc[0]["failed"]) and out.iloc[0]["extracted_text"] == ""
+    assert not out.iloc[1]["failed"]
+
+
+def test_mixed_batch_all_kinds():
+    """One batch containing every payload kind routes each row to its
+    segmenter and reassembles aligned to the input index."""
+    rows = [
+        ("<html><body><main><p>" + "spark reads tables and plans joins " * 2 + "</p></main></body></html>", "html"),
+        ('{"blocks": [{"page":1,"x0":0,"y0":0,"x1":1,"y1":1,"text":"pdf block text","order":0}]}', "pdf"),
+        ("plain  text\twith   noise", "plain"),
+        (MD, "markdown"),
+        (JS, "json"),
+    ]
+    out = extract_batch(
+        pd.Series([r[0] for r in rows]), pd.Series([r[1] for r in rows])
+    )
+    assert (out["n_kept"] > 0).all()
+    assert not out["failed"].any()
+    assert "spark reads tables" in out.iloc[0]["extracted_text"]
+    assert out.iloc[1]["extracted_text"] == "pdf block text"
+    assert out.iloc[2]["extracted_text"] == "plain text with noise"
