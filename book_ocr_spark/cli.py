@@ -48,7 +48,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 def main(argv: list[str] | None = None) -> int:
     top = argparse.ArgumentParser(prog="book-ocr-spark")
     sub = top.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "resume"):
+    for name in ("run", "resume", "replay"):
         _add_common(sub.add_parser(name))
     sub.add_parser("version")
     args = top.parse_args(argv)
@@ -57,23 +57,34 @@ def main(argv: list[str] | None = None) -> int:
         print(__version__)
         return 0
 
-    from book_ocr_spark.plans.pipeline import run
+    from book_ocr_spark.plans.pipeline import replay_failed, run
     from book_ocr_spark.session import get_spark
 
     master = f"local[{args.threads}]" if args.threads else None
     spark = get_spark(app_name=f"book-ocr-spark-{args.cmd}", master=master)
     spark.sparkContext.setLogLevel(args.log_level)
     try:
-        summary = run(
-            spark,
-            input_path=args.input,
-            out_path=args.output,
-            n_parts=args.n_parts,
-            n_chunks=args.n_chunks,
-            bucket_size=args.bucket_size,
-            skew_threshold=args.skew_threshold,
-            resume=(args.cmd == "resume"),
-        )
+        if args.cmd == "replay":
+            summary = replay_failed(
+                spark,
+                input_path=args.input,
+                out_path=args.output,
+                n_parts=args.n_parts,
+                n_chunks=args.n_chunks,
+                bucket_size=args.bucket_size,
+                skew_threshold=args.skew_threshold,
+            )
+        else:
+            summary = run(
+                spark,
+                input_path=args.input,
+                out_path=args.output,
+                n_parts=args.n_parts,
+                n_chunks=args.n_chunks,
+                bucket_size=args.bucket_size,
+                skew_threshold=args.skew_threshold,
+                resume=(args.cmd == "resume"),
+            )
         print(json.dumps(summary))
         return 0
     finally:

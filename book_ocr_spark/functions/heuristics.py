@@ -80,7 +80,15 @@ def detect_kind(tool: pd.Series, text: pd.Series) -> pd.Series:
     text = text.fillna("")
     kind = tool.where(tool.isin(KINDS), other=None)
     is_pdf = text.str.match(r"\s*\{") & text.str.contains('"blocks"', regex=False)
-    is_json = text.str.match(r"\s*[\{\[]") & ~is_pdf
+    # JSON needs a structural opening ({"key", nested array, scalar
+    # literal...), not just '[': a markdown paragraph starting with an
+    # inline link ("[text](url) ...") must NOT sniff as JSON.
+    is_json = (
+        text.str.match(
+            r'\s*(\{\s*["\}]|\[\s*[\[\{"0-9\]]|\[\s*(true|false|null)\b)'
+        )
+        & ~is_pdf
+    )
     is_html = text.str.contains(r"(?s)<[a-zA-Z][^>]*>", regex=True)
     is_md = text.str.contains(MD_SNIFF_RE, regex=True)
     sniffed = pd.Series(

@@ -137,6 +137,8 @@ def run(
     resume: bool = False,
     run_id: str | None = None,
     transcripts: DataFrame | None = None,
+    only_parts: list[int] | None = None,
+    fail_fast: bool = False,
 ) -> dict:
     """Execute the extraction job. Returns a small summary dict.
 
@@ -157,9 +159,10 @@ def run(
         done = {r.part_id for r in cp.done_parts(spark, ckpt_path).collect()}
     else:
         done = set()
-    todo = [p for p in range(n_parts) if p not in done]
+    universe = only_parts if only_parts is not None else range(n_parts)
+    todo = [p for p in universe if p not in done]
     if not todo:
-        return {"run_id": run_id, "parts_processed": [], "chunks": 0}
+        return {"run_id": run_id, "parts_processed": [], "failed_parts": [], "chunks": 0}
 
     cp.mark(spark, ckpt_path, todo, cp.PENDING, run_id)
 
@@ -167,6 +170,7 @@ def run(
     chunks = [todo[i : i + chunk_size] for i in range(0, len(todo), chunk_size)]
     lineage = f"src={input_path}|run={run_id}"
 
+    failed_parts: list[int] = []
     for chunk in chunks:
         chunk_df = src.filter(F.col("part_id").isin(chunk)).drop("part_id")
         if bucket_size is not None and skew_threshold is not None:
@@ -178,10 +182,63 @@ def run(
         else:
             plan = build_extract_plan(chunk_df, n_parts, bucket_size=bucket_size)
             out = instrumented(plan, lineage_prefix=lineage)
-        io.write_partitioned(out.select(*_OUT_COLS), turns_path, ["rec", "part_id"])
+        try:
+            io.write_partitioned(out.select(*_OUT_COLS), turns_path, ["rec", "part_id"])
+        except Exception:
+            # pending -> failed flip (reference state machine,
+            # docs/technical_architecture.md:148); remaining chunks
+            # still run (per-page failure isolation, docs/prd.md:43).
+            cp.mark(spark, ckpt_path, chunk, cp.FAILED, run_id)
+            failed_parts.extend(chunk)
+            if fail_fast:
+                raise
+            continue
         cp.mark(spark, ckpt_path, chunk, cp.DONE, run_id)
 
-    return {"run_id": run_id, "parts_processed": todo, "chunks": len(chunks)}
+    return {
+        "run_id": run_id,
+        "parts_processed": [p for p in todo if p not in failed_parts],
+        "failed_parts": failed_parts,
+        "chunks": len(chunks),
+    }
+
+
+def replay_failed(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    n_parts: int = 32,
+    **run_kwargs,
+) -> dict:
+    """Replay exactly the partitions holding quarantined (failed)
+    turns — the graft of re-running the pages listed in failed.txt
+    (docs/prd.md:43,77; J2 in SURVEY.md §2.3). Partition granularity
+    keeps the dynamic-partition overwrite idempotent: a replayed
+    part_id directory is rewritten whole, so fixed inputs replace the
+    quarantined rows without touching other partitions."""
+    failed = (
+        read_quarantine(spark, out_path)
+        .select("part_id")
+        .distinct()
+        .collect()
+    )
+    ckpt_failed = [
+        r.part_id
+        for r in cp.current_status(spark, f"{out_path}/{CHECKPOINT_SUBDIR}")
+        .filter(F.col("status") == cp.FAILED)
+        .collect()
+    ]
+    parts = sorted({int(r.part_id) for r in failed} | set(ckpt_failed))
+    if not parts:
+        return {"run_id": None, "parts_processed": [], "failed_parts": [], "chunks": 0}
+    return run(
+        spark,
+        input_path,
+        out_path,
+        n_parts=n_parts,
+        only_parts=parts,
+        **run_kwargs,
+    )
 
 
 def read_extracted(spark: SparkSession, out_path: str) -> DataFrame:

@@ -87,3 +87,26 @@ def test_mixed_batch_all_kinds():
     assert "spark reads tables" in out.iloc[0]["extracted_text"]
     assert out.iloc[1]["extracted_text"] == "pdf block text"
     assert out.iloc[2]["extracted_text"] == "plain text with noise"
+
+
+def test_markdown_link_start_not_sniffed_as_json():
+    """A markdown paragraph beginning with an inline link starts with
+    '[' but must sniff as markdown, not JSON (regression: such rows
+    were wrongly quarantined as JSON parse failures)."""
+    text = pd.Series(
+        [
+            "[with](/with) through adaptive folds a keys small salting for **x**",
+            '["a", "b", 3]',
+            "[1, 2, 3]",
+            "[true, false]",
+            "[not json just brackets",
+        ]
+    )
+    tool = pd.Series(["browser", "python", "python", "python", "search"])
+    got = list(detect_kind(tool, text))
+    assert got[0] == "markdown"
+    assert got[1] == got[2] == got[3] == "json"
+    assert got[4] == "plain"
+    out = extract_batch(text, tool)
+    assert not out.iloc[0]["failed"] and out.iloc[0]["n_kept"] > 0
+    assert "with through adaptive" in out.iloc[0]["extracted_text"]

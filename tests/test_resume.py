@@ -93,3 +93,64 @@ def test_checkpoint_status_machine(spark, out_dir):
     assert st[0] == "done" and st[1] == "done" and st[2] == "failed"
     done = {r.part_id for r in cp.done_parts(spark, path).collect()}
     assert done == {0, 1}
+
+
+def test_failure_flip_and_continue(spark, transcripts_pd, out_dir, monkeypatch):
+    """A chunk whose write fails flips pending->failed and the run
+    continues with the remaining chunks (per-page failure isolation,
+    docs/prd.md:43); a subsequent resume completes exactly the failed
+    parts."""
+    from book_ocr_spark.sources import io as io_mod
+
+    sdf = to_spark(spark, transcripts_pd)
+    real_write = io_mod.write_partitioned
+    calls = {"n": 0}
+
+    def flaky(df, path, cols):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected write failure")
+        return real_write(df, path, cols)
+
+    monkeypatch.setattr(io_mod, "write_partitioned", flaky)
+    res = run(spark, "<fixture>", out_dir, n_parts=8, n_chunks=4, transcripts=sdf)
+    assert res["failed_parts"] == [0, 1]
+    assert sorted(res["parts_processed"]) == [2, 3, 4, 5, 6, 7]
+    st = cp.current_status(spark, f"{out_dir}/checkpoints").toPandas().set_index("part_id")
+    assert set(st.loc[res["failed_parts"], "status"]) == {"failed"}
+    assert set(st.loc[res["parts_processed"], "status"]) == {"done"}
+
+    monkeypatch.setattr(io_mod, "write_partitioned", real_write)
+    res2 = run(spark, "<fixture>", out_dir, n_parts=8, resume=True, transcripts=sdf)
+    assert sorted(res2["parts_processed"]) == [0, 1]
+    exp = oracle_extract(transcripts_pd)
+    got = read_extracted(spark, out_dir).orderBy("conv_id", "turn_idx").toPandas()
+    assert got["extracted_text"].reset_index(drop=True).equals(
+        exp["extracted_text"].reset_index(drop=True)
+    )
+
+
+def test_replay_failed_partitions(spark, transcripts_dirty_pd, out_dir):
+    """J2 replay: quarantined turns' partitions re-run against a
+    corrected input; other partitions untouched (byte-equal)."""
+    from book_ocr_spark.fixtures import gen_transcripts
+    from book_ocr_spark.plans.pipeline import replay_failed
+
+    dirty = to_spark(spark, transcripts_dirty_pd)
+    run(spark, "<fixture>", out_dir, n_parts=4, transcripts=dirty)
+    q_before = read_quarantine(spark, out_dir).count()
+    assert q_before > 0
+    before = read_extracted(spark, out_dir).orderBy("conv_id", "turn_idx").toPandas()
+
+    clean_pd = gen_transcripts(n_convs=15, seed=7, dirty=False)
+    clean = to_spark(spark, clean_pd)
+    res = replay_failed(spark, "<fixture>", out_dir, n_parts=4, transcripts=clean)
+    assert res["parts_processed"], "some partitions replayed"
+
+    after = read_extracted(spark, out_dir).orderBy("conv_id", "turn_idx").toPandas()
+    assert read_quarantine(spark, out_dir).count() < q_before
+    # non-replayed partitions byte-identical
+    replayed = set(res["parts_processed"])
+    keep_b = before[~before["part_id"].isin(replayed)].reset_index(drop=True)
+    keep_a = after[~after["part_id"].isin(replayed)].reset_index(drop=True)
+    assert keep_b["extracted_text"].equals(keep_a["extracted_text"])
