@@ -74,6 +74,37 @@ def start_incremental_extract(
     return writer.start()
 
 
+def session_metrics_stream(
+    spark: SparkSession,
+    input_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Native streaming sessionization: `session_window` groups each
+    conversation's turns into activity sessions closed after `gap` of
+    silence, with watermark-bounded state. The batch equivalent (lag +
+    cumulative-sum gaps-and-islands) is the `user_sessions` oracle
+    query; this is the streaming counterpart with managed state
+    eviction — at 10^12 turns the watermark is what keeps the state
+    store bounded."""
+    stream = read_transcript_stream(spark, input_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.avg(F.length("text")).alias("avg_payload_len"),
+        )
+        .select(
+            "conv_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_turns",
+            F.round("avg_payload_len", 4).alias("avg_payload_len"),
+        )
+    )
+
+
 def hourly_metrics_stream(
     spark: SparkSession,
     input_path: str,

@@ -91,3 +91,26 @@ def test_hourly_metrics_stream(spark, tmp_path):
     assert set(got_c["role"]) <= {"user", "assistant", "tool"}
     assert (got_c["n_turns"] > 0).all()
     assert isinstance(got, pd.DataFrame)  # append-mode query ran clean
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Native session windows: turns 30s apart within a conversation
+    coalesce into one session per conversation (fixture inter-turn gap
+    is 30s << the 30-minute session gap)."""
+    inp = str(tmp_path / "in")
+    pdf = _write_batches(spark, inp, n_convs=6, parts=1)
+    q = (
+        jobs.session_metrics_stream(spark, inp)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_metrics").toPandas()
+    per_conv = pdf.drop_duplicates(["conv_id", "turn_idx"]).groupby("conv_id").size()
+    assert len(got) == len(per_conv)  # exactly one session per conversation
+    got_n = got.set_index("conv_id")["n_turns"].sort_index()
+    assert got_n.equals(per_conv.sort_index().astype(got_n.dtype))
+    assert (got["session_end"] > got["session_start"]).all()
