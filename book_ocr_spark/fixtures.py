@@ -174,7 +174,7 @@ def _gen_conv(
     if dirty:
         for ti in range(0, n_turns, 5):
             texts[ti] = _dirtify(texts[ti], rng)
-    return pd.DataFrame(
+    df = pd.DataFrame(
         {
             "conv_id": conv_id,
             "turn_idx": np.arange(n_turns, dtype="int32"),
@@ -185,6 +185,13 @@ def _gen_conv(
             + pd.to_timedelta(ci * 3600 + np.arange(n_turns) * 30, unit="s"),
         }
     )
+    if dirty:
+        # duplicate (conv_id, turn_idx) rows — quarantine/dedup-path
+        # fodder. Injected PER CONVERSATION so the driver-side and
+        # Spark-distributed generators produce identical corpora.
+        dups = df.iloc[::7]
+        df = pd.concat([df, dups], ignore_index=True)
+    return df
 
 
 def gen_transcripts(
@@ -203,12 +210,7 @@ def gen_transcripts(
         _gen_conv(ci, seed, median_turns, skew_convs, skew_factor, dirty)
         for ci in range(n_convs)
     ]
-    df = pd.concat(frames, ignore_index=True)
-    if dirty:
-        # duplicate (conv_id, turn_idx) rows — quarantine-path fodder
-        dups = df.iloc[:: max(1, len(df) // 7)].copy()
-        df = pd.concat([df, dups], ignore_index=True)
-    return df
+    return pd.concat(frames, ignore_index=True)
 
 
 def gen_transcripts_spark(

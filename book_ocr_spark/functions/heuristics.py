@@ -81,12 +81,15 @@ def detect_kind(tool: pd.Series, text: pd.Series) -> pd.Series:
     kind = tool.where(tool.isin(KINDS), other=None)
     is_pdf = text.str.match(r"\s*\{") & text.str.contains('"blocks"', regex=False)
     # JSON needs a structural opening ({"key", nested array, scalar
-    # literal...), not just '[': a markdown paragraph starting with an
-    # inline link ("[text](url) ...") must NOT sniff as JSON.
+    # literal...) AND a closing bracket at the end: a markdown
+    # paragraph starting with an inline link ("[text](url) ...") or a
+    # plain-text citation/log line ("[1] Smith et al." / "[12:00] up")
+    # must NOT sniff as JSON (and then be quarantined on parse failure).
     is_json = (
         text.str.match(
             r'\s*(\{\s*["\}]|\[\s*[\[\{"0-9\]]|\[\s*(true|false|null)\b)'
         )
+        & text.str.contains(r"[\]\}]\s*$", regex=True)
         & ~is_pdf
     )
     is_html = text.str.contains(r"(?s)<[a-zA-Z][^>]*>", regex=True)
@@ -264,7 +267,10 @@ def _segment_markdown(s: pd.Series) -> pd.DataFrame:
     code_df = pd.DataFrame(
         {
             "row": code_fr["row"],
-            "ord": code_fr["fence"] * 1000,  # composite (fence, para) order
+            # composite (fence, para) order; 1e6 stride so even a
+            # pathological million-paragraph segment cannot collide
+            # with the following code block's ordinal
+            "ord": code_fr["fence"] * 1_000_000,
             "text": code_txt.to_numpy(),
             "label": "code",
         }
@@ -284,7 +290,7 @@ def _segment_markdown(s: pd.Series) -> pd.DataFrame:
     pdfr = pd.DataFrame(
         {
             "row": text_fr["row"],
-            "ord": (text_fr["fence"] * 1000 + text_fr["sub"] + 1),
+            "ord": (text_fr["fence"] * 1_000_000 + text_fr["sub"] + 1),
             "raw": text_fr["content"].to_numpy(),
         }
     ).reset_index(drop=True)

@@ -63,14 +63,6 @@ def duck_h56(expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Canonicalization + shingling
 # ---------------------------------------------------------------------------
-def canon_text(col: str) -> Column:
-    """lower + whitespace-canonicalize (same expression as CANON_SQL)."""
-    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
-
-
-CANON_SQL = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
-
-
 def shingle_col(col: str, k: int) -> Column:
     """Distinct character k-shingles, computed JVM-side via
     sequence+transform (no explode, no Python)."""
@@ -162,6 +154,14 @@ def minhash_signature(
     and never enters codegen.
     """
     grams = shingle_sets(df, id_col, text_col, k, unit)
+    return grams.join(_signature_from_grams(grams), "id")
+
+
+def _signature_from_grams(grams: DataFrame) -> DataFrame:
+    """(id, sh) -> (id, sig): explode shingles, one md5 each, then the
+    N_HASHES unrolled min-aggregates (see minhash_signature docstring
+    for why this formulation). Single source of the hashing scheme —
+    used by both the standalone signature API and the near-dup chain."""
     hexp = grams.select("id", F.explode("sh").alias("g")).select(
         "id", F.expr(spark_h28("g")).alias("h")
     )
@@ -169,12 +169,11 @@ def minhash_signature(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P28)).alias(f"_m{i}")
         for i, (a, b) in enumerate(HASH_AB)
     ]
-    sigs = (
+    return (
         hexp.groupBy("id")
         .agg(*aggs)
         .select("id", F.array(*[f"_m{i}" for i in range(N_HASHES)]).alias("sig"))
     )
-    return grams.join(sigs, "id")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -201,23 +200,19 @@ def jaccard_verify(
     """Exact Jaccard on candidates (kills LSH false positives):
     join shingle sets back, array_intersect/array_union, filter."""
     sh = sigs.select(F.col(id_col).alias("id"), "sh")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
     j = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                ).cast("double"),
-                4,
-            ),
-        )
+        .withColumn("_j", inter / union)
     )
-    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    # filter on the UNROUNDED value (the oracle's WHERE is unrounded);
+    # round only in the projection
+    return (
+        j.filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 4).alias("jaccard"))
+    )
 
 
 def minhash_near_dup(
@@ -244,19 +239,7 @@ def minhash_near_dup(
         from pyspark import StorageLevel
 
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    hexp = grams.select("id", F.explode("sh").alias("g")).select(
-        "id", F.expr(spark_h28("g")).alias("h")
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P28)).alias(f"_m{i}")
-        for i, (a, b) in enumerate(HASH_AB)
-    ]
-    sigs = (
-        hexp.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"_m{i}" for i in range(N_HASHES)]).alias("sig"))
-    )
-    cands = lsh_candidate_pairs(sigs, "id")
+    cands = lsh_candidate_pairs(_signature_from_grams(grams), "id")
     return jaccard_verify(cands, grams, "id", threshold)
 
 

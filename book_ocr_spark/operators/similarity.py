@@ -20,10 +20,10 @@ counts per bucket; skewed buckets split by salting the bucket key.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from book_ocr_spark.operators.dedup import spark_h28
 
 DOT = (
     "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
@@ -227,22 +227,31 @@ def ivf_topk(
 N_PLANES = 12  # 4096 buckets
 
 
-def _hyperplane_sign_bits(vec_col: str, n_planes: int) -> F.Column:
-    """Signature = sign bits against n_planes pseudo-random hyperplanes.
-    Plane p's component for dimension d is (portable_hash('p:d') mod
-    2001 - 1000): deterministic, seed-free, identical on any engine or
-    cluster — no driver-side randomness to ship."""
-    bits = []
+def _plane_weight(p: int, d: int) -> int:
+    """Plane p's weight for dimension d: md5-derived 28-bit int mod
+    2001 - 1000 — deterministic and seed-free, so any engine, cluster,
+    or session derives identical hyperplanes (same formula as
+    dedup.spark_h28, computed driver-side)."""
+    h = int(hashlib.md5(f"pl{p}:{d}".encode()).hexdigest()[:7], 16)
+    return h % 2001 - 1000
+
+
+def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int):
+    """Signature = sign bits against n_planes pseudo-random
+    hyperplanes. Weights are precomputed driver-side and embedded as
+    top-level array literals, which Catalyst constant-folds once —
+    deriving them via md5 INSIDE the zip_with lambda would re-evaluate
+    n_planes x dim md5 calls per row (the interpreted-HOF cost
+    documented in dedup.minhash_signature)."""
+    terms = []
     for p in range(n_planes):
-        comp_hash = spark_h28(f"concat('pl{p}:', cast(i as string))")
-        comp = f"({comp_hash} % 2001 - 1000)"
+        arr = "array(" + ",".join(f"{_plane_weight(p, d)}D" for d in range(dim)) + ")"
         proj = (
-            f"aggregate(zip_with(cast({vec_col} as array<double>),"
-            f" transform(sequence(0, size({vec_col})-1), i -> cast({comp} as double)),"
+            f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
             f" (x, w) -> x * w), 0D, (acc, v) -> acc + v)"
         )
-        bits.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
-    return F.expr(" + ".join(bits)).cast("int")
+        terms.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(terms)).cast("int")
 
 
 def lsh_bucket_topk(
@@ -256,8 +265,11 @@ def lsh_bucket_topk(
     """ANN: candidates = corpus vectors sharing the query's hyperplane
     bucket; exact cosine + top-k within candidates. One narrow
     projection to compute buckets, one equi-join on the bucket key
-    (replacing the O(Q*N) cross join), one small top-k window."""
-    sig = _hyperplane_sign_bits(vec_col, n_planes)
+    (replacing the O(Q*N) cross join), one small top-k window.
+    The embedding dimension is read from one probe row (tiny driver
+    job) so the weight literals can be materialized up front."""
+    dim = len(queries.select(vec_col).first()[0])
+    sig = _hyperplane_sign_bits(vec_col, n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
     )

@@ -148,6 +148,12 @@ def run(
     ``skew_threshold`` + ``bucket_size`` enables hybrid auto-skew
     routing (salted path only for conversations above the threshold).
     """
+    if skew_threshold is not None and bucket_size is None:
+        raise ValueError(
+            "skew_threshold requires bucket_size: without a salt bucket "
+            "width the skewed conversations have no two-level path to "
+            "route to (pass --bucket-size alongside --skew-threshold)"
+        )
     run_id = run_id or uuid.uuid4().hex[:12]
     turns_path = f"{out_path}/{TURNS_SUBDIR}"
     ckpt_path = f"{out_path}/{CHECKPOINT_SUBDIR}"
@@ -216,19 +222,23 @@ def replay_failed(
     keeps the dynamic-partition overwrite idempotent: a replayed
     part_id directory is rewritten whole, so fixed inputs replace the
     quarantined rows without touching other partitions."""
-    failed = (
-        read_quarantine(spark, out_path)
-        .select("part_id")
-        .distinct()
-        .collect()
-    )
+    # Checkpoint FAILED parts first: if every chunk of the prior run
+    # failed, the data subtree may not exist at all and must not be
+    # read before we know there is anything to read.
     ckpt_failed = [
         r.part_id
         for r in cp.current_status(spark, f"{out_path}/{CHECKPOINT_SUBDIR}")
         .filter(F.col("status") == cp.FAILED)
         .collect()
     ]
-    parts = sorted({int(r.part_id) for r in failed} | set(ckpt_failed))
+    data_path = f"{out_path}/{TURNS_SUBDIR}/rec={REC_DATA}"
+    quarantined: set[int] = set()
+    if io.exists(data_path):
+        quarantined = {
+            int(r.part_id)
+            for r in read_quarantine(spark, out_path).select("part_id").distinct().collect()
+        }
+    parts = sorted(quarantined | set(ckpt_failed))
     if not parts:
         return {"run_id": None, "parts_processed": [], "failed_parts": [], "chunks": 0}
     return run(

@@ -49,22 +49,19 @@ def start_incremental_extract(
     n_parts: int = 8,
     available_now: bool = False,
 ):
-    """T1/T2/T3: stream -> fused extraction -> partitioned append.
+    """T1/T2/T3: stream -> fused extraction -> idempotent partitioned
+    write (effectively-once: dynamic overwrite keyed by batch_id, see
+    process_batch).
 
     foreachBatch reuses the batch hot path unchanged (one exchange,
-    one Python pass per micro-batch); the turns table layout matches
-    plans.pipeline so batch and streaming outputs are union-readable.
+    one Python pass per micro-batch); the turns table columns match
+    plans.pipeline (plus the batch_id partition level) so batch and
+    streaming outputs are union-readable.
     """
     stream = read_transcript_stream(spark, input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = build_fused_plan(batch_df, n_parts=n_parts, lineage_prefix=f"stream:b{batch_id}")
-        (
-            out.select(*_OUT_COLS)
-            .write.mode("append")
-            .partitionBy("rec", "part_id")
-            .parquet(f"{out_path}/turns")
-        )
+        write_turn_batch(batch_df, out_path, batch_id, n_parts)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -72,6 +69,28 @@ def start_incremental_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_turn_batch(
+    batch_df: DataFrame, out_path: str, batch_id: int, n_parts: int
+) -> None:
+    """One micro-batch through the fused plan into the turns table.
+
+    foreachBatch is at-least-once: a crash between the sink write and
+    the streaming-checkpoint commit replays the batch with the SAME
+    batch_id. Keying the dynamic-partition overwrite by batch_id makes
+    the replay rewrite its own directories instead of appending
+    duplicates — that is what upgrades the sink to effectively-once
+    (idempotency asserted in tests by writing a batch twice)."""
+    out = build_fused_plan(batch_df, n_parts=n_parts, lineage_prefix=f"stream:b{batch_id}")
+    (
+        out.select(*_OUT_COLS)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "rec", "part_id")
+        .parquet(f"{out_path}/turns")
+    )
 
 
 def session_metrics_stream(

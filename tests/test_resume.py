@@ -154,3 +154,21 @@ def test_replay_failed_partitions(spark, transcripts_dirty_pd, out_dir):
     keep_b = before[~before["part_id"].isin(replayed)].reset_index(drop=True)
     keep_a = after[~after["part_id"].isin(replayed)].reset_index(drop=True)
     assert keep_b["extracted_text"].equals(keep_a["extracted_text"])
+
+
+def test_skew_threshold_requires_bucket_size(spark, transcripts_pd, out_dir):
+    with pytest.raises(ValueError, match="bucket_size"):
+        run(
+            spark, "<fixture>", out_dir, n_parts=4,
+            skew_threshold=100, transcripts=to_spark(spark, transcripts_pd),
+        )
+
+
+def test_replay_noop_when_no_output_exists(spark, out_dir):
+    """replay_failed on a never-run output dir must not crash on the
+    missing data subtree (regression: parquet read before the
+    checkpoint consult)."""
+    from book_ocr_spark.plans.pipeline import replay_failed
+
+    res = replay_failed(spark, "<fixture>", out_dir, n_parts=4)
+    assert res["parts_processed"] == [] and res["chunks"] == 0

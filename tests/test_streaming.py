@@ -114,3 +114,19 @@ def test_session_window_stream(spark, tmp_path):
     got_n = got.set_index("conv_id")["n_turns"].sort_index()
     assert got_n.equals(per_conv.sort_index().astype(got_n.dtype))
     assert (got["session_end"] > got["session_start"]).all()
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash semantics: foreachBatch replays a batch with the SAME
+    batch_id after a lost checkpoint commit — writing the same batch
+    twice must not duplicate rows."""
+    from book_ocr_spark.fixtures import gen_transcripts, to_spark
+
+    out = str(tmp_path / "out")
+    pdf = gen_transcripts(n_convs=5, seed=11)
+    sdf = to_spark(spark, pdf)
+    jobs.write_turn_batch(sdf, out, batch_id=0, n_parts=4)
+    n1 = spark.read.parquet(f"{out}/turns").filter(F.col("rec") == "data").count()
+    jobs.write_turn_batch(sdf, out, batch_id=0, n_parts=4)  # replay
+    n2 = spark.read.parquet(f"{out}/turns").filter(F.col("rec") == "data").count()
+    assert n1 == n2 == pdf.drop_duplicates(["conv_id", "turn_idx"]).shape[0]
