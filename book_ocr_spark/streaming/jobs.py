@@ -124,6 +124,67 @@ def session_metrics_stream(
     )
 
 
+STATEFUL_OUT = (
+    "conv_id string, turn_idx int, extracted_text string, "
+    "turn_seq int, char_offset long"
+)
+STATEFUL_STATE = "seq int, off long"
+
+
+def stateful_compose_stream(spark: SparkSession, input_path: str):
+    """Custom stateful operator via applyInPandasWithState: the
+    streaming counterpart of the fused compose prefix-scan, with the
+    (turn_seq, char_offset) carry held in MANAGED PER-CONVERSATION
+    STATE across micro-batches — a conversation arriving over many
+    batches still gets globally consistent running offsets.
+
+    Assumes per-conversation in-order arrival across batches (true for
+    append-only transcript logs; the batch job is the fallback for
+    out-of-order backfills). Returns the streaming DataFrame; attach a
+    sink + checkpoint to run."""
+    import pandas as pd
+
+    from book_ocr_spark.functions.heuristics import extract_batch
+
+    def compose_fn(key, pdfs, state):
+        seq, off = state.get if state.exists else (0, 0)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx", kind="stable").drop_duplicates(
+                ["turn_idx"], keep="first"
+            )
+            rec = extract_batch(pdf["text"], pdf["tool"])
+            step = rec["extracted_text"].str.len().astype("int64") + 1
+            seqs = seq + pd.RangeIndex(1, len(pdf) + 1)
+            offs = off + step.cumsum().shift(1, fill_value=0).to_numpy()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": key[0],
+                        "turn_idx": pdf["turn_idx"].to_numpy(),
+                        "extracted_text": rec["extracted_text"].to_numpy(),
+                        "turn_seq": seqs.astype("int32"),
+                        "char_offset": offs.astype("int64"),
+                    }
+                )
+            )
+            seq += len(pdf)
+            off += int(step.sum())
+        state.update((int(seq), int(off)))
+        yield from outs
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger=1)
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        compose_fn,
+        outputStructType=STATEFUL_OUT,
+        stateStructType=STATEFUL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def hourly_metrics_stream(
     spark: SparkSession,
     input_path: str,

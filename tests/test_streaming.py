@@ -130,3 +130,42 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     jobs.write_turn_batch(sdf, out, batch_id=0, n_parts=4)  # replay
     n2 = spark.read.parquet(f"{out}/turns").filter(F.col("rec") == "data").count()
     assert n1 == n2 == pdf.drop_duplicates(["conv_id", "turn_idx"]).shape[0]
+
+
+def test_stateful_compose_stream(spark, tmp_path):
+    """applyInPandasWithState: a conversation split across micro-
+    batches gets globally consistent (turn_seq, char_offset) via the
+    managed state carry — equal to the batch oracle."""
+    from book_ocr_spark.fixtures import gen_transcripts, to_spark
+    from book_ocr_spark.oracle import oracle_extract
+
+    inp = str(tmp_path / "in")
+    pdf = gen_transcripts(n_convs=4, seed=21)
+    # split each conversation's turns across two files -> two batches
+    # (maxFilesPerTrigger=1), forcing the cross-batch state carry
+    first = pdf[pdf["turn_idx"] < 3]
+    rest = pdf[pdf["turn_idx"] >= 3]
+    to_spark(spark, first).coalesce(1).write.mode("append").parquet(inp)
+    to_spark(spark, rest).coalesce(1).write.mode("append").parquet(inp)
+
+    q = (
+        jobs.stateful_compose_stream(spark, inp)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_compose")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM stateful_compose")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = oracle_extract(pdf).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["extracted_text"].equals(exp["extracted_text"])
+    assert got["turn_seq"].astype("int64").equals(exp["turn_seq"].astype("int64"))
+    assert got["char_offset"].astype("int64").equals(exp["char_offset"].astype("int64"))
