@@ -32,8 +32,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcripts derived from the documents table:
     conv_id = doc_id mod 50, turn_idx = dense rank of doc_id within the
-    conversation; payload kind 'plain'. No external data; pure SQL."""
+    conversation; payload kind 'plain'. No external data; pure SQL.
+
+    The payload is pre-canonicalized to single-spaced printable ASCII
+    (same two regexes inlined in the pipeline_plain_sql/compose_docs
+    oracles) so the pipeline-vs-oracle
+    equivalence is DATA-INDEPENDENT: on such text the pipeline's
+    normalize (control-strip, mojibake, NFC) and canon_ws are the
+    identity + trim, which plain SQL can replicate exactly — without
+    this, a documents row containing a newline or non-ASCII byte would
+    make the two engines' (unreplicable-in-SQL) normalizations diverge."""
     docs = _t(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "[^ -~]", ""), r"\s+", " ")
+    )
     w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(50))).orderBy("doc_id")
     return docs.select(
         F.format_string("conv_%03d", F.pmod(F.col("doc_id"), F.lit(50)).cast("int")).alias(
@@ -41,7 +53,7 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
-        F.col("text"),
+        canon.alias("text"),
         F.lit("plain").alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
@@ -196,10 +208,15 @@ def q_rollup_metrics(spark, sf_dir):
 
 
 def q_nations_except(spark, sf_dir):
-    """X1 set difference: nations with customers but no suppliers."""
+    """X1 set difference (true EXCEPT DISTINCT via subtract): nations
+    that have customers but no high-balance supplier."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.exceptAll(s).distinct().orderBy("nationkey")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s).orderBy("nationkey")
 
 
 def q_nations_intersect(spark, sf_dir):
@@ -821,7 +838,7 @@ def _textstats_oracle_sql(which: str) -> str:
         return duck_quality_flags_sql("documents", "doc_id", "text")
     return f"""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_tok) AS total_bpe_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS total_bpe_tokens,
                ROUND(AVG(n_tok), 4) AS avg_bpe_tokens
         FROM (SELECT lang, {duck_bpe_token_count('text')} AS n_tok FROM documents) t
         GROUP BY lang ORDER BY lang
@@ -897,10 +914,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY returnflag, linestatus
         """,
         "nations_except": """
-            SELECT DISTINCT nationkey FROM (
-                SELECT c_nationkey AS nationkey FROM customer
-                EXCEPT ALL
-                SELECT s_nationkey AS nationkey FROM supplier) t
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
             ORDER BY nationkey
         """,
         "nations_intersect": """
@@ -930,7 +946,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nation ORDER BY n_name
         """,
         "daily_event_rollup": """
-            SELECT DATE_TRUNC('day', ts) AS day, event_type,
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
         """,
@@ -965,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(n_tokens) AS total_tokens,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    ROUND(AVG(n_tokens), 4) AS avg_tokens,
                    ROUND(AVG(n_chars), 4) AS avg_chars
             FROM (SELECT lang,
@@ -1010,9 +1026,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
                 SELECT user_id, ts,
-                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS session_seq
+                           AS BIGINT) AS session_seq
                 FROM g)
             SELECT user_id, session_seq, COUNT(*) AS n_events,
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -1062,13 +1078,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,
                        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INT)
                            AS turn_idx,
-                       TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS extracted_text
+                       TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[^ -~]', '', 'g'), '\\s+', ' ', 'g')) AS extracted_text
                 FROM documents)
             SELECT conv_id, turn_idx, extracted_text,
                    ROW_NUMBER() OVER w AS turn_seq,
-                   COALESCE(SUM(LENGTH(extracted_text) + 1) OVER
+                   CAST(COALESCE(SUM(LENGTH(extracted_text) + 1) OVER
                        (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS char_offset
+                       AS BIGINT) AS char_offset
             FROM t
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
             ORDER BY conv_id, turn_idx
@@ -1078,7 +1094,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,
                        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INT)
                            AS turn_idx,
-                       TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS extracted_text
+                       TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[^ -~]', '', 'g'), '\\s+', ' ', 'g')) AS extracted_text
                 FROM documents)
             SELECT conv_id,
                    STRING_AGG('[user#' || turn_idx || '] ' || extracted_text,

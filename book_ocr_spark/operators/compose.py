@@ -91,7 +91,9 @@ def compose_docs(
       stable regardless of shuffle arrival order;
     * ``turn_cap`` bounds collect_list memory on monster conversations
       (graft of the reference's input-size guard, docs/prd.md:29) and
-      reports truncation in ``truncated``;
+      reports truncation in ``truncated``; with ``bucket_size`` it is
+      enforced at bucket granularity (whole buckets kept while the
+      running count fits);
     * ``bucket_size`` enables two-level concat for skewed conversations
       (partial doc per bucket, then ordered concat of bucket docs).
     """
@@ -132,7 +134,11 @@ def compose_docs(
         return _finish(agg)
 
     # Two-level: partial concat per (conv_id, bucket), then ordered
-    # concat of the (few) bucket docs per conversation.
+    # concat of the (few) bucket docs per conversation. A turn_cap is
+    # honored at BUCKET granularity: whole buckets are kept while the
+    # running turn count stays within the cap (a cap rounded down to a
+    # bucket boundary — bounded memory is the contract, an exact row
+    # cut is not), and `truncated` reports any drop.
     bucket = (F.col("turn_idx").cast("long") / F.lit(bucket_size)).cast("long")
     partial = (
         base.withColumn("_bucket", bucket)
@@ -150,6 +156,40 @@ def compose_docs(
             F.sum("conf").alias("_bconf"),
         )
     )
+    if turn_cap is not None:
+        wb = (
+            Window.partitionBy("conv_id")
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        partial = partial.withColumn("_cum", F.sum("_bn").over(wb)).withColumn(
+            "_keep", F.col("_cum") <= F.lit(turn_cap)
+        )
+        # doc content comes from the kept buckets only; the stats
+        # (n_turns/n_failed/avg_conf) describe the WHOLE conversation —
+        # same semantics as the single-level branch, where `items` is
+        # sliced but the aggregates run over every turn.
+        agg = partial.groupBy("conv_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_bucket"), F.col("_bdoc")),
+                            )
+                        )
+                    ),
+                    lambda x: x["_bdoc"],
+                ),
+                SEP,
+            ).alias("doc"),
+            F.sum("_bn").alias("n_turns"),
+            F.sum("_bfailed").alias("n_failed"),
+            F.sum("_bconf").alias("_conf_sum"),
+            (~F.min("_keep")).alias("truncated"),
+        )
+        return _finish(agg)
     agg = partial.groupBy("conv_id").agg(
         F.array_join(
             F.transform(

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import time
 from collections.abc import Iterator
-from datetime import datetime, timezone
 
 import pandas as pd
 from pyspark import TaskContext
@@ -49,9 +48,15 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from book_ocr_spark import __version__
 from book_ocr_spark.functions.heuristics import extract_batch
-from book_ocr_spark.plans.metrics import METRIC_FIELDS, REC_DATA, REC_METRICS
+from book_ocr_spark.plans.metrics import (
+    METRIC_FIELDS,
+    REC_DATA,
+    REC_METRICS,
+    PartitionMetricsAccumulator,
+)
+
+__all__ = ["FUSED_SCHEMA", "REC_DATA", "REC_METRICS", "fused_extract_compose"]
 from book_ocr_spark.schemas import RECOGNIZE_UDF
 
 FUSED_SCHEMA = StructType(
@@ -87,7 +92,7 @@ def fused_extract_compose(df: DataFrame, lineage_prefix: str) -> DataFrame:
         carry_conv: str | None = None
         carry_seq = 0
         carry_off = 0
-        acc: dict[int, list[float]] = {}  # part_id -> [n, n_failed, conf_sum]
+        acc = PartitionMetricsAccumulator()
 
         for pdf in batches:
             if pdf.empty:
@@ -131,35 +136,14 @@ def fused_extract_compose(df: DataFrame, lineage_prefix: str) -> DataFrame:
             for m in _METRIC_COLS:
                 out[m] = None
 
-            g = out.groupby("part_id").agg(
-                n=("part_id", "size"), nf=("failed", "sum"), cs=("conf", "sum")
-            )
-            for part, row in g.iterrows():
-                a = acc.setdefault(int(part), [0.0, 0.0, 0.0])
-                a[0] += float(row["n"])
-                a[1] += float(row["nf"])
-                a[2] += float(row["cs"])
-
+            acc.add(out)
             yield out[_ALL_COLS]
 
-        if not acc:
-            return
-        elapsed = time.perf_counter() - t0
-        total = sum(a[0] for a in acc.values())
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        parts = sorted(acc)
-        mrows: dict[str, list] = {c: [None] * len(parts) for c in _DATA_COLS}
-        mrows["part_id"] = parts
-        mrows["rec"] = [REC_METRICS] * len(parts)
-        mrows["m_n_turns"] = [int(acc[p][0]) for p in parts]
-        mrows["m_n_failed"] = [int(acc[p][1]) for p in parts]
-        mrows["m_avg_conf"] = [acc[p][2] / acc[p][0] for p in parts]
-        mrows["m_elapsed_s"] = [elapsed * acc[p][0] / total for p in parts]
-        mrows["m_lineage"] = [
-            f"{lineage_prefix}|task={pid}|part={p}|v={__version__}" for p in parts
-        ]
-        mrows["m_updated_at"] = [now] * len(parts)
-        yield pd.DataFrame(mrows)[_ALL_COLS]
+        mrows = acc.metric_rows(
+            time.perf_counter() - t0, pid, lineage_prefix, _DATA_COLS
+        )
+        if mrows is not None:
+            yield mrows[_ALL_COLS]
 
     out = df.mapInPandas(gen, schema=FUSED_SCHEMA)
     # Zip parallel span arrays into array<struct<start,end,label>> —

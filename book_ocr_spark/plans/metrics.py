@@ -52,6 +52,60 @@ METRIC_FIELDS = [
 ]
 
 
+class PartitionMetricsAccumulator:
+    """Shared per-task metrics accumulation + trailing-row emission,
+    used by both metrics.instrumented and the fused hot path
+    (plans/fused.py) so the metrics contract has exactly one
+    implementation.
+
+    Metrics are keyed by the LOGICAL part_id carried in the data, not
+    the physical partition index: AQE may coalesce or split physical
+    partitions at will (and should stay free to), so one task can host
+    several logical partitions. Task wall time is attributed to its
+    logical partitions proportionally to rows."""
+
+    def __init__(self) -> None:
+        self.acc: dict[int, list[float]] = {}  # part_id -> [n, nf, conf_sum]
+
+    def add(self, pdf: pd.DataFrame) -> None:
+        g = pdf.groupby("part_id").agg(
+            n=("part_id", "size"), nf=("failed", "sum"), cs=("conf", "sum")
+        )
+        for part, row in g.iterrows():
+            a = self.acc.setdefault(int(part), [0.0, 0.0, 0.0])
+            a[0] += float(row["n"])
+            a[1] += float(row["nf"])
+            a[2] += float(row["cs"])
+
+    def metric_rows(
+        self,
+        elapsed: float,
+        task_id: int,
+        lineage_prefix: str,
+        data_cols: list[str],
+        rec_value: str = REC_METRICS,
+    ) -> pd.DataFrame | None:
+        """One trailing metrics row per logical partition (NULL in
+        every data column), or None if the task saw no rows."""
+        if not self.acc:
+            return None
+        total = sum(a[0] for a in self.acc.values())
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        parts = sorted(self.acc)
+        rows: dict[str, list] = {c: [None] * len(parts) for c in data_cols}
+        rows["part_id"] = parts
+        rows["rec"] = [rec_value] * len(parts)
+        rows["m_n_turns"] = [int(self.acc[p][0]) for p in parts]
+        rows["m_n_failed"] = [int(self.acc[p][1]) for p in parts]
+        rows["m_avg_conf"] = [self.acc[p][2] / self.acc[p][0] for p in parts]
+        rows["m_elapsed_s"] = [elapsed * self.acc[p][0] / total for p in parts]
+        rows["m_lineage"] = [
+            f"{lineage_prefix}|task={task_id}|part={p}|v={__version__}" for p in parts
+        ]
+        rows["m_updated_at"] = [now] * len(parts)
+        return pd.DataFrame(rows)
+
+
 def instrumented(df: DataFrame, lineage_prefix: str) -> DataFrame:
     """Wrap `df` (must carry conf/failed/part_id columns) so every
     physical partition times itself and appends one metrics row."""
@@ -67,49 +121,22 @@ def instrumented(df: DataFrame, lineage_prefix: str) -> DataFrame:
     all_cols = data_cols + ["rec"] + metric_names
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Metrics are keyed by the LOGICAL part_id carried in the data,
-        # not the physical partition index: AQE may coalesce or split
-        # physical partitions at will (and should stay free to), so one
-        # task can host several logical partitions. Task wall time is
-        # attributed to its logical partitions proportionally to rows.
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
         t0 = time.perf_counter()
-        acc: dict[int, list[float]] = {}  # part_id -> [n, n_failed, conf_sum]
+        acc = PartitionMetricsAccumulator()
         for pdf in batches:
-            g = pdf.groupby("part_id").agg(
-                n=("part_id", "size"),
-                nf=("failed", "sum"),
-                cs=("conf", "sum"),
-            )
-            for part, row in g.iterrows():
-                a = acc.setdefault(int(part), [0.0, 0.0, 0.0])
-                a[0] += float(row["n"])
-                a[1] += float(row["nf"])
-                a[2] += float(row["cs"])
+            acc.add(pdf)
             out = pdf.copy()
             out["rec"] = REC_DATA
             for m in metric_names:
                 out[m] = None
             yield out[all_cols]
-        if not acc:
-            return
-        elapsed = time.perf_counter() - t0
-        total = sum(a[0] for a in acc.values())
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        parts = sorted(acc)
-        mrows: dict[str, list] = {c: [None] * len(parts) for c in data_cols}
-        mrows["part_id"] = parts
-        mrows["rec"] = [REC_METRICS] * len(parts)
-        mrows["m_n_turns"] = [int(acc[p][0]) for p in parts]
-        mrows["m_n_failed"] = [int(acc[p][1]) for p in parts]
-        mrows["m_avg_conf"] = [acc[p][2] / acc[p][0] for p in parts]
-        mrows["m_elapsed_s"] = [elapsed * acc[p][0] / total for p in parts]
-        mrows["m_lineage"] = [
-            f"{lineage_prefix}|task={pid}|part={p}|v={__version__}" for p in parts
-        ]
-        mrows["m_updated_at"] = [now] * len(parts)
-        yield pd.DataFrame(mrows)[all_cols]
+        mrows = acc.metric_rows(
+            time.perf_counter() - t0, pid, lineage_prefix, data_cols
+        )
+        if mrows is not None:
+            yield mrows[all_cols]
 
     return df.mapInPandas(gen, schema=out_schema)
 

@@ -69,18 +69,17 @@ def build_extract_plan(
     the compose window — then spreads across ~n_turns/B tasks. conv_id
     hashing would leave extraction serialized on one task no matter
     how the window is salted."""
-    df = transcripts.withColumn("part_id", cp.part_id_col(n_parts))
     if bucket_size is None:
-        df = df.repartition(n_parts, "conv_id")
+        df = transcripts.repartition(n_parts, "conv_id")
         df = dedup_turns(df)  # reuses the conv_id exchange (subset clustering)
     else:
         # dedup FIRST: its (conv_id, turn_idx) clustering requirement is
         # syntactic, so a salt-expression partitioning would trigger a
         # redundant exchange if ordered after the spread.
-        df = dedup_turns(df)
+        df = dedup_turns(transcripts)
         salt = (F.col("turn_idx").cast("long") / F.lit(bucket_size)).cast("long")
         df = df.repartition(n_parts, F.col("conv_id"), salt)
-    df = with_extraction(df.drop("part_id"))
+    df = with_extraction(df)
     df = compose_turns(df, bucket_size=bucket_size)
     return df.withColumn("part_id", cp.part_id_col(n_parts))
 

@@ -201,3 +201,43 @@ def test_hybrid_auto_skew_routing(spark, transcripts_skew_pd):
     ]
     assert any("path=fused" in ln for ln in lineage)
     assert any("path=salted" in ln for ln in lineage)
+
+
+def test_compose_docs_turn_cap_both_paths(spark, transcripts_skew_pd):
+    """turn_cap bounds the composed doc in BOTH branches: exact row
+    cap in the single-level path, bucket-granularity cap (whole
+    buckets while the running count fits) in the two-level path; both
+    report truncation."""
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.plans.pipeline import build_extract_plan
+
+    extracted = build_extract_plan(to_spark(spark, transcripts_skew_pd), n_parts=4)
+
+    def kept_turns(doc_series):
+        # each turn line begins "[role#idx] " — count those markers
+        return doc_series.str.count(r"\[(?:user|assistant|tool)#\d+\] ")
+
+    flat = compose_docs(extracted, turn_cap=150).orderBy("conv_id").toPandas()
+    big = flat[flat["truncated"]]
+    assert len(big) == 2  # the two skewed conversations
+    assert (kept_turns(big["doc"]) == 150).all()  # exact row cap
+    assert (big["n_turns"] > 150).all()  # stats describe ALL turns
+    assert not flat[~flat["truncated"]].empty
+
+    bucketed = (
+        compose_docs(extracted, bucket_size=64, turn_cap=150)
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    bbig = bucketed[bucketed["truncated"]]
+    assert len(bbig) == 2
+    # bucket-granularity: whole buckets while the running count fits
+    assert (kept_turns(bbig["doc"]) == 128).all()  # 2 buckets of 64
+    assert bbig["n_turns"].reset_index(drop=True).equals(
+        big["n_turns"].reset_index(drop=True)
+    )
+    # untruncated conversations identical across the two paths
+    small_a = flat[~flat["truncated"]].reset_index(drop=True)
+    small_b = bucketed[~bucketed["truncated"]].reset_index(drop=True)
+    assert small_a["doc"].equals(small_b["doc"])

@@ -172,3 +172,21 @@ def test_replay_noop_when_no_output_exists(spark, out_dir):
 
     res = replay_failed(spark, "<fixture>", out_dir, n_parts=4)
     assert res["parts_processed"] == [] and res["chunks"] == 0
+
+
+def test_run_with_salted_path_writes_instrumented_output(spark, transcripts_skew_pd, out_dir):
+    """The run(bucket_size=...) production path (instrumented salted
+    plan) must write the same table layout as the fused path: data
+    rows matching the oracle plus readable per-partition metrics."""
+    sdf = to_spark(spark, transcripts_skew_pd)
+    res = run(spark, "<fixture>", out_dir, n_parts=4, bucket_size=64, transcripts=sdf)
+    assert res["parts_processed"] == [0, 1, 2, 3]
+    exp = oracle_extract(transcripts_skew_pd).reset_index(drop=True)
+    got = read_extracted(spark, out_dir).orderBy("conv_id", "turn_idx").toPandas()
+    assert len(got) == len(exp)
+    assert got["extracted_text"].reset_index(drop=True).equals(exp["extracted_text"])
+    assert got["turn_seq"].reset_index(drop=True).equals(exp["turn_seq"])
+    assert got["char_offset"].reset_index(drop=True).equals(exp["char_offset"])
+    m = read_metrics(spark, f"{out_dir}/turns").toPandas()
+    assert m["n_turns"].sum() == len(exp)
+    assert (m["elapsed_s"] > 0).all()
