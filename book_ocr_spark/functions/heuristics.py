@@ -332,10 +332,6 @@ def _segment_markdown(s: pd.Series) -> pd.DataFrame:
 
 
 def _json_leaves(payload: str):
-    try:
-        obj = json.loads(payload)
-    except ValueError:
-        return None
     out: list[tuple[str, str]] = []
 
     def walk(x, key: str) -> None:
@@ -348,7 +344,14 @@ def _json_leaves(payload: str):
         elif isinstance(x, str):
             out.append((key, x))
 
-    walk(obj, "")
+    # RecursionError alongside ValueError: a pathologically nested
+    # payload (json.loads' C parser or the walk itself can blow the
+    # stack) must take the quarantine path like any malformed row,
+    # not fail the whole Spark task.
+    try:
+        walk(json.loads(payload), "")
+    except (ValueError, RecursionError):
+        return None
     return out
 
 

@@ -223,6 +223,7 @@ def minhash_near_dup(
     threshold: float = 0.6,
     unit: str = "word",
     materialize: bool = True,
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """Full MinHash->LSH->verify chain. Output equals brute-force
     Jaccard >= threshold (LSH at r=2,b=32 has ~1e-6 miss rate at the
@@ -230,15 +231,21 @@ def minhash_near_dup(
 
     ``materialize`` persists the (id, shingles) projection: it feeds
     the signature aggregation AND both sides of the verify join, so
-    without it the shingle+md5 work recomputes per consumer. At
-    warehouse scale, write the shingle/signature projections to tables
-    once and run banding/verification against those tables instead
-    (same plan, durable materialization)."""
+    without it the shingle+md5 work recomputes per consumer. The
+    persisted handle is appended to ``storage_handle`` (if given) so a
+    long-lived session can `unpersist()` after materializing the
+    result; without cleanup the MEMORY_AND_DISK block stays cached
+    until LRU eviction (bounded, but not free). At warehouse scale,
+    write the shingle/signature projections to tables once and run
+    banding/verification against those tables instead (same plan,
+    durable materialization)."""
     grams = shingle_sets(corpus, id_col, text_col, k, unit)
     if materialize:
         from pyspark import StorageLevel
 
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        if storage_handle is not None:
+            storage_handle.append(grams)
     cands = lsh_candidate_pairs(_signature_from_grams(grams), "id")
     return jaccard_verify(cands, grams, "id", threshold)
 

@@ -134,23 +134,38 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
+    init_pool_bound: int | None = None,
 ):
     """Coarse quantizer via Lloyd iterations, pure DataFrame ops.
 
-    Deterministic init (the n_cells lowest ids); each iteration:
-    assign every vector to its nearest centroid (N x K broadcast
-    cross-join — exactly the IVF assignment cost at scale), then
-    recompute centroids as the per-cell dimension-wise mean
-    (posexplode -> hash agg -> ordered re-assembly). The centroid
-    table is K rows — driver-sized by construction, like every
-    production k-means (MLlib does the same collect per iteration).
+    Deterministic SAMPLED init: the n_cells vectors with the smallest
+    md5(id) — a seed-free pseudo-random sample any engine reproduces
+    (same portable-hash idea as dedup.spark_h28), decorrelated from id
+    order. At warehouse scale pass ``init_pool_bound`` (≈ 2^28 *
+    8*n_cells / N): the candidate pool is pre-filtered to
+    h28(id) < bound so the init top-k heap scans a narrow filter
+    instead of ranking all N rows. Each iteration: assign every vector
+    to its nearest centroid (N x K broadcast cross-join — exactly the
+    IVF assignment cost at scale), then recompute centroids as the
+    per-cell dimension-wise mean (posexplode -> hash agg -> ordered
+    re-assembly), ROUNDED to 6dp so the result is independent of
+    partial-aggregate merge order (double addition is non-associative;
+    without the rounding, centroids — and hence near-tie assignments —
+    could drift run-to-run and engine-to-engine). The centroid table
+    is K rows — driver-sized by construction, like every production
+    k-means (MLlib does the same collect per iteration).
 
     Returns (assignments DF (id, cell), centroids DF (cell, c_vec)).
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    w_init = Window.orderBy("id")
+    pool = c.withColumn(
+        "_h", F.expr("cast(conv(substring(md5(cast(id as string)), 1, 7), 16, 10) as bigint)")
+    )
+    if init_pool_bound is not None:
+        pool = pool.filter(F.col("_h") < init_pool_bound)
+    w_init = Window.orderBy("_h", "id")
     centroids = (
-        c.orderBy("id")
+        pool.orderBy("_h", "id")
         .limit(n_cells)
         .select(
             (F.row_number().over(w_init) - 1).alias("cell"),
@@ -171,7 +186,7 @@ def ivf_build(
         centroids = (
             assign.select("cell", F.posexplode(F.col("v").cast("array<double>")))
             .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(F.round(F.avg("col"), 6).alias("m"))
             .groupBy("cell")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
@@ -261,14 +276,25 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = N_PLANES,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN: candidates = corpus vectors sharing the query's hyperplane
     bucket; exact cosine + top-k within candidates. One narrow
     projection to compute buckets, one equi-join on the bucket key
     (replacing the O(Q*N) cross join), one small top-k window.
-    The embedding dimension is read from one probe row (tiny driver
-    job) so the weight literals can be materialized up front."""
-    dim = len(queries.select(vec_col).first()[0])
+
+    Pass ``dim`` (the embedding dimensionality) to skip the probe-row
+    driver job; without it, one probe row is read to size the weight
+    literals. An empty / null-vector probe set returns an empty result
+    instead of dying in len(None)."""
+    if dim is None:
+        row = queries.select(vec_col).first()
+        if row is None or row[0] is None:
+            spark = queries.sparkSession
+            return spark.createDataFrame(
+                [], "query_id long, rank bigint, neighbor_id long, sim double"
+            )
+        dim = len(row[0])
     sig = _hyperplane_sign_bits(vec_col, n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")

@@ -88,7 +88,12 @@ def write_turn_batch(
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "rec", "part_id")
+        # rec first so the layout matches the batch writer's
+        # (rec, part_id) tree: plans.pipeline.read_extracted /
+        # read_quarantine work unchanged on streaming output, with
+        # batch_id as the innermost level so a replayed micro-batch
+        # still rewrites exactly its own leaf directories (idempotent).
+        .partitionBy("rec", "part_id", "batch_id")
         .parquet(f"{out_path}/turns")
     )
 
@@ -128,7 +133,7 @@ STATEFUL_OUT = (
     "conv_id string, turn_idx int, extracted_text string, "
     "turn_seq int, char_offset long"
 )
-STATEFUL_STATE = "seq int, off long"
+STATEFUL_STATE = "seq int, off long, max_idx int"
 
 
 def stateful_compose_stream(spark: SparkSession, input_path: str):
@@ -140,19 +145,27 @@ def stateful_compose_stream(spark: SparkSession, input_path: str):
 
     Assumes per-conversation in-order arrival across batches (true for
     append-only transcript logs; the batch job is the fallback for
-    out-of-order backfills). Returns the streaming DataFrame; attach a
-    sink + checkpoint to run."""
+    out-of-order backfills). Duplicates are dropped both within a
+    micro-batch AND across batches: the state carries the max turn_idx
+    already emitted, and any later-arriving row at or below it is
+    discarded — a replayed/duplicated turn can no longer skew the
+    carried (turn_seq, char_offset) prefix scan. Returns the streaming
+    DataFrame; attach a sink + checkpoint to run."""
     import pandas as pd
 
     from book_ocr_spark.functions.heuristics import extract_batch
 
     def compose_fn(key, pdfs, state):
-        seq, off = state.get if state.exists else (0, 0)
+        seq, off, max_idx = state.get if state.exists else (0, 0, -1)
         outs = []
         for pdf in pdfs:
             pdf = pdf.sort_values("turn_idx", kind="stable").drop_duplicates(
                 ["turn_idx"], keep="first"
             )
+            pdf = pdf[pdf["turn_idx"] > max_idx]
+            if pdf.empty:
+                continue
+            max_idx = int(pdf["turn_idx"].max())
             rec = extract_batch(pdf["text"], pdf["tool"])
             step = rec["extracted_text"].str.len().astype("int64") + 1
             seqs = seq + pd.RangeIndex(1, len(pdf) + 1)
@@ -170,7 +183,7 @@ def stateful_compose_stream(spark: SparkSession, input_path: str):
             )
             seq += len(pdf)
             off += int(step.sum())
-        state.update((int(seq), int(off)))
+        state.update((int(seq), int(off), int(max_idx)))
         yield from outs
 
     from pyspark.sql.streaming.state import GroupStateTimeout
