@@ -583,6 +583,55 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     return cosine_near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
+def _neardup_embeddings(spark, sf_dir):
+    """Embeddings corpus with constructed near-duplicates: vec_id<150
+    gets a variant (id+100000) with each component perturbed by
+    0.025*((i*7)%5 - 2) — deterministic, bit-replicable in DuckDB
+    (float->double cast + double arithmetic in the same order), giving
+    variant pairs cosine ~0.95-0.97 against a ~0.51 baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    pert = F.expr(
+        "transform(cast(embedding as array<double>),"
+        " (x, i) -> x + 0.025D * cast((i*7) % 5 - 2 as double))"
+    )
+    var = e.filter(F.col("vec_id") < 150).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    base = e.select("vec_id", F.expr("cast(embedding as array<double>)").alias("embedding"))
+    return base.unionByName(var)
+
+
+_NEARDUP_EMB_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(CAST(embedding AS DOUBLE[]),
+               (x, j) -> x + CAST(0.025 AS DOUBLE)
+                             * CAST((((j-1)*7) % 5) - 2 AS DOUBLE))
+    FROM embeddings WHERE vec_id < 150
+"""
+
+
+def q_embedding_pairs_bucketed(spark, sf_dir):
+    """Banded hyperplane-LSH cosine near-dup pairs (the scale path for
+    embedding_cosine_pairs): band equi-join + exact-cosine verify.
+    Hash-compared to the brute-force all-pairs DuckDB oracle on the
+    constructed near-dup corpus — on this fixture the banding has no
+    misses (per-pair miss ~4e-5 at 16 bands), so outputs are equal."""
+    from book_ocr_spark.operators.similarity import cosine_near_dup_pairs_bucketed
+
+    return (
+        cosine_near_dup_pairs_bucketed(
+            _neardup_embeddings(spark, sf_dir),
+            threshold=0.9,
+            n_bands=16,
+            band_planes=8,
+            dim=64,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_ann_lsh_bucket(spark, sf_dir):
     """LSH-bucketed ANN (scale path): approximate by construction ->
     rows-only driver check; recall vs brute force asserted in tests."""
@@ -779,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_sim": q_ngram_jaccard_sim,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_pairs_bucketed": q_embedding_pairs_bucketed,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "post_signup_activity": q_post_signup_activity,
@@ -820,6 +870,14 @@ def _similarity_oracle_sql(which: str) -> str:
     probes = "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10"
     if which == "topk":
         return duck_cosine_topk_sql(corpus, probes, k=5)
+    if which == "pairs_bucketed":
+        # brute-force all-pairs ground truth over the constructed
+        # near-dup corpus: equals the banded output when no band miss
+        # occurs (see q_embedding_pairs_bucketed)
+        return duck_cosine_near_dup_sql(
+            f"SELECT vec_id AS id, embedding AS v FROM ({_NEARDUP_EMB_SQL}) t",
+            threshold=0.9,
+        )
     return duck_cosine_near_dup_sql(
         "SELECT vec_id AS id, embedding AS v FROM embeddings", threshold=0.4
     )
@@ -1070,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_sim": _dedup_oracle_sql("ngram"),
         "ann_cosine_topk": _similarity_oracle_sql("topk"),
         "embedding_cosine_pairs": _similarity_oracle_sql("pairs"),
+        "embedding_pairs_bucketed": _similarity_oracle_sql("pairs_bucketed"),
         "lang_confusion": _textstats_oracle_sql("lang"),
         "bpe_token_stats": _textstats_oracle_sql("bpe"),
         "quality_flags": _textstats_oracle_sql("quality"),

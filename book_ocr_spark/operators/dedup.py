@@ -314,12 +314,62 @@ def duck_simhash_sql(corpus_sql: str) -> str:
     """
 
 
+def _simhash_band_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for max_hamming+1 contiguous bands covering
+    SIMHASH_BITS. Pigeonhole: two fingerprints within Hamming
+    max_hamming differ in at most max_hamming bands, so they MUST
+    agree exactly on at least one of max_hamming+1 — the band
+    equi-join has zero false negatives (not probabilistic like
+    minhash banding)."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, n_bands)
+    bounds, start = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_dup(
     corpus: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance. The pair generation
-    here is the O(n^2) definition (fine for oracle parity; at scale the
-    LSH band trick applies to simhash bands exactly as to minhash)."""
+    """SimHash near-dup pairs by Hamming distance, via Hamming-LSH
+    banding: the 56-bit fingerprint splits into max_hamming+1 bit
+    bands; candidates = pairs agreeing exactly on >=1 band (guaranteed
+    to include every true pair — see _simhash_band_bounds); verify =
+    bit_count(xor) <= max_hamming. The only shuffles are the (band,
+    key) equi-join and the final pair distinct — the O(n^2) cross join
+    of the brute-force definition (kept as
+    simhash_near_dup_bruteforce, the oracle) never materializes."""
+    s = simhash(corpus, id_col, text_col)
+    keys = F.array(
+        *[
+            F.shiftright("simhash", start).bitwiseAND(F.lit((1 << width) - 1))
+            for start, width in _simhash_band_bounds(max_hamming)
+        ]
+    )
+    e = s.select(
+        F.col(id_col).alias("id"), "simhash", F.posexplode(keys).alias("band", "key")
+    )
+    a = e.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = e.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def simhash_near_dup_bruteforce(
+    corpus: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """The O(n^2) all-pairs definition — verification-grade only (the
+    recall ground truth for the banded path; duck_simhash_near_dup_sql
+    is its SQL twin)."""
     s = simhash(corpus, id_col, text_col)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))

@@ -132,6 +132,39 @@ def test_lsh_candidate_join_is_equi_join(spark):
     ), plan
 
 
+def test_simhash_near_dup_is_banded_equi_join(spark):
+    """The default simhash pair path must be the Hamming-LSH band
+    equi-join — no cartesian node anywhere in the plan."""
+    from book_ocr_spark.operators.dedup import simhash_near_dup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)], "id int, text string"
+    )
+    plan = _explain(simhash_near_dup(docs, "id", "text", max_hamming=4))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_cosine_pairs_bucketed_is_equi_join(spark):
+    """Banded hyperplane-LSH cosine pairs: candidate generation must be
+    a (band, key) equi-join, never a cross product."""
+    from book_ocr_spark.operators.similarity import cosine_near_dup_pairs_bucketed
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2), F.rand(3)).cast("array<float>").alias("embedding"),
+    )
+    plan = _explain(
+        cosine_near_dup_pairs_bucketed(emb, n_bands=4, band_planes=4, dim=3)
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
 def test_documents_scan_prunes_columns(spark, tmp_path):
     """quality_flags over a wide table must read only (id, text)."""
     from book_ocr_spark.operators.textstats import quality_flags

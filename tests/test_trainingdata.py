@@ -99,6 +99,17 @@ def test_simhash_near_dup_pairs(docs_df):
     assert (0, 1) in _pairs(got)
 
 
+def test_simhash_banded_equals_bruteforce(docs_df):
+    """The banded path is exact by pigeonhole: its output must equal
+    the O(n^2) definition row-for-row, at several radii."""
+    for tau in (2, 6, 10):
+        banded = dedup.simhash_near_dup(docs_df, "id", "text", max_hamming=tau)
+        brute = dedup.simhash_near_dup_bruteforce(docs_df, "id", "text", max_hamming=tau)
+        got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+        want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+        assert got == want, tau
+
+
 def test_ngram_jaccard_pairs(docs_df):
     got = dedup.ngram_jaccard_pairs(docs_df, "id", "text", n=3, threshold=0.2)
     p = _pairs(got)
@@ -145,6 +156,25 @@ def test_cosine_topk_matches_numpy(emb_df):
 def test_cosine_near_dup_pairs(emb_df):
     got = similarity.cosine_near_dup_pairs(emb_df, threshold=0.95)
     assert (0, 1) in {(r.id_a, r.id_b) for r in got.collect()}
+
+
+def test_cosine_pairs_bucketed_recall(emb_df):
+    """Banded-LSH pairs vs the brute-force definition: full recall on
+    the fixture (pairs at sim>=0.95 have per-pair miss ~1e-3 at 12x8
+    banding; the single constructed near-dup pair must survive) and
+    zero false positives (exact verify)."""
+    brute = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_near_dup_pairs(emb_df, threshold=0.95).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_near_dup_pairs_bucketed(
+            emb_df, threshold=0.95, n_bands=12, band_planes=8, dim=16
+        ).collect()
+    }
+    assert banded == brute
+    assert any(p[:2] == (0, 1) for p in banded)
 
 
 def test_lsh_bucket_recall(emb_df):
