@@ -633,20 +633,25 @@ def q_embedding_pairs_bucketed(spark, sf_dir):
 
 
 def q_ann_lsh_bucket(spark, sf_dir):
-    """LSH-bucketed ANN (scale path): approximate by construction ->
-    rows-only driver check; recall vs brute force asserted in tests."""
+    """LSH-bucketed ANN (scale path). Approximate relative to exact
+    top-k, but DETERMINISTIC (md5-derived hyperplanes) — so DuckDB
+    replicates bucket assignment + exact cosine + rank exactly and the
+    driver runs a full rows+schema+hash check; recall vs brute force
+    is separately asserted in tests."""
     from book_ocr_spark.operators.similarity import lsh_bucket_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6).orderBy(
-        "query_id", "rank"
-    )
+    return lsh_bucket_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_planes=6, dim=64
+    ).orderBy("query_id", "rank")
 
 
 def q_ivf_cosine_topk(spark, sf_dir):
     """IVF ANN (k-means-lite coarse cells, Lloyd x2, nprobe=4 of 16):
-    the clustered-corpus scale path. Approximate -> rows-only check;
-    recall asserted in tests on clustered fixtures."""
+    the clustered-corpus scale path. Deterministic (md5-ordered init,
+    6dp-rounded centroid means), so DuckDB replays the entire Lloyd
+    recurrence and the driver runs a full rows+schema+hash check;
+    recall is asserted in tests on clustered fixtures."""
     from book_ocr_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -715,15 +720,18 @@ def q_quality_flags(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns -> byte-level features via one
-    mapInPandas pass (decode stubbed; plumbing real). Deterministic
-    synthetic media, rows-only check."""
+    mapInPandas pass (decode stubbed; plumbing real). The media is
+    deterministic (sha256-derived payloads), so a DuckDB oracle
+    reconstructs the payloads in hex-string space and hash-checks all
+    six feature columns, entropy and digest included."""
     from book_ocr_spark.operators.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark, n=96)).orderBy("media_id")
 
 
 def q_media_frame_sample(spark, sf_dir):
-    """Video frame-sampling plan: JVM-side frame index explosion."""
+    """Video frame-sampling plan: JVM-side frame index explosion,
+    hash-checked against a generate_series DuckDB oracle."""
     from book_ocr_spark.operators.multimodal import frame_sample_plan, synth_media
 
     return frame_sample_plan(synth_media(spark, n=96), every_n=10).orderBy(
@@ -870,6 +878,23 @@ def _similarity_oracle_sql(which: str) -> str:
     probes = "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10"
     if which == "topk":
         return duck_cosine_topk_sql(corpus, probes, k=5)
+    if which == "lsh_bucket":
+        from book_ocr_spark.operators.similarity import duck_lsh_bucket_topk_sql
+
+        # deterministic md5-derived hyperplanes => the ANN result is
+        # exactly replicable, so the 'approximate' op gets a full
+        # rows+schema+hash oracle (same params as q_ann_lsh_bucket)
+        return duck_lsh_bucket_topk_sql(corpus, probes, k=5, n_planes=6, dim=64)
+    if which == "ivf":
+        from book_ocr_spark.operators.similarity import duck_ivf_topk_sql
+
+        # deterministic init + 6dp-rounded Lloyd iterations => the
+        # whole IVF recurrence replays bit-identically in DuckDB
+        return duck_ivf_topk_sql(
+            "SELECT vec_id AS id, embedding AS v FROM embeddings",
+            "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10",
+            k=5,
+        )
     if which == "pairs_bucketed":
         # brute-force all-pairs ground truth over the constructed
         # near-dup corpus: equals the banded output when no band miss
@@ -901,6 +926,17 @@ def _textstats_oracle_sql(which: str) -> str:
         FROM (SELECT lang, {duck_bpe_token_count('text')} AS n_tok FROM documents) t
         GROUP BY lang ORDER BY lang
     """
+
+
+def _multimodal_oracle_sql(which: str) -> str:
+    from book_ocr_spark.operators.multimodal import (
+        duck_frame_sample_sql,
+        duck_media_features_sql,
+    )
+
+    if which == "features":
+        return duck_media_features_sql(n=96, seed=7)
+    return duck_frame_sample_sql(n=96, every_n=10)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1127,11 +1163,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _dedup_oracle_sql("simhash_pairs"),
         "ngram_jaccard_sim": _dedup_oracle_sql("ngram"),
         "ann_cosine_topk": _similarity_oracle_sql("topk"),
+        "ann_lsh_bucket": _similarity_oracle_sql("lsh_bucket"),
+        "ivf_cosine_topk": _similarity_oracle_sql("ivf"),
         "embedding_cosine_pairs": _similarity_oracle_sql("pairs"),
         "embedding_pairs_bucketed": _similarity_oracle_sql("pairs_bucketed"),
         "lang_confusion": _textstats_oracle_sql("lang"),
         "bpe_token_stats": _textstats_oracle_sql("bpe"),
         "quality_flags": _textstats_oracle_sql("quality"),
+        "multimodal_features": _multimodal_oracle_sql("features"),
+        "media_frame_sample": _multimodal_oracle_sql("frames"),
         "pipeline_plain_sql": """
             WITH t AS (
                 SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,

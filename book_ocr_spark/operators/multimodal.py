@@ -118,7 +118,14 @@ def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Binary -> features via one Arrow-batched pass: byte histogram
     entropy, mean byte, content sha. All math vectorized per batch
-    (np.unique/bincount), never per-row Python over Spark rows."""
+    (np.unique/bincount), never per-row Python over Spark rows.
+
+    payload_sha is sha256 over the payload's LOWERCASE HEX encoding
+    (not the raw bytes): a bijective encoding keeps it a real content
+    fingerprint while making the digest replicable by SQL engines
+    whose crypto hashes only accept VARCHAR (the DuckDB correctness
+    oracle) — same portability rationale as dedup's md5-derived
+    hashes."""
     media = media.filter(
         F.col("payload").isNotNull() & (F.length("payload") <= MAX_PAYLOAD_BYTES)
     )
@@ -135,7 +142,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 entropy.append(float(-(p * np.log2(p)).sum()))
                 n_bytes.append(len(buf))
                 mean_b.append(float(buf.mean()) if len(buf) else 0.0)
-                shas.append(hashlib.sha256(payload).hexdigest())
+                shas.append(hashlib.sha256(bytes(payload).hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -148,6 +155,62 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def duck_media_features_sql(n: int, seed: int = 7) -> str:
+    """DuckDB twin of extract_features over synth_media(n, seed): the
+    payload is reconstructed in HEX-STRING space (sha256 -> repeat ->
+    substr, all VARCHAR because this DuckDB build has no blob
+    hashing/slicing), bytes decoded per hex pair for the histogram
+    entropy and mean, and the content digest is sha256 over the same
+    lowercase hex encoding the Spark side hashes."""
+    return f"""
+        WITH m AS (
+            SELECT CAST(r.range AS BIGINT) AS media_id,
+                   CASE CAST(r.range % 3 AS INT)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind
+            FROM range({n}) r),
+        p AS (
+            SELECT media_id, kind,
+                   1024 + media_id % 4096 AS n_bytes,
+                   substr(repeat(sha256('{seed}:' || media_id),
+                                 CAST(64 + media_id % 512 AS INT)),
+                          1, CAST(2 * (1024 + media_id % 4096) AS INT)) AS hx
+            FROM m),
+        b AS (
+            SELECT media_id,
+                   unnest(list_transform(range(1, CAST(n_bytes AS INT) + 1),
+                       i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS INT)))
+                       AS byte
+            FROM p),
+        h AS (SELECT media_id, byte, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        stats AS (
+            SELECT media_id,
+                   ROUND(-SUM((c / CAST(n_bytes AS DOUBLE))
+                              * log2(c / CAST(n_bytes AS DOUBLE))), 4)
+                       AS byte_entropy,
+                   ROUND(SUM(byte * c) / CAST(n_bytes AS DOUBLE), 4) AS mean_byte
+            FROM h JOIN p USING (media_id)
+            GROUP BY media_id, n_bytes)
+        SELECT p.media_id, p.kind, CAST(p.n_bytes AS BIGINT) AS n_bytes,
+               s.byte_entropy, s.mean_byte, sha256(p.hx) AS payload_sha
+        FROM p JOIN stats s USING (media_id)
+        ORDER BY media_id
+    """
+
+
+def duck_frame_sample_sql(n: int, every_n: int = 10, n_frames: int = 30) -> str:
+    """DuckDB twin of frame_sample_plan over synth_media(n): video rows
+    (media_id % 3 == 2) exploded to frame indices 0..n_frames-1 step
+    every_n."""
+    return f"""
+        SELECT CAST(r.range AS BIGINT) AS media_id,
+               CAST(g.generate_series AS INT) AS frame_idx
+        FROM range({n}) r, generate_series(0, {n_frames - 1}, {every_n}) g
+        WHERE r.range % 3 = 2
+        ORDER BY media_id, frame_idx
+    """
 
 
 def resize_plan(media: DataFrame, out_w: int, out_h: int) -> DataFrame:

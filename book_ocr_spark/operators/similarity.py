@@ -313,6 +313,93 @@ def ivf_topk(
     )
 
 
+def duck_ivf_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of ivf_topk: replays the exact ivf_build recurrence
+    — md5-ordered init, per-iteration nearest-centroid assignment
+    (unrounded cosine, ties to the lower cell) and 6dp-rounded
+    dimension-wise means — then the nprobe/top-k probe. The 6dp
+    centroid rounding is what makes the two engines' Lloyd iterations
+    bit-identical despite different partial-sum orders (see ivf_build).
+    corpus_sql must yield (id, v); queries_sql (query_id, q_vec)."""
+
+    def cos(a: str, b: str) -> str:
+        dot = f"list_dot_product({a}, {b})"
+        na = f"sqrt(list_dot_product({a}, {a}))"
+        nb = f"sqrt(list_dot_product({b}, {b}))"
+        return f"({dot}) / (({na}) * ({nb}))"
+
+    h = "CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7)) AS BIGINT)"
+    ctes = [
+        f"corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM ({corpus_sql}) c0)",
+        f"""cent0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY {h}, id) - 1 AS cell, v AS c_vec
+            FROM corpus ORDER BY {h}, id LIMIT {n_cells})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""assign{i} AS (
+            SELECT id, cell, v FROM (
+                SELECT c.id, c.v, ct.cell,
+                       ROW_NUMBER() OVER (PARTITION BY c.id
+                           ORDER BY {cos('c.v', 'ct.c_vec')} DESC, ct.cell ASC) AS rk
+                FROM corpus c CROSS JOIN cent{i - 1} ct) t
+            WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""cent{i} AS (
+            SELECT cell, list(m ORDER BY pos) AS c_vec FROM (
+                SELECT cell, u.pos AS pos, ROUND(AVG(u.val), 6) AS m
+                FROM (SELECT cell,
+                             unnest(list_transform(v, (x,j) -> {{'pos': j, 'val': x}})) AS u
+                      FROM assign{i}) z
+                GROUP BY cell, u.pos) g
+            GROUP BY cell)"""
+        )
+    ctes.append(
+        f"""probes AS (SELECT query_id, CAST(q_vec AS DOUBLE[]) AS q_vec
+            FROM ({queries_sql}) q0)"""
+    )
+    ctes.append(
+        f"""probed AS (
+            SELECT query_id, q_vec, cell FROM (
+                SELECT q.query_id, q.q_vec, ct.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {cos('q.q_vec', 'ct.c_vec')} DESC, ct.cell ASC) AS rk
+                FROM probes q CROSS JOIN cent{iters} ct) t
+            WHERE rk <= {nprobe})"""
+    )
+    ctes.append(
+        """cand AS (
+            SELECT p.query_id, p.q_vec, a.id AS neighbor_id, a.v AS c_vec
+            FROM probed p JOIN assign{it} a USING (cell)
+            WHERE a.id <> p.query_id)""".format(it=iters)
+    )
+    ctes.append(
+        f"""scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND({cos('q_vec', 'c_vec')}, 4) AS sim
+            FROM cand)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT query_id, rank, neighbor_id, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored) t
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
@@ -344,6 +431,54 @@ def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int):
         )
         terms.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
     return F.expr(" + ".join(terms)).cast("int")
+
+
+def duck_hyperplane_bucket(vec_expr: str, n_planes: int, dim: int) -> str:
+    """DuckDB twin of _hyperplane_sign_bits: identical integer weight
+    literals, double-cast dot product, sign bits packed the same way.
+    Bit-for-bit equal to Spark's bucket (list_dot_product's sequential
+    fold matches Spark's aggregate fold — proven by the bit-equal
+    ann_cosine_topk oracle)."""
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ",".join(f"CAST({_plane_weight(p, d)} AS DOUBLE)" for d in range(dim)) + "]"
+        proj = f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {arr})"
+        terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def duck_lsh_bucket_topk_sql(
+    corpus_sql: str, queries_sql: str, k: int, n_planes: int, dim: int
+) -> str:
+    """DuckDB twin of lsh_bucket_topk: deterministic hyperplane
+    buckets make the 'approximate' ANN exactly replicable — bucket
+    equi-join, exact cosine among candidates, top-k. corpus_sql must
+    yield (neighbor_id, c_vec); queries_sql (query_id, q_vec)."""
+    bucket_c = duck_hyperplane_bucket("c_vec", n_planes, dim)
+    bucket_q = duck_hyperplane_bucket("q_vec", n_planes, dim)
+    dot = "list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[]))"
+    nq = "sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))"
+    nc = "sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))"
+    return f"""
+        WITH corpus AS (
+            SELECT neighbor_id, c_vec, {bucket_c} AS bucket
+            FROM ({corpus_sql}) c0),
+        probes AS (
+            SELECT query_id, q_vec, {bucket_q} AS bucket
+            FROM ({queries_sql}) q0),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   ROUND(({dot}) / (({nq}) * ({nc})), 4) AS sim
+            FROM corpus c JOIN probes q USING (bucket)
+            WHERE c.neighbor_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored) t
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
 
 
 def lsh_bucket_topk(

@@ -33,7 +33,9 @@ def test_extract_features(media_df):
     raw = {r.media_id: bytes(r.payload) for r in media_df.collect()}
     for mid, r in feats.items():
         assert r.n_bytes == len(raw[mid])
-        assert r.payload_sha == hashlib.sha256(raw[mid]).hexdigest()
+        # digest is over the hex encoding (portable across SQL engines
+        # without blob hashing — see extract_features docstring)
+        assert r.payload_sha == hashlib.sha256(raw[mid].hex().encode()).hexdigest()
         assert 0.0 <= r.byte_entropy <= 8.0
 
 
