@@ -524,6 +524,66 @@ def _dedup_corpus_sql(max_id=None) -> str:
     """
 
 
+def _inc_snapshots(spark, sf_dir):
+    """Two-snapshot incremental-dedup fixture: EXISTING corpus =
+    canonicalized docs id<250; NEW batch = docs id>=250, plus near-dup
+    variants of existing docs (id+100000, last 40 chars cut), plus
+    exact copies of existing docs (id+200000) — so the batch contains
+    all three cases a daily ingest sees: new content, near-dup drift,
+    exact re-crawls."""
+    base = _canon_docs(spark, sf_dir)
+    existing = base.filter(F.col("id") < 250)
+    var = base.filter((F.col("id") < 100) & (F.length("text") > 200)).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("substring(text, 1, length(text)-40)").alias("text"),
+    )
+    copies = base.filter(F.col("id") < 50).select(
+        (F.col("id") + 200000).alias("id"), "text"
+    )
+    new = base.filter(F.col("id") >= 250).unionByName(var).unionByName(copies)
+    return existing, new
+
+
+_INC_EXISTING_SQL = f"SELECT id, text FROM ({_CANON_DOCS_SQL}) t WHERE id < 250"
+_INC_NEW_SQL = f"""
+    WITH base AS ({_CANON_DOCS_SQL})
+    SELECT id, text FROM base WHERE id >= 250
+    UNION ALL
+    SELECT id + 100000, substr(text, 1, CAST(len(text) AS INT) - 40)
+    FROM base WHERE id < 100 AND len(text) > 200
+    UNION ALL
+    SELECT id + 200000, text FROM base WHERE id < 50
+"""
+
+
+def q_incremental_exact_dedup(spark, sf_dir):
+    """MERGE-shaped exact dedup: new batch anti-joined against the
+    existing corpus's content-hash table, then deduped within batch."""
+    from book_ocr_spark.operators.dedup import incremental_exact_dedup
+
+    existing, new = _inc_snapshots(spark, sf_dir)
+    hashes = existing.select(F.md5(F.col("text")).alias("content_hash"))
+    return incremental_exact_dedup(new, hashes, "id", "text").orderBy("canonical_id")
+
+
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental MinHash near-dup: batch-vs-existing + batch-vs-batch
+    band joins against materialized signature tables (the existing x
+    existing quadrant never materializes). Hash-compared to the
+    brute-force incremental Jaccard oracle."""
+    from book_ocr_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_signature,
+    )
+
+    existing, new = _inc_snapshots(spark, sf_dir)
+    ex_sigs = minhash_signature(existing, "id", "text", k=3)
+    new_sigs = minhash_signature(new, "id", "text", k=3)
+    return incremental_minhash_near_dup(new_sigs, ex_sigs, threshold=0.6).orderBy(
+        "new_id", "match_id"
+    )
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash(64)+LSH(32 bands) near-dup pairs over word 3-grams,
     exact-Jaccard verified — output equals the brute-force oracle."""
@@ -831,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
+        "incremental_exact_dedup": q_incremental_exact_dedup,
+        "incremental_near_dup": q_incremental_near_dup,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard_sim": q_ngram_jaccard_sim,
@@ -853,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _dedup_oracle_sql(which: str) -> str:
     from book_ocr_spark.operators.dedup import (
+        duck_incremental_jaccard_sql,
         duck_jaccard_pairs_sql,
         duck_ngram_jaccard_sql,
         duck_simhash_near_dup_sql,
@@ -861,6 +924,10 @@ def _dedup_oracle_sql(which: str) -> str:
 
     if which == "minhash":
         return duck_jaccard_pairs_sql(_dedup_corpus_sql(), k=3, threshold=0.6)
+    if which == "incremental":
+        return duck_incremental_jaccard_sql(
+            _INC_EXISTING_SQL, _INC_NEW_SQL, k=3, threshold=0.6
+        )
     if which == "simhash":
         return duck_simhash_sql(_CANON_DOCS_SQL)
     if which == "simhash_pairs":
@@ -1159,6 +1226,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_custkey HAVING COUNT(gap) > 0 ORDER BY o_custkey
         """,
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
+        "incremental_exact_dedup": f"""
+            WITH ex AS ({_INC_EXISTING_SQL}), nw AS ({_INC_NEW_SQL}),
+            surv AS (
+                SELECT id, MD5(text) AS content_hash FROM nw
+                WHERE MD5(text) NOT IN (SELECT MD5(text) FROM ex))
+            SELECT content_hash, MIN(id) AS canonical_id, COUNT(*) AS n_copies
+            FROM surv GROUP BY content_hash ORDER BY canonical_id
+        """,
+        "incremental_near_dup": _dedup_oracle_sql("incremental"),
         "simhash_fingerprint": _dedup_oracle_sql("simhash"),
         "simhash_near_dup": _dedup_oracle_sql("simhash_pairs"),
         "ngram_jaccard_sim": _dedup_oracle_sql("ngram"),

@@ -179,12 +179,7 @@ def _signature_from_grams(grams: DataFrame) -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     """Band the signature, self-join on (band, key): the LSH bucket
     join. Returns distinct (id_a, id_b) candidates, id_a < id_b."""
-    bands = F.expr(
-        f"transform(sequence(0, {BANDS - 1}), b ->"
-        f" array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
-        f" v -> cast(v as string)), ','))"
-    )
-    exploded = sigs.select(F.col(id_col).alias("id"), F.posexplode(bands).alias("band", "key"))
+    exploded = _band_explode(sigs.select(F.col(id_col).alias("id"), "sig"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, ["band", "key"])
@@ -248,6 +243,117 @@ def minhash_near_dup(
             storage_handle.append(grams)
     cands = lsh_candidate_pairs(_signature_from_grams(grams), "id")
     return jaccard_verify(cands, grams, "id", threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot + new batch) dedup — the daily-ingest shape
+# ---------------------------------------------------------------------------
+def incremental_exact_dedup(
+    new_docs: DataFrame, existing_hashes: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an EXISTING corpus: hash the
+    batch, broadcast-anti-join it against the existing content-hash
+    table (tiny relative to the corpus it summarizes), then dedupe
+    within the surviving batch. This is the MERGE shape a daily 100 TB
+    ingest runs — the existing corpus is never rescanned, only its
+    materialized hash table is read.
+
+    existing_hashes: one column ``content_hash`` (md5 hex). Returns
+    (content_hash, canonical_id, n_copies) for content genuinely new
+    to the corpus."""
+    h = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    survivors = h.join(
+        F.broadcast(existing_hashes.select("content_hash")), "content_hash", "left_anti"
+    )
+    return survivors.groupBy("content_hash").agg(
+        F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _band_explode(sigs: DataFrame) -> DataFrame:
+    """(id, sig) -> (id, band, key): the shared LSH banding projection
+    (single source for whole-corpus and incremental candidate joins)."""
+    bands = F.expr(
+        f"transform(sequence(0, {BANDS - 1}), b ->"
+        f" array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+        f" v -> cast(v as string)), ','))"
+    )
+    return sigs.select(F.col("id"), F.posexplode(bands).alias("band", "key"))
+
+
+def incremental_minhash_near_dup(
+    new_sigs: DataFrame, existing_sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Near-dup detection of a NEW batch against an EXISTING corpus
+    whose (id, sh, sig) signature table is already materialized (see
+    minhash_signature — at warehouse scale it is written once and
+    appended per ingest, never recomputed).
+
+    Candidates come from TWO band equi-joins — batch x existing and
+    batch x batch (id_a < id_b) — so the existing x existing quadrant,
+    which dominates at corpus scale and was already deduped by prior
+    runs, never materializes. Verification is exact Jaccard on the
+    shingle sets carried by both signature tables. Returns (new_id,
+    match_id, jaccard): match_id is an existing doc or an
+    earlier-id new doc."""
+    nb = _band_explode(new_sigs)
+    eb = _band_explode(existing_sigs)
+    vs_existing = (
+        nb.withColumnRenamed("id", "new_id")
+        .join(eb.withColumnRenamed("id", "match_id"), ["band", "key"])
+        .select("new_id", "match_id")
+    )
+    nb2 = nb.withColumnRenamed("id", "match_id")
+    vs_new = (
+        nb.withColumnRenamed("id", "new_id")
+        .join(nb2, ["band", "key"])
+        .filter(F.col("new_id") < F.col("match_id"))
+        .select("new_id", "match_id")
+    )
+    cands = vs_existing.unionByName(vs_new).distinct()
+    sh_new = new_sigs.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
+    sh_all = (
+        existing_sigs.select("id", "sh")
+        .unionByName(new_sigs.select("id", "sh"))
+        .select(F.col("id").alias("match_id"), F.col("sh").alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    j = cands.join(sh_new, "new_id").join(sh_all, "match_id").withColumn("_j", inter / union)
+    return (
+        j.filter(F.col("_j") >= threshold)
+        .select("new_id", "match_id", F.round("_j", 4).alias("jaccard"))
+    )
+
+
+def duck_incremental_jaccard_sql(
+    existing_sql: str, new_sql: str, k: int, threshold: float, unit: str = "word"
+) -> str:
+    """Brute-force ground truth for incremental_minhash_near_dup: all
+    (new x existing) + (new x new, a<b) exact-Jaccard pairs."""
+    grams = duck_word_grams("text", k) if unit == "word" else duck_shingles("text", k)
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    return f"""
+        WITH ex AS (SELECT id, {grams} AS s FROM ({existing_sql}) e0),
+        nw AS (SELECT id, {grams} AS s FROM ({new_sql}) n0),
+        pairs AS (
+            SELECT a.id AS new_id, b.id AS match_id, a.s AS sa, b.s AS sb
+            FROM nw a JOIN ex b ON true
+            UNION ALL
+            SELECT a.id, b.id, a.s, b.s FROM nw a JOIN nw b ON a.id < b.id)
+        SELECT new_id, match_id,
+               ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                     / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= {threshold}
+        ORDER BY new_id, match_id
+    """
 
 
 def duck_jaccard_pairs_sql(

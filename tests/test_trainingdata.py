@@ -117,6 +117,58 @@ def test_ngram_jaccard_pairs(docs_df):
     assert (0, 3) not in p
 
 
+def test_incremental_exact_dedup(spark):
+    """Batch-vs-corpus MERGE dedup: re-crawled content is dropped via
+    the hash anti-join; genuinely new content dedupes within batch."""
+    existing = spark.createDataFrame(
+        [(1, "old one"), (2, "old two")], "id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "old one"), (11, "fresh"), (12, "fresh"), (13, "newer")],
+        "id int, text string",
+    )
+    hashes = existing.select(F.md5("text").alias("content_hash"))
+    out = {
+        r.canonical_id: r.n_copies
+        for r in dedup.incremental_exact_dedup(new, hashes, "id", "text").collect()
+    }
+    assert out == {11: 2, 13: 1}  # 10 dropped (re-crawl), 11/12 merged
+
+
+def test_incremental_near_dup_matches_bruteforce(docs_df):
+    """Incremental band-join candidates (batch x existing + batch x
+    batch) + exact verify == the brute-force incremental Jaccard
+    definition; the existing x existing quadrant is excluded."""
+    existing = docs_df.filter(F.col("id") < 3)
+    new = docs_df.filter(F.col("id") >= 3).unionByName(
+        docs_df.filter(F.col("id") == 0).select(
+            (F.col("id") + 100).alias("id"), "text"
+        )
+    )
+    ex_sigs = dedup.minhash_signature(existing, "id", "text", k=3)
+    new_sigs = dedup.minhash_signature(new, "id", "text", k=3)
+    got = {
+        (r.new_id, r.match_id)
+        for r in dedup.incremental_minhash_near_dup(new_sigs, ex_sigs, 0.6).collect()
+    }
+    ex_pdf = existing.toPandas()
+    new_pdf = new.toPandas()
+    want = set()
+    for _, a in new_pdf.iterrows():
+        for _, b in ex_pdf.iterrows():
+            sa, sb = _word_grams(a.text), _word_grams(b.text)
+            if len(sa & sb) / len(sa | sb) >= 0.6:
+                want.add((a.id, b.id))
+        for _, b in new_pdf.iterrows():
+            if a.id < b.id:
+                sa, sb = _word_grams(a.text), _word_grams(b.text)
+                if len(sa & sb) / len(sa | sb) >= 0.6:
+                    want.add((a.id, b.id))
+    assert got == want
+    assert (100, 0) in got  # the re-ingested doc matches its original
+    assert all(not (a < 3 and b < 3) for a, b in got)  # no existing x existing
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
