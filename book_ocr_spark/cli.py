@@ -50,12 +50,44 @@ def main(argv: list[str] | None = None) -> int:
     sub = top.add_subparsers(dest="cmd", required=True)
     for name in ("run", "resume", "replay"):
         _add_common(sub.add_parser(name))
+    ret = sub.add_parser(
+        "retention",
+        help="compact the checkpoint log and expire old streaming batches "
+        "(graft of the reference's log rotation/retention task)",
+    )
+    ret.add_argument("--output", required=True, help="output root (turns/ + checkpoints/)")
+    ret.add_argument("--keep-last", type=int, default=3, help="events kept per partition")
+    ret.add_argument(
+        "--keep-batches", type=int, default=2, help="streaming batch dirs kept per partition"
+    )
+    ret.add_argument("--threads", type=int, default=None)
+    ret.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
     args = top.parse_args(argv)
 
     if args.cmd == "version":
         print(__version__)
         return 0
+
+    if args.cmd == "retention":
+        from book_ocr_spark.plans.maintenance import (
+            compact_checkpoint_log,
+            expire_stream_batches,
+        )
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-retention", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            summary = compact_checkpoint_log(
+                spark, f"{args.output}/checkpoints", keep_last=args.keep_last
+            )
+            summary.update(expire_stream_batches(args.output, keep_last=args.keep_batches))
+            print(json.dumps(summary))
+            return 0
+        finally:
+            spark.stop()
 
     from book_ocr_spark.plans.pipeline import replay_failed, run
     from book_ocr_spark.session import get_spark

@@ -1,0 +1,97 @@
+"""Maintenance entry points — the graft of the reference's log
+rotation/retention task (/root/reference/docs/tasks/task10.md:5-27
+[spec]: cap log files, retain the newest N), lifted to the stores this
+pipeline actually accumulates:
+
+  * the append-only checkpoint log grows by one row per (chunk,
+    status-flip) per run forever; ``compact_checkpoint_log`` keeps the
+    newest ``keep_last`` events per partition — a top-N window, the
+    same operator family as the retention demo query
+    (top3_orders_per_customer) but wired as a real job;
+  * streaming turn output accumulates one ``batch_id=K`` leaf per
+    micro-batch; ``expire_stream_batches`` drops all but the newest N
+    batch directories per (rec, part_id).
+
+On Iceberg these are `expire_snapshots` / partition DROP; on the
+parquet stand-in we rewrite to a temp dir and atomically swap (the
+same idempotence story as sources.io.write_partitioned — a crashed
+compaction leaves the original store untouched).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from book_ocr_spark.plans import checkpoint as cp
+from book_ocr_spark.schemas import CHECKPOINTS
+from book_ocr_spark.sources import io
+
+
+def compact_checkpoint_log(
+    spark: SparkSession, ckpt_path: str, keep_last: int = 3
+) -> dict:
+    """Retain the newest ``keep_last`` status events per part_id.
+
+    The ordering key matches checkpoint.current_status's max_by tie
+    break exactly — (updated_at, done>failed>pending rank, status) —
+    so the newest kept row IS the current status: compaction can never
+    change what resume/replay see (asserted in tests).
+
+    Returns {"rows_before", "rows_after"}."""
+    if not io.exists(ckpt_path):
+        return {"rows_before": 0, "rows_after": 0}
+    log = io.read_table(spark, ckpt_path, CHECKPOINTS)
+    rows_before = log.count()
+    rank = (
+        F.when(F.col("status") == cp.DONE, 2)
+        .when(F.col("status") == cp.FAILED, 1)
+        .otherwise(0)
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("updated_at"), rank.desc(), F.desc("status")
+    )
+    kept = (
+        log.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep_last)
+        .drop("_rk")
+    )
+    tmp = ckpt_path.rstrip("/") + "__compacting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    kept.write.mode("overwrite").parquet(tmp)
+    rows_after = io.read_table(spark, tmp, CHECKPOINTS).count()
+    shutil.rmtree(ckpt_path)
+    os.replace(tmp, ckpt_path)
+    return {"rows_before": int(rows_before), "rows_after": int(rows_after)}
+
+
+def expire_stream_batches(out_path: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` batch_id=K leaf dirs under
+    each turns/rec=*/part_id=* subtree of a STREAMING output (see
+    streaming.jobs.write_turn_batch's layout). Pure directory-level
+    retention — no data rewrite, exactly like dropping aged partitions
+    in a warehouse. Returns {"dirs_removed": n}."""
+    turns = os.path.join(out_path, "turns")
+    removed = 0
+    if not os.path.isdir(turns):
+        return {"dirs_removed": 0}
+    for rec_dir in sorted(os.listdir(turns)):
+        rec_path = os.path.join(turns, rec_dir)
+        if not (os.path.isdir(rec_path) and rec_dir.startswith("rec=")):
+            continue
+        for part_dir in sorted(os.listdir(rec_path)):
+            part_path = os.path.join(rec_path, part_dir)
+            if not (os.path.isdir(part_path) and part_dir.startswith("part_id=")):
+                continue
+            batches = sorted(
+                (d for d in os.listdir(part_path) if d.startswith("batch_id=")),
+                key=lambda d: int(d.split("=", 1)[1]),
+            )
+            for stale in batches[:-keep_last] if keep_last > 0 else batches:
+                shutil.rmtree(os.path.join(part_path, stale))
+                removed += 1
+    return {"dirs_removed": removed}

@@ -40,3 +40,24 @@ def test_run_then_resume_noop(spark, tmp_path, capsys, monkeypatch):
     assert cli.main(["resume", "--input", inp, "--output", out, "--n-parts", "4"]) == 0
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["parts_processed"] == []
+
+
+def test_retention_subcommand(spark, tmp_path, capsys, monkeypatch):
+    """`retention` compacts the checkpoint log in place and reports
+    before/after row counts; a subsequent resume still no-ops."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    to_spark(spark, gen_transcripts(n_convs=6, seed=42)).write.parquet(inp)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    for _ in range(2):
+        assert cli.main(["run", "--input", inp, "--output", out, "--n-parts", "4"]) == 0
+    capsys.readouterr()
+    assert cli.main(["retention", "--output", out, "--keep-last", "1"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_after"] <= 4 <= summary["rows_before"]
+    assert summary["dirs_removed"] == 0  # batch layout absent in batch runs
+
+    assert cli.main(["resume", "--input", inp, "--output", out, "--n-parts", "4"]) == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["parts_processed"] == []

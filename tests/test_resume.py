@@ -190,3 +190,53 @@ def test_run_with_salted_path_writes_instrumented_output(spark, transcripts_skew
     m = read_metrics(spark, f"{out_dir}/turns").toPandas()
     assert m["n_turns"].sum() == len(exp)
     assert (m["elapsed_s"] > 0).all()
+
+
+def test_retention_compacts_log_preserving_status(spark, transcripts_pd, out_dir):
+    """Maintenance retention: repeated runs grow the checkpoint log;
+    compaction keeps <=keep_last events per part and the CURRENT
+    status resolution is bit-identical before and after."""
+    from book_ocr_spark.plans import checkpoint as cp
+    from book_ocr_spark.plans.maintenance import compact_checkpoint_log
+
+    sdf = to_spark(spark, transcripts_pd)
+    for _ in range(3):  # 3 runs -> >=6 events per part (pending+done each)
+        run(spark, "<fixture>", out_dir, n_parts=4, transcripts=sdf)
+    ckpt = f"{out_dir}/checkpoints"
+    before = {
+        (r.part_id, r.status)
+        for r in cp.current_status(spark, ckpt).collect()
+    }
+    res = compact_checkpoint_log(spark, ckpt, keep_last=2)
+    assert res["rows_before"] >= 6 * 4
+    assert res["rows_after"] <= 2 * 4
+    after = {
+        (r.part_id, r.status)
+        for r in cp.current_status(spark, ckpt).collect()
+    }
+    assert after == before
+    # resume after compaction is still a no-op
+    res2 = run(spark, "<fixture>", out_dir, n_parts=4, resume=True, transcripts=sdf)
+    assert res2["parts_processed"] == []
+
+
+def test_retention_expires_stream_batches(tmp_path):
+    """Directory-level batch retention keeps the newest N batch dirs
+    per (rec, part_id) leaf and leaves non-streaming layouts alone."""
+    import os
+
+    from book_ocr_spark.plans.maintenance import expire_stream_batches
+
+    root = tmp_path / "sout"
+    for part in (0, 1):
+        for b in range(5):
+            d = root / "turns" / "rec=data" / f"part_id={part}" / f"batch_id={b}"
+            d.mkdir(parents=True)
+            (d / "part-000.parquet").write_bytes(b"x")
+    res = expire_stream_batches(str(root), keep_last=2)
+    assert res["dirs_removed"] == 6
+    for part in (0, 1):
+        left = sorted(
+            os.listdir(root / "turns" / "rec=data" / f"part_id={part}")
+        )
+        assert left == ["batch_id=3", "batch_id=4"]
