@@ -719,29 +719,26 @@ def q_ivf_cosine_topk(spark, sf_dir):
 
 
 def q_post_signup_activity(spark, sf_dir):
-    """Interval join: the same user's events landing within 24 hours
-    AFTER each signup event (equi on the user key + range predicate on
-    the timestamp — the canonical event-attribution join)."""
+    """Interval join (definitional plan): the same user's events
+    landing within 24 hours AFTER each signup event (equi on the user
+    key + range predicate on the timestamp — the canonical
+    event-attribution join)."""
+    from book_ocr_spark.operators.intervals import interval_activity
+
     e = _t(spark, sf_dir, "events")
-    s = e.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"),
-        F.col("event_id").alias("signup_event_id"),
-        F.col("ts").alias("s_ts"),
-    )
-    cond = (
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("ts") > F.col("s_ts"))
-        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS"))
-    )
-    return (
-        s.join(e, cond)
-        .groupBy("signup_event_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .orderBy("signup_event_id")
-    )
+    return interval_activity(e).orderBy("signup_event_id")
+
+
+def q_post_signup_activity_bucketed(spark, sf_dir):
+    """Interval join, time-bucketed scale path: join key (user_id,
+     24h-bucket) with anchors replicated to (b, b+1) — a monster user's
+    pair candidates spread across per-day join keys instead of
+    serializing in one task. Same oracle as the definitional plan
+    (outputs are provably identical)."""
+    from book_ocr_spark.operators.intervals import interval_activity_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    return interval_activity_bucketed(e).orderBy("signup_event_id")
 
 
 def q_lang_confusion(spark, sf_dir):
@@ -902,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "post_signup_activity": q_post_signup_activity,
+        "post_signup_activity_bucketed": q_post_signup_activity_bucketed,
         "lang_confusion": q_lang_confusion,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_flags": q_quality_flags,
@@ -993,6 +991,19 @@ def _textstats_oracle_sql(which: str) -> str:
         FROM (SELECT lang, {duck_bpe_token_count('text')} AS n_tok FROM documents) t
         GROUP BY lang ORDER BY lang
     """
+
+
+_POST_SIGNUP_SQL = """
+    SELECT s.event_id AS signup_event_id, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'signup') s
+    JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 24 HOURS
+    GROUP BY s.event_id ORDER BY signup_event_id
+"""
 
 
 def _multimodal_oracle_sql(which: str) -> str:
@@ -1166,17 +1177,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
-        "post_signup_activity": """
-            SELECT s.event_id AS signup_event_id, COUNT(*) AS n_events,
-                   ROUND(SUM(e.value), 4) AS total_value
-            FROM (SELECT user_id, event_id, ts FROM events
-                  WHERE event_type = 'signup') s
-            JOIN events e
-              ON e.user_id = s.user_id
-             AND e.ts > s.ts
-             AND e.ts <= s.ts + INTERVAL 24 HOURS
-            GROUP BY s.event_id ORDER BY signup_event_id
-        """,
+        "post_signup_activity": _POST_SIGNUP_SQL,
+        "post_signup_activity_bucketed": _POST_SIGNUP_SQL,
         "user_sessions": """
             WITH g AS (
                 SELECT user_id, event_id, ts,

@@ -1,0 +1,92 @@
+"""Interval (range) joins: attach each user's events falling inside a
+time window after an anchor event (the canonical event-attribution
+join — post_signup_activity in the driver queries).
+
+Two formulations with IDENTICAL output (asserted in tests):
+
+  * ``interval_activity`` — the definitional plan: equi-join on
+    user_id with the range predicate as a join condition. Catalyst
+    plans a sort-merge join keyed on user_id; AQE's skew-join can
+    split oversized partitions, but ALL of a monster user's
+    (anchor x event) pair candidates still meet inside single tasks —
+    per-user work is O(anchors_u * events_u), which serializes on a
+    power-law user no matter how partitions split.
+
+  * ``interval_activity_bucketed`` — the scale path: time is cut into
+    buckets exactly one window wide; events carry their bucket, each
+    anchor is replicated to its own bucket and the next (a window
+    starting in bucket b can only reach events in b or b+1), and the
+    join key becomes (user_id, bucket). A qualifying pair matches in
+    EXACTLY one bucket (the event's), so no post-join dedup is needed.
+    A monster user's year of activity now spreads across ~365
+    independent join keys — per-task work is bounded by one user-day
+    regardless of total user volume. If a single user-bucket is still
+    monstrous (flash-crowd second), salt the bucket key the same way
+    the compose path salts conv_id.
+
+Both return one row per anchor: (signup_event_id, n_events,
+total_value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _anchors(events: DataFrame, anchor_type: str) -> DataFrame:
+    return events.filter(F.col("event_type") == anchor_type).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+
+
+def interval_activity(
+    events: DataFrame, anchor_type: str = "signup", window_hours: int = 24
+) -> DataFrame:
+    """Definitional range join: equi on user + (ts in (s_ts, s_ts+W])."""
+    s = _anchors(events, anchor_type)
+    cond = (
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr(f"INTERVAL {window_hours} HOURS"))
+    )
+    return (
+        s.join(events, cond)
+        .groupBy("signup_event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def interval_activity_bucketed(
+    events: DataFrame, anchor_type: str = "signup", window_hours: int = 24
+) -> DataFrame:
+    """Time-bucketed range join (see module docstring for the skew
+    argument). Join key (user_id, bucket) with bucket width == the
+    window; anchors replicate to (b, b+1); range predicate verifies."""
+    width = window_hours * 3600
+    e = events.withColumn("bucket", (F.unix_timestamp("ts") / width).cast("long"))
+    s = _anchors(events, anchor_type).withColumn(
+        "s_bucket",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("s_ts") / width).cast("long"),
+                (F.unix_timestamp("s_ts") / width).cast("long") + 1,
+            )
+        ),
+    )
+    joined = s.join(
+        e,
+        (F.col("user_id") == F.col("s_user")) & (F.col("bucket") == F.col("s_bucket")),
+    ).filter(
+        (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr(f"INTERVAL {window_hours} HOURS"))
+    )
+    return joined.groupBy("signup_event_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

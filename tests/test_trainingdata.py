@@ -305,3 +305,50 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         true_top1 = order[0][1]
         mine = [r.neighbor_id for r in rows if r.query_id == q]
         assert true_top1 in mine, (q, true_top1, mine)
+
+
+# ---------------------------------------------------------------------------
+# interval join (skew path)
+# ---------------------------------------------------------------------------
+def test_interval_join_bucketed_equals_definitional_on_skew(spark):
+    """Monster-user fixture: one user holds ~86% of events (incl. many
+    anchors). The time-bucketed plan must return exactly the
+    definitional join's rows — window edges (ts == s_ts, ts == s_ts +
+    24h) and bucket-boundary crossings included."""
+    import datetime as dt
+
+    from book_ocr_spark.operators.intervals import (
+        interval_activity,
+        interval_activity_bucketed,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(3000):  # monster user: event every 17 min for ~35 days
+        ts = t0 + dt.timedelta(minutes=17 * i)
+        rows.append((eid, 0, "signup" if i % 50 == 0 else "click", ts, 1.0))
+        eid += 1
+    for u in range(1, 11):  # normal users
+        for i in range(50):
+            ts = t0 + dt.timedelta(hours=3 * i + u)
+            rows.append((eid, u, "signup" if i % 10 == 0 else "view", ts, 2.0))
+            eid += 1
+    # exact window-edge cases: event at s_ts (excluded) and s_ts+24h (included)
+    rows.append((eid, 99, "signup", t0, 1.0)); eid += 1
+    rows.append((eid, 99, "click", t0, 1.0)); eid += 1  # ts == s_ts -> excluded
+    rows.append((eid, 99, "click", t0 + dt.timedelta(hours=24), 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    a = {
+        (r.signup_event_id, r.n_events, r.total_value)
+        for r in interval_activity(df).collect()
+    }
+    b = {
+        (r.signup_event_id, r.n_events, r.total_value)
+        for r in interval_activity_bucketed(df).collect()
+    }
+    assert a == b and a
+    edge = {x for x in a if x[0] == eid - 3}
+    assert edge == {(eid - 3, 1, 1.0)}  # only the +24h event attributes
