@@ -37,6 +37,26 @@ CONVS_PER_SF = 100_000
 SEED = 20260816
 
 
+# Round-2 additions at the end: the banded near-dup paths, the
+# incremental MERGE shape, and the bucketed interval join.
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "top3_orders_per_customer",
+    "order_window_compose",
+    "asof_last_signup_before_purchase",
+    "dedup_exact",
+    "minhash_near_dup",
+    "ann_cosine_topk",
+    "token_stats",
+    "compose_docs",
+    "simhash_near_dup",
+    "embedding_pairs_bucketed",
+    "incremental_exact_dedup",
+    "post_signup_activity_bucketed",
+]
+
+
 def _sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.1
@@ -92,21 +112,9 @@ def bench_round() -> dict:
 
     n_turns = _gen_input(spark, sf, tpath)
 
-    headline = [
-        "pricing_summary",
-        "region_revenue",
-        "top3_orders_per_customer",
-        "order_window_compose",
-        "asof_last_signup_before_purchase",
-        "dedup_exact",
-        "minhash_near_dup",
-        "ann_cosine_topk",
-        "token_stats",
-        "compose_docs",
-    ]
     qs = entry.queries()
     timings: dict[str, float] = {}
-    for name in headline:
+    for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.perf_counter()
@@ -177,7 +185,63 @@ def bench_scaling() -> dict:
     return out
 
 
+def bench_multi_sf() -> dict:
+    """Data-scaling evidence (VERDICT round-1 item 4): the SAME
+    headline queries at sf0.01 and sf0.1 (10x the rows) and the fused
+    pipeline at 1x and 4x synthetic input, all on one local[CPUS]
+    session. Reports per-query wall-time ratios — a scale-safe plan
+    grows sublinearly-to-linearly in data (ratio <= ~10 for the 10x
+    step); anything super-linear is a scale bug."""
+    import __spark_entry__ as entry
+
+    spark = _make_spark(f"local[{CPUS}]")
+    qs = entry.queries()
+    out: dict = {"metric": "multi_sf_ratio", "unit": "ratio", "cpus": CPUS}
+    per_sf: dict[str, dict[str, float]] = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        sf_key = f"sf{_sf(sf_dir)}"
+        per_sf[sf_key] = {}
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            _noop(qs[name](spark, sf_dir))  # warm codegen for this (query, sf)
+            t0 = time.perf_counter()
+            _noop(qs[name](spark, sf_dir))
+            per_sf[sf_key][name] = round(time.perf_counter() - t0, 3)
+    out["queries"] = per_sf
+    lo, hi = per_sf["sf0.01"], per_sf["sf0.1"]
+    out["ratios_10x_data"] = {
+        n: round(hi[n] / lo[n], 2) for n in hi if lo.get(n)
+    }
+
+    # pipeline at 1x and 4x synthetic conv counts (same session)
+    pipe: dict[str, dict] = {}
+    for label, n_convs in (("1x", 100_000), ("4x", 400_000)):
+        path = f"{TMP}/transcripts_{label}.parquet"
+        os.environ["SPARK_GRAFT_BENCH_CONVS"] = str(n_convs)
+        n_turns = _gen_input(spark, _sf(SF_DIR), path)
+        _run_pipeline(spark, path)
+        dt = min(_run_pipeline(spark, path) for _ in range(3))
+        pipe[label] = {
+            "turns": n_turns,
+            "sec": round(dt, 3),
+            "turns_per_sec": round(n_turns / dt, 1),
+        }
+    os.environ.pop("SPARK_GRAFT_BENCH_CONVS", None)
+    out["pipeline"] = pipe
+    out["value"] = round(
+        pipe["4x"]["turns_per_sec"] / pipe["1x"]["turns_per_sec"], 3
+    )  # throughput retention at 4x data (1.0 = perfectly linear scaling)
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
-    result = bench_scaling() if "--scaling" in sys.argv else bench_round()
+    if "--scaling" in sys.argv:
+        result = bench_scaling()
+    elif "--multi-sf" in sys.argv:
+        result = bench_multi_sf()
+    else:
+        result = bench_round()
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps(result))
