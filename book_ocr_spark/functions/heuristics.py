@@ -78,7 +78,10 @@ def detect_kind(tool: pd.Series, text: pd.Series) -> pd.Series:
     handling, /root/reference/docs/prd.md:52)."""
     tool = tool.fillna("")
     text = text.fillna("")
-    kind = tool.where(tool.isin(KINDS), other=None)
+    # trust any REGISTERED kind's tool tag (custom segmenters added via
+    # register_segmenter are first-class); KINDS is the built-in set
+    known = tuple(SEGMENTERS) if SEGMENTERS else KINDS
+    kind = tool.where(tool.isin(known), other=None)
     is_pdf = text.str.match(r"\s*\{") & text.str.contains('"blocks"', regex=False)
     # JSON needs a structural opening ({"key", nested array, scalar
     # literal...) AND a closing bracket at the end: a markdown
@@ -492,40 +495,67 @@ def _assemble(blocks: pd.DataFrame, index: pd.Index) -> pd.DataFrame:
     return out
 
 
+# Pluggable segmenter registry — the graft of the reference's
+# pluggable-backend / --custom_dict extension point
+# (/root/reference/docs/technical_architecture.md:71,145 [spec]): each
+# payload kind maps to a BATCH segmenter `fn(Series) -> blocks
+# DataFrame` or `-> (blocks, failed Series)`. register_segmenter adds
+# (or overrides) a kind; detect_kind trusts any registered kind's tool
+# tag. Registration order is dispatch order; "plain" is the fallback
+# for every unregistered kind and is not dispatched by name.
+SEGMENTERS: dict[str, object] = {}
+
+
+def register_segmenter(kind: str, fn) -> None:
+    SEGMENTERS[kind] = fn
+
+
 def recognize_batch(clean: pd.Series, kind: pd.Series) -> pd.DataFrame:
     """Stage-2 recognize over a batch: segmentation + classification +
     span assembly. Returns DataFrame(extracted_text, starts, ends,
     labels, conf, n_blocks, n_kept, failed) aligned to the input index.
-    """
+
+    Dispatch walks the SEGMENTERS registry (one vectorized call per
+    kind present in the batch — never per row); rows whose kind has no
+    registered segmenter take the plain-text fallback."""
     clean = clean.fillna("")
     index = clean.index
     parts = []
-    pdf_failed = pd.Series(False, index=index)
+    seg_failed = pd.Series(False, index=index)
+    handled = pd.Series(False, index=index)
 
-    html_s = clean[kind == "html"]
-    if not html_s.empty:
-        parts.append(_segment_html(html_s))
-    pdf_s = clean[kind == "pdf"]
-    if not pdf_s.empty:
-        pblocks, pfail = _segment_pdf(pdf_s)
-        parts.append(pblocks)
-        pdf_failed.loc[pfail.index] = pfail
-    md_s = clean[kind == "markdown"]
-    if not md_s.empty:
-        parts.append(_segment_markdown(md_s))
-    json_s = clean[kind == "json"]
-    if not json_s.empty:
-        jblocks, jfail = _segment_json(json_s)
-        parts.append(jblocks)
-        pdf_failed.loc[jfail.index] = jfail
-    plain_s = clean[~kind.isin(("html", "pdf", "markdown", "json"))]
+    for kind_name, fn in SEGMENTERS.items():
+        if kind_name == "plain":
+            continue
+        mask = kind == kind_name
+        handled |= mask
+        sel = clean[mask]
+        if sel.empty:
+            continue
+        res = fn(sel)
+        if isinstance(res, tuple):
+            blocks_k, fail_k = res
+            parts.append(blocks_k)
+            seg_failed.loc[fail_k.index] = fail_k
+        else:
+            parts.append(res)
+    plain_s = clean[~handled]
     if not plain_s.empty:
-        parts.append(_segment_plain(plain_s))
+        parts.append(SEGMENTERS.get("plain", _segment_plain)(plain_s))
 
     blocks = pd.concat(parts, ignore_index=True) if parts else _empty_blocks()
     out = _assemble(blocks, index)
-    out["failed"] = (pdf_failed | (clean.str.len() == 0)).astype("bool")
+    out["failed"] = (seg_failed | (clean.str.len() == 0)).astype("bool")
     return out
+
+
+# default registry == the five built-in payload kinds, in the original
+# dispatch order (html, pdf, markdown, json, plain-fallback)
+register_segmenter("html", _segment_html)
+register_segmenter("pdf", _segment_pdf)
+register_segmenter("markdown", _segment_markdown)
+register_segmenter("json", _segment_json)
+register_segmenter("plain", _segment_plain)
 
 
 def extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:

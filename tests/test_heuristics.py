@@ -133,3 +133,38 @@ def test_stage1_stage2_equals_fused(transcripts_pd):
     fused = extract_batch(transcripts_pd["text"], transcripts_pd["tool"])
     assert (two_step["extracted_text"] == fused["extracted_text"]).all()
     assert (two_step["conf"] == fused["conf"]).all()
+
+
+def test_register_segmenter_pluggable_backend():
+    """The reference's pluggable-backend extension point: a custom
+    payload kind registered at runtime is trusted by detect_kind and
+    dispatched by recognize_batch; built-in kinds are untouched.
+    (On a cluster the registration lives in a --py-files module so
+    executors import it — same mechanism as the built-ins.)"""
+    import pandas as pd
+
+    from book_ocr_spark.functions import heuristics as H
+
+    def segment_csv(s: pd.Series) -> pd.DataFrame:
+        rows, ords, texts = [], [], []
+        for idx, payload in s.items():
+            for i, line in enumerate(payload.split(";")):
+                rows.append(idx)
+                ords.append(i)
+                texts.append(line.strip())
+        txt = pd.Series(texts, dtype=object)
+        return pd.DataFrame(
+            {"row": rows, "ord": ords, "text": txt, "label": "main",
+             "conf": 0.9, "keep": txt.str.len() >= H.MIN_HEAD_LEN}
+        )
+
+    try:
+        H.register_segmenter("csv", segment_csv)
+        text = pd.Series(["alpha beta gamma; delta epsilon zeta", "plain words here"])
+        tool = pd.Series(["csv", "plain"])
+        out = H.extract_batch(text, tool)
+        assert out.loc[0, "extracted_text"] == "alpha beta gamma\ndelta epsilon zeta"
+        assert out.loc[0, "n_blocks"] == 2
+        assert out.loc[1, "extracted_text"] == "plain words here"  # fallback intact
+    finally:
+        H.SEGMENTERS.pop("csv", None)
