@@ -576,9 +576,19 @@ def q_incremental_near_dup(spark, sf_dir):
         minhash_signature,
     )
 
+    from pyspark import StorageLevel
+
     existing, new = _inc_snapshots(spark, sf_dir)
-    ex_sigs = minhash_signature(existing, "id", "text", k=3)
-    new_sigs = minhash_signature(new, "id", "text", k=3)
+    # persist both signature tables: each is consumed 2-3 times inside
+    # the operator (band explode + verify joins) — in production these
+    # ARE materialized warehouse tables, so the cache is the sandbox
+    # stand-in, not an extra cost
+    ex_sigs = minhash_signature(existing, "id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_sigs = minhash_signature(new, "id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return incremental_minhash_near_dup(new_sigs, ex_sigs, threshold=0.6).orderBy(
         "new_id", "match_id"
     )

@@ -252,11 +252,13 @@ def incremental_exact_dedup(
     new_docs: DataFrame, existing_hashes: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Exact dedup of a NEW batch against an EXISTING corpus: hash the
-    batch, broadcast-anti-join it against the existing content-hash
-    table (tiny relative to the corpus it summarizes), then dedupe
-    within the surviving batch. This is the MERGE shape a daily 100 TB
-    ingest runs — the existing corpus is never rescanned, only its
-    materialized hash table is read.
+    batch, anti-join it against the existing content-hash table, then
+    dedupe within the surviving batch. This is the MERGE shape a daily
+    100 TB ingest runs — the existing corpus is never rescanned, only
+    its materialized hash table is read. No broadcast hint: the hash
+    table grows with the whole corpus (billions of rows at 100 TB),
+    so AQE must stay free to pick broadcast when it is small and a
+    shuffled anti-join when it is not.
 
     existing_hashes: one column ``content_hash`` (md5 hex). Returns
     (content_hash, canonical_id, n_copies) for content genuinely new
@@ -265,7 +267,7 @@ def incremental_exact_dedup(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
     )
     survivors = h.join(
-        F.broadcast(existing_hashes.select("content_hash")), "content_hash", "left_anti"
+        existing_hashes.select("content_hash"), "content_hash", "left_anti"
     )
     return survivors.groupBy("content_hash").agg(
         F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
@@ -314,9 +316,15 @@ def incremental_minhash_near_dup(
     )
     cands = vs_existing.unionByName(vs_new).distinct()
     sh_new = new_sigs.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
+    # one shingle row per id even when an id appears in BOTH tables
+    # (a re-sent document): the existing row wins, so the verify join
+    # cannot fan a candidate pair out into duplicate output rows
+    new_only = new_sigs.select("id", "sh").join(
+        existing_sigs.select("id"), "id", "left_anti"
+    )
     sh_all = (
         existing_sigs.select("id", "sh")
-        .unionByName(new_sigs.select("id", "sh"))
+        .unionByName(new_only)
         .select(F.col("id").alias("match_id"), F.col("sh").alias("sh_b"))
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

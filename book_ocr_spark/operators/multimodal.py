@@ -172,11 +172,16 @@ def duck_media_features_sql(n: int, seed: int = 7) -> str:
                         ELSE 'video' END AS kind
             FROM range({n}) r),
         p AS (
+            -- payload length = min(requested slice, available bytes):
+            -- synth_media slices (32-byte digest * reps)[:1024+id%4096],
+            -- and python slicing caps at the repeated length
             SELECT media_id, kind,
-                   1024 + media_id % 4096 AS n_bytes,
+                   LEAST(1024 + media_id % 4096,
+                         32 * (64 + media_id % 512)) AS n_bytes,
                    substr(repeat(sha256('{seed}:' || media_id),
                                  CAST(64 + media_id % 512 AS INT)),
-                          1, CAST(2 * (1024 + media_id % 4096) AS INT)) AS hx
+                          1, CAST(2 * LEAST(1024 + media_id % 4096,
+                                            32 * (64 + media_id % 512)) AS INT)) AS hx
             FROM m),
         b AS (
             SELECT media_id,

@@ -139,11 +139,15 @@ def cosine_near_dup_pairs_bucketed(
     Hyperplanes reuse _plane_weight with plane index band*band_planes+p
     — deterministic, engine-independent, constant-folded literals."""
     if dim is None:
-        row = corpus.select(vec_col).first()
-        if row is None or row[0] is None:
-            return corpus.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, sim double"
-            )
+        row = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if row is None:
+            # empty schema derived from the input so dtypes match the
+            # non-empty path whatever type id_col has
+            return corpus.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).cast("double").alias("sim"),
+            ).limit(0)
         dim = len(row[0])
     e = _hyperplane_band_keys(corpus, id_col, vec_col, n_bands, band_planes, dim)
     a = e.select("band", "key", F.col("id").alias("id_a"))
@@ -198,17 +202,10 @@ def _hyperplane_band_keys(
     64 simple min() aggregates loses for wide weighted sums."""
     terms = []
     for band in range(n_bands):
-        bits = []
-        for p in range(band_planes):
-            plane = band * band_planes + p
-            arr = (
-                "array(" + ",".join(f"{_plane_weight(plane, d)}D" for d in range(dim)) + ")"
-            )
-            proj = (
-                f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
-                f" (x, w) -> x * w), 0D, (acc, v) -> acc + v)"
-            )
-            bits.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
+        bits = [
+            _plane_sign_term(vec_col, band * band_planes + p, dim, p)
+            for p in range(band_planes)
+        ]
         terms.append("cast((" + " + ".join(bits) + ") as int)")
     keys = F.expr("array(" + ",".join(terms) + ")")
     return df.select(
@@ -443,21 +440,27 @@ def _plane_weight(p: int, d: int) -> int:
     return h % 2001 - 1000
 
 
+def _plane_sign_term(vec_col: str, plane: int, dim: int, bit: int) -> str:
+    """SQL for one hyperplane's sign bit (worth 2^bit): dot the
+    double-cast vector against plane ``plane``'s literal weight array
+    (Catalyst constant-folds it once — deriving weights via md5 INSIDE
+    the lambda would re-evaluate dim md5 calls per row, the
+    interpreted-HOF cost documented in dedup.minhash_signature).
+    Single source for every hyperplane consumer (single-key signature,
+    banded keys) so the Spark paths and duck_hyperplane_bucket cannot
+    drift apart."""
+    arr = "array(" + ",".join(f"{_plane_weight(plane, d)}D" for d in range(dim)) + ")"
+    proj = (
+        f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
+        f" (x, w) -> x * w), 0D, (acc, v) -> acc + v)"
+    )
+    return f"(case when ({proj}) >= 0 then {1 << bit} else 0 end)"
+
+
 def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int):
     """Signature = sign bits against n_planes pseudo-random
-    hyperplanes. Weights are precomputed driver-side and embedded as
-    top-level array literals, which Catalyst constant-folds once —
-    deriving them via md5 INSIDE the zip_with lambda would re-evaluate
-    n_planes x dim md5 calls per row (the interpreted-HOF cost
-    documented in dedup.minhash_signature)."""
-    terms = []
-    for p in range(n_planes):
-        arr = "array(" + ",".join(f"{_plane_weight(p, d)}D" for d in range(dim)) + ")"
-        proj = (
-            f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
-            f" (x, w) -> x * w), 0D, (acc, v) -> acc + v)"
-        )
-        terms.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
+    hyperplanes, packed into one int key."""
+    terms = [_plane_sign_term(vec_col, p, dim, p) for p in range(n_planes)]
     return F.expr(" + ".join(terms)).cast("int")
 
 
@@ -524,15 +527,23 @@ def lsh_bucket_topk(
     (replacing the O(Q*N) cross join), one small top-k window.
 
     Pass ``dim`` (the embedding dimensionality) to skip the probe-row
-    driver job; without it, one probe row is read to size the weight
-    literals. An empty / null-vector probe set returns an empty result
-    instead of dying in len(None)."""
+    driver job; without it, one NON-NULL probe row is read to size the
+    weight literals. A probe set with no non-null vectors returns an
+    empty result (schema derived from the inputs) instead of dying in
+    len(None)."""
     if dim is None:
-        row = queries.select(vec_col).first()
-        if row is None or row[0] is None:
-            spark = queries.sparkSession
-            return spark.createDataFrame(
-                [], "query_id long, rank bigint, neighbor_id long, sim double"
+        row = queries.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if row is None:
+            return (
+                queries.select(F.col(id_col).alias("query_id"))
+                .limit(0)
+                .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id")).limit(0))
+                .select(
+                    "query_id",
+                    F.lit(0).cast("bigint").alias("rank"),
+                    "neighbor_id",
+                    F.lit(0.0).cast("double").alias("sim"),
+                )
             )
         dim = len(row[0])
     sig = _hyperplane_sign_bits(vec_col, n_planes, dim)

@@ -60,12 +60,19 @@ def compact_checkpoint_log(
         .drop("_rk")
     )
     tmp = ckpt_path.rstrip("/") + "__compacting"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    old = ckpt_path.rstrip("/") + "__precompact"
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     kept.write.mode("overwrite").parquet(tmp)
     rows_after = io.read_table(spark, tmp, CHECKPOINTS).count()
-    shutil.rmtree(ckpt_path)
+    # two renames, never an unlink of the live store: a crash before
+    # the second rename leaves the full pre-compaction log at
+    # `...__precompact` (rename it back to recover); the vulnerable
+    # window is the instant between the renames, not the whole rewrite
+    os.replace(ckpt_path, old)
     os.replace(tmp, ckpt_path)
+    shutil.rmtree(old)
     return {"rows_before": int(rows_before), "rows_after": int(rows_after)}
 
 

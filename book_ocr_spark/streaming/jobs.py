@@ -150,41 +150,58 @@ def stateful_compose_stream(spark: SparkSession, input_path: str):
     already emitted, and any later-arriving row at or below it is
     discarded — a replayed/duplicated turn can no longer skew the
     carried (turn_seq, char_offset) prefix scan. Returns the streaming
-    DataFrame; attach a sink + checkpoint to run."""
+    DataFrame; attach a sink + checkpoint to run.
+
+    State-schema version note: STATEFUL_STATE widened from (seq, off)
+    to (seq, off, max_idx); Structured Streaming pins the state schema
+    in the checkpoint, so a stream checkpointed under the old schema
+    cannot restart in place — start it with a fresh checkpoint
+    location (the batch job is the backfill path, as for any
+    out-of-order recovery)."""
     import pandas as pd
 
     from book_ocr_spark.functions.heuristics import extract_batch
 
     def compose_fn(key, pdfs, state):
         seq, off, max_idx = state.get if state.exists else (0, 0, -1)
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx", kind="stable").drop_duplicates(
-                ["turn_idx"], keep="first"
-            )
-            pdf = pdf[pdf["turn_idx"] > max_idx]
-            if pdf.empty:
-                continue
-            max_idx = int(pdf["turn_idx"].max())
-            rec = extract_batch(pdf["text"], pdf["tool"])
-            step = rec["extracted_text"].str.len().astype("int64") + 1
-            seqs = seq + pd.RangeIndex(1, len(pdf) + 1)
-            offs = off + step.cumsum().shift(1, fill_value=0).to_numpy()
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": key[0],
-                        "turn_idx": pdf["turn_idx"].to_numpy(),
-                        "extracted_text": rec["extracted_text"].to_numpy(),
-                        "turn_seq": seqs.astype("int32"),
-                        "char_offset": offs.astype("int64"),
-                    }
-                )
-            )
-            seq += len(pdf)
-            off += int(step.sum())
+        # buffer the WHOLE group before sorting: a conversation larger
+        # than the Arrow batch size arrives as several chunks whose
+        # cross-chunk order is shuffle-arrival order — sorting and
+        # deduping per chunk would let the max_idx filter silently drop
+        # a later-arriving lower-turn_idx chunk. One micro-batch of one
+        # conversation bounds the buffer (same unit the batch path
+        # holds in a task).
+        chunks = [c for c in pdfs if not c.empty]
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["turn_idx", "text", "tool"])
+        )
+        pdf = pdf.sort_values("turn_idx", kind="stable").drop_duplicates(
+            ["turn_idx"], keep="first"
+        )
+        pdf = pdf[pdf["turn_idx"] > max_idx]
+        if pdf.empty:
+            state.update((int(seq), int(off), int(max_idx)))
+            return
+        max_idx = int(pdf["turn_idx"].max())
+        rec = extract_batch(pdf["text"], pdf["tool"])
+        step = rec["extracted_text"].str.len().astype("int64") + 1
+        seqs = seq + pd.RangeIndex(1, len(pdf) + 1)
+        offs = off + step.cumsum().shift(1, fill_value=0).to_numpy()
+        out = pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "extracted_text": rec["extracted_text"].to_numpy(),
+                "turn_seq": seqs.astype("int32"),
+                "char_offset": offs.astype("int64"),
+            }
+        )
+        seq += len(pdf)
+        off += int(step.sum())
         state.update((int(seq), int(off), int(max_idx)))
-        yield from outs
+        yield out
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
