@@ -594,6 +594,27 @@ def q_incremental_near_dup(spark, sf_dir):
     )
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: rolling-hash anchor cuts (Broder
+    fingerprinting) — chunk table for docs id<200, hash-checked against
+    the DuckDB twin of the same anchor rule."""
+    from book_ocr_spark.operators.chunking import cdc_chunks
+
+    d = _canon_docs(spark, sf_dir).filter(F.col("id") < 200)
+    return cdc_chunks(d, "id", "text").orderBy("id", "chunk_idx")
+
+
+def q_cdc_shared_chunks(spark, sf_dir):
+    """Chunk-level dedup over the constructed near-dup corpus: the
+    truncated variants share every chunk before the cut with their
+    originals, so shared-chunk detection has guaranteed positives."""
+    from book_ocr_spark.operators.chunking import shared_chunks
+
+    return shared_chunks(
+        _dedup_corpus(spark, sf_dir, max_id=150), "id", "text"
+    ).orderBy("chunk_hash")
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash(64)+LSH(32 bands) near-dup pairs over word 3-grams,
     exact-Jaccard verified — output equals the brute-force oracle."""
@@ -898,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_shared_chunks": q_cdc_shared_chunks,
         "incremental_exact_dedup": q_incremental_exact_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "simhash_fingerprint": q_simhash_fingerprint,
@@ -1014,6 +1037,19 @@ _POST_SIGNUP_SQL = """
      AND e.ts <= s.ts + INTERVAL 24 HOURS
     GROUP BY s.event_id ORDER BY signup_event_id
 """
+
+
+def _chunking_oracle_sql(which: str) -> str:
+    from book_ocr_spark.operators.chunking import (
+        duck_cdc_chunks_sql,
+        duck_shared_chunks_sql,
+    )
+
+    if which == "chunks":
+        return duck_cdc_chunks_sql(
+            f"SELECT id, text FROM ({_CANON_DOCS_SQL}) t WHERE id < 200"
+        )
+    return duck_shared_chunks_sql(_dedup_corpus_sql(max_id=150))
 
 
 def _multimodal_oracle_sql(which: str) -> str:
@@ -1238,6 +1274,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_custkey HAVING COUNT(gap) > 0 ORDER BY o_custkey
         """,
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
+        "cdc_chunks": _chunking_oracle_sql("chunks"),
+        "cdc_shared_chunks": _chunking_oracle_sql("shared"),
         "incremental_exact_dedup": f"""
             WITH ex AS ({_INC_EXISTING_SQL}), nw AS ({_INC_NEW_SQL}),
             surv AS (

@@ -1,0 +1,157 @@
+"""Content-defined chunking (CDC): split documents at rolling-hash
+anchor positions — the Broder/rsync fingerprinting trick (position i
+is a cut iff hash(text[i:i+k]) % modulus == 0), so chunk boundaries
+move WITH the content. An insertion near the top of a document shifts
+every fixed-size block but leaves all content-defined chunks after the
+edit identical — which is what makes chunk-level dedup work on
+near-duplicate corpora: shared chunk hashes survive edits.
+
+This is the at-scale complement of the whole-document dedup family in
+operators/dedup.py: exact dedup catches byte-identical docs, MinHash
+catches near-identical docs, CDC finds the SHARED SUBSTRINGS inside
+partially-overlapping docs (boilerplate, quoted replies, re-posted
+passages) at sub-document granularity.
+
+Spark design (all JVM, no Python):
+  * per-position k-gram hashes use the same portable md5-derived h28
+    as dedup.py, materialized as an array column and exploded — rows
+    carry only (id, pos, hash), never a copy of the document;
+  * anchors filter + per-doc sorted cut list is one hash aggregation
+    (map-side combined; the anchor stream is ~len/modulus rows/doc);
+  * chunk slicing is a projection over the bounds array;
+  * chunk-hash dedup is a plain hash groupBy.
+DuckDB twins replicate every step bit-for-bit (1-based list indexing
+on both engines, identical hash).
+
+Production CDC adds min/max chunk-size clamps (a small stateful scan
+over the cut list); the unbounded Broder rule keeps both engines'
+definitions identical here and averages `modulus` chars per chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h28, spark_h28
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    modulus: int = 64,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_start, chunk_len, chunk_hash): documents
+    split at content-defined anchors. chunk_idx is 1-based; positions
+    are 1-based character offsets (matching substring semantics on
+    both engines)."""
+    h = spark_h28(f"substring({text_col}, i, {k})")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k}+1, 1)),"
+        f" i -> named_struct('i', i, 'h', {h}))"
+    )
+    pos = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
+        "id", F.col("g.i").alias("i"), F.col("g.h").alias("h")
+    )
+    cuts = (
+        pos.filter((F.col("h") % modulus == 0) & (F.col("i") > 1))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("i")).alias("cuts"))
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        (F.length(text_col) + 1).alias("_end"),
+    ).join(cuts, "id", "left")
+    bounds = F.expr(
+        "concat(array(1), coalesce(cuts, array()), array(_end))"
+    )
+    chunks = F.expr(
+        "transform(sequence(1, size(_b) - 1), j -> named_struct("
+        "'start', element_at(_b, j),"
+        "'len', element_at(_b, j + 1) - element_at(_b, j),"
+        "'txt', substring(_t, element_at(_b, j),"
+        "                 element_at(_b, j + 1) - element_at(_b, j))))"
+    )
+    return (
+        docs.withColumn("_b", bounds)
+        .select("id", F.posexplode(chunks).alias("_j", "c"))
+        .select(
+            "id",
+            (F.col("_j") + 1).cast("bigint").alias("chunk_idx"),
+            F.col("c.start").cast("bigint").alias("chunk_start"),
+            F.col("c.len").cast("bigint").alias("chunk_len"),
+            F.md5(F.col("c.txt")).alias("chunk_hash"),
+        )
+    )
+
+
+def shared_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    modulus: int = 64,
+) -> DataFrame:
+    """Chunk-level dedup summary: for every chunk hash seen more than
+    once, how many occurrences and how many distinct documents share
+    it. The scale shape is a single hash groupBy over the chunk table
+    (map-side combined); at warehouse scale the chunk table is
+    materialized once and this summary is incremental."""
+    c = cdc_chunks(df, id_col, text_col, k, modulus)
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def duck_cdc_chunks_sql(corpus_sql: str, k: int = 16, modulus: int = 64) -> str:
+    """DuckDB twin of cdc_chunks. corpus_sql must yield (id, text)."""
+    h = duck_h28(f"substr(text, CAST(i AS INT), {k})")
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        cuts AS (
+            SELECT id,
+                   list_sort(list_filter(
+                       range(2, greatest(len(text)-{k}+1, 1) + 1),
+                       i -> ({h}) % {modulus} = 0)) AS cuts,
+                   text, len(text) + 1 AS fin
+            FROM corpus),
+        b AS (
+            SELECT id, text,
+                   list_concat(list_concat([CAST(1 AS BIGINT)],
+                       list_transform(cuts, x -> CAST(x AS BIGINT))),
+                       [CAST(fin AS BIGINT)]) AS bounds
+            FROM cuts),
+        c AS (
+            SELECT id,
+                   CAST(j AS BIGINT) AS chunk_idx,
+                   bounds[j] AS chunk_start,
+                   bounds[j+1] - bounds[j] AS chunk_len,
+                   md5(substr(text, CAST(bounds[j] AS INT),
+                              CAST(bounds[j+1] - bounds[j] AS INT))) AS chunk_hash
+            FROM b, unnest(range(1, len(bounds))) t(j))
+        SELECT id, chunk_idx, chunk_start, chunk_len, chunk_hash
+        FROM c ORDER BY id, chunk_idx
+    """
+
+
+def duck_shared_chunks_sql(corpus_sql: str, k: int = 16, modulus: int = 64) -> str:
+    inner = duck_cdc_chunks_sql(corpus_sql, k, modulus)
+    return f"""
+        WITH chunks AS ({inner})
+        SELECT chunk_hash, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT id) AS n_docs,
+               MIN(chunk_len) AS chunk_len
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING COUNT(*) > 1
+        ORDER BY chunk_hash
+    """

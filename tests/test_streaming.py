@@ -169,3 +169,43 @@ def test_stateful_compose_stream(spark, tmp_path):
     assert got["extracted_text"].equals(exp["extracted_text"])
     assert got["turn_seq"].astype("int64").equals(exp["turn_seq"].astype("int64"))
     assert got["char_offset"].astype("int64").equals(exp["char_offset"].astype("int64"))
+
+
+def test_stateful_compose_multi_chunk_groups(spark, tmp_path):
+    """Regression: a conversation whose micro-batch rows span several
+    Arrow chunks (forced via a tiny maxRecordsPerBatch) must not lose
+    rows to the cross-batch max_idx dedup — the group is buffered and
+    sorted whole before filtering."""
+    from book_ocr_spark.fixtures import gen_transcripts, to_spark
+    from book_ocr_spark.oracle import oracle_extract
+
+    inp = str(tmp_path / "in")
+    pdf = gen_transcripts(n_convs=2, seed=33)
+    to_spark(spark, pdf).coalesce(1).write.mode("append").parquet(inp)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "2")  # every group arrives as many tiny chunks
+    try:
+        q = (
+            jobs.stateful_compose_stream(spark, inp)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stateful_chunky")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set(key, prev)
+    got = (
+        spark.sql("SELECT * FROM stateful_chunky")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = oracle_extract(pdf).reset_index(drop=True)
+    assert len(got) == len(exp)  # no rows dropped by the dedup filter
+    assert got["turn_seq"].astype("int64").equals(exp["turn_seq"].astype("int64"))
+    assert got["char_offset"].astype("int64").equals(exp["char_offset"].astype("int64"))

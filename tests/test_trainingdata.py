@@ -352,3 +352,34 @@ def test_interval_join_bucketed_equals_definitional_on_skew(spark):
     assert a == b and a
     edge = {x for x in a if x[0] == eid - 3}
     assert edge == {(eid - 3, 1, 1.0)}  # only the +24h event attributes
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+def test_cdc_chunks_tile_and_survive_edits(spark):
+    """Chunks must tile each document exactly (no gaps/overlap), and an
+    edit near the END of a doc must leave the EARLY chunks' hashes
+    identical — the content-defined property fixed-size blocks lack."""
+    from book_ocr_spark.operators.chunking import cdc_chunks, shared_chunks
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    edited = base[:-25] + " completely different tail"
+    df = spark.createDataFrame([(1, base), (2, edited)], "id int, text string")
+    rows = cdc_chunks(df, "id", "text", k=8, modulus=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    for doc_id, text in ((1, base), (2, edited)):
+        cs = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert cs[0].chunk_start == 1
+        assert sum(c.chunk_len for c in cs) == len(text)  # tiling
+        for a, b in zip(cs, cs[1:]):
+            assert b.chunk_start == a.chunk_start + a.chunk_len
+    h1 = [c.chunk_hash for c in sorted(by_doc[1], key=lambda r: r.chunk_idx)]
+    h2 = [c.chunk_hash for c in sorted(by_doc[2], key=lambda r: r.chunk_idx)]
+    shared_prefix = sum(1 for a, b in zip(h1, h2) if a == b)
+    assert shared_prefix >= len(h1) - 3  # only tail chunks differ
+
+    sh = shared_chunks(df, "id", "text", k=8, modulus=16).collect()
+    assert any(r.n_docs == 2 for r in sh)  # cross-doc shared chunks found
