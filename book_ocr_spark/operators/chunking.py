@@ -47,13 +47,16 @@ def cdc_chunks(
     split at content-defined anchors. chunk_idx is 1-based; positions
     are 1-based character offsets (matching substring semantics on
     both engines)."""
-    h = spark_h28(f"substring({text_col}, i, {k})")
+    # the lambda carries only the substring; the md5 runs AFTER the
+    # explode as a codegen'd projection — hashing inside the transform
+    # lambda would be interpreted per element (the cliff documented in
+    # dedup.minhash_signature)
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-{k}+1, 1)),"
-        f" i -> named_struct('i', i, 'h', {h}))"
+        f" i -> named_struct('i', i, 'g', substring({text_col}, i, {k})))"
     )
     pos = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
-        "id", F.col("g.i").alias("i"), F.col("g.h").alias("h")
+        "id", F.col("g.i").alias("i"), F.expr(spark_h28("g.g")).alias("h")
     )
     cuts = (
         pos.filter((F.col("h") % modulus == 0) & (F.col("i") > 1))

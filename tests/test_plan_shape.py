@@ -92,12 +92,16 @@ def test_training_ops_stay_jvm_side(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
     )
+    from book_ocr_spark.operators import chunking
+
     plans = [
         _explain(dedup.minhash_near_dup(docs, "id", "text")),
         _explain(dedup.simhash(docs, "id", "text")),
         _explain(similarity.cosine_topk(emb, emb, k=1)),
         _explain(textstats.quality_flags(docs, "id", "text")),
         _explain(textstats.lang_pred(docs, "text")),
+        _explain(chunking.cdc_chunks(docs, "id", "text", k=3, modulus=4)),
+        _explain(chunking.shared_chunks(docs, "id", "text", k=3, modulus=4)),
     ]
     for plan in plans:
         assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
