@@ -302,9 +302,17 @@ def incremental_minhash_near_dup(
     earlier-id new doc."""
     nb = _band_explode(new_sigs)
     eb = _band_explode(existing_sigs)
+    # new_id != match_id: an id re-sent in the batch must not pair with
+    # its own existing row (the self-"duplicate" is what the exact-hash
+    # path reports; here it would just restate identity). When a
+    # re-sent id's CONTENT changed, the match side represents its
+    # existing content and the new side its new content — by design:
+    # the question a daily ingest asks is "does anything in this batch
+    # near-duplicate what the corpus already holds".
     vs_existing = (
         nb.withColumnRenamed("id", "new_id")
         .join(eb.withColumnRenamed("id", "match_id"), ["band", "key"])
+        .filter(F.col("new_id") != F.col("match_id"))
         .select("new_id", "match_id")
     )
     nb2 = nb.withColumnRenamed("id", "match_id")

@@ -138,8 +138,12 @@ def cosine_near_dup_pairs_bucketed(
 
     Hyperplanes reuse _plane_weight with plane index band*band_planes+p
     — deterministic, engine-independent, constant-folded literals."""
+    # null vectors are excluded up front: they cannot be near-dups
+    # (cosine undefined) and would all fold to the same all-zero band
+    # keys, blowing the candidate join up O(n_null^2)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if dim is None:
-        row = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        row = corpus.select(vec_col).first()
         if row is None:
             # empty schema derived from the input so dtypes match the
             # non-empty path whatever type id_col has
@@ -527,12 +531,16 @@ def lsh_bucket_topk(
     (replacing the O(Q*N) cross join), one small top-k window.
 
     Pass ``dim`` (the embedding dimensionality) to skip the probe-row
-    driver job; without it, one NON-NULL probe row is read to size the
-    weight literals. A probe set with no non-null vectors returns an
-    empty result (schema derived from the inputs) instead of dying in
-    len(None)."""
+    driver job; without it, one probe row is read to size the weight
+    literals. Null vectors are dropped from BOTH sides up front: a
+    null probe would otherwise fold every sign bit to the ELSE branch
+    (bucket 0) and emit sim=NULL garbage rows against bucket-0
+    neighbors; a probe set with no non-null vectors returns an empty
+    result (schema derived from the inputs)."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if dim is None:
-        row = queries.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        row = queries.select(vec_col).first()
         if row is None:
             return (
                 queries.select(F.col(id_col).alias("query_id"))

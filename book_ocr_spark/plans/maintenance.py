@@ -42,6 +42,22 @@ def compact_checkpoint_log(
     change what resume/replay see (asserted in tests).
 
     Returns {"rows_before", "rows_after"}."""
+    old = ckpt_path.rstrip("/") + "__precompact"
+    # crash recovery BEFORE anything else: a prior compaction that died
+    # between its two renames left the only full log at `old`.
+    if os.path.isdir(old):
+        if not io.exists(ckpt_path):
+            # mid-swap crash: restore the pre-compaction log wholesale
+            os.replace(old, ckpt_path)
+        else:
+            # either a stale leftover (crash after the swap, before the
+            # cleanup) or post-crash appends landed in a recreated
+            # ckpt_path: merging `old` back is safe in both cases —
+            # re-adding strictly-older status rows cannot change
+            # current_status's max_by resolution, it only costs the
+            # compaction this run is about to redo anyway
+            io.append_log(io.read_table(spark, old, CHECKPOINTS), ckpt_path)
+            shutil.rmtree(old)
     if not io.exists(ckpt_path):
         return {"rows_before": 0, "rows_after": 0}
     log = io.read_table(spark, ckpt_path, CHECKPOINTS)
@@ -60,10 +76,8 @@ def compact_checkpoint_log(
         .drop("_rk")
     )
     tmp = ckpt_path.rstrip("/") + "__compacting"
-    old = ckpt_path.rstrip("/") + "__precompact"
-    for d in (tmp, old):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # tmp is always disposable; `old` never is
     kept.write.mode("overwrite").parquet(tmp)
     rows_after = io.read_table(spark, tmp, CHECKPOINTS).count()
     # two renames, never an unlink of the live store: a crash before

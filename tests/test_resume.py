@@ -240,3 +240,34 @@ def test_retention_expires_stream_batches(tmp_path):
             os.listdir(root / "turns" / "rec=data" / f"part_id={part}")
         )
         assert left == ["batch_id=3", "batch_id=4"]
+
+
+def test_retention_recovers_from_mid_swap_crash(spark, transcripts_pd, out_dir):
+    """A compaction that died between its two renames leaves the full
+    log at __precompact; the next compaction must restore it instead of
+    deleting the only copy."""
+    import os
+    import shutil
+
+    from book_ocr_spark.plans import checkpoint as cp
+    from book_ocr_spark.plans.maintenance import compact_checkpoint_log
+
+    sdf = to_spark(spark, transcripts_pd)
+    run(spark, "<fixture>", out_dir, n_parts=4, transcripts=sdf)
+    ckpt = f"{out_dir}/checkpoints"
+    before = {(r.part_id, r.status) for r in cp.current_status(spark, ckpt).collect()}
+
+    # simulate the crash window: log moved aside, ckpt_path missing
+    os.replace(ckpt, ckpt + "__precompact")
+    res = compact_checkpoint_log(spark, ckpt, keep_last=2)
+    assert res["rows_after"] >= 1
+    after = {(r.part_id, r.status) for r in cp.current_status(spark, ckpt).collect()}
+    assert after == before
+    assert not os.path.isdir(ckpt + "__precompact")
+
+    # stale-leftover case: both dirs exist -> merged, never deleted blind
+    shutil.copytree(ckpt, ckpt + "__precompact")
+    res2 = compact_checkpoint_log(spark, ckpt, keep_last=2)
+    after2 = {(r.part_id, r.status) for r in cp.current_status(spark, ckpt).collect()}
+    assert after2 == before
+    assert not os.path.isdir(ckpt + "__precompact")

@@ -383,3 +383,20 @@ def test_cdc_chunks_tile_and_survive_edits(spark):
 
     sh = shared_chunks(df, "id", "text", k=8, modulus=16).collect()
     assert any(r.n_docs == 2 for r in sh)  # cross-doc shared chunks found
+
+
+def test_lsh_bucket_topk_null_vectors(spark, emb_df):
+    """Null vectors must be dropped from both sides: a null probe must
+    produce NO output rows (not sim=NULL garbage), and an all-null
+    probe set returns an empty frame with the right schema."""
+    nulls = spark.createDataFrame(
+        [(900, None), (901, None)], "vec_id long, embedding array<float>"
+    )
+    mixed = emb_df.filter(F.col("vec_id") < 2).unionByName(nulls)
+    got = similarity.lsh_bucket_topk(emb_df.unionByName(nulls), mixed, k=3, n_planes=4)
+    rows = got.collect()
+    assert rows and all(r.query_id in (0, 1) for r in rows)
+    assert all(r.sim is not None and r.neighbor_id not in (900, 901) for r in rows)
+    empty = similarity.lsh_bucket_topk(emb_df, nulls, k=3, n_planes=4)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["query_id", "rank", "neighbor_id", "sim"]
