@@ -46,6 +46,30 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    key: str,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write: pays the shuffle ONCE at
+    write time so every later equi-join or aggregation on ``key``
+    between same-bucketed tables plans with NO exchange — the
+    warehouse co-location strategy for repeatedly-joined 100 TB tables
+    (e.g. the extracted-turns table bucketed by conv_id joined against
+    per-conversation annotation tables). Spark's parquet bucketing is
+    the catalog-table analog of Iceberg's bucket partition transform;
+    `sort_cols` additionally pre-sorts within buckets so sort-merge
+    joins skip their sort. Exchange-freeness is pinned by
+    tests/test_plan_shape.py."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def append_log(df: DataFrame, path: str) -> None:
     """Append-only log table (checkpoints, metrics). Resolution of
     current state is by latest updated_at — the parquet analog of

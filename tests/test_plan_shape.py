@@ -202,3 +202,35 @@ def test_window_path_arrow_nodes_minimal(spark, transcripts_df):
     plan = _explain(build_extract_plan(transcripts_df, n_parts=8))
     n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
     assert n_arrow == 1, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed by the same key with the same bucket count
+    must sort-merge-join with ZERO exchanges (the write-once shuffle is
+    amortized across every future join); the same join on plain tables
+    plans two."""
+    from book_ocr_spark.sources import io as bio
+
+    left = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bio.write_bucketed(left, "bkt_left", 4, "k", sort_cols=["k"])
+        bio.write_bucketed(right, "bkt_right", 4, "k", sort_cols=["k"])
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+        plain = left.join(right, "k")
+        plain_plan = _explain(plain)
+        assert len(re.findall(r"\(\d+\) Exchange", plain_plan)) == 2, plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
