@@ -798,6 +798,16 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_bigram_entropy(spark, sf_dir):
+    """Character-bigram entropy per document (LM-perplexity stand-in
+    quality signal; filters both low-entropy boilerplate and
+    high-entropy junk tails)."""
+    from book_ocr_spark.operators.textstats import char_bigram_entropy
+
+    d = _canon_docs(spark, sf_dir)
+    return char_bigram_entropy(d, "id", "text").orderBy("id")
+
+
 def q_quality_flags(spark, sf_dir):
     """Composite quality gate with first-failing-rule reason."""
     from book_ocr_spark.operators.textstats import quality_flags
@@ -936,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_flags": q_quality_flags,
+        "bigram_entropy": q_bigram_entropy,
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
         "pipeline_plain_sql": q_pipeline_plain_sql,
@@ -1017,6 +1028,10 @@ def _textstats_oracle_sql(which: str) -> str:
         return duck_lang_confusion_sql("documents")
     if which == "quality":
         return duck_quality_flags_sql("documents", "doc_id", "text")
+    if which == "entropy":
+        from book_ocr_spark.operators.textstats import duck_char_bigram_entropy_sql
+
+        return duck_char_bigram_entropy_sql(_CANON_DOCS_SQL)
     return f"""
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_bpe_tokens,
@@ -1296,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _textstats_oracle_sql("lang"),
         "bpe_token_stats": _textstats_oracle_sql("bpe"),
         "quality_flags": _textstats_oracle_sql("quality"),
+        "bigram_entropy": _textstats_oracle_sql("entropy"),
         "multimodal_features": _multimodal_oracle_sql("features"),
         "media_frame_sample": _multimodal_oracle_sql("frames"),
         "pipeline_plain_sql": """

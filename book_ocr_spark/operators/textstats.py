@@ -171,3 +171,54 @@ def duck_quality_flags_sql(table: str, id_col: str, text_col: str) -> str:
                reason = 'ok' AS keep, reason
         FROM r ORDER BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram entropy — the poor-man's perplexity quality signal
+# ---------------------------------------------------------------------------
+def char_bigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy of each document's character-bigram
+    distribution, in bits — the cheap stand-in for the LM-perplexity
+    quality filter of CCNet-style pipelines: natural prose lands in a
+    mid band, while repeated boilerplate scores low and
+    random/binary-ish junk scores high, so BOTH tails get filtered.
+
+    Plan: one JVM projection builds the per-doc bigram array, explode →
+    hash-aggregate counts per (id, bigram) → per-id entropy aggregate.
+    Two map-side-combined shuffles on narrow rows; no Python. Returns
+    (id, n_bigrams, bigram_entropy)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-1, 1)),"
+        f" i -> substring({text_col}, i, 2))"
+    )
+    pairs = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("bg"))
+    counts = pairs.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(totals, "id")
+        .groupBy("id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_bigrams"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("bigram_entropy"),
+        )
+    )
+
+
+def duck_char_bigram_entropy_sql(corpus_sql: str) -> str:
+    """DuckDB twin of char_bigram_entropy; corpus_sql yields (id, text)."""
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        pairs AS (
+            SELECT id,
+                   unnest(list_transform(range(1, greatest(len(text)-1, 1) + 1),
+                                         i -> substr(text, CAST(i AS INT), 2))) AS bg
+            FROM corpus),
+        counts AS (SELECT id, bg, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+        totals AS (SELECT id, SUM(c) AS n FROM counts GROUP BY 1)
+        SELECT id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+               ROUND(-SUM((c / CAST(n AS DOUBLE))
+                          * log2(c / CAST(n AS DOUBLE))), 4) AS bigram_entropy
+        FROM counts JOIN totals USING (id)
+        GROUP BY id ORDER BY id
+    """

@@ -241,3 +241,80 @@ def hourly_metrics_stream(
             F.round("avg_payload_len", 4).alias("avg_payload_len"),
         )
     )
+
+
+DOCS_STREAM_SCHEMA = "id long, text string"
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    available_now: bool = False,
+):
+    """Streaming near-dup dedup — the daily-ingest MERGE shape running
+    continuously: every arriving micro-batch of documents is checked
+    against the CUMULATIVE signature table (batch-vs-corpus +
+    batch-vs-batch band joins, operators.dedup.incremental_minhash_
+    near_dup — the existing corpus is never rescanned, only its
+    signature table), matches land in `matches/`, and the batch's own
+    signatures are appended to `sigs/` so the next batch dedups against
+    everything seen so far.
+
+    Effectively-once: both writes are dynamic-partition overwrites
+    keyed by batch_id, so an at-least-once foreachBatch replay rewrites
+    its own partitions instead of duplicating rows (same idempotence
+    story as write_turn_batch)."""
+    from pyspark import StorageLevel
+
+    from book_ocr_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_signature,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    sigs_path = f"{out_path}/sigs"
+    matches_path = f"{out_path}/matches"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signature(batch_df, "id", "text", k=k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            import os
+
+            if os.path.isdir(sigs_path):
+                existing = spark.read.parquet(sigs_path).select("id", "sh", "sig")
+            else:
+                existing = spark.createDataFrame([], sigs.schema)
+            matches = incremental_minhash_near_dup(sigs, existing, threshold)
+            (
+                matches.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(matches_path)
+            )
+            (
+                sigs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sigs_path)
+            )
+        finally:
+            sigs.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

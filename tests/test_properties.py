@@ -78,3 +78,41 @@ def test_plain_extraction_idempotent(t):
     once = extract_batch(pd.Series([t]), pd.Series(["plain"]))
     twice = extract_batch(once["extracted_text"], pd.Series(["plain"]))
     assert twice["extracted_text"].iloc[0] == once["extracted_text"].iloc[0]
+
+
+def test_cdc_tiling_property(spark):
+    """Property: for arbitrary printable text, CDC chunks tile the
+    document exactly — contiguous, gap-free, full coverage — and chunk
+    hashes are md5 of the exact slices."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from book_ocr_spark.operators.chunking import cdc_chunks
+
+    texts_acc = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=400))
+    def collect(t):
+        texts_acc.append(t)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_acc)], "id int, text string"
+    )
+    rows = cdc_chunks(df, "id", "text", k=5, modulus=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, t in enumerate(texts_acc):
+        cs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert cs[0].chunk_start == 1
+        assert sum(c.chunk_len for c in cs) == len(t)
+        pos = 1
+        for c in cs:
+            assert c.chunk_start == pos
+            piece = t[pos - 1 : pos - 1 + c.chunk_len]
+            assert c.chunk_hash == hashlib.md5(piece.encode()).hexdigest()
+            pos += c.chunk_len

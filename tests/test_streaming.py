@@ -209,3 +209,38 @@ def test_stateful_compose_multi_chunk_groups(spark, tmp_path):
     assert len(got) == len(exp)  # no rows dropped by the dedup filter
     assert got["turn_seq"].astype("int64").equals(exp["turn_seq"].astype("int64"))
     assert got["char_offset"].astype("int64").equals(exp["char_offset"].astype("int64"))
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Streaming MERGE dedup: batch 2's near-dup of a batch-1 doc is
+    detected against the cumulative signature table; unrelated new
+    content produces no matches; the signature table accumulates."""
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps running"),
+        (2, "catalyst prunes columns pushes filters and plans broadcast joins"),
+    ]
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog and keeps walking"),
+        (11, "a completely unrelated sentence about watermarked session windows"),
+    ]
+    spark.createDataFrame(b1, "id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(b2, "id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = jobs.start_incremental_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_dedup"), k=3, threshold=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    matches = spark.read.parquet(f"{out}/matches")
+    got = {(r.new_id, r.match_id) for r in matches.collect()}
+    assert (10, 1) in got  # near-dup found across batches
+    assert all(m != 11 and n != 11 for n, m in got)  # unrelated doc clean
+    sigs = spark.read.parquet(f"{out}/sigs")
+    assert sigs.count() == 4  # cumulative signature table
