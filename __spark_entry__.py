@@ -594,6 +594,22 @@ def q_incremental_near_dup(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed curation pass (quality gate -> exact dedup ->
+    near-dup drop) over a corpus seeded with exact copies AND near-dup
+    variants — the end-to-end DAG a pretraining corpus pass runs,
+    hash-checked stage-for-stage against the DuckDB twin."""
+    from book_ocr_spark.plans.curation import curate
+
+    base = _dedup_corpus(spark, sf_dir, max_id=150)
+    copies = (
+        _canon_docs(spark, sf_dir)
+        .filter(F.col("id") < 50)
+        .select((F.col("id") + 200000).alias("id"), "text")
+    )
+    return curate(base.unionByName(copies), "id", "text").orderBy("id")
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking: rolling-hash anchor cuts (Broder
     fingerprinting) — chunk table for docs id<200, hash-checked against
@@ -929,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
+        "curation_pipeline": q_curation_pipeline,
         "cdc_chunks": q_cdc_chunks,
         "cdc_shared_chunks": q_cdc_shared_chunks,
         "incremental_exact_dedup": q_incremental_exact_dedup,
@@ -1052,6 +1069,17 @@ _POST_SIGNUP_SQL = """
      AND e.ts <= s.ts + INTERVAL 24 HOURS
     GROUP BY s.event_id ORDER BY signup_event_id
 """
+
+
+def _curation_oracle_sql() -> str:
+    from book_ocr_spark.plans.curation import duck_curate_sql
+
+    corpus = f"""
+        SELECT id, text FROM ({_dedup_corpus_sql(max_id=150)}) d
+        UNION ALL
+        SELECT id + 200000, text FROM ({_CANON_DOCS_SQL}) c WHERE id < 50
+    """
+    return duck_curate_sql(corpus)
 
 
 def _chunking_oracle_sql(which: str) -> str:
@@ -1289,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_custkey HAVING COUNT(gap) > 0 ORDER BY o_custkey
         """,
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
+        "curation_pipeline": _curation_oracle_sql(),
         "cdc_chunks": _chunking_oracle_sql("chunks"),
         "cdc_shared_chunks": _chunking_oracle_sql("shared"),
         "incremental_exact_dedup": f"""

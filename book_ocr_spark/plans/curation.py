@@ -1,0 +1,96 @@
+"""The composed training-data curation pipeline — the stages every
+pretraining corpus pass runs, wired end to end over the operator
+library: quality gate -> exact dedup -> near-dup dedup -> surviving
+corpus. One declarative DAG: Catalyst sees all three stages at once,
+so filters push into the scan and the only shuffles are the dedup
+hash-agg and the LSH band/verify joins.
+
+Near-dup canonicalization rule: a document is dropped iff it appears
+as the HIGHER id of any verified near-dup pair. Deterministic and
+SQL-replicable; it over-drops relative to true connected-component
+clustering (chain A~B~C with A!~C keeps only A, where CC would also
+keep only A — but a star B~A, B~C keeps A and C, dropping only B when
+ids order that way). Production CC needs an iterative union-find
+(GraphFrames connectedComponents or alternating min-id joins to a
+fixed point); the single-pass rule is the standard first-cut used when
+pair volume is small relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_jaccard_pairs_sql, minhash_near_dup
+from book_ocr_spark.operators.textstats import (
+    MAX_DIGIT_RATIO,
+    MIN_CHARS,
+    WORD_LEN_HI,
+    WORD_LEN_LO,
+    quality_flags,
+)
+
+
+def curate(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Quality gate -> exact dedup (min id per content hash) -> near-dup
+    drop (higher id of each verified pair). Returns the surviving
+    corpus as (id, fingerprint, n_tokens) ordered upstream of the
+    caller."""
+    flags = quality_flags(corpus, id_col, text_col)
+    kept = corpus.join(
+        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    canonical = (
+        kept.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = kept.join(canonical, id_col, "left_semi")
+    pairs = minhash_near_dup(survivors, id_col, text_col, k=k, threshold=threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    final = survivors.join(dropped, id_col, "left_anti")
+    return final.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def duck_curate_sql(corpus_sql: str, k: int = 3, threshold: float = 0.6) -> str:
+    """DuckDB twin of curate(): same quality constants, same min-id
+    exact dedup, brute-force Jaccard pairs (== the LSH+verify output)
+    and the same higher-id drop rule. corpus_sql yields (id, text)."""
+    pairs_sql = duck_jaccard_pairs_sql(
+        "SELECT id, text FROM surv_docs", k=k, threshold=threshold
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        q AS (
+            SELECT id, text,
+                   CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_words,
+                   LEN(regexp_extract_all(text, '[0-9]', 0))
+                       / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS digit_ratio
+            FROM corpus),
+        kept AS (
+            SELECT id, text FROM q
+            WHERE NOT (n_chars < {MIN_CHARS})
+              AND NOT (digit_ratio > {MAX_DIGIT_RATIO})
+              AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) < {WORD_LEN_LO})
+              AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) > {WORD_LEN_HI})),
+        canon AS (SELECT MIN(id) AS id FROM kept GROUP BY MD5(text)),
+        surv_docs AS (SELECT k.id, k.text FROM kept k JOIN canon USING (id)),
+        pairs AS ({pairs_sql}),
+        dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+        SELECT s.id, MD5(s.text) AS fingerprint,
+               CAST(LEN(string_split_regex(TRIM(s.text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM surv_docs s
+        WHERE s.id NOT IN (SELECT id FROM dropped)
+        ORDER BY s.id
+    """
