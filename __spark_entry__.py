@@ -594,6 +594,17 @@ def q_incremental_near_dup(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected-component clustering over the near-dup pair graph
+    (iterative min-label propagation; cluster_id = min reachable id) —
+    hash-checked against a DuckDB recursive-CTE reachability twin."""
+    from book_ocr_spark.operators.dedup import minhash_near_dup, near_dup_clusters
+
+    corpus = _dedup_corpus(spark, sf_dir, max_id=150)
+    pairs = minhash_near_dup(corpus, "id", "text", k=3, threshold=0.6)
+    return near_dup_clusters(pairs, corpus.select("id")).orderBy("id")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The composed curation pass (quality gate -> exact dedup ->
     near-dup drop) over a corpus seeded with exact copies AND near-dup
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "curation_pipeline": q_curation_pipeline,
         "cdc_chunks": q_cdc_chunks,
         "cdc_shared_chunks": q_cdc_shared_chunks,
@@ -1069,6 +1081,14 @@ _POST_SIGNUP_SQL = """
      AND e.ts <= s.ts + INTERVAL 24 HOURS
     GROUP BY s.event_id ORDER BY signup_event_id
 """
+
+
+def _clusters_oracle_sql() -> str:
+    from book_ocr_spark.operators.dedup import duck_clusters_sql, duck_jaccard_pairs_sql
+
+    pairs = duck_jaccard_pairs_sql(_dedup_corpus_sql(max_id=150), k=3, threshold=0.6)
+    ids = f"SELECT id FROM ({_dedup_corpus_sql(max_id=150)}) u"
+    return duck_clusters_sql(pairs, ids)
 
 
 def _curation_oracle_sql() -> str:
@@ -1317,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_custkey HAVING COUNT(gap) > 0 ORDER BY o_custkey
         """,
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
+        "near_dup_clusters": _clusters_oracle_sql(),
         "curation_pipeline": _curation_oracle_sql(),
         "cdc_chunks": _chunking_oracle_sql("chunks"),
         "cdc_shared_chunks": _chunking_oracle_sql("shared"),

@@ -556,3 +556,75 @@ def duck_ngram_jaccard_sql(corpus_sql: str, n: int, threshold: float) -> str:
               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {threshold}
         ORDER BY id_a, id_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+def near_dup_clusters(
+    pairs: DataFrame, ids: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc is
+    labeled with the MINIMUM id reachable through pair edges — the
+    canonical cluster representative a dedup pass keeps (the exact
+    rule plans/curation.py's single-pass drop approximates).
+
+    Iterative min-label propagation, pure DataFrame ops: labels start
+    as own id; each round every node takes the min of its own and its
+    neighbors' labels (one equi-join + one hash agg per round),
+    stopping when a round changes nothing. Rounds needed = the graph
+    diameter — near-dup components are tiny dense blobs in practice,
+    so 2-4 rounds; the convergence check is one count() per round
+    (documented driver action, same pattern as MLlib's iterative
+    algorithms; GraphFrames connectedComponents is the drop-in at
+    extreme diameters).
+
+    pairs: (id_a, id_b); ids: one column `id` (the doc universe).
+    Returns (id, cluster_id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("cluster_id"))
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duck_clusters_sql(pairs_sql: str, ids_sql: str) -> str:
+    """DuckDB twin of near_dup_clusters via a recursive reachability
+    CTE: cluster_id = MIN(id reachable). pairs_sql yields (id_a,
+    id_b); ids_sql yields (id)."""
+    return f"""
+        WITH RECURSIVE
+        ids AS ({ids_sql}),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM ({pairs_sql}) p
+            UNION
+            SELECT id_b, id_a FROM ({pairs_sql}) p2),
+        reach(src, dst) AS (
+            SELECT id, id FROM ids
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT src AS id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src ORDER BY id
+    """

@@ -400,3 +400,13 @@ def test_lsh_bucket_topk_null_vectors(spark, emb_df):
     empty = similarity.lsh_bucket_topk(emb_df, nulls, k=3, n_planes=4)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["query_id", "rank", "neighbor_id", "sim"]
+
+
+def test_near_dup_clusters_chain(spark):
+    """Label propagation must follow CHAINS: A~B, B~C (A!~C directly)
+    puts all three in cluster min(A) — the case the single-pass
+    higher-id drop rule cannot express."""
+    pairs = spark.createDataFrame([(1, 5), (5, 9), (20, 30)], "id_a int, id_b int")
+    ids = spark.createDataFrame([(i,) for i in (1, 5, 9, 20, 30, 40)], "id int")
+    got = {r.id: r.cluster_id for r in dedup.near_dup_clusters(pairs, ids).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20, 40: 40}
