@@ -621,6 +621,21 @@ def q_curation_pipeline(spark, sf_dir):
     return curate(base.unionByName(copies), "id", "text").orderBy("id")
 
 
+def q_curation_pipeline_cc(spark, sf_dir):
+    """Curation with connected-component canonicalization (keep one doc
+    per near-dup component, min reachable id) — the production rule,
+    hash-checked against the recursive-CTE DuckDB twin."""
+    from book_ocr_spark.plans.curation import curate
+
+    base = _dedup_corpus(spark, sf_dir, max_id=150)
+    copies = (
+        _canon_docs(spark, sf_dir)
+        .filter(F.col("id") < 50)
+        .select((F.col("id") + 200000).alias("id"), "text")
+    )
+    return curate(base.unionByName(copies), "id", "text", clustering="cc").orderBy("id")
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking: rolling-hash anchor cuts (Broder
     fingerprinting) — chunk table for docs id<200, hash-checked against
@@ -958,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "curation_pipeline": q_curation_pipeline,
+        "curation_pipeline_cc": q_curation_pipeline_cc,
         "cdc_chunks": q_cdc_chunks,
         "cdc_shared_chunks": q_cdc_shared_chunks,
         "incremental_exact_dedup": q_incremental_exact_dedup,
@@ -1091,7 +1107,7 @@ def _clusters_oracle_sql() -> str:
     return duck_clusters_sql(pairs, ids)
 
 
-def _curation_oracle_sql() -> str:
+def _curation_oracle_sql(clustering: str = "pair") -> str:
     from book_ocr_spark.plans.curation import duck_curate_sql
 
     corpus = f"""
@@ -1099,7 +1115,7 @@ def _curation_oracle_sql() -> str:
         UNION ALL
         SELECT id + 200000, text FROM ({_CANON_DOCS_SQL}) c WHERE id < 50
     """
-    return duck_curate_sql(corpus)
+    return duck_curate_sql(corpus, clustering=clustering)
 
 
 def _chunking_oracle_sql(which: str) -> str:
@@ -1339,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
         "near_dup_clusters": _clusters_oracle_sql(),
         "curation_pipeline": _curation_oracle_sql(),
+        "curation_pipeline_cc": _curation_oracle_sql(clustering="cc"),
         "cdc_chunks": _chunking_oracle_sql("chunks"),
         "cdc_shared_chunks": _chunking_oracle_sql("shared"),
         "incremental_exact_dedup": f"""

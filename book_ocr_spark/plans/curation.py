@@ -37,11 +37,15 @@ def curate(
     text_col: str,
     k: int = 3,
     threshold: float = 0.6,
+    clustering: str = "pair",
 ) -> DataFrame:
     """Quality gate -> exact dedup (min id per content hash) -> near-dup
-    drop (higher id of each verified pair). Returns the surviving
-    corpus as (id, fingerprint, n_tokens) ordered upstream of the
-    caller."""
+    canonicalization. ``clustering``: 'pair' drops the higher id of
+    each verified pair (single-pass, over-drops on stars — see module
+    docstring); 'cc' keeps exactly one doc per connected component
+    (min reachable id) via operators.dedup.near_dup_clusters — the
+    production rule. Returns the surviving corpus as (id, fingerprint,
+    n_tokens)."""
     flags = quality_flags(corpus, id_col, text_col)
     kept = corpus.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
@@ -53,8 +57,19 @@ def curate(
     )
     survivors = kept.join(canonical, id_col, "left_semi")
     pairs = minhash_near_dup(survivors, id_col, text_col, k=k, threshold=threshold)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    final = survivors.join(dropped, id_col, "left_anti")
+    if clustering == "cc":
+        from book_ocr_spark.operators.dedup import near_dup_clusters
+
+        labels = near_dup_clusters(
+            pairs, survivors.select(F.col(id_col).alias("id"))
+        )
+        keepers = labels.filter(F.col("id") == F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        final = survivors.join(keepers, id_col, "left_semi")
+    else:
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        final = survivors.join(dropped, id_col, "left_anti")
     return final.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("fingerprint"),
@@ -62,13 +77,49 @@ def curate(
     )
 
 
-def duck_curate_sql(corpus_sql: str, k: int = 3, threshold: float = 0.6) -> str:
+def duck_curate_sql(
+    corpus_sql: str, k: int = 3, threshold: float = 0.6, clustering: str = "pair"
+) -> str:
     """DuckDB twin of curate(): same quality constants, same min-id
     exact dedup, brute-force Jaccard pairs (== the LSH+verify output)
-    and the same higher-id drop rule. corpus_sql yields (id, text)."""
+    and the same canonicalization rule ('pair' higher-id drop or 'cc'
+    recursive-CTE connected components). corpus_sql yields (id, text)."""
     pairs_sql = duck_jaccard_pairs_sql(
         "SELECT id, text FROM surv_docs", k=k, threshold=threshold
     )
+    if clustering == "cc":
+        return f"""
+        WITH RECURSIVE corpus AS ({corpus_sql}),
+        q AS (
+            SELECT id, text,
+                   CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_words,
+                   LEN(regexp_extract_all(text, '[0-9]', 0))
+                       / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS digit_ratio
+            FROM corpus),
+        kept AS (
+            SELECT id, text FROM q
+            WHERE NOT (n_chars < {MIN_CHARS})
+              AND NOT (digit_ratio > {MAX_DIGIT_RATIO})
+              AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) < {WORD_LEN_LO})
+              AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) > {WORD_LEN_HI})),
+        canon AS (SELECT MIN(id) AS id FROM kept GROUP BY MD5(text)),
+        surv_docs AS (SELECT k.id, k.text FROM kept k JOIN canon USING (id)),
+        pairs AS ({pairs_sql}),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+            SELECT id, id FROM surv_docs
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        labels AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT s.id, MD5(s.text) AS fingerprint,
+               CAST(LEN(string_split_regex(TRIM(s.text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM surv_docs s JOIN labels l ON s.id = l.id AND s.id = l.cluster_id
+        ORDER BY s.id
+    """
     return f"""
         WITH corpus AS ({corpus_sql}),
         q AS (
