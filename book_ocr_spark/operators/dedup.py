@@ -562,7 +562,10 @@ def duck_ngram_jaccard_sql(corpus_sql: str, n: int, threshold: float) -> str:
 # Near-dup clustering: connected components over the pair graph
 # ---------------------------------------------------------------------------
 def near_dup_clusters(
-    pairs: DataFrame, ids: DataFrame, max_iters: int = 20
+    pairs: DataFrame,
+    ids: DataFrame,
+    max_iters: int = 20,
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc is
     labeled with the MINIMUM id reachable through pair edges — the
@@ -580,13 +583,21 @@ def near_dup_clusters(
     extreme diameters).
 
     pairs: (id_a, id_b); ids: one column `id` (the doc universe).
-    Returns (id, cluster_id)."""
+    Returns (id, cluster_id). The returned DataFrame is persisted (its
+    lineage is the whole iteration chain); pass ``storage_handle`` to
+    receive it for unpersist() in long-lived sessions — same cleanup
+    contract as minhash_near_dup. Raises RuntimeError if max_iters
+    rounds end before the fixed point (a component with diameter >
+    max_iters): silently returning partial labels would split a
+    cluster without any signal."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
     labels = ids.select(F.col("id"), F.col("id").alias("cluster_id"))
+    prev_persisted = None
+    converged = False
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges.src == labels.id)
@@ -596,17 +607,31 @@ def near_dup_clusters(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        new_labels = new_labels.persist()
+        ).persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # `changed` materialized new_labels, so the previous round's
+        # cache is no longer referenced — release it now instead of
+        # leaking max_iters full-corpus blocks
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); raise max_iters "
+            "or switch to GraphFrames connectedComponents"
+        )
+    if storage_handle is not None:
+        storage_handle.append(labels)
     return labels
 
 

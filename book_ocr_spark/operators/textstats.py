@@ -184,8 +184,10 @@ def char_bigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     random/binary-ish junk scores high, so BOTH tails get filtered.
 
     Plan: one JVM projection builds the per-doc bigram array, explode →
-    hash-aggregate counts per (id, bigram) → per-id entropy aggregate.
-    Two map-side-combined shuffles on narrow rows; no Python. Returns
+    hash-aggregate counts per (id, bigram) → ONE per-id aggregate via
+    the identity H = log2(n) - (Σ c·log2 c)/n, so no counts-to-totals
+    join and no re-shuffle of the widest intermediate. Exactly two
+    map-side-combined shuffles on narrow rows; no Python. Returns
     (id, n_bigrams, bigram_entropy)."""
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-1, 1)),"
@@ -193,20 +195,17 @@ def char_bigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     pairs = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("bg"))
     counts = pairs.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.groupBy("id").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n")
-    return (
-        counts.join(totals, "id")
-        .groupBy("id")
-        .agg(
-            F.max("n").cast("bigint").alias("n_bigrams"),
-            F.round(-F.sum(p * F.log2(p)), 4).alias("bigram_entropy"),
-        )
+    n = F.sum("c").cast("double")
+    s = F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+    return counts.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(F.log2(n) - s / n, 4).alias("bigram_entropy"),
     )
 
 
 def duck_char_bigram_entropy_sql(corpus_sql: str) -> str:
-    """DuckDB twin of char_bigram_entropy; corpus_sql yields (id, text)."""
+    """DuckDB twin of char_bigram_entropy; corpus_sql yields (id, text).
+    Same single-aggregate identity H = log2(n) - (Σ c·log2 c)/n."""
     return f"""
         WITH corpus AS ({corpus_sql}),
         pairs AS (
@@ -214,11 +213,10 @@ def duck_char_bigram_entropy_sql(corpus_sql: str) -> str:
                    unnest(list_transform(range(1, greatest(len(text)-1, 1) + 1),
                                          i -> substr(text, CAST(i AS INT), 2))) AS bg
             FROM corpus),
-        counts AS (SELECT id, bg, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
-        totals AS (SELECT id, SUM(c) AS n FROM counts GROUP BY 1)
-        SELECT id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
-               ROUND(-SUM((c / CAST(n AS DOUBLE))
-                          * log2(c / CAST(n AS DOUBLE))), 4) AS bigram_entropy
-        FROM counts JOIN totals USING (id)
-        GROUP BY id ORDER BY id
+        counts AS (SELECT id, bg, COUNT(*) AS c FROM pairs GROUP BY 1, 2)
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE), 4) AS bigram_entropy
+        FROM counts GROUP BY id ORDER BY id
     """

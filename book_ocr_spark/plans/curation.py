@@ -5,15 +5,15 @@ corpus. One declarative DAG: Catalyst sees all three stages at once,
 so filters push into the scan and the only shuffles are the dedup
 hash-agg and the LSH band/verify joins.
 
-Near-dup canonicalization rule: a document is dropped iff it appears
-as the HIGHER id of any verified near-dup pair. Deterministic and
-SQL-replicable; it over-drops relative to true connected-component
-clustering (chain A~B~C with A!~C keeps only A, where CC would also
-keep only A — but a star B~A, B~C keeps A and C, dropping only B when
-ids order that way). Production CC needs an iterative union-find
-(GraphFrames connectedComponents or alternating min-id joins to a
-fixed point); the single-pass rule is the standard first-cut used when
-pair volume is small relative to the corpus.
+Near-dup canonicalization rules: the default 'pair' rule drops a
+document iff it appears as the HIGHER id of any verified near-dup pair
+— deterministic, single-pass, SQL-replicable, but its keep-set is
+neither a subset nor a superset of true connected-component
+clustering: a chain A~B~C (A!~C) keeps only A (same as CC), while a
+star B~A, B~C with B the middle id keeps A and C where CC keeps only
+A. The 'cc' rule (clustering="cc") keeps exactly one document per
+connected component — the production rule — via
+operators.dedup.near_dup_clusters' iterative min-label propagation.
 """
 
 from __future__ import annotations
@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from book_ocr_spark.operators.dedup import duck_jaccard_pairs_sql, minhash_near_dup
+from book_ocr_spark.operators.dedup import (
+    duck_jaccard_pairs_sql,
+    exact_dedup_groups,
+    minhash_near_dup,
+)
 from book_ocr_spark.operators.textstats import (
     MAX_DIGIT_RATIO,
     MIN_CHARS,
@@ -38,30 +42,36 @@ def curate(
     k: int = 3,
     threshold: float = 0.6,
     clustering: str = "pair",
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """Quality gate -> exact dedup (min id per content hash) -> near-dup
     canonicalization. ``clustering``: 'pair' drops the higher id of
     each verified pair (single-pass, over-drops on stars — see module
     docstring); 'cc' keeps exactly one doc per connected component
     (min reachable id) via operators.dedup.near_dup_clusters — the
-    production rule. Returns the surviving corpus as (id, fingerprint,
-    n_tokens)."""
+    production rule. ``storage_handle`` receives every DataFrame the
+    stages persist (shingle projection, CC labels) so long-lived
+    sessions can unpersist after materializing the result. Returns the
+    surviving corpus as (id, fingerprint, n_tokens)."""
     flags = quality_flags(corpus, id_col, text_col)
     kept = corpus.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
-    canonical = (
-        kept.groupBy(F.md5(F.col(text_col)).alias("_h"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    canonical = exact_dedup_groups(kept, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
     )
     survivors = kept.join(canonical, id_col, "left_semi")
-    pairs = minhash_near_dup(survivors, id_col, text_col, k=k, threshold=threshold)
+    pairs = minhash_near_dup(
+        survivors, id_col, text_col, k=k, threshold=threshold,
+        storage_handle=storage_handle,
+    )
     if clustering == "cc":
         from book_ocr_spark.operators.dedup import near_dup_clusters
 
         labels = near_dup_clusters(
-            pairs, survivors.select(F.col(id_col).alias("id"))
+            pairs,
+            survivors.select(F.col(id_col).alias("id")),
+            storage_handle=storage_handle,
         )
         keepers = labels.filter(F.col("id") == F.col("cluster_id")).select(
             F.col("id").alias(id_col)
@@ -87,9 +97,11 @@ def duck_curate_sql(
     pairs_sql = duck_jaccard_pairs_sql(
         "SELECT id, text FROM surv_docs", k=k, threshold=threshold
     )
-    if clustering == "cc":
-        return f"""
-        WITH RECURSIVE corpus AS ({corpus_sql}),
+    # ONE copy of the quality-gate/exact-dedup/pairs prefix; only the
+    # canonicalization tail differs between the two rules. (The quality
+    # predicate shares its constants with textstats.quality_flags, so a
+    # gate-rule change propagates here automatically.)
+    prefix = f"""corpus AS ({corpus_sql}),
         q AS (
             SELECT id, text,
                    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
@@ -105,7 +117,12 @@ def duck_curate_sql(
               AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) > {WORD_LEN_HI})),
         canon AS (SELECT MIN(id) AS id FROM kept GROUP BY MD5(text)),
         surv_docs AS (SELECT k.id, k.text FROM kept k JOIN canon USING (id)),
-        pairs AS ({pairs_sql}),
+        pairs AS ({pairs_sql})"""
+    out = """SELECT s.id, MD5(s.text) AS fingerprint,
+               CAST(LEN(string_split_regex(TRIM(s.text), '\\s+')) AS BIGINT) AS n_tokens"""
+    if clustering == "cc":
+        return f"""
+        WITH RECURSIVE {prefix},
         e AS (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
@@ -115,32 +132,14 @@ def duck_curate_sql(
             UNION
             SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
         labels AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
-        SELECT s.id, MD5(s.text) AS fingerprint,
-               CAST(LEN(string_split_regex(TRIM(s.text), '\\s+')) AS BIGINT) AS n_tokens
+        {out}
         FROM surv_docs s JOIN labels l ON s.id = l.id AND s.id = l.cluster_id
         ORDER BY s.id
     """
     return f"""
-        WITH corpus AS ({corpus_sql}),
-        q AS (
-            SELECT id, text,
-                   CAST(LENGTH(text) AS DOUBLE) AS n_chars,
-                   CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_words,
-                   LEN(regexp_extract_all(text, '[0-9]', 0))
-                       / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS digit_ratio
-            FROM corpus),
-        kept AS (
-            SELECT id, text FROM q
-            WHERE NOT (n_chars < {MIN_CHARS})
-              AND NOT (digit_ratio > {MAX_DIGIT_RATIO})
-              AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) < {WORD_LEN_LO})
-              AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) > {WORD_LEN_HI})),
-        canon AS (SELECT MIN(id) AS id FROM kept GROUP BY MD5(text)),
-        surv_docs AS (SELECT k.id, k.text FROM kept k JOIN canon USING (id)),
-        pairs AS ({pairs_sql}),
+        WITH {prefix},
         dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
-        SELECT s.id, MD5(s.text) AS fingerprint,
-               CAST(LEN(string_split_regex(TRIM(s.text), '\\s+')) AS BIGINT) AS n_tokens
+        {out}
         FROM surv_docs s
         WHERE s.id NOT IN (SELECT id FROM dropped)
         ORDER BY s.id

@@ -288,11 +288,19 @@ def start_incremental_dedup(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
-            import os
-
-            if os.path.isdir(sigs_path):
-                existing = spark.read.parquet(sigs_path).select("id", "sh", "sig")
-            else:
+            # read-then-catch instead of a driver-local isdir probe so
+            # the cumulative table is found on ANY store (HDFS/S3/...);
+            # batch_id < current makes an at-least-once REPLAY see
+            # exactly the pre-batch state the first attempt saw — the
+            # batch's own (possibly already written) signatures never
+            # feed back as "existing", keeping the rewrite bit-identical
+            try:
+                existing = (
+                    spark.read.parquet(sigs_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("id", "sh", "sig")
+                )
+            except Exception:  # first batch: table does not exist yet
                 existing = spark.createDataFrame([], sigs.schema)
             matches = incremental_minhash_near_dup(sigs, existing, threshold)
             (
