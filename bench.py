@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_pairs_bucketed",
     "incremental_exact_dedup",
     "post_signup_activity_bucketed",
+    "bigram_entropy",
 ]
 
 
