@@ -594,6 +594,28 @@ def q_incremental_near_dup(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (email/URL/phone -> typed placeholders + counts)
+    over documents seeded with deterministic synthetic PII — the
+    redaction pass a pretraining pipeline runs, hash-checked against
+    the shared-regex DuckDB twin."""
+    from book_ocr_spark.operators.textstats import redact_pii
+
+    d = _canon_docs(spark, sf_dir).filter(F.col("id") < 200)
+    seeded = d.select(
+        "id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@example.com or https://site%d.example/p%d or +1 (415) 555-0%03d now",
+                F.col("id"), F.pmod(F.col("id"), F.lit(7)), F.col("id"),
+                F.pmod(F.col("id"), F.lit(900)),
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(seeded, "id", "text").orderBy("id")
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected-component clustering over the near-dup pair graph
     (iterative min-label propagation; cluster_id = min reachable id) —
@@ -971,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
+        "pii_redaction": q_pii_redaction,
         "near_dup_clusters": q_near_dup_clusters,
         "curation_pipeline": q_curation_pipeline,
         "curation_pipeline_cc": q_curation_pipeline_cc,
@@ -1097,6 +1120,19 @@ _POST_SIGNUP_SQL = """
      AND e.ts <= s.ts + INTERVAL 24 HOURS
     GROUP BY s.event_id ORDER BY signup_event_id
 """
+
+
+def _pii_oracle_sql() -> str:
+    from book_ocr_spark.operators.textstats import duck_redact_pii_sql
+
+    seeded = f"""
+        SELECT id,
+               text || ' contact user' || id || '@example.com or https://site'
+                    || (id % 7) || '.example/p' || id || ' or +1 (415) 555-0'
+                    || lpad(CAST(id % 900 AS VARCHAR), 3, '0') || ' now' AS text
+        FROM ({_CANON_DOCS_SQL}) c WHERE id < 200
+    """
+    return duck_redact_pii_sql(seeded)
 
 
 def _clusters_oracle_sql() -> str:
@@ -1353,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_custkey HAVING COUNT(gap) > 0 ORDER BY o_custkey
         """,
         "minhash_near_dup": _dedup_oracle_sql("minhash"),
+        "pii_redaction": _pii_oracle_sql(),
         "near_dup_clusters": _clusters_oracle_sql(),
         "curation_pipeline": _curation_oracle_sql(),
         "curation_pipeline_cc": _curation_oracle_sql(clustering="cc"),

@@ -220,3 +220,64 @@ def duck_char_bigram_entropy_sql(corpus_sql: str) -> str:
                        / CAST(SUM(c) AS DOUBLE), 4) AS bigram_entropy
         FROM counts GROUP BY id ORDER BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass a pretraining pipeline runs
+# ---------------------------------------------------------------------------
+# Java-regex ∩ RE2 subset (no lookaround) so Spark and DuckDB agree.
+PII_RES = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": r"\+?[0-9][0-9()\-\. ]{7,}[0-9]",
+}
+PII_ORDER = ("EMAIL", "URL", "PHONE")  # URLs can contain @; emails first
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted_text, n_email, n_url, n_phone): chained
+    regexp_replace to typed placeholders plus per-kind match counts —
+    one narrow JVM projection, no Python. Counts are taken BEFORE any
+    replacement so an email inside a URL is tallied under both kinds
+    exactly as the oracle tallies it; replacement order is pinned by
+    PII_ORDER on both engines."""
+    # F.expr embeds the pattern in a SQL string literal where backslash
+    # escapes are interpreted — double them (same convention as _count
+    # callers); F.regexp_replace takes the raw Java regex directly.
+    counts = {
+        kind: F.size(
+            F.expr(
+                f"regexp_extract_all({text_col}, '{pat.replace(chr(92), chr(92) * 2)}', 0)"
+            )
+        ).cast("bigint")
+        for kind, pat in PII_RES.items()
+    }
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        red = F.regexp_replace(red, PII_RES[kind], f"<{kind}>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        red.alias("redacted_text"),
+        counts["EMAIL"].alias("n_email"),
+        counts["URL"].alias("n_url"),
+        counts["PHONE"].alias("n_phone"),
+    )
+
+
+def duck_redact_pii_sql(corpus_sql: str) -> str:
+    """DuckDB twin of redact_pii; corpus_sql yields (id, text)."""
+    red = "text"
+    for kind in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_RES[kind]}', '<{kind}>', 'g')"
+    cnt = {
+        kind: f"CAST(LEN(regexp_extract_all(text, '{pat}', 0)) AS BIGINT)"
+        for kind, pat in PII_RES.items()
+    }
+    return f"""
+        WITH corpus AS ({corpus_sql})
+        SELECT id, {red} AS redacted_text,
+               {cnt['EMAIL']} AS n_email,
+               {cnt['URL']} AS n_url,
+               {cnt['PHONE']} AS n_phone
+        FROM corpus ORDER BY id
+    """

@@ -410,3 +410,26 @@ def test_near_dup_clusters_chain(spark):
     ids = spark.createDataFrame([(i,) for i in (1, 5, 9, 20, 30, 40)], "id int")
     got = {r.id: r.cluster_id for r in dedup.near_dup_clusters(pairs, ids).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20, 40: 40}
+
+
+def test_redact_pii(spark):
+    """Typed placeholders and per-kind counts; counts tally BEFORE
+    replacement; clean text passes through untouched."""
+    from book_ocr_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "write to alice.smith+x@corp.example.org today"),
+        (1, "docs at https://spark.apache.org/docs and http://a.b/c?q=1"),
+        (2, "call +1 (415) 555-0199 or 0049 30 901820 now"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r for r in redact_pii(df, "id", "text").collect()}
+    assert got[0].redacted_text == "write to <EMAIL> today"
+    assert (got[0].n_email, got[0].n_url, got[0].n_phone) == (1, 0, 0)
+    assert got[1].redacted_text == "docs at <URL> and <URL>"
+    assert got[1].n_url == 2
+    assert got[2].n_phone == 2 and "<PHONE>" in got[2].redacted_text
+    assert "555" not in got[2].redacted_text
+    assert got[3].redacted_text == "nothing sensitive here"
+    assert (got[3].n_email, got[3].n_url, got[3].n_phone) == (0, 0, 0)
