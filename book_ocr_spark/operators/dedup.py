@@ -590,11 +590,20 @@ def near_dup_clusters(
     rounds end before the fixed point (a component with diameter >
     max_iters): silently returning partial labels would split a
     cluster without any signal."""
+    from pyspark import StorageLevel
+
+    # persist the undirected edge list: every round's propagation join
+    # AND convergence count re-traverse it, and without the cache each
+    # action would re-execute the whole upstream pair derivation (for
+    # minhash pairs: the band join + Jaccard verify) once per round
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if storage_handle is not None:
+        storage_handle.append(edges)
     labels = ids.select(F.col("id"), F.col("id").alias("cluster_id"))
     prev_persisted = None
     converged = False
