@@ -583,13 +583,16 @@ def near_dup_clusters(
     extreme diameters).
 
     pairs: (id_a, id_b); ids: one column `id` (the doc universe).
-    Returns (id, cluster_id). The returned DataFrame is persisted (its
-    lineage is the whole iteration chain); pass ``storage_handle`` to
-    receive it for unpersist() in long-lived sessions — same cleanup
-    contract as minhash_near_dup. Raises RuntimeError if max_iters
-    rounds end before the fixed point (a component with diameter >
-    max_iters): silently returning partial labels would split a
-    cluster without any signal."""
+    Returns (id, cluster_id). The returned DataFrame is the SINGLE
+    persisted intermediate the caller owns: pass ``storage_handle`` to
+    receive exactly it for unpersist() in long-lived sessions — same
+    cleanup contract as minhash_near_dup (the internal edge cache is
+    released before returning; if the returned labels are later
+    evicted, re-materializing them re-runs the upstream pair
+    derivation — cost, not correctness). Raises RuntimeError if
+    max_iters rounds end before the fixed point (a component with
+    diameter > max_iters): silently returning partial labels would
+    split a cluster without any signal."""
     from pyspark import StorageLevel
 
     # persist the undirected edge list: every round's propagation join
@@ -602,43 +605,49 @@ def near_dup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if storage_handle is not None:
-        storage_handle.append(edges)
     labels = ids.select(F.col("id"), F.col("id").alias("cluster_id"))
     prev_persisted = None
     converged = False
-    for _ in range(max_iters):
-        neighbor_labels = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "cluster_id")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        # `changed` materialized new_labels, so the previous round's
-        # cache is no longer referenced — release it now instead of
-        # leaking max_iters full-corpus blocks
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_labels
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iters} rounds "
-            "(a component's diameter exceeds max_iters); raise max_iters "
-            "or switch to GraphFrames connectedComponents"
-        )
+    try:
+        for _ in range(max_iters):
+            neighbor_labels = (
+                edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "cluster_id")
+            )
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            ).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            # `changed` materialized new_labels, so the previous round's
+            # cache is no longer referenced — release it now instead of
+            # leaking max_iters full-corpus blocks
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = new_labels
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # release the orphan before raising: a caller catching the
+            # error to retry with a larger max_iters must not accumulate
+            # unreachable full-corpus caches per failed attempt
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            raise RuntimeError(
+                f"near_dup_clusters did not converge in {max_iters} rounds "
+                "(a component's diameter exceeds max_iters); raise max_iters "
+                "or switch to GraphFrames connectedComponents"
+            )
+    finally:
+        edges.unpersist()
     if storage_handle is not None:
         storage_handle.append(labels)
     return labels

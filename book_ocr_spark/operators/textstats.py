@@ -226,10 +226,22 @@ def duck_char_bigram_entropy_sql(corpus_sql: str) -> str:
 # PII scrubbing — the redaction pass a pretraining pipeline runs
 # ---------------------------------------------------------------------------
 # Java-regex ∩ RE2 subset (no lookaround) so Spark and DuckDB agree.
+# PHONE accepts (a) an international prefix, (b) a parenthesized area
+# code, or (c) a bare number of >=3 separator-delimited 2-4 digit
+# groups — a plain range like '1914-1918' (two groups) or a lone long
+# number is NOT phone-shaped and passes through. Known false-positive
+# class: numeric tables whose cells happen to form 3+ such groups;
+# production scrubbing validates candidates with a phone library
+# (libphonenumber) inside a pandas UDF — this operator is the
+# regex-only first pass both engines can replay exactly.
 PII_RES = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "URL": r"https?://[^\s]+",
-    "PHONE": r"\+?[0-9][0-9()\-\. ]{7,}[0-9]",
+    "PHONE": (
+        r"\+?[0-9]{0,3}[-. ]?\([0-9]{1,4}\)[-. ]?[0-9]{2,4}([-. ]?[0-9]{2,4}){1,3}"
+        r"|\+[0-9]{1,3}[-. ]?[0-9]{2,4}([-. ]?[0-9]{2,4}){1,3}"
+        r"|[0-9]{2,4}([-. ][0-9]{2,4}){2,3}"
+    ),
 }
 PII_ORDER = ("EMAIL", "URL", "PHONE")  # URLs can contain @; emails first
 
@@ -241,15 +253,8 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     replacement so an email inside a URL is tallied under both kinds
     exactly as the oracle tallies it; replacement order is pinned by
     PII_ORDER on both engines."""
-    # F.expr embeds the pattern in a SQL string literal where backslash
-    # escapes are interpreted — double them (same convention as _count
-    # callers); F.regexp_replace takes the raw Java regex directly.
     counts = {
-        kind: F.size(
-            F.expr(
-                f"regexp_extract_all({text_col}, '{pat.replace(chr(92), chr(92) * 2)}', 0)"
-            )
-        ).cast("bigint")
+        kind: _count(text_col, pat.replace("\\", "\\\\")).cast("bigint")
         for kind, pat in PII_RES.items()
     }
     red = F.col(text_col)

@@ -420,7 +420,7 @@ def test_redact_pii(spark):
     rows = [
         (0, "write to alice.smith+x@corp.example.org today"),
         (1, "docs at https://spark.apache.org/docs and http://a.b/c?q=1"),
-        (2, "call +1 (415) 555-0199 or 0049 30 901820 now"),
+        (2, "call +1 (415) 555-0199 or +49 30 9018 2000 now"),
         (3, "nothing sensitive here"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
@@ -431,5 +431,13 @@ def test_redact_pii(spark):
     assert got[1].n_url == 2
     assert got[2].n_phone == 2 and "<PHONE>" in got[2].redacted_text
     assert "555" not in got[2].redacted_text
+    # phone-SHAPED only: a year range and a decimal pair are untouched
+    extra = spark.createDataFrame(
+        [(9, "the war of 1914-1918 cost 12.5 percent or 6.25 units")],
+        "id int, text string",
+    )
+    from book_ocr_spark.operators.textstats import redact_pii as _r
+    row = _r(extra, "id", "text").collect()[0]
+    assert row.n_phone == 0 and row.redacted_text.startswith("the war of 1914-1918")
     assert got[3].redacted_text == "nothing sensitive here"
     assert (got[3].n_email, got[3].n_url, got[3].n_phone) == (0, 0, 0)
