@@ -966,7 +966,17 @@ def q_compose_docs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: CORRECTNESS_r02 covered exactly the FIRST
+    # 50 of 53 registered queries, so the three pipeline/compose queries
+    # that were silently dropped now lead the registry, and the three
+    # pure oracle-twin formulations (each a brute-force duplicate of a
+    # scale-path query that stays in the covered prefix, all also pinned
+    # by pytest equality tests) sit last, where a 50-row driver cap
+    # costs the least evidence.
     return {
+        "compose_docs": q_compose_docs,
+        "pipeline_plain_sql": q_pipeline_plain_sql,
+        "pipeline_mixed": q_pipeline_mixed,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "customers_without_orders": q_customers_without_orders,
@@ -1003,13 +1013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_near_dup": q_simhash_near_dup,
-        "ngram_jaccard_sim": q_ngram_jaccard_sim,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_pairs_bucketed": q_embedding_pairs_bucketed,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ivf_cosine_topk": q_ivf_cosine_topk,
-        "post_signup_activity": q_post_signup_activity,
         "post_signup_activity_bucketed": q_post_signup_activity_bucketed,
         "lang_confusion": q_lang_confusion,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1017,9 +1024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
-        "pipeline_plain_sql": q_pipeline_plain_sql,
-        "pipeline_mixed": q_pipeline_mixed,
-        "compose_docs": q_compose_docs,
+        # oracle twins of queries above (see ordering note at the top)
+        "ngram_jaccard_sim": q_ngram_jaccard_sim,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "post_signup_activity": q_post_signup_activity,
     }
 
 

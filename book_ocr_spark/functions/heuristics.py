@@ -507,6 +507,17 @@ SEGMENTERS: dict[str, object] = {}
 
 
 def register_segmenter(kind: str, fn) -> None:
+    """Register (or override) the segmenter for a payload kind.
+
+    MUST run at module IMPORT time in code shipped to every executor
+    (a module named in ``spark-submit --py-files`` whose import
+    registers the kind). SEGMENTERS is per-Python-process module
+    state: executor workers are separate processes even in local mode
+    and import this module fresh, so a registration performed only in
+    the driver after session start never reaches them — the custom
+    kind would silently fall back to the plain segmenter when
+    dispatched through a Spark plan. Driver-side registration is fine
+    for pandas-level unit tests that call recognize_batch directly."""
     SEGMENTERS[kind] = fn
 
 

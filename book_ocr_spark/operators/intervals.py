@@ -69,13 +69,18 @@ def interval_activity_bucketed(
     argument). Join key (user_id, bucket) with bucket width == the
     window; anchors replicate to (b, b+1); range predicate verifies."""
     width = window_hours * 3600
-    e = events.withColumn("bucket", (F.unix_timestamp("ts") / width).cast("long"))
+    # F.floor, not cast("long"): casting truncates toward zero, so a
+    # pre-1970 (negative-epoch) timestamp would bucket by ceiling and an
+    # event could miss its anchor's replicated (b, b+1) bucket pair
+    e = events.withColumn(
+        "bucket", F.floor(F.unix_timestamp("ts") / width).cast("long")
+    )
     s = _anchors(events, anchor_type).withColumn(
         "s_bucket",
         F.explode(
             F.array(
-                (F.unix_timestamp("s_ts") / width).cast("long"),
-                (F.unix_timestamp("s_ts") / width).cast("long") + 1,
+                F.floor(F.unix_timestamp("s_ts") / width).cast("long"),
+                F.floor(F.unix_timestamp("s_ts") / width).cast("long") + 1,
             )
         ),
     )

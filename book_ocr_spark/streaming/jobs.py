@@ -23,8 +23,27 @@ an arriving-file directory or an Iceberg/Kafka source.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _is_path_missing(exc: AnalysisException) -> bool:
+    """True iff an AnalysisException means 'the input path does not
+    exist' (first run, nothing written yet) — the one read failure a
+    cumulative-table reader may treat as an empty table. Matches the
+    error condition when the API exposes it and falls back to the
+    message so older condition-less builds still classify correctly."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
 from book_ocr_spark.schemas import TRANSCRIPTS
@@ -300,7 +319,15 @@ def start_incremental_dedup(
                     .filter(F.col("batch_id") < batch_id)
                     .select("id", "sh", "sig")
                 )
-            except Exception:  # first batch: table does not exist yet
+            except AnalysisException as exc:
+                # ONLY the path-missing case means "first batch, empty
+                # corpus". Any other read failure (permissions, corrupt
+                # footer, transient store error) must fail the batch so
+                # the streaming engine retries — silently deduping
+                # against an empty corpus would make the missed matches
+                # permanent once this batch's sigs are appended.
+                if not _is_path_missing(exc):
+                    raise
                 existing = spark.createDataFrame([], sigs.schema)
             matches = incremental_minhash_near_dup(sigs, existing, threshold)
             (

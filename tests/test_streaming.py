@@ -4,6 +4,7 @@ foreachBatch, restart-without-reprocessing, windowed metrics."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from book_ocr_spark.fixtures import gen_transcripts
@@ -244,3 +245,40 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert all(m != 11 and n != 11 for n, m in got)  # unrelated doc clean
     sigs = spark.read.parquet(f"{out}/sigs")
     assert sigs.count() == 4  # cumulative signature table
+
+
+def test_streaming_dedup_fails_on_unreadable_sig_table(spark, tmp_path):
+    """A corrupt/unreadable cumulative signature table must FAIL the
+    micro-batch (so the engine retries) — not be treated as 'first
+    batch, empty corpus', which would silently skip dedup against the
+    whole history and make the missed matches permanent."""
+    from pyspark.errors import StreamingQueryException
+
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+    spark.createDataFrame(
+        [(1, "some document text that is long enough to shingle")],
+        "id long, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    # plant a garbage "parquet" file where the sigs table lives: the
+    # read now fails with a non-PATH_NOT_FOUND error, which must surface
+    sigs_dir = tmp_path / "dedup_out" / "sigs"
+    sigs_dir.mkdir(parents=True)
+    (sigs_dir / "part-00000.snappy.parquet").write_bytes(b"not a parquet file")
+
+    q = jobs.start_incremental_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_dedup_bad"), available_now=True
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
+
+
+def test_streaming_dedup_missing_sig_table_is_first_batch(spark):
+    """_is_path_missing classifies a genuinely absent path as the
+    benign first-batch case (the only swallowed read failure)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as ei:
+        spark.read.parquet("/nonexistent/sigs/table").collect()
+    assert jobs._is_path_missing(ei.value)

@@ -335,9 +335,19 @@ def test_interval_join_bucketed_equals_definitional_on_skew(spark):
             rows.append((eid, u, "signup" if i % 10 == 0 else "view", ts, 2.0))
             eid += 1
     # exact window-edge cases: event at s_ts (excluded) and s_ts+24h (included)
+    edge_eid = eid
     rows.append((eid, 99, "signup", t0, 1.0)); eid += 1
     rows.append((eid, 99, "click", t0, 1.0)); eid += 1  # ts == s_ts -> excluded
     rows.append((eid, 99, "click", t0 + dt.timedelta(hours=24), 1.0)); eid += 1
+    # pre-1970 (negative epoch): negative timestamps are where
+    # truncation-toward-zero and floor diverge (bucket -1 vs 0); the
+    # bucketed plan must keep matching the definitional join across the
+    # epoch boundary with F.floor bucketing
+    tneg = dt.datetime(1969, 12, 31, 23, 0)  # 1h before the epoch
+    neg_eid = eid
+    rows.append((eid, 98, "signup", tneg, 1.0)); eid += 1
+    rows.append((eid, 98, "click", tneg + dt.timedelta(hours=2), 3.0)); eid += 1
+    rows.append((eid, 98, "click", tneg + dt.timedelta(hours=25), 3.0)); eid += 1
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
     )
@@ -350,8 +360,11 @@ def test_interval_join_bucketed_equals_definitional_on_skew(spark):
         for r in interval_activity_bucketed(df).collect()
     }
     assert a == b and a
-    edge = {x for x in a if x[0] == eid - 3}
-    assert edge == {(eid - 3, 1, 1.0)}  # only the +24h event attributes
+    edge = {x for x in a if x[0] == edge_eid}
+    assert edge == {(edge_eid, 1, 1.0)}  # only the +24h event attributes
+    # pre-1970 anchor: the +2h event attributes, the +25h one is outside
+    neg = {x for x in a if x[0] == neg_eid}
+    assert neg == {(neg_eid, 1, 3.0)}
 
 
 # ---------------------------------------------------------------------------
