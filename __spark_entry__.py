@@ -528,9 +528,13 @@ def _inc_snapshots(spark, sf_dir):
     """Two-snapshot incremental-dedup fixture: EXISTING corpus =
     canonicalized docs id<250; NEW batch = docs id>=250, plus near-dup
     variants of existing docs (id+100000, last 40 chars cut), plus
-    exact copies of existing docs (id+200000) — so the batch contains
-    all three cases a daily ingest sees: new content, near-dup drift,
-    exact re-crawls."""
+    exact copies of existing docs (id+200000), plus RE-SENT ids (same
+    id as a corpus doc, content drifted by a 30-char tail cut) — so the
+    batch covers all four cases a daily ingest sees: new content,
+    near-dup drift, exact re-crawls, and same-id re-sends. The re-sent
+    rows pin the operator's id-overlap semantics (query with batch
+    content, match against the existing-wins universe, same-id pair
+    excluded) against the oracle."""
     base = _canon_docs(spark, sf_dir)
     existing = base.filter(F.col("id") < 250)
     var = base.filter((F.col("id") < 100) & (F.length("text") > 200)).select(
@@ -540,7 +544,15 @@ def _inc_snapshots(spark, sf_dir):
     copies = base.filter(F.col("id") < 50).select(
         (F.col("id") + 200000).alias("id"), "text"
     )
-    new = base.filter(F.col("id") >= 250).unionByName(var).unionByName(copies)
+    resent = base.filter(
+        (F.col("id") >= 10) & (F.col("id") < 20) & (F.length("text") > 150)
+    ).select("id", F.expr("substring(text, 1, length(text)-30)").alias("text"))
+    new = (
+        base.filter(F.col("id") >= 250)
+        .unionByName(var)
+        .unionByName(copies)
+        .unionByName(resent)
+    )
     return existing, new
 
 
@@ -553,6 +565,9 @@ _INC_NEW_SQL = f"""
     FROM base WHERE id < 100 AND len(text) > 200
     UNION ALL
     SELECT id + 200000, text FROM base WHERE id < 50
+    UNION ALL
+    SELECT id, substr(text, 1, CAST(len(text) AS INT) - 30)
+    FROM base WHERE id >= 10 AND id < 20 AND len(text) > 150
 """
 
 
@@ -589,9 +604,9 @@ def q_incremental_near_dup(spark, sf_dir):
     new_sigs = minhash_signature(new, "id", "text", k=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return incremental_minhash_near_dup(new_sigs, ex_sigs, threshold=0.6).orderBy(
-        "new_id", "match_id"
-    )
+    return incremental_minhash_near_dup(
+        new_sigs, ex_sigs, threshold=0.6, hot_bucket_cap=200
+    ).orderBy("new_id", "match_id")
 
 
 def q_pii_redaction(spark, sf_dir):
@@ -685,7 +700,12 @@ def q_minhash_near_dup(spark, sf_dir):
     from book_ocr_spark.operators.dedup import minhash_near_dup
 
     return (
-        minhash_near_dup(_dedup_corpus(spark, sf_dir), "id", "text", k=3, threshold=0.6)
+        minhash_near_dup(
+            _dedup_corpus(spark, sf_dir), "id", "text", k=3, threshold=0.6,
+            # active hot-bucket salting ("salt" is output-exact, so the
+            # oracle comparison also certifies the capped band join)
+            hot_bucket_cap=200,
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -704,7 +724,10 @@ def q_simhash_near_dup(spark, sf_dir):
     from book_ocr_spark.operators.dedup import simhash_near_dup
 
     return (
-        simhash_near_dup(_dedup_corpus(spark, sf_dir), "id", "text", max_hamming=4)
+        simhash_near_dup(
+            _dedup_corpus(spark, sf_dir), "id", "text", max_hamming=4,
+            hot_bucket_cap=200,
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -782,6 +805,7 @@ def q_embedding_pairs_bucketed(spark, sf_dir):
             n_bands=16,
             band_planes=8,
             dim=64,
+            hot_bucket_cap=200,
         )
         .orderBy("id_a", "id_b")
     )

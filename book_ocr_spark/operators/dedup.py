@@ -176,15 +176,158 @@ def _signature_from_grams(grams: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Hot-bucket control for LSH band joins
+# ---------------------------------------------------------------------------
+# A pathological band bucket (a million-doc boilerplate template, a
+# degenerate empty-doc key) makes every band self-join emit O(B^2)
+# candidate pairs inside single tasks. Two standard production
+# policies, both driven by a per-(band, key) count:
+#
+#   * "salt" — EXACT: a bucket of size B > cap splits into
+#     g = ceil(B/cap) groups by a deterministic member hash; the right
+#     side keeps its group, the left side replicates to all g groups,
+#     so every unordered pair still meets exactly once but the work
+#     spreads over g join keys (per-key output B*cap instead of B^2).
+#     Output is identical to the uncapped join — always safe.
+#   * "drop" — LOSSY: buckets over the cap are excluded from candidate
+#     generation and reported through ``dropped_handle`` (standard LSH
+#     policy for boilerplate: run exact dedup first — plans/curation.py
+#     does — and a bucket that is STILL over the cap is a template
+#     family you handle out of band, not pair-by-pair).
+#
+# ``cap=None`` (the default everywhere) keeps the historical
+# two-shuffle plan with no counting pass.
+
+
+def _with_bucket_groups(e: DataFrame, cap: int, counts_from: DataFrame | None = None) -> DataFrame:
+    """Attach _n (bucket size) and _g (salt-group count) per (band,
+    key). ``counts_from``: count a DIFFERENT frame's buckets (the
+    bipartite case — the existing-corpus side is the one that
+    explodes); buckets absent there default to a single group."""
+    src = counts_from if counts_from is not None else e
+    counts = src.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    how = "left" if counts_from is not None else "inner"
+    out = e.join(counts, ["band", "key"], how)
+    if counts_from is not None:
+        out = out.withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
+    return out.withColumn(
+        "_g",
+        F.when(F.col("_n") > cap, F.ceil(F.col("_n") / cap))
+        .otherwise(F.lit(1))
+        .cast("int"),
+    )
+
+
+def _member_group(id_expr: str = "id") -> Column:
+    """Deterministic salt group for a bucket member: portable 28-bit
+    hash of the id mod the bucket's group count."""
+    return F.pmod(
+        F.expr(spark_h28(f"cast({id_expr} as string)")), F.col("_g")
+    ).cast("int")
+
+
+def capped_bucket_pairs(
+    left: DataFrame,
+    right: DataFrame | None,
+    cap: int | None,
+    policy: str = "salt",
+    payload: tuple[str, ...] = (),
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """Bucket-cobucket pair generation with hot-bucket control.
+
+    ``left``/``right``: exploded frames (id, band, key, *payload).
+    ``right=None`` → self-join (pairs id_a < id_b); otherwise bipartite
+    (every left x right pair, left.id != right.id, bucket counts taken
+    from the RIGHT side — the corpus side at ingest scale). Returns one
+    row per cobucketed pair — (id_a, id_b, band, <p>_a, <p>_b...) —
+    NOT distinct-ed across bands (callers keep their own distinct).
+
+    With ``cap=None`` this is the plain (band, key) equi-join. With a
+    cap, see the policy notes above; ``dropped_handle`` (a list)
+    receives the (band, key, n) frame of dropped buckets under the
+    "drop" policy so callers can count/log/persist the loss — silent
+    truncation is not an option."""
+    self_join = right is None
+    if right is None:
+        right = left
+    if cap is None:
+        a = left.select(
+            "band", "key", F.col("id").alias("id_a"),
+            *[F.col(p).alias(f"{p}_a") for p in payload],
+        )
+        b = right.select(
+            "band", "key", F.col("id").alias("id_b"),
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+        join_keys = ["band", "key"]
+    elif policy == "drop":
+        src = right
+        counts = src.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        hot = counts.filter(F.col("_n") > cap)
+        if dropped_handle is not None:
+            dropped_handle.append(
+                hot.select("band", "key", F.col("_n").alias("n"))
+            )
+        cold = hot.select("band", "key")
+        a = left.join(cold, ["band", "key"], "left_anti").select(
+            "band", "key", F.col("id").alias("id_a"),
+            *[F.col(p).alias(f"{p}_a") for p in payload],
+        )
+        b = right.join(cold, ["band", "key"], "left_anti").select(
+            "band", "key", F.col("id").alias("id_b"),
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+        join_keys = ["band", "key"]
+    elif policy == "salt":
+        counts_from = None if self_join else right
+        lg = _with_bucket_groups(left, cap, counts_from)
+        rg = lg if self_join else _with_bucket_groups(right, cap)
+        # right member keeps its own group; left replicates to ALL
+        # groups — each unordered pair meets exactly once (at the right
+        # member's group), and the id_a < id_b filter below kills the
+        # mirrored orientation in the self-join case
+        a = lg.withColumn(
+            "_gi", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+        ).select(
+            "band", "key", "_gi", F.col("id").alias("id_a"),
+            *[F.col(p).alias(f"{p}_a") for p in payload],
+        )
+        b = rg.withColumn("_gi", _member_group()).select(
+            "band", "key", "_gi", F.col("id").alias("id_b"),
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+        join_keys = ["band", "key", "_gi"]
+    else:
+        raise ValueError(f"unknown hot-bucket policy {policy!r}")
+    pred = F.col("id_a") < F.col("id_b") if self_join else F.col("id_a") != F.col("id_b")
+    out = a.join(b, join_keys).filter(pred)
+    cols = ["id_a", "id_b", "band"]
+    cols += [f"{p}_a" for p in payload] + [f"{p}_b" for p in payload]
+    return out.select(*cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    hot_bucket_cap: int | None = None,
+    hot_bucket_policy: str = "salt",
+    dropped_handle: list | None = None,
+) -> DataFrame:
     """Band the signature, self-join on (band, key): the LSH bucket
-    join. Returns distinct (id_a, id_b) candidates, id_a < id_b."""
+    join. Returns distinct (id_a, id_b) candidates, id_a < id_b.
+    ``hot_bucket_cap``/``hot_bucket_policy``: see capped_bucket_pairs —
+    "salt" keeps the output exactly equal to the uncapped join while
+    bounding per-task bucket work; "drop" excludes oversized buckets
+    and reports them via ``dropped_handle``."""
     exploded = _band_explode(sigs.select(F.col(id_col).alias("id"), "sig"))
-    a, b = exploded.alias("a"), exploded.alias("b")
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        capped_bucket_pairs(
+            exploded, None, hot_bucket_cap, hot_bucket_policy,
+            dropped_handle=dropped_handle,
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -219,6 +362,9 @@ def minhash_near_dup(
     unit: str = "word",
     materialize: bool = True,
     storage_handle: list | None = None,
+    hot_bucket_cap: int | None = None,
+    hot_bucket_policy: str = "salt",
+    dropped_handle: list | None = None,
 ) -> DataFrame:
     """Full MinHash->LSH->verify chain. Output equals brute-force
     Jaccard >= threshold (LSH at r=2,b=32 has ~1e-6 miss rate at the
@@ -241,7 +387,10 @@ def minhash_near_dup(
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
         if storage_handle is not None:
             storage_handle.append(grams)
-    cands = lsh_candidate_pairs(_signature_from_grams(grams), "id")
+    cands = lsh_candidate_pairs(
+        _signature_from_grams(grams), "id",
+        hot_bucket_cap, hot_bucket_policy, dropped_handle,
+    )
     return jaccard_verify(cands, grams, "id", threshold)
 
 
@@ -286,7 +435,12 @@ def _band_explode(sigs: DataFrame) -> DataFrame:
 
 
 def incremental_minhash_near_dup(
-    new_sigs: DataFrame, existing_sigs: DataFrame, threshold: float
+    new_sigs: DataFrame,
+    existing_sigs: DataFrame,
+    threshold: float,
+    hot_bucket_cap: int | None = None,
+    hot_bucket_policy: str = "salt",
+    dropped_handle: list | None = None,
 ) -> DataFrame:
     """Near-dup detection of a NEW batch against an EXISTING corpus
     whose (id, sh, sig) signature table is already materialized (see
@@ -308,20 +462,15 @@ def incremental_minhash_near_dup(
     # re-sent id's CONTENT changed, the match side represents its
     # existing content and the new side its new content — by design:
     # the question a daily ingest asks is "does anything in this batch
-    # near-duplicate what the corpus already holds".
-    vs_existing = (
-        nb.withColumnRenamed("id", "new_id")
-        .join(eb.withColumnRenamed("id", "match_id"), ["band", "key"])
-        .filter(F.col("new_id") != F.col("match_id"))
-        .select("new_id", "match_id")
-    )
-    nb2 = nb.withColumnRenamed("id", "match_id")
-    vs_new = (
-        nb.withColumnRenamed("id", "new_id")
-        .join(nb2, ["band", "key"])
-        .filter(F.col("new_id") < F.col("match_id"))
-        .select("new_id", "match_id")
-    )
+    # near-duplicate what the corpus already holds". The DuckDB twin
+    # (duck_incremental_jaccard_sql) implements the SAME id-exclusion
+    # and existing-content-wins rules, pinned by an id-overlap fixture.
+    vs_existing = capped_bucket_pairs(
+        nb, eb, hot_bucket_cap, hot_bucket_policy, dropped_handle=dropped_handle
+    ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("match_id"))
+    vs_new = capped_bucket_pairs(
+        nb, None, hot_bucket_cap, hot_bucket_policy, dropped_handle=dropped_handle
+    ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("match_id"))
     cands = vs_existing.unionByName(vs_new).distinct()
     sh_new = new_sigs.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
     # one shingle row per id even when an id appears in BOTH tables
@@ -347,21 +496,27 @@ def incremental_minhash_near_dup(
 def duck_incremental_jaccard_sql(
     existing_sql: str, new_sql: str, k: int, threshold: float, unit: str = "word"
 ) -> str:
-    """Brute-force ground truth for incremental_minhash_near_dup: all
-    (new x existing) + (new x new, a<b) exact-Jaccard pairs."""
+    """Brute-force ground truth for incremental_minhash_near_dup,
+    implementing the operator's exact pairing semantics (see its
+    docstring): the new side always queries with its BATCH content; the
+    match side is the existing-wins universe (corpus content for ids
+    the corpus holds — including ids re-sent in the batch — plus
+    batch-only ids); same-id pairs are excluded; a batch-only match
+    pairs one direction (new_id < match_id) while a corpus match pairs
+    from every batch doc."""
     grams = duck_word_grams("text", k) if unit == "word" else duck_shingles("text", k)
-    jac = (
-        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
-        " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-    )
     return f"""
         WITH ex AS (SELECT id, {grams} AS s FROM ({existing_sql}) e0),
         nw AS (SELECT id, {grams} AS s FROM ({new_sql}) n0),
-        pairs AS (
-            SELECT a.id AS new_id, b.id AS match_id, a.s AS sa, b.s AS sb
-            FROM nw a JOIN ex b ON true
+        all_m AS (
+            SELECT id, s, true AS in_corpus FROM ex
             UNION ALL
-            SELECT a.id, b.id, a.s, b.s FROM nw a JOIN nw b ON a.id < b.id)
+            SELECT id, s, false FROM nw
+            WHERE id NOT IN (SELECT id FROM ex)),
+        pairs AS (
+            SELECT n.id AS new_id, m.id AS match_id, n.s AS sa, m.s AS sb
+            FROM nw n JOIN all_m m
+              ON n.id <> m.id AND (m.in_corpus OR n.id < m.id))
         SELECT new_id, match_id,
                ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
                      / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
@@ -454,7 +609,13 @@ def _simhash_band_bounds(max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_dup(
-    corpus: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    hot_bucket_cap: int | None = None,
+    hot_bucket_policy: str = "salt",
+    dropped_handle: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, via Hamming-LSH
     banding: the 56-bit fingerprint splits into max_hamming+1 bit
@@ -463,7 +624,8 @@ def simhash_near_dup(
     bit_count(xor) <= max_hamming. The only shuffles are the (band,
     key) equi-join and the final pair distinct — the O(n^2) cross join
     of the brute-force definition (kept as
-    simhash_near_dup_bruteforce, the oracle) never materializes."""
+    simhash_near_dup_bruteforce, the oracle) never materializes.
+    ``hot_bucket_cap``/``hot_bucket_policy``: see capped_bucket_pairs."""
     s = simhash(corpus, id_col, text_col)
     keys = F.array(
         *[
@@ -474,12 +636,15 @@ def simhash_near_dup(
     e = s.select(
         F.col(id_col).alias("id"), "simhash", F.posexplode(keys).alias("band", "key")
     )
-    a = e.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = e.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        capped_bucket_pairs(
+            e, None, hot_bucket_cap, hot_bucket_policy,
+            payload=("simhash",), dropped_handle=dropped_handle,
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -119,6 +119,9 @@ def cosine_near_dup_pairs_bucketed(
     n_bands: int = 12,
     band_planes: int = 8,
     dim: int | None = None,
+    hot_bucket_cap: int | None = None,
+    hot_bucket_policy: str = "salt",
+    dropped_handle: list | None = None,
 ) -> DataFrame:
     """The scale path for cosine_near_dup_pairs: banded hyperplane LSH.
     Each band hashes the vector through ``band_planes`` hyperplanes
@@ -154,16 +157,20 @@ def cosine_near_dup_pairs_bucketed(
             ).limit(0)
         dim = len(row[0])
     e = _hyperplane_band_keys(corpus, id_col, vec_col, n_bands, band_planes, dim)
-    a = e.select("band", "key", F.col("id").alias("id_a"))
-    b = e.select("band", "key", F.col("id").alias("id_b"))
     # candidates stay NARROW (two ids) through the band join and the
     # multi-band dedup; vectors re-attach afterwards via equi-joins
     # (AQE auto-broadcasts the vector table when it is small; at
     # corpus scale it is a plain hash join on id — either way the
-    # 64-dim arrays never ride the band-join shuffle or the distinct)
+    # 64-dim arrays never ride the band-join shuffle or the distinct).
+    # hot_bucket_cap bounds per-task work on a degenerate band key
+    # (e.g. a template-embedding blob) — see dedup.capped_bucket_pairs.
+    from book_ocr_spark.operators.dedup import capped_bucket_pairs
+
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        capped_bucket_pairs(
+            e, None, hot_bucket_cap, hot_bucket_policy,
+            dropped_handle=dropped_handle,
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -454,3 +454,163 @@ def test_redact_pii(spark):
     assert row.n_phone == 0 and row.redacted_text.startswith("the war of 1914-1918")
     assert got[3].redacted_text == "nothing sensitive here"
     assert (got[3].n_email, got[3].n_url, got[3].n_phone) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket control for LSH band joins
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    """Boilerplate-template skew: 120 near-identical docs across 3
+    template families (every family's band buckets hold ~40 members —
+    far over the test cap) plus two genuinely unique docs."""
+    rows = [
+        (
+            i,
+            f"template family {i % 3} shared boilerplate text repeated "
+            f"across the corpus with closing marker {i % 3}",
+        )
+        for i in range(120)
+    ]
+    rows += [
+        (1000, "a genuinely unique document about watermarked session windows"),
+        (1001, "another unique document concerning shuffle partition sizing"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def test_hot_bucket_salt_is_output_exact(hot_corpus):
+    """The 'salt' policy must return EXACTLY the uncapped band join's
+    pairs (every co-bucketed pair still meets exactly once) while a
+    hot bucket's work spreads over ceil(B/cap) join keys — for both
+    minhash and simhash banding."""
+    base = _pairs(dedup.minhash_near_dup(hot_corpus, "id", "text", k=3, threshold=0.6))
+    salted = _pairs(
+        dedup.minhash_near_dup(
+            hot_corpus, "id", "text", k=3, threshold=0.6, hot_bucket_cap=8
+        )
+    )
+    assert salted == base and len(base) >= 3 * (40 * 39) // 2
+    sh_base = _pairs(dedup.simhash_near_dup(hot_corpus, "id", "text", max_hamming=4))
+    sh_salted = _pairs(
+        dedup.simhash_near_dup(
+            hot_corpus, "id", "text", max_hamming=4, hot_bucket_cap=8
+        )
+    )
+    assert sh_salted == sh_base
+
+
+def test_hot_bucket_salt_cosine_bucketed(emb_df):
+    """Salted hyperplane-band pairs == uncapped banded pairs."""
+    base = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_near_dup_pairs_bucketed(
+            emb_df, threshold=0.9, dim=16
+        ).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_near_dup_pairs_bucketed(
+            emb_df, threshold=0.9, dim=16, hot_bucket_cap=4
+        ).collect()
+    }
+    assert salted == base and base
+
+
+def test_hot_bucket_drop_policy_and_metrics(spark):
+    """'drop' excludes oversized buckets from candidate generation and
+    reports them through dropped_handle — never silently."""
+    rows = [(i, 0, "hot") for i in range(30)] + [(100 + i, 0, "cold") for i in range(3)]
+    e = spark.createDataFrame(rows, "id int, band int, key string")
+    dropped: list = []
+    pairs = dedup.capped_bucket_pairs(
+        e, None, cap=10, policy="drop", dropped_handle=dropped
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(100, 101), (100, 102), (101, 102)}
+    d = dropped[0].collect()
+    assert len(d) == 1 and d[0].key == "hot" and d[0].n == 30
+
+
+def test_hot_bucket_salt_group_metrics(spark):
+    """The salt split actually divides a hot bucket: group count =
+    ceil(B/cap), per-group membership bounded well below B, and the
+    salted pair set still equals all C(B,2) pairs."""
+    rows = [(i, 0, "hot") for i in range(64)]
+    e = spark.createDataFrame(rows, "id int, band int, key string")
+    pairs = dedup.capped_bucket_pairs(e, None, cap=8, policy="salt")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(a, b) for a in range(64) for b in range(64) if a < b}
+    g = dedup._with_bucket_groups(e, 8)
+    sizes = [
+        r.n
+        for r in g.withColumn("_gi", dedup._member_group())
+        .groupBy("band", "key", "_gi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8  # ceil(64/8) groups, all populated here
+    assert max(sizes) <= 3 * 8  # hash-mod balance: no group re-concentrates
+
+
+def test_hot_bucket_incremental_salt_exact(docs_df):
+    """Bipartite (batch x corpus) + self (batch x batch) band joins
+    under the salt policy: output equals the uncapped operator."""
+    existing = docs_df.filter(F.col("id") < 3)
+    new = docs_df.filter(F.col("id") >= 3).unionByName(
+        docs_df.filter(F.col("id") == 0).select((F.col("id") + 100).alias("id"), "text")
+    )
+    ex_sigs = dedup.minhash_signature(existing, "id", "text", k=3)
+    new_sigs = dedup.minhash_signature(new, "id", "text", k=3)
+    base = {
+        (r.new_id, r.match_id, r.jaccard)
+        for r in dedup.incremental_minhash_near_dup(new_sigs, ex_sigs, 0.6).collect()
+    }
+    salted = {
+        (r.new_id, r.match_id, r.jaccard)
+        for r in dedup.incremental_minhash_near_dup(
+            new_sigs, ex_sigs, 0.6, hot_bucket_cap=1
+        ).collect()
+    }
+    assert salted == base and base
+
+
+def test_incremental_resent_id_semantics(spark):
+    """A batch that RE-SENDS an existing id with drifted content: the
+    operator queries with the batch content, matches against the
+    existing-wins universe, and excludes the same-id pair — and the
+    DuckDB oracle (duck_incremental_jaccard_sql) must agree row for
+    row, jaccard included."""
+    import duckdb
+
+    ex_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different content words live here instead"),
+    ]
+    new_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),  # re-sent, drifted
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of corpus #1
+    ]
+    existing = spark.createDataFrame(ex_rows, "id int, text string")
+    new = spark.createDataFrame(new_rows, "id int, text string")
+    ex_sigs = dedup.minhash_signature(existing, "id", "text", k=3)
+    new_sigs = dedup.minhash_signature(new, "id", "text", k=3)
+    got = {
+        (r.new_id, r.match_id, r.jaccard)
+        for r in dedup.incremental_minhash_near_dup(new_sigs, ex_sigs, 0.6).collect()
+    }
+
+    def values_sql(rows):
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        return f"SELECT * FROM (VALUES {vals}) AS v(id, text)"
+
+    sql = dedup.duck_incremental_jaccard_sql(
+        values_sql(ex_rows), values_sql(new_rows), k=3, threshold=0.6
+    )
+    want = {(int(a), int(b), float(j)) for a, b, j in duckdb.sql(sql).fetchall()}
+    assert got == want
+    assert all(a != b for a, b, _ in got)  # same-id pair excluded
+    # match side of a corpus id uses CORPUS content: new #3 is byte-equal
+    # to corpus #1, so (3, 1) scores 1.0 (batch-wins would give ~0.71)
+    assert (3, 1, 1.0) in got
+    assert (1, 3) in {(a, b) for a, b, _ in got}  # batch x batch direction
