@@ -37,8 +37,11 @@ CONVS_PER_SF = 100_000
 SEED = 20260816
 
 
-# Round-2 additions at the end: the banded near-dup paths, the
-# incremental MERGE shape, and the bucketed interval join.
+# Round-2 additions: the banded near-dup paths, the incremental MERGE
+# shape, and the bucketed interval join. Round-3 addition at the end:
+# near_dup_clusters — the iterative connected-components job, the one
+# plan whose driver-loop (one count() per round) cost shape the bench
+# otherwise never exposes.
 HEADLINE = [
     "pricing_summary",
     "region_revenue",
@@ -55,6 +58,7 @@ HEADLINE = [
     "incremental_exact_dedup",
     "post_signup_activity_bucketed",
     "bigram_entropy",
+    "near_dup_clusters",
 ]
 
 
@@ -121,6 +125,10 @@ def bench_round() -> dict:
         t0 = time.perf_counter()
         _noop(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop blocks a query persisted internally (shingle projections,
+        # CC labels): each timing must be a cold, isolated measurement,
+        # and leaked caches would tax every LATER query's memory
+        spark.catalog.clearCache()
 
     # flagship: fused extraction pipeline, warm + timed
     _run_pipeline(spark, tpath)  # warm JIT/codegen/python workers
@@ -199,18 +207,26 @@ def bench_multi_sf() -> dict:
     qs = entry.queries()
     out: dict = {"metric": "multi_sf_ratio", "unit": "ratio", "cpus": CPUS}
     per_sf: dict[str, dict[str, float]] = {}
-    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    # SPARK_GRAFT_MULTI_SF_DIRS overrides the decade, e.g.
+    # "/root/testdata/sf0.1,testdata_gen/sf1" for the sf0.1->sf1 step
+    # over the tools/gen_sf.py-generated tables
+    sf_dirs = os.environ.get(
+        "SPARK_GRAFT_MULTI_SF_DIRS", "/root/testdata/sf0.01,/root/testdata/sf0.1"
+    ).split(",")
+    for sf_dir in sf_dirs:
         sf_key = f"sf{_sf(sf_dir)}"
         per_sf[sf_key] = {}
         for name in HEADLINE:
             if name not in qs:
                 continue
             _noop(qs[name](spark, sf_dir))  # warm codegen for this (query, sf)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _noop(qs[name](spark, sf_dir))
             per_sf[sf_key][name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
     out["queries"] = per_sf
-    lo, hi = per_sf["sf0.01"], per_sf["sf0.1"]
+    lo, hi = (per_sf[f"sf{_sf(d)}"] for d in (sf_dirs[0], sf_dirs[-1]))
     out["ratios_10x_data"] = {
         n: round(hi[n] / lo[n], 2) for n in hi if lo.get(n)
     }

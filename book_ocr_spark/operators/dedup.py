@@ -44,6 +44,40 @@ HASH_AB = [((2 * i + 1) * 40503, i * 97561 + 7) for i in range(N_HASHES)]
 SIMHASH_BITS = 56  # 14 hex chars of md5 -> 56-bit token hash
 
 
+def minhash_band_recall(
+    jaccard: float, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> float:
+    """Probability a pair at ``jaccard`` becomes an LSH candidate under
+    (bands x rows_per_band) banding: 1 - (1 - j^r)^b. The default
+    (32 x 2) gives recall > 1 - 1e-6 at j=0.6 — the number the
+    module docstring quotes, now checkable for any other threshold."""
+    j = max(0.0, min(1.0, jaccard))
+    return 1.0 - (1.0 - j**rows_per_band) ** bands
+
+
+def choose_minhash_bands(
+    threshold: float,
+    target_recall: float = 0.999,
+    n_hashes: int = N_HASHES,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) with bands * rows_per_band ==
+    n_hashes reaching ``target_recall`` at the Jaccard threshold,
+    preferring the LONGEST band rows (most selective — fewer
+    false-positive candidates feeding the verify join). Raises if even
+    r=1 misses the target (raise n_hashes)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    divisors = [r for r in range(1, n_hashes + 1) if n_hashes % r == 0]
+    for r in sorted(divisors, reverse=True):
+        b = n_hashes // r
+        if minhash_band_recall(threshold, b, r) >= target_recall:
+            return b, r
+    raise ValueError(
+        f"no (bands, rows) split of {n_hashes} hashes reaches recall "
+        f"{target_recall} at jaccard {threshold}; increase n_hashes"
+    )
+
+
 def spark_h28(expr: str) -> str:
     return f"cast(conv(substring(md5({expr}), 1, 7), 16, 10) as bigint)"
 
@@ -202,15 +236,26 @@ def _signature_from_grams(grams: DataFrame) -> DataFrame:
 
 def _with_bucket_groups(e: DataFrame, cap: int, counts_from: DataFrame | None = None) -> DataFrame:
     """Attach _n (bucket size) and _g (salt-group count) per (band,
-    key). ``counts_from``: count a DIFFERENT frame's buckets (the
-    bipartite case — the existing-corpus side is the one that
-    explodes); buckets absent there default to a single group."""
-    src = counts_from if counts_from is not None else e
-    counts = src.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-    how = "left" if counts_from is not None else "inner"
-    out = e.join(counts, ["band", "key"], how)
-    if counts_from is not None:
-        out = out.withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
+    key). Self case (``counts_from=None``): a whole-partition window
+    count — ONE pass over ``e`` with a single narrow shuffle, never
+    re-evaluating e's upstream (a separate aggregate+join would run
+    the signature derivation feeding ``e`` a second time per side —
+    measured +30-70% on the banded headline queries). Bipartite case
+    (``counts_from`` set): count the OTHER frame's buckets (the
+    corpus side — the one that explodes at scale) and join them on;
+    buckets absent there default to a single group."""
+    if counts_from is None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        out = e.withColumn("_n", F.count(F.lit(1)).over(w))
+    else:
+        counts = counts_from.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        out = e.join(counts, ["band", "key"], "left").withColumn(
+            "_n", F.coalesce(F.col("_n"), F.lit(0))
+        )
     return out.withColumn(
         "_g",
         F.when(F.col("_n") > cap, F.ceil(F.col("_n") / cap))
@@ -263,22 +308,41 @@ def capped_bucket_pairs(
         )
         join_keys = ["band", "key"]
     elif policy == "drop":
-        src = right
-        counts = src.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-        hot = counts.filter(F.col("_n") > cap)
-        if dropped_handle is not None:
-            dropped_handle.append(
-                hot.select("band", "key", F.col("_n").alias("n"))
+        if self_join:
+            ann = _with_bucket_groups(left, cap)
+            if dropped_handle is not None:
+                dropped_handle.append(
+                    ann.filter(F.col("_n") > cap)
+                    .select("band", "key", F.col("_n").alias("n"))
+                    .distinct()
+                )
+            kept = ann.filter(F.col("_n") <= cap)
+            a = kept.select(
+                "band", "key", F.col("id").alias("id_a"),
+                *[F.col(p).alias(f"{p}_a") for p in payload],
             )
-        cold = hot.select("band", "key")
-        a = left.join(cold, ["band", "key"], "left_anti").select(
-            "band", "key", F.col("id").alias("id_a"),
-            *[F.col(p).alias(f"{p}_a") for p in payload],
-        )
-        b = right.join(cold, ["band", "key"], "left_anti").select(
-            "band", "key", F.col("id").alias("id_b"),
-            *[F.col(p).alias(f"{p}_b") for p in payload],
-        )
+            b = kept.select(
+                "band", "key", F.col("id").alias("id_b"),
+                *[F.col(p).alias(f"{p}_b") for p in payload],
+            )
+        else:
+            counts = right.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            hot = counts.filter(F.col("_n") > cap)
+            if dropped_handle is not None:
+                dropped_handle.append(
+                    hot.select("band", "key", F.col("_n").alias("n"))
+                )
+            cold = hot.select("band", "key")
+            a = left.join(cold, ["band", "key"], "left_anti").select(
+                "band", "key", F.col("id").alias("id_a"),
+                *[F.col(p).alias(f"{p}_a") for p in payload],
+            )
+            b = right.join(cold, ["band", "key"], "left_anti").select(
+                "band", "key", F.col("id").alias("id_b"),
+                *[F.col(p).alias(f"{p}_b") for p in payload],
+            )
         join_keys = ["band", "key"]
     elif policy == "salt":
         counts_from = None if self_join else right

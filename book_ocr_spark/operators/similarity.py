@@ -21,9 +21,61 @@ counts per bucket; skewed buckets split by salting the bucket key.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH banding math: pick (n_bands, band_planes) for a threshold
+# ---------------------------------------------------------------------------
+def hyperplane_band_recall(sim: float, n_bands: int, band_planes: int) -> float:
+    """Probability that a pair at cosine similarity ``sim`` becomes a
+    candidate under (n_bands x band_planes) hyperplane banding:
+    per-plane agreement p = 1 - acos(sim)/pi, per-band p^planes,
+    recall = 1 - (1 - p^planes)^bands. This is the closed form the
+    cosine_near_dup_pairs_bucketed docstring quotes — exposed so a
+    caller at a non-default threshold can CHECK the recall instead of
+    silently running the 0.95-tuned default."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi
+    return 1.0 - (1.0 - p**band_planes) ** n_bands
+
+
+def choose_hyperplane_bands(
+    threshold: float,
+    target_recall: float = 0.999,
+    max_total_planes: int = 256,
+    max_band_planes: int = 16,
+) -> tuple[int, int]:
+    """Smallest banding that reaches ``target_recall`` for pairs AT the
+    similarity threshold (recall is monotone in sim, so everything
+    above the threshold does at least as well).
+
+    Selectivity strategy: prefer the WIDEST band (most planes) that
+    still fits the total-plane budget — wider bands collapse more
+    random pairs per band (candidate count drives the verify-join
+    cost at corpus scale), and the band count then buys the recall
+    back. Returns (n_bands, band_planes); raises if no config within
+    the budget reaches the target (lower the threshold expectation or
+    raise the budget)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    for planes in range(max_band_planes, 0, -1):
+        miss_per_band = 1.0 - p**planes
+        if miss_per_band <= 0.0:
+            return 1, planes
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(miss_per_band))
+        bands = max(bands, 1)
+        if bands * planes <= max_total_planes:
+            return bands, planes
+    raise ValueError(
+        f"no (bands, planes) within {max_total_planes} total planes reaches "
+        f"recall {target_recall} at sim {threshold}; raise max_total_planes"
+    )
 
 DOT = (
     "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
@@ -137,7 +189,10 @@ def cosine_near_dup_pairs_bucketed(
     banded output equals the brute-force definition with probability
     ~1 (asserted against cosine_near_dup_pairs in tests, and the
     driver query hash-compares it to the brute-force DuckDB oracle on
-    a constructed near-dup fixture).
+    a constructed near-dup fixture). At a DIFFERENT threshold, don't
+    reuse the 0.95-tuned default blindly: hyperplane_band_recall
+    checks a config and choose_hyperplane_bands picks one for your
+    threshold/recall target (property-tested against Monte-Carlo).
 
     Hyperplanes reuse _plane_weight with plane index band*band_planes+p
     — deterministic, engine-independent, constant-folded literals."""

@@ -116,3 +116,95 @@ def test_cdc_tiling_property(spark):
             piece = t[pos - 1 : pos - 1 + c.chunk_len]
             assert c.chunk_hash == hashlib.md5(piece.encode()).hexdigest()
             pos += c.chunk_len
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall math (dedup.choose_minhash_bands,
+# similarity.choose_hyperplane_bands)
+# ---------------------------------------------------------------------------
+def test_banding_recall_spot_values():
+    """The helpers reproduce the numbers the operator docstrings quote:
+    32x2 minhash banding >1-1e-6 recall at j=0.6; 12x8 hyperplane
+    banding ~1.3e-3 miss at sim=0.95."""
+    import math
+
+    from book_ocr_spark.operators.dedup import minhash_band_recall
+    from book_ocr_spark.operators.similarity import hyperplane_band_recall
+
+    assert minhash_band_recall(0.6, 32, 2) > 1 - 1e-6
+    p = 1 - math.acos(0.95) / math.pi
+    assert hyperplane_band_recall(0.95, 12, 8) == pytest.approx(
+        1 - (1 - p**8) ** 12
+    )
+    assert 1 - hyperplane_band_recall(0.95, 12, 8) == pytest.approx(1.3e-3, rel=0.2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(min_value=0.55, max_value=0.99),
+    st.floats(min_value=0.9, max_value=0.9999),
+)
+def test_choose_minhash_bands_meets_target(threshold, target):
+    """For any threshold/target, the chosen (bands, rows) split uses
+    exactly N_HASHES hashes and reaches the target recall AT the
+    threshold (and recall is monotone above it)."""
+    from book_ocr_spark.operators.dedup import (
+        N_HASHES,
+        choose_minhash_bands,
+        minhash_band_recall,
+    )
+
+    b, r = choose_minhash_bands(threshold, target)
+    assert b * r == N_HASHES
+    got = minhash_band_recall(threshold, b, r)
+    assert got >= target
+    assert minhash_band_recall(min(threshold + 0.05, 1.0), b, r) >= got
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(min_value=0.7, max_value=0.995),
+    st.floats(min_value=0.9, max_value=0.9999),
+)
+def test_choose_hyperplane_bands_meets_target(threshold, target):
+    from book_ocr_spark.operators.similarity import (
+        choose_hyperplane_bands,
+        hyperplane_band_recall,
+    )
+
+    bands, planes = choose_hyperplane_bands(threshold, target, max_total_planes=512)
+    assert bands * planes <= 512 and bands >= 1 and 1 <= planes <= 16
+    got = hyperplane_band_recall(threshold, bands, planes)
+    assert got >= target
+    # monotone: a more-similar pair is recalled at least as well
+    assert hyperplane_band_recall(min(threshold + 0.004, 1.0), bands, planes) >= got
+
+
+def test_hyperplane_recall_formula_matches_monte_carlo():
+    """The closed form is the real candidate probability: simulate
+    random gaussian hyperplane bandings over a pair constructed at an
+    exact cosine and compare the hit rate."""
+    import math
+
+    import numpy as np
+
+    from book_ocr_spark.operators.similarity import hyperplane_band_recall
+
+    rng = np.random.default_rng(7)
+    dim, n_bands, planes, trials = 64, 8, 6, 4000
+    for sim in (0.85, 0.95):
+        v1 = rng.normal(size=dim)
+        v1 /= np.linalg.norm(v1)
+        o = rng.normal(size=dim)
+        o -= o @ v1 * v1
+        o /= np.linalg.norm(o)
+        v2 = sim * v1 + math.sqrt(1 - sim * sim) * o
+        hits = 0
+        for _ in range(trials):
+            planes_w = rng.normal(size=(n_bands * planes, dim))
+            s1 = (planes_w @ v1 >= 0).reshape(n_bands, planes)
+            s2 = (planes_w @ v2 >= 0).reshape(n_bands, planes)
+            if (s1 == s2).all(axis=1).any():
+                hits += 1
+        want = hyperplane_band_recall(sim, n_bands, planes)
+        assert hits / trials == pytest.approx(want, abs=0.03), sim

@@ -1,0 +1,234 @@
+"""Deterministic synthetic-table generator for bench-only scale
+factors above the driver-provided sf0.1 (VERDICT r2 #3: extend the
+data-scaling evidence one decade, sf0.1 -> sf1).
+
+Reproduces the ten-table shape of /root/testdata (schemas verified
+column-for-column; distributions matched to the sf0.1 stats: row-count
+ratios, key cardinalities, value ranges, category mixes, doc
+vocabulary/length, unit-norm dim-64 embeddings). Determinism comes
+from md5-derived uniforms keyed on (table, row id, column tag) — the
+same portable-hash idea as operators.dedup.spark_h28 — so the output
+is independent of partitioning, core count, and session history; no
+Python RNG runs on executors (generation is pure Catalyst
+expressions, fully distributed).
+
+NOT for correctness gates: the DuckDB oracle harness reads single
+parquet FILES, while this writes standard Spark parquet directories.
+Bench-only, by design.
+
+Usage:
+    python tools/gen_sf.py [sf] [out_dir]   # default: 1 ./testdata_gen/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "data", "fast", "filter", "group",
+    "hash", "key", "line", "merge", "order", "part", "query", "row", "scan",
+    "slow", "small", "sort", "spark", "stream", "table", "value", "vector",
+    "window", "join", "plan", "shuffle", "state",
+]
+LANGS = ["en", "en", "en", "en", "en", "en", "de", "es", "fr", "zh"]  # ~40/15/15/15/15
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+P_ADJ = ["large", "hot", "blue", "green", "small", "dim", "red", "pale"]
+P_NOUN = ["ring", "bolt", "cog", "gear", "washer", "spring", "plate", "rod"]
+P_TYPES = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM", "PROMO"]
+
+
+def _u(tag: str, id_expr: str = "id") -> str:
+    """Uniform [0,1) from md5(tag:id) — deterministic, partition-free."""
+    return (
+        f"(cast(conv(substring(md5(concat('{tag}:', cast({id_expr} as string))),"
+        f" 1, 7), 16, 10) as double) / 268435456.0D)"
+    )
+
+
+def _pick(options: list[str], tag: str, id_expr: str = "id") -> str:
+    arr = "array(" + ",".join(f"'{o}'" for o in options) + ")"
+    return f"element_at({arr}, 1 + cast({_u(tag, id_expr)} * {len(options)} as int))"
+
+
+def _write(df: DataFrame, out_dir: str, name: str, n_files: int) -> None:
+    df.repartition(n_files).write.mode("overwrite").parquet(
+        f"{out_dir}/{name}.parquet"
+    )
+
+
+def generate(spark: SparkSession, sf: float, out_dir: str, src_dir: str) -> None:
+    n_cust = int(15_000 * sf / 0.1)
+    n_supp = int(1_000 * sf / 0.1)
+    n_part = int(20_000 * sf / 0.1)
+    n_orders = int(150_000 * sf / 0.1)
+    n_events = int(100_000 * sf / 0.1)
+    n_users = int(1_500 * sf / 0.1)
+    n_docs = int(5_000 * sf / 0.1)
+    n_emb = int(2_000 * (sf / 0.1) ** 0.6)  # matches the sub-linear 500->2000 step
+    files = max(8, int(32 * sf))
+
+    # region + nation are fixed dimensions: copy verbatim
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{src_dir}/{t}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+    _write(
+        spark.range(n_cust).select(
+            F.col("id").alias("c_custkey"),
+            F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+            F.expr(f"cast({_u('cnat')} * 25 as int)").alias("c_nationkey"),
+            F.expr(f"round(-1000.0D + {_u('cbal')} * 11000.0D, 2)").alias("c_acctbal"),
+            F.expr(_pick(SEGMENTS, "cseg")).alias("c_mktsegment"),
+        ),
+        out_dir, "customer", files,
+    )
+
+    _write(
+        spark.range(n_supp).select(
+            F.col("id").alias("s_suppkey"),
+            F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
+            F.expr(f"cast({_u('snat')} * 25 as int)").alias("s_nationkey"),
+            F.expr(f"round(-1000.0D + {_u('sbal')} * 11000.0D, 2)").alias("s_acctbal"),
+        ),
+        out_dir, "supplier", files,
+    )
+
+    _write(
+        spark.range(n_part).select(
+            F.col("id").alias("p_partkey"),
+            F.expr(
+                f"concat({_pick(P_ADJ, 'padj')}, ' ', {_pick(P_NOUN, 'pnoun')})"
+            ).alias("p_name"),
+            F.expr(f"concat('Brand#', cast(1 + cast({_u('pbr')} * 24 as int) as string))").alias("p_brand"),
+            F.expr(_pick(P_TYPES, "ptyp")).alias("p_type"),
+            F.expr(f"1 + cast({_u('psz')} * 50 as int)").alias("p_size"),
+            F.expr("round(900.0D + 0.1D * id, 1)").alias("p_retailprice"),
+        ),
+        out_dir, "part", files,
+    )
+
+    orders = spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.expr(f"cast({_u('ocust')} * {n_cust} as bigint)").alias("o_custkey"),
+        F.expr(_pick(["O", "P", "F"], "ostat")).alias("o_orderstatus"),
+        F.expr(f"round(1000.0D + {_u('otot')} * 499000.0D, 2)").alias("o_totalprice"),
+        F.expr(
+            f"timestampadd(DAY, cast({_u('odate')} * 2404 as int),"
+            " timestamp'1995-01-01 00:00:00')"
+        ).alias("o_orderdate"),
+        F.expr(_pick(PRIORITIES, "oprio")).alias("o_orderpriority"),
+    )
+    _write(orders, out_dir, "orders", files)
+
+    li = (
+        spark.read.parquet(f"{out_dir}/orders.parquet")
+        .select(
+            "o_orderkey", "o_orderdate",
+            F.explode(
+                F.expr(f"sequence(1, 1 + cast({_u('nli', 'o_orderkey')} * 7 as int))")
+            ).alias("l_linenumber"),
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.expr(f"cast({_u('lpart', 'o_orderkey * 20 + l_linenumber')} * {n_part} as bigint)").alias("l_partkey"),
+            F.expr(f"cast({_u('lsupp', 'o_orderkey * 20 + l_linenumber')} * {n_supp} as bigint)").alias("l_suppkey"),
+            F.col("l_linenumber"),
+            F.expr(f"cast(1 + cast({_u('lqty', 'o_orderkey * 20 + l_linenumber')} * 50 as int) as double)").alias("l_quantity"),
+            F.expr(
+                f"round((1 + cast({_u('lqty', 'o_orderkey * 20 + l_linenumber')} * 50 as int))"
+                f" * (900.0D + {_u('lpr', 'o_orderkey * 20 + l_linenumber')} * 1200.0D), 2)"
+            ).alias("l_extendedprice"),
+            F.expr(f"round({_u('ldisc', 'o_orderkey * 20 + l_linenumber')} * 0.1D, 2)").alias("l_discount"),
+            F.expr(f"round({_u('ltax', 'o_orderkey * 20 + l_linenumber')} * 0.08D, 2)").alias("l_tax"),
+            F.expr(_pick(["R", "A", "N"], "lrf", "o_orderkey * 20 + l_linenumber")).alias("l_returnflag"),
+            F.expr(_pick(["O", "F"], "lls", "o_orderkey * 20 + l_linenumber")).alias("l_linestatus"),
+            F.expr(
+                f"timestampadd(DAY, 1 + cast({_u('lship', 'o_orderkey * 20 + l_linenumber')} * 95 as int), o_orderdate)"
+            ).alias("l_shipdate"),
+        )
+    )
+    _write(li, out_dir, "lineitem", files)
+
+    _write(
+        spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            F.expr(
+                f"timestampadd(SECOND, cast({_u('ets')} * 2591940 as int),"
+                " timestamp'2024-01-01 00:00:00')"
+            ).alias("ts"),
+            F.expr(f"cast({_u('euid')} * {n_users} as bigint)").alias("user_id"),
+            F.expr(_pick(EVENT_TYPES, "etyp")).alias("event_type"),
+            F.expr(f"round(-50.0D * ln(1.0D - {_u('eval')}), 2)").alias("value"),
+            F.expr(f"concat('{{\"k\": ', cast(cast({_u('ek')} * 100 as int) as string), '}}')").alias("props"),
+        ),
+        out_dir, "events", files,
+    )
+
+    vocab_arr = "array(" + ",".join(f"'{w}'" for w in DOC_VOCAB) + ")"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, 8 + cast({_u('dnw')} * 97 as int)),"
+            f" i -> element_at({vocab_arr}, 1 + cast("
+            f"conv(substring(md5(concat('dw:', cast(id as string), ':', cast(i as string))), 1, 6), 16, 10)"
+            f" % {len(DOC_VOCAB)} as int))), ' ')"
+        ).alias("text"),
+        F.expr(_pick(LANGS, "dlang")).alias("lang"),
+        F.expr(f"concat('src', cast(cast({_u('dsrc')} * 20 as int) as string))").alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    _write(docs, out_dir, "documents", files)
+
+    # unit-norm dim-64 embeddings: Box-Muller gaussians from two md5
+    # uniforms per component, normalized JVM-side
+    gauss = (
+        "transform(sequence(0, 63), j -> "
+        f"sqrt(-2.0D * ln(greatest({_u2('ga')}, 1e-12D))) * cos(2.0D * pi() * {_u2('gb')}))"
+    )
+    emb = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"),
+        F.expr(gauss).alias("_g"),
+        F.expr(f"cast({_u('elab')} * 10 as int)").alias("label"),
+    )
+    emb = emb.select(
+        "vec_id",
+        F.expr(
+            "cast(transform(_g, x -> x / sqrt(aggregate(transform(_g, y -> y * y),"
+            " 0D, (acc, v) -> acc + v))) as array<float>)"
+        ).alias("embedding"),
+        "label",
+    )
+    _write(emb, out_dir, "embeddings", max(4, files // 4))
+
+
+def _u2(tag: str) -> str:
+    """Per-(row, component) uniform for lambda bodies: keyed on the
+    row id AND the lambda index j."""
+    return (
+        f"(cast(conv(substring(md5(concat('{tag}:', cast(id as string), ':',"
+        f" cast(j as string))), 1, 7), 16, 10) as double) / 268435456.0D)"
+    )
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = sys.argv[2] if len(sys.argv) > 2 else f"testdata_gen/sf{sf:g}"
+    from book_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="gen_sf")
+    generate(spark, sf, out, "/root/testdata/sf0.1")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        print(f"{t:12} {n}")
+    spark.stop()
