@@ -43,6 +43,21 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="local[N] master (omit on a cluster: spark-submit sets the master)",
     )
     p.add_argument("--log-level", default="WARN")
+    # classifier tunables (the reference's config/--custom_dict analog,
+    # docs/technical_architecture.md:145): defaults == heuristics
+    # module constants; values ride the pandas-UDF closure to executors
+    p.add_argument(
+        "--min-main-len", type=int, default=None,
+        help="minimum chars for a 'main' block to survive the boilerplate cut",
+    )
+    p.add_argument(
+        "--min-head-len", type=int, default=None,
+        help="minimum chars for heading/code blocks",
+    )
+    p.add_argument(
+        "--max-link-density", type=float, default=None,
+        help="jusText-style link-density cutoff for main blocks",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -89,8 +104,23 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
 
+    from book_ocr_spark.functions.heuristics import DEFAULT_THRESHOLDS, Thresholds
     from book_ocr_spark.plans.pipeline import replay_failed, run
     from book_ocr_spark.session import get_spark
+
+    thresholds = None
+    if any(
+        v is not None
+        for v in (args.min_main_len, args.min_head_len, args.max_link_density)
+    ):
+        d = DEFAULT_THRESHOLDS
+        thresholds = Thresholds(
+            min_main_len=args.min_main_len if args.min_main_len is not None else d.min_main_len,
+            min_head_len=args.min_head_len if args.min_head_len is not None else d.min_head_len,
+            max_link_density=args.max_link_density
+            if args.max_link_density is not None
+            else d.max_link_density,
+        )
 
     master = f"local[{args.threads}]" if args.threads else None
     spark = get_spark(app_name=f"book-ocr-spark-{args.cmd}", master=master)
@@ -105,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_chunks=args.n_chunks,
                 bucket_size=args.bucket_size,
                 skew_threshold=args.skew_threshold,
+                thresholds=thresholds,
             )
         else:
             summary = run(
@@ -116,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
                 bucket_size=args.bucket_size,
                 skew_threshold=args.skew_threshold,
                 resume=(args.cmd == "resume"),
+                thresholds=thresholds,
             )
         print(json.dumps(summary))
         return 0

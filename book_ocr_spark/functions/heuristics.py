@@ -21,7 +21,9 @@ payload (a string->tree parse has no columnar form); it is a bulk
 
 from __future__ import annotations
 
+import inspect
 import json
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -44,6 +46,28 @@ from .textops import (
 MIN_MAIN_LEN = 25  # chars; shorter 'main' blocks are boilerplate noise
 MIN_HEAD_LEN = 3
 MAX_LINK_DENSITY = 0.33  # jusText-style link-density cutoff
+
+
+@dataclass(frozen=True)
+class Thresholds:
+    """Runtime-tunable classification thresholds — the graft of the
+    reference's config/--custom_dict extension point
+    (/root/reference/docs/technical_architecture.md:145 [spec]).
+
+    A frozen dataclass (picklable, hashable) so a Spark plan captures
+    the values in the pandas-UDF CLOSURE — the only channel that
+    reliably reaches executor Python workers (module-level mutation
+    after session start does not; see register_segmenter). Threaded
+    through extract_batch/recognize_batch -> build_fused_plan ->
+    pipeline.run -> the CLI flags --min-main-len/--min-head-len/
+    --max-link-density."""
+
+    min_main_len: int = MIN_MAIN_LEN
+    min_head_len: int = MIN_HEAD_LEN
+    max_link_density: float = MAX_LINK_DENSITY
+
+
+DEFAULT_THRESHOLDS = Thresholds()
 
 BLOCK_TAGS = (
     "nav|header|footer|aside|article|section|main|div|p|h[1-6]|li|ul|ol|"
@@ -120,7 +144,7 @@ def preprocess_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # Stage 2 — segmentation (per payload kind) -> flat blocks frame
 # ---------------------------------------------------------------------------
-def _segment_html(s: pd.Series) -> pd.DataFrame:
+def _segment_html(s: pd.Series, th: Thresholds = DEFAULT_THRESHOLDS) -> pd.DataFrame:
     """HTML -> blocks [row, ord, text, label, conf, keep].
 
     Split on opening block-level tags (the analog of projection-profile
@@ -172,9 +196,9 @@ def _segment_html(s: pd.Series) -> pd.DataFrame:
     label = label.mask(tag == "pre", "code")
 
     in_body = ~ctx.isin(BOILER_CONTEXT) & ~tag.isin(BOILER_CONTEXT)
-    min_len = pd.Series(MIN_MAIN_LEN, index=df.index, dtype="float64")
-    min_len = min_len.mask(label.isin(("heading", "code")), float(MIN_HEAD_LEN))
-    low_link = (link_density <= MAX_LINK_DENSITY) | (label == "code")
+    min_len = pd.Series(th.min_main_len, index=df.index, dtype="float64")
+    min_len = min_len.mask(label.isin(("heading", "code")), float(th.min_head_len))
+    low_link = (link_density <= th.max_link_density) | (label == "code")
     keep = in_body & (tlen >= min_len) & low_link
 
     density_score = (1.0 - link_density).clip(0.0, 1.0)
@@ -245,7 +269,7 @@ def _segment_pdf(s: pd.Series) -> tuple[pd.DataFrame, pd.Series]:
     ).reset_index(drop=True), failed
 
 
-def _segment_markdown(s: pd.Series) -> pd.DataFrame:
+def _segment_markdown(s: pd.Series, th: Thresholds = DEFAULT_THRESHOLDS) -> pd.DataFrame:
     """Markdown -> blocks: fence-split isolates code blocks (odd
     segments), text segments split on blank lines; headings keep their
     own label with the hashes stripped, inline links reduce to their
@@ -312,10 +336,10 @@ def _segment_markdown(s: pd.Series) -> pd.DataFrame:
 
     label = pd.Series("main", index=pdfr.index, dtype="object")
     label = label.mask(heading.to_numpy(), "heading")
-    min_len = pd.Series(MIN_MAIN_LEN, index=pdfr.index, dtype="float64").mask(
-        heading.to_numpy(), float(MIN_HEAD_LEN)
+    min_len = pd.Series(th.min_main_len, index=pdfr.index, dtype="float64").mask(
+        heading.to_numpy(), float(th.min_head_len)
     )
-    keep = (tlen >= min_len) & (link_density <= MAX_LINK_DENSITY)
+    keep = (tlen >= min_len) & (link_density <= th.max_link_density)
     conf = (
         (1.0 - link_density).clip(0.0, 1.0)
         * (tlen / 80.0).clip(0.05, 1.0)
@@ -328,7 +352,7 @@ def _segment_markdown(s: pd.Series) -> pd.DataFrame:
     )
     if not code_df.empty:
         code_df = code_df.assign(
-            conf=0.8, keep=code_df["text"].str.len() >= MIN_HEAD_LEN
+            conf=0.8, keep=code_df["text"].str.len() >= th.min_head_len
         )
         text_df = pd.concat([text_df, code_df], ignore_index=True)
     return text_df.sort_values(["row", "ord"], kind="stable").reset_index(drop=True)
@@ -521,14 +545,31 @@ def register_segmenter(kind: str, fn) -> None:
     SEGMENTERS[kind] = fn
 
 
-def recognize_batch(clean: pd.Series, kind: pd.Series) -> pd.DataFrame:
+def _accepts_thresholds(fn) -> bool:
+    try:
+        return "th" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def _dispatch(fn, sel: pd.Series, th: Thresholds):
+    return fn(sel, th) if _accepts_thresholds(fn) else fn(sel)
+
+
+def recognize_batch(
+    clean: pd.Series, kind: pd.Series, thresholds: Thresholds | None = None
+) -> pd.DataFrame:
     """Stage-2 recognize over a batch: segmentation + classification +
     span assembly. Returns DataFrame(extracted_text, starts, ends,
     labels, conf, n_blocks, n_kept, failed) aligned to the input index.
 
     Dispatch walks the SEGMENTERS registry (one vectorized call per
     kind present in the batch — never per row); rows whose kind has no
-    registered segmenter take the plain-text fallback."""
+    registered segmenter take the plain-text fallback. ``thresholds``
+    reaches any segmenter declaring an optional ``th`` parameter (the
+    built-in html/markdown classifiers do); segmenters without one are
+    called with the Series alone, keeping the registry protocol."""
+    th = thresholds if thresholds is not None else DEFAULT_THRESHOLDS
     clean = clean.fillna("")
     index = clean.index
     parts = []
@@ -543,7 +584,7 @@ def recognize_batch(clean: pd.Series, kind: pd.Series) -> pd.DataFrame:
         sel = clean[mask]
         if sel.empty:
             continue
-        res = fn(sel)
+        res = _dispatch(fn, sel, th)
         if isinstance(res, tuple):
             blocks_k, fail_k = res
             parts.append(blocks_k)
@@ -552,7 +593,7 @@ def recognize_batch(clean: pd.Series, kind: pd.Series) -> pd.DataFrame:
             parts.append(res)
     plain_s = clean[~handled]
     if not plain_s.empty:
-        parts.append(SEGMENTERS.get("plain", _segment_plain)(plain_s))
+        parts.append(_dispatch(SEGMENTERS.get("plain", _segment_plain), plain_s, th))
 
     blocks = pd.concat(parts, ignore_index=True) if parts else _empty_blocks()
     out = _assemble(blocks, index)
@@ -569,9 +610,11 @@ register_segmenter("json", _segment_json)
 register_segmenter("plain", _segment_plain)
 
 
-def extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+def extract_batch(
+    text: pd.Series, tool: pd.Series, thresholds: Thresholds | None = None
+) -> pd.DataFrame:
     """Full stage-1 + stage-2 over one batch (what the Spark pipeline
     computes via two chained pandas UDFs; fused here for the oracle and
     for single-UDF deployments)."""
     pre = preprocess_batch(text, tool)
-    return recognize_batch(pre["clean"], pre["kind"])
+    return recognize_batch(pre["clean"], pre["kind"], thresholds)

@@ -41,14 +41,26 @@ def extract_udf(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     return extract_batch(text, tool)
 
 
-def with_extraction(df: DataFrame) -> DataFrame:
+def make_extract_udf(thresholds):
+    """extract_udf with a non-default heuristics.Thresholds bound into
+    the UDF closure (the channel that reaches executor workers)."""
+
+    @F.pandas_udf(RECOGNIZE_UDF)
+    def _udf(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+        return extract_batch(text, tool, thresholds)
+
+    return _udf
+
+
+def with_extraction(df: DataFrame, thresholds=None) -> DataFrame:
     """transcripts -> per-turn extraction columns.
 
     Output: conv_id, turn_idx, role, ts, extracted_text,
     spans array<struct<start:int,end:int,label:string>>, conf,
     n_blocks, n_kept, failed.
     """
-    r = df.withColumn("_r", extract_udf(F.col("text"), F.col("tool")))
+    udf = extract_udf if thresholds is None else make_extract_udf(thresholds)
+    r = df.withColumn("_r", udf(F.col("text"), F.col("tool")))
     spans = F.arrays_zip(
         F.col("_r.starts").cast("array<int>").alias("start"),
         F.col("_r.ends").cast("array<int>").alias("end"),

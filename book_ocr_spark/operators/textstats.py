@@ -14,6 +14,7 @@ is one map-side-combined hash agg.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -286,3 +287,105 @@ def duck_redact_pii_sql(corpus_sql: str) -> str:
                {cnt['PHONE']} AS n_phone
         FROM corpus ORDER BY id
     """
+
+
+def _phone_plausible(candidate: str) -> bool:
+    """Deterministic plausibility subset of libphonenumber's rules —
+    the fallback validator when the `phonenumbers` package is absent:
+    E.164 digit-count bounds (7-15) plus rejection of the regex pass's
+    documented false-positive class (numeric tables: 3+ SHORT digit
+    groups like '12 34 56' with no +country or (area) marker)."""
+    import re as _re
+
+    digits = _re.sub(r"\D", "", candidate)
+    if not 7 <= len(digits) <= 15:
+        return False
+    if "+" in candidate or "(" in candidate:
+        return True
+    groups = _re.findall(r"\d+", candidate)
+    return any(len(g) >= 3 for g in groups)
+
+
+def _phone_valid(candidate: str) -> bool:
+    """libphonenumber validation when available (is_possible_number —
+    length/prefix plausibility, the documented upgrade path from the
+    regex-only pass), else the deterministic fallback subset."""
+    try:
+        import phonenumbers
+    except ImportError:
+        return _phone_plausible(candidate)
+    for region in (None, "US"):
+        try:
+            num = phonenumbers.parse(candidate, region)
+        except phonenumbers.NumberParseException:
+            continue
+        if phonenumbers.is_possible_number(num):
+            return True
+    return False
+
+
+def redact_pii_validated(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two-stage PII scrub — the production shape of redact_pii:
+
+      stage 1 (JVM): EMAIL/URL redaction + all three candidate counts,
+        identical to redact_pii (that regex-only pass stays the
+        SQL-oracle-able operator);
+      stage 2 (Arrow-batched pandas UDF): every PHONE candidate is
+        validated — libphonenumber when importable, else the
+        deterministic _phone_plausible subset — and only validated
+        candidates redact/count. This removes the regex pass's
+        documented false-positive class (numeric tables whose short
+        digit groups match the bare-number alternation) at the cost of
+        one Python stage over rows that contain candidates.
+
+    Returns (id, redacted_text, n_email, n_url, n_phone) with n_phone
+    counting VALIDATED matches only. Not SQL-oracle-able by design
+    (the validator is a Python library decision); pinned by pytest
+    against constructed true/false-positive fixtures instead."""
+    import re as _re
+
+    phone_re = _re.compile(PII_RES["PHONE"])
+
+    @F.pandas_udf("struct<redacted_text: string, n_phone: bigint>")
+    def _phone_pass(text: pd.Series) -> pd.DataFrame:
+        counts = []
+
+        def scrub(s: str) -> str:
+            n = 0
+
+            def repl(m):
+                nonlocal n
+                if _phone_valid(m.group(0)):
+                    n += 1
+                    return "<PHONE>"
+                return m.group(0)
+
+            out = phone_re.sub(repl, s)
+            counts.append(n)
+            return out
+
+        red = text.fillna("").map(scrub)
+        return pd.DataFrame(
+            {"redacted_text": red, "n_phone": pd.Series(counts, dtype="int64")}
+        )
+
+    counts = {
+        kind: _count(text_col, PII_RES[kind].replace("\\", "\\\\")).cast("bigint")
+        for kind in ("EMAIL", "URL")
+    }
+    stage1 = F.col(text_col)
+    for kind in ("EMAIL", "URL"):
+        stage1 = F.regexp_replace(stage1, PII_RES[kind], f"<{kind}>")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        stage1.alias("_s1"),
+        counts["EMAIL"].alias("n_email"),
+        counts["URL"].alias("n_url"),
+    ).withColumn("_p", _phone_pass(F.col("_s1")))
+    return out.select(
+        "id",
+        F.col("_p.redacted_text").alias("redacted_text"),
+        "n_email",
+        "n_url",
+        F.col("_p.n_phone").alias("n_phone"),
+    )

@@ -81,9 +81,13 @@ _METRIC_COLS = [f.name for f in METRIC_FIELDS]
 _ALL_COLS = [f.name for f in FUSED_SCHEMA.fields]
 
 
-def fused_extract_compose(df: DataFrame, lineage_prefix: str) -> DataFrame:
+def fused_extract_compose(
+    df: DataFrame, lineage_prefix: str, thresholds=None
+) -> DataFrame:
     """`df`: transcripts (+part_id), ALREADY repartitioned by conv_id
-    and sorted by (conv_id, turn_idx) within partitions."""
+    and sorted by (conv_id, turn_idx) within partitions. ``thresholds``
+    (a heuristics.Thresholds) rides the UDF closure to every executor —
+    the config/--custom_dict channel."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -97,7 +101,7 @@ def fused_extract_compose(df: DataFrame, lineage_prefix: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rec = extract_batch(pdf["text"], pdf["tool"])
+            rec = extract_batch(pdf["text"], pdf["tool"], thresholds)
 
             step = rec["extracted_text"].str.len().astype("int64") + 1
             conv = pdf["conv_id"]

@@ -57,6 +57,7 @@ def build_extract_plan(
     transcripts: DataFrame,
     n_parts: int,
     bucket_size: int | None = None,
+    thresholds=None,
 ) -> DataFrame:
     """The window-based transformation DAG (no I/O): transcripts ->
     extracted_turns with part_id. Used by the salted-skew path and as
@@ -79,13 +80,16 @@ def build_extract_plan(
         df = dedup_turns(transcripts)
         salt = (F.col("turn_idx").cast("long") / F.lit(bucket_size)).cast("long")
         df = df.repartition(n_parts, F.col("conv_id"), salt)
-    df = with_extraction(df)
+    df = with_extraction(df, thresholds)
     df = compose_turns(df, bucket_size=bucket_size)
     return df.withColumn("part_id", cp.part_id_col(n_parts))
 
 
 def build_fused_plan(
-    transcripts: DataFrame, n_parts: int, lineage_prefix: str = "adhoc"
+    transcripts: DataFrame,
+    n_parts: int,
+    lineage_prefix: str = "adhoc",
+    thresholds=None,
 ) -> DataFrame:
     """The fused hot-path DAG: one exchange, one Python round trip,
     metrics included (rec column tags data vs metrics rows)."""
@@ -93,7 +97,7 @@ def build_fused_plan(
     df = df.repartition(n_parts, "conv_id")
     df = dedup_turns(df)
     df = df.sortWithinPartitions("conv_id", "turn_idx")
-    return fused_extract_compose(df, lineage_prefix)
+    return fused_extract_compose(df, lineage_prefix, thresholds)
 
 
 def build_hybrid_plan(
@@ -102,6 +106,7 @@ def build_hybrid_plan(
     skew_threshold: int,
     bucket_size: int,
     lineage_prefix: str = "adhoc",
+    thresholds=None,
 ) -> DataFrame:
     """Auto-skew routing (SURVEY.md §4.2 item 1): conversations with
     more than ``skew_threshold`` turns take the salted two-level path
@@ -117,9 +122,12 @@ def build_hybrid_plan(
     skewed_ids = counts.filter(F.col("_n") > skew_threshold).select("conv_id")
     normal = transcripts.join(F.broadcast(skewed_ids), "conv_id", "left_anti")
     skewed = transcripts.join(F.broadcast(skewed_ids), "conv_id", "left_semi")
-    out_n = build_fused_plan(normal, n_parts, lineage_prefix=f"{lineage_prefix}|path=fused")
+    out_n = build_fused_plan(
+        normal, n_parts, lineage_prefix=f"{lineage_prefix}|path=fused",
+        thresholds=thresholds,
+    )
     out_s = instrumented(
-        build_extract_plan(skewed, n_parts, bucket_size=bucket_size),
+        build_extract_plan(skewed, n_parts, bucket_size=bucket_size, thresholds=thresholds),
         lineage_prefix=f"{lineage_prefix}|path=salted",
     )
     return out_n.select(*_OUT_COLS).unionByName(out_s.select(*_OUT_COLS))
@@ -138,6 +146,7 @@ def run(
     transcripts: DataFrame | None = None,
     only_parts: list[int] | None = None,
     fail_fast: bool = False,
+    thresholds=None,
 ) -> dict:
     """Execute the extraction job. Returns a small summary dict.
 
@@ -146,6 +155,8 @@ def run(
     ``bucket_size`` alone forces the salted path for everything;
     ``skew_threshold`` + ``bucket_size`` enables hybrid auto-skew
     routing (salted path only for conversations above the threshold).
+    ``thresholds`` (heuristics.Thresholds) tunes the boilerplate
+    classifier — the reference's config/--custom_dict analog.
     """
     if skew_threshold is not None and bucket_size is None:
         raise ValueError(
@@ -180,12 +191,17 @@ def run(
         chunk_df = src.filter(F.col("part_id").isin(chunk)).drop("part_id")
         if bucket_size is not None and skew_threshold is not None:
             out = build_hybrid_plan(
-                chunk_df, n_parts, skew_threshold, bucket_size, lineage_prefix=lineage
+                chunk_df, n_parts, skew_threshold, bucket_size,
+                lineage_prefix=lineage, thresholds=thresholds,
             )
         elif bucket_size is None:
-            out = build_fused_plan(chunk_df, n_parts, lineage_prefix=lineage)
+            out = build_fused_plan(
+                chunk_df, n_parts, lineage_prefix=lineage, thresholds=thresholds
+            )
         else:
-            plan = build_extract_plan(chunk_df, n_parts, bucket_size=bucket_size)
+            plan = build_extract_plan(
+                chunk_df, n_parts, bucket_size=bucket_size, thresholds=thresholds
+            )
             out = instrumented(plan, lineage_prefix=lineage)
         try:
             io.write_partitioned(out.select(*_OUT_COLS), turns_path, ["rec", "part_id"])

@@ -168,3 +168,62 @@ def test_register_segmenter_pluggable_backend():
         assert out.loc[1, "extracted_text"] == "plain words here"  # fallback intact
     finally:
         H.SEGMENTERS.pop("csv", None)
+
+
+def test_thresholds_tune_the_classifier():
+    """The Thresholds channel (config/--custom_dict analog): raising
+    min_main_len drops a block the defaults keep; loosening
+    max_link_density keeps a link-farm block the defaults drop —
+    and passing DEFAULT_THRESHOLDS explicitly equals passing nothing."""
+    from book_ocr_spark.functions import heuristics as H
+
+    html = pd.Series(
+        [
+            "<div>short main block of thirty chars!</div>"
+            '<div><a href="x">one</a> <a href="y">two</a> <a href="z">'
+            "three</a> linky navigation row</div>"
+        ]
+    )
+    tool = pd.Series(["html"])
+    default = H.extract_batch(html, tool)
+    explicit = H.extract_batch(html, tool, H.DEFAULT_THRESHOLDS)
+    assert default.loc[0, "extracted_text"] == explicit.loc[0, "extracted_text"]
+    assert "short main block" in default.loc[0, "extracted_text"]
+    assert "linky" not in default.loc[0, "extracted_text"]  # link-density cut
+
+    strict = H.extract_batch(html, tool, H.Thresholds(min_main_len=60))
+    assert "short main block" not in strict.loc[0, "extracted_text"]
+
+    loose = H.extract_batch(html, tool, H.Thresholds(max_link_density=0.95))
+    assert "linky" in loose.loc[0, "extracted_text"]
+
+    md = pd.Series(["tiny para\n\na considerably longer paragraph that survives"])
+    md_strict = H.extract_batch(md, pd.Series(["markdown"]), H.Thresholds(min_main_len=20))
+    assert "tiny para" not in md_strict.loc[0, "extracted_text"]
+    assert "considerably longer" in md_strict.loc[0, "extracted_text"]
+
+
+def test_thresholds_reach_executors_via_closure(spark):
+    """A non-default Thresholds bound into build_fused_plan must change
+    executor-side classification (the closure channel — module-state
+    mutation would NOT survive the worker-process boundary)."""
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    rows = [
+        ("c0", 0, "user", "<div>short main block of thirty chars!</div>"
+         "<div>this second block is comfortably longer than sixty characters total, yes</div>",
+         "html", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    from book_ocr_spark.functions.heuristics import Thresholds
+
+    def extracted(th):
+        out = build_fused_plan(df, n_parts=2, thresholds=th)
+        row = out.filter("rec = 'data'").select("extracted_text").collect()
+        return row[0][0]
+
+    assert "short main block" in extracted(None)
+    assert "short main block" not in extracted(Thresholds(min_main_len=60))
+    assert "comfortably longer" in extracted(Thresholds(min_main_len=60))

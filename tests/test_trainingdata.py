@@ -614,3 +614,44 @@ def test_incremental_resent_id_semantics(spark):
     # to corpus #1, so (3, 1) scores 1.0 (batch-wins would give ~0.71)
     assert (3, 1, 1.0) in got
     assert (1, 3) in {(a, b) for a, b, _ in got}  # batch x batch direction
+
+
+def test_redact_pii_validated(spark):
+    """The validated two-stage scrub: true phones redact, the regex
+    pass's numeric-table false-positive class does NOT, emails/URLs
+    behave exactly as stage 1, and on FP-free text the validated
+    output equals the regex-only operator's."""
+    rows = [
+        (1, "call +1 (415) 555-0132 or mail bob@example.com today"),
+        (2, "quantities 12 34 56 and 78 90 11 in the table"),  # FP class
+        (3, "visit https://example.com/x?y=1 for details"),
+        (4, "office line 415-555-0132 ext nothing"),
+        (5, "no pii at all in this sentence"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r
+        for r in textstats.redact_pii_validated(df, "id", "text").collect()
+    }
+    assert "<PHONE>" in got[1].redacted_text and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].redacted_text and got[1].n_email == 1
+    assert got[2].n_phone == 0 and "12 34 56" in got[2].redacted_text
+    assert got[3].n_url == 1 and "<URL>" in got[3].redacted_text
+    assert got[4].n_phone == 1 and "<PHONE>" in got[4].redacted_text
+    assert got[5].redacted_text == rows[4][1]
+
+    # equivalence with the regex-only operator where no FP-class rows exist
+    clean = df.filter(F.col("id") != 2)
+    a = {r.id: (r.redacted_text, r.n_email, r.n_url, r.n_phone)
+         for r in textstats.redact_pii_validated(clean, "id", "text").collect()}
+    b = {r.id: (r.redacted_text, r.n_email, r.n_url, r.n_phone)
+         for r in textstats.redact_pii(clean, "id", "text").collect()}
+    assert a == b
+
+
+def test_phone_plausible_fallback_rules():
+    assert textstats._phone_plausible("+1 (415) 555-0132")
+    assert textstats._phone_plausible("415-555-0132")
+    assert not textstats._phone_plausible("12 34 56")        # all groups short
+    assert not textstats._phone_plausible("12-34")           # too few digits
+    assert not textstats._phone_plausible("1234567890123456")  # > E.164 max
