@@ -726,7 +726,13 @@ def q_simhash_near_dup(spark, sf_dir):
     return (
         simhash_near_dup(
             _dedup_corpus(spark, sf_dir), "id", "text", max_hamming=4,
-            hot_bucket_cap=200,
+            # cap sizing: Hamming bit-bands are LOW-entropy keys (~2^11
+            # values), so ordinary buckets run into the hundreds at
+            # 10^5 docs — the cap must sit above the natural bucket
+            # size and catch only stragglers (measured at sf1: cap=200
+            # salts the mean and doubles cost; cap=2000 == uncapped
+            # wall time with the straggler bound still in place)
+            hot_bucket_cap=2000,
         )
         .orderBy("id_a", "id_b")
     )

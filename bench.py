@@ -226,8 +226,12 @@ def bench_multi_sf() -> dict:
             per_sf[sf_key][name] = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
     out["queries"] = per_sf
-    lo, hi = (per_sf[f"sf{_sf(d)}"] for d in (sf_dirs[0], sf_dirs[-1]))
-    out["ratios_10x_data"] = {
+    lo_sf, hi_sf = _sf(sf_dirs[0]), _sf(sf_dirs[-1])
+    lo, hi = per_sf[f"sf{lo_sf}"], per_sf[f"sf{hi_sf}"]
+    step = round(hi_sf / lo_sf) if lo_sf else 0
+    # key names the MEASURED step (first vs last dir) so a 100x or
+    # custom decade never reports under a hard-coded "10x" label
+    out[f"ratios_{step}x_data"] = {
         n: round(hi[n] / lo[n], 2) for n in hi if lo.get(n)
     }
 

@@ -218,41 +218,46 @@ def _signature_from_grams(grams: DataFrame) -> DataFrame:
 # candidate pairs inside single tasks. Two standard production
 # policies, both driven by a per-(band, key) count:
 #
-#   * "salt" — EXACT: a bucket of size B > cap splits into
-#     g = ceil(B/cap) groups by a deterministic member hash; the right
-#     side keeps its group, the left side replicates to all g groups,
-#     so every unordered pair still meets exactly once but the work
-#     spreads over g join keys (per-key output B*cap instead of B^2).
-#     Output is identical to the uncapped join — always safe.
-#   * "drop" — LOSSY: buckets over the cap are excluded from candidate
-#     generation and reported through ``dropped_handle`` (standard LSH
-#     policy for boilerplate: run exact dedup first — plans/curation.py
-#     does — and a bucket that is STILL over the cap is a template
-#     family you handle out of band, not pair-by-pair).
+#   * "salt" — EXACT: a bucket whose size (the larger side's, in the
+#     bipartite case) exceeds the cap splits into g = ceil(B/cap)
+#     hash-groups, and the pair join runs over the 2-D g x g block
+#     grid: the "row" side carries its own group as block-row and
+#     replicates across block-columns, the "col" side the transpose,
+#     so every pair meets in EXACTLY the one (row-group, col-group)
+#     block it belongs to. Per-join-key work is bounded by ~cap^2
+#     (constant in B — a million-doc bucket spreads into stragglers
+#     no bigger than any other task) at a replication cost of g rows
+#     per member per side. The TOTAL pair count B^2 is inherent to
+#     exact pair generation; salting bounds the straggler, not the
+#     sum — for template families that large, "drop" (or exact-dedup
+#     first) is the right policy. Output is identical to the
+#     uncapped join — always safe.
+#   * "drop" — LOSSY: buckets over the cap (on either side) are
+#     excluded from candidate generation and reported through
+#     ``dropped_handle`` (standard LSH policy for boilerplate: run
+#     exact dedup first — plans/curation.py does — and a bucket that
+#     is STILL over the cap is a template family you handle out of
+#     band, not pair-by-pair).
 #
 # ``cap=None`` (the default everywhere) keeps the historical
 # two-shuffle plan with no counting pass.
 
 
-def _with_bucket_groups(e: DataFrame, cap: int, counts_from: DataFrame | None = None) -> DataFrame:
+def _with_bucket_groups(e: DataFrame, cap: int, counts: DataFrame | None = None) -> DataFrame:
     """Attach _n (bucket size) and _g (salt-group count) per (band,
-    key). Self case (``counts_from=None``): a whole-partition window
-    count — ONE pass over ``e`` with a single narrow shuffle, never
-    re-evaluating e's upstream (a separate aggregate+join would run
-    the signature derivation feeding ``e`` a second time per side —
-    measured +30-70% on the banded headline queries). Bipartite case
-    (``counts_from`` set): count the OTHER frame's buckets (the
-    corpus side — the one that explodes at scale) and join them on;
-    buckets absent there default to a single group."""
-    if counts_from is None:
+    key). Default: a whole-partition window count — ONE pass over
+    ``e`` with a single narrow shuffle, never re-evaluating e's
+    upstream (a separate aggregate+join would run the signature
+    derivation feeding ``e`` a second time per side — measured
+    +30-70% on the banded headline queries). With ``counts`` (a
+    (band, key, _n) frame — the bipartite case, where _n must be the
+    max of BOTH sides' bucket sizes): join it on instead."""
+    if counts is None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "key")
         out = e.withColumn("_n", F.count(F.lit(1)).over(w))
     else:
-        counts = counts_from.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
         out = e.join(counts, ["band", "key"], "left").withColumn(
             "_n", F.coalesce(F.col("_n"), F.lit(0))
         )
@@ -264,12 +269,40 @@ def _with_bucket_groups(e: DataFrame, cap: int, counts_from: DataFrame | None = 
     )
 
 
+def _bipartite_bucket_counts(left: DataFrame, right: DataFrame) -> DataFrame:
+    """(band, key, _n) with _n = max of the two sides' bucket sizes —
+    the group count must bound BOTH sides (a hot bucket on the batch
+    side of an ingest join is as real as one on the corpus side)."""
+    ln = left.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_ln"))
+    rn = right.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_rn"))
+    return (
+        ln.join(rn, ["band", "key"], "full")
+        .select(
+            "band", "key",
+            F.greatest(
+                F.coalesce(F.col("_ln"), F.lit(0)),
+                F.coalesce(F.col("_rn"), F.lit(0)),
+            ).alias("_n"),
+        )
+    )
+
+
 def _member_group(id_expr: str = "id") -> Column:
     """Deterministic salt group for a bucket member: portable 28-bit
     hash of the id mod the bucket's group count."""
     return F.pmod(
         F.expr(spark_h28(f"cast({id_expr} as string)")), F.col("_g")
     ).cast("int")
+
+
+def _pair_side(df: DataFrame, suffix: str, payload, extra_cols=()) -> DataFrame:
+    """One side of the pair join: (band, key[, blocks], id_<suffix>,
+    payload_<suffix>...) — the single source of the aliasing scheme."""
+    return df.select(
+        "band", "key", *extra_cols,
+        F.col("id").alias(f"id_{suffix}"),
+        *[F.col(p).alias(f"{p}_{suffix}") for p in payload],
+    )
 
 
 def capped_bucket_pairs(
@@ -284,28 +317,30 @@ def capped_bucket_pairs(
 
     ``left``/``right``: exploded frames (id, band, key, *payload).
     ``right=None`` → self-join (pairs id_a < id_b); otherwise bipartite
-    (every left x right pair, left.id != right.id, bucket counts taken
-    from the RIGHT side — the corpus side at ingest scale). Returns one
-    row per cobucketed pair — (id_a, id_b, band, <p>_a, <p>_b...) —
-    NOT distinct-ed across bands (callers keep their own distinct).
+    (every left x right pair, left.id != right.id). Returns one row per
+    cobucketed pair — (id_a, id_b, band, <p>_a, <p>_b...) — NOT
+    distinct-ed across bands (callers keep their own distinct).
 
     With ``cap=None`` this is the plain (band, key) equi-join. With a
-    cap, see the policy notes above; ``dropped_handle`` (a list)
-    receives the (band, key, n) frame of dropped buckets under the
-    "drop" policy so callers can count/log/persist the loss — silent
-    truncation is not an option."""
+    cap, see the policy notes above: "salt" runs the exact 2-D block
+    grid (per-join-key work ≤ ~cap², bounding hot buckets on BOTH
+    sides); "drop" excludes buckets over the cap on either side and
+    reports them through ``dropped_handle`` (a list receiving the
+    (band, key, n) frame) — silent truncation is not an option.
+
+    Cap sizing: the cap is a STRAGGLER bound, not a tuning knob for
+    ordinary buckets — set it several times the expected bucket size
+    (corpus / #distinct band keys). A cap below the mean salts every
+    bucket and pays grid replication everywhere for no balance gain
+    (measured 2x on low-entropy simhash bands); a cap at ~5-10x the
+    mean is free until a genuine template-family bucket appears."""
+    if policy not in ("salt", "drop"):
+        raise ValueError(f"unknown hot-bucket policy {policy!r}")
     self_join = right is None
     if right is None:
         right = left
     if cap is None:
-        a = left.select(
-            "band", "key", F.col("id").alias("id_a"),
-            *[F.col(p).alias(f"{p}_a") for p in payload],
-        )
-        b = right.select(
-            "band", "key", F.col("id").alias("id_b"),
-            *[F.col(p).alias(f"{p}_b") for p in payload],
-        )
+        a, b = _pair_side(left, "a", payload), _pair_side(right, "b", payload)
         join_keys = ["band", "key"]
     elif policy == "drop":
         if self_join:
@@ -317,54 +352,45 @@ def capped_bucket_pairs(
                     .distinct()
                 )
             kept = ann.filter(F.col("_n") <= cap)
-            a = kept.select(
-                "band", "key", F.col("id").alias("id_a"),
-                *[F.col(p).alias(f"{p}_a") for p in payload],
-            )
-            b = kept.select(
-                "band", "key", F.col("id").alias("id_b"),
-                *[F.col(p).alias(f"{p}_b") for p in payload],
-            )
+            a, b = _pair_side(kept, "a", payload), _pair_side(kept, "b", payload)
         else:
-            counts = right.groupBy("band", "key").agg(
-                F.count(F.lit(1)).alias("_n")
-            )
+            counts = _bipartite_bucket_counts(left, right)
             hot = counts.filter(F.col("_n") > cap)
             if dropped_handle is not None:
-                dropped_handle.append(
-                    hot.select("band", "key", F.col("_n").alias("n"))
-                )
+                dropped_handle.append(hot.select("band", "key", F.col("_n").alias("n")))
             cold = hot.select("band", "key")
-            a = left.join(cold, ["band", "key"], "left_anti").select(
-                "band", "key", F.col("id").alias("id_a"),
-                *[F.col(p).alias(f"{p}_a") for p in payload],
-            )
-            b = right.join(cold, ["band", "key"], "left_anti").select(
-                "band", "key", F.col("id").alias("id_b"),
-                *[F.col(p).alias(f"{p}_b") for p in payload],
-            )
+            a = _pair_side(left.join(cold, ["band", "key"], "left_anti"), "a", payload)
+            b = _pair_side(right.join(cold, ["band", "key"], "left_anti"), "b", payload)
         join_keys = ["band", "key"]
-    elif policy == "salt":
-        counts_from = None if self_join else right
-        lg = _with_bucket_groups(left, cap, counts_from)
-        rg = lg if self_join else _with_bucket_groups(right, cap)
-        # right member keeps its own group; left replicates to ALL
-        # groups — each unordered pair meets exactly once (at the right
-        # member's group), and the id_a < id_b filter below kills the
-        # mirrored orientation in the self-join case
-        a = lg.withColumn(
-            "_gi", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
-        ).select(
-            "band", "key", "_gi", F.col("id").alias("id_a"),
-            *[F.col(p).alias(f"{p}_a") for p in payload],
+    else:  # salt: exact 2-D block grid
+        if self_join:
+            lg = _with_bucket_groups(left, cap)
+            rg = lg
+        else:
+            counts = _bipartite_bucket_counts(left, right)
+            lg = _with_bucket_groups(left, cap, counts)
+            rg = _with_bucket_groups(right, cap, counts)
+        # Pair (x, y) lives in exactly one block of the g x g grid —
+        # (group(x), group(y)). The row side carries its own group as
+        # _bi and replicates across block-columns _bj; the col side the
+        # transpose; the (band, key, _bi, _bj) equi-join then meets
+        # every pair exactly once (the mirrored self-join orientation
+        # arrives at the transposed block and dies on id_a < id_b).
+        # Per-join-key work ≈ (members in row-group) x (members in
+        # col-group) ≤ ~cap² — constant in the bucket size.
+        a = _pair_side(
+            lg.withColumn("_bi", _member_group()).withColumn(
+                "_bj", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+            ),
+            "a", payload, extra_cols=("_bi", "_bj"),
         )
-        b = rg.withColumn("_gi", _member_group()).select(
-            "band", "key", "_gi", F.col("id").alias("id_b"),
-            *[F.col(p).alias(f"{p}_b") for p in payload],
+        b = _pair_side(
+            rg.withColumn("_bi", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))).withColumn(
+                "_bj", _member_group()
+            ),
+            "b", payload, extra_cols=("_bi", "_bj"),
         )
-        join_keys = ["band", "key", "_gi"]
-    else:
-        raise ValueError(f"unknown hot-bucket policy {policy!r}")
+        join_keys = ["band", "key", "_bi", "_bj"]
     pred = F.col("id_a") < F.col("id_b") if self_join else F.col("id_a") != F.col("id_b")
     out = a.join(b, join_keys).filter(pred)
     cols = ["id_a", "id_b", "band"]

@@ -339,9 +339,13 @@ def redact_pii_validated(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         one Python stage over rows that contain candidates.
 
     Returns (id, redacted_text, n_email, n_url, n_phone) with n_phone
-    counting VALIDATED matches only. Not SQL-oracle-able by design
-    (the validator is a Python library decision); pinned by pytest
-    against constructed true/false-positive fixtures instead."""
+    counting VALIDATED matches only. Stage 2 scans the stage-1 OUTPUT,
+    so a phone-shaped substring inside an email/URL is neither counted
+    nor double-redacted — an intentional divergence from redact_pii
+    (which counts every kind on the raw text): a digits-in-URL path
+    is not a phone number. Not SQL-oracle-able by design (the
+    validator is a Python library decision); pinned by pytest against
+    constructed true/false-positive fixtures instead."""
     import re as _re
 
     phone_re = _re.compile(PII_RES["PHONE"])

@@ -45,6 +45,42 @@ def _is_path_missing(exc: AnalysisException) -> bool:
                 return cond == "PATH_NOT_FOUND"
     return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
+
+def _table_dir_has_data(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one committed,
+    non-empty data file (hidden names and in-flight `_temporary`/
+    `.staging` trees excluded) — via the Hadoop FS API so it answers
+    correctly on any store, not just the local FS.
+
+    Distinguishes the two ways a cumulative-table read can fail
+    without PATH_NOT_FOUND: a directory created by a write that died
+    before any part file committed (benign — the table is genuinely
+    empty, treat as first batch; a bare re-raise would wedge the
+    stream: every retry hits the same UNABLE_TO_INFER_SCHEMA) versus
+    a table with real data files the engine cannot read (corruption /
+    permissions — must fail the batch so the engine retries)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    base = fs.makeQualified(hpath)
+    it = fs.listFiles(base, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getLen() == 0:
+            continue
+        # every path component under the base must be non-hidden
+        node, hidden = f.getPath(), False
+        while node is not None and str(node) != str(base):
+            if node.getName().startswith(("_", ".")):
+                hidden = True
+                break
+            node = node.getParent()
+        if not hidden:
+            return True
+    return False
+
 from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
 from book_ocr_spark.schemas import TRANSCRIPTS
 
@@ -320,13 +356,18 @@ def start_incremental_dedup(
                     .select("id", "sh", "sig")
                 )
             except AnalysisException as exc:
-                # ONLY the path-missing case means "first batch, empty
-                # corpus". Any other read failure (permissions, corrupt
-                # footer, transient store error) must fail the batch so
-                # the streaming engine retries — silently deduping
-                # against an empty corpus would make the missed matches
-                # permanent once this batch's sigs are appended.
-                if not _is_path_missing(exc):
+                # "First batch, empty corpus" means: the path does not
+                # exist, OR it exists but holds no committed data file
+                # (a first write that died pre-commit — re-raising would
+                # wedge the stream on the same error every retry). Any
+                # read failure over a table WITH data (permissions,
+                # corrupt footer, transient store error) must fail the
+                # batch so the streaming engine retries — silently
+                # deduping against an empty corpus would make the missed
+                # matches permanent once this batch's sigs are appended.
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, sigs_path
+                ):
                     raise
                 existing = spark.createDataFrame([], sigs.schema)
             matches = incremental_minhash_near_dup(sigs, existing, threshold)

@@ -274,6 +274,29 @@ def test_streaming_dedup_fails_on_unreadable_sig_table(spark, tmp_path):
         q.awaitTermination(180)
 
 
+def test_streaming_dedup_recovers_from_empty_sig_dir(spark, tmp_path):
+    """A sigs/ directory with no committed data files (a first write
+    that crashed pre-commit leaves only _temporary debris) must be
+    treated as the benign first-batch case — NOT re-raised, which
+    would wedge the stream on the identical error at every retry."""
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+    spark.createDataFrame(
+        [(1, "some document text that is long enough to shingle")],
+        "id long, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    staging = tmp_path / "dedup_out" / "sigs" / "_temporary" / "0"
+    staging.mkdir(parents=True)
+    (staging / "part-00000.snappy.parquet").write_bytes(b"in-flight debris")
+
+    q = jobs.start_incremental_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_dedup_empty"), available_now=True
+    )
+    q.awaitTermination(180)
+    assert spark.read.parquet(f"{out}/sigs").count() == 1  # batch committed
+
+
 def test_streaming_dedup_missing_sig_table_is_first_batch(spark):
     """_is_path_missing classifies a genuinely absent path as the
     benign first-batch case (the only swallowed read failure)."""

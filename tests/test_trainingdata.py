@@ -655,3 +655,39 @@ def test_phone_plausible_fallback_rules():
     assert not textstats._phone_plausible("12 34 56")        # all groups short
     assert not textstats._phone_plausible("12-34")           # too few digits
     assert not textstats._phone_plausible("1234567890123456")  # > E.164 max
+
+
+def test_hot_bucket_bipartite_batch_side_hot(spark):
+    """A hot bucket on the BATCH side of a bipartite join (big
+    boilerplate family arriving against a small corpus bucket) must
+    also split: group count derives from the larger side, per-block
+    work is bounded, and the salted output equals the uncapped join."""
+    batch = spark.createDataFrame(
+        [(i, 0, "k") for i in range(60)], "id int, band int, key string"
+    )
+    corpus = spark.createDataFrame(
+        [(1000 + i, 0, "k") for i in range(5)], "id int, band int, key string"
+    )
+    base = {
+        (r.id_a, r.id_b)
+        for r in dedup.capped_bucket_pairs(batch, corpus, None).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b)
+        for r in dedup.capped_bucket_pairs(batch, corpus, cap=10).collect()
+    }
+    assert salted == base and len(base) == 60 * 5
+    # the group count comes from max(60, 5) -> ceil(60/10) = 6 groups
+    counts = dedup._bipartite_bucket_counts(batch, corpus)
+    g = dedup._with_bucket_groups(batch.limit(1), 10, counts).select("_g").first()[0]
+    assert g == 6
+    # per-block bound: no (band,key,_bi-group) on the batch side exceeds ~cap
+    lg = dedup._with_bucket_groups(batch, 10, counts)
+    sizes = [
+        r.n
+        for r in lg.withColumn("_gi", dedup._member_group())
+        .groupBy("band", "key", "_gi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 3 * 10

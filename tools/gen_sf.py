@@ -36,7 +36,7 @@ DOC_VOCAB = [
     "slow", "small", "sort", "spark", "stream", "table", "value", "vector",
     "window", "join", "plan", "shuffle", "state",
 ]
-LANGS = ["en", "en", "en", "en", "en", "en", "de", "es", "fr", "zh"]  # ~40/15/15/15/15
+LANGS = ["en"] * 8 + ["de"] * 3 + ["es"] * 3 + ["fr"] * 3 + ["zh"] * 3  # 40/15/15/15/15, matches sf0.1 (41/15/15/15/15)
 SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
