@@ -228,9 +228,9 @@ def bench_multi_sf() -> dict:
     out["queries"] = per_sf
     lo_sf, hi_sf = _sf(sf_dirs[0]), _sf(sf_dirs[-1])
     lo, hi = per_sf[f"sf{lo_sf}"], per_sf[f"sf{hi_sf}"]
-    step = round(hi_sf / lo_sf) if lo_sf else 0
-    # key names the MEASURED step (first vs last dir) so a 100x or
-    # custom decade never reports under a hard-coded "10x" label
+    # key names the MEASURED step (first vs last dir) so a 100x, 1.5x,
+    # or inverted custom step never reports under a wrong label
+    step = f"{hi_sf / lo_sf:g}" if lo_sf else "?"
     out[f"ratios_{step}x_data"] = {
         n: round(hi[n] / lo[n], 2) for n in hi if lo.get(n)
     }

@@ -258,9 +258,9 @@ def _with_bucket_groups(e: DataFrame, cap: int, counts: DataFrame | None = None)
         w = Window.partitionBy("band", "key")
         out = e.withColumn("_n", F.count(F.lit(1)).over(w))
     else:
-        out = e.join(counts, ["band", "key"], "left").withColumn(
-            "_n", F.coalesce(F.col("_n"), F.lit(0))
-        )
+        out = e.join(
+            counts.select("band", "key", "_n"), ["band", "key"], "left"
+        ).withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
     return out.withColumn(
         "_g",
         F.when(F.col("_n") > cap, F.ceil(F.col("_n") / cap))
@@ -270,20 +270,16 @@ def _with_bucket_groups(e: DataFrame, cap: int, counts: DataFrame | None = None)
 
 
 def _bipartite_bucket_counts(left: DataFrame, right: DataFrame) -> DataFrame:
-    """(band, key, _n) with _n = max of the two sides' bucket sizes —
-    the group count must bound BOTH sides (a hot bucket on the batch
-    side of an ingest join is as real as one on the corpus side)."""
-    ln = left.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_ln"))
-    rn = right.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_rn"))
-    return (
-        ln.join(rn, ["band", "key"], "full")
-        .select(
-            "band", "key",
-            F.greatest(
-                F.coalesce(F.col("_ln"), F.lit(0)),
-                F.coalesce(F.col("_rn"), F.lit(0)),
-            ).alias("_n"),
-        )
+    """(band, key, _nl, _nr, _n) for buckets present on BOTH sides
+    (one-sided buckets produce no pairs, so no grouping or drop
+    decision applies to them): each side's size plus their max — the
+    group count must bound BOTH sides (a hot bucket on the batch side
+    of an ingest join is as real as one on the corpus side)."""
+    ln = left.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_nl"))
+    rn = right.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_nr"))
+    return ln.join(rn, ["band", "key"]).select(
+        "band", "key", "_nl", "_nr",
+        F.greatest(F.col("_nl"), F.col("_nr")).alias("_n"),
     )
 
 
@@ -357,7 +353,18 @@ def capped_bucket_pairs(
             counts = _bipartite_bucket_counts(left, right)
             hot = counts.filter(F.col("_n") > cap)
             if dropped_handle is not None:
-                dropped_handle.append(hot.select("band", "key", F.col("_n").alias("n")))
+                # bipartite loss metrics: both side sizes plus the
+                # actual pair count skipped (n_left x n_right) — a
+                # max-only number would overstate or understate the
+                # loss depending on the shape
+                dropped_handle.append(
+                    hot.select(
+                        "band", "key",
+                        F.col("_nl").alias("n_left"),
+                        F.col("_nr").alias("n_right"),
+                        (F.col("_nl") * F.col("_nr")).alias("n_pairs_dropped"),
+                    )
+                )
             cold = hot.select("band", "key")
             a = _pair_side(left.join(cold, ["band", "key"], "left_anti"), "a", payload)
             b = _pair_side(right.join(cold, ["band", "key"], "left_anti"), "b", payload)

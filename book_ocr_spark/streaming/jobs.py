@@ -27,6 +27,9 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
+from book_ocr_spark.schemas import TRANSCRIPTS
+
 
 def _is_path_missing(exc: AnalysisException) -> bool:
     """True iff an AnalysisException means 'the input path does not
@@ -47,9 +50,11 @@ def _is_path_missing(exc: AnalysisException) -> bool:
 
 
 def _table_dir_has_data(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists and holds at least one committed,
-    non-empty data file (hidden names and in-flight `_temporary`/
-    `.staging` trees excluded) — via the Hadoop FS API so it answers
+    """True iff ``path`` exists and holds at least one committed data
+    file (hidden names and in-flight `_temporary`/`.staging` trees
+    excluded; a committed ZERO-LENGTH file still counts — it is not a
+    valid parquet, so a truncated/corrupt store must fail the batch,
+    not read as an empty table) — via the Hadoop FS API so it answers
     correctly on any store, not just the local FS.
 
     Distinguishes the two ways a cumulative-table read can fail
@@ -68,8 +73,6 @@ def _table_dir_has_data(spark: SparkSession, path: str) -> bool:
     it = fs.listFiles(base, True)
     while it.hasNext():
         f = it.next()
-        if f.getLen() == 0:
-            continue
         # every path component under the base must be non-hidden
         node, hidden = f.getPath(), False
         while node is not None and str(node) != str(base):
@@ -80,9 +83,6 @@ def _table_dir_has_data(spark: SparkSession, path: str) -> bool:
         if not hidden:
             return True
     return False
-
-from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
-from book_ocr_spark.schemas import TRANSCRIPTS
 
 
 def read_transcript_stream(

@@ -305,3 +305,27 @@ def test_streaming_dedup_missing_sig_table_is_first_batch(spark):
     with pytest.raises(AnalysisException) as ei:
         spark.read.parquet("/nonexistent/sigs/table").collect()
     assert jobs._is_path_missing(ei.value)
+
+
+def test_streaming_dedup_zero_length_sig_file_fails_batch(spark, tmp_path):
+    """A committed zero-length part file is NOT an empty table: it is
+    an invalid parquet (truncated/corrupt store), so the batch must
+    fail rather than silently dedup against nothing."""
+    from pyspark.errors import StreamingQueryException
+
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+    spark.createDataFrame(
+        [(1, "some document text that is long enough to shingle")],
+        "id long, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    sigs_dir = tmp_path / "dedup_out" / "sigs"
+    sigs_dir.mkdir(parents=True)
+    (sigs_dir / "part-00000.snappy.parquet").write_bytes(b"")
+
+    q = jobs.start_incremental_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_dedup_zero"), available_now=True
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
