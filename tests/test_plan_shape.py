@@ -234,3 +234,32 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_capped_band_join_stays_equi_join(spark):
+    """The hot-bucket-capped (2-D block grid) band joins must remain
+    pure equi-joins — no cartesian/nested-loop node sneaks in via the
+    added (_bi, _bj) block keys or the window-count subtree — under
+    both policies, for the minhash and simhash paths."""
+    from book_ocr_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        simhash_near_dup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)], "id int, text string"
+    )
+    sigs = minhash_signature(docs, "id", "text")
+    for policy in ("salt", "drop"):
+        plan = _explain(
+            lsh_candidate_pairs(sigs, "id", hot_bucket_cap=4, hot_bucket_policy=policy)
+        )
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (policy, plan)
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        ), (policy, plan)
+    plan = _explain(
+        simhash_near_dup(docs, "id", "text", max_hamming=4, hot_bucket_cap=4)
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
