@@ -411,14 +411,17 @@ def lsh_candidate_pairs(
     hot_bucket_cap: int | None = None,
     hot_bucket_policy: str = "salt",
     dropped_handle: list | None = None,
+    bands: int = BANDS,
 ) -> DataFrame:
     """Band the signature, self-join on (band, key): the LSH bucket
     join. Returns distinct (id_a, id_b) candidates, id_a < id_b.
     ``hot_bucket_cap``/``hot_bucket_policy``: see capped_bucket_pairs —
     "salt" keeps the output exactly equal to the uncapped join while
     bounding per-task bucket work; "drop" excludes oversized buckets
-    and reports them via ``dropped_handle``."""
-    exploded = _band_explode(sigs.select(F.col(id_col).alias("id"), "sig"))
+    and reports them via ``dropped_handle``. ``bands``: the (bands,
+    rows) banding — defaults to the 0.6-threshold tuning; at another
+    threshold pass choose_minhash_bands(threshold)[0]."""
+    exploded = _band_explode(sigs.select(F.col(id_col).alias("id"), "sig"), bands)
     return (
         capped_bucket_pairs(
             exploded, None, hot_bucket_cap, hot_bucket_policy,
@@ -462,6 +465,7 @@ def minhash_near_dup(
     hot_bucket_cap: int | None = None,
     hot_bucket_policy: str = "salt",
     dropped_handle: list | None = None,
+    bands: int = BANDS,
 ) -> DataFrame:
     """Full MinHash->LSH->verify chain. Output equals brute-force
     Jaccard >= threshold (LSH at r=2,b=32 has ~1e-6 miss rate at the
@@ -486,7 +490,7 @@ def minhash_near_dup(
             storage_handle.append(grams)
     cands = lsh_candidate_pairs(
         _signature_from_grams(grams), "id",
-        hot_bucket_cap, hot_bucket_policy, dropped_handle,
+        hot_bucket_cap, hot_bucket_policy, dropped_handle, bands,
     )
     return jaccard_verify(cands, grams, "id", threshold)
 
@@ -520,15 +524,20 @@ def incremental_exact_dedup(
     )
 
 
-def _band_explode(sigs: DataFrame) -> DataFrame:
+def _band_explode(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
     """(id, sig) -> (id, band, key): the shared LSH banding projection
-    (single source for whole-corpus and incremental candidate joins)."""
-    bands = F.expr(
-        f"transform(sequence(0, {BANDS - 1}), b ->"
-        f" array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+    (single source for whole-corpus and incremental candidate joins).
+    ``bands`` must divide N_HASHES; pick it with choose_minhash_bands
+    for a non-default Jaccard threshold."""
+    if N_HASHES % bands:
+        raise ValueError(f"bands={bands} must divide N_HASHES={N_HASHES}")
+    rows = N_HASHES // bands
+    expr = F.expr(
+        f"transform(sequence(0, {bands - 1}), b ->"
+        f" array_join(transform(slice(sig, b * {rows} + 1, {rows}),"
         f" v -> cast(v as string)), ','))"
     )
-    return sigs.select(F.col("id"), F.posexplode(bands).alias("band", "key"))
+    return sigs.select(F.col("id"), F.posexplode(expr).alias("band", "key"))
 
 
 def incremental_minhash_near_dup(

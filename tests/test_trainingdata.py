@@ -691,3 +691,42 @@ def test_hot_bucket_bipartite_batch_side_hot(spark):
         .collect()
     ]
     assert max(sizes) <= 3 * 10
+
+
+def test_choose_bands_drives_operators(docs_df, emb_df):
+    """The banding chosen by the helpers for a NON-default threshold
+    actually flows through the operators and keeps full recall at that
+    threshold (pinned against the brute-force definitions)."""
+    b, r = dedup.choose_minhash_bands(0.8)
+    assert b * r == dedup.N_HASHES and r > dedup.ROWS_PER_BAND  # more selective
+    # add a genuinely high-jaccard pair (one appended word: j = 11/12)
+    # so the recall assertion is not vacuously empty-vs-empty
+    pdf = docs_df.toPandas()
+    ext = docs_df.sparkSession.createDataFrame(
+        [(5, pdf.text[0] + " appended")], "id int, text string"
+    )
+    corpus = docs_df.unionByName(ext)
+    got = _pairs(dedup.minhash_near_dup(corpus, "id", "text", k=3, threshold=0.8, bands=b))
+    texts = dict(enumerate(pdf.text))
+    texts[5] = pdf.text[0] + " appended"
+    want = set()
+    for a in sorted(texts):
+        for c in sorted(texts):
+            if a < c:
+                sa, sb = _word_grams(texts[a]), _word_grams(texts[c])
+                if len(sa & sb) / len(sa | sb) >= 0.8:
+                    want.add((a, c))
+    assert got == want and want
+
+    nb, np_ = similarity.choose_hyperplane_bands(0.8, 0.999)
+    banded = {
+        (x.id_a, x.id_b)
+        for x in similarity.cosine_near_dup_pairs_bucketed(
+            emb_df, threshold=0.8, n_bands=nb, band_planes=np_, dim=16
+        ).collect()
+    }
+    brute = {
+        (x.id_a, x.id_b)
+        for x in similarity.cosine_near_dup_pairs(emb_df, threshold=0.8).collect()
+    }
+    assert banded == brute and brute
