@@ -995,6 +995,26 @@ def q_compose_docs(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling over documents by language —
+    the data-mixing primitive (keep all rare-language docs, half the
+    English, a sliver of the rest), membership a pure function of the
+    portable row hash so the SELECTED SET is identical across
+    partitionings, cluster sizes, reruns, and engines (hash-compared
+    to the DuckDB twin). The naive df.sample/sampleBy draws from
+    per-partition RNG and cannot make that guarantee."""
+    from book_ocr_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        stratified_sample(
+            d, "doc_id", "lang", {"en": 0.5, "de": 1.0}, default_fraction=0.1
+        )
+        .select(F.col("doc_id").alias("id"), "lang")
+        .orderBy("id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: CORRECTNESS_r02 covered exactly the FIRST
     # 50 of 53 registered queries, so the three pipeline/compose queries
@@ -1054,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
+        "stratified_sample": q_stratified_sample,
         # oracle twins of queries above (see ordering note at the top)
         "ngram_jaccard_sim": q_ngram_jaccard_sim,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1214,6 +1235,16 @@ def _multimodal_oracle_sql(which: str) -> str:
     if which == "features":
         return duck_media_features_sql(n=96, seed=7)
     return duck_frame_sample_sql(n=96, every_n=10)
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from book_ocr_spark.operators.sampling import duck_stratified_sample_sql
+
+    return duck_stratified_sample_sql(
+        "SELECT doc_id, lang FROM documents",
+        "doc_id", "lang", {"en": 0.5, "de": 1.0}, default_fraction=0.1,
+        select="doc_id AS id, lang", order_by="id",
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1456,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_entropy": _textstats_oracle_sql("entropy"),
         "multimodal_features": _multimodal_oracle_sql("features"),
         "media_frame_sample": _multimodal_oracle_sql("frames"),
+        "stratified_sample": _stratified_sample_oracle_sql(),
         "pipeline_plain_sql": """
             WITH t AS (
                 SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,

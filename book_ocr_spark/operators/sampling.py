@@ -1,0 +1,101 @@
+"""Deterministic sampling / data-mixing operators.
+
+Training-data pipelines constantly subsample and re-weight sources
+(data mixing), and the naive tool is wrong at scale: ``df.sample`` /
+``sampleBy`` draw from per-partition RNG streams, so the SELECTED SET
+changes whenever partitioning, parallelism, or row order changes —
+a resumed or re-planned 100 TB job silently samples different rows.
+
+These operators decide membership per ROW from the portable
+md5-derived 28-bit hash (operators.dedup.spark_h28) of (salt, id):
+the same row is kept or dropped regardless of partitioning, cluster
+size, execution order, or engine — DuckDB replays the exact selection
+(driver-gate hash-compared), and a rerun over the same ids yields the
+same sample. Pure narrow JVM projections: no shuffle, no Python.
+
+Why hash-threshold sampling is the production standard: membership is
+a pure function of the stable row key, so (a) incremental ingests
+sample consistently with history, (b) two tables sampled with the
+SAME salt+fraction select ALIGNED rows (correlated sampling for
+joins), and (c) disjoint salt strings give independent samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h28, spark_h28
+
+_HASH_SPACE = 1 << 28
+
+
+def _keep_expr(id_col: str, salt: str) -> Column:
+    """Uniform [0, 1) per row: portable hash of 'salt:id' / 2^28."""
+    return (
+        F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
+        / F.lit(float(_HASH_SPACE))
+    )
+
+
+def _duck_keep_expr(id_expr: str, salt: str) -> str:
+    hashed = duck_h28(f"('{salt}:' || CAST({id_expr} AS VARCHAR))")
+    return f"(CAST({hashed} AS DOUBLE) / {float(_HASH_SPACE)})"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "smp"
+) -> DataFrame:
+    """Bernoulli(fraction) sample whose membership depends only on
+    (salt, id) — partition-, order-, and engine-independent. Change
+    ``salt`` for an independent redraw; keep it fixed for a sample
+    that is stable across reruns and incremental ingests."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_keep_expr(id_col, salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of rare-language docs, 25% of English, drop the
+    rest). ``fractions`` maps stratum value -> keep fraction; strata
+    absent from the map use ``default_fraction``. Same portable-hash
+    membership rule as deterministic_sample, so mixes are reproducible
+    across cluster shapes and replayable by the SQL oracle."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(_keep_expr(id_col, salt) < frac)
+
+
+def duck_stratified_sample_sql(
+    corpus_sql: str,
+    id_expr: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "smp",
+    select: str = "*",
+    order_by: str | None = None,
+) -> str:
+    """DuckDB twin of stratified_sample (bit-identical selection)."""
+    case = f"CAST({default_fraction} AS DOUBLE)"
+    for k, v in sorted(fractions.items()):
+        case = f"(CASE WHEN {strata_col} = '{k}' THEN CAST({v} AS DOUBLE) ELSE {case} END)"
+    order = f" ORDER BY {order_by}" if order_by else ""
+    return f"""
+        SELECT {select} FROM ({corpus_sql}) t
+        WHERE {_duck_keep_expr(id_expr, salt)} < {case}{order}
+    """

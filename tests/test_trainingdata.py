@@ -730,3 +730,47 @@ def test_choose_bands_drives_operators(docs_df, emb_df):
         for x in similarity.cosine_near_dup_pairs(emb_df, threshold=0.8).collect()
     }
     assert banded == brute and brute
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / data mixing
+# ---------------------------------------------------------------------------
+def test_deterministic_sample_partition_independent(spark):
+    from book_ocr_spark.operators import sampling
+
+    df = spark.range(2000).select(F.col("id"))
+    a = {r.id for r in sampling.deterministic_sample(df.repartition(1), "id", 0.3).collect()}
+    b = {r.id for r in sampling.deterministic_sample(df.repartition(17), "id", 0.3).collect()}
+    assert a == b  # membership is a pure function of the id
+    assert 0.25 < len(a) / 2000 < 0.35  # rate lands near the fraction
+    # different salt -> an (almost surely) different, same-rate redraw
+    c = {r.id for r in sampling.deterministic_sample(df, "id", 0.3, salt="other").collect()}
+    assert c != a and 0.25 < len(c) / 2000 < 0.35
+    # correlated sampling: same salt+fraction over a shifted frame keeps
+    # exactly the shared ids' rows
+    df2 = spark.range(1000, 3000).select(F.col("id"))
+    d = {r.id for r in sampling.deterministic_sample(df2, "id", 0.3).collect()}
+    assert {x for x in a if x >= 1000} == {x for x in d if x < 2000}
+
+
+def test_stratified_sample_rates_and_oracle(spark):
+    import duckdb
+
+    from book_ocr_spark.operators import sampling
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    fr = {"en": 0.5, "de": 1.0}
+    got = sampling.stratified_sample(df, "id", "lang", fr, default_fraction=0.1)
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["de"] == 1000  # fraction 1.0 keeps everything
+    assert 400 < per["en"] < 600
+    assert 50 < per.get("zh", 0) < 150  # default_fraction stratum
+
+    vals = ", ".join(f"({i}, '{l}')" for i, l in rows)
+    sql = sampling.duck_stratified_sample_sql(
+        f"SELECT * FROM (VALUES {vals}) v(id, lang)",
+        "id", "lang", fr, default_fraction=0.1, order_by="id",
+    )
+    want = {(int(i), l) for i, l in duckdb.sql(sql).fetchall()}
+    assert {(r.id, r.lang) for r in got.collect()} == want  # bit-identical selection
