@@ -995,6 +995,15 @@ def q_compose_docs(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Within-document repetition quality filters (word-level Gopher
+    analog): duplicate-word fraction + most-common-bigram share, one
+    explode + hash aggs, hash-compared to the DuckDB twin."""
+    from book_ocr_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_canon_docs(spark, sf_dir), "id", "text").orderBy("id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling over documents by language —
     the data-mixing primitive (keep all rare-language docs, half the
@@ -1075,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
         "stratified_sample": q_stratified_sample,
+        "repetition_signals": q_repetition_signals,
         # oracle twins of queries above (see ordering note at the top)
         "ngram_jaccard_sim": q_ngram_jaccard_sim,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1235,6 +1245,12 @@ def _multimodal_oracle_sql(which: str) -> str:
     if which == "features":
         return duck_media_features_sql(n=96, seed=7)
     return duck_frame_sample_sql(n=96, every_n=10)
+
+
+def _repetition_oracle_sql() -> str:
+    from book_ocr_spark.operators.textstats import duck_repetition_signals_sql
+
+    return duck_repetition_signals_sql(_CANON_DOCS_SQL)
 
 
 def _stratified_sample_oracle_sql() -> str:
@@ -1488,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_oracle_sql("features"),
         "media_frame_sample": _multimodal_oracle_sql("frames"),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "repetition_signals": _repetition_oracle_sql(),
         "pipeline_plain_sql": """
             WITH t AS (
                 SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,

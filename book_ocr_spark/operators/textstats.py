@@ -393,3 +393,80 @@ def redact_pii_validated(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         "n_url",
         F.col("_p.n_phone").alias("n_phone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals — the Gopher-style within-document quality filters
+# ---------------------------------------------------------------------------
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dup_word_frac, top_bigram_frac): the two classic
+    within-document repetition filters a pretraining quality pass runs
+    (the word-level analog of Gopher's duplicate-line / most-common-
+    n-gram character fractions — this corpus' documents are
+    single-line, so words are the repetition unit):
+
+      * dup_word_frac — fraction of word OCCURRENCES beyond each
+        word's first (1 - distinct/total): boilerplate and generated
+        spam repeat tokens; prose doesn't.
+      * top_bigram_frac — the most frequent word 2-gram's share of all
+        2-gram occurrences: templated text concentrates mass on one
+        bigram.
+
+    One explode + two hash aggs per signal, all JVM; 4dp rounding for
+    cross-engine hash equality. Ties in the top-bigram count resolve
+    identically on both engines because only the COUNT is used."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_w")
+    )
+    words = toks.select("id", F.explode("_w").alias("w"))
+    wstats = words.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("w").alias("_d"),
+    )
+    dup = wstats.select(
+        "id",
+        F.round(1.0 - F.col("_d") / F.col("_n"), 4).alias("dup_word_frac"),
+    )
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(_w)-1, 1)),"
+                " i -> concat_ws(' ', slice(_w, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    bstats = (
+        bigrams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("id")
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
+        .select(
+            "id", F.round(F.col("_mx") / F.col("_tot"), 4).alias("top_bigram_frac")
+        )
+    )
+    return dup.join(bstats, "id")
+
+
+def duck_repetition_signals_sql(corpus_sql: str) -> str:
+    """DuckDB twin of repetition_signals; corpus_sql yields (id, text)."""
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        toks AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+        wstats AS (
+            SELECT id, ROUND(1.0 - CAST(count(DISTINCT u) AS DOUBLE)
+                                   / count(*), 4) AS dup_word_frac
+            FROM (SELECT id, unnest(w) AS u FROM toks) z GROUP BY id),
+        grams AS (
+            SELECT id, unnest(list_transform(
+                range(1, greatest(len(w)-1, 1)+1),
+                i -> array_to_string(list_slice(w, i, i+1), ' '))) AS g
+            FROM toks),
+        bstats AS (
+            SELECT id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_bigram_frac
+            FROM (SELECT id, g, count(*) AS c FROM grams GROUP BY id, g) t
+            GROUP BY id)
+        SELECT w.id, w.dup_word_frac, b.top_bigram_frac
+        FROM wstats w JOIN bstats b USING (id)
+        ORDER BY w.id
+    """

@@ -774,3 +774,34 @@ def test_stratified_sample_rates_and_oracle(spark):
     )
     want = {(int(i), l) for i, l in duckdb.sql(sql).fetchall()}
     assert {(r.id, r.lang) for r in got.collect()} == want  # bit-identical selection
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition filters: a hand-computable fixture pins
+    both fractions, and the DuckDB twin matches bit-for-bit."""
+    import duckdb
+
+    rows = [
+        (1, "a a a a"),            # dup 3/4; bigrams: 'a a' x3 -> 1.0
+        (2, "w x y z"),            # all distinct; bigrams all unique -> 1/3
+        (3, "spam spam ham spam"), # dup 2/4; bigrams s-s, s-h, h-s -> 1/3
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.dup_word_frac, r.top_bigram_frac)
+        for r in textstats.repetition_signals(df, "id", "text").collect()
+    }
+    assert got[1] == (0.75, 1.0)
+    assert got[2] == (0.0, round(1 / 3, 4))
+    assert got[3] == (0.5, round(1 / 3, 4))
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    want = {
+        int(i): (duw, top)
+        for i, duw, top in duckdb.sql(
+            textstats.duck_repetition_signals_sql(
+                f"SELECT * FROM (VALUES {vals}) v(id, text)"
+            )
+        ).fetchall()
+    }
+    assert got == want
