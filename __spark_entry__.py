@@ -207,23 +207,24 @@ def q_rollup_metrics(spark, sf_dir):
     )
 
 
-def q_nations_except(spark, sf_dir):
-    """X1 set difference (true EXCEPT DISTINCT via subtract): nations
-    that have customers but no high-balance supplier."""
+def q_nations_setops(spark, sf_dir):
+    """X1 + X3 set operations in one tagged result: 'except' rows are
+    nations with customers but no high-balance supplier (true EXCEPT
+    DISTINCT via subtract); 'intersect' rows are nations present on
+    both sides. Consolidated from two registry entries so the driver's
+    50-row correctness window covers every distinct operator — both
+    set ops still execute and hash-compare independently via the op
+    tag."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = (
+    s_all = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s_high = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") > 8000)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
-    return c.subtract(s).orderBy("nationkey")
-
-
-def q_nations_intersect(spark, sf_dir):
-    """X3 intersection: nations present on both sides."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s).orderBy("nationkey")
+    ex = c.subtract(s_high).select(F.lit("except").alias("op"), "nationkey")
+    inter = c.intersect(s_all).select(F.lit("intersect").alias("op"), "nationkey")
+    return ex.unionByName(inter).orderBy("op", "nationkey")
 
 
 def q_union_event_slices(spark, sf_dir):
@@ -345,10 +346,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    """Token counting (whitespace tokenizer) + per-language stats."""
+    """Token counting per language under BOTH tokenizers — whitespace
+    and the BPE-ish regex — joined on lang (consolidated from two
+    registry entries; both tokenizers still execute and hash-compare
+    via their own columns)."""
+    from book_ocr_spark.operators.textstats import bpe_token_count
+
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
-    return (
+    ws = (
         d.select("lang", toks.alias("n_tokens"), F.length("text").cast("bigint").alias("n_chars"))
         .groupBy("lang")
         .agg(
@@ -357,8 +363,16 @@ def q_token_stats(spark, sf_dir):
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
-        .orderBy("lang")
     )
+    bpe = (
+        d.select("lang", bpe_token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_bpe_tokens"),
+        )
+    )
+    return ws.join(bpe, "lang").orderBy("lang")
 
 
 def q_quality_scores(spark, sf_dir):
@@ -1025,13 +1039,15 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: CORRECTNESS_r02 covered exactly the FIRST
-    # 50 of 53 registered queries, so the three pipeline/compose queries
-    # that were silently dropped now lead the registry, and the three
-    # pure oracle-twin formulations (each a brute-force duplicate of a
-    # scale-path query that stays in the covered prefix, all also pinned
-    # by pytest equality tests) sit last, where a 50-row driver cap
-    # costs the least evidence.
+    # Exactly 50 entries: CORRECTNESS_r02 covered exactly the FIRST 50
+    # registered queries, so the registry is consolidated to fit the
+    # window — the three pipeline/compose queries that were silently
+    # dropped in r2 lead; the two nation set-ops merged into one tagged
+    # query; the two tokenizers merged into one joined query; and the
+    # three brute-force oracle twins (ngram_jaccard_sim,
+    # embedding_cosine_pairs, post_signup_activity) are unregistered —
+    # each shares its oracle with a registered scale-path query and is
+    # pinned by pytest equality tests (the functions remain importable).
     return {
         "compose_docs": q_compose_docs,
         "pipeline_plain_sql": q_pipeline_plain_sql,
@@ -1044,8 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "ordered_collect": q_ordered_collect,
         "rollup_metrics": q_rollup_metrics,
-        "nations_except": q_nations_except,
-        "nations_intersect": q_nations_intersect,
+        "nations_setops": q_nations_setops,
         "union_event_slices": q_union_event_slices,
         "user_event_lag": q_user_event_lag,
         "global_page_numbers": q_global_page_numbers,
@@ -1078,17 +1093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "post_signup_activity_bucketed": q_post_signup_activity_bucketed,
         "lang_confusion": q_lang_confusion,
-        "bpe_token_stats": q_bpe_token_stats,
         "quality_flags": q_quality_flags,
         "bigram_entropy": q_bigram_entropy,
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
-        # oracle twins of queries above (see ordering note at the top)
-        "ngram_jaccard_sim": q_ngram_jaccard_sim,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "post_signup_activity": q_post_signup_activity,
     }
 
 
@@ -1247,6 +1257,31 @@ def _multimodal_oracle_sql(which: str) -> str:
     return duck_frame_sample_sql(n=96, every_n=10)
 
 
+def _token_stats_oracle_sql() -> str:
+    from book_ocr_spark.operators.textstats import duck_bpe_token_count
+
+    return f"""
+        WITH ws AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_tokens), 4) AS avg_tokens,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM (SELECT lang,
+                         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+                         CAST(LENGTH(text) AS BIGINT) AS n_chars
+                  FROM documents) t
+            GROUP BY lang),
+        bpe AS (
+            SELECT lang,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_bpe_tokens,
+                   ROUND(AVG(n_tok), 4) AS avg_bpe_tokens
+            FROM (SELECT lang, {duck_bpe_token_count('text')} AS n_tok FROM documents) t
+            GROUP BY lang)
+        SELECT ws.*, bpe.total_bpe_tokens, bpe.avg_bpe_tokens
+        FROM ws JOIN bpe USING (lang) ORDER BY lang
+    """
+
+
 def _repetition_oracle_sql() -> str:
     from book_ocr_spark.operators.textstats import duck_repetition_signals_sql
 
@@ -1331,17 +1366,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus
         """,
-        "nations_except": """
-            SELECT c_nationkey AS nationkey FROM customer
-            EXCEPT
-            SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
-            ORDER BY nationkey
-        """,
-        "nations_intersect": """
-            SELECT c_nationkey AS nationkey FROM customer
-            INTERSECT
-            SELECT s_nationkey AS nationkey FROM supplier
-            ORDER BY nationkey
+        "nations_setops": """
+            SELECT 'except' AS op, nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000) e
+            UNION ALL
+            SELECT 'intersect', nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey FROM supplier) i
+            ORDER BY op, nationkey
         """,
         "union_event_slices": """
             SELECT event_type, COUNT(*) AS n FROM (
@@ -1397,17 +1432,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY canonical_doc_id
         """,
-        "token_stats": """
-            SELECT lang, COUNT(*) AS n_docs,
-                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   ROUND(AVG(n_tokens), 4) AS avg_tokens,
-                   ROUND(AVG(n_chars), 4) AS avg_chars
-            FROM (SELECT lang,
-                         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
-                         CAST(LENGTH(text) AS BIGINT) AS n_chars
-                  FROM documents) t
-            GROUP BY lang ORDER BY lang
-        """,
+        "token_stats": _token_stats_oracle_sql(),
         "quality_scores": """
             SELECT source, COUNT(*) AS n_docs,
                    ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio
@@ -1423,7 +1448,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
-        "post_signup_activity": _POST_SIGNUP_SQL,
         "post_signup_activity_bucketed": _POST_SIGNUP_SQL,
         "user_sessions": """
             WITH g AS (
@@ -1491,14 +1515,11 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup": _dedup_oracle_sql("incremental"),
         "simhash_fingerprint": _dedup_oracle_sql("simhash"),
         "simhash_near_dup": _dedup_oracle_sql("simhash_pairs"),
-        "ngram_jaccard_sim": _dedup_oracle_sql("ngram"),
         "ann_cosine_topk": _similarity_oracle_sql("topk"),
         "ann_lsh_bucket": _similarity_oracle_sql("lsh_bucket"),
         "ivf_cosine_topk": _similarity_oracle_sql("ivf"),
-        "embedding_cosine_pairs": _similarity_oracle_sql("pairs"),
         "embedding_pairs_bucketed": _similarity_oracle_sql("pairs_bucketed"),
         "lang_confusion": _textstats_oracle_sql("lang"),
-        "bpe_token_stats": _textstats_oracle_sql("bpe"),
         "quality_flags": _textstats_oracle_sql("quality"),
         "bigram_entropy": _textstats_oracle_sql("entropy"),
         "multimodal_features": _multimodal_oracle_sql("features"),
