@@ -43,6 +43,7 @@ def curate(
     threshold: float = 0.6,
     clustering: str = "pair",
     storage_handle: list | None = None,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Quality gate -> exact dedup (min id per content hash) -> near-dup
     canonicalization. ``clustering``: 'pair' drops the higher id of
@@ -51,8 +52,12 @@ def curate(
     (min reachable id) via operators.dedup.near_dup_clusters — the
     production rule. ``storage_handle`` receives every DataFrame the
     stages persist (shingle projection, CC labels) so long-lived
-    sessions can unpersist after materializing the result. Returns the
-    surviving corpus as (id, fingerprint, n_tokens)."""
+    sessions can unpersist after materializing the result.
+    ``hot_bucket_cap`` bounds LSH band buckets in the near-dup stage
+    (exact salt policy — see dedup.capped_bucket_pairs; exact dedup
+    running FIRST already defuses pure-duplicate hot buckets, the cap
+    covers drifted template families). Returns the surviving corpus as
+    (id, fingerprint, n_tokens)."""
     flags = quality_flags(corpus, id_col, text_col)
     kept = corpus.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
@@ -63,7 +68,7 @@ def curate(
     survivors = kept.join(canonical, id_col, "left_semi")
     pairs = minhash_near_dup(
         survivors, id_col, text_col, k=k, threshold=threshold,
-        storage_handle=storage_handle,
+        storage_handle=storage_handle, hot_bucket_cap=hot_bucket_cap,
     )
     if clustering == "cc":
         from book_ocr_spark.operators.dedup import near_dup_clusters

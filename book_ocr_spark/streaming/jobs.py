@@ -103,6 +103,7 @@ def start_incremental_extract(
     checkpoint_path: str,
     n_parts: int = 8,
     available_now: bool = False,
+    thresholds=None,
 ):
     """T1/T2/T3: stream -> fused extraction -> idempotent partitioned
     write (effectively-once: dynamic overwrite keyed by batch_id, see
@@ -116,7 +117,7 @@ def start_incremental_extract(
     stream = read_transcript_stream(spark, input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_turn_batch(batch_df, out_path, batch_id, n_parts)
+        write_turn_batch(batch_df, out_path, batch_id, n_parts, thresholds)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -127,7 +128,8 @@ def start_incremental_extract(
 
 
 def write_turn_batch(
-    batch_df: DataFrame, out_path: str, batch_id: int, n_parts: int
+    batch_df: DataFrame, out_path: str, batch_id: int, n_parts: int,
+    thresholds=None,
 ) -> None:
     """One micro-batch through the fused plan into the turns table.
 
@@ -137,7 +139,10 @@ def write_turn_batch(
     the replay rewrite its own directories instead of appending
     duplicates — that is what upgrades the sink to effectively-once
     (idempotency asserted in tests by writing a batch twice)."""
-    out = build_fused_plan(batch_df, n_parts=n_parts, lineage_prefix=f"stream:b{batch_id}")
+    out = build_fused_plan(
+        batch_df, n_parts=n_parts, lineage_prefix=f"stream:b{batch_id}",
+        thresholds=thresholds,
+    )
     (
         out.select(*_OUT_COLS)
         .withColumn("batch_id", F.lit(batch_id))
@@ -309,6 +314,7 @@ def start_incremental_dedup(
     k: int = 3,
     threshold: float = 0.6,
     available_now: bool = False,
+    hot_bucket_cap: int | None = None,
 ):
     """Streaming near-dup dedup — the daily-ingest MERGE shape running
     continuously: every arriving micro-batch of documents is checked
@@ -370,7 +376,9 @@ def start_incremental_dedup(
                 ):
                     raise
                 existing = spark.createDataFrame([], sigs.schema)
-            matches = incremental_minhash_near_dup(sigs, existing, threshold)
+            matches = incremental_minhash_near_dup(
+                sigs, existing, threshold, hot_bucket_cap=hot_bucket_cap
+            )
             (
                 matches.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
