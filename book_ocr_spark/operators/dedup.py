@@ -942,3 +942,66 @@ def duck_clusters_sql(pairs_sql: str, ids_sql: str) -> str:
         SELECT src AS id, MIN(dst) AS cluster_id
         FROM reach GROUP BY src ORDER BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap against an eval set
+# ---------------------------------------------------------------------------
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``min_hits`` distinct word
+    n-grams with ANY benchmark item — the standard pretraining
+    decontamination rule (13-gram collision in the GPT-3/LLaMA
+    lineage; lower n for aggressive scrubbing).
+
+    Scale shape: both sides reduce to DISTINCT (gram) / (gram, id)
+    rows; the join key is the gram string — a hash equi-join whose
+    build side is the benchmark's gram set (tiny next to a 100 TB
+    corpus: AQE broadcasts it), so the corpus is never compared
+    pairwise to benchmark items, and per-doc work is linear in its
+    gram count. Returns (id, n_hits, n_bench_items):
+    distinct colliding grams per doc and how many distinct benchmark
+    items those grams touch.
+    """
+    cg = shingle_sets(corpus, id_col, text_col, n, "word").select(
+        "id", F.explode("sh").alias("g")
+    )
+    bg = (
+        shingle_sets(benchmark, id_col, text_col, n, "word")
+        .select(F.col("id").alias("bench_id"), F.explode("sh").alias("g"))
+        .distinct()
+    )
+    hits = cg.join(bg, "g")
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count_distinct("g").alias("n_hits"),
+            F.count_distinct("bench_id").alias("n_bench_items"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def duck_contamination_sql(
+    corpus_sql: str, benchmark_sql: str, n: int = 13, min_hits: int = 1
+) -> str:
+    """DuckDB twin of contamination_check."""
+    grams = duck_word_grams("text", n)
+    return f"""
+        WITH cg AS (
+            SELECT id, unnest({grams}) AS g FROM ({corpus_sql}) c0),
+        bg AS (
+            SELECT DISTINCT id AS bench_id, unnest({grams}) AS g
+            FROM ({benchmark_sql}) b0)
+        SELECT id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hits,
+               CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_items
+        FROM cg JOIN bg USING (g)
+        GROUP BY id HAVING COUNT(DISTINCT cg.g) >= {min_hits}
+        ORDER BY id
+    """

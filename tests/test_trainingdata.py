@@ -805,3 +805,43 @@ def test_repetition_signals(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_contamination_check(spark):
+    """Decontamination: a doc embedding a benchmark item's 5-gram is
+    flagged with the right hit counts; clean docs are not; the DuckDB
+    twin matches bit-for-bit."""
+    import duckdb
+
+    bench_rows = [
+        (100, "what is the capital of france paris obviously"),
+        (101, "solve two plus two equals four quickly now"),
+    ]
+    corpus_rows = [
+        (1, "quiz answer what is the capital of france paris obviously end"),
+        (2, "a completely clean document about shuffle partitions and joins"),
+        (3, "solve two plus two equals four quickly now and also "
+            "what is the capital of france paris obviously"),  # hits both
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id int, text string")
+    bench = spark.createDataFrame(bench_rows, "id int, text string")
+    got = {
+        r.id: (r.n_hits, r.n_bench_items)
+        for r in dedup.contamination_check(corpus, bench, "id", "text", n=5).collect()
+    }
+    assert 1 in got and 3 in got and 2 not in got
+    assert got[3][1] == 2  # collides with both benchmark items
+
+    def values_sql(rows):
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        return f"SELECT * FROM (VALUES {vals}) v(id, text)"
+
+    want = {
+        int(i): (int(h), int(b))
+        for i, h, b in duckdb.sql(
+            dedup.duck_contamination_sql(
+                values_sql(corpus_rows), values_sql(bench_rows), n=5
+            )
+        ).fetchall()
+    }
+    assert got == want
