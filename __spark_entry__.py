@@ -375,26 +375,35 @@ def q_token_stats(spark, sf_dir):
     return ws.join(bpe, "lang").orderBy("lang")
 
 
-def q_quality_scores(spark, sf_dir):
-    """Quality scoring: stopword ratio + mean word length per source."""
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line dedup (CCNet-style boilerplate removal):
+    multi-line documents are derived deterministically from the
+    documents table (two injected boilerplate lines that repeat
+    corpus-wide, two content lines sliced from the real text — the
+    fixture's near-dup documents make some content lines repeat too),
+    then every line appearing in >= 3 distinct documents is removed
+    and the document reassembled in original line order.
+    Operator: book_ocr_spark.operators.dedup.line_dedup."""
+    from book_ocr_spark.operators.dedup import line_dedup
+
     d = _t(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
-    n_stop = (
-        F.size(
-            F.expr(
-                r"regexp_extract_all(text, '\\b(the|a|of|to|and|in|is|it|that|for|on|with|as)\\b', 0)"
-            )
-        ).cast("double")
+    docs = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("All rights reserved.")).otherwise(
+                F.substring("text", 81, 60)
+            ),
+            F.lit("Copyright 2026 Example Corp"),
+        ).alias("text"),
     )
-    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1.0)), 4)
     return (
-        d.select("source", stop_ratio.alias("stop_ratio"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        line_dedup(docs, "id", "text", min_docs=3)
+        .select(
+            F.col("id").alias("doc_id"), "clean_text", "n_lines", "n_removed"
         )
-        .orderBy("source")
+        .orderBy("doc_id")
     )
 
 
@@ -1074,7 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gap_days": q_order_gap_days,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
+        "line_dedup": q_line_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
         "pii_redaction": q_pii_redaction,
@@ -1298,6 +1307,24 @@ def _stratified_sample_oracle_sql() -> str:
     )
 
 
+def _line_dedup_oracle_sql() -> str:
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+
+    corpus = """
+        SELECT doc_id AS id,
+               concat_ws(chr(10), substr(text, 1, 80),
+                   CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved.'
+                        ELSE substr(text, 81, 60) END,
+                   'Copyright 2026 Example Corp') AS text
+        FROM documents
+    """
+    twin = duck_line_dedup_sql(corpus, min_docs=3)
+    return (
+        f"SELECT id AS doc_id, clean_text, n_lines, n_removed FROM ({twin}) t"
+        " ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1433,17 +1460,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY canonical_doc_id
         """,
         "token_stats": _token_stats_oracle_sql(),
-        "quality_scores": """
-            SELECT source, COUNT(*) AS n_docs,
-                   ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio
-            FROM (SELECT source,
-                         ROUND(CAST(LEN(regexp_extract_all(text,
-                               '\\b(the|a|of|to|and|in|is|it|that|for|on|with|as)\\b', 0)) AS DOUBLE)
-                         / GREATEST(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE), 1.0), 4)
-                         AS stop_ratio
-                  FROM documents) t
-            GROUP BY source ORDER BY source
-        """,
+        "line_dedup": _line_dedup_oracle_sql(),
         "doc_fingerprint": """
             SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id

@@ -1005,3 +1005,93 @@ def duck_contamination_sql(
         GROUP BY id HAVING COUNT(DISTINCT cg.g) >= {min_hits}
         ORDER BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet-style boilerplate line removal)
+# ---------------------------------------------------------------------------
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove lines whose normalized form (trimmed) appears in
+    ``min_docs`` or more DISTINCT documents — the CCNet/RefinedWeb
+    paragraph-dedup rule that strips nav bars, cookie banners and
+    footer boilerplate the DOM heuristics missed, at corpus (not
+    document-pair) granularity. Lines shorter than ``min_chars``
+    after trimming are exempt (separator/blank lines are structure,
+    not boilerplate).
+
+    Returns (id, clean_text, n_lines, n_removed): the document
+    reassembled from surviving lines in original order, plus audit
+    counts. ``sep`` must be a plain string (it is used as a split
+    regex in Spark and a literal in DuckDB — stick to '\\n' etc.).
+
+    Scale shape (100 TB): posexplode is a narrow per-doc expansion;
+    the boilerplate-key table is one count-distinct hash agg over
+    (key) and after the HAVING filter holds ONLY corpus-repeated
+    lines — a tiny fraction of distinct lines, so AQE broadcasts it
+    into the flagging join in practice (left join keeps every line
+    either way); reassembly is one hash agg back on id. Two shuffles
+    total, both on high-cardinality keys; no pairwise comparison
+    anywhere — cost is linear in total line count, which is what
+    makes line-level dedup feasible where document near-dup is not.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("k", F.trim("line"))
+    boiler = (
+        lines.filter(F.length("k") >= min_chars)
+        .groupBy("k")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("k")
+        .withColumn("_rm", F.lit(True))
+    )
+    flagged = lines.join(boiler, "k", "left").withColumn(
+        "_gone", F.coalesce("_rm", F.lit(False))
+    )
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(pos, line, _gone))),"
+                " x -> NOT x._gone), x -> x.line)"
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_gone").cast("long")).alias("n_removed"),
+    )
+
+
+def duck_line_dedup_sql(
+    corpus_sql: str, sep: str = "\n", min_docs: int = 2, min_chars: int = 1
+) -> str:
+    """DuckDB twin of line_dedup (string_agg ORDER BY pos replays the
+    original line order; string_agg skips the NULL-cased removed
+    lines, which is exactly concat_ws over the filtered array)."""
+    s = sep.replace("'", "''")
+    return f"""
+        WITH lines AS (
+            SELECT id,
+                   generate_subscripts(string_split(text, '{s}'), 1) AS pos,
+                   unnest(string_split(text, '{s}')) AS line
+            FROM ({corpus_sql}) c0),
+        keyed AS (SELECT id, pos, line, TRIM(line) AS k FROM lines),
+        boiler AS (
+            SELECT k FROM keyed WHERE LEN(k) >= {min_chars}
+            GROUP BY k HAVING COUNT(DISTINCT id) >= {min_docs})
+        SELECT id,
+               COALESCE(string_agg(
+                   CASE WHEN b.k IS NULL THEN keyed.line END, '{s}'
+                   ORDER BY pos), '') AS clean_text,
+               COUNT(*) AS n_lines,
+               CAST(COUNT(b.k) AS BIGINT) AS n_removed
+        FROM keyed LEFT JOIN boiler b ON keyed.k = b.k
+        GROUP BY id ORDER BY id
+    """

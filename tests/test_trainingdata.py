@@ -845,3 +845,53 @@ def test_contamination_check(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_line_dedup(spark):
+    """CCNet-style corpus line dedup: lines repeated in >= min_docs
+    DISTINCT documents are removed (matching on the TRIMMED form),
+    blank/short lines are exempt, surviving lines keep their original
+    order and bytes, and the DuckDB twin matches bit-for-bit —
+    including the all-lines-removed and empty-document edges."""
+    import duckdb
+
+    rows = [
+        (1, "Cookie notice\nreal content one\n\nCookie notice\nfooter 2026"),
+        (2, "Cookie notice\nreal content two\nfooter 2026"),
+        (3, "unique doc\n  Cookie notice  \nmore unique"),  # trimmed match
+        (4, ""),                                            # empty doc
+        (5, "solo boilerplate"),
+        (6, "solo boilerplate"),                            # all lines removed
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in dedup.line_dedup(df, "id", "text").collect()
+    }
+    # doc 1 keeps its blank line (structure, not boilerplate); both
+    # copies of the repeated line go, in-document duplication alone
+    # does not count (distinct-doc rule)
+    assert got[1] == ("real content one\n", 5, 3)
+    assert got[3] == ("unique doc\nmore unique", 3, 1)
+    assert got[4] == ("", 1, 0)
+    assert got[5] == ("", 1, 1)
+
+    vals = ", ".join("({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '")) for i, t in rows)
+    want = {
+        int(i): (c, int(nl), int(nr))
+        for i, c, nl, nr in duckdb.sql(
+            dedup.duck_line_dedup_sql(f"SELECT * FROM (VALUES {vals}) v(id, text)")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    """min_docs=3 keeps a line shared by only two documents."""
+    rows = [(1, "shared\na"), (2, "shared\nb"), (3, "c")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.clean_text
+        for r in dedup.line_dedup(df, "id", "text", min_docs=3).collect()
+    }
+    assert got == {1: "shared\na", 2: "shared\nb", 3: "c"}
