@@ -1,0 +1,121 @@
+"""URL/domain filtering for web-scale corpus curation (the C4 /
+RefinedWeb front gate): host + registered-domain extraction, a
+broadcast blocklist join, and keyword-pattern URL rejection — all
+built-in SQL expressions with a DuckDB-oracle twin sharing the same
+regex constants.
+
+The regexes stay inside the Java-regex ∩ RE2 common subset (no
+lookaround/backreferences) so Spark and DuckDB agree exactly.
+Domain extraction is the naive "last two labels" rule; a public-
+suffix-list (PSL) table joined the same way is the production
+upgrade for co.uk-style suffixes — the plan shape is identical
+(broadcast map-side join), so the naive rule is what both engines
+verify.
+
+Scale shape (100 TB): host/domain/pattern columns are narrow
+projections inside whole-stage codegen; the blocklist is KBs-to-MBs
+against a 100 TB corpus, so its join is an explicit
+``F.broadcast`` — no shuffle anywhere in the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://(userinfo@)?host(:port)? — group 1 is the bare host
+HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+# registered domain, naive last-two-labels rule (see module docstring)
+DOMAIN_RE = r"([^.]+\.[^.]+)$"
+# default C4-style URL keyword rejection list (lowercased match)
+DEFAULT_BLOCK_PATTERN = r"(porn|xxx|casino|viagra|lottery|phishing)"
+
+
+def url_parts(df: DataFrame, url_col: str) -> DataFrame:
+    """Adds ``host`` (lowercased, port/userinfo stripped) and
+    ``domain`` (naive registered domain). Unparseable URLs (no
+    scheme) get host='' and domain='' rather than nulls so the
+    blocked-flag logic stays two-valued."""
+    low = F.lower(F.col(url_col))
+    host = F.regexp_extract(low, HOST_RE, 1)
+    return df.withColumn("host", host).withColumn(
+        "domain", F.regexp_extract(F.col("host"), DOMAIN_RE, 1)
+    )
+
+
+def url_flags(
+    df: DataFrame,
+    url_col: str,
+    block_domains: DataFrame | None = None,
+    block_pattern: str = DEFAULT_BLOCK_PATTERN,
+) -> DataFrame:
+    """Adds host, domain, ``url_blocked`` and ``block_reason``
+    ('domain' beats 'pattern' when both hit; '' when clean).
+
+    ``block_domains``: a one-column ``(domain)`` DataFrame —
+    broadcast (blocklists are tiny next to the corpus; forcing the
+    broadcast keeps the operator shuffle-free regardless of AQE
+    statistics at plan time).
+    """
+    parts = url_parts(df, url_col)
+    if block_domains is not None:
+        bl = F.broadcast(
+            block_domains.select(F.col("domain"), F.lit(True).alias("_dom_hit"))
+        )
+        parts = parts.join(bl, "domain", "left")
+    else:
+        parts = parts.withColumn("_dom_hit", F.lit(None).cast("boolean"))
+    pat_hit = F.lower(F.col(url_col)).rlike(block_pattern)
+    reason = (
+        F.when(F.coalesce("_dom_hit", F.lit(False)), F.lit("domain"))
+        .when(pat_hit, F.lit("pattern"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        parts.withColumn("block_reason", reason)
+        .drop("_dom_hit")
+        .withColumn("url_blocked", F.col("block_reason") != "")
+    )
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str,
+    block_domains: DataFrame | None = None,
+    block_pattern: str = DEFAULT_BLOCK_PATTERN,
+) -> DataFrame:
+    """Rows surviving the URL gate, original columns only."""
+    flagged = url_flags(df, url_col, block_domains, block_pattern)
+    return flagged.filter(~F.col("url_blocked")).select(*df.columns)
+
+
+def duck_url_flags_sql(
+    corpus_sql: str,
+    url_col: str,
+    block_domains_sql: str | None = None,
+    block_pattern: str = DEFAULT_BLOCK_PATTERN,
+) -> str:
+    """DuckDB twin of url_flags (same regex constants; LEFT JOIN
+    replays the broadcast blocklist join)."""
+    dom_join = (
+        f"LEFT JOIN (SELECT domain, TRUE AS _dom_hit FROM ({block_domains_sql}) b0) b"
+        " USING (domain)"
+        if block_domains_sql is not None
+        else "LEFT JOIN (SELECT '' AS domain, FALSE AS _dom_hit WHERE 1=0) b USING (domain)"
+    )
+    return f"""
+        WITH parts AS (
+            SELECT c0.*,
+                   regexp_extract(lower({url_col}), '{HOST_RE}', 1) AS host,
+                   regexp_extract(regexp_extract(lower({url_col}), '{HOST_RE}', 1),
+                                  '{DOMAIN_RE}', 1) AS domain
+            FROM ({corpus_sql}) c0),
+        flagged AS (
+            SELECT parts.*,
+                   CASE WHEN COALESCE(_dom_hit, FALSE) THEN 'domain'
+                        WHEN regexp_matches(lower({url_col}), '{block_pattern}')
+                        THEN 'pattern' ELSE '' END AS block_reason
+            FROM parts {dom_join})
+        SELECT *, block_reason <> '' AS url_blocked
+        FROM flagged
+    """

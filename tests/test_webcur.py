@@ -1,0 +1,160 @@
+"""URL/domain filtering + deterministic sequence packing: Spark vs
+DuckDB twins and the operator invariants."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import packing, webfilter
+
+URL_ROWS = [
+    (1, "https://www.example.com/articles/1"),
+    (2, "http://user:pw@Sub.BadSite.ORG:8080/path?q=1"),  # userinfo+port+case
+    (3, "https://casino-games.net/win"),                  # pattern hit
+    (4, "ftp://files.badsite.org/x"),                     # blocklist hit
+    (5, "not a url at all"),                              # unparseable
+    (6, "https://xxx.example.com/a"),                     # pattern in host
+    (7, "https://ok.co.uk/page"),                         # naive-domain caveat
+]
+BLOCKLIST = [("badsite.org",)]
+
+
+def _duck_con():
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(URL_ROWS, columns=["id", "url"]))
+    con.register("b", pd.DataFrame(BLOCKLIST, columns=["domain"]))
+    return con
+
+
+def test_url_flags(spark):
+    """Host extraction strips scheme/userinfo/port and lowercases;
+    domain blocklist beats pattern; unparseable URLs pass with empty
+    host; the DuckDB twin matches bit-for-bit."""
+    df = spark.createDataFrame(URL_ROWS, "id int, url string")
+    bdf = spark.createDataFrame(BLOCKLIST, "domain string")
+    got = {
+        r.id: (r.host, r.domain, r.url_blocked, r.block_reason)
+        for r in webfilter.url_flags(df, "url", bdf).collect()
+    }
+    assert got[2] == ("sub.badsite.org", "badsite.org", True, "domain")
+    assert got[3] == ("casino-games.net", "casino-games.net", True, "pattern")
+    assert got[5] == ("", "", False, "")
+    # naive last-two-labels rule: co.uk IS the (documented) extraction
+    assert got[7][1] == "co.uk" and not got[7][2]
+
+    con = _duck_con()
+    want = {
+        int(r[0]): (r[2], r[1], bool(r[4]), r[3])
+        for r in con.sql(
+            "SELECT id, domain, host, block_reason, url_blocked FROM ("
+            + webfilter.duck_url_flags_sql(
+                "SELECT id, url FROM c", "url", "SELECT domain FROM b"
+            )
+            + ") t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_url_flags_no_blocklist(spark):
+    """Pattern-only mode (no blocklist DataFrame) still twins."""
+    df = spark.createDataFrame(URL_ROWS, "id int, url string")
+    got = {r.id: r.url_blocked for r in webfilter.url_flags(df, "url").collect()}
+    con = _duck_con()
+    want = {
+        int(r[0]): bool(r[1])
+        for r in con.sql(
+            "SELECT id, url_blocked FROM ("
+            + webfilter.duck_url_flags_sql("SELECT id, url FROM c", "url")
+            + ") t"
+        ).fetchall()
+    }
+    assert got == want
+    # without the blocklist only the keyword hits remain blocked
+    assert got[3] and got[6] and not got[4]
+
+
+def test_filter_urls_keeps_original_columns(spark):
+    df = spark.createDataFrame(URL_ROWS, "id int, url string")
+    bdf = spark.createDataFrame(BLOCKLIST, "domain string")
+    kept = webfilter.filter_urls(df, "url", bdf)
+    assert kept.columns == ["id", "url"]
+    assert sorted(r.id for r in kept.collect()) == [1, 5, 7]
+
+
+PACK_SIZES = [50, 120, 300, 700, 1500, 2600]
+
+
+def _pack_fixture():
+    import random
+
+    rng = random.Random(11)
+    return [(i, rng.choice(PACK_SIZES)) for i in range(400)]
+
+
+def test_pack_next_fit_twin(spark):
+    """Bin assignment is bit-identical to the recursive-CTE next-fit
+    replay in DuckDB (same portable hash grouping, same recurrence)."""
+    rows = _pack_fixture()
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=2048, n_groups=8)
+    got = sorted(
+        (r.id, r.size, r.grp, r.bin, r.bin_pos, r.overfull) for r in packed.collect()
+    )
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["doc_id", "n_tok"]))
+    want = [
+        (a, b, c, d, e, bool(f))
+        for a, b, c, d, e, f in sorted(
+            tuple(r)
+            for r in con.sql(
+                packing.duck_pack_next_fit_sql(
+                    "SELECT doc_id, n_tok FROM c", "doc_id", "n_tok", 2048, 8
+                )
+            ).fetchall()
+        )
+    ]
+    assert got == want
+
+
+def test_pack_next_fit_invariants(spark):
+    """Every doc packed exactly once; no non-overfull bin exceeds
+    capacity; oversize docs sit alone in flagged bins; bin_pos is a
+    dense 0..k sequence; result is partition-count independent."""
+    rows = _pack_fixture()
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=2048, n_groups=8)
+    out = packed.collect()
+    assert sorted(r.id for r in out) == [r[0] for r in rows]
+
+    bins = {}
+    for r in out:
+        bins.setdefault((r.grp, r.bin), []).append(r)
+    for members in bins.values():
+        fill = sum(m.size for m in members)
+        if any(m.overfull for m in members):
+            assert len(members) == 1 and members[0].size > 2048
+        else:
+            assert fill <= 2048
+        assert sorted(m.bin_pos for m in members) == list(range(len(members)))
+
+    reparted = packing.pack_next_fit(
+        df.repartition(13), "doc_id", "n_tok", capacity=2048, n_groups=8
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, reparted.collect()))
+
+
+def test_pack_next_fit_rejects_bad_capacity(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        packing.pack_next_fit(df, "doc_id", "n_tok", capacity=0)
+
+
+def test_pack_stats(spark):
+    """fill_ratio counts only the bins the packer controls (non-
+    overfull) and lands in (0, 1]."""
+    rows = _pack_fixture()
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=2048, n_groups=8)
+    st = packing.pack_stats(packed, 2048).collect()[0]
+    assert st.n_bins > 0 and 0.0 < st.fill_ratio <= 1.0
