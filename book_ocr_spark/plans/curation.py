@@ -149,3 +149,61 @@ def duck_curate_sql(
         WHERE s.id NOT IN (SELECT id FROM dropped)
         ORDER BY s.id
     """
+
+
+def curate_web_corpus(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    url_col: str | None = None,
+    block_domains: DataFrame | None = None,
+    line_sep: str = "\n",
+    line_min_docs: int = 2,
+    pack_capacity: int | None = None,
+    k: int = 3,
+    threshold: float = 0.6,
+    clustering: str = "pair",
+    storage_handle: list | None = None,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """The full web-corpus pass: URL gate (when ``url_col`` is given)
+    -> corpus-level line dedup (documents emptied by boilerplate
+    removal drop out) -> curate() (quality gate, exact dedup, near-dup
+    canonicalization) -> optional deterministic sequence packing into
+    ``pack_capacity``-token bins.
+
+    Still ONE declarative DAG end to end: the URL regexes and the
+    line-dedup projection sit under the same optimizer as the curate
+    stages, so scan pruning covers the whole pass, and each stage's
+    DuckDB twin composes over the previous stage's output — the
+    correctness story is stage-for-stage, same as curation_pipeline.
+    ``id_col`` must be numeric (packing's bin assignment casts it to
+    long). Returns curate()'s (id, fingerprint, n_tokens), plus
+    (grp, bin, bin_pos, overfull) when packing is requested.
+    """
+    from book_ocr_spark.operators.dedup import line_dedup
+    from book_ocr_spark.operators.packing import pack_next_fit
+    from book_ocr_spark.operators.webfilter import filter_urls
+
+    cur = corpus
+    if url_col is not None:
+        cur = filter_urls(cur, url_col, block_domains)
+    cleaned = (
+        line_dedup(cur, id_col, text_col, sep=line_sep, min_docs=line_min_docs)
+        .filter(F.col("clean_text") != "")
+        .select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col))
+    )
+    final = curate(
+        cleaned, id_col, text_col, k=k, threshold=threshold,
+        clustering=clustering, storage_handle=storage_handle,
+        hot_bucket_cap=hot_bucket_cap,
+    )
+    if pack_capacity is None:
+        return final
+    packed = pack_next_fit(final, id_col, "n_tokens", pack_capacity)
+    return final.join(
+        packed.select(
+            F.col("id").alias(id_col), "grp", "bin", "bin_pos", "overfull"
+        ),
+        id_col,
+    )

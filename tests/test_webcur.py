@@ -158,3 +158,90 @@ def test_pack_stats(spark):
     packed = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=2048, n_groups=8)
     st = packing.pack_stats(packed, 2048).collect()[0]
     assert st.n_bins > 0 and 0.0 < st.fill_ratio <= 1.0
+
+
+def test_curate_web_corpus_stage_twins(spark):
+    """The composed web pass (URL gate -> line dedup -> quality/exact/
+    near-dup curate -> packing) matches a stage-for-stage DuckDB
+    replay built from each operator's twin, and the drop reasons land
+    where designed: URL-blocked, emptied-by-boilerplate, sub-quality,
+    exact-dup and near-dup docs are all gone."""
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    content_a = (
+        "the quick brown fox jumps over the lazy dog while reading "
+        "long form articles about distributed query engines and careful "
+        "shuffle management strategies"
+    )
+    content_c = (
+        "completely different material discussing watermark semantics "
+        "for late arriving events in structured streaming jobs with "
+        "session window aggregation and state store compaction details"
+    )
+    boiler = "Subscribe to our newsletter today"
+    rows = [
+        (1, "https://a.example.com/1", f"{content_a}\n{boiler}"),
+        (2, "https://b.example.com/2",
+         f"{content_a} plus a small extra tail\n{boiler}"),   # near-dup of 1
+        (3, "https://c.example.com/3", f"{content_c}\n{boiler}"),
+        (4, "https://d.example.com/4", content_c),             # exact dup of 3 post-clean
+        (5, "https://casino.example.com/5", content_a),        # URL pattern block
+        (6, "https://ok.badsite.org/6", content_c),            # URL domain block
+        (7, "https://g.example.com/7", boiler),                # emptied by line dedup
+        (8, "https://h.example.com/8", "short text"),          # quality gate
+    ]
+    bl = [("badsite.org",)]
+    df = spark.createDataFrame(rows, "id long, url string, text string")
+    bdf = spark.createDataFrame(bl, "domain string")
+    # line_min_docs=3: the boilerplate line sits in 4 surviving docs
+    # and goes; the exact-dup pair's content lines sit in only 2 docs
+    # and survive to the exact-dedup stage (with the default min_docs=2
+    # a fully line-duplicated document is EMPTIED by line dedup instead
+    # of deduped — correct CCNet semantics, but this test wants every
+    # stage to catch its own designed victim).
+    got = sorted(
+        map(
+            tuple,
+            curate_web_corpus(
+                df, "id", "text", url_col="url", block_domains=bdf,
+                line_min_docs=3, pack_capacity=64,
+            ).collect(),
+        )
+    )
+    assert sorted(r[0] for r in got) == [1, 3]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "url", "text"]))
+    con.register("b", pd.DataFrame(bl, columns=["domain"]))
+    con.register(
+        "filtered",
+        con.sql(
+            "SELECT id, text FROM ("
+            + webfilter.duck_url_flags_sql(
+                "SELECT * FROM c", "url", "SELECT domain FROM b"
+            )
+            + ") t WHERE NOT url_blocked"
+        ).df(),
+    )
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM filtered", min_docs=3)
+            + ") t WHERE clean_text <> ''"
+        ).df(),
+    )
+    con.register("final", con.sql(duck_curate_sql("SELECT id, text FROM cleaned")).df())
+    want = sorted(
+        (int(i), fp, int(nt), int(g), int(bn), int(bp), bool(ov))
+        for i, fp, nt, g, bn, bp, ov in con.sql(
+            "SELECT f.id, f.fingerprint, f.n_tokens, p.grp, p.bin, p.bin_pos,"
+            " p.overfull FROM final f JOIN ("
+            + packing.duck_pack_next_fit_sql(
+                "SELECT id, n_tokens FROM final", "id", "n_tokens", 64
+            )
+            + ") p USING (id)"
+        ).fetchall()
+    )
+    assert got == want
