@@ -263,3 +263,43 @@ def test_capped_band_join_stays_equi_join(spark):
         simhash_near_dup(docs, "id", "text", max_hamming=4, hot_bucket_cap=4)
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_url_flags_is_shuffle_free(spark):
+    """The URL gate must add ZERO exchanges over the corpus: regex
+    projections stay narrow and the blocklist join is a forced
+    broadcast."""
+    from book_ocr_spark.operators.webfilter import url_flags
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "id long, url string"
+    )
+    bl = spark.createDataFrame([("bad.org",)], "domain string")
+    plan = _explain(url_flags(df, "url", bl))
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_line_dedup_two_shuffles_no_cartesian(spark):
+    """Corpus line dedup: the boilerplate-count agg and the id
+    reassembly agg are the only wide stages (plus their AQE-visible
+    join distribution) — in particular NO pairwise join shape."""
+    from book_ocr_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    plan = _explain(line_dedup(df, "id", "text"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # flagging join is an equi-join on the line key
+    assert "Generate" in plan  # posexplode stays JVM-side
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_pack_next_fit_single_shuffle(spark):
+    """Packing: exactly one exchange (the explicit group
+    repartition); the group walk is one Arrow round trip."""
+    from book_ocr_spark.operators.packing import pack_next_fit
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tok long")
+    plan = _explain(pack_next_fit(df, "doc_id", "n_tok", capacity=64, n_groups=4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1, plan
