@@ -59,6 +59,10 @@ HEADLINE = [
     "post_signup_activity_bucketed",
     "bigram_entropy",
     "near_dup_clusters",
+    # round-3 addition: corpus-level line dedup (CCNet boilerplate
+    # removal) — the explode-heavy shape (lines >> docs) the set
+    # otherwise lacks
+    "line_dedup",
 ]
 
 

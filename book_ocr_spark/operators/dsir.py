@@ -1,0 +1,174 @@
+"""DSIR-style importance weighting for domain-targeted data selection
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling"): score every raw-corpus document by how much its hashed
+n-gram distribution looks like a (small) target corpus versus the raw
+corpus itself, then keep the highest-weight documents.
+
+Model: unigram+bigram counts hashed into ``m`` buckets; bucket
+probabilities estimated on each corpus with additive smoothing; a
+document's importance log-weight is
+
+    log w(doc) = sum_b count_doc[b] * (log p_target[b] - log p_raw[b])
+
+Determinism contract: the per-bucket log-ratio is rounded to MICRO
+units (1e-6) and cast to bigint once, so the per-document weight is an
+INTEGER dot product — order-independent, bit-identical between Spark
+and the DuckDB twin (a float sum over a hash-partitioned agg would be
+merge-order dependent). ``logw_micro`` is therefore exact, and
+selection (top-k window, threshold filter, or hash-sampled Gumbel
+variant via operators.sampling) is reproducible run to run.
+
+Scale shape (100 TB raw corpus): the target corpus is small by
+definition (it is the thing you can afford to curate), so its bucket
+histogram is ``m`` rows; the raw histogram is one map-side-combined
+hash agg. The λ (log-ratio) table is ``m`` rows and BROADCAST into
+the per-document scoring join — the raw corpus is touched exactly
+twice (histogram + scoring), never joined against itself, and each
+pass is explode → hash-agg, all JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h28, spark_h28
+
+M_BUCKETS = 1024
+ALPHA = 0.5
+MICRO = 1_000_000
+
+
+def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, g): unigrams + bigrams WITH multiplicity (DSIR is a count
+    model — array_distinct here would change the distribution)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_t")
+    )
+    return toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "concat(_t, case when size(_t) >= 2 then"
+                " transform(sequence(1, size(_t)-1),"
+                " i -> concat_ws(' ', slice(_t, i, 2)))"
+                " else array() end)"
+            )
+        ).alias("g"),
+    )
+
+
+def _bucket_counts(grams: DataFrame, m: int) -> DataFrame:
+    return (
+        grams.select((F.expr(spark_h28("g")) % m).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = M_BUCKETS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(b, lam_micro): per-bucket smoothed log-ratio
+    round(1e6 * (ln p_target[b] - ln p_raw[b])) over ALL m buckets
+    (absent buckets get the pure-smoothing ratio). m rows — broadcast
+    material."""
+    spark = SparkSession.getActiveSession()
+    tc = _bucket_counts(_grams(target, id_col, text_col), m)
+    rc = _bucket_counts(_grams(raw, id_col, text_col), m)
+    # totals ride along as 1-row cross joins — no driver action, the
+    # whole table stays one lazy DAG
+    tot = tc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_tot")).crossJoin(
+        rc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("r_tot"))
+    )
+    spine = spark.range(m).select(F.col("id").cast("long").alias("b"))
+    joined = (
+        spine.join(tc.withColumnRenamed("cnt", "tc"), "b", "left")
+        .join(rc.withColumnRenamed("cnt", "rc"), "b", "left")
+        .fillna(0, ["tc", "rc"])
+        .crossJoin(F.broadcast(tot))
+    )
+    lam = F.log((F.col("tc") + alpha) / (F.col("t_tot") + alpha * m)) - F.log(
+        (F.col("rc") + alpha) / (F.col("r_tot") + alpha * m)
+    )
+    return joined.select(
+        "b", F.round(lam * MICRO).cast("long").alias("lam_micro")
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = M_BUCKETS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(id, n_grams, logw_micro) for every raw document: the exact
+    integer dot product of the document's bucket counts with the
+    broadcast log-ratio table. Rank/filter on logw_micro (higher =
+    more target-like); normalize by n_grams for a length-invariant
+    score."""
+    lam = F.broadcast(dsir_log_ratio_table(raw, target, id_col, text_col, m, alpha))
+    doc_buckets = (
+        _grams(raw, id_col, text_col)
+        .select("id", (F.expr(spark_h28("g")) % m).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        doc_buckets.join(lam, "b")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lam_micro")).alias("logw_micro"),
+        )
+    )
+
+
+def _duck_grams(corpus_sql: str) -> str:
+    return f"""
+        SELECT id, unnest(list_concat(_t,
+            CASE WHEN len(_t) >= 2 THEN
+                list_transform(range(1, len(_t)),
+                    i -> array_to_string(list_slice(_t, i, i+1), ' '))
+            ELSE [] END)) AS g
+        FROM (SELECT id, string_split(text, ' ') AS _t FROM ({corpus_sql}) c0) c1
+    """
+
+
+def duck_dsir_log_weights_sql(
+    raw_sql: str,
+    target_sql: str,
+    m: int = M_BUCKETS,
+    alpha: float = ALPHA,
+) -> str:
+    """DuckDB twin of dsir_log_weights (same hash, same smoothing,
+    same micro-integer rounding — the dot product is integer-exact)."""
+    h = duck_h28("g")
+    return f"""
+        WITH tg AS ({_duck_grams(target_sql)}),
+        rg AS ({_duck_grams(raw_sql)}),
+        tc AS (SELECT {h} % {m} AS b, COUNT(*) AS tc FROM tg GROUP BY 1),
+        rc AS (SELECT {h} % {m} AS b, COUNT(*) AS rc FROM rg GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(tc), 0) FROM tc) AS t_tot,
+                       (SELECT COALESCE(SUM(rc), 0) FROM rc) AS r_tot),
+        lam AS (
+            SELECT r.range AS b,
+                   CAST(ROUND({MICRO} * (
+                       ln((COALESCE(tc, 0) + {alpha}) / (t_tot + {alpha} * {m}))
+                     - ln((COALESCE(rc, 0) + {alpha}) / (r_tot + {alpha} * {m}))
+                   )) AS BIGINT) AS lam_micro
+            FROM range({m}) r CROSS JOIN tot
+            LEFT JOIN tc ON tc.b = r.range LEFT JOIN rc ON rc.b = r.range),
+        db AS (SELECT id, {h} % {m} AS b, COUNT(*) AS cnt FROM rg GROUP BY 1, 2)
+        SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               CAST(SUM(cnt * lam_micro) AS BIGINT) AS logw_micro
+        FROM db JOIN lam USING (b)
+        GROUP BY id ORDER BY id
+    """

@@ -1,0 +1,84 @@
+"""DSIR-style importance weighting: integer-exact DuckDB twin,
+ranking sanity, and determinism under repartition."""
+
+import duckdb
+import pandas as pd
+
+from book_ocr_spark.operators import dsir
+
+TARGET_ROWS = [
+    (100, "theorem proof lemma corollary we prove the bound holds for all n"),
+    (101, "by induction on n the lemma follows and the proof is complete"),
+]
+RAW_ROWS = [
+    (1, "we prove the following theorem by induction the proof uses a lemma"),
+    (2, "buy cheap watches now discount sale limited offer click here"),
+    (3, "the bound holds for all n by the corollary and the proof is complete"),
+    (4, "sports scores last night were high the game went to overtime"),
+    (5, ""),        # empty doc: one empty-string unigram, no bigram
+    (6, "single"),  # one token: no bigram branch
+]
+
+
+def _spark_weights(spark, raw_rows=RAW_ROWS):
+    raw = spark.createDataFrame(raw_rows, "id long, text string")
+    tgt = spark.createDataFrame(TARGET_ROWS, "id long, text string")
+    return sorted(
+        (r.id, r.n_grams, r.logw_micro)
+        for r in dsir.dsir_log_weights(raw, tgt, "id", "text").collect()
+    )
+
+
+def test_dsir_twin_and_ranking(spark):
+    """logw_micro is an integer dot product — bit-identical to the
+    DuckDB replay — and target-like documents outrank off-domain ones
+    on the length-normalized score."""
+    got = _spark_weights(spark)
+    con = duckdb.connect()
+    con.register("r", pd.DataFrame(RAW_ROWS, columns=["id", "text"]))
+    con.register("t", pd.DataFrame(TARGET_ROWS, columns=["id", "text"]))
+    want = sorted(
+        tuple(map(int, row))
+        for row in con.sql(
+            dsir.duck_dsir_log_weights_sql(
+                "SELECT id, text FROM r", "SELECT id, text FROM t"
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+    per_gram = {i: lw / n for i, n, lw in got}
+    assert per_gram[1] > per_gram[2]  # math beats spam
+    assert per_gram[3] > per_gram[4]  # math beats sports
+    assert {i for i, _, _ in got} == {1, 2, 3, 4, 5, 6}  # every raw doc scored
+
+
+def test_dsir_partition_invariance(spark):
+    """The integer formulation makes the weights independent of input
+    partitioning (a double-sum agg would not be)."""
+    raw = spark.createDataFrame(RAW_ROWS, "id long, text string").repartition(7)
+    tgt = spark.createDataFrame(TARGET_ROWS, "id long, text string").repartition(3)
+    reparted = sorted(
+        (r.id, r.n_grams, r.logw_micro)
+        for r in dsir.dsir_log_weights(raw, tgt, "id", "text").collect()
+    )
+    assert reparted == _spark_weights(spark)
+
+
+def test_dsir_lambda_table_is_broadcast(spark):
+    """The scoring join must broadcast the m-row log-ratio table, and
+    the raw corpus must never appear in a pairwise join shape."""
+    import re
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    raw = spark.createDataFrame(RAW_ROWS, "id long, text string")
+    tgt = spark.createDataFrame(TARGET_ROWS, "id long, text string")
+    buf = StringIO()
+    with redirect_stdout(buf):
+        dsir.dsir_log_weights(raw, tgt, "id", "text").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    # (the 1-row totals attach via a broadcast nested-loop join — that
+    # is the intended shape for scalar fan-out, not a pairwise join)
+    assert "CartesianProduct" not in plan, plan
