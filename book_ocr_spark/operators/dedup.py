@@ -1041,32 +1041,15 @@ def line_dedup(
     anywhere — cost is linear in total line count, which is what
     makes line-level dedup feasible where document near-dup is not.
     """
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("k", F.trim("line"))
+    lines = _exploded_lines(df, id_col, text_col, sep)
     boiler = (
         lines.filter(F.length("k") >= min_chars)
         .groupBy("k")
         .agg(F.count_distinct("id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("k")
-        .withColumn("_rm", F.lit(True))
     )
-    flagged = lines.join(boiler, "k", "left").withColumn(
-        "_gone", F.coalesce("_rm", F.lit(False))
-    )
-    return flagged.groupBy("id").agg(
-        F.concat_ws(
-            sep,
-            F.expr(
-                "transform(filter(array_sort(collect_list(struct(pos, line, _gone))),"
-                " x -> NOT x._gone), x -> x.line)"
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_lines"),
-        F.sum(F.col("_gone").cast("long")).alias("n_removed"),
-    )
+    return _strip_lines(lines, boiler, sep)
 
 
 def duck_line_dedup_sql(
@@ -1086,6 +1069,124 @@ def duck_line_dedup_sql(
         boiler AS (
             SELECT k FROM keyed WHERE LEN(k) >= {min_chars}
             GROUP BY k HAVING COUNT(DISTINCT id) >= {min_docs})
+        SELECT id,
+               COALESCE(string_agg(
+                   CASE WHEN b.k IS NULL THEN keyed.line END, '{s}'
+                   ORDER BY pos), '') AS clean_text,
+               COUNT(*) AS n_lines,
+               CAST(COUNT(b.k) AS BIGINT) AS n_removed
+        FROM keyed LEFT JOIN boiler b ON keyed.k = b.k
+        GROUP BY id ORDER BY id
+    """
+
+
+def _exploded_lines(df: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
+    """(id, pos, line, k): one row per line with its trimmed key."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("k", F.trim("line"))
+
+
+def _strip_lines(lines: DataFrame, boiler_keys: DataFrame, sep: str) -> DataFrame:
+    """Reassemble (id, clean_text, n_lines, n_removed) dropping lines
+    whose key appears in ``boiler_keys`` (one column ``k``)."""
+    flagged = lines.join(
+        boiler_keys.select("k").withColumn("_rm", F.lit(True)), "k", "left"
+    ).withColumn("_gone", F.coalesce("_rm", F.lit(False)))
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(pos, line, _gone))),"
+                " x -> NOT x._gone), x -> x.line)"
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_gone").cast("long")).alias("n_removed"),
+    )
+
+
+def incremental_line_dedup(
+    new_docs: DataFrame,
+    existing_line_counts: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Line dedup of a NEW batch against a CUMULATIVE line-frequency
+    table — the MERGE shape of line_dedup for a daily ingest: the
+    existing corpus is never re-read, only its materialized (k, ndocs)
+    table, and already-emitted documents are not retro-cleaned when a
+    line crosses the threshold later (standard incremental-curation
+    semantics; a periodic full line_dedup pass is the compaction
+    analog). Counts are exact when document ids do not straddle
+    batches (same contract as the other incremental dedups).
+
+    Returns ``(cleaned_batch, updated_line_counts)``:
+    cleaned_batch = (id, clean_text, n_lines, n_removed) for the batch
+    with lines whose COMBINED (existing + batch) distinct-doc count
+    reaches ``min_docs`` removed; updated_line_counts = the merged
+    (k, ndocs) state for the caller to write back (idempotent
+    overwrite, parquet/Iceberg MERGE analog).
+
+    Scale shape: identical to line_dedup plus one equi-join against
+    the state table on the line key — hash-partitioned, AQE free to
+    broadcast the (post-filter tiny) boilerplate side of the flagging
+    join; existing x existing work never happens.
+    """
+    lines = _exploded_lines(new_docs, id_col, text_col, sep)
+    bc = (
+        lines.filter(F.length("k") >= min_chars)
+        .groupBy("k")
+        .agg(F.count_distinct("id").alias("_bn"))
+    )
+    merged = (
+        bc.join(
+            existing_line_counts.select(
+                "k", F.col("ndocs").alias("_en")
+            ),
+            "k",
+            "full",
+        )
+        .select(
+            "k",
+            (F.coalesce("_bn", F.lit(0)) + F.coalesce("_en", F.lit(0))).alias(
+                "ndocs"
+            ),
+        )
+    )
+    boiler = merged.filter(F.col("ndocs") >= min_docs).select("k")
+    return _strip_lines(lines, boiler, sep), merged
+
+
+def duck_incremental_line_dedup_sql(
+    batch_sql: str,
+    existing_counts_sql: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> str:
+    """DuckDB twin of incremental_line_dedup's cleaned-batch output
+    (the updated state is the same full-outer merge, asserted
+    separately in tests)."""
+    s = sep.replace("'", "''")
+    return f"""
+        WITH lines AS (
+            SELECT id,
+                   generate_subscripts(string_split(text, '{s}'), 1) AS pos,
+                   unnest(string_split(text, '{s}')) AS line
+            FROM ({batch_sql}) c0),
+        keyed AS (SELECT id, pos, line, TRIM(line) AS k FROM lines),
+        bc AS (SELECT k, COUNT(DISTINCT id) AS bn FROM keyed
+               WHERE LEN(k) >= {min_chars} GROUP BY k),
+        merged AS (
+            SELECT COALESCE(bc.k, e.k) AS k,
+                   COALESCE(bn, 0) + COALESCE(ndocs, 0) AS ndocs
+            FROM bc FULL OUTER JOIN ({existing_counts_sql}) e ON bc.k = e.k),
+        boiler AS (SELECT k FROM merged WHERE ndocs >= {min_docs})
         SELECT id,
                COALESCE(string_agg(
                    CASE WHEN b.k IS NULL THEN keyed.line END, '{s}'

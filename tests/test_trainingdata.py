@@ -895,3 +895,49 @@ def test_line_dedup_min_docs_threshold(spark):
         for r in dedup.line_dedup(df, "id", "text", min_docs=3).collect()
     }
     assert got == {1: "shared\na", 2: "shared\nb", 3: "c"}
+
+
+def test_incremental_line_dedup(spark):
+    """Cross-batch boilerplate: a line seen once in batch 1 and once
+    in batch 2 crosses min_docs=2 DURING batch 2, so batch 2's copy is
+    removed (batch 1's emitted doc stays — documented incremental
+    semantics); the updated state is the full-outer count merge; the
+    DuckDB twin matches the cleaned output bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    b1 = [(1, "promo footer\ncontent one"), (2, "content two")]
+    b2 = [(3, "promo footer\ncontent three"), (4, "fresh line\ncontent four")]
+    empty_state = spark.createDataFrame([], "k string, ndocs long")
+
+    d1 = spark.createDataFrame(b1, "id long, text string")
+    clean1, state1 = dedup.incremental_line_dedup(d1, empty_state, "id", "text")
+    got1 = {r.id: (r.clean_text, r.n_removed) for r in clean1.collect()}
+    # nothing repeats inside batch 1
+    assert got1 == {1: ("promo footer\ncontent one", 0), 2: ("content two", 0)}
+    state1 = state1.cache()
+    s1 = {r.k: r.ndocs for r in state1.collect()}
+    assert s1["promo footer"] == 1 and s1["content one"] == 1
+
+    d2 = spark.createDataFrame(b2, "id long, text string")
+    clean2, state2 = dedup.incremental_line_dedup(d2, state1, "id", "text")
+    got2 = {r.id: (r.clean_text, r.n_removed) for r in clean2.collect()}
+    assert got2[3] == ("content three", 1)       # crossed the threshold
+    assert got2[4] == ("fresh line\ncontent four", 0)
+    s2 = {r.k: r.ndocs for r in state2.collect()}
+    assert s2["promo footer"] == 2 and s2["fresh line"] == 1
+    assert s2["content one"] == 1                # existing-only keys survive
+
+    con = duckdb.connect()
+    con.register("b2", pd.DataFrame(b2, columns=["id", "text"]))
+    con.register("st", pd.DataFrame(list(s1.items()), columns=["k", "ndocs"]))
+    want2 = {
+        int(i): (c, int(nr))
+        for i, c, _, nr in con.sql(
+            dedup.duck_incremental_line_dedup_sql(
+                "SELECT id, text FROM b2", "SELECT k, ndocs FROM st"
+            )
+        ).fetchall()
+    }
+    assert got2 == want2
+    state1.unpersist()
