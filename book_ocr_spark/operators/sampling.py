@@ -99,3 +99,71 @@ def duck_stratified_sample_sql(
         SELECT {select} FROM ({corpus_sql}) t
         WHERE {_duck_keep_expr(id_expr, salt)} < {case}{order}
     """
+
+
+def weighted_epochs(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic fractional UPsampling — the other half of data
+    mixing (stratified_sample can only keep <= 100% of a stratum; a
+    mixture like {'wiki': 3.5, 'web': 0.3} also needs "see wiki 3.5
+    epochs"). Every row is replicated floor(w) times, plus one more
+    iff the portable (salt, id) hash falls under frac(w) — so the
+    expected multiplicity is exactly w, the realized multiplicity is a
+    pure function of (salt, id), and a weight <= 1 degenerates to
+    stratified_sample's keep rule. Adds ``epoch`` (0-based copy
+    index) so downstream shuffling/packing can treat copies as
+    distinct rows.
+
+    Scale shape: one JVM `explode(sequence(...))` — a narrow per-row
+    expansion, no shuffle; output size is sum(w_s * |s|) by
+    construction, which is the point of mixing weights.
+    """
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0")
+    if default_weight < 0:
+        raise ValueError("default_weight must be >= 0")
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(w)
+    base = F.floor(w).cast("int")
+    extra = (_keep_expr(id_col, salt) < (w - F.floor(w))).cast("int")
+    n = (base + extra).alias("_n")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.expr("sequence(0, _n - 1)")))
+        .drop("_n")
+    )
+
+
+def duck_weighted_epochs_sql(
+    corpus_sql: str,
+    id_expr: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "ep",
+    select: str = "*",
+    order_by: str | None = None,
+) -> str:
+    """DuckDB twin of weighted_epochs (bit-identical replication)."""
+    case = f"CAST({default_weight} AS DOUBLE)"
+    for k, v in sorted(weights.items()):
+        case = f"(CASE WHEN {strata_col} = '{k}' THEN CAST({v} AS DOUBLE) ELSE {case} END)"
+    keep = _duck_keep_expr(id_expr, salt)
+    order = f" ORDER BY {order_by}" if order_by else ""
+    return f"""
+        SELECT {select} FROM (
+            SELECT s.* EXCLUDE (_n), unnest(range(0, _n)) AS epoch FROM (
+                SELECT *, CAST(FLOOR({case}) AS INTEGER)
+                       + CAST({keep} < ({case} - FLOOR({case})) AS INTEGER) AS _n
+                FROM ({corpus_sql}) t) s
+            WHERE _n > 0) u{order}
+    """

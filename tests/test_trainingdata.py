@@ -941,3 +941,74 @@ def test_incremental_line_dedup(spark):
     }
     assert got2 == want2
     state1.unpersist()
+
+
+def test_weighted_epochs(spark):
+    """Fractional upsampling: realized multiplicity is floor(w) or
+    floor(w)+1 per row (pure function of salt+id), per-stratum rates
+    land near the weights, epoch indices are dense, weight<=1
+    degenerates to the sampling keep rule, and the DuckDB twin
+    replicates bit-for-bit."""
+    import collections
+
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import sampling
+
+    rows = [(i, ["wiki", "web", "code"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    weights = {"wiki": 3.5, "web": 0.3, "code": 1.0}
+    out = sampling.weighted_epochs(df, "id", "src", weights)
+    got = sorted((r.id, r.src, r.epoch) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "src"]))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            sampling.duck_weighted_epochs_sql(
+                "SELECT id, src FROM c", "id", "src", weights,
+                select="id, src, epoch",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+    eps = collections.defaultdict(list)
+    for i, s, e in got:
+        eps[(i, s)].append(e)
+    for (i, s), v in eps.items():
+        assert sorted(v) == list(range(len(v)))
+        assert len(v) in (int(weights[s]), int(weights[s]) + 1)
+    n_in = collections.Counter(s for _, s in rows)
+    n_out = collections.Counter(s for _, s, _ in got)
+    assert n_out["code"] == n_in["code"]          # w=1.0 keeps exactly once
+    assert 3.0 <= n_out["wiki"] / n_in["wiki"] <= 4.0
+    assert 0.1 <= n_out["web"] / n_in["web"] <= 0.5
+
+    # weight <= 1 degenerates to stratified_sample membership (same salt)
+    kept = {
+        r.id
+        for r in sampling.stratified_sample(
+            df, "id", "src", {"web": 0.3}, default_fraction=0.0, salt="ep"
+        ).collect()
+    }
+    assert {i for i, s, _ in got if s == "web"} == kept
+
+    # partition independence
+    reparted = sorted(
+        (r.id, r.src, r.epoch)
+        for r in sampling.weighted_epochs(
+            df.repartition(13), "id", "src", weights
+        ).collect()
+    )
+    assert reparted == got
+
+
+def test_weighted_epochs_rejects_negative(spark):
+    from book_ocr_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with pytest.raises(ValueError):
+        sampling.weighted_epochs(df, "id", "src", {"a": -0.5})
