@@ -402,3 +402,88 @@ def start_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_line_dedup(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_chars: int = 1,
+    available_now: bool = False,
+):
+    """Streaming corpus-level line dedup — incremental_line_dedup
+    running continuously: each micro-batch of documents is cleaned
+    against the CUMULATIVE line-frequency state (`lines/`, per-batch
+    (k, ndocs) deltas summed on read, the batch's own partition
+    excluded so at-least-once replays see exactly the pre-batch
+    state), cleaned documents land in `clean/`, and the batch's delta
+    is appended. Same effectively-once story as
+    start_incremental_dedup: both writes are batch_id-keyed dynamic
+    partition overwrites, and the same read-then-catch rule separates
+    "first batch" from a genuinely unreadable state table (which must
+    fail the batch)."""
+    from book_ocr_spark.operators.dedup import (
+        _exploded_lines,
+        incremental_line_dedup,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    lines_path = f"{out_path}/lines"
+    clean_path = f"{out_path}/clean"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            try:
+                existing = (
+                    spark.read.parquet(lines_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .groupBy("k")
+                    .agg(F.sum("ndocs").alias("ndocs"))
+                )
+            except AnalysisException as exc:
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, lines_path
+                ):
+                    raise
+                existing = spark.createDataFrame([], "k string, ndocs long")
+            cleaned, _ = incremental_line_dedup(
+                batch_df, existing, "id", "text",
+                sep=sep, min_docs=min_docs, min_chars=min_chars,
+            )
+            (
+                cleaned.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(clean_path)
+            )
+            delta = (
+                _exploded_lines(batch_df, "id", "text", sep)
+                .filter(F.length("k") >= min_chars)
+                .groupBy("k")
+                .agg(F.count_distinct("id").alias("ndocs"))
+            )
+            (
+                delta.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(lines_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

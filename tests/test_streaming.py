@@ -329,3 +329,35 @@ def test_streaming_dedup_zero_length_sig_file_fails_batch(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(180)
+
+
+def test_streaming_incremental_line_dedup(spark, tmp_path):
+    """Streaming line dedup: a boilerplate line seen in batch 1
+    crosses min_docs during batch 2, so batch 2's copy is stripped
+    (batch 1's emitted doc keeps it — incremental semantics); the
+    line-frequency state accumulates per-batch deltas."""
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "ld_out")
+    b1 = [(1, "promo footer\ncontent one"), (2, "content two")]
+    b2 = [(10, "promo footer\ncontent ten"), (11, "fresh\ncontent eleven")]
+    spark.createDataFrame(b1, "id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(b2, "id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = jobs.start_incremental_line_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_ld"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    clean = {r.id: (r.clean_text, r.n_removed) for r in
+             spark.read.parquet(f"{out}/clean").collect()}
+    assert clean[1] == ("promo footer\ncontent one", 0)   # batch 1 untouched
+    assert clean[10] == ("content ten", 1)                # stripped in batch 2
+    assert clean[11] == ("fresh\ncontent eleven", 0)
+    state = spark.read.parquet(f"{out}/lines")
+    cum = {r.k: r.total for r in
+           state.groupBy("k").agg(F.sum("ndocs").alias("total")).collect()}
+    assert cum["promo footer"] == 2 and cum["content one"] == 1
