@@ -116,3 +116,75 @@ def expire_stream_batches(out_path: str, keep_last: int = 2) -> dict:
                 shutil.rmtree(os.path.join(part_path, stale))
                 removed += 1
     return {"dirs_removed": removed}
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack a parquet table's data files toward
+    ``target_file_bytes`` — the Iceberg `rewrite_data_files` analog
+    for the parquet stand-in. Streaming sinks and per-partition
+    chunked commits accumulate many small files; small files are the
+    classic scan-cost killer at warehouse scale (per-file open cost +
+    per-file metadata swamp the actual bytes).
+
+    Non-partitioned leaf tables only (partitioned stores have their
+    own retention above — expire_stream_batches — and a partition-wise
+    compactor is the same code per leaf). Skips the rewrite when the
+    table already has fewer than ``min_files`` files. Uses the same
+    two-rename atomic swap as compact_checkpoint_log: a crash never
+    unlinks the live table.
+
+    Returns {"files_before", "files_after", "rows"} (rows re-counted
+    from the rewritten table — the invariant the swap protects).
+    """
+    if not io.exists(table_path):
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    files = [
+        f
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    n_before = len(files)
+    if n_before < min_files:
+        rows = spark.read.parquet(table_path).count()
+        return {"files_before": n_before, "files_after": n_before, "rows": rows}
+    total_bytes = sum(os.path.getsize(os.path.join(table_path, f)) for f in files)
+    n_target = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+
+    old = table_path.rstrip("/") + "__precompact"
+    if os.path.isdir(old):
+        if not io.exists(table_path):
+            os.replace(old, table_path)
+        else:
+            shutil.rmtree(old)  # stale leftover from a post-swap crash
+    df = spark.read.parquet(table_path)
+    rows_before = df.count()
+    tmp = table_path.rstrip("/") + "__compacting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.coalesce(int(n_target)).write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:  # pragma: no cover - invariant guard
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row-count drift {rows_before} -> {rows_after}; aborted"
+        )
+    os.replace(table_path, old)
+    os.replace(tmp, table_path)
+    shutil.rmtree(old)
+    n_after = len(
+        [
+            f
+            for f in os.listdir(table_path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    )
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "rows": int(rows_after),
+    }

@@ -271,3 +271,37 @@ def test_retention_recovers_from_mid_swap_crash(spark, transcripts_pd, out_dir):
     after2 = {(r.part_id, r.status) for r in cp.current_status(spark, ckpt).collect()}
     assert after2 == before
     assert not os.path.isdir(ckpt + "__precompact")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Small-file compaction: many tiny files collapse toward the
+    byte target, the data is bit-identical, a sub-threshold table is
+    left alone, and a planted __precompact leftover is cleaned up."""
+    from book_ocr_spark.plans.maintenance import compact_small_files
+
+    tbl = str(tmp_path / "turns_flat")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(16).write.parquet(tbl)
+    before = sorted((r.id, r.v) for r in spark.read.parquet(tbl).collect())
+
+    res = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
+    assert res["files_before"] == 16 and res["files_after"] == 1
+    assert res["rows"] == 2000
+    after = sorted((r.id, r.v) for r in spark.read.parquet(tbl).collect())
+    assert after == before
+
+    # already compact: second run is a no-op
+    res2 = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
+    assert res2["files_before"] == res2["files_after"] == 1
+
+    # stale __precompact leftover (crash after swap) must be removed
+    import os
+    import shutil
+
+    leftover = tbl + "__precompact"
+    shutil.copytree(tbl, leftover)
+    df2 = spark.range(10).selectExpr("id", "id AS v")
+    df2.repartition(4).write.mode("overwrite").parquet(tbl)
+    res3 = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
+    assert not os.path.isdir(leftover)
+    assert res3["rows"] == 10
