@@ -167,3 +167,15 @@ def duck_weighted_epochs_sql(
                 FROM ({corpus_sql}) t) s
             WHERE _n > 0) u{order}
     """
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuf") -> DataFrame:
+    """Global pseudo-random training order as a SORT by the portable
+    (salt, id) hash (ties broken by id) — reproducible across runs,
+    cluster shapes and engines, unlike `orderBy(rand())`. Changing
+    ``salt`` gives an independent permutation (a new training epoch
+    order). One range-partitioned sort — the same cost as any global
+    ORDER BY; for shard-local order instead, repartition by the hash
+    and sortWithinPartitions (no global exchange)."""
+    h = F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
+    return df.orderBy(h, F.col(id_col))

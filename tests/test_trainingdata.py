@@ -1012,3 +1012,28 @@ def test_weighted_epochs_rejects_negative(spark):
     df = spark.createDataFrame([(1, "a")], "id long, src string")
     with pytest.raises(ValueError):
         sampling.weighted_epochs(df, "id", "src", {"a": -0.5})
+
+
+def test_deterministic_shuffle(spark):
+    """The permutation is a pure function of (salt, id): stable across
+    partitionings, different per salt, a permutation of the input, and
+    replayed exactly by the DuckDB twin ORDER BY."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import sampling
+    from book_ocr_spark.operators.dedup import duck_h28
+
+    rows = [(i,) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long")
+    a = [r.id for r in sampling.deterministic_shuffle(df, "id").collect()]
+    b = [r.id for r in sampling.deterministic_shuffle(df.repartition(9), "id").collect()]
+    assert a == b and sorted(a) == [r[0] for r in rows] and a != sorted(a)
+    c = [r.id for r in sampling.deterministic_shuffle(df, "id", salt="s2").collect()]
+    assert c != a and sorted(c) == sorted(a)
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id"]))
+    h = duck_h28("('shuf:' || CAST(id AS VARCHAR))")
+    want = [int(r[0]) for r in con.sql(f"SELECT id FROM c ORDER BY {h}, id").fetchall()]
+    assert a == want
