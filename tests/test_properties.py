@@ -208,3 +208,61 @@ def test_hyperplane_recall_formula_matches_monte_carlo():
                 hits += 1
         want = hyperplane_band_recall(sim, n_bands, planes)
         assert hits / trials == pytest.approx(want, abs=0.03), sim
+
+
+def test_line_dedup_property(spark):
+    """Property: for arbitrary printable multi-line corpora, Spark
+    line_dedup and the DuckDB twin agree bit-for-bit, surviving lines
+    are an ordered subsequence of the original, and the counters are
+    consistent (n_lines = split length, removed + kept = total)."""
+    import duckdb
+    import pandas as pd
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql, line_dedup
+
+    line_alpha = st.characters(min_codepoint=32, max_codepoint=126)
+    doc = st.lists(
+        st.text(alphabet=line_alpha, min_size=0, max_size=20), min_size=1, max_size=6
+    ).map(lambda ls: "\n".join(ls))
+    texts_acc = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(doc)
+    def collect(t):
+        texts_acc.append(t)
+
+    collect()
+    rows = [(i, t) for i, t in enumerate(texts_acc)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in line_dedup(df, "id", "text", min_docs=2).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {
+        int(i): (c, int(nl), int(nr))
+        for i, c, nl, nr in con.sql(
+            duck_line_dedup_sql("SELECT id, text FROM c")
+        ).fetchall()
+    }
+    assert got == want
+
+    for i, t in rows:
+        clean, n_lines, n_removed = got[i]
+        orig = t.split("\n")
+        assert n_lines == len(orig)
+        kept = clean.split("\n") if clean != "" else []
+        # kept must be an ordered subsequence of the original lines
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept)
+        # removed+kept accounts for every line, unless clean collapsed
+        # to '' with kept lines that were themselves '' (split can't
+        # distinguish [''] from []) — reconcile via the counter
+        assert n_removed == len(orig) - len(kept) or (
+            clean == "" and n_removed == len(orig) - orig.count("")
+        )
