@@ -1107,6 +1107,26 @@ def _strip_lines(lines: DataFrame, boiler_keys: DataFrame, sep: str) -> DataFram
     )
 
 
+def batch_line_counts(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """(k, ndocs): the batch's own per-line distinct-doc counts — the
+    DELTA an incremental caller appends to its cumulative state. The
+    single source of the counting rule for incremental_line_dedup and
+    the streaming job (pass the SAME persisted result to both uses to
+    avoid re-exploding the batch)."""
+    return (
+        _exploded_lines(new_docs, id_col, text_col, sep)
+        .filter(F.length("k") >= min_chars)
+        .groupBy("k")
+        .agg(F.count_distinct("id").alias("ndocs"))
+    )
+
+
 def incremental_line_dedup(
     new_docs: DataFrame,
     existing_line_counts: DataFrame,
@@ -1115,6 +1135,7 @@ def incremental_line_dedup(
     sep: str = "\n",
     min_docs: int = 2,
     min_chars: int = 1,
+    batch_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Line dedup of a NEW batch against a CUMULATIVE line-frequency
     table — the MERGE shape of line_dedup for a daily ingest: the
@@ -1124,6 +1145,9 @@ def incremental_line_dedup(
     semantics; a periodic full line_dedup pass is the compaction
     analog). Counts are exact when document ids do not straddle
     batches (same contract as the other incremental dedups).
+    ``batch_counts``: a precomputed (ideally persisted)
+    batch_line_counts result, so a caller that also writes the delta
+    does not pay the explode+agg twice.
 
     Returns ``(cleaned_batch, updated_line_counts)``:
     cleaned_batch = (id, clean_text, n_lines, n_removed) for the batch
@@ -1138,11 +1162,11 @@ def incremental_line_dedup(
     join; existing x existing work never happens.
     """
     lines = _exploded_lines(new_docs, id_col, text_col, sep)
-    bc = (
-        lines.filter(F.length("k") >= min_chars)
-        .groupBy("k")
-        .agg(F.count_distinct("id").alias("_bn"))
-    )
+    if batch_counts is None:
+        batch_counts = batch_line_counts(
+            new_docs, id_col, text_col, sep, min_chars
+        )
+    bc = batch_counts.select("k", F.col("ndocs").alias("_bn"))
     merged = (
         bc.join(
             existing_line_counts.select(

@@ -29,7 +29,7 @@ pass is explode → hash-agg, all JVM expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from book_ocr_spark.operators.dedup import duck_h28, spark_h28
@@ -78,7 +78,9 @@ def dsir_log_ratio_table(
     round(1e6 * (ln p_target[b] - ln p_raw[b])) over ALL m buckets
     (absent buckets get the pure-smoothing ratio). m rows — broadcast
     material."""
-    spark = SparkSession.getActiveSession()
+    # the session that owns the input DataFrames — getActiveSession()
+    # is thread-local and returns None on a driver worker thread
+    spark = raw.sparkSession
     tc = _bucket_counts(_grams(target, id_col, text_col), m)
     rc = _bucket_counts(_grams(raw, id_col, text_col), m)
     # totals ride along as 1-row cross joins — no driver action, the

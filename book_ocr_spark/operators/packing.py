@@ -67,6 +67,14 @@ def pack_next_fit(
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        if pdf["size"].isna().any() or (pdf["size"] < 0).any():
+            bad = pdf.loc[pdf["size"].isna() | (pdf["size"] < 0), "id"].head(3)
+            # fail fast: a negative size would merge into the -1 bin
+            # sentinel and a NULL would crash the int cast — both mean
+            # the upstream token counts are corrupt, not packable
+            raise ValueError(
+                f"pack_next_fit: null/negative size for ids {list(bad)}"
+            )
         sizes = pdf["size"].to_numpy(dtype=np.int64)
         bins = np.empty(len(sizes), dtype=np.int32)
         pos = np.empty(len(sizes), dtype=np.int32)
@@ -108,9 +116,15 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
         F.count(F.when(~F.col("overfull"), 1)).alias("_n_ok"),
     ).select(
         "n_bins",
-        F.round(
-            F.col("_packed") / (F.col("_n_ok") * F.lit(float(capacity))), 4
-        ).alias("fill_ratio"),
+        # 0.0, not NULL, when every bin is overfull (0 controllable bins)
+        F.when(
+            F.col("_n_ok") > 0,
+            F.round(
+                F.col("_packed") / (F.col("_n_ok") * F.lit(float(capacity))), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fill_ratio"),
     )
 
 

@@ -503,6 +503,9 @@ def gopher_quality_flags(
     via kwargs (same channel as the extraction Thresholds). The
     within-document repetition rules are `repetition_signals` (they
     need their own aggs); this operator is the narrow remainder.
+    ``sep`` must be a plain string with no regex metacharacters (it
+    is a split regex in Spark and a literal in DuckDB — same contract
+    as line_dedup; stick to '\\n' etc.).
 
     Scale shape: everything is higher-order functions over the
     split-token/line arrays — no explode, no shuffle, packs into the

@@ -35,7 +35,15 @@ def url_parts(df: DataFrame, url_col: str) -> DataFrame:
     """Adds ``host`` (lowercased, port/userinfo stripped) and
     ``domain`` (naive registered domain). Unparseable URLs (no
     scheme) get host='' and domain='' rather than nulls so the
-    blocked-flag logic stays two-valued."""
+    blocked-flag logic stays two-valued. Refuses an input that
+    already carries host/domain columns — silently overwriting a
+    corpus's own metadata is worse than failing."""
+    clash = {"host", "domain"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"url_parts would overwrite existing column(s) {sorted(clash)}; "
+            "rename them first"
+        )
     low = F.lower(F.col(url_col))
     host = F.regexp_extract(low, HOST_RE, 1)
     return df.withColumn("host", host).withColumn(
@@ -59,8 +67,13 @@ def url_flags(
     """
     parts = url_parts(df, url_col)
     if block_domains is not None:
+        # distinct: a blocklist assembled from several sources may
+        # repeat a domain, and a duplicate key in the build side would
+        # fan every matching corpus row out into N copies
         bl = F.broadcast(
-            block_domains.select(F.col("domain"), F.lit(True).alias("_dom_hit"))
+            block_domains.select("domain")
+            .distinct()
+            .withColumn("_dom_hit", F.lit(True))
         )
         parts = parts.join(bl, "domain", "left")
     else:

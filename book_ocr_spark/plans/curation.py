@@ -200,6 +200,13 @@ def curate_web_corpus(
     )
     if pack_capacity is None:
         return final
+    # `final` feeds BOTH the packer and the join's left side — without
+    # a persist Spark would execute the whole curate lineage (quality
+    # gate through near-dup verify) twice; released via storage_handle
+    # like curate()'s own internal persists
+    final = final.persist()
+    if storage_handle is not None:
+        storage_handle.append(final)
     packed = pack_next_fit(final, id_col, "n_tokens", pack_capacity)
     return final.join(
         packed.select(

@@ -141,6 +141,17 @@ def compact_small_files(
     Returns {"files_before", "files_after", "rows"} (rows re-counted
     from the rewritten table — the invariant the swap protects).
     """
+    # crash recovery FIRST (same order as compact_checkpoint_log, for
+    # the same reason): a prior run that died between its two renames
+    # left the only full table at `old` and nothing at table_path — an
+    # existence check before this restore would wrongly report an
+    # empty table forever
+    old = table_path.rstrip("/") + "__precompact"
+    if os.path.isdir(old):
+        if not io.exists(table_path):
+            os.replace(old, table_path)  # mid-swap crash: restore
+        else:
+            shutil.rmtree(old)  # stale leftover from a post-swap crash
     if not io.exists(table_path):
         return {"files_before": 0, "files_after": 0, "rows": 0}
     files = [
@@ -155,12 +166,6 @@ def compact_small_files(
     total_bytes = sum(os.path.getsize(os.path.join(table_path, f)) for f in files)
     n_target = max(1, -(-total_bytes // target_file_bytes))  # ceil div
 
-    old = table_path.rstrip("/") + "__precompact"
-    if os.path.isdir(old):
-        if not io.exists(table_path):
-            os.replace(old, table_path)
-        else:
-            shutil.rmtree(old)  # stale leftover from a post-swap crash
     df = spark.read.parquet(table_path)
     rows_before = df.count()
     tmp = table_path.rstrip("/") + "__compacting"

@@ -426,7 +426,7 @@ def start_incremental_line_dedup(
     "first batch" from a genuinely unreadable state table (which must
     fail the batch)."""
     from book_ocr_spark.operators.dedup import (
-        _exploded_lines,
+        batch_line_counts,
         incremental_line_dedup,
     )
 
@@ -439,7 +439,12 @@ def start_incremental_line_dedup(
     clean_path = f"{out_path}/clean"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
+        # ONE explode+agg over the batch: the persisted delta feeds
+        # both the cleaning join (via batch_counts) and the state
+        # write — single source of the counting rule
+        delta = batch_line_counts(
+            batch_df, "id", "text", sep=sep, min_chars=min_chars
+        ).persist()
         try:
             try:
                 existing = (
@@ -457,6 +462,7 @@ def start_incremental_line_dedup(
             cleaned, _ = incremental_line_dedup(
                 batch_df, existing, "id", "text",
                 sep=sep, min_docs=min_docs, min_chars=min_chars,
+                batch_counts=delta,
             )
             (
                 cleaned.withColumn("batch_id", F.lit(batch_id))
@@ -464,12 +470,6 @@ def start_incremental_line_dedup(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(clean_path)
-            )
-            delta = (
-                _exploded_lines(batch_df, "id", "text", sep)
-                .filter(F.length("k") >= min_chars)
-                .groupBy("k")
-                .agg(F.count_distinct("id").alias("ndocs"))
             )
             (
                 delta.withColumn("batch_id", F.lit(batch_id))
@@ -479,7 +479,7 @@ def start_incremental_line_dedup(
                 .parquet(lines_path)
             )
         finally:
-            batch_df.unpersist()
+            delta.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

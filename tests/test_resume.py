@@ -305,3 +305,19 @@ def test_compact_small_files(spark, tmp_path):
     res3 = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
     assert not os.path.isdir(leftover)
     assert res3["rows"] == 10
+
+
+def test_compact_small_files_mid_swap_recovery(spark, tmp_path):
+    """A crash between the two renames leaves the only table at
+    __precompact; the next call must restore it, not report an empty
+    table."""
+    from book_ocr_spark.plans.maintenance import compact_small_files
+
+    tbl = str(tmp_path / "turns_mid")
+    spark.range(100).selectExpr("id", "id AS v").repartition(4).write.parquet(tbl)
+    import os
+
+    os.replace(tbl, tbl + "__precompact")  # simulate mid-swap crash
+    res = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
+    assert res["rows"] == 100 and res["files_after"] == 1
+    assert os.path.isdir(tbl) and not os.path.isdir(tbl + "__precompact")

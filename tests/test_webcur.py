@@ -245,3 +245,33 @@ def test_curate_web_corpus_stage_twins(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_url_flags_duplicate_blocklist_no_fanout(spark):
+    """A blocklist repeating a domain must not multiply corpus rows."""
+    df = spark.createDataFrame(URL_ROWS, "id int, url string")
+    bdf = spark.createDataFrame(BLOCKLIST * 3, "domain string")
+    out = webfilter.url_flags(df, "url", bdf).collect()
+    assert len(out) == len(URL_ROWS)
+    assert sorted(r.id for r in out) == [r[0] for r in URL_ROWS]
+
+
+def test_url_parts_rejects_column_collision(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x", "meta")], "id int, url string, domain string"
+    )
+    with pytest.raises(ValueError, match="domain"):
+        webfilter.url_parts(df, "url")
+
+
+def test_pack_next_fit_rejects_bad_sizes(spark):
+    df = spark.createDataFrame([(1, 5), (2, -2)], "doc_id long, n_tok long")
+    with pytest.raises(Exception, match="null/negative size"):
+        packing.pack_next_fit(df, "doc_id", "n_tok", capacity=64).collect()
+
+
+def test_pack_stats_all_overfull_is_zero(spark):
+    df = spark.createDataFrame([(1, 100), (2, 200)], "doc_id long, n_tok long")
+    packed = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=10)
+    st = packing.pack_stats(packed, 10).collect()[0]
+    assert st.fill_ratio == 0.0 and st.n_bins == 2
