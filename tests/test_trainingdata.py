@@ -1114,3 +1114,20 @@ def test_gopher_quality_overrides(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_near_dup_clusters_long_chain_pointer_jumping(spark):
+    """A 300-node path has diameter 299: plain min-propagation needs
+    ~300 rounds, pointer jumping labels it inside max_iters=12 —
+    every node gets cluster_id 0, isolated nodes keep their own id."""
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n + 3)], "id long")
+    labels = {
+        r.id: r.cluster_id
+        for r in dedup.near_dup_clusters(pairs, ids, max_iters=12).collect()
+    }
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[n] == n and labels[n + 2] == n + 2  # isolated survivors
