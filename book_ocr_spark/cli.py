@@ -77,6 +77,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     ret.add_argument("--threads", type=int, default=None)
     ret.add_argument("--log-level", default="WARN")
+    cur = sub.add_parser(
+        "curate",
+        help="web-corpus curation pass: URL gate -> corpus line dedup -> "
+        "quality/exact/near-dup dedup -> optional sequence packing "
+        "(plans.curation.curate_web_corpus)",
+    )
+    cur.add_argument("--input", required=True, help="documents parquet (id, text[, url])")
+    cur.add_argument("--output", required=True, help="curated output parquet path")
+    cur.add_argument("--id-col", default="id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--url-col", default=None, help="enable the URL gate on this column")
+    cur.add_argument(
+        "--block-domains", default=None,
+        help="parquet/csv path with a `domain` column (broadcast blocklist)",
+    )
+    cur.add_argument("--line-min-docs", type=int, default=2)
+    cur.add_argument("--pack-capacity", type=int, default=None)
+    cur.add_argument("--k", type=int, default=3, help="shingle size for near-dup")
+    cur.add_argument("--threshold", type=float, default=0.6, help="Jaccard threshold")
+    cur.add_argument(
+        "--clustering", choices=("pair", "cc"), default="pair",
+        help="near-dup canonicalization rule",
+    )
+    cur.add_argument(
+        "--hot-bucket-cap", type=int, default=None,
+        help="LSH hot-bucket salt cap (see dedup.capped_bucket_pairs)",
+    )
+    cur.add_argument("--threads", type=int, default=None)
+    cur.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
     args = top.parse_args(argv)
 
@@ -102,6 +131,47 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary))
             return 0
         finally:
+            spark.stop()
+
+    if args.cmd == "curate":
+        from book_ocr_spark.plans.curation import curate_web_corpus
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-curate", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        handle: list = []
+        try:
+            docs = spark.read.parquet(args.input)
+            block = None
+            if args.block_domains is not None:
+                reader = spark.read
+                block = (
+                    reader.option("header", True).csv(args.block_domains)
+                    if args.block_domains.endswith(".csv")
+                    else reader.parquet(args.block_domains)
+                )
+            result = curate_web_corpus(
+                docs,
+                args.id_col,
+                args.text_col,
+                url_col=args.url_col,
+                block_domains=block,
+                line_min_docs=args.line_min_docs,
+                pack_capacity=args.pack_capacity,
+                k=args.k,
+                threshold=args.threshold,
+                clustering=args.clustering,
+                storage_handle=handle,
+                hot_bucket_cap=args.hot_bucket_cap,
+            )
+            result.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"curated_rows": int(n), "output": args.output}))
+            return 0
+        finally:
+            for df in handle:
+                df.unpersist()
             spark.stop()
 
     from book_ocr_spark.functions.heuristics import DEFAULT_THRESHOLDS, Thresholds

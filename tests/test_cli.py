@@ -61,3 +61,44 @@ def test_retention_subcommand(spark, tmp_path, capsys, monkeypatch):
     assert cli.main(["resume", "--input", inp, "--output", out, "--n-parts", "4"]) == 0
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["parts_processed"] == []
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, monkeypatch):
+    """`curate` drives the composed web pass from the command line:
+    URL-blocked, boilerplate-emptied, sub-quality and duplicate docs
+    drop; survivors land as parquet with packing columns."""
+    import json
+
+    inp = str(tmp_path / "docs_in")
+    blk = str(tmp_path / "blocklist")
+    out = str(tmp_path / "curated")
+    long_a = " ".join(["orbit"] * 3 + "the quick brown fox jumps over the lazy dog while reading long form articles about distributed query engines and careful shuffle management strategies".split())
+    long_b = "completely different material discussing watermark semantics for late arriving events in structured streaming with session window aggregation and state store compaction details"
+    rows = [
+        (1, "https://a.example.com/1", long_a),
+        (2, "https://b.example.com/2", long_b),
+        (3, "https://bad.blocked.org/3", long_b),   # domain-blocked
+        (4, "https://c.example.com/4", long_b),     # exact dup of 2
+        (5, "https://d.example.com/5", "tiny"),     # quality-dropped
+    ]
+    spark.createDataFrame(rows, "id long, url string, text string").write.parquet(inp)
+    spark.createDataFrame([("blocked.org",)], "domain string").write.parquet(blk)
+    # keep the shared session alive when cli calls spark.stop()
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "curate", "--input", inp, "--output", out,
+            "--url-col", "url", "--block-domains", blk,
+            "--line-min-docs", "3", "--pack-capacity", "64",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["curated_rows"] == 2
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    assert {"fingerprint", "n_tokens", "grp", "bin", "bin_pos"} <= set(got.columns)
