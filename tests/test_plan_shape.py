@@ -303,3 +303,19 @@ def test_pack_next_fit_single_shuffle(spark):
     plan = _explain(pack_next_fit(df, "doc_id", "n_tok", capacity=64, n_groups=4))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1, plan
+
+
+def test_line_dedup_distinct_count_is_two_stage(spark):
+    """The boilerplate count must spread a hot line key: Catalyst
+    plans count_distinct(id) BY k as exchange-on-(k,id) for the
+    distinct, then partial_count per k (map-side combined) before the
+    exchange-on-k — so a line present in EVERY document (the normal
+    boilerplate case) never funnels its (k, id) rows through one
+    reducer. Pinned because a formulation change (e.g. collect_set)
+    would silently lose this."""
+    from book_ocr_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    plan = _explain(line_dedup(df, "id", "text"))
+    assert "partial_count(distinct" in plan, plan
+    assert re.search(r"hashpartitioning\(k#\d+, id#\d+", plan), plan
