@@ -69,9 +69,13 @@ def url_flags(
     if block_domains is not None:
         # distinct: a blocklist assembled from several sources may
         # repeat a domain, and a duplicate key in the build side would
-        # fan every matching corpus row out into N copies
+        # fan every matching corpus row out into N copies. coalesce(1)
+        # first: SinglePartition satisfies the distinct's distribution
+        # requirement, so no shuffle is planned — the blocklist is KBs
+        # and is collected to the driver for the broadcast anyway.
         bl = F.broadcast(
             block_domains.select("domain")
+            .coalesce(1)
             .distinct()
             .withColumn("_dom_hit", F.lit(True))
         )
