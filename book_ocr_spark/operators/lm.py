@@ -1,0 +1,211 @@
+"""CCNet-style n-gram language-model perplexity scoring (Wenzek et
+al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+Web Crawl Data"): train a bigram LM on a trusted reference corpus,
+then score every candidate document by its per-token cross-entropy
+under that model — low perplexity ≈ fluent, target-like text; high
+perplexity ≈ gibberish, boilerplate soup, or wrong-register content.
+CCNet uses a KenLM 5-gram; the graft keeps the exact same pipeline
+shape (train once on the small trusted corpus, score the whole crawl)
+with a hashed-vocabulary add-alpha bigram model so the score is a pure
+function of counts and is replayable bit-for-bit in the DuckDB twin.
+
+Model: tokens hash into ``v`` vocabulary buckets (portable md5-derived
+h28, as everywhere else in this repo); bigram history counts
+``c(u1,u2)`` and their row-sums ``c(u1)`` come from ONE pass over the
+reference corpus; the conditional is add-alpha smoothed:
+
+    ln p(u2|u1) = ln(c(u1,u2) + a) - ln(c(u1) + a*v)
+
+Determinism contract (same as operators.dsir): each bigram's log-prob
+is rounded to MICRO units (1e-6 nats) and cast to bigint once, so a
+document's total log-prob is an INTEGER dot product with its bigram
+counts — merge-order and partition independent, identical in Spark
+and DuckDB. ``xent_micro`` (per-token cross-entropy, micro-nats) is
+derived from the two exact integers by one IEEE double division, so
+it too matches bit-for-bit.
+
+Scale shape (100 TB candidate corpus): the reference corpus is small
+by definition (it is the curated thing — CCNet uses Wikipedia); its
+model is built in one explode -> hash-agg pass, bigram rows bounded by
+min(observed bigrams, v^2) and the v-row history table derived from
+the bigram table WITHOUT a second corpus pass. Scoring touches the
+candidate corpus exactly once: explode -> per-doc hash agg -> one
+narrow equi-join against the model (broadcast when it fits, plain
+hash join otherwise — both linear) -> per-doc agg. No self-joins, no
+driver loops, all-JVM expressions.
+
+Reference lineage: graft of the reference's confidence gate — the OCR
+recognizer emits per-column ``conf`` and acceptance requires mean
+accuracy >= 90% (`docs/prd.md:33,75`, `docs/technical_architecture.md:127`);
+LM cross-entropy is the corpus-trained analog of that per-unit
+quality score for transcript text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h28, spark_h28
+
+V_BUCKETS = 4096
+ALPHA = 0.1
+MICRO = 1_000_000
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str, v: int) -> DataFrame:
+    """(id, u1, u2) hashed-bucket bigram stream WITH multiplicity.
+    Docs with fewer than two whitespace tokens emit no rows (callers
+    re-attach them; see lm_cross_entropy)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_t")
+    ).where(F.size("_t") >= 2)
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_t, 1, size(_t) - 1)").alias("w1"),
+                F.expr("slice(_t, 2, size(_t) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        "id",
+        F.expr(f"{spark_h28('p.w1')} % {v}").alias("u1"),
+        F.expr(f"{spark_h28('p.w2')} % {v}").alias("u2"),
+    )
+
+
+def bigram_lm(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    v: int = V_BUCKETS,
+) -> DataFrame:
+    """(u1, u2, c12, c1): bigram counts plus their per-history row sums
+    over the reference corpus — the whole LM state, built in one pass
+    (c1 is a window sum over the grouped bigram table, not a second
+    scan of the corpus)."""
+    from pyspark.sql import Window
+
+    bi = (
+        _bigrams(corpus, id_col, text_col, v)
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("c12"))
+    )
+    return bi.withColumn("c1", F.sum("c12").over(Window.partitionBy("u1")))
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    v: int = V_BUCKETS,
+    alpha: float = ALPHA,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_bigrams, logp_micro, xent_micro) for EVERY document in
+    ``docs``: integer-exact total log-prob under the corpus-trained
+    bigram LM and the derived per-token cross-entropy in micro-nats
+    (NULL when the doc has no bigram). Filter on xent_micro (lower =
+    more corpus-like); perplexity = exp(xent_micro / 1e6).
+
+    ``broadcast_model=False`` switches the model attachment to a plain
+    hash equi-join for reference corpora whose bigram table outgrows
+    broadcast size — same rows either way."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unseen bigrams need mass)")
+    model = bigram_lm(corpus, id_col, text_col, v)
+    if broadcast_model:
+        model = F.broadcast(model)
+    # Unseen histories (u1 absent from the model) take c12 = c1 = 0 —
+    # the pure-smoothing conditional ln(a) - ln(a*v) — so the left
+    # join needs no second backoff table.
+    db = (
+        _bigrams(docs, id_col, text_col, v)
+        .groupBy("id", "u1", "u2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lp = F.round(
+        MICRO
+        * (
+            F.log(F.coalesce(F.col("c12"), F.lit(0)) + alpha)
+            - F.log(F.coalesce(F.col("c1"), F.lit(0)) + alpha * v)
+        )
+    ).cast("long")
+    scored = (
+        db.join(model, ["u1", "u2"], "left")
+        .select("id", "cnt", lp.alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("logp_micro"),
+        )
+    )
+    # Re-attach sub-2-token docs so every input id gets a score row.
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(scored, "id", "left")
+        .fillna(0, ["n_bigrams", "logp_micro"])
+        .withColumn(
+            "xent_micro",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    -F.col("logp_micro").cast("double") / F.col("n_bigrams")
+                ).cast("long"),
+            ),
+        )
+    )
+
+
+def _duck_bigrams(corpus_sql: str, v: int) -> str:
+    h1, h2 = duck_h28("w1"), duck_h28("w2")
+    return f"""
+        SELECT id, {h1} % {v} AS u1, {h2} % {v} AS u2
+        FROM (
+            SELECT id,
+                   unnest(list_slice(_t, 1, len(_t) - 1)) AS w1,
+                   unnest(list_slice(_t, 2, len(_t))) AS w2
+            FROM (SELECT id, string_split(text, ' ') AS _t
+                  FROM ({corpus_sql}) b0) b1
+            WHERE len(_t) >= 2) b2
+    """
+
+
+def duck_lm_cross_entropy_sql(
+    docs_sql: str,
+    corpus_sql: str,
+    v: int = V_BUCKETS,
+    alpha: float = ALPHA,
+) -> str:
+    """DuckDB twin of lm_cross_entropy: same hash, same smoothing,
+    same micro-integer rounding — logp_micro is bit-identical and
+    xent_micro follows from the same two integers."""
+    return f"""
+        WITH cg AS ({_duck_bigrams(corpus_sql, v)}),
+        dg AS ({_duck_bigrams(docs_sql, v)}),
+        bi AS (SELECT u1, u2, COUNT(*) AS c12,
+                      SUM(COUNT(*)) OVER (PARTITION BY u1) AS c1
+               FROM cg GROUP BY 1, 2),
+        db AS (SELECT id, u1, u2, COUNT(*) AS cnt FROM dg GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(cnt * CAST(ROUND({MICRO} * (
+                       ln(COALESCE(c12, 0) + {alpha})
+                     - ln(COALESCE(c1, 0) + {alpha} * {v})
+                   )) AS BIGINT)) AS BIGINT) AS logp_micro
+            FROM db LEFT JOIN bi USING (u1, u2)
+            GROUP BY id)
+        SELECT d.id,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               COALESCE(logp_micro, 0) AS logp_micro,
+               CASE WHEN COALESCE(n_bigrams, 0) > 0 THEN
+                   CAST(ROUND(-CAST(logp_micro AS DOUBLE) / n_bigrams)
+                        AS BIGINT)
+               END AS xent_micro
+        FROM (SELECT DISTINCT id FROM ({docs_sql}) dd) d
+        LEFT JOIN scored USING (id)
+        ORDER BY d.id
+    """

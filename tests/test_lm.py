@@ -1,0 +1,101 @@
+"""CCNet-style bigram-LM perplexity scoring: integer-exact DuckDB
+twin, fluency ranking sanity, short-doc coverage, determinism under
+repartition, and the broadcast-model plan shape."""
+
+import duckdb
+import pandas as pd
+
+from book_ocr_spark.operators import lm
+
+CORPUS_ROWS = [
+    (100, "the quick brown fox jumps over the lazy dog"),
+    (101, "the lazy dog sleeps while the quick fox runs"),
+    (102, "a quick fox and a lazy dog are friends"),
+]
+DOC_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),  # in-domain
+    (2, "zxq vvw qqj kkx pzt mmb wwy"),                  # gibberish
+    (3, "the lazy fox sleeps"),                           # near-domain
+    (4, "single"),                                        # no bigram
+    (5, ""),                                              # empty text
+]
+
+
+def _spark_scores(spark, doc_rows=DOC_ROWS):
+    docs = spark.createDataFrame(doc_rows, "id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    return sorted(
+        (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+        for r in lm.lm_cross_entropy(docs, corpus, "id", "text").collect()
+    )
+
+
+def _duck_scores():
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(DOC_ROWS, columns=["id", "text"]))
+    con.register("c", pd.DataFrame(CORPUS_ROWS, columns=["id", "text"]))
+    rows = con.sql(
+        lm.duck_lm_cross_entropy_sql(
+            "SELECT id, text FROM d", "SELECT id, text FROM c"
+        )
+    ).fetchall()
+    return sorted(
+        tuple(None if x is None else int(x) for x in row) for row in rows
+    )
+
+
+def test_lm_twin_and_fluency_ranking(spark):
+    """logp_micro is an integer dot product — bit-identical to the
+    DuckDB replay — and in-domain text scores lower cross-entropy than
+    gibberish."""
+    got = _spark_scores(spark)
+    assert got == _duck_scores()
+
+    xent = {i: x for i, _, _, x in got}
+    assert xent[1] < xent[2]  # corpus sentence beats gibberish
+    assert xent[3] < xent[2]  # near-domain beats gibberish
+    assert xent[4] is None and xent[5] is None  # no bigram -> no score
+    assert {i for i, *_ in got} == {1, 2, 3, 4, 5}  # every doc covered
+
+
+def test_lm_partition_invariance(spark):
+    """Integer formulation: scores independent of input partitioning."""
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string").repartition(7)
+    corpus = spark.createDataFrame(
+        CORPUS_ROWS, "id long, text string"
+    ).repartition(3)
+    reparted = sorted(
+        (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+        for r in lm.lm_cross_entropy(docs, corpus, "id", "text").collect()
+    )
+    assert reparted == _spark_scores(spark)
+
+
+def test_lm_hash_join_mode_matches_broadcast(spark):
+    """broadcast_model=False (the huge-reference-corpus path) returns
+    the same rows through a plain hash join."""
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    plain = sorted(
+        (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+        for r in lm.lm_cross_entropy(
+            docs, corpus, "id", "text", broadcast_model=False
+        ).collect()
+    )
+    assert plain == _spark_scores(spark)
+
+
+def test_lm_model_is_broadcast_and_no_cartesian(spark):
+    """The scoring join must broadcast the model table by default, and
+    neither corpus may appear in a pairwise join shape."""
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    buf = StringIO()
+    with redirect_stdout(buf):
+        lm.lm_cross_entropy(docs, corpus, "id", "text").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
