@@ -1,0 +1,137 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): cluster document embeddings with k-means, compare
+pairs ONLY within each cluster, and drop all but one document from
+every group of semantic near-duplicates. Catches paraphrases and
+re-renderings that exact/MinHash dedup (token-level) misses while
+never forming the corpus-wide pairwise join.
+
+Graft of the paper's recipe onto the pieces this repo already proves
+out: the clustering is ``similarity.ivf_build`` (deterministic
+md5-sampled init + 6dp-rounded Lloyd means, so the DuckDB twin can
+replay it bit-for-bit), the within-cluster comparison is the exact
+cosine, and the keeper rule is deterministic min-id: a document is
+dropped iff some smaller-id document in ITS cluster matches it at
+``threshold`` or above. (The paper keeps a random/low-centroid-sim
+representative; min-id is the repo-wide convention — see
+plans.curation — and is engine-replayable. For transitive groups
+spanning a chain a<b<c where only adjacent pairs match, the greedy
+rule drops b and c alike; route the pairs through
+``dedup.near_dup_clusters`` instead when component-exact keepers
+matter.)
+
+Scale shape (10^9 documents): SemDeDup's point is that ``n_cells``
+grows with N (the paper uses 50k clusters for LAION) so each cell
+holds a roughly constant number of embeddings — the pairwise step is
+a (cell) equi-join whose per-key fan-out is (N/K)^2, bounded by
+choosing K ~ N / target_cell_size, never a corpus cartesian. The
+Lloyd assignment cost is the usual N x K broadcast product every IVF
+build pays. A pathologically hot cell is the same shape as a hot LSH
+bucket; cap it with dedup.capped_bucket_pairs on (cell) keys if the
+embedding distribution collapses.
+
+Reference lineage: the dedup family grafts the reference's
+completed-page skip / idempotent-resume semantics (docs/prd.md:71,
+docs/technical_architecture.md:69) from "don't redo identical work"
+to "don't keep near-identical content"; see operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.similarity import (
+    _cosine_expr,
+    _duck_cos,
+    _duck_ivf_ctes,
+    ivf_build,
+)
+
+THRESHOLD = 0.95
+N_CELLS = 16
+ITERS = 2
+
+
+def semantic_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = THRESHOLD,
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> DataFrame:
+    """(id_a, id_b, cell, sim): within-cluster near-duplicate pairs,
+    id_a < id_b, exact cosine >= threshold, sim rounded to 4dp for the
+    output (the filter uses the raw value, like
+    similarity.cosine_near_dup_pairs)."""
+    assign, _ = ivf_build(corpus, id_col, vec_col, n_cells, iters)
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cl = assign.join(vecs, "id")
+    a = cl.select(
+        F.col("id").alias("id_a"), F.col("cell"), F.col("v").alias("v_a")
+    )
+    b = cl.select(
+        F.col("id").alias("id_b"), F.col("cell"), F.col("v").alias("v_b")
+    )
+    sim = _cosine_expr("v_a", "v_b")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("raw_sim", sim)
+        .filter(F.col("raw_sim") >= threshold)
+        .select("id_a", "id_b", "cell", F.round("raw_sim", 4).alias("sim"))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = THRESHOLD,
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> DataFrame:
+    """The kept corpus rows (all original columns): every document
+    minus those with a smaller-id semantic match in their cluster —
+    a broadcast-friendly anti-join against the (small) drop set."""
+    pairs = semantic_pairs(corpus, id_col, vec_col, threshold, n_cells, iters)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drops, id_col, "left_anti")
+
+
+def duck_semantic_pairs_sql(
+    corpus_sql: str,
+    threshold: float = THRESHOLD,
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> str:
+    """DuckDB twin of semantic_pairs: replays the shared Lloyd
+    recurrence (similarity._duck_ivf_ctes), then the within-cell
+    pairwise cosine. corpus_sql must yield (id, v)."""
+    ctes = _duck_ivf_ctes(corpus_sql, n_cells, iters)
+    cos = _duck_cos("a.v", "b.v")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
+               ROUND({cos}, 4) AS sim
+        FROM assign{iters} a JOIN assign{iters} b USING (cell)
+        WHERE a.id < b.id AND {cos} >= {threshold}
+        ORDER BY id_a, id_b
+    """
+    )
+
+
+def duck_semantic_dedup_sql(
+    corpus_sql: str,
+    threshold: float = THRESHOLD,
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> str:
+    """DuckDB twin of semantic_dedup's kept-id set."""
+    pairs = duck_semantic_pairs_sql(corpus_sql, threshold, n_cells, iters)
+    return f"""
+        SELECT id FROM ({corpus_sql}) c
+        WHERE id NOT IN (SELECT id_b FROM ({pairs}) p)
+        ORDER BY id
+    """

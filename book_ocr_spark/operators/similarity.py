@@ -404,28 +404,23 @@ def ivf_topk(
     )
 
 
-def duck_ivf_topk_sql(
-    corpus_sql: str,
-    queries_sql: str,
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    iters: int = 2,
-) -> str:
-    """DuckDB twin of ivf_topk: replays the exact ivf_build recurrence
-    — md5-ordered init, per-iteration nearest-centroid assignment
-    (unrounded cosine, ties to the lower cell) and 6dp-rounded
-    dimension-wise means — then the nprobe/top-k probe. The 6dp
-    centroid rounding is what makes the two engines' Lloyd iterations
-    bit-identical despite different partial-sum orders (see ivf_build).
-    corpus_sql must yield (id, v); queries_sql (query_id, q_vec)."""
+def _duck_cos(a: str, b: str) -> str:
+    dot = f"list_dot_product({a}, {b})"
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return f"({dot}) / (({na}) * ({nb}))"
 
-    def cos(a: str, b: str) -> str:
-        dot = f"list_dot_product({a}, {b})"
-        na = f"sqrt(list_dot_product({a}, {a}))"
-        nb = f"sqrt(list_dot_product({b}, {b}))"
-        return f"({dot}) / (({na}) * ({nb}))"
 
+def _duck_ivf_ctes(corpus_sql: str, n_cells: int, iters: int) -> list[str]:
+    """CTE chain replaying the exact ivf_build recurrence — md5-ordered
+    init, per-iteration nearest-centroid assignment (unrounded cosine,
+    ties to the lower cell) and 6dp-rounded dimension-wise means. The
+    6dp centroid rounding is what makes the two engines' Lloyd
+    iterations bit-identical despite different partial-sum orders (see
+    ivf_build). Yields corpus, cent0..cent{iters}, assign1..assign{iters};
+    corpus_sql must yield (id, v). Shared by duck_ivf_topk_sql and
+    semdedup.duck_semantic twins."""
+    cos = _duck_cos
     h = "CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7)) AS BIGINT)"
     ctes = [
         f"corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM ({corpus_sql}) c0)",
@@ -453,6 +448,22 @@ def duck_ivf_topk_sql(
                 GROUP BY cell, u.pos) g
             GROUP BY cell)"""
         )
+    return ctes
+
+
+def duck_ivf_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of ivf_topk: the shared Lloyd recurrence
+    (_duck_ivf_ctes), then the nprobe/top-k probe. corpus_sql must
+    yield (id, v); queries_sql (query_id, q_vec)."""
+    cos = _duck_cos
+    ctes = _duck_ivf_ctes(corpus_sql, n_cells, iters)
     ctes.append(
         f"""probes AS (SELECT query_id, CAST(q_vec AS DOUBLE[]) AS q_vec
             FROM ({queries_sql}) q0)"""

@@ -1,0 +1,127 @@
+"""SemDeDup semantic dedup: DuckDB twin bit-equality (pairs + kept
+set), no-false-positive guarantee vs brute-force cosine, recall on
+constructed paraphrase blobs, and partition invariance."""
+
+import duckdb
+import math
+
+import pandas as pd
+
+from book_ocr_spark.operators import semdedup
+
+DIM = 8
+N_BLOBS = 4
+PER_BLOB = 6
+
+
+def _vecs():
+    """N_BLOBS tight direction-blobs: blob b points along axis 2b with
+    a small per-member lean onto axis 2b+1 — within-blob cosine
+    ~0.999+, cross-blob ~0. Deterministic."""
+    rows = []
+    vid = 0
+    for b in range(N_BLOBS):
+        for i in range(PER_BLOB):
+            v = [0.0] * DIM
+            v[2 * b] = 1.0
+            v[2 * b + 1] = 0.01 * i
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    return rows
+
+
+def _brute_pairs(rows, threshold=0.95):
+    out = set()
+    for ia, va in rows:
+        for ib, vb in rows:
+            if ia < ib:
+                sim = sum(x * y for x, y in zip(va, vb)) / (
+                    math.sqrt(sum(x * x for x in va))
+                    * math.sqrt(sum(x * x for x in vb))
+                )
+                if sim >= threshold:
+                    out.add((ia, ib))
+    return out
+
+
+def _spark_results(spark, n_cells=N_BLOBS, repart=None):
+    df = spark.createDataFrame(
+        _vecs(), "vec_id long, embedding array<double>"
+    )
+    if repart:
+        df = df.repartition(repart)
+    pairs = sorted(
+        (r.id_a, r.id_b, r.cell, r.sim)
+        for r in semdedup.semantic_pairs(df, n_cells=n_cells).collect()
+    )
+    kept = sorted(
+        r.vec_id for r in semdedup.semantic_dedup(df, n_cells=n_cells).collect()
+    )
+    return pairs, kept
+
+
+def _duck_results(n_cells=N_BLOBS):
+    con = duckdb.connect()
+    con.register(
+        "e", pd.DataFrame(_vecs(), columns=["id", "v"])
+    )
+    corpus_sql = "SELECT id, v FROM e"
+    pairs = sorted(
+        (int(a), int(b), int(c), float(s))
+        for a, b, c, s in con.sql(
+            semdedup.duck_semantic_pairs_sql(corpus_sql, n_cells=n_cells)
+        ).fetchall()
+    )
+    kept = sorted(
+        int(r[0])
+        for r in con.sql(
+            semdedup.duck_semantic_dedup_sql(corpus_sql, n_cells=n_cells)
+        ).fetchall()
+    )
+    return pairs, kept
+
+
+def test_semdedup_twin_bit_equality(spark):
+    """Pairs and kept set are bit-identical to the DuckDB replay of
+    the same Lloyd recurrence + within-cell cosine."""
+    s_pairs, s_kept = _spark_results(spark)
+    d_pairs, d_kept = _duck_results()
+    assert s_pairs == d_pairs
+    assert s_kept == d_kept
+    assert len(s_pairs) > 0  # the fixture does contain semantic dups
+
+
+def test_semdedup_no_false_positives_and_recall(spark):
+    """Every reported pair is a true cosine>=threshold pair (exact
+    verify inside the operator guarantees it), and the clustered
+    comparison recovers most of the constructed within-blob pairs."""
+    s_pairs, s_kept = _spark_results(spark)
+    truth = _brute_pairs(_vecs())
+    got = {(a, b) for a, b, _, _ in s_pairs}
+    assert got <= truth  # exact-cosine verify: zero false positives
+    assert len(got) >= 0.8 * len(truth)  # clusters capture the blobs
+    # every dropped doc really has a smaller-id match in its cluster
+    dropped = {i for i, _ in _vecs()} - set(s_kept)
+    assert dropped == {b for _, b, _, _ in s_pairs}
+
+
+def test_semdedup_partition_invariance(spark):
+    """Deterministic init + rounded Lloyd means: the result is a pure
+    function of the data, not of its partitioning."""
+    assert _spark_results(spark, repart=7) == _spark_results(spark)
+
+
+def test_semdedup_plan_has_no_corpus_cartesian(spark):
+    """The pairwise step must be a (cell) equi-join; the only
+    product-shaped node allowed is the K-row broadcast centroid
+    attachment inside the Lloyd assignment."""
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    buf = StringIO()
+    with redirect_stdout(buf):
+        semdedup.semantic_pairs(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
