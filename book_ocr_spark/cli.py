@@ -104,6 +104,16 @@ def main(argv: list[str] | None = None) -> int:
         "--hot-bucket-cap", type=int, default=None,
         help="LSH hot-bucket salt cap (see dedup.capped_bucket_pairs)",
     )
+    cur.add_argument(
+        "--lm-corpus", default=None,
+        help="trusted-corpus parquet (id, text) enabling the CCNet-style "
+        "bigram-LM perplexity gate (operators.lm)",
+    )
+    cur.add_argument(
+        "--max-xent-micro", type=int, default=None,
+        help="per-token cross-entropy cut in micro-nats (required with "
+        "--lm-corpus)",
+    )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
@@ -164,6 +174,12 @@ def main(argv: list[str] | None = None) -> int:
                 clustering=args.clustering,
                 storage_handle=handle,
                 hot_bucket_cap=args.hot_bucket_cap,
+                lm_corpus=(
+                    spark.read.parquet(args.lm_corpus)
+                    if args.lm_corpus is not None
+                    else None
+                ),
+                max_xent_micro=args.max_xent_micro,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

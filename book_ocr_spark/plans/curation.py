@@ -165,12 +165,19 @@ def curate_web_corpus(
     clustering: str = "pair",
     storage_handle: list | None = None,
     hot_bucket_cap: int | None = None,
+    lm_corpus: DataFrame | None = None,
+    max_xent_micro: int | None = None,
 ) -> DataFrame:
     """The full web-corpus pass: URL gate (when ``url_col`` is given)
     -> corpus-level line dedup (documents emptied by boilerplate
-    removal drop out) -> curate() (quality gate, exact dedup, near-dup
-    canonicalization) -> optional deterministic sequence packing into
-    ``pack_capacity``-token bins.
+    removal drop out) -> optional LM perplexity gate (when
+    ``lm_corpus`` is given: CCNet's position for it — after boilerplate
+    removal, before the heuristic quality gate; documents whose
+    per-token cross-entropy under the ``lm_corpus``-trained bigram LM
+    exceeds ``max_xent_micro`` micro-nats drop; docs too short to
+    score pass through to the quality gate) -> curate() (quality gate,
+    exact dedup, near-dup canonicalization) -> optional deterministic
+    sequence packing into ``pack_capacity``-token bins.
 
     Still ONE declarative DAG end to end: the URL regexes and the
     line-dedup projection sit under the same optimizer as the curate
@@ -193,6 +200,17 @@ def curate_web_corpus(
         .filter(F.col("clean_text") != "")
         .select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col))
     )
+    if lm_corpus is not None:
+        if max_xent_micro is None:
+            raise ValueError("lm_corpus requires max_xent_micro")
+        from book_ocr_spark.operators.lm import lm_cross_entropy
+
+        scores = lm_cross_entropy(cleaned, lm_corpus, id_col, text_col)
+        fluent = scores.filter(
+            F.col("xent_micro").isNull()
+            | (F.col("xent_micro") <= max_xent_micro)
+        ).select(F.col("id").alias(id_col))
+        cleaned = cleaned.join(fluent, id_col, "left_semi")
     final = curate(
         cleaned, id_col, text_col, k=k, threshold=threshold,
         clustering=clustering, storage_handle=storage_handle,

@@ -102,3 +102,58 @@ def test_cli_curate_end_to_end(spark, tmp_path, monkeypatch):
     got = spark.read.parquet(out)
     assert sorted(r.id for r in got.collect()) == [1, 2]
     assert {"fingerprint", "n_tokens", "grp", "bin", "bin_pos"} <= set(got.columns)
+
+
+def test_cli_curate_lm_gate(spark, tmp_path, monkeypatch):
+    """--lm-corpus/--max-xent-micro enable the perplexity gate from
+    the command line: the gibberish doc (clean by every heuristic)
+    drops, fluent docs survive."""
+    import json
+
+    from book_ocr_spark.operators.lm import lm_cross_entropy
+
+    inp = str(tmp_path / "docs_lm_in")
+    lmp = str(tmp_path / "trusted")
+    out = str(tmp_path / "curated_lm")
+    fluent_a = (
+        "the quick brown fox jumps over the lazy dog while reading long "
+        "form articles about distributed query engines and careful "
+        "shuffle management strategies for modern analytics workloads"
+    )
+    fluent_b = (
+        "structured streaming jobs process late arriving events with "
+        "watermark semantics and the quick brown fox naps near the lazy "
+        "dog while session window aggregation compacts the state store"
+    )
+    gibberish = (
+        "zxq kelv wompr tashi blen dorvic smeth quapl rindo vekth "
+        "plomb draz yintu caldo werx nubim strak ovell jemp quind "
+        "harlo zuft membro kilv pandro xestu wrenk doliv trasp"
+    )
+    rows = [(1, fluent_a), (2, fluent_b), (3, gibberish)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    trusted = spark.createDataFrame(
+        [(100, fluent_a), (101, fluent_b)], "id long, text string"
+    )
+    docs.write.parquet(inp)
+    trusted.write.parquet(lmp)
+    xent = {
+        r.id: r.xent_micro
+        for r in lm_cross_entropy(docs, trusted, "id", "text").collect()
+    }
+    cut = (xent[3] + max(xent[1], xent[2])) // 2
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "curate", "--input", inp, "--output", out,
+            "--lm-corpus", lmp, "--max-xent-micro", str(cut),
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["curated_rows"] == 2
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]

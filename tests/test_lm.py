@@ -99,3 +99,99 @@ def test_lm_model_is_broadcast_and_no_cartesian(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_web_corpus_lm_gate_stage_twin(spark):
+    """curate_web_corpus with an LM gate: the gibberish document —
+    long and clean enough to pass every heuristic stage — drops at
+    the perplexity gate and nowhere else, and the whole pass matches
+    the stage-for-stage DuckDB replay (line-dedup twin -> LM twin
+    filter -> curate twin)."""
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    fluent_a = (
+        "the quick brown fox jumps over the lazy dog while reading long "
+        "form articles about distributed query engines and careful "
+        "shuffle management strategies for modern analytics workloads"
+    )
+    fluent_b = (
+        "structured streaming jobs process late arriving events with "
+        "watermark semantics and the quick brown fox naps near the lazy "
+        "dog while session window aggregation compacts the state store"
+    )
+    gibberish = (
+        "zxq kelv wompr tashi blen dorvic smeth quapl rindo vekth "
+        "plomb draz yintu caldo werx nubim strak ovell jemp quind "
+        "harlo zuft membro kilv pandro xestu wrenk doliv trasp"
+    )
+    boiler = "Subscribe to our newsletter today"
+    rows = [
+        (1, f"{fluent_a}\n{boiler}"),
+        (2, f"{fluent_b}\n{boiler}"),
+        (3, f"{gibberish}\n{boiler}"),  # LM victim: passes length/digit/word-len gates
+    ]
+    trusted = [(100, fluent_a), (101, fluent_b)]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register("t", pd.DataFrame(trusted, columns=["id", "text"]))
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c", min_docs=3)
+            + ") x WHERE clean_text <> ''"
+        ).df(),
+    )
+    scores = dict(
+        (int(i), int(x))
+        for i, _, _, x in con.sql(
+            lm.duck_lm_cross_entropy_sql(
+                "SELECT id, text FROM cleaned", "SELECT id, text FROM t"
+            )
+        ).fetchall()
+    )
+    assert scores[3] > max(scores[1], scores[2])  # gibberish scores worst
+    cut = (scores[3] + max(scores[1], scores[2])) // 2
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    tdf = spark.createDataFrame(trusted, "id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            curate_web_corpus(
+                df, "id", "text", line_min_docs=3,
+                lm_corpus=tdf, max_xent_micro=cut,
+            ).collect(),
+        )
+    )
+    assert sorted(r[0] for r in got) == [1, 2]  # only the LM gate fired
+
+    con.register(
+        "fluent",
+        con.sql(
+            f"SELECT id, text FROM cleaned WHERE id IN (SELECT id FROM ("
+            + lm.duck_lm_cross_entropy_sql(
+                "SELECT id, text FROM cleaned", "SELECT id, text FROM t"
+            )
+            + f") s WHERE xent_micro IS NULL OR xent_micro <= {cut})"
+        ).df(),
+    )
+    want = sorted(
+        (int(i), fp, int(nt))
+        for i, fp, nt in con.sql(
+            duck_curate_sql("SELECT id, text FROM fluent")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_web_corpus_lm_gate_requires_threshold(spark):
+    import pytest
+
+    from book_ocr_spark.plans.curation import curate_web_corpus
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="max_xent_micro"):
+        curate_web_corpus(df, "id", "text", lm_corpus=df)
