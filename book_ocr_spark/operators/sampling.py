@@ -179,3 +179,123 @@ def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuf") -> Dat
     and sortWithinPartitions (no global exchange)."""
     h = F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
     return df.orderBy(h, F.col(id_col))
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    target_weights: dict[str, float],
+    total_tokens: int,
+    max_epochs: float | None = None,
+) -> DataFrame:
+    """Token-budget mixture solver: given the measured per-stratum
+    token supply and a target mixture (relative weights, normalized
+    here), compute the per-stratum ``epochs`` factor that
+    weighted_epochs needs to realize ``total_tokens`` at the target
+    proportions — the "how many epochs of wiki vs web" arithmetic
+    every pretraining mix (GPT-3 Table 2.2, LLaMA Table 1) publishes.
+
+    Returns (stratum, available_tokens, target_share, desired_tokens,
+    epochs, capped): available_tokens is the exact integer supply;
+    desired_tokens = round(total_tokens * share); epochs =
+    desired/available (one IEEE division of two exact integers —
+    deterministic and engine-identical); ``max_epochs`` caps repetition
+    (the data-constrained regime) and sets ``capped`` instead of
+    silently redistributing — rerun with adjusted weights to
+    re-spread a capped stratum's shortfall. Strata absent from
+    ``target_weights`` get share 0 (epochs 0 — dropped by apply).
+
+    Scale shape: one hash agg over the corpus; the plan itself is
+    k rows (k = #strata) — driver/broadcast material by construction.
+    """
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be > 0")
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to > 0")
+    for k, v in target_weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0")
+    avail = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("available_tokens")
+    )
+    share = F.lit(0.0)
+    for k, v in sorted(target_weights.items()):
+        share = F.when(F.col("stratum") == k, F.lit(v / wsum)).otherwise(share)
+    out = avail.withColumn("target_share", share).withColumn(
+        "desired_tokens",
+        F.round(F.lit(float(total_tokens)) * F.col("target_share")).cast("bigint"),
+    )
+    eps = F.col("desired_tokens").cast("double") / F.col(
+        "available_tokens"
+    ).cast("double")
+    if max_epochs is not None:
+        out = out.withColumn("capped", eps > F.lit(float(max_epochs))).withColumn(
+            "epochs", F.least(eps, F.lit(float(max_epochs)))
+        )
+    else:
+        out = out.withColumn("capped", F.lit(False)).withColumn("epochs", eps)
+    return out.select(
+        "stratum", "available_tokens", "target_share", "desired_tokens",
+        "epochs", "capped",
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    plan: DataFrame,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a mixture_plan: collect the k-row plan (k strata —
+    driver-sized by construction, same pattern as every broadcast
+    centroid/λ table in this repo) into weighted_epochs' weights dict.
+    Strata not in the plan get weight 0 (dropped)."""
+    weights = {r["stratum"]: float(r["epochs"]) for r in plan.collect()}
+    return weighted_epochs(
+        df, id_col, strata_col, weights, default_weight=0.0, salt=salt
+    )
+
+
+def duck_mixture_plan_sql(
+    corpus_sql: str,
+    strata_col: str,
+    token_col: str,
+    target_weights: dict[str, float],
+    total_tokens: int,
+    max_epochs: float | None = None,
+) -> str:
+    """DuckDB twin of mixture_plan (same normalization, same
+    integer-exact supply, same rounded desired_tokens and IEEE
+    epochs division)."""
+    wsum = float(sum(target_weights.values()))
+    share = "CAST(0.0 AS DOUBLE)"
+    for k, v in sorted(target_weights.items()):
+        share = (
+            f"(CASE WHEN stratum = '{k}' THEN CAST({v / wsum} AS DOUBLE)"
+            f" ELSE {share} END)"
+        )
+    eps = "CAST(desired_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE)"
+    if max_epochs is not None:
+        capped = f"{eps} > {float(max_epochs)}"
+        epochs = f"LEAST({eps}, {float(max_epochs)})"
+    else:
+        capped = "FALSE"
+        epochs = eps
+    return f"""
+        SELECT stratum, available_tokens, target_share, desired_tokens,
+               {epochs} AS epochs, {capped} AS capped
+        FROM (
+            SELECT stratum, available_tokens, target_share,
+                   CAST(ROUND({total_tokens} * target_share) AS BIGINT)
+                       AS desired_tokens
+            FROM (
+                SELECT {strata_col} AS stratum,
+                       CAST(SUM({token_col}) AS BIGINT) AS available_tokens,
+                       {share} AS target_share
+                FROM ({corpus_sql}) c
+                GROUP BY {strata_col}) a) b
+        ORDER BY stratum
+    """

@@ -1,0 +1,93 @@
+"""Token-budget mixture planner: DuckDB twin, budget realization
+through weighted_epochs, and the data-constrained cap."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import sampling
+
+ROWS = [
+    # (id, domain, n_tokens)
+    *[(i, "wiki", 50) for i in range(20)],          # 1,000 wiki tokens
+    *[(100 + i, "web", 200) for i in range(40)],    # 8,000 web tokens
+    *[(200 + i, "code", 100) for i in range(10)],   # 1,000 code tokens
+]
+WEIGHTS = {"wiki": 3.0, "web": 6.0, "code": 1.0}
+TOTAL = 5_000
+
+
+def _plan_rows(spark, max_epochs=None):
+    df = spark.createDataFrame(ROWS, "id long, domain string, n_tokens long")
+    plan = sampling.mixture_plan(
+        df, "domain", "n_tokens", WEIGHTS, TOTAL, max_epochs=max_epochs
+    )
+    return sorted(
+        (r.stratum, r.available_tokens, r.target_share, r.desired_tokens,
+         r.epochs, r.capped)
+        for r in plan.collect()
+    )
+
+
+def test_mixture_plan_twin_and_arithmetic(spark):
+    got = _plan_rows(spark)
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(ROWS, columns=["id", "domain", "n_tokens"]))
+    want = sorted(
+        (s, int(a), float(sh), int(d), float(e), bool(cp))
+        for s, a, sh, d, e, cp in con.sql(
+            sampling.duck_mixture_plan_sql(
+                "SELECT * FROM c", "domain", "n_tokens", WEIGHTS, TOTAL
+            )
+        ).fetchall()
+    )
+    assert got == want
+    by = {r[0]: r for r in got}
+    # wiki: share 0.3 of 5000 = 1500 desired over 1000 available -> 1.5 epochs
+    assert by["wiki"][3] == 1500 and by["wiki"][4] == 1.5
+    # web: share 0.6 -> 3000 over 8000 -> 0.375 (downsampling regime)
+    assert by["web"][4] == 0.375
+    assert by["code"][4] == 0.5
+    assert not any(r[5] for r in got)
+
+
+def test_mixture_plan_cap_flags_data_constrained(spark):
+    by = {r[0]: r for r in _plan_rows(spark, max_epochs=1.2)}
+    assert by["wiki"][4] == 1.2 and by["wiki"][5] is True
+    assert by["web"][5] is False and by["code"][5] is False
+
+
+def test_apply_mixture_realizes_the_budget(spark):
+    """Applying the plan through weighted_epochs lands within sampling
+    noise of the token budget per stratum, bit-identical to calling
+    weighted_epochs with the plan's weights directly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(ROWS, "id long, domain string, n_tokens long")
+    plan = sampling.mixture_plan(df, "domain", "n_tokens", WEIGHTS, TOTAL)
+    mixed = sampling.apply_mixture_plan(df, "id", "domain", plan)
+    got = {
+        r.domain: r.tok
+        for r in mixed.groupBy("domain").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    weights = {r.stratum: r.epochs for r in plan.collect()}
+    twin = sampling.weighted_epochs(df, "id", "domain", weights, default_weight=0.0, salt="mix")
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, twin.collect()))
+    # realized tokens match desired within per-row granularity
+    desired = {r.stratum: r.desired_tokens for r in plan.collect()}
+    for s in desired:
+        per_row = {"wiki": 50, "web": 200, "code": 100}[s]
+        n_rows = {"wiki": 20, "web": 40, "code": 10}[s]
+        # fractional-epoch selection is hash-Bernoulli per row: allow
+        # a few rows of slack around the expectation
+        assert abs(got.get(s, 0) - desired[s]) <= 4 * per_row, (s, got, desired)
+
+
+def test_mixture_plan_rejects_bad_inputs(spark):
+    df = spark.createDataFrame(ROWS, "id long, domain string, n_tokens long")
+    with pytest.raises(ValueError):
+        sampling.mixture_plan(df, "domain", "n_tokens", WEIGHTS, 0)
+    with pytest.raises(ValueError):
+        sampling.mixture_plan(df, "domain", "n_tokens", {"wiki": -1.0}, 100)
+    with pytest.raises(ValueError):
+        sampling.mixture_plan(df, "domain", "n_tokens", {}, 100)
