@@ -60,14 +60,45 @@ def semantic_pairs(
     threshold: float = THRESHOLD,
     n_cells: int = N_CELLS,
     iters: int = ITERS,
+    hot_cell_cap: int | None = None,
+    hot_cell_policy: str = "salt",
+    dropped_handle: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cell, sim): within-cluster near-duplicate pairs,
     id_a < id_b, exact cosine >= threshold, sim rounded to 4dp for the
     output (the filter uses the raw value, like
-    similarity.cosine_near_dup_pairs)."""
+    similarity.cosine_near_dup_pairs).
+
+    ``hot_cell_cap``: a k-means cell is the same hot-bucket shape as
+    an LSH band bucket (an embedding distribution collapsing onto one
+    centroid = a million-doc template family), so the cell join
+    routes through dedup.capped_bucket_pairs under the same policies
+    — "salt" (exact 2-D block grid, per-join-key work ≤ ~cap², same
+    rows out) or "drop" (skip over-cap cells, report them through
+    ``dropped_handle``)."""
     assign, _ = ivf_build(corpus, id_col, vec_col, n_cells, iters)
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cl = assign.join(vecs, "id")
+    if hot_cell_cap is not None:
+        from book_ocr_spark.operators.dedup import capped_bucket_pairs
+
+        exploded = cl.select(
+            "id", F.lit(0).alias("band"), F.col("cell").alias("key"),
+            "cell", "v",
+        )
+        cand = capped_bucket_pairs(
+            exploded, None, hot_cell_cap, policy=hot_cell_policy,
+            payload=("cell", "v"), dropped_handle=dropped_handle,
+        )
+        sim = _cosine_expr("v_a", "v_b")
+        return (
+            cand.withColumn("raw_sim", sim)
+            .filter(F.col("raw_sim") >= threshold)
+            .select(
+                "id_a", "id_b", F.col("cell_a").alias("cell"),
+                F.round("raw_sim", 4).alias("sim"),
+            )
+        )
     a = cl.select(
         F.col("id").alias("id_a"), F.col("cell"), F.col("v").alias("v_a")
     )
@@ -91,11 +122,18 @@ def semantic_dedup(
     threshold: float = THRESHOLD,
     n_cells: int = N_CELLS,
     iters: int = ITERS,
+    hot_cell_cap: int | None = None,
+    hot_cell_policy: str = "salt",
+    dropped_handle: list | None = None,
 ) -> DataFrame:
     """The kept corpus rows (all original columns): every document
     minus those with a smaller-id semantic match in their cluster —
     a broadcast-friendly anti-join against the (small) drop set."""
-    pairs = semantic_pairs(corpus, id_col, vec_col, threshold, n_cells, iters)
+    pairs = semantic_pairs(
+        corpus, id_col, vec_col, threshold, n_cells, iters,
+        hot_cell_cap=hot_cell_cap, hot_cell_policy=hot_cell_policy,
+        dropped_handle=dropped_handle,
+    )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(drops, id_col, "left_anti")
 

@@ -125,3 +125,43 @@ def test_semdedup_plan_has_no_corpus_cartesian(spark):
         semdedup.semantic_pairs(df).explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_hot_cell_cap_exact(spark):
+    """With every blob collapsed onto few cells (the template-family
+    shape), the salt-capped cell join returns exactly the uncapped
+    rows — same guarantee the LSH band joins carry."""
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    base = sorted(
+        map(tuple, semdedup.semantic_pairs(df, n_cells=2).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            semdedup.semantic_pairs(df, n_cells=2, hot_cell_cap=4).collect(),
+        )
+    )
+    assert capped == base and len(base) > 0
+    kept_capped = sorted(
+        r.vec_id
+        for r in semdedup.semantic_dedup(df, n_cells=2, hot_cell_cap=4).collect()
+    )
+    kept_base = sorted(
+        r.vec_id for r in semdedup.semantic_dedup(df, n_cells=2).collect()
+    )
+    assert kept_capped == kept_base
+
+
+def test_semdedup_hot_cell_drop_reports(spark):
+    """The drop policy skips over-cap cells and reports them — never
+    silent truncation."""
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    handle = []
+    pairs = semdedup.semantic_pairs(
+        df, n_cells=1, hot_cell_cap=4, hot_cell_policy="drop",
+        dropped_handle=handle,
+    ).collect()
+    assert pairs == []  # the single 24-member cell is over the cap
+    assert len(handle) == 1
+    dropped = handle[0].collect()
+    assert len(dropped) == 1 and dropped[0]["n"] == len(_vecs())
