@@ -22,7 +22,7 @@ joins), and (c) disjoint salt strings give independent samples.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from book_ocr_spark.operators.dedup import duck_h28, spark_h28
@@ -179,6 +179,83 @@ def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuf") -> Dat
     and sortWithinPartitions (no global exchange)."""
     h = F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
     return df.orderBy(h, F.col(id_col))
+
+
+def training_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic shard assignment + dense within-shard training
+    order — the loader-facing contract of the curated corpus: epoch =
+    read shards 0..n-1, each shard ordered by ``seq``.
+
+    Adds ``shard`` (portable hash(salt:s:id) % n_shards) and ``seq``
+    (0-based dense rank by the independent hash(salt:o:id), ties by
+    id). Both are pure functions of (salt, id): reruns, resumes,
+    different cluster shapes and the DuckDB twin all produce the same
+    (shard, seq) for every row, unlike ``orderBy(rand())`` or relying
+    on task order. A new ``salt`` is a new epoch permutation.
+
+    Scale shape (100 TB): ONE hash exchange on ``shard`` (the window's
+    requirement) and a per-shard sort bounded by corpus/n_shards —
+    there is no global sort. Size n_shards so a shard fits one task
+    (10^12 turns / 10^5 shards = 10^7 rows); compare
+    deterministic_shuffle, whose single global ORDER BY is the
+    small-corpus alternative."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h_shard = F.expr(spark_h28(f"concat('{salt}:s:', cast({id_col} as string))"))
+    h_order = F.expr(spark_h28(f"concat('{salt}:o:', cast({id_col} as string))"))
+    w = Window.partitionBy("shard").orderBy(F.col("_ord"), F.col(id_col))
+    return (
+        df.withColumn("shard", (h_shard % n_shards).cast("int"))
+        .withColumn("_ord", h_order)
+        .withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_ord")
+    )
+
+
+def duck_training_shards_sql(
+    corpus_sql: str, id_expr: str, n_shards: int, salt: str = "shard"
+) -> str:
+    """DuckDB twin of training_shards: identical (shard, seq) bits."""
+    hs = duck_h28(f"('{salt}:s:' || CAST({id_expr} AS VARCHAR))")
+    ho = duck_h28(f"('{salt}:o:' || CAST({id_expr} AS VARCHAR))")
+    return f"""
+        SELECT * EXCLUDE (_ord) FROM (
+            SELECT s.*,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY _ord, {id_expr}
+                   ) - 1 AS BIGINT) AS seq
+            FROM (
+                SELECT c0.*,
+                       CAST({hs} % {n_shards} AS INTEGER) AS shard,
+                       {ho} AS _ord
+                FROM ({corpus_sql}) c0) s)
+    """
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    path: str,
+    salt: str = "shard",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize the corpus as ``path/shard=K/`` parquet, each shard
+    written by the single task that owns it (the window exchange in
+    training_shards already co-locates a shard), internally in ``seq``
+    order. ``seq`` is persisted, so a loader that sorts a shard by it
+    recovers the exact training order regardless of file splits
+    (``max_records_per_file`` bounds file size for object-store-
+    friendly sizes)."""
+    sharded = training_shards(df, id_col, n_shards, salt)
+    writer = sharded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(path)
 
 
 def mixture_plan(

@@ -1,0 +1,84 @@
+"""Training-shard export: DuckDB twin bit-equality, partition
+invariance, dense per-shard sequence, epoch-salt independence, and the
+sharded-writer read-back contract."""
+
+import duckdb
+import pandas as pd
+
+from book_ocr_spark.operators import sampling
+
+N = 300
+N_SHARDS = 7
+PDF = pd.DataFrame(
+    {"id": range(N), "text": [f"doc {i} body" for i in range(N)]}
+)
+
+
+def _spark_rows(spark, n_partitions=None):
+    df = spark.createDataFrame(PDF)
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    out = sampling.training_shards(df, "id", N_SHARDS)
+    return sorted(
+        (r.id, r.text, r.shard, r.seq) for r in out.collect()
+    )
+
+
+def _duck_rows():
+    con = duckdb.connect()
+    con.register("c", PDF)
+    sql = sampling.duck_training_shards_sql("SELECT * FROM c", "id", N_SHARDS)
+    return sorted(
+        (int(i), t, int(sh), int(sq)) for i, t, sh, sq in con.sql(sql).fetchall()
+    )
+
+
+def test_training_shards_matches_duckdb_bit_for_bit(spark):
+    assert _spark_rows(spark) == _duck_rows()
+
+
+def test_training_shards_partition_invariant(spark):
+    assert _spark_rows(spark, n_partitions=11) == _spark_rows(spark, n_partitions=2)
+
+
+def test_seq_is_dense_per_shard_and_order_is_a_permutation(spark):
+    rows = _spark_rows(spark)
+    by_shard: dict[int, list[int]] = {}
+    for _id, _t, sh, sq in rows:
+        by_shard.setdefault(sh, []).append(sq)
+    # every row landed in a valid shard; seq is dense 0..n_s-1
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+    # the within-shard order is NOT id order (it is a hash permutation)
+    first_shard = max(by_shard, key=lambda s: len(by_shard[s]))
+    ids_in_seq_order = [
+        _id for _id, _t, sh, sq in sorted(rows, key=lambda r: (r[2], r[3]))
+        if sh == first_shard
+    ]
+    assert ids_in_seq_order != sorted(ids_in_seq_order)
+
+
+def test_new_salt_is_a_new_permutation(spark):
+    df = spark.createDataFrame(PDF)
+    a = {
+        (r.id): (r.shard, r.seq)
+        for r in sampling.training_shards(df, "id", N_SHARDS, salt="ep0").collect()
+    }
+    b = {
+        (r.id): (r.shard, r.seq)
+        for r in sampling.training_shards(df, "id", N_SHARDS, salt="ep1").collect()
+    }
+    assert a != b
+    assert set(a) == set(b)
+
+
+def test_write_training_shards_readback(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(PDF)
+    sampling.write_training_shards(
+        df, "id", N_SHARDS, out, max_records_per_file=25
+    )
+    back = spark.read.parquet(out)
+    got = sorted((r.id, r.text, int(r.shard), r.seq) for r in back.collect())
+    assert got == _spark_rows(spark)
