@@ -73,6 +73,23 @@ def test_new_salt_is_a_new_permutation(spark):
     assert set(a) == set(b)
 
 
+def test_training_shards_plan_has_one_exchange(spark):
+    """The scale contract: one hash exchange on shard (the window's
+    requirement), no global sort, no extra repartition."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(PDF)
+    out = sampling.training_shards(df, "id", N_SHARDS)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
 def test_write_training_shards_readback(spark, tmp_path):
     out = str(tmp_path / "shards")
     df = spark.createDataFrame(PDF)
