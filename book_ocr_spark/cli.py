@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     cur.add_argument("--line-min-docs", type=int, default=2)
     cur.add_argument("--pack-capacity", type=int, default=None)
+    cur.add_argument(
+        "--n-shards", type=int, default=None,
+        help="add deterministic (shard, seq) training-order columns",
+    )
     cur.add_argument("--k", type=int, default=3, help="shingle size for near-dup")
     cur.add_argument("--threshold", type=float, default=0.6, help="Jaccard threshold")
     cur.add_argument(
@@ -180,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 max_xent_micro=args.max_xent_micro,
+                n_shards=args.n_shards,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

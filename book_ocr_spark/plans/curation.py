@@ -167,6 +167,7 @@ def curate_web_corpus(
     hot_bucket_cap: int | None = None,
     lm_corpus: DataFrame | None = None,
     max_xent_micro: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """The full web-corpus pass: URL gate (when ``url_col`` is given)
     -> corpus-level line dedup (documents emptied by boilerplate
@@ -186,7 +187,10 @@ def curate_web_corpus(
     correctness story is stage-for-stage, same as curation_pipeline.
     ``id_col`` must be numeric (packing's bin assignment casts it to
     long). Returns curate()'s (id, fingerprint, n_tokens), plus
-    (grp, bin, bin_pos, overfull) when packing is requested.
+    (grp, bin, bin_pos, overfull) when packing is requested, plus
+    (shard, seq) when ``n_shards`` is given — the loader-facing
+    training-shard assignment (operators.sampling.training_shards)
+    as the pass's last mile.
     """
     from book_ocr_spark.operators.dedup import line_dedup
     from book_ocr_spark.operators.packing import pack_next_fit
@@ -216,19 +220,24 @@ def curate_web_corpus(
         clustering=clustering, storage_handle=storage_handle,
         hot_bucket_cap=hot_bucket_cap,
     )
-    if pack_capacity is None:
-        return final
-    # `final` feeds BOTH the packer and the join's left side — without
-    # a persist Spark would execute the whole curate lineage (quality
-    # gate through near-dup verify) twice; released via storage_handle
-    # like curate()'s own internal persists
-    final = final.persist()
-    if storage_handle is not None:
-        storage_handle.append(final)
-    packed = pack_next_fit(final, id_col, "n_tokens", pack_capacity)
-    return final.join(
-        packed.select(
-            F.col("id").alias(id_col), "grp", "bin", "bin_pos", "overfull"
-        ),
-        id_col,
-    )
+    if pack_capacity is not None:
+        # `final` feeds BOTH the packer and the join's left side —
+        # without a persist Spark would execute the whole curate
+        # lineage (quality gate through near-dup verify) twice;
+        # released via storage_handle like curate()'s own internal
+        # persists
+        final = final.persist()
+        if storage_handle is not None:
+            storage_handle.append(final)
+        packed = pack_next_fit(final, id_col, "n_tokens", pack_capacity)
+        final = final.join(
+            packed.select(
+                F.col("id").alias(id_col), "grp", "bin", "bin_pos", "overfull"
+            ),
+            id_col,
+        )
+    if n_shards is not None:
+        from book_ocr_spark.operators.sampling import training_shards
+
+        final = training_shards(final, id_col, n_shards)
+    return final

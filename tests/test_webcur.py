@@ -246,6 +246,38 @@ def test_curate_web_corpus_stage_twins(spark):
     )
     assert got == want
 
+    # the optional shard stage composes over the packed output too:
+    # the DuckDB twin replays training_shards on the same final rows
+    from book_ocr_spark.operators import sampling
+
+    got_sharded = sorted(
+        map(
+            tuple,
+            curate_web_corpus(
+                df, "id", "text", url_col="url", block_domains=bdf,
+                line_min_docs=3, pack_capacity=64, n_shards=2,
+            ).collect(),
+        )
+    )
+    con.register(
+        "packed_final",
+        pd.DataFrame(
+            want,
+            columns=["id", "fingerprint", "n_tokens", "grp", "bin",
+                     "bin_pos", "overfull"],
+        ),
+    )
+    want_sharded = sorted(
+        (int(i), fp, int(nt), int(g), int(bn), int(bp), bool(ov),
+         int(sh), int(sq))
+        for i, fp, nt, g, bn, bp, ov, sh, sq in con.sql(
+            sampling.duck_training_shards_sql(
+                "SELECT * FROM packed_final", "id", 2
+            )
+        ).fetchall()
+    )
+    assert got_sharded == want_sharded
+
 
 def test_url_flags_duplicate_blocklist_no_fanout(spark):
     """A blocklist repeating a domain must not multiply corpus rows."""
