@@ -258,6 +258,21 @@ def write_training_shards(
     writer.partitionBy("shard").parquet(path)
 
 
+def shard_manifest(sharded: DataFrame, size_col: str | None = None) -> DataFrame:
+    """Per-shard audit row (shard, n_docs, n_tokens, max_seq) — the
+    manifest a loader checks before an epoch: `max_seq == n_docs - 1`
+    certifies the dense sequence survived storage. One narrow hash
+    agg over the shard column."""
+    aggs = [
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col(size_col)) if size_col else F.lit(None).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.max("seq").alias("max_seq"),
+    ]
+    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
 def mixture_plan(
     df: DataFrame,
     strata_col: str,

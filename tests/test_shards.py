@@ -90,6 +90,16 @@ def test_training_shards_plan_has_one_exchange(spark):
     assert "rangepartitioning" not in plan.lower()  # no global sort
 
 
+def test_shard_manifest_certifies_dense_seq(spark):
+    df = spark.createDataFrame(PDF)
+    sharded = sampling.training_shards(df, "id", N_SHARDS)
+    man = sampling.shard_manifest(sharded).collect()
+    assert sum(r.n_docs for r in man) == N
+    for r in man:
+        assert r.max_seq == r.n_docs - 1
+        assert r.n_tokens is None  # no size column given
+
+
 def test_write_training_shards_readback(spark, tmp_path):
     out = str(tmp_path / "shards")
     df = spark.createDataFrame(PDF)
