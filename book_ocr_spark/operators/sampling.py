@@ -203,6 +203,11 @@ def training_shards(
     small-corpus alternative."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    taken = {"shard", "seq", "_ord"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"training_shards would overwrite existing column(s) {sorted(taken)}"
+        )
     h_shard = F.expr(spark_h28(f"concat('{salt}:s:', cast({id_col} as string))"))
     h_order = F.expr(spark_h28(f"concat('{salt}:o:', cast({id_col} as string))"))
     w = Window.partitionBy("shard").orderBy(F.col("_ord"), F.col(id_col))

@@ -90,6 +90,14 @@ def test_training_shards_plan_has_one_exchange(spark):
     assert "rangepartitioning" not in plan.lower()  # no global sort
 
 
+def test_training_shards_rejects_column_collision(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 9)], "id long, seq long")
+    with pytest.raises(ValueError, match="seq"):
+        sampling.training_shards(df, "id", 2)
+
+
 def test_shard_manifest_certifies_dense_seq(spark):
     df = spark.createDataFrame(PDF)
     sharded = sampling.training_shards(df, "id", N_SHARDS)
