@@ -108,6 +108,48 @@ def test_shard_manifest_certifies_dense_seq(spark):
         assert r.n_tokens is None  # no size column given
 
 
+def test_training_shards_property_arbitrary_ids(spark):
+    """Property: for arbitrary unique long ids (negative, huge,
+    sparse), the Spark operator and the DuckDB twin agree bit-for-bit
+    and the structural contract holds (total bijection, dense seq)."""
+    import pytest
+
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ids_acc: list[int] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    def collect(i):
+        ids_acc.append(i)
+
+    collect()
+    ids = sorted(set(ids_acc))
+    pdf = pd.DataFrame({"id": ids})
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.id, r.shard, r.seq)
+        for r in sampling.training_shards(df, "id", 4).collect()
+    )
+    con = duckdb.connect()
+    con.register("c", pdf)
+    want = sorted(
+        (int(i), int(sh), int(sq))
+        for i, sh, sq in con.sql(
+            sampling.duck_training_shards_sql("SELECT * FROM c", "id", 4)
+        ).fetchall()
+    )
+    assert got == want
+    assert [g[0] for g in got] == ids  # total: every id exactly once
+    per_shard: dict[int, list[int]] = {}
+    for _i, sh, sq in got:
+        per_shard.setdefault(sh, []).append(sq)
+    for seqs in per_shard.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
 def test_write_training_shards_readback(spark, tmp_path):
     out = str(tmp_path / "shards")
     df = spark.createDataFrame(PDF)
