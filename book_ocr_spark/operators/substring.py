@@ -1,0 +1,144 @@
+"""Exact repeated-substring removal at corpus granularity.
+
+The substring-level sibling of dedup.line_dedup, after the rule in
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al. 2021): long token runs that recur verbatim across documents
+(licenses, templates, quoted passages) stay in the corpus even after
+document- and line-level dedup, and LMs memorize them.
+
+Semantics here: a token is removed iff it lies inside ANY n-token
+window whose exact token sequence occurs in >= ``min_docs`` DISTINCT
+documents. Because every shared run of length >= n is exactly the
+union of its shared n-windows, this removes precisely the maximal
+cross-document-repeated token runs of length >= n and nothing else —
+fixed-n window anchors give the same detection guarantee as Lee et
+al.'s suffix array for runs at the threshold length, without a
+global suffix sort. Unlike Lee et al. (who keep one occurrence) this
+removes ALL occurrences — the same convention as line_dedup, and the
+only convention that is a pure per-token function of the corpus (no
+order-dependent "first" winner), which is what lets the DuckDB twin
+replay it bit-for-bit.
+
+Tokenization is whitespace-split after trim, so the reassembled
+``clean_text`` is whitespace-canonicalized for every document
+(single spaces) — run this after, not before, anything that needs
+raw byte offsets.
+
+Scale shape (100 TB): the window table is ~n rows per token but each
+row is narrow (id, int, int64 hash); the repeated-key table is one
+count-distinct hash agg and after HAVING holds only corpus-repeated
+windows (tiny in practice -> AQE broadcasts the flagging semi-join);
+covered positions explode n rows per repeated window only; one hash
+agg back on id reassembles. Linear in total token count — the same
+no-pairwise-comparison shape that makes line_dedup feasible, with an
+n-factor constant. All JVM: split/slice/transform HOFs, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h56, spark_h56
+
+
+def _window_hash_expr(n: int) -> str:
+    """Array of h56 hashes of every n-token window of `_toks` (empty
+    when the document has fewer than n tokens)."""
+    whash = spark_h56(f"concat_ws(' ', slice(_toks, i + 1, {n}))")
+    return (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), i -> {whash}) "
+        f"ELSE array() END"
+    )
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed): the document with every
+    token that sits inside a cross-document-repeated n-token window
+    removed, surviving tokens rejoined by single spaces in original
+    order. Documents shorter than n tokens pass through (canonicalized
+    whitespace aside)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would remove every token)")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    wins = toks.select(
+        "id", F.posexplode(F.expr(_window_hash_expr(n))).alias("wpos", "whash")
+    )
+    repeated = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("whash")
+    )
+    covered = (
+        wins.join(repeated, "whash", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    tok_rows = toks.select("id", F.posexplode("_toks").alias("pos", "tok"))
+    flagged = tok_rows.join(covered, ["id", "pos"], "left").withColumn(
+        "_gone", F.coalesce("_rm", F.lit(False))
+    )
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(pos, tok, _gone))),"
+                " x -> NOT x._gone), x -> x.tok)"
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("_gone").cast("long")).alias("n_removed"),
+    )
+
+
+def duck_substring_dedup_sql(
+    corpus_sql: str, n: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of substring_dedup: identical clean_text/count bits
+    (1-based list slicing; generate_subscripts - 1 matches posexplode)."""
+    whash = duck_h56(f"array_to_string(toks[i + 1 : i + {n}], ' ')")
+    return f"""
+        WITH arr AS (
+            SELECT id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+            FROM ({corpus_sql}) c0),
+        winpos AS (
+            SELECT id, toks,
+                   unnest(range(0, len(toks) - {n} + 1)) AS i
+            FROM arr WHERE len(toks) >= {n}),
+        wins AS (SELECT id, i AS wpos, {whash} AS whash FROM winpos),
+        rep AS (
+            SELECT whash FROM wins
+            GROUP BY whash HAVING COUNT(DISTINCT id) >= {min_docs}),
+        cov AS (
+            SELECT DISTINCT w.id, w.wpos + j AS pos
+            FROM wins w JOIN rep USING (whash),
+                 generate_series(0, {n} - 1) s(j)),
+        toks AS (
+            SELECT id,
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS tok
+            FROM arr)
+        SELECT t.id,
+               COALESCE(string_agg(
+                   CASE WHEN c.pos IS NULL THEN t.tok END, ' '
+                   ORDER BY t.pos), '') AS clean_text,
+               COUNT(*) AS n_tokens,
+               CAST(COUNT(c.pos) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN cov c ON t.id = c.id AND t.pos = c.pos
+        GROUP BY t.id ORDER BY t.id
+    """

@@ -1,0 +1,99 @@
+"""Exact repeated-substring removal: DuckDB twin bit-equality plus the
+designed semantics — shared runs >= n go from every holder, unique
+text and within-doc-only repeats survive, short docs pass through."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators.substring import (
+    duck_substring_dedup_sql,
+    substring_dedup,
+)
+
+LICENSE = (
+    "permission is hereby granted free of charge to any person "
+    "obtaining a copy of this software"
+)  # 16-token run shared verbatim across docs 1 and 2
+ROWS = [
+    (1, f"alpha unique opening words here {LICENSE} and a distinct tail one"),
+    (2, f"{LICENSE} totally different continuation for the second document"),
+    (3, "an untouched document with its own independent sentence structure"),
+    (4, "echo repeat echo repeat echo repeat echo repeat echo repeat"),  # within-doc only
+    (5, LICENSE),            # entirely a shared run -> emptied
+    (6, "tiny doc"),         # shorter than n -> untouched
+    (7, "   spaced\t\tout   tokens\nacross   lines   "),  # canonicalization
+]
+N = 5
+
+
+def _got(spark, n=N, min_docs=2):
+    df = spark.createDataFrame(ROWS, "id long, text string")
+    out = substring_dedup(df, "id", "text", n=n, min_docs=min_docs)
+    return sorted(
+        (r.id, r.clean_text, r.n_tokens, r.n_removed) for r in out.collect()
+    )
+
+
+def _want(n=N, min_docs=2):
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(ROWS, columns=["id", "text"]))
+    return sorted(
+        (int(i), ct, int(nt), int(nr))
+        for i, ct, nt, nr in con.sql(
+            duck_substring_dedup_sql("SELECT id, text FROM c", n=n, min_docs=min_docs)
+        ).fetchall()
+    )
+
+
+def test_substring_dedup_matches_duckdb_bit_for_bit(spark):
+    assert _got(spark) == _want()
+
+
+def test_designed_victims_drop_where_designed(spark):
+    by = {r[0]: r for r in _got(spark)}
+    lic_len = len(LICENSE.split())
+    # the shared run is gone from BOTH holders; their unique text survives
+    assert by[1][1] == "alpha unique opening words here and a distinct tail one"
+    assert by[1][3] == lic_len
+    assert by[2][1] == "totally different continuation for the second document"
+    assert by[2][3] == lic_len
+    # unique doc untouched
+    assert by[3][1] == ROWS[2][1] and by[3][3] == 0
+    # within-doc repetition is NOT cross-document: survives
+    assert by[4][1] == ROWS[3][1] and by[4][3] == 0
+    # doc that IS the shared run is emptied
+    assert by[5][1] == "" and by[5][3] == lic_len
+    # shorter than n: no windows, untouched
+    assert by[6][1] == "tiny doc" and by[6][3] == 0
+    # whitespace canonicalized even when nothing is removed
+    assert by[7][1] == "spaced out tokens across lines" and by[7][3] == 0
+
+
+def test_min_docs_above_holder_count_spares_the_run(spark):
+    # the license run is held by docs 1, 2 and 5 — three distinct docs:
+    # still removed at min_docs=3, spared at min_docs=4
+    by3 = {r[0]: r for r in _got(spark, min_docs=3)}
+    assert by3[1][3] > 0 and by3[5][1] == ""
+    by4 = {r[0]: r for r in _got(spark, min_docs=4)}
+    assert by4[1][3] == 0 and by4[2][3] == 0 and by4[5][3] == 0
+    assert _got(spark, min_docs=4) == _want(min_docs=4)
+
+
+def test_input_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="min_docs"):
+        substring_dedup(df, "id", "text", min_docs=1)
+    with pytest.raises(ValueError, match="n must"):
+        substring_dedup(df, "id", "text", n=0)
+
+
+def test_partition_invariance(spark):
+    df = spark.createDataFrame(ROWS, "id long, text string")
+    a = sorted(
+        map(tuple, substring_dedup(df.repartition(13), "id", "text", n=N).collect())
+    )
+    b = sorted(
+        map(tuple, substring_dedup(df.coalesce(1), "id", "text", n=N).collect())
+    )
+    assert a == b
