@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
         "--n-shards", type=int, default=None,
         help="add deterministic (shard, seq) training-order columns",
     )
+    cur.add_argument(
+        "--substring-n", type=int, default=None,
+        help="strip cross-document token runs >= N long (Lee et al. rule)",
+    )
+    cur.add_argument("--substring-min-docs", type=int, default=2)
     cur.add_argument("--k", type=int, default=3, help="shingle size for near-dup")
     cur.add_argument("--threshold", type=float, default=0.6, help="Jaccard threshold")
     cur.add_argument(
@@ -185,6 +190,8 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 max_xent_micro=args.max_xent_micro,
                 n_shards=args.n_shards,
+                substring_n=args.substring_n,
+                substring_min_docs=args.substring_min_docs,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

@@ -168,10 +168,16 @@ def curate_web_corpus(
     lm_corpus: DataFrame | None = None,
     max_xent_micro: int | None = None,
     n_shards: int | None = None,
+    substring_n: int | None = None,
+    substring_min_docs: int = 2,
 ) -> DataFrame:
     """The full web-corpus pass: URL gate (when ``url_col`` is given)
     -> corpus-level line dedup (documents emptied by boilerplate
-    removal drop out) -> optional LM perplexity gate (when
+    removal drop out) -> optional exact repeated-substring removal
+    (when ``substring_n`` is given: cross-document token runs >=
+    substring_n long are stripped per the Lee et al. 2021 rule;
+    documents emptied by it drop out; note it whitespace-canonicalizes
+    surviving text) -> optional LM perplexity gate (when
     ``lm_corpus`` is given: CCNet's position for it — after boilerplate
     removal, before the heuristic quality gate; documents whose
     per-token cross-entropy under the ``lm_corpus``-trained bigram LM
@@ -204,6 +210,19 @@ def curate_web_corpus(
         .filter(F.col("clean_text") != "")
         .select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col))
     )
+    if substring_n is not None:
+        from book_ocr_spark.operators.substring import substring_dedup
+
+        cleaned = (
+            substring_dedup(
+                cleaned, id_col, text_col, n=substring_n,
+                min_docs=substring_min_docs,
+            )
+            .filter(F.col("clean_text") != "")
+            .select(
+                F.col("id").alias(id_col), F.col("clean_text").alias(text_col)
+            )
+        )
     if lm_corpus is not None:
         if max_xent_micro is None:
             raise ValueError("lm_corpus requires max_xent_micro")

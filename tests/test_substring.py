@@ -88,6 +88,66 @@ def test_input_validation(spark):
         substring_dedup(df, "id", "text", n=0)
 
 
+def test_substring_stage_in_web_corpus_pass(spark):
+    """curate_web_corpus with substring_n: a document whose only
+    content beyond a cross-doc license run is sub-quality drops at the
+    substring→quality boundary, while docs with real unique content
+    survive with the run stripped; the DuckDB replay composes the
+    substring twin between line dedup and curate."""
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    unique_a = (
+        "a thorough standalone discussion of partition pruning and join "
+        "ordering with plenty of distinct vocabulary to pass every gate"
+    )
+    unique_b = (
+        "another fully independent body about watermark handling and "
+        "stateful aggregation semantics with its own distinct wording"
+    )
+    rows = [
+        (1, f"{unique_a} {LICENSE}"),
+        (2, f"{LICENSE} {unique_b}"),
+        (3, f"{LICENSE} short tail"),  # emptied to sub-quality by the strip
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            curate_web_corpus(
+                df, "id", "text", line_min_docs=99, substring_n=N
+            ).collect(),
+        )
+    )
+    assert sorted(r[0] for r in got) == [1, 2]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register(
+        "lined",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c", min_docs=99)
+            + ") t WHERE clean_text <> ''"
+        ).df(),
+    )
+    con.register(
+        "stripped",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_substring_dedup_sql("SELECT id, text FROM lined", n=N)
+            + ") t WHERE clean_text <> ''"
+        ).df(),
+    )
+    want = sorted(
+        (int(i), fp, int(nt))
+        for i, fp, nt in con.sql(
+            duck_curate_sql("SELECT id, text FROM stripped")
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_partition_invariance(spark):
     df = spark.createDataFrame(ROWS, "id long, text string")
     a = sorted(
