@@ -69,6 +69,7 @@ HEADLINE = [
     # within-cell pairwise) — two cost shapes the set otherwise lacks
     "lm_xent",
     "semantic_pairs",
+    "substring_dedup",
 ]
 
 
@@ -96,7 +97,19 @@ def _bench_extra():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return _sd.semantic_pairs(emb, "vec_id", "embedding", n_cells=16)
 
-    return {"lm_xent": lm_xent, "semantic_pairs": semantic_pairs}
+    def substring_dedup(spark, sf_dir):
+        from book_ocr_spark.operators import substring as _ss
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return _ss.substring_dedup(docs, "doc_id", "text", n=8)
+
+    return {
+        "lm_xent": lm_xent,
+        "semantic_pairs": semantic_pairs,
+        "substring_dedup": substring_dedup,
+    }
 
 
 def _sf(sf_dir: str) -> float:
