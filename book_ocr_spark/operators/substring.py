@@ -53,34 +53,25 @@ def _window_hash_expr(n: int) -> str:
     )
 
 
-def substring_dedup(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
-) -> DataFrame:
-    """(id, clean_text, n_tokens, n_removed): the document with every
-    token that sits inside a cross-document-repeated n-token window
-    removed, surviving tokens rejoined by single spaces in original
-    order. Documents shorter than n tokens pass through (canonicalized
-    whitespace aside)."""
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    if min_docs < 2:
-        raise ValueError("min_docs must be >= 2 (1 would remove every token)")
-    toks = df.select(
+def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
     )
-    wins = toks.select(
+
+
+def _windows(toks: DataFrame, n: int) -> DataFrame:
+    """(id, wpos, whash): one row per n-token window."""
+    return toks.select(
         "id", F.posexplode(F.expr(_window_hash_expr(n))).alias("wpos", "whash")
     )
-    repeated = (
-        wins.groupBy("whash")
-        .agg(F.count_distinct("id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("whash")
-    )
+
+
+def _strip_tokens(toks: DataFrame, flagged_wins: DataFrame, n: int) -> DataFrame:
+    """Remove every token covered by a flagged window; reassemble
+    (id, clean_text, n_tokens, n_removed)."""
     covered = (
-        wins.join(repeated, "whash", "left_semi")
-        .select(
+        flagged_wins.select(
             "id",
             F.explode(
                 F.sequence(F.col("wpos"), F.col("wpos") + F.lit(n - 1))
@@ -106,24 +97,110 @@ def substring_dedup(
     )
 
 
-def duck_substring_dedup_sql(
-    corpus_sql: str, n: int = 8, min_docs: int = 2
-) -> str:
-    """DuckDB twin of substring_dedup: identical clean_text/count bits
-    (1-based list slicing; generate_subscripts - 1 matches posexplode)."""
+def _validate(n: int, min_docs: int) -> None:
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would remove every token)")
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed): the document with every
+    token that sits inside a cross-document-repeated n-token window
+    removed, surviving tokens rejoined by single spaces in original
+    order. Documents shorter than n tokens pass through (canonicalized
+    whitespace aside)."""
+    _validate(n, min_docs)
+    toks = _token_arrays(df, id_col, text_col)
+    wins = _windows(toks, n)
+    repeated = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("whash")
+    )
+    return _strip_tokens(toks, wins.join(repeated, "whash", "left_semi"), n)
+
+
+def batch_window_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """(whash, ndocs): distinct-document count per n-token window —
+    the cumulative state an incremental corpus maintains."""
+    wins = _windows(_token_arrays(df, id_col, text_col), n)
+    return wins.groupBy("whash").agg(F.count_distinct("id").alias("ndocs"))
+
+
+def incremental_substring_dedup(
+    new_docs: DataFrame,
+    existing_window_counts: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    batch_counts: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Substring dedup of a NEW batch against a CUMULATIVE (whash,
+    ndocs) window-frequency table — the MERGE shape for a daily
+    ingest, mirroring dedup.incremental_line_dedup: the existing
+    corpus is never re-read, only its materialized counts, and
+    already-emitted documents are not retro-cleaned when a run crosses
+    the threshold later (a periodic full substring_dedup pass is the
+    compaction analog). Counts are exact when document ids do not
+    straddle batches. ``batch_counts``: a precomputed (ideally
+    persisted) batch_window_counts result so a caller that also
+    writes the delta does not pay the window explode twice.
+
+    Returns ``(cleaned_batch, updated_window_counts)``: the batch with
+    tokens removed wherever the COMBINED (existing + batch)
+    distinct-doc count of a covering window reaches ``min_docs``, and
+    the merged state for the caller to write back."""
+    _validate(n, min_docs)
+    toks = _token_arrays(new_docs, id_col, text_col)
+    wins = _windows(toks, n)
+    if batch_counts is None:
+        batch_counts = wins.groupBy("whash").agg(
+            F.count_distinct("id").alias("ndocs")
+        )
+    merged = (
+        batch_counts.select("whash", F.col("ndocs").alias("_bn"))
+        .join(
+            existing_window_counts.select("whash", F.col("ndocs").alias("_en")),
+            "whash",
+            "full",
+        )
+        .select(
+            "whash",
+            (F.coalesce("_bn", F.lit(0)) + F.coalesce("_en", F.lit(0))).alias(
+                "ndocs"
+            ),
+        )
+    )
+    repeated = merged.filter(F.col("ndocs") >= min_docs).select("whash")
+    cleaned = _strip_tokens(toks, wins.join(repeated, "whash", "left_semi"), n)
+    return cleaned, merged
+
+
+def _duck_base_ctes(corpus_sql: str, n: int) -> str:
+    """arr/winpos/wins CTE bodies shared by both twins."""
     whash = duck_h56(f"array_to_string(toks[i + 1 : i + {n}], ' ')")
     return f"""
-        WITH arr AS (
+        arr AS (
             SELECT id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
             FROM ({corpus_sql}) c0),
         winpos AS (
             SELECT id, toks,
                    unnest(range(0, len(toks) - {n} + 1)) AS i
             FROM arr WHERE len(toks) >= {n}),
-        wins AS (SELECT id, i AS wpos, {whash} AS whash FROM winpos),
-        rep AS (
-            SELECT whash FROM wins
-            GROUP BY whash HAVING COUNT(DISTINCT id) >= {min_docs}),
+        wins AS (SELECT id, i AS wpos, {whash} AS whash FROM winpos)"""
+
+
+def _duck_strip_select(n: int) -> str:
+    """cov/toks CTEs + final SELECT shared by both twins (expects a
+    `rep` CTE with one `whash` column to be defined upstream)."""
+    return f"""
         cov AS (
             SELECT DISTINCT w.id, w.wpos + j AS pos
             FROM wins w JOIN rep USING (whash),
@@ -142,3 +219,39 @@ def duck_substring_dedup_sql(
         FROM toks t LEFT JOIN cov c ON t.id = c.id AND t.pos = c.pos
         GROUP BY t.id ORDER BY t.id
     """
+
+
+def duck_substring_dedup_sql(
+    corpus_sql: str, n: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of substring_dedup: identical clean_text/count bits
+    (1-based list slicing; generate_subscripts - 1 matches posexplode)."""
+    return f"""
+        WITH {_duck_base_ctes(corpus_sql, n)},
+        rep AS (
+            SELECT whash FROM wins
+            GROUP BY whash HAVING COUNT(DISTINCT id) >= {min_docs}),
+        {_duck_strip_select(n)}"""
+
+
+def duck_incremental_substring_dedup_sql(
+    batch_sql: str, existing_counts_sql: str, n: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of incremental_substring_dedup's cleaned-batch
+    output (the updated state is the same union-sum merge, asserted
+    separately in tests). ``existing_counts_sql`` must yield
+    (whash, ndocs)."""
+    return f"""
+        WITH {_duck_base_ctes(batch_sql, n)},
+        rep AS (
+            SELECT whash FROM (
+                SELECT whash, SUM(nd) AS ndocs FROM (
+                    SELECT whash, COUNT(DISTINCT id) AS nd
+                    FROM wins GROUP BY whash
+                    UNION ALL
+                    SELECT whash, ndocs AS nd FROM ({existing_counts_sql})
+                ) u GROUP BY whash) m
+            WHERE ndocs >= {min_docs}),
+        {_duck_strip_select(n)}"""
+
+

@@ -148,6 +148,66 @@ def test_substring_stage_in_web_corpus_pass(spark):
     assert got == want
 
 
+def test_incremental_substring_dedup_cross_batch(spark):
+    """MERGE shape: a run seen once in batch 1 is NOT stripped there,
+    but when batch 2 brings the second holder the COMBINED count
+    crosses min_docs and batch 2 is stripped; the updated state merges
+    counts; the DuckDB twin replays the cleaned batch bit-for-bit."""
+    from book_ocr_spark.operators.substring import (
+        batch_window_counts,
+        duck_incremental_substring_dedup_sql,
+        incremental_substring_dedup,
+    )
+
+    b1_rows = [(1, f"first unique framing text {LICENSE} closing remark one")]
+    b2_rows = [
+        (2, f"{LICENSE} with a second holder continuation"),
+        (3, "an unrelated batch two document with entirely fresh content"),
+    ]
+    empty_state = spark.createDataFrame([], "whash long, ndocs long")
+    b1 = spark.createDataFrame(b1_rows, "id long, text string")
+    cleaned1, state1 = incremental_substring_dedup(
+        b1, empty_state, "id", "text", n=N
+    )
+    r1 = cleaned1.collect()[0]
+    assert r1.n_removed == 0  # single holder so far
+
+    b2 = spark.createDataFrame(b2_rows, "id long, text string")
+    cleaned2, state2 = incremental_substring_dedup(
+        b2, state1, "id", "text", n=N
+    )
+    got2 = sorted((r.id, r.clean_text, r.n_tokens, r.n_removed)
+                  for r in cleaned2.collect())
+    lic_len = len(LICENSE.split())
+    by = {r[0]: r for r in got2}
+    assert by[2][3] == lic_len  # combined count crossed the threshold
+    assert by[2][1] == "with a second holder continuation"
+    assert by[3][3] == 0
+
+    # twin bit-equality on the cleaned batch
+    con = duckdb.connect()
+    con.register("b2", pd.DataFrame(b2_rows, columns=["id", "text"]))
+    con.register("st", state1.toPandas())
+    want2 = sorted(
+        (int(i), ct, int(nt), int(nr))
+        for i, ct, nt, nr in con.sql(
+            duck_incremental_substring_dedup_sql(
+                "SELECT id, text FROM b2", "SELECT whash, ndocs FROM st", n=N
+            )
+        ).fetchall()
+    )
+    assert got2 == want2
+
+    # state merge: combined counts equal a from-scratch count over b1+b2
+    both = spark.createDataFrame(b1_rows + b2_rows, "id long, text string")
+    scratch = {
+        (r.whash): r.ndocs
+        for r in batch_window_counts(both, "id", "text", n=N).collect()
+    }
+    merged = {(r.whash): r.ndocs for r in state2.collect()}
+    assert merged == scratch
+
+
 def test_partition_invariance(spark):
     df = spark.createDataFrame(ROWS, "id long, text string")
     a = sorted(
