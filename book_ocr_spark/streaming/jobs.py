@@ -487,3 +487,79 @@ def start_incremental_line_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_substring_dedup(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    n: int = 8,
+    min_docs: int = 2,
+    available_now: bool = False,
+):
+    """Streaming exact repeated-substring removal —
+    substring.incremental_substring_dedup running continuously: each
+    micro-batch is cleaned against the CUMULATIVE window-frequency
+    state (`windows/`, per-batch (whash, ndocs) deltas summed on read
+    with the batch's own partition excluded so at-least-once replays
+    see exactly the pre-batch state); cleaned documents land in
+    `clean/`, the batch's delta is appended. Same batch_id-keyed
+    idempotent writes and first-batch-vs-unreadable-state distinction
+    as start_incremental_line_dedup."""
+    from book_ocr_spark.operators.substring import (
+        batch_window_counts,
+        incremental_substring_dedup,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    windows_path = f"{out_path}/windows"
+    clean_path = f"{out_path}/clean"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_window_counts(batch_df, "id", "text", n=n).persist()
+        try:
+            try:
+                existing = (
+                    spark.read.parquet(windows_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .groupBy("whash")
+                    .agg(F.sum("ndocs").alias("ndocs"))
+                )
+            except AnalysisException as exc:
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, windows_path
+                ):
+                    raise
+                existing = spark.createDataFrame([], "whash long, ndocs long")
+            cleaned, _ = incremental_substring_dedup(
+                batch_df, existing, "id", "text",
+                n=n, min_docs=min_docs, batch_counts=delta,
+            )
+            (
+                cleaned.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(clean_path)
+            )
+            (
+                delta.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(windows_path)
+            )
+        finally:
+            delta.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -361,3 +361,38 @@ def test_streaming_incremental_line_dedup(spark, tmp_path):
     cum = {r.k: r.total for r in
            state.groupBy("k").agg(F.sum("ndocs").alias("total")).collect()}
     assert cum["promo footer"] == 2 and cum["content one"] == 1
+
+
+def test_streaming_incremental_substring_dedup(spark, tmp_path):
+    """Streaming substring dedup: a 5-token run seen in batch 1
+    crosses min_docs during batch 2, so batch 2's holder is stripped
+    (batch 1's emitted doc keeps it); the window-frequency state
+    accumulates per-batch deltas."""
+    run = "all rights reserved by the publisher"
+    inp = str(tmp_path / "ss_in")
+    out = str(tmp_path / "ss_out")
+    b1 = [(1, f"opening body text here {run}")]
+    b2 = [(10, f"{run} second holder tail words"),
+          (11, "an unrelated second batch document entirely")]
+    spark.createDataFrame(b1, "id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(b2, "id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = jobs.start_incremental_substring_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_ss"), n=5, available_now=True
+    )
+    q.awaitTermination(180)
+
+    clean = {r.id: (r.clean_text, r.n_removed) for r in
+             spark.read.parquet(f"{out}/clean").collect()}
+    run_len = len(run.split())
+    assert clean[1] == (f"opening body text here {run}", 0)  # batch 1 untouched
+    assert clean[10] == ("second holder tail words", run_len)
+    assert clean[11] == ("an unrelated second batch document entirely", 0)
+    state = spark.read.parquet(f"{out}/windows")
+    total_docs = {r.whash: r.total for r in
+                  state.groupBy("whash").agg(F.sum("ndocs").alias("total")).collect()}
+    assert max(total_docs.values()) == 2  # the shared run's windows
