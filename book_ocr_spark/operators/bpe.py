@@ -1,0 +1,343 @@
+"""Distributed BPE vocabulary induction (tokenizer training) and
+encoding — the merge-learning algorithm of Sennrich et al. 2016
+("Neural Machine Translation of Rare Words with Subword Units"),
+re-expressed for a 100 TB corpus on Spark.
+
+The classic algorithm is a driver loop, and that is fine — the trick
+that makes it scale is WHERE the loop runs. BPE statistics are a pure
+function of the corpus's word-frequency table: a pair (a, b) occurs
+``sum_w count(w) * occurrences_in(w)`` times, so after ONE hash-agg
+pass that collapses the corpus to ``(word, cnt)`` distinct rows
+(Zipf: billions of tokens -> millions of distinct words), every merge
+iteration touches only that small persisted table. The 100 TB corpus
+is read exactly once for learning and once for encoding; no iteration
+ever rescans it.
+
+Per iteration (all JVM expressions, one tiny driver action):
+
+  1. adjacent-pair counts: ``transform(sequence, ...)`` enumerates
+     per-position symbol pairs, explode -> hash agg weighted by word
+     count (map-side combine; the pair table is bounded by total
+     symbol positions in the DISTINCT-word table);
+  2. argmax with a total-order tie-break (count DESC, then (left,
+     right) lexicographic ASC) -> ``.first()`` on a 1-row sort — the
+     same accepted one-action-per-round shape as IVF's Lloyd loop and
+     the connected-components rounds;
+  3. greedy left-to-right non-overlapping merge of the winning pair,
+     applied to every word's symbol array via one ``F.aggregate``
+     fold — merged columns are rebuilt with ``localCheckpoint`` every
+     ``checkpoint_every`` rounds so plan depth (and Catalyst analysis
+     time) stays bounded across hundreds of merges.
+
+Encoding replays the learned merges in rank order — also over the
+DISTINCT words only (encode each word once, broadcast-join the
+word -> pieces map back to token positions, reassemble per document
+in order). Determinism contract: counts are exact integers, the
+argmax tie-break is a total order, and the greedy fold is a pure
+function of (word, merge list) — so learned merges and encodings are
+partition- and engine-independent, pinned by the pure-Python
+reference replay in tests/test_bpe.py (this operator is iterative,
+so its oracle is a reference implementation, not SQL — the same
+carve-out as the streaming stateful ops).
+
+Unicode note: symbols start as ``substring(word, i, 1)`` code units;
+fixtures stay in the BMP where Spark substring and Python indexing
+agree. The end-of-word marker is a distinct symbol appended after
+the last character (Sennrich's ``</w>``), so learned pieces never
+glue across word boundaries.
+
+Reference lineage: the reference pipeline's recognize stage emits
+per-unit text that downstream training consumes (docs/prd.md:30);
+tokenizer induction is the first thing a training pipeline does with
+that text, and the whitespace/BPE-ish token COUNTING in
+operators/textstats.py is the static sibling of this trained
+tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EOW = "▁"  # visible word-boundary marker (sentencepiece's choice)
+
+MERGE_SCHEMA = StructType(
+    [
+        StructField("rank", LongType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt): the corpus collapsed to distinct whitespace words
+    — the ONE full-corpus pass of BPE learning."""
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _init_symbols(eow: str) -> F.Column:
+    """word -> [c1, c2, ..., cn, eow] (character symbols + marker)."""
+    return F.concat(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+        F.array(F.lit(eow)),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, n): adjacent-symbol pair counts weighted by word cnt.
+    The size guard matters: ``sequence(1, 0)`` DESCENDS in Spark, so
+    an unguarded single-symbol word would fabricate pairs."""
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) >= 2 THEN"
+                " transform(sequence(1, size(syms) - 1),"
+                " i -> struct(element_at(syms, i) as l,"
+                " element_at(syms, i + 1) as r))"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("cnt").alias("n"))
+
+
+def _merge_fold(left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping replacement of the
+    adjacent pair (left, right) with their concatenation, as a pure
+    JVM fold over the symbol array. After a merge the accumulator's
+    last element is the merged piece, so an overlapping second
+    occurrence (e.g. (a,a) in "a a a") correctly does NOT re-merge —
+    Sennrich's replacement order."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_pair_count: int = 2,
+    eow: str = EOW,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns
+    ``[(left, right, pair_count), ...]`` in rank order. Stops early
+    when the best pair's count drops below ``min_pair_count`` (a pair
+    seen once cannot generalize). The returned list is the model —
+    k rows, driver-sized by construction, exactly what
+    ``merges_to_df`` / ``bpe_encode`` consume."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    words = (
+        word_counts(df, text_col)
+        .withColumn("syms", _init_symbols(eow))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None or best["n"] < min_pair_count:
+            break
+        left, right = best["l"], best["r"]
+        merges.append((left, right, int(best["n"])))
+        words = words.withColumn("syms", _merge_fold(left, right))
+        if (rank + 1) % checkpoint_every == 0:
+            # truncate lineage so Catalyst analysis stays O(1) per
+            # round instead of O(rank); checkpoint blocks are freed
+            # with the dataframe refs (they never enter the cache
+            # manager), so nothing leaks into later queries
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def learn_bpe_driver(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_pair_count: int = 2,
+    eow: str = EOW,
+    max_distinct_words: int = 5_000_000,
+    min_word_count: int = 1,
+) -> list[tuple[str, str, int]]:
+    """Same model as ``learn_bpe``, produced the way a production
+    tokenizer trainer actually scales: Spark does the ONE pass that
+    touches 100 TB (the word-frequency hash agg), then the strictly
+    sequential merge recurrence runs on the driver over the collected
+    ``(word, cnt)`` table — distinct words are ~always driver-sized
+    (Zipf: billions of tokens -> millions of words), and a 32k-merge
+    vocabulary at one scheduled Spark job per merge would pay hours of
+    pure scheduling overhead for work that fits in memory. Use
+    ``learn_bpe`` when the distinct-word table genuinely cannot fit
+    (or raise ``min_word_count`` to floor it — hapax words rarely
+    influence early merges).
+
+    ``max_distinct_words`` fails fast instead of silently OOMing the
+    driver. The in-memory loop recounts pairs per round (O(words) per
+    merge); Sennrich's incremental pair-index update is the known
+    optimization if vocab-scale merge counts make that loop itself the
+    bottleneck."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    wc = word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.where(F.col("cnt") >= min_word_count)
+    if wc.limit(max_distinct_words + 1).count() > max_distinct_words:
+        raise ValueError(
+            f"more than {max_distinct_words} distinct words; raise "
+            "min_word_count / max_distinct_words or use learn_bpe"
+        )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(list(r["word"]) + [eow]): r["cnt"] for r in wc.collect()
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        # total order matches learn_bpe: count DESC, (left, right) ASC
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((left, right, n))
+        vocab = {
+            _merge_seq(syms, left, right): cnt for syms, cnt in vocab.items()
+        }
+    return merges
+
+
+def _merge_seq(
+    syms: tuple[str, ...], left: str, right: str
+) -> tuple[str, ...]:
+    """Greedy left-to-right non-overlapping pair replacement — the
+    driver-side twin of ``_merge_fold``."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def merges_to_df(
+    spark: SparkSession, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """The learned model as a (rank, left, right, pair_count) table —
+    the artifact a training pipeline persists next to its shards."""
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        schema=MERGE_SCHEMA,
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | DataFrame,
+    eow: str = EOW,
+) -> DataFrame:
+    """(id, pieces array<string>, n_pieces): every document encoded
+    with the learned merges applied in rank order.
+
+    Scale shape: merges apply to the DISTINCT words of the corpus
+    (one hash agg; Zipf keeps this table small), then the
+    word -> pieces map broadcast-joins back onto per-document word
+    positions and one ordered hash-agg reassembles each document —
+    the corpus is scanned once and never carries the fold itself.
+    The k chained fold projections run only over the distinct-word
+    table, so plan depth over the big table stays 1. For a
+    vocabulary-scale k (tens of thousands), swap the fold chain for
+    the same merge list inside a pandas UDF over the distinct words
+    — the join-back skeleton (the part that touches 100 TB) is
+    unchanged."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"], int(r["pair_count"]))
+            for r in merges.orderBy("rank").collect()  # k rows, model-sized
+        ]
+    doc_words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "word"),
+    )
+    distinct = doc_words.select("word").distinct().withColumn(
+        "syms", _init_symbols(eow)
+    )
+    for left, right, _ in merges:
+        distinct = distinct.withColumn("syms", _merge_fold(left, right))
+    encoded = doc_words.join(F.broadcast(distinct), "word").select(
+        "id", "pos", "syms"
+    )
+    per_doc = encoded.groupBy("id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(pos, syms))),"
+            " x -> x.syms))"
+        ).alias("pieces"),
+        F.sum(F.size("syms")).alias("n_pieces"),
+    )
+    # re-attach wordless documents (empty/whitespace text) with empty
+    # pieces — same convention as lm.lm_cross_entropy's sub-bigram docs
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("pieces", F.array().cast("array<string>")).alias(
+                "pieces"
+            ),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+        )
+    )

@@ -1,0 +1,192 @@
+"""Distributed BPE learning/encoding vs a pure-Python Sennrich
+reference replay (the oracle for this iterative operator — same
+carve-out as the streaming stateful ops: no single SQL statement
+expresses a data-dependent merge recurrence).
+
+The reference implements the textbook algorithm directly (Counter of
+words -> per-position pair counts -> argmax with the same total-order
+tie-break -> greedy left-to-right replacement), so agreement pins
+both the learned merge sequence and every encoded document
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from book_ocr_spark.operators import bpe
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quicker brown foxes jump over lazy dogs",
+    "low lower lowest new newer newest",
+    "the low newer dog jumps",
+    "newest lowest quickest the the the",
+    "",
+    "   ",
+]
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference (Sennrich et al. 2016, learn_bpe)
+# ---------------------------------------------------------------------------
+def _ref_word_counts(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            c[w] += 1
+    return c
+
+
+def _ref_pair_counts(vocab: dict[tuple, int]) -> Counter:
+    pairs: Counter = Counter()
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += cnt
+    return pairs
+
+
+def _ref_merge(syms: tuple, left: str, right: str) -> tuple:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_learn(
+    texts: list[str], n_merges: int, min_pair_count: int = 2, eow: str = bpe.EOW
+):
+    vocab = {
+        tuple(list(w) + [eow]): n for w, n in _ref_word_counts(texts).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = _ref_pair_counts(vocab)
+        if not pairs:
+            break
+        # same total order as the operator: count DESC, pair ASC
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((left, right, n))
+        vocab = {_ref_merge(s, left, right): c for s, c in vocab.items()}
+    return merges, vocab
+
+
+def _ref_encode(text: str, merges, eow: str = bpe.EOW) -> list[str]:
+    pieces: list[str] = []
+    for w in text.strip().split():
+        syms = tuple(list(w) + [eow])
+        for left, right, _ in merges:
+            syms = _ref_merge(syms, left, right)
+        pieces.extend(syms)
+    return pieces
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def learned(corpus_df):
+    return bpe.learn_bpe(corpus_df, "text", n_merges=24)
+
+
+def test_learned_merges_match_reference(learned):
+    ref_merges, _ = _ref_learn(CORPUS, n_merges=24)
+    assert learned == ref_merges
+    assert len(learned) > 5  # the fixture genuinely exercises merging
+
+
+def test_early_stop_on_min_pair_count(corpus_df):
+    # an absurd floor stops learning immediately
+    assert bpe.learn_bpe(corpus_df, "text", n_merges=8, min_pair_count=10**9) == []
+
+
+def test_merge_fold_handles_overlap(spark):
+    # "aaa b" merging (a,a): greedy left-to-right gives [aa, a, eow-pair...]
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    merges = bpe.learn_bpe(df, "text", n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    ref_merges, _ = _ref_learn(["aaa aaa"], n_merges=1)
+    assert merges == ref_merges
+
+
+def test_encode_matches_reference(spark, corpus_df, learned):
+    enc = {
+        r["id"]: (list(r["pieces"]), r["n_pieces"])
+        for r in bpe.bpe_encode(corpus_df, "doc_id", "text", learned).collect()
+    }
+    for i, text in enumerate(CORPUS):
+        ref = _ref_encode(text, learned)
+        assert enc[i][0] == ref, f"doc {i}"
+        assert enc[i][1] == len(ref)
+
+
+def test_encode_accepts_merges_df(spark, corpus_df, learned):
+    mdf = bpe.merges_to_df(spark, learned)
+    via_df = {
+        r["id"]: list(r["pieces"])
+        for r in bpe.bpe_encode(corpus_df, "doc_id", "text", mdf).collect()
+    }
+    via_list = {
+        r["id"]: list(r["pieces"])
+        for r in bpe.bpe_encode(corpus_df, "doc_id", "text", learned).collect()
+    }
+    assert via_df == via_list
+
+
+def test_partition_invariance(spark, corpus_df, learned):
+    scrambled = corpus_df.repartition(7)
+    assert bpe.learn_bpe(scrambled, "text", n_merges=24) == learned
+
+
+def test_driver_variant_matches_distributed(corpus_df, learned):
+    assert bpe.learn_bpe_driver(corpus_df, "text", n_merges=24) == learned
+
+
+def test_driver_variant_word_cap(corpus_df):
+    with pytest.raises(ValueError, match="distinct words"):
+        bpe.learn_bpe_driver(
+            corpus_df, "text", n_merges=4, max_distinct_words=3
+        )
+
+
+def test_driver_variant_min_word_count(corpus_df):
+    # flooring hapax words still yields a valid (possibly different)
+    # model learned from the frequent-word subset only
+    merges = bpe.learn_bpe_driver(
+        corpus_df, "text", n_merges=8, min_word_count=2
+    )
+    texts = [t for t in CORPUS if t.strip()]
+    wc = _ref_word_counts(texts)
+    frequent = [w for w, n in wc.items() for _ in range(n) if n >= 2]
+    ref_merges, _ = _ref_learn([" ".join(frequent)], n_merges=8)
+    assert merges == ref_merges
+
+
+def test_validation(corpus_df):
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(corpus_df, "text", n_merges=0)
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(corpus_df, "text", n_merges=3, min_pair_count=0)
+
+
+def test_checkpoint_cadence_is_semantics_free(corpus_df, learned):
+    assert (
+        bpe.learn_bpe(corpus_df, "text", n_merges=24, checkpoint_every=2)
+        == learned
+    )
