@@ -1,0 +1,188 @@
+"""One-pass corpus profiling — the "look before you curate" stage a
+100 TB pipeline runs first (and after every curation stage, to see
+what the stage did): exact size/volume counters, sketch-based
+cardinalities, approximate length quantiles, and exact heavy-hitter
+vocabulary.
+
+Scale design: profiling must never cost more than a scan. Exact
+counters (docs, tokens, chars) and approximate sketches (HyperLogLog++
+via ``approx_count_distinct``, quantile summaries via
+``percentile_approx``) are all algebraic/sketch aggregates with
+map-side partial merge — one narrow pass per granularity (one over
+docs, one over the exploded token stream), no shuffle beyond the
+1-row agg, bounded executor memory regardless of corpus size. That
+mergeability is exactly why the approximate forms exist: an EXACT
+distinct-token count at corpus scale would shuffle every token, and
+an exact median would global-sort; the sketches trade bounded,
+documented error (``rsd``, ``pct_accuracy``) for O(1) state.
+
+Heavy hitters stay EXACT: top-k tokens by count is a hash agg
+followed by TakeOrderedAndProject (per-partition top-k, k-row merge
+on the driver) — no global sort, so exactness costs nothing extra at
+any scale. The (count DESC, token ASC) total order makes the result
+deterministic and twin-replayable.
+
+Correctness: exact fields are bit-identical to the DuckDB twin;
+sketch fields are asserted within their published error bounds of
+the exact DuckDB answer (tests/test_profile.py). Reference lineage:
+the reference tracks per-run page/accuracy counters in its progress
+state (docs/technical_architecture.md:188); this is that run-level
+accounting generalized to corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PCT_ACCURACY = 10_000  # percentile_approx: error <= 1/accuracy of rank
+RSD = 0.05  # approx_count_distinct target relative standard deviation
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("_toks"),
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rsd: float = RSD,
+    pct_accuracy: int = PCT_ACCURACY,
+) -> DataFrame:
+    """ONE-row corpus profile:
+
+    exact: ``n_docs``, ``n_tokens``, ``n_chars``, ``avg_tokens``
+    (IEEE division of two exact integers);
+    sketched: ``approx_distinct_docs`` (HLL++ over the text),
+    ``approx_distinct_tokens`` (HLL++ over the token stream),
+    ``p50_tokens``/``p90_tokens``/``p99_tokens`` (quantile summary of
+    per-doc token counts, rank error <= 1/pct_accuracy).
+
+    The doc-granularity agg and the token-granularity agg are two
+    single-pass branches over the same scan, cross-joined 1x1 —
+    both all-JVM, both map-side combined."""
+    d = _doc_tokens(df, id_col, text_col)
+    doc_stats = d.select(
+        F.size("_toks").alias("_nt"), F.length("text").alias("_nc"), "text"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        (F.sum("_nt") / F.count("*")).alias("avg_tokens"),
+        F.approx_count_distinct("text", rsd).alias("approx_distinct_docs"),
+        F.percentile_approx("_nt", 0.5, pct_accuracy).alias("p50_tokens"),
+        F.percentile_approx("_nt", 0.9, pct_accuracy).alias("p90_tokens"),
+        F.percentile_approx("_nt", 0.99, pct_accuracy).alias("p99_tokens"),
+    )
+    tok_stats = (
+        d.select(F.explode("_toks").alias("tok"))
+        .agg(
+            F.approx_count_distinct("tok", rsd).alias(
+                "approx_distinct_tokens"
+            )
+        )
+    )
+    return doc_stats.crossJoin(tok_stats).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "avg_tokens",
+        "approx_distinct_docs",
+        "approx_distinct_tokens",
+        "p50_tokens",
+        "p90_tokens",
+        "p99_tokens",
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, k: int = 20, ngram: int = 1
+) -> DataFrame:
+    """(gram, cnt): the EXACT top-``k`` word ``ngram``-grams by corpus
+    frequency, ties broken by gram ASC — hash agg then
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge;
+    never a global sort). The template/boilerplate fingerprint view:
+    at web scale the head of this table IS the site chrome that
+    line/substring dedup later removes."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    toks = _doc_tokens(df, "text", text_col)  # id unused here
+    if ngram == 1:
+        grams = toks.select(F.explode("_toks").alias("gram"))
+    else:
+        grams = toks.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_toks) >= {ngram} THEN"
+                    f" transform(sequence(0, size(_toks) - {ngram}),"
+                    f" i -> concat_ws(' ', slice(_toks, i + 1, {ngram})))"
+                    " ELSE array() END"
+                )
+            ).alias("gram")
+        )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def duck_profile_exact_sql(corpus_sql: str) -> str:
+    """DuckDB twin of the EXACT profile fields plus exact distinct
+    counts and exact percentiles — the ground truth the sketch fields
+    are bound-checked against."""
+    return f"""
+        WITH d AS (
+            SELECT text,
+                   len(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                       w -> w <> '')) AS nt,
+                   length(text) AS nc,
+                   list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                       w -> w <> '') AS toks
+            FROM ({corpus_sql}) c0)
+        SELECT COUNT(*) AS n_docs,
+               SUM(nt) AS n_tokens,
+               SUM(nc) AS n_chars,
+               SUM(nt) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+               COUNT(DISTINCT text) AS exact_distinct_docs,
+               (SELECT COUNT(DISTINCT tok)
+                FROM (SELECT unnest(toks) AS tok FROM d) t)
+                   AS exact_distinct_tokens,
+               CAST(quantile_disc(nt, 0.5) AS BIGINT) AS p50_tokens,
+               CAST(quantile_disc(nt, 0.9) AS BIGINT) AS p90_tokens,
+               CAST(quantile_disc(nt, 0.99) AS BIGINT) AS p99_tokens
+        FROM d
+    """
+
+
+def duck_heavy_hitters_sql(corpus_sql: str, k: int = 20, ngram: int = 1) -> str:
+    """DuckDB twin of heavy_hitters (bit-identical: exact counts,
+    same total order)."""
+    gram = (
+        "unnest(toks)"
+        if ngram == 1
+        else (
+            f"unnest(list_transform(range(0, len(toks) - {ngram} + 1),"
+            f" i -> array_to_string(toks[i + 1 : i + {ngram}], ' ')))"
+        )
+    )
+    guard = "" if ngram == 1 else f"WHERE len(toks) >= {ngram}"
+    return f"""
+        WITH d AS (
+            SELECT list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                       w -> w <> '') AS toks
+            FROM ({corpus_sql}) c0),
+        g AS (SELECT {gram} AS gram FROM d {guard})
+        SELECT gram, COUNT(*) AS cnt FROM g
+        GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
+    """

@@ -1,0 +1,107 @@
+"""Corpus profiling: exact fields bit-identical to the DuckDB twin,
+sketch fields inside their published error bounds of the exact DuckDB
+answer, heavy hitters bit-identical with the no-global-sort plan
+shape pinned."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import profile
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox naps"),
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "the the the the the"),
+    (5, "one"),
+    (6, ""),
+    (7, "   "),
+    (8, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+] + [(100 + i, f"filler tokens row {i} with some shared words") for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _duck():
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    return con
+
+
+def test_profile_exact_fields_match_twin(docs_df):
+    got = profile.corpus_profile(docs_df, "doc_id", "text").collect()[0]
+    con = _duck()
+    exp = con.sql(
+        profile.duck_profile_exact_sql("SELECT doc_id, text FROM docs")
+    ).fetchall()[0]
+    (n_docs, n_tokens, n_chars, avg_tokens, ex_docs, ex_toks, p50, p90, p99) = exp
+    assert got["n_docs"] == n_docs
+    assert got["n_tokens"] == n_tokens
+    assert got["n_chars"] == n_chars
+    assert got["avg_tokens"] == pytest.approx(avg_tokens, abs=0)
+    # sketches: HLL++ at rsd=0.05 over tiny cardinalities is far inside
+    # 3 sigma; percentile_approx at accuracy=10k is exact at this size
+    assert abs(got["approx_distinct_docs"] - ex_docs) <= max(3, 0.15 * ex_docs)
+    assert abs(got["approx_distinct_tokens"] - ex_toks) <= max(
+        3, 0.15 * ex_toks
+    )
+    assert got["p50_tokens"] == p50
+    assert got["p90_tokens"] == p90
+    assert got["p99_tokens"] == p99
+
+
+def test_heavy_hitters_match_twin(docs_df):
+    got = [
+        (r["gram"], r["cnt"])
+        for r in profile.heavy_hitters(docs_df, "text", k=10).collect()
+    ]
+    con = _duck()
+    exp = con.sql(
+        profile.duck_heavy_hitters_sql("SELECT doc_id, text FROM docs", k=10)
+    ).fetchall()
+    assert got == exp
+    # the filler template words ARE the boilerplate head (41 = 40
+    # filler rows + doc 3), beating natural-text 'the' (10)
+    assert got[0] == ("with", 41)
+    assert ("the", 10) in got
+
+
+def test_heavy_hitters_bigrams_match_twin(docs_df):
+    got = [
+        (r["gram"], r["cnt"])
+        for r in profile.heavy_hitters(docs_df, "text", k=8, ngram=2).collect()
+    ]
+    con = _duck()
+    exp = con.sql(
+        profile.duck_heavy_hitters_sql(
+            "SELECT doc_id, text FROM docs", k=8, ngram=2
+        )
+    ).fetchall()
+    assert got == exp
+
+
+def test_heavy_hitters_plan_has_no_global_sort(docs_df):
+    plan = profile.heavy_hitters(docs_df, "text", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_fields_partition_invariant(spark, docs_df):
+    a = profile.corpus_profile(docs_df, "doc_id", "text").collect()[0]
+    b = profile.corpus_profile(
+        docs_df.repartition(7), "doc_id", "text"
+    ).collect()[0]
+    for f in ("n_docs", "n_tokens", "n_chars", "avg_tokens"):
+        assert a[f] == b[f]
+
+
+def test_validation(docs_df):
+    with pytest.raises(ValueError):
+        profile.heavy_hitters(docs_df, "text", k=0)
+    with pytest.raises(ValueError):
+        profile.heavy_hitters(docs_df, "text", k=3, ngram=0)
