@@ -125,6 +125,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
+    prof = sub.add_parser(
+        "profile",
+        help="one-pass corpus profile (exact counters + HLL/quantile "
+        "sketches) and exact heavy-hitter n-grams (operators.profile) "
+        "— run before and after curation stages to see what they did",
+    )
+    prof.add_argument("--input", required=True, help="documents parquet (id, text)")
+    prof.add_argument("--id-col", default="id")
+    prof.add_argument("--text-col", default="text")
+    prof.add_argument("--top-k", type=int, default=20, help="heavy hitters reported")
+    prof.add_argument("--ngram", type=int, default=1, help="heavy-hitter gram size")
+    prof.add_argument("--threads", type=int, default=None)
+    prof.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
     args = top.parse_args(argv)
 
@@ -200,6 +213,33 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             for df in handle:
                 df.unpersist()
+            spark.stop()
+
+    if args.cmd == "profile":
+        from book_ocr_spark.operators.profile import corpus_profile, heavy_hitters
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-profile", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            docs = spark.read.parquet(args.input)
+            row = corpus_profile(docs, args.id_col, args.text_col).collect()[0]
+            hitters = heavy_hitters(
+                docs, args.text_col, k=args.top_k, ngram=args.ngram
+            ).collect()
+            print(
+                json.dumps(
+                    {
+                        **row.asDict(),
+                        "heavy_hitters": [
+                            {"gram": r["gram"], "cnt": r["cnt"]} for r in hitters
+                        ],
+                    }
+                )
+            )
+            return 0
+        finally:
             spark.stop()
 
     from book_ocr_spark.functions.heuristics import DEFAULT_THRESHOLDS, Thresholds

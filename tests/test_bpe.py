@@ -154,6 +154,24 @@ def test_partition_invariance(spark, corpus_df, learned):
     assert bpe.learn_bpe(scrambled, "text", n_merges=24) == learned
 
 
+def test_encode_arrow_matches_jvm_fold(spark, corpus_df, learned):
+    """The pandas-stage encode (vocab-scale path) is bit-identical to
+    the chained-JVM-fold encode on every document, empty docs
+    included."""
+    via_arrow = {
+        r["id"]: (list(r["pieces"]), r["n_pieces"])
+        for r in bpe.bpe_encode_arrow(
+            corpus_df, "doc_id", "text", learned
+        ).collect()
+    }
+    via_fold = {
+        r["id"]: (list(r["pieces"]), r["n_pieces"])
+        for r in bpe.bpe_encode(corpus_df, "doc_id", "text", learned).collect()
+    }
+    assert via_arrow == via_fold
+    assert set(via_arrow) == set(range(len(CORPUS)))
+
+
 def test_driver_variant_matches_distributed(corpus_df, learned):
     assert bpe.learn_bpe_driver(corpus_df, "text", n_merges=24) == learned
 

@@ -157,3 +157,24 @@ def test_cli_curate_lm_gate(spark, tmp_path, monkeypatch):
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert summary["curated_rows"] == 2
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+def test_cli_profile(spark, tmp_path, capsys, monkeypatch):
+    """`profile` emits one JSON object with exact counters, sketch
+    fields, and the requested heavy-hitter list."""
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "")], "id long, text string"
+    ).write.parquet(inp)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    assert (
+        cli.main(["profile", "--input", inp, "--top-k", "2", "--ngram", "1"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 3
+    assert out["n_tokens"] == 8
+    assert out["heavy_hitters"] == [
+        {"gram": "a", "cnt": 4},
+        {"gram": "b", "cnt": 3},
+    ]
