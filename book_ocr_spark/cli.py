@@ -131,8 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         "sketches) and exact heavy-hitter n-grams (operators.profile) "
         "— run before and after curation stages to see what they did",
     )
-    prof.add_argument("--input", required=True, help="documents parquet (id, text)")
-    prof.add_argument("--id-col", default="id")
+    prof.add_argument("--input", required=True, help="documents parquet")
     prof.add_argument("--text-col", default="text")
     prof.add_argument("--top-k", type=int, default=20, help="heavy hitters reported")
     prof.add_argument("--ngram", type=int, default=1, help="heavy-hitter gram size")
@@ -224,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel(args.log_level)
         try:
             docs = spark.read.parquet(args.input)
-            row = corpus_profile(docs, args.id_col, args.text_col).collect()[0]
+            row = corpus_profile(docs, args.text_col).collect()[0]
             hitters = heavy_hitters(
                 docs, args.text_col, k=args.top_k, ngram=args.ngram
             ).collect()

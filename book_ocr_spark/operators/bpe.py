@@ -58,6 +58,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from book_ocr_spark.operators.textstats import ws_tokens
 from pyspark.sql.types import (
     ArrayType,
     LongType,
@@ -82,10 +83,7 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt): the corpus collapsed to distinct whitespace words
     — the ONE full-corpus pass of BPE learning."""
     return (
-        df.select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
-        )
-        .where(F.col("word") != "")
+        df.select(F.explode(ws_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -160,6 +158,8 @@ def learn_bpe(
         raise ValueError("n_merges must be >= 1")
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     words = (
         word_counts(df, text_col)
         .withColumn("syms", _init_symbols(eow))
@@ -219,13 +219,16 @@ def learn_bpe_driver(
     wc = word_counts(df, text_col)
     if min_word_count > 1:
         wc = wc.where(F.col("cnt") >= min_word_count)
-    if wc.limit(max_distinct_words + 1).count() > max_distinct_words:
+    # ONE corpus pass: the limit+collect both guards the driver and
+    # fetches the rows (a separate count() would rescan the corpus)
+    rows = wc.limit(max_distinct_words + 1).collect()
+    if len(rows) > max_distinct_words:
         raise ValueError(
             f"more than {max_distinct_words} distinct words; raise "
             "min_word_count / max_distinct_words or use learn_bpe"
         )
     vocab: dict[tuple[str, ...], int] = {
-        tuple(list(r["word"]) + [eow]): r["cnt"] for r in wc.collect()
+        tuple(list(r["word"]) + [eow]): r["cnt"] for r in rows
     }
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -283,12 +286,7 @@ def _doc_words(df, id_col: str, text_col: str) -> DataFrame:
     encoding."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda w: w != "",
-            )
-        ).alias("pos", "word"),
+        F.posexplode(ws_tokens(text_col)).alias("pos", "word"),
     )
 
 

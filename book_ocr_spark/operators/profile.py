@@ -35,23 +35,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from book_ocr_spark.operators.textstats import ws_tokens
+
 PCT_ACCURACY = 10_000  # percentile_approx: error <= 1/accuracy of rank
 RSD = 0.05  # approx_count_distinct target relative standard deviation
 
 
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_tokens(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-        ).alias("_toks"),
+        F.col(text_col).alias("text"), ws_tokens(text_col).alias("_toks")
     )
 
 
 def corpus_profile(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     rsd: float = RSD,
     pct_accuracy: int = PCT_ACCURACY,
@@ -68,7 +65,7 @@ def corpus_profile(
     The doc-granularity agg and the token-granularity agg are two
     single-pass branches over the same scan, cross-joined 1x1 —
     both all-JVM, both map-side combined."""
-    d = _doc_tokens(df, id_col, text_col)
+    d = _doc_tokens(df, text_col)
     doc_stats = d.select(
         F.size("_toks").alias("_nt"), F.length("text").alias("_nc"), "text"
     ).agg(
@@ -115,7 +112,7 @@ def heavy_hitters(
         raise ValueError("k must be >= 1")
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
-    toks = _doc_tokens(df, "text", text_col)  # id unused here
+    toks = _doc_tokens(df, text_col)
     if ngram == 1:
         grams = toks.select(F.explode("_toks").alias("gram"))
     else:

@@ -32,6 +32,20 @@ CJK_RE_JAVA = "[一-鿿]"
 LANGS = ("en", "de", "fr", "es")  # tie-break order; zh decided first
 
 
+def ws_tokens(text_col: str) -> Column:
+    """Whitespace tokens of a text column as array<string>, empty
+    tokens dropped — THE tokenization convention for the word-level
+    curation operators (profile, bpe). DuckDB twin:
+    ``list_filter(regexp_split_to_array(TRIM(x), '\\s+'), w -> w <> '')``.
+    Pre-existing operators (substring, quality, lm) keep their own
+    locally-pinned expressions: each is replay-locked bit-for-bit to
+    its oracle, so consolidating them retroactively risks the twins
+    for zero behavior change."""
+    return F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+
+
 def _count(col: str, pattern: str) -> Column:
     return F.size(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)")).cast("double")
 

@@ -35,7 +35,7 @@ def _duck():
 
 
 def test_profile_exact_fields_match_twin(docs_df):
-    got = profile.corpus_profile(docs_df, "doc_id", "text").collect()[0]
+    got = profile.corpus_profile(docs_df, "text").collect()[0]
     con = _duck()
     exp = con.sql(
         profile.duck_profile_exact_sql("SELECT doc_id, text FROM docs")
@@ -92,10 +92,8 @@ def test_heavy_hitters_plan_has_no_global_sort(docs_df):
 
 
 def test_exact_fields_partition_invariant(spark, docs_df):
-    a = profile.corpus_profile(docs_df, "doc_id", "text").collect()[0]
-    b = profile.corpus_profile(
-        docs_df.repartition(7), "doc_id", "text"
-    ).collect()[0]
+    a = profile.corpus_profile(docs_df, "text").collect()[0]
+    b = profile.corpus_profile(docs_df.repartition(7), "text").collect()[0]
     for f in ("n_docs", "n_tokens", "n_chars", "avg_tokens"):
         assert a[f] == b[f]
 
