@@ -123,6 +123,19 @@ def main(argv: list[str] | None = None) -> int:
         help="per-token cross-entropy cut in micro-nats (required with "
         "--lm-corpus)",
     )
+    cur.add_argument(
+        "--clf-pos", default=None,
+        help="labeled POSITIVE corpus parquet (id, text) enabling the "
+        "trained quality-classifier gate (operators.classifier)",
+    )
+    cur.add_argument(
+        "--clf-neg", default=None,
+        help="labeled NEGATIVE corpus parquet (required with --clf-pos)",
+    )
+    cur.add_argument(
+        "--min-clf-prob", type=float, default=None,
+        help="classifier probability cut in (0,1) (required with --clf-pos)",
+    )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
     prof = sub.add_parser(
@@ -201,6 +214,17 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 max_xent_micro=args.max_xent_micro,
+                clf_pos=(
+                    spark.read.parquet(args.clf_pos)
+                    if args.clf_pos is not None
+                    else None
+                ),
+                clf_neg=(
+                    spark.read.parquet(args.clf_neg)
+                    if args.clf_neg is not None
+                    else None
+                ),
+                min_clf_prob=args.min_clf_prob,
                 n_shards=args.n_shards,
                 substring_n=args.substring_n,
                 substring_min_docs=args.substring_min_docs,

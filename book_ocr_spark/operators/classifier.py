@@ -1,0 +1,285 @@
+"""In-engine trained quality classifier — the third model-scored
+curation tier after DSIR (generative importance ratio) and the
+CCNet bigram LM (fluency): a hashed bag-of-words LOGISTIC REGRESSION
+trained inside Spark on labeled positive/negative corpora and applied
+as a scoring gate, the shape of GPT-3's WebText quality filter and
+LLaMA's Wikipedia-reference classifier (fastText-style linear model
+over hashed features).
+
+Model: presence features over ``V_BUCKETS`` hashed word buckets
+(portable md5-derived h28, as everywhere in this repo), full-batch
+gradient descent for a FIXED number of epochs with a fixed learning
+rate. One epoch is one declarative pass over the (small, labeled)
+training set: features ⋈ broadcast weight table → per-doc logit →
+residual → per-feature gradient hash-agg → (≤ v)-row collect and a
+driver-side update — the same accepted one-small-action-per-round
+shape as IVF's Lloyd loop and BPE's merge rounds. The 100 TB corpus
+is touched only by the SCORING pass: one explode → distinct →
+broadcast model join → per-doc hash agg.
+
+Determinism contract (the dsir/lm convention, extended through a
+training recurrence): weights and bias live in MICRO units (bigint);
+a document's logit is an INTEGER sum of its present features'
+weights, so it is partition- and merge-order independent; the
+residual ``round(MICRO * (sigmoid(logit) - y))`` derives from that
+exact integer by IEEE double ops and one half-away-from-zero round;
+per-feature gradients are integer sums of residuals; the update
+``w -= round_half_away(lr * g / n)`` is again one double expression
+over exact integers. Every quantity the twin compares is therefore
+bit-identical across engines and partitionings, and
+``duck_classifier_scores_sql`` replays the ENTIRE training recurrence
+(all epochs, chained CTEs) plus the scoring join in DuckDB.
+
+Reference lineage: the reference accepts a recognized unit only when
+its confidence clears a threshold (docs/prd.md:33); this is that
+accept/reject gate with the scoring function learned from labeled
+data instead of fixed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h28, spark_h28
+from book_ocr_spark.operators.textstats import ws_tokens
+
+V_BUCKETS = 4096
+MICRO = 1_000_000
+LR = 1.0
+EPOCHS = 5
+
+
+def _round_half_away(x: float) -> int:
+    """Half-away-from-zero (Spark ROUND / DuckDB ROUND semantics) —
+    Python's built-in round() is banker's and would diverge from the
+    twin at exact .5 boundaries."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def prob_to_logit_micro(p: float) -> int:
+    """A probability threshold as an integer micro-logit — gate on
+    ``logit_micro >= prob_to_logit_micro(p)`` instead of on the
+    double ``prob`` so the cut is integer-exact and engine-independent
+    (the conversion happens ONCE, driver-side)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    return _round_half_away(MICRO * math.log(p / (1.0 - p)))
+
+
+def doc_features(
+    df: DataFrame, id_col: str, text_col: str, v: int = V_BUCKETS
+) -> DataFrame:
+    """(id, f): DISTINCT hashed word buckets present in each document
+    — presence features, exact integers end to end."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(ws_tokens(text_col)).alias("tok"),
+        )
+        .select("id", F.expr(f"{spark_h28('tok')} % {v}").alias("f"))
+        .distinct()
+    )
+
+
+def _labeled(
+    pos: DataFrame, neg: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    p = pos.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("y", F.lit(1))
+    n = neg.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("y", F.lit(0))
+    return p.unionByName(n)
+
+
+def _logits(
+    docs_ids: DataFrame, feats: DataFrame, weights: DataFrame, bias_micro: int
+) -> DataFrame:
+    """(id, ..., z) integer logit per document: bias + sum of present
+    features' micro-weights (docs with no features keep the bare
+    bias). ``weights`` is broadcast — it is at most v rows."""
+    per_doc = (
+        feats.join(F.broadcast(weights), "f")
+        .groupBy("id")
+        .agg(F.sum("w").alias("_sw"))
+    )
+    return docs_ids.join(per_doc, "id", "left").withColumn(
+        "z", F.coalesce("_sw", F.lit(0)) + F.lit(bias_micro)
+    )
+
+
+def _residuals(with_z: DataFrame) -> DataFrame:
+    """r = round(MICRO * (sigmoid(z/MICRO) - y)) — the one
+    double-precision step per epoch, derived from the exact integer
+    logit."""
+    sig = 1.0 / (1.0 + F.exp(-F.col("z").cast("double") / MICRO))
+    return with_z.withColumn(
+        "r", F.round(MICRO * (sig - F.col("y"))).cast("long")
+    )
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    id_col: str,
+    text_col: str,
+    v: int = V_BUCKETS,
+    epochs: int = EPOCHS,
+    lr: float = LR,
+) -> tuple[list[tuple[int, int]], int]:
+    """Train on labeled corpora; returns ``(weights, bias_micro)``
+    with ``weights = [(f, w_micro), ...]`` for every feature bucket
+    observed in training (unseen buckets are implicitly 0). The
+    training set is persisted once (it is the small, labeled thing);
+    each epoch runs one gradient pass plus two tiny driver collects
+    (≤ v gradient rows + the bias sum)."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if lr <= 0:
+        raise ValueError("lr must be > 0")
+    lab = _labeled(pos, neg, id_col, text_col)
+    feats = doc_features(lab, "id", "text", v).persist()
+    ids = lab.select("id", "y").persist()
+    try:
+        n = ids.count()
+        if n == 0:
+            raise ValueError("empty training set")
+        spark = pos.sparkSession
+        w: dict[int, int] = {
+            r["f"]: 0 for r in feats.select("f").distinct().collect()
+        }
+        b = 0
+        for _ in range(epochs):
+            wdf = spark.createDataFrame(
+                list(w.items()) or [(0, 0)], "f long, w long"
+            )
+            r = _residuals(_logits(ids, feats, wdf, b)).select("id", "r")
+            grads = (
+                feats.join(r, "id")
+                .groupBy("f")
+                .agg(F.sum("r").alias("g"))
+                .collect()
+            )
+            gb = r.agg(F.sum("r").alias("g")).collect()[0]["g"]
+            for row in grads:
+                w[row["f"]] -= _round_half_away(lr * row["g"] / n)
+            b -= _round_half_away(lr * gb / n)
+        return sorted(w.items()), b
+    finally:
+        feats.unpersist()
+        ids.unpersist()
+
+
+def classifier_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: tuple[list[tuple[int, int]], int],
+    v: int = V_BUCKETS,
+) -> DataFrame:
+    """(id, logit_micro, prob) for EVERY document: integer logit under
+    the trained model (docs with no tokens score the bare bias) and
+    the derived probability. Filter on ``prob`` (or ``logit_micro``
+    for an integer-exact threshold). The scoring pass is the only
+    part that touches the full corpus: explode → distinct → broadcast
+    model join → per-doc hash agg."""
+    weights, bias = model
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(weights or [(0, 0)], "f long, w long")
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    feats = doc_features(docs, id_col, text_col, v)
+    out = _logits(ids, feats, wdf, bias).select(
+        "id", F.col("z").alias("logit_micro")
+    )
+    return out.withColumn(
+        "prob",
+        1.0 / (1.0 + F.exp(-F.col("logit_micro").cast("double") / MICRO)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin: replays the WHOLE training recurrence + scoring
+# ---------------------------------------------------------------------------
+def _duck_feats(corpus_sql: str, v: int) -> str:
+    h = duck_h28("tok")
+    return f"""
+        SELECT DISTINCT id, {h} % {v} AS f
+        FROM (
+            SELECT id, unnest(list_filter(
+                regexp_split_to_array(TRIM(text), '\\s+'), w -> w <> ''
+            )) AS tok
+            FROM ({corpus_sql}) f0) f1
+    """
+
+
+def duck_classifier_scores_sql(
+    docs_sql: str,
+    pos_sql: str,
+    neg_sql: str,
+    v: int = V_BUCKETS,
+    epochs: int = EPOCHS,
+    lr: float = LR,
+) -> str:
+    """DuckDB twin of train_quality_classifier + classifier_scores:
+    the full epoch recurrence as chained CTEs (w{e}/b{e} from
+    w{e-1}/b{e-1}), then the scoring join — (id, logit_micro)
+    bit-identical; prob is one IEEE sigmoid of that integer."""
+    sig = f"1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / {MICRO}))"
+    ctes = [
+        f"lab AS (SELECT id, text, 1 AS y FROM ({pos_sql}) p "
+        f"UNION ALL SELECT id, text, 0 AS y FROM ({neg_sql}) q)",
+        f"feats AS ({_duck_feats('SELECT id, text FROM lab', v)})",
+        "ids AS (SELECT id, y FROM lab)",
+        "ncte AS (SELECT COUNT(*) AS n FROM ids)",
+        "w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS w FROM feats)",
+        "b0 AS (SELECT CAST(0 AS BIGINT) AS b)",
+    ]
+    for e in range(1, epochs + 1):
+        p = e - 1
+        ctes += [
+            f"""z{e} AS (
+                SELECT i.id, i.y, b.b + COALESCE(sw.sw, 0) AS z
+                FROM ids i CROSS JOIN b{p} b
+                LEFT JOIN (
+                    SELECT fe.id, SUM(w.w) AS sw
+                    FROM feats fe JOIN w{p} w USING (f)
+                    GROUP BY fe.id) sw ON i.id = sw.id)""",
+            f"""r{e} AS (
+                SELECT id, CAST(ROUND({MICRO} * ({sig} - y)) AS BIGINT) AS r
+                FROM z{e})""",
+            f"""g{e} AS (
+                SELECT fe.f, SUM(r.r) AS g
+                FROM feats fe JOIN r{e} r USING (id)
+                GROUP BY fe.f)""",
+            f"""w{e} AS (
+                SELECT w.f,
+                       w.w - CAST(ROUND({lr} * COALESCE(g.g, 0)
+                                  / (SELECT n FROM ncte)) AS BIGINT) AS w
+                FROM w{p} w LEFT JOIN g{e} g USING (f))""",
+            f"""b{e} AS (
+                SELECT b.b - CAST(ROUND({lr} * (SELECT SUM(r) FROM r{e})
+                                  / (SELECT n FROM ncte)) AS BIGINT) AS b
+                FROM b{p} b)""",
+        ]
+    k = epochs
+    ctes += [
+        f"dfeats AS ({_duck_feats(docs_sql, v)})",
+        f"dids AS (SELECT DISTINCT id FROM ({docs_sql}) d0)",
+        f"""scored AS (
+            SELECT i.id, b.b + COALESCE(sw.sw, 0) AS z
+            FROM dids i CROSS JOIN b{k} b
+            LEFT JOIN (
+                SELECT fe.id, SUM(w.w) AS sw
+                FROM dfeats fe JOIN w{k} w USING (f)
+                GROUP BY fe.id) sw ON i.id = sw.id)""",
+    ]
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT id, CAST(z AS BIGINT) AS logit_micro, {sig} AS prob
+        FROM scored ORDER BY id
+    """

@@ -167,6 +167,9 @@ def curate_web_corpus(
     hot_bucket_cap: int | None = None,
     lm_corpus: DataFrame | None = None,
     max_xent_micro: int | None = None,
+    clf_pos: DataFrame | None = None,
+    clf_neg: DataFrame | None = None,
+    min_clf_prob: float | None = None,
     n_shards: int | None = None,
     substring_n: int | None = None,
     substring_min_docs: int = 2,
@@ -182,7 +185,12 @@ def curate_web_corpus(
     removal, before the heuristic quality gate; documents whose
     per-token cross-entropy under the ``lm_corpus``-trained bigram LM
     exceeds ``max_xent_micro`` micro-nats drop; docs too short to
-    score pass through to the quality gate) -> curate() (quality gate,
+    score pass through to the quality gate) -> optional trained
+    quality-classifier gate (when ``clf_pos``/``clf_neg``/
+    ``min_clf_prob`` are given: a hashed-LR model trained in-engine on
+    the labeled corpora — operators.classifier — keeps documents whose
+    probability clears the threshold; the GPT-3 WebText-classifier
+    stage position) -> curate() (quality gate,
     exact dedup, near-dup canonicalization) -> optional deterministic
     sequence packing into ``pack_capacity``-token bins.
 
@@ -234,6 +242,27 @@ def curate_web_corpus(
             | (F.col("xent_micro") <= max_xent_micro)
         ).select(F.col("id").alias(id_col))
         cleaned = cleaned.join(fluent, id_col, "left_semi")
+    if clf_pos is not None:
+        # GPT-3 WebText-classifier position: a trained model-scored
+        # gate after boilerplate/fluency cleanup, before the heuristic
+        # quality gate. The prob threshold converts ONCE to an integer
+        # micro-logit so the cut is engine- and partition-exact.
+        if clf_neg is None or min_clf_prob is None:
+            raise ValueError("clf_pos requires clf_neg and min_clf_prob")
+        from book_ocr_spark.operators.classifier import (
+            classifier_scores,
+            prob_to_logit_micro,
+            train_quality_classifier,
+        )
+
+        model = train_quality_classifier(clf_pos, clf_neg, id_col, text_col)
+        thr = prob_to_logit_micro(min_clf_prob)
+        liked = (
+            classifier_scores(cleaned, id_col, text_col, model)
+            .filter(F.col("logit_micro") >= thr)
+            .select(F.col("id").alias(id_col))
+        )
+        cleaned = cleaned.join(liked, id_col, "left_semi")
     final = curate(
         cleaned, id_col, text_col, k=k, threshold=threshold,
         clustering=clustering, storage_handle=storage_handle,

@@ -1,0 +1,213 @@
+"""Hashed-LR quality classifier: the DuckDB twin replays the ENTIRE
+training recurrence (all epochs) plus scoring — logit_micro must be
+bit-identical — and the learned model must actually separate the
+designed fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import classifier as clf
+
+POS = [
+    (1, "thorough careful analysis with clear structured argument"),
+    (2, "careful measured writing and clear sourced evidence"),
+    (3, "structured analysis citing clear primary evidence"),
+    (4, "measured argument with sourced careful detail"),
+]
+NEG = [
+    (11, "win casino bonus click free spins now"),
+    (12, "free bonus casino jackpot click here now"),
+    (13, "click now win free jackpot spins bonus"),
+    (14, "casino spins jackpot win click free"),
+]
+SCORE = [
+    (21, "careful structured analysis with evidence"),   # pos-like
+    (22, "free casino spins click bonus"),               # neg-like
+    (23, "analysis of casino economics with sourced evidence"),  # mixed
+    (24, ""),                                            # empty -> bare bias
+]
+
+V, EPOCHS, LR = 256, 3, 1.0
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "id long, text string")
+    return mk(POS), mk(NEG), mk(SCORE)
+
+
+@pytest.fixture(scope="module")
+def model(dfs):
+    pos, neg, _ = dfs
+    return clf.train_quality_classifier(
+        pos, neg, "id", "text", v=V, epochs=EPOCHS, lr=LR
+    )
+
+
+def _duck_rows():
+    con = duckdb.connect()
+    con.register("pos", pd.DataFrame(POS, columns=["id", "text"]))
+    con.register("neg", pd.DataFrame(NEG, columns=["id", "text"]))
+    con.register("sc", pd.DataFrame(SCORE, columns=["id", "text"]))
+    return con.sql(
+        clf.duck_classifier_scores_sql(
+            "SELECT id, text FROM sc",
+            "SELECT id, text FROM pos",
+            "SELECT id, text FROM neg",
+            v=V, epochs=EPOCHS, lr=LR,
+        )
+    ).fetchall()
+
+
+def test_twin_replays_training_bit_for_bit(dfs, model):
+    _, _, score = dfs
+    got = sorted(
+        (r["id"], r["logit_micro"], r["prob"])
+        for r in clf.classifier_scores(
+            score, "id", "text", model, v=V
+        ).collect()
+    )
+    exp = _duck_rows()
+    assert [(i, z) for i, z, _ in got] == [(i, int(z)) for i, z, _ in exp]
+    for (_, _, p_got), (_, _, p_exp) in zip(got, exp):
+        assert p_got == pytest.approx(p_exp, rel=1e-12)
+
+
+def test_model_separates_fixture(dfs, model):
+    pos, neg, score = dfs
+    probs = {
+        r["id"]: r["prob"]
+        for r in clf.classifier_scores(
+            score, "id", "text", model, v=V
+        ).collect()
+    }
+    assert probs[21] > 0.5 > probs[22]  # pos-like above, neg-like below
+    assert probs[21] > probs[23] > probs[22]  # mixed in between
+    # training set itself fully separated
+    train_probs = {
+        r["id"]: r["prob"]
+        for r in clf.classifier_scores(
+            pos.unionByName(neg), "id", "text", model, v=V
+        ).collect()
+    }
+    assert all(train_probs[i] > 0.5 for i, _ in POS)
+    assert all(train_probs[i] < 0.5 for i, _ in NEG)
+
+
+def test_empty_doc_scores_bare_bias(dfs, model):
+    _, _, score = dfs
+    _, bias = model
+    row = {
+        r["id"]: r["logit_micro"]
+        for r in clf.classifier_scores(
+            score, "id", "text", model, v=V
+        ).collect()
+    }
+    assert row[24] == bias
+
+
+def test_partition_invariance(dfs, model):
+    pos, neg, _ = dfs
+    again = clf.train_quality_classifier(
+        pos.repartition(5), neg.repartition(3), "id", "text",
+        v=V, epochs=EPOCHS, lr=LR,
+    )
+    assert again == model
+
+
+def test_validation(dfs):
+    pos, neg, _ = dfs
+    with pytest.raises(ValueError):
+        clf.train_quality_classifier(pos, neg, "id", "text", epochs=0)
+    with pytest.raises(ValueError):
+        clf.train_quality_classifier(pos, neg, "id", "text", lr=0)
+    empty = pos.where("id < 0")
+    with pytest.raises(ValueError, match="empty training set"):
+        clf.train_quality_classifier(empty, empty, "id", "text")
+
+def test_web_corpus_classifier_gate_stage_twin(spark):
+    """curate_web_corpus with the trained-classifier gate: the spam
+    victim (which passes every heuristic gate) drops exactly at the
+    classifier stage, and the surviving rows match the stage-for-stage
+    DuckDB replay (line dedup -> classifier recurrence -> curate)."""
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    good_a = (
+        "thorough careful analysis with clear structured argument about "
+        "distributed query engines and their shuffle management choices"
+    )
+    good_b = (
+        "measured writing with sourced evidence covering watermark "
+        "semantics for late arriving events in streaming aggregation"
+    )
+    spammy = (
+        "win the casino bonus click free spins now and claim another "
+        "jackpot bonus with more free spins for every click you make"
+    )
+    rows = [(1, good_a), (2, good_b), (3, spammy)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pos = spark.createDataFrame(POS, "id long, text string")
+    neg = spark.createDataFrame(NEG, "id long, text string")
+
+    got = sorted(
+        map(
+            tuple,
+            curate_web_corpus(
+                df, "id", "text",
+                clf_pos=pos, clf_neg=neg, min_clf_prob=0.5,
+            ).collect(),
+        )
+    )
+    assert sorted(r[0] for r in got) == [1, 2]  # only the classifier fired
+
+    thr = clf.prob_to_logit_micro(0.5)
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register("pos", pd.DataFrame(POS, columns=["id", "text"]))
+    con.register("neg", pd.DataFrame(NEG, columns=["id", "text"]))
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c")
+            + ") x WHERE clean_text <> ''"
+        ).df(),
+    )
+    con.register(
+        "liked",
+        con.sql(
+            "SELECT id, text FROM cleaned WHERE id IN (SELECT id FROM ("
+            + clf.duck_classifier_scores_sql(
+                "SELECT id, text FROM cleaned",
+                "SELECT id, text FROM pos",
+                "SELECT id, text FROM neg",
+            )
+            + f") s WHERE logit_micro >= {thr})"
+        ).df(),
+    )
+    want = sorted(
+        (int(i), fp, int(nt))
+        for i, fp, nt in con.sql(
+            duck_curate_sql("SELECT id, text FROM liked")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_web_corpus_classifier_gate_requires_all_params(spark):
+    from book_ocr_spark.plans.curation import curate_web_corpus
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="clf_pos requires"):
+        curate_web_corpus(df, "id", "text", clf_pos=df)
+
+
+def test_prob_to_logit_micro():
+    assert clf.prob_to_logit_micro(0.5) == 0
+    assert clf.prob_to_logit_micro(0.9) > 0 > clf.prob_to_logit_micro(0.1)
+    with pytest.raises(ValueError):
+        clf.prob_to_logit_micro(1.0)
