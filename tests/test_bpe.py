@@ -208,3 +208,29 @@ def test_checkpoint_cadence_is_semantics_free(corpus_df, learned):
         bpe.learn_bpe(corpus_df, "text", n_merges=24, checkpoint_every=2)
         == learned
     )
+
+def test_property_driver_learn_matches_reference(spark):
+    """Random small corpora (tiny alphabet -> dense tie-breaks and
+    overlapping-run merges): learn_bpe_driver must equal the
+    pure-Python reference on every one. Hardens the argmax total
+    order and the greedy-merge convention far beyond the designed
+    fixture."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = bpe.learn_bpe_driver(df, "text", n_merges=6)
+        want, _ = _ref_learn(texts, n_merges=6)
+        assert got == want
+
+    check()

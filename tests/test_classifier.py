@@ -211,3 +211,57 @@ def test_prob_to_logit_micro():
     assert clf.prob_to_logit_micro(0.9) > 0 > clf.prob_to_logit_micro(0.1)
     with pytest.raises(ValueError):
         clf.prob_to_logit_micro(1.0)
+
+
+def test_property_twin_matches_on_random_corpora(spark):
+    """Random tiny labeled corpora: the DuckDB recurrence replay must
+    produce bit-identical logits for every random draw — hardens the
+    chained-CTE twin (epoch wiring, NULL paths, rounding) beyond the
+    designed fixture."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
+    doc = st.lists(word, min_size=0, max_size=5).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=3),
+        st.lists(doc, min_size=1, max_size=3),
+        st.lists(doc, min_size=1, max_size=3),
+    )
+    def check(pos_texts, neg_texts, score_texts):
+        mk = lambda rows, base: [(base + i, t) for i, t in enumerate(rows)]
+        pos_rows, neg_rows = mk(pos_texts, 0), mk(neg_texts, 100)
+        sc_rows = mk(score_texts, 200)
+        pos = spark.createDataFrame(pos_rows, "id long, text string")
+        neg = spark.createDataFrame(neg_rows, "id long, text string")
+        sc = spark.createDataFrame(sc_rows, "id long, text string")
+        model = clf.train_quality_classifier(
+            pos, neg, "id", "text", v=64, epochs=2, lr=1.0
+        )
+        got = sorted(
+            (r["id"], r["logit_micro"])
+            for r in clf.classifier_scores(
+                sc, "id", "text", model, v=64
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("p", pd.DataFrame(pos_rows, columns=["id", "text"]))
+        con.register("n", pd.DataFrame(neg_rows, columns=["id", "text"]))
+        con.register("s", pd.DataFrame(sc_rows, columns=["id", "text"]))
+        exp = [
+            (int(i), int(z))
+            for i, z, _ in con.sql(
+                clf.duck_classifier_scores_sql(
+                    "SELECT id, text FROM s",
+                    "SELECT id, text FROM p",
+                    "SELECT id, text FROM n",
+                    v=64, epochs=2, lr=1.0,
+                )
+            ).fetchall()
+        ]
+        assert got == exp
+
+    check()
