@@ -158,3 +158,93 @@ def duck_shared_chunks_sql(corpus_sql: str, k: int = 16, modulus: int = 64) -> s
         HAVING COUNT(*) > 1
         ORDER BY chunk_hash
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window long-document splitting (context-window preparation)
+# ---------------------------------------------------------------------------
+def split_long_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    stride: int = 0,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): every document split
+    into windows of at most ``max_tokens`` whitespace tokens, window
+    starts advancing by ``max_tokens - stride`` (``stride`` tokens of
+    overlap carry context across cuts — 0 = disjoint). Documents at or
+    under the cap (including empty ones) emit exactly one chunk, so
+    every input id survives. Chunk text is whitespace-canonicalized
+    (single spaces), same convention as substring_dedup.
+
+    This is the standard pretraining step BEFORE packing.pack_next_fit:
+    packing flags docs over the bin capacity as overfull solo bins;
+    splitting first turns them into in-capacity rows. Downstream
+    stages that need one row per trainable unit should key on
+    (id, chunk_idx) — or mint a synthetic id — since this operator
+    changes granularity.
+
+    Scale shape: one narrow projection + one explode, ~n/step rows
+    per long doc, no shuffle, no Python. CDC chunking (above) cuts
+    where CONTENT says for dedup; this cuts where the MODEL's context
+    window says for training.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= stride < max_tokens:
+        raise ValueError("stride must be in [0, max_tokens)")
+    step = max_tokens - stride
+    from book_ocr_spark.operators.textstats import ws_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), ws_tokens(text_col).alias("_toks")
+    )
+    starts = (
+        f"CASE WHEN size(_toks) <= {max_tokens} THEN array(0) "
+        f"ELSE sequence(0, size(_toks) - 1, {step}) END"
+    )
+    return toks.select(
+        "id",
+        "_toks",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "_start"),
+    ).select(
+        "id",
+        "chunk_idx",
+        F.expr(
+            f"concat_ws(' ', slice(_toks, _start + 1, {max_tokens}))"
+        ).alias("chunk_text"),
+        F.expr(f"size(slice(_toks, _start + 1, {max_tokens}))")
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def duck_split_long_docs_sql(
+    corpus_sql: str, max_tokens: int, stride: int = 0
+) -> str:
+    """DuckDB twin of split_long_docs (bit-identical chunks: same
+    tokenization, same start arithmetic, 1-based list slicing)."""
+    step = max_tokens - stride
+    return f"""
+        WITH t AS (
+            SELECT id,
+                   list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                       w -> w <> '') AS toks
+            FROM ({corpus_sql}) c0),
+        st AS (
+            SELECT id, toks,
+                   unnest(CASE WHEN len(toks) <= {max_tokens} THEN [0]
+                          ELSE range(0, len(toks), {step}) END) AS s,
+                   generate_subscripts(
+                       CASE WHEN len(toks) <= {max_tokens} THEN [0]
+                       ELSE range(0, len(toks), {step}) END, 1) - 1
+                       AS chunk_idx
+            FROM t)
+        SELECT id, chunk_idx,
+               COALESCE(array_to_string(toks[s + 1 : s + {max_tokens}], ' '),
+                        '') AS chunk_text,
+               CAST(len(toks[s + 1 : s + {max_tokens}]) AS BIGINT)
+                   AS n_tokens
+        FROM st ORDER BY id, chunk_idx
+    """

@@ -265,3 +265,17 @@ def test_property_twin_matches_on_random_corpora(spark):
         assert got == exp
 
     check()
+
+
+def test_scoring_plan_broadcasts_model_no_cartesian(spark, dfs, model):
+    """The scoring join must broadcast the (≤ v)-row weight table and
+    never plan a cartesian/nested-loop against the corpus."""
+    _, _, score = dfs
+    plan = (
+        clf.classifier_scores(score, "id", "text", model, v=V)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

@@ -1131,3 +1131,73 @@ def test_near_dup_clusters_long_chain_pointer_jumping(spark):
     }
     assert all(labels[i] == 0 for i in range(n))
     assert labels[n] == n and labels[n + 2] == n + 2  # isolated survivors
+
+
+def test_split_long_docs_twin_and_invariants(spark):
+    """Fixed-window long-doc splitting: bit-identical to the DuckDB
+    twin across cap/stride settings, disjoint chunks reconstruct the
+    canonicalized document, strided chunks overlap by exactly
+    `stride`, and every id (empty/short docs included) survives."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.chunking import (
+        duck_split_long_docs_sql,
+        split_long_docs,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(23))),  # long, odd tail
+        (2, " ".join(f"x{i}" for i in range(8))),   # exact multiple of 8
+        (3, "one two three"),                        # under the cap
+        (4, ""),                                     # empty
+        (5, "   "),                                  # whitespace only
+        (6, "solo"),                                 # single token
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+
+    for max_tokens, stride in ((8, 0), (8, 3), (5, 4), (1, 0)):
+        got = sorted(
+            (r["id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in split_long_docs(
+                df, "id", "text", max_tokens, stride
+            ).collect()
+        )
+        exp = [
+            (int(i), int(ci), ct, int(nt))
+            for i, ci, ct, nt in con.sql(
+                duck_split_long_docs_sql(
+                    "SELECT id, text FROM c", max_tokens, stride
+                )
+            ).fetchall()
+        ]
+        assert got == exp, (max_tokens, stride)
+        assert {i for i, *_ in got} == {1, 2, 3, 4, 5, 6}, (max_tokens, stride)
+
+    # stride=0 reconstructs the canonicalized document exactly
+    parts = {}
+    for r in split_long_docs(df, "id", "text", 8, 0).collect():
+        parts.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for i, text in rows:
+        joined = " ".join(t for _, t in sorted(parts[i]) if t)
+        assert joined == " ".join(text.split()), i
+
+    # strided chunks overlap by exactly `stride` tokens when full
+    strided = {
+        r["chunk_idx"]: r["chunk_text"].split()
+        for r in split_long_docs(df, "id", "text", 8, 3).collect()
+        if r["id"] == 1
+    }
+    for ci in range(len(strided) - 1):
+        a, b = strided[ci], strided[ci + 1]
+        if len(b) >= 3:
+            assert a[-3:] == b[:3], ci
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_long_docs(df, "id", "text", 0)
+    with pytest.raises(ValueError):
+        split_long_docs(df, "id", "text", 8, 8)
