@@ -396,3 +396,60 @@ def duck_mixture_plan_sql(
                 GROUP BY {strata_col}) a) b
         ORDER BY stratum
     """
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "grpcap",
+) -> DataFrame:
+    """At most ``k`` rows per group, chosen deterministically: the k
+    smallest portable hashes of (salt, id) within each group (ties by
+    id — a total order, so the kept set is a pure function of the
+    group's MEMBERSHIP, independent of partitioning, engine, and row
+    order). The RefinedWeb-style per-domain page cap: group on
+    webfilter.url_parts' registered_domain and no single template farm
+    can dominate the corpus. A different ``salt`` redraws the cap
+    independently; groups at or under ``k`` keep every row.
+
+    Scale shape: ONE hash-partition by group; the rank <= k filter
+    plans as WindowGroupLimit (pinned in tests) — per-partition
+    partial top-k BEFORE the shuffle, so a billion-row hot domain
+    ships only ~k rows per upstream partition, never its whole
+    membership, and no global sort exists anywhere."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def duck_sample_k_per_group_sql(
+    corpus_sql: str,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "grpcap",
+) -> str:
+    """DuckDB twin of sample_k_per_group (same hash, same total
+    order, bit-identical kept set)."""
+    h = duck_h28(f"('{salt}:' || CAST({id_col} AS VARCHAR))")
+    return f"""
+        SELECT * EXCLUDE (_rk) FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY {group_col}
+                ORDER BY {h} ASC, {id_col} ASC) AS _rk
+            FROM ({corpus_sql}) c) t
+        WHERE _rk <= {k}
+    """

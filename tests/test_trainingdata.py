@@ -1201,3 +1201,69 @@ def test_split_long_docs_twin_and_invariants(spark):
         split_long_docs(df, "id", "text", 0)
     with pytest.raises(ValueError):
         split_long_docs(df, "id", "text", 8, 8)
+
+
+def test_sample_k_per_group_twin_and_invariants(spark):
+    """Per-group cap: bit-identical to the DuckDB twin, k-bounded,
+    under-k groups untouched, partition independent, salt redraws."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from book_ocr_spark.operators.sampling import (
+        duck_sample_k_per_group_sql,
+        sample_k_per_group,
+    )
+
+    rows = [(i, f"dom{i % 4}", f"text {i}") for i in range(40)] + [
+        (100, "rare", "only row")
+    ]
+    df = spark.createDataFrame(rows, "id long, domain string, text string")
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "domain", "text"]))
+
+    got = sorted(
+        map(tuple, sample_k_per_group(df, "domain", "id", 3).collect())
+    )
+    exp = sorted(
+        (int(i), d, t)
+        for i, d, t in con.sql(
+            duck_sample_k_per_group_sql(
+                "SELECT id, domain, text FROM c", "domain", "id", 3
+            )
+        ).fetchall()
+    )
+    assert got == exp
+    by_dom = {}
+    for _, d, _ in got:
+        by_dom[d] = by_dom.get(d, 0) + 1
+    assert all(v <= 3 for v in by_dom.values())
+    assert by_dom["rare"] == 1  # under-k group keeps everything
+
+    reparted = sorted(
+        map(
+            tuple,
+            sample_k_per_group(df.repartition(7), "domain", "id", 3).collect(),
+        )
+    )
+    assert reparted == got
+
+    other = sorted(
+        map(
+            tuple,
+            sample_k_per_group(df, "domain", "id", 3, salt="other").collect(),
+        )
+    )
+    assert other != got  # an independent redraw
+
+    with pytest.raises(ValueError):
+        sample_k_per_group(df, "domain", "id", 0)
+
+    # scale path: the rank filter must plan as WindowGroupLimit
+    plan = (
+        sample_k_per_group(df, "domain", "id", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
