@@ -92,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
         "--block-domains", default=None,
         help="parquet/csv path with a `domain` column (broadcast blocklist)",
     )
+    cur.add_argument(
+        "--max-per-domain", type=int, default=None,
+        help="per-registered-domain document cap right behind the URL "
+        "gate (requires --url-col; sampling.sample_k_per_group)",
+    )
     cur.add_argument("--line-min-docs", type=int, default=2)
     cur.add_argument("--pack-capacity", type=int, default=None)
     cur.add_argument(
@@ -201,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.text_col,
                 url_col=args.url_col,
                 block_domains=block,
+                max_per_domain=args.max_per_domain,
                 line_min_docs=args.line_min_docs,
                 pack_capacity=args.pack_capacity,
                 k=args.k,

@@ -157,6 +157,7 @@ def curate_web_corpus(
     text_col: str,
     url_col: str | None = None,
     block_domains: DataFrame | None = None,
+    max_per_domain: int | None = None,
     line_sep: str = "\n",
     line_min_docs: int = 2,
     pack_capacity: int | None = None,
@@ -174,7 +175,10 @@ def curate_web_corpus(
     substring_n: int | None = None,
     substring_min_docs: int = 2,
 ) -> DataFrame:
-    """The full web-corpus pass: URL gate (when ``url_col`` is given)
+    """The full web-corpus pass: URL gate (when ``url_col`` is given;
+    with ``max_per_domain``, a deterministic per-registered-domain
+    document cap follows immediately — the RefinedWeb rule, placed
+    first so template farms never reach the expensive stages)
     -> corpus-level line dedup (documents emptied by boilerplate
     removal drop out) -> optional exact repeated-substring removal
     (when ``substring_n`` is given: cross-document token runs >=
@@ -213,6 +217,24 @@ def curate_web_corpus(
     cur = corpus
     if url_col is not None:
         cur = filter_urls(cur, url_col, block_domains)
+        if max_per_domain is not None:
+            # RefinedWeb-style per-domain page cap, right behind the
+            # URL gate: deterministic k-smallest-hash keep per
+            # registered domain (sampling.sample_k_per_group), so no
+            # template farm dominates the later (more expensive)
+            # stages. Domain derives from the SAME regexes the gate
+            # used; the helper columns do not leak downstream.
+            from book_ocr_spark.operators.sampling import sample_k_per_group
+            from book_ocr_spark.operators.webfilter import url_parts
+
+            capped = sample_k_per_group(
+                url_parts(cur, url_col), "domain", id_col, max_per_domain
+            )
+            cur = cur.join(
+                capped.select(id_col), id_col, "left_semi"
+            )
+    elif max_per_domain is not None:
+        raise ValueError("max_per_domain requires url_col")
     cleaned = (
         line_dedup(cur, id_col, text_col, sep=line_sep, min_docs=line_min_docs)
         .filter(F.col("clean_text") != "")

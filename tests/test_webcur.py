@@ -307,3 +307,77 @@ def test_pack_stats_all_overfull_is_zero(spark):
     packed = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=10)
     st = packing.pack_stats(packed, 10).collect()[0]
     assert st.fill_ratio == 0.0 and st.n_bins == 2
+
+
+def test_web_corpus_domain_cap_stage(spark):
+    """max_per_domain caps each registered domain right behind the URL
+    gate: the kept set matches the twin's k-smallest-hash rule and the
+    rest of the pass runs on the capped survivors only."""
+    import pytest
+
+    from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    bodies = [
+        "careful analysis of shuffle partition sizing under adaptive execution",
+        "watermark semantics for late events in sessionized streaming jobs",
+        "bloom filter pruning strategies for selective parquet scans today",
+        "vectorized arrow transfer between python workers and the jvm engine",
+        "broadcast threshold tuning for dimension joins on skewed fact data",
+        "checkpoint compaction policies for long running stateful pipelines",
+        "columnar encodings and dictionary fallback behavior in hot scans",
+        "salting strategies that bound straggler tasks on heavy hitter keys",
+    ]
+    texts = {
+        i: f"distinct treatise {i}: {bodies[i]} expanded with supporting "
+           f"discussion so heuristic quality gates pass comfortably"
+        for i in range(8)
+    }
+    rows = [
+        (i, f"https://sub{i}.farm.example/{i}" if i < 5
+         else f"https://site{i}.other.net/{i}", texts[i])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, text string")
+
+    got = sorted(
+        r[0]
+        for r in curate_web_corpus(
+            df, "id", "text", url_col="url", max_per_domain=2,
+        ).collect()
+    )
+    # twin: replay domain extraction + k-smallest-hash cap + curate
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "url", "text"]))
+    con.register(
+        "parts",
+        con.sql(
+            "SELECT id, text, regexp_extract(lower(regexp_extract(url,"
+            " '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),"
+            " '([^.]+\\.[^.]+)$', 1) AS domain FROM c"
+        ).df(),
+    )
+    con.register(
+        "capped",
+        con.sql(
+            "SELECT id, text FROM ("
+            + duck_sample_k_per_group_sql(
+                "SELECT * FROM parts", "domain", "id", 2
+            )
+            + ") t"
+        ).df(),
+    )
+    want_ids = sorted(
+        int(i)
+        for i, *_ in con.sql(
+            duck_curate_sql("SELECT id, text FROM capped")
+        ).fetchall()
+    )
+    assert got == want_ids
+    # farm.example had 5 docs and other.net three (site5/6/7 share the
+    # registered domain) -> each capped to 2
+    assert len([i for i in got if i < 5]) == 2
+    assert len([i for i in got if i >= 5]) == 2
+
+    with pytest.raises(ValueError, match="max_per_domain requires"):
+        curate_web_corpus(df, "id", "text", max_per_domain=2)
