@@ -234,3 +234,17 @@ def test_property_driver_learn_matches_reference(spark):
         assert got == want
 
     check()
+
+
+def test_encode_plan_broadcasts_word_map_no_cartesian(spark, corpus_df, learned):
+    """The word->pieces map must broadcast back onto doc positions;
+    no cartesian/nested-loop may appear in either encode path."""
+    for enc in (bpe.bpe_encode, bpe.bpe_encode_arrow):
+        plan = (
+            enc(corpus_df, "doc_id", "text", learned)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
