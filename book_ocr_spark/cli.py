@@ -130,12 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     cur.add_argument(
         "--clf-pos", default=None,
-        help="labeled POSITIVE corpus parquet (id, text) enabling the "
-        "trained quality-classifier gate (operators.classifier)",
+        help="labeled POSITIVE corpus parquet (columns named per "
+        "--id-col/--text-col) enabling the trained quality-classifier "
+        "gate (operators.classifier)",
     )
     cur.add_argument(
         "--clf-neg", default=None,
-        help="labeled NEGATIVE corpus parquet (required with --clf-pos)",
+        help="labeled NEGATIVE corpus parquet (same columns as "
+        "--clf-pos; required with it)",
     )
     cur.add_argument(
         "--min-clf-prob", type=float, default=None,
@@ -185,6 +187,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         from book_ocr_spark.plans.curation import curate_web_corpus
         from book_ocr_spark.session import get_spark
+
+        clf_flags = (args.clf_pos, args.clf_neg, args.min_clf_prob)
+        if any(f is not None for f in clf_flags) and not all(
+            f is not None for f in clf_flags
+        ):
+            # all-or-nothing BEFORE the session spins up: a partial set
+            # (e.g. --clf-neg without --clf-pos) would otherwise be
+            # silently ignored and the user would believe the gate ran
+            top.error(
+                "--clf-pos, --clf-neg and --min-clf-prob must be given together"
+            )
 
         master = f"local[{args.threads}]" if args.threads else None
         spark = get_spark(app_name="book-ocr-spark-curate", master=master)

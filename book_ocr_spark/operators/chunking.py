@@ -197,12 +197,21 @@ def split_long_docs(
     step = max_tokens - stride
     from book_ocr_spark.operators.textstats import ws_tokens
 
+    # NULL text coalesces to '' BEFORE tokenization: ws_tokens(NULL)
+    # is NULL and posexplode(NULL) would silently drop the id,
+    # breaking the every-id-survives contract
     toks = df.select(
-        F.col(id_col).alias("id"), ws_tokens(text_col).alias("_toks")
-    )
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).select("id", ws_tokens("__t").alias("_toks"))
+    # a start qualifies only while the window adds NEW tokens
+    # (start < n - stride): sequence(0, n - 1, step) would emit
+    # trailing windows wholly contained in the previous one —
+    # duplicated training content. Coverage still holds: the last
+    # qualifying start is >= n - max_tokens, so token n-1 is covered.
     starts = (
         f"CASE WHEN size(_toks) <= {max_tokens} THEN array(0) "
-        f"ELSE sequence(0, size(_toks) - 1, {step}) END"
+        f"ELSE sequence(0, size(_toks) - {stride} - 1, {step}) END"
     )
     return toks.select(
         "id",
@@ -229,16 +238,16 @@ def duck_split_long_docs_sql(
     return f"""
         WITH t AS (
             SELECT id,
-                   list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
-                       w -> w <> '') AS toks
+                   list_filter(regexp_split_to_array(TRIM(COALESCE(text, '')),
+                       '\\s+'), w -> w <> '') AS toks
             FROM ({corpus_sql}) c0),
         st AS (
             SELECT id, toks,
                    unnest(CASE WHEN len(toks) <= {max_tokens} THEN [0]
-                          ELSE range(0, len(toks), {step}) END) AS s,
+                          ELSE range(0, len(toks) - {stride}, {step}) END) AS s,
                    generate_subscripts(
                        CASE WHEN len(toks) <= {max_tokens} THEN [0]
-                       ELSE range(0, len(toks), {step}) END, 1) - 1
+                       ELSE range(0, len(toks) - {stride}, {step}) END, 1) - 1
                        AS chunk_idx
             FROM t)
         SELECT id, chunk_idx,

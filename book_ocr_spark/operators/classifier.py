@@ -87,11 +87,20 @@ def doc_features(
 def _labeled(
     pos: DataFrame, neg: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
+    """Training rows with LABEL-PREFIXED string ids ('p:<id>' /
+    'n:<id>'): the two labeled corpora are usually numbered
+    independently, so a raw-id union would let a shared id merge an
+    oppositely-labeled pair into one phantom document (doc_features
+    is distinct-by-id) and double-count it with both labels —
+    silently cancelling gradients. The prefix makes training ids
+    unique by construction; they never surface in the model."""
     p = pos.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        F.concat(F.lit("p:"), F.col(id_col).cast("string")).alias("id"),
+        F.col(text_col).alias("text"),
     ).withColumn("y", F.lit(1))
     n = neg.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias("id"),
+        F.col(text_col).alias("text"),
     ).withColumn("y", F.lit(0))
     return p.unionByName(n)
 
@@ -157,14 +166,25 @@ def train_quality_classifier(
             wdf = spark.createDataFrame(
                 list(w.items()) or [(0, 0)], "f long, w long"
             )
-            r = _residuals(_logits(ids, feats, wdf, b)).select("id", "r")
-            grads = (
-                feats.join(r, "id")
-                .groupBy("f")
-                .agg(F.sum("r").alias("g"))
-                .collect()
+            # persist the residuals: the feature-gradient agg and the
+            # bias sum are two actions over the same epoch pipeline,
+            # and without the persist each would recompute the whole
+            # logits/sigmoid pass
+            r = (
+                _residuals(_logits(ids, feats, wdf, b))
+                .select("id", "r")
+                .persist()
             )
-            gb = r.agg(F.sum("r").alias("g")).collect()[0]["g"]
+            try:
+                grads = (
+                    feats.join(r, "id")
+                    .groupBy("f")
+                    .agg(F.sum("r").alias("g"))
+                    .collect()
+                )
+                gb = r.agg(F.sum("r").alias("g")).collect()[0]["g"]
+            finally:
+                r.unpersist()
             for row in grads:
                 w[row["f"]] -= _round_half_away(lr * row["g"] / n)
             b -= _round_half_away(lr * gb / n)
@@ -230,8 +250,12 @@ def duck_classifier_scores_sql(
     bit-identical; prob is one IEEE sigmoid of that integer."""
     sig = f"1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / {MICRO}))"
     ctes = [
-        f"lab AS (SELECT id, text, 1 AS y FROM ({pos_sql}) p "
-        f"UNION ALL SELECT id, text, 0 AS y FROM ({neg_sql}) q)",
+        # label-prefixed string ids, mirroring _labeled: shared raw
+        # ids between the two corpora must not merge or double-count
+        f"lab AS (SELECT 'p:' || CAST(id AS VARCHAR) AS id, text, 1 AS y "
+        f"FROM ({pos_sql}) p "
+        f"UNION ALL SELECT 'n:' || CAST(id AS VARCHAR) AS id, text, 0 AS y "
+        f"FROM ({neg_sql}) q)",
         f"feats AS ({_duck_feats('SELECT id, text FROM lab', v)})",
         "ids AS (SELECT id, y FROM lab)",
         "ncte AS (SELECT COUNT(*) AS n FROM ids)",

@@ -223,16 +223,26 @@ def curate_web_corpus(
             # registered domain (sampling.sample_k_per_group), so no
             # template farm dominates the later (more expensive)
             # stages. Domain derives from the SAME regexes the gate
-            # used; the helper columns do not leak downstream.
+            # used. Group-key fallback chain: registered domain, else
+            # bare host (dotless hosts like 'intranet'), else the doc
+            # id itself — WITHOUT it every scheme-less/dotless URL
+            # would lump into one '' group and be capped collectively,
+            # silently discarding unrelated documents.
             from book_ocr_spark.operators.sampling import sample_k_per_group
             from book_ocr_spark.operators.webfilter import url_parts
 
-            capped = sample_k_per_group(
-                url_parts(cur, url_col), "domain", id_col, max_per_domain
+            keyed = url_parts(cur, url_col).withColumn(
+                "_capgrp",
+                F.when(F.col("domain") != "", F.col("domain"))
+                .when(F.col("host") != "", F.col("host"))
+                .otherwise(F.concat(F.lit("id:"), F.col(id_col).cast("string"))),
             )
-            cur = cur.join(
-                capped.select(id_col), id_col, "left_semi"
-            )
+            # capped already IS the kept row set — project the helper
+            # columns off instead of semi-joining back (which would
+            # rescan + re-regex the corpus and shuffle both sides)
+            cur = sample_k_per_group(
+                keyed, "_capgrp", id_col, max_per_domain
+            ).select(*cur.columns)
     elif max_per_domain is not None:
         raise ValueError("max_per_domain requires url_col")
     cleaned = (

@@ -279,3 +279,19 @@ def test_scoring_plan_broadcasts_model_no_cartesian(spark, dfs, model):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_overlapping_label_ids_do_not_corrupt_training(spark, model):
+    """pos/neg corpora numbered independently (shared raw ids) must
+    train the SAME model as disjoint ids over the same texts — the
+    label-prefixed training ids keep the union collision-free."""
+    pos = spark.createDataFrame(
+        [(i + 1, t) for i, (_, t) in enumerate(POS)], "id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(i + 1, t) for i, (_, t) in enumerate(NEG)], "id long, text string"
+    )
+    overlap_model = clf.train_quality_classifier(
+        pos, neg, "id", "text", v=V, epochs=EPOCHS, lr=LR
+    )
+    assert overlap_model == model

@@ -1153,6 +1153,7 @@ def test_split_long_docs_twin_and_invariants(spark):
         (4, ""),                                     # empty
         (5, "   "),                                  # whitespace only
         (6, "solo"),                                 # single token
+        (7, None),                                   # NULL text
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     con = duckdb.connect()
@@ -1174,7 +1175,7 @@ def test_split_long_docs_twin_and_invariants(spark):
             ).fetchall()
         ]
         assert got == exp, (max_tokens, stride)
-        assert {i for i, *_ in got} == {1, 2, 3, 4, 5, 6}, (max_tokens, stride)
+        assert {i for i, *_ in got} == {1, 2, 3, 4, 5, 6, 7}, (max_tokens, stride)
 
     # stride=0 reconstructs the canonicalized document exactly
     parts = {}
@@ -1182,18 +1183,26 @@ def test_split_long_docs_twin_and_invariants(spark):
         parts.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
     for i, text in rows:
         joined = " ".join(t for _, t in sorted(parts[i]) if t)
-        assert joined == " ".join(text.split()), i
+        assert joined == " ".join((text or "").split()), i
 
-    # strided chunks overlap by exactly `stride` tokens when full
-    strided = {
-        r["chunk_idx"]: r["chunk_text"].split()
-        for r in split_long_docs(df, "id", "text", 8, 3).collect()
-        if r["id"] == 1
-    }
-    for ci in range(len(strided) - 1):
-        a, b = strided[ci], strided[ci + 1]
-        if len(b) >= 3:
-            assert a[-3:] == b[:3], ci
+    # strided chunks overlap by exactly `stride` tokens when full,
+    # every chunk ends strictly later than its predecessor (no window
+    # wholly contained in the previous one), and the final token is
+    # still covered
+    for max_tokens, stride in ((8, 3), (5, 4)):
+        strided = {
+            r["chunk_idx"]: r["chunk_text"].split()
+            for r in split_long_docs(df, "id", "text", max_tokens, stride).collect()
+            if r["id"] == 1
+        }
+        step = max_tokens - stride
+        last_tokens = [strided[ci][-1] for ci in sorted(strided)]
+        assert len(set(last_tokens)) == len(last_tokens)  # ends increase
+        assert last_tokens[-1] == "w22"  # tail covered
+        for ci in range(len(strided) - 1):
+            a, b = strided[ci], strided[ci + 1]
+            if len(b) >= stride:
+                assert a[step:] == b[: len(a) - step], ci
 
     import pytest
 

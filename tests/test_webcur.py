@@ -381,3 +381,32 @@ def test_web_corpus_domain_cap_stage(spark):
 
     with pytest.raises(ValueError, match="max_per_domain requires"):
         curate_web_corpus(df, "id", "text", max_per_domain=2)
+
+
+def test_web_corpus_domain_cap_schemeless_urls_not_lumped(spark):
+    """URLs with no extractable registered domain (scheme-less, or
+    dotless hosts) must NOT share one '' cap group: the fallback
+    chain (domain -> host -> per-id) keeps each unrelated doc its own
+    group, so none of them are discarded by the cap."""
+    from book_ocr_spark.plans.curation import curate_web_corpus
+
+    bodies = [
+        "careful analysis of shuffle partition sizing under adaptive execution",
+        "watermark semantics for late events in sessionized streaming jobs",
+        "bloom filter pruning strategies for selective parquet scans today",
+        "vectorized arrow transfer between python workers and the jvm engine",
+    ]
+    rows = [
+        (0, "example.com/page", f"schemeless treatise: {bodies[0]} with ample supporting discussion"),
+        (1, "other.org/page", f"second schemeless piece: {bodies[1]} with ample supporting discussion"),
+        (2, "http://intranet/wiki", f"dotless host entry: {bodies[2]} with ample supporting discussion"),
+        (3, "http://internal/notes", f"another dotless host: {bodies[3]} with ample supporting discussion"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, text string")
+    got = sorted(
+        r[0]
+        for r in curate_web_corpus(
+            df, "id", "text", url_col="url", max_per_domain=1,
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3]  # cap=1 yet nothing lumped, nothing lost
