@@ -453,3 +453,51 @@ def duck_sample_k_per_group_sql(
             FROM ({corpus_sql}) c) t
         WHERE _rk <= {k}
     """
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ('train' / 'val' / 'test'): the
+    standard held-out partitioning as ONE narrow projection over the
+    portable (salt, id) uniform — every row lands in exactly one
+    split (disjoint + exhaustive by construction: two cuts of a
+    single hash draw), membership is a pure function of (salt, id) so
+    it survives reruns, repartitioning, engine changes and
+    incremental ingests (a re-sent id keeps its split — no
+    train/test leakage across snapshots, the property df.randomSplit
+    cannot give). Change ``salt`` for an independent re-partitioning;
+    derived evals must keep it fixed."""
+    if val_fraction < 0 or test_fraction < 0:
+        raise ValueError("fractions must be >= 0")
+    if val_fraction + test_fraction >= 1.0:
+        raise ValueError("val + test fractions must leave room for train")
+    u = _keep_expr(id_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(u < test_fraction, "test")
+        .when(u < test_fraction + val_fraction, "val")
+        .otherwise("train"),
+    )
+
+
+def duck_assign_split_sql(
+    corpus_sql: str,
+    id_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of assign_split (same hash, same cuts)."""
+    u = _duck_keep_expr(id_col, salt)
+    return f"""
+        SELECT c.*,
+               CASE WHEN {u} < {test_fraction} THEN 'test'
+                    WHEN {u} < {test_fraction + val_fraction} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM ({corpus_sql}) c
+    """

@@ -649,3 +649,41 @@ def duck_gopher_quality_sql(
                reason = '' AS keep
         FROM flagged ORDER BY id
     """
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """(id, n_bytes, zlib_ratio): per-document zlib compressed-size /
+    raw-size — the Dolma/RedPajama gibberish-and-template signal
+    (templated or repetitive text compresses far below natural prose;
+    random noise and binary spill sit near or above 1.0). Gate on the
+    tails of this column next to the repetition/entropy signals.
+
+    This is a deliberate Arrow-batched pandas stage (NOT a JVM
+    expression): no SQL engine exposes zlib, so — like multimodal
+    decode and the streaming stateful ops — its oracle is a
+    deterministic replay (pytest recomputes the same
+    ``zlib.compress(text_utf8, level)`` in plain Python; fixed level,
+    raw DEFLATE is deterministic for a given zlib, and both the UDF
+    and the test run the container's zlib). Scale shape: one narrow
+    map over the scan, no shuffle; empty/NULL docs get ratio 0.0 with
+    n_bytes 0 so every id survives."""
+    import pandas as pd
+
+    @F.pandas_udf("struct<n_bytes: bigint, zlib_ratio: double>")
+    def _ratio(s: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        sizes, ratios = [], []
+        for t in s:
+            raw = (t or "").encode("utf-8")
+            sizes.append(len(raw))
+            ratios.append(
+                len(zlib.compress(raw, level)) / len(raw) if raw else 0.0
+            )
+        return pd.DataFrame({"n_bytes": sizes, "zlib_ratio": ratios})
+
+    return df.select(
+        F.col(id_col).alias("id"), _ratio(F.col(text_col)).alias("_r")
+    ).select("id", "_r.n_bytes", "_r.zlib_ratio")

@@ -1276,3 +1276,89 @@ def test_sample_k_per_group_twin_and_invariants(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_assign_split_twin_and_invariants(spark):
+    """Three-way split: bit-identical to the DuckDB twin, disjoint +
+    exhaustive by construction, partition independent, stable for a
+    re-sent id, and an independent redraw under a different salt."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from book_ocr_spark.operators.sampling import (
+        assign_split,
+        duck_assign_split_sql,
+    )
+
+    rows = [(i, f"text {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+
+    got = sorted(
+        (r["id"], r["split"])
+        for r in assign_split(df, "id", 0.1, 0.1).collect()
+    )
+    exp = sorted(
+        (int(i), s)
+        for i, _, s in con.sql(
+            duck_assign_split_sql("SELECT id, text FROM c", "id", 0.1, 0.1)
+        ).fetchall()
+    )
+    assert got == exp
+    assert len(got) == 400  # exhaustive, one row each (disjoint cuts)
+    counts = {}
+    for _, s in got:
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+
+    reparted = sorted(
+        (r["id"], r["split"])
+        for r in assign_split(df.repartition(7), "id", 0.1, 0.1).collect()
+    )
+    assert reparted == got
+
+    # a re-sent id keeps its split (no leakage across snapshots)
+    resent = spark.createDataFrame([(5, "drifted text")], "id long, text string")
+    (one,) = assign_split(resent, "id", 0.1, 0.1).collect()
+    assert (5, one["split"]) in got
+
+    other = sorted(
+        (r["id"], r["split"])
+        for r in assign_split(df, "id", 0.1, 0.1, salt="other").collect()
+    )
+    assert other != got
+
+    with pytest.raises(ValueError):
+        assign_split(df, "id", 0.6, 0.5)
+    with pytest.raises(ValueError):
+        assign_split(df, "id", -0.1, 0.1)
+
+
+def test_compression_ratio_matches_python_replay(spark):
+    """zlib-ratio signal: equal to the plain-Python replay bit for
+    bit, repetitive text compresses below varied prose, empty/NULL
+    docs survive with ratio 0."""
+    import zlib
+
+    from book_ocr_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a varied sentence mentioning watermarks, shuffles and skew"),
+        (3, ""),
+        (4, None),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n_bytes"], r["zlib_ratio"])
+        for r in compression_ratio(df, "id", "text").collect()
+    }
+    for i, t in rows:
+        raw = (t or "").encode("utf-8")
+        want = len(zlib.compress(raw, 6)) / len(raw) if raw else 0.0
+        assert got[i] == (len(raw), want), i
+    assert got[1][1] < got[2][1]  # repetition compresses harder
