@@ -1,0 +1,229 @@
+"""Portable Bloom-filter pre-filter for the incremental-dedup MERGE
+shape (the runtime-filter pattern Spark applies to shuffle joins,
+re-expressed as an explicit operator the daily-ingest pipeline owns).
+
+Why it exists: ``incremental_exact_dedup`` anti-joins every batch
+against the cumulative content-hash table. At 100 TB the hash table is
+billions of rows — too big to broadcast — so each ingest pays a
+shuffled anti-join over the FULL batch even though, on a typical day,
+almost every batch document is genuinely new and matches nothing. A
+Bloom filter built once over the existing hashes (and maintained by
+OR-merging each batch's delta — ``bloom_merge``) classifies each batch
+row as *definitely new* (skips the join entirely) or *maybe present*
+(goes through the exact anti-join). The final output is therefore
+EXACTLY the unfiltered operator's output no matter the false-positive
+rate: false positives only send a few extra rows through the join,
+never change a decision. That invariance is what the tests pin — the
+DuckDB oracle for the dedup result is the same one the unfiltered
+operator uses.
+
+Portability: bit positions are ``h56(md5(i ':' key)) % m_bits`` — the
+repo-wide md5-derived hash family — so DuckDB replays the exact same
+positions (``duck_bloom_positions``) and the membership DECISIONS are
+value-checkable cross-engine, not just the final dedup output.
+
+Scale shape: the build is one distinct + one ``bit_or`` hash-agg over
+``m_bits/64`` groups (map-side combined; the collect is the filter
+itself, i.e. exactly the bytes a broadcast would ship). The membership
+test computes the k positions JVM-side (one ``transform`` projection,
+stays in codegen) and only the bit lookup crosses into Python — a
+fully vectorized numpy gather over an Arrow batch, against a
+broadcast-once bitmap. At 10^9 keys × 10 bits/key the bitmap is
+~1.2 GB: still one broadcast variable per executor, not per task; past
+that, shard the filter by hash prefix and test each shard's rows
+against its own bitmap (same code, smaller ``m_bits`` per shard).
+
+No counterpart in the reference (/root/reference is a 146-LoC CLI
+scaffold); this implements the standard production ingest-dedup
+pre-filter (e.g. the shape of Spark's own InjectRuntimeFilter /
+BloomFilterAggregate, SPARK-32268) with portable hashes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from book_ocr_spark.operators.dedup import duck_h56, spark_h56
+
+
+class BloomFilter(NamedTuple):
+    """An immutable built filter: ``words`` is the bitmap as uint64
+    words (little-endian bit order within a word: bit b of word w is
+    position w*64+b), plus the (m_bits, k) geometry that any tester —
+    Spark, DuckDB, numpy — must share to agree on decisions."""
+
+    words: np.ndarray  # uint64[m_bits // 64]
+    m_bits: int
+    k: int
+    n_keys: int  # distinct keys inserted at build time (for fpp())
+
+    def fpp(self) -> float:
+        """Theoretical false-positive probability at build-time load:
+        (1 - e^(-k n / m))^k."""
+        if self.n_keys == 0:
+            return 0.0
+        return (1.0 - math.exp(-self.k * self.n_keys / self.m_bits)) ** self.k
+
+
+def bloom_geometry(n_keys: int, bits_per_key: int = 10) -> tuple[int, int]:
+    """(m_bits, k) for ``n_keys`` at ``bits_per_key``: m rounded up to
+    a word boundary, k = round(ln2 * bits_per_key) — the standard
+    optimum, clamped to ≥ 1."""
+    if bits_per_key <= 0:
+        raise ValueError("bits_per_key must be positive")
+    m_bits = max(64, ((max(n_keys, 1) * bits_per_key + 63) // 64) * 64)
+    k = max(1, round(math.log(2.0) * bits_per_key))
+    return m_bits, k
+
+
+def bloom_positions(col: str, m_bits: int, k: int):
+    """array<long> of the k bit positions for ``col`` (a string
+    column), computed entirely JVM-side inside one ``transform`` —
+    the shared definition for build and test sides."""
+    h = spark_h56(f"concat(cast(i as string), ':', {col})")
+    return F.expr(f"transform(sequence(0, {k - 1}), i -> ({h}) % {m_bits}L)")
+
+
+def duck_bloom_positions(expr: str, m_bits: int, k: int) -> list[str]:
+    """DuckDB twin of bloom_positions: k scalar position expressions
+    (same md5-derived hashes, same modulus)."""
+    out = []
+    for i in range(k):
+        salted = f"(CAST({i} AS VARCHAR) || ':' || {expr})"
+        out.append(f"({duck_h56(salted)} % {m_bits})")
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_keys: int | None = None,
+    bits_per_key: int = 10,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> BloomFilter:
+    """Build the filter over ``df[col]`` (string keys — for the dedup
+    use case, the md5 content_hash column).
+
+    Geometry: pass (m_bits, k) explicitly — REQUIRED when the filter
+    will later be merged with another build, since merge demands equal
+    geometry — or let it be sized from ``n_keys`` (counted with one
+    cheap job over the key column when not supplied).
+
+    Plan: positions projection → explode → distinct (map-side
+    combined) → bit_or per 64-bit word. The collect IS the filter:
+    m_bits/64 rows of (word_idx, word), i.e. the same bytes any
+    broadcast of the bitmap would move.
+    """
+    if m_bits is None or k is None:
+        if n_keys is None:
+            n_keys = df.select(col).count()
+        g_m, g_k = bloom_geometry(n_keys, bits_per_key)
+        m_bits = g_m if m_bits is None else m_bits
+        k = g_k if k is None else k
+    else:
+        if n_keys is None:
+            n_keys = df.select(col).count()
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    rows = (
+        df.select(F.explode(bloom_positions(col, m_bits, k)).alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 64").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        words[int(r.w)] = np.uint64(int(r.bits) & 0xFFFFFFFFFFFFFFFF)
+    return BloomFilter(words=words, m_bits=m_bits, k=k, n_keys=n_keys)
+
+
+def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """OR-merge two filters built with the SAME geometry — how the
+    daily ingest maintains the corpus filter: build over each batch's
+    accepted hashes, merge into yesterday's. n_keys adds (an upper
+    bound on distinct keys, so fpp() stays an upper bound)."""
+    if (a.m_bits, a.k) != (b.m_bits, b.k):
+        raise ValueError(
+            f"geometry mismatch: {(a.m_bits, a.k)} vs {(b.m_bits, b.k)}"
+        )
+    return BloomFilter(
+        words=a.words | b.words, m_bits=a.m_bits, k=a.k, n_keys=a.n_keys + b.n_keys
+    )
+
+
+def with_bloom_maybe(
+    df: DataFrame, col: str, filt: BloomFilter, spark: SparkSession, flag: str = "_maybe"
+) -> DataFrame:
+    """``df`` + boolean ``flag``: True iff all k bits for ``df[col]``
+    are set (maybe present); False is a GUARANTEE of absence. The
+    bitmap ships once per executor via a Spark broadcast; the test is
+    one vectorized numpy gather per Arrow batch."""
+    bc = spark.sparkContext.broadcast(filt.words)
+
+    @pandas_udf("boolean")
+    def _might_contain(pos: pd.Series) -> pd.Series:
+        w = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        a = np.stack(pos.to_numpy()).astype(np.uint64)  # (n, k) positions
+        hit = (w[(a >> np.uint64(6)).astype(np.int64)] >> (a & np.uint64(63))) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return df.withColumn(
+        flag, _might_contain(bloom_positions(col, filt.m_bits, filt.k))
+    )
+
+
+def incremental_exact_dedup_bloom(
+    new_docs: DataFrame,
+    existing_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    spark: SparkSession,
+    filt: BloomFilter | None = None,
+    bits_per_key: int = 10,
+) -> DataFrame:
+    """``incremental_exact_dedup`` with the Bloom pre-filter in front:
+    batch rows whose content_hash is *definitely not* in the corpus
+    bypass the anti-join; only maybe-present rows (true overlaps +
+    false positives) join against the existing hash table. Output is
+    row-for-row identical to the unfiltered operator — same contract,
+    same oracle: (content_hash, canonical_id, n_copies) over content
+    genuinely new to the corpus.
+
+    Pass ``filt`` (the maintained corpus filter) in production; when
+    omitted it is built here from ``existing_hashes``, which is only
+    sensible for tests — a build reads the whole hash table, costing
+    what one anti-join costs. The win is real only when the filter is
+    maintained across ingests (bloom_merge) and the hash table is NOT
+    rescanned per batch.
+
+    At-scale note: after the pre-filter the maybe side is typically
+    tiny (overlap + fpp·batch), so AQE turns the remaining anti-join
+    into a broadcast of the maybe side against a scan of the hash
+    table partition-pruned by join keys — the 100 TB shape this
+    operator exists to reach.
+    """
+    if filt is None:
+        filt = bloom_build(existing_hashes, "content_hash", bits_per_key=bits_per_key)
+    h = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    flagged = with_bloom_maybe(h, "content_hash", filt, spark)
+    definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    survivors = definitely_new.unionByName(
+        maybe.join(existing_hashes.select("content_hash"), "content_hash", "left_anti")
+    )
+    return survivors.groupBy("content_hash").agg(
+        F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
