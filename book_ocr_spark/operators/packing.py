@@ -104,6 +104,111 @@ def pack_next_fit(
     )
 
 
+def pack_first_fit_decreasing(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+    n_groups: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """First-fit-decreasing variant of pack_next_fit: within a group,
+    documents are taken in (size DESC, id ASC) order and each goes
+    into the LOWEST-indexed bin it fits (classical FFD — ≤ 11/9·OPT+1
+    bins vs next-fit's 2·OPT, i.e. several points of fill ratio back
+    on skewed-length corpora). Same contract as pack_next_fit:
+    (id, size, grp, bin, bin_pos, overfull), bin local to grp,
+    oversize docs solo + flagged, pure function of the group's
+    (id, size) set so reruns and resumes agree bit-for-bit.
+
+    The oracle for FFD is a pure-Python replay (tests), not a DuckDB
+    CTE: unlike next-fit, FFD's recurrence looks back at EVERY open
+    bin's fill, which has no bounded-state SQL formulation — the same
+    reference-implementation carve-out the BPE trainer documents.
+
+    Scale shape: identical to pack_next_fit — one repartition(grp)
+    shuffle then a per-group scan. The scan is O(rows · open bins)
+    worst case; with group size bounded by corpus/n_groups (~10^4) and
+    bins ≈ rows/(capacity/mean), it stays microseconds-to-milliseconds
+    per task. bin_pos is insertion order within the bin (positions are
+    dense but NOT id-ordered — decreasing-size order is the
+    algorithm's own order).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["size", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        if pdf["size"].isna().any() or (pdf["size"] < 0).any():
+            bad = pdf.loc[pdf["size"].isna() | (pdf["size"] < 0), "id"].head(3)
+            raise ValueError(
+                f"pack_first_fit_decreasing: null/negative size for ids {list(bad)}"
+            )
+        sizes = pdf["size"].to_numpy(dtype=np.int64)
+        bins = np.empty(len(sizes), dtype=np.int32)
+        pos = np.empty(len(sizes), dtype=np.int32)
+        fills: list[int] = []  # fill per open bin, index = bin id
+        counts: list[int] = []
+        for i, s in enumerate(sizes):
+            placed = -1
+            if s <= capacity:
+                for b, f in enumerate(fills):
+                    if f + s <= capacity:
+                        placed = b
+                        break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+                counts.append(0)
+            bins[i] = placed
+            pos[i] = counts[placed]
+            fills[placed] += int(s)
+            counts[placed] += 1
+        pdf["bin"] = bins
+        pdf["bin_pos"] = pos
+        pdf["overfull"] = sizes > capacity
+        return pdf[["id", "size", "grp", "bin", "bin_pos", "overfull"]]
+
+    sized = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        _group_expr(id_col, salt, n_groups).cast("int").alias("grp"),
+    )
+    return sized.repartition(n_groups, "grp").groupBy("grp").applyInPandas(
+        pack_group, PACKED_SCHEMA
+    )
+
+
+def pack_ffd_reference(
+    rows: list[tuple[int, int]], capacity: int
+) -> list[tuple[int, int, int, int, bool]]:
+    """Pure-Python single-group FFD reference (the test oracle):
+    returns (id, size, bin, bin_pos, overfull) for one group's rows,
+    replaying exactly the recurrence pack_first_fit_decreasing runs
+    per group."""
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    fills: list[int] = []
+    counts: list[int] = []
+    out = []
+    for i, s in ordered:
+        placed = -1
+        if s <= capacity:
+            for b, f in enumerate(fills):
+                if f + s <= capacity:
+                    placed = b
+                    break
+        if placed < 0:
+            placed = len(fills)
+            fills.append(0)
+            counts.append(0)
+        out.append((i, s, placed, counts[placed], s > capacity))
+        fills[placed] += s
+        counts[placed] += 1
+    return out
+
+
 def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
     """One row: bins, docs, fill_ratio (token utilisation over
     non-overfull bins — the padding the packer actually controls)."""

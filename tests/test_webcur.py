@@ -150,6 +150,69 @@ def test_pack_next_fit_rejects_bad_capacity(spark):
         packing.pack_next_fit(df, "doc_id", "n_tok", capacity=0)
 
 
+def test_pack_ffd_matches_reference(spark):
+    """FFD bin assignment is bit-identical to the pure-Python replay
+    of the recurrence, group by group (FFD's all-open-bins lookback
+    has no bounded-state SQL form — reference-impl oracle, the BPE
+    carve-out)."""
+    rows = _pack_fixture()
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = packing.pack_first_fit_decreasing(
+        df, "doc_id", "n_tok", capacity=2048, n_groups=8
+    )
+    out = packed.collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    grp_of = {r.id: r.grp for r in out}
+    for g, members in by_grp.items():
+        got = sorted((m.id, m.size, m.bin, m.bin_pos, m.overfull) for m in members)
+        want = sorted(
+            packing.pack_ffd_reference(
+                [(i, s) for i, s in rows if grp_of[i] == g], capacity=2048
+            )
+        )
+        assert got == want, g
+
+
+def test_pack_ffd_invariants(spark):
+    """Same invariants as next-fit: exactly-once, capacity respected,
+    oversize solo+flagged, dense bin_pos, partition independence —
+    plus the reason FFD exists: fill ratio ≥ next-fit's on the same
+    skewed-length corpus."""
+    rows = _pack_fixture()
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = packing.pack_first_fit_decreasing(
+        df, "doc_id", "n_tok", capacity=2048, n_groups=8
+    )
+    out = packed.collect()
+    assert sorted(r.id for r in out) == [r[0] for r in rows]
+    bins = {}
+    for r in out:
+        bins.setdefault((r.grp, r.bin), []).append(r)
+    for members in bins.values():
+        fill = sum(m.size for m in members)
+        if any(m.overfull for m in members):
+            assert len(members) == 1 and members[0].size > 2048
+        else:
+            assert fill <= 2048
+        assert sorted(m.bin_pos for m in members) == list(range(len(members)))
+
+    reparted = packing.pack_first_fit_decreasing(
+        df.repartition(13), "doc_id", "n_tok", capacity=2048, n_groups=8
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, reparted.collect()))
+
+    nf = packing.pack_next_fit(df, "doc_id", "n_tok", capacity=2048, n_groups=8)
+    fill_ffd = packing.pack_stats(packed, 2048).collect()[0]
+    fill_nf = packing.pack_stats(nf, 2048).collect()[0]
+    assert fill_ffd.fill_ratio >= fill_nf.fill_ratio
+    assert fill_ffd.n_bins <= fill_nf.n_bins
+
+    with pytest.raises(ValueError):
+        packing.pack_first_fit_decreasing(df, "doc_id", "n_tok", capacity=0)
+
+
 def test_pack_stats(spark):
     """fill_ratio counts only the bins the packer controls (non-
     overfull) and lands in (0, 1]."""
