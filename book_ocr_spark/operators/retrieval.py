@@ -1,0 +1,175 @@
+"""BM25 keyword retrieval over the document corpus — the "find the
+docs that look like THIS query" primitive a curation pipeline needs
+for targeted selection, decontamination audits ("which training docs
+score high against eval questions?") and corpus debugging.
+
+Model: classic Okapi BM25 with the Lucene/Robertson positive idf,
+
+    score(q, d) = sum_{t in q}  idf(t) * tf_norm(t, d)
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    tf_norm     = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Determinism contract (the DSIR idiom, operators/dsir.py): each
+per-(query-term, doc) contribution is rounded ONCE to micro units
+(1e-6) and cast to bigint, so the per-(query, doc) score is an
+INTEGER sum — merge-order/partition independent and bit-identical to
+the DuckDB twin. Ties in the top-k window break on doc id, so ranks
+are reproducible run to run.
+
+Scale shape (100 TB corpus, small query batch): the corpus is
+tokenized and hash-aggregated exactly twice (doc lengths; per-(doc,
+term) tf) — both map-side-combined narrow aggs. The query side is
+small by definition, so its distinct (qid, term) set is BROADCAST
+into the postings probe: the join keeps only postings of query terms
+(this IS the inverted-index lookup — Catalyst applies the broadcast
+hash probe at the scan, no shuffle of the corpus). df is then counted
+over the already-filtered postings (filtering to query terms does not
+change each surviving term's doc count), so corpus-wide term stats
+are never materialized for terms nobody asked about. The only
+corpus-sized shuffle joins the filtered postings back to doc lengths
+on id; a standing deployment would bucket postings by term and fold
+dl into the posting rows at write time (sources/io.py bucketing),
+making repeated querying shuffle-free — noted, not required for a
+one-shot pass. Tokenization is ASCII lower + split on [^a-z0-9]+ in
+BOTH engines; swap in a locale-aware analyzer behind the same
+(id, term) contract if the corpus needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+MICRO = 1_000_000
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, t) with multiplicity: ASCII-lowered alnum runs."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+) -> DataFrame:
+    """(qid, id, score_micro, rank): top-``topk`` corpus documents per
+    query by BM25, rank 1 = best, ties broken on ascending doc id.
+    score_micro is the integer-exact micro-unit score (divide by 1e6
+    for the float value). Documents sharing no term with the query
+    never appear (score would be 0). Query terms are deduplicated
+    (standard BM25 ignores query-side multiplicity)."""
+    if topk <= 0:
+        raise ValueError("topk must be positive")
+    toks = _terms(docs, id_col, text_col)
+    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    qterms = _terms(queries, qid_col, qtext_col).select(
+        F.col("id").alias("qid"), "t"
+    ).distinct()
+    postings = tf.join(F.broadcast(qterms), "t")  # inverted-index probe
+    df_t = postings.select("t", "id").distinct().groupBy("t").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_t), "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = scored.select(
+        "qid",
+        "id",
+        F.round(idf * tf_norm * MICRO).cast("long").alias("c_micro"),
+    )
+    per_doc = contrib.groupBy("qid", "id").agg(
+        F.sum("c_micro").alias("score_micro")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "id", "score_micro", "rank")
+    )
+
+
+def duck_bm25_scores_sql(
+    docs_sql: str,
+    queries_sql: str,
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+) -> str:
+    """DuckDB twin of bm25_scores: same tokenizer, same idf/tf_norm,
+    same per-contribution micro rounding — the per-(qid, id) sum is
+    integer-exact so the replay is bit-identical."""
+    return f"""
+        WITH toks AS (
+            SELECT id, t
+            FROM (SELECT id, unnest(regexp_split_to_array(lower(text),
+                         '{TOKEN_SPLIT}')) AS t
+                  FROM ({docs_sql}) d0) d1
+            WHERE t <> ''
+        ),
+        dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM dl),
+        tf AS (SELECT id, t, COUNT(*) AS tf FROM toks GROUP BY id, t),
+        qterms AS (
+            SELECT DISTINCT qid, t
+            FROM (SELECT qid, unnest(regexp_split_to_array(lower(qtext),
+                         '{TOKEN_SPLIT}')) AS t
+                  FROM ({queries_sql}) q0) q1
+            WHERE t <> ''
+        ),
+        postings AS (SELECT q.qid, f.id, f.t, f.tf
+                     FROM tf f JOIN qterms q USING (t)),
+        df_t AS (SELECT t, COUNT(*) AS df
+                 FROM (SELECT DISTINCT t, id FROM postings) p GROUP BY t),
+        contrib AS (
+            SELECT p.qid, p.id,
+                   CAST(ROUND({MICRO} * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                        * (p.tf * ({k1} + 1))
+                        / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl))
+                   ) AS BIGINT) AS c_micro
+            FROM postings p
+            JOIN df_t USING (t) JOIN dl ON dl.id = p.id CROSS JOIN stats
+        ),
+        per_doc AS (SELECT qid, id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+                    FROM contrib GROUP BY qid, id),
+        ranked AS (SELECT qid, id, score_micro,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY score_micro DESC, id ASC) AS INT) AS rank
+                   FROM per_doc)
+        SELECT qid, id, score_micro, rank FROM ranked
+        WHERE rank <= {topk}
+        ORDER BY qid, rank
+    """

@@ -1,0 +1,114 @@
+"""BM25 retrieval: integer-exact DuckDB twin, ranking sanity,
+partition invariance, and the broadcast inverted-probe plan shape."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import retrieval
+
+DOC_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a fast auburn fox leapt across a sleepy hound"),
+    (3, "stock markets rallied today as tech shares surged"),
+    (4, "the fox population in urban areas is growing, fox sightings rise"),
+    (5, "recipe: slow-cooked lamb with rosemary and garlic"),
+    (6, "dog training tips: how to teach a lazy dog new tricks"),
+    (7, ""),  # empty doc: no terms, must never score
+    (8, "fox"),  # single-term doc: extreme length normalization
+]
+QUERY_ROWS = [
+    (100, "lazy fox"),
+    (101, "stock shares"),
+    (102, "Fox! FOX? fox..."),  # case/punct noise collapses to one term
+    (103, "zzz_unseen_term"),   # no hits anywhere
+]
+
+
+def _spark_topk(spark, doc_rows=DOC_ROWS, topk=5):
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
+    return sorted(
+        (r.qid, r.id, r.score_micro, r.rank)
+        for r in retrieval.bm25_scores(docs, qs, topk=topk).collect()
+    )
+
+
+def _duck_topk(topk=5):
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(DOC_ROWS, columns=["id", "text"]))
+    con.register("q", pd.DataFrame(QUERY_ROWS, columns=["qid", "qtext"]))
+    return sorted(
+        tuple(map(int, row))
+        for row in con.sql(
+            retrieval.duck_bm25_scores_sql(
+                "SELECT id, text FROM d", "SELECT qid, qtext FROM q", topk=topk
+            )
+        ).fetchall()
+    )
+
+
+def test_bm25_twin_bit_identical(spark):
+    """Micro-rounded contributions make the (qid, id) score an integer
+    sum — the DuckDB replay matches bit-for-bit, ranks included."""
+    assert _spark_topk(spark) == _duck_topk()
+
+
+def test_bm25_ranking_sanity(spark):
+    got = _spark_topk(spark)
+    by_q = {}
+    for qid, did, score, rank in got:
+        by_q.setdefault(qid, []).append((rank, did, score))
+    # "lazy fox": doc 1 has both terms — it must beat any one-term doc
+    top_lazy_fox = min(by_q[100])[1]
+    assert top_lazy_fox == 1
+    # the single-term doc 8 is the shortest fox doc: best tf_norm for
+    # "fox"-only queries
+    assert min(by_q[102])[1] == 8
+    # "stock shares" hits only doc 3
+    assert [d for _, d, _ in by_q[101]] == [3]
+    # unseen term: no rows at all
+    assert 103 not in by_q
+    # the empty doc never scores
+    assert all(did != 7 for lst in by_q.values() for _, did, _ in lst)
+    # ranks are dense from 1 and scores non-increasing within a query
+    for lst in by_q.values():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _, _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_partition_invariance(spark):
+    """Integer scoring is independent of input partitioning (a double
+    sum would be merge-order dependent)."""
+    docs = spark.createDataFrame(DOC_ROWS, "doc_id long, text string").repartition(7)
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string").repartition(3)
+    reparted = sorted(
+        (r.qid, r.id, r.score_micro, r.rank)
+        for r in retrieval.bm25_scores(docs, qs, topk=5).collect()
+    )
+    assert reparted == _spark_topk(spark)
+
+
+def test_bm25_plan_shape(spark):
+    """The query-term probe and the per-term stats attach as broadcast
+    joins; the corpus never appears in a pairwise join shape."""
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    docs = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
+    buf = StringIO()
+    with redirect_stdout(buf):
+        retrieval.bm25_scores(docs, qs).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_rejects_bad_topk(spark):
+    docs = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(docs, qs, topk=0)
