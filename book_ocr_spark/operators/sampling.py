@@ -485,6 +485,67 @@ def assign_split(
     )
 
 
+def temperature_weights(
+    supply: dict[str, float], tau: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights (the XLM-R / mBERT
+    multilingual sampling rule, Conneau et al. 2020): given the
+    measured per-stratum supply q_d, the target share is
+
+        p_d ∝ q_d ** (1/tau)
+
+    tau = 1 reproduces the natural (proportional) mix; tau → ∞ tends
+    to uniform; 1 < tau < ∞ up-samples the tail without letting the
+    head drown it — the standard knob for low-resource domains/
+    languages. Returns weights normalized to sum 1.0, ready to be
+    mixture_plan's ``target_weights``.
+
+    Pure driver arithmetic over k strata (k is small by construction
+    — the same contract as apply_mixture_plan's k-row collect), so
+    determinism is trivial: dict iteration order does not affect the
+    per-stratum result (each is an independent pow + one division by
+    an order-independent float sum of k nonnegative terms computed in
+    sorted-key order)."""
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    for k, v in supply.items():
+        if v < 0:
+            raise ValueError(f"supply for {k!r} must be >= 0")
+    alpha = 1.0 / tau
+    raw = {k: float(v) ** alpha for k, v in supply.items()}
+    tot = sum(raw[k] for k in sorted(raw))
+    if tot <= 0:
+        raise ValueError("supply must contain at least one positive stratum")
+    return {k: raw[k] / tot for k in sorted(raw)}
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    tau: float,
+    total_tokens: int,
+    max_epochs: float | None = None,
+) -> DataFrame:
+    """mixture_plan with temperature-derived targets: measure the
+    per-stratum token supply (one hash agg), collect the k-row
+    histogram (driver-sized by construction — the broadcast-table
+    pattern), temperature-scale it, and hand mixture_plan the result.
+    Same output contract as mixture_plan; compose with
+    apply_mixture_plan to materialize."""
+    hist = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("supply"))
+        .collect()
+    )
+    weights = temperature_weights(
+        {r["stratum"]: float(r["supply"]) for r in hist}, tau
+    )
+    return mixture_plan(
+        df, strata_col, token_col, weights, total_tokens, max_epochs
+    )
+
+
 def duck_assign_split_sql(
     corpus_sql: str,
     id_col: str,

@@ -91,3 +91,62 @@ def test_mixture_plan_rejects_bad_inputs(spark):
         sampling.mixture_plan(df, "domain", "n_tokens", {"wiki": -1.0}, 100)
     with pytest.raises(ValueError):
         sampling.mixture_plan(df, "domain", "n_tokens", {}, 100)
+
+
+def test_temperature_weights_math():
+    """tau=1 is the natural mix, tau→∞ tends to uniform, intermediate
+    tau compresses the head/tail gap monotonically without reordering."""
+    supply = {"wiki": 1000.0, "web": 8000.0, "code": 1000.0}
+    nat = sampling.temperature_weights(supply, 1.0)
+    assert nat == {"code": 0.1, "web": 0.8, "wiki": 0.1}
+    flat = sampling.temperature_weights(supply, 1000.0)
+    for v in flat.values():
+        assert abs(v - 1 / 3) < 1e-2
+    prev_gap = 0.8 - 0.1
+    for tau in (1.5, 2.0, 5.0, 50.0):
+        w = sampling.temperature_weights(supply, tau)
+        gap = w["web"] - w["wiki"]
+        assert 0 < gap < prev_gap, tau  # compressed, order kept
+        prev_gap = gap
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+        assert w["wiki"] == w["code"]  # equal supply -> equal share
+
+
+def test_temperature_weights_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        sampling.temperature_weights({"a": 1.0}, 0.0)
+    with pytest.raises(ValueError):
+        sampling.temperature_weights({"a": -1.0}, 2.0)
+    with pytest.raises(ValueError):
+        sampling.temperature_weights({"a": 0.0}, 2.0)
+
+
+def test_temperature_mixture_plan_composes(spark):
+    """temperature_mixture_plan == mixture_plan fed the temperature-
+    derived weights, and the DuckDB twin replays it bit-for-bit with
+    the same driver-computed weights dict."""
+    df = spark.createDataFrame(ROWS, "id long, domain string, n_tokens long")
+    tau = 2.0
+    plan = sampling.temperature_mixture_plan(df, "domain", "n_tokens", tau, TOTAL)
+    got = sorted(map(tuple, plan.collect()))
+
+    w = sampling.temperature_weights(
+        {"wiki": 1000.0, "web": 8000.0, "code": 1000.0}, tau
+    )
+    direct = sampling.mixture_plan(df, "domain", "n_tokens", w, TOTAL)
+    assert got == sorted(map(tuple, direct.collect()))
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(ROWS, columns=["id", "domain", "n_tokens"]))
+    want = sorted(
+        (s, int(a), float(sh), int(d), float(e), bool(cp))
+        for s, a, sh, d, e, cp in con.sql(
+            sampling.duck_mixture_plan_sql(
+                "SELECT * FROM c", "domain", "n_tokens", w, TOTAL
+            )
+        ).fetchall()
+    )
+    assert got == want
+    # tau=2 up-samples the tail: wiki's share rises above natural 0.1
+    by = {r[0]: r for r in got}
+    assert by["wiki"][2] > 0.1 and by["web"][2] < 0.8
