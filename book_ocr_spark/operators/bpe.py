@@ -404,3 +404,35 @@ def bpe_encode_arrow(
         encode_words, "word string, syms array<string>"
     )
     return _assemble(df, id_col, doc_words, distinct)
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    eow: str = EOW,
+    pieces_col: str = "pieces",
+) -> DataFrame:
+    """(id, text): inverse of the encode paths — concatenate each
+    document's pieces and turn every end-of-word marker back into a
+    single space. Round-trip contract (property-tested):
+
+        bpe_decode(bpe_encode(df)) == whitespace-normalized df
+
+    i.e. original text with runs of whitespace collapsed to single
+    spaces and ends trimmed — exactly ``' '.join(ws_tokens(text))``,
+    the word-level convention all curation operators share. Lossy
+    only where that normalization is (and if raw text contains the
+    eow marker character itself — sentencepiece's '▁' — which the
+    encode side folds into words like any other character; pick a
+    marker outside the corpus alphabet, the standard contract).
+
+    Scale shape: two narrow JVM string projections per row — no
+    shuffle, no Python. Wordless documents (empty pieces) decode to
+    the empty string, mirroring encode's empty-pieces convention.
+    """
+    joined = F.concat_ws("", F.col(pieces_col))
+    # every word ends with eow, so "replace eow with space + trim" ==
+    # "strip the trailing eow, replace interior ones with spaces"
+    return encoded.select(
+        "id",
+        F.rtrim(F.translate(joined, eow, " ")).alias("text"),
+    )

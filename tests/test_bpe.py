@@ -248,3 +248,26 @@ def test_encode_plan_broadcasts_word_map_no_cartesian(spark, corpus_df, learned)
         )
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_decode_round_trips_encode(spark, corpus_df, learned):
+    """decode ∘ encode == whitespace normalization, for BOTH encode
+    paths; wordless docs decode to the empty string."""
+    want = {i: " ".join(t.split()) for i, t in enumerate(CORPUS)}
+    for enc in (bpe.bpe_encode, bpe.bpe_encode_arrow):
+        decoded = bpe.bpe_decode(enc(corpus_df, "doc_id", "text", learned))
+        got = {r.id: r.text for r in decoded.collect()}
+        assert got == want, enc.__name__
+
+
+def test_decode_multichar_words_and_spacing(spark):
+    """Interior whitespace runs collapse to single spaces and the
+    trailing word marker strips cleanly even with a 1-char doc."""
+    df = spark.createDataFrame(
+        [(0, "  a   bb\tc  "), (1, "x")], "doc_id long, text string"
+    )
+    merges = bpe.learn_bpe(df, "text", n_merges=4)
+    got = {r.id: r.text for r in bpe.bpe_decode(
+        bpe.bpe_encode(df, "doc_id", "text", merges)
+    ).collect()}
+    assert got == {0: "a bb c", 1: "x"}
