@@ -1,0 +1,206 @@
+"""Corpus distribution drift between two snapshots — the monitoring
+primitive a continuously-ingesting training-data pipeline needs:
+"did this week's crawl change the data distribution, and which terms
+moved?". Two views:
+
+* ``jsd_summary`` — ONE row: Jensen-Shannon divergence (nats, micro
+  units) between the two corpora's hashed-unigram bucket
+  distributions. Cheap (two m-bucket histograms), bounded (JSD ≤
+  ln 2), threshold-able for alerting.
+* ``term_drift`` — the actionable drill-down: top-k exact terms by
+  absolute smoothed log-ratio, with per-side counts, so the alert
+  says WHAT drifted ("crypto spam up 40×"), not just that something
+  did.
+
+Determinism contract (the DSIR idiom, operators/dsir.py): every
+per-bucket / per-term float lands in exactly one ROUND(1e6·x) →
+bigint, so sums are integer-exact, partition/merge-order independent,
+and bit-identical to the DuckDB twins. Tokenization is the shared
+word-level convention (textstats.ws_tokens).
+
+Scale shape (two 100 TB snapshots): each corpus is tokenized and
+hash-aggregated ONCE per view — map-side-combined narrow aggs. The
+JSD path reduces to two m-row histograms joined on a spine (broadcast
+material); the term path's full-outer join runs on the distinct-vocab
+tables (Zipf-bounded, orders of magnitude below corpus size) and the
+top-k is a TakeOrdered, never a global materialized sort. The corpora
+are never joined to themselves or each other at row grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.dedup import duck_h28, spark_h28
+from book_ocr_spark.operators.textstats import ws_tokens
+
+M_BUCKETS = 1024
+ALPHA = 0.5
+MICRO = 1_000_000
+
+
+def _term_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(t, cnt): whitespace-term frequencies — one hash agg."""
+    return (
+        df.select(F.explode(ws_tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def jsd_summary(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    m: int = M_BUCKETS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """One row (n_buckets, jsd_micro): Jensen-Shannon divergence in
+    nats × 1e6 between the hashed-unigram bucket distributions of the
+    two corpora, with additive smoothing (alpha over all m buckets, so
+    empty buckets contribute the floor probability and JSD(X, X) is
+    exactly 0). jsd_micro is an integer sum of per-bucket micro-rounded
+    contributions — reproducible and twin-exact. Bounded by ln 2 ≈
+    693147 micro-nats; alert on a fraction of that."""
+    buckets_a = (
+        df_a.select(F.explode(ws_tokens(text_col)).alias("t"))
+        .select((F.expr(spark_h28("t")) % m).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("ca"))
+    )
+    buckets_b = (
+        df_b.select(F.explode(ws_tokens(text_col)).alias("t"))
+        .select((F.expr(spark_h28("t")) % m).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cb"))
+    )
+    tot = buckets_a.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("na")
+    ).crossJoin(buckets_b.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("nb")))
+    spark = df_a.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("long").alias("b"))
+    joined = (
+        spine.join(buckets_a, "b", "left")
+        .join(buckets_b, "b", "left")
+        .fillna(0, ["ca", "cb"])
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("ca") + alpha) / (F.col("na") + alpha * m)
+    q = (F.col("cb") + alpha) / (F.col("nb") + alpha * m)
+    mid = (p + q) / 2
+    contrib = 0.5 * (p * F.log(p / mid) + q * F.log(q / mid))
+    return joined.select(
+        F.round(contrib * MICRO).cast("long").alias("c_micro")
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("c_micro").alias("jsd_micro"),
+    )
+
+
+def term_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(t, cnt_a, cnt_b, lr_micro): the ``k`` terms whose smoothed
+    frequency log-ratio ln(p_a/p_b) moved the most (either direction),
+    ordered by |lr_micro| desc then term asc (deterministic ties).
+    ``min_count`` on cnt_a + cnt_b suppresses one-off noise terms.
+    Positive lr_micro = term lost ground in B; negative = B gained it.
+    Smoothing uses the union vocabulary size, so a term absent from
+    one side still scores (that IS the interesting case)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ca = _term_counts(df_a, text_col).withColumnRenamed("cnt", "cnt_a")
+    cb = _term_counts(df_b, text_col).withColumnRenamed("cnt", "cnt_b")
+    vocab = ca.join(cb, "t", "full_outer").fillna(0, ["cnt_a", "cnt_b"])
+    tot = vocab.agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    lr = F.log(
+        (F.col("cnt_a") + alpha) / (F.col("na") + alpha * F.col("v"))
+    ) - F.log((F.col("cnt_b") + alpha) / (F.col("nb") + alpha * F.col("v")))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+        .select(
+            "t",
+            "cnt_a",
+            "cnt_b",
+            F.round(lr * MICRO).cast("long").alias("lr_micro"),
+        )
+        .orderBy(F.abs(F.col("lr_micro")).desc(), F.col("t").asc())
+        .limit(k)
+    )
+
+
+_DUCK_TOKS = (
+    "SELECT t FROM (SELECT unnest(list_filter(regexp_split_to_array("
+    "TRIM(text), '\\s+'), w -> w <> '')) AS t FROM ({src}) s0) s1"
+)
+
+
+def duck_jsd_summary_sql(
+    a_sql: str, b_sql: str, m: int = M_BUCKETS, alpha: float = ALPHA
+) -> str:
+    """DuckDB twin of jsd_summary (same hash, smoothing, rounding)."""
+    h = duck_h28("t")
+    return f"""
+        WITH ta AS ({_DUCK_TOKS.format(src=a_sql)}),
+        tb AS ({_DUCK_TOKS.format(src=b_sql)}),
+        ba AS (SELECT {h} % {m} AS b, COUNT(*) AS ca FROM ta GROUP BY 1),
+        bb AS (SELECT {h} % {m} AS b, COUNT(*) AS cb FROM tb GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(ca), 0) FROM ba) AS na,
+                       (SELECT COALESCE(SUM(cb), 0) FROM bb) AS nb),
+        contrib AS (
+            SELECT CAST(ROUND({MICRO} * 0.5 * (
+                       p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))
+                   )) AS BIGINT) AS c_micro
+            FROM (
+                SELECT (COALESCE(ca, 0) + {alpha}) / (na + {alpha} * {m}) AS p,
+                       (COALESCE(cb, 0) + {alpha}) / (nb + {alpha} * {m}) AS q
+                FROM range({m}) r CROSS JOIN tot
+                LEFT JOIN ba ON ba.b = r.range LEFT JOIN bb ON bb.b = r.range
+            ) pq)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(c_micro) AS BIGINT) AS jsd_micro
+        FROM contrib
+    """
+
+
+def duck_term_drift_sql(
+    a_sql: str,
+    b_sql: str,
+    k: int = 50,
+    min_count: int = 5,
+    alpha: float = ALPHA,
+) -> str:
+    """DuckDB twin of term_drift (same smoothing, rounding, order)."""
+    return f"""
+        WITH ta AS ({_DUCK_TOKS.format(src=a_sql)}),
+        tb AS ({_DUCK_TOKS.format(src=b_sql)}),
+        ca AS (SELECT t, COUNT(*) AS cnt_a FROM ta GROUP BY t),
+        cb AS (SELECT t, COUNT(*) AS cnt_b FROM tb GROUP BY t),
+        vocab AS (SELECT COALESCE(ca.t, cb.t) AS t,
+                         COALESCE(cnt_a, 0) AS cnt_a,
+                         COALESCE(cnt_b, 0) AS cnt_b
+                  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+        tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v
+                FROM vocab)
+        SELECT t, CAST(cnt_a AS BIGINT) AS cnt_a,
+               CAST(cnt_b AS BIGINT) AS cnt_b,
+               CAST(ROUND({MICRO} * (
+                   ln((cnt_a + {alpha}) / (na + {alpha} * v))
+                 - ln((cnt_b + {alpha}) / (nb + {alpha} * v))
+               )) AS BIGINT) AS lr_micro
+        FROM vocab CROSS JOIN tot
+        WHERE cnt_a + cnt_b >= {min_count}
+        ORDER BY ABS(lr_micro) DESC, t ASC
+        LIMIT {k}
+    """

@@ -1,0 +1,101 @@
+"""Corpus drift: JSD summary + term drill-down, integer-exact DuckDB
+twins, zero-on-identical / bounded-on-disjoint sanity, partition
+invariance."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import drift
+
+LN2_MICRO = 693_147  # JSD upper bound in micro-nats
+
+A_ROWS = [
+    (1, "the cat sat on the mat and the dog slept"),
+    (2, "a quiet evening of reading by the fire"),
+    (3, "the cat chased the dog around the garden"),
+    (4, ""),
+]
+B_ROWS = [
+    (10, "buy crypto now crypto moon crypto gains guaranteed"),
+    (11, "the dog slept by the fire"),
+    (12, "crypto trading signals free crypto airdrop"),
+]
+
+
+def _register(con):
+    con.register("a", pd.DataFrame(A_ROWS, columns=["id", "text"]))
+    con.register("b", pd.DataFrame(B_ROWS, columns=["id", "text"]))
+
+
+def _dfs(spark, reparts=None):
+    a = spark.createDataFrame(A_ROWS, "id long, text string")
+    b = spark.createDataFrame(B_ROWS, "id long, text string")
+    if reparts:
+        a, b = a.repartition(reparts[0]), b.repartition(reparts[1])
+    return a, b
+
+
+def test_jsd_twin_and_bounds(spark):
+    a, b = _dfs(spark)
+    row = drift.jsd_summary(a, b).collect()[0]
+    con = duckdb.connect()
+    _register(con)
+    want = con.sql(
+        drift.duck_jsd_summary_sql("SELECT * FROM a", "SELECT * FROM b")
+    ).fetchone()
+    assert (row.n_buckets, row.jsd_micro) == (int(want[0]), int(want[1]))
+    # drifted corpora score positive, inside the ln2 bound
+    assert 0 < row.jsd_micro <= LN2_MICRO
+
+
+def test_jsd_identical_corpora_is_zero(spark):
+    a, _ = _dfs(spark)
+    assert drift.jsd_summary(a, a).collect()[0].jsd_micro == 0
+
+
+def test_term_drift_twin_and_direction(spark):
+    a, b = _dfs(spark)
+    got = [
+        (r.t, r.cnt_a, r.cnt_b, r.lr_micro)
+        for r in drift.term_drift(a, b, k=10, min_count=2).collect()
+    ]
+    con = duckdb.connect()
+    _register(con)
+    want = [
+        (t, int(ca), int(cb), int(lr))
+        for t, ca, cb, lr in con.sql(
+            drift.duck_term_drift_sql(
+                "SELECT * FROM a", "SELECT * FROM b", k=10, min_count=2
+            )
+        ).fetchall()
+    ]
+    assert got == want
+    by_t = {t: (ca, cb, lr) for t, ca, cb, lr in got}
+    # the injected spam term is the top mover, B-side (negative)
+    assert got[0][0] == "crypto" and got[0][3] < 0
+    # 'the' dominates A, thins in B: positive drift
+    assert by_t["the"][1] < by_t["the"][0] and by_t["the"][2] > 0
+    # |lr| non-increasing down the list
+    abs_lr = [abs(lr) for _, _, _, lr in got]
+    assert abs_lr == sorted(abs_lr, reverse=True)
+    # min_count honored
+    assert all(ca + cb >= 2 for _, ca, cb, _ in got)
+
+
+def test_drift_partition_invariance(spark):
+    a, b = _dfs(spark)
+    a7, b3 = _dfs(spark, reparts=(7, 3))
+    assert (
+        drift.jsd_summary(a7, b3).collect()[0].jsd_micro
+        == drift.jsd_summary(a, b).collect()[0].jsd_micro
+    )
+    assert [tuple(r) for r in drift.term_drift(a7, b3, k=10).collect()] == [
+        tuple(r) for r in drift.term_drift(a, b, k=10).collect()
+    ]
+
+
+def test_term_drift_rejects_bad_k(spark):
+    a, b = _dfs(spark)
+    with pytest.raises(ValueError):
+        drift.term_drift(a, b, k=0)
