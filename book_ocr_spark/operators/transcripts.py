@@ -1,0 +1,467 @@
+"""Transcript-native curation: the operators that turn raw multi-turn
+conversation/agent transcripts (the input_hint table) into training
+artifacts — the step AFTER extraction in a transcripts → LLM-training
+pipeline.
+
+* ``sft_spans`` / ``sft_examples`` — render each conversation into one
+  training example under a deterministic chat template and emit
+  per-turn character spans + loss mask (train on assistant turns).
+  The north_rule's per-turn invariant ("per-turn text equality under
+  stable turn ordering") is enforced at the ARTIFACT level: for every
+  turn, ``example[start_off:end_off] == text`` byte-for-byte (tested).
+* ``fit_last_turns`` — context-window fitting: keep the maximal
+  SUFFIX of turns whose rendered length fits a budget (the standard
+  left-truncation rule for chat fine-tuning).
+* ``conv_stats`` / ``tool_usage`` — conversation-grain health metrics
+  (role-alternation violations, tool-call usage, duration) an agent-
+  transcript pipeline gates and monitors on.
+* ``prefix_dedup`` — agent re-runs restart from the same seed state,
+  so corpora are full of conversations that are exact PREFIXES of
+  longer ones. Signature pass: one window over turns builds an O(1)-
+  per-turn cumulative prefix signature (position-salted h48 sum —
+  order-sensitive because the position is hashed in, integer-exact,
+  engine-portable); candidates come from a conv-level equi-join on
+  (depth, signature); an exact positional verify join kills any
+  signature collision, so output equals the definitional rule.
+
+Scale shape (10^12 turns): every window here partitions by conv_id —
+the SAME single hash exchange the extract pipeline already pays, so
+these ops pipeline onto it for free. ``prefix_dedup`` never compares
+conversations pairwise at turn grain: the candidate join runs on
+conv-level signature rows (narrow), and the verify join touches only
+candidate pairs' first-``depth`` turns. Monster conversations are
+bounded by ``max_depth`` (a conv longer than that still DONATES its
+prefixes, it just can't be dropped — dropping a 10^5-turn conv as a
+prefix-dup is not a real workload). All sums are of h48 values
+(< 2^48) over ≤ max_depth ≤ 4096 rows, so cumulative signatures stay
+< 2^60: no bigint overflow in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\n"  # separator between rendered turn pieces
+MAX_DEPTH = 4096  # prefix-signature depth cap (see module docstring)
+
+
+# ---------------------------------------------------------------------------
+# Chat-template rendering (shared by spans / examples / fitting)
+# ---------------------------------------------------------------------------
+def _piece() -> Column:
+    """One rendered turn: ``<|role|>\\n{text}`` (NULLs render empty —
+    the span of a NULL text is empty, start_off == end_off)."""
+    return F.concat(
+        F.lit("<|"),
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit("|>" + SEP),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+
+
+def _header_len() -> Column:
+    # "<|" + role + "|>" + SEP
+    return (F.length(F.coalesce(F.col("role"), F.lit(""))) + F.lit(4 + len(SEP))).cast("long")
+
+
+def _piece_len() -> Column:
+    return _header_len() + F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+
+
+_DUCK_PIECE = "('<|' || COALESCE(role, '') || '|>' || chr(10) || COALESCE(text, ''))"
+_DUCK_HEADER_LEN = "(length(COALESCE(role, '')) + 5)"
+_DUCK_PIECE_LEN = f"({_DUCK_HEADER_LEN} + length(COALESCE(text, '')))"
+
+
+def sft_spans(df: DataFrame) -> DataFrame:
+    """Per-turn character spans inside the conversation's rendered
+    training example: (conv_id, turn_idx, turn_seq, role, start_off,
+    end_off, train). ``train`` is the loss mask (assistant turns).
+    ``example[start_off:end_off]`` is exactly the turn's raw text.
+
+    One window over (conv_id, turn_idx) — the compose idiom
+    (operators/compose.py:34): running offset = cumulative sum of
+    rendered piece lengths + the 1-char separator."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    start = (
+        F.coalesce(F.sum(_piece_len() + F.lit(len(SEP)).cast("long")).over(prev), F.lit(0))
+        + _header_len()
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).cast("int").alias("turn_seq"),
+        "role",
+        start.cast("long").alias("start_off"),
+        (start + F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long"))
+        .cast("long")
+        .alias("end_off"),
+        (F.coalesce(F.col("role"), F.lit("")) == F.lit("assistant")).alias("train"),
+    )
+
+
+def sft_examples(df: DataFrame) -> DataFrame:
+    """Per-conversation rendered training example: (conv_id, example,
+    n_turns, n_train_turns, example_len). Order enforced by
+    ``array_sort`` on (turn_idx, piece) structs — stable regardless of
+    shuffle arrival order (the compose_docs idiom)."""
+    base = df.withColumn("_piece", _piece())
+    items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
+    return (
+        base.groupBy("conv_id")
+        .agg(
+            F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("example"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(
+                (F.coalesce(F.col("role"), F.lit("")) == F.lit("assistant")).cast("long")
+            ).alias("n_train_turns"),
+        )
+        .withColumn("example_len", F.length("example").cast("long"))
+    )
+
+
+def fit_last_turns(df: DataFrame, max_chars: int) -> DataFrame:
+    """Context-window fitting: flag the maximal suffix of turns whose
+    rendered length (pieces + separators between kept pieces) fits
+    ``max_chars``. Adds ``kept`` to the input columns. A conversation
+    whose final turn alone exceeds the budget keeps nothing (callers
+    quarantine those — the packing oversize-solo-bin analog,
+    operators/packing.py). Suffix-sum = one window, descending frame;
+    same single conv_id exchange as every other op here."""
+    if max_chars <= 0:
+        raise ValueError("max_chars must be positive")
+    wdesc = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sfx = F.sum(_piece_len() + F.lit(len(SEP)).cast("long")).over(wdesc)
+    return df.withColumn("kept", (sfx - F.lit(len(SEP)).cast("long")) <= F.lit(max_chars))
+
+
+def duck_sft_spans_sql(src_sql: str) -> str:
+    """DuckDB twin of sft_spans (same template arithmetic)."""
+    return f"""
+        SELECT conv_id, turn_idx,
+               CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_seq,
+               role,
+               CAST(COALESCE(SUM({_DUCK_PIECE_LEN} + 1) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + {_DUCK_HEADER_LEN} AS BIGINT) AS start_off,
+               CAST(COALESCE(SUM({_DUCK_PIECE_LEN} + 1) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + {_DUCK_HEADER_LEN} + length(COALESCE(text, '')) AS BIGINT) AS end_off,
+               COALESCE(role, '') = 'assistant' AS train
+        FROM ({src_sql}) s
+    """
+
+
+def duck_sft_examples_sql(src_sql: str) -> str:
+    """DuckDB twin of sft_examples."""
+    return f"""
+        SELECT conv_id,
+               string_agg({_DUCK_PIECE}, chr(10) ORDER BY turn_idx) AS example,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN COALESCE(role, '') = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train_turns,
+               CAST(length(string_agg({_DUCK_PIECE}, chr(10) ORDER BY turn_idx)) AS BIGINT)
+                   AS example_len
+        FROM ({src_sql}) s
+        GROUP BY conv_id
+    """
+
+
+def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
+    """DuckDB twin of fit_last_turns (input columns + kept)."""
+    return f"""
+        SELECT s.*,
+               (SUM({_DUCK_PIECE_LEN} + 1) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) <= {max_chars}
+                   AS kept
+        FROM ({src_sql}) s
+    """
+
+
+# ---------------------------------------------------------------------------
+# Conversation-grain health metrics
+# ---------------------------------------------------------------------------
+def _tool_valid() -> Column:
+    return F.col("tool").isNotNull() & (F.col("tool") != F.lit(""))
+
+
+def conv_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation gate/monitor metrics: (conv_id, n_turns,
+    n_assistant, n_user, n_tool_calls, n_distinct_tools,
+    alternation_violations, duration_s, total_chars).
+
+    alternation_violations counts turns whose role null-safe-equals the
+    previous turn's role (a doubled assistant/user turn — the malformed-
+    trajectory signal). One lag window + one hash agg, both on conv_id:
+    a single exchange, no second shuffle."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = F.row_number().over(w)
+    prev_role = F.lag("role").over(w)
+    viol = F.when((seq > 1) & F.col("role").eqNullSafe(prev_role), F.lit(1)).otherwise(F.lit(0))
+    staged = df.select(
+        "conv_id",
+        "role",
+        "tool",
+        "ts",
+        "text",
+        viol.alias("_viol"),
+    )
+    return staged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.coalesce(F.col("role"), F.lit("")) == "assistant").cast("long")).alias(
+            "n_assistant"
+        ),
+        F.sum((F.coalesce(F.col("role"), F.lit("")) == "user").cast("long")).alias("n_user"),
+        F.sum(_tool_valid().cast("long")).alias("n_tool_calls"),
+        F.count_distinct(F.when(_tool_valid(), F.col("tool"))).cast("long").alias(
+            "n_distinct_tools"
+        ),
+        F.sum("_viol").cast("long").alias("alternation_violations"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")).alias("total_chars"),
+    )
+
+
+def tool_usage(df: DataFrame) -> DataFrame:
+    """Corpus-level tool histogram: (tool, n_calls, n_convs), busiest
+    first (ties by tool asc). One hash agg over valid tool rows."""
+    return (
+        df.where(_tool_valid())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .orderBy(F.col("n_calls").desc(), F.col("tool").asc())
+    )
+
+
+def duck_conv_stats_sql(src_sql: str) -> str:
+    """DuckDB twin of conv_stats."""
+    return f"""
+        WITH cs_t AS (
+            SELECT conv_id, role, tool, ts, text,
+                   CASE WHEN ROW_NUMBER() OVER w > 1
+                             AND role IS NOT DISTINCT FROM LAG(role) OVER w
+                        THEN 1 ELSE 0 END AS viol
+            FROM ({src_sql}) s
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN COALESCE(role, '') = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_assistant,
+               CAST(SUM(CASE WHEN COALESCE(role, '') = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_user,
+               CAST(SUM(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tool_calls,
+               CAST(COUNT(DISTINCT CASE WHEN tool IS NOT NULL AND tool <> '' THEN tool END)
+                    AS BIGINT) AS n_distinct_tools,
+               CAST(SUM(viol) AS BIGINT) AS alternation_violations,
+               CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS duration_s,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars
+        FROM cs_t GROUP BY conv_id
+    """
+
+
+def duck_tool_usage_sql(src_sql: str) -> str:
+    """DuckDB twin of tool_usage."""
+    return f"""
+        SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM ({src_sql}) s
+        WHERE tool IS NOT NULL AND tool <> ''
+        GROUP BY tool
+        ORDER BY n_calls DESC, tool ASC
+    """
+
+
+# ---------------------------------------------------------------------------
+# Conversation prefix dedup (agent re-run dedup)
+# ---------------------------------------------------------------------------
+def _spark_turn_h48() -> str:
+    """Position-salted 48-bit turn hash — SQL expr string. Same md5
+    bytes as the DuckDB twin (the dedup.py portable-hash idiom)."""
+    return (
+        "cast(conv(substring(md5(concat(cast(_pos as string), chr(31),"
+        " coalesce(role, chr(1)), chr(31), coalesce(text, chr(1)))), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+
+
+_DUCK_TURN_H48 = (
+    "CAST(('0x' || substr(md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
+    " || chr(31) || COALESCE(text, chr(1))), 1, 12)) AS BIGINT)"
+)
+
+
+def _positioned(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.select(
+        "conv_id", F.row_number().over(w).cast("long").alias("_pos"), "role", "text"
+    )
+
+
+def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
+    """VERIFIED prefix-duplicate relations: (short_id, long_id, depth,
+    long_len) where short_id's ENTIRE turn sequence (role, text) equals
+    long_id's first ``depth`` turns (depth == short's length; equal-
+    length rows are exact conversation duplicates).
+
+    Candidates: conv-level equi-join on (depth, cumulative signature).
+    Verify: positional join of the two convs' first-``depth`` turns
+    with null-safe equality — a signature collision cannot survive."""
+    if not 1 <= max_depth <= MAX_DEPTH:
+        raise ValueError(f"max_depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
+    pos = _positioned(df)
+    lens = pos.groupBy("conv_id").agg(F.max("_pos").alias("_len"))
+    capped = pos.where(F.col("_pos") <= max_depth)
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sigs = capped.select(
+        "conv_id", "_pos", F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig")
+    )
+    full = (
+        sigs.join(lens, "conv_id")
+        .where((F.col("_pos") == F.col("_len")) & (F.col("_len") <= max_depth))
+        .select(
+            F.col("conv_id").alias("short_id"),
+            F.col("_len").alias("depth"),
+            F.col("_sig").alias("_fsig"),
+        )
+    )
+    cand = (
+        full.join(
+            sigs.select(
+                F.col("conv_id").alias("long_id"),
+                F.col("_pos").alias("_lpos"),
+                F.col("_sig").alias("_lsig"),
+            ),
+            (F.col("_fsig") == F.col("_lsig"))
+            & (F.col("depth") == F.col("_lpos"))
+            & (F.col("short_id") != F.col("long_id")),
+        )
+        .join(
+            lens.select(F.col("conv_id").alias("long_id"), F.col("_len").alias("long_len")),
+            "long_id",
+        )
+        .select("short_id", "long_id", "depth", "long_len")
+    )
+    ta = capped.select(
+        F.col("conv_id").alias("short_id"),
+        F.col("_pos").alias("_p"),
+        F.col("role").alias("_ra"),
+        F.col("text").alias("_xa"),
+    )
+    tb = capped.select(
+        F.col("conv_id").alias("long_id"),
+        F.col("_pos").alias("_p"),
+        F.col("role").alias("_rb"),
+        F.col("text").alias("_xb"),
+    )
+    mism = F.when(
+        F.col("_ra").eqNullSafe(F.col("_rb")) & F.col("_xa").eqNullSafe(F.col("_xb")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return (
+        cand.join(ta, "short_id")
+        .join(tb, ["long_id", "_p"])
+        .groupBy("short_id", "long_id", "depth", "long_len")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(mism).alias("_bad"))
+        .where((F.col("_n") == F.col("depth")) & (F.col("_bad") == 0))
+        .select("short_id", "long_id", F.col("depth").cast("long"), F.col("long_len").cast("long"))
+    )
+
+
+def prefix_dedup(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
+    """Conversation-level keep/drop decision: (conv_id, n_turns, kept).
+    A conversation is dropped iff it is a verified prefix of a LONGER
+    conversation, or an exact duplicate of an equal-length one with a
+    smaller conv_id (min-id keeper — the dedup_exact tie rule). Prefix-
+    of is transitive, so chains resolve to the unique maximal survivors
+    in one pass (no iteration)."""
+    pairs = prefix_dup_pairs(df, max_depth=max_depth)
+    dropped = (
+        pairs.where(
+            (F.col("long_len") > F.col("depth"))
+            | ((F.col("long_len") == F.col("depth")) & (F.col("long_id") < F.col("short_id")))
+        )
+        .select(F.col("short_id").alias("conv_id"))
+        .distinct()
+    )
+    lens = df.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    return lens.join(dropped.withColumn("_drop", F.lit(True)), "conv_id", "left").select(
+        "conv_id", "n_turns", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
+    )
+
+
+def filter_prefix_dups(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
+    """Turns of surviving conversations only (semi-join on the keep
+    set; AQE picks the strategy — the drop set is usually tiny)."""
+    kept = prefix_dedup(df, max_depth=max_depth).where("kept").select("conv_id")
+    return df.join(kept, "conv_id", "left_semi")
+
+
+def duck_prefix_dedup_sql(src_sql: str, max_depth: int = MAX_DEPTH) -> str:
+    """DuckDB twin of prefix_dedup: same signatures, same verify, same
+    tie-breaks — (conv_id, n_turns, kept)."""
+    return f"""
+        WITH pd_t AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({src_sql}) s
+        ),
+        lens AS (SELECT conv_id, MAX(pos) AS len FROM pd_t GROUP BY conv_id),
+        tc AS (SELECT * FROM pd_t WHERE pos <= {max_depth}),
+        sig AS (
+            SELECT conv_id, pos,
+                   SUM({_DUCK_TURN_H48}) OVER (
+                       PARTITION BY conv_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM tc
+        ),
+        f AS (
+            SELECT s.conv_id AS short_id, l.len AS depth, s.cum AS fsig
+            FROM sig s JOIN lens l ON s.conv_id = l.conv_id
+            WHERE s.pos = l.len AND l.len <= {max_depth}
+        ),
+        cand AS (
+            SELECT f.short_id, p.conv_id AS long_id, f.depth, ll.len AS long_len
+            FROM f
+            JOIN sig p ON p.cum = f.fsig AND p.pos = f.depth AND p.conv_id <> f.short_id
+            JOIN lens ll ON ll.conv_id = p.conv_id
+        ),
+        ver AS (
+            SELECT c.short_id, c.long_id, c.depth, c.long_len
+            FROM cand c
+            JOIN tc a ON a.conv_id = c.short_id
+            JOIN tc b ON b.conv_id = c.long_id AND b.pos = a.pos
+            GROUP BY c.short_id, c.long_id, c.depth, c.long_len
+            HAVING COUNT(*) = c.depth
+               AND SUM(CASE WHEN a.role IS NOT DISTINCT FROM b.role
+                             AND a.text IS NOT DISTINCT FROM b.text
+                        THEN 0 ELSE 1 END) = 0
+        ),
+        dropped AS (
+            SELECT DISTINCT short_id AS conv_id FROM ver
+            WHERE long_len > depth OR (long_len = depth AND long_id < short_id)
+        )
+        SELECT l.conv_id, CAST(l.len AS BIGINT) AS n_turns,
+               d.conv_id IS NULL AS kept
+        FROM lens l LEFT JOIN dropped d ON l.conv_id = d.conv_id
+    """

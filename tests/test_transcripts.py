@@ -1,0 +1,259 @@
+"""Transcript-native curation: SFT example assembly (template render +
+loss-mask spans, byte-exact reconstruction), context-window fitting,
+conversation health stats, and prefix dedup of agent re-runs — all
+against bit-identical DuckDB twins."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators import transcripts as tr
+
+TS = pd.Timestamp("2026-01-01T00:00:00")
+
+
+def _rows():
+    # conv a: 3 turns, mixed roles/tools, one multiline + unicode text
+    # conv b: a's 3 turns + 2 more  -> a is a strict prefix of b
+    # conv c: exact duplicate of a  -> equal-dup pair {a, c}; both are
+    #         also prefixes of b, so b is the unique survivor
+    # conv d: shares a's first turn, diverges at turn 2 -> kept
+    # conv e: singleton with NULL role/text/tool -> kept
+    # conv f/g: exact duplicates of each other (not prefixes of
+    #         anything else) -> min-id f kept, g dropped
+    a = [
+        ("a", 0, "user", "hello there", None, TS),
+        ("a", 1, "assistant", "hi!\nhow can I help? café", "search", TS + pd.Timedelta(seconds=30)),
+        ("a", 2, "user", "", "", TS + pd.Timedelta(seconds=90)),
+    ]
+    b = [("b",) + r[1:] for r in a] + [
+        ("b", 3, "assistant", "done", "search", TS + pd.Timedelta(seconds=120)),
+        ("b", 4, "assistant", "anything else?", None, TS + pd.Timedelta(seconds=150)),
+    ]
+    c = [("c",) + r[1:] for r in a]
+    d = [
+        ("d", 0, "user", "hello there", None, TS),
+        ("d", 1, "assistant", "DIFFERENT", None, TS + pd.Timedelta(seconds=10)),
+        ("d", 2, "user", "", None, TS + pd.Timedelta(seconds=20)),
+    ]
+    e = [("e", 0, None, None, None, None)]
+    fg = [
+        ("f", 0, "user", "ping", "calc", TS),
+        ("f", 1, "user", "ping again", "calc", TS + pd.Timedelta(seconds=5)),
+        ("g", 0, "user", "ping", "calc", TS),
+        ("g", 1, "user", "ping again", "calc", TS + pd.Timedelta(seconds=5)),
+    ]
+    return a + b + c + d + e + fg
+
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    pdf = pd.DataFrame(_rows(), columns=COLS)
+    return spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("t", pd.DataFrame(_rows(), columns=COLS))
+    return c
+
+
+SRC = "SELECT * FROM t"
+
+
+def _sorted(rows):
+    return sorted(rows, key=lambda r: tuple((x is None, x) for x in r))
+
+
+def test_sft_spans_twin(tdf, con):
+    got = _sorted([tuple(r) for r in tr.sft_spans(tdf).collect()])
+    want = _sorted([tuple(r) for r in con.sql(tr.duck_sft_spans_sql(SRC)).fetchall()])
+    assert got == want
+
+
+def test_sft_examples_twin(tdf, con):
+    got = _sorted([tuple(r) for r in tr.sft_examples(tdf).collect()])
+    want = _sorted([tuple(r) for r in con.sql(tr.duck_sft_examples_sql(SRC)).fetchall()])
+    assert got == want
+
+
+def test_sft_span_reconstruction(tdf):
+    """The north_rule invariant at the artifact level: slicing the
+    rendered example at every turn's span returns that turn's raw text
+    byte-for-byte (empty for NULL text)."""
+    joined = (
+        tr.sft_spans(tdf)
+        .join(tr.sft_examples(tdf).select("conv_id", "example"), "conv_id")
+        .join(tdf.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    )
+    bad = joined.where(
+        F.expr("substring(example, cast(start_off + 1 as int), cast(end_off - start_off as int))")
+        != F.coalesce(F.col("text"), F.lit(""))
+    )
+    assert bad.count() == 0
+    # loss mask: exactly the assistant turns
+    spans = tr.sft_spans(tdf)
+    assert spans.where("train").count() == tdf.where("role = 'assistant'").count()
+
+
+def test_sft_spans_on_generated_fixture(spark, transcripts_df):
+    """Reconstruction holds on the full generated fixture too (all
+    payload kinds, multi-KB texts)."""
+    joined = (
+        tr.sft_spans(transcripts_df)
+        .join(tr.sft_examples(transcripts_df).select("conv_id", "example"), "conv_id")
+        .join(transcripts_df.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    )
+    bad = joined.where(
+        F.expr("substring(example, cast(start_off + 1 as int), cast(end_off - start_off as int))")
+        != F.coalesce(F.col("text"), F.lit(""))
+    )
+    assert bad.count() == 0
+
+
+def test_fit_last_turns_twin_and_semantics(tdf, con):
+    for budget in (12, 60, 10_000):
+        got = _sorted(
+            [tuple(r) for r in tr.fit_last_turns(tdf, budget).select(*COLS[:4], "kept").collect()]
+        )
+        want = _sorted(
+            [
+                tuple(r)
+                for r in con.sql(
+                    f"SELECT conv_id, turn_idx, role, text, kept FROM ("
+                    f"{tr.duck_fit_last_turns_sql(SRC, budget)}) q"
+                ).fetchall()
+            ]
+        )
+        assert got == want
+    # kept rows are a contiguous suffix per conversation, and the
+    # rendered length of the kept suffix fits the budget
+    budget = 60
+    fit = tr.fit_last_turns(tdf, budget)
+    kept = fit.where("kept").groupBy("conv_id").agg(
+        F.min("turn_idx").alias("lo"), F.count("*").alias("n")
+    )
+    ends = fit.groupBy("conv_id").agg(F.max("turn_idx").alias("hi"), F.count("*").alias("tot"))
+    for r in kept.join(ends, "conv_id").collect():
+        assert r.lo == r.hi - r.n + 1  # contiguous suffix ending at the last turn
+    rendered = (
+        fit.where("kept")
+        .groupBy("conv_id")
+        .agg(
+            F.sum(
+                F.length(F.concat(F.lit("<|"), F.coalesce("role", F.lit("")), F.lit("|>\n"),
+                                  F.coalesce("text", F.lit("")))) + F.lit(1)
+            ).alias("s")
+        )
+    )
+    assert all(r.s - 1 <= budget for r in rendered.collect())
+
+
+def test_fit_last_turns_oversize_final_turn(spark):
+    df = spark.createDataFrame(
+        [("z", 0, "user", "x" * 100, None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    assert tr.fit_last_turns(df, 50).where("kept").count() == 0
+    with pytest.raises(ValueError):
+        tr.fit_last_turns(df, 0)
+
+
+def test_conv_stats_twin_and_values(tdf, con):
+    got = _sorted([tuple(r) for r in tr.conv_stats(tdf).collect()])
+    want = _sorted([tuple(r) for r in con.sql(tr.duck_conv_stats_sql(SRC)).fetchall()])
+    assert got == want
+    by = {r[0]: r for r in got}
+    # b: 5 turns u,a,u,a,a -> one alternation violation (a,a at 3->4)
+    (_, n, na, nu, ntc, ndt, viol, dur, chars) = by["b"]
+    assert (n, na, nu) == (5, 3, 2)
+    assert viol == 1
+    assert ntc == 2 and ndt == 1  # '' tool is not a call
+    assert dur == 150
+    # e: singleton with NULLs everywhere
+    (_, n, na, nu, ntc, ndt, viol, dur, chars) = by["e"]
+    assert (n, na, nu, ntc, ndt, viol, chars) == (1, 0, 0, 0, 0, 0, 0)
+    assert dur is None
+
+
+def test_tool_usage_twin(tdf, con):
+    got = [tuple(r) for r in tr.tool_usage(tdf).collect()]
+    want = [tuple(r) for r in con.sql(tr.duck_tool_usage_sql(SRC)).fetchall()]
+    assert got == want
+    assert got[0][0] == "calc" and got[0][1] == 4 and got[0][2] == 2
+
+
+def test_prefix_dedup_twin(tdf, con):
+    got = _sorted([tuple(r) for r in tr.prefix_dedup(tdf).collect()])
+    want = _sorted([tuple(r) for r in con.sql(tr.duck_prefix_dedup_sql(SRC)).fetchall()])
+    assert got == want
+
+
+def test_prefix_dedup_semantics(tdf):
+    kept = {r.conv_id: r.kept for r in tr.prefix_dedup(tdf).collect()}
+    # a and c are prefixes of b (c also equal-dup of a): only b survives
+    assert kept == {
+        "a": False, "b": True, "c": False, "d": True, "e": True,
+        "f": True, "g": False,  # equal dups: min-id keeper
+    }
+    survivors = tr.filter_prefix_dups(tdf)
+    assert set(r.conv_id for r in survivors.select("conv_id").distinct().collect()) == {
+        "b", "d", "e", "f",
+    }
+    # turn counts preserved for survivors
+    assert survivors.where("conv_id = 'b'").count() == 5
+
+
+def test_prefix_dup_pairs_verified(tdf):
+    pairs = {
+        (r.short_id, r.long_id): (r.depth, r.long_len)
+        for r in tr.prefix_dup_pairs(tdf).collect()
+    }
+    assert pairs[("a", "b")] == (3, 5)
+    assert pairs[("c", "b")] == (3, 5)
+    assert ("d", "b") not in pairs  # diverging content: no relation
+    assert ("b", "a") not in pairs  # longer conv is never the short side
+    assert pairs[("a", "c")] == (3, 3) and pairs[("c", "a")] == (3, 3)
+    assert pairs[("f", "g")] == (2, 2) and pairs[("g", "f")] == (2, 2)
+
+
+def test_prefix_dedup_max_depth_bound(tdf):
+    # depth 2: a (3 turns) can no longer be dropped, but f/g (2 turns)
+    # still dedup; convs longer than the cap still keep their turns
+    kept = {r.conv_id: r.kept for r in tr.prefix_dedup(tdf, max_depth=2).collect()}
+    assert kept["a"] is True and kept["c"] is True and kept["b"] is True
+    assert kept["f"] is True and kept["g"] is False
+    with pytest.raises(ValueError):
+        tr.prefix_dedup(tdf, max_depth=0)
+    with pytest.raises(ValueError):
+        tr.prefix_dedup(tdf, max_depth=tr.MAX_DEPTH + 1)
+
+
+def test_transcripts_partition_invariance(spark, tdf):
+    shuffled = tdf.repartition(7)
+    assert _sorted([tuple(r) for r in tr.sft_examples(shuffled).collect()]) == _sorted(
+        [tuple(r) for r in tr.sft_examples(tdf).collect()]
+    )
+    assert _sorted([tuple(r) for r in tr.prefix_dedup(shuffled).collect()]) == _sorted(
+        [tuple(r) for r in tr.prefix_dedup(tdf).collect()]
+    )
+    assert _sorted([tuple(r) for r in tr.conv_stats(shuffled).collect()]) == _sorted(
+        [tuple(r) for r in tr.conv_stats(tdf).collect()]
+    )
+
+
+def test_prefix_dedup_no_cartesian(tdf):
+    """Candidate generation must be an equi-join on (depth, signature),
+    never a cross product."""
+    plan = tr.prefix_dedup(tdf)._sc._jvm.PythonSQLUtils.explainString(
+        tr.prefix_dedup(tdf)._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
