@@ -62,6 +62,31 @@ def curate(
     kept = corpus.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    final = _dedup_canonicalize(
+        kept, id_col, text_col, k=k, threshold=threshold,
+        clustering=clustering, storage_handle=storage_handle,
+        hot_bucket_cap=hot_bucket_cap,
+    )
+    return final.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _dedup_canonicalize(
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    clustering: str,
+    storage_handle: list | None,
+    hot_bucket_cap: int | None,
+) -> DataFrame:
+    """Shared dedup tail: exact dedup (min id per content hash), then
+    near-dup canonicalization under the 'pair' or 'cc' rule. Returns
+    the surviving rows of ``kept`` with their original columns."""
     canonical = exact_dedup_groups(kept, id_col, text_col).select(
         F.col("canonical_id").alias(id_col)
     )
@@ -81,15 +106,9 @@ def curate(
         keepers = labels.filter(F.col("id") == F.col("cluster_id")).select(
             F.col("id").alias(id_col)
         )
-        final = survivors.join(keepers, id_col, "left_semi")
-    else:
-        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        final = survivors.join(dropped, id_col, "left_anti")
-    return final.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("fingerprint"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("n_tokens"),
-    )
+        return survivors.join(keepers, id_col, "left_semi")
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(dropped, id_col, "left_anti")
 
 
 def duck_curate_sql(
@@ -320,4 +339,123 @@ def curate_web_corpus(
         from book_ocr_spark.operators.sampling import training_shards
 
         final = training_shards(final, id_col, n_shards)
+    return final
+
+
+def duck_example_dedup_sql(
+    corpus_sql: str, k: int = 3, threshold: float = 0.6, clustering: str = "pair"
+) -> str:
+    """DuckDB twin of _dedup_canonicalize at example grain (exact
+    dedup + near-dup rule, NO quality gate — SFT examples are not web
+    documents). corpus_sql yields (id, text); returns surviving ids."""
+    pairs_sql = duck_jaccard_pairs_sql(
+        "SELECT id, text FROM surv_docs", k=k, threshold=threshold
+    )
+    prefix = f"""corpus AS ({corpus_sql}),
+        canon AS (SELECT MIN(id) AS id FROM corpus GROUP BY MD5(text)),
+        surv_docs AS (SELECT c.id, c.text FROM corpus c JOIN canon USING (id)),
+        pairs AS ({pairs_sql})"""
+    if clustering == "cc":
+        return f"""
+        WITH RECURSIVE {prefix},
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+            SELECT id, id FROM surv_docs
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        labels AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT s.id FROM surv_docs s
+        JOIN labels l ON s.id = l.id AND s.id = l.cluster_id
+        ORDER BY s.id
+    """
+    return f"""
+        WITH {prefix},
+        dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+        SELECT s.id FROM surv_docs s
+        WHERE s.id NOT IN (SELECT id FROM dropped)
+        ORDER BY s.id
+    """
+
+
+def curate_transcripts(
+    transcripts: DataFrame,
+    n_parts: int,
+    prefix_max_depth: int | None = None,
+    max_chars: int | None = None,
+    min_train_turns: int = 1,
+    k: int = 3,
+    threshold: float = 0.6,
+    clustering: str = "pair",
+    n_shards: int | None = None,
+    storage_handle: list | None = None,
+    hot_bucket_cap: int | None = None,
+    thresholds=None,
+) -> DataFrame:
+    """The transcripts -> SFT-training-corpus pass, end to end in ONE
+    declarative DAG — the graft's flagship composition (north_rule:
+    extraction over transcript tables; training-data directive: the
+    curation that follows):
+
+      1. prefix dedup on RAW turns (operators.transcripts.prefix_dedup)
+         — agent re-runs sharing a turn prefix collapse to the maximal
+         conversation BEFORE the expensive extraction stage (the
+         exact-dedup-before-near-dup cost rule applied at conv grain);
+      2. the fused extract pipeline (ONE exchange, ONE Python pass —
+         plans.pipeline.build_fused_plan) turns raw payloads into
+         per-turn extracted text; failed turns drop (quarantine analog;
+         a conversation whose every turn failed disappears here);
+      3. optional context-window fit (``max_chars``: keep-last-turns
+         left truncation on the EXTRACTED text);
+      4. SFT example assembly (transcripts.sft_examples) + the
+         ``min_train_turns`` gate (a trajectory with no assistant turn
+         trains nothing; 0 disables);
+      5. example-grain exact dedup + MinHash near-dup canonicalization
+         (the shared _dedup_canonicalize tail — same 'pair'/'cc' rules,
+         same hot_bucket_cap defense as the web pass);
+      6. optional loader-facing shard assignment (``n_shards`` ->
+         sampling.training_shards on conv_id).
+
+    Stage order mirrors cost: conv-level signature dedup (cheapest)
+    before extraction (the only Python stage), near-dup (shuffle-heavy)
+    last on the smallest surviving set. Returns (conv_id, example,
+    n_turns, n_train_turns, example_len, fingerprint, n_tokens
+    [, shard, seq]).
+    """
+    from book_ocr_spark.operators.transcripts import (
+        fit_last_turns,
+        filter_prefix_dups,
+        sft_examples,
+    )
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    cur = transcripts
+    if prefix_max_depth is not None:
+        cur = filter_prefix_dups(cur, max_depth=prefix_max_depth)
+    ext = (
+        build_fused_plan(cur, n_parts=n_parts, lineage_prefix="sft", thresholds=thresholds)
+        .filter(F.col("rec") == "data")
+        .filter(~F.col("failed"))
+        .select("conv_id", "turn_idx", "role", F.col("extracted_text").alias("text"))
+    )
+    if max_chars is not None:
+        ext = fit_last_turns(ext, max_chars).filter(F.col("kept")).drop("kept")
+    ex = sft_examples(ext)
+    if min_train_turns > 0:
+        ex = ex.filter(F.col("n_train_turns") >= min_train_turns)
+    final = _dedup_canonicalize(
+        ex, "conv_id", "example", k=k, threshold=threshold,
+        clustering=clustering, storage_handle=storage_handle,
+        hot_bucket_cap=hot_bucket_cap,
+    ).select(
+        "conv_id", "example", "n_turns", "n_train_turns", "example_len",
+        F.md5(F.col("example")).alias("fingerprint"),
+        F.size(F.split(F.trim(F.col("example")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    if n_shards is not None:
+        from book_ocr_spark.operators.sampling import training_shards
+
+        final = training_shards(final, "conv_id", n_shards)
     return final

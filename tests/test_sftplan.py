@@ -1,0 +1,205 @@
+"""curate_transcripts — the composed transcripts -> SFT-training-corpus
+pass (prefix dedup -> fused extraction -> fit -> SFT assembly ->
+example-grain exact/near-dup -> shards), replayed stage-for-stage in
+DuckDB. Payloads are single-line printable-ASCII 'plain' turns, so the
+extraction stage is SQL-expressible (the pipeline_plain_sql oracle
+rule: stage-2 for plain == whitespace canonicalization) and the WHOLE
+composed pass twins exactly."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators.transcripts import (
+    duck_fit_last_turns_sql,
+    duck_prefix_dedup_sql,
+    duck_sft_examples_sql,
+)
+from book_ocr_spark.plans.curation import curate_transcripts, duck_example_dedup_sql
+
+TS = pd.Timestamp("2026-01-01T00:00:00")
+
+P2 = [
+    ("user", "hello world alpha"),
+    ("assistant", "the quick brown fox jumps over the lazy dog"),
+    ("user", "thanks for the detailed help"),
+    ("assistant", "you are welcome friend"),
+]
+
+
+def _conv(cid, turns):
+    return [
+        (cid, i, role, text, "plain", TS + pd.Timedelta(seconds=30 * i))
+        for i, (role, text) in enumerate(turns)
+    ]
+
+
+def _rows():
+    rows = []
+    rows += _conv("p1", P2[:3])  # strict prefix of p2 -> prefix-dedup drop
+    rows += _conv("p2", P2)  # survivor
+    p3 = [("user", "hello world beta")] + P2[1:]  # near-dup of p2's example
+    rows += _conv("p3", p3)
+    # p4: same as p3 but with doubled internal spaces -> raw prefix
+    # signatures differ (survives stage 1), extraction canonicalizes ->
+    # example EQUAL to p3's -> exact-dedup drop (min-id keeps p3)
+    p4 = [(r, t.replace("quick brown", "quick  brown")) for r, t in p3]
+    rows += _conv("p4", p4)
+    rows += _conv("p5", [("user", "just tool chatter here"), ("user", "more tool chatter")])
+    rows += _conv(
+        "p6",
+        [
+            ("user", "completely different subject matter entirely"),
+            ("assistant", "discussing watermark semantics for late arriving events"),
+        ],
+    )
+    return rows
+
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+_CANON = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[^ -~]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _duck_chain(con, max_chars=None, min_train=1, clustering="pair"):
+    """Register the stage-for-stage DuckDB replay; returns the final
+    survivor table name."""
+    con.register("raw", pd.DataFrame(_rows(), columns=COLS))
+    con.register(
+        "kept1",
+        con.sql(
+            "SELECT conv_id FROM ("
+            + duck_prefix_dedup_sql("SELECT * FROM raw")
+            + ") q WHERE kept"
+        ).df(),
+    )
+    con.register(
+        "ext",
+        con.sql(
+            f"SELECT conv_id, turn_idx, role, {_CANON} AS text "
+            "FROM raw WHERE conv_id IN (SELECT conv_id FROM kept1)"
+        ).df(),
+    )
+    src = "SELECT * FROM ext"
+    if max_chars is not None:
+        con.register(
+            "fitted",
+            con.sql(
+                "SELECT conv_id, turn_idx, role, text FROM ("
+                + duck_fit_last_turns_sql(src, max_chars)
+                + ") q WHERE kept"
+            ).df(),
+        )
+        src = "SELECT * FROM fitted"
+    con.register(
+        "ex",
+        con.sql(
+            "SELECT * FROM ("
+            + duck_sft_examples_sql(src)
+            + f") q WHERE n_train_turns >= {min_train}"
+        ).df(),
+    )
+    con.register(
+        "surv",
+        con.sql(
+            duck_example_dedup_sql(
+                "SELECT conv_id AS id, example AS text FROM ex", clustering=clustering
+            )
+        ).df(),
+    )
+    return """
+        SELECT e.conv_id, e.example, e.n_turns, e.n_train_turns, e.example_len,
+               MD5(e.example) AS fingerprint,
+               CAST(LEN(string_split_regex(TRIM(e.example), '\\s+')) AS BIGINT) AS n_tokens
+        FROM ex e JOIN surv s ON e.conv_id = s.id
+    """
+
+
+def test_curate_transcripts_stage_twins(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    got = sorted(
+        map(tuple, curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect())
+    )
+    # drop ledger: p1 at prefix dedup, p4 at exact dedup, p3 at
+    # near-dup (higher id of the verified {p2, p3} pair), p5 at the
+    # train-turns gate
+    assert [r[0] for r in got] == ["p2", "p6"]
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(_duck_chain(con)).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_cc_rule_same_survivors(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    got = sorted(
+        r.conv_id
+        for r in curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64, clustering="cc"
+        ).collect()
+    )
+    assert got == ["p2", "p6"]
+
+
+def test_curate_transcripts_min_train_turns_zero(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    got = sorted(
+        r.conv_id
+        for r in curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64, min_train_turns=0
+        ).collect()
+    )
+    assert got == ["p2", "p5", "p6"]
+
+
+def test_curate_transcripts_with_fit_and_shards(spark):
+    """max_chars truncation composes (examples rebuilt from the kept
+    suffix, twin-exact) and the shard assignment matches its twin."""
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    out = curate_transcripts(
+        df, n_parts=4, prefix_max_depth=64, max_chars=80, n_shards=2
+    )
+    got = sorted(map(tuple, out.collect()))
+    con = duckdb.connect()
+    final_sql = _duck_chain(con, max_chars=80)
+    from book_ocr_spark.operators.sampling import duck_training_shards_sql
+
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok), int(sh), int(seq))
+        for cid, ex, nt, ntt, el, fp, tok, sh, seq in con.sql(
+            duck_training_shards_sql(final_sql, "conv_id", 2)
+        ).fetchall()
+    )
+    assert got == want
+    # truncation really bit: every surviving example fits the budget
+    assert all(r[4] <= 80 for r in got)
+    # and at least one conversation lost turns to the fit
+    full = {
+        r[0]: r[2]
+        for r in curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect()
+    }
+    fitted = {r[0]: r[2] for r in got}
+    assert any(fitted[c] < full[c] for c in fitted if c in full)
+
+
+def test_curate_transcripts_prefix_stage_optional(spark):
+    """Without prefix dedup, p1 survives to the example stages — and is
+    then caught as a near-dup of p2 (a prefix IS a near-dup when long
+    enough), showing the stage ordering is a cost optimization, not a
+    correctness dependency."""
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    got = sorted(
+        r.conv_id for r in curate_transcripts(df, n_parts=4).collect()
+    )
+    # p1's 3-turn example vs p2's 4-turn example: Jaccard above the
+    # default 0.6 -> dropped as the higher... p1 < p2, so the PAIR rule
+    # drops p2 here (p1 is the lower id). The point is no duplicate
+    # pair survives, not which member wins.
+    assert "p6" in got
+    assert not ({"p1", "p2"} <= set(got)) and not ({"p3", "p4"} <= set(got))
