@@ -1,0 +1,68 @@
+"""Queries unregistered from the driver's 50-row correctness window in
+r3 (cube_order_metrics, order_gap_days) keep full DuckDB-twin coverage
+here — same compare discipline as tools/check_oracles.py, run at
+sf0.001."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame):
+    g, e = _canon(got), _canon(want)
+    assert len(g) == len(e) and list(g.columns) == list(e.columns)
+    for c in g.columns:
+        a, b = g[c], e[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            assert np.isclose(
+                a.astype("float64"), b.astype("float64"),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ).all(), c
+        else:
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    return c
+
+
+def test_cube_order_metrics_twin(spark, con):
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_cube_order_metrics(spark, SF_DIR).toPandas(),
+        con.execute(em.CUBE_ORDER_METRICS_ORACLE).df(),
+    )
+
+
+def test_order_gap_days_twin(spark, con):
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_order_gap_days(spark, SF_DIR).toPandas(),
+        con.execute(em.ORDER_GAP_DAYS_ORACLE).df(),
+    )
