@@ -186,6 +186,27 @@ def bench_round() -> dict:
     timings["extract_pipeline"] = round(dt, 3)
     tps = n_turns / dt
 
+    # composed transcripts -> SFT-training-corpus pass
+    # (plans.curation.curate_transcripts: prefix dedup -> extract ->
+    # SFT assembly -> example-grain exact/near-dup) on a deterministic
+    # 10% conv slice of the same bench input — the end-to-end cost
+    # shape (window + Python stage + LSH) no single query exposes.
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.plans.curation import curate_transcripts
+
+    tsl = spark.read.parquet(tpath).where(
+        F.expr("pmod(cast(conv(substring(md5(conv_id), 1, 7), 16, 10) as bigint), 10) = 0")
+    )
+    handle: list = []
+    t0 = time.perf_counter()
+    _noop(curate_transcripts(tsl, n_parts=spark.sparkContext.defaultParallelism,
+                             prefix_max_depth=4096, storage_handle=handle))
+    timings["sft_corpus"] = round(time.perf_counter() - t0, 3)
+    for h in handle:
+        h.unpersist()
+    spark.catalog.clearCache()
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {

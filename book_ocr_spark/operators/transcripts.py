@@ -361,13 +361,25 @@ def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
         )
         .select("short_id", "long_id", "depth", "long_len")
     )
-    ta = capped.select(
+    return _verified(cand, capped, capped).select(
+        "short_id", "long_id", F.col("depth").cast("long"), F.col("long_len").cast("long")
+    )
+
+
+def _verified(cand: DataFrame, short_pos: DataFrame, long_pos: DataFrame) -> DataFrame:
+    """Keep only candidate rows whose first-``depth`` turns match
+    exactly (null-safe) between the short conv (all its positioned
+    rows in ``short_pos``) and the long conv (positional equi-join
+    into ``long_pos``). ``cand`` must carry (short_id, long_id, depth)
+    plus any extra grouping columns, which pass through."""
+    keys = [c for c in cand.columns]
+    ta = short_pos.select(
         F.col("conv_id").alias("short_id"),
         F.col("_pos").alias("_p"),
         F.col("role").alias("_ra"),
         F.col("text").alias("_xa"),
     )
-    tb = capped.select(
+    tb = long_pos.select(
         F.col("conv_id").alias("long_id"),
         F.col("_pos").alias("_p"),
         F.col("role").alias("_rb"),
@@ -380,10 +392,10 @@ def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
     return (
         cand.join(ta, "short_id")
         .join(tb, ["long_id", "_p"])
-        .groupBy("short_id", "long_id", "depth", "long_len")
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"), F.sum(mism).alias("_bad"))
         .where((F.col("_n") == F.col("depth")) & (F.col("_bad") == 0))
-        .select("short_id", "long_id", F.col("depth").cast("long"), F.col("long_len").cast("long"))
+        .select(*keys)
     )
 
 
@@ -464,4 +476,317 @@ def duck_prefix_dedup_sql(src_sql: str, max_depth: int = MAX_DEPTH) -> str:
         SELECT l.conv_id, CAST(l.len AS BIGINT) AS n_turns,
                d.conv_id IS NULL AS kept
         FROM lens l LEFT JOIN dropped d ON l.conv_id = d.conv_id
+    """
+
+
+def prefix_signature_table(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
+    """State rows for incremental prefix dedup: (conv_id, pos, cum_sig,
+    len) for pos <= max_depth. The streaming job appends these for every
+    ACCEPTED conversation; the table is narrow (4 cols) and linear in
+    capped turn count."""
+    if not 1 <= max_depth <= MAX_DEPTH:
+        raise ValueError(f"max_depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
+    pos = _positioned(df)
+    lens = pos.groupBy("conv_id").agg(F.max("_pos").alias("len"))
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sigs = pos.where(F.col("_pos") <= max_depth).select(
+        "conv_id",
+        F.col("_pos").alias("pos"),
+        F.sum(F.expr(_spark_turn_h48())).over(wc).alias("cum_sig"),
+    )
+    return sigs.join(lens, "conv_id").select("conv_id", "pos", "cum_sig", "len")
+
+
+def incremental_prefix_dedup(
+    batch: DataFrame,
+    existing_sigs: DataFrame,
+    existing_turns: DataFrame,
+    max_depth: int = MAX_DEPTH,
+    storage_handle: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Prefix dedup of an incoming batch of conversations against the
+    cumulative accepted corpus — the daily-ingest MERGE shape (the
+    incremental_exact_dedup / incremental_near_dup idiom at
+    conversation grain). The existing corpus is never rescanned at
+    turn grain: candidates come from the narrow ``existing_sigs``
+    state table (prefix_signature_table rows), and the exact verify
+    reads only candidate conversations' turns (semi-join into
+    ``existing_turns``).
+
+    Rules, in order:
+      0. a batch conv re-using an EXISTING conv_id drops
+         (reason 'resent_id' — cross-batch id reuse is an upstream bug
+         surfaced, never silently merged; same-batch replays are the
+         streaming layer's batch_id-overwrite job);
+      1. batch-internal prefix dedup (reason 'batch_prefix');
+      2. a batch conv that is a prefix of — or equal to — an existing
+         conversation drops (incumbent wins on equality, regardless of
+         id; reason 'existing_prefix_or_dup');
+      3. an existing conversation that is a STRICT prefix of an
+         accepted batch conv is reported in ``superseded`` for the
+         caller to tombstone (state-table history is append-only; the
+         corpus view subtracts tombstones).
+
+    Returns (decisions, superseded): decisions = one row per batch
+    conv (conv_id, n_turns, kept, reason); superseded = existing
+    conv ids (conv_id, n_turns).
+
+    Intermediates (batch-grain turn slices and tiny conv-level drop
+    sets) are eagerly ``localCheckpoint``-ed: the decision rules nest
+    self-joins of windowed signature plans, and without lineage
+    truncation the composed plan grows multiplicatively per rule (the
+    near_dup_clusters / learn_bpe iterative-lineage precedent —
+    plan-tree rendering alone OOMs the driver otherwise). Checkpoint
+    blocks free on GC; ``storage_handle`` receives the checkpointed
+    frames for callers that want deterministic release points."""
+    if not 1 <= max_depth <= MAX_DEPTH:
+        raise ValueError(f"max_depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
+
+    def _pin(df: DataFrame) -> DataFrame:
+        df = df.localCheckpoint(eager=True)
+        if storage_handle is not None:
+            storage_handle.append(df)
+        return df
+
+    existing_lens = existing_sigs.select("conv_id", "len").distinct()
+    blens = _pin(
+        batch.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    )
+
+    resent = _pin(
+        blens.join(existing_lens.select("conv_id"), "conv_id", "left_semi").select(
+            "conv_id"
+        )
+    )
+    fresh = _pin(batch.join(resent, "conv_id", "left_anti"))
+
+    internal = prefix_dup_pairs(fresh, max_depth=max_depth)
+    drop1 = _pin(
+        internal.where(
+            (F.col("long_len") > F.col("depth"))
+            | ((F.col("long_len") == F.col("depth")) & (F.col("long_id") < F.col("short_id")))
+        )
+        .select(F.col("short_id").alias("conv_id"))
+        .distinct()
+    )
+    surv1 = _pin(fresh.join(drop1, "conv_id", "left_anti"))
+
+    # rule 2: batch conv (short) vs existing prefix sigs at its length;
+    # incumbent wins on equal length, so existing len >= batch len
+    bsig = _pin(prefix_signature_table(surv1, max_depth=max_depth))
+    bfull = bsig.where(F.col("pos") == F.col("len")).select(
+        F.col("conv_id").alias("short_id"),
+        F.col("len").alias("depth"),
+        F.col("cum_sig").alias("_fsig"),
+    )
+    cand2 = bfull.join(
+        existing_sigs.select(
+            F.col("conv_id").alias("long_id"),
+            F.col("pos").alias("_lpos"),
+            F.col("cum_sig").alias("_lsig"),
+            F.col("len").alias("_llen"),
+        ),
+        (F.col("_fsig") == F.col("_lsig"))
+        & (F.col("depth") == F.col("_lpos"))
+        & (F.col("_llen") >= F.col("depth")),
+    ).select("short_id", "long_id", "depth")
+    e_cand = cand2.select(F.col("long_id").alias("conv_id")).distinct()
+    epos2 = _positioned(existing_turns.join(e_cand, "conv_id", "left_semi")).where(
+        F.col("_pos") <= max_depth
+    )
+    bpos = _positioned(surv1).where(F.col("_pos") <= max_depth)
+    drop2 = _pin(
+        _verified(cand2, bpos, epos2)
+        .select(F.col("short_id").alias("conv_id"))
+        .distinct()
+    )
+    surv2 = _pin(surv1.join(drop2, "conv_id", "left_anti"))
+
+    # rule 3: existing conv (short) strictly extended by an ACCEPTED
+    # batch conv (long)
+    efull = existing_sigs.where(
+        (F.col("pos") == F.col("len")) & (F.col("len") <= max_depth)
+    ).select(
+        F.col("conv_id").alias("short_id"),
+        F.col("len").alias("depth"),
+        F.col("cum_sig").alias("_fsig"),
+    )
+    bsig2 = bsig.join(
+        surv2.select("conv_id").distinct(), "conv_id", "left_semi"
+    ).select(
+        F.col("conv_id").alias("long_id"),
+        F.col("pos").alias("_lpos"),
+        F.col("cum_sig").alias("_lsig"),
+        F.col("len").alias("_llen"),
+    )
+    cand3 = efull.join(
+        bsig2,
+        (F.col("_fsig") == F.col("_lsig"))
+        & (F.col("depth") == F.col("_lpos"))
+        & (F.col("_llen") > F.col("depth")),
+    ).select("short_id", "long_id", "depth")
+    e_cand3 = cand3.select(F.col("short_id").alias("conv_id")).distinct()
+    epos3 = _positioned(existing_turns.join(e_cand3, "conv_id", "left_semi")).where(
+        F.col("_pos") <= max_depth
+    )
+    bpos2 = _positioned(surv2).where(F.col("_pos") <= max_depth)
+    superseded_ids = (
+        _verified(cand3, epos3, bpos2)
+        .select(F.col("short_id").alias("conv_id"))
+        .distinct()
+    )
+    superseded = superseded_ids.join(
+        existing_lens.withColumnRenamed("len", "n_turns"), "conv_id"
+    ).select("conv_id", F.col("n_turns").cast("long"))
+
+    reason = (
+        F.when(F.col("_resent"), F.lit("resent_id"))
+        .when(F.col("_d1"), F.lit("batch_prefix"))
+        .when(F.col("_d2"), F.lit("existing_prefix_or_dup"))
+        .otherwise(F.lit(""))
+    )
+    decisions = (
+        blens.join(resent.withColumn("_resent", F.lit(True)), "conv_id", "left")
+        .join(drop1.withColumn("_d1", F.lit(True)), "conv_id", "left")
+        .join(drop2.withColumn("_d2", F.lit(True)), "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            (
+                F.coalesce(F.col("_resent"), F.lit(False))
+                | F.coalesce(F.col("_d1"), F.lit(False))
+                | F.coalesce(F.col("_d2"), F.lit(False))
+            ).alias("_drop"),
+            F.coalesce(F.col("_resent"), F.lit(False)).alias("_resent"),
+            F.coalesce(F.col("_d1"), F.lit(False)).alias("_d1"),
+            F.coalesce(F.col("_d2"), F.lit(False)).alias("_d2"),
+        )
+        .select(
+            "conv_id", "n_turns", (~F.col("_drop")).alias("kept"), reason.alias("reason")
+        )
+    )
+    return decisions, superseded
+
+
+def duck_incremental_prefix_dedup_sql(
+    batch_sql: str, existing_sql: str, max_depth: int = MAX_DEPTH
+) -> str:
+    """DuckDB twin of incremental_prefix_dedup — ONE combined result:
+    (kind, conv_id, n_turns, kept, reason) with kind='batch' decision
+    rows plus kind='superseded' rows for tombstoned existing convs."""
+    h48 = _DUCK_TURN_H48
+    return f"""
+        WITH bt AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({batch_sql}) s
+        ),
+        et AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({existing_sql}) s
+        ),
+        blens AS (SELECT conv_id, MAX(pos) AS len FROM bt GROUP BY conv_id),
+        elens AS (SELECT conv_id, MAX(pos) AS len FROM et GROUP BY conv_id),
+        resent AS (SELECT b.conv_id FROM blens b JOIN elens e USING (conv_id)),
+        ft AS (SELECT * FROM bt WHERE conv_id NOT IN (SELECT conv_id FROM resent)
+                                  AND pos <= {max_depth}),
+        etc AS (SELECT * FROM et WHERE pos <= {max_depth}),
+        fsig AS (
+            SELECT conv_id, pos,
+                   SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM ft),
+        esig AS (
+            SELECT conv_id, pos,
+                   SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM etc),
+        -- rule 1: batch-internal
+        ffull AS (
+            SELECT s.conv_id, l.len AS depth, s.cum AS fsig
+            FROM fsig s JOIN blens l ON s.conv_id = l.conv_id
+            WHERE s.pos = l.len AND l.len <= {max_depth}),
+        cand1 AS (
+            SELECT f.conv_id AS short_id, p.conv_id AS long_id, f.depth,
+                   ll.len AS long_len
+            FROM ffull f
+            JOIN fsig p ON p.cum = f.fsig AND p.pos = f.depth
+                       AND p.conv_id <> f.conv_id
+            JOIN blens ll ON ll.conv_id = p.conv_id),
+        ver1 AS (
+            SELECT c.short_id, c.long_id, c.depth, c.long_len
+            FROM cand1 c
+            JOIN ft a ON a.conv_id = c.short_id
+            JOIN ft b ON b.conv_id = c.long_id AND b.pos = a.pos
+            GROUP BY c.short_id, c.long_id, c.depth, c.long_len
+            HAVING COUNT(*) = c.depth
+               AND SUM(CASE WHEN a.role IS NOT DISTINCT FROM b.role
+                             AND a.text IS NOT DISTINCT FROM b.text
+                        THEN 0 ELSE 1 END) = 0),
+        drop1 AS (
+            SELECT DISTINCT short_id AS conv_id FROM ver1
+            WHERE long_len > depth OR (long_len = depth AND long_id < short_id)),
+        -- rule 2: batch vs existing (incumbent wins on equal length)
+        cand2 AS (
+            SELECT f.conv_id AS short_id, e.conv_id AS long_id, f.depth
+            FROM ffull f
+            JOIN esig e ON e.cum = f.fsig AND e.pos = f.depth
+            JOIN elens el ON el.conv_id = e.conv_id AND el.len >= f.depth
+            WHERE f.conv_id NOT IN (SELECT conv_id FROM drop1)),
+        ver2 AS (
+            SELECT c.short_id, c.long_id, c.depth
+            FROM cand2 c
+            JOIN ft a ON a.conv_id = c.short_id
+            JOIN etc b ON b.conv_id = c.long_id AND b.pos = a.pos
+            GROUP BY c.short_id, c.long_id, c.depth
+            HAVING COUNT(*) = c.depth
+               AND SUM(CASE WHEN a.role IS NOT DISTINCT FROM b.role
+                             AND a.text IS NOT DISTINCT FROM b.text
+                        THEN 0 ELSE 1 END) = 0),
+        drop2 AS (SELECT DISTINCT short_id AS conv_id FROM ver2),
+        accepted AS (
+            SELECT conv_id FROM blens
+            WHERE conv_id NOT IN (SELECT conv_id FROM resent)
+              AND conv_id NOT IN (SELECT conv_id FROM drop1)
+              AND conv_id NOT IN (SELECT conv_id FROM drop2)),
+        -- rule 3: existing strictly extended by an accepted batch conv
+        efull AS (
+            SELECT s.conv_id, l.len AS depth, s.cum AS fsig
+            FROM esig s JOIN elens l ON s.conv_id = l.conv_id
+            WHERE s.pos = l.len AND l.len <= {max_depth}),
+        cand3 AS (
+            SELECT e.conv_id AS short_id, f.conv_id AS long_id, e.depth
+            FROM efull e
+            JOIN fsig f ON f.cum = e.fsig AND f.pos = e.depth
+            JOIN blens bl ON bl.conv_id = f.conv_id AND bl.len > e.depth
+            WHERE f.conv_id IN (SELECT conv_id FROM accepted)),
+        ver3 AS (
+            SELECT c.short_id, c.long_id, c.depth
+            FROM cand3 c
+            JOIN etc a ON a.conv_id = c.short_id
+            JOIN ft b ON b.conv_id = c.long_id AND b.pos = a.pos
+            GROUP BY c.short_id, c.long_id, c.depth
+            HAVING COUNT(*) = c.depth
+               AND SUM(CASE WHEN a.role IS NOT DISTINCT FROM b.role
+                             AND a.text IS NOT DISTINCT FROM b.text
+                        THEN 0 ELSE 1 END) = 0),
+        superseded AS (SELECT DISTINCT short_id AS conv_id FROM ver3)
+        SELECT 'batch' AS kind, b.conv_id, CAST(b.len AS BIGINT) AS n_turns,
+               (b.conv_id IN (SELECT conv_id FROM accepted)) AS kept,
+               CASE WHEN b.conv_id IN (SELECT conv_id FROM resent) THEN 'resent_id'
+                    WHEN b.conv_id IN (SELECT conv_id FROM drop1) THEN 'batch_prefix'
+                    WHEN b.conv_id IN (SELECT conv_id FROM drop2)
+                        THEN 'existing_prefix_or_dup'
+                    ELSE '' END AS reason
+        FROM blens b
+        UNION ALL
+        SELECT 'superseded', s.conv_id, CAST(e.len AS BIGINT), FALSE, 'superseded'
+        FROM superseded s JOIN elens e USING (conv_id)
     """

@@ -563,3 +563,100 @@ def start_incremental_substring_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_prefix_dedup(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    max_depth: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming conversation prefix dedup — agent re-runs arriving
+    continuously (operators.transcripts.incremental_prefix_dedup per
+    micro-batch). State under ``out_path``:
+
+    * ``sigs/``       cumulative prefix-signature rows of ACCEPTED
+                      conversations (the narrow candidate-join state);
+    * ``corpus/``     accepted turns (the verify source and the
+                      downstream corpus view);
+    * ``tombstones/`` existing conversations superseded by a longer
+                      accepted re-run (history is append-only; readers
+                      and this job's own state reads subtract them);
+    * ``decisions/``  per-batch (conv_id, n_turns, kept, reason) audit.
+
+    Effectively-once: every write is a batch_id-keyed dynamic-partition
+    overwrite, and state reads filter ``batch_id < current`` so an
+    at-least-once replay sees exactly the pre-batch state (the
+    start_incremental_dedup idempotence story). The read-then-catch
+    rule separates "first batch" from a genuinely unreadable state
+    table, which must fail the batch."""
+    from book_ocr_spark.operators.transcripts import (
+        MAX_DEPTH,
+        incremental_prefix_dedup,
+        prefix_signature_table,
+    )
+
+    depth = MAX_DEPTH if max_depth is None else max_depth
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger=1)
+    sigs_path = f"{out_path}/sigs"
+    corpus_path = f"{out_path}/corpus"
+    tomb_path = f"{out_path}/tombstones"
+    dec_path = f"{out_path}/decisions"
+
+    def _read_state(path: str, schema: str, batch_id: int) -> DataFrame:
+        try:
+            return spark.read.parquet(path).filter(F.col("batch_id") < batch_id)
+        except AnalysisException as exc:
+            if not _is_path_missing(exc) and _table_dir_has_data(spark, path):
+                raise
+            return spark.createDataFrame([], schema + ", batch_id long")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tombs = _read_state(tomb_path, "conv_id string, n_turns long", batch_id).select(
+            "conv_id"
+        )
+        existing_sigs = _read_state(
+            sigs_path, "conv_id string, pos long, cum_sig long, len long", batch_id
+        ).join(tombs, "conv_id", "left_anti").select("conv_id", "pos", "cum_sig", "len")
+        existing_turns = _read_state(
+            corpus_path,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+            batch_id,
+        ).join(tombs, "conv_id", "left_anti").drop("batch_id")
+
+        handle: list = []
+        decisions, superseded = incremental_prefix_dedup(
+            batch_df, existing_sigs, existing_turns,
+            max_depth=depth, storage_handle=handle,
+        )
+        accepted = batch_df.join(
+            decisions.where(F.col("kept")).select("conv_id"), "conv_id", "left_semi"
+        )
+
+        def _write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+        # corpus first, sigs LAST: a mid-batch crash between the two
+        # leaves orphan corpus rows that the next attempt's dynamic
+        # overwrite rewrites, but never sigs without their turns (sigs
+        # are what future batches trust as "existing")
+        _write(decisions, dec_path)
+        _write(superseded, tomb_path)
+        _write(accepted, corpus_path)
+        _write(prefix_signature_table(accepted, max_depth=depth), sigs_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

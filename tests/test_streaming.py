@@ -396,3 +396,67 @@ def test_streaming_incremental_substring_dedup(spark, tmp_path):
     total_docs = {r.whash: r.total for r in
                   state.groupBy("whash").agg(F.sum("ndocs").alias("total")).collect()}
     assert max(total_docs.values()) == 2  # the shared run's windows
+
+
+def test_streaming_incremental_prefix_dedup(spark, tmp_path):
+    """Streaming conversation prefix dedup: batch 2's convs are judged
+    against batch 1's accepted corpus via the signature state table —
+    a strict prefix of an existing conv drops, an extension of an
+    existing conv is accepted and tombstones the incumbent, and the
+    corpus view (corpus minus tombstones) converges to the batch-rule
+    fixpoint."""
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 5, 10, 0, 0)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    b1 = [
+        ("e1", 0, "user", "alpha question", None, ts),
+        ("e1", 1, "assistant", "alpha answer", None, ts),
+        ("e1", 2, "user", "alpha follow up", None, ts),
+        ("e2", 0, "user", "beta question", None, ts),
+        ("e2", 1, "assistant", "beta answer", None, ts),
+    ]
+    b2 = [
+        # strict prefix of e1 -> dropped
+        ("b1", 0, "user", "alpha question", None, ts),
+        ("b1", 1, "assistant", "alpha answer", None, ts),
+        # extends e2 -> accepted; e2 superseded
+        ("b2", 0, "user", "beta question", None, ts),
+        ("b2", 1, "assistant", "beta answer", None, ts),
+        ("b2", 2, "user", "beta more", None, ts),
+        # fresh -> accepted
+        ("b4", 0, "user", "delta question", None, ts),
+    ]
+    inp = str(tmp_path / "pf_in")
+    out = str(tmp_path / "pf_out")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    q = jobs.start_incremental_prefix_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_pf"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    dec = {(r.batch_id, r.conv_id): (r.kept, r.reason) for r in
+           spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[(1, "b1")] == (False, "existing_prefix_or_dup")
+    assert dec[(1, "b2")] == (True, "")
+    assert dec[(1, "b4")] == (True, "")
+    assert all(kept for (b, _), (kept, _) in dec.items() if b == 0)
+
+    tombs = {r.conv_id for r in spark.read.parquet(f"{out}/tombstones").collect()}
+    assert tombs == {"e2"}
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    live = corpus.join(
+        spark.read.parquet(f"{out}/tombstones").select("conv_id"),
+        "conv_id", "left_anti",
+    )
+    assert {r.conv_id for r in live.select("conv_id").distinct().collect()} == {
+        "e1", "b2", "b4"
+    }
+    from book_ocr_spark.operators import transcripts as tr
+    assert tr.prefix_dedup(live).where("NOT kept").count() == 0

@@ -257,3 +257,122 @@ def test_prefix_dedup_no_cartesian(tdf):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental prefix dedup (MERGE shape)
+# ---------------------------------------------------------------------------
+E_BASE = [
+    ("e1", 0, "user", "alpha question", None, TS),
+    ("e1", 1, "assistant", "alpha answer", None, TS),
+    ("e1", 2, "user", "alpha follow up", None, TS),
+    ("e1", 3, "assistant", "alpha closing", None, TS),
+    ("e2", 0, "user", "beta question", None, TS),
+    ("e2", 1, "assistant", "beta answer", None, TS),
+    ("e3", 0, "user", "gamma question", None, TS),
+    ("e3", 1, "assistant", "gamma answer", None, TS),
+    ("e3", 2, "user", "gamma thanks", None, TS),
+]
+
+B_BASE = [
+    # b1: strict prefix of e1 -> dropped (existing_prefix_or_dup)
+    ("b1", 0, "user", "alpha question", None, TS),
+    ("b1", 1, "assistant", "alpha answer", None, TS),
+    # b2: extends e2 by 2 turns -> accepted, e2 superseded
+    ("b2", 0, "user", "beta question", None, TS),
+    ("b2", 1, "assistant", "beta answer", None, TS),
+    ("b2", 2, "user", "beta more", None, TS),
+    ("b2", 3, "assistant", "beta done", None, TS),
+    # b0: prefix of b2 WITHIN the batch -> dropped (batch_prefix)
+    ("b0", 0, "user", "beta question", None, TS),
+    ("b0", 1, "assistant", "beta answer", None, TS),
+    ("b0", 2, "user", "beta more", None, TS),
+    # b3: exact equal of e3 -> dropped (incumbent wins on equality)
+    ("b3", 0, "user", "gamma question", None, TS),
+    ("b3", 1, "assistant", "gamma answer", None, TS),
+    ("b3", 2, "user", "gamma thanks", None, TS),
+    # e1: resent existing id -> dropped (resent_id), content ignored
+    ("e1", 0, "user", "totally different", None, TS),
+    # b4: fresh unique conversation -> accepted
+    ("b4", 0, "user", "delta question", None, TS),
+    ("b4", 1, "assistant", "delta answer", None, TS),
+]
+
+
+@pytest.fixture(scope="module")
+def inc_dfs(spark):
+    e = spark.createDataFrame(pd.DataFrame(E_BASE, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ))
+    b = spark.createDataFrame(pd.DataFrame(B_BASE, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ))
+    return b, e
+
+
+def test_incremental_prefix_dedup_semantics(inc_dfs):
+    b, e = inc_dfs
+    sigs = tr.prefix_signature_table(e)
+    decisions, superseded = tr.incremental_prefix_dedup(b, sigs, e)
+    dec = {r.conv_id: (r.kept, r.reason) for r in decisions.collect()}
+    assert dec == {
+        "b1": (False, "existing_prefix_or_dup"),
+        "b2": (True, ""),
+        "b0": (False, "batch_prefix"),
+        "b3": (False, "existing_prefix_or_dup"),
+        "e1": (False, "resent_id"),
+        "b4": (True, ""),
+    }
+    assert {r.conv_id for r in superseded.collect()} == {"e2"}
+
+
+def test_incremental_prefix_dedup_twin(inc_dfs):
+    b, e = inc_dfs
+    sigs = tr.prefix_signature_table(e)
+    decisions, superseded = tr.incremental_prefix_dedup(b, sigs, e)
+    got = _sorted(
+        [("batch",) + tuple(r) for r in decisions.collect()]
+        + [("superseded", r.conv_id, r.n_turns, False, "superseded")
+           for r in superseded.collect()]
+    )
+    con = duckdb.connect()
+    con.register("b", pd.DataFrame(B_BASE, columns=COLS))
+    con.register("e", pd.DataFrame(E_BASE, columns=COLS))
+    want = _sorted(
+        (k, c, int(n), bool(kp), rs)
+        for k, c, n, kp, rs in con.sql(
+            tr.duck_incremental_prefix_dedup_sql("SELECT * FROM b", "SELECT * FROM e")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_incremental_prefix_dedup_fixpoint(inc_dfs, spark):
+    """Applying the batch then re-running prefix_dedup over the merged
+    surviving corpus finds nothing left to drop — the incremental rule
+    converges to the batch rule's fixpoint."""
+    from pyspark.sql import functions as F
+
+    b, e = inc_dfs
+    sigs = tr.prefix_signature_table(e)
+    decisions, superseded = tr.incremental_prefix_dedup(b, sigs, e)
+    kept_b = b.join(decisions.where("kept").select("conv_id"), "conv_id", "left_semi")
+    kept_e = e.join(superseded.select("conv_id"), "conv_id", "left_anti")
+    merged = kept_e.unionByName(kept_b)
+    assert tr.prefix_dedup(merged).where("NOT kept").count() == 0
+
+
+def test_incremental_prefix_dedup_empty_existing(inc_dfs, spark):
+    """Empty state: incremental reduces to batch-internal dedup and
+    nothing is superseded."""
+    b, _ = inc_dfs
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
+    sigs = tr.prefix_signature_table(empty)
+    decisions, superseded = tr.incremental_prefix_dedup(b, sigs, empty)
+    dec = {r.conv_id: (r.kept, r.reason) for r in decisions.collect()}
+    assert superseded.count() == 0
+    # without existing state: b1 no longer existing-dropped; e1 is just
+    # a fresh 1-turn conv; b0 still an in-batch prefix of b2
+    assert dec["b0"] == (False, "batch_prefix")
+    assert dec["b1"][0] is True and dec["e1"][0] is True
+    assert dec["b2"][0] is True and dec["b3"][0] is True and dec["b4"][0] is True
