@@ -50,6 +50,16 @@ def _group_expr(id_col: str, salt: str, n_groups: int):
     return F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))")) % n_groups
 
 
+def _id_spark_type(df: DataFrame, id_col: str) -> str:
+    """``long`` for numeric ids (the historical contract), ``string``
+    for string ids (conv_id-style keys pack without a lossy hash; the
+    within-group walk order becomes lexicographic, which both the
+    pandas mergesort and DuckDB's binary-collation ORDER BY agree on)."""
+    from pyspark.sql.types import StringType
+
+    return "string" if isinstance(df.schema[id_col].dataType, StringType) else "long"
+
+
 def pack_next_fit(
     df: DataFrame,
     id_col: str,
@@ -94,13 +104,14 @@ def pack_next_fit(
         pdf["overfull"] = sizes > capacity
         return pdf[["id", "size", "grp", "bin", "bin_pos", "overfull"]]
 
+    idt = _id_spark_type(df, id_col)
     sized = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).cast(idt).alias("id"),
         F.col(size_col).cast("long").alias("size"),
         _group_expr(id_col, salt, n_groups).cast("int").alias("grp"),
     )
     return sized.repartition(n_groups, "grp").groupBy("grp").applyInPandas(
-        pack_group, PACKED_SCHEMA
+        pack_group, PACKED_SCHEMA.replace("id long", f"id {idt}")
     )
 
 
@@ -171,13 +182,14 @@ def pack_first_fit_decreasing(
         pdf["overfull"] = sizes > capacity
         return pdf[["id", "size", "grp", "bin", "bin_pos", "overfull"]]
 
+    idt = _id_spark_type(df, id_col)
     sized = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).cast(idt).alias("id"),
         F.col(size_col).cast("long").alias("size"),
         _group_expr(id_col, salt, n_groups).cast("int").alias("grp"),
     )
     return sized.repartition(n_groups, "grp").groupBy("grp").applyInPandas(
-        pack_group, PACKED_SCHEMA
+        pack_group, PACKED_SCHEMA.replace("id long", f"id {idt}")
     )
 
 
@@ -240,14 +252,16 @@ def duck_pack_next_fit_sql(
     capacity: int,
     n_groups: int = 64,
     salt: str = "pack",
+    id_type: str = "BIGINT",
 ) -> str:
     """DuckDB twin: a recursive CTE replays the next-fit recurrence
     row-by-row per group (recursion depth = largest group size — an
-    oracle, not a scale path)."""
+    oracle, not a scale path). ``id_type='VARCHAR'`` mirrors the
+    string-id packing path (lexicographic walk order in both engines)."""
     h = duck_h28(f"('{salt}:' || CAST({id_expr} AS VARCHAR))")
     return f"""
         WITH RECURSIVE sized AS (
-            SELECT CAST({id_expr} AS BIGINT) AS id,
+            SELECT CAST({id_expr} AS {id_type}) AS id,
                    CAST({size_expr} AS BIGINT) AS size,
                    CAST({h} % {n_groups} AS INTEGER) AS grp
             FROM ({corpus_sql}) c0),

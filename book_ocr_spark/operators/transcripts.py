@@ -790,3 +790,167 @@ def duck_incremental_prefix_dedup_sql(
         SELECT 'superseded', s.conv_id, CAST(e.len AS BIGINT), FALSE, 'superseded'
         FROM superseded s JOIN elens e USING (conv_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# SFT sequence packing (examples -> fixed-capacity training sequences)
+# ---------------------------------------------------------------------------
+def pack_sft_examples(
+    df: DataFrame,
+    capacity: int,
+    n_groups: int = 64,
+    sep: str = "\n\n",
+    salt: str = "sftpack",
+) -> tuple[DataFrame, DataFrame]:
+    """Pack rendered SFT examples into fixed-capacity training
+    sequences AND remap every turn's loss-mask span into its packed
+    sequence — the standard sequence-packing step chat fine-tuning
+    loaders need (short conversations waste most of a context window
+    as padding; packing restores throughput, but only if the
+    assistant-span offsets survive the concatenation).
+
+    Built on ``packing.pack_next_fit`` (deterministic hash-grouped
+    next-fit — the reproducible-bins rationale in that module) over
+    string conv_ids, packing on size ``example_len + len(sep)``. The
+    +sep per example is deliberately conservative: a non-overfull
+    bin's rendered length is sum(example_len) + (n-1)*len(sep)
+    = fill - len(sep) <= capacity - len(sep), so NO packed sequence
+    ever exceeds ``capacity``. A single conversation longer than the
+    capacity gets a solo bin flagged ``overfull`` (split upstream with
+    ``fit_last_turns`` or chunking.split_long_docs — truncation is not
+    the packer's decision).
+
+    Returns ``(packed, spans)``:
+
+    * ``packed``: (pack_id, packed, n_examples, overfull, packed_len)
+      — one row per training sequence, ``pack_id = grp:bin``;
+    * ``spans``: (pack_id, conv_id, turn_seq, role, start_off,
+      end_off, train) — sft_spans offsets shifted by each example's
+      start inside its packed sequence; the per-turn byte-equality
+      invariant holds THROUGH the packing:
+      ``packed[start_off:end_off] == text``.
+
+    Scale shape (10^12 turns): sft_examples/sft_spans pay the one
+    conv_id exchange the whole module shares; the pack assignment
+    shuffles only narrow (conv_id, size) rows by group; the concat
+    groupBy moves each example's text exactly once, keyed by
+    (grp, bin) whose size is bounded by capacity — no skew possible
+    by construction."""
+    from book_ocr_spark.operators.packing import pack_next_fit
+
+    if capacity <= len(sep):
+        raise ValueError("capacity must exceed the separator length")
+    ex = sft_examples(df)
+    sized = ex.withColumn(
+        "_psize", (F.col("example_len") + F.lit(len(sep))).cast("long")
+    )
+    asg = pack_next_fit(sized, "conv_id", "_psize", capacity, n_groups=n_groups, salt=salt)
+    wprev = (
+        Window.partitionBy("grp", "bin")
+        .orderBy("bin_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = asg.select(
+        F.col("id").alias("conv_id"),
+        F.concat_ws(":", F.col("grp"), F.col("bin")).alias("pack_id"),
+        "bin_pos",
+        "overfull",
+        F.coalesce(F.sum("size").over(wprev), F.lit(0)).cast("long").alias("ex_off"),
+    )
+    items = F.array_sort(F.collect_list(F.struct(F.col("bin_pos"), F.col("example"))))
+    packed = (
+        placed.join(ex, "conv_id")
+        .groupBy("pack_id")
+        .agg(
+            F.array_join(F.transform(items, lambda x: x["example"]), sep).alias("packed"),
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.max("overfull").alias("overfull"),
+        )
+        .withColumn("packed_len", F.length("packed").cast("long"))
+    )
+    spans = (
+        sft_spans(df)
+        .join(placed.select("conv_id", "pack_id", "ex_off"), "conv_id")
+        .select(
+            "pack_id",
+            "conv_id",
+            "turn_seq",
+            "role",
+            (F.col("start_off") + F.col("ex_off")).cast("long").alias("start_off"),
+            (F.col("end_off") + F.col("ex_off")).cast("long").alias("end_off"),
+            "train",
+        )
+    )
+    return packed, spans
+
+
+def _duck_sep_expr(sep: str) -> str:
+    return " || ".join(f"chr({ord(c)})" for c in sep)
+
+
+def _duck_pack_placed_sql(
+    src_sql: str, capacity: int, n_groups: int, sep: str, salt: str
+) -> str:
+    from book_ocr_spark.operators.packing import duck_pack_next_fit_sql
+
+    ex_sql = duck_sft_examples_sql(src_sql)
+    pack_sql = duck_pack_next_fit_sql(
+        f"SELECT conv_id, example_len + {len(sep)} AS psize FROM ({ex_sql}) pe",
+        "conv_id",
+        "psize",
+        capacity,
+        n_groups=n_groups,
+        salt=salt,
+        id_type="VARCHAR",
+    )
+    return f"""
+        SELECT id AS conv_id,
+               CAST(grp AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS pack_id,
+               bin_pos, overfull,
+               CAST(COALESCE(SUM(size) OVER (PARTITION BY grp, bin ORDER BY bin_pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS ex_off
+        FROM ({pack_sql}) a
+    """
+
+
+def duck_pack_sft_examples_sql(
+    src_sql: str,
+    capacity: int,
+    n_groups: int = 64,
+    sep: str = "\n\n",
+    salt: str = "sftpack",
+) -> str:
+    """DuckDB twin of pack_sft_examples' ``packed`` output."""
+    sepx = _duck_sep_expr(sep)
+    return f"""
+        WITH ex AS ({duck_sft_examples_sql(src_sql)}),
+        placed AS ({_duck_pack_placed_sql(src_sql, capacity, n_groups, sep, salt)})
+        SELECT p.pack_id,
+               string_agg(e.example, {sepx} ORDER BY p.bin_pos) AS packed,
+               CAST(COUNT(*) AS BIGINT) AS n_examples,
+               bool_or(p.overfull) AS overfull,
+               CAST(length(string_agg(e.example, {sepx} ORDER BY p.bin_pos)) AS BIGINT)
+                   AS packed_len
+        FROM placed p JOIN ex e USING (conv_id)
+        GROUP BY p.pack_id
+    """
+
+
+def duck_pack_sft_spans_sql(
+    src_sql: str,
+    capacity: int,
+    n_groups: int = 64,
+    sep: str = "\n\n",
+    salt: str = "sftpack",
+) -> str:
+    """DuckDB twin of pack_sft_examples' ``spans`` output."""
+    return f"""
+        WITH sp AS ({duck_sft_spans_sql(src_sql)}),
+        placed AS ({_duck_pack_placed_sql(src_sql, capacity, n_groups, sep, salt)})
+        SELECT p.pack_id, s.conv_id, s.turn_seq, s.role,
+               CAST(s.start_off + p.ex_off AS BIGINT) AS start_off,
+               CAST(s.end_off + p.ex_off AS BIGINT) AS end_off,
+               s.train
+        FROM sp s JOIN placed p USING (conv_id)
+    """

@@ -376,3 +376,65 @@ def test_incremental_prefix_dedup_empty_existing(inc_dfs, spark):
     assert dec["b0"] == (False, "batch_prefix")
     assert dec["b1"][0] is True and dec["e1"][0] is True
     assert dec["b2"][0] is True and dec["b3"][0] is True and dec["b4"][0] is True
+
+
+# ---------------------------------------------------------------------------
+# SFT sequence packing
+# ---------------------------------------------------------------------------
+CAP = 60  # small enough that the fixture needs several bins
+
+
+def test_pack_sft_examples_twin(tdf, con):
+    packed, spans = tr.pack_sft_examples(tdf, CAP, n_groups=4)
+    got_p = _sorted([tuple(r) for r in packed.collect()])
+    want_p = _sorted(
+        [tuple(r) for r in con.sql(
+            tr.duck_pack_sft_examples_sql(SRC, CAP, n_groups=4)).fetchall()]
+    )
+    assert got_p == want_p
+    got_s = _sorted([tuple(r) for r in spans.collect()])
+    want_s = _sorted(
+        [tuple(r) for r in con.sql(
+            tr.duck_pack_sft_spans_sql(SRC, CAP, n_groups=4)).fetchall()]
+    )
+    assert got_s == want_s
+
+
+def test_pack_sft_span_extraction(tdf):
+    """The north_rule invariant survives packing: every turn's span,
+    sliced out of its PACKED sequence, is byte-equal to the raw text."""
+    packed, spans = tr.pack_sft_examples(tdf, CAP, n_groups=4)
+    seqs = {r.pack_id: r.packed for r in packed.collect()}
+    raw = {(r.conv_id, r.turn_idx): (r.text or "") for r in tdf.collect()}
+    span_rows = spans.collect()
+    assert span_rows
+    seen = set()
+    for r in span_rows:
+        # turn_seq is 1-based over turn_idx order; fixture turn_idx is 0-based dense
+        assert seqs[r.pack_id][r.start_off:r.end_off] == raw[(r.conv_id, r.turn_seq - 1)]
+        seen.add((r.conv_id, r.turn_seq - 1))
+    assert seen == set(raw)  # every turn of every conv got a packed span
+
+
+def test_pack_sft_capacity_and_membership(tdf):
+    packed, spans = tr.pack_sft_examples(tdf, CAP, n_groups=4)
+    for r in packed.collect():
+        if r.overfull:
+            assert r.n_examples == 1  # oversize convs pack solo
+        else:
+            assert r.packed_len <= CAP - 2  # sep-conservative bound
+    # each conversation appears in exactly one pack
+    per_conv = spans.select("conv_id", "pack_id").distinct()
+    assert per_conv.groupBy("conv_id").count().where("count > 1").count() == 0
+
+
+def test_pack_sft_partition_invariance(tdf):
+    a_p, a_s = tr.pack_sft_examples(tdf, CAP, n_groups=4)
+    b_p, b_s = tr.pack_sft_examples(tdf.repartition(7, "text"), CAP, n_groups=4)
+    assert _sorted(map(tuple, a_p.collect())) == _sorted(map(tuple, b_p.collect()))
+    assert _sorted(map(tuple, a_s.collect())) == _sorted(map(tuple, b_s.collect()))
+
+
+def test_pack_sft_validation(tdf):
+    with pytest.raises(ValueError):
+        tr.pack_sft_examples(tdf, 2, sep="\n\n")

@@ -473,3 +473,33 @@ def test_web_corpus_domain_cap_schemeless_urls_not_lumped(spark):
         ).collect()
     )
     assert got == [0, 1, 2, 3]  # cap=1 yet nothing lumped, nothing lost
+
+
+def test_pack_next_fit_string_ids_twin(spark):
+    """String-id packing (conv_id-style keys, no lossy hash): the walk
+    order is lexicographic in both engines, assignments bit-identical."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(f"conv-{i:04d}", rng.choice(PACK_SIZES)) for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, n_tok long")
+    packed = packing.pack_next_fit(df, "conv_id", "n_tok", capacity=2048, n_groups=8)
+    assert dict(packed.dtypes)["id"] == "string"
+    got = sorted(
+        (r.id, r.size, r.grp, r.bin, r.bin_pos, r.overfull) for r in packed.collect()
+    )
+    con = duckdb.connect()
+    con.register("cs", pd.DataFrame(rows, columns=["conv_id", "n_tok"]))
+    want = [
+        (a, b, c, d, e, bool(f))
+        for a, b, c, d, e, f in sorted(
+            tuple(r)
+            for r in con.sql(
+                packing.duck_pack_next_fit_sql(
+                    "SELECT conv_id, n_tok FROM cs", "conv_id", "n_tok",
+                    2048, 8, id_type="VARCHAR",
+                )
+            ).fetchall()
+        )
+    ]
+    assert got == want
