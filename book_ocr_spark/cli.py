@@ -143,6 +143,19 @@ def main(argv: list[str] | None = None) -> int:
         "--min-clf-prob", type=float, default=None,
         help="classifier probability cut in (0,1) (required with --clf-pos)",
     )
+    cur.add_argument(
+        "--benchmark", default=None,
+        help="eval-set parquet (columns named per --id-col/--text-col) "
+        "enabling benchmark decontamination (13-gram collision rule)",
+    )
+    cur.add_argument(
+        "--contamination-n", type=int, default=13,
+        help="n-gram size for the decontamination collision check",
+    )
+    cur.add_argument(
+        "--contamination-min-hits", type=int, default=1,
+        help="distinct colliding n-grams that make a document contaminated",
+    )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
     prof = sub.add_parser(
@@ -247,6 +260,13 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=args.n_shards,
                 substring_n=args.substring_n,
                 substring_min_docs=args.substring_min_docs,
+                benchmark=(
+                    spark.read.parquet(args.benchmark)
+                    if args.benchmark is not None
+                    else None
+                ),
+                contamination_n=args.contamination_n,
+                contamination_min_hits=args.contamination_min_hits,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

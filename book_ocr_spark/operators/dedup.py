@@ -968,6 +968,8 @@ def contamination_check(
     text_col: str,
     n: int = 13,
     min_hits: int = 1,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing ≥ ``min_hits`` distinct word
     n-grams with ANY benchmark item — the standard pretraining
@@ -981,13 +983,18 @@ def contamination_check(
     pairwise to benchmark items, and per-doc work is linear in its
     gram count. Returns (id, n_hits, n_bench_items):
     distinct colliding grams per doc and how many distinct benchmark
-    items those grams touch.
+    items those grams touch. The benchmark's columns default to the
+    corpus names; pass ``bench_id_col``/``bench_text_col`` when the
+    eval set is shaped differently (e.g. decontaminating rendered SFT
+    examples against a plain (id, text) eval table).
     """
     cg = shingle_sets(corpus, id_col, text_col, n, "word").select(
         "id", F.explode("sh").alias("g")
     )
     bg = (
-        shingle_sets(benchmark, id_col, text_col, n, "word")
+        shingle_sets(
+            benchmark, bench_id_col or id_col, bench_text_col or text_col, n, "word"
+        )
         .select(F.col("id").alias("bench_id"), F.explode("sh").alias("g"))
         .distinct()
     )

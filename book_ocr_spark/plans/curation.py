@@ -193,6 +193,11 @@ def curate_web_corpus(
     n_shards: int | None = None,
     substring_n: int | None = None,
     substring_min_docs: int = 2,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 13,
+    contamination_min_hits: int = 1,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """The full web-corpus pass: URL gate (when ``url_col`` is given;
     with ``max_per_domain``, a deterministic per-registered-domain
@@ -213,7 +218,11 @@ def curate_web_corpus(
     ``min_clf_prob`` are given: a hashed-LR model trained in-engine on
     the labeled corpora — operators.classifier — keeps documents whose
     probability clears the threshold; the GPT-3 WebText-classifier
-    stage position) -> curate() (quality gate,
+    stage position) -> optional benchmark decontamination (when
+    ``benchmark`` is given: documents sharing >=
+    ``contamination_min_hits`` distinct ``contamination_n``-grams with
+    any eval item drop — the GPT-3/LLaMA 13-gram collision rule)
+    -> curate() (quality gate,
     exact dedup, near-dup canonicalization) -> optional deterministic
     sequence packing into ``pack_capacity``-token bins.
 
@@ -314,6 +323,22 @@ def curate_web_corpus(
             .select(F.col("id").alias(id_col))
         )
         cleaned = cleaned.join(liked, id_col, "left_semi")
+    if benchmark is not None:
+        # benchmark decontamination (GPT-3/LLaMA 13-gram collision
+        # rule), last gate before the dedup tail: any document sharing
+        # >= contamination_min_hits distinct n-grams with an eval item
+        # drops. The broadcast-size gram build side makes this cheap
+        # wherever it sits; it runs on the FINAL surviving text so
+        # upstream boilerplate/substring removal can't mask a collision
+        # that the cleaned training text would still contain.
+        from book_ocr_spark.operators.dedup import contamination_check
+
+        dirty = contamination_check(
+            cleaned, benchmark, id_col, text_col,
+            n=contamination_n, min_hits=contamination_min_hits,
+            bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+        ).select(F.col("id").alias(id_col))
+        cleaned = cleaned.join(dirty, id_col, "left_anti")
     final = curate(
         cleaned, id_col, text_col, k=k, threshold=threshold,
         clustering=clustering, storage_handle=storage_handle,
@@ -393,6 +418,11 @@ def curate_transcripts(
     storage_handle: list | None = None,
     hot_bucket_cap: int | None = None,
     thresholds=None,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 13,
+    contamination_min_hits: int = 1,
+    bench_id_col: str = "id",
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """The transcripts -> SFT-training-corpus pass, end to end in ONE
     declarative DAG — the graft's flagship composition (north_rule:
@@ -412,6 +442,9 @@ def curate_transcripts(
       4. SFT example assembly (transcripts.sft_examples) + the
          ``min_train_turns`` gate (a trajectory with no assistant turn
          trains nothing; 0 disables);
+      4b. optional eval-set decontamination (``benchmark``: rendered
+         examples sharing n-grams with any eval item drop — the
+         13-gram collision rule at the artifact grain);
       5. example-grain exact dedup + MinHash near-dup canonicalization
          (the shared _dedup_canonicalize tail — same 'pair'/'cc' rules,
          same hot_bucket_cap defense as the web pass);
@@ -445,6 +478,20 @@ def curate_transcripts(
     ex = sft_examples(ext)
     if min_train_turns > 0:
         ex = ex.filter(F.col("n_train_turns") >= min_train_turns)
+    if benchmark is not None:
+        # eval-set decontamination at EXAMPLE grain (the artifact that
+        # trains): a rendered example sharing >= contamination_min_hits
+        # distinct n-grams with any eval item drops before the dedup
+        # tail. The benchmark is a plain (id, text)-shaped eval table
+        # by default (bench_id_col/bench_text_col rename).
+        from book_ocr_spark.operators.dedup import contamination_check
+
+        dirty = contamination_check(
+            ex, benchmark, "conv_id", "example",
+            n=contamination_n, min_hits=contamination_min_hits,
+            bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+        ).select(F.col("id").alias("conv_id"))
+        ex = ex.join(dirty, "conv_id", "left_anti")
     final = _dedup_canonicalize(
         ex, "conv_id", "example", k=k, threshold=threshold,
         clustering=clustering, storage_handle=storage_handle,

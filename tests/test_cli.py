@@ -158,6 +158,46 @@ def test_cli_curate_lm_gate(spark, tmp_path, monkeypatch):
     assert summary["curated_rows"] == 2
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
 
+def test_cli_curate_decontamination(spark, tmp_path, monkeypatch):
+    """--benchmark/--contamination-n enable eval-set decontamination
+    from the command line: the doc embedding an eval question drops,
+    clean docs survive."""
+    import json
+
+    inp = str(tmp_path / "docs_dc_in")
+    bp = str(tmp_path / "bench")
+    out = str(tmp_path / "curated_dc")
+    eval_q = (
+        "what is the capital city of the island nation of madagascar "
+        "in the indian ocean"
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog while reading "
+            "long form articles about distributed query engines"),
+        (2, f"some introduction text and then {eval_q} plus enough "
+            "trailing words to clear the quality gate easily"),
+        (3, "completely different material discussing watermark semantics "
+            "for late arriving events in structured streaming jobs"),
+    ]
+    spark.createDataFrame(rows, "id long, text string").write.parquet(inp)
+    spark.createDataFrame([(100, eval_q)], "id long, text string").write.parquet(bp)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "curate", "--input", inp, "--output", out,
+            "--benchmark", bp, "--contamination-n", "5",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["curated_rows"] == 2
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 3]
+
+
 def test_cli_profile(spark, tmp_path, capsys, monkeypatch):
     """`profile` emits one JSON object with exact counters, sketch
     fields, and the requested heavy-hitter list."""

@@ -65,10 +65,12 @@ _CANON = (
 )
 
 
-def _duck_chain(con, max_chars=None, min_train=1, clustering="pair"):
+def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
+                rows=None, benchmark=None, contamination_n=13):
     """Register the stage-for-stage DuckDB replay; returns the final
     survivor table name."""
-    con.register("raw", pd.DataFrame(_rows(), columns=COLS))
+    con.register("raw", pd.DataFrame(rows if rows is not None else _rows(),
+                                     columns=COLS))
     con.register(
         "kept1",
         con.sql(
@@ -103,19 +105,38 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair"):
             + f") q WHERE n_train_turns >= {min_train}"
         ).df(),
     )
+    ex_src = "ex"
+    if benchmark is not None:
+        from book_ocr_spark.operators.dedup import duck_contamination_sql
+
+        con.register("bench", pd.DataFrame(benchmark, columns=["id", "text"]))
+        con.register(
+            "exd",
+            con.sql(
+                "SELECT * FROM ex WHERE conv_id NOT IN (SELECT id FROM ("
+                + duck_contamination_sql(
+                    "SELECT conv_id AS id, example AS text FROM ex",
+                    "SELECT id, text FROM bench",
+                    n=contamination_n,
+                )
+                + ") d)"
+            ).df(),
+        )
+        ex_src = "exd"
     con.register(
         "surv",
         con.sql(
             duck_example_dedup_sql(
-                "SELECT conv_id AS id, example AS text FROM ex", clustering=clustering
+                f"SELECT conv_id AS id, example AS text FROM {ex_src}",
+                clustering=clustering,
             )
         ).df(),
     )
-    return """
+    return f"""
         SELECT e.conv_id, e.example, e.n_turns, e.n_train_turns, e.example_len,
                MD5(e.example) AS fingerprint,
                CAST(LEN(string_split_regex(TRIM(e.example), '\\s+')) AS BIGINT) AS n_tokens
-        FROM ex e JOIN surv s ON e.conv_id = s.id
+        FROM {ex_src} e JOIN surv s ON e.conv_id = s.id
     """
 
 
@@ -203,3 +224,44 @@ def test_curate_transcripts_prefix_stage_optional(spark):
     # pair survives, not which member wins.
     assert "p6" in got
     assert not ({"p1", "p2"} <= set(got)) and not ({"p3", "p4"} <= set(got))
+
+
+def test_curate_transcripts_decontamination_stage(spark):
+    """A conversation whose rendered example shares 5-grams with an
+    eval item drops at exactly the decontamination stage (present
+    without `benchmark`, gone with it), and the composed pass still
+    twins bit-for-bit with the decon CTE inserted in the replay."""
+    eval_q = "name the seven wonders of the ancient world in order"
+    rows = _rows() + _conv("p7", [
+        ("user", "please answer this evaluation question now"),
+        ("assistant", f"sure here goes {eval_q} and my answer follows"),
+    ])
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+    bench_rows = [(1, eval_q)]
+    bench = spark.createDataFrame(bench_rows, "id long, text string")
+
+    base = {
+        r.conv_id
+        for r in curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect()
+    }
+    assert "p7" in base  # healthy without the benchmark gate
+
+    got = sorted(
+        map(
+            tuple,
+            curate_transcripts(
+                df, n_parts=4, prefix_max_depth=64,
+                benchmark=bench, contamination_n=5,
+            ).collect(),
+        )
+    )
+    assert {r[0] for r in got} == base - {"p7"}
+
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(
+            _duck_chain(con, rows=rows, benchmark=bench_rows, contamination_n=5)
+        ).fetchall()
+    )
+    assert got == want

@@ -503,3 +503,72 @@ def test_pack_next_fit_string_ids_twin(spark):
         )
     ]
     assert got == want
+
+
+def test_web_corpus_decontamination_stage(spark):
+    """A document sharing 5-grams with an eval item drops at exactly
+    the decontamination stage (present without `benchmark`, gone with
+    it), and the composed pass twins with the contamination CTE
+    inserted in the DuckDB replay."""
+    from book_ocr_spark.operators.dedup import (
+        duck_contamination_sql,
+        duck_line_dedup_sql,
+    )
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    eval_q = (
+        "what is the capital city of the island nation of madagascar "
+        "in the indian ocean"
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog while reading "
+            "long form articles about distributed query engines"),
+        (2, f"some introduction text and then {eval_q} plus enough "
+            "trailing words to clear the quality gate easily"),
+        (3, "completely different material discussing watermark semantics "
+            "for late arriving events in structured streaming jobs"),
+    ]
+    bench_rows = [(100, eval_q)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    bdf = spark.createDataFrame(bench_rows, "id long, text string")
+
+    base = sorted(r.id for r in curate_web_corpus(df, "id", "text").collect())
+    assert base == [1, 2, 3]
+    got = sorted(
+        map(
+            tuple,
+            curate_web_corpus(
+                df, "id", "text", benchmark=bdf, contamination_n=5
+            ).collect(),
+        )
+    )
+    assert [r[0] for r in got] == [1, 3]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register("b", pd.DataFrame(bench_rows, columns=["id", "text"]))
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c")
+            + ") t WHERE clean_text <> ''"
+        ).df(),
+    )
+    con.register(
+        "decon",
+        con.sql(
+            "SELECT id, text FROM cleaned WHERE id NOT IN (SELECT id FROM ("
+            + duck_contamination_sql(
+                "SELECT id, text FROM cleaned", "SELECT id, text FROM b", n=5
+            )
+            + ") d)"
+        ).df(),
+    )
+    want = sorted(
+        (int(i), fp, int(nt))
+        for i, fp, nt in con.sql(
+            duck_curate_sql("SELECT id, text FROM decon")
+        ).fetchall()
+    )
+    assert got == want
