@@ -261,6 +261,25 @@ PII_RES = {
 PII_ORDER = ("EMAIL", "URL", "PHONE")  # URLs can contain @; emails first
 
 
+def pii_redact_col(text_col: str) -> Column:
+    """The chained typed-placeholder replacement as a bare Column —
+    shared by redact_pii and the turn-grain redaction stage in
+    plans.curation.curate_transcripts (same PII_ORDER, same regexes,
+    so the composed-pass twin reuses duck_pii_redact_expr)."""
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        red = F.regexp_replace(red, PII_RES[kind], f"<{kind}>")
+    return red
+
+
+def duck_pii_redact_expr(col: str) -> str:
+    """DuckDB twin of pii_redact_col as a bare SQL expression."""
+    red = col
+    for kind in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_RES[kind]}', '<{kind}>', 'g')"
+    return red
+
+
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, redacted_text, n_email, n_url, n_phone): chained
     regexp_replace to typed placeholders plus per-kind match counts —
@@ -272,9 +291,7 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         kind: _count(text_col, pat.replace("\\", "\\\\")).cast("bigint")
         for kind, pat in PII_RES.items()
     }
-    red = F.col(text_col)
-    for kind in PII_ORDER:
-        red = F.regexp_replace(red, PII_RES[kind], f"<{kind}>")
+    red = pii_redact_col(text_col)
     return df.select(
         F.col(id_col).alias("id"),
         red.alias("redacted_text"),
@@ -286,9 +303,7 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def duck_redact_pii_sql(corpus_sql: str) -> str:
     """DuckDB twin of redact_pii; corpus_sql yields (id, text)."""
-    red = "text"
-    for kind in PII_ORDER:
-        red = f"regexp_replace({red}, '{PII_RES[kind]}', '<{kind}>', 'g')"
+    red = duck_pii_redact_expr("text")
     cnt = {
         kind: f"CAST(LEN(regexp_extract_all(text, '{pat}', 0)) AS BIGINT)"
         for kind, pat in PII_RES.items()

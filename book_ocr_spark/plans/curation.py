@@ -423,6 +423,8 @@ def curate_transcripts(
     contamination_min_hits: int = 1,
     bench_id_col: str = "id",
     bench_text_col: str = "text",
+    max_alternation_violations: int | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """The transcripts -> SFT-training-corpus pass, end to end in ONE
     declarative DAG — the graft's flagship composition (north_rule:
@@ -433,10 +435,17 @@ def curate_transcripts(
          — agent re-runs sharing a turn prefix collapse to the maximal
          conversation BEFORE the expensive extraction stage (the
          exact-dedup-before-near-dup cost rule applied at conv grain);
+      1b. optional trajectory-health gate
+         (``max_alternation_violations``: conv_stats doubled-role cap
+         on raw turns — malformed agent traces drop before the Python
+         stage);
       2. the fused extract pipeline (ONE exchange, ONE Python pass —
          plans.pipeline.build_fused_plan) turns raw payloads into
          per-turn extracted text; failed turns drop (quarantine analog;
          a conversation whose every turn failed disappears here);
+      2b. optional turn-grain PII redaction (``redact``: the
+         textstats typed-placeholder chain on extracted text, so all
+         downstream artifacts train on scrubbed turns);
       3. optional context-window fit (``max_chars``: keep-last-turns
          left truncation on the EXTRACTED text);
       4. SFT example assembly (transcripts.sft_examples) + the
@@ -467,12 +476,33 @@ def curate_transcripts(
     cur = transcripts
     if prefix_max_depth is not None:
         cur = filter_prefix_dups(cur, max_depth=prefix_max_depth)
+    if max_alternation_violations is not None:
+        # trajectory-health gate on RAW turns (role structure is a raw
+        # property; it rides the same conv_id exchange): conversations
+        # with more doubled-role turns than the cap are malformed agent
+        # traces and never reach the Python extraction stage
+        from book_ocr_spark.operators.transcripts import conv_stats
+
+        healthy = (
+            conv_stats(cur)
+            .where(F.col("alternation_violations") <= max_alternation_violations)
+            .select("conv_id")
+        )
+        cur = cur.join(healthy, "conv_id", "left_semi")
     ext = (
         build_fused_plan(cur, n_parts=n_parts, lineage_prefix="sft", thresholds=thresholds)
         .filter(F.col("rec") == "data")
         .filter(~F.col("failed"))
         .select("conv_id", "turn_idx", "role", F.col("extracted_text").alias("text"))
     )
+    if redact:
+        # turn-grain PII scrub right after extraction so EVERY
+        # downstream artifact (fit lengths, rendered examples, spans,
+        # dedup fingerprints) sees the redacted text — one JVM
+        # projection, same regex chain as operators.textstats.redact_pii
+        from book_ocr_spark.operators.textstats import pii_redact_col
+
+        ext = ext.withColumn("text", pii_redact_col("text"))
     if max_chars is not None:
         ext = fit_last_turns(ext, max_chars).filter(F.col("kept")).drop("kept")
     ex = sft_examples(ext)

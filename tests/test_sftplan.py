@@ -66,7 +66,8 @@ _CANON = (
 
 
 def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
-                rows=None, benchmark=None, contamination_n=13):
+                rows=None, benchmark=None, contamination_n=13,
+                max_viol=None, redact=False):
     """Register the stage-for-stage DuckDB replay; returns the final
     survivor table name."""
     con.register("raw", pd.DataFrame(rows if rows is not None else _rows(),
@@ -79,11 +80,29 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             + ") q WHERE kept"
         ).df(),
     )
+    raw_src = "SELECT * FROM raw WHERE conv_id IN (SELECT conv_id FROM kept1)"
+    if max_viol is not None:
+        from book_ocr_spark.operators.transcripts import duck_conv_stats_sql
+
+        con.register(
+            "healthy",
+            con.sql(
+                "SELECT conv_id FROM ("
+                + duck_conv_stats_sql(raw_src)
+                + f") q WHERE alternation_violations <= {max_viol}"
+            ).df(),
+        )
+        raw_src += " AND conv_id IN (SELECT conv_id FROM healthy)"
+    text_expr = _CANON
+    if redact:
+        from book_ocr_spark.operators.textstats import duck_pii_redact_expr
+
+        text_expr = duck_pii_redact_expr(_CANON)
     con.register(
         "ext",
         con.sql(
-            f"SELECT conv_id, turn_idx, role, {_CANON} AS text "
-            "FROM raw WHERE conv_id IN (SELECT conv_id FROM kept1)"
+            f"SELECT conv_id, turn_idx, role, {text_expr} AS text "
+            f"FROM ({raw_src}) r"
         ).df(),
     )
     src = "SELECT * FROM ext"
@@ -262,6 +281,46 @@ def test_curate_transcripts_decontamination_stage(spark):
         (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
         for cid, ex, nt, ntt, el, fp, tok in con.sql(
             _duck_chain(con, rows=rows, benchmark=bench_rows, contamination_n=5)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_health_gate_and_redaction(spark):
+    """1b + 2b: a doubled-role agent trace drops at the health gate;
+    an email/URL in a surviving turn reaches the example as typed
+    placeholders; the composed pass still twins bit-for-bit with the
+    matching CTEs inserted."""
+    rows = _rows() + _conv("p8", [
+        ("user", "first malformed question asked"),
+        ("user", "second user turn doubled immediately"),
+        ("assistant", "a reply that arrives far too late"),
+    ]) + _conv("p9", [
+        ("user", "please email me at alice@example.com with the report"),
+        ("assistant", "sent see https://files.example.com/report for details"),
+    ])
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+
+    got = sorted(
+        map(
+            tuple,
+            curate_transcripts(
+                df, n_parts=4, prefix_max_depth=64,
+                max_alternation_violations=0, redact=True,
+            ).collect(),
+        )
+    )
+    ids = [r[0] for r in got]
+    assert "p8" not in ids and "p9" in ids
+    p9 = next(r for r in got if r[0] == "p9")
+    assert "<EMAIL>" in p9[1] and "<URL>" in p9[1]
+    assert "alice@example.com" not in p9[1]
+
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(
+            _duck_chain(con, rows=rows, max_viol=0, redact=True)
         ).fetchall()
     )
     assert got == want
