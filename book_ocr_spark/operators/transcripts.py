@@ -954,3 +954,188 @@ def duck_pack_sft_spans_sql(
                s.train
         FROM sp s JOIN placed p USING (conv_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining (agent re-runs -> DPO-style comparison pairs)
+# ---------------------------------------------------------------------------
+def preference_pairs(
+    df: DataFrame,
+    depth: int,
+    role: str | None = "assistant",
+    max_convs_per_prefix: int | None = None,
+    salt: str = "pref",
+) -> DataFrame:
+    """Mine DPO-style comparison pairs from agent re-runs: two
+    conversations whose first ``depth`` turns are EXACTLY equal
+    (role + text, null-safe — the prefix_dedup verify) but whose turn
+    ``depth+1`` texts DIFFER are the same context answered two ways —
+    the natural preference-pair source in a re-run-heavy transcript
+    corpus (a judge/reward model ranks them downstream; this operator
+    only materializes the candidates).
+
+    ``role`` restricts the diverging turn on BOTH sides (default
+    'assistant': same prompt, two model responses; None = any role).
+    ``max_convs_per_prefix`` bounds a hot prefix (thousands of re-runs
+    of one seed would otherwise pair O(B²)): at most k conversations
+    per prefix signature, chosen by the deterministic k-smallest-hash
+    rule (sampling.sample_k_per_group) BEFORE pairing, so pairs per
+    prefix are <= k(k-1)/2 — the same hot-bucket defense the LSH band
+    joins use, applied at candidate-generation time.
+
+    Returns (conv_a, conv_b, depth, context, response_a, response_b),
+    conv_a < conv_b, ``context`` rendered with the shared chat
+    template (the sft_examples idiom over the common prefix).
+
+    Scale shape: signatures/next-turns ride the module's one conv_id
+    exchange; the pair join runs on NARROW (conv_id, sig, response)
+    rows keyed by signature; the exact verify touches only candidate
+    convs' first-``depth`` turns; context render aggregates only
+    verified winners."""
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
+    pos = _positioned(df)
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sig = (
+        pos.where(F.col("_pos") <= depth)
+        .select(
+            "conv_id",
+            "_pos",
+            F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig"),
+        )
+        .where(F.col("_pos") == depth)
+        .select("conv_id", "_sig")
+    )
+    nxt = pos.where(F.col("_pos") == depth + 1).select(
+        "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
+    )
+    if role is not None:
+        nxt = nxt.where(F.col("_nrole") == role)
+    elig = sig.join(nxt, "conv_id")
+    if max_convs_per_prefix is not None:
+        from book_ocr_spark.operators.sampling import sample_k_per_group
+
+        elig = sample_k_per_group(
+            elig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
+    a = elig.select(
+        F.col("conv_id").alias("short_id"),
+        "_sig",
+        F.col("_resp").alias("response_a"),
+    )
+    b = elig.select(
+        F.col("conv_id").alias("long_id"),
+        F.col("_sig").alias("_sigb"),
+        F.col("_resp").alias("response_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_sig") == F.col("_sigb"))
+            & (F.col("short_id") < F.col("long_id")),
+        )
+        .where(~F.col("response_a").eqNullSafe(F.col("response_b")))
+        .select(
+            "short_id",
+            "long_id",
+            F.lit(depth).cast("long").alias("depth"),
+            "response_a",
+            "response_b",
+        )
+    )
+    cpos = pos.where(F.col("_pos") <= depth)
+    a_ids = cand.select(F.col("short_id").alias("conv_id")).distinct()
+    b_ids = cand.select(F.col("long_id").alias("conv_id")).distinct()
+    ver = _verified(
+        cand,
+        cpos.join(a_ids, "conv_id", "left_semi"),
+        cpos.join(b_ids, "conv_id", "left_semi"),
+    )
+    ctx_src = (
+        pos.join(
+            ver.select(F.col("short_id").alias("conv_id")).distinct(),
+            "conv_id",
+            "left_semi",
+        )
+        .where(F.col("_pos") <= depth)
+        .withColumn("_piece", _piece())
+    )
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
+    ctx = ctx_src.groupBy("conv_id").agg(
+        F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("context")
+    )
+    return ver.join(ctx, ver.short_id == ctx.conv_id).select(
+        F.col("short_id").alias("conv_a"),
+        F.col("long_id").alias("conv_b"),
+        "depth",
+        "context",
+        "response_a",
+        "response_b",
+    )
+
+
+def duck_preference_pairs_sql(
+    src_sql: str,
+    depth: int,
+    role: str | None = "assistant",
+    max_convs_per_prefix: int | None = None,
+    salt: str = "pref",
+) -> str:
+    """DuckDB twin of preference_pairs."""
+    h48 = _DUCK_TURN_H48
+    elig_sql = f"""
+        SELECT s.conv_id, s._sig, n._resp FROM (
+            SELECT conv_id, _sig FROM (
+                SELECT conv_id, pos,
+                       SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig
+                FROM pp_pos WHERE pos <= {depth}) q WHERE pos = {depth}) s
+        JOIN (
+            SELECT conv_id, role AS _nrole, text AS _resp
+            FROM pp_pos WHERE pos = {depth + 1}) n USING (conv_id)
+        {"" if role is None else f"WHERE n._nrole = '{role}'"}
+    """
+    if max_convs_per_prefix is not None:
+        from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
+
+        elig_sql = duck_sample_k_per_group_sql(
+            elig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
+    return f"""
+        WITH pp_pos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({src_sql}) s0),
+        elig AS ({elig_sql}),
+        cand AS (
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   a._resp AS response_a, b._resp AS response_b
+            FROM elig a JOIN elig b
+              ON a._sig = b._sig AND a.conv_id < b.conv_id
+            WHERE a._resp IS DISTINCT FROM b._resp),
+        ver AS (
+            SELECT c.conv_a, c.conv_b, c.response_a, c.response_b
+            FROM cand c
+            JOIN pp_pos pa ON pa.conv_id = c.conv_a AND pa.pos <= {depth}
+            JOIN pp_pos pb ON pb.conv_id = c.conv_b AND pb.pos = pa.pos
+            GROUP BY c.conv_a, c.conv_b, c.response_a, c.response_b
+            HAVING COUNT(*) = {depth}
+               AND SUM(CASE WHEN pa.role IS NOT DISTINCT FROM pb.role
+                             AND pa.text IS NOT DISTINCT FROM pb.text
+                        THEN 0 ELSE 1 END) = 0),
+        ctx AS (
+            SELECT conv_id,
+                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
+                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
+            FROM pp_pos WHERE pos <= {depth}
+              AND conv_id IN (SELECT conv_a FROM ver)
+            GROUP BY conv_id)
+        SELECT v.conv_a, v.conv_b, CAST({depth} AS BIGINT) AS depth,
+               x.context, v.response_a, v.response_b
+        FROM ver v JOIN ctx x ON x.conv_id = v.conv_a
+    """

@@ -438,3 +438,86 @@ def test_pack_sft_partition_invariance(tdf):
 def test_pack_sft_validation(tdf):
     with pytest.raises(ValueError):
         tr.pack_sft_examples(tdf, 2, sep="\n\n")
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining
+# ---------------------------------------------------------------------------
+PREF_ROWS = [
+    ("r1", 0, "user", "solve two plus two", None, TS),
+    ("r1", 1, "assistant", "it is four", None, TS),
+    ("r2", 0, "user", "solve two plus two", None, TS),
+    ("r2", 1, "assistant", "the answer is four", None, TS),
+    ("r3", 0, "user", "solve two plus two", None, TS),
+    ("r3", 1, "assistant", "it is four", None, TS),      # same resp as r1
+    ("r4", 0, "user", "different question entirely", None, TS),
+    ("r4", 1, "assistant", "whatever", None, TS),
+    ("r5", 0, "user", "solve two plus two", None, TS),
+    ("r5", 1, "user", "i forgot to say thanks", None, TS),  # next role user
+    ("r6", 0, "user", "solve two plus two", None, TS),      # no continuation
+]
+
+
+@pytest.fixture(scope="module")
+def pref_df(spark):
+    return spark.createDataFrame(pd.DataFrame(PREF_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ))
+
+
+def test_preference_pairs_semantics(pref_df):
+    got = {(r.conv_a, r.conv_b): r for r in tr.preference_pairs(pref_df, 1).collect()}
+    # r1-r3 share the response (no pair); r5's next turn is a user turn;
+    # r6 has no continuation; r4 shares no prefix
+    assert set(got) == {("r1", "r2"), ("r2", "r3")}
+    p = got[("r1", "r2")]
+    assert p.context == "<|user|>\nsolve two plus two"
+    assert (p.response_a, p.response_b) == ("it is four", "the answer is four")
+    assert p.depth == 1
+
+
+def test_preference_pairs_any_role(pref_df):
+    got = {(r.conv_a, r.conv_b) for r in
+           tr.preference_pairs(pref_df, 1, role=None).collect()}
+    # r5 now pairs with every differing continuation of the shared prefix
+    assert got == {("r1", "r2"), ("r2", "r3"), ("r1", "r5"), ("r2", "r5"), ("r3", "r5")}
+
+
+@pytest.mark.parametrize("cap", [None, 2])
+def test_preference_pairs_twin(pref_df, cap):
+    got = _sorted(
+        tuple(r)
+        for r in tr.preference_pairs(
+            pref_df, 1, max_convs_per_prefix=cap
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("pp", pd.DataFrame(PREF_ROWS, columns=COLS))
+    want = _sorted(
+        (a, b, int(d), c, ra, rb)
+        for a, b, d, c, ra, rb in con.sql(
+            tr.duck_preference_pairs_sql(
+                "SELECT * FROM pp", 1, max_convs_per_prefix=cap
+            )
+        ).fetchall()
+    )
+    assert got == want
+    if cap == 2:
+        assert len(got) <= 1  # 2 convs per prefix -> at most one pair
+
+
+def test_preference_pairs_validation(pref_df):
+    with pytest.raises(ValueError):
+        tr.preference_pairs(pref_df, 0)
+
+
+def test_preference_pairs_no_cartesian(pref_df):
+    """Pairing is an equi-join on the prefix signature, never a cross
+    product — a hot prefix is bounded by max_convs_per_prefix, not by
+    luck."""
+    q = tr.preference_pairs(pref_df, 1, max_convs_per_prefix=4)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
