@@ -313,6 +313,22 @@ def _positioned(df: DataFrame) -> DataFrame:
     )
 
 
+def _cum_sigs(pos: DataFrame, max_pos: int) -> DataFrame:
+    """(conv_id, _pos, _sig): cumulative position-salted prefix
+    signature over the first ``max_pos`` turns — THE shared signature
+    definition every prefix/preference operator joins on (one window,
+    one place to change; incremental dedup joins batch signatures
+    against state-table rows, so all producers MUST agree)."""
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return pos.where(F.col("_pos") <= max_pos).select(
+        "conv_id", "_pos", F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig")
+    )
+
+
 def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
     """VERIFIED prefix-duplicate relations: (short_id, long_id, depth,
     long_len) where short_id's ENTIRE turn sequence (role, text) equals
@@ -327,14 +343,7 @@ def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
     pos = _positioned(df)
     lens = pos.groupBy("conv_id").agg(F.max("_pos").alias("_len"))
     capped = pos.where(F.col("_pos") <= max_depth)
-    wc = (
-        Window.partitionBy("conv_id")
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sigs = capped.select(
-        "conv_id", "_pos", F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig")
-    )
+    sigs = _cum_sigs(pos, max_depth)
     full = (
         sigs.join(lens, "conv_id")
         .where((F.col("_pos") == F.col("_len")) & (F.col("_len") <= max_depth))
@@ -488,15 +497,8 @@ def prefix_signature_table(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFra
         raise ValueError(f"max_depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
     pos = _positioned(df)
     lens = pos.groupBy("conv_id").agg(F.max("_pos").alias("len"))
-    wc = (
-        Window.partitionBy("conv_id")
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sigs = pos.where(F.col("_pos") <= max_depth).select(
-        "conv_id",
-        F.col("_pos").alias("pos"),
-        F.sum(F.expr(_spark_turn_h48())).over(wc).alias("cum_sig"),
+    sigs = _cum_sigs(pos, max_depth).select(
+        "conv_id", F.col("_pos").alias("pos"), F.col("_sig").alias("cum_sig")
     )
     return sigs.join(lens, "conv_id").select("conv_id", "pos", "cum_sig", "len")
 
@@ -507,6 +509,7 @@ def incremental_prefix_dedup(
     existing_turns: DataFrame,
     max_depth: int = MAX_DEPTH,
     storage_handle: list | None = None,
+    known_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Prefix dedup of an incoming batch of conversations against the
     cumulative accepted corpus — the daily-ingest MERGE shape (the
@@ -518,10 +521,15 @@ def incremental_prefix_dedup(
     ``existing_turns``).
 
     Rules, in order:
-      0. a batch conv re-using an EXISTING conv_id drops
+      0. a batch conv re-using a KNOWN conv_id drops
          (reason 'resent_id' — cross-batch id reuse is an upstream bug
          surfaced, never silently merged; same-batch replays are the
-         streaming layer's batch_id-overwrite job);
+         streaming layer's batch_id-overwrite job). ``known_ids``
+         (one conv_id column) is the id universe for this rule when
+         given — callers that tombstone superseded conversations MUST
+         pass the UNFILTERED historical id set here, or a re-sent
+         tombstoned id would be silently accepted and then hidden
+         forever by the tombstone view; defaults to existing_sigs ids;
       1. batch-internal prefix dedup (reason 'batch_prefix');
       2. a batch conv that is a prefix of — or equal to — an existing
          conversation drops (incumbent wins on equality, regardless of
@@ -557,11 +565,12 @@ def incremental_prefix_dedup(
         batch.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
     )
 
-    resent = _pin(
-        blens.join(existing_lens.select("conv_id"), "conv_id", "left_semi").select(
-            "conv_id"
-        )
+    id_universe = (
+        known_ids.select("conv_id")
+        if known_ids is not None
+        else existing_lens.select("conv_id")
     )
+    resent = _pin(blens.join(id_universe, "conv_id", "left_semi").select("conv_id"))
     fresh = _pin(batch.join(resent, "conv_id", "left_anti"))
 
     internal = prefix_dup_pairs(fresh, max_depth=max_depth)
@@ -885,6 +894,10 @@ def pack_sft_examples(
 
 
 def _duck_sep_expr(sep: str) -> str:
+    # sep='' is a legal packing (pure concat) — emit the empty literal,
+    # not empty SQL (which would not parse inside string_agg)
+    if not sep:
+        return "''"
     return " || ".join(f"chr({ord(c)})" for c in sep)
 
 
@@ -995,18 +1008,8 @@ def preference_pairs(
     if not 1 <= depth <= MAX_DEPTH:
         raise ValueError(f"depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
     pos = _positioned(df)
-    wc = (
-        Window.partitionBy("conv_id")
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     sig = (
-        pos.where(F.col("_pos") <= depth)
-        .select(
-            "conv_id",
-            "_pos",
-            F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig"),
-        )
+        _cum_sigs(pos, depth)
         .where(F.col("_pos") == depth)
         .select("conv_id", "_sig")
     )

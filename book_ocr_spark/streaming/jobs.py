@@ -572,10 +572,21 @@ def start_incremental_prefix_dedup(
     checkpoint_path: str,
     max_depth: int | None = None,
     available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
 ):
     """Streaming conversation prefix dedup — agent re-runs arriving
     continuously (operators.transcripts.incremental_prefix_dedup per
-    micro-batch). State under ``out_path``:
+    micro-batch).
+
+    PRECONDITION: every micro-batch must contain WHOLE conversations.
+    Conversation grain spans rows, so a conv split across two input
+    files lands in two batches and the second slice is (correctly, by
+    rule 0) dropped as 'resent_id' — i.e. truncated. Writers must emit
+    one file per logical drop with complete conversations (or callers
+    raise ``max_files_per_trigger`` / pass None to swallow a whole
+    directory per trigger with availableNow).
+
+    State under ``out_path``:
 
     * ``sigs/``       cumulative prefix-signature rows of ACCEPTED
                       conversations (the narrow candidate-join state);
@@ -599,7 +610,9 @@ def start_incremental_prefix_dedup(
     )
 
     depth = MAX_DEPTH if max_depth is None else max_depth
-    stream = read_transcript_stream(spark, input_path, max_files_per_trigger=1)
+    stream = read_transcript_stream(
+        spark, input_path, max_files_per_trigger=max_files_per_trigger
+    )
     sigs_path = f"{out_path}/sigs"
     corpus_path = f"{out_path}/corpus"
     tomb_path = f"{out_path}/tombstones"
@@ -617,9 +630,17 @@ def start_incremental_prefix_dedup(
         tombs = _read_state(tomb_path, "conv_id string, n_turns long", batch_id).select(
             "conv_id"
         )
-        existing_sigs = _read_state(
+        sigs_all = _read_state(
             sigs_path, "conv_id string, pos long, cum_sig long, len long", batch_id
-        ).join(tombs, "conv_id", "left_anti").select("conv_id", "pos", "cum_sig", "len")
+        )
+        # resent-id universe: ALL ids ever accepted, INCLUDING
+        # tombstoned ones — a re-sent superseded id must surface as
+        # resent_id, not be silently accepted into a corpus view whose
+        # tombstone anti-join would hide it forever
+        known = sigs_all.select("conv_id").distinct()
+        existing_sigs = sigs_all.join(tombs, "conv_id", "left_anti").select(
+            "conv_id", "pos", "cum_sig", "len"
+        )
         existing_turns = _read_state(
             corpus_path,
             "conv_id string, turn_idx int, role string, text string,"
@@ -628,31 +649,43 @@ def start_incremental_prefix_dedup(
         ).join(tombs, "conv_id", "left_anti").drop("batch_id")
 
         handle: list = []
-        decisions, superseded = incremental_prefix_dedup(
-            batch_df, existing_sigs, existing_turns,
-            max_depth=depth, storage_handle=handle,
-        )
-        accepted = batch_df.join(
-            decisions.where(F.col("kept")).select("conv_id"), "conv_id", "left_semi"
-        )
-
-        def _write(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(path)
+        try:
+            decisions, superseded = incremental_prefix_dedup(
+                batch_df, existing_sigs, existing_turns,
+                max_depth=depth, storage_handle=handle, known_ids=known,
+            )
+            # superseded's plan still reads sigs/corpus/tombstones —
+            # pin it BEFORE any write, or writing tomb_path would
+            # overwrite a path its own query reads (AnalysisException
+            # on every retry once tombstones hold data: a wedged stream)
+            superseded = superseded.localCheckpoint(eager=True)
+            handle.append(superseded)
+            accepted = batch_df.join(
+                decisions.where(F.col("kept")).select("conv_id"),
+                "conv_id",
+                "left_semi",
             )
 
-        # corpus first, sigs LAST: a mid-batch crash between the two
-        # leaves orphan corpus rows that the next attempt's dynamic
-        # overwrite rewrites, but never sigs without their turns (sigs
-        # are what future batches trust as "existing")
-        _write(decisions, dec_path)
-        _write(superseded, tomb_path)
-        _write(accepted, corpus_path)
-        _write(prefix_signature_table(accepted, max_depth=depth), sigs_path)
+            def _write(df: DataFrame, path: str) -> None:
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+
+            # corpus first, sigs LAST: a mid-batch crash between the two
+            # leaves orphan corpus rows that the next attempt's dynamic
+            # overwrite rewrites, but never sigs without their turns (sigs
+            # are what future batches trust as "existing")
+            _write(decisions, dec_path)
+            _write(superseded, tomb_path)
+            _write(accepted, corpus_path)
+            _write(prefix_signature_table(accepted, max_depth=depth), sigs_path)
+        finally:
+            for h in handle:
+                h.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

@@ -460,3 +460,58 @@ def test_streaming_incremental_prefix_dedup(spark, tmp_path):
     }
     from book_ocr_spark.operators import transcripts as tr
     assert tr.prefix_dedup(live).where("NOT kept").count() == 0
+
+
+def test_streaming_prefix_dedup_third_batch_after_tombstones(spark, tmp_path):
+    """Regression (review findings): (a) batch 3 must run after a
+    batch that committed real tombstone rows — the superseded frame's
+    plan reads the tombstones path, so without pinning, writing it
+    back wedges the stream with 'Cannot overwrite a path that is also
+    being read from' on every retry; (b) a batch conv re-using a
+    TOMBSTONED id must drop as resent_id, not be silently accepted
+    into a corpus view whose tombstone anti-join hides it forever."""
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 6, 9, 0, 0)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    b1 = [
+        ("e2", 0, "user", "beta question", None, ts),
+        ("e2", 1, "assistant", "beta answer", None, ts),
+    ]
+    b2 = [  # extends e2 -> accepted, e2 tombstoned
+        ("b2", 0, "user", "beta question", None, ts),
+        ("b2", 1, "assistant", "beta answer", None, ts),
+        ("b2", 2, "user", "beta more", None, ts),
+    ]
+    b3 = [  # re-sent tombstoned id + a fresh conv (proves batch 3 ran)
+        ("e2", 0, "user", "totally new content under an old id", None, ts),
+        ("b5", 0, "user", "delta question", None, ts),
+        ("b5", 1, "assistant", "delta answer", None, ts),
+    ]
+    inp = str(tmp_path / "pf3_in")
+    out = str(tmp_path / "pf3_out")
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    q = jobs.start_incremental_prefix_dedup(
+        spark, inp, out, str(tmp_path / "ckpt_pf3"), available_now=True
+    )
+    q.awaitTermination(240)
+
+    dec = {(r.batch_id, r.conv_id): (r.kept, r.reason) for r in
+           spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[(2, "b5")] == (True, "")        # batch 3 completed
+    assert dec[(2, "e2")] == (False, "resent_id")  # tombstoned id surfaced
+    tombs = spark.read.parquet(f"{out}/tombstones")
+    assert {r.conv_id for r in tombs.collect()} == {"e2"}
+    live = spark.read.parquet(f"{out}/corpus").join(
+        tombs.select("conv_id"), "conv_id", "left_anti"
+    )
+    assert {r.conv_id for r in live.select("conv_id").distinct().collect()} == {
+        "b2", "b5"
+    }

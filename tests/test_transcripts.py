@@ -521,3 +521,33 @@ def test_preference_pairs_no_cartesian(pref_df):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_prefix_dedup_known_ids(inc_dfs, spark):
+    """known_ids widens rule 0's universe: an id absent from the live
+    state but present in the historical id set (a tombstoned conv)
+    still drops as resent_id."""
+    b, e = inc_dfs
+    sigs = tr.prefix_signature_table(e)
+    known = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",), ("b4",)], "conv_id string"
+    )  # b4 was accepted once before and later tombstoned
+    decisions, _ = tr.incremental_prefix_dedup(b, sigs, e, known_ids=known)
+    dec = {r.conv_id: (r.kept, r.reason) for r in decisions.collect()}
+    assert dec["b4"] == (False, "resent_id")
+    assert dec["b2"] == (True, "")
+
+
+def test_pack_sft_examples_empty_sep_twin(tdf, con):
+    """sep='' (pure concatenation) is legal on both engines."""
+    packed, spans = tr.pack_sft_examples(tdf, CAP, n_groups=4, sep="")
+    got = _sorted(tuple(r) for r in packed.collect())
+    want = _sorted(
+        tuple(r) for r in con.sql(
+            tr.duck_pack_sft_examples_sql(SRC, CAP, n_groups=4, sep="")).fetchall()
+    )
+    assert got == want
+    seqs = {r.pack_id: r.packed for r in packed.collect()}
+    raw = {(r.conv_id, r.turn_idx): (r.text or "") for r in tdf.collect()}
+    for r in spans.collect():
+        assert seqs[r.pack_id][r.start_off:r.end_off] == raw[(r.conv_id, r.turn_seq - 1)]
