@@ -95,7 +95,12 @@ def _bench_extra():
 
     def semantic_pairs(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return _sd.semantic_pairs(emb, "vec_id", "embedding", n_cells=16)
+        # K scales with the corpus so cells stay ~50 vectors — the
+        # operator's documented scale path (a FIXED K makes within-cell
+        # pair counts grow quadratically with data: measured 5.9x time
+        # per 10x vectors at K=16, vs ~linear with K ∝ N)
+        n_cells = max(16, emb.count() // 50)
+        return _sd.semantic_pairs(emb, "vec_id", "embedding", n_cells=n_cells)
 
     def substring_dedup(spark, sf_dir):
         from book_ocr_spark.operators import substring as _ss
