@@ -380,7 +380,10 @@ def _verified(cand: DataFrame, short_pos: DataFrame, long_pos: DataFrame) -> Dat
     exactly (null-safe) between the short conv (all its positioned
     rows in ``short_pos``) and the long conv (positional equi-join
     into ``long_pos``). ``cand`` must carry (short_id, long_id, depth)
-    plus any extra grouping columns, which pass through."""
+    plus any extra grouping columns, which pass through. Positions are
+    additionally capped PER ROW at the candidate's own ``depth``
+    (preference_pairs_maximal carries varying depths whose convs
+    extend beyond the shared prefix; pre-capped callers see a no-op)."""
     keys = [c for c in cand.columns]
     ta = short_pos.select(
         F.col("conv_id").alias("short_id"),
@@ -400,6 +403,7 @@ def _verified(cand: DataFrame, short_pos: DataFrame, long_pos: DataFrame) -> Dat
     ).otherwise(F.lit(1))
     return (
         cand.join(ta, "short_id")
+        .where(F.col("_p") <= F.col("depth"))
         .join(tb, ["long_id", "_p"])
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"), F.sum(mism).alias("_bad"))
@@ -1141,4 +1145,219 @@ def duck_preference_pairs_sql(
         SELECT v.conv_a, v.conv_b, CAST({depth} AS BIGINT) AS depth,
                x.context, v.response_a, v.response_b
         FROM ver v JOIN ctx x ON x.conv_id = v.conv_a
+    """
+
+
+def preference_pairs_maximal(
+    df: DataFrame,
+    min_depth: int = 1,
+    role: str | None = "assistant",
+    max_convs_per_prefix: int | None = None,
+    max_depth: int = MAX_DEPTH,
+    salt: str = "prefmax",
+) -> DataFrame:
+    """preference_pairs without a caller-known depth: every pair of
+    conversations is mined at its MAXIMAL shared prefix (the length-d
+    prefix equal on both sides with no equal length-(d+1) prefix),
+    d >= ``min_depth`` — real agent re-runs diverge wherever they
+    diverge, not at a configured turn. Divergence at d+1 follows from
+    maximality: equal (role, text) at d+1 would extend the signature
+    match. Pairs whose maximal match reaches ``max_depth`` are
+    EXCLUDED (beyond the signature cap maximality can't be certified);
+    a conv pair where one side simply ends at d is a prefix-dup
+    (prefix_dedup's job), excluded here by requiring a turn at d+1 on
+    both sides.
+
+    ``max_convs_per_prefix`` caps each (depth, signature) bucket
+    BEFORE pairing (k-smallest-hash rule) — under cap pressure a pair
+    can surface at a shallower shared depth than its true maximum
+    (both engines replay the same rule, so the twin stays exact).
+
+    Returns (conv_a, conv_b, depth, context, response_a, response_b).
+
+    Scale shape: the pair join runs on the narrow signature table at
+    every depth — a pair sharing a d-turn prefix costs O(d) candidate
+    rows (same linear-in-shared-turns cost the exact verify pays),
+    grouped down to one max-depth row before any text moves."""
+    if not 1 <= min_depth <= max_depth or max_depth > MAX_DEPTH:
+        raise ValueError(
+            f"need 1 <= min_depth <= max_depth <= {MAX_DEPTH} (signature-sum bound)"
+        )
+    pos = _positioned(df)
+    sigs = _cum_sigs(pos, max_depth).where(F.col("_pos") >= min_depth)
+    if max_convs_per_prefix is not None:
+        from book_ocr_spark.operators.sampling import sample_k_per_group
+
+        sigs = sample_k_per_group(
+            sigs.withColumn(
+                "_bkt", F.concat_ws(":", F.col("_pos"), F.col("_sig"))
+            ),
+            "_bkt",
+            "conv_id",
+            max_convs_per_prefix,
+            salt=salt,
+        ).drop("_bkt")
+    a = sigs.select(F.col("conv_id").alias("short_id"), "_pos", "_sig")
+    b = sigs.select(
+        F.col("conv_id").alias("long_id"),
+        F.col("_pos").alias("_posb"),
+        F.col("_sig").alias("_sigb"),
+    )
+    matched = (
+        a.join(
+            b,
+            (F.col("_pos") == F.col("_posb"))
+            & (F.col("_sig") == F.col("_sigb"))
+            & (F.col("short_id") < F.col("long_id")),
+        )
+        .groupBy("short_id", "long_id")
+        .agg(F.max("_pos").alias("depth"))
+        .where(F.col("depth") < max_depth)
+    )
+    nxt = pos.select(
+        "conv_id", F.col("_pos").alias("_npos"), "role", "text"
+    )
+    if role is not None:
+        nxt = nxt.where(F.col("role") == role)
+    na = nxt.select(
+        F.col("conv_id").alias("_na_id"),
+        F.col("_npos").alias("_na_pos"),
+        F.col("text").alias("response_a"),
+    )
+    nb = nxt.select(
+        F.col("conv_id").alias("_nb_id"),
+        F.col("_npos").alias("_nb_pos"),
+        F.col("text").alias("response_b"),
+    )
+    cand = (
+        matched.join(
+            na,
+            (F.col("short_id") == F.col("_na_id"))
+            & (F.col("_na_pos") == F.col("depth") + 1),
+        )
+        .join(
+            nb,
+            (F.col("long_id") == F.col("_nb_id"))
+            & (F.col("_nb_pos") == F.col("depth") + 1),
+        )
+        .select("short_id", "long_id", "depth", "response_a", "response_b")
+    )
+    cpos = pos.where(F.col("_pos") <= max_depth)
+    a_ids = cand.select(F.col("short_id").alias("conv_id")).distinct()
+    b_ids = cand.select(F.col("long_id").alias("conv_id")).distinct()
+    ver = _verified(
+        cand,
+        cpos.join(a_ids, "conv_id", "left_semi"),
+        cpos.join(b_ids, "conv_id", "left_semi"),
+    )
+    ctx_src = pos.join(
+        ver.select(F.col("short_id").alias("conv_id")).distinct(),
+        "conv_id",
+        "left_semi",
+    ).withColumn("_piece", _piece())
+    # per-pair context depth varies, so render per (conv, depth) only
+    # for depths that actually occur for that conv
+    depths = ver.select(
+        F.col("short_id").alias("conv_id"), F.col("depth").alias("_ctx_depth")
+    ).distinct()
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
+    ctx = (
+        ctx_src.join(depths, "conv_id")
+        .where(F.col("_pos") <= F.col("_ctx_depth"))
+        .groupBy(F.col("conv_id").alias("_ctx_id"), "_ctx_depth")
+        .agg(
+            F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias(
+                "context"
+            )
+        )
+    )
+    return ver.join(
+        ctx,
+        (F.col("short_id") == F.col("_ctx_id"))
+        & (F.col("depth") == F.col("_ctx_depth")),
+    ).select(
+        F.col("short_id").alias("conv_a"),
+        F.col("long_id").alias("conv_b"),
+        F.col("depth").cast("long").alias("depth"),
+        "context",
+        "response_a",
+        "response_b",
+    )
+
+
+def duck_preference_pairs_maximal_sql(
+    src_sql: str,
+    min_depth: int = 1,
+    role: str | None = "assistant",
+    max_convs_per_prefix: int | None = None,
+    max_depth: int = MAX_DEPTH,
+    salt: str = "prefmax",
+) -> str:
+    """DuckDB twin of preference_pairs_maximal."""
+    h48 = _DUCK_TURN_H48
+    sig_sql = f"""
+        SELECT conv_id, pos AS _pos, _sig FROM (
+            SELECT conv_id, pos,
+                   SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig
+            FROM pm_pos WHERE pos <= {max_depth}) q
+        WHERE pos >= {min_depth}
+    """
+    if max_convs_per_prefix is not None:
+        from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
+
+        sig_sql = duck_sample_k_per_group_sql(
+            f"SELECT conv_id, _pos, _sig,"
+            f" (CAST(_pos AS VARCHAR) || ':' || CAST(_sig AS VARCHAR)) AS _bkt"
+            f" FROM ({sig_sql}) s1",
+            "_bkt",
+            "conv_id",
+            max_convs_per_prefix,
+            salt=salt,
+        )
+        sig_sql = f"SELECT conv_id, _pos, _sig FROM ({sig_sql}) s2"
+    role_f = "" if role is None else f"WHERE role = '{role}'"
+    return f"""
+        WITH pm_pos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({src_sql}) s0),
+        sigs AS ({sig_sql}),
+        matched AS (
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   MAX(a._pos) AS depth
+            FROM sigs a JOIN sigs b
+              ON a._pos = b._pos AND a._sig = b._sig AND a.conv_id < b.conv_id
+            GROUP BY a.conv_id, b.conv_id
+            HAVING MAX(a._pos) < {max_depth}),
+        nxt AS (SELECT conv_id, pos, text FROM pm_pos {role_f}),
+        cand AS (
+            SELECT m.conv_a, m.conv_b, m.depth,
+                   na.text AS response_a, nb.text AS response_b
+            FROM matched m
+            JOIN nxt na ON na.conv_id = m.conv_a AND na.pos = m.depth + 1
+            JOIN nxt nb ON nb.conv_id = m.conv_b AND nb.pos = m.depth + 1),
+        ver AS (
+            SELECT c.conv_a, c.conv_b, c.depth, c.response_a, c.response_b
+            FROM cand c
+            JOIN pm_pos pa ON pa.conv_id = c.conv_a AND pa.pos <= c.depth
+            JOIN pm_pos pb ON pb.conv_id = c.conv_b AND pb.pos = pa.pos
+            GROUP BY c.conv_a, c.conv_b, c.depth, c.response_a, c.response_b
+            HAVING COUNT(*) = c.depth
+               AND SUM(CASE WHEN pa.role IS NOT DISTINCT FROM pb.role
+                             AND pa.text IS NOT DISTINCT FROM pb.text
+                        THEN 0 ELSE 1 END) = 0),
+        ctx AS (
+            SELECT p.conv_id, d.depth,
+                   string_agg('<|' || COALESCE(p.role, '') || '|>' || chr(10)
+                              || COALESCE(p.text, ''), chr(10) ORDER BY p.pos)
+                       AS context
+            FROM pm_pos p
+            JOIN (SELECT DISTINCT conv_a AS conv_id, depth FROM ver) d
+              ON d.conv_id = p.conv_id AND p.pos <= d.depth
+            GROUP BY p.conv_id, d.depth)
+        SELECT v.conv_a, v.conv_b, CAST(v.depth AS BIGINT) AS depth,
+               x.context, v.response_a, v.response_b
+        FROM ver v JOIN ctx x ON x.conv_id = v.conv_a AND x.depth = v.depth
     """

@@ -551,3 +551,87 @@ def test_pack_sft_examples_empty_sep_twin(tdf, con):
     raw = {(r.conv_id, r.turn_idx): (r.text or "") for r in tdf.collect()}
     for r in spans.collect():
         assert seqs[r.pack_id][r.start_off:r.end_off] == raw[(r.conv_id, r.turn_seq - 1)]
+
+
+# ---------------------------------------------------------------------------
+# Maximal-depth preference-pair mining
+# ---------------------------------------------------------------------------
+PREFMAX_ROWS = [
+    ("m1", 0, "user", "q one", None, TS),
+    ("m1", 1, "assistant", "r one", None, TS),
+    ("m1", 2, "user", "q two", None, TS),
+    ("m1", 3, "assistant", "x one", None, TS),
+    ("m2", 0, "user", "q one", None, TS),
+    ("m2", 1, "assistant", "r one", None, TS),
+    ("m2", 2, "user", "q two", None, TS),
+    ("m2", 3, "assistant", "x two", None, TS),        # diverges at 4
+    ("m3", 0, "user", "q one", None, TS),
+    ("m3", 1, "assistant", "r one", None, TS),
+    ("m3", 2, "assistant", "y one", None, TS),        # role diverges at 3
+    ("m4", 0, "user", "q one", None, TS),
+    ("m4", 1, "assistant", "DIFFERENT", None, TS),    # diverges at 2
+    ("m5", 0, "user", "q one", None, TS),
+    ("m5", 1, "assistant", "r one", None, TS),        # prefix of m1/m2
+]
+
+
+@pytest.fixture(scope="module")
+def prefmax_df(spark):
+    return spark.createDataFrame(pd.DataFrame(PREFMAX_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ))
+
+
+def test_preference_pairs_maximal_semantics(prefmax_df):
+    got = {(r.conv_a, r.conv_b): r for r in
+           tr.preference_pairs_maximal(prefmax_df).collect()}
+    # (m1,m2) at their true max 3; m4 pairs at 1 with everyone sharing
+    # "q one" (assistant divergence, including (m4,m5)); (m1,m3)/(m2,m3)
+    # drop under the assistant filter (m1/m2 turn 3 is user); m5 never
+    # pairs as the SHORT side of a prefix (no continuation turn)
+    assert set(got) == {
+        ("m1", "m2"), ("m1", "m4"), ("m2", "m4"), ("m3", "m4"), ("m4", "m5"),
+    }
+    p = got[("m1", "m2")]
+    assert p.depth == 3
+    assert p.context == "<|user|>\nq one\n<|assistant|>\nr one\n<|user|>\nq two"
+    assert (p.response_a, p.response_b) == ("x one", "x two")
+    assert got[("m1", "m4")].depth == 1
+
+
+def test_preference_pairs_maximal_min_depth_and_any_role(prefmax_df):
+    deep = {(r.conv_a, r.conv_b) for r in
+            tr.preference_pairs_maximal(prefmax_df, min_depth=2).collect()}
+    assert deep == {("m1", "m2")}
+    anyrole = {(r.conv_a, r.conv_b): r.depth for r in
+               tr.preference_pairs_maximal(prefmax_df, role=None).collect()}
+    assert anyrole[("m1", "m3")] == 2 and anyrole[("m2", "m3")] == 2
+    assert ("m1", "m5") not in anyrole  # prefix, not a divergence
+
+
+@pytest.mark.parametrize("cap,role", [(None, "assistant"), (2, "assistant"), (None, None)])
+def test_preference_pairs_maximal_twin(prefmax_df, cap, role):
+    got = _sorted(
+        tuple(r)
+        for r in tr.preference_pairs_maximal(
+            prefmax_df, role=role, max_convs_per_prefix=cap
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("pm", pd.DataFrame(PREFMAX_ROWS, columns=COLS))
+    want = _sorted(
+        (a, b, int(d), c, ra, rb)
+        for a, b, d, c, ra, rb in con.sql(
+            tr.duck_preference_pairs_maximal_sql(
+                "SELECT * FROM pm", role=role, max_convs_per_prefix=cap
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_preference_pairs_maximal_validation(prefmax_df):
+    with pytest.raises(ValueError):
+        tr.preference_pairs_maximal(prefmax_df, min_depth=0)
+    with pytest.raises(ValueError):
+        tr.preference_pairs_maximal(prefmax_df, min_depth=5, max_depth=4)
