@@ -814,6 +814,7 @@ def pack_sft_examples(
     n_groups: int = 64,
     sep: str = "\n\n",
     salt: str = "sftpack",
+    algo: str = "next_fit",
 ) -> tuple[DataFrame, DataFrame]:
     """Pack rendered SFT examples into fixed-capacity training
     sequences AND remap every turn's loss-mask span into its packed
@@ -848,16 +849,28 @@ def pack_sft_examples(
     shuffles only narrow (conv_id, size) rows by group; the concat
     groupBy moves each example's text exactly once, keyed by
     (grp, bin) whose size is bounded by capacity — no skew possible
-    by construction."""
-    from book_ocr_spark.operators.packing import pack_next_fit
+    by construction.
+
+    ``algo='ffd'`` packs with first-fit-decreasing instead (several
+    points of fill ratio back on skewed-length corpora; see
+    packing.pack_first_fit_decreasing). FFD has no SQL twin (the
+    documented reference-replay carve-out), so the duck twins accept
+    only the default."""
+    from book_ocr_spark.operators.packing import (
+        pack_first_fit_decreasing,
+        pack_next_fit,
+    )
 
     if capacity <= len(sep):
         raise ValueError("capacity must exceed the separator length")
+    if algo not in ("next_fit", "ffd"):
+        raise ValueError("algo must be 'next_fit' or 'ffd'")
+    packer = pack_next_fit if algo == "next_fit" else pack_first_fit_decreasing
     ex = sft_examples(df)
     sized = ex.withColumn(
         "_psize", (F.col("example_len") + F.lit(len(sep))).cast("long")
     )
-    asg = pack_next_fit(sized, "conv_id", "_psize", capacity, n_groups=n_groups, salt=salt)
+    asg = packer(sized, "conv_id", "_psize", capacity, n_groups=n_groups, salt=salt)
     wprev = (
         Window.partitionBy("grp", "bin")
         .orderBy("bin_pos")

