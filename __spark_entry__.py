@@ -566,6 +566,38 @@ def q_prefix_dedup(spark, sf_dir):
     return prefix_dedup(t.unionByName(rr)).orderBy("conv_id")
 
 
+def q_preference_pairs(spark, sf_dir):
+    """Transcripts-native: DPO-style preference-pair mining
+    (operators/transcripts.preference_pairs) — conversations sharing an
+    exact 3-turn prefix whose 4th (assistant) turns diverge yield
+    (context, response_a, response_b) comparison rows. Synth
+    transcripts with alternating roles; for conv numbers < 10 a
+    deterministic re-run re-emits the first 3 turns and appends a
+    divergent assistant turn. Context render + both responses are
+    hash-checked against the signature-join/verify DuckDB twin."""
+    from book_ocr_spark.operators.transcripts import preference_pairs
+
+    t = _synth_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 1, F.lit("assistant"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        "text",
+    )
+    base = t.where(F.substring("conv_id", 6, 3).cast("int") < 10)
+    rr = (
+        base.where(F.col("turn_idx") <= 2)
+        .unionByName(
+            base.where(F.col("turn_idx") == 3).withColumn(
+                "text", F.concat(F.lit("DIVERGENT "), F.col("text"))
+            )
+        )
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_rr")))
+    )
+    return preference_pairs(t.unionByName(rr), depth=3).orderBy("conv_a", "conv_b")
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / similarity / text-analysis (training-data ops)
 # ---------------------------------------------------------------------------
@@ -1141,7 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_collect": q_ordered_collect,
         "rollup_metrics": q_rollup_metrics,
         "nations_setops": q_nations_setops,
-        "union_event_slices": q_union_event_slices,
+        "preference_pairs": q_preference_pairs,
         "user_event_lag": q_user_event_lag,
         "global_page_numbers": q_global_page_numbers,
         "daily_event_rollup": q_daily_event_rollup,
@@ -1412,6 +1444,38 @@ def _sft_assembly_oracle_sql() -> str:
     """
 
 
+UNION_EVENT_SLICES_ORACLE = """
+    SELECT event_type, COUNT(*) AS n FROM (
+        SELECT * FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT * FROM events WHERE value > 95) t
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _preference_pairs_oracle_sql() -> str:
+    from book_ocr_spark.operators.transcripts import duck_preference_pairs_sql
+
+    src = f"""
+        WITH st AS ({_DUCK_SYNTH_T}),
+        tr AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN turn_idx % 2 = 1 THEN 'assistant' ELSE 'user' END AS role,
+                   text
+            FROM st)
+        SELECT conv_id, turn_idx, role, text FROM tr
+        UNION ALL
+        SELECT conv_id || '_rr', turn_idx, role,
+               CASE WHEN turn_idx = 3 THEN 'DIVERGENT ' || text ELSE text END
+        FROM tr
+        WHERE CAST(substr(conv_id, 6, 3) AS INT) < 10 AND turn_idx <= 3
+    """
+    return (
+        f"SELECT * FROM ({duck_preference_pairs_sql(src, 3)}) q"
+        " ORDER BY conv_a, conv_b"
+    )
+
+
 def _prefix_dedup_oracle_sql() -> str:
     from book_ocr_spark.operators.transcripts import duck_prefix_dedup_sql
 
@@ -1523,13 +1587,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_nationkey FROM supplier) i
             ORDER BY op, nationkey
         """,
-        "union_event_slices": """
-            SELECT event_type, COUNT(*) AS n FROM (
-                SELECT * FROM events WHERE event_type = 'click'
-                UNION ALL
-                SELECT * FROM events WHERE value > 95) t
-            GROUP BY event_type ORDER BY event_type
-        """,
+        "preference_pairs": _preference_pairs_oracle_sql(),
         "user_event_lag": """
             SELECT user_id, event_id,
                    ROUND(value - LAG(value) OVER w, 4) AS delta,

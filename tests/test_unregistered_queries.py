@@ -1,7 +1,7 @@
 """Queries unregistered from the driver's 50-row correctness window in
-r3 (cube_order_metrics, order_gap_days) keep full DuckDB-twin coverage
-here — same compare discipline as tools/check_oracles.py, run at
-sf0.001."""
+r3 (cube_order_metrics, order_gap_days, union_event_slices) keep full
+DuckDB-twin coverage here — same compare discipline as
+tools/check_oracles.py, run at sf0.001."""
 
 import os
 
@@ -47,6 +47,9 @@ def con():
     c.execute(
         f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
     )
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
     return c
 
 
@@ -65,4 +68,16 @@ def test_order_gap_days_twin(spark, con):
     _compare(
         em.q_order_gap_days(spark, SF_DIR).toPandas(),
         con.execute(em.ORDER_GAP_DAYS_ORACLE).df(),
+    )
+
+
+def test_union_event_slices_twin(spark, con):
+    """Retired in favor of the transcripts-native preference_pairs row;
+    the UNION operator class stays driver-covered via nations_setops'
+    tagged unionByName."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_union_event_slices(spark, SF_DIR).toPandas(),
+        con.execute(em.UNION_EVENT_SLICES_ORACLE).df(),
     )
