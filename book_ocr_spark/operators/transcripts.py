@@ -1374,3 +1374,84 @@ def duck_preference_pairs_maximal_sql(
                x.context, v.response_a, v.response_b
         FROM ver v JOIN ctx x ON x.conv_id = v.conv_a AND x.depth = v.depth
     """
+
+
+# ---------------------------------------------------------------------------
+# Char spans -> whitespace-token spans (loss masks in token space)
+# ---------------------------------------------------------------------------
+def token_spans(
+    df: DataFrame,
+    text_col: str,
+    start_col: str = "start_off",
+    end_col: str = "end_off",
+) -> DataFrame:
+    """Add ``tok_start``/``tok_end``: the half-open whitespace-token
+    index range covering the character span [start, end) inside
+    ``text_col`` — the conversion a trainer needs to turn sft_spans /
+    pack_sft_examples char offsets into a token-space loss mask
+    (textstats.ws_tokens is the tokenizer convention; a subword
+    tokenizer refines within these words downstream).
+
+    Overlap semantics (robust to spans that cut a token):
+    ``tok_start`` = tokens ENTIRELY before the span; ``tok_end`` =
+    tokens starting before the span's end — i.e. every token
+    overlapping the span is included. For template-aligned spans
+    (sft_spans always starts after the header newline and ends at a
+    piece boundary) the range is exact.
+
+    One narrow JVM projection — three regexp_extract_all counts per
+    row, no shuffle, no Python."""
+
+    def runs_in_prefix(p: str) -> Column:
+        return F.size(
+            F.expr(
+                f"regexp_extract_all(substring({text_col}, 1, cast({p} as int)),"
+                " '\\\\S+', 0)"
+            )
+        )
+
+    # straddle: the prefix's last char AND the span's first char are
+    # both non-space -> the run containing the boundary is cut and
+    # overlaps the span. Guard start > 0: substring position 0 is
+    # engine-quirky (Spark treats it as 1) and an empty prefix can't
+    # straddle anything.
+    straddle = (
+        (F.col(start_col) > 0)
+        & F.expr(f"substring({text_col}, cast({start_col} as int), 1)").rlike(r"\S")
+        & F.expr(f"substring({text_col}, cast({start_col} as int) + 1, 1)").rlike(r"\S")
+    ).cast("int")
+    tok_start = (runs_in_prefix(start_col) - straddle).cast("long")
+    tok_end = runs_in_prefix(end_col).cast("long")
+    return df.withColumn("tok_start", tok_start).withColumn(
+        "tok_end", F.greatest(tok_end, tok_start)
+    )
+
+
+def duck_token_spans_sql(
+    src_sql: str,
+    text_col: str,
+    start_col: str = "start_off",
+    end_col: str = "end_off",
+) -> str:
+    """DuckDB twin of token_spans (input columns + tok_start/tok_end)."""
+
+    def runs(p: str) -> str:
+        return (
+            f"LEN(regexp_extract_all(substr({text_col}, 1, CAST({p} AS INT)),"
+            " '\\S+'))"
+        )
+
+    straddle = (
+        f"(CASE WHEN {start_col} > 0"
+        f" AND regexp_matches(substr({text_col}, CAST({start_col} AS INT), 1),"
+        " '\\S')"
+        f" AND regexp_matches(substr({text_col}, CAST({start_col} AS INT) + 1, 1),"
+        " '\\S') THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        SELECT s.*,
+               CAST({runs(start_col)} - {straddle} AS BIGINT) AS tok_start,
+               CAST(GREATEST({runs(end_col)},
+                             {runs(start_col)} - {straddle}) AS BIGINT) AS tok_end
+        FROM ({src_sql}) s
+    """

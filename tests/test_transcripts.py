@@ -663,3 +663,94 @@ def test_pack_sft_examples_ffd(tdf):
 
     with pytest.raises(ValueError):
         tr.pack_sft_examples(tdf, CAP, algo="best_fit")
+
+
+# ---------------------------------------------------------------------------
+# Char spans -> token spans
+# ---------------------------------------------------------------------------
+def _ref_token_span(text, s, e):
+    import re
+
+    runs = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+    tok_start = sum(1 for a, b in runs if b <= s)
+    tok_end = sum(1 for a, b in runs if a < e)
+    return tok_start, max(tok_end, tok_start)
+
+
+def test_token_spans_designed_and_twin(spark):
+    text = "ab cd  ef\ngh"
+    cases = [
+        (0, 0, 2),   # exactly "ab"
+        (1, 3, 5),   # exactly "cd"
+        (2, 1, 4),   # cuts both "ab" and "cd"
+        (3, 0, 0),   # empty span at 0
+        (4, 4, 4),   # empty span mid-token -> covers the cut token? no: start==end
+        (5, 7, 12),  # "ef\ngh"
+        (6, 2, 3),   # pure-whitespace span
+    ]
+    rows = [(i, text, s, e) for i, s, e in cases]
+    df = spark.createDataFrame(rows, "id long, body string, start_off long, end_off long")
+    got = {r.id: (r.tok_start, r.tok_end)
+           for r in tr.token_spans(df, "body").collect()}
+    for i, s, e in cases:
+        assert got[i] == _ref_token_span(text, s, e), (i, s, e)
+    import duckdb
+    con = duckdb.connect()
+    con.register("ts_in", pd.DataFrame(rows, columns=["id", "body", "start_off", "end_off"]))
+    want = {int(r[0]): (int(r[4]), int(r[5])) for r in con.sql(
+        tr.duck_token_spans_sql("SELECT * FROM ts_in", "body")).fetchall()}
+    assert got == want
+
+
+def test_token_spans_property(spark):
+    """Random texts + random spans: Spark == DuckDB == the Python
+    overlap-rule reference."""
+    import random
+
+    rng = random.Random(47)
+    alphabet = "ab  c   def \n\t"
+    rows = []
+    rid = 0
+    for _ in range(60):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(4):
+            s = rng.randint(0, max(len(text), 1))
+            e = rng.randint(s, max(len(text), 1))
+            rows.append((rid, text, s, e))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, body string, start_off long, end_off long")
+    got = {r.id: (r.tok_start, r.tok_end) for r in tr.token_spans(df, "body").collect()}
+    for i, text, s, e in rows:
+        assert got[i] == _ref_token_span(text, s, e), (i, repr(text), s, e)
+    import duckdb
+    con = duckdb.connect()
+    con.register("tp_in", pd.DataFrame(rows, columns=["id", "body", "start_off", "end_off"]))
+    want = {int(r[0]): (int(r[4]), int(r[5])) for r in con.sql(
+        tr.duck_token_spans_sql("SELECT * FROM tp_in", "body")).fetchall()}
+    assert got == want
+
+
+def test_token_spans_on_sft_spans(spark):
+    """Integration: sft char spans -> token spans inside the rendered
+    example; slicing the example's ws-token list at [tok_start,
+    tok_end) returns exactly the turn's own tokens (single-spaced
+    plain fixture, so spans are token-aligned)."""
+    rows = [
+        ("c1", 0, "user", "hello big world", None, None),
+        ("c1", 1, "assistant", "a fine reply here", None, None),
+        ("c1", 2, "user", "thanks", None, None),
+    ]
+    df = spark.createDataFrame(rows, (
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ))
+    joined = tr.sft_spans(df).join(
+        tr.sft_examples(df).select("conv_id", "example"), "conv_id"
+    )
+    out = tr.token_spans(joined, "example").collect()
+    ex = {r.conv_id: r.example for r in tr.sft_examples(df).collect()}
+    raw = {r[1]: r[3] for r in rows}
+    for r in out:
+        toks = ex[r.conv_id].split()
+        # the turn's tokens appear exactly at the token span (headers
+        # like '<|user|>' are their own ws-tokens around it)
+        assert toks[r.tok_start:r.tok_end] == raw[r.turn_seq - 1].split(), r
