@@ -319,3 +319,18 @@ def test_line_dedup_distinct_count_is_two_stage(spark):
     plan = _explain(line_dedup(df, "id", "text"))
     assert "partial_count(distinct" in plan, plan
     assert re.search(r"hashpartitioning\(k#\d+, id#\d+", plan), plan
+
+
+def test_token_spans_no_exchange(spark):
+    """token_spans is a pure projection: zero exchanges added over its
+    input — the char->token loss-mask conversion rides whatever
+    partitioning the spans already have."""
+    import re
+
+    from book_ocr_spark.operators.transcripts import token_spans
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ef", 0, 2)], "id long, body string, start_off long, end_off long"
+    )
+    plan = _explain(token_spans(df, "body"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
