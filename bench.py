@@ -206,7 +206,8 @@ def bench_round() -> dict:
     handle: list = []
     t0 = time.perf_counter()
     _noop(curate_transcripts(tsl, n_parts=spark.sparkContext.defaultParallelism,
-                             prefix_max_depth=4096, storage_handle=handle))
+                             prefix_max_depth=4096, storage_handle=handle,
+                             max_alternation_violations=4, redact=True))
     timings["sft_corpus"] = round(time.perf_counter() - t0, 3)
     for h in handle:
         h.unpersist()
