@@ -1455,3 +1455,207 @@ def duck_token_spans_sql(
                              {runs(start_col)} - {straddle}) AS BIGINT) AS tok_end
         FROM ({src_sql}) s
     """
+
+
+def incremental_preference_pairs(
+    batch: DataFrame,
+    existing_sigs: DataFrame,
+    existing_turns: DataFrame,
+    depth: int,
+    role: str | None = "assistant",
+    max_convs_per_prefix: int | None = None,
+    salt: str = "ipref",
+) -> DataFrame:
+    """preference_pairs in the daily-ingest MERGE shape: mine CROSS
+    pairs only — a new batch conversation against the accepted corpus —
+    using the ``prefix_signature_table`` state rows as candidates, so
+    the corpus is never rescanned at turn grain (the
+    incremental_prefix_dedup idiom; run ``preference_pairs(batch)``
+    separately for batch-internal pairs). A candidate is an existing
+    conversation whose depth-prefix signature equals a batch conv's;
+    the exact verify and the existing side's response read only
+    candidate conversations' turns (semi-join into ``existing_turns``).
+
+    ``max_convs_per_prefix`` caps EACH side's conversations per prefix
+    signature before pairing (k-smallest-hash rule), bounding a hot
+    seed prompt at ~cap² cross pairs.
+
+    Returns (conv_new, conv_existing, depth, context, response_new,
+    response_existing) — context rendered from the new conv's prefix
+    (the shared turns, verified equal)."""
+    if not 1 <= depth < MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}) (signature-sum bound)")
+    bpos = _positioned(batch)
+    bsig = (
+        _cum_sigs(bpos, depth)
+        .where(F.col("_pos") == depth)
+        .select("conv_id", "_sig")
+    )
+    bnxt = bpos.where(F.col("_pos") == depth + 1).select(
+        "conv_id", "role", F.col("text").alias("response_new")
+    )
+    if role is not None:
+        bnxt = bnxt.where(F.col("role") == role)
+    belig = bsig.join(bnxt.select("conv_id", "response_new"), "conv_id")
+
+    esig = existing_sigs.where(
+        (F.col("pos") == depth) & (F.col("len") >= depth + 1)
+    ).select(F.col("conv_id"), F.col("cum_sig").alias("_sig"))
+    if max_convs_per_prefix is not None:
+        from book_ocr_spark.operators.sampling import sample_k_per_group
+
+        belig = sample_k_per_group(
+            belig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
+        esig = sample_k_per_group(
+            esig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
+
+    e_cand_ids = (
+        esig.join(
+            belig.select(F.col("_sig").alias("_bsig")).distinct(),
+            F.col("_sig") == F.col("_bsig"),
+            "left_semi",
+        )
+        .select("conv_id")
+        .distinct()
+    )
+    epos = _positioned(existing_turns.join(e_cand_ids, "conv_id", "left_semi"))
+    enxt = epos.where(F.col("_pos") == depth + 1).select(
+        F.col("conv_id").alias("_e_id"),
+        "role",
+        F.col("text").alias("response_existing"),
+    )
+    if role is not None:
+        enxt = enxt.where(F.col("role") == role)
+
+    cand = (
+        belig.select(F.col("conv_id").alias("short_id"), "_sig", "response_new")
+        .join(
+            esig.select(F.col("conv_id").alias("long_id"), F.col("_sig").alias("_esig")),
+            F.col("_sig") == F.col("_esig"),
+        )
+        .join(enxt, F.col("long_id") == F.col("_e_id"))
+        .where(~F.col("response_new").eqNullSafe(F.col("response_existing")))
+        .select(
+            "short_id",
+            "long_id",
+            F.lit(depth).cast("long").alias("depth"),
+            "response_new",
+            "response_existing",
+        )
+    )
+    ver = _verified(
+        cand,
+        bpos.where(F.col("_pos") <= depth),
+        epos.where(F.col("_pos") <= depth),
+    )
+    ctx_src = (
+        bpos.join(
+            ver.select(F.col("short_id").alias("conv_id")).distinct(),
+            "conv_id",
+            "left_semi",
+        )
+        .where(F.col("_pos") <= depth)
+        .withColumn("_piece", _piece())
+    )
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
+    ctx = ctx_src.groupBy(F.col("conv_id").alias("_ctx_id")).agg(
+        F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("context")
+    )
+    return ver.join(ctx, F.col("short_id") == F.col("_ctx_id")).select(
+        F.col("short_id").alias("conv_new"),
+        F.col("long_id").alias("conv_existing"),
+        "depth",
+        "context",
+        "response_new",
+        "response_existing",
+    )
+
+
+def duck_incremental_preference_pairs_sql(
+    batch_sql: str,
+    existing_sql: str,
+    depth: int,
+    role: str | None = "assistant",
+    max_convs_per_prefix: int | None = None,
+    salt: str = "ipref",
+) -> str:
+    """DuckDB twin of incremental_preference_pairs. ``existing_sql``
+    yields the existing corpus TURNS (the twin derives the signature
+    state from them — the operator's state table is
+    prefix_signature_table over the same turns)."""
+    h48 = _DUCK_TURN_H48
+    role_b = "" if role is None else f"AND role = '{role}'"
+    belig_sql = f"""
+        SELECT s.conv_id, s._sig, n.response_new FROM (
+            SELECT conv_id, _sig FROM (
+                SELECT conv_id, pos,
+                       SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig
+                FROM ip_bpos WHERE pos <= {depth}) q WHERE pos = {depth}) s
+        JOIN (SELECT conv_id, text AS response_new FROM ip_bpos
+              WHERE pos = {depth + 1} {role_b}) n USING (conv_id)
+    """
+    esig_sql = f"""
+        SELECT conv_id, _sig FROM (
+            SELECT conv_id, pos,
+                   SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig,
+                   MAX(pos) OVER (PARTITION BY conv_id) AS len
+            FROM ip_epos WHERE pos <= {depth + 1}) q
+        WHERE pos = {depth} AND len >= {depth + 1}
+    """
+    if max_convs_per_prefix is not None:
+        from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
+
+        belig_sql = duck_sample_k_per_group_sql(
+            belig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
+        esig_sql = duck_sample_k_per_group_sql(
+            esig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
+    return f"""
+        WITH ip_bpos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({batch_sql}) b0),
+        ip_epos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({existing_sql}) e0),
+        belig AS ({belig_sql}),
+        esig AS ({esig_sql}),
+        cand AS (
+            SELECT b.conv_id AS conv_new, e.conv_id AS conv_existing,
+                   b.response_new, n.response_existing
+            FROM belig b
+            JOIN esig e ON e._sig = b._sig
+            JOIN (SELECT conv_id, text AS response_existing FROM ip_epos
+                  WHERE pos = {depth + 1} {role_b}) n ON n.conv_id = e.conv_id
+            WHERE b.response_new IS DISTINCT FROM n.response_existing),
+        ver AS (
+            SELECT c.conv_new, c.conv_existing, c.response_new,
+                   c.response_existing
+            FROM cand c
+            JOIN ip_bpos pa ON pa.conv_id = c.conv_new AND pa.pos <= {depth}
+            JOIN ip_epos pb ON pb.conv_id = c.conv_existing AND pb.pos = pa.pos
+            GROUP BY c.conv_new, c.conv_existing, c.response_new,
+                     c.response_existing
+            HAVING COUNT(*) = {depth}
+               AND SUM(CASE WHEN pa.role IS NOT DISTINCT FROM pb.role
+                             AND pa.text IS NOT DISTINCT FROM pb.text
+                        THEN 0 ELSE 1 END) = 0),
+        ctx AS (
+            SELECT conv_id,
+                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
+                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
+            FROM ip_bpos WHERE pos <= {depth}
+              AND conv_id IN (SELECT conv_new FROM ver)
+            GROUP BY conv_id)
+        SELECT v.conv_new, v.conv_existing, CAST({depth} AS BIGINT) AS depth,
+               x.context, v.response_new, v.response_existing
+        FROM ver v JOIN ctx x ON x.conv_id = v.conv_new
+    """

@@ -754,3 +754,83 @@ def test_token_spans_on_sft_spans(spark):
         # the turn's tokens appear exactly at the token span (headers
         # like '<|user|>' are their own ws-tokens around it)
         assert toks[r.tok_start:r.tok_end] == raw[r.turn_seq - 1].split(), r
+
+
+# ---------------------------------------------------------------------------
+# Incremental preference pairs (MERGE shape)
+# ---------------------------------------------------------------------------
+IP_E = [
+    ("e1", 0, "user", "alpha q", None, TS),
+    ("e1", 1, "assistant", "alpha a1", None, TS),
+    ("e1", 2, "user", "alpha more", None, TS),
+    ("e2", 0, "user", "alpha q", None, TS),
+    ("e2", 1, "assistant", "alpha a2", None, TS),
+    ("e3", 0, "user", "beta q", None, TS),
+    ("e3", 1, "assistant", "beta a", None, TS),
+]
+IP_B = [
+    ("n1", 0, "user", "alpha q", None, TS),
+    ("n1", 1, "assistant", "alpha NEW", None, TS),
+    ("n2", 0, "user", "alpha q", None, TS),
+    ("n2", 1, "assistant", "alpha a1", None, TS),   # equal to e1's response
+    ("n3", 0, "user", "gamma q", None, TS),
+    ("n3", 1, "assistant", "g", None, TS),
+    ("n4", 0, "user", "beta q", None, TS),          # no continuation
+]
+
+
+@pytest.fixture(scope="module")
+def ip_dfs(spark):
+    sch = ("conv_id string, turn_idx int, role string, text string,"
+           " tool string, ts timestamp")
+    return (
+        spark.createDataFrame(pd.DataFrame(IP_B, columns=COLS), sch),
+        spark.createDataFrame(pd.DataFrame(IP_E, columns=COLS), sch),
+    )
+
+
+def test_incremental_preference_pairs_semantics(ip_dfs):
+    b, e = ip_dfs
+    sigs = tr.prefix_signature_table(e)
+    got = {(r.conv_new, r.conv_existing): r for r in
+           tr.incremental_preference_pairs(b, sigs, e, depth=1).collect()}
+    # n1 diverges from both e1 and e2; n2 only from e2 (response equal
+    # to e1's); n3 shares no prefix; n4 has no continuation
+    assert set(got) == {("n1", "e1"), ("n1", "e2"), ("n2", "e2")}
+    p = got[("n1", "e1")]
+    assert p.context == "<|user|>\nalpha q"
+    assert (p.response_new, p.response_existing) == ("alpha NEW", "alpha a1")
+
+
+@pytest.mark.parametrize("cap", [None, 1])
+def test_incremental_preference_pairs_twin(ip_dfs, cap):
+    b, e = ip_dfs
+    sigs = tr.prefix_signature_table(e)
+    got = _sorted(
+        tuple(r)
+        for r in tr.incremental_preference_pairs(
+            b, sigs, e, depth=1, max_convs_per_prefix=cap
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("ipb", pd.DataFrame(IP_B, columns=COLS))
+    con.register("ipe", pd.DataFrame(IP_E, columns=COLS))
+    want = _sorted(
+        (a, b_, int(d), c, rn, re_)
+        for a, b_, d, c, rn, re_ in con.sql(
+            tr.duck_incremental_preference_pairs_sql(
+                "SELECT * FROM ipb", "SELECT * FROM ipe", 1,
+                max_convs_per_prefix=cap,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    if cap == 1:
+        assert len(got) <= 1
+
+
+def test_incremental_preference_pairs_validation(ip_dfs):
+    b, e = ip_dfs
+    sigs = tr.prefix_signature_table(e)
+    with pytest.raises(ValueError):
+        tr.incremental_preference_pairs(b, sigs, e, depth=0)
