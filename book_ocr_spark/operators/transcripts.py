@@ -989,6 +989,21 @@ def duck_pack_sft_spans_sql(
 # ---------------------------------------------------------------------------
 # Preference-pair mining (agent re-runs -> DPO-style comparison pairs)
 # ---------------------------------------------------------------------------
+def _render_contexts(pos: DataFrame, depths: DataFrame) -> DataFrame:
+    """Shared context render for the three preference miners:
+    ``depths`` is (conv_id, _ctx_depth) distinct; returns (_ctx_id,
+    _ctx_depth, context) — each conv's first ``_ctx_depth`` turns under
+    the chat template (the sft_examples ordering idiom). One definition
+    so a template change can't silently diverge the miners."""
+    src = (
+        pos.join(depths, "conv_id")
+        .where(F.col("_pos") <= F.col("_ctx_depth"))
+        .withColumn("_piece", _piece())
+    )
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
+    return src.groupBy(
+        F.col("conv_id").alias("_ctx_id"), "_ctx_depth"
+    ).agg(F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("context"))
 def preference_pairs(
     df: DataFrame,
     depth: int,
@@ -1075,20 +1090,13 @@ def preference_pairs(
         cpos.join(a_ids, "conv_id", "left_semi"),
         cpos.join(b_ids, "conv_id", "left_semi"),
     )
-    ctx_src = (
-        pos.join(
-            ver.select(F.col("short_id").alias("conv_id")).distinct(),
-            "conv_id",
-            "left_semi",
-        )
-        .where(F.col("_pos") <= depth)
-        .withColumn("_piece", _piece())
+    ctx = _render_contexts(
+        pos,
+        ver.select(F.col("short_id").alias("conv_id"))
+        .distinct()
+        .withColumn("_ctx_depth", F.lit(depth).cast("long")),
     )
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
-    ctx = ctx_src.groupBy("conv_id").agg(
-        F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("context")
-    )
-    return ver.join(ctx, ver.short_id == ctx.conv_id).select(
+    return ver.join(ctx, F.col("short_id") == F.col("_ctx_id")).select(
         F.col("short_id").alias("conv_a"),
         F.col("long_id").alias("conv_b"),
         "depth",
@@ -1182,9 +1190,11 @@ def preference_pairs_maximal(
     both sides.
 
     ``max_convs_per_prefix`` caps each (depth, signature) bucket
-    BEFORE pairing (k-smallest-hash rule) — under cap pressure a pair
-    can surface at a shallower shared depth than its true maximum
-    (both engines replay the same rule, so the twin stays exact).
+    BEFORE pairing (k-smallest-hash rule). The cap can only DROP a
+    pair entirely, never misreport its depth: the rank hash is
+    depth-independent and deeper buckets are subsets of shallower
+    ones, so a conv kept in any shared bucket is kept in every deeper
+    one — a surviving pair's max surviving depth IS its true maximum.
 
     Returns (conv_a, conv_b, depth, context, response_a, response_b).
 
@@ -1253,6 +1263,10 @@ def preference_pairs_maximal(
             (F.col("long_id") == F.col("_nb_id"))
             & (F.col("_nb_pos") == F.col("depth") + 1),
         )
+        # maximality certifies the (role, text) PAIR differs at depth+1;
+        # with role=None that can be a role-only divergence, which is a
+        # byte-identical response pair — useless for preference data
+        .where(~F.col("response_a").eqNullSafe(F.col("response_b")))
         .select("short_id", "long_id", "depth", "response_a", "response_b")
     )
     cpos = pos.where(F.col("_pos") <= max_depth)
@@ -1263,26 +1277,13 @@ def preference_pairs_maximal(
         cpos.join(a_ids, "conv_id", "left_semi"),
         cpos.join(b_ids, "conv_id", "left_semi"),
     )
-    ctx_src = pos.join(
-        ver.select(F.col("short_id").alias("conv_id")).distinct(),
-        "conv_id",
-        "left_semi",
-    ).withColumn("_piece", _piece())
     # per-pair context depth varies, so render per (conv, depth) only
     # for depths that actually occur for that conv
-    depths = ver.select(
-        F.col("short_id").alias("conv_id"), F.col("depth").alias("_ctx_depth")
-    ).distinct()
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
-    ctx = (
-        ctx_src.join(depths, "conv_id")
-        .where(F.col("_pos") <= F.col("_ctx_depth"))
-        .groupBy(F.col("conv_id").alias("_ctx_id"), "_ctx_depth")
-        .agg(
-            F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias(
-                "context"
-            )
-        )
+    ctx = _render_contexts(
+        pos,
+        ver.select(
+            F.col("short_id").alias("conv_id"), F.col("depth").alias("_ctx_depth")
+        ).distinct(),
     )
     return ver.join(
         ctx,
@@ -1350,7 +1351,8 @@ def duck_preference_pairs_maximal_sql(
                    na.text AS response_a, nb.text AS response_b
             FROM matched m
             JOIN nxt na ON na.conv_id = m.conv_a AND na.pos = m.depth + 1
-            JOIN nxt nb ON nb.conv_id = m.conv_b AND nb.pos = m.depth + 1),
+            JOIN nxt nb ON nb.conv_id = m.conv_b AND nb.pos = m.depth + 1
+            WHERE na.text IS DISTINCT FROM nb.text),
         ver AS (
             SELECT c.conv_a, c.conv_b, c.depth, c.response_a, c.response_b
             FROM cand c
@@ -1507,9 +1509,6 @@ def incremental_preference_pairs(
         belig = sample_k_per_group(
             belig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
         )
-        esig = sample_k_per_group(
-            esig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
 
     e_cand_ids = (
         esig.join(
@@ -1528,14 +1527,29 @@ def incremental_preference_pairs(
     )
     if role is not None:
         enxt = enxt.where(F.col("role") == role)
+    # cap the existing side AFTER role/continuation eligibility — an
+    # ineligible conv must not consume a cap slot and starve real pairs
+    eelig = esig.join(
+        enxt.select(F.col("_e_id").alias("conv_id"), "response_existing"), "conv_id"
+    )
+    if max_convs_per_prefix is not None:
+        eelig = sample_k_per_group(
+            eelig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        )
 
     cand = (
         belig.select(F.col("conv_id").alias("short_id"), "_sig", "response_new")
         .join(
-            esig.select(F.col("conv_id").alias("long_id"), F.col("_sig").alias("_esig")),
+            eelig.select(
+                F.col("conv_id").alias("long_id"),
+                F.col("_sig").alias("_esig"),
+                "response_existing",
+            ),
             F.col("_sig") == F.col("_esig"),
         )
-        .join(enxt, F.col("long_id") == F.col("_e_id"))
+        # a resent id would trivially "pair with itself" (the verify
+        # passes against its own prefix) — never a preference pair
+        .where(F.col("short_id") != F.col("long_id"))
         .where(~F.col("response_new").eqNullSafe(F.col("response_existing")))
         .select(
             "short_id",
@@ -1550,18 +1564,11 @@ def incremental_preference_pairs(
         bpos.where(F.col("_pos") <= depth),
         epos.where(F.col("_pos") <= depth),
     )
-    ctx_src = (
-        bpos.join(
-            ver.select(F.col("short_id").alias("conv_id")).distinct(),
-            "conv_id",
-            "left_semi",
-        )
-        .where(F.col("_pos") <= depth)
-        .withColumn("_piece", _piece())
-    )
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
-    ctx = ctx_src.groupBy(F.col("conv_id").alias("_ctx_id")).agg(
-        F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("context")
+    ctx = _render_contexts(
+        bpos,
+        ver.select(F.col("short_id").alias("conv_id"))
+        .distinct()
+        .withColumn("_ctx_depth", F.lit(depth).cast("long")),
     )
     return ver.join(ctx, F.col("short_id") == F.col("_ctx_id")).select(
         F.col("short_id").alias("conv_new"),
@@ -1597,14 +1604,19 @@ def duck_incremental_preference_pairs_sql(
         JOIN (SELECT conv_id, text AS response_new FROM ip_bpos
               WHERE pos = {depth + 1} {role_b}) n USING (conv_id)
     """
-    esig_sql = f"""
-        SELECT conv_id, _sig FROM (
-            SELECT conv_id, pos,
-                   SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig,
-                   MAX(pos) OVER (PARTITION BY conv_id) AS len
-            FROM ip_epos WHERE pos <= {depth + 1}) q
-        WHERE pos = {depth} AND len >= {depth + 1}
+    # existing side capped AFTER role/continuation eligibility (mirrors
+    # the operator: an ineligible conv must not consume a cap slot)
+    eelig_sql = f"""
+        SELECT s.conv_id, s._sig, n.response_existing FROM (
+            SELECT conv_id, _sig FROM (
+                SELECT conv_id, pos,
+                       SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig,
+                       MAX(pos) OVER (PARTITION BY conv_id) AS len
+                FROM ip_epos WHERE pos <= {depth + 1}) q
+            WHERE pos = {depth} AND len >= {depth + 1}) s
+        JOIN (SELECT conv_id, text AS response_existing FROM ip_epos
+              WHERE pos = {depth + 1} {role_b}) n USING (conv_id)
     """
     if max_convs_per_prefix is not None:
         from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
@@ -1612,8 +1624,8 @@ def duck_incremental_preference_pairs_sql(
         belig_sql = duck_sample_k_per_group_sql(
             belig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
         )
-        esig_sql = duck_sample_k_per_group_sql(
-            esig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
+        eelig_sql = duck_sample_k_per_group_sql(
+            eelig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
         )
     return f"""
         WITH ip_bpos AS (
@@ -1627,15 +1639,14 @@ def duck_incremental_preference_pairs_sql(
                    role, text
             FROM ({existing_sql}) e0),
         belig AS ({belig_sql}),
-        esig AS ({esig_sql}),
+        eelig AS ({eelig_sql}),
         cand AS (
             SELECT b.conv_id AS conv_new, e.conv_id AS conv_existing,
-                   b.response_new, n.response_existing
+                   b.response_new, e.response_existing
             FROM belig b
-            JOIN esig e ON e._sig = b._sig
-            JOIN (SELECT conv_id, text AS response_existing FROM ip_epos
-                  WHERE pos = {depth + 1} {role_b}) n ON n.conv_id = e.conv_id
-            WHERE b.response_new IS DISTINCT FROM n.response_existing),
+            JOIN eelig e ON e._sig = b._sig
+            WHERE b.conv_id <> e.conv_id
+              AND b.response_new IS DISTINCT FROM e.response_existing),
         ver AS (
             SELECT c.conv_new, c.conv_existing, c.response_new,
                    c.response_existing

@@ -639,9 +639,9 @@ def test_preference_pairs_maximal_validation(prefmax_df):
 
 def test_pack_sft_examples_ffd(tdf):
     """algo='ffd': the span byte-equality and capacity invariants hold
-    under first-fit-decreasing too, and fill is >= next-fit's (the
-    reason the variant exists); no SQL twin by design (the FFD
-    reference-replay carve-out)."""
+    under first-fit-decreasing too, and it never needs more bins than
+    next-fit (the reason the variant exists); no SQL twin by design
+    (the FFD reference-replay carve-out)."""
     packed, spans = tr.pack_sft_examples(tdf, CAP, n_groups=4, algo="ffd")
     seqs = {r.pack_id: (r.packed, r.overfull, r.packed_len) for r in packed.collect()}
     raw = {(r.conv_id, r.turn_idx): (r.text or "") for r in tdf.collect()}
@@ -650,10 +650,6 @@ def test_pack_sft_examples_ffd(tdf):
     for text, overfull, plen in seqs.values():
         if not overfull:
             assert plen <= CAP - 2
-
-    def fill(pairs):
-        ok = [(n, l) for _, (_, o, l) in pairs.items() for n, l in [(1, l)] if not o]
-        return sum(l for _, l in ok) / (len(ok) or 1)
 
     nf_packed, _ = tr.pack_sft_examples(tdf, CAP, n_groups=4)
     nf = {r.pack_id: (r.packed, r.overfull, r.packed_len) for r in nf_packed.collect()}
@@ -834,3 +830,71 @@ def test_incremental_preference_pairs_validation(ip_dfs):
     sigs = tr.prefix_signature_table(e)
     with pytest.raises(ValueError):
         tr.incremental_preference_pairs(b, sigs, e, depth=0)
+
+
+def test_incremental_preference_pairs_no_self_pair(ip_dfs, spark):
+    """Regression (review): a batch resending an existing conv_id with
+    a changed depth+1 response must NOT pair with itself."""
+    _, e = ip_dfs
+    resent = spark.createDataFrame(
+        pd.DataFrame(
+            [("e1", 0, "user", "alpha q", None, TS),
+             ("e1", 1, "assistant", "alpha CHANGED", None, TS)],
+            columns=COLS,
+        ),
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    sigs = tr.prefix_signature_table(e)
+    got = {(r.conv_new, r.conv_existing) for r in
+           tr.incremental_preference_pairs(resent, sigs, e, depth=1).collect()}
+    assert ("e1", "e1") not in got
+    assert got == {("e1", "e2")}  # still pairs with the OTHER existing conv
+
+
+def test_incremental_preference_pairs_cap_after_eligibility(spark):
+    """Regression (review): a role-ineligible existing conv must not
+    consume a cap slot. e_bad shares the prefix but its turn 2 is a
+    user turn; with cap=1 the eligible e_good must still pair."""
+    sch = ("conv_id string, turn_idx int, role string, text string,"
+           " tool string, ts timestamp")
+    erows = [("e_bad", 0, "user", "cap q", None, TS),
+             ("e_bad", 1, "user", "not an assistant turn", None, TS),
+             ("e_good", 0, "user", "cap q", None, TS),
+             ("e_good", 1, "assistant", "good answer", None, TS)]
+    brows = [("nn", 0, "user", "cap q", None, TS),
+             ("nn", 1, "assistant", "new answer", None, TS)]
+    existing = spark.createDataFrame(pd.DataFrame(erows, columns=COLS), sch)
+    batch = spark.createDataFrame(pd.DataFrame(brows, columns=COLS), sch)
+    sigs = tr.prefix_signature_table(existing)
+    got = {(r.conv_new, r.conv_existing) for r in
+           tr.incremental_preference_pairs(
+               batch, sigs, existing, depth=1, max_convs_per_prefix=1
+           ).collect()}
+    assert got == {("nn", "e_good")}
+    # and the twin replays the same post-eligibility cap
+    con = duckdb.connect()
+    con.register("ceb", pd.DataFrame(brows, columns=COLS))
+    con.register("cee", pd.DataFrame(erows, columns=COLS))
+    want = {(r[0], r[1]) for r in con.sql(
+        tr.duck_incremental_preference_pairs_sql(
+            "SELECT * FROM ceb", "SELECT * FROM cee", 1, max_convs_per_prefix=1
+        )).fetchall()}
+    assert got == want
+
+
+def test_preference_pairs_maximal_role_only_divergence(spark):
+    """Regression (review): role=None must not emit byte-identical
+    response pairs when the divergence at depth+1 is role-only."""
+    sch = ("conv_id string, turn_idx int, role string, text string,"
+           " tool string, ts timestamp")
+    rows = [("r1", 0, "user", "same q", None, TS),
+            ("r1", 1, "user", "same continuation", None, TS),
+            ("r2", 0, "user", "same q", None, TS),
+            ("r2", 1, "assistant", "same continuation", None, TS)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), sch)
+    assert tr.preference_pairs_maximal(df, role=None).count() == 0
+    con = duckdb.connect()
+    con.register("ro", pd.DataFrame(rows, columns=COLS))
+    assert con.sql(tr.duck_preference_pairs_maximal_sql(
+        "SELECT * FROM ro", role=None)).fetchall() == []
