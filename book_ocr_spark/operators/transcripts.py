@@ -1670,3 +1670,102 @@ def duck_incremental_preference_pairs_sql(
                x.context, v.response_new, v.response_existing
         FROM ver v JOIN ctx x ON x.conv_id = v.conv_new
     """
+
+
+# ---------------------------------------------------------------------------
+# Preference labeling (mined pairs -> chosen/rejected via the trained
+# quality classifier)
+# ---------------------------------------------------------------------------
+def label_preference_pairs(
+    pairs: DataFrame,
+    model: tuple,
+) -> DataFrame:
+    """Turn mined preference pairs into the (context, chosen, rejected)
+    rows a DPO loader consumes, ranked by the in-engine trained quality
+    classifier (operators.classifier — integer micro-logits, so the
+    choice is engine- and partition-exact). Input is the
+    preference_pairs / preference_pairs_maximal shape (conv_a, conv_b,
+    depth, context, response_a, response_b); incremental output renames
+    to this shape first.
+
+    chosen = the higher-logit response; an exact tie keeps side 'a'
+    (deterministic — conv_a < conv_b by the miners' contract).
+    ``margin_micro`` = logit(chosen) − logit(rejected) >= 0, the
+    integer confidence a curator thresholds on.
+
+    Scale shape: responses explode to one narrow (pair, side, text)
+    row each; scoring is classifier_scores' explode → broadcast model
+    join → hash agg; the pivot back is a two-row groupBy per pair."""
+    from book_ocr_spark.operators.classifier import classifier_scores
+
+    sep = "\x1f"
+    pid = F.concat_ws(sep, F.col("conv_a"), F.col("conv_b"))
+    exploded = pairs.select(
+        F.concat(pid, F.lit(sep + "a")).alias("sid"),
+        F.col("response_a").alias("text"),
+    ).unionByName(
+        pairs.select(
+            F.concat(pid, F.lit(sep + "b")).alias("sid"),
+            F.col("response_b").alias("text"),
+        )
+    )
+    scores = classifier_scores(exploded, "sid", "text", model).select(
+        F.col("id").alias("sid"), "logit_micro"
+    )
+    za = scores.where(F.expr("substring(sid, length(sid), 1) = 'a'")).select(
+        F.expr("substring(sid, 1, length(sid) - 2)").alias("_pid_a"),
+        F.col("logit_micro").alias("_za"),
+    )
+    zb = scores.where(F.expr("substring(sid, length(sid), 1) = 'b'")).select(
+        F.expr("substring(sid, 1, length(sid) - 2)").alias("_pid_b"),
+        F.col("logit_micro").alias("_zb"),
+    )
+    a_wins = F.col("_za") >= F.col("_zb")
+    return (
+        pairs.join(za, pid == F.col("_pid_a"))
+        .join(zb, pid == F.col("_pid_b"))
+        .select(
+            "conv_a",
+            "conv_b",
+            "depth",
+            "context",
+            F.when(a_wins, F.col("response_a")).otherwise(F.col("response_b")).alias("chosen"),
+            F.when(a_wins, F.col("response_b")).otherwise(F.col("response_a")).alias("rejected"),
+            F.when(a_wins, F.lit("a")).otherwise(F.lit("b")).alias("chosen_side"),
+            F.abs(F.col("_za") - F.col("_zb")).cast("long").alias("margin_micro"),
+        )
+    )
+
+
+def duck_label_preference_pairs_sql(
+    pairs_sql: str, pos_sql: str, neg_sql: str
+) -> str:
+    """DuckDB twin of label_preference_pairs: replays the classifier's
+    full training recurrence + scoring (duck_classifier_scores_sql)
+    over the exploded responses, then the same tie-keeps-'a' pivot."""
+    from book_ocr_spark.operators.classifier import duck_classifier_scores_sql
+
+    exploded = f"""
+        SELECT conv_a || chr(31) || conv_b || chr(31) || 'a' AS id,
+               response_a AS text FROM lp_pairs
+        UNION ALL
+        SELECT conv_a || chr(31) || conv_b || chr(31) || 'b' AS id,
+               response_b AS text FROM lp_pairs
+    """
+    scores = duck_classifier_scores_sql(exploded, pos_sql, neg_sql)
+    return f"""
+        WITH lp_pairs AS ({pairs_sql}),
+        sc AS ({scores}),
+        za AS (SELECT substr(id, 1, length(id) - 2) AS pid, logit_micro AS za
+               FROM sc WHERE substr(id, length(id), 1) = 'a'),
+        zb AS (SELECT substr(id, 1, length(id) - 2) AS pid, logit_micro AS zb
+               FROM sc WHERE substr(id, length(id), 1) = 'b')
+        SELECT p.conv_a, p.conv_b, p.depth, p.context,
+               CASE WHEN za >= zb THEN p.response_a ELSE p.response_b END AS chosen,
+               CASE WHEN za >= zb THEN p.response_b ELSE p.response_a END AS rejected,
+               CASE WHEN za >= zb THEN 'a' ELSE 'b' END AS chosen_side,
+               CAST(ABS(za - zb) AS BIGINT) AS margin_micro
+        FROM lp_pairs p
+        JOIN za ON za.pid = p.conv_a || chr(31) || p.conv_b
+        JOIN zb ON zb.pid = p.conv_a || chr(31) || p.conv_b
+    """

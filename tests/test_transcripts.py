@@ -898,3 +898,64 @@ def test_preference_pairs_maximal_role_only_divergence(spark):
     con.register("ro", pd.DataFrame(rows, columns=COLS))
     assert con.sql(tr.duck_preference_pairs_maximal_sql(
         "SELECT * FROM ro", role=None)).fetchall() == []
+
+
+# ---------------------------------------------------------------------------
+# Preference labeling (classifier-ranked chosen/rejected)
+# ---------------------------------------------------------------------------
+def test_label_preference_pairs(spark):
+    """The mined pairs become (context, chosen, rejected) under the
+    trained quality classifier: the fluent response wins over the
+    spammy one, and the whole train+score+pivot replays bit-identically
+    in DuckDB."""
+    from book_ocr_spark.operators.classifier import train_quality_classifier
+
+    fluent = [
+        (i, "a careful reply discussing watermark semantics and shuffle "
+            f"management in structured streaming engines number {i}")
+        for i in range(8)
+    ]
+    spam = [
+        (i, "click here buy now cheap deal win win win " * 3 + str(i))
+        for i in range(8)
+    ]
+    pos = spark.createDataFrame(fluent, "id long, text string")
+    neg = spark.createDataFrame(spam, "id long, text string")
+    model = train_quality_classifier(pos, neg, "id", "text")
+
+    pair_rows = [
+        ("c1", "c2", 1, "<|user|>\nq",
+         "a careful reply discussing watermark semantics in detail",
+         "click here buy now cheap deal win"),
+        ("c3", "c4", 1, "<|user|>\nq2",
+         "click here buy now cheap deal win win",
+         "a careful reply about shuffle management engines"),
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows,
+        "conv_a string, conv_b string, depth long, context string,"
+        " response_a string, response_b string",
+    )
+    got = {(r.conv_a, r.conv_b): r
+           for r in tr.label_preference_pairs(pairs, model).collect()}
+    assert got[("c1", "c2")].chosen_side == "a"
+    assert got[("c3", "c4")].chosen_side == "b"
+    for r in got.values():
+        assert "careful" in r.chosen and "click here" in r.rejected
+        assert r.margin_micro > 0
+
+    con = duckdb.connect()
+    con.register("lp", pd.DataFrame(
+        pair_rows,
+        columns=["conv_a", "conv_b", "depth", "context",
+                 "response_a", "response_b"]))
+    con.register("pos", pd.DataFrame(fluent, columns=["id", "text"]))
+    con.register("neg", pd.DataFrame(spam, columns=["id", "text"]))
+    want = _sorted(
+        tuple(r) for r in con.sql(tr.duck_label_preference_pairs_sql(
+            "SELECT * FROM lp", "SELECT id, text FROM pos",
+            "SELECT id, text FROM neg")).fetchall()
+    )
+    got_rows = _sorted(tuple(r) for r in
+                       tr.label_preference_pairs(pairs, model).collect())
+    assert got_rows == want
