@@ -334,3 +334,24 @@ def test_token_spans_no_exchange(spark):
     )
     plan = _explain(token_spans(df, "body"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_curate_transcripts_no_cartesian(spark):
+    """The fully-optioned composed transcripts pass (prefix dedup +
+    health gate + redaction + assembly + example near-dup) must never
+    plan a cross product — every candidate join is an equi-join on a
+    signature, band, or conv key."""
+    import pandas as pd
+
+    from book_ocr_spark.plans.curation import curate_transcripts
+    from tests.test_sftplan import COLS, SCHEMA, _rows
+
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    plan = _explain(
+        curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64,
+            max_alternation_violations=4, redact=True,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
