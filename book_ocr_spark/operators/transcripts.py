@@ -1676,9 +1676,38 @@ def duck_incremental_preference_pairs_sql(
 # Preference labeling (mined pairs -> chosen/rejected via the trained
 # quality classifier)
 # ---------------------------------------------------------------------------
+def _lp_sid(side: str, resp_col: str) -> Column:
+    """Collision-free score key for one pair side: md5 over
+    LENGTH-PREFIXED conv ids (an id containing the separator cannot
+    forge another pair's key) + depth + side + the response text
+    itself (two rows with the same (conv_a, conv_b) but different
+    responses — out-of-contract input — score separately instead of
+    silently merging their token features)."""
+    return F.md5(
+        F.concat(
+            F.length("conv_a").cast("string"), F.lit(":"), F.col("conv_a"),
+            F.lit("|"),
+            F.length("conv_b").cast("string"), F.lit(":"), F.col("conv_b"),
+            F.lit("|"), F.col("depth").cast("string"),
+            F.lit("|" + side + "|"),
+            F.coalesce(F.col(resp_col), F.lit("\x01")),
+        )
+    )
+
+
+def _duck_lp_sid(side: str, resp_col: str, q: str = "") -> str:
+    return (
+        f"md5(CAST(length({q}conv_a) AS VARCHAR) || ':' || {q}conv_a || '|'"
+        f" || CAST(length({q}conv_b) AS VARCHAR) || ':' || {q}conv_b || '|'"
+        f" || CAST({q}depth AS VARCHAR)"
+        f" || '|{side}|' || COALESCE({resp_col}, chr(1)))"
+    )
+
+
 def label_preference_pairs(
     pairs: DataFrame,
     model: tuple,
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """Turn mined preference pairs into the (context, chosen, rejected)
     rows a DPO loader consumes, ranked by the in-engine trained quality
@@ -1693,37 +1722,35 @@ def label_preference_pairs(
     ``margin_micro`` = logit(chosen) − logit(rejected) >= 0, the
     integer confidence a curator thresholds on.
 
-    Scale shape: responses explode to one narrow (pair, side, text)
-    row each; scoring is classifier_scores' explode → broadcast model
-    join → hash agg; the pivot back is a two-row groupBy per pair."""
+    The input is eagerly ``localCheckpoint``-ed: the mining DAG under
+    ``pairs`` is expensive and would otherwise re-execute in every
+    branch (exploded a, exploded b, final join). ``storage_handle``
+    receives the pinned frame for deterministic release. Scale shape:
+    responses explode to one narrow (sid, text) row each; scoring is
+    classifier_scores' explode → broadcast model join → hash agg; the
+    two score joins run against that narrow output."""
     from book_ocr_spark.operators.classifier import classifier_scores
 
-    sep = "\x1f"
-    pid = F.concat_ws(sep, F.col("conv_a"), F.col("conv_b"))
-    exploded = pairs.select(
-        F.concat(pid, F.lit(sep + "a")).alias("sid"),
-        F.col("response_a").alias("text"),
+    pairs = pairs.localCheckpoint(eager=True)
+    if storage_handle is not None:
+        storage_handle.append(pairs)
+    keyed = pairs.withColumn("_sid_a", _lp_sid("a", "response_a")).withColumn(
+        "_sid_b", _lp_sid("b", "response_b")
+    )
+    exploded = keyed.select(
+        F.col("_sid_a").alias("sid"), F.col("response_a").alias("text")
     ).unionByName(
-        pairs.select(
-            F.concat(pid, F.lit(sep + "b")).alias("sid"),
-            F.col("response_b").alias("text"),
-        )
+        keyed.select(F.col("_sid_b").alias("sid"), F.col("response_b").alias("text"))
     )
     scores = classifier_scores(exploded, "sid", "text", model).select(
         F.col("id").alias("sid"), "logit_micro"
     )
-    za = scores.where(F.expr("substring(sid, length(sid), 1) = 'a'")).select(
-        F.expr("substring(sid, 1, length(sid) - 2)").alias("_pid_a"),
-        F.col("logit_micro").alias("_za"),
-    )
-    zb = scores.where(F.expr("substring(sid, length(sid), 1) = 'b'")).select(
-        F.expr("substring(sid, 1, length(sid) - 2)").alias("_pid_b"),
-        F.col("logit_micro").alias("_zb"),
-    )
+    za = scores.select(F.col("sid").alias("_sid_a"), F.col("logit_micro").alias("_za"))
+    zb = scores.select(F.col("sid").alias("_sid_b"), F.col("logit_micro").alias("_zb"))
     a_wins = F.col("_za") >= F.col("_zb")
     return (
-        pairs.join(za, pid == F.col("_pid_a"))
-        .join(zb, pid == F.col("_pid_b"))
+        keyed.join(za, "_sid_a")
+        .join(zb, "_sid_b")
         .select(
             "conv_a",
             "conv_b",
@@ -1746,26 +1773,25 @@ def duck_label_preference_pairs_sql(
     from book_ocr_spark.operators.classifier import duck_classifier_scores_sql
 
     exploded = f"""
-        SELECT conv_a || chr(31) || conv_b || chr(31) || 'a' AS id,
-               response_a AS text FROM lp_pairs
+        SELECT {_duck_lp_sid('a', 'response_a')} AS id, response_a AS text
+        FROM lp_pairs
         UNION ALL
-        SELECT conv_a || chr(31) || conv_b || chr(31) || 'b' AS id,
-               response_b AS text FROM lp_pairs
+        SELECT {_duck_lp_sid('b', 'response_b')} AS id, response_b AS text
+        FROM lp_pairs
     """
     scores = duck_classifier_scores_sql(exploded, pos_sql, neg_sql)
     return f"""
         WITH lp_pairs AS ({pairs_sql}),
-        sc AS ({scores}),
-        za AS (SELECT substr(id, 1, length(id) - 2) AS pid, logit_micro AS za
-               FROM sc WHERE substr(id, length(id), 1) = 'a'),
-        zb AS (SELECT substr(id, 1, length(id) - 2) AS pid, logit_micro AS zb
-               FROM sc WHERE substr(id, length(id), 1) = 'b')
+        sc AS ({scores})
         SELECT p.conv_a, p.conv_b, p.depth, p.context,
-               CASE WHEN za >= zb THEN p.response_a ELSE p.response_b END AS chosen,
-               CASE WHEN za >= zb THEN p.response_b ELSE p.response_a END AS rejected,
-               CASE WHEN za >= zb THEN 'a' ELSE 'b' END AS chosen_side,
-               CAST(ABS(za - zb) AS BIGINT) AS margin_micro
+               CASE WHEN za.logit_micro >= zb.logit_micro
+                    THEN p.response_a ELSE p.response_b END AS chosen,
+               CASE WHEN za.logit_micro >= zb.logit_micro
+                    THEN p.response_b ELSE p.response_a END AS rejected,
+               CASE WHEN za.logit_micro >= zb.logit_micro
+                    THEN 'a' ELSE 'b' END AS chosen_side,
+               CAST(ABS(za.logit_micro - zb.logit_micro) AS BIGINT) AS margin_micro
         FROM lp_pairs p
-        JOIN za ON za.pid = p.conv_a || chr(31) || p.conv_b
-        JOIN zb ON zb.pid = p.conv_a || chr(31) || p.conv_b
+        JOIN sc za ON za.id = {_duck_lp_sid('a', 'p.response_a', 'p.')}
+        JOIN sc zb ON zb.id = {_duck_lp_sid('b', 'p.response_b', 'p.')}
     """

@@ -347,10 +347,15 @@ def test_curate_transcripts_no_cartesian(spark):
     from tests.test_sftplan import COLS, SCHEMA, _rows
 
     df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    bench = spark.createDataFrame(
+        [(1, "an eval question about nothing in particular")],
+        "id long, text string",
+    )
     plan = _explain(
         curate_transcripts(
             df, n_parts=4, prefix_max_depth=64,
             max_alternation_violations=4, redact=True,
+            max_chars=500, benchmark=bench, contamination_n=5,
         )
     )
     assert "CartesianProduct" not in plan
