@@ -1795,3 +1795,165 @@ def duck_label_preference_pairs_sql(
         JOIN sc za ON za.id = {_duck_lp_sid('a', 'p.response_a', 'p.')}
         JOIN sc zb ON zb.id = {_duck_lp_sid('b', 'p.response_b', 'p.')}
     """
+
+
+# ---------------------------------------------------------------------------
+# Best-of-N rejection sampling (one winner per exactly-equal context)
+# ---------------------------------------------------------------------------
+def _spark_turn_md5() -> Column:
+    """Full 128-bit per-turn digest — same pre-image as
+    ``_spark_turn_h48`` but untruncated, so grouping on it is exact in
+    the ``dedup_exact`` md5 sense (no pairwise verify needed)."""
+    return F.md5(
+        F.concat(
+            F.col("_pos").cast("string"), F.lit("\x1f"),
+            F.coalesce(F.col("role"), F.lit("\x01")), F.lit("\x1f"),
+            F.coalesce(F.col("text"), F.lit("\x01")),
+        )
+    )
+
+
+def best_of_n(
+    df: DataFrame,
+    depth: int,
+    model: tuple,
+    role: str | None = "assistant",
+    min_candidates: int = 1,
+) -> DataFrame:
+    """Rejection sampling over agent re-runs: conversations whose first
+    ``depth`` turns are EXACTLY equal (role + text, null-safe) are N
+    answers to the same context; keep ONE — the turn-``depth+1``
+    response with the highest quality-classifier logit (ties keep the
+    smallest conv_id). The SFT-side complement of ``preference_pairs``:
+    that operator materializes (chosen, rejected) comparisons, this one
+    keeps the single best trajectory per context for the training set.
+
+    ``role`` restricts the scored turn on both the winner and its
+    rivals (default 'assistant'); ``min_candidates`` drops contexts
+    with fewer than that many eligible re-runs (2 = only contexts
+    where rejection sampling actually rejected something).
+
+    Returns (conv_id, depth, n_candidates, context, response,
+    logit_micro): the winning conversation, how many candidates it
+    beat, the shared-template context render, its response, and its
+    integer micro-logit (engine- and partition-exact, see
+    operators.classifier).
+
+    Scale shape — the LINEAR member of the re-run mining family: the
+    group key is a per-conv prefix digest (full md5 chain — exact by
+    the dedup_exact precedent, so unlike the h48 signature buckets no
+    pairwise verify exists anywhere in this plan). Work per hot prefix
+    of B re-runs is O(B log B) (one window sort), never the O(B^2)
+    pairing the preference miners need a k-cap for. Turn rows ride the
+    module's one conv_id exchange; scoring is classifier_scores'
+    explode -> broadcast model join -> hash agg; context renders only
+    for winners."""
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
+    if min_candidates < 1:
+        raise ValueError("min_candidates must be >= 1")
+    from book_ocr_spark.operators.classifier import classifier_scores
+
+    pos = _positioned(df)
+    turns = pos.where(F.col("_pos") <= depth).withColumn("_th", _spark_turn_md5())
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_th"))))
+    pk = (
+        turns.groupBy("conv_id")
+        .agg(
+            F.md5(F.array_join(F.transform(items, lambda x: x["_th"]), "")).alias("_pkey"),
+            F.count(F.lit(1)).alias("_np"),
+        )
+        .where(F.col("_np") == depth)
+        .select("conv_id", "_pkey")
+    )
+    nxt = pos.where(F.col("_pos") == depth + 1).select(
+        "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
+    )
+    if role is not None:
+        nxt = nxt.where(F.col("_nrole") == role)
+    elig = pk.join(nxt.select("conv_id", "_resp"), "conv_id")
+    scores = classifier_scores(elig, "conv_id", "_resp", model).select(
+        F.col("id").alias("conv_id"), "logit_micro"
+    )
+    wk = Window.partitionBy("_pkey")
+    wr = wk.orderBy(F.desc("logit_micro"), F.asc("conv_id"))
+    ranked = (
+        elig.join(scores, "conv_id")
+        .withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_nc", F.count(F.lit(1)).over(wk))
+        .where((F.col("_rn") == 1) & (F.col("_nc") >= min_candidates))
+    )
+    ctx = _render_contexts(
+        pos,
+        ranked.select("conv_id").withColumn("_ctx_depth", F.lit(depth).cast("long")),
+    )
+    return ranked.join(ctx, F.col("conv_id") == F.col("_ctx_id")).select(
+        "conv_id",
+        F.lit(depth).cast("long").alias("depth"),
+        F.col("_nc").cast("long").alias("n_candidates"),
+        "context",
+        F.col("_resp").alias("response"),
+        F.col("logit_micro").cast("long").alias("logit_micro"),
+    )
+
+
+def duck_best_of_n_sql(
+    src_sql: str,
+    pos_sql: str,
+    neg_sql: str,
+    depth: int,
+    role: str | None = "assistant",
+    min_candidates: int = 1,
+) -> str:
+    """DuckDB twin of best_of_n: same prefix digest chain, the full
+    classifier train+score recurrence (duck_classifier_scores_sql),
+    same (logit DESC, conv_id ASC) pivot."""
+    from book_ocr_spark.operators.classifier import duck_classifier_scores_sql
+
+    th = (
+        "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
+        " || chr(31) || COALESCE(text, chr(1)))"
+    )
+    role_pred = "" if role is None else f"AND n.role = '{role}'"
+    scores = duck_classifier_scores_sql(
+        "SELECT conv_id AS id, resp AS text FROM bn_elig", pos_sql, neg_sql
+    )
+    return f"""
+        WITH bn_pos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({src_sql}) s0),
+        bn_pk AS (
+            SELECT conv_id, md5(string_agg(th, '' ORDER BY pos)) AS pkey
+            FROM (SELECT conv_id, pos, {th} AS th
+                  FROM bn_pos WHERE pos <= {depth}) q
+            GROUP BY conv_id HAVING COUNT(*) = {depth}),
+        bn_elig AS (
+            SELECT p.conv_id, p.pkey, n.text AS resp
+            FROM bn_pk p
+            JOIN bn_pos n ON n.conv_id = p.conv_id AND n.pos = {depth + 1}
+                 {role_pred}),
+        bn_sc AS ({scores}),
+        bn_ranked AS (
+            SELECT e.conv_id, e.pkey, e.resp,
+                   CAST(s.logit_micro AS BIGINT) AS logit_micro,
+                   ROW_NUMBER() OVER (PARTITION BY e.pkey
+                       ORDER BY s.logit_micro DESC, e.conv_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY e.pkey) AS nc
+            FROM bn_elig e JOIN bn_sc s ON s.id = e.conv_id),
+        bn_ctx AS (
+            SELECT conv_id,
+                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
+                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
+            FROM bn_pos
+            WHERE pos <= {depth} AND conv_id IN (
+                SELECT conv_id FROM bn_ranked
+                WHERE rn = 1 AND nc >= {min_candidates})
+            GROUP BY conv_id)
+        SELECT r.conv_id, CAST({depth} AS BIGINT) AS depth,
+               CAST(r.nc AS BIGINT) AS n_candidates,
+               x.context, r.resp AS response, r.logit_micro
+        FROM bn_ranked r JOIN bn_ctx x USING (conv_id)
+        WHERE r.rn = 1 AND r.nc >= {min_candidates}
+    """

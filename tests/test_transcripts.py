@@ -959,3 +959,114 @@ def test_label_preference_pairs(spark):
     got_rows = _sorted(tuple(r) for r in
                        tr.label_preference_pairs(pairs, model).collect())
     assert got_rows == want
+
+
+# ---------------------------------------------------------------------------
+# Best-of-N rejection sampling
+# ---------------------------------------------------------------------------
+BON_FLUENT = [
+    (i, "a careful reply discussing watermark semantics and shuffle "
+        f"management in structured streaming engines number {i}")
+    for i in range(8)
+]
+BON_SPAM = [
+    (i, "click here buy now cheap deal win win win " * 3 + str(i))
+    for i in range(8)
+]
+BON_ROWS = [
+    # group 1: three eligible re-runs of one prompt — s1 fluent,
+    # s2/s3 identical spam (an exact logit tie inside the group)
+    ("s1", 0, "user", "explain spark shuffles", None, TS),
+    ("s1", 1, "assistant",
+     "a careful reply discussing watermark semantics in detail", None, TS),
+    ("s2", 0, "user", "explain spark shuffles", None, TS),
+    ("s2", 1, "assistant", "click here buy now cheap deal win", None, TS),
+    ("s3", 0, "user", "explain spark shuffles", None, TS),
+    ("s3", 1, "assistant", "click here buy now cheap deal win", None, TS),
+    # group 2: singleton context
+    ("s4", 0, "user", "another question entirely", None, TS),
+    ("s4", 1, "assistant",
+     "a careful reply about shuffle management engines", None, TS),
+    # same prefix as group 1 but ineligible: user continuation / none
+    ("s5", 0, "user", "explain spark shuffles", None, TS),
+    ("s5", 1, "user", "never mind thanks", None, TS),
+    ("s6", 0, "user", "explain spark shuffles", None, TS),
+]
+
+
+@pytest.fixture(scope="module")
+def bon_df(spark):
+    return spark.createDataFrame(pd.DataFrame(BON_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+
+
+@pytest.fixture(scope="module")
+def bon_model(spark):
+    from book_ocr_spark.operators.classifier import train_quality_classifier
+
+    pos = spark.createDataFrame(BON_FLUENT, "id long, text string")
+    neg = spark.createDataFrame(BON_SPAM, "id long, text string")
+    return train_quality_classifier(pos, neg, "id", "text")
+
+
+def test_best_of_n_semantics(bon_df, bon_model):
+    got = {r.conv_id: r for r in tr.best_of_n(bon_df, 1, bon_model).collect()}
+    # group 1: fluent s1 beats the two spam re-runs; s5 (user
+    # continuation) and s6 (no continuation) never count as candidates
+    assert set(got) == {"s1", "s4"}
+    w = got["s1"]
+    assert w.n_candidates == 3
+    assert w.context == "<|user|>\nexplain spark shuffles"
+    assert "careful" in w.response
+    assert got["s4"].n_candidates == 1
+    # min_candidates=2 drops the singleton context
+    only = tr.best_of_n(bon_df, 1, bon_model, min_candidates=2).collect()
+    assert [r.conv_id for r in only] == ["s1"]
+
+
+def test_best_of_n_tie_keeps_min_id(spark, bon_model):
+    rows = [r for r in BON_ROWS if r[0] in ("s2", "s3")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    got = tr.best_of_n(df, 1, bon_model).collect()
+    assert len(got) == 1 and got[0].conv_id == "s2" and got[0].n_candidates == 2
+
+
+@pytest.mark.parametrize("minc,role", [(1, "assistant"), (2, "assistant"), (1, None)])
+def test_best_of_n_twin(bon_df, bon_model, minc, role):
+    got = _sorted(
+        tuple(r)
+        for r in tr.best_of_n(
+            bon_df, 1, bon_model, role=role, min_candidates=minc
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("bt", pd.DataFrame(BON_ROWS, columns=COLS))
+    con.register("bpos", pd.DataFrame(BON_FLUENT, columns=["id", "text"]))
+    con.register("bneg", pd.DataFrame(BON_SPAM, columns=["id", "text"]))
+    want = _sorted(
+        tuple(r)
+        for r in con.sql(tr.duck_best_of_n_sql(
+            "SELECT * FROM bt", "SELECT id, text FROM bpos",
+            "SELECT id, text FROM bneg", 1, role=role, min_candidates=minc,
+        )).fetchall()
+    )
+    assert got == want and got
+
+
+def test_best_of_n_partition_invariance(bon_df, bon_model):
+    a = _sorted(map(tuple, tr.best_of_n(bon_df, 1, bon_model).collect()))
+    b = _sorted(map(tuple, tr.best_of_n(
+        bon_df.repartition(7, "text"), 1, bon_model).collect()))
+    assert a == b
+
+
+def test_best_of_n_validation(bon_df, bon_model):
+    with pytest.raises(ValueError):
+        tr.best_of_n(bon_df, 0, bon_model)
+    with pytest.raises(ValueError):
+        tr.best_of_n(bon_df, 1, bon_model, min_candidates=0)
