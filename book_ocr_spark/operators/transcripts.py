@@ -1957,3 +1957,175 @@ def duck_best_of_n_sql(
         FROM bn_ranked r JOIN bn_ctx x USING (conv_id)
         WHERE r.rn = 1 AND r.nc >= {min_candidates}
     """
+
+
+# ---------------------------------------------------------------------------
+# Conversation-grain semantic dedup (hashed-TF embedding -> SemDeDup)
+# ---------------------------------------------------------------------------
+def conv_embeddings(df: DataFrame, dim: int = 64, role: str | None = None) -> DataFrame:
+    """Deterministic conversation embedding: hashed-TF bag of words.
+    Whitespace tokens of every turn's text (``textstats.ws_tokens``
+    convention) hash into ``dim`` buckets (portable h28, the dedup /
+    DSIR hash); the bucket-count vector is L2-normalized. Returns
+    (conv_id, embedding: array<double>).
+
+    Engine-exactness: bucket counts and the squared-norm sum are
+    INTEGERS (order-independent), and each output value is one
+    IEEE-correctly-rounded division cnt/sqrt(S) — so the vector is
+    bit-identical between Spark and the DuckDB twin with NO rounding
+    convention needed (unlike a float-summed mean-pool, which would be
+    merge-order dependent). Conversations with zero tokens (all-NULL /
+    empty texts, or none matching ``role``) have no direction and are
+    excluded.
+
+    ``role`` embeds only that role's turns (e.g. 'assistant': compare
+    conversations by what the AGENT said, ignoring shared user seeds).
+
+    Scale shape (10^12 turns): explode -> map-side-combined hash agg on
+    (conv_id, bucket) -- at most ``dim`` rows per conversation survive
+    the combiner -- then one conv-grain agg riding the module's
+    conv_id exchange. No per-row Python, no window."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    from book_ocr_spark.operators.dedup import spark_h28
+    from book_ocr_spark.operators.textstats import ws_tokens
+
+    src = df if role is None else df.where(F.col("role") == role)
+    toks = src.select("conv_id", F.explode(ws_tokens("text")).alias("_tok"))
+    cnt = toks.groupBy(
+        "conv_id", (F.expr(spark_h28("_tok")) % dim).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        cnt.groupBy("conv_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_s"),
+        )
+        .select(
+            "conv_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                " b -> coalesce(element_at(_m, cast(b as bigint)), 0L)"
+                " / sqrt(cast(_s as double)))"
+            ).alias("embedding"),
+        )
+    )
+
+
+def conv_semantic_pairs(
+    df: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    iters: int = 2,
+    role: str | None = None,
+    hot_cell_cap: int | None = None,
+    hot_cell_policy: str = "salt",
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """Conversation-grain SemDeDup pair mining: near-duplicate
+    conversation pairs (id_a, id_b, cell, sim) by exact cosine over the
+    hashed-TF conv embedding, compared only within IVF cells
+    (semdedup.semantic_pairs). Catches what ``prefix_dedup`` /
+    ``preference_pairs`` structurally cannot: re-runs whose turns are
+    REWORDED or REORDERED — hashed TF is order-insensitive and
+    near-invariant to small edits, while the prefix miners require
+    byte-equal turns. The hot-cell cap / salt policy passes through
+    (a template-farm seed prompt collapsing thousands of convs onto
+    one centroid is the same hot-bucket shape as everywhere else)."""
+    from book_ocr_spark.operators.semdedup import semantic_pairs
+
+    emb = conv_embeddings(df, dim, role)
+    return semantic_pairs(
+        emb, "conv_id", "embedding", threshold, n_cells, iters,
+        hot_cell_cap=hot_cell_cap, hot_cell_policy=hot_cell_policy,
+        dropped_handle=dropped_handle,
+    )
+
+
+def conv_semantic_dedup(
+    df: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    iters: int = 2,
+    role: str | None = None,
+    hot_cell_cap: int | None = None,
+    hot_cell_policy: str = "salt",
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """The kept TURNS: drop every conversation with a smaller-conv_id
+    semantic match in its cell (min-id keeper, the repo convention),
+    broadcast-friendly anti-join at conv grain."""
+    pairs = conv_semantic_pairs(
+        df, dim, threshold, n_cells, iters, role,
+        hot_cell_cap=hot_cell_cap, hot_cell_policy=hot_cell_policy,
+        dropped_handle=dropped_handle,
+    )
+    drops = pairs.select(F.col("id_b").alias("conv_id")).distinct()
+    return df.join(drops, "conv_id", "left_anti")
+
+
+def duck_conv_embeddings_sql(src_sql: str, dim: int = 64, role: str | None = None) -> str:
+    """DuckDB twin of conv_embeddings — yields (id, v), embeddable as
+    the corpus_sql of semdedup's twins. Same ws_tokens split, same h28
+    bucketing, same integer-count / sqrt(integer-sum) division."""
+    from book_ocr_spark.operators.dedup import duck_h28
+
+    role_pred = "" if role is None else f"WHERE role = '{role}'"
+    return f"""
+        WITH ce_tok AS (
+            SELECT conv_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(TRIM(text), '\\s+'),
+                       w -> w <> '')) AS tok
+            FROM ({src_sql}) ce0 {role_pred}),
+        ce_cnt AS (
+            SELECT conv_id, ({duck_h28('tok')}) % {dim} AS b,
+                   COUNT(*) AS cnt
+            FROM ce_tok GROUP BY 1, 2),
+        ce_s AS (
+            SELECT conv_id, SUM(cnt * cnt) AS s FROM ce_cnt GROUP BY 1),
+        ce_grid AS (
+            SELECT s.conv_id, s.s, g.b
+            FROM ce_s s CROSS JOIN (SELECT unnest(range({dim})) AS b) g)
+        SELECT g.conv_id AS id,
+               list(COALESCE(c.cnt, 0) / sqrt(g.s) ORDER BY g.b) AS v
+        FROM ce_grid g
+        LEFT JOIN ce_cnt c ON c.conv_id = g.conv_id AND c.b = g.b
+        GROUP BY g.conv_id
+    """
+
+
+def duck_conv_semantic_pairs_sql(
+    src_sql: str,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    iters: int = 2,
+    role: str | None = None,
+) -> str:
+    """DuckDB twin of conv_semantic_pairs: the embedding CTE chained
+    into semdedup's full Lloyd-recurrence twin."""
+    from book_ocr_spark.operators.semdedup import duck_semantic_pairs_sql
+
+    emb = duck_conv_embeddings_sql(src_sql, dim, role)
+    return duck_semantic_pairs_sql(emb, threshold, n_cells, iters)
+
+
+def duck_conv_semantic_dedup_sql(
+    src_sql: str,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    iters: int = 2,
+    role: str | None = None,
+) -> str:
+    """DuckDB twin of conv_semantic_dedup (the kept turn rows)."""
+    pairs = duck_conv_semantic_pairs_sql(
+        src_sql, dim, threshold, n_cells, iters, role
+    )
+    return f"""
+        SELECT t.* FROM ({src_sql}) t
+        WHERE conv_id NOT IN (SELECT id_b FROM ({pairs}) dp)
+    """

@@ -1070,3 +1070,145 @@ def test_best_of_n_validation(bon_df, bon_model):
         tr.best_of_n(bon_df, 0, bon_model)
     with pytest.raises(ValueError):
         tr.best_of_n(bon_df, 1, bon_model, min_candidates=0)
+
+
+# ---------------------------------------------------------------------------
+# Conversation-grain semantic dedup
+# ---------------------------------------------------------------------------
+CSD_ROWS = [
+    # c1 and c2: same word multiset, REORDERED across turns — cosine 1.0,
+    # invisible to the exact-prefix miners
+    ("c1", 0, "user", "explain shuffle partitions in spark", None, TS),
+    ("c1", 1, "assistant", "partitions split the shuffle work evenly", None, TS),
+    ("c2", 0, "user", "in spark explain shuffle partitions", None, TS),
+    ("c2", 1, "assistant", "the shuffle work split evenly partitions", None, TS),
+    # c3: near-duplicate of c1 (one word swapped)
+    ("c3", 0, "user", "explain shuffle partitions in spark", None, TS),
+    ("c3", 1, "assistant", "partitions split the shuffle work badly", None, TS),
+    # c4: disjoint vocabulary
+    ("c4", 0, "user", "watermark semantics for late events", None, TS),
+    ("c4", 1, "assistant", "windows close once the watermark passes", None, TS),
+    # c5: all-NULL/empty texts -> no tokens, excluded from embeddings
+    ("c5", 0, "user", None, None, TS),
+    ("c5", 1, "assistant", "", None, TS),
+]
+
+
+@pytest.fixture(scope="module")
+def csd_df(spark):
+    return spark.createDataFrame(pd.DataFrame(CSD_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+
+
+def test_conv_embeddings_shape_and_norm(csd_df):
+    rows = {r.conv_id: r.embedding for r in tr.conv_embeddings(csd_df, dim=16).collect()}
+    assert set(rows) == {"c1", "c2", "c3", "c4"}  # c5 has no tokens
+    for v in rows.values():
+        assert len(v) == 16
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-12
+    # reordered same-multiset convs embed identically
+    assert rows["c1"] == rows["c2"]
+    assert rows["c1"] != rows["c4"]
+
+
+def test_conv_embeddings_role_filter(csd_df):
+    both = {r.conv_id: r.embedding
+            for r in tr.conv_embeddings(csd_df, dim=16).collect()}
+    asst = {r.conv_id: r.embedding
+            for r in tr.conv_embeddings(csd_df, dim=16, role="assistant").collect()}
+    # c1/c3 share the user turn byte-for-byte; only the assistant-role
+    # embedding separates them more than the full-conv one
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert cos(asst["c1"], asst["c3"]) < cos(both["c1"], both["c3"])
+
+
+@pytest.mark.parametrize("role", [None, "assistant"])
+def test_conv_embeddings_twin(csd_df, role):
+    got = _sorted(
+        (r.conv_id, tuple(r.embedding))
+        for r in tr.conv_embeddings(csd_df, dim=16, role=role).collect()
+    )
+    con = duckdb.connect()
+    con.register("csd", pd.DataFrame(CSD_ROWS, columns=COLS))
+    want = _sorted(
+        (cid, tuple(v))
+        for cid, v in con.sql(
+            tr.duck_conv_embeddings_sql("SELECT * FROM csd", 16, role=role)
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_conv_semantic_pairs_semantics(csd_df):
+    pairs = {(r.id_a, r.id_b): r.sim
+             for r in tr.conv_semantic_pairs(csd_df, dim=16, threshold=0.9,
+                                             n_cells=2).collect()}
+    assert ("c1", "c2") in pairs and pairs[("c1", "c2")] == 1.0
+    assert ("c1", "c3") in pairs and pairs[("c1", "c3")] < 1.0
+    assert not any("c4" in p or "c5" in p for p in pairs)
+
+
+@pytest.mark.parametrize("threshold,n_cells", [(0.9, 2), (0.99, 1)])
+def test_conv_semantic_pairs_twin(csd_df, threshold, n_cells):
+    got = _sorted(
+        tuple(r)
+        for r in tr.conv_semantic_pairs(
+            csd_df, dim=16, threshold=threshold, n_cells=n_cells
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("csd", pd.DataFrame(CSD_ROWS, columns=COLS))
+    want = _sorted(
+        tuple(r)
+        for r in con.sql(tr.duck_conv_semantic_pairs_sql(
+            "SELECT * FROM csd", 16, threshold, n_cells
+        )).fetchall()
+    )
+    assert got == want and got
+
+
+def test_conv_semantic_dedup_kept_turns(csd_df):
+    kept = tr.conv_semantic_dedup(csd_df, dim=16, threshold=0.9, n_cells=2)
+    # c2 and c3 both match smaller-id c1 -> dropped with ALL their turns;
+    # c5 (no embedding) is never dropped
+    assert sorted(set(r.conv_id for r in kept.collect())) == ["c1", "c4", "c5"]
+    con = duckdb.connect()
+    con.register("csd", pd.DataFrame(CSD_ROWS, columns=COLS))
+    want = _sorted(
+        tuple(r)
+        for r in con.sql(tr.duck_conv_semantic_dedup_sql(
+            "SELECT * FROM csd", 16, 0.9, 2
+        )).fetchall()
+    )
+    got = _sorted(tuple(r) for r in kept.collect())
+    assert got == want
+
+
+def test_conv_semantic_pairs_partition_invariance(csd_df):
+    a = _sorted(map(tuple, tr.conv_semantic_pairs(csd_df, dim=16,
+                                                  n_cells=2).collect()))
+    b = _sorted(map(tuple, tr.conv_semantic_pairs(
+        csd_df.repartition(7, "text"), dim=16, n_cells=2).collect()))
+    assert a == b
+
+
+def test_conv_embeddings_validation(csd_df):
+    with pytest.raises(ValueError):
+        tr.conv_embeddings(csd_df, dim=0)
+
+
+def test_conv_semantic_pairs_no_cartesian(csd_df):
+    """The composed conv path inherits semantic_pairs' shape: embedding
+    aggs + (cell) equi-join; the only product-shaped node allowed is
+    the K-row broadcast centroid attachment in the Lloyd assignment."""
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        tr.conv_semantic_pairs(csd_df, dim=16, n_cells=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
