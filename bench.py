@@ -203,6 +203,11 @@ def bench_round() -> dict:
     tsl = spark.read.parquet(tpath).where(
         F.expr("pmod(cast(conv(substring(md5(conv_id), 1, 7), 16, 10) as bigint), 10) = 0")
     )
+    # NOTE: the optional conv-semantic stage (semantic_dim=) stays OFF
+    # here to keep the certified sft_corpus envelope comparable across
+    # rounds — its measured cost on this slice is documented in
+    # BASELINE.md (A/B: ~+20 s at sf0.1, dominated by per-stage fixed
+    # overhead at toy scale; the stage is pytest/stage-twin covered).
     handle: list = []
     t0 = time.perf_counter()
     _noop(curate_transcripts(tsl, n_parts=spark.sparkContext.defaultParallelism,

@@ -2022,6 +2022,7 @@ def conv_semantic_pairs(
     hot_cell_cap: int | None = None,
     hot_cell_policy: str = "salt",
     dropped_handle: list | None = None,
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """Conversation-grain SemDeDup pair mining: near-duplicate
     conversation pairs (id_a, id_b, cell, sim) by exact cosine over the
@@ -2032,10 +2033,20 @@ def conv_semantic_pairs(
     near-invariant to small edits, while the prefix miners require
     byte-equal turns. The hot-cell cap / salt policy passes through
     (a template-farm seed prompt collapsing thousands of convs onto
-    one centroid is the same hot-bucket shape as everywhere else)."""
+    one centroid is the same hot-bucket shape as everywhere else).
+
+    ``storage_handle``: the Lloyd recurrence's lazy plan references the
+    embedding table once per iteration branch — when ``df`` is the tail
+    of an expensive DAG (the composed curate_transcripts pass), that
+    re-runs the whole upstream per branch. Pass a list to persist the
+    NARROW (conv_id, dim doubles) embedding table instead (the minhash
+    shingle-projection contract: caller unpersists via the handle)."""
     from book_ocr_spark.operators.semdedup import semantic_pairs
 
     emb = conv_embeddings(df, dim, role)
+    if storage_handle is not None:
+        emb = emb.persist()
+        storage_handle.append(emb)
     return semantic_pairs(
         emb, "conv_id", "embedding", threshold, n_cells, iters,
         hot_cell_cap=hot_cell_cap, hot_cell_policy=hot_cell_policy,
@@ -2053,6 +2064,7 @@ def conv_semantic_dedup(
     hot_cell_cap: int | None = None,
     hot_cell_policy: str = "salt",
     dropped_handle: list | None = None,
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """The kept TURNS: drop every conversation with a smaller-conv_id
     semantic match in its cell (min-id keeper, the repo convention),
@@ -2060,7 +2072,7 @@ def conv_semantic_dedup(
     pairs = conv_semantic_pairs(
         df, dim, threshold, n_cells, iters, role,
         hot_cell_cap=hot_cell_cap, hot_cell_policy=hot_cell_policy,
-        dropped_handle=dropped_handle,
+        dropped_handle=dropped_handle, storage_handle=storage_handle,
     )
     drops = pairs.select(F.col("id_b").alias("conv_id")).distinct()
     return df.join(drops, "conv_id", "left_anti")

@@ -425,6 +425,10 @@ def curate_transcripts(
     bench_text_col: str = "text",
     max_alternation_violations: int | None = None,
     redact: bool = False,
+    semantic_dim: int | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_cells: int = 16,
+    semantic_hot_cell_cap: int | None = None,
 ) -> DataFrame:
     """The transcripts -> SFT-training-corpus pass, end to end in ONE
     declarative DAG — the graft's flagship composition (north_rule:
@@ -446,6 +450,12 @@ def curate_transcripts(
       2b. optional turn-grain PII redaction (``redact``: the
          textstats typed-placeholder chain on extracted text, so all
          downstream artifacts train on scrubbed turns);
+      2c. optional conversation-grain semantic dedup (``semantic_dim``:
+         transcripts.conv_semantic_dedup on the extracted — and, with
+         ``redact``, scrubbed — turns; REWORDED/REORDERED re-runs that
+         neither the byte-exact prefix pass nor the example-grain
+         shingle near-dup can see collapse to the min-conv_id survivor
+         BEFORE assembly);
       3. optional context-window fit (``max_chars``: keep-last-turns
          left truncation on the EXTRACTED text);
       4. SFT example assembly (transcripts.sft_examples) + the
@@ -503,6 +513,26 @@ def curate_transcripts(
         from book_ocr_spark.operators.textstats import pii_redact_col
 
         ext = ext.withColumn("text", pii_redact_col("text"))
+    if semantic_dim is not None:
+        # conversation-grain semantic dedup on the extracted text:
+        # hashed-TF embedding -> IVF-celled exact cosine -> min-id
+        # keeper. Runs before fit/assembly so a reworded re-run never
+        # pays example rendering or the MinHash tail. ext is persisted
+        # (and the narrow embedding table via storage_handle inside)
+        # because the Lloyd recurrence + the keeper anti-join reference
+        # their input several times lazily — without the pin each
+        # branch would re-run the Python extraction stage (measured
+        # 11 s -> 52 s on the sf0.1 bench slice).
+        from book_ocr_spark.operators.transcripts import conv_semantic_dedup
+
+        ext = ext.persist()
+        if storage_handle is not None:
+            storage_handle.append(ext)
+        ext = conv_semantic_dedup(
+            ext, dim=semantic_dim, threshold=semantic_threshold,
+            n_cells=semantic_cells, hot_cell_cap=semantic_hot_cell_cap,
+            storage_handle=storage_handle,
+        )
     if max_chars is not None:
         ext = fit_last_turns(ext, max_chars).filter(F.col("kept")).drop("kept")
     ex = sft_examples(ext)

@@ -360,3 +360,25 @@ def test_curate_transcripts_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curate_transcripts_semantic_no_cartesian(spark):
+    """With the conv-semantic stage on, the only product-shaped node
+    allowed is the K-row broadcast centroid attachment inside the IVF
+    Lloyd assignment (a BroadcastNestedLoopJoin whose build side is
+    n_cells rows — the price every IVF build pays, see
+    semdedup/ivf_build docstrings); an unbounded CartesianProduct is
+    still forbidden everywhere."""
+    import pandas as pd
+
+    from book_ocr_spark.plans.curation import curate_transcripts
+    from tests.test_sftplan import COLS, SCHEMA, _rows
+
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    plan = _explain(
+        curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64,
+            semantic_dim=16, semantic_cells=2,
+        )
+    )
+    assert "CartesianProduct" not in plan

@@ -67,7 +67,8 @@ _CANON = (
 
 def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
                 rows=None, benchmark=None, contamination_n=13,
-                max_viol=None, redact=False):
+                max_viol=None, redact=False, semantic_dim=None,
+                semantic_threshold=0.9, semantic_cells=16):
     """Register the stage-for-stage DuckDB replay; returns the final
     survivor table name."""
     con.register("raw", pd.DataFrame(rows if rows is not None else _rows(),
@@ -106,6 +107,24 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
         ).df(),
     )
     src = "SELECT * FROM ext"
+    if semantic_dim is not None:
+        from book_ocr_spark.operators.transcripts import (
+            duck_conv_semantic_pairs_sql,
+        )
+
+        con.register(
+            "semk",
+            con.sql(
+                "SELECT DISTINCT conv_id FROM ext WHERE conv_id NOT IN ("
+                "SELECT id_b FROM ("
+                + duck_conv_semantic_pairs_sql(
+                    "SELECT * FROM ext", semantic_dim,
+                    semantic_threshold, semantic_cells,
+                )
+                + ") sp)"
+            ).df(),
+        )
+        src = "SELECT * FROM ext WHERE conv_id IN (SELECT conv_id FROM semk)"
     if max_chars is not None:
         con.register(
             "fitted",
@@ -321,6 +340,44 @@ def test_curate_transcripts_health_gate_and_redaction(spark):
         (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
         for cid, ex, nt, ntt, el, fp, tok in con.sql(
             _duck_chain(con, rows=rows, max_viol=0, redact=True)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_semantic_stage(spark):
+    """A conversation whose every turn is p2 REVERSED word-by-word has
+    the identical token multiset (cosine 1.0) but different bytes
+    (survives prefix dedup), a different rendered example (survives
+    exact dedup), and near-zero shingle overlap (survives MinHash at
+    0.6) — only the semantic stage can drop it."""
+    p7 = [(role, " ".join(reversed(text.split()))) for role, text in P2]
+    rows = _rows() + _conv("p7", p7)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+
+    base = sorted(
+        r.conv_id
+        for r in curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect()
+    )
+    assert base == ["p2", "p6", "p7"]  # invisible to every other stage
+
+    got = sorted(
+        map(
+            tuple,
+            curate_transcripts(
+                df, n_parts=4, prefix_max_depth=64,
+                semantic_dim=32, semantic_threshold=0.95, semantic_cells=2,
+            ).collect(),
+        )
+    )
+    assert "p7" not in [r[0] for r in got]
+    assert "p2" in [r[0] for r in got]
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(
+            _duck_chain(con, rows=rows, semantic_dim=32,
+                        semantic_threshold=0.95, semantic_cells=2)
         ).fetchall()
     )
     assert got == want
