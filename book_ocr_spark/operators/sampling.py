@@ -562,3 +562,77 @@ def duck_assign_split_sql(
                     ELSE 'train' END AS split
         FROM ({corpus_sql}) c
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """assign_split, but CLUSTER-consistent: the split is decided by
+    hashing the near-dup CLUSTER REPRESENTATIVE, not the row id, so
+    two near-duplicate documents can never straddle the train/eval
+    boundary — the classic contamination bug plain per-id hashing
+    (and df.randomSplit) both have: a val doc whose near-twin sits in
+    train leaks the eval answer into training. Run this when the
+    corpus deliberately KEEPS near-dups (dedup threshold above split
+    threshold) or before deciding which dup to keep.
+
+    ``clusters``: (id, cluster_id) — operators.dedup.near_dup_clusters
+    output (any (id, rep) map works). Ids absent from the map are
+    their own representative (coalesce), so the operator degrades to
+    assign_split exactly when the cluster map is empty — and because
+    a singleton's cluster_id IS its id, the two operators agree on
+    every non-clustered row (same salt, same cuts, same hash).
+
+    Plan: one LEFT join df->clusters on id (the cluster map is a
+    conv-grain table, orders of magnitude smaller than the turn/doc
+    table; AQE broadcasts it when it fits) + the same narrow
+    projection as assign_split. Membership is a pure function of
+    (salt, representative): stable across reruns, partitioning,
+    engines, and incremental ingests — a re-sent doc joins its
+    cluster's split."""
+    if val_fraction < 0 or test_fraction < 0:
+        raise ValueError("fractions must be >= 0")
+    if val_fraction + test_fraction >= 1.0:
+        raise ValueError("val + test fractions must leave room for train")
+    rep_map = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("_rep")
+    )
+    joined = df.join(rep_map, id_col, "left").withColumn(
+        "_rep",
+        F.coalesce(F.col("_rep").cast("string"), F.col(id_col).cast("string")),
+    )
+    u = _keep_expr("_rep", salt)
+    return joined.withColumn(
+        "split",
+        F.when(u < test_fraction, "test")
+        .when(u < test_fraction + val_fraction, "val")
+        .otherwise("train"),
+    ).drop("_rep")
+
+
+def duck_leakage_safe_split_sql(
+    corpus_sql: str,
+    clusters_sql: str,
+    id_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of leakage_safe_split (same join, hash, cuts)."""
+    u = _duck_keep_expr(
+        f"COALESCE(CAST(cl.cluster_id AS VARCHAR), CAST(c.{id_col} AS VARCHAR))",
+        salt,
+    )
+    return f"""
+        SELECT c.*,
+               CASE WHEN {u} < {test_fraction} THEN 'test'
+                    WHEN {u} < {test_fraction + val_fraction} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM ({corpus_sql}) c
+        LEFT JOIN ({clusters_sql}) cl ON cl.id = c.{id_col}
+    """

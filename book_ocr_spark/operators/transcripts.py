@@ -2141,3 +2141,212 @@ def duck_conv_semantic_dedup_sql(
         SELECT t.* FROM ({src_sql}) t
         WHERE conv_id NOT IN (SELECT id_b FROM ({pairs}) dp)
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-conversation turn-grain boilerplate dedup
+# ---------------------------------------------------------------------------
+def _bp_eligible(roles: list[str] | None) -> Column:
+    """A turn is boilerplate-ELIGIBLE iff its text is non-null and
+    non-empty (empty turns repeat legitimately and stripping them
+    would shift spans for no gain) and, when ``roles`` is given, its
+    role is in the list (user turns repeating "yes" across
+    conversations is conversation, not template noise)."""
+    cond = F.col("text").isNotNull() & (F.col("text") != F.lit(""))
+    if roles is not None:
+        cond = cond & F.col("role").isin(list(roles))
+    return cond
+
+
+def boilerplate_turns(
+    df: DataFrame, min_convs: int = 2, roles: list[str] | None = None
+) -> DataFrame:
+    """Turn texts that recur across conversations: the turn-grain
+    analog of web-corpus line dedup (CCNet / RefinedWeb strip lines
+    whose hash repeats across documents; agent corpora are full of
+    turns whose EXACT text repeats across conversations — templated
+    tool banners, canned system preambles rendered into turns, stock
+    assistant disclaimers). Returns (text_md5, n_convs, n_turns,
+    text) for eligible turn texts appearing in >= ``min_convs``
+    DISTINCT conversations, most-widespread first (ties by md5).
+
+    Grouping key is md5(text) — the repo-wide exact-identity
+    convention (dedup_exact, fingerprints); counts are per digest, so
+    ONE narrow hash agg with map-side combine, never a wide-text
+    shuffle key. ``min(text)`` carries a sample: all texts in a
+    digest group are identical under that convention (min == the
+    text, and both engines agree deterministically).
+
+    Scale shape (10^12 turns): hash agg on a 32-char digest; the hot
+    groups are EXACTLY the boilerplate being surfaced, and a hash agg
+    absorbs hot keys map-side (this is the aggregation-not-join side
+    of the skew coin — no salting needed)."""
+    if min_convs < 2:
+        raise ValueError("min_convs must be >= 2 (1 would flag every turn)")
+    return (
+        df.where(_bp_eligible(roles))
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count_distinct("conv_id").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min(F.col("text")).alias("text"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+        .orderBy(F.col("n_convs").desc(), F.col("text_md5").asc())
+    )
+
+
+def strip_boilerplate_turns(
+    df: DataFrame,
+    min_convs: int = 2,
+    roles: list[str] | None = None,
+    broadcast_bp: bool = True,
+) -> DataFrame:
+    """Drop every eligible turn whose text is boilerplate (appears in
+    >= ``min_convs`` distinct conversations). ALL occurrences drop —
+    template noise is noise in every conversation it appears in (the
+    line-dedup rule, not the keep-first dedup rule). Ineligible turns
+    (empty text / role outside ``roles``) always survive, even when
+    their text collides with a boilerplate digest.
+
+    Plan: ONE scan of ``df`` — the boilerplate digest set joins back
+    as a broadcast LEFT join on the digest plus an eligibility
+    filter, so no second scan and no shuffle of the turn table. The
+    digest set is small by construction (only texts repeated across
+    >= min_convs conversations); pass ``broadcast_bp=False`` to let
+    AQE pick the strategy when a pathological corpus makes it large."""
+    bp = boilerplate_turns(df, min_convs, roles).select(
+        F.col("text_md5").alias("_bp_md5"), F.lit(True).alias("_bp")
+    )
+    if broadcast_bp:
+        bp = F.broadcast(bp)
+    return (
+        df.withColumn("_md5", F.md5("text"))
+        .join(bp, F.col("_md5") == F.col("_bp_md5"), "left")
+        .where(~(F.coalesce(F.col("_bp"), F.lit(False)) & _bp_eligible(roles)))
+        .drop("_md5", "_bp_md5", "_bp")
+    )
+
+
+def _duck_bp_eligible(roles: list[str] | None, q: str = "") -> str:
+    cond = f"{q}text IS NOT NULL AND {q}text <> ''"
+    if roles is not None:
+        quoted = ", ".join(f"'{r}'" for r in roles)
+        cond += f" AND {q}role IN ({quoted})"
+    return f"({cond})"
+
+
+def duck_boilerplate_turns_sql(
+    src_sql: str, min_convs: int = 2, roles: list[str] | None = None
+) -> str:
+    """DuckDB twin of boilerplate_turns (same digest, same counts)."""
+    return f"""
+        SELECT md5(text) AS text_md5,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               COUNT(*) AS n_turns,
+               MIN(text) AS text
+        FROM ({src_sql}) bt
+        WHERE {_duck_bp_eligible(roles)}
+        GROUP BY md5(text)
+        HAVING COUNT(DISTINCT conv_id) >= {min_convs}
+        ORDER BY n_convs DESC, text_md5 ASC
+    """
+
+
+def duck_strip_boilerplate_turns_sql(
+    src_sql: str, min_convs: int = 2, roles: list[str] | None = None
+) -> str:
+    """DuckDB twin of strip_boilerplate_turns (surviving turn rows)."""
+    bp = duck_boilerplate_turns_sql(src_sql, min_convs, roles)
+    return f"""
+        SELECT s.* FROM ({src_sql}) s
+        WHERE NOT ({_duck_bp_eligible(roles, 's.')}
+                   AND md5(s.text) IN (SELECT text_md5 FROM ({bp}) bp))
+    """
+
+
+# ---------------------------------------------------------------------------
+# Agent-loop detection (run-length of repeated actions)
+# ---------------------------------------------------------------------------
+def loop_signals(df: DataFrame) -> DataFrame:
+    """Per-conversation stuck-agent signals: run-length statistics of
+    CONSECUTIVE turns repeating the identical action, where an action
+    is the (role, tool, text) triple null-safe — an agent looping on
+    the same tool call with the same arguments, or a model re-emitting
+    the same reply, produces a long run. Returns (conv_id, n_turns,
+    n_runs, max_run_len, n_looped_turns) where n_looped_turns =
+    n_turns - n_runs (turns identical to their predecessor).
+
+    Classic run-length encoding as two windows + two hash aggs, ALL
+    partitioned by conv_id — the same single exchange every transcript
+    operator rides: lag marks run starts, a running sum numbers the
+    runs, a (conv_id, run) count measures them, a conv_id agg rolls
+    up. No turn ever compares beyond its immediate predecessor, so
+    per-turn cost is O(1) at 10^12 turns and a monster conversation
+    costs its own length, nothing quadratic."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    same = (
+        F.col("role").eqNullSafe(F.lag("role").over(w))
+        & F.col("tool").eqNullSafe(F.lag("tool").over(w))
+        & F.col("text").eqNullSafe(F.lag("text").over(w))
+    )
+    new_run = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(same, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    staged = df.select(
+        "conv_id", "turn_idx", new_run.alias("_new")
+    ).withColumn("_run", F.sum("_new").over(w))
+    per_run = staged.groupBy("conv_id", "_run").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("_len").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("_len").cast("long").alias("max_run_len"),
+        (F.sum("_len") - F.count(F.lit(1))).cast("long").alias("n_looped_turns"),
+    )
+
+
+def duck_loop_signals_sql(src_sql: str) -> str:
+    """DuckDB twin of loop_signals (same run-length recurrence)."""
+    return f"""
+        WITH ls_new AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                        WHEN role IS NOT DISTINCT FROM LAG(role) OVER w
+                             AND tool IS NOT DISTINCT FROM LAG(tool) OVER w
+                             AND text IS NOT DISTINCT FROM LAG(text) OVER w
+                        THEN 0 ELSE 1 END AS new_run
+            FROM ({src_sql}) ls0
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        ls_run AS (
+            SELECT conv_id,
+                   SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS UNBOUNDED PRECEDING) AS run
+            FROM ls_new),
+        ls_len AS (
+            SELECT conv_id, run, COUNT(*) AS len
+            FROM ls_run GROUP BY conv_id, run)
+        SELECT conv_id,
+               SUM(len) AS n_turns,
+               COUNT(*) AS n_runs,
+               MAX(len) AS max_run_len,
+               SUM(len) - COUNT(*) AS n_looped_turns
+        FROM ls_len GROUP BY conv_id
+    """
+
+
+def filter_looping_convs(df: DataFrame, max_run_len: int) -> DataFrame:
+    """Gate: drop conversations whose longest identical-action run
+    exceeds ``max_run_len`` (a stuck agent re-issuing the same call).
+    Semi-join on the small conv-grain signal table."""
+    if max_run_len < 1:
+        raise ValueError("max_run_len must be >= 1")
+    ok = (
+        loop_signals(df)
+        .where(F.col("max_run_len") <= max_run_len)
+        .select("conv_id")
+    )
+    return df.join(ok, "conv_id", "left_semi")

@@ -424,6 +424,9 @@ def curate_transcripts(
     bench_id_col: str = "id",
     bench_text_col: str = "text",
     max_alternation_violations: int | None = None,
+    max_action_run: int | None = None,
+    boilerplate_min_convs: int | None = None,
+    boilerplate_roles: list[str] | None = None,
     redact: bool = False,
     semantic_dim: int | None = None,
     semantic_threshold: float = 0.9,
@@ -443,6 +446,11 @@ def curate_transcripts(
          (``max_alternation_violations``: conv_stats doubled-role cap
          on raw turns — malformed agent traces drop before the Python
          stage);
+      1c. optional stuck-agent gate (``max_action_run``:
+         transcripts.filter_looping_convs run-length cap on raw turns
+         — a conversation re-issuing the identical (role, tool, text)
+         action more than the cap times in a row is a looping agent
+         and never reaches extraction);
       2. the fused extract pipeline (ONE exchange, ONE Python pass —
          plans.pipeline.build_fused_plan) turns raw payloads into
          per-turn extracted text; failed turns drop (quarantine analog;
@@ -450,6 +458,14 @@ def curate_transcripts(
       2b. optional turn-grain PII redaction (``redact``: the
          textstats typed-placeholder chain on extracted text, so all
          downstream artifacts train on scrubbed turns);
+      2b'. optional cross-conversation turn-boilerplate strip
+         (``boilerplate_min_convs``: transcripts.strip_boilerplate_turns
+         on the extracted — and, with ``redact``, scrubbed — text;
+         templated tool banners / canned preambles whose exact text
+         recurs across that many conversations drop at turn grain,
+         the web pass's line-dedup rule applied to turns; scope with
+         ``boilerplate_roles``. Runs AFTER redaction on purpose:
+         placeholder-collapsed texts count as the same template);
       2c. optional conversation-grain semantic dedup (``semantic_dim``:
          transcripts.conv_semantic_dedup on the extracted — and, with
          ``redact``, scrubbed — turns; REWORDED/REORDERED re-runs that
@@ -499,6 +515,14 @@ def curate_transcripts(
             .select("conv_id")
         )
         cur = cur.join(healthy, "conv_id", "left_semi")
+    if max_action_run is not None:
+        # stuck-agent gate on RAW turns (action identity is a raw
+        # property; the run-length windows ride the same conv_id
+        # exchange): a conversation with a longer identical-action run
+        # than the cap never reaches the Python extraction stage
+        from book_ocr_spark.operators.transcripts import filter_looping_convs
+
+        cur = filter_looping_convs(cur, max_action_run)
     ext = (
         build_fused_plan(cur, n_parts=n_parts, lineage_prefix="sft", thresholds=thresholds)
         .filter(F.col("rec") == "data")
@@ -513,6 +537,20 @@ def curate_transcripts(
         from book_ocr_spark.operators.textstats import pii_redact_col
 
         ext = ext.withColumn("text", pii_redact_col("text"))
+    if boilerplate_min_convs is not None:
+        # cross-conversation turn-boilerplate strip on the extracted
+        # (post-redaction) text. strip_boilerplate_turns references its
+        # input twice (digest agg + join-back), so pin ext first —
+        # the same unpinned-lazy-input lesson as the semantic stage:
+        # each extra reference would re-run the Python extraction.
+        from book_ocr_spark.operators.transcripts import strip_boilerplate_turns
+
+        ext = ext.persist()
+        if storage_handle is not None:
+            storage_handle.append(ext)
+        ext = strip_boilerplate_turns(
+            ext, boilerplate_min_convs, boilerplate_roles
+        )
     if semantic_dim is not None:
         # conversation-grain semantic dedup on the extracted text:
         # hashed-TF embedding -> IVF-celled exact cosine -> min-id

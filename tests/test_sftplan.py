@@ -67,7 +67,8 @@ _CANON = (
 
 def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
                 rows=None, benchmark=None, contamination_n=13,
-                max_viol=None, redact=False, semantic_dim=None,
+                max_viol=None, max_run=None, bp_min_convs=None,
+                bp_roles=None, redact=False, semantic_dim=None,
                 semantic_threshold=0.9, semantic_cells=16):
     """Register the stage-for-stage DuckDB replay; returns the final
     survivor table name."""
@@ -94,6 +95,18 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             ).df(),
         )
         raw_src += " AND conv_id IN (SELECT conv_id FROM healthy)"
+    if max_run is not None:
+        from book_ocr_spark.operators.transcripts import duck_loop_signals_sql
+
+        con.register(
+            "notloop",
+            con.sql(
+                "SELECT conv_id FROM ("
+                + duck_loop_signals_sql(raw_src)
+                + f") q WHERE max_run_len <= {max_run}"
+            ).df(),
+        )
+        raw_src += " AND conv_id IN (SELECT conv_id FROM notloop)"
     text_expr = _CANON
     if redact:
         from book_ocr_spark.operators.textstats import duck_pii_redact_expr
@@ -107,6 +120,18 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
         ).df(),
     )
     src = "SELECT * FROM ext"
+    if bp_min_convs is not None:
+        from book_ocr_spark.operators.transcripts import (
+            duck_strip_boilerplate_turns_sql,
+        )
+
+        con.register(
+            "bps",
+            con.sql(
+                duck_strip_boilerplate_turns_sql(src, bp_min_convs, bp_roles)
+            ).df(),
+        )
+        src = "SELECT * FROM bps"
     if semantic_dim is not None:
         from book_ocr_spark.operators.transcripts import (
             duck_conv_semantic_pairs_sql,
@@ -115,16 +140,15 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
         con.register(
             "semk",
             con.sql(
-                "SELECT DISTINCT conv_id FROM ext WHERE conv_id NOT IN ("
+                f"SELECT DISTINCT conv_id FROM ({src}) se WHERE conv_id NOT IN ("
                 "SELECT id_b FROM ("
                 + duck_conv_semantic_pairs_sql(
-                    "SELECT * FROM ext", semantic_dim,
-                    semantic_threshold, semantic_cells,
+                    src, semantic_dim, semantic_threshold, semantic_cells,
                 )
                 + ") sp)"
             ).df(),
         )
-        src = "SELECT * FROM ext WHERE conv_id IN (SELECT conv_id FROM semk)"
+        src = f"SELECT * FROM ({src}) sx WHERE conv_id IN (SELECT conv_id FROM semk)"
     if max_chars is not None:
         con.register(
             "fitted",
@@ -378,6 +402,75 @@ def test_curate_transcripts_semantic_stage(spark):
         for cid, ex, nt, ntt, el, fp, tok in con.sql(
             _duck_chain(con, rows=rows, semantic_dim=32,
                         semantic_threshold=0.95, semantic_cells=2)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_loop_and_boilerplate_stages(spark):
+    """1c + 2b': a stuck agent (identical action 4x in a row) drops at
+    the run-length gate; a banner turn whose exact text recurs across
+    3 conversations strips at turn grain BEFORE assembly — so p3's
+    bannered raw turns still render the example that exact-dedups p4
+    away — and the composed pass twins bit-for-bit."""
+    banner = "standard session banner boilerplate"
+    rows = _rows() + _conv("px", [
+        ("user", "retry the fetch now"),
+        ("user", "retry the fetch now"),
+        ("user", "retry the fetch now"),
+        ("user", "retry the fetch now"),
+        ("assistant", "gave up eventually"),
+    ])
+    # the SAME banner text appended to FOUR conversations (turn 90 so
+    # no prefix relation changes); all user turns. min_convs=4 is the
+    # designed cap: P2's shared turns recur across only 3 convs
+    # (p2/p3/p4), so they must SURVIVE the strip — the threshold
+    # semantics, not just the strip, is under test
+    rows += [
+        (cid, 90, "user", banner, "plain", TS + pd.Timedelta(seconds=9000))
+        for cid in ("p2", "p3", "p5", "p6")
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+
+    # without the new gates: px survives (its example is unique) and
+    # the banner reaches p2/p6's examples; p3/p4 EXACT-dup equality is
+    # broken by p3's banner (p4 now falls to the shingle near-dup
+    # stage instead — one stage later, same survivor set)
+    base = sorted(
+        r.conv_id
+        for r in curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect()
+    )
+    assert base == ["p2", "p6", "px"]
+    got_base = {
+        r["conv_id"]: r["example"]
+        for r in curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect()
+    }
+    assert banner in got_base["p2"]
+
+    got = sorted(
+        map(
+            tuple,
+            curate_transcripts(
+                df, n_parts=4, prefix_max_depth=64,
+                max_action_run=3, boilerplate_min_convs=4,
+            ).collect(),
+        )
+    )
+    ids = [r[0] for r in got]
+    # px gated; banner stripped everywhere, restoring the designed
+    # p3-example == p4-example equality -> p3 (min id) survives... but
+    # p3 is then the near-dup of p2 and drops, leaving the base pair
+    assert ids == ["p2", "p6"]
+    assert all(banner not in r[1] for r in got)
+    # threshold semantics: turns shared across only 3 convs survived
+    p2ex = next(r[1] for r in got if r[0] == "p2")
+    assert "quick brown fox" in p2ex
+
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(
+            _duck_chain(con, rows=rows, max_run=3, bp_min_convs=4)
         ).fetchall()
     )
     assert got == want

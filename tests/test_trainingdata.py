@@ -1362,3 +1362,81 @@ def test_compression_ratio_matches_python_replay(spark):
         want = len(zlib.compress(raw, 6)) / len(raw) if raw else 0.0
         assert got[i] == (len(raw), want), i
     assert got[1][1] < got[2][1]  # repetition compresses harder
+
+
+def test_leakage_safe_split_cluster_consistent(spark):
+    """Cluster-consistent splitting: bit-identical DuckDB twin, every
+    near-dup cluster lands WHOLLY in one split (the contamination bug
+    plain per-id hashing demonstrably has on the same fixture),
+    singletons agree with assign_split exactly, partition invariant."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from book_ocr_spark.operators.dedup import near_dup_clusters
+    from book_ocr_spark.operators.sampling import (
+        assign_split,
+        duck_leakage_safe_split_sql,
+        leakage_safe_split,
+    )
+
+    rows = [(f"d{i:03d}", f"text {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    # 60 two-doc near-dup pairs (d000~d200, d001~d201, ...) fed through
+    # the REAL connected-components operator
+    pair_rows = [(f"d{i:03d}", f"d{i + 200:03d}") for i in range(60)]
+    pairs = spark.createDataFrame(pair_rows, "id_a string, id_b string")
+    clusters = near_dup_clusters(pairs, df.select("id"))
+
+    got = sorted(
+        (r["id"], r["split"])
+        for r in leakage_safe_split(df, "id", clusters, 0.15, 0.15).collect()
+    )
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register(
+        "cl", pd.DataFrame([(r["id"], r["cluster_id"]) for r in clusters.collect()],
+                           columns=["id", "cluster_id"])
+    )
+    want = sorted(
+        (i, s)
+        for i, _, s in con.sql(
+            duck_leakage_safe_split_sql(
+                "SELECT id, text FROM c", "SELECT * FROM cl", "id", 0.15, 0.15
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 400  # left join fans nothing out; exhaustive
+
+    split_of = dict(got)
+    # every cluster wholly in one split
+    for a, b in pair_rows:
+        assert split_of[a] == split_of[b], (a, b)
+    # the bug being fixed is real on this fixture: plain per-id
+    # hashing straddles at least one near-dup pair across splits
+    plain = {
+        r["id"]: r["split"] for r in assign_split(df, "id", 0.15, 0.15).collect()
+    }
+    assert any(plain[a] != plain[b] for a, b in pair_rows)
+    # singletons (no cluster) match assign_split exactly — same hash,
+    # same cuts, so the operator degrades to assign_split off-cluster
+    clustered = {x for ab in pair_rows for x in ab}
+    for i, s in got:
+        if i not in clustered:
+            assert s == plain[i], i
+    # all three splits materialize at these fractions
+    assert {s for _, s in got} == {"train", "val", "test"}
+
+    reparted = sorted(
+        (r["id"], r["split"])
+        for r in leakage_safe_split(
+            df.repartition(7), "id", clusters, 0.15, 0.15
+        ).collect()
+    )
+    assert reparted == got
+
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "id", clusters, 0.6, 0.5)
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "id", clusters, -0.1, 0.1)

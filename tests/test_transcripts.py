@@ -1212,3 +1212,153 @@ def test_conv_semantic_pairs_no_cartesian(csd_df):
         tr.conv_semantic_pairs(csd_df, dim=16, n_cells=2).explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Cross-conversation turn-boilerplate dedup
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "min_convs,roles",
+    [(2, None), (3, None), (4, None), (2, ["user"]), (3, ["assistant"])],
+)
+def test_boilerplate_turns_twin(tdf, con, min_convs, roles):
+    got = _sorted([tuple(r) for r in tr.boilerplate_turns(tdf, min_convs, roles).collect()])
+    want = _sorted(
+        [tuple(r) for r in con.sql(tr.duck_boilerplate_turns_sql(SRC, min_convs, roles)).fetchall()]
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "min_convs,roles", [(2, None), (3, None), (2, ["user"]), (3, ["assistant"])]
+)
+def test_strip_boilerplate_turns_twin(tdf, con, min_convs, roles):
+    got = _sorted(
+        [tuple(r) for r in tr.strip_boilerplate_turns(tdf, min_convs, roles).collect()]
+    )
+    want = _sorted(
+        [
+            tuple(r)
+            for r in con.sql(
+                tr.duck_strip_boilerplate_turns_sql(SRC, min_convs, roles)
+            ).fetchall()
+        ]
+    )
+    assert got == want
+
+
+def test_boilerplate_semantics(tdf):
+    # "hello there" opens a, b, c, d -> 4 convs; a's turn-1 text is
+    # shared by a, b, c -> 3 convs; f/g's two texts -> 2 convs each;
+    # the empty turn-2 text (a, b, c, d) is INELIGIBLE despite 4 convs.
+    by4 = {r["text"]: r["n_convs"] for r in tr.boilerplate_turns(tdf, 4).collect()}
+    assert by4 == {"hello there": 4}
+    by2 = {r["text"]: r["n_convs"] for r in tr.boilerplate_turns(tdf, 2).collect()}
+    assert by2["hello there"] == 4
+    assert by2["hi!\nhow can I help? café"] == 3
+    assert by2["ping"] == 2 and by2["ping again"] == 2
+    assert "" not in by2
+
+    # strip with min_convs=4 drops exactly the 4 "hello there" turns
+    kept = tr.strip_boilerplate_turns(tdf, 4)
+    assert kept.count() == tdf.count() - 4
+    assert kept.where(F.col("text") == "hello there").count() == 0
+    # role scoping: "hello there" turns are user turns, so an
+    # assistant-only pass keeps them and drops only the 3 assistant
+    # copies of a's turn-1 text
+    ak = tr.strip_boilerplate_turns(tdf, 2, roles=["assistant"])
+    assert ak.where(F.col("text") == "hello there").count() == 4
+    assert ak.where(F.col("text").contains("how can I help")).count() == 0
+    # empty / NULL turns always survive
+    assert ak.where(F.col("text").isNull() | (F.col("text") == "")).count() == (
+        tdf.where(F.col("text").isNull() | (F.col("text") == "")).count()
+    )
+
+    with pytest.raises(ValueError):
+        tr.boilerplate_turns(tdf, 1)
+
+
+def test_strip_boilerplate_partition_invariance(tdf):
+    base = _sorted([tuple(r) for r in tr.strip_boilerplate_turns(tdf, 3).collect()])
+    rep = _sorted(
+        [tuple(r) for r in tr.strip_boilerplate_turns(tdf.repartition(7), 3).collect()]
+    )
+    assert base == rep
+
+
+# ---------------------------------------------------------------------------
+# Agent-loop detection
+# ---------------------------------------------------------------------------
+def _loop_rows():
+    # conv L: a stuck agent — 4 identical (assistant, calc, "retry")
+    #         actions in a row, then one different turn -> max run 4
+    # conv M: alternating actions, no repeats -> max run 1
+    # conv N: two consecutive all-NULL action turns -> null-safe run 2
+    # conv O: same text but DIFFERENT tool on the middle turn -> runs
+    #         of 1 (tool is part of the action identity)
+    L = [("L", i, "assistant", "retry", "calc", TS) for i in range(4)] + [
+        ("L", 4, "user", "stop", None, TS)
+    ]
+    M = [
+        ("M", 0, "user", "q", None, TS),
+        ("M", 1, "assistant", "a", None, TS),
+        ("M", 2, "user", "q", None, TS),
+    ]
+    N = [("N", 0, None, None, None, None), ("N", 1, None, None, None, None)]
+    O = [
+        ("O", 0, "assistant", "x", "t1", TS),
+        ("O", 1, "assistant", "x", "t2", TS),
+        ("O", 2, "assistant", "x", "t1", TS),
+    ]
+    return L + M + N + O
+
+
+@pytest.fixture(scope="module")
+def loop_df(spark):
+    pdf = pd.DataFrame(_loop_rows(), columns=COLS)
+    return spark.createDataFrame(
+        pdf,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_loop_signals_twin_and_semantics(loop_df):
+    con2 = duckdb.connect()
+    con2.register("lt", pd.DataFrame(_loop_rows(), columns=COLS))
+    got = _sorted([tuple(r) for r in tr.loop_signals(loop_df).collect()])
+    want = _sorted(
+        [tuple(r) for r in con2.sql(tr.duck_loop_signals_sql("SELECT * FROM lt")).fetchall()]
+    )
+    assert got == want
+    by = {r["conv_id"]: r.asDict() for r in tr.loop_signals(loop_df).collect()}
+    assert by["L"] == {
+        "conv_id": "L", "n_turns": 5, "n_runs": 2, "max_run_len": 4, "n_looped_turns": 3,
+    }
+    assert by["M"]["max_run_len"] == 1 and by["M"]["n_looped_turns"] == 0
+    assert by["N"] == {
+        "conv_id": "N", "n_turns": 2, "n_runs": 1, "max_run_len": 2, "n_looped_turns": 1,
+    }
+    assert by["O"]["max_run_len"] == 1 and by["O"]["n_runs"] == 3
+
+
+def test_filter_looping_convs(loop_df):
+    kept = tr.filter_looping_convs(loop_df, max_run_len=3)
+    ids = {r["conv_id"] for r in kept.select("conv_id").distinct().collect()}
+    assert ids == {"M", "N", "O"}  # L's run of 4 exceeds the cap
+    # the gate keeps whole conversations intact
+    assert kept.where(F.col("conv_id") == "M").count() == 3
+    # cap >= the worst run keeps everything
+    assert tr.filter_looping_convs(loop_df, 4).count() == loop_df.count()
+    with pytest.raises(ValueError):
+        tr.filter_looping_convs(loop_df, 0)
+
+
+def test_loop_signals_single_exchange(loop_df):
+    """Both windows and both aggs partition by conv_id: exactly ONE
+    shuffle exchange in the whole plan (the transcript-operator
+    contract — these ops ride the extract pipeline's exchange)."""
+    plan = tr.loop_signals(loop_df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan
