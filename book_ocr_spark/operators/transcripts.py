@@ -2350,3 +2350,102 @@ def filter_looping_convs(df: DataFrame, max_run_len: int) -> DataFrame:
         .select("conv_id")
     )
     return df.join(ok, "conv_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Tool-output truncation (byte-budget control for agent transcripts)
+# ---------------------------------------------------------------------------
+TRUNC_MARKER = "\n…[tool output truncated]…\n"
+
+
+def truncate_tool_turns(
+    df: DataFrame,
+    max_chars: int,
+    head_frac: float = 0.5,
+    marker: str = TRUNC_MARKER,
+    by: str = "tool",
+    roles: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Cap oversized tool-result turns at ``max_chars`` characters,
+    keeping the head and the tail around an elision marker — tool
+    outputs (file dumps, search results, stack traces) dominate the
+    byte budget of agent-transcript corpora, and head+tail is the
+    standard cap shape (the start carries the answer's frame, the end
+    carries the final state). Other turns and turns already within
+    budget pass through byte-identical. Adds a ``truncated`` boolean.
+
+    ``by='tool'`` scopes to turns with a valid ``tool`` column (the
+    raw input_hint schema); ``by='role'`` scopes to turns whose role
+    is in ``roles`` (default ``('tool',)``) — the join-free variant
+    for post-extraction frames that no longer carry the tool column
+    (re-attaching it would cost either a wide composite-key shuffle
+    of the text or quadratic within-conversation merge work; the role
+    tag carries the same 'this is a tool result' fact for free).
+
+    head gets ``ceil((max_chars - len(marker)) * head_frac)`` chars,
+    the tail the rest, so every truncated text is EXACTLY max_chars
+    characters. Downstream spans stay correct by construction: this
+    runs BEFORE sft assembly, which computes spans from whatever text
+    it is given.
+
+    ONE narrow JVM projection (two substrings + a concat) — no
+    shuffle, no Python, and per-row cost is O(max_chars) regardless
+    of how monstrous the original output was (Spark's substring never
+    materializes more than it returns)."""
+    if len(marker) >= max_chars:
+        raise ValueError("max_chars must exceed the marker length")
+    if not 0.0 <= head_frac <= 1.0:
+        raise ValueError("head_frac must be in [0, 1]")
+    if by not in ("tool", "role"):
+        raise ValueError("by must be 'tool' or 'role'")
+    import math
+
+    budget = max_chars - len(marker)
+    head = math.ceil(budget * head_frac)
+    tail = budget - head
+    scope = (
+        _tool_valid() if by == "tool" else F.col("role").isin(list(roles))
+    )
+    hit = scope & F.col("text").isNotNull() & (F.length("text") > max_chars)
+    capped = F.concat(
+        F.substring(F.col("text"), 1, head),
+        F.lit(marker),
+        F.col("text").substr(F.length("text") - tail + 1, F.lit(tail)),
+    )
+    return df.withColumn(
+        "truncated", hit
+    ).withColumn("text", F.when(hit, capped).otherwise(F.col("text")))
+
+
+def duck_truncate_tool_turns_sql(
+    src_sql: str,
+    max_chars: int,
+    head_frac: float = 0.5,
+    marker: str = TRUNC_MARKER,
+    by: str = "tool",
+    roles: tuple[str, ...] = ("tool",),
+) -> str:
+    """DuckDB twin of truncate_tool_turns (same head/tail arithmetic,
+    same character semantics — both engines' substring/length count
+    codepoints)."""
+    import math
+
+    budget = max_chars - len(marker)
+    head = math.ceil(budget * head_frac)
+    tail = budget - head
+    m = marker.replace("'", "''")
+    if by == "tool":
+        scope = "tool IS NOT NULL AND tool <> ''"
+    else:
+        quoted = ", ".join(f"'{r}'" for r in roles)
+        scope = f"role IN ({quoted})"
+    hit = f"{scope} AND text IS NOT NULL AND LEN(text) > {max_chars}"
+    return f"""
+        SELECT * EXCLUDE (text, hit),
+               CASE WHEN hit THEN
+                   substr(text, 1, {head}) || '{m}'
+                   || substr(text, LEN(text) - {tail} + 1, {tail})
+               ELSE text END AS text,
+               hit AS truncated
+        FROM (SELECT tt.*, ({hit}) AS hit FROM ({src_sql}) tt) q
+    """

@@ -425,6 +425,7 @@ def curate_transcripts(
     bench_text_col: str = "text",
     max_alternation_violations: int | None = None,
     max_action_run: int | None = None,
+    tool_output_max_chars: int | None = None,
     boilerplate_min_convs: int | None = None,
     boilerplate_roles: list[str] | None = None,
     redact: bool = False,
@@ -458,6 +459,11 @@ def curate_transcripts(
       2b. optional turn-grain PII redaction (``redact``: the
          textstats typed-placeholder chain on extracted text, so all
          downstream artifacts train on scrubbed turns);
+      2b0. optional tool-output cap (``tool_output_max_chars``:
+         transcripts.truncate_tool_turns head+tail elision on
+         role='tool' turns — tool results dominate agent-transcript
+         bytes; runs after redaction, before the boilerplate strip so
+         identical capped outputs still collapse);
       2b'. optional cross-conversation turn-boilerplate strip
          (``boilerplate_min_convs``: transcripts.strip_boilerplate_turns
          on the extracted — and, with ``redact``, scrubbed — text;
@@ -537,6 +543,17 @@ def curate_transcripts(
         from book_ocr_spark.operators.textstats import pii_redact_col
 
         ext = ext.withColumn("text", pii_redact_col("text"))
+    if tool_output_max_chars is not None:
+        # cap oversized tool-result turns (head+tail elision) — one
+        # narrow JVM projection. Scoped by role='tool' (the extracted
+        # frame no longer carries the tool column; re-attaching it
+        # would cost a wide (conv_id, turn_idx) shuffle of the text —
+        # the role tag carries the same fact for free)
+        from book_ocr_spark.operators.transcripts import truncate_tool_turns
+
+        ext = truncate_tool_turns(
+            ext, tool_output_max_chars, by="role"
+        ).drop("truncated")
     if boilerplate_min_convs is not None:
         # cross-conversation turn-boilerplate strip on the extracted
         # (post-redaction) text. strip_boilerplate_turns references its

@@ -67,7 +67,8 @@ _CANON = (
 
 def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
                 rows=None, benchmark=None, contamination_n=13,
-                max_viol=None, max_run=None, bp_min_convs=None,
+                max_viol=None, max_run=None, tool_cap=None,
+                bp_min_convs=None,
                 bp_roles=None, redact=False, semantic_dim=None,
                 semantic_threshold=0.9, semantic_cells=16):
     """Register the stage-for-stage DuckDB replay; returns the final
@@ -120,6 +121,20 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
         ).df(),
     )
     src = "SELECT * FROM ext"
+    if tool_cap is not None:
+        from book_ocr_spark.operators.transcripts import (
+            duck_truncate_tool_turns_sql,
+        )
+
+        con.register(
+            "tcap",
+            con.sql(
+                "SELECT conv_id, turn_idx, role, text FROM ("
+                + duck_truncate_tool_turns_sql(src, tool_cap, by="role")
+                + ") z"
+            ).df(),
+        )
+        src = "SELECT * FROM tcap"
     if bp_min_convs is not None:
         from book_ocr_spark.operators.transcripts import (
             duck_strip_boilerplate_turns_sql,
@@ -471,6 +486,51 @@ def test_curate_transcripts_loop_and_boilerplate_stages(spark):
         (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
         for cid, ex, nt, ntt, el, fp, tok in con.sql(
             _duck_chain(con, rows=rows, max_run=3, bp_min_convs=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_tool_cap_stage(spark):
+    """2b0: an oversized role='tool' turn is head+tail capped before
+    assembly — the example carries the elision marker and the capped
+    turn is exactly max_chars — and the composed pass twins."""
+    from book_ocr_spark.operators.transcripts import TRUNC_MARKER
+
+    long_tool = " ".join(f"r{i:03d}" for i in range(60))  # 299 chars
+    rows = _rows() + [
+        ("pt", 0, "user", "please run the big query", "plain", TS),
+        ("pt", 1, "tool", long_tool, "plain", TS + pd.Timedelta(seconds=30)),
+        ("pt", 2, "assistant", "summarized the result ok", "plain",
+         TS + pd.Timedelta(seconds=60)),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+
+    got = sorted(
+        map(
+            tuple,
+            curate_transcripts(
+                df, n_parts=4, prefix_max_depth=64, tool_output_max_chars=120,
+            ).collect(),
+        )
+    )
+    ids = [r[0] for r in got]
+    assert "pt" in ids
+    ptex = next(r[1] for r in got if r[0] == "pt")
+    assert TRUNC_MARKER in ptex
+    assert long_tool not in ptex
+    # the capped turn is exactly 120 chars inside the rendered example
+    h, _, rest = ptex.partition("<|tool|>\n")
+    capped = rest.split("\n<|", 1)[0]
+    assert len(capped) == 120
+    assert long_tool.startswith(capped.split(TRUNC_MARKER)[0])
+    assert long_tool.endswith(capped.split(TRUNC_MARKER)[1])
+
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(
+            _duck_chain(con, rows=rows, tool_cap=120)
         ).fetchall()
     )
     assert got == want

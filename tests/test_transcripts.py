@@ -1362,3 +1362,88 @@ def test_loop_signals_single_exchange(loop_df):
 
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Tool-output truncation
+# ---------------------------------------------------------------------------
+def _trunc_rows():
+    long_txt = " ".join(f"tok{i:04d}" for i in range(40))  # 280 chars
+    uni = "café münch " * 30  # multi-byte codepoints, 330 chars
+    return [
+        ("T", 0, "tool", long_txt, "search", TS),          # capped (by tool)
+        ("T", 1, "assistant", long_txt, None, TS),         # long but not a tool turn
+        ("T", 2, "tool", "short result", "calc", TS),      # within budget
+        ("T", 3, "tool", None, "calc", TS),                # NULL text survives
+        ("U", 0, "tool", uni, "web", TS),                  # unicode cap
+        ("U", 1, "tool", "x" * 120, "web", TS),            # exactly max -> kept
+        ("U", 2, "tool", "x" * 121, "web", TS),            # max+1 -> capped
+    ]
+
+
+@pytest.fixture(scope="module")
+def trunc_df(spark):
+    pdf = pd.DataFrame(_trunc_rows(), columns=COLS)
+    return spark.createDataFrame(
+        pdf,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+TSEL = COLS + ["truncated"]
+_TQ = ", ".join(TSEL)
+
+
+@pytest.mark.parametrize("by,hf", [("tool", 0.5), ("tool", 1.0), ("tool", 0.0), ("role", 0.5)])
+def test_truncate_tool_turns_twin(trunc_df, by, hf):
+    con2 = duckdb.connect()
+    con2.register("tt", pd.DataFrame(_trunc_rows(), columns=COLS))
+    got = _sorted(
+        [tuple(r) for r in tr.truncate_tool_turns(trunc_df, 120, hf, by=by).select(*TSEL).collect()]
+    )
+    want = _sorted(
+        [
+            tuple(r)
+            for r in con2.sql(
+                f"SELECT {_TQ} FROM ("
+                + tr.duck_truncate_tool_turns_sql("SELECT * FROM tt", 120, hf, by=by)
+                + ") z"
+            ).fetchall()
+        ]
+    )
+    assert got == want
+
+
+def test_truncate_tool_turns_semantics(trunc_df):
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in tr.truncate_tool_turns(trunc_df, 120).collect()
+    }
+    src = {(c, i): t for c, i, _, t, _, _ in _trunc_rows()}
+    # capped rows: exactly max_chars, head prefix + tail suffix of the
+    # original around the marker
+    for key in [("T", 0), ("U", 0), ("U", 2)]:
+        r = out[key]
+        assert r["truncated"] and len(r["text"]) == 120
+        assert tr.TRUNC_MARKER in r["text"]
+        h, _, t = r["text"].partition(tr.TRUNC_MARKER)
+        assert src[key].startswith(h) and src[key].endswith(t)
+    # untouched rows pass through byte-identical
+    for key in [("T", 1), ("T", 2), ("U", 1)]:
+        assert not out[key]["truncated"] and out[key]["text"] == src[key]
+    assert out[("T", 3)]["text"] is None and not out[("T", 3)]["truncated"]
+    # role scope: the long assistant turn is capped with roles=('assistant',)
+    byrole = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in tr.truncate_tool_turns(
+            trunc_df, 120, by="role", roles=("assistant",)
+        ).collect()
+    }
+    assert byrole[("T", 1)]["truncated"] and not byrole[("T", 0)]["truncated"]
+
+    with pytest.raises(ValueError):
+        tr.truncate_tool_turns(trunc_df, len(tr.TRUNC_MARKER))
+    with pytest.raises(ValueError):
+        tr.truncate_tool_turns(trunc_df, 120, head_frac=1.5)
+    with pytest.raises(ValueError):
+        tr.truncate_tool_turns(trunc_df, 120, by="kind")
