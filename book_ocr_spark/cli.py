@@ -158,6 +158,82 @@ def main(argv: list[str] | None = None) -> int:
     )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
+    ct = sub.add_parser(
+        "curate-transcripts",
+        help="the transcripts -> SFT-training-corpus pass: prefix dedup "
+        "-> health/loop gates -> fused extraction -> redact/tool-cap/"
+        "boilerplate/semantic -> SFT assembly -> decontamination -> "
+        "example-grain dedup -> shards (plans.curation.curate_transcripts)",
+    )
+    ct.add_argument(
+        "--input", required=True,
+        help="transcripts parquet (conv_id, turn_idx, role, text, tool, ts)",
+    )
+    ct.add_argument("--output", required=True, help="curated examples parquet path")
+    ct.add_argument("--n-parts", type=int, default=32)
+    ct.add_argument(
+        "--prefix-max-depth", type=int, default=4096,
+        help="conversation prefix-dedup depth cap; 0 disables the stage",
+    )
+    ct.add_argument(
+        "--max-alternation-violations", type=int, default=None,
+        help="drop conversations with more doubled-role turns (health gate)",
+    )
+    ct.add_argument(
+        "--max-action-run", type=int, default=None,
+        help="drop conversations whose longest identical-action run "
+        "exceeds this (stuck-agent gate)",
+    )
+    ct.add_argument(
+        "--tool-output-max-chars", type=int, default=None,
+        help="head+tail cap for oversized role='tool' turns",
+    )
+    ct.add_argument(
+        "--boilerplate-min-convs", type=int, default=None,
+        help="strip turns whose exact text recurs across >= this many "
+        "conversations (turn-grain line-dedup rule)",
+    )
+    ct.add_argument(
+        "--boilerplate-roles", default=None,
+        help="comma-separated roles eligible for the boilerplate strip "
+        "(default: all roles)",
+    )
+    ct.add_argument("--redact", action="store_true", help="turn-grain PII redaction")
+    ct.add_argument(
+        "--semantic-dim", type=int, default=None,
+        help="enable conversation-grain semantic dedup at this "
+        "hashed-TF embedding width",
+    )
+    ct.add_argument("--semantic-threshold", type=float, default=0.9)
+    ct.add_argument("--semantic-cells", type=int, default=16)
+    ct.add_argument(
+        "--max-chars", type=int, default=None,
+        help="context-window fit: keep the last turns that fit",
+    )
+    ct.add_argument("--min-train-turns", type=int, default=1)
+    ct.add_argument("--k", type=int, default=3, help="shingle size for near-dup")
+    ct.add_argument("--threshold", type=float, default=0.6, help="Jaccard threshold")
+    ct.add_argument(
+        "--clustering", choices=("pair", "cc"), default="pair",
+        help="near-dup canonicalization rule",
+    )
+    ct.add_argument(
+        "--hot-bucket-cap", type=int, default=None,
+        help="LSH hot-bucket salt cap (see dedup.capped_bucket_pairs)",
+    )
+    ct.add_argument(
+        "--benchmark", default=None,
+        help="eval-set parquet (id, text) enabling benchmark "
+        "decontamination at example grain",
+    )
+    ct.add_argument("--contamination-n", type=int, default=13)
+    ct.add_argument("--contamination-min-hits", type=int, default=1)
+    ct.add_argument(
+        "--n-shards", type=int, default=None,
+        help="add deterministic (shard, seq) training-order columns",
+    )
+    ct.add_argument("--threads", type=int, default=None)
+    ct.add_argument("--log-level", default="WARN")
     prof = sub.add_parser(
         "profile",
         help="one-pass corpus profile (exact counters + HLL/quantile "
@@ -271,6 +347,62 @@ def main(argv: list[str] | None = None) -> int:
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(json.dumps({"curated_rows": int(n), "output": args.output}))
+            return 0
+        finally:
+            for df in handle:
+                df.unpersist()
+            spark.stop()
+
+    if args.cmd == "curate-transcripts":
+        from book_ocr_spark.plans.curation import curate_transcripts
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(
+            app_name="book-ocr-spark-curate-transcripts", master=master
+        )
+        spark.sparkContext.setLogLevel(args.log_level)
+        handle: list = []
+        try:
+            transcripts = spark.read.parquet(args.input)
+            result = curate_transcripts(
+                transcripts,
+                n_parts=args.n_parts,
+                prefix_max_depth=(
+                    args.prefix_max_depth if args.prefix_max_depth > 0 else None
+                ),
+                max_chars=args.max_chars,
+                min_train_turns=args.min_train_turns,
+                k=args.k,
+                threshold=args.threshold,
+                clustering=args.clustering,
+                n_shards=args.n_shards,
+                storage_handle=handle,
+                hot_bucket_cap=args.hot_bucket_cap,
+                benchmark=(
+                    spark.read.parquet(args.benchmark)
+                    if args.benchmark is not None
+                    else None
+                ),
+                contamination_n=args.contamination_n,
+                contamination_min_hits=args.contamination_min_hits,
+                max_alternation_violations=args.max_alternation_violations,
+                max_action_run=args.max_action_run,
+                tool_output_max_chars=args.tool_output_max_chars,
+                boilerplate_min_convs=args.boilerplate_min_convs,
+                boilerplate_roles=(
+                    args.boilerplate_roles.split(",")
+                    if args.boilerplate_roles is not None
+                    else None
+                ),
+                redact=args.redact,
+                semantic_dim=args.semantic_dim,
+                semantic_threshold=args.semantic_threshold,
+                semantic_cells=args.semantic_cells,
+            )
+            result.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"curated_examples": int(n), "output": args.output}))
             return 0
         finally:
             for df in handle:

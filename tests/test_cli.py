@@ -218,3 +218,77 @@ def test_cli_profile(spark, tmp_path, capsys, monkeypatch):
         {"gram": "a", "cnt": 4},
         {"gram": "b", "cnt": 3},
     ]
+
+
+def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
+    """`curate-transcripts` drives the flagship transcripts pass from
+    the command line with every new gate on: the looping conversation
+    and the prefix-dup drop, the oversized tool turn caps, the
+    cross-conversation banner strips, and survivors land as parquet."""
+    import json
+
+    import pandas as pd
+
+    from book_ocr_spark.operators.transcripts import TRUNC_MARKER
+
+    TS = pd.Timestamp("2026-01-01T00:00:00")
+    banner = "standard session banner boilerplate"
+    long_tool = " ".join(f"r{i:03d}" for i in range(60))
+
+    def conv(cid, turns):
+        return [
+            (cid, i, role, text, "plain", TS + pd.Timedelta(seconds=30 * i))
+            for i, (role, text) in enumerate(turns)
+        ]
+
+    rows = []
+    rows += conv("c1", [
+        ("user", "hello there friend"),
+        ("tool", long_tool),
+        ("assistant", "summarized the result ok"),
+    ])
+    rows += conv("c2", [
+        ("user", "a different question entirely"),
+        ("assistant", "a different detailed answer arrives"),
+    ])
+    rows += conv("c3", [("user", "hello there friend"), ("tool", long_tool)])  # prefix of c1
+    rows += conv("c4", [("user", "spin spin spin")] * 4 + [("assistant", "gave up")])
+    # the banner text in 3 conversations
+    rows += [
+        (cid, 90, "user", banner, "plain", TS + pd.Timedelta(seconds=9000))
+        for cid in ("c1", "c2", "c5")
+    ]
+    rows += conv("c5", [
+        ("user", "please summarize the meeting notes"),
+        ("assistant", "meeting covered roadmap and hiring topics"),
+    ])
+    inp = str(tmp_path / "tr_in")
+    out = str(tmp_path / "tr_out")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(inp)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "curate-transcripts", "--input", inp, "--output", out,
+            "--n-parts", "4", "--max-action-run", "3",
+            "--tool-output-max-chars", "120",
+            "--boilerplate-min-convs", "3",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+    # c3 drops as a prefix of c1, c4 at the loop gate
+    assert set(got) == {"c1", "c2", "c5"}
+    assert summary["curated_examples"] == 3
+    # tool cap bit: marker present, raw tool dump gone
+    assert TRUNC_MARKER in got["c1"]["example"]
+    assert long_tool not in got["c1"]["example"]
+    # banner stripped everywhere
+    assert all(banner not in r["example"] for r in got.values())
