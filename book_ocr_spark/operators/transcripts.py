@@ -2449,3 +2449,135 @@ def duck_truncate_tool_turns_sql(
                hit AS truncated
         FROM (SELECT tt.*, ({hit}) AS hit FROM ({src_sql}) tt) q
     """
+
+
+def boilerplate_state(df: DataFrame, roles: list[str] | None = None) -> DataFrame:
+    """Narrow digest-count state for incremental boilerplate stripping:
+    (text_md5, n_convs, n_turns) over ALL eligible turns (no threshold
+    — the cut applies at merge time, so a later batch can push an
+    old digest over it). One map-side-combined hash agg; rows are as
+    numerous as DISTINCT turn texts, orders of magnitude fewer than
+    turns on a boilerplate-heavy corpus.
+
+    State deltas are append-only (the prefix-signature idiom):
+    append each batch's ``boilerplate_state`` and read back through
+    ``merge_boilerplate_state``. PRECONDITION (the family contract,
+    same as incremental_prefix_dedup): conversations arrive whole in
+    exactly one batch — a conv_id straddling batches would double
+    count into n_convs."""
+    return (
+        df.where(_bp_eligible(roles))
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count_distinct("conv_id").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+    )
+
+
+def merge_boilerplate_state(appended: DataFrame) -> DataFrame:
+    """Collapse appended per-batch state deltas to cumulative digest
+    counts (one hash agg — the read-side of the append-only state)."""
+    return appended.groupBy("text_md5").agg(
+        F.sum("n_convs").cast("long").alias("n_convs"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+    )
+
+
+def incremental_strip_boilerplate(
+    batch: DataFrame,
+    state: DataFrame,
+    min_convs: int = 2,
+    roles: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Boilerplate strip of an incoming batch against the cumulative
+    corpus — the daily-ingest MERGE shape: a turn drops when its text
+    recurs across >= ``min_convs`` distinct conversations COUNTING
+    BOTH history and this batch, without ever rescanning historical
+    turns (only the narrow digest-count ``state`` joins in, keyed by
+    digest — historical text never moves).
+
+    Returns (kept, delta, crossed):
+      * kept — batch turn rows that survive;
+      * delta — this batch's ``boilerplate_state`` rows (append to
+        the state; idempotent under batch_id-keyed overwrite);
+      * crossed — digests (text_md5, n_convs total) whose count
+        crossed the threshold BECAUSE of this batch (was under, now
+        at/over): the retro-scrub list — turns already shipped in
+        earlier batches under these digests are now known boilerplate,
+        and the incremental rule alone cannot reach back for them
+        (the documented incremental trade-off; a caller can anti-join
+        its corpus against ``crossed`` to retro-scrub).
+
+    Scale shape: ONE digest agg over the batch + one narrow equi-join
+    (batch digests x state digests) + one broadcast join-back onto the
+    batch rows. The boilerplate digest set relevant to a batch is at
+    most the batch's distinct texts — small by construction."""
+    if min_convs < 2:
+        raise ValueError("min_convs must be >= 2 (1 would flag every turn)")
+    b = boilerplate_state(batch, roles)
+    s = state.select(
+        F.col("text_md5").alias("_s_md5"),
+        F.col("n_convs").alias("_s_convs"),
+    )
+    totals = (
+        b.join(s, b["text_md5"] == s["_s_md5"], "left")
+        .select(
+            "text_md5",
+            "n_convs",
+            (F.col("n_convs") + F.coalesce(F.col("_s_convs"), F.lit(0)))
+            .cast("long")
+            .alias("_total"),
+            F.coalesce(F.col("_s_convs"), F.lit(0)).alias("_before"),
+        )
+    )
+    bp = totals.where(F.col("_total") >= min_convs)
+    crossed = bp.where(F.col("_before") < min_convs).select(
+        "text_md5", F.col("_total").alias("n_convs")
+    )
+    mark = F.broadcast(
+        bp.select(F.col("text_md5").alias("_bp_md5"), F.lit(True).alias("_bp"))
+    )
+    kept = (
+        batch.withColumn("_md5", F.md5("text"))
+        .join(mark, F.col("_md5") == F.col("_bp_md5"), "left")
+        .where(~(F.coalesce(F.col("_bp"), F.lit(False)) & _bp_eligible(roles)))
+        .drop("_md5", "_bp_md5", "_bp")
+    )
+    return kept, b, crossed
+
+
+def duck_incremental_strip_boilerplate_sql(
+    batch_sql: str,
+    state_sql: str,
+    min_convs: int = 2,
+    roles: list[str] | None = None,
+) -> dict[str, str]:
+    """DuckDB twins of incremental_strip_boilerplate — one SQL string
+    per output ('kept', 'delta', 'crossed')."""
+    elig = _duck_bp_eligible(roles)
+    delta = f"""
+        SELECT md5(text) AS text_md5,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               COUNT(*) AS n_turns
+        FROM ({batch_sql}) ib WHERE {elig}
+        GROUP BY md5(text)
+    """
+    totals = f"""
+        SELECT b.text_md5,
+               b.n_convs + COALESCE(s.n_convs, 0) AS total,
+               COALESCE(s.n_convs, 0) AS before
+        FROM ({delta}) b LEFT JOIN ({state_sql}) s USING (text_md5)
+    """
+    crossed = f"""
+        SELECT text_md5, total AS n_convs
+        FROM ({totals}) t WHERE total >= {min_convs} AND before < {min_convs}
+    """
+    kept = f"""
+        SELECT q.* FROM ({batch_sql}) q
+        WHERE NOT ({_duck_bp_eligible(roles, 'q.')}
+                   AND md5(q.text) IN (
+                       SELECT text_md5 FROM ({totals}) t
+                       WHERE total >= {min_convs}))
+    """
+    return {"kept": kept, "delta": delta, "crossed": crossed}

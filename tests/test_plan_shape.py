@@ -355,6 +355,8 @@ def test_curate_transcripts_no_cartesian(spark):
         curate_transcripts(
             df, n_parts=4, prefix_max_depth=64,
             max_alternation_violations=4, redact=True,
+            max_action_run=8, tool_output_max_chars=2000,
+            boilerplate_min_convs=8,
             max_chars=500, benchmark=bench, contamination_n=5,
         )
     )
@@ -382,3 +384,21 @@ def test_curate_transcripts_semantic_no_cartesian(spark):
         )
     )
     assert "CartesianProduct" not in plan
+
+
+def test_strip_boilerplate_broadcast_no_text_shuffle(spark):
+    """Turn-boilerplate strip: the digest set joins back as a
+    BROADCAST hash join (the turn table itself is never shuffled for
+    the join — only the digest-keyed count agg is wide) and no
+    pairwise shape ever appears."""
+    from book_ocr_spark.operators.transcripts import strip_boilerplate_turns
+
+    df = spark.createDataFrame(
+        [("a", 0, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _explain(strip_boilerplate_turns(df, 2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan

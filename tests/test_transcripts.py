@@ -1447,3 +1447,86 @@ def test_truncate_tool_turns_semantics(trunc_df):
         tr.truncate_tool_turns(trunc_df, 120, head_frac=1.5)
     with pytest.raises(ValueError):
         tr.truncate_tool_turns(trunc_df, 120, by="kind")
+
+
+# ---------------------------------------------------------------------------
+# Incremental boilerplate strip (MERGE shape)
+# ---------------------------------------------------------------------------
+def _ibp_batches():
+    ban = "canned banner text"
+    b1 = [  # banner in 1 conv -> under threshold 3, accepted
+        ("x1", 0, "user", ban, None, TS),
+        ("x1", 1, "assistant", "real answer one", None, TS),
+        ("x2", 0, "user", "unrelated question", None, TS),
+    ]
+    b2 = [  # banner reaches 3 distinct convs HERE -> batch-2 copies drop
+        ("x3", 0, "user", ban, None, TS),
+        ("x3", 1, "assistant", "real answer two", None, TS),
+        ("x4", 0, "user", ban, None, TS),
+    ]
+    b3 = [  # already over threshold -> drops, but NOT 'crossed' again
+        ("x5", 0, "user", ban, None, TS),
+        ("x5", 1, "assistant", "real answer three", None, TS),
+    ]
+    return b1, b2, b3
+
+
+def test_incremental_strip_boilerplate_semantics(spark):
+    b1, b2, b3 = _ibp_batches()
+    sch = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d1 = spark.createDataFrame(pd.DataFrame(b1, columns=COLS), sch)
+    d2 = spark.createDataFrame(pd.DataFrame(b2, columns=COLS), sch)
+    d3 = spark.createDataFrame(pd.DataFrame(b3, columns=COLS), sch)
+    empty = tr.boilerplate_state(d1.limit(0))
+
+    k1, s1, c1 = tr.incremental_strip_boilerplate(d1, empty, min_convs=3)
+    assert k1.count() == 3 and c1.count() == 0  # everything under threshold
+    state = tr.merge_boilerplate_state(s1)
+
+    k2, s2, c2 = tr.incremental_strip_boilerplate(d2, state, min_convs=3)
+    # the two batch-2 banner copies drop (1 historical + 2 batch = 3)
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in k2.collect()) == [("x3", 1)]
+    crossed = c2.collect()
+    assert len(crossed) == 1 and crossed[0]["n_convs"] == 3
+    state = tr.merge_boilerplate_state(s1.unionByName(s2))
+
+    k3, s3, c3 = tr.incremental_strip_boilerplate(d3, state, min_convs=3)
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in k3.collect()) == [("x5", 1)]
+    assert c3.count() == 0  # was already over: no re-crossing
+    # cumulative state counts the banner across its 4 convs (x1/x3/x4/x5)
+    final = tr.merge_boilerplate_state(s1.unionByName(s2).unionByName(s3))
+    ban_row = final.where(F.col("n_convs") >= 3).collect()
+    assert len(ban_row) == 1 and ban_row[0]["n_convs"] == 4
+
+    # empty state reduces to the batch-only rule
+    kb, _, _ = tr.incremental_strip_boilerplate(d2, empty, min_convs=2)
+    want = tr.strip_boilerplate_turns(d2, 2)
+    assert _sorted(map(tuple, kb.collect())) == _sorted(map(tuple, want.collect()))
+
+    with pytest.raises(ValueError):
+        tr.incremental_strip_boilerplate(d1, empty, 1)
+
+
+def test_incremental_strip_boilerplate_twin(spark):
+    b1, b2, _ = _ibp_batches()
+    sch = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d1 = spark.createDataFrame(pd.DataFrame(b1, columns=COLS), sch)
+    d2 = spark.createDataFrame(pd.DataFrame(b2, columns=COLS), sch)
+    state = tr.merge_boilerplate_state(tr.boilerplate_state(d1))
+    kept, delta, crossed = tr.incremental_strip_boilerplate(d2, state, min_convs=3)
+
+    con2 = duckdb.connect()
+    con2.register("bt1", pd.DataFrame(b1, columns=COLS))
+    con2.register("bt2", pd.DataFrame(b2, columns=COLS))
+    state_sql = """
+        SELECT md5(text) AS text_md5, COUNT(DISTINCT conv_id) AS n_convs,
+               COUNT(*) AS n_turns
+        FROM bt1 WHERE text IS NOT NULL AND text <> '' GROUP BY 1
+    """
+    twins = tr.duck_incremental_strip_boilerplate_sql(
+        "SELECT * FROM bt2", state_sql, min_convs=3
+    )
+    for df, key in [(kept, "kept"), (delta, "delta"), (crossed, "crossed")]:
+        got = _sorted(map(tuple, df.collect()))
+        want = _sorted(map(tuple, con2.sql(twins[key]).fetchall()))
+        assert got == want, key
