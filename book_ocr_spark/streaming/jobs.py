@@ -693,3 +693,103 @@ def start_incremental_prefix_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_boilerplate_strip(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    min_convs: int = 2,
+    roles: list[str] | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming cross-conversation turn-boilerplate strip — the
+    incremental MERGE (operators.transcripts.incremental_strip_
+    boilerplate) running continuously: each micro-batch's turns are
+    stripped against the CUMULATIVE digest-count state (history +
+    batch counts decide; historical turns are never rescanned — only
+    the narrow append-only state joins in).
+
+    PRECONDITION (the prefix-dedup family contract): whole
+    conversations per micro-batch — a conv_id straddling batches
+    double counts into n_convs.
+
+    State under ``out_path``:
+
+    * ``state/``   append-only per-batch digest deltas (text_md5,
+                   n_convs, n_turns) — read back through
+                   merge_boilerplate_state;
+    * ``kept/``    surviving batch turns (the corpus view);
+    * ``crossed/`` digests pushed over the threshold BY each batch —
+                   the retro-scrub feed: turns shipped in EARLIER
+                   batches under these digests are now known
+                   boilerplate, and a downstream consumer anti-joins
+                   its corpus against this table (the incremental
+                   rule cannot reach back itself).
+
+    Effectively-once: every write is a batch_id-keyed dynamic-partition
+    overwrite and state reads filter ``batch_id < current``, so an
+    at-least-once replay sees exactly the pre-batch state. kept/crossed
+    write BEFORE the state delta: a mid-batch crash can leave a batch's
+    turns without their counts (the replay rewrites both), but never
+    counts that claim turns the corpus doesn't hold. The read-then-catch
+    rule separates 'first batch' from a genuinely unreadable state
+    table, which must fail the batch."""
+    from book_ocr_spark.operators.transcripts import (
+        incremental_strip_boilerplate,
+        merge_boilerplate_state,
+    )
+
+    stream = read_transcript_stream(
+        spark, input_path, max_files_per_trigger=max_files_per_trigger
+    )
+    state_path = f"{out_path}/state"
+    kept_path = f"{out_path}/kept"
+    crossed_path = f"{out_path}/crossed"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            deltas = spark.read.parquet(state_path).filter(
+                F.col("batch_id") < batch_id
+            )
+        except AnalysisException as exc:
+            if not _is_path_missing(exc) and _table_dir_has_data(spark, state_path):
+                raise
+            deltas = spark.createDataFrame(
+                [], "text_md5 string, n_convs long, n_turns long, batch_id long"
+            )
+        state = merge_boilerplate_state(deltas.drop("batch_id"))
+        kept, delta, crossed = incremental_strip_boilerplate(
+            batch_df, state, min_convs=min_convs, roles=roles
+        )
+        # kept/crossed read the state path lazily; pin them before the
+        # state write below overwrites a path their plans read from
+        # (the tombstone self-read lesson)
+        kept = kept.localCheckpoint(eager=True)
+        crossed = crossed.localCheckpoint(eager=True)
+        try:
+
+            def _write(df: DataFrame, path: str) -> None:
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+
+            _write(kept, kept_path)
+            _write(crossed, crossed_path)
+            _write(delta, state_path)
+        finally:
+            kept.unpersist()
+            crossed.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

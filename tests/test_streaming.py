@@ -515,3 +515,63 @@ def test_streaming_prefix_dedup_third_batch_after_tombstones(spark, tmp_path):
     assert {r.conv_id for r in live.select("conv_id").distinct().collect()} == {
         "b2", "b5"
     }
+
+
+def test_streaming_boilerplate_strip(spark, tmp_path):
+    """Cross-batch boilerplate: a banner under the threshold in batch 1
+    survives there; batch 2 pushes it over -> its batch-2 copies drop
+    and the digest lands in crossed/ (the retro-scrub feed); batch 3's
+    copy drops WITHOUT re-crossing. State reads are batch_id-scoped so
+    the per-batch kept/crossed partitions are exactly reproducible."""
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 6, 9, 0, 0)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    ban = "canned banner text"
+    b1 = [
+        ("x1", 0, "user", ban, None, ts),
+        ("x1", 1, "assistant", "real answer one", None, ts),
+        ("x2", 0, "user", "unrelated question", None, ts),
+    ]
+    b2 = [
+        ("x3", 0, "user", ban, None, ts),
+        ("x3", 1, "assistant", "real answer two", None, ts),
+        ("x4", 0, "user", ban, None, ts),
+    ]
+    b3 = [
+        ("x5", 0, "user", ban, None, ts),
+        ("x5", 1, "assistant", "real answer three", None, ts),
+    ]
+    inp = str(tmp_path / "bp_in")
+    out = str(tmp_path / "bp_out")
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    q = jobs.start_incremental_boilerplate_strip(
+        spark, inp, out, str(tmp_path / "ckpt_bp"), min_convs=3,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+
+    kept = spark.read.parquet(f"{out}/kept")
+    by_batch = {
+        b: sorted((r.conv_id, r.turn_idx) for r in kept.where(F.col("batch_id") == b).collect())
+        for b in (0, 1, 2)
+    }
+    assert by_batch[0] == [("x1", 0), ("x1", 1), ("x2", 0)]  # under threshold
+    assert by_batch[1] == [("x3", 1)]                        # banner copies drop
+    assert by_batch[2] == [("x5", 1)]                        # still boilerplate
+    crossed = spark.read.parquet(f"{out}/crossed").collect()
+    assert [(r.batch_id, r.n_convs) for r in crossed] == [(1, 3)]  # only batch 2
+    # cumulative state: the banner digest counts all 4 convs
+    from book_ocr_spark.operators.transcripts import merge_boilerplate_state
+
+    final = merge_boilerplate_state(
+        spark.read.parquet(f"{out}/state").drop("batch_id")
+    )
+    assert final.where(F.col("n_convs") == 4).count() == 1
