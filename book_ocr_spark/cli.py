@@ -232,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
         "--n-shards", type=int, default=None,
         help="add deterministic (shard, seq) training-order columns",
     )
+    ct.add_argument(
+        "--audit", action="store_true",
+        help="include the per-stage conv-count drop ledger in the summary",
+    )
     ct.add_argument("--threads", type=int, default=None)
     ct.add_argument("--log-level", default="WARN")
     prof = sub.add_parser(
@@ -363,6 +367,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         spark.sparkContext.setLogLevel(args.log_level)
         handle: list = []
+        audit: list | None = [] if args.audit else None
         try:
             transcripts = spark.read.parquet(args.input)
             result = curate_transcripts(
@@ -399,10 +404,19 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_dim=args.semantic_dim,
                 semantic_threshold=args.semantic_threshold,
                 semantic_cells=args.semantic_cells,
+                audit=audit,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
-            print(json.dumps({"curated_examples": int(n), "output": args.output}))
+            summary = {"curated_examples": int(n), "output": args.output}
+            if audit is not None:
+                from book_ocr_spark.plans.curation import materialize_audit
+
+                summary["audit"] = [
+                    {"stage": st, "n_convs": int(c)}
+                    for st, c in materialize_audit(audit)
+                ]
+            print(json.dumps(summary))
             return 0
         finally:
             for df in handle:

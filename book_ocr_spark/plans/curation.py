@@ -405,6 +405,22 @@ def duck_example_dedup_sql(
     """
 
 
+def _audit_mark(audit: list | None, stage: str, df: DataFrame) -> None:
+    """Audit hook: record the distinct conversations alive after a
+    stage (lazy — nothing executes unless the caller materializes)."""
+    if audit is not None:
+        audit.append((stage, df.select("conv_id").distinct()))
+
+
+def materialize_audit(audit: list) -> list[tuple[str, int]]:
+    """Execute the audit ledger: [(stage, n_convs_alive_after)].
+    Each count re-runs that stage's plan prefix — an audit run's
+    documented cost (the pinned extraction frame bounds the Python
+    stage when the boilerplate/semantic stages are on; pass a
+    storage_handle and audit together for cheap ledgers)."""
+    return [(stage, df.count()) for stage, df in audit]
+
+
 def curate_transcripts(
     transcripts: DataFrame,
     n_parts: int,
@@ -433,6 +449,7 @@ def curate_transcripts(
     semantic_threshold: float = 0.9,
     semantic_cells: int = 16,
     semantic_hot_cell_cap: int | None = None,
+    audit: list | None = None,
 ) -> DataFrame:
     """The transcripts -> SFT-training-corpus pass, end to end in ONE
     declarative DAG — the graft's flagship composition (north_rule:
@@ -492,6 +509,11 @@ def curate_transcripts(
       6. optional loader-facing shard assignment (``n_shards`` ->
          sampling.training_shards on conv_id).
 
+    ``audit``: pass a list to receive (stage, lazy distinct-conv
+    DataFrame) pairs at every stage boundary — materialize_audit turns
+    it into the drop ledger [(stage, n_convs)], the "where did my data
+    go" answer every 100 TB curation run needs.
+
     Stage order mirrors cost: conv-level signature dedup (cheapest)
     before extraction (the only Python stage), near-dup (shuffle-heavy)
     last on the smallest surviving set. Returns (conv_id, example,
@@ -506,8 +528,10 @@ def curate_transcripts(
     from book_ocr_spark.plans.pipeline import build_fused_plan
 
     cur = transcripts
+    _audit_mark(audit, "input", cur)
     if prefix_max_depth is not None:
         cur = filter_prefix_dups(cur, max_depth=prefix_max_depth)
+        _audit_mark(audit, "prefix_dedup", cur)
     if max_alternation_violations is not None:
         # trajectory-health gate on RAW turns (role structure is a raw
         # property; it rides the same conv_id exchange): conversations
@@ -521,6 +545,7 @@ def curate_transcripts(
             .select("conv_id")
         )
         cur = cur.join(healthy, "conv_id", "left_semi")
+        _audit_mark(audit, "health_gate", cur)
     if max_action_run is not None:
         # stuck-agent gate on RAW turns (action identity is a raw
         # property; the run-length windows ride the same conv_id
@@ -529,12 +554,14 @@ def curate_transcripts(
         from book_ocr_spark.operators.transcripts import filter_looping_convs
 
         cur = filter_looping_convs(cur, max_action_run)
+        _audit_mark(audit, "loop_gate", cur)
     ext = (
         build_fused_plan(cur, n_parts=n_parts, lineage_prefix="sft", thresholds=thresholds)
         .filter(F.col("rec") == "data")
         .filter(~F.col("failed"))
         .select("conv_id", "turn_idx", "role", F.col("extracted_text").alias("text"))
     )
+    _audit_mark(audit, "extract", ext)
     if redact:
         # turn-grain PII scrub right after extraction so EVERY
         # downstream artifact (fit lengths, rendered examples, spans,
@@ -568,6 +595,7 @@ def curate_transcripts(
         ext = strip_boilerplate_turns(
             ext, boilerplate_min_convs, boilerplate_roles
         )
+        _audit_mark(audit, "boilerplate_strip", ext)
     if semantic_dim is not None:
         # conversation-grain semantic dedup on the extracted text:
         # hashed-TF embedding -> IVF-celled exact cosine -> min-id
@@ -588,11 +616,14 @@ def curate_transcripts(
             n_cells=semantic_cells, hot_cell_cap=semantic_hot_cell_cap,
             storage_handle=storage_handle,
         )
+        _audit_mark(audit, "semantic_dedup", ext)
     if max_chars is not None:
         ext = fit_last_turns(ext, max_chars).filter(F.col("kept")).drop("kept")
+        _audit_mark(audit, "fit", ext)
     ex = sft_examples(ext)
     if min_train_turns > 0:
         ex = ex.filter(F.col("n_train_turns") >= min_train_turns)
+    _audit_mark(audit, "assembly_train_gate", ex)
     if benchmark is not None:
         # eval-set decontamination at EXAMPLE grain (the artifact that
         # trains): a rendered example sharing >= contamination_min_hits
@@ -607,6 +638,7 @@ def curate_transcripts(
             bench_id_col=bench_id_col, bench_text_col=bench_text_col,
         ).select(F.col("id").alias("conv_id"))
         ex = ex.join(dirty, "conv_id", "left_anti")
+        _audit_mark(audit, "decontamination", ex)
     final = _dedup_canonicalize(
         ex, "conv_id", "example", k=k, threshold=threshold,
         clustering=clustering, storage_handle=storage_handle,
@@ -616,6 +648,7 @@ def curate_transcripts(
         F.md5(F.col("example")).alias("fingerprint"),
         F.size(F.split(F.trim(F.col("example")), r"\s+")).cast("bigint").alias("n_tokens"),
     )
+    _audit_mark(audit, "dedup_tail", final)
     if n_shards is not None:
         from book_ocr_spark.operators.sampling import training_shards
 

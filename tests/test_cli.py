@@ -279,7 +279,7 @@ def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
             "curate-transcripts", "--input", inp, "--output", out,
             "--n-parts", "4", "--max-action-run", "3",
             "--tool-output-max-chars", "120",
-            "--boilerplate-min-convs", "3",
+            "--boilerplate-min-convs", "3", "--audit",
         ])
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
@@ -292,3 +292,10 @@ def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
     assert long_tool not in got["c1"]["example"]
     # banner stripped everywhere
     assert all(banner not in r["example"] for r in got.values())
+    # the drop ledger rode the summary: c3 at prefix dedup, c4 at the
+    # loop gate, final survivors at the dedup tail
+    stages = {a["stage"]: a["n_convs"] for a in summary["audit"]}
+    assert stages["input"] == 5
+    assert stages["prefix_dedup"] == 4
+    assert stages["loop_gate"] == 3
+    assert stages["dedup_tail"] == 3

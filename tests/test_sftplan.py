@@ -534,3 +534,33 @@ def test_curate_transcripts_tool_cap_stage(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_curate_transcripts_audit_ledger(spark):
+    """The audit hook yields the per-stage drop ledger — every designed
+    victim disappears at exactly its own stage."""
+    from book_ocr_spark.plans.curation import materialize_audit
+
+    banner = "standard session banner boilerplate"
+    rows = _rows() + [
+        ("px", i, "user", "retry the fetch now", "plain", TS) for i in range(4)
+    ] + [("px", 4, "assistant", "gave up eventually", "plain", TS)] + [
+        (cid, 90, "user", banner, "plain", TS + pd.Timedelta(seconds=9000))
+        for cid in ("p2", "p3", "p5", "p6")
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+    audit: list = []
+    curate_transcripts(
+        df, n_parts=4, prefix_max_depth=64,
+        max_action_run=3, boilerplate_min_convs=4, audit=audit,
+    )
+    ledger = materialize_audit(audit)
+    assert ledger == [
+        ("input", 7),                # p1..p6 + px
+        ("prefix_dedup", 6),         # p1 (prefix of p2) drops
+        ("loop_gate", 5),            # px (run of 4) drops
+        ("extract", 5),              # plain payloads: nothing fails
+        ("boilerplate_strip", 5),    # banner turns strip, no conv empties
+        ("assembly_train_gate", 4),  # p5 (no assistant turn) drops
+        ("dedup_tail", 2),           # p4 exact-dups p3, p3 near-dups p2
+    ]
