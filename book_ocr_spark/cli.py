@@ -238,6 +238,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     ct.add_argument("--threads", type=int, default=None)
     ct.add_argument("--log-level", default="WARN")
+    sp = sub.add_parser(
+        "split",
+        help="deterministic train/val/test assignment "
+        "(sampling.assign_split; with --clusters: leakage_safe_split — "
+        "near-dups never straddle the eval boundary)",
+    )
+    sp.add_argument("--input", required=True, help="corpus parquet")
+    sp.add_argument("--output", required=True, help="output parquet (adds `split`)")
+    sp.add_argument("--id-col", default="id")
+    sp.add_argument("--val-fraction", type=float, default=0.01)
+    sp.add_argument("--test-fraction", type=float, default=0.01)
+    sp.add_argument("--salt", default="split")
+    sp.add_argument(
+        "--clusters", default=None,
+        help="near-dup cluster parquet (id, cluster_id) — switches to "
+        "the cluster-consistent leakage-safe hash",
+    )
+    sp.add_argument("--threads", type=int, default=None)
+    sp.add_argument("--log-level", default="WARN")
     prof = sub.add_parser(
         "profile",
         help="one-pass corpus profile (exact counters + HLL/quantile "
@@ -421,6 +440,41 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             for df in handle:
                 df.unpersist()
+            spark.stop()
+
+    if args.cmd == "split":
+        from book_ocr_spark.operators.sampling import (
+            assign_split,
+            leakage_safe_split,
+        )
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-split", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            corpus = spark.read.parquet(args.input)
+            if args.clusters is not None:
+                result = leakage_safe_split(
+                    corpus, args.id_col, spark.read.parquet(args.clusters),
+                    args.val_fraction, args.test_fraction, args.salt,
+                )
+            else:
+                result = assign_split(
+                    corpus, args.id_col,
+                    args.val_fraction, args.test_fraction, args.salt,
+                )
+            result.write.mode("overwrite").parquet(args.output)
+            from pyspark.sql import functions as F
+
+            counts = {
+                r["split"]: int(r["n"])
+                for r in spark.read.parquet(args.output)
+                .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            print(json.dumps({"splits": counts, "output": args.output}))
+            return 0
+        finally:
             spark.stop()
 
     if args.cmd == "profile":

@@ -299,3 +299,37 @@ def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
     assert stages["prefix_dedup"] == 4
     assert stages["loop_gate"] == 3
     assert stages["dedup_tail"] == 3
+
+
+def test_cli_split_leakage_safe(spark, tmp_path, monkeypatch):
+    """`split` assigns train/val/test; with --clusters the near-dup
+    pair lands wholly in one split."""
+    import json
+
+    inp = str(tmp_path / "sp_in")
+    cl = str(tmp_path / "sp_cl")
+    out = str(tmp_path / "sp_out")
+    rows = [(f"d{i:03d}", f"text {i}") for i in range(200)]
+    spark.createDataFrame(rows, "id string, text string").write.parquet(inp)
+    spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i % 20:03d}") for i in range(40)],
+        "id string, cluster_id string",
+    ).write.parquet(cl)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "split", "--input", inp, "--output", out, "--clusters", cl,
+            "--val-fraction", "0.15", "--test-fraction", "0.15",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert sum(summary["splits"].values()) == 200
+    assert set(summary["splits"]) == {"train", "val", "test"}
+    got = {r["id"]: r["split"] for r in spark.read.parquet(out).collect()}
+    for i in range(20, 40):
+        assert got[f"d{i:03d}"] == got[f"d{i % 20:03d}"]
