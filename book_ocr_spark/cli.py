@@ -21,7 +21,14 @@ from book_ocr_spark import __version__
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True, help="transcripts parquet path")
     p.add_argument("--output", required=True, help="output root (turns/ + checkpoints/)")
-    p.add_argument("--n-parts", type=int, default=32, help="logical partition count")
+    p.add_argument(
+        "--n-parts",
+        type=int,
+        default=None,
+        help="logical partition count (default: the value recorded at the "
+        "output root by the first run, else 32; an explicit value that "
+        "differs from the recorded one fails loudly)",
+    )
     p.add_argument("--n-chunks", type=int, default=1, help="commit granularity")
     p.add_argument(
         "--bucket-size",

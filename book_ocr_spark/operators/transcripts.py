@@ -2581,3 +2581,89 @@ def duck_incremental_strip_boilerplate_sql(
                        WHERE total >= {min_convs}))
     """
     return {"kept": kept, "delta": delta, "crossed": crossed}
+
+
+# ---------------------------------------------------------------------------
+# Raw-ingest validation / quarantine
+# ---------------------------------------------------------------------------
+def validate_transcripts(
+    df: DataFrame, roles: list[str] | None = None
+) -> DataFrame:
+    """Stage-0 schema/shape validation for raw transcript ingest:
+    tags every row with a ``reason`` (NULL = valid) so malformed rows
+    quarantine instead of corrupting conversation-grain operators
+    downstream (a NULL conv_id black-holes into one hash partition; a
+    duplicated (conv_id, turn_idx) makes window numbering,
+    prefix signatures, and span offsets ambiguous).
+
+    Reasons, first-failing order (the heuristics-gate idiom —
+    deterministic single reason per row):
+      * ``null_conv_id``  — conv_id NULL or empty;
+      * ``bad_turn_idx``  — turn_idx NULL or negative;
+      * ``dup_turn_idx``  — the (conv_id, turn_idx) key appears more
+        than once; EVERY copy quarantines (which copy is real is an
+        upstream question — the resent_id surface-don't-guess rule);
+      * ``bad_role``      — role outside ``roles`` when a vocabulary
+        is given (NULL role is allowed only if roles is None).
+
+    One count window on (conv_id, turn_idx) — the dup check — plus a
+    narrow projection; the window partitions by the same conv-grain
+    key family every transcript operator shuffles on. Rows with a
+    NULL/empty conv_id never enter the window (they are pre-tagged),
+    so a malformed firehose cannot hot-spot one partition."""
+    key_ok = F.col("conv_id").isNotNull() & (F.col("conv_id") != F.lit(""))
+    idx_ok = F.col("turn_idx").isNotNull() & (F.col("turn_idx") >= 0)
+    w = Window.partitionBy("conv_id", "turn_idx")
+    n_key = F.when(
+        key_ok & idx_ok, F.count(F.lit(1)).over(w)
+    ).otherwise(F.lit(1))
+    reason = (
+        F.when(~key_ok, F.lit("null_conv_id"))
+        .when(~idx_ok, F.lit("bad_turn_idx"))
+        .when(n_key > 1, F.lit("dup_turn_idx"))
+    )
+    if roles is not None:
+        # NULL-safe: ~isin is NULL (not true) for a NULL role, which
+        # would silently pass it — the twin quarantines NULL roles.
+        reason = reason.when(
+            F.col("role").isNull() | ~F.col("role").isin(list(roles)),
+            F.lit("bad_role"),
+        )
+    return df.withColumn("reason", reason)
+
+
+def valid_transcripts(df: DataFrame, roles: list[str] | None = None) -> DataFrame:
+    """The surviving rows of validate_transcripts (reason dropped)."""
+    return (
+        validate_transcripts(df, roles)
+        .where(F.col("reason").isNull())
+        .drop("reason")
+    )
+
+
+def duck_validate_transcripts_sql(
+    src_sql: str, roles: list[str] | None = None
+) -> str:
+    """DuckDB twin of validate_transcripts (same rules, same order)."""
+    role_case = ""
+    if roles is not None:
+        quoted = ", ".join(f"'{r}'" for r in roles)
+        role_case = (
+            f"WHEN role IS NULL OR role NOT IN ({quoted}) THEN 'bad_role' "
+        )
+    return f"""
+        SELECT * EXCLUDE (n_key),
+               CASE WHEN conv_id IS NULL OR conv_id = '' THEN 'null_conv_id'
+                    WHEN turn_idx IS NULL OR turn_idx < 0 THEN 'bad_turn_idx'
+                    WHEN n_key > 1 THEN 'dup_turn_idx'
+                    {role_case}ELSE NULL END AS reason
+        FROM (
+            SELECT v.*,
+                   CASE WHEN conv_id IS NULL OR conv_id = ''
+                             OR turn_idx IS NULL OR turn_idx < 0
+                        THEN 1
+                        ELSE COUNT(*) OVER (PARTITION BY conv_id, turn_idx)
+                   END AS n_key
+            FROM ({src_sql}) v
+        ) q
+    """

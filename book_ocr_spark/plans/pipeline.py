@@ -42,6 +42,7 @@ from book_ocr_spark.sources import io
 
 TURNS_SUBDIR = "turns"
 CHECKPOINT_SUBDIR = "checkpoints"
+RUN_META_SUBDIR = "run_meta"
 
 # Canonical column order for the unified turns table so both plan
 # variants write identical parquet schemas.
@@ -133,11 +134,54 @@ def build_hybrid_plan(
     return out_n.select(*_OUT_COLS).unionByName(out_s.select(*_OUT_COLS))
 
 
+def read_run_n_parts(spark: SparkSession, out_path: str) -> int | None:
+    """The n_parts recorded by the first run against ``out_path``
+    (None if the root predates the meta or was never run)."""
+    path = f"{out_path}/{RUN_META_SUBDIR}"
+    if not io.exists(path):
+        return None
+    return int(spark.read.parquet(path).select("n_parts").first()["n_parts"])
+
+
+def _resolve_n_parts(
+    spark: SparkSession, out_path: str, n_parts: int | None, default: int = 32
+) -> int:
+    """part_id = pmod(hash(conv_id), n_parts) — so checkpoint rows,
+    quarantine part_ids, and the partition-dir overwrite are only
+    coherent if every run/resume/replay against one output root uses
+    the SAME n_parts. The first run records it; later invocations
+    default to the recorded value and an explicitly different one
+    fails loudly instead of silently reprocessing the wrong
+    conversations."""
+    recorded = read_run_n_parts(spark, out_path)
+    if n_parts is None:
+        return recorded if recorded is not None else default
+    if recorded is not None and recorded != n_parts:
+        raise ValueError(
+            f"n_parts={n_parts} does not match the value this output root "
+            f"was partitioned with (n_parts={recorded}, recorded in "
+            f"{out_path}/{RUN_META_SUBDIR}); part_ids from different "
+            "n_parts are incompatible — omit --n-parts to reuse the "
+            "recorded value, or write to a fresh output root"
+        )
+    return n_parts
+
+
+def _write_run_meta(spark: SparkSession, out_path: str, n_parts: int, run_id: str) -> None:
+    path = f"{out_path}/{RUN_META_SUBDIR}"
+    if io.exists(path):
+        return
+    df = spark.createDataFrame(
+        [(int(n_parts), run_id)], "n_parts int, created_by_run string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
 def run(
     spark: SparkSession,
     input_path: str,
     out_path: str,
-    n_parts: int = 32,
+    n_parts: int | None = None,
     n_chunks: int = 1,
     bucket_size: int | None = None,
     skew_threshold: int | None = None,
@@ -164,12 +208,16 @@ def run(
             "width the skewed conversations have no two-level path to "
             "route to (pass --bucket-size alongside --skew-threshold)"
         )
+    n_parts = _resolve_n_parts(spark, out_path, n_parts)
     run_id = run_id or uuid.uuid4().hex[:12]
     turns_path = f"{out_path}/{TURNS_SUBDIR}"
     ckpt_path = f"{out_path}/{CHECKPOINT_SUBDIR}"
 
     src = transcripts if transcripts is not None else io.read_table(spark, input_path, TRANSCRIPTS)
     src = src.withColumn("part_id", cp.part_id_col(n_parts))
+    # Pin n_parts only once the input resolves: a run that dies on a bad
+    # --input must not leave a stale pin at an otherwise-empty output root.
+    _write_run_meta(spark, out_path, n_parts, run_id)
 
     if resume:
         done = {r.part_id for r in cp.done_parts(spark, ckpt_path).collect()}
@@ -228,7 +276,7 @@ def replay_failed(
     spark: SparkSession,
     input_path: str,
     out_path: str,
-    n_parts: int = 32,
+    n_parts: int | None = None,
     **run_kwargs,
 ) -> dict:
     """Replay exactly the partitions holding quarantined (failed)

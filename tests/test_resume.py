@@ -321,3 +321,33 @@ def test_compact_small_files_mid_swap_recovery(spark, tmp_path):
     res = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
     assert res["rows"] == 100 and res["files_after"] == 1
     assert os.path.isdir(tbl) and not os.path.isdir(tbl + "__precompact")
+
+
+def test_run_meta_pins_n_parts(spark, transcripts_pd, out_dir):
+    """The first run records n_parts at the output root; a resume that
+    omits it reuses the recorded value, and an explicitly different
+    value fails loudly (part_ids from different n_parts are
+    incompatible with the checkpoint table and partition overwrite)."""
+    from book_ocr_spark.plans.pipeline import read_run_n_parts, replay_failed
+
+    sdf = to_spark(spark, transcripts_pd)
+    run(spark, "<fixture>", out_dir, n_parts=8, transcripts=sdf)
+    assert read_run_n_parts(spark, out_dir) == 8
+
+    # omit n_parts -> recorded value governs: resume sees all 8 done
+    res = run(spark, "<fixture>", out_dir, resume=True, transcripts=sdf)
+    assert res["parts_processed"] == []
+    st = cp.current_status(spark, f"{out_dir}/checkpoints").toPandas()
+    assert len(st) == 8 and set(st["status"]) == {"done"}
+
+    # replay without n_parts also resolves from the meta (no-op here)
+    res2 = replay_failed(spark, "<fixture>", out_dir, transcripts=sdf)
+    assert res2["parts_processed"] == []
+
+    # a conflicting explicit value must not silently re-key partitions
+    with pytest.raises(ValueError, match="n_parts=4 does not match"):
+        run(spark, "<fixture>", out_dir, n_parts=4, resume=True, transcripts=sdf)
+
+    # same explicit value is fine
+    res3 = run(spark, "<fixture>", out_dir, n_parts=8, resume=True, transcripts=sdf)
+    assert res3["parts_processed"] == []

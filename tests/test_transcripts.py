@@ -1530,3 +1530,69 @@ def test_incremental_strip_boilerplate_twin(spark):
         got = _sorted(map(tuple, df.collect()))
         want = _sorted(map(tuple, con2.sql(twins[key]).fetchall()))
         assert got == want, key
+
+
+# ---------------------------------------------------------------------------
+# Stage-0 raw-ingest validation / quarantine
+# ---------------------------------------------------------------------------
+def _val_rows():
+    # every reason class + the first-failing precedence interactions:
+    #   NULL conv_id, empty conv_id, NULL / negative turn_idx,
+    #   duplicated (conv_id, turn_idx) key (both copies quarantine),
+    #   NULL role and unknown role (bad only when a vocabulary is given),
+    #   a dup key that ALSO has a bad role (dup wins — precedence),
+    #   and plain valid rows.
+    return [
+        (None, 0, "user", "null conv", None, TS),
+        ("", 0, "user", "empty conv", None, TS),
+        ("v", None, "user", "null idx", None, TS),
+        ("v", -1, "user", "neg idx", None, TS),
+        ("v", 0, "user", "ok", None, TS),
+        ("v", 1, "assistant", "ok too", "search", TS),
+        ("dup", 0, "user", "copy one", None, TS),
+        ("dup", 0, "robot", "copy two, bad role", None, TS),
+        ("dup", 1, "assistant", "fine", None, TS),
+        ("r", 0, None, "null role", None, TS),
+        ("r", 1, "robot", "unknown role", None, TS),
+    ]
+
+
+def test_validate_transcripts_twin(spark):
+    pdf = pd.DataFrame(_val_rows(), columns=COLS)
+    sch = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    vdf = spark.createDataFrame(pdf, sch)
+    con2 = duckdb.connect()
+    con2.register("vt", pdf)
+    for roles in (None, ["user", "assistant"]):
+        got = _sorted(map(tuple, tr.validate_transcripts(vdf, roles).collect()))
+        want = _sorted(map(tuple, con2.sql(
+            tr.duck_validate_transcripts_sql("SELECT * FROM vt", roles)
+        ).fetchall()))
+        assert got == want, f"roles={roles}"
+
+    tagged = {
+        (r["conv_id"], r["turn_idx"]): r["reason"]
+        for r in tr.validate_transcripts(vdf, ["user", "assistant"]).collect()
+    }
+    assert tagged[(None, 0)] == "null_conv_id"
+    assert tagged[("", 0)] == "null_conv_id"
+    assert tagged[("v", None)] == "bad_turn_idx"
+    assert tagged[("v", -1)] == "bad_turn_idx"
+    assert tagged[("dup", 0)] == "dup_turn_idx"  # dup beats bad_role
+    assert tagged[("r", 0)] == "bad_role"        # NULL role with vocabulary
+    assert tagged[("r", 1)] == "bad_role"
+    assert tagged[("v", 0)] is None
+    assert tagged[("dup", 1)] is None
+
+    # without a vocabulary, NULL/unknown roles are fine
+    free = {
+        (r["conv_id"], r["turn_idx"]): r["reason"]
+        for r in tr.validate_transcripts(vdf).collect()
+    }
+    assert free[("r", 0)] is None and free[("r", 1)] is None
+
+    ok = tr.valid_transcripts(vdf, ["user", "assistant"])
+    assert ok.columns == COLS
+    assert {(r["conv_id"], r["turn_idx"]) for r in ok.collect()} == {
+        ("v", 0), ("v", 1), ("dup", 1)
+    }
