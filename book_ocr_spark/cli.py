@@ -207,6 +207,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ct.add_argument("--redact", action="store_true", help="turn-grain PII redaction")
     ct.add_argument(
+        "--redact-secrets", action="store_true",
+        help="turn-grain credential redaction (API keys / JWTs / PEM "
+        "blocks / key=value assignments in tool outputs)",
+    )
+    ct.add_argument(
         "--semantic-dim", type=int, default=None,
         help="enable conversation-grain semantic dedup at this "
         "hashed-TF embedding width",
@@ -427,6 +432,7 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 redact=args.redact,
+                redact_secrets=args.redact_secrets,
                 semantic_dim=args.semantic_dim,
                 semantic_threshold=args.semantic_threshold,
                 semantic_cells=args.semantic_cells,

@@ -425,6 +425,125 @@ def redact_pii_validated(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Secret / credential scrubbing — the redaction pass AGENT transcripts
+# need beyond PII: tool outputs echo environment dumps, config files,
+# and HTTP headers, so leaked API keys / JWTs / private keys are the
+# dominant sensitive class in trajectory corpora (emails/phones are
+# the web-corpus class; see PII_RES above).
+# ---------------------------------------------------------------------------
+# Java-regex ∩ RE2 subset, verified bit-identical cross-engine
+# (inline (?i), \b, non-greedy [\s\S]*?, counted quantifiers all agree).
+# Deliberately NOT included: a generic long-hex/base64 rule — in agent
+# transcripts git SHAs, digests, and content hashes are everywhere and
+# redacting them destroys training signal; entropy-gated generic
+# detection belongs in a validated pandas-UDF second pass (the
+# redact_pii_validated shape), not the regex pass both engines replay.
+SECRET_RES = {
+    # PEM block, header through footer (non-greedy so adjacent blocks
+    # redact separately); must run FIRST — its base64 body can contain
+    # substrings the narrower token rules would match
+    "PRIVATE_KEY": (
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----"
+    ),
+    # three base64url segments, first decoding to '{"' — before BEARER
+    # so 'Bearer <jwt>' redacts as the more specific kind
+    "JWT": r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+    "AWS_KEY": r"\b(AKIA|ASIA)[0-9A-Z]{16}\b",
+    "GITHUB_TOKEN": r"\bgh[pousr]_[A-Za-z0-9]{36}\b",
+    "SLACK_TOKEN": r"\bxox[baprs]-[A-Za-z0-9-]{10,}",
+    "BEARER": r"(?i)\bbearer +[A-Za-z0-9._~+/=-]{16,}",
+    # key[=:]value assignments; group 1 keeps the key name in the
+    # output (the training-signal-preserving shape: 'api_key=<...>').
+    # The value class excludes quote/terminator chars so a redacted
+    # placeholder (contains < >) can never re-match, and <8-char
+    # values pass (a short 'secret=abc' is a test fixture, not a leak)
+    "KV_SECRET": (
+        r"""(?i)\b(api[_-]?key|secret|token|passwd|password|pwd)("?)"""
+        r"""\s*[=:]\s*"?[^\s"',;]{8,}"?"""
+    ),
+}
+SECRET_ORDER = (
+    "PRIVATE_KEY", "JWT", "AWS_KEY", "GITHUB_TOKEN",
+    "SLACK_TOKEN", "BEARER", "KV_SECRET",
+)
+# replacement strings per engine: only KV_SECRET uses a backreference,
+# and Java spells it $1 where RE2/DuckDB spells it \1
+_SECRET_REPL_SPARK = {k: f"<{k}>" for k in SECRET_ORDER} | {
+    "KV_SECRET": "$1=<KV_SECRET>"
+}
+_SECRET_REPL_DUCK = {k: f"<{k}>" for k in SECRET_ORDER} | {
+    "KV_SECRET": "\\1=<KV_SECRET>"
+}
+
+
+def secret_redact_col(text_col: str) -> Column:
+    """The chained typed-placeholder secret replacement as a bare
+    Column — shared by redact_secrets and the turn-grain stage in
+    plans.curation.curate_transcripts (same SECRET_ORDER, same
+    regexes, so the composed-pass twin reuses
+    duck_secret_redact_expr). Patterns ride F.lit, never F.expr, so
+    the embedded quote characters need no SQL escaping."""
+    red = F.col(text_col)
+    for kind in SECRET_ORDER:
+        red = F.regexp_replace(
+            red, F.lit(SECRET_RES[kind]), F.lit(_SECRET_REPL_SPARK[kind])
+        )
+    return red
+
+
+def duck_secret_redact_expr(col: str) -> str:
+    """DuckDB twin of secret_redact_col as a bare SQL expression."""
+    red = col
+    for kind in SECRET_ORDER:
+        pat = SECRET_RES[kind].replace("'", "''")
+        red = (
+            f"regexp_replace({red}, '{pat}', "
+            f"'{_SECRET_REPL_DUCK[kind]}', 'g')"
+        )
+    return red
+
+
+def redact_secrets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted_text, n_private_key, n_jwt, n_aws_key,
+    n_github_token, n_slack_token, n_bearer, n_kv_secret): chained
+    regexp_replace to typed placeholders plus per-kind match counts —
+    one narrow JVM projection, no Python (the redact_pii shape over
+    the credential class). Counts are taken BEFORE any replacement;
+    replacement order is pinned by SECRET_ORDER on both engines, so
+    a JWT behind 'Bearer ' tallies under both JWT and BEARER but
+    redacts as the more specific <JWT>."""
+    counts = {
+        kind: F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(SECRET_RES[kind]), F.lit(0)
+            )
+        ).cast("bigint").alias(f"n_{kind.lower()}")
+        for kind in SECRET_ORDER
+    }
+    return df.select(
+        F.col(id_col).alias("id"),
+        secret_redact_col(text_col).alias("redacted_text"),
+        *[counts[kind] for kind in SECRET_ORDER],
+    )
+
+
+def duck_redact_secrets_sql(corpus_sql: str) -> str:
+    """DuckDB twin of redact_secrets; corpus_sql yields (id, text)."""
+    red = duck_secret_redact_expr("text")
+    cnt = ", ".join(
+        "CAST(LEN(regexp_extract_all(text, '{}', 0)) AS BIGINT) AS n_{}".format(
+            SECRET_RES[kind].replace("'", "''"), kind.lower()
+        )
+        for kind in SECRET_ORDER
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql})
+        SELECT id, {red} AS redacted_text, {cnt}
+        FROM corpus ORDER BY id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Repetition signals — the Gopher-style within-document quality filters
 # ---------------------------------------------------------------------------
 def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -445,6 +445,7 @@ def curate_transcripts(
     boilerplate_min_convs: int | None = None,
     boilerplate_roles: list[str] | None = None,
     redact: bool = False,
+    redact_secrets: bool = False,
     semantic_dim: int | None = None,
     semantic_threshold: float = 0.9,
     semantic_cells: int = 16,
@@ -475,7 +476,11 @@ def curate_transcripts(
          a conversation whose every turn failed disappears here);
       2b. optional turn-grain PII redaction (``redact``: the
          textstats typed-placeholder chain on extracted text, so all
-         downstream artifacts train on scrubbed turns);
+         downstream artifacts train on scrubbed turns) and/or
+         credential redaction (``redact_secrets``: API keys / JWTs /
+         PEM blocks / key=value assignments — the leak class agent
+         tool outputs carry; chains after the PII pass in the same
+         narrow projection);
       2b0. optional tool-output cap (``tool_output_max_chars``:
          transcripts.truncate_tool_turns head+tail elision on
          role='tool' turns — tool results dominate agent-transcript
@@ -570,6 +575,15 @@ def curate_transcripts(
         from book_ocr_spark.operators.textstats import pii_redact_col
 
         ext = ext.withColumn("text", pii_redact_col("text"))
+    if redact_secrets:
+        # turn-grain credential scrub (API keys / JWTs / PEM blocks —
+        # the leak class agent TOOL OUTPUTS carry that web-corpus PII
+        # regexes never see). Chains after the PII pass in the same
+        # narrow projection; same regex set as textstats.redact_secrets
+        # so the composed twin reuses duck_secret_redact_expr
+        from book_ocr_spark.operators.textstats import secret_redact_col
+
+        ext = ext.withColumn("text", secret_redact_col("text"))
     if tool_output_max_chars is not None:
         # cap oversized tool-result turns (head+tail elision) — one
         # narrow JVM projection. Scoped by role='tool' (the extracted

@@ -249,7 +249,7 @@ def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
     ])
     rows += conv("c2", [
         ("user", "a different question entirely"),
-        ("assistant", "a different detailed answer arrives"),
+        ("assistant", "a different answer with api_key=sk-live-0123456789"),
     ])
     rows += conv("c3", [("user", "hello there friend"), ("tool", long_tool)])  # prefix of c1
     rows += conv("c4", [("user", "spin spin spin")] * 4 + [("assistant", "gave up")])
@@ -279,7 +279,7 @@ def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
             "curate-transcripts", "--input", inp, "--output", out,
             "--n-parts", "4", "--max-action-run", "3",
             "--tool-output-max-chars", "120",
-            "--boilerplate-min-convs", "3", "--audit",
+            "--boilerplate-min-convs", "3", "--redact-secrets", "--audit",
         ])
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
@@ -292,6 +292,9 @@ def test_cli_curate_transcripts_end_to_end(spark, tmp_path, monkeypatch):
     assert long_tool not in got["c1"]["example"]
     # banner stripped everywhere
     assert all(banner not in r["example"] for r in got.values())
+    # credential scrub bit: key name survives, value is gone
+    assert "api_key=<KV_SECRET>" in got["c2"]["example"]
+    assert "sk-live" not in got["c2"]["example"]
     # the drop ledger rode the summary: c3 at prefix dedup, c4 at the
     # loop gate, final survivors at the dedup tail
     stages = {a["stage"]: a["n_convs"] for a in summary["audit"]}
