@@ -1959,6 +1959,193 @@ def duck_best_of_n_sql(
     """
 
 
+def _binom_rows(max_n: int, ks: tuple[int, ...]) -> list[tuple[int, int, int]]:
+    """Exact C(m, j) rows for m in [0, max_n], j in ks — shared DATA
+    (not computation) between pass_at_k's broadcast table and its
+    DuckDB twin, so the estimator divides the same two exact bigints
+    on both engines. j > m rows carry 0 (C(m, j) = 0 there), which is
+    what makes pass@k collapse to exactly 1.0 when k > n - c."""
+    import math
+
+    return [
+        (m, j, math.comb(m, j) if j <= m else 0)
+        for m in range(max_n + 1)
+        for j in ks
+    ]
+
+
+def _pak_validate(depth: int, ks, max_n: int) -> tuple[int, ...]:
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
+    ks = tuple(dict.fromkeys(int(k) for k in ks))
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError("ks must be a non-empty list of ints >= 1")
+    # C(62, 31) < 2^63; one step larger overflows a bigint binomial
+    if not 1 <= max_n <= 62:
+        raise ValueError("max_n must be in [1, 62] (bigint-exact binomials)")
+    return ks
+
+
+def pass_at_k(
+    df: DataFrame,
+    depth: int,
+    verdicts: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+    role: str | None = "assistant",
+    max_n: int = 60,
+) -> DataFrame:
+    """Unbiased pass@k over agent re-run groups: conversations whose
+    first ``depth`` turns are EXACTLY equal (the best_of_n prefix-md5
+    group key) are n samples for one context; joined against a
+    caller-supplied ``verdicts`` table (conv_id, passed boolean — an
+    eval harness's per-trajectory grade, ONE row per conv_id; missing
+    or NULL counts as failed), each group reports, for every k in
+    ``ks`` with k <= n,
+
+        pass@k = 1 - C(n - c, k) / C(n, k)
+
+    (c = #passed) — the standard unbiased estimator: the probability
+    that a uniform k-subset of the n samples contains at least one
+    pass. Candidates are conversations with a turn at depth+1
+    (``role``-restricted like best_of_n, so an abandoned context or a
+    user continuation is not a sample).
+
+    Returns (context_id, depth, n_candidates, n_passed, k, pass_at_k):
+    context_id is the group's min conv_id (join it back to
+    sft_examples or _render_contexts for the prompt text). pass_at_k
+    is NULL for groups with n > ``max_n`` (raise max_n, <= 62).
+
+    Engine-exactness: the two binomials come from a broadcast integer
+    table (``_binom_rows`` — data, not per-engine math), so both
+    engines perform the identical IEEE int->double rounding and one
+    division; results are bit-identical cross-engine and across
+    partitionings. Scale shape: narrow conv-grain rows ride the
+    module's one conv_id exchange into a hash agg per group; the k
+    and binomial tables are O(max_n * |ks|) broadcast dims — no
+    per-sample pairing anywhere, so a million-re-run context costs
+    O(B), unlike the k-capped preference miners."""
+    ks = _pak_validate(depth, ks, max_n)
+    spark = df.sparkSession
+    pos = _positioned(df)
+    turns = pos.where(F.col("_pos") <= depth).withColumn("_th", _spark_turn_md5())
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_th"))))
+    pk = (
+        turns.groupBy("conv_id")
+        .agg(
+            F.md5(F.array_join(F.transform(items, lambda x: x["_th"]), "")).alias("_pkey"),
+            F.count(F.lit(1)).alias("_np"),
+        )
+        .where(F.col("_np") == depth)
+        .select("conv_id", "_pkey")
+    )
+    nxt = pos.where(F.col("_pos") == depth + 1).select(
+        "conv_id", F.col("role").alias("_nrole")
+    )
+    if role is not None:
+        nxt = nxt.where(F.col("_nrole") == role)
+    v = verdicts.select(
+        F.col(verdicts.columns[0]).alias("conv_id"),
+        F.col(verdicts.columns[1]).cast("boolean").alias("_passed"),
+    )
+    grp = (
+        pk.join(nxt.select("conv_id"), "conv_id")
+        .join(v, "conv_id", "left")
+        .groupBy("_pkey")
+        .agg(
+            F.min("conv_id").alias("context_id"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                F.coalesce(F.col("_passed"), F.lit(False)).cast("long")
+            ).alias("n_passed"),
+        )
+    )
+    kdf = spark.createDataFrame([(k,) for k in ks], "k long")
+    bt = spark.createDataFrame(_binom_rows(max_n, ks), "m long, j long, b long")
+    den = bt.select(F.col("m").alias("_dm"), F.col("j").alias("_dj"), F.col("b").alias("_db"))
+    num = bt.select(F.col("m").alias("_nm"), F.col("j").alias("_nj"), F.col("b").alias("_nb"))
+    return (
+        grp.join(F.broadcast(kdf), F.col("k") <= F.col("n_candidates"))
+        .join(
+            F.broadcast(den),
+            (F.col("_dm") == F.col("n_candidates")) & (F.col("_dj") == F.col("k")),
+            "left",
+        )
+        .join(
+            F.broadcast(num),
+            (F.col("_nm") == F.col("n_candidates") - F.col("n_passed"))
+            & (F.col("_nj") == F.col("k")),
+            "left",
+        )
+        .select(
+            "context_id",
+            F.lit(depth).cast("long").alias("depth"),
+            "n_candidates",
+            "n_passed",
+            "k",
+            F.when(
+                F.col("_db").isNotNull(),
+                F.lit(1.0) - F.col("_nb").cast("double") / F.col("_db").cast("double"),
+            ).alias("pass_at_k"),
+        )
+    )
+
+
+def duck_pass_at_k_sql(
+    src_sql: str,
+    verdicts_sql: str,
+    depth: int,
+    ks: tuple[int, ...] = (1, 5, 10),
+    role: str | None = "assistant",
+    max_n: int = 60,
+) -> str:
+    """DuckDB twin of pass_at_k: same prefix digest chain, the same
+    _binom_rows table inlined as VALUES, the same one int->double
+    division. ``verdicts_sql`` yields (conv_id, passed)."""
+    ks = _pak_validate(depth, ks, max_n)
+    th = (
+        "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
+        " || chr(31) || COALESCE(text, chr(1)))"
+    )
+    role_pred = "" if role is None else f"AND n.role = '{role}'"
+    kvals = ", ".join(f"({k})" for k in ks)
+    bvals = ", ".join(f"({m}, {j}, {b})" for m, j, b in _binom_rows(max_n, ks))
+    return f"""
+        WITH pak_pos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({src_sql}) s0),
+        pak_pk AS (
+            SELECT conv_id, md5(string_agg(th, '' ORDER BY pos)) AS pkey
+            FROM (SELECT conv_id, pos, {th} AS th
+                  FROM pak_pos WHERE pos <= {depth}) q
+            GROUP BY conv_id HAVING COUNT(*) = {depth}),
+        pak_v AS (SELECT * FROM ({verdicts_sql}) v0),
+        pak_grp AS (
+            SELECT p.pkey, MIN(p.conv_id) AS context_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN COALESCE(v.passed, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+            FROM pak_pk p
+            JOIN pak_pos n ON n.conv_id = p.conv_id AND n.pos = {depth + 1}
+                 {role_pred}
+            LEFT JOIN pak_v v ON v.conv_id = p.conv_id
+            GROUP BY p.pkey),
+        pak_k (k) AS (VALUES {kvals}),
+        pak_b (m, j, b) AS (VALUES {bvals})
+        SELECT g.context_id, CAST({depth} AS BIGINT) AS depth,
+               g.n_candidates, g.n_passed, CAST(k.k AS BIGINT) AS k,
+               CASE WHEN d.b IS NOT NULL
+                    THEN CAST(1 AS DOUBLE)
+                         - CAST(nm.b AS DOUBLE) / CAST(d.b AS DOUBLE)
+               END AS pass_at_k
+        FROM pak_grp g
+        JOIN pak_k k ON k.k <= g.n_candidates
+        LEFT JOIN pak_b d ON d.m = g.n_candidates AND d.j = k.k
+        LEFT JOIN pak_b nm ON nm.m = g.n_candidates - g.n_passed AND nm.j = k.k
+    """
+
+
 # ---------------------------------------------------------------------------
 # Conversation-grain semantic dedup (hashed-TF embedding -> SemDeDup)
 # ---------------------------------------------------------------------------

@@ -1596,3 +1596,119 @@ def test_validate_transcripts_twin(spark):
     assert {(r["conv_id"], r["turn_idx"]) for r in ok.collect()} == {
         ("v", 0), ("v", 1), ("dup", 1)
     }
+
+
+# ---------------------------------------------------------------------------
+# pass@k over re-run groups
+# ---------------------------------------------------------------------------
+PAK_ROWS = (
+    # group A: 5 eligible re-runs of one prompt, 2 passed
+    [(f"a{i}", 0, "user", "sort a list in place", None, TS) for i in range(5)]
+    + [(f"a{i}", 1, "assistant", f"attempt number {i}", None, TS) for i in range(5)]
+    # group B: 3 re-runs, all failed (one has no verdict row at all)
+    + [(f"b{i}", 0, "user", "parse the config", None, TS) for i in range(3)]
+    + [(f"b{i}", 1, "assistant", f"try {i}", None, TS) for i in range(3)]
+    # group C: singleton, passed
+    + [("c0", 0, "user", "unique question", None, TS),
+       ("c0", 1, "assistant", "unique answer", None, TS)]
+    # same prefix as A but ineligible: user continuation / no turn 2
+    + [("x0", 0, "user", "sort a list in place", None, TS),
+       ("x0", 1, "user", "never mind", None, TS),
+       ("x1", 0, "user", "sort a list in place", None, TS)]
+)
+PAK_VERDICTS = [
+    ("a0", True), ("a1", False), ("a2", True), ("a3", False), ("a4", None),
+    ("b0", False), ("b1", False),  # b2 missing entirely -> failed
+    ("c0", True), ("x0", True),    # x0 verdict must not matter (ineligible)
+]
+
+
+@pytest.fixture(scope="module")
+def pak_df(spark):
+    return spark.createDataFrame(pd.DataFrame(PAK_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+
+
+@pytest.fixture(scope="module")
+def pak_vdf(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(PAK_VERDICTS, columns=["conv_id", "passed"]),
+        "conv_id string, passed boolean",
+    )
+
+
+def test_pass_at_k_semantics(pak_df, pak_vdf):
+    got = {
+        (r.context_id, r.k): r
+        for r in tr.pass_at_k(pak_df, 1, pak_vdf, ks=(1, 2, 3, 5)).collect()
+    }
+    # group A: n=5, c=2 -> pass@1 = 1 - C(3,1)/C(5,1) = 2/5;
+    # pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10; pass@3 = 1 - 1/10;
+    # pass@5 = 1 - 0/1 = 1.0 exactly
+    a = {k: got[("a0", k)] for k in (1, 2, 3, 5)}
+    assert (a[1].n_candidates, a[1].n_passed) == (5, 2)
+    assert a[1].pass_at_k == 1.0 - 3.0 / 5.0
+    assert a[2].pass_at_k == 1.0 - 3.0 / 10.0
+    assert a[3].pass_at_k == 1.0 - 1.0 / 10.0
+    assert a[5].pass_at_k == 1.0
+    # group B: n=3, c=0 (missing verdict = failed) -> pass@k = 0.0
+    assert got[("b0", 1)].pass_at_k == 0.0
+    assert got[("b0", 3)].pass_at_k == 0.0
+    assert got[("b0", 1)].n_passed == 0
+    # group C: n=1, only k=1 emitted (k <= n), passed -> 1.0
+    assert got[("c0", 1)].pass_at_k == 1.0
+    assert ("c0", 2) not in got
+    # ineligible convs never form a sample: A's n stayed 5 despite x0/x1
+    assert {cid for cid, _ in got} == {"a0", "b0", "c0"}
+
+
+def test_pass_at_k_max_n_null(pak_df, pak_vdf):
+    # a group larger than max_n keeps its counts but NULLs the estimate
+    rows = {
+        (r.context_id, r.k): r
+        for r in tr.pass_at_k(pak_df, 1, pak_vdf, ks=(1,), max_n=4).collect()
+    }
+    assert rows[("a0", 1)].pass_at_k is None          # n=5 > max_n=4
+    assert rows[("a0", 1)].n_candidates == 5
+    assert rows[("b0", 1)].pass_at_k == 0.0           # n=3 still exact
+
+
+@pytest.mark.parametrize("ks,role", [((1, 2, 3, 5), "assistant"),
+                                     ((1, 10), "assistant"),
+                                     ((2,), None)])
+def test_pass_at_k_twin(pak_df, pak_vdf, ks, role):
+    got = _sorted(
+        tuple(r)
+        for r in tr.pass_at_k(pak_df, 1, pak_vdf, ks=ks, role=role).collect()
+    )
+    con = duckdb.connect()
+    con.register("pkt", pd.DataFrame(PAK_ROWS, columns=COLS))
+    con.register("pkv", pd.DataFrame(PAK_VERDICTS, columns=["conv_id", "passed"]))
+    want = _sorted(
+        tuple(r)
+        for r in con.sql(tr.duck_pass_at_k_sql(
+            "SELECT * FROM pkt", "SELECT conv_id, passed FROM pkv",
+            1, ks=ks, role=role,
+        )).fetchall()
+    )
+    assert got == want and got
+
+
+def test_pass_at_k_partition_invariance(pak_df, pak_vdf):
+    a = _sorted(map(tuple, tr.pass_at_k(pak_df, 1, pak_vdf).collect()))
+    b = _sorted(map(tuple, tr.pass_at_k(
+        pak_df.repartition(7, "text"), 1, pak_vdf.repartition(3)).collect()))
+    assert a == b
+
+
+def test_pass_at_k_validation(pak_df, pak_vdf):
+    with pytest.raises(ValueError):
+        tr.pass_at_k(pak_df, 0, pak_vdf)
+    with pytest.raises(ValueError):
+        tr.pass_at_k(pak_df, 1, pak_vdf, ks=())
+    with pytest.raises(ValueError):
+        tr.pass_at_k(pak_df, 1, pak_vdf, ks=(0,))
+    with pytest.raises(ValueError):
+        tr.pass_at_k(pak_df, 1, pak_vdf, max_n=63)
