@@ -1,0 +1,235 @@
+"""Agent search-tree linearization: branching runs -> linear
+trajectories in the canonical transcripts schema.
+
+Tree-search agents (best-first / tree-of-thought / MCTS-style
+exploration, and the re-run families behind ``preference_pairs`` /
+``best_of_n`` when captured natively) emit a TREE per run: nodes are
+turns, ``parent_id`` points at the turn each branch continued from.
+The rest of this engine consumes linear conversations, so
+``tree_paths`` flattens every root-to-leaf path into canonical
+(conv_id, turn_idx, role, text, tool) rows — conv_id =
+``run_id/leaf_id`` — after which sft_examples, prefix_dedup,
+preference mining, pass_at_k etc. all compose unchanged. (Shared
+prefixes across sibling paths are REAL re-runs of the same context —
+exactly what the prefix/preference family is built to mine.)
+
+Input table: (run_id, node_id, parent_id, role, text, tool);
+parent_id NULL marks a root, several roots per run form a forest.
+``tree_violations`` reports the two corruption classes worth gating
+on before flattening (duplicate node ids, dangling parent pointers);
+``tree_paths`` itself raises on the two SILENT-corruption shapes a
+report can't surface post-hoc (cycles, paths beyond ``max_depth``).
+
+Scale shape (10^9 nodes): pointer doubling, not per-level walking —
+round k joins every leaf chain against a 2^k-step jump table, so a
+depth-D tree finishes in ceil(log2 D) rounds (each one equi-join on
+(run_id, node), hash-partitioned; one count() driver action per
+round, the MLlib iterative pattern shared with dedup's
+near_dup_clusters). Total accumulated chain size equals the output
+size (sum of leaf depths) — nothing quadratic, no per-level
+sequential scan. Rounds are localCheckpointed because each round
+references the previous twice (union + join) and the self-joined
+jump table twice: without truncation the logical plan grows 2^k and
+Catalyst dies compiling, not executing (the near_dup_clusters
+lesson, see dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REQUIRED = ("run_id", "node_id", "parent_id", "role", "text", "tool")
+
+
+def _validated(df: DataFrame) -> DataFrame:
+    missing = [c for c in REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(f"tree input missing columns: {missing}")
+    return df.select(*REQUIRED)
+
+
+def tree_violations(df: DataFrame) -> DataFrame:
+    """(run_id, node_id, reason): the corruption classes to gate on
+    before ``tree_paths`` — 'dup_node_id' (a (run_id, node_id) seen
+    more than once) and 'missing_parent' (a non-NULL parent_id with no
+    node row in the run). Both are one narrow hash agg / anti-join on
+    (run_id, node_id); an empty result is the tree_paths precondition
+    (cycles and over-depth paths are raised by tree_paths itself —
+    they are only visible to the traversal)."""
+    nodes = _validated(df)
+    dups = (
+        nodes.groupBy("run_id", "node_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("run_id", "node_id", F.lit("dup_node_id").alias("reason"))
+    )
+    targets = nodes.select("run_id", "node_id").distinct()
+    missing = (
+        nodes.where(F.col("parent_id").isNotNull())
+        .select("run_id", F.col("parent_id").alias("node_id"))
+        .distinct()
+        .join(targets, ["run_id", "node_id"], "left_anti")
+        .select("run_id", "node_id", F.lit("missing_parent").alias("reason"))
+    )
+    return dups.unionByName(missing)
+
+
+def duck_tree_violations_sql(src_sql: str) -> str:
+    """DuckDB twin of tree_violations."""
+    return f"""
+        WITH tv_nodes AS (SELECT * FROM ({src_sql}) s0)
+        SELECT run_id, node_id, 'dup_node_id' AS reason
+        FROM tv_nodes GROUP BY run_id, node_id HAVING COUNT(*) > 1
+        UNION ALL
+        SELECT DISTINCT n.run_id, n.parent_id AS node_id,
+               'missing_parent' AS reason
+        FROM tv_nodes n
+        WHERE n.parent_id IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM tv_nodes t
+            WHERE t.run_id = n.run_id AND t.node_id = n.parent_id)
+    """
+
+
+def tree_paths(df: DataFrame, max_depth: int = 512) -> DataFrame:
+    """Flatten every root-to-leaf path of every run into canonical
+    transcript rows (conv_id, turn_idx, role, text, tool):
+    conv_id = ``run_id/leaf_id``, turn_idx 0 at the root. Leaves are
+    nodes no node points at; a single-node run is its own leaf. The
+    result is an eagerly local-checkpointed DataFrame (materialized,
+    lineage truncated — the iterative-operator contract shared with
+    near_dup_clusters).
+
+    Precondition: ``tree_violations(df)`` is empty (a dangling parent
+    silently truncates its chain — gate first). Raises RuntimeError
+    when any chain exceeds ``max_depth`` — which is also how parent-
+    pointer CYCLES surface, since a cycle manufactures unbounded
+    ancestor distances; silently emitting a garbage path would poison
+    the corpus without any signal.
+
+    Scale: ceil(log2 max_depth) doubling rounds (see module
+    docstring); output size is the sum of leaf depths, reached
+    without any per-level sequential dependency on tree height."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    nodes = _validated(df)
+    # cache: the leaf anti-join, every round's chain join, and the
+    # final attach all re-read the node table
+    nodes = nodes.persist()
+    try:
+        parents = (
+            nodes.where(F.col("parent_id").isNotNull())
+            .select("run_id", F.col("parent_id").alias("node_id"))
+            .distinct()
+        )
+        leaves = nodes.select("run_id", "node_id").join(
+            parents, ["run_id", "node_id"], "left_anti"
+        )
+        # chains: (run_id, leaf_id, anc, dist) — anc is the node dist
+        # steps above the leaf. Start: every leaf at distance 0.
+        chains = leaves.select(
+            "run_id",
+            F.col("node_id").alias("leaf_id"),
+            F.col("node_id").alias("anc"),
+            F.lit(0).cast("long").alias("dist"),
+        ).localCheckpoint(eager=True)
+        # jump table: 2^k-step parent pointers, squared each round
+        jumps = (
+            nodes.where(F.col("parent_id").isNotNull())
+            .select(
+                "run_id",
+                F.col("node_id").alias("node"),
+                F.col("parent_id").alias("jump"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # after K rounds chains cover all distances < 2^K; pick K so a
+        # cycle (an unbounded chain) provably realizes a distance
+        # STRICTLY above max_depth: 2^K >= max_depth + 2
+        rounds = (max_depth + 1).bit_length()
+        step = 1
+        for _ in range(rounds):
+            ext = chains.join(
+                jumps,
+                (chains.run_id == jumps.run_id) & (chains.anc == jumps.node),
+            ).select(
+                chains.run_id,
+                "leaf_id",
+                F.col("jump").alias("anc"),
+                (F.col("dist") + F.lit(step)).alias("dist"),
+            )
+            ext = ext.localCheckpoint(eager=True)
+            if ext.count() == 0:  # longer jumps can't apply either
+                break
+            chains = chains.unionByName(ext).localCheckpoint(eager=True)
+            j2 = jumps.alias("a").join(
+                jumps.alias("b"),
+                (F.col("a.run_id") == F.col("b.run_id"))
+                & (F.col("a.jump") == F.col("b.node")),
+            ).select(
+                F.col("a.run_id").alias("run_id"),
+                F.col("a.node").alias("node"),
+                F.col("b.jump").alias("jump"),
+            )
+            jumps = j2.localCheckpoint(eager=True)
+            step *= 2
+        if chains.where(F.col("dist") > max_depth).count() > 0:
+            raise RuntimeError(
+                f"tree_paths: a chain exceeds max_depth={max_depth} "
+                "(over-deep tree or a parent-pointer cycle)"
+            )
+        depth = chains.groupBy("run_id", "leaf_id").agg(F.max("dist").alias("_d"))
+        out = (
+            chains.join(depth, ["run_id", "leaf_id"])
+            .join(
+                nodes.select(
+                    "run_id", F.col("node_id").alias("anc"),
+                    "role", "text", "tool",
+                ),
+                ["run_id", "anc"],
+            )
+            .select(
+                F.concat_ws(
+                    "/", F.col("run_id").cast("string"),
+                    F.col("leaf_id").cast("string"),
+                ).alias("conv_id"),
+                (F.col("_d") - F.col("dist")).cast("int").alias("turn_idx"),
+                "role",
+                "text",
+                "tool",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        nodes.unpersist()
+
+
+def duck_tree_paths_sql(src_sql: str, max_depth: int = 512) -> str:
+    """DuckDB twin of tree_paths as the DEFINITIONAL recursive CTE —
+    a per-level walk, deliberately a different construction than the
+    pointer doubling, so the twin test pins the algorithm against the
+    textbook semantics. The dist guard only bounds recursion; inputs
+    that trip it make Spark raise, so twins compare on valid trees."""
+    return f"""
+        WITH RECURSIVE tp_nodes AS (SELECT * FROM ({src_sql}) s0),
+        tp_leaves AS (
+            SELECT run_id, node_id AS leaf_id FROM tp_nodes n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM tp_nodes c
+                WHERE c.run_id = n.run_id AND c.parent_id = n.node_id)),
+        tp_chain AS (
+            SELECT run_id, leaf_id, leaf_id AS anc, 0 AS dist FROM tp_leaves
+            UNION ALL
+            SELECT c.run_id, c.leaf_id, n.parent_id, c.dist + 1
+            FROM tp_chain c
+            JOIN tp_nodes n ON n.run_id = c.run_id AND n.node_id = c.anc
+            WHERE n.parent_id IS NOT NULL AND c.dist < {max_depth}),
+        tp_depth AS (
+            SELECT run_id, leaf_id, MAX(dist) AS d
+            FROM tp_chain GROUP BY run_id, leaf_id)
+        SELECT c.run_id::VARCHAR || '/' || c.leaf_id::VARCHAR AS conv_id,
+               CAST(d.d - c.dist AS INT) AS turn_idx, n.role, n.text, n.tool
+        FROM tp_chain c
+        JOIN tp_depth d ON d.run_id = c.run_id AND d.leaf_id = c.leaf_id
+        JOIN tp_nodes n ON n.run_id = c.run_id AND n.node_id = c.anc
+    """

@@ -1,0 +1,144 @@
+"""Agent search-tree linearization: root-to-leaf flattening against
+the definitional recursive-CTE DuckDB twin, violation gating, and the
+cycle / over-depth raise contracts."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import trees
+
+COLS = ["run_id", "node_id", "parent_id", "role", "text", "tool"]
+SCH = (
+    "run_id string, node_id string, parent_id string,"
+    " role string, text string, tool string"
+)
+
+# r1: a forest — a branching tree (two leaves n2, n4) + a second
+#     root n9 with one child; r2: a single-node run (its own leaf)
+TREE_ROWS = [
+    ("r1", "n0", None, "user", "sort a list", None),
+    ("r1", "n1", "n0", "assistant", "attempt A", "python"),
+    ("r1", "n2", "n0", "assistant", "attempt B", None),
+    ("r1", "n3", "n1", "user", "now in place", None),
+    ("r1", "n4", "n3", "assistant", "done in place", "python"),
+    ("r1", "n9", None, "user", "second root", None),
+    ("r1", "n8", "n9", "assistant", "second tree reply", None),
+    ("r2", "n0", None, "user", "lonely", None),
+]
+
+
+def _sorted(rows):
+    return sorted(rows, key=lambda r: tuple((x is None, x) for x in r))
+
+
+@pytest.fixture(scope="module")
+def tree_df(spark):
+    return spark.createDataFrame(pd.DataFrame(TREE_ROWS, columns=COLS), SCH)
+
+
+def test_tree_paths_semantics(tree_df):
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in trees.tree_paths(tree_df).collect()
+    }
+    # deep path: n0 -> n1 -> n3 -> n4, conv keyed by the leaf
+    assert got[("r1/n4", 0)] == ("user", "sort a list", None)
+    assert got[("r1/n4", 1)] == ("assistant", "attempt A", "python")
+    assert got[("r1/n4", 2)] == ("user", "now in place", None)
+    assert got[("r1/n4", 3)] == ("assistant", "done in place", "python")
+    # sibling branch shares the root turn — a REAL re-run of the
+    # context, which is what the prefix/preference miners expect
+    assert got[("r1/n2", 0)] == ("user", "sort a list", None)
+    assert got[("r1/n2", 1)] == ("assistant", "attempt B", None)
+    # forest: second root in the same run; single-node run
+    assert got[("r1/n8", 0)] == ("user", "second root", None)
+    assert got[("r1/n8", 1)] == ("assistant", "second tree reply", None)
+    assert got[("r2/n0", 0)] == ("user", "lonely", None)
+    # exactly the four leaves' paths, nothing else
+    assert {c for c, _ in got} == {"r1/n4", "r1/n2", "r1/n8", "r2/n0"}
+    assert len(got) == 4 + 2 + 2 + 1
+
+
+@pytest.mark.parametrize("max_depth", [512, 3])
+def test_tree_paths_twin(spark, tree_df, max_depth):
+    got = _sorted(map(tuple, trees.tree_paths(tree_df, max_depth).collect()))
+    con = duckdb.connect()
+    con.register("tt", pd.DataFrame(TREE_ROWS, columns=COLS))
+    want = _sorted(
+        map(tuple, con.sql(
+            trees.duck_tree_paths_sql("SELECT * FROM tt", max_depth)
+        ).fetchall())
+    )
+    assert got == want and got
+
+
+def test_tree_paths_feeds_sft_examples(spark, tree_df):
+    """The flattened output IS the canonical transcripts shape: the
+    SFT renderer consumes it unchanged (conv_id=run/leaf, turn_idx
+    ordered root-first)."""
+    from book_ocr_spark.operators.transcripts import sft_examples
+
+    flat = trees.tree_paths(tree_df)
+    ex = {r.conv_id: r.example for r in sft_examples(flat).collect()}
+    assert ex["r1/n2"] == "<|user|>\nsort a list\n<|assistant|>\nattempt B"
+
+
+def test_tree_paths_cycle_raises(spark):
+    rows = [
+        ("c", "n0", "n1", "user", "tail-to-cycle a", None),
+        ("c", "n1", "n0", "user", "tail-to-cycle b", None),
+        ("c", "n2", "n0", "user", "the leaf whose chain enters it", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCH)
+    with pytest.raises(RuntimeError, match="cycle|max_depth"):
+        trees.tree_paths(df, max_depth=8)
+
+
+def test_tree_paths_over_depth_raises(spark):
+    rows = [("d", f"n{i}", f"n{i-1}" if i else None, "user", f"t{i}", None)
+            for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCH)
+    with pytest.raises(RuntimeError, match="max_depth"):
+        trees.tree_paths(df, max_depth=8)  # depth 9 > 8
+    assert trees.tree_paths(df, max_depth=9).count() == 10
+
+
+def test_tree_violations_twin(spark):
+    rows = TREE_ROWS + [
+        ("r1", "n1", "n0", "assistant", "dup of n1", None),   # dup id
+        ("r3", "n5", "nX", "user", "dangling parent", None),  # missing
+        # n0 exists in r1 but NOT r3: parent lookups are per-run
+        ("r3", "n6", "n0", "user", "cross-run pointer", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCH)
+    got = _sorted(map(tuple, trees.tree_violations(df).collect()))
+    assert ("r1", "n1", "dup_node_id") in got
+    assert ("r3", "nX", "missing_parent") in got
+    assert ("r3", "n0", "missing_parent") in got
+    assert len(got) == 3
+    con = duckdb.connect()
+    con.register("tv", pd.DataFrame(rows, columns=COLS))
+    want = _sorted(
+        map(tuple, con.sql(
+            trees.duck_tree_violations_sql("SELECT * FROM tv")
+        ).fetchall())
+    )
+    assert got == want
+    # the clean fixture is violation-free (the tree_paths precondition)
+    clean = spark.createDataFrame(pd.DataFrame(TREE_ROWS, columns=COLS), SCH)
+    assert trees.tree_violations(clean).count() == 0
+
+
+def test_tree_paths_partition_invariance(tree_df):
+    a = _sorted(map(tuple, trees.tree_paths(tree_df).collect()))
+    b = _sorted(map(tuple, trees.tree_paths(
+        tree_df.repartition(7, "text")).collect()))
+    assert a == b
+
+
+def test_tree_paths_validation(spark, tree_df):
+    with pytest.raises(ValueError, match="max_depth"):
+        trees.tree_paths(tree_df, max_depth=0)
+    with pytest.raises(ValueError, match="missing columns"):
+        trees.tree_paths(tree_df.drop("tool"))
