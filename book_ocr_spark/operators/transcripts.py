@@ -187,6 +187,113 @@ def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
     """
 
 
+def _wt_validate(max_turns: int, stride: int) -> None:
+    if max_turns < 1:
+        raise ValueError("max_turns must be >= 1")
+    if not 1 <= stride <= max_turns:
+        raise ValueError("stride must be in [1, max_turns] (gapless windows)")
+
+
+def window_turns(df: DataFrame, max_turns: int, stride: int) -> DataFrame:
+    """Sliding-window splitting of overlong conversations — the
+    complement of ``fit_last_turns`` (which DROPS the head):
+    a conversation of n turns becomes ceil((n - max_turns)/stride) + 1
+    overlapping windows of up to ``max_turns`` turns at ``stride``
+    offsets (one window when n <= max_turns), each re-keyed as a
+    first-class conversation (conv_id = ``src#w<idx>``, turn_idx
+    renumbered 0-based) so sft_spans / sft_examples / packing consume
+    windows unchanged. ``is_new`` marks the turns not covered by the
+    previous window — because stride <= max_turns, EVERY source turn
+    is new in EXACTLY ONE window (tested invariant), so masking loss
+    to spans with is_new trains each token once while every window
+    still sees up to max_turns - stride turns of real left context
+    (the standard long-document strided-attention training recipe,
+    applied at turn grain).
+
+    Returns (conv_id, turn_idx, role, text, tool, src_conv_id,
+    src_turn_idx, window_idx, is_new).
+
+    Scale shape: the position/count window rides the module's one
+    conv_id exchange; each turn then fans out to ONLY the <=
+    ceil(max_turns/stride) windows containing it via an exploded
+    integer sequence (narrow, JVM, no self-join of turns against
+    window bounds — the naive range-join formulation). A 10^5-turn
+    conversation costs O(n * max_turns/stride) rows, the output's own
+    size."""
+    _wt_validate(max_turns, stride)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wall = Window.partitionBy("conv_id")
+    mt, st = F.lit(max_turns).cast("long"), F.lit(stride).cast("long")
+    pos = (
+        df.select("conv_id", "turn_idx", "role", "text", "tool")
+        .withColumn("_pos", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(wall).cast("long"))
+    )
+    n_windows = F.when(F.col("_n") <= mt, F.lit(1).cast("long")).otherwise(
+        F.floor((F.col("_n") - mt + st - F.lit(1)) / st) + F.lit(1)
+    )
+    wmin = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.col("_pos") - mt + st - F.lit(1)) / st),
+    )
+    wmax = F.least(n_windows - F.lit(1), F.floor((F.col("_pos") - F.lit(1)) / st))
+    burst = pos.withColumn("_w", F.explode(F.sequence(wmin, wmax)))
+    start = F.col("_w") * st + F.lit(1)
+    return burst.select(
+        F.concat_ws(
+            "#w", F.col("conv_id").cast("string"), F.col("_w").cast("string")
+        ).alias("conv_id"),
+        (F.col("_pos") - start).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        F.col("conv_id").alias("src_conv_id"),
+        F.col("turn_idx").alias("src_turn_idx"),
+        F.col("_w").alias("window_idx"),
+        (
+            (F.col("_w") == 0)
+            | (F.col("_pos") > start - st + mt - F.lit(1))
+        ).alias("is_new"),
+    )
+
+
+def duck_window_turns_sql(src_sql: str, max_turns: int, stride: int) -> str:
+    """DuckDB twin of window_turns (same integer window arithmetic,
+    generate_series fan-out)."""
+    _wt_validate(max_turns, stride)
+    mt, st = max_turns, stride
+    return f"""
+        WITH wt_pos AS (
+            SELECT conv_id, turn_idx, role, text, tool,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS pos,
+                   CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+            FROM ({src_sql}) s0),
+        wt_b AS (
+            SELECT *,
+                   CASE WHEN n <= {mt} THEN 1
+                        ELSE CAST(FLOOR((n - {mt} + {st} - 1)
+                                        / CAST({st} AS DOUBLE)) AS BIGINT) + 1
+                   END AS nw,
+                   GREATEST(0, CAST(FLOOR((pos - {mt} + {st} - 1)
+                                          / CAST({st} AS DOUBLE)) AS BIGINT)) AS wmin,
+                   CAST(FLOOR((pos - 1) / CAST({st} AS DOUBLE)) AS BIGINT) AS wmax0
+            FROM wt_pos),
+        wt_x AS (
+            SELECT b.conv_id AS src_cid, b.turn_idx AS src_tidx,
+                   b.role, b.text, b.tool, b.pos, CAST(u.w AS BIGINT) AS w
+            FROM wt_b b,
+                 UNNEST(generate_series(b.wmin, LEAST(b.nw - 1, b.wmax0))) AS u(w))
+        SELECT src_cid::VARCHAR || '#w' || w::VARCHAR AS conv_id,
+               CAST(pos - (w * {st} + 1) AS INT) AS turn_idx,
+               role, text, tool,
+               src_cid AS src_conv_id, src_tidx AS src_turn_idx,
+               w AS window_idx,
+               (w = 0 OR pos > w * {st} + 1 - {st} + {mt} - 1) AS is_new
+        FROM wt_x
+    """
+
+
 # ---------------------------------------------------------------------------
 # Conversation-grain health metrics
 # ---------------------------------------------------------------------------

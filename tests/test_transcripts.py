@@ -1712,3 +1712,118 @@ def test_pass_at_k_validation(pak_df, pak_vdf):
         tr.pass_at_k(pak_df, 1, pak_vdf, ks=(0,))
     with pytest.raises(ValueError):
         tr.pass_at_k(pak_df, 1, pak_vdf, max_n=63)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window splitting of overlong conversations
+# ---------------------------------------------------------------------------
+WIN_ROWS = (
+    # 7-turn conversation (note turn_idx gaps: renumbering is by rank)
+    [("w1", i * 10, "user" if i % 2 == 0 else "assistant", f"turn {i}",
+      None if i % 3 else "grep", TS) for i in range(7)]
+    # short conversation: single window, everything new
+    + [("w2", 0, "user", "short q", None, TS),
+       ("w2", 1, "assistant", "short a", None, TS)]
+    # NULL text/role turn inside a window
+    + [("w3", 0, None, None, None, TS),
+       ("w3", 1, "assistant", "after null", None, TS)]
+)
+
+
+@pytest.fixture(scope="module")
+def win_df(spark):
+    return spark.createDataFrame(pd.DataFrame(WIN_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+
+
+def test_window_turns_semantics(win_df):
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in tr.window_turns(win_df, max_turns=4, stride=2).collect()
+    }
+    # w1 (n=7, max=4, stride=2) -> 3 windows at source positions
+    # [1,4], [3,6], [5,7]; new turns: w0 all, w1 {5,6}, w2 {7}
+    w1keys = sorted(k for k in got if k[0].startswith("w1"))
+    assert [k[0] for k in w1keys].count("w1#w0") == 4
+    assert [k[0] for k in w1keys].count("w1#w1") == 4
+    assert [k[0] for k in w1keys].count("w1#w2") == 3
+    # renumbering is 0-based per window; source linkage preserved
+    r0 = got[("w1#w1", 0)]
+    assert (r0.src_conv_id, r0.src_turn_idx) == ("w1", 20)  # source pos 3
+    assert r0.text == "turn 2" and not r0.is_new
+    assert got[("w1#w1", 2)].is_new and got[("w1#w1", 3)].is_new
+    assert got[("w1#w2", 2)].is_new and not got[("w1#w2", 1)].is_new
+    assert all(got[("w1#w0", i)].is_new for i in range(4))
+    # short conv: one window, idx preserved, all new
+    assert got[("w2#w0", 0)].text == "short q" and got[("w2#w0", 0)].is_new
+    assert got[("w2#w0", 1)].is_new
+    assert not any(k[0] == "w2#w1" for k in got)
+    # NULL role/text rides through
+    assert got[("w3#w0", 0)].text is None and got[("w3#w0", 0)].role is None
+
+
+def test_window_turns_each_turn_new_exactly_once(win_df):
+    """The loss-mask invariant: every source turn is is_new in exactly
+    one window, for every legal (max_turns, stride)."""
+    for mt, st in [(4, 2), (4, 4), (3, 1), (1, 1), (7, 3), (10, 10)]:
+        out = tr.window_turns(win_df, max_turns=mt, stride=st)
+        per_src = (
+            out.where(F.col("is_new"))
+            .groupBy("src_conv_id", "src_turn_idx")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] == 1 for r in per_src), (mt, st)
+        assert len(per_src) == len(WIN_ROWS), (mt, st)
+        # and no window exceeds max_turns
+        per_win = out.groupBy("conv_id").count().collect()
+        assert all(r["count"] <= mt for r in per_win), (mt, st)
+
+
+@pytest.mark.parametrize("mt,st", [(4, 2), (4, 4), (3, 1), (1, 1), (7, 3)])
+def test_window_turns_twin(win_df, mt, st):
+    got = _sorted(map(tuple, tr.window_turns(win_df, mt, st).collect()))
+    con = duckdb.connect()
+    con.register("wt", pd.DataFrame(WIN_ROWS, columns=COLS))
+    want = _sorted(
+        map(tuple, con.sql(tr.duck_window_turns_sql(
+            "SELECT * FROM wt", mt, st)).fetchall())
+    )
+    assert got == want and got
+
+
+def test_window_turns_feeds_sft(win_df):
+    """Windows are first-class conversations: the SFT renderer and the
+    span/loss machinery consume them unchanged, and masking spans to
+    is_new turns trains each source turn once."""
+    out = tr.window_turns(win_df, max_turns=4, stride=2)
+    ex = {r.conv_id: r for r in tr.sft_examples(out).collect()}
+    assert ex["w1#w2"].n_turns == 3
+    spans = tr.sft_spans(out.select(*[c for c in out.columns]))
+    joined = spans.join(
+        out.select("conv_id", "turn_idx", "is_new"), ["conv_id", "turn_idx"]
+    )
+    # loss-eligible spans = assistant AND new
+    n = joined.where(F.col("train") & F.col("is_new")).count()
+    # assistant source turns in the fixture: w1 odd positions (3) + w2/w3 one each
+    assert n == 5
+
+
+def test_window_turns_partition_invariance(win_df):
+    a = _sorted(map(tuple, tr.window_turns(win_df, 4, 2).collect()))
+    b = _sorted(map(tuple, tr.window_turns(
+        win_df.repartition(7, "text"), 4, 2).collect()))
+    assert a == b
+
+
+def test_window_turns_validation(win_df):
+    with pytest.raises(ValueError):
+        tr.window_turns(win_df, max_turns=0, stride=1)
+    with pytest.raises(ValueError):
+        tr.window_turns(win_df, max_turns=4, stride=0)
+    with pytest.raises(ValueError):
+        tr.window_turns(win_df, max_turns=4, stride=5)  # gapped
+    with pytest.raises(ValueError):
+        tr.duck_window_turns_sql("SELECT 1", 4, 5)
