@@ -222,6 +222,15 @@ def main(argv: list[str] | None = None) -> int:
         "--max-chars", type=int, default=None,
         help="context-window fit: keep the last turns that fit",
     )
+    ct.add_argument(
+        "--window-max-turns", type=int, default=None,
+        help="post-dedup sliding-window split: each survivor re-renders "
+        "as windows of up to this many turns",
+    )
+    ct.add_argument(
+        "--window-stride", type=int, default=None,
+        help="window offset (default: window-max-turns, non-overlapping)",
+    )
     ct.add_argument("--min-train-turns", type=int, default=1)
     ct.add_argument("--k", type=int, default=3, help="shingle size for near-dup")
     ct.add_argument("--threshold", type=float, default=0.6, help="Jaccard threshold")
@@ -436,6 +445,8 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_dim=args.semantic_dim,
                 semantic_threshold=args.semantic_threshold,
                 semantic_cells=args.semantic_cells,
+                window_max_turns=args.window_max_turns,
+                window_stride=args.window_stride,
                 audit=audit,
             )
             result.write.mode("overwrite").parquet(args.output)

@@ -450,6 +450,8 @@ def curate_transcripts(
     semantic_threshold: float = 0.9,
     semantic_cells: int = 16,
     semantic_hot_cell_cap: int | None = None,
+    window_max_turns: int | None = None,
+    window_stride: int | None = None,
     audit: list | None = None,
 ) -> DataFrame:
     """The transcripts -> SFT-training-corpus pass, end to end in ONE
@@ -511,8 +513,21 @@ def curate_transcripts(
       5. example-grain exact dedup + MinHash near-dup canonicalization
          (the shared _dedup_canonicalize tail — same 'pair'/'cc' rules,
          same hot_bucket_cap defense as the web pass);
+      5b. optional sliding-window splitting (``window_max_turns`` [+
+         ``window_stride``, default non-overlapping]): the SURVIVORS'
+         turns re-window via transcripts.window_turns and each window
+         re-renders as its own example row (conv_id = src#w<i>), with
+         the ``min_train_turns`` gate re-applied at window grain.
+         DELIBERATELY after the dedup tail: dedup compares whole
+         conversations, so overlapping sibling windows can never
+         near-dup-collapse against each other, and windows inherit
+         every upstream scrub. Callers who need the per-turn is_new
+         loss mask (train each token once) use window_turns +
+         sft_spans directly — the example grain here keeps the
+         window's full left context in the rendered text;
       6. optional loader-facing shard assignment (``n_shards`` ->
-         sampling.training_shards on conv_id).
+         sampling.training_shards on conv_id — window-grain ids when
+         5b is on, so sibling windows spread across shards).
 
     ``audit``: pass a list to receive (stage, lazy distinct-conv
     DataFrame) pairs at every stage boundary — materialize_audit turns
@@ -634,6 +649,15 @@ def curate_transcripts(
     if max_chars is not None:
         ext = fit_last_turns(ext, max_chars).filter(F.col("kept")).drop("kept")
         _audit_mark(audit, "fit", ext)
+    if window_stride is not None and window_max_turns is None:
+        raise ValueError("window_stride requires window_max_turns")
+    if window_max_turns is not None:
+        # the 5b window stage re-reads ext AFTER the dedup tail — pin
+        # it, or that second reference re-runs the Python extraction
+        # (the same unpinned-lazy-input lesson as the semantic stage)
+        ext = ext.persist()
+        if storage_handle is not None:
+            storage_handle.append(ext)
     ex = sft_examples(ext)
     if min_train_turns > 0:
         ex = ex.filter(F.col("n_train_turns") >= min_train_turns)
@@ -663,6 +687,29 @@ def curate_transcripts(
         F.size(F.split(F.trim(F.col("example")), r"\s+")).cast("bigint").alias("n_tokens"),
     )
     _audit_mark(audit, "dedup_tail", final)
+    if window_max_turns is not None:
+        # 5b: window the SURVIVORS' turns (see docstring for why this
+        # runs after the tail) and re-render each window as its own
+        # example. ext lacks a tool column post-extraction; windows
+        # carry an explicit NULL so the operator's schema holds.
+        from book_ocr_spark.operators.transcripts import window_turns
+
+        wt = window_turns(
+            ext.join(final.select("conv_id"), "conv_id", "left_semi")
+            .withColumn("tool", F.lit(None).cast("string")),
+            window_max_turns,
+            window_stride if window_stride is not None else window_max_turns,
+        )
+        wex = sft_examples(wt.select("conv_id", "turn_idx", "role", "text"))
+        if min_train_turns > 0:
+            wex = wex.filter(F.col("n_train_turns") >= min_train_turns)
+        final = wex.select(
+            "conv_id", "example", "n_turns", "n_train_turns", "example_len",
+            F.md5(F.col("example")).alias("fingerprint"),
+            F.size(F.split(F.trim(F.col("example")), r"\s+"))
+            .cast("bigint").alias("n_tokens"),
+        )
+        _audit_mark(audit, "window", final)
     if n_shards is not None:
         from book_ocr_spark.operators.sampling import training_shards
 

@@ -71,7 +71,8 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
                 bp_min_convs=None,
                 bp_roles=None, redact=False, redact_secrets=False,
                 semantic_dim=None,
-                semantic_threshold=0.9, semantic_cells=16):
+                semantic_threshold=0.9, semantic_cells=16,
+                window_max_turns=None, window_stride=None):
     """Register the stage-for-stage DuckDB replay; returns the final
     survivor table name."""
     con.register("raw", pd.DataFrame(rows if rows is not None else _rows(),
@@ -214,6 +215,28 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             )
         ).df(),
     )
+    if window_max_turns is not None:
+        from book_ocr_spark.operators.transcripts import duck_window_turns_sql
+
+        stw = window_stride if window_stride is not None else window_max_turns
+        wsrc = (
+            "SELECT conv_id, turn_idx, role, text, NULL::VARCHAR AS tool "
+            f"FROM ({src}) wv WHERE conv_id IN (SELECT id FROM surv)"
+        )
+        con.register(
+            "wturns",
+            con.sql(duck_window_turns_sql(wsrc, window_max_turns, stw)).df(),
+        )
+        return (
+            "SELECT conv_id, example, n_turns, n_train_turns, example_len,"
+            " MD5(example) AS fingerprint,"
+            " CAST(LEN(string_split_regex(TRIM(example), '\\s+')) AS BIGINT)"
+            " AS n_tokens FROM ("
+            + duck_sft_examples_sql(
+                "SELECT conv_id, turn_idx, role, text FROM wturns"
+            )
+            + f") q WHERE n_train_turns >= {min_train}"
+        )
     return f"""
         SELECT e.conv_id, e.example, e.n_turns, e.n_train_turns, e.example_len,
                MD5(e.example) AS fingerprint,
@@ -608,3 +631,87 @@ def test_curate_transcripts_audit_ledger(spark):
         ("assembly_train_gate", 4),  # p5 (no assistant turn) drops
         ("dedup_tail", 2),           # p4 exact-dups p3, p3 near-dups p2
     ]
+
+
+def test_curate_transcripts_window_stage(spark):
+    """5b sliding-window split: survivors re-render as window-grain
+    examples AFTER the dedup tail (sibling windows can't near-dup
+    collapse), the min_train gate re-applies at window grain, and the
+    whole composed pass still twins bit-for-bit."""
+    rows = _rows() + _conv("pw", [
+        ("user", "first question about partitions"),
+        ("assistant", "first detailed answer on partitioning"),
+        ("user", "second question about shuffles"),
+        ("assistant", "second detailed answer on shuffles"),
+        ("user", "a dangling final user turn"),
+    ])
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+    got = sorted(
+        map(tuple, curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64,
+            window_max_turns=2, window_stride=1,
+        ).collect())
+    )
+    by_id = {r[0]: r for r in got}
+    # pw -> positions [1,2],[2,3],[3,4],[4,5]; windows [1,2]/[3,4]
+    # contain an assistant turn; [2,3] does too (pos 2); [4,5] has
+    # pos-4 assistant; every window here has <=2 turns
+    pw = sorted(cid for cid in by_id if cid.startswith("pw"))
+    assert pw == ["pw#w0", "pw#w1", "pw#w2", "pw#w3"]
+    assert by_id["pw#w0"].__len__() == 7 and by_id["pw#w0"][2] == 2  # n_turns
+    # w0 renders turns 1-2 with full left context
+    assert "first question" in by_id["pw#w0"][1]
+    assert "second question" not in by_id["pw#w0"][1]
+    # the full-conversation example is REPLACED by window examples
+    assert "pw" not in by_id
+    # p2/p6 survivors window too (p6: 2 turns -> exactly one window)
+    assert "p6#w0" in by_id and "p6" not in by_id
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(_duck_chain(
+            con, rows=rows, window_max_turns=2, window_stride=1,
+        )).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_window_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    with pytest.raises(ValueError, match="window_stride requires"):
+        curate_transcripts(df, n_parts=4, window_stride=2)
+
+
+def test_tree_paths_feed_curate_transcripts(spark):
+    """Branching agent runs flow end-to-end: tree_paths linearizes a
+    run's two branches into canonical transcripts; the shared-root
+    sibling is a REAL re-run so the prefix/dedup machinery treats it
+    like any linear conversation, and the flagship pass emits one
+    example per surviving leaf path."""
+    from book_ocr_spark.operators.trees import tree_paths
+
+    nodes = [
+        ("r1", "n0", None, "user", "please sort this list", "plain"),
+        ("r1", "n1", "n0", "assistant", "a solid quicksort discussion here", "plain"),
+        ("r1", "n2", "n0", "assistant", "an entirely different mergesort answer", "plain"),
+        ("r1", "n3", "n1", "user", "now make it stable too", "plain"),
+        ("r1", "n4", "n3", "assistant", "switching to a stable timsort variant", "plain"),
+    ]
+    flat = tree_paths(spark.createDataFrame(
+        pd.DataFrame(nodes, columns=[
+            "run_id", "node_id", "parent_id", "role", "text", "tool"]),
+        "run_id string, node_id string, parent_id string,"
+        " role string, text string, tool string",
+    ))
+    # curate expects the raw-transcripts shape (ts rides along as NULL)
+    raw = flat.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    got = sorted(
+        r.conv_id
+        for r in curate_transcripts(raw, n_parts=4, prefix_max_depth=64).collect()
+    )
+    # both leaf paths survive: they share only the root turn (no
+    # prefix relation between them, no near-dup)
+    assert got == ["r1/n2", "r1/n4"]
