@@ -250,6 +250,12 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--contamination-n", type=int, default=13)
     ct.add_argument("--contamination-min-hits", type=int, default=1)
     ct.add_argument(
+        "--semantic-contamination-threshold", type=float, default=None,
+        help="with --benchmark: also drop examples whose hashed-TF "
+        "cosine vs any eval item reaches this (catches paraphrases)",
+    )
+    ct.add_argument("--semantic-contamination-dim", type=int, default=64)
+    ct.add_argument(
         "--n-shards", type=int, default=None,
         help="add deterministic (shard, seq) training-order columns",
     )
@@ -431,6 +437,10 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 contamination_n=args.contamination_n,
                 contamination_min_hits=args.contamination_min_hits,
+                semantic_contamination_threshold=(
+                    args.semantic_contamination_threshold
+                ),
+                semantic_contamination_dim=args.semantic_contamination_dim,
                 max_alternation_violations=args.max_alternation_violations,
                 max_action_run=args.max_action_run,
                 tool_output_max_chars=args.tool_output_max_chars,

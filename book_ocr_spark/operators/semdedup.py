@@ -173,3 +173,100 @@ def duck_semantic_dedup_sql(
         WHERE id NOT IN (SELECT id_b FROM ({pairs}) p)
         ORDER BY id
     """
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = THRESHOLD,
+    n_cells: int = 4,
+    iters: int = ITERS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, bench_id, cell, sim): corpus vectors whose exact cosine
+    against ANY benchmark vector reaches ``threshold`` — the
+    embedding-level complement of the n-gram ``contamination_check``
+    (which a PARAPHRASED eval item walks straight past; hashed-TF
+    cosine is word-order-insensitive and robust to small rewrites).
+    Callers drop flagged ids with an anti-join (the curation-pass
+    idiom for its n-gram sibling).
+
+    The IVF quantizer fits on the BENCHMARK side: eval sets are the
+    small, fixed geometry here, the training corpus just streams
+    through an assignment. Each corpus vector probes its ``nprobe``
+    nearest bench centroids and compares exactly against only those
+    cells' bench rows. Raise nprobe toward n_cells to trade cost for
+    recall on boundary-straddling items (nprobe = n_cells is exact
+    brute force, the oracle twin of itself).
+
+    Scale shape (10^10 corpus x 10^4 bench): centroids are K
+    broadcast rows, so probing is a map-side projection over the
+    corpus (the standard IVF assignment cost); the candidate join is
+    a hash equi-join on cell against the bench's (cell, vector) rows
+    — per-corpus-row work is O(nprobe * bench/n_cells), never corpus
+    x bench."""
+    from pyspark.sql import Window
+
+    assign_b, centroids = ivf_build(bench, id_col, vec_col, n_cells, iters)
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    w = Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probed = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _cosine_expr("v", "c_vec"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= nprobe)
+        .select("id", "v", "cell")
+    )
+    bcells = assign_b.join(
+        bench.select(F.col(id_col).alias("id"), F.col(vec_col).alias("b_v")),
+        "id",
+    ).select(F.col("id").alias("bench_id"), "cell", "b_v")
+    sim = _cosine_expr("v", "b_v")
+    return (
+        probed.join(bcells, "cell")
+        .withColumn("raw_sim", sim)
+        .filter(F.col("raw_sim") >= threshold)
+        .select("id", "bench_id", "cell", F.round("raw_sim", 4).alias("sim"))
+    )
+
+
+def duck_semantic_contamination_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    threshold: float = THRESHOLD,
+    n_cells: int = 4,
+    iters: int = ITERS,
+    nprobe: int = 1,
+) -> str:
+    """DuckDB twin of semantic_contamination: the shared Lloyd
+    recurrence fit on the bench side (_duck_ivf_ctes), then the same
+    nprobe probe + within-cell exact cosine. corpus_sql and bench_sql
+    must yield (id, v)."""
+    from book_ocr_spark.operators.similarity import _duck_ivf_ctes
+
+    cos = _duck_cos
+    ctes = _duck_ivf_ctes(bench_sql, n_cells, iters)
+    ctes.append(
+        f"sc_probes AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM ({corpus_sql}) p0)"
+    )
+    ctes.append(
+        f"""sc_probed AS (
+            SELECT id, v, cell FROM (
+                SELECT p.id, p.v, ct.cell,
+                       ROW_NUMBER() OVER (PARTITION BY p.id
+                           ORDER BY {cos('p.v', 'ct.c_vec')} DESC,
+                                    ct.cell ASC) AS rk
+                FROM sc_probes p CROSS JOIN cent{iters} ct) t
+            WHERE rk <= {nprobe})"""
+    )
+    sim = cos("p.v", "a.v")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT p.id, a.id AS bench_id, p.cell, ROUND({sim}, 4) AS sim
+        FROM sc_probed p JOIN assign{iters} a USING (cell)
+        WHERE {sim} >= {threshold}
+        ORDER BY p.id, bench_id
+    """
+    )

@@ -2437,6 +2437,83 @@ def duck_conv_semantic_dedup_sql(
     """
 
 
+def conv_semantic_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    iters: int = 2,
+    role: str | None = None,
+    nprobe: int = 1,
+    bench_id_col: str = "id",
+    bench_text_col: str = "text",
+    storage_handle: list | None = None,
+) -> DataFrame:
+    """(id, bench_id, cell, sim): conversations whose hashed-TF
+    embedding cosine against ANY eval item reaches ``threshold`` —
+    SEMANTIC eval-set decontamination, the complement of the n-gram
+    ``contamination_check`` the curation pass runs at example grain:
+    a PARAPHRASED benchmark item shares almost no 13-grams with its
+    source but keeps most of its token multiset, which is exactly
+    what hashed-TF cosine sees. Drop flagged ids with an anti-join.
+
+    ``bench`` is the plain (id, text) eval table (column names via
+    bench_id_col/bench_text_col); both sides embed through the SAME
+    conv_embeddings hash, the bench as single-turn conversations. The
+    quantizer fits on the bench (small, fixed); nprobe trades cost
+    for boundary recall (nprobe = n_cells is exact). Engine-exact for
+    the same reason as conv_embeddings + ivf_build (integer counts,
+    one correctly-rounded division, 6dp-rounded centroids).
+
+    ``storage_handle``: the Lloyd recurrence references the BENCH
+    embedding table once per iteration branch; pass a list to persist
+    the narrow (id, dim doubles) bench embeddings (caller unpersists
+    — the shingle-projection contract). The corpus side is referenced
+    once and needs no pin."""
+    bemb = conv_embeddings(
+        bench.select(
+            F.col(bench_id_col).cast("string").alias("conv_id"),
+            F.col(bench_text_col).alias("text"),
+        ),
+        dim,
+        None,
+    )
+    if storage_handle is not None:
+        bemb = bemb.persist()
+        storage_handle.append(bemb)
+    from book_ocr_spark.operators.semdedup import semantic_contamination
+
+    return semantic_contamination(
+        conv_embeddings(df, dim, role), bemb,
+        "conv_id", "embedding", threshold, n_cells, iters, nprobe,
+    )
+
+
+def duck_conv_semantic_contamination_sql(
+    src_sql: str,
+    bench_sql: str,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    iters: int = 2,
+    role: str | None = None,
+    nprobe: int = 1,
+) -> str:
+    """DuckDB twin of conv_semantic_contamination; bench_sql yields
+    (conv_id, text) — pre-rename bench_id_col/bench_text_col in the
+    caller's SQL."""
+    from book_ocr_spark.operators.semdedup import (
+        duck_semantic_contamination_sql,
+    )
+
+    return duck_semantic_contamination_sql(
+        duck_conv_embeddings_sql(src_sql, dim, role),
+        duck_conv_embeddings_sql(bench_sql, dim, None),
+        threshold, n_cells, iters, nprobe,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-conversation turn-grain boilerplate dedup
 # ---------------------------------------------------------------------------

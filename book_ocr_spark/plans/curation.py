@@ -439,6 +439,8 @@ def curate_transcripts(
     contamination_min_hits: int = 1,
     bench_id_col: str = "id",
     bench_text_col: str = "text",
+    semantic_contamination_threshold: float | None = None,
+    semantic_contamination_dim: int = 64,
     max_alternation_violations: int | None = None,
     max_action_run: int | None = None,
     tool_output_max_chars: int | None = None,
@@ -510,6 +512,10 @@ def curate_transcripts(
       4b. optional eval-set decontamination (``benchmark``: rendered
          examples sharing n-grams with any eval item drop — the
          13-gram collision rule at the artifact grain);
+      4c. optional SEMANTIC decontamination against the same eval
+         table (``semantic_contamination_threshold``: hashed-TF
+         cosine via conv_semantic_contamination — catches paraphrased
+         eval items the n-gram rule misses);
       5. example-grain exact dedup + MinHash near-dup canonicalization
          (the shared _dedup_canonicalize tail — same 'pair'/'cc' rules,
          same hot_bucket_cap defense as the web pass);
@@ -677,6 +683,28 @@ def curate_transcripts(
         ).select(F.col("id").alias("conv_id"))
         ex = ex.join(dirty, "conv_id", "left_anti")
         _audit_mark(audit, "decontamination", ex)
+    if benchmark is not None and semantic_contamination_threshold is not None:
+        # 4c: SEMANTIC decontamination against the same eval table —
+        # hashed-TF cosine at example grain catches the PARAPHRASED
+        # eval item the 13-gram rule walks straight past (reworded
+        # items keep their token multiset). The quantizer fits on the
+        # bench side; its narrow embedding table pins via
+        # storage_handle inside the operator.
+        from book_ocr_spark.operators.transcripts import (
+            conv_semantic_contamination,
+        )
+
+        sem_dirty = conv_semantic_contamination(
+            ex.select("conv_id", F.col("example").alias("text")),
+            benchmark,
+            dim=semantic_contamination_dim,
+            threshold=semantic_contamination_threshold,
+            bench_id_col=bench_id_col,
+            bench_text_col=bench_text_col,
+            storage_handle=storage_handle,
+        ).select(F.col("id").alias("conv_id")).distinct()
+        ex = ex.join(sem_dirty, "conv_id", "left_anti")
+        _audit_mark(audit, "semantic_decontamination", ex)
     final = _dedup_canonicalize(
         ex, "conv_id", "example", k=k, threshold=threshold,
         clustering=clustering, storage_handle=storage_handle,

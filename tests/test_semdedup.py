@@ -165,3 +165,71 @@ def test_semdedup_hot_cell_drop_reports(spark):
     assert len(handle) == 1
     dropped = handle[0].collect()
     assert len(dropped) == 1 and dropped[0]["n"] == len(_vecs())
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval-set decontamination
+# ---------------------------------------------------------------------------
+def _bench_vecs():
+    """One exact direction vector per contaminated blob (0 and 1)."""
+    rows = []
+    for bid, b in [(100, 0), (101, 1)]:
+        v = [0.0] * DIM
+        v[2 * b] = 1.0
+        rows.append((bid, v))
+    return rows
+
+
+def test_semantic_contamination_semantics(spark):
+    corpus = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(_bench_vecs(), "vec_id long, embedding array<double>")
+    got = semdedup.semantic_contamination(
+        corpus, bench, threshold=0.95, n_cells=2, iters=2
+    ).collect()
+    # blobs 0/1 members sit ~0.9999 from their bench direction; blobs
+    # 2/3 are orthogonal to both bench items
+    flagged = {r.id for r in got}
+    assert flagged == set(range(2 * PER_BLOB))
+    by = {(r.id, r.bench_id) for r in got}
+    assert all((i, 100) in by for i in range(PER_BLOB))
+    assert all((i, 101) in by for i in range(PER_BLOB, 2 * PER_BLOB))
+    assert all(r.sim >= 0.95 for r in got)
+
+
+def test_semantic_contamination_twin_and_nprobe(spark):
+    corpus = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(_bench_vecs(), "vec_id long, embedding array<double>")
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(_vecs(), columns=["id", "v"]))
+    con.register("b", pd.DataFrame(_bench_vecs(), columns=["id", "v"]))
+    for nprobe in (1, 2):
+        got = sorted(
+            (r.id, r.bench_id, r.cell, r.sim)
+            for r in semdedup.semantic_contamination(
+                corpus, bench, threshold=0.9, n_cells=2, iters=2, nprobe=nprobe
+            ).collect()
+        )
+        want = sorted(
+            (int(i), int(bi), int(c), float(s))
+            for i, bi, c, s in con.sql(
+                semdedup.duck_semantic_contamination_sql(
+                    "SELECT id, v FROM c", "SELECT id, v FROM b",
+                    threshold=0.9, n_cells=2, iters=2, nprobe=nprobe,
+                )
+            ).fetchall()
+        )
+        assert got == want and got
+    # nprobe = n_cells is exact brute force: every (corpus, bench)
+    # pair >= threshold appears
+    brute = {
+        (ci, bi)
+        for ci, cv in _vecs()
+        for bi, bv in _bench_vecs()
+        if sum(x * y for x, y in zip(cv, bv))
+        / (math.sqrt(sum(x * x for x in cv)) * math.sqrt(sum(x * x for x in bv)))
+        >= 0.9
+    }
+    full = semdedup.semantic_contamination(
+        corpus, bench, threshold=0.9, n_cells=2, iters=2, nprobe=2
+    )
+    assert {(r.id, r.bench_id) for r in full.collect()} == brute

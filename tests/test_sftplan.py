@@ -72,7 +72,8 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
                 bp_roles=None, redact=False, redact_secrets=False,
                 semantic_dim=None,
                 semantic_threshold=0.9, semantic_cells=16,
-                window_max_turns=None, window_stride=None):
+                window_max_turns=None, window_stride=None,
+                sem_cont_threshold=None, sem_cont_dim=64):
     """Register the stage-for-stage DuckDB replay; returns the final
     survivor table name."""
     con.register("raw", pd.DataFrame(rows if rows is not None else _rows(),
@@ -206,6 +207,25 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             ).df(),
         )
         ex_src = "exd"
+    if benchmark is not None and sem_cont_threshold is not None:
+        from book_ocr_spark.operators.transcripts import (
+            duck_conv_semantic_contamination_sql,
+        )
+
+        con.register(
+            "exs",
+            con.sql(
+                f"SELECT * FROM {ex_src} WHERE conv_id NOT IN ("
+                "SELECT DISTINCT id FROM ("
+                + duck_conv_semantic_contamination_sql(
+                    f"SELECT conv_id, example AS text FROM {ex_src}",
+                    "SELECT id AS conv_id, text FROM bench",
+                    dim=sem_cont_dim, threshold=sem_cont_threshold,
+                )
+                + ") sd)"
+            ).df(),
+        )
+        ex_src = "exs"
     con.register(
         "surv",
         con.sql(
@@ -715,3 +735,47 @@ def test_tree_paths_feed_curate_transcripts(spark):
     # both leaf paths survive: they share only the root turn (no
     # prefix relation between them, no near-dup)
     assert got == ["r1/n2", "r1/n4"]
+
+
+def test_curate_transcripts_semantic_decontamination(spark):
+    """4c: an example that PARAPHRASES an eval item (same word
+    multiset, reordered — zero shared 13-grams) drops only when the
+    semantic threshold is on; the n-gram stage alone keeps it; the
+    composed pass twins bit-for-bit."""
+    item = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = item.split()
+    shuffled = " ".join(words[::-1])
+    rows = _rows() + _conv("px", [
+        ("user", " ".join(words[::2]) + " " + " ".join(words[1::2])),
+        ("assistant", shuffled),
+    ])
+    bench = [("e1", item + " " + item)]  # long enough for 13-gram rule
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+    bdf = spark.createDataFrame(bench, "id string, text string")
+    # n-gram stage alone: the paraphrase survives (no 13-gram overlap)
+    ngram_only = sorted(
+        r.conv_id
+        for r in curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64, benchmark=bdf,
+        ).collect()
+    )
+    assert "px" in ngram_only
+    # + semantic stage: it drops; p2/p6 (orthogonal vocab) survive
+    got = sorted(
+        map(tuple, curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64, benchmark=bdf,
+            semantic_contamination_threshold=0.85,
+            semantic_contamination_dim=32,
+        ).collect())
+    )
+    assert sorted(r[0] for r in got) == ["p2", "p6"]
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(_duck_chain(
+            con, rows=rows, benchmark=bench,
+            sem_cont_threshold=0.85, sem_cont_dim=32,
+        )).fetchall()
+    )
+    assert got == want

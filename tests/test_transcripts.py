@@ -1827,3 +1827,54 @@ def test_window_turns_validation(win_df):
         tr.window_turns(win_df, max_turns=4, stride=5)  # gapped
     with pytest.raises(ValueError):
         tr.duck_window_turns_sql("SELECT 1", 4, 5)
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval-set decontamination at conversation grain
+# ---------------------------------------------------------------------------
+def test_conv_semantic_contamination_twin(spark):
+    """A conversation whose turns REORDER an eval item's words (the
+    paraphrase shape 13-gram decontamination walks straight past) is
+    flagged against that item; an unrelated conversation is clean;
+    bit-identical DuckDB twin."""
+    e1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    bench = [("e1", e1),
+             ("e2", "completely orthogonal benchmark item about tax law forms")]
+    rows = (
+        # q1: e1's exact word multiset, shuffled across two turns
+        _conv_rows("q1", [("user", "dog lazy the over jumps fox"),
+                          ("assistant", "brown quick the bank river the near today")])
+        + _conv_rows("q2", [("user", "discussing spark shuffle partitions"),
+                            ("assistant", "and adaptive query execution plans")])
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    bdf = spark.createDataFrame(bench, "id string, text string")
+    got = sorted(
+        (r.id, r.bench_id, r.cell, r.sim)
+        for r in tr.conv_semantic_contamination(
+            df, bdf, dim=16, threshold=0.9, n_cells=2
+        ).collect()
+    )
+    assert [(g[0], g[1]) for g in got] == [("q1", "e1")]
+    assert got[0][3] == 1.0  # identical token multiset -> exact 1.0
+    con = duckdb.connect()
+    con.register("cc_t", pd.DataFrame(rows, columns=COLS))
+    con.register("cc_b", pd.DataFrame(bench, columns=["id", "text"]))
+    want = sorted(
+        (i, bi, int(c), float(s))
+        for i, bi, c, s in con.sql(tr.duck_conv_semantic_contamination_sql(
+            "SELECT * FROM cc_t",
+            "SELECT id AS conv_id, text FROM cc_b",
+            dim=16, threshold=0.9, n_cells=2,
+        )).fetchall()
+    )
+    assert got == want
+
+
+def _conv_rows(cid, turns):
+    return [
+        (cid, i, role, text, None, TS) for i, (role, text) in enumerate(turns)
+    ]
