@@ -187,6 +187,117 @@ def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# JSONL chat-format export (the training-loader interchange shape)
+# ---------------------------------------------------------------------------
+# Minimal-JSON escape chain, shared verbatim by both engines so the
+# rendered line is BIT-IDENTICAL cross-engine (not just parse-equal):
+# backslash FIRST (later steps emit backslashes), then quote, then the
+# three named controls. Remaining C0 controls (rare — binary junk that
+# survived extraction) are STRIPPED, not \u-escaped (neither engine
+# can compute \u00XX in a regexp replacement), and counted per
+# conversation so the lossy rows are visible. Ordered pairs of
+# (regex pattern, spark replacement, duckdb replacement): Java
+# replacement strings treat '\' specially ('\\\\' emits one
+# backslash) where RE2 replacements emit '\\' as one — the per-engine
+# third/fourth elements encode exactly that difference.
+_JSON_ESC = [
+    (r"\\", "\\\\\\\\", "\\\\\\\\"),
+    (r'"', '\\\\"', '\\\\"'),
+    ("\n", "\\\\n", "\\\\n"),
+    ("\r", "\\\\r", "\\\\r"),
+    ("\t", "\\\\t", "\\\\t"),
+]
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def _json_esc_col(col: Column) -> Column:
+    for pat, rep, _ in _JSON_ESC:
+        col = F.regexp_replace(col, F.lit(pat), F.lit(rep))
+    return F.regexp_replace(col, F.lit(_CTRL_RE), F.lit(""))
+
+
+def _duck_json_esc(expr: str) -> str:
+    for pat, _, rep in _JSON_ESC:
+        p = pat.replace("'", "''").replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"regexp_replace({expr}, '{_CTRL_RE}', '', 'g')"
+
+
+def _json_str_or_null(col: Column) -> Column:
+    return F.when(
+        col.isNotNull(), F.concat(F.lit('"'), _json_esc_col(col), F.lit('"'))
+    ).otherwise(F.lit("null"))
+
+
+def _duck_json_str_or_null(expr: str) -> str:
+    return (
+        f"CASE WHEN {expr} IS NOT NULL THEN "
+        f"'\"' || {_duck_json_esc(expr)} || '\"' ELSE 'null' END"
+    )
+
+
+def sft_jsonl(df: DataFrame) -> DataFrame:
+    """(conv_id, jsonl, n_ctrl_stripped): each conversation rendered as
+    ONE standard chat-format JSON line —
+    ``{"messages":[{"role":...,"tool":...,"content":...},...]}`` in
+    turn order — the interchange shape training loaders and dataset
+    hubs consume, lossless down to role/tool/text (NULLs render as
+    JSON null; the loss-mask view stays with sft_spans, which shares
+    this module's turn ordering). ``n_ctrl_stripped`` counts C0
+    control characters (other than \\n \\r \\t) removed by the
+    escaper — nonzero rows carried binary junk and deserve a look.
+
+    The JSON is built from an explicit escape chain both engines
+    replay byte-for-byte (see _JSON_ESC), so the line — not just its
+    parse — is engine-pinned, and the pytest twin can hash it. One
+    narrow JVM projection + the module's conv_id exchange for the
+    ordered assembly; no Python, no JSON library in the hot path."""
+    piece = F.concat(
+        F.lit('{"role":'),
+        _json_str_or_null(F.col("role")),
+        F.lit(',"tool":'),
+        _json_str_or_null(F.col("tool")),
+        F.lit(',"content":'),
+        _json_str_or_null(F.col("text")),
+        F.lit("}"),
+    )
+    ctrl = F.coalesce(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_CTRL_RE), F.lit(0))),
+        F.lit(0),
+    )
+    items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
+    return (
+        df.select("conv_id", "turn_idx", ctrl.alias("_nc"), piece.alias("_piece"))
+        .groupBy("conv_id")
+        .agg(
+            F.concat(
+                F.lit('{"messages":['),
+                F.array_join(F.transform(items, lambda x: x["_piece"]), ","),
+                F.lit("]}"),
+            ).alias("jsonl"),
+            F.sum("_nc").cast("bigint").alias("n_ctrl_stripped"),
+        )
+    )
+
+
+def duck_sft_jsonl_sql(src_sql: str) -> str:
+    """DuckDB twin of sft_jsonl (same escape chain, same assembly)."""
+    role = _duck_json_str_or_null("role")
+    tool = _duck_json_str_or_null("tool")
+    content = _duck_json_str_or_null("text")
+    return f"""
+        SELECT conv_id,
+               '{{"messages":[' || string_agg(
+                   '{{"role":' || {role} || ',"tool":' || {tool}
+                   || ',"content":' || {content} || '}}',
+                   ',' ORDER BY turn_idx) || ']}}' AS jsonl,
+               CAST(SUM(COALESCE(LEN(regexp_extract_all(
+                   text, '{_CTRL_RE}', 0)), 0)) AS BIGINT) AS n_ctrl_stripped
+        FROM ({src_sql}) s GROUP BY conv_id
+    """
+
+
 def _wt_validate(max_turns: int, stride: int) -> None:
     if max_turns < 1:
         raise ValueError("max_turns must be >= 1")

@@ -1878,3 +1878,70 @@ def _conv_rows(cid, turns):
     return [
         (cid, i, role, text, None, TS) for i, (role, text) in enumerate(turns)
     ]
+
+
+# ---------------------------------------------------------------------------
+# JSONL chat-format export
+# ---------------------------------------------------------------------------
+JL_ROWS = [
+    ("j1", 0, "user", 'say "hi" c:\\path\nnewline\ttab', "grep", TS),
+    ("j1", 1, "assistant", "caf\u00e9 unicode fine", None, TS),
+    ("j2", 0, None, None, None, TS),                      # all-NULL turn
+    ("j3", 0, "tool", "binary\x01junk\x02here", "exec", TS),  # C0 strip
+    ("j3", 1, "assistant", "after junk", None, TS),
+]
+
+
+def test_sft_jsonl_roundtrip_and_semantics(spark):
+    import json
+
+    df = spark.createDataFrame(pd.DataFrame(JL_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    got = {r.conv_id: r for r in tr.sft_jsonl(df).collect()}
+    # every line parses as the standard messages shape
+    for r in got.values():
+        doc = json.loads(r.jsonl)
+        assert set(doc) == {"messages"}
+    m1 = json.loads(got["j1"].jsonl)["messages"]
+    # lossless round trip for quote/backslash/newline/tab + unicode
+    assert m1[0]["content"] == 'say "hi" c:\\path\nnewline\ttab'
+    assert m1[0]["role"] == "user" and m1[0]["tool"] == "grep"
+    assert m1[1]["content"] == "caf\u00e9 unicode fine"
+    assert m1[1]["tool"] is None
+    assert got["j1"].n_ctrl_stripped == 0
+    # NULLs render as JSON null
+    m2 = json.loads(got["j2"].jsonl)["messages"]
+    assert m2 == [{"role": None, "tool": None, "content": None}]
+    # C0 controls strip, counted
+    m3 = json.loads(got["j3"].jsonl)["messages"]
+    assert m3[0]["content"] == "binaryjunkhere"
+    assert got["j3"].n_ctrl_stripped == 2
+
+
+def test_sft_jsonl_twin(spark):
+    df = spark.createDataFrame(pd.DataFrame(JL_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    got = _sorted(map(tuple, tr.sft_jsonl(df).collect()))
+    con = duckdb.connect()
+    con.register("jl", pd.DataFrame(JL_ROWS, columns=COLS))
+    want = _sorted(
+        (cid, js, int(nc))
+        for cid, js, nc in con.sql(
+            tr.duck_sft_jsonl_sql("SELECT * FROM jl")
+        ).fetchall()
+    )
+    assert got == want and got  # the LINE is bit-identical, not just the parse
+
+
+def test_sft_jsonl_partition_invariance(spark):
+    df = spark.createDataFrame(pd.DataFrame(JL_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    a = _sorted(map(tuple, tr.sft_jsonl(df).collect()))
+    b = _sorted(map(tuple, tr.sft_jsonl(df.repartition(5, "text")).collect()))
+    assert a == b
