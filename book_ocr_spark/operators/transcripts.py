@@ -298,6 +298,97 @@ def duck_sft_jsonl_sql(src_sql: str) -> str:
     """
 
 
+_CHAT_SCHEMA = (
+    "struct<messages: array<struct<role string, tool string, content string>>>"
+)
+
+
+def parse_chat_jsonl(
+    df: DataFrame, id_col: str = "conv_id", json_col: str = "jsonl"
+) -> DataFrame:
+    """The ingest inverse of ``sft_jsonl``: messages-array JSON lines
+    back to canonical turn rows (conv_id, turn_idx, role, text, tool),
+    turn_idx = 0-based array position. Foreign files interoperate: a
+    message without a "tool" key parses with tool NULL, unknown keys
+    are ignored (standard permissive-schema JSON semantics on both
+    engines). Rows whose JSON fails to parse or lacks a messages
+    array are silently absent here — gate with
+    ``chat_jsonl_violations`` first (the tree_paths precondition
+    idiom). Round trip holds: parse_chat_jsonl(sft_jsonl(t)) == t for
+    any t free of stripped C0 controls (pinned in tests).
+
+    Scale shape: from_json + posexplode, one narrow JVM projection —
+    no Python JSON in the hot path; no shuffle at all (ingest
+    parallelism is the file split)."""
+    parsed = df.select(
+        F.col(id_col).alias("conv_id"),
+        F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
+    )
+    return parsed.select(
+        "conv_id", F.posexplode(F.col("_d.messages")).alias("turn_idx", "_m")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.col("_m.role").alias("role"),
+        F.col("_m.content").alias("text"),
+        F.col("_m.tool").alias("tool"),
+    )
+
+
+def chat_jsonl_violations(
+    df: DataFrame, id_col: str = "conv_id", json_col: str = "jsonl"
+) -> DataFrame:
+    """(conv_id, reason): lines parse_chat_jsonl would silently skip —
+    'bad_json' (unparseable / wrong shape) or 'no_messages' (valid
+    JSON, messages key missing or null). An empty result is the
+    lossless-ingest precondition."""
+    parsed = df.select(
+        F.col(id_col).alias("conv_id"),
+        F.col(json_col).alias("_j"),
+        F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
+        # PERMISSIVE from_json fills a struct with NULL fields on
+        # malformed input instead of returning a NULL struct, so
+        # validity needs its own probe: the map parse is NULL iff the
+        # JSON itself doesn't parse
+        F.from_json(F.col(json_col), "map<string,string>").alias("_probe"),
+    )
+    return parsed.where(
+        F.col("_j").isNotNull() & F.col("_d.messages").isNull()
+    ).select(
+        "conv_id",
+        F.when(F.col("_probe").isNull(), F.lit("bad_json"))
+        .otherwise(F.lit("no_messages"))
+        .alias("reason"),
+    )
+
+
+def duck_parse_chat_jsonl_sql(
+    src_sql: str, id_col: str = "conv_id", json_col: str = "jsonl"
+) -> str:
+    """DuckDB twin of parse_chat_jsonl (json_transform + indexed
+    unnest; json_valid guards the malformed rows Spark's from_json
+    NULLs out)."""
+    tmpl = (
+        '{"messages":[{"role":"VARCHAR","tool":"VARCHAR",'
+        '"content":"VARCHAR"}]}'
+    )
+    return f"""
+        WITH pj AS (
+            SELECT {id_col} AS conv_id,
+                   json_transform({json_col}, '{tmpl}') AS d
+            FROM ({src_sql}) s0
+            WHERE {json_col} IS NOT NULL AND json_valid({json_col})),
+        px AS (
+            SELECT conv_id,
+                   unnest(list_transform(d.messages,
+                          (m, i) -> {{'i': i, 'm': m}})) AS u
+            FROM pj WHERE d.messages IS NOT NULL)
+        SELECT conv_id, CAST(u.i - 1 AS INT) AS turn_idx,
+               u.m.role AS role, u.m.content AS text, u.m.tool AS tool
+        FROM px
+    """
+
+
 def _wt_validate(max_turns: int, stride: int) -> None:
     if max_turns < 1:
         raise ValueError("max_turns must be >= 1")

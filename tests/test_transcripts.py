@@ -1945,3 +1945,48 @@ def test_sft_jsonl_partition_invariance(spark):
     a = _sorted(map(tuple, tr.sft_jsonl(df).collect()))
     b = _sorted(map(tuple, tr.sft_jsonl(df.repartition(5, "text")).collect()))
     assert a == b
+
+
+def test_parse_chat_jsonl_roundtrip(spark):
+    """parse_chat_jsonl(sft_jsonl(t)) == t for C0-free turns — the
+    lossless-interchange invariant."""
+    clean = [r for r in JL_ROWS if r[0] != "j3"]
+    df = spark.createDataFrame(pd.DataFrame(clean, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    back = tr.parse_chat_jsonl(tr.sft_jsonl(df))
+    got = _sorted(map(tuple, back.collect()))
+    want = _sorted((c, t, r, x, tl) for c, t, r, x, tl, _ in clean)
+    assert got == want
+    assert tr.chat_jsonl_violations(tr.sft_jsonl(df)).count() == 0
+
+
+def test_parse_chat_jsonl_foreign_and_violations(spark):
+    rows = [
+        # foreign shapes: no tool key, extra key, compact spacing
+        ("f1", '{"messages":[{"role":"user","content":"hi"},'
+               '{"role":"assistant","content":"yo","extra":1}]}'),
+        ("f2", '{ "messages" : [ {"content": null, "role": null} ] }'),
+        ("b1", '{"messages": oops not json'),
+        ("b2", '{"other_key": []}'),
+        ("b3", None),  # NULL line: skipped, NOT a violation
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, jsonl string")
+    got = _sorted(map(tuple, tr.parse_chat_jsonl(df).collect()))
+    assert got == [
+        ("f1", 0, "user", "hi", None),
+        ("f1", 1, "assistant", "yo", None),
+        ("f2", 0, None, None, None),
+    ]
+    v = {(r.conv_id, r.reason) for r in tr.chat_jsonl_violations(df).collect()}
+    assert v == {("b1", "bad_json"), ("b2", "no_messages")}
+    con = duckdb.connect()
+    con.register("fj", pd.DataFrame(rows, columns=["conv_id", "jsonl"]))
+    want = _sorted(
+        (c, int(t), r, x, tl)
+        for c, t, r, x, tl in con.sql(
+            tr.duck_parse_chat_jsonl_sql("SELECT * FROM fj")
+        ).fetchall()
+    )
+    assert got == want
