@@ -296,6 +296,25 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--ngram", type=int, default=1, help="heavy-hitter gram size")
     prof.add_argument("--threads", type=int, default=None)
     prof.add_argument("--log-level", default="WARN")
+    ej = sub.add_parser(
+        "export-jsonl",
+        help="render transcript turns as self-contained chat-format "
+        "JSON lines ({'id':...,'messages':[...]}) — the training-"
+        "loader interchange shape (transcripts.sft_jsonl)",
+    )
+    ej.add_argument("--input", required=True, help="transcripts parquet")
+    ej.add_argument("--output", required=True, help="JSONL text dir")
+    ej.add_argument("--threads", type=int, default=None)
+    ej.add_argument("--log-level", default="WARN")
+    ij = sub.add_parser(
+        "import-jsonl",
+        help="parse chat-format JSON lines back to canonical turn "
+        "rows (transcripts.parse_chat_jsonl; skipped lines reported)",
+    )
+    ij.add_argument("--input", required=True, help="JSONL text dir/file")
+    ij.add_argument("--output", required=True, help="turns parquet dir")
+    ij.add_argument("--threads", type=int, default=None)
+    ij.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
     args = top.parse_args(argv)
 
@@ -507,6 +526,61 @@ def main(argv: list[str] | None = None) -> int:
                 .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
             }
             print(json.dumps({"splits": counts, "output": args.output}))
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "export-jsonl":
+        from pyspark.sql import functions as F
+
+        from book_ocr_spark.operators.transcripts import sft_jsonl
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-export-jsonl", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            out = sft_jsonl(spark.read.parquet(args.input), include_id=True)
+            out.select("jsonl").write.mode("overwrite").text(args.output)
+            stats = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_ctrl_stripped").alias("c"),
+            ).collect()[0]
+            print(json.dumps({
+                "exported_lines": int(stats["n"]),
+                "ctrl_chars_stripped": int(stats["c"] or 0),
+                "output": args.output,
+            }))
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "import-jsonl":
+        from book_ocr_spark.operators.transcripts import (
+            chat_jsonl_violations,
+            parse_chat_jsonl,
+        )
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-import-jsonl", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            lines = spark.read.text(args.input).withColumnRenamed("value", "jsonl")
+            turns = parse_chat_jsonl(lines, json_col="jsonl", line_id=True)
+            turns.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            bad = [
+                {"id": r.conv_id, "reason": r.reason}
+                for r in chat_jsonl_violations(
+                    lines, json_col="jsonl", line_id=True
+                ).collect()
+            ]
+            print(json.dumps({
+                "imported_turns": int(n),
+                "skipped_lines": bad,
+                "output": args.output,
+            }))
             return 0
         finally:
             spark.stop()

@@ -237,14 +237,18 @@ def _duck_json_str_or_null(expr: str) -> str:
     )
 
 
-def sft_jsonl(df: DataFrame) -> DataFrame:
+def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
     """(conv_id, jsonl, n_ctrl_stripped): each conversation rendered as
     ONE standard chat-format JSON line —
     ``{"messages":[{"role":...,"tool":...,"content":...},...]}`` in
     turn order — the interchange shape training loaders and dataset
     hubs consume, lossless down to role/tool/text (NULLs render as
     JSON null; the loss-mask view stays with sft_spans, which shares
-    this module's turn ordering). ``n_ctrl_stripped`` counts C0
+    this module's turn ordering). ``include_id=True`` prepends an
+    ``"id"`` key (``{"id":...,"messages":[...]}``) so the line is
+    self-contained for FILE export, where no sibling column can carry
+    the key (the CLI export/import pair uses this).
+    ``n_ctrl_stripped`` counts C0
     control characters (other than \\n \\r \\t) removed by the
     escaper — nonzero rows carried binary junk and deserve a look.
 
@@ -267,12 +271,21 @@ def sft_jsonl(df: DataFrame) -> DataFrame:
         F.lit(0),
     )
     items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
+    head = (
+        F.concat(
+            F.lit('{"id":'),
+            _json_str_or_null(F.col("conv_id").cast("string")),
+            F.lit(',"messages":['),
+        )
+        if include_id
+        else F.lit('{"messages":[')
+    )
     return (
         df.select("conv_id", "turn_idx", ctrl.alias("_nc"), piece.alias("_piece"))
         .groupBy("conv_id")
         .agg(
             F.concat(
-                F.lit('{"messages":['),
+                head,
                 F.array_join(F.transform(items, lambda x: x["_piece"]), ","),
                 F.lit("]}"),
             ).alias("jsonl"),
@@ -281,14 +294,21 @@ def sft_jsonl(df: DataFrame) -> DataFrame:
     )
 
 
-def duck_sft_jsonl_sql(src_sql: str) -> str:
+def duck_sft_jsonl_sql(src_sql: str, include_id: bool = False) -> str:
     """DuckDB twin of sft_jsonl (same escape chain, same assembly)."""
     role = _duck_json_str_or_null("role")
     tool = _duck_json_str_or_null("tool")
     content = _duck_json_str_or_null("text")
+    head = (
+        "'{\"id\":' || "
+        + _duck_json_str_or_null("conv_id::VARCHAR")
+        + " || ',\"messages\":['"
+        if include_id
+        else "'{\"messages\":['"
+    )
     return f"""
         SELECT conv_id,
-               '{{"messages":[' || string_agg(
+               {head} || string_agg(
                    '{{"role":' || {role} || ',"tool":' || {tool}
                    || ',"content":' || {content} || '}}',
                    ',' ORDER BY turn_idx) || ']}}' AS jsonl,
@@ -299,12 +319,16 @@ def duck_sft_jsonl_sql(src_sql: str) -> str:
 
 
 _CHAT_SCHEMA = (
-    "struct<messages: array<struct<role string, tool string, content string>>>"
+    "struct<id string,"
+    " messages: array<struct<role string, tool string, content string>>>"
 )
 
 
 def parse_chat_jsonl(
-    df: DataFrame, id_col: str = "conv_id", json_col: str = "jsonl"
+    df: DataFrame,
+    id_col: str = "conv_id",
+    json_col: str = "jsonl",
+    line_id: bool = False,
 ) -> DataFrame:
     """The ingest inverse of ``sft_jsonl``: messages-array JSON lines
     back to canonical turn rows (conv_id, turn_idx, role, text, tool),
@@ -317,12 +341,20 @@ def parse_chat_jsonl(
     idiom). Round trip holds: parse_chat_jsonl(sft_jsonl(t)) == t for
     any t free of stripped C0 controls (pinned in tests).
 
+    ``line_id=True``: the conversation key comes from the line's own
+    "id" field (the sft_jsonl(include_id=True) / file-export shape)
+    instead of a sibling ``id_col`` — the form a plain
+    spark.read.text of a JSONL corpus needs.
+
     Scale shape: from_json + posexplode, one narrow JVM projection —
     no Python JSON in the hot path; no shuffle at all (ingest
     parallelism is the file split)."""
     parsed = df.select(
-        F.col(id_col).alias("conv_id"),
         F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
+        *([] if line_id else [F.col(id_col).alias("_cid")]),
+    ).select(
+        (F.col("_d.id") if line_id else F.col("_cid")).alias("conv_id"),
+        F.col("_d"),
     )
     return parsed.select(
         "conv_id", F.posexplode(F.col("_d.messages")).alias("turn_idx", "_m")
@@ -336,14 +368,23 @@ def parse_chat_jsonl(
 
 
 def chat_jsonl_violations(
-    df: DataFrame, id_col: str = "conv_id", json_col: str = "jsonl"
+    df: DataFrame,
+    id_col: str = "conv_id",
+    json_col: str = "jsonl",
+    line_id: bool = False,
 ) -> DataFrame:
     """(conv_id, reason): lines parse_chat_jsonl would silently skip —
     'bad_json' (unparseable / wrong shape) or 'no_messages' (valid
     JSON, messages key missing or null). An empty result is the
-    lossless-ingest precondition."""
+    lossless-ingest precondition. With ``line_id`` the reported key is
+    the line's own "id" (NULL when the JSON is too broken to carry
+    one)."""
     parsed = df.select(
-        F.col(id_col).alias("conv_id"),
+        (
+            F.from_json(F.col(json_col), _CHAT_SCHEMA)["id"]
+            if line_id
+            else F.col(id_col)
+        ).alias("conv_id"),
         F.col(json_col).alias("_j"),
         F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
         # PERMISSIVE from_json fills a struct with NULL fields on
@@ -363,18 +404,22 @@ def chat_jsonl_violations(
 
 
 def duck_parse_chat_jsonl_sql(
-    src_sql: str, id_col: str = "conv_id", json_col: str = "jsonl"
+    src_sql: str,
+    id_col: str = "conv_id",
+    json_col: str = "jsonl",
+    line_id: bool = False,
 ) -> str:
     """DuckDB twin of parse_chat_jsonl (json_transform + indexed
     unnest; json_valid guards the malformed rows Spark's from_json
     NULLs out)."""
     tmpl = (
-        '{"messages":[{"role":"VARCHAR","tool":"VARCHAR",'
+        '{"id":"VARCHAR","messages":[{"role":"VARCHAR","tool":"VARCHAR",'
         '"content":"VARCHAR"}]}'
     )
+    cid = f"json_transform({json_col}, '{tmpl}').id" if line_id else id_col
     return f"""
         WITH pj AS (
-            SELECT {id_col} AS conv_id,
+            SELECT {cid} AS conv_id,
                    json_transform({json_col}, '{tmpl}') AS d
             FROM ({src_sql}) s0
             WHERE {json_col} IS NOT NULL AND json_valid({json_col})),

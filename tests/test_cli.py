@@ -336,3 +336,39 @@ def test_cli_split_leakage_safe(spark, tmp_path, monkeypatch):
     got = {r["id"]: r["split"] for r in spark.read.parquet(out).collect()}
     for i in range(20, 40):
         assert got[f"d{i:03d}"] == got[f"d{i % 20:03d}"]
+
+
+def test_cli_jsonl_export_import_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """export-jsonl writes self-contained chat-format lines;
+    import-jsonl recovers the exact turn rows from the text files
+    alone (id rides the line), reporting skipped lines."""
+    import pandas as pd
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        ("c1", 0, "user", 'tricky "quote" and c:\\path', "grep", None),
+        ("c1", 1, "assistant", "caf\u00e9 reply\nsecond line", None, None),
+        ("c2", 0, None, None, None, None),
+    ]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    inp = str(tmp_path / "turns")
+    spark.createDataFrame(pd.DataFrame(rows, columns=cols), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )).write.parquet(inp)
+    jdir = str(tmp_path / "jsonl")
+    assert cli.main(["export-jsonl", "--input", inp, "--output", jdir]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported_lines"] == 2
+    assert summary["ctrl_chars_stripped"] == 0
+
+    back = str(tmp_path / "back")
+    assert cli.main(["import-jsonl", "--input", jdir, "--output", back]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["imported_turns"] == 3
+    assert summary["skipped_lines"] == []
+    got = sorted(
+        map(tuple, spark.read.parquet(back)
+            .select("conv_id", "turn_idx", "role", "text", "tool").collect())
+    )
+    assert got == sorted((c, t, r, x, tl) for c, t, r, x, tl, _ in rows)

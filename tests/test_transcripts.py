@@ -1990,3 +1990,40 @@ def test_parse_chat_jsonl_foreign_and_violations(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_sft_jsonl_include_id_roundtrip_and_twin(spark):
+    """The self-contained file-export shape: id rides the line, parse
+    recovers (conv_id, turns) from the jsonl column alone; both
+    directions twin."""
+    clean = [r for r in JL_ROWS if r[0] != "j3"]
+    df = spark.createDataFrame(pd.DataFrame(clean, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    out = tr.sft_jsonl(df, include_id=True)
+    import json
+
+    assert all(json.loads(r.jsonl)["id"] == r.conv_id for r in out.collect())
+    back = tr.parse_chat_jsonl(out.select("jsonl"), json_col="jsonl", line_id=True)
+    got = _sorted(map(tuple, back.collect()))
+    assert got == _sorted((c, t, r, x, tl) for c, t, r, x, tl, _ in clean)
+    con = duckdb.connect()
+    con.register("jli", pd.DataFrame(clean, columns=COLS))
+    want_lines = _sorted(
+        (cid, js, int(nc))
+        for cid, js, nc in con.sql(
+            tr.duck_sft_jsonl_sql("SELECT * FROM jli", include_id=True)
+        ).fetchall()
+    )
+    assert _sorted(map(tuple, out.collect())) == want_lines
+    con.register(
+        "jlines", pd.DataFrame([(r.jsonl,) for r in out.collect()], columns=["jsonl"])
+    )
+    want_turns = _sorted(
+        (c, int(t), r, x, tl)
+        for c, t, r, x, tl in con.sql(tr.duck_parse_chat_jsonl_sql(
+            "SELECT * FROM jlines", json_col="jsonl", line_id=True
+        )).fetchall()
+    )
+    assert got == want_turns
