@@ -296,6 +296,15 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--ngram", type=int, default=1, help="heavy-hitter gram size")
     prof.add_argument("--threads", type=int, default=None)
     prof.add_argument("--log-level", default="WARN")
+    dsh = sub.add_parser(
+        "datasheet",
+        help="one-call transcripts corpus summary (size, shape, mass, "
+        "hygiene, role histogram — transcripts.datasheet); run before "
+        "and after curation and diff",
+    )
+    dsh.add_argument("--input", required=True, help="transcripts parquet")
+    dsh.add_argument("--threads", type=int, default=None)
+    dsh.add_argument("--log-level", default="WARN")
     ej = sub.add_parser(
         "export-jsonl",
         help="render transcript turns as self-contained chat-format "
@@ -526,6 +535,22 @@ def main(argv: list[str] | None = None) -> int:
                 .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
             }
             print(json.dumps({"splits": counts, "output": args.output}))
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "datasheet":
+        from book_ocr_spark.operators.transcripts import datasheet
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-datasheet", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            rows = datasheet(spark.read.parquet(args.input)).collect()
+            print(json.dumps(
+                {r.metric: r.value for r in sorted(rows, key=lambda r: r.metric)}
+            ))
             return 0
         finally:
             spark.stop()

@@ -188,6 +188,127 @@ def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Datasheet — the one-call corpus summary a dataset release ships with
+# ---------------------------------------------------------------------------
+def datasheet(df: DataFrame) -> DataFrame:
+    """(metric, value): the long-format "datasheet for datasets"
+    summary of a transcripts table — corpus size (n_convs, n_turns),
+    shape (exact interpolated turns-per-conversation p50/p90/max,
+    chars-per-turn p50/p90), mass (chars_total, ws_tokens_total),
+    hygiene (null_text_turns, empty_text_turns, tool_turns), timing
+    (conv_duration_s_p50 over conversations with timestamps), and a
+    per-role histogram (``role_turns:<role>``, NULL role as
+    ``role_turns:<null>``). Long format so new metrics append without
+    a schema change; every number is exact (counts, sums, and the
+    percentile/quantile_cont pair both engines interpolate
+    identically, rounded 4dp) — run it before and after a curation
+    pass and diff (the operators/profile.py discipline at
+    conversation grain).
+
+    Scale shape: two hash aggs (turn-grain global + conv-grain) and a
+    role-grain agg, all map-side combined; the global aggregations
+    reduce to one row per metric — no window, no per-row Python."""
+    from book_ocr_spark.operators.textstats import ws_tokens
+
+    t = df.select("conv_id", "role", "text", "tool", "ts")
+    turn = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_turns"),
+        F.sum(F.length("text")).cast("double").alias("chars_total"),
+        F.sum(F.size(ws_tokens("text"))).cast("double").alias("ws_tokens_total"),
+        F.round(F.expr("percentile(length(text), 0.5)"), 4).alias("chars_per_turn_p50"),
+        F.round(F.expr("percentile(length(text), 0.9)"), 4).alias("chars_per_turn_p90"),
+        F.sum(F.col("text").isNull().cast("long")).cast("double").alias("null_text_turns"),
+        F.sum((F.col("text") == "").cast("long")).cast("double").alias("empty_text_turns"),
+        F.sum(_tool_valid().cast("long")).cast("double").alias("tool_turns"),
+    )
+    conv = (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            ).alias("_dur"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_convs"),
+            F.round(F.expr("percentile(_nt, 0.5)"), 4).alias("turns_per_conv_p50"),
+            F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("turns_per_conv_p90"),
+            F.max("_nt").cast("double").alias("turns_per_conv_max"),
+            F.round(F.expr("percentile(_dur, 0.5)"), 4).alias("conv_duration_s_p50"),
+        )
+    )
+
+    def _melt(row_df: DataFrame) -> DataFrame:
+        cols = row_df.columns
+        pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+        return row_df.selectExpr(
+            f"stack({len(cols)}, {pairs}) as (metric, value)"
+        )
+
+    roles = t.groupBy("role").agg(F.count(F.lit(1)).alias("_n")).select(
+        F.concat(
+            F.lit("role_turns:"), F.coalesce(F.col("role"), F.lit("<null>"))
+        ).alias("metric"),
+        F.col("_n").cast("double").alias("value"),
+    )
+    return _melt(turn).unionByName(_melt(conv)).unionByName(roles)
+
+
+def duck_datasheet_sql(src_sql: str) -> str:
+    """DuckDB twin of datasheet (same exact aggregations; quantile_cont
+    is Spark percentile's interpolation twin; empty-token convention
+    shared with the conv_embeddings twin)."""
+    toks = (
+        "LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),"
+        " w -> w <> ''))"
+    )
+    return f"""
+        WITH ds AS (SELECT * FROM ({src_sql}) s0),
+        turn AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_turns,
+                   CAST(SUM(LEN(text)) AS DOUBLE) AS chars_total,
+                   CAST(SUM({toks}) AS DOUBLE) AS ws_tokens_total,
+                   ROUND(quantile_cont(LEN(text), 0.5), 4) AS chars_per_turn_p50,
+                   ROUND(quantile_cont(LEN(text), 0.9), 4) AS chars_per_turn_p90,
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS null_text_turns,
+                   CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS empty_text_turns,
+                   CAST(SUM(CASE WHEN tool IS NOT NULL AND tool <> ''
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS tool_turns
+            FROM ds),
+        pc AS (
+            SELECT conv_id, COUNT(*) AS nt,
+                   epoch(MAX(ts)) - epoch(MIN(ts)) AS dur
+            FROM ds GROUP BY conv_id),
+        conv AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_convs,
+                   ROUND(quantile_cont(nt, 0.5), 4) AS turns_per_conv_p50,
+                   ROUND(quantile_cont(nt, 0.9), 4) AS turns_per_conv_p90,
+                   CAST(MAX(nt) AS DOUBLE) AS turns_per_conv_max,
+                   ROUND(quantile_cont(dur, 0.5), 4) AS conv_duration_s_p50
+            FROM pc)
+        SELECT 'n_turns' AS metric, n_turns AS value FROM turn
+        UNION ALL SELECT 'chars_total', chars_total FROM turn
+        UNION ALL SELECT 'ws_tokens_total', ws_tokens_total FROM turn
+        UNION ALL SELECT 'chars_per_turn_p50', chars_per_turn_p50 FROM turn
+        UNION ALL SELECT 'chars_per_turn_p90', chars_per_turn_p90 FROM turn
+        UNION ALL SELECT 'null_text_turns', null_text_turns FROM turn
+        UNION ALL SELECT 'empty_text_turns', empty_text_turns FROM turn
+        UNION ALL SELECT 'tool_turns', tool_turns FROM turn
+        UNION ALL SELECT 'n_convs', n_convs FROM conv
+        UNION ALL SELECT 'turns_per_conv_p50', turns_per_conv_p50 FROM conv
+        UNION ALL SELECT 'turns_per_conv_p90', turns_per_conv_p90 FROM conv
+        UNION ALL SELECT 'turns_per_conv_max', turns_per_conv_max FROM conv
+        UNION ALL SELECT 'conv_duration_s_p50', conv_duration_s_p50 FROM conv
+        UNION ALL
+        SELECT 'role_turns:' || COALESCE(role, '<null>') AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value
+        FROM ds GROUP BY role
+    """
+
+
+# ---------------------------------------------------------------------------
 # JSONL chat-format export (the training-loader interchange shape)
 # ---------------------------------------------------------------------------
 # Minimal-JSON escape chain, shared verbatim by both engines so the

@@ -372,3 +372,14 @@ def test_cli_jsonl_export_import_roundtrip(spark, tmp_path, monkeypatch, capsys)
             .select("conv_id", "turn_idx", "role", "text", "tool").collect())
     )
     assert got == sorted((c, t, r, x, tl) for c, t, r, x, tl, _ in rows)
+
+
+def test_cli_datasheet(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    inp = str(tmp_path / "in")
+    to_spark(spark, gen_transcripts(n_convs=5, seed=7)).write.parquet(inp)
+    assert cli.main(["datasheet", "--input", inp]) == 0
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_convs"] == 5.0
+    assert card["n_turns"] >= card["n_convs"]
+    assert any(k.startswith("role_turns:") for k in card)

@@ -2027,3 +2027,33 @@ def test_sft_jsonl_include_id_roundtrip_and_twin(spark):
         )).fetchall()
     )
     assert got == want_turns
+
+
+# ---------------------------------------------------------------------------
+# Datasheet
+# ---------------------------------------------------------------------------
+def test_datasheet_semantics_and_twin(spark, tdf):
+    got = {r.metric: r.value for r in tr.datasheet(tdf).collect()}
+    # fixture facts: 7 convs (a b c d e f g), 19 turns
+    assert got["n_convs"] == 7.0 and got["n_turns"] == 19.0
+    assert got["turns_per_conv_max"] == 5.0  # conv b
+    assert got["null_text_turns"] == 1.0     # conv e
+    assert got["empty_text_turns"] == 4.0    # a/b/c/d pos 2
+    # roles: histogram covers every observed role incl. NULL
+    assert got["role_turns:<null>"] == 1.0
+    assert got["role_turns:user"] + got["role_turns:assistant"] + 1 == 19.0
+    # durations: conv a spans 90 s; singletons span 0; e has no ts
+    assert got["conv_duration_s_p50"] is not None
+    con = duckdb.connect()
+    con.register("dsq", pd.DataFrame(_rows(), columns=COLS))
+    want = sorted(
+        (m, float(v) if v is not None else None)
+        for m, v in con.sql(tr.duck_datasheet_sql("SELECT * FROM dsq")).fetchall()
+    )
+    assert sorted(got.items()) == want
+
+
+def test_datasheet_partition_invariance(spark, tdf):
+    a = sorted(map(tuple, tr.datasheet(tdf).collect()))
+    b = sorted(map(tuple, tr.datasheet(tdf.repartition(7, "text")).collect()))
+    assert a == b
