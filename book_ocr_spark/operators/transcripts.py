@@ -308,6 +308,25 @@ def duck_datasheet_sql(src_sql: str) -> str:
     """
 
 
+def datasheet_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """(metric, before, after, delta): two datasheet cards joined full-
+    outer on metric — the "what did the pass do" view (a role that
+    disappeared entirely shows before=N, after=NULL; delta is
+    after−before with absent-as-0). Both inputs are datasheet()
+    outputs or anything (metric, value)-shaped."""
+    b = before.select(F.col("metric"), F.col("value").alias("before"))
+    a = after.select(F.col("metric"), F.col("value").alias("after"))
+    return b.join(a, "metric", "full_outer").select(
+        "metric",
+        "before",
+        "after",
+        (
+            F.coalesce(F.col("after"), F.lit(0.0))
+            - F.coalesce(F.col("before"), F.lit(0.0))
+        ).alias("delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSONL chat-format export (the training-loader interchange shape)
 # ---------------------------------------------------------------------------

@@ -793,3 +793,57 @@ def start_incremental_boilerplate_strip(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_jsonl_ingest(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingest of arriving chat-format JSONL files (the
+    sft_jsonl(include_id=True) / dataset-hub interchange shape): text
+    stream -> transcripts.parse_chat_jsonl(line_id=True) -> canonical
+    turn rows under ``out_path``/turns, with the lines the permissive
+    parse skips quarantined under ``out_path``/skipped (id + reason,
+    the chat_jsonl_violations split) instead of vanishing. Both sinks
+    key their dynamic-partition overwrite by batch_id, so an
+    at-least-once foreachBatch replay rewrites its own leaf
+    directories — effectively-once, the write_turn_batch contract."""
+    from book_ocr_spark.operators.transcripts import (
+        chat_jsonl_violations,
+        parse_chat_jsonl,
+    )
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.text(input_path).withColumnRenamed("value", "jsonl")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def _write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+        _write(
+            parse_chat_jsonl(batch_df, json_col="jsonl", line_id=True),
+            f"{out_path}/turns",
+        )
+        _write(
+            chat_jsonl_violations(batch_df, json_col="jsonl", line_id=True),
+            f"{out_path}/skipped",
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

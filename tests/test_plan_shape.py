@@ -402,3 +402,71 @@ def test_strip_boilerplate_broadcast_no_text_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_window_turns_single_exchange(spark, transcripts_df):
+    """window_turns: the position/count windows and the fan-out ride
+    ONE conv_id exchange — the explode is narrow (no turns x bounds
+    range join: no second exchange, no join at all)."""
+    from book_ocr_spark.operators import transcripts as tr
+
+    plan = _explain(tr.window_turns(transcripts_df, 4, 2))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_sft_jsonl_single_exchange(spark, transcripts_df):
+    """sft_jsonl: one hash agg over the conv_id exchange, no window,
+    no join, no Python stage."""
+    from book_ocr_spark.operators import transcripts as tr
+
+    plan = _explain(tr.sft_jsonl(transcripts_df))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_chat_jsonl_zero_exchange(spark):
+    """Ingest is embarrassingly parallel: from_json + posexplode with
+    NO shuffle — parallelism is the file split."""
+    from book_ocr_spark.operators import transcripts as tr
+
+    lines = spark.createDataFrame(
+        [('{"messages":[]}',)], "jsonl string"
+    )
+    plan = _explain(tr.parse_chat_jsonl(lines, json_col="jsonl", line_id=True))
+    assert "Exchange" not in plan, plan
+
+
+def test_pass_at_k_broadcasts_k_and_binom_tables(spark, transcripts_df):
+    """pass_at_k: the k table and both binomial lookups are broadcast
+    dims (never shuffled sort-merge joins), and nothing in the plan is
+    a cartesian product over data rows."""
+    from book_ocr_spark.operators import transcripts as tr
+
+    verdicts = spark.createDataFrame([("conv_000001", True)], "conv_id string, passed boolean")
+    plan = _explain(tr.pass_at_k(transcripts_df, 1, verdicts, ks=(1, 5)))
+    assert "CartesianProduct" not in plan, plan
+    # k-join (inequality -> BroadcastNestedLoop over the tiny k table)
+    # + the two binomial lookups as broadcast equi-joins; the only
+    # sort-merge joins left are conv-grain data joins (verdicts), which
+    # is where a shuffle join belongs
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+
+
+def test_semantic_contamination_no_cartesian_over_corpus(spark):
+    """semantic_contamination: the only nested-loop work is the K-row
+    centroid broadcast (the IVF assignment cost); the corpus x bench
+    candidate join is a hash equi-join on cell."""
+    from book_ocr_spark.operators.semdedup import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    plan = _explain(semantic_contamination(corpus, bench, n_cells=2))
+    assert "CartesianProduct" not in plan, plan
+    # the bench-side candidate attach stays an equi-join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan

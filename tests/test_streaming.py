@@ -575,3 +575,50 @@ def test_streaming_boilerplate_strip(spark, tmp_path):
         spark.read.parquet(f"{out}/state").drop("batch_id")
     )
     assert final.where(F.col("n_convs") == 4).count() == 1
+
+
+def test_jsonl_ingest_stream(spark, tmp_path):
+    """Streaming JSONL ingest: two arriving line files parse to
+    canonical turns, a malformed line quarantines with its reason,
+    and a restart with no new files reprocesses nothing."""
+    import json as _json
+    import os
+
+    inp = str(tmp_path / "lines")
+    out = str(tmp_path / "ing")
+    ckpt = str(tmp_path / "ckpt_jl")
+    os.makedirs(inp)
+    good1 = _json.dumps({"id": "c1", "messages": [
+        {"role": "user", "tool": None, "content": "hello there"},
+        {"role": "assistant", "tool": "grep", "content": "hi back"},
+    ]})
+    good2 = _json.dumps({"id": "c2", "messages": [
+        {"role": "user", "content": "no tool key is fine"},
+    ]})
+    with open(f"{inp}/a.jsonl", "w") as f:
+        f.write(good1 + "\n" + "{broken json line\n")
+
+    q = jobs.start_jsonl_ingest(spark, inp, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    turns = spark.read.parquet(f"{out}/turns")
+    assert turns.where(F.col("conv_id") == "c1").count() == 2
+    skipped = spark.read.parquet(f"{out}/skipped").collect()
+    assert len(skipped) == 1 and skipped[0].reason == "bad_json"
+
+    # second file arrives -> only its rows append; restart is a no-op
+    with open(f"{inp}/b.jsonl", "w") as f:
+        f.write(good2 + "\n")
+    q = jobs.start_jsonl_ingest(spark, inp, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/turns")
+            .select("conv_id", "turn_idx", "role", "text", "tool").collect())
+    )
+    assert got == [
+        ("c1", 0, "user", "hello there", None),
+        ("c1", 1, "assistant", "hi back", "grep"),
+        ("c2", 0, "user", "no tool key is fine", None),
+    ]
+    q = jobs.start_jsonl_ingest(spark, inp, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/turns").count() == 3

@@ -2057,3 +2057,13 @@ def test_datasheet_partition_invariance(spark, tdf):
     a = sorted(map(tuple, tr.datasheet(tdf).collect()))
     b = sorted(map(tuple, tr.datasheet(tdf.repartition(7, "text")).collect()))
     assert a == b
+
+
+def test_datasheet_diff(spark, tdf):
+    before = tr.datasheet(tdf)
+    after = tr.datasheet(tdf.where(F.col("conv_id") != "b"))
+    d = {r.metric: (r.before, r.after, r.delta)
+         for r in tr.datasheet_diff(before, after).collect()}
+    assert d["n_convs"] == (7.0, 6.0, -1.0)
+    assert d["n_turns"][2] == -5.0      # conv b carried 5 turns
+    assert d["turns_per_conv_max"][1] == 3.0
