@@ -565,12 +565,17 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="book-ocr-spark-export-jsonl", master=master)
         spark.sparkContext.setLogLevel(args.log_level)
         try:
-            out = sft_jsonl(spark.read.parquet(args.input), include_id=True)
+            # pin: the text write and the stats agg are two actions
+            # over the same full groupBy plan
+            out = sft_jsonl(
+                spark.read.parquet(args.input), include_id=True
+            ).persist()
             out.select("jsonl").write.mode("overwrite").text(args.output)
             stats = out.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("n_ctrl_stripped").alias("c"),
             ).collect()[0]
+            out.unpersist()
             print(json.dumps({
                 "exported_lines": int(stats["n"]),
                 "ctrl_chars_stripped": int(stats["c"] or 0),

@@ -175,6 +175,15 @@ def duck_semantic_dedup_sql(
     """
 
 
+def _sc_validate(n_cells: int, iters: int, nprobe: int) -> None:
+    # a decontamination gate must never silently return "clean": an
+    # nprobe<=0 typo would keep zero probes and flag nothing
+    if n_cells < 1 or iters < 1 or not 1 <= nprobe <= n_cells:
+        raise ValueError(
+            "need n_cells >= 1, iters >= 1, 1 <= nprobe <= n_cells"
+        )
+
+
 def semantic_contamination(
     corpus: DataFrame,
     bench: DataFrame,
@@ -207,6 +216,7 @@ def semantic_contamination(
     a hash equi-join on cell against the bench's (cell, vector) rows
     — per-corpus-row work is O(nprobe * bench/n_cells), never corpus
     x bench."""
+    _sc_validate(n_cells, iters, nprobe)
     from pyspark.sql import Window
 
     assign_b, centroids = ivf_build(bench, id_col, vec_col, n_cells, iters)
@@ -244,6 +254,7 @@ def duck_semantic_contamination_sql(
     recurrence fit on the bench side (_duck_ivf_ctes), then the same
     nprobe probe + within-cell exact cosine. corpus_sql and bench_sql
     must yield (id, v)."""
+    _sc_validate(n_cells, iters, nprobe)
     from book_ocr_spark.operators.similarity import _duck_ivf_ctes
 
     cos = _duck_cos

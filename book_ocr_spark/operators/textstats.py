@@ -459,7 +459,7 @@ SECRET_RES = {
     # values pass (a short 'secret=abc' is a test fixture, not a leak)
     "KV_SECRET": (
         r"""(?i)\b(api[_-]?key|secret|token|passwd|password|pwd)("?)"""
-        r"""\s*[=:]\s*"?[^\s"',;]{8,}"?"""
+        r"""\s*[=:]\s*"?[^\s"',;<>]{8,}"?"""
     ),
 }
 SECRET_ORDER = (

@@ -196,7 +196,10 @@ def datasheet(df: DataFrame) -> DataFrame:
     shape (exact interpolated turns-per-conversation p50/p90/max,
     chars-per-turn p50/p90), mass (chars_total, ws_tokens_total),
     hygiene (null_text_turns, empty_text_turns, tool_turns), timing
-    (conv_duration_s_p50 over conversations with timestamps), and a
+    (conv_duration_s_p50 over conversations with timestamps — WHOLE
+    seconds, floor on both engines; the row is omitted when the input
+    has no ``ts`` column, so tree_paths / parse_chat_jsonl /
+    window_turns outputs datasheet directly), and a
     per-role histogram (``role_turns:<role>``, NULL role as
     ``role_turns:<null>``). Long format so new metrics append without
     a schema change; every number is exact (counts, sums, and the
@@ -210,7 +213,11 @@ def datasheet(df: DataFrame) -> DataFrame:
     reduce to one row per metric — no window, no per-row Python."""
     from book_ocr_spark.operators.textstats import ws_tokens
 
-    t = df.select("conv_id", "role", "text", "tool", "ts")
+    has_ts = "ts" in df.columns
+    t = df.select(
+        "conv_id", "role", "text", "tool",
+        *(["ts"] if has_ts else []),
+    )
     turn = t.agg(
         F.count(F.lit(1)).cast("double").alias("n_turns"),
         F.sum(F.length("text")).cast("double").alias("chars_total"),
@@ -221,20 +228,35 @@ def datasheet(df: DataFrame) -> DataFrame:
         F.sum((F.col("text") == "").cast("long")).cast("double").alias("empty_text_turns"),
         F.sum(_tool_valid().cast("long")).cast("double").alias("tool_turns"),
     )
+    # whole-second floor on BOTH engines (Spark unix_timestamp
+    # truncates sub-seconds; the twin floors epoch() to match — the
+    # intervals.py F.floor lesson applied to the duration metric)
+    per_conv = [F.count(F.lit(1)).alias("_nt")] + (
+        [
+            (
+                F.max(F.floor(F.unix_timestamp("ts")))
+                - F.min(F.floor(F.unix_timestamp("ts")))
+            ).alias("_dur")
+        ]
+        if has_ts
+        else []
+    )
     conv = (
         t.groupBy("conv_id")
-        .agg(
-            F.count(F.lit(1)).alias("_nt"),
-            (
-                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
-            ).alias("_dur"),
-        )
+        .agg(*per_conv)
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_convs"),
             F.round(F.expr("percentile(_nt, 0.5)"), 4).alias("turns_per_conv_p50"),
             F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("turns_per_conv_p90"),
             F.max("_nt").cast("double").alias("turns_per_conv_max"),
-            F.round(F.expr("percentile(_dur, 0.5)"), 4).alias("conv_duration_s_p50"),
+            *(
+                [
+                    F.round(F.expr("percentile(_dur, 0.5)"), 4)
+                    .alias("conv_duration_s_p50")
+                ]
+                if has_ts
+                else []
+            ),
         )
     )
 
@@ -254,13 +276,32 @@ def datasheet(df: DataFrame) -> DataFrame:
     return _melt(turn).unionByName(_melt(conv)).unionByName(roles)
 
 
-def duck_datasheet_sql(src_sql: str) -> str:
+def duck_datasheet_sql(src_sql: str, has_ts: bool = True) -> str:
     """DuckDB twin of datasheet (same exact aggregations; quantile_cont
-    is Spark percentile's interpolation twin; empty-token convention
-    shared with the conv_embeddings twin)."""
+    is Spark percentile's interpolation twin; FLOOR(epoch()) matches
+    Spark unix_timestamp's whole-second floor — epoch() alone carries
+    microseconds and would diverge on fractional timestamps;
+    empty-token convention shared with the conv_embeddings twin)."""
     toks = (
         "LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),"
         " w -> w <> ''))"
+    )
+    dur_pc = (
+        ",\n                   MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))"
+        " - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS dur"
+        if has_ts
+        else ""
+    )
+    dur_conv = (
+        ",\n                   ROUND(quantile_cont(dur, 0.5), 4)"
+        " AS conv_duration_s_p50"
+        if has_ts
+        else ""
+    )
+    dur_row = (
+        "UNION ALL SELECT 'conv_duration_s_p50', conv_duration_s_p50 FROM conv"
+        if has_ts
+        else ""
     )
     return f"""
         WITH ds AS (SELECT * FROM ({src_sql}) s0),
@@ -278,15 +319,13 @@ def duck_datasheet_sql(src_sql: str) -> str:
                             THEN 1 ELSE 0 END) AS DOUBLE) AS tool_turns
             FROM ds),
         pc AS (
-            SELECT conv_id, COUNT(*) AS nt,
-                   epoch(MAX(ts)) - epoch(MIN(ts)) AS dur
+            SELECT conv_id, COUNT(*) AS nt{dur_pc}
             FROM ds GROUP BY conv_id),
         conv AS (
             SELECT CAST(COUNT(*) AS DOUBLE) AS n_convs,
                    ROUND(quantile_cont(nt, 0.5), 4) AS turns_per_conv_p50,
                    ROUND(quantile_cont(nt, 0.9), 4) AS turns_per_conv_p90,
-                   CAST(MAX(nt) AS DOUBLE) AS turns_per_conv_max,
-                   ROUND(quantile_cont(dur, 0.5), 4) AS conv_duration_s_p50
+                   CAST(MAX(nt) AS DOUBLE) AS turns_per_conv_max{dur_conv}
             FROM pc)
         SELECT 'n_turns' AS metric, n_turns AS value FROM turn
         UNION ALL SELECT 'chars_total', chars_total FROM turn
@@ -300,7 +339,7 @@ def duck_datasheet_sql(src_sql: str) -> str:
         UNION ALL SELECT 'turns_per_conv_p50', turns_per_conv_p50 FROM conv
         UNION ALL SELECT 'turns_per_conv_p90', turns_per_conv_p90 FROM conv
         UNION ALL SELECT 'turns_per_conv_max', turns_per_conv_max FROM conv
-        UNION ALL SELECT 'conv_duration_s_p50', conv_duration_s_p50 FROM conv
+        {dur_row}
         UNION ALL
         SELECT 'role_turns:' || COALESCE(role, '<null>') AS metric,
                CAST(COUNT(*) AS DOUBLE) AS value
@@ -390,7 +429,9 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
     the key (the CLI export/import pair uses this).
     ``n_ctrl_stripped`` counts C0
     control characters (other than \\n \\r \\t) removed by the
-    escaper — nonzero rows carried binary junk and deserve a look.
+    escaper across EVERY escaped field — role/tool/text, plus the id
+    once when include_id — so a lossy row can never report 0; nonzero
+    rows carried binary junk and deserve a look.
 
     The JSON is built from an explicit escape chain both engines
     replay byte-for-byte (see _JSON_ESC), so the line — not just its
@@ -406,10 +447,13 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
         _json_str_or_null(F.col("text")),
         F.lit("}"),
     )
-    ctrl = F.coalesce(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_CTRL_RE), F.lit(0))),
-        F.lit(0),
+    # count C0 loss across EVERY field the escaper touches — role and
+    # tool (and the id when include_id) strip too, and a lossy row
+    # must not report 0
+    _cnt1 = lambda c: F.coalesce(  # noqa: E731
+        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
     )
+    ctrl = _cnt1(F.col("text")) + _cnt1(F.col("role")) + _cnt1(F.col("tool"))
     items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
     head = (
         F.concat(
@@ -429,7 +473,14 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
                 F.array_join(F.transform(items, lambda x: x["_piece"]), ","),
                 F.lit("]}"),
             ).alias("jsonl"),
-            F.sum("_nc").cast("bigint").alias("n_ctrl_stripped"),
+            (
+                F.sum("_nc")
+                + (
+                    _cnt1(F.col("conv_id").cast("string"))
+                    if include_id
+                    else F.lit(0)
+                )
+            ).cast("bigint").alias("n_ctrl_stripped"),
         )
     )
 
@@ -452,8 +503,11 @@ def duck_sft_jsonl_sql(src_sql: str, include_id: bool = False) -> str:
                    '{{"role":' || {role} || ',"tool":' || {tool}
                    || ',"content":' || {content} || '}}',
                    ',' ORDER BY turn_idx) || ']}}' AS jsonl,
-               CAST(SUM(COALESCE(LEN(regexp_extract_all(
-                   text, '{_CTRL_RE}', 0)), 0)) AS BIGINT) AS n_ctrl_stripped
+               CAST(SUM(COALESCE(LEN(regexp_extract_all(text, '{_CTRL_RE}', 0)), 0)
+                        + COALESCE(LEN(regexp_extract_all(role, '{_CTRL_RE}', 0)), 0)
+                        + COALESCE(LEN(regexp_extract_all(tool, '{_CTRL_RE}', 0)), 0))
+                    {"+ COALESCE(LEN(regexp_extract_all(conv_id::VARCHAR, '" + _CTRL_RE + "', 0)), 0)" if include_id else ""}
+                    AS BIGINT) AS n_ctrl_stripped
         FROM ({src_sql}) s GROUP BY conv_id
     """
 
@@ -513,12 +567,15 @@ def chat_jsonl_violations(
     json_col: str = "jsonl",
     line_id: bool = False,
 ) -> DataFrame:
-    """(conv_id, reason): lines parse_chat_jsonl would silently skip —
-    'bad_json' (unparseable / wrong shape) or 'no_messages' (valid
-    JSON, messages key missing or null). An empty result is the
-    lossless-ingest precondition. With ``line_id`` the reported key is
-    the line's own "id" (NULL when the JSON is too broken to carry
-    one)."""
+    """(conv_id, reason): lines parse_chat_jsonl would mishandle —
+    'bad_json' (unparseable / wrong shape), 'no_messages' (valid JSON,
+    messages key missing or null), 'empty_messages' (a messages: []
+    line contributes zero turns, so the conversation silently
+    vanishes from the import), and with ``line_id`` also 'no_id' (the
+    line's turns would all import under conv_id NULL). An empty
+    result is the lossless-ingest precondition. With ``line_id`` the
+    reported key is the line's own "id" (NULL when the JSON is too
+    broken to carry one)."""
     parsed = df.select(
         (
             F.from_json(F.col(json_col), _CHAT_SCHEMA)["id"]
@@ -533,13 +590,20 @@ def chat_jsonl_violations(
         # JSON itself doesn't parse
         F.from_json(F.col(json_col), "map<string,string>").alias("_probe"),
     )
-    return parsed.where(
-        F.col("_j").isNotNull() & F.col("_d.messages").isNull()
-    ).select(
-        "conv_id",
+    msgs = F.col("_d.messages")
+    reason = (
         F.when(F.col("_probe").isNull(), F.lit("bad_json"))
-        .otherwise(F.lit("no_messages"))
-        .alias("reason"),
+        .when(msgs.isNull(), F.lit("no_messages"))
+        .when(F.size(msgs) == 0, F.lit("empty_messages"))
+    )
+    if line_id:
+        reason = reason.when(
+            F.col("_d.id").isNull(), F.lit("no_id")
+        )
+    return (
+        parsed.where(F.col("_j").isNotNull())
+        .select("conv_id", reason.alias("reason"))
+        .where(F.col("reason").isNotNull())
     )
 
 

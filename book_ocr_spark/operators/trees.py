@@ -178,6 +178,17 @@ def tree_paths(df: DataFrame, max_depth: int = 512) -> DataFrame:
                 f"tree_paths: a chain exceeds max_depth={max_depth} "
                 "(over-deep tree or a parent-pointer cycle)"
             )
+        # In an acyclic parent-forest EVERY node is an ancestor of some
+        # leaf (walk children downward until one), so a node absent
+        # from all chains proves a LEAFLESS cycle — a component with no
+        # leaf to start a chain from, which the dist guard above can
+        # never see. Without this count the run silently vanishes.
+        n_reached = chains.select("run_id", "anc").distinct().count()
+        if n_reached != nodes.select("run_id", "node_id").distinct().count():
+            raise RuntimeError(
+                "tree_paths: nodes unreachable from any leaf — a "
+                "leafless parent-pointer cycle (no path contains them)"
+            )
         depth = chains.groupBy("run_id", "leaf_id").agg(F.max("dist").alias("_d"))
         out = (
             chains.join(depth, ["run_id", "leaf_id"])

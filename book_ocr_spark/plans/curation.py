@@ -705,14 +705,22 @@ def curate_transcripts(
         ).select(F.col("id").alias("conv_id")).distinct()
         ex = ex.join(sem_dirty, "conv_id", "left_anti")
         _audit_mark(audit, "semantic_decontamination", ex)
-    final = _dedup_canonicalize(
-        ex, "conv_id", "example", k=k, threshold=threshold,
-        clustering=clustering, storage_handle=storage_handle,
-        hot_bucket_cap=hot_bucket_cap,
-    ).select(
-        "conv_id", "example", "n_turns", "n_train_turns", "example_len",
-        F.md5(F.col("example")).alias("fingerprint"),
-        F.size(F.split(F.trim(F.col("example")), r"\s+")).cast("bigint").alias("n_tokens"),
+    def _finalize(exdf: DataFrame) -> DataFrame:
+        # the ONE output-shape definition for both the plain tail and
+        # the window re-render — a token/schema change applies once
+        return exdf.select(
+            "conv_id", "example", "n_turns", "n_train_turns", "example_len",
+            F.md5(F.col("example")).alias("fingerprint"),
+            F.size(F.split(F.trim(F.col("example")), r"\s+"))
+            .cast("bigint").alias("n_tokens"),
+        )
+
+    final = _finalize(
+        _dedup_canonicalize(
+            ex, "conv_id", "example", k=k, threshold=threshold,
+            clustering=clustering, storage_handle=storage_handle,
+            hot_bucket_cap=hot_bucket_cap,
+        )
     )
     _audit_mark(audit, "dedup_tail", final)
     if window_max_turns is not None:
@@ -731,12 +739,7 @@ def curate_transcripts(
         wex = sft_examples(wt.select("conv_id", "turn_idx", "role", "text"))
         if min_train_turns > 0:
             wex = wex.filter(F.col("n_train_turns") >= min_train_turns)
-        final = wex.select(
-            "conv_id", "example", "n_turns", "n_train_turns", "example_len",
-            F.md5(F.col("example")).alias("fingerprint"),
-            F.size(F.split(F.trim(F.col("example")), r"\s+"))
-            .cast("bigint").alias("n_tokens"),
-        )
+        final = _finalize(wex)
         _audit_mark(audit, "window", final)
     if n_shards is not None:
         from book_ocr_spark.operators.sampling import training_shards

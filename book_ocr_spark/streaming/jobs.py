@@ -832,14 +832,20 @@ def start_jsonl_ingest(
                 .parquet(path)
             )
 
-        _write(
-            parse_chat_jsonl(batch_df, json_col="jsonl", line_id=True),
-            f"{out_path}/turns",
-        )
-        _write(
-            chat_jsonl_violations(batch_df, json_col="jsonl", line_id=True),
-            f"{out_path}/skipped",
-        )
+        # two actions (turns + skipped) read the same lines: pin the
+        # batch so the source files parse once, not twice
+        batch_df = batch_df.persist()
+        try:
+            _write(
+                parse_chat_jsonl(batch_df, json_col="jsonl", line_id=True),
+                f"{out_path}/turns",
+            )
+            _write(
+                chat_jsonl_violations(batch_df, json_col="jsonl", line_id=True),
+                f"{out_path}/skipped",
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

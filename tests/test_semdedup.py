@@ -233,3 +233,22 @@ def test_semantic_contamination_twin_and_nprobe(spark):
         corpus, bench, threshold=0.9, n_cells=2, iters=2, nprobe=2
     )
     assert {(r.id, r.bench_id) for r in full.collect()} == brute
+
+
+def test_semantic_contamination_validation(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    # a decontamination gate must raise on a no-op config, never
+    # silently report "clean"
+    with _pytest.raises(ValueError):
+        semdedup.semantic_contamination(corpus, bench, nprobe=0)
+    with _pytest.raises(ValueError):
+        semdedup.semantic_contamination(corpus, bench, n_cells=0)
+    with _pytest.raises(ValueError):
+        semdedup.duck_semantic_contamination_sql("s", "b", nprobe=0, n_cells=4)

@@ -2067,3 +2067,84 @@ def test_datasheet_diff(spark, tdf):
     assert d["n_convs"] == (7.0, 6.0, -1.0)
     assert d["n_turns"][2] == -5.0      # conv b carried 5 turns
     assert d["turns_per_conv_max"][1] == 3.0
+
+
+def test_datasheet_without_ts_and_fractional_duration(spark):
+    """The datasheet runs on ts-less canonical outputs (tree_paths /
+    parse_chat_jsonl / window_turns shapes), omitting the duration
+    row; with FRACTIONAL timestamps the duration metric still twins
+    (whole-second floor on both engines)."""
+    no_ts = [("x", 0, "user", "hi", None), ("x", 1, "assistant", "yo", None)]
+    df = spark.createDataFrame(
+        pd.DataFrame(no_ts, columns=COLS[:5]),
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got = {r.metric: r.value for r in tr.datasheet(df).collect()}
+    assert "conv_duration_s_p50" not in got and got["n_convs"] == 1.0
+    con = duckdb.connect()
+    con.register("nts", pd.DataFrame(no_ts, columns=COLS[:5]))
+    want = sorted(
+        (m, float(v)) for m, v in con.sql(
+            tr.duck_datasheet_sql("SELECT * FROM nts", has_ts=False)
+        ).fetchall()
+    )
+    assert sorted(got.items()) == want
+
+    frac = [
+        ("f", 0, "user", "a", None, pd.Timestamp("2026-01-01T00:00:00.900")),
+        ("f", 1, "assistant", "b", None, pd.Timestamp("2026-01-01T00:00:02.100")),
+    ]
+    fdf = spark.createDataFrame(pd.DataFrame(frac, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    got_f = sorted(
+        (r.metric, r.value) for r in tr.datasheet(fdf).collect()
+    )
+    con.register("fts", pd.DataFrame(frac, columns=COLS))
+    want_f = sorted(
+        (m, float(v)) for m, v in con.sql(
+            tr.duck_datasheet_sql("SELECT * FROM fts")
+        ).fetchall()
+    )
+    assert got_f == want_f
+    assert dict(got_f)["conv_duration_s_p50"] == 2.0  # floor(2.1)-floor(0.9)
+
+
+def test_sft_jsonl_ctrl_count_covers_all_fields(spark):
+    """A control char in role/tool (or the id under include_id) must
+    surface in n_ctrl_stripped — a lossy row never reports 0."""
+    rows = [("k\x011", 0, "user\x02", "clean text", "gr\x03ep", TS)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    plain = tr.sft_jsonl(df).collect()[0]
+    assert plain.n_ctrl_stripped == 2      # role + tool; id not rendered
+    withid = tr.sft_jsonl(df, include_id=True).collect()[0]
+    assert withid.n_ctrl_stripped == 3     # + the id, counted ONCE
+    import json
+
+    doc = json.loads(withid.jsonl)
+    assert doc["id"] == "k1" and doc["messages"][0]["role"] == "user"
+    con = duckdb.connect()
+    con.register("cj", pd.DataFrame(rows, columns=COLS))
+    for inc, want_n in ((False, 2), (True, 3)):
+        w = con.sql(tr.duck_sft_jsonl_sql("SELECT * FROM cj", include_id=inc)).fetchall()
+        assert int(w[0][2]) == want_n
+
+
+def test_chat_jsonl_violations_empty_messages_and_no_id(spark):
+    rows = [
+        ("ok", '{"id":"ok","messages":[{"role":"user","content":"x"}]}'),
+        ("em", '{"id":"em","messages":[]}'),
+        ("ni", '{"messages":[{"role":"user","content":"orphan"}]}'),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, jsonl string")
+    v = {(r.conv_id, r.reason)
+         for r in tr.chat_jsonl_violations(df, line_id=True).collect()}
+    assert v == {("em", "empty_messages"), (None, "no_id")}
+    # sibling-column mode: empty_messages still flagged, no_id N/A
+    v2 = {(r.conv_id, r.reason)
+          for r in tr.chat_jsonl_violations(df).collect()}
+    assert v2 == {("em", "empty_messages")}

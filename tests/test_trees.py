@@ -142,3 +142,16 @@ def test_tree_paths_validation(spark, tree_df):
         trees.tree_paths(tree_df, max_depth=0)
     with pytest.raises(ValueError, match="missing columns"):
         trees.tree_paths(tree_df.drop("tool"))
+
+
+def test_tree_paths_leafless_cycle_raises(spark):
+    """A pure 2-cycle has no leaf at all: no chain ever starts, so the
+    depth guard can't see it — the reachability count must."""
+    rows = [
+        ("c", "n0", "n1", "user", "cycle a", None),
+        ("c", "n1", "n0", "user", "cycle b", None),
+        ("ok", "m0", None, "user", "healthy singleton", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCH)
+    with pytest.raises(RuntimeError, match="leafless|unreachable"):
+        trees.tree_paths(df, max_depth=8)
