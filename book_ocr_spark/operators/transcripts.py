@@ -416,7 +416,9 @@ def _duck_json_str_or_null(expr: str) -> str:
     )
 
 
-def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
+def sft_jsonl(
+    df: DataFrame, include_id: bool = False, weight_col: str | None = None
+) -> DataFrame:
     """(conv_id, jsonl, n_ctrl_stripped): each conversation rendered as
     ONE standard chat-format JSON line —
     ``{"messages":[{"role":...,"tool":...,"content":...},...]}`` in
@@ -426,7 +428,13 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
     this module's turn ordering). ``include_id=True`` prepends an
     ``"id"`` key (``{"id":...,"messages":[...]}``) so the line is
     self-contained for FILE export, where no sibling column can carry
-    the key (the CLI export/import pair uses this).
+    the key (the CLI export/import pair uses this). ``weight_col``
+    names a boolean/numeric column rendered as a per-message
+    ``"weight"`` key (0/1 loss mask or a float) — the loader-facing
+    carrier for window_turns' ``is_new`` flag or any train mask
+    (weight = is_new AND role='assistant' reproduces the sft_spans
+    train∧is_new rule inside the interchange file); NULL weights
+    render as JSON null.
     ``n_ctrl_stripped`` counts C0
     control characters (other than \\n \\r \\t) removed by the
     escaper across EVERY escaped field — role/tool/text, plus the id
@@ -438,6 +446,17 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
     parse — is engine-pinned, and the pytest twin can hash it. One
     narrow JVM projection + the module's conv_id exchange for the
     ordered assembly; no Python, no JSON library in the hot path."""
+    wparts = []
+    if weight_col is not None:
+        # booleans/ints/floats all normalize through DOUBLE so both
+        # engines print the same token for the mask values that
+        # matter (0.0 / 1.0 / plain decimals); exotic exponents may
+        # format differently — keep weights in loss-mask range
+        w = F.col(weight_col).cast("double")
+        wparts = [
+            F.lit(',"weight":'),
+            F.when(w.isNotNull(), w.cast("string")).otherwise(F.lit("null")),
+        ]
     piece = F.concat(
         F.lit('{"role":'),
         _json_str_or_null(F.col("role")),
@@ -445,6 +464,7 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
         _json_str_or_null(F.col("tool")),
         F.lit(',"content":'),
         _json_str_or_null(F.col("text")),
+        *wparts,
         F.lit("}"),
     )
     # count C0 loss across EVERY field the escaper touches — role and
@@ -485,11 +505,19 @@ def sft_jsonl(df: DataFrame, include_id: bool = False) -> DataFrame:
     )
 
 
-def duck_sft_jsonl_sql(src_sql: str, include_id: bool = False) -> str:
+def duck_sft_jsonl_sql(
+    src_sql: str, include_id: bool = False, weight_col: str | None = None
+) -> str:
     """DuckDB twin of sft_jsonl (same escape chain, same assembly)."""
     role = _duck_json_str_or_null("role")
     tool = _duck_json_str_or_null("tool")
     content = _duck_json_str_or_null("text")
+    wpart = (
+        f""" || ',"weight":' || COALESCE(
+            CAST(CAST({weight_col} AS DOUBLE) AS VARCHAR), 'null')"""
+        if weight_col is not None
+        else ""
+    )
     head = (
         "'{\"id\":' || "
         + _duck_json_str_or_null("conv_id::VARCHAR")
@@ -501,7 +529,7 @@ def duck_sft_jsonl_sql(src_sql: str, include_id: bool = False) -> str:
         SELECT conv_id,
                {head} || string_agg(
                    '{{"role":' || {role} || ',"tool":' || {tool}
-                   || ',"content":' || {content} || '}}',
+                   || ',"content":' || {content}{wpart} || '}}',
                    ',' ORDER BY turn_idx) || ']}}' AS jsonl,
                CAST(SUM(COALESCE(LEN(regexp_extract_all(text, '{_CTRL_RE}', 0)), 0)
                         + COALESCE(LEN(regexp_extract_all(role, '{_CTRL_RE}', 0)), 0)

@@ -2148,3 +2148,40 @@ def test_chat_jsonl_violations_empty_messages_and_no_id(spark):
     v2 = {(r.conv_id, r.reason)
           for r in tr.chat_jsonl_violations(df).collect()}
     assert v2 == {("em", "empty_messages")}
+
+
+def test_sft_jsonl_weight_mask_from_window_turns(spark):
+    """The window_turns loss mask rides the interchange file: weight =
+    is_new AND assistant reproduces the sft_spans train∧is_new rule
+    per message; twin stays bit-identical with the weight key on."""
+    import json
+
+    rows = [("w", i, "user" if i % 2 == 0 else "assistant",
+             f"turn {i}", None, TS) for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    wt = tr.window_turns(df, max_turns=3, stride=2).withColumn(
+        "w", F.col("is_new") & (F.col("role") == "assistant")
+    )
+    out = tr.sft_jsonl(wt, weight_col="w")
+    docs = {r.conv_id: json.loads(r.jsonl) for r in out.collect()}
+    # window 0 covers src positions 1-3 (turns 0,1,2): assistant turn 1
+    # is new -> weight 1; window 1 covers 3-5: turn 3 (assistant) new,
+    # turn 2 carried as context -> weight 0
+    w0 = [m["weight"] for m in docs["w#w0"]["messages"]]
+    w1 = [m["weight"] for m in docs["w#w1"]["messages"]]
+    assert w0 == [0.0, 1.0, 0.0]      # user, assistant(new), user
+    assert w1 == [0.0, 1.0, 0.0]      # ctx user, assistant(new), user... 
+    # total weighted messages == assistant turns (each trains once)
+    total = sum(sum(ws) for ws in (w0, w1))
+    assert total == 2.0
+    con = duckdb.connect()
+    con.register("wj", wt.toPandas())
+    want = sorted(
+        (cid, js, int(nc))
+        for cid, js, nc in con.sql(tr.duck_sft_jsonl_sql(
+            "SELECT * FROM wj", weight_col="w")).fetchall()
+    )
+    assert sorted(map(tuple, out.collect())) == want
