@@ -188,6 +188,107 @@ def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Discounted per-turn returns (RL credit assignment over trajectories)
+# ---------------------------------------------------------------------------
+def turn_returns(df: DataFrame, reward_col: str, gamma: float) -> DataFrame:
+    """(conv_id, turn_idx, reward, ret): the discounted return
+    G_t = r_t + gamma * G_{t+1} per turn over the conversation's turn
+    order (NULL rewards count as 0) — the credit-assignment column an
+    advantage-weighted SFT / offline-RL pass trains against, computed
+    next to the rest of the trajectory family (preference_pairs,
+    best_of_n, pass_at_k) instead of in a separate framework.
+
+    Engine-exactness: the recurrence is ONE ordered fold over the
+    reversed reward array (Spark ``aggregate`` HOF / DuckDB
+    ``list_reduce`` with the init element prepended) — multiplications
+    and additions happen in the identical order on both engines, and
+    gamma is embedded as the same Python double literal, so returns
+    are bit-identical with NO rounding convention (the power-free
+    formulation also avoids the cross-libm pow() hazard).
+
+    Scale shape: one collect_list + one posexplode riding the
+    module's conv_id exchange; the fold is O(n) per conversation
+    inside the JVM (the out-array prepends make it O(n^2) COPYING for
+    monster conversations — bounded in practice by the same
+    max-depth reality as the prefix family)."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    g = repr(float(gamma))
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx"),
+                F.coalesce(F.col(reward_col).cast("double"), F.lit(0.0)).alias("_r"),
+            )
+        )
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+            reverse(transform(_items, x -> x._r)),
+            struct(cast(0.0 as double) as g,
+                   cast(array() as array<double>) as out),
+            (acc, r) -> struct(
+                r + cast({g} as double) * acc.g,
+                concat(array(r + cast({g} as double) * acc.g), acc.out)),
+            acc -> acc.out)
+        """
+    )
+    per_conv = df.groupBy("conv_id").agg(items.alias("_items")).select(
+        "conv_id", "_items", folded.alias("_rets")
+    )
+    return per_conv.select(
+        "conv_id",
+        F.posexplode(F.arrays_zip("_items", "_rets")).alias("_i", "_z"),
+    ).select(
+        "conv_id",
+        F.col("_z._items.turn_idx").alias("turn_idx"),
+        F.col("_z._items._r").alias("reward"),
+        F.col("_z._rets").alias("ret"),
+    )
+
+
+def duck_turn_returns_sql(src_sql: str, reward_col: str, gamma: float) -> str:
+    """DuckDB twin of turn_returns — the SAME reversed ordered fold
+    (list_reduce with the init element prepended), the same gamma
+    literal, so the doubles match bit-for-bit."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    g = repr(float(gamma))
+    return f"""
+        WITH tr_src AS (
+            SELECT conv_id, turn_idx,
+                   COALESCE(CAST({reward_col} AS DOUBLE), 0.0) AS r
+            FROM ({src_sql}) s0),
+        tr_arr AS (
+            SELECT conv_id,
+                   list(turn_idx ORDER BY turn_idx) AS tids,
+                   list(r ORDER BY turn_idx) AS rs
+            FROM tr_src GROUP BY conv_id),
+        tr_fold AS (
+            -- per-index scalar fold (DuckDB 1.0's list_reduce
+            -- mis-accumulates LIST-typed struct fields, so the O(n)
+            -- list-building fold is off the table): each G_i folds
+            -- b + gamma*a over the reversed suffix rs[i:], which is
+            -- the IDENTICAL arithmetic DAG Spark's single recurrence
+            -- produces for that index -> bit-equal despite the
+            -- different asymptotics (O(n^2) here is twin-only cost)
+            SELECT conv_id, tids, rs,
+                   list_transform(range(1, len(rs) + 1), i ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                                        list_reverse(rs[i:])),
+                           (a, b) -> b + CAST({g} AS DOUBLE) * a)) AS rets
+            FROM tr_arr)
+        SELECT conv_id,
+               u.t AS turn_idx, u.r AS reward, u.g AS ret
+        FROM tr_fold,
+             UNNEST(list_transform(tids, (t, i) ->
+                 {{'t': t, 'r': rs[i], 'g': rets[i]}})) AS q(u)
+    """
+
+
+# ---------------------------------------------------------------------------
 # Datasheet — the one-call corpus summary a dataset release ships with
 # ---------------------------------------------------------------------------
 def datasheet(df: DataFrame) -> DataFrame:

@@ -2185,3 +2185,70 @@ def test_sft_jsonl_weight_mask_from_window_turns(spark):
             "SELECT * FROM wj", weight_col="w")).fetchall()
     )
     assert sorted(map(tuple, out.collect())) == want
+
+
+# ---------------------------------------------------------------------------
+# Discounted per-turn returns
+# ---------------------------------------------------------------------------
+RET_ROWS = [
+    ("t1", 0, "user", "q", None, TS, None),     # NULL reward -> 0
+    ("t1", 1, "assistant", "a", None, TS, 1.0),
+    ("t1", 2, "assistant", "b", None, TS, 2.0),
+    ("t1", 3, "assistant", "c", None, TS, 4.0),
+    ("t2", 0, "user", "solo", None, TS, 3.0),
+]
+RET_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string,"
+    " tool string, ts timestamp, reward double"
+)
+
+
+def test_turn_returns_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(RET_ROWS, columns=COLS + ["reward"]), RET_SCHEMA
+    )
+    got = {(r.conv_id, r.turn_idx): (r.reward, r.ret)
+           for r in tr.turn_returns(df, "reward", 0.5).collect()}
+    # gamma=0.5 dyadic -> exact arithmetic by hand:
+    # G3=4, G2=2+0.5*4=4, G1=1+0.5*4=3, G0=0+0.5*3=1.5
+    assert got[("t1", 3)] == (4.0, 4.0)
+    assert got[("t1", 2)] == (2.0, 4.0)
+    assert got[("t1", 1)] == (1.0, 3.0)
+    assert got[("t1", 0)] == (0.0, 1.5)
+    assert got[("t2", 0)] == (3.0, 3.0)
+    # gamma=0: return == own reward
+    own = {k: v for k, v in (
+        ((r.conv_id, r.turn_idx), (r.reward, r.ret))
+        for r in tr.turn_returns(df, "reward", 0.0).collect())}
+    assert all(rw == rt for rw, rt in own.values())
+
+
+@pytest.mark.parametrize("gamma", [0.5, 0.9, 0.97, 1.0])
+def test_turn_returns_twin_bit_identical(spark, gamma):
+    df = spark.createDataFrame(
+        pd.DataFrame(RET_ROWS, columns=COLS + ["reward"]), RET_SCHEMA
+    )
+    got = _sorted(map(tuple, tr.turn_returns(df, "reward", gamma).collect()))
+    con = duckdb.connect()
+    con.register("rr", pd.DataFrame(RET_ROWS, columns=COLS + ["reward"]))
+    want = _sorted(
+        (c, int(t), float(r), float(g))
+        for c, t, r, g in con.sql(
+            tr.duck_turn_returns_sql("SELECT * FROM rr", "reward", gamma)
+        ).fetchall()
+    )
+    assert got == want and got  # bit-identical incl. non-dyadic gammas
+
+
+def test_turn_returns_partition_invariance_and_validation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(RET_ROWS, columns=COLS + ["reward"]), RET_SCHEMA
+    )
+    a = _sorted(map(tuple, tr.turn_returns(df, "reward", 0.9).collect()))
+    b = _sorted(map(tuple, tr.turn_returns(
+        df.repartition(5, "text"), "reward", 0.9).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        tr.turn_returns(df, "reward", 1.5)
+    with pytest.raises(ValueError):
+        tr.duck_turn_returns_sql("s", "reward", -0.1)
