@@ -281,3 +281,135 @@ def duck_semantic_contamination_sql(
         ORDER BY p.id, bench_id
     """
     )
+
+
+def _pp_validate(keep_frac: float, keep: str) -> None:
+    # a pruning gate must never silently keep everything or nothing:
+    # keep_frac outside (0, 1] means the caller's arithmetic is wrong
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("need 0 < keep_frac <= 1")
+    if keep not in ("hard", "easy"):
+        raise ValueError("keep must be 'hard' or 'easy'")
+
+
+def prototype_scores(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> DataFrame:
+    """(id, cell, proto_sim): each vector's cosine to ITS OWN cluster
+    centroid — the prototypicality metric of Sorscher et al. 2022
+    ("Beyond neural scaling laws: beating power law scaling via data
+    pruning"): high proto_sim = an "easy"/redundant example near the
+    cluster prototype, low proto_sim = a "hard"/informative outlier.
+
+    The clustering is the shared deterministic ivf_build recurrence
+    (md5-sampled init, 6dp-rounded Lloyd means), and proto_sim is
+    rounded to 6dp, so scores — and every rank derived from them —
+    are bit-identical between Spark and the DuckDB twin.
+
+    Scale shape: centroids are K broadcast rows, so scoring is one
+    equi-join on id (re-attach vectors to assignments) plus a
+    map-side broadcast join — no new shuffle beyond the IVF build
+    every SemDeDup-family pass already pays."""
+    assign, centroids = ivf_build(corpus, id_col, vec_col, n_cells, iters)
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        assign.join(vecs, "id")
+        .join(F.broadcast(centroids), "cell")
+        .withColumn("proto_sim", F.round(_cosine_expr("v", "c_vec"), 6))
+        .select("id", "cell", "proto_sim")
+    )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_frac: float = 0.5,
+    keep: str = "hard",
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> DataFrame:
+    """The kept corpus rows (all original columns) under prototype
+    pruning: within every k-means cell, rank by proto_sim and keep
+    ceil(keep_frac * cell_size) rows. keep="hard" keeps the LEAST
+    prototypical (ascending proto_sim — the paper's abundant-data
+    regime, where pruning easy/redundant examples beats random and
+    bends the scaling law); keep="easy" keeps the MOST prototypical
+    (descending — the scarce-data regime). Ties break on id, and the
+    per-cell ceil guarantees every non-empty cell keeps at least one
+    row, so no cluster is silently erased from the corpus.
+
+    Complementary to semantic_dedup: that drops only near-duplicate
+    pairs above a cosine threshold; this enforces a global keep
+    BUDGET, cluster-balanced so dense template families shrink the
+    most. Scale shape: one window rank per cell on the narrow
+    (id, cell, proto_sim) projection — a single hash exchange on
+    cell — then a semi-join back to the full-width corpus."""
+    _pp_validate(keep_frac, keep)
+    from pyspark.sql import Window
+
+    scores = prototype_scores(corpus, id_col, vec_col, n_cells, iters)
+    order = (
+        [F.asc("proto_sim"), F.asc("id")]
+        if keep == "hard"
+        else [F.desc("proto_sim"), F.asc("id")]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    wc = Window.partitionBy("cell")
+    kept = (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n")))
+        .select(F.col("id").alias(id_col))
+    )
+    return corpus.join(kept, id_col, "left_semi")
+
+
+def duck_prototype_scores_sql(
+    corpus_sql: str,
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> str:
+    """DuckDB twin of prototype_scores: the shared Lloyd recurrence
+    (_duck_ivf_ctes), then each assigned vector's 6dp-rounded cosine
+    to its own cell's post-update centroid. corpus_sql must yield
+    (id, v)."""
+    from book_ocr_spark.operators.similarity import _duck_ivf_ctes
+
+    ctes = _duck_ivf_ctes(corpus_sql, n_cells, iters)
+    cos = _duck_cos("a.v", "ct.c_vec")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT a.id, a.cell, ROUND({cos}, 6) AS proto_sim
+        FROM assign{iters} a JOIN cent{iters} ct USING (cell)
+        ORDER BY id
+    """
+    )
+
+
+def duck_prototype_prune_sql(
+    corpus_sql: str,
+    keep_frac: float = 0.5,
+    keep: str = "hard",
+    n_cells: int = N_CELLS,
+    iters: int = ITERS,
+) -> str:
+    """DuckDB twin of prototype_prune's kept-id set: same per-cell
+    rank (same tie rule) over the twin scores, same ceil budget."""
+    _pp_validate(keep_frac, keep)
+    scores = duck_prototype_scores_sql(corpus_sql, n_cells, iters)
+    direction = "ASC" if keep == "hard" else "DESC"
+    return f"""
+        SELECT id FROM (
+            SELECT id,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                       ORDER BY proto_sim {direction}, id ASC) AS rk,
+                   COUNT(*) OVER (PARTITION BY cell) AS n
+            FROM ({scores}) s) r
+        WHERE rk <= CEIL({keep_frac} * n)
+        ORDER BY id
+    """

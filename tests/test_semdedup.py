@@ -252,3 +252,108 @@ def test_semantic_contamination_validation(spark):
         semdedup.semantic_contamination(corpus, bench, n_cells=0)
     with _pytest.raises(ValueError):
         semdedup.duck_semantic_contamination_sql("s", "b", nprobe=0, n_cells=4)
+
+
+def _proto_spark(spark, keep_frac, keep):
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    scores = sorted(
+        (r.id, r.cell, r.proto_sim)
+        for r in semdedup.prototype_scores(df, n_cells=N_BLOBS).collect()
+    )
+    kept = sorted(
+        r.vec_id
+        for r in semdedup.prototype_prune(
+            df, keep_frac=keep_frac, keep=keep, n_cells=N_BLOBS
+        ).collect()
+    )
+    return scores, kept
+
+
+def _proto_duck(keep_frac, keep):
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(_vecs(), columns=["id", "v"]))
+    corpus_sql = "SELECT id, v FROM e"
+    scores = sorted(
+        (int(i), int(c), float(s))
+        for i, c, s in con.sql(
+            semdedup.duck_prototype_scores_sql(corpus_sql, n_cells=N_BLOBS)
+        ).fetchall()
+    )
+    kept = sorted(
+        int(r[0])
+        for r in con.sql(
+            semdedup.duck_prototype_prune_sql(
+                corpus_sql, keep_frac=keep_frac, keep=keep, n_cells=N_BLOBS
+            )
+        ).fetchall()
+    )
+    return scores, kept
+
+
+def test_prototype_twin_bit_equality(spark):
+    for keep_frac, keep in ((0.5, "hard"), (0.5, "easy"), (0.34, "hard")):
+        s_scores, s_kept = _proto_spark(spark, keep_frac, keep)
+        d_scores, d_kept = _proto_duck(keep_frac, keep)
+        assert s_scores == d_scores
+        assert s_kept == d_kept
+
+
+def test_prototype_prune_semantics(spark):
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    scores = {
+        r.id: (r.cell, r.proto_sim)
+        for r in semdedup.prototype_scores(df, n_cells=N_BLOBS).collect()
+    }
+    assert len(scores) == N_BLOBS * PER_BLOB
+    # per-cell budget: ceil(0.5 * 6) = 3 kept per blob-cell
+    kept_hard = {
+        r.vec_id
+        for r in semdedup.prototype_prune(
+            df, keep_frac=0.5, keep="hard", n_cells=N_BLOBS
+        ).collect()
+    }
+    kept_easy = {
+        r.vec_id
+        for r in semdedup.prototype_prune(
+            df, keep_frac=0.5, keep="easy", n_cells=N_BLOBS
+        ).collect()
+    }
+    import math as _m
+
+    from collections import Counter
+
+    cells = Counter(c for c, _ in scores.values())
+    for kept in (kept_hard, kept_easy):
+        per_cell = Counter(scores[i][0] for i in kept)
+        for cell, n in cells.items():
+            assert per_cell[cell] == _m.ceil(0.5 * n)
+    # hard keeps the low-proto_sim tail, easy the high end: within each
+    # cell every kept-hard score <= every dropped-hard score, and the
+    # two regimes pick different sets on these blobs
+    assert kept_hard != kept_easy
+    for i in kept_hard:
+        cell, s = scores[i]
+        dropped = [
+            s2 for j, (c2, s2) in scores.items()
+            if c2 == cell and j not in kept_hard
+        ]
+        assert all(s <= s2 for s2 in dropped)
+    # minimum-one-per-cell guarantee at a tiny keep_frac
+    kept_min = {
+        r.vec_id
+        for r in semdedup.prototype_prune(
+            df, keep_frac=0.01, keep="easy", n_cells=N_BLOBS
+        ).collect()
+    }
+    assert len({scores[i][0] for i in kept_min}) == len(cells)
+
+
+def test_prototype_prune_validation(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<double>")
+    for bad_frac in (0.0, -0.5, 1.5):
+        with _pt.raises(ValueError):
+            semdedup.prototype_prune(df, keep_frac=bad_frac)
+    with _pt.raises(ValueError):
+        semdedup.prototype_prune(df, keep="random")
