@@ -209,3 +209,94 @@ def duck_lm_cross_entropy_sql(
         LEFT JOIN scored USING (id)
         ORDER BY d.id
     """
+
+
+def _bins_validate(cuts: tuple[float, float]) -> None:
+    c1, c2 = cuts
+    # a mis-ordered or out-of-range cut pair silently puts everything
+    # in one bin — fail loudly instead
+    if not 0.0 < c1 <= c2 <= 1.0:
+        raise ValueError("need 0 < cuts[0] <= cuts[1] <= 1")
+
+
+def ppl_bins(
+    scored: DataFrame,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    lang_col: str | None = None,
+) -> DataFrame:
+    """All input columns + ``ppl_bin`` ('head' | 'middle' | 'tail' |
+    NULL): CCNet's final step — split the scored corpus into
+    perplexity terciles, per language when ``lang_col`` is given
+    (CCNet computes thresholds per language because perplexity is not
+    comparable across languages). ``scored`` is lm_cross_entropy
+    output (or anything with unique ``id`` + ``xent_micro``); rows
+    rank ascending by (xent_micro, id) within their language, the
+    head is ranks <= ceil(cuts[0]*n), the middle <= ceil(cuts[1]*n),
+    the rest is the tail. Docs with NULL xent_micro (no bigram) get a
+    NULL bin — they never silently land in the head. The rank rule is
+    integer-exact over the already-exact micro-nat scores, so bins are
+    bit-identical in the DuckDB twin.
+
+    Scale shape: the rank runs over the NARROW (id, xent_micro[,
+    lang]) projection, one window exchange partitioned by language —
+    CCNet's natural grain (each language sorts independently). With
+    lang_col=None the window is a single global sort of that narrow
+    projection: fine at verification scale; at warehouse scale either
+    pass the language column or precompute sampled thresholds and
+    join them (the CCNet-paper shortcut — thresholds from a sample,
+    applied as a map-side filter; the exact rank here is the
+    verifiable definition the sampled variant approximates)."""
+    _bins_validate(cuts)
+    from pyspark.sql import Window
+
+    c1, c2 = cuts
+    part = [F.col(lang_col)] if lang_col else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(F.asc("xent_micro"), F.asc("id"))
+    wn = Window.partitionBy(*part)
+    nn = (
+        scored.filter(F.col("xent_micro").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "ppl_bin",
+            F.when(
+                F.col("_rk") <= F.ceil(F.lit(c1) * F.col("_n")), "head"
+            )
+            .when(F.col("_rk") <= F.ceil(F.lit(c2) * F.col("_n")), "middle")
+            .otherwise("tail"),
+        )
+        .drop("_rk", "_n")
+    )
+    nulls = scored.filter(F.col("xent_micro").isNull()).withColumn(
+        "ppl_bin", F.lit(None).cast("string")
+    )
+    return nn.unionByName(nulls)
+
+
+def duck_ppl_bins_sql(
+    scored_sql: str,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    lang_col: str | None = None,
+) -> str:
+    """DuckDB twin of ppl_bins: same per-language (xent_micro, id)
+    rank, same ceil cut rule, NULL scores excluded from the rank and
+    binned NULL. scored_sql must yield unique-id rows with at least
+    (id, xent_micro[, lang]). Emits (id, xent_micro, ppl_bin)."""
+    _bins_validate(cuts)
+    c1, c2 = cuts
+    part = f"PARTITION BY {lang_col} " if lang_col else ""
+    return f"""
+        WITH s AS ({scored_sql}),
+        nn AS (
+            SELECT id,
+                   ROW_NUMBER() OVER ({part}ORDER BY xent_micro, id) AS rk,
+                   COUNT(*) OVER ({part}) AS n
+            FROM s WHERE xent_micro IS NOT NULL)
+        SELECT s.id, s.xent_micro,
+               CASE WHEN nn.rk IS NULL THEN NULL
+                    WHEN nn.rk <= CEIL({c1} * nn.n) THEN 'head'
+                    WHEN nn.rk <= CEIL({c2} * nn.n) THEN 'middle'
+                    ELSE 'tail' END AS ppl_bin
+        FROM s LEFT JOIN nn USING (id)
+        ORDER BY s.id
+    """

@@ -195,3 +195,89 @@ def test_web_corpus_lm_gate_requires_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], "id long, text string")
     with pytest.raises(ValueError, match="max_xent_micro"):
         curate_web_corpus(df, "id", "text", lm_corpus=df)
+
+
+BIN_DOCS = [
+    # lang "en": 6 scoreable docs spanning fluency, 1 unscoreable
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "zxq vvw qqj kkx pzt mmb wwy", "en"),
+    (3, "the lazy fox sleeps", "en"),
+    (4, "a quick fox and a lazy dog are friends", "en"),
+    (5, "fox dog quick lazy the a over", "en"),
+    (6, "pzt the mmb dog wwy fox", "en"),
+    (7, "single", "en"),
+    # lang "xx": 3 scoreable docs — its terciles must be independent
+    (8, "the quick fox runs", "xx"),
+    (9, "kkx pzt zxq vvw", "xx"),
+    (10, "the lazy dog sleeps", "xx"),
+]
+
+
+def _bin_scored(spark):
+    docs = spark.createDataFrame(BIN_DOCS, "id long, text string, lang string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    scored = lm.lm_cross_entropy(docs, corpus, "id", "text").join(
+        docs.select("id", "lang"), "id"
+    )
+    return scored
+
+
+def test_ppl_bins_twin_and_semantics(spark):
+    scored = _bin_scored(spark)
+    got = sorted(
+        (r.id, r.xent_micro, r.ppl_bin)
+        for r in lm.ppl_bins(scored, lang_col="lang").collect()
+    )
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(BIN_DOCS, columns=["id", "text", "lang"]))
+    con.register("c", pd.DataFrame(CORPUS_ROWS, columns=["id", "text"]))
+    scored_sql = f"""
+        SELECT s.*, d.lang FROM ({lm.duck_lm_cross_entropy_sql(
+            "SELECT id, text FROM d", "SELECT id, text FROM c")}) s
+        JOIN d USING (id)
+    """
+    want = sorted(
+        (int(i), None if x is None else int(x), b)
+        for i, x, b in con.sql(
+            lm.duck_ppl_bins_sql(scored_sql, lang_col="lang")
+        ).fetchall()
+    )
+    assert got == want
+
+    bins = {i: b for i, _, b in got}
+    xent = {i: x for i, x, _ in got}
+    # per-language terciles: en has 6 scoreable -> 2/2/2, xx 3 -> 1/1/1
+    from collections import Counter
+
+    en = Counter(bins[i] for i in (1, 2, 3, 4, 5, 6))
+    assert en == {"head": 2, "middle": 2, "tail": 2}
+    xx = Counter(bins[i] for i in (8, 9, 10))
+    assert xx == {"head": 1, "middle": 1, "tail": 1}
+    assert bins[7] is None  # unscoreable doc: NULL bin, never head
+    # ordering: every head xent <= every middle <= every tail, per lang
+    for grp in ((1, 2, 3, 4, 5, 6), (8, 9, 10)):
+        hx = [xent[i] for i in grp if bins[i] == "head"]
+        mx = [xent[i] for i in grp if bins[i] == "middle"]
+        tx = [xent[i] for i in grp if bins[i] == "tail"]
+        assert max(hx) <= min(mx) and max(mx) <= min(tx)
+    # gibberish never reaches the head (docs 2/5/6 tie at the
+    # all-unseen-bigram score; the id tie-break places 2 in middle)
+    assert bins[2] != "head" and bins[9] == "tail"
+
+
+def test_ppl_bins_global_and_cuts(spark):
+    scored = _bin_scored(spark)
+    # global (no lang partition), asymmetric cuts: head = ceil(0.2*9)=2
+    got = {
+        r.id: r.ppl_bin
+        for r in lm.ppl_bins(scored, cuts=(0.2, 0.8)).collect()
+    }
+    from collections import Counter
+
+    c = Counter(b for i, b in got.items() if b is not None)
+    assert c == {"head": 2, "middle": 6, "tail": 1}
+    import pytest as _pt
+
+    for bad in ((0.0, 0.5), (0.7, 0.3), (0.5, 1.2)):
+        with _pt.raises(ValueError):
+            lm.ppl_bins(scored, cuts=bad)
