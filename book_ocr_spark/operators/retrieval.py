@@ -173,3 +173,195 @@ def duck_bm25_scores_sql(
         WHERE rank <= {topk}
         ORDER BY qid, rank
     """
+
+
+def _hn_validate(n_neg: int, pool: int | None = None) -> None:
+    if n_neg <= 0:
+        raise ValueError("n_neg must be positive")
+    if pool is not None and pool < n_neg:
+        raise ValueError("pool must be >= n_neg")
+
+
+def mine_hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 4,
+    below_positive: bool = False,
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """(qid, neg_id, <score_col>, neg_rank): hard-negative mining for
+    contrastive / embedding-model training data (the DPR recipe,
+    Karpukhin et al. 2020: the best-scoring retrieved documents that
+    are NOT the labeled positive make the hardest negatives).
+    ``candidates`` is ANY retriever's ranked output as (qid, id,
+    score_col) — bm25_scores or similarity.cosine_topk through the
+    wrappers below — and ``positives`` the labeled (qid, id) pairs.
+    Per query: drop the positives, re-rank the rest by (score desc,
+    id asc), keep the top ``n_neg``.
+
+    ``below_positive=True`` adds the RocketQA-style denoising rule:
+    a candidate scoring >= the query's own positive is likely an
+    UNLABELED positive (a false negative that would poison the
+    contrastive loss), so only candidates scoring strictly below the
+    positive's score survive (max over the query's positives when it
+    has several; queries whose positive is absent from the candidate
+    pool keep all candidates — no score to compare against). Scores
+    are integer-micro (BM25) or 4dp-rounded (cosine), so the strict
+    comparison is engine-exact.
+
+    Scale shape: candidates are per-query top-pool rows — bounded by
+    |queries| * pool, the small side by construction — so mining is
+    a broadcast anti-join + broadcast semi-join-derived max + one
+    window over qid; the corpus-sized work happened in the retriever."""
+    _hn_validate(n_neg)
+    pos = F.broadcast(positives.select("qid", "id").distinct())
+    neg = candidates.join(pos, ["qid", "id"], "left_anti")
+    if below_positive:
+        pos_scores = (
+            candidates.join(pos, ["qid", "id"], "left_semi")
+            .groupBy("qid")
+            .agg(F.max(score_col).alias("_pos_score"))
+        )
+        neg = (
+            neg.join(F.broadcast(pos_scores), "qid", "left")
+            .filter(
+                F.col("_pos_score").isNull()
+                | (F.col(score_col) < F.col("_pos_score"))
+            )
+            .drop("_pos_score")
+        )
+    w = Window.partitionBy("qid").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("neg_rank") <= n_neg)
+        .select("qid", F.col("id").alias("neg_id"), score_col, "neg_rank")
+    )
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 4,
+    pool: int = 50,
+    below_positive: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """DPR's actual construction: BM25 top-``pool`` per query, minus
+    the positives, top ``n_neg`` kept. positives must carry (qid, id)."""
+    _hn_validate(n_neg, pool)
+    cand = bm25_scores(
+        docs, queries, id_col, text_col, qid_col, qtext_col, topk=pool
+    ).select("qid", "id", "score_micro")
+    return mine_hard_negatives(
+        cand, positives, n_neg, below_positive, score_col="score_micro"
+    )
+
+
+def cosine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 4,
+    pool: int = 50,
+    below_positive: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space hard negatives (the self-mining loop of
+    sentence-transformers / ANCE): brute cosine top-``pool`` per query
+    vector (swap in similarity.ivf_topk upstream of
+    mine_hard_negatives for the IVF scale path — same (qid, id, sim)
+    contract), minus the positives. The score column is ``sim``."""
+    _hn_validate(n_neg, pool)
+    from book_ocr_spark.operators.similarity import cosine_topk
+
+    cand = cosine_topk(corpus, queries, id_col, vec_col, k=pool).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("id"),
+        "sim",
+    )
+    return mine_hard_negatives(
+        cand, positives, n_neg, below_positive, score_col="sim"
+    )
+
+
+def duck_mine_hard_negatives_sql(
+    candidates_sql: str,
+    positives_sql: str,
+    n_neg: int = 4,
+    below_positive: bool = False,
+    score_col: str = "score_micro",
+) -> str:
+    """DuckDB twin of mine_hard_negatives: same anti-join, same
+    max-positive strict-below rule, same (score desc, id) rank.
+    candidates_sql must yield (qid, id, <score_col>); positives_sql
+    (qid, id)."""
+    _hn_validate(n_neg)
+    below = (
+        f"""neg AS (
+            SELECT n.* FROM neg0 n LEFT JOIN ps USING (qid)
+            WHERE ps.pos_score IS NULL OR n.{score_col} < ps.pos_score)"""
+        if below_positive
+        else "neg AS (SELECT * FROM neg0)"
+    )
+    return f"""
+        WITH cand AS ({candidates_sql}),
+        pos AS (SELECT DISTINCT qid, id FROM ({positives_sql}) p0),
+        neg0 AS (
+            SELECT * FROM cand c WHERE NOT EXISTS (
+                SELECT 1 FROM pos p WHERE p.qid = c.qid AND p.id = c.id)),
+        ps AS (
+            SELECT c.qid, MAX(c.{score_col}) AS pos_score FROM cand c
+            WHERE EXISTS (
+                SELECT 1 FROM pos p WHERE p.qid = c.qid AND p.id = c.id)
+            GROUP BY c.qid),
+        {below}
+        SELECT qid, id AS neg_id, {score_col}, neg_rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY {score_col} DESC, id ASC) AS INT) AS neg_rank
+            FROM neg) r
+        WHERE neg_rank <= {n_neg}
+        ORDER BY qid, neg_rank
+    """
+
+
+def duck_bm25_hard_negatives_sql(
+    docs_sql: str,
+    queries_sql: str,
+    positives_sql: str,
+    n_neg: int = 4,
+    pool: int = 50,
+    below_positive: bool = False,
+) -> str:
+    """DuckDB twin of bm25_hard_negatives."""
+    _hn_validate(n_neg, pool)
+    cand = f"""SELECT qid, id, score_micro FROM (
+        {duck_bm25_scores_sql(docs_sql, queries_sql, topk=pool)}) b"""
+    return duck_mine_hard_negatives_sql(
+        cand, positives_sql, n_neg, below_positive, score_col="score_micro"
+    )
+
+
+def duck_cosine_hard_negatives_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    positives_sql: str,
+    n_neg: int = 4,
+    pool: int = 50,
+    below_positive: bool = False,
+) -> str:
+    """DuckDB twin of cosine_hard_negatives."""
+    _hn_validate(n_neg, pool)
+    from book_ocr_spark.operators.similarity import duck_cosine_topk_sql
+
+    cand = f"""SELECT query_id AS qid, neighbor_id AS id, sim FROM (
+        {duck_cosine_topk_sql(corpus_sql, queries_sql, k=pool)}) t"""
+    return duck_mine_hard_negatives_sql(
+        cand, positives_sql, n_neg, below_positive, score_col="sim"
+    )

@@ -112,3 +112,134 @@ def test_bm25_rejects_bad_topk(spark):
     qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
     with pytest.raises(ValueError):
         retrieval.bm25_scores(docs, qs, topk=0)
+
+
+POS_ROWS = [
+    (100, 6),   # "lazy fox" -> doc 6 labeled positive, but doc 1 outscores it
+    (101, 3),   # "stock shares" -> doc 3 (its own top scorer)
+    (102, 8),   # bare "fox" -> doc 8 (its own top scorer)
+]
+
+
+def _hn_spark(spark, n_neg=3, below_positive=False):
+    docs = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
+    pos = spark.createDataFrame(POS_ROWS, "qid long, id long")
+    return sorted(
+        (r.qid, r.neg_id, r.score_micro, r.neg_rank)
+        for r in retrieval.bm25_hard_negatives(
+            docs, qs, pos, n_neg=n_neg, pool=8,
+            below_positive=below_positive,
+        ).collect()
+    )
+
+
+def _hn_duck(n_neg=3, below_positive=False):
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(DOC_ROWS, columns=["id", "text"]))
+    con.register("q", pd.DataFrame(QUERY_ROWS, columns=["qid", "qtext"]))
+    con.register("p", pd.DataFrame(POS_ROWS, columns=["qid", "id"]))
+    return sorted(
+        tuple(map(int, row))
+        for row in con.sql(
+            retrieval.duck_bm25_hard_negatives_sql(
+                "SELECT id, text FROM d", "SELECT qid, qtext FROM q",
+                "SELECT qid, id FROM p", n_neg=n_neg, pool=8,
+                below_positive=below_positive,
+            )
+        ).fetchall()
+    )
+
+
+def test_hard_negatives_twin_and_semantics(spark):
+    for bp in (False, True):
+        got = _hn_spark(spark, below_positive=bp)
+        assert got == _hn_duck(below_positive=bp)
+    got = _hn_spark(spark)
+    pos = {(q, i) for q, i in POS_ROWS}
+    # no positive ever mined as a negative; ranks contiguous from 1
+    assert all((q, n) not in pos for q, n, _, _ in got)
+    for q in (100, 101, 102):
+        ranks = sorted(r for qq, _, _, r in got if qq == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # negatives re-rank by score: the best negative for "lazy fox"
+    # outranks (scores >=) every other mined negative of that query
+    q100 = [(s, n) for q, n, s, r in got if q == 100]
+    assert max(q100)[0] == [s for q, n, s, r in got if q == 100 and r == 1][0]
+    # query 103 hits nothing -> no negatives
+    assert all(q != 103 for q, *_ in got)
+
+
+def test_hard_negatives_below_positive(spark):
+    plain = _hn_spark(spark, below_positive=False)
+    denoised = _hn_spark(spark, below_positive=True)
+    docs = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
+    scores = {
+        (r.qid, r.id): r.score_micro
+        for r in retrieval.bm25_scores(docs, qs, topk=8).collect()
+    }
+    pos_score = {q: scores[(q, i)] for q, i in POS_ROWS if (q, i) in scores}
+    # the rule: every surviving negative scores strictly below its
+    # query's positive; plain mining DOES surface the above-positive
+    # doc 1 for query 100 (whose labeled positive, doc 6, ranks lower)
+    assert any(
+        scores[(q, n)] >= pos_score[q] for q, n, _, _ in plain if q == 100
+    )
+    for q, n, s, _ in denoised:
+        if q in pos_score:
+            assert s < pos_score[q]
+    # denoised is a subset of the pre-rank candidate set, never larger
+    assert len(denoised) <= len(plain)
+
+
+def test_cosine_hard_negatives_twin(spark):
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus_rows = [(i, vec(0.15 * i)) for i in range(10)]
+    query_rows = [(100, vec(0.02)), (101, vec(1.2))]
+    pos_rows = [(100, 0), (101, 8)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    qs = spark.createDataFrame(
+        query_rows, "vec_id long, embedding array<double>"
+    )
+    pos = spark.createDataFrame(pos_rows, "qid long, id long")
+    got = sorted(
+        (r.qid, r.neg_id, float(r.sim), r.neg_rank)
+        for r in retrieval.cosine_hard_negatives(
+            corpus, qs, pos, n_neg=3, pool=6
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "c", pd.DataFrame(corpus_rows, columns=["neighbor_id", "c_vec"])
+    )
+    con.register("q", pd.DataFrame(query_rows, columns=["query_id", "q_vec"]))
+    con.register("p", pd.DataFrame(pos_rows, columns=["qid", "id"]))
+    want = sorted(
+        (int(a), int(b), float(s), int(r))
+        for a, b, s, r in con.sql(
+            retrieval.duck_cosine_hard_negatives_sql(
+                "SELECT neighbor_id, c_vec FROM c",
+                "SELECT query_id, q_vec FROM q",
+                "SELECT qid, id FROM p", n_neg=3, pool=6,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert all((q, n) not in set(pos_rows) for q, n, _, _ in got)
+
+
+def test_hard_negatives_validation(spark):
+    docs = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERY_ROWS, "qid long, qtext string")
+    pos = spark.createDataFrame(POS_ROWS, "qid long, id long")
+    with pytest.raises(ValueError):
+        retrieval.bm25_hard_negatives(docs, qs, pos, n_neg=0)
+    with pytest.raises(ValueError):
+        retrieval.bm25_hard_negatives(docs, qs, pos, n_neg=5, pool=3)
