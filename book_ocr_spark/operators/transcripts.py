@@ -288,6 +288,127 @@ def duck_turn_returns_sql(src_sql: str, reward_col: str, gamma: float) -> str:
     """
 
 
+
+def turn_advantages(
+    df: DataFrame, reward_col: str, value_col: str, gamma: float, lam: float
+) -> DataFrame:
+    """(conv_id, turn_idx, reward, value, adv): generalized advantage
+    estimation (GAE, Schulman et al. 2015) per turn over the
+    conversation's turn order — delta_t = r_t + gamma*V_{t+1} - V_t
+    (V beyond the last turn is 0), A_t = delta_t +
+    gamma*lambda*A_{t+1}. The lambda knob interpolates between the
+    one-step TD advantage (lam=0) and the full-return baseline-
+    subtracted advantage (lam=1); NULL rewards AND NULL value
+    estimates count as 0 (a missing critic score = zero baseline).
+    This is turn_returns' sibling for actor-critic-style offline RL /
+    advantage-weighted SFT over scored agent trajectories.
+
+    Engine-exactness: same contract as turn_returns — ONE reversed
+    ordered fold, state (A_{t+1}, V_{t+1}) carried as two scalar
+    struct fields, every step the identical left-associated
+    expression ((r + g*vnext) - v) + gl*a with gamma and
+    gamma*lambda embedded as the same Python double literals in both
+    engines, so advantages match bit-for-bit with no rounding
+    convention and no pow().
+
+    Scale shape: identical to turn_returns — one collect_list +
+    posexplode on the module's conv_id exchange, O(n) JVM fold per
+    conversation."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    g = repr(float(gamma))
+    gl = repr(float(gamma) * float(lam))
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx"),
+                F.coalesce(F.col(reward_col).cast("double"), F.lit(0.0)).alias("_r"),
+                F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("_v"),
+            )
+        )
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+            reverse(transform(_items, x -> struct(x._r as r, x._v as v))),
+            struct(cast(0.0 as double) as a,
+                   cast(0.0 as double) as vnext,
+                   cast(array() as array<double>) as out),
+            (acc, x) -> struct(
+                x.r + cast({g} as double) * acc.vnext - x.v
+                    + cast({gl} as double) * acc.a,
+                x.v,
+                concat(array(x.r + cast({g} as double) * acc.vnext - x.v
+                    + cast({gl} as double) * acc.a), acc.out)),
+            acc -> acc.out)
+        """
+    )
+    per_conv = df.groupBy("conv_id").agg(items.alias("_items")).select(
+        "conv_id", "_items", folded.alias("_advs")
+    )
+    return per_conv.select(
+        "conv_id",
+        F.posexplode(F.arrays_zip("_items", "_advs")).alias("_i", "_z"),
+    ).select(
+        "conv_id",
+        F.col("_z._items.turn_idx").alias("turn_idx"),
+        F.col("_z._items._r").alias("reward"),
+        F.col("_z._items._v").alias("value"),
+        F.col("_z._advs").alias("adv"),
+    )
+
+
+def duck_turn_advantages_sql(
+    src_sql: str, reward_col: str, value_col: str, gamma: float, lam: float
+) -> str:
+    """DuckDB twin of turn_advantages: the same reversed fold with the
+    (A, V_next) state packed as a homogeneous {x, y} double struct
+    (data elements carry x=r, y=v; the accumulator x=A, y=V_next, so
+    list_prepend stays type-uniform), the same left-associated step
+    expression and the same gamma / gamma*lambda literals — per-index
+    scalar-struct folds over the reversed suffix, like
+    duck_turn_returns_sql (twin-only O(n^2))."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    g = repr(float(gamma))
+    gl = repr(float(gamma) * float(lam))
+    return f"""
+        WITH ta_src AS (
+            SELECT conv_id, turn_idx,
+                   COALESCE(CAST({reward_col} AS DOUBLE), 0.0) AS r,
+                   COALESCE(CAST({value_col} AS DOUBLE), 0.0) AS v
+            FROM ({src_sql}) s0),
+        ta_arr AS (
+            SELECT conv_id,
+                   list(turn_idx ORDER BY turn_idx) AS tids,
+                   list(r ORDER BY turn_idx) AS rs,
+                   list(v ORDER BY turn_idx) AS vs,
+                   list({{'x': r, 'y': v}} ORDER BY turn_idx) AS es
+            FROM ta_src GROUP BY conv_id),
+        ta_fold AS (
+            SELECT conv_id, tids, rs, vs,
+                   list_transform(range(1, len(es) + 1), i ->
+                       struct_extract(list_reduce(
+                           list_prepend({{'x': CAST(0 AS DOUBLE),
+                                          'y': CAST(0 AS DOUBLE)}},
+                                        list_reverse(es[i:])),
+                           (acc, e) -> {{'x': e.x + CAST({g} AS DOUBLE) * acc.y
+                                            - e.y
+                                            + CAST({gl} AS DOUBLE) * acc.x,
+                                        'y': e.y}}), 'x')) AS advs
+            FROM ta_arr)
+        SELECT conv_id,
+               u.t AS turn_idx, u.r AS reward, u.v AS value, u.a AS adv
+        FROM ta_fold,
+             UNNEST(list_transform(tids, (t, i) ->
+                 {{'t': t, 'r': rs[i], 'v': vs[i], 'a': advs[i]}})) AS q(u)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Datasheet — the one-call corpus summary a dataset release ships with
 # ---------------------------------------------------------------------------

@@ -2252,3 +2252,84 @@ def test_turn_returns_partition_invariance_and_validation(spark):
         tr.turn_returns(df, "reward", 1.5)
     with pytest.raises(ValueError):
         tr.duck_turn_returns_sql("s", "reward", -0.1)
+
+
+ADV_ROWS = [
+    # (conv, idx, role, text, tool, ts, reward, value) — dyadic values
+    ("t1", 0, "user", "q", None, TS, None, 0.5),     # NULL reward -> 0
+    ("t1", 1, "assistant", "a", None, TS, 1.0, 1.0),
+    ("t1", 2, "assistant", "b", None, TS, 2.0, None),  # NULL value -> 0
+    ("t1", 3, "assistant", "c", None, TS, 4.0, 2.0),
+    ("t2", 0, "user", "solo", None, TS, 3.0, 1.0),
+]
+ADV_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string,"
+    " tool string, ts timestamp, reward double, value double"
+)
+
+
+def test_turn_advantages_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(ADV_ROWS, columns=COLS + ["reward", "value"]), ADV_SCHEMA
+    )
+    got = {(r.conv_id, r.turn_idx): r.adv
+           for r in tr.turn_advantages(df, "reward", "value", 0.5, 0.5).collect()}
+    # gamma=0.5, lam=0.5 -> gl=0.25, all dyadic, exact by hand
+    # (V beyond the end = 0; t1 values are [0.5, 1, 0, 2]):
+    # A3 = 4 + 0.5*0 - 2                  = 2
+    # A2 = 2 + 0.5*2 - 0 + 0.25*2        = 3.5
+    # A1 = 1 + 0.5*0 - 1 + 0.25*3.5      = 0.875
+    # A0 = 0 + 0.5*1 - 0.5 + 0.25*0.875  = 0.21875
+    assert got[("t1", 3)] == 2.0
+    assert got[("t1", 2)] == 3.5
+    assert got[("t1", 1)] == 0.875
+    assert got[("t1", 0)] == 0.21875
+    assert got[("t2", 0)] == 3.0 + 0.5 * 0 - 1.0
+    # lam=0 -> pure one-step TD error
+    td = {(r.conv_id, r.turn_idx): r.adv
+          for r in tr.turn_advantages(df, "reward", "value", 0.5, 0.0).collect()}
+    assert td[("t1", 2)] == 2.0 + 0.5 * 2.0 - 0.0
+    assert td[("t1", 1)] == 1.0 + 0.5 * 0.0 - 1.0
+    # lam=1, zero values -> advantage == discounted return
+    z = df.withColumn("value", F.lit(None).cast("double"))
+    adv1 = {(r.conv_id, r.turn_idx): r.adv
+            for r in tr.turn_advantages(z, "reward", "value", 0.5, 1.0).collect()}
+    rets = {(r.conv_id, r.turn_idx): r.ret
+            for r in tr.turn_returns(df, "reward", 0.5).collect()}
+    assert adv1 == rets
+
+
+@pytest.mark.parametrize("gamma,lam", [(0.5, 0.5), (0.9, 0.95), (0.97, 1.0), (1.0, 0.3)])
+def test_turn_advantages_twin_bit_identical(spark, gamma, lam):
+    df = spark.createDataFrame(
+        pd.DataFrame(ADV_ROWS, columns=COLS + ["reward", "value"]), ADV_SCHEMA
+    )
+    got = _sorted(
+        map(tuple, tr.turn_advantages(df, "reward", "value", gamma, lam).collect())
+    )
+    con = duckdb.connect()
+    con.register("ar", pd.DataFrame(ADV_ROWS, columns=COLS + ["reward", "value"]))
+    want = _sorted(
+        (c, int(t), float(r), float(v), float(a))
+        for c, t, r, v, a in con.sql(
+            tr.duck_turn_advantages_sql(
+                "SELECT * FROM ar", "reward", "value", gamma, lam
+            )
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_turn_advantages_partition_invariance_and_validation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(ADV_ROWS, columns=COLS + ["reward", "value"]), ADV_SCHEMA
+    )
+    a = _sorted(map(tuple, tr.turn_advantages(df, "reward", "value", 0.9, 0.9).collect()))
+    b = _sorted(map(tuple, tr.turn_advantages(
+        df.repartition(5, "text"), "reward", "value", 0.9, 0.9).collect()))
+    assert a == b
+    for bad_g, bad_l in ((1.5, 0.5), (0.5, -0.1), (-1.0, 2.0)):
+        with pytest.raises(ValueError):
+            tr.turn_advantages(df, "reward", "value", bad_g, bad_l)
+        with pytest.raises(ValueError):
+            tr.duck_turn_advantages_sql("s", "reward", "value", bad_g, bad_l)
