@@ -409,6 +409,89 @@ def duck_turn_advantages_sql(
     """
 
 
+
+def group_relative_advantages(
+    df: DataFrame, group_col: str, reward_col: str
+) -> DataFrame:
+    """All input columns + (n_group, adv): GRPO-style group-relative
+    advantage normalization (Shao et al. 2024, DeepSeekMath) —
+    adv_i = (r_i - mean(group)) / std(group), population std, over
+    every row sharing ``group_col``. The group is the re-run family
+    this module already mines (the prefix-digest key of best_of_n /
+    pass_at_k / preference_pairs: N sampled answers to one context);
+    the reward is any integer micro-unit score (classifier
+    logit_micro, a rubric score, turn_returns scaled by 1e6).
+    Degenerate groups (all rewards equal — including singletons) get
+    adv = 0, the GRPO convention, detected EXACTLY via integer
+    min == max, never via a float threshold.
+
+    Engine-exactness: ``reward_col`` is cast to BIGINT (micro units —
+    callers pre-scale float rewards; NULLs count as 0 like
+    turn_returns), so the window moments n, S1 = Σr, S2 = Σr² are
+    exact order-independent integer sums; mean/variance/advantage
+    then derive through ONE fixed left-associated double expression —
+    (CAST(r) - S1/n) / sqrt(S2/n - (S1/n)²) — shared with the twin
+    (sqrt is IEEE-correctly-rounded, no libm pow hazard). A variance
+    that rounds to <= 0 in doubles while integers say the rewards
+    differ also yields 0, identically in both engines. Bound: needs
+    n·r² < 2^63 per group (|r| < ~2^31 with 10^4-member groups) —
+    micro-scaled logits are ~10^7, far inside it.
+
+    Scale shape: three window aggregates over one hash exchange on
+    ``group_col``; no joins, no driver action."""
+    r = F.coalesce(F.col(reward_col).cast("long"), F.lit(0).cast("long"))
+    w = Window.partitionBy(group_col)
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(r).over(w)
+    s2 = F.sum(r * r).over(w)
+    rmin = F.min(r).over(w)
+    rmax = F.max(r).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    ex2 = s2.cast("double") / n.cast("double")
+    var = ex2 - mean * mean
+    adv = (
+        F.when(rmin == rmax, F.lit(0.0))
+        .when(var <= 0, F.lit(0.0))
+        .otherwise((r.cast("double") - mean) / F.sqrt(var))
+    )
+    return df.withColumn("n_group", n.cast("long")).withColumn("adv", adv)
+
+
+def duck_group_relative_advantages_sql(
+    src_sql: str, group_col: str, reward_col: str
+) -> str:
+    """DuckDB twin of group_relative_advantages: the same exact
+    integer window moments and the same left-associated double
+    expression. Emits every src column + (n_group, adv)."""
+    rc = f"COALESCE(CAST({reward_col} AS BIGINT), 0)"
+    return f"""
+        WITH gra_src AS (SELECT * FROM ({src_sql}) s0),
+        gra_m AS (
+            SELECT s.*,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS _n,
+                   CAST(SUM({rc}) OVER w AS BIGINT) AS _s1,
+                   CAST(SUM({rc} * {rc}) OVER w AS BIGINT) AS _s2,
+                   MIN({rc}) OVER w AS _rmin,
+                   MAX({rc}) OVER w AS _rmax
+            FROM gra_src s
+            WINDOW w AS (PARTITION BY {group_col}))
+        SELECT * EXCLUDE (_n, _s1, _s2, _rmin, _rmax),
+               _n AS n_group,
+               CASE WHEN _rmin = _rmax THEN 0.0
+                    WHEN (CAST(_s2 AS DOUBLE) / CAST(_n AS DOUBLE))
+                         - (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
+                           * (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)) <= 0
+                    THEN 0.0
+                    ELSE (CAST({rc} AS DOUBLE)
+                          - CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
+                         / sqrt((CAST(_s2 AS DOUBLE) / CAST(_n AS DOUBLE))
+                                - (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
+                                  * (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)))
+               END AS adv
+        FROM gra_m
+    """
+
+
 # ---------------------------------------------------------------------------
 # Datasheet — the one-call corpus summary a dataset release ships with
 # ---------------------------------------------------------------------------

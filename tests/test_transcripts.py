@@ -2333,3 +2333,72 @@ def test_turn_advantages_partition_invariance_and_validation(spark):
             tr.turn_advantages(df, "reward", "value", bad_g, bad_l)
         with pytest.raises(ValueError):
             tr.duck_turn_advantages_sql("s", "reward", "value", bad_g, bad_l)
+
+
+# ---------------------------------------------------------------------------
+# GRPO group-relative advantages
+# ---------------------------------------------------------------------------
+GRA_ROWS = [
+    # (group, sample, reward) — groups = re-run families, integer rewards
+    ("g1", "s0", 1),        # [1, 3]: mean 2, var 1 -> adv -1, +1
+    ("g1", "s1", 3),
+    ("g2", "s0", 0),        # [0, 0, 4, 4]: mean 2, var 4 -> adv ∓1
+    ("g2", "s1", 0),
+    ("g2", "s2", 4),
+    ("g2", "s3", 4),
+    ("g3", "s0", 7),        # singleton -> adv 0
+    ("g4", "s0", 5),        # all-equal -> adv 0
+    ("g4", "s1", 5),
+    ("g5", "s0", None),     # NULL reward counts as 0: [0, 2] -> adv ∓1
+    ("g5", "s1", 2),
+]
+GRA_SCHEMA = "gid string, sid string, reward bigint"
+
+
+def test_group_relative_advantages_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(GRA_ROWS, columns=["gid", "sid", "reward"]), GRA_SCHEMA
+    )
+    out = {(r.gid, r.sid): (r.n_group, r.adv)
+           for r in tr.group_relative_advantages(df, "gid", "reward").collect()}
+    assert out[("g1", "s0")] == (2, -1.0) and out[("g1", "s1")] == (2, 1.0)
+    assert out[("g2", "s0")] == (4, -1.0) and out[("g2", "s3")] == (4, 1.0)
+    assert out[("g3", "s0")] == (1, 0.0)          # singleton
+    assert out[("g4", "s0")] == (2, 0.0)          # degenerate (all equal)
+    assert out[("g5", "s0")] == (2, -1.0)         # NULL reward -> 0
+    assert out[("g5", "s1")] == (2, 1.0)
+
+
+def test_group_relative_advantages_twin_bit_identical(spark):
+    # non-dyadic moments (mean 7/3) + micro-scaled logits exercise the
+    # shared double expression, not just exact cases
+    rows = GRA_ROWS + [
+        ("g6", "s0", 1), ("g6", "s1", 2), ("g6", "s2", 4),
+        ("g7", "s0", 10_000_000), ("g7", "s1", 10_000_001),
+        ("g7", "s2", 10_000_007),
+    ]
+    pdf = pd.DataFrame(rows, columns=["gid", "sid", "reward"])
+    df = spark.createDataFrame(pdf, GRA_SCHEMA)
+    got = _sorted(
+        map(tuple, tr.group_relative_advantages(df, "gid", "reward").collect())
+    )
+    con = duckdb.connect()
+    con.register("gr", pdf)
+    want = _sorted(
+        (g, s, None if r is None else int(r), int(n), float(a))
+        for g, s, r, n, a in con.sql(
+            tr.duck_group_relative_advantages_sql(
+                "SELECT * FROM gr", "gid", "reward")
+        ).fetchall()
+    )
+    assert got == want and got  # bit-identical incl. irrational stds
+
+
+def test_group_relative_advantages_partition_invariance(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(GRA_ROWS, columns=["gid", "sid", "reward"]), GRA_SCHEMA
+    )
+    a = _sorted(map(tuple, tr.group_relative_advantages(df, "gid", "reward").collect()))
+    b = _sorted(map(tuple, tr.group_relative_advantages(
+        df.repartition(5, "sid"), "gid", "reward").collect()))
+    assert a == b
