@@ -2704,6 +2704,24 @@ def _spark_turn_md5() -> Column:
     )
 
 
+def _prefix_keys(pos: DataFrame, depth: int) -> DataFrame:
+    """(conv_id, _pkey) for conversations with >= ``depth`` turns: the
+    full-md5 chain over the first ``depth`` turns. Grouping on _pkey is
+    EXACT in the dedup_exact md5 sense — no pairwise verify needed
+    anywhere downstream (unlike the h48 signature buckets)."""
+    turns = pos.where(F.col("_pos") <= depth).withColumn("_th", _spark_turn_md5())
+    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_th"))))
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.md5(F.array_join(F.transform(items, lambda x: x["_th"]), "")).alias("_pkey"),
+            F.count(F.lit(1)).alias("_np"),
+        )
+        .where(F.col("_np") == depth)
+        .select("conv_id", "_pkey")
+    )
+
+
 def best_of_n(
     df: DataFrame,
     depth: int,
@@ -2746,17 +2764,7 @@ def best_of_n(
     from book_ocr_spark.operators.classifier import classifier_scores
 
     pos = _positioned(df)
-    turns = pos.where(F.col("_pos") <= depth).withColumn("_th", _spark_turn_md5())
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_th"))))
-    pk = (
-        turns.groupBy("conv_id")
-        .agg(
-            F.md5(F.array_join(F.transform(items, lambda x: x["_th"]), "")).alias("_pkey"),
-            F.count(F.lit(1)).alias("_np"),
-        )
-        .where(F.col("_np") == depth)
-        .select("conv_id", "_pkey")
-    )
+    pk = _prefix_keys(pos, depth)
     nxt = pos.where(F.col("_pos") == depth + 1).select(
         "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
     )
@@ -2850,6 +2858,159 @@ def duck_best_of_n_sql(
     """
 
 
+def _mv_norm(col: Column) -> Column:
+    """Answer normalization for voting: NULL → the chr(1) sentinel
+    (the digest convention), all whitespace runs → one space, edge
+    spaces trimmed, lowercased. Pure JVM built-ins; the DuckDB twin is
+    the same three calls (Java and RE2 agree on ASCII ``\\s``)."""
+    return F.lower(
+        F.trim(F.regexp_replace(F.coalesce(col, F.lit("\x01")), r"\s+", " "))
+    )
+
+
+def majority_vote(
+    df: DataFrame,
+    depth: int,
+    role: str | None = "assistant",
+    min_candidates: int = 1,
+) -> DataFrame:
+    """Self-consistency voting (Wang et al. 2022) over agent re-runs:
+    conversations whose first ``depth`` turns are EXACTLY equal are N
+    samples of the same context; their turn-``depth+1`` responses vote,
+    after normalization (whitespace-collapsed, trimmed, lowercased),
+    and the plurality answer wins. The critic-free sibling of
+    ``best_of_n``: that operator needs a quality classifier to pick a
+    winner, this one needs only agreement among the samples — the
+    standard chain-of-thought answer-marginalization recipe.
+
+    Ties break deterministically toward the answer whose smallest
+    voting conv_id is smallest (votes DESC, rep conv_id ASC) — a
+    collation-free total order, since answer strings would compare by
+    UTF-16 code unit in Spark but UTF-8 byte in DuckDB.
+
+    Returns one row per context: (conv_id [smallest voter of the
+    winning answer], depth, n_candidates, n_answers, votes, agreement
+    = votes/n_candidates, context, answer [normalized]). The raw
+    response is ``conv_id``'s turn ``depth+1`` — join back for it;
+    emitting it here would hang the output on cross-engine
+    arg_min/min_by NULL conventions.
+
+    Scale shape — LINEAR like best_of_n: exact md5 prefix grouping (no
+    pairwise verify), one hash-agg per (prefix, answer), one window
+    over prefixes of distinct-answer rows (≤ B rows per hot prefix of
+    B re-runs, already combined map-side). Context renders only for
+    winners."""
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
+    if min_candidates < 1:
+        raise ValueError("min_candidates must be >= 1")
+    pos = _positioned(df)
+    pk = _prefix_keys(pos, depth)
+    nxt = pos.where(F.col("_pos") == depth + 1).select(
+        "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
+    )
+    if role is not None:
+        nxt = nxt.where(F.col("_nrole") == role)
+    elig = pk.join(nxt.select("conv_id", "_resp"), "conv_id")
+    votes = (
+        elig.withColumn("_ans", _mv_norm(F.col("_resp")))
+        .groupBy("_pkey", "_ans")
+        .agg(F.count(F.lit(1)).alias("_votes"), F.min("conv_id").alias("_rep"))
+    )
+    wk = Window.partitionBy("_pkey")
+    wr = wk.orderBy(F.desc("_votes"), F.asc("_rep"))
+    ranked = (
+        votes.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_nc", F.sum("_votes").over(wk))
+        .withColumn("_nd", F.count(F.lit(1)).over(wk))
+        .where((F.col("_rn") == 1) & (F.col("_nc") >= min_candidates))
+    )
+    ctx = _render_contexts(
+        pos,
+        ranked.select(F.col("_rep").alias("conv_id")).withColumn(
+            "_ctx_depth", F.lit(depth).cast("long")
+        ),
+    )
+    return ranked.join(ctx, F.col("_rep") == F.col("_ctx_id")).select(
+        F.col("_rep").alias("conv_id"),
+        F.lit(depth).cast("long").alias("depth"),
+        F.col("_nc").cast("long").alias("n_candidates"),
+        F.col("_nd").cast("long").alias("n_answers"),
+        F.col("_votes").cast("long").alias("votes"),
+        (F.col("_votes").cast("double") / F.col("_nc").cast("double")).alias(
+            "agreement"
+        ),
+        "context",
+        F.col("_ans").alias("answer"),
+    )
+
+
+def duck_majority_vote_sql(
+    src_sql: str,
+    depth: int,
+    role: str | None = "assistant",
+    min_candidates: int = 1,
+) -> str:
+    """DuckDB twin of majority_vote: same prefix digest chain, same
+    normalization, same (votes DESC, rep ASC) pivot, same one-division
+    agreement."""
+    if not 1 <= depth <= MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
+    if min_candidates < 1:
+        raise ValueError("min_candidates must be >= 1")
+    th = (
+        "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
+        " || chr(31) || COALESCE(text, chr(1)))"
+    )
+    role_pred = "" if role is None else f"AND n.role = '{role}'"
+    return f"""
+        WITH mv_pos AS (
+            SELECT conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+                   role, text
+            FROM ({src_sql}) s0),
+        mv_pk AS (
+            SELECT conv_id, md5(string_agg(th, '' ORDER BY pos)) AS pkey
+            FROM (SELECT conv_id, pos, {th} AS th
+                  FROM mv_pos WHERE pos <= {depth}) q
+            GROUP BY conv_id HAVING COUNT(*) = {depth}),
+        mv_elig AS (
+            SELECT p.conv_id, p.pkey,
+                   lower(trim(regexp_replace(
+                       COALESCE(n.text, chr(1)), '\\s+', ' ', 'g'))) AS ans
+            FROM mv_pk p
+            JOIN mv_pos n ON n.conv_id = p.conv_id AND n.pos = {depth + 1}
+                 {role_pred}),
+        mv_votes AS (
+            SELECT pkey, ans, COUNT(*) AS votes, MIN(conv_id) AS rep
+            FROM mv_elig GROUP BY pkey, ans),
+        mv_ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY pkey
+                       ORDER BY votes DESC, rep ASC) AS rn,
+                   SUM(votes) OVER (PARTITION BY pkey) AS nc,
+                   COUNT(*) OVER (PARTITION BY pkey) AS nd
+            FROM mv_votes),
+        mv_ctx AS (
+            SELECT conv_id,
+                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
+                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
+            FROM mv_pos
+            WHERE pos <= {depth} AND conv_id IN (
+                SELECT rep FROM mv_ranked
+                WHERE rn = 1 AND nc >= {min_candidates})
+            GROUP BY conv_id)
+        SELECT r.rep AS conv_id, CAST({depth} AS BIGINT) AS depth,
+               CAST(r.nc AS BIGINT) AS n_candidates,
+               CAST(r.nd AS BIGINT) AS n_answers,
+               CAST(r.votes AS BIGINT) AS votes,
+               CAST(r.votes AS DOUBLE) / CAST(r.nc AS DOUBLE) AS agreement,
+               x.context, r.ans AS answer
+        FROM mv_ranked r JOIN mv_ctx x ON x.conv_id = r.rep
+        WHERE r.rn = 1 AND r.nc >= {min_candidates}
+    """
+
+
 def _binom_rows(max_n: int, ks: tuple[int, ...]) -> list[tuple[int, int, int]]:
     """Exact C(m, j) rows for m in [0, max_n], j in ks — shared DATA
     (not computation) between pass_at_k's broadcast table and its
@@ -2918,17 +3079,7 @@ def pass_at_k(
     ks = _pak_validate(depth, ks, max_n)
     spark = df.sparkSession
     pos = _positioned(df)
-    turns = pos.where(F.col("_pos") <= depth).withColumn("_th", _spark_turn_md5())
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_th"))))
-    pk = (
-        turns.groupBy("conv_id")
-        .agg(
-            F.md5(F.array_join(F.transform(items, lambda x: x["_th"]), "")).alias("_pkey"),
-            F.count(F.lit(1)).alias("_np"),
-        )
-        .where(F.col("_np") == depth)
-        .select("conv_id", "_pkey")
-    )
+    pk = _prefix_keys(pos, depth)
     nxt = pos.where(F.col("_pos") == depth + 1).select(
         "conv_id", F.col("role").alias("_nrole")
     )

@@ -2402,3 +2402,96 @@ def test_group_relative_advantages_partition_invariance(spark):
     b = _sorted(map(tuple, tr.group_relative_advantages(
         df.repartition(5, "sid"), "gid", "reward").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Self-consistency majority voting
+# ---------------------------------------------------------------------------
+MV_ROWS = [
+    # group q1: five eligible re-runs — three answers that normalize
+    # to the same string, two dissenters
+    ("m1", 0, "user", "q1", None, TS),
+    ("m1", 1, "assistant", "The answer is 42", None, TS),
+    ("m2", 0, "user", "q1", None, TS),
+    ("m2", 1, "assistant", "  the ANSWER is   42 ", None, TS),
+    ("m3", 0, "user", "q1", None, TS),
+    ("m3", 1, "assistant", "the answer\nis 42", None, TS),
+    ("m4", 0, "user", "q1", None, TS),
+    ("m4", 1, "assistant", "41", None, TS),
+    ("m5", 0, "user", "q1", None, TS),
+    ("m5", 1, "assistant", "43", None, TS),
+    # group q2: unanimous after case folding
+    ("m6", 0, "user", "q2", None, TS),
+    ("m6", 1, "assistant", "A", None, TS),
+    ("m7", 0, "user", "q2", None, TS),
+    ("m7", 1, "assistant", "a", None, TS),
+    # group q3: exact 1-1 tie -> smaller rep conv_id (m8) wins
+    ("m8", 0, "user", "q3", None, TS),
+    ("m8", 1, "assistant", "x", None, TS),
+    ("m9", 0, "user", "q3", None, TS),
+    ("m9", 1, "assistant", "y", None, TS),
+    # same prefix as q1 but a user continuation: role-filtered out
+    ("m10", 0, "user", "q1", None, TS),
+    ("m10", 1, "user", "never mind thanks", None, TS),
+    # group q4: singleton with a NULL response -> sentinel answer
+    ("m11", 0, "user", "q4", None, TS),
+    ("m11", 1, "assistant", None, None, TS),
+]
+
+
+@pytest.fixture(scope="module")
+def mv_df(spark):
+    return spark.createDataFrame(pd.DataFrame(MV_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+
+
+def test_majority_vote_semantics(mv_df):
+    got = {r.conv_id: r for r in tr.majority_vote(mv_df, 1).collect()}
+    assert set(got) == {"m1", "m6", "m8", "m11"}
+    w = got["m1"]
+    assert (w.n_candidates, w.n_answers, w.votes) == (5, 3, 3)
+    assert w.agreement == 3.0 / 5.0
+    assert w.answer == "the answer is 42"
+    assert w.context == "<|user|>\nq1"
+    u = got["m6"]  # case-folded unanimity
+    assert (u.n_candidates, u.n_answers, u.votes, u.agreement) == (2, 1, 2, 1.0)
+    assert u.answer == "a"
+    t = got["m8"]  # 1-1 tie -> answer of the smallest rep conv_id
+    assert (t.votes, t.n_candidates, t.answer) == (1, 2, "x")
+    assert got["m11"].answer == "\x01"  # NULL response sentinel
+    # min_candidates=2 drops the singleton q4 context
+    only = {r.conv_id for r in tr.majority_vote(mv_df, 1, min_candidates=2).collect()}
+    assert only == {"m1", "m6", "m8"}
+
+
+@pytest.mark.parametrize("minc,role", [(1, "assistant"), (2, "assistant"), (1, None)])
+def test_majority_vote_twin_bit_identical(mv_df, minc, role):
+    got = _sorted(
+        map(tuple, tr.majority_vote(mv_df, 1, role=role, min_candidates=minc).collect())
+    )
+    con = duckdb.connect()
+    con.register("mvt", pd.DataFrame(MV_ROWS, columns=COLS))
+    want = _sorted(
+        tuple(r)
+        for r in con.sql(tr.duck_majority_vote_sql(
+            "SELECT * FROM mvt", 1, role=role, min_candidates=minc
+        )).fetchall()
+    )
+    assert got == want and got
+
+
+def test_majority_vote_partition_invariance_and_validation(mv_df):
+    a = _sorted(map(tuple, tr.majority_vote(mv_df, 1).collect()))
+    b = _sorted(map(tuple, tr.majority_vote(
+        mv_df.repartition(7, "text"), 1).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        tr.majority_vote(mv_df, 0)
+    with pytest.raises(ValueError):
+        tr.majority_vote(mv_df, 1, min_candidates=0)
+    with pytest.raises(ValueError):
+        tr.duck_majority_vote_sql("s", 0)
+    with pytest.raises(ValueError):
+        tr.duck_majority_vote_sql("s", 1, min_candidates=0)
