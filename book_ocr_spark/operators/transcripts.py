@@ -2688,6 +2688,125 @@ def duck_label_preference_pairs_sql(
     """
 
 
+def preference_length_stats(
+    pairs: DataFrame,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """One-row length-bias audit of a preference dataset — the known
+    DPO/RLHF failure mode where 'chosen' responses are systematically
+    longer, so the trained policy learns verbosity instead of quality
+    (Singhal et al. 2023, 'A Long Way to Go'). Emits: n_pairs,
+    n_chosen_longer / n_rejected_longer / n_equal_len (character
+    lengths, NULL response = 0), sum_chosen_chars / sum_rejected_chars
+    (exact BIGINT sums), chosen_longer_rate = n_chosen_longer/n_pairs
+    and len_sum_ratio = sum_chosen/sum_rejected (each ONE double
+    division, shared with the twin; ratio NULL when the rejected sum
+    is 0). A healthy dataset sits near rate 0.5, ratio 1.0.
+
+    Engine-exactness: every aggregate is an integer count/sum (length
+    counts code points in BOTH engines — Spark UTF8String.numChars ==
+    DuckDB length), so the only doubles are the two final divisions.
+    Scale shape: one map-side-combined hash agg to a single row."""
+    lc = F.coalesce(F.length(F.col(chosen_col)), F.lit(0)).cast("long")
+    lr = F.coalesce(F.length(F.col(rejected_col)), F.lit(0)).cast("long")
+    one = F.count(F.lit(1)).cast("long")
+    agg = pairs.agg(
+        one.alias("n_pairs"),
+        F.sum(F.when(lc > lr, 1).otherwise(0)).cast("long").alias("n_chosen_longer"),
+        F.sum(F.when(lr > lc, 1).otherwise(0)).cast("long").alias("n_rejected_longer"),
+        F.sum(F.when(lc == lr, 1).otherwise(0)).cast("long").alias("n_equal_len"),
+        F.sum(lc).cast("long").alias("sum_chosen_chars"),
+        F.sum(lr).cast("long").alias("sum_rejected_chars"),
+    )
+    return agg.select(
+        "*",
+        (
+            F.col("n_chosen_longer").cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("chosen_longer_rate"),
+        F.when(
+            F.col("sum_rejected_chars") > 0,
+            F.col("sum_chosen_chars").cast("double")
+            / F.col("sum_rejected_chars").cast("double"),
+        ).alias("len_sum_ratio"),
+    )
+
+
+def duck_preference_length_stats_sql(
+    pairs_sql: str,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> str:
+    """DuckDB twin of preference_length_stats: the same integer
+    aggregates and the same two single-division doubles."""
+    lc = f"COALESCE(length({chosen_col}), 0)"
+    lr = f"COALESCE(length({rejected_col}), 0)"
+    return f"""
+        WITH pls AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN {lc} > {lr} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_chosen_longer,
+                   CAST(SUM(CASE WHEN {lr} > {lc} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rejected_longer,
+                   CAST(SUM(CASE WHEN {lc} = {lr} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_equal_len,
+                   CAST(SUM({lc}) AS BIGINT) AS sum_chosen_chars,
+                   CAST(SUM({lr}) AS BIGINT) AS sum_rejected_chars
+            FROM ({pairs_sql}) p0)
+        SELECT *,
+               CAST(n_chosen_longer AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                   AS chosen_longer_rate,
+               CASE WHEN sum_rejected_chars > 0
+                    THEN CAST(sum_chosen_chars AS DOUBLE)
+                         / CAST(sum_rejected_chars AS DOUBLE)
+               END AS len_sum_ratio
+        FROM pls
+    """
+
+
+def debias_preference_pairs(
+    pairs: DataFrame,
+    max_ratio: float,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """Length-debias filter for DPO data: keep only pairs where
+    len(chosen) <= max_ratio * len(rejected) (character lengths, NULL
+    = 0) — the standard mitigation once preference_length_stats shows
+    a long-bias. max_ratio >= 1; 1.0 keeps only pairs where the chosen
+    response is NO longer than the rejected one (the aggressive
+    setting). A zero-length rejected response keeps the pair only if
+    the chosen one is zero-length too (0 <= ratio*0).
+
+    The predicate is one double multiply+compare with max_ratio as a
+    shared literal — engine-exact. Scale shape: a pushed-down filter,
+    no shuffle."""
+    if not max_ratio >= 1.0:
+        raise ValueError("max_ratio must be >= 1.0")
+    lc = F.coalesce(F.length(F.col(chosen_col)), F.lit(0)).cast("double")
+    lr = F.coalesce(F.length(F.col(rejected_col)), F.lit(0)).cast("double")
+    return pairs.where(lc <= F.lit(float(max_ratio)) * lr)
+
+
+def duck_debias_preference_pairs_sql(
+    pairs_sql: str,
+    max_ratio: float,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> str:
+    """DuckDB twin of debias_preference_pairs (same literal, same
+    single multiply+compare)."""
+    if not max_ratio >= 1.0:
+        raise ValueError("max_ratio must be >= 1.0")
+    return f"""
+        SELECT * FROM ({pairs_sql}) p0
+        WHERE CAST(COALESCE(length({chosen_col}), 0) AS DOUBLE)
+              <= CAST({float(max_ratio)!r} AS DOUBLE)
+                 * CAST(COALESCE(length({rejected_col}), 0) AS DOUBLE)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Best-of-N rejection sampling (one winner per exactly-equal context)
 # ---------------------------------------------------------------------------

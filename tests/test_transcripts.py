@@ -2495,3 +2495,73 @@ def test_majority_vote_partition_invariance_and_validation(mv_df):
         tr.duck_majority_vote_sql("s", 0)
     with pytest.raises(ValueError):
         tr.duck_majority_vote_sql("s", 1, min_candidates=0)
+
+
+# ---------------------------------------------------------------------------
+# Preference length-bias audit + debias filter
+# ---------------------------------------------------------------------------
+PLB_ROWS = [
+    # (pair_id, chosen, rejected): lengths 5/3, 2/2, 1/4, 0(None)/2, 2/0
+    ("p1", "abcde", "xyz"),
+    ("p2", "ab", "cd"),
+    ("p3", "a", "wxyz"),
+    ("p4", None, "no"),
+    ("p5", "hi", ""),
+]
+PLB_SCHEMA = "pair_id string, chosen string, rejected string"
+
+
+def test_preference_length_stats_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(PLB_ROWS, columns=["pair_id", "chosen", "rejected"]), PLB_SCHEMA
+    )
+    r = tr.preference_length_stats(df).collect()[0]
+    # chosen longer: p1, p5; rejected longer: p3, p4; equal: p2
+    assert (r.n_pairs, r.n_chosen_longer, r.n_rejected_longer, r.n_equal_len) == (
+        5, 2, 2, 1
+    )
+    assert (r.sum_chosen_chars, r.sum_rejected_chars) == (10, 11)
+    assert r.chosen_longer_rate == 2.0 / 5.0
+    assert r.len_sum_ratio == 10.0 / 11.0
+    # all-zero rejected lengths -> NULL ratio
+    z = df.withColumn("rejected", F.lit(None).cast("string"))
+    assert tr.preference_length_stats(z).collect()[0].len_sum_ratio is None
+
+
+def test_debias_preference_pairs_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(PLB_ROWS, columns=["pair_id", "chosen", "rejected"]), PLB_SCHEMA
+    )
+    # max_ratio=1.0: keep pairs with len(chosen) <= len(rejected)
+    kept = {r.pair_id for r in tr.debias_preference_pairs(df, 1.0).collect()}
+    assert kept == {"p2", "p3", "p4"}
+    # max_ratio=2.0 admits p1 (5 <= 2*3); p5 (2 <= 2*0) stays out
+    kept2 = {r.pair_id for r in tr.debias_preference_pairs(df, 2.0).collect()}
+    assert kept2 == {"p1", "p2", "p3", "p4"}
+    with pytest.raises(ValueError):
+        tr.debias_preference_pairs(df, 0.9)
+    with pytest.raises(ValueError):
+        tr.duck_debias_preference_pairs_sql("s", 0.5)
+
+
+@pytest.mark.parametrize("max_ratio", [1.0, 1.3, 2.0])
+def test_preference_length_twins_bit_identical(spark, max_ratio):
+    pdf = pd.DataFrame(PLB_ROWS, columns=["pair_id", "chosen", "rejected"])
+    df = spark.createDataFrame(pdf, PLB_SCHEMA)
+    con = duckdb.connect()
+    con.register("plb", pdf)
+    got_s = _sorted(map(tuple, tr.preference_length_stats(df).collect()))
+    want_s = _sorted(
+        tuple(r) for r in con.sql(
+            tr.duck_preference_length_stats_sql("SELECT * FROM plb")).fetchall()
+    )
+    assert got_s == want_s and got_s
+    got_f = _sorted(
+        map(tuple, tr.debias_preference_pairs(df, max_ratio).collect())
+    )
+    want_f = _sorted(
+        tuple(r) for r in con.sql(
+            tr.duck_debias_preference_pairs_sql("SELECT * FROM plb", max_ratio)
+        ).fetchall()
+    )
+    assert got_f == want_f and got_f
