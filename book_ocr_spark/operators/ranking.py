@@ -1,0 +1,370 @@
+"""Bradley–Terry strength fitting over pairwise outcomes — the
+reward-modeling / arena-style analytics step downstream of the
+preference miners: given (winner, loser) rows (policy ids, model
+checkpoints, prompt variants — whatever generated the two sides of
+each labeled pair), fit a latent strength per item via the classic
+minorization–maximization recurrence (Hunter 2004; the estimator
+behind Chatbot-Arena-style leaderboards).
+
+MM update, run for a FIXED number of iterations from π = 1:
+
+    π_i ← W'_i / Σ_j n'_ij / (π_i + π_j)
+
+with Laplace-style smoothing s added to every directed win count of
+every OBSERVED pair (w'_ij = w_ij + s, n'_ij = n_ij + 2s), which keeps
+every numerator positive so the recurrence is well-defined even for
+items that never won (the standard regularization; the unsmoothed MLE
+needs a strongly-connected comparison graph).
+
+Engine-exactness (the module contract everywhere in this repo): the
+win/game counts are exact BIGINT aggregates; each iteration's
+denominator is a LEFT-ASSOCIATED fold over the item's opponents in
+md5(opponent) order — collation-free (md5 hex is ASCII, so Spark's
+UTF-16 and DuckDB's UTF-8 string orders agree) and order-fixed, so no
+round-to-6dp crutch is needed (contrast ivf_build, whose per-cell
+means are merge-order-dependent and must round). Spark folds with
+F.aggregate(init 0.0); DuckDB's list_reduce has no init and starts
+from the first element — identical bitwise because 0.0 + t == t for
+the strictly-positive first term. Final strengths are normalized by
+the π of the item with the smallest md5(item) (one division), giving
+an identifiable scale without a sum (sums of doubles are
+merge-order-dependent) and without log/exp (libm divergence).
+
+Scale shape: the edge table is one hash agg over outcomes plus one
+full-outer self-join (narrow (i, j, w, n) rows, persisted once); each
+iteration is two BROADCAST joins of edges against the π table and one
+hash agg with a per-item array fold bounded by the item's degree. π
+is items-sized — models/policies/checkpoints, driver-sized BY
+CONSTRUCTION like ivf_build's centroid table — so each iteration
+collects it and re-embeds it as a fresh local relation (the MLlib
+per-iteration-collect precedent; the roundtrip is bit-preserving:
+collect returns the exact IEEE doubles, createDataFrame re-embeds
+them). Do NOT iterate via localCheckpoint instead: measured on this
+Spark (4.1, local), Catalyst compile time DOUBLES with every
+localCheckpoint accumulated in the session even though plan size, RDD
+lineage, partition count, and job count all stay flat — ~15
+checkpoints in, each tiny iteration costs seconds and a 25-iteration
+loop runs minutes (the fitted loop above runs flat at ~0.9 s/iter
+where the checkpoint variant exceeded 300 s).
+
+Reference parity: the reference repo has no ranking stage (its 146
+LoC are CLI+logging; pipeline is [spec]-only) — this module is part
+of the training-data brief's preference-data analytics surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bt_validate(iters: int, smoothing: float) -> None:
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not smoothing > 0:
+        raise ValueError("smoothing must be > 0 (the unsmoothed MLE "
+                         "diverges on items with no wins)")
+
+
+def bt_strengths(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 20,
+    smoothing: float = 0.5,
+    storage_handle: list | None = None,
+) -> DataFrame:
+    """Fit Bradley–Terry strengths from (winner, loser) rows; returns
+    (item, strength, wins, games) with strength normalized so the item
+    with the smallest md5(item) has strength 1. NULL ids and
+    self-games are dropped. ``storage_handle`` (the module convention)
+    receives the persisted intermediate frames for deterministic
+    unpersist. NOTE: runs ``iters + 1`` driver actions over the
+    items-sized π table (see module docstring for why that beats
+    checkpoint-chained lazy iteration here)."""
+    _bt_validate(iters, smoothing)
+    spark = outcomes.sparkSession
+    s = float(smoothing)
+    two_s = 2.0 * s
+    o = outcomes.select(
+        F.col(winner_col).cast("string").alias("_w"),
+        F.col(loser_col).cast("string").alias("_l"),
+    ).where(
+        F.col("_w").isNotNull() & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+    d = o.groupBy(F.col("_w").alias("i"), F.col("_l").alias("j")).agg(
+        F.count(F.lit(1)).alias("_wn")
+    )
+    rev = d.select(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("_wn").alias("_wr")
+    )
+    edges = (
+        d.join(rev, ["i", "j"], "full_outer")
+        .select(
+            "i",
+            "j",
+            F.coalesce("_wn", F.lit(0)).cast("long").alias("w"),
+            (F.coalesce("_wn", F.lit(0)) + F.coalesce("_wr", F.lit(0)))
+            .cast("long")
+            .alias("n"),
+        )
+        .withColumn("_mj", F.md5(F.col("j")))
+    ).persist()
+    wdeg = edges.groupBy("i").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.count(F.lit(1)).cast("long").alias("deg"),
+        F.sum("n").cast("long").alias("games"),
+    ).persist()
+    if storage_handle is not None:
+        storage_handle.extend([edges, wdeg])
+    pi_rows = [(r.i, 1.0) for r in wdeg.select("i").collect()]
+    for _ in range(iters):
+        pdf = spark.createDataFrame(pi_rows, "i string, pi double")
+        pi_i = pdf.select("i", F.col("pi").alias("_pi_i"))
+        pi_j = pdf.select(F.col("i").alias("j"), F.col("pi").alias("_pi_j"))
+        terms = (
+            edges.join(F.broadcast(pi_i), "i")
+            .join(F.broadcast(pi_j), "j")
+            .select(
+                "i",
+                "_mj",
+                (
+                    (F.col("n").cast("double") + F.lit(two_s))
+                    / (F.col("_pi_i") + F.col("_pi_j"))
+                ).alias("_t"),
+            )
+        )
+        d_i = (
+            terms.groupBy("i")
+            .agg(F.array_sort(F.collect_list(F.struct("_mj", "_t"))).alias("_arr"))
+            .select(
+                "i",
+                F.aggregate(
+                    F.transform("_arr", lambda x: x["_t"]),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("_d"),
+            )
+        )
+        new_pi = wdeg.join(d_i, "i").select(
+            "i",
+            (
+                (F.col("sw").cast("double") + F.lit(s) * F.col("deg").cast("double"))
+                / F.col("_d")
+            ).alias("pi"),
+        )
+        pi_rows = [(r.i, r.pi) for r in new_pi.collect()]
+    refpi = min(
+        pi_rows, key=lambda r: hashlib.md5(r[0].encode("utf-8")).hexdigest()
+    )[1]
+    final = spark.createDataFrame(pi_rows, "i string, pi double")
+    return (
+        final.join(wdeg, "i")
+        .select(
+            F.col("i").alias("item"),
+            (F.col("pi") / F.lit(refpi)).alias("strength"),
+            F.col("sw").alias("wins"),
+            "games",
+        )
+    )
+
+
+def head_to_head(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Directed head-to-head record: one row per ordered (item,
+    opponent) pair that played ≥ 1 game — (item, opponent, wins,
+    losses, games, win_rate). Directed on purpose: a canonical
+    unordered orientation would need least()/greatest() on item
+    strings, whose order is collation-dependent cross-engine; the
+    mirror row carries the transpose instead. NULL ids and self-games
+    are dropped (the bt_strengths hygiene). win_rate is ONE double
+    division; everything else is exact BIGINT. Scale shape: one hash
+    agg + one full-outer self-join on narrow rows."""
+    o = outcomes.select(
+        F.col(winner_col).cast("string").alias("_w"),
+        F.col(loser_col).cast("string").alias("_l"),
+    ).where(
+        F.col("_w").isNotNull() & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+    d = o.groupBy(F.col("_w").alias("item"), F.col("_l").alias("opponent")).agg(
+        F.count(F.lit(1)).alias("_wn")
+    )
+    rev = d.select(
+        F.col("opponent").alias("item"),
+        F.col("item").alias("opponent"),
+        F.col("_wn").alias("_wr"),
+    )
+    wins = F.coalesce("_wn", F.lit(0)).cast("long")
+    losses = F.coalesce("_wr", F.lit(0)).cast("long")
+    return d.join(rev, ["item", "opponent"], "full_outer").select(
+        "item",
+        "opponent",
+        wins.alias("wins"),
+        losses.alias("losses"),
+        (wins + losses).alias("games"),
+        (wins.cast("double") / (wins + losses).cast("double")).alias("win_rate"),
+    )
+
+
+def duck_head_to_head_sql(
+    outcomes_sql: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> str:
+    """DuckDB twin of head_to_head (same hygiene, same one-division
+    win_rate)."""
+    return f"""
+        WITH hh_o AS (
+            SELECT CAST({winner_col} AS VARCHAR) AS w,
+                   CAST({loser_col} AS VARCHAR) AS l
+            FROM ({outcomes_sql}) s0
+            WHERE {winner_col} IS NOT NULL AND {loser_col} IS NOT NULL
+              AND CAST({winner_col} AS VARCHAR) <> CAST({loser_col} AS VARCHAR)),
+        hh_dir AS (
+            SELECT w AS item, l AS opponent, CAST(COUNT(*) AS BIGINT) AS wn
+            FROM hh_o GROUP BY w, l)
+        SELECT COALESCE(a.item, b.opponent) AS item,
+               COALESCE(a.opponent, b.item) AS opponent,
+               CAST(COALESCE(a.wn, 0) AS BIGINT) AS wins,
+               CAST(COALESCE(b.wn, 0) AS BIGINT) AS losses,
+               CAST(COALESCE(a.wn, 0) + COALESCE(b.wn, 0) AS BIGINT) AS games,
+               CAST(COALESCE(a.wn, 0) AS DOUBLE)
+                   / CAST(COALESCE(a.wn, 0) + COALESCE(b.wn, 0) AS DOUBLE)
+                   AS win_rate
+        FROM hh_dir a FULL OUTER JOIN hh_dir b
+             ON a.item = b.opponent AND a.opponent = b.item
+    """
+
+
+def preference_outcomes(
+    labeled: DataFrame,
+    policy_map: DataFrame,
+    id_col: str = "conv_id",
+    policy_col: str = "policy",
+) -> DataFrame:
+    """Adapter from label_preference_pairs output to bt_strengths
+    input: each labeled pair (conv_a, conv_b, chosen_side) becomes one
+    (winner, loser) row at POLICY grain via ``policy_map`` (conv_id →
+    policy — which checkpoint/config generated each re-run; agent
+    harnesses record this). Inner joins: pairs whose either side has
+    no policy row drop out (auditable as count(labeled) −
+    count(outcomes)). Scale shape: two equi-joins against a
+    broadcastable map."""
+    pa = policy_map.select(
+        F.col(id_col).alias("conv_a"), F.col(policy_col).alias("_pol_a")
+    )
+    pb = policy_map.select(
+        F.col(id_col).alias("conv_b"), F.col(policy_col).alias("_pol_b")
+    )
+    a_won = F.col("chosen_side") == "a"
+    return (
+        labeled.join(pa, "conv_a")
+        .join(pb, "conv_b")
+        .select(
+            F.when(a_won, F.col("_pol_a")).otherwise(F.col("_pol_b")).alias("winner"),
+            F.when(a_won, F.col("_pol_b")).otherwise(F.col("_pol_a")).alias("loser"),
+        )
+    )
+
+
+def duck_preference_outcomes_sql(
+    labeled_sql: str,
+    policy_map_sql: str,
+    id_col: str = "conv_id",
+    policy_col: str = "policy",
+) -> str:
+    """DuckDB twin of preference_outcomes (same inner joins, same
+    chosen_side pivot)."""
+    return f"""
+        WITH po_l AS ({labeled_sql}),
+        po_m AS (SELECT {id_col} AS cid, {policy_col} AS pol
+                 FROM ({policy_map_sql}) m0)
+        SELECT CASE WHEN l.chosen_side = 'a' THEN ma.pol ELSE mb.pol END AS winner,
+               CASE WHEN l.chosen_side = 'a' THEN mb.pol ELSE ma.pol END AS loser
+        FROM po_l l
+        JOIN po_m ma ON ma.cid = l.conv_a
+        JOIN po_m mb ON mb.cid = l.conv_b
+    """
+
+
+def duck_bt_strengths_sql(
+    outcomes_sql: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 20,
+    smoothing: float = 0.5,
+) -> str:
+    """DuckDB twin of bt_strengths: the iteration count is UNROLLED
+    into one CTE pair per MM step replaying the identical arithmetic —
+    exact integer edge counts, the same md5-ordered left fold
+    (list_reduce over a DOUBLE list — scalar state, so DuckDB 1.0's
+    struct-state list_reduce bug is not in play), the same smoothing
+    literals with explicit DOUBLE casts, the same min-md5
+    normalization. Every CTE a later step references more than once is
+    AS MATERIALIZED: each bt_d{k} reads bt_pi{k-1} twice, so plain
+    (inlined) CTEs would double the query tree per iteration — 2^iters
+    leaf copies (measured: 12 plain doubling levels already cost ~1 s;
+    20 would be minutes)."""
+    _bt_validate(iters, smoothing)
+    s = float(smoothing)
+    two_s = 2.0 * s
+    ctes = [
+        f"""bt_o AS (
+            SELECT CAST({winner_col} AS VARCHAR) AS w,
+                   CAST({loser_col} AS VARCHAR) AS l
+            FROM ({outcomes_sql}) s0
+            WHERE {winner_col} IS NOT NULL AND {loser_col} IS NOT NULL
+              AND CAST({winner_col} AS VARCHAR) <> CAST({loser_col} AS VARCHAR)),
+        bt_dir AS (
+            SELECT w AS i, l AS j, CAST(COUNT(*) AS BIGINT) AS wn
+            FROM bt_o GROUP BY w, l),
+        bt_e AS MATERIALIZED (
+            SELECT COALESCE(a.i, b.j) AS i, COALESCE(a.j, b.i) AS j,
+                   CAST(COALESCE(a.wn, 0) AS BIGINT) AS w,
+                   CAST(COALESCE(a.wn, 0) + COALESCE(b.wn, 0) AS BIGINT) AS n
+            FROM bt_dir a FULL OUTER JOIN bt_dir b
+                 ON a.i = b.j AND a.j = b.i),
+        bt_wdeg AS MATERIALIZED (
+            SELECT i, CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(COUNT(*) AS BIGINT) AS deg,
+                   CAST(SUM(n) AS BIGINT) AS games
+            FROM bt_e GROUP BY i),
+        bt_pi0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS pi FROM bt_wdeg)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        bt_d{k} AS MATERIALIZED (
+            SELECT e.i,
+                   list_reduce(
+                       list((CAST(e.n AS DOUBLE) + CAST({two_s!r} AS DOUBLE))
+                            / (pa.pi + pb.pi)
+                            ORDER BY md5(e.j)),
+                       (acc, t) -> acc + t) AS d
+            FROM bt_e e
+            JOIN bt_pi{k - 1} pa ON pa.i = e.i
+            JOIN bt_pi{k - 1} pb ON pb.i = e.j
+            GROUP BY e.i),
+        bt_pi{k} AS MATERIALIZED (
+            SELECT w.i,
+                   (CAST(w.sw AS DOUBLE)
+                    + CAST({s!r} AS DOUBLE) * CAST(w.deg AS DOUBLE)) / d.d AS pi
+            FROM bt_wdeg w JOIN bt_d{k} d ON d.i = w.i)""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body},
+        bt_ref AS (
+            SELECT pi AS refpi FROM bt_pi{iters}
+            ORDER BY md5(i) LIMIT 1)
+        SELECT p.i AS item, p.pi / r.refpi AS strength,
+               w.sw AS wins, w.games AS games
+        FROM bt_pi{iters} p
+        CROSS JOIN bt_ref r
+        JOIN bt_wdeg w ON w.i = p.i
+    """

@@ -1,0 +1,164 @@
+"""Bradley–Terry MM fitting: known-ratio semantics, transitive
+ordering, bit-identical DuckDB twin (unrolled iterations), partition
+invariance, degenerate-input hygiene."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import ranking as rk
+
+TWO = [("A", "B")] * 3 + [("B", "A")]  # A beats B 3-1
+
+TRI = (
+    [("A", "B")] * 5 + [("B", "C")] * 5 + [("A", "C")] * 5
+)  # consistent A > B > C; C never wins
+
+MESSY = (
+    [("A", "B")] * 4
+    + [("B", "A")] * 2
+    + [("B", "C")] * 3
+    + [("C", "A")] * 1
+    + [("C", "D")] * 2
+    + [("D", "B")] * 1
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["winner", "loser"]),
+        "winner string, loser string",
+    )
+
+
+def _by_item(rows):
+    return {r.item: r for r in rows}
+
+
+def test_bt_two_item_ratio(spark):
+    # smoothed 2-item MLE: pi_A/pi_B = (3 + 0.5)/(1 + 0.5) = 7/3,
+    # reached exactly at iteration 1 and stationary afterwards
+    got = _by_item(rk.bt_strengths(_df(spark, TWO), iters=3).collect())
+    assert set(got) == {"A", "B"}
+    assert (got["A"].wins, got["A"].games) == (3, 4)
+    assert (got["B"].wins, got["B"].games) == (1, 4)
+    assert abs(got["A"].strength / got["B"].strength - 3.5 / 1.5) < 1e-12
+    assert 1.0 in (got["A"].strength, got["B"].strength)  # min-md5 ref
+
+
+def test_bt_transitive_ordering_and_positivity(spark):
+    got = _by_item(rk.bt_strengths(_df(spark, TRI), iters=20).collect())
+    assert got["A"].strength > got["B"].strength > got["C"].strength > 0
+    assert got["C"].wins == 0 and got["C"].games == 10
+
+
+def test_bt_convergence(spark):
+    # MM converges linearly; one extra iteration at 25 moves strengths
+    # by ~1e-8 on this graph — assert the tail is small, not bitwise
+    a = _by_item(rk.bt_strengths(_df(spark, MESSY), iters=25).collect())
+    b = _by_item(rk.bt_strengths(_df(spark, MESSY), iters=26).collect())
+    for item in a:
+        assert abs(a[item].strength - b[item].strength) < 1e-6
+
+
+@pytest.mark.parametrize("iters,smoothing", [(1, 0.5), (5, 0.5), (5, 1.0)])
+def test_bt_twin_bit_identical(spark, iters, smoothing):
+    pdf = pd.DataFrame(MESSY, columns=["winner", "loser"])
+    got = sorted(
+        map(tuple, rk.bt_strengths(
+            _df(spark, MESSY), iters=iters, smoothing=smoothing).collect())
+    )
+    con = duckdb.connect()
+    con.register("oc", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(rk.duck_bt_strengths_sql(
+            "SELECT * FROM oc", iters=iters, smoothing=smoothing)).fetchall()
+    )
+    assert got == want and got
+
+
+def test_bt_drops_nulls_and_self_games(spark):
+    noisy = MESSY + [("A", "A"), (None, "B"), ("C", None)]
+    a = sorted(map(tuple, rk.bt_strengths(_df(spark, MESSY), iters=5).collect()))
+    b = sorted(map(tuple, rk.bt_strengths(_df(spark, noisy), iters=5).collect()))
+    assert a == b
+
+
+def test_bt_partition_invariance_and_storage_handle(spark):
+    df = _df(spark, MESSY)
+    handle = []
+    a = sorted(map(tuple, rk.bt_strengths(df, iters=4, storage_handle=handle).collect()))
+    assert len(handle) == 2  # edges + wdeg pinned frames handed back
+    b = sorted(map(tuple, rk.bt_strengths(df.repartition(7, "loser"), iters=4).collect()))
+    assert a == b
+
+
+def test_head_to_head_semantics_and_twin(spark):
+    rows = MESSY + [("A", "A"), (None, "B")]
+    df = _df(spark, rows)
+    got_rows = rk.head_to_head(df).collect()
+    got = {(r.item, r.opponent): r for r in got_rows}
+    ab = got[("A", "B")]
+    assert (ab.wins, ab.losses, ab.games) == (4, 2, 6)
+    assert ab.win_rate == 4.0 / 6.0
+    ba = got[("B", "A")]
+    assert (ba.wins, ba.losses, ba.games, ba.win_rate) == (2, 4, 6, 2.0 / 6.0)
+    dc = got[("D", "C")]  # D never beat C: mirror row with 0 wins
+    assert (dc.wins, dc.losses, dc.win_rate) == (0, 2, 0.0)
+    assert ("A", "A") not in got  # self-games dropped
+    con = duckdb.connect()
+    con.register("hh", pd.DataFrame(rows, columns=["winner", "loser"]))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(rk.duck_head_to_head_sql("SELECT * FROM hh")).fetchall()
+    )
+    assert sorted(map(tuple, got_rows)) == want and want
+
+
+def test_preference_outcomes_adapter_and_twin(spark):
+    labeled = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c1", "c2", "a"),   # policy P1 beats P2
+                ("c3", "c4", "b"),   # policy P2 beats P1
+                ("c1", "c4", "a"),   # P1 beats P2 again
+                ("c1", "c9", "a"),   # c9 unmapped -> dropped
+            ],
+            columns=["conv_a", "conv_b", "chosen_side"],
+        ),
+        "conv_a string, conv_b string, chosen_side string",
+    )
+    pmap = spark.createDataFrame(
+        pd.DataFrame(
+            [("c1", "P1"), ("c2", "P2"), ("c3", "P1"), ("c4", "P2")],
+            columns=["conv_id", "policy"],
+        ),
+        "conv_id string, policy string",
+    )
+    got = sorted(map(tuple, rk.preference_outcomes(labeled, pmap).collect()))
+    assert got == [("P1", "P2"), ("P1", "P2"), ("P2", "P1")]
+    con = duckdb.connect()
+    con.register("lb", labeled.toPandas())
+    con.register("pm", pmap.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(rk.duck_preference_outcomes_sql(
+            "SELECT * FROM lb", "SELECT * FROM pm")).fetchall()
+    )
+    assert got == want
+    # end-to-end: adapter feeds bt_strengths
+    bt = _by_item(rk.bt_strengths(rk.preference_outcomes(labeled, pmap), iters=3).collect())
+    assert bt["P1"].strength > bt["P2"].strength
+
+
+def test_bt_validation(spark):
+    df = _df(spark, TWO)
+    with pytest.raises(ValueError):
+        rk.bt_strengths(df, iters=0)
+    with pytest.raises(ValueError):
+        rk.bt_strengths(df, smoothing=0.0)
+    with pytest.raises(ValueError):
+        rk.duck_bt_strengths_sql("s", iters=0)
+    with pytest.raises(ValueError):
+        rk.duck_bt_strengths_sql("s", smoothing=-1.0)
