@@ -243,6 +243,115 @@ def duck_head_to_head_sql(
     """
 
 
+def item_win_rates(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-item record with a Wilson score interval: (item, wins,
+    games, win_rate, wilson_low, wilson_high) — the
+    leaderboard-significance companion to bt_strengths (is this
+    model's win rate distinguishable from 0.5 at the sample size we
+    have?). Wilson rather than normal-approximation because small
+    per-item game counts are the norm early in an eval run.
+
+    Engine-exactness: wins/games are exact BIGINT counts; the Wilson
+    bounds derive through ONE fixed expression shape shared
+    token-for-token with the twin (divisions, one sqrt — both
+    IEEE-correctly-rounded; z and z² embedded as the same Python
+    double literals). Scale shape: two hash aggs + one full-outer
+    join on item, all narrow."""
+    if not z > 0:
+        raise ValueError("z must be > 0")
+    z = float(z)
+    z2 = z * z
+    o = outcomes.select(
+        F.col(winner_col).cast("string").alias("_w"),
+        F.col(loser_col).cast("string").alias("_l"),
+    ).where(
+        F.col("_w").isNotNull() & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+    w = o.groupBy(F.col("_w").alias("item")).agg(F.count(F.lit(1)).alias("_nw"))
+    l = o.groupBy(F.col("_l").alias("item")).agg(F.count(F.lit(1)).alias("_nl"))
+    base = w.join(l, "item", "full_outer").select(
+        "item",
+        F.coalesce("_nw", F.lit(0)).cast("long").alias("wins"),
+        (F.coalesce("_nw", F.lit(0)) + F.coalesce("_nl", F.lit(0)))
+        .cast("long")
+        .alias("games"),
+    )
+    n = F.col("games").cast("double")
+    p = F.col("wins").cast("double") / n
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (F.lit(z) / denom) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * (n * n))
+    )
+    return base.select(
+        "item",
+        "wins",
+        "games",
+        p.alias("win_rate"),
+        (center - half).alias("wilson_low"),
+        (center + half).alias("wilson_high"),
+    )
+
+
+def duck_item_win_rates_sql(
+    outcomes_sql: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+) -> str:
+    """DuckDB twin of item_win_rates — the identical Wilson expression
+    shape over the same exact counts. Double literals are embedded as
+    STRING casts (CAST('3.8415999999999997' AS DOUBLE)), not bare
+    numerics: DuckDB 1.0 routes a bare 17-digit numeric literal
+    through DECIMAL and lands 1 ULP off the correctly-rounded parse
+    (measured: z² = 1.96² bare → ...8241, string or Python →
+    ...8240), while the string cast uses the exact strtod path every
+    other engine uses. Short exact literals (0.5, 2.0) don't care;
+    any repr() of a general double does."""
+    if not z > 0:
+        raise ValueError("z must be > 0")
+    z = float(z)
+    z2 = z * z
+    zl = f"CAST('{z!r}' AS DOUBLE)"
+    z2l = f"CAST('{z2!r}' AS DOUBLE)"
+    n = "CAST(games AS DOUBLE)"
+    p = f"(CAST(wins AS DOUBLE) / {n})"
+    denom = f"(CAST(1.0 AS DOUBLE) + {z2l} / {n})"
+    center = f"(({p} + {z2l} / (CAST(2.0 AS DOUBLE) * {n})) / {denom})"
+    half = (
+        f"(({zl} / {denom}) * sqrt({p} * (CAST(1.0 AS DOUBLE) - {p}) / {n}"
+        f" + {z2l} / (CAST(4.0 AS DOUBLE) * ({n} * {n}))))"
+    )
+    return f"""
+        WITH wr_o AS (
+            SELECT CAST({winner_col} AS VARCHAR) AS w,
+                   CAST({loser_col} AS VARCHAR) AS l
+            FROM ({outcomes_sql}) s0
+            WHERE {winner_col} IS NOT NULL AND {loser_col} IS NOT NULL
+              AND CAST({winner_col} AS VARCHAR) <> CAST({loser_col} AS VARCHAR)),
+        wr_w AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS nw
+                 FROM wr_o GROUP BY w),
+        wr_l AS (SELECT l AS item, CAST(COUNT(*) AS BIGINT) AS nl
+                 FROM wr_o GROUP BY l),
+        wr_base AS (
+            SELECT COALESCE(a.item, b.item) AS item,
+                   CAST(COALESCE(a.nw, 0) AS BIGINT) AS wins,
+                   CAST(COALESCE(a.nw, 0) + COALESCE(b.nl, 0) AS BIGINT) AS games
+            FROM wr_w a FULL OUTER JOIN wr_l b ON a.item = b.item)
+        SELECT item, wins, games,
+               {p} AS win_rate,
+               ({center} - {half}) AS wilson_low,
+               ({center} + {half}) AS wilson_high
+        FROM wr_base
+    """
+
+
 def preference_outcomes(
     labeled: DataFrame,
     policy_map: DataFrame,
@@ -343,7 +452,7 @@ def duck_bt_strengths_sql(
         bt_d{k} AS MATERIALIZED (
             SELECT e.i,
                    list_reduce(
-                       list((CAST(e.n AS DOUBLE) + CAST({two_s!r} AS DOUBLE))
+                       list((CAST(e.n AS DOUBLE) + CAST('{two_s!r}' AS DOUBLE))
                             / (pa.pi + pb.pi)
                             ORDER BY md5(e.j)),
                        (acc, t) -> acc + t) AS d
@@ -354,7 +463,7 @@ def duck_bt_strengths_sql(
         bt_pi{k} AS MATERIALIZED (
             SELECT w.i,
                    (CAST(w.sw AS DOUBLE)
-                    + CAST({s!r} AS DOUBLE) * CAST(w.deg AS DOUBLE)) / d.d AS pi
+                    + CAST('{s!r}' AS DOUBLE) * CAST(w.deg AS DOUBLE)) / d.d AS pi
             FROM bt_wdeg w JOIN bt_d{k} d ON d.i = w.i)""")
     body = ",".join(ctes)
     return f"""

@@ -2802,7 +2802,7 @@ def duck_debias_preference_pairs_sql(
     return f"""
         SELECT * FROM ({pairs_sql}) p0
         WHERE CAST(COALESCE(length({chosen_col}), 0) AS DOUBLE)
-              <= CAST({float(max_ratio)!r} AS DOUBLE)
+              <= CAST('{float(max_ratio)!r}' AS DOUBLE)
                  * CAST(COALESCE(length({rejected_col}), 0) AS DOUBLE)
     """
 

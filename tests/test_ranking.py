@@ -116,6 +116,36 @@ def test_head_to_head_semantics_and_twin(spark):
     assert sorted(map(tuple, got_rows)) == want and want
 
 
+def test_item_win_rates_semantics_and_twin(spark):
+    rows = MESSY + [("X", "Y"), ("X", "Y")]  # X undefeated at n=2
+    df = _df(spark, rows)
+    got_rows = rk.item_win_rates(df).collect()
+    got = {r.item: r for r in got_rows}
+    assert (got["A"].wins, got["A"].games) == (4, 7)
+    assert (got["B"].wins, got["B"].games) == (5, 10)
+    assert got["B"].win_rate == 0.5
+    assert got["B"].wilson_low < 0.5 < got["B"].wilson_high
+    x = got["X"]  # p=1 Wilson: low well below 1, high == 1 (exact algebra)
+    assert x.win_rate == 1.0 and abs(x.wilson_high - 1.0) < 1e-12
+    assert 0.29 < x.wilson_low < 0.45
+    y = got["Y"]
+    assert y.win_rate == 0.0 and abs(y.wilson_low) < 1e-12
+    for z in (1.96, 2.5758):
+        con = duckdb.connect()
+        con.register("wr", pd.DataFrame(rows, columns=["winner", "loser"]))
+        want = sorted(
+            tuple(r)
+            for r in con.sql(rk.duck_item_win_rates_sql(
+                "SELECT * FROM wr", z=z)).fetchall()
+        )
+        got_z = sorted(map(tuple, rk.item_win_rates(df, z=z).collect()))
+        assert got_z == want and got_z
+    with pytest.raises(ValueError):
+        rk.item_win_rates(df, z=0.0)
+    with pytest.raises(ValueError):
+        rk.duck_item_win_rates_sql("s", z=-1.0)
+
+
 def test_preference_outcomes_adapter_and_twin(spark):
     labeled = spark.createDataFrame(
         pd.DataFrame(
