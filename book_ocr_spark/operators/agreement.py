@@ -1,0 +1,261 @@
+"""Inter-judge agreement analytics for LLM-as-judge labels — the
+sanity layer under every judge-scored eval or preference-labeling
+pass: before you trust (or train on) judge labels, you measure
+whether the judges agree beyond chance.
+
+* ``cohen_kappa`` — two named judges over shared samples (Cohen 1960):
+  κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement and
+  p_e the chance agreement from the judges' marginal label rates.
+* ``fleiss_kappa`` — N raters per sample, any raters (Fleiss 1971):
+  the standard generalization used when every sample is rated by the
+  same NUMBER of judges but not necessarily the same judges.
+
+Engine-exactness: every moment both statistics need is an exact
+BIGINT aggregate — agreement counts, label-marginal cross products
+(Σ row_c·col_c), per-sample Σ n_ij², category totals Σ c_j² — so the
+doubles appear only in a fixed final expression of two integer
+divisions and one (a−b)/(1−b) step, shared token-for-token with the
+DuckDB twins. Degenerate chance agreement (p_e == 1: every rating in
+one category) is detected EXACTLY on the integers (cross-product sum
+== N², Σc² == (Nn)²), never via a float threshold, and yields NULL
+(the convention in most stats packages — κ is 0/0 there). NULL
+labels are a real category via the chr(1) sentinel (the repo's digest
+convention). Overflow bounds: Cohen needs Σ row_c·col_c < 2^63
+(fine to N ≈ 2·10^9 paired samples even for a single dominant
+category); Fleiss needs (N·n)² < 2^63 (N·n ≲ 3·10^9 total ratings) —
+both documented here because at 10^12-turn scale you'd shard the
+kappa by eval-suite first (which is also the statistically right
+thing to do).
+
+Scale shape: hash aggregations all the way down — per-sample combine
+happens map-side, category tables are k rows (label vocabulary), the
+final statistic is a crossJoin of 1-row frames. No windows, no
+pairwise anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SENTINEL = "\x01"
+
+
+def _lab(label_col: str):
+    return F.coalesce(F.col(label_col).cast("string"), F.lit(_SENTINEL))
+
+
+def cohen_kappa(
+    ratings: DataFrame,
+    judge_a: str,
+    judge_b: str,
+    sample_col: str = "sample_id",
+    judge_col: str = "judge_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's κ between two named judges. Input is long-form
+    (sample, judge, label) rows; only samples rated by BOTH judges
+    count (inner join). A judge rating the same sample more than once
+    is collapsed to the MIN label (deterministic hygiene, documented
+    rather than silently double-counted). Returns ONE row:
+    (n_items, po, pe, kappa) — kappa NULL when p_e == 1 exactly."""
+    a = (
+        ratings.where(F.col(judge_col) == judge_a)
+        .select(F.col(sample_col).alias("_s"), _lab(label_col).alias("_la"))
+        .groupBy("_s")
+        .agg(F.min("_la").alias("_la"))
+    )
+    b = (
+        ratings.where(F.col(judge_col) == judge_b)
+        .select(F.col(sample_col).alias("_s"), _lab(label_col).alias("_lb"))
+        .groupBy("_s")
+        .agg(F.min("_lb").alias("_lb"))
+    )
+    paired = a.join(b, "_s")
+    stats = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0))
+        .cast("long")
+        .alias("_diag"),
+    )
+    ca = paired.groupBy(F.col("_la").alias("_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("_ra")
+    )
+    cb = paired.groupBy(F.col("_lb").alias("_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("_rb")
+    )
+    pe_num = ca.join(cb, "_c").agg(
+        F.coalesce(F.sum(F.col("_ra") * F.col("_rb")), F.lit(0))
+        .cast("long")
+        .alias("_pe_num")
+    )
+    n = F.col("n_items").cast("double")
+    po = F.col("_diag").cast("double") / n
+    pe = F.col("_pe_num").cast("double") / (n * n)
+    degenerate = F.col("_pe_num") == F.col("n_items") * F.col("n_items")
+    return stats.crossJoin(pe_num).select(
+        "n_items",
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise((po - pe) / (F.lit(1.0) - pe))
+        .alias("kappa"),
+    )
+
+
+def duck_cohen_kappa_sql(
+    ratings_sql: str,
+    judge_a: str,
+    judge_b: str,
+    sample_col: str = "sample_id",
+    judge_col: str = "judge_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of cohen_kappa (same hygiene, same exact integer
+    moments, same final expression)."""
+    lab = f"COALESCE(CAST({label_col} AS VARCHAR), chr(1))"
+    return f"""
+        WITH ck_a AS (
+            SELECT {sample_col} AS s, MIN({lab}) AS la
+            FROM ({ratings_sql}) r0 WHERE {judge_col} = '{judge_a}'
+            GROUP BY {sample_col}),
+        ck_b AS (
+            SELECT {sample_col} AS s, MIN({lab}) AS lb
+            FROM ({ratings_sql}) r1 WHERE {judge_col} = '{judge_b}'
+            GROUP BY {sample_col}),
+        ck_p AS (SELECT a.la, b.lb FROM ck_a a JOIN ck_b b USING (s)),
+        ck_n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS diag
+            FROM ck_p),
+        ck_ca AS (SELECT la AS c, CAST(COUNT(*) AS BIGINT) AS ra
+                  FROM ck_p GROUP BY la),
+        ck_cb AS (SELECT lb AS c, CAST(COUNT(*) AS BIGINT) AS rb
+                  FROM ck_p GROUP BY lb),
+        ck_pe AS (
+            SELECT CAST(COALESCE(SUM(ra * rb), 0) AS BIGINT) AS pe_num
+            FROM ck_ca JOIN ck_cb USING (c))
+        SELECT n_items,
+               CAST(diag AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+               CAST(pe_num AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)) AS pe,
+               CASE WHEN pe_num = n_items * n_items THEN NULL
+                    ELSE (CAST(diag AS DOUBLE) / CAST(n_items AS DOUBLE)
+                          - CAST(pe_num AS DOUBLE)
+                            / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))
+                         / (CAST(1.0 AS DOUBLE)
+                            - CAST(pe_num AS DOUBLE)
+                              / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))
+               END AS kappa
+        FROM ck_n CROSS JOIN ck_pe
+    """
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    n_raters: int,
+    sample_col: str = "sample_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' κ over samples rated by exactly ``n_raters`` raters
+    (any raters — only the count matters). Samples with a different
+    rating count are DROPPED (the output's n_samples makes the drop
+    auditable against a plain count of the input). Returns ONE row:
+    (n_samples, n_raters, n_categories, p_bar, p_e, kappa) — kappa
+    NULL when p_e == 1 exactly (all kept ratings in one category) or
+    when no samples survive."""
+    if n_raters < 2:
+        raise ValueError("n_raters must be >= 2")
+    nij = ratings.groupBy(
+        F.col(sample_col).alias("_s"), _lab(label_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_nij"))
+    per_sample = nij.groupBy("_s").agg(
+        F.sum("_nij").cast("long").alias("_ni"),
+        F.sum(F.col("_nij") * F.col("_nij")).cast("long").alias("_s2"),
+    )
+    kept = per_sample.where(F.col("_ni") == n_raters)
+    top = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.coalesce(F.sum("_s2"), F.lit(0)).cast("long").alias("_S1"),
+    )
+    cj = (
+        nij.join(kept.select("_s"), "_s")
+        .groupBy("_c")
+        .agg(F.sum("_nij").cast("long").alias("_cj"))
+    )
+    cat = cj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(F.sum(F.col("_cj") * F.col("_cj")), F.lit(0))
+        .cast("long")
+        .alias("_S2"),
+    )
+    n = F.lit(int(n_raters)).cast("long")
+    big_n = F.col("n_samples")
+    a_int = F.col("_S1") - big_n * n
+    b_int = big_n * n * (n - F.lit(1).cast("long"))
+    nn = big_n * n
+    p_bar = a_int.cast("double") / b_int.cast("double")
+    p_e = F.col("_S2").cast("double") / (nn * nn).cast("double")
+    degenerate = (F.col("_S2") == nn * nn) | (big_n == 0)
+    return top.crossJoin(cat).select(
+        "n_samples",
+        F.lit(int(n_raters)).cast("long").alias("n_raters"),
+        "n_categories",
+        F.when(big_n == 0, F.lit(None).cast("double")).otherwise(p_bar).alias("p_bar"),
+        F.when(big_n == 0, F.lit(None).cast("double")).otherwise(p_e).alias("p_e"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise((p_bar - p_e) / (F.lit(1.0) - p_e))
+        .alias("kappa"),
+    )
+
+
+def duck_fleiss_kappa_sql(
+    ratings_sql: str,
+    n_raters: int,
+    sample_col: str = "sample_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of fleiss_kappa (same drop rule, same exact integer
+    moments, same final expression)."""
+    if n_raters < 2:
+        raise ValueError("n_raters must be >= 2")
+    n = int(n_raters)
+    lab = f"COALESCE(CAST({label_col} AS VARCHAR), chr(1))"
+    p_bar = (
+        "(CAST(S1 - n_samples * {n} AS DOUBLE)"
+        " / CAST(n_samples * {n} * ({n} - 1) AS DOUBLE))"
+    ).format(n=n)
+    p_e = (
+        "(CAST(S2 AS DOUBLE)"
+        " / CAST((n_samples * {n}) * (n_samples * {n}) AS DOUBLE))"
+    ).format(n=n)
+    return f"""
+        WITH fk_nij AS (
+            SELECT {sample_col} AS s, {lab} AS c,
+                   CAST(COUNT(*) AS BIGINT) AS nij
+            FROM ({ratings_sql}) r0 GROUP BY {sample_col}, {lab}),
+        fk_per AS (
+            SELECT s, CAST(SUM(nij) AS BIGINT) AS ni,
+                   CAST(SUM(nij * nij) AS BIGINT) AS s2
+            FROM fk_nij GROUP BY s),
+        fk_kept AS (SELECT s, s2 FROM fk_per WHERE ni = {n}),
+        fk_top AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(COALESCE(SUM(s2), 0) AS BIGINT) AS S1
+            FROM fk_kept),
+        fk_cj AS (
+            SELECT c, CAST(SUM(nij) AS BIGINT) AS cj
+            FROM fk_nij JOIN fk_kept USING (s) GROUP BY c),
+        fk_cat AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+                   CAST(COALESCE(SUM(cj * cj), 0) AS BIGINT) AS S2
+            FROM fk_cj)
+        SELECT n_samples, CAST({n} AS BIGINT) AS n_raters, n_categories,
+               CASE WHEN n_samples = 0 THEN NULL ELSE {p_bar} END AS p_bar,
+               CASE WHEN n_samples = 0 THEN NULL ELSE {p_e} END AS p_e,
+               CASE WHEN n_samples = 0 OR S2 = (n_samples * {n}) * (n_samples * {n})
+                    THEN NULL
+                    ELSE ({p_bar} - {p_e}) / (CAST(1.0 AS DOUBLE) - {p_e})
+               END AS kappa
+        FROM fk_top CROSS JOIN fk_cat
+    """

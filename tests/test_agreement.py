@@ -1,0 +1,105 @@
+"""Inter-judge agreement (Cohen / Fleiss kappa): hand-computed exact
+values, degenerate-chance NULLs, drop-rule audits, bit-identical
+DuckDB twins."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import agreement as ag
+
+# judge1 vs judge2 over 4 shared samples:
+# (x,x),(x,x),(x,y),(y,y) -> po=3/4, pe=(3*2+1*2)/16=1/2, kappa=1/2
+COHEN_ROWS = [
+    ("s1", "j1", "x"), ("s1", "j2", "x"),
+    ("s2", "j1", "x"), ("s2", "j2", "x"),
+    ("s3", "j1", "x"), ("s3", "j2", "y"),
+    ("s4", "j1", "y"), ("s4", "j2", "y"),
+    ("s5", "j1", "x"),               # unpaired: j2 never rated s5
+    ("s6", "j3", "x"), ("s6", "j3", "y"),  # other judge, ignored
+]
+SCHEMA = "sample_id string, judge_id string, label string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sample_id", "judge_id", "label"]), SCHEMA
+    )
+
+
+def test_cohen_kappa_semantics(spark):
+    r = ag.cohen_kappa(_df(spark, COHEN_ROWS), "j1", "j2").collect()[0]
+    assert r.n_items == 4
+    assert r.po == 0.75 and r.pe == 0.5 and r.kappa == 0.5
+
+
+def test_cohen_kappa_degenerate_and_dup_hygiene(spark):
+    # both judges constant on one category -> pe == 1 exactly -> NULL
+    rows = [("s1", "j1", "x"), ("s1", "j2", "x"),
+            ("s2", "j1", "x"), ("s2", "j2", "x")]
+    r = ag.cohen_kappa(_df(spark, rows), "j1", "j2").collect()[0]
+    assert r.po == 1.0 and r.pe == 1.0 and r.kappa is None
+    # duplicate (sample, judge) rating collapses to MIN label
+    dup = rows + [("s1", "j1", "z")]  # min('x','z') = 'x' -> unchanged
+    r2 = ag.cohen_kappa(_df(spark, dup), "j1", "j2").collect()[0]
+    assert r2.n_items == 2 and r2.po == 1.0
+    # NULL label is a real category (sentinel), not a dropped row
+    nul = [("s1", "j1", None), ("s1", "j2", None),
+           ("s2", "j1", "x"), ("s2", "j2", None)]
+    r3 = ag.cohen_kappa(_df(spark, nul), "j1", "j2").collect()[0]
+    assert r3.n_items == 2 and r3.po == 0.5
+
+
+# 2 raters: s1 unanimous (x,x), s2 split (x,y)
+# p_bar = 1/2, p_e = (3^2 + 1^2)/(2*2)^2 = 10/16, kappa = -1/3
+FLEISS_ROWS = [
+    ("s1", "j1", "x"), ("s1", "j2", "x"),
+    ("s2", "j1", "x"), ("s2", "j2", "y"),
+    ("s3", "j1", "x"), ("s3", "j2", "x"), ("s3", "j3", "x"),  # 3 ratings: dropped
+]
+
+
+def test_fleiss_kappa_semantics(spark):
+    r = ag.fleiss_kappa(_df(spark, FLEISS_ROWS), 2).collect()[0]
+    assert (r.n_samples, r.n_raters, r.n_categories) == (2, 2, 2)
+    assert r.p_bar == 0.5 and r.p_e == 0.625
+    assert abs(r.kappa - (-1.0 / 3.0)) < 1e-15
+    # all ratings one category -> p_e == 1 -> NULL kappa
+    uni = [("s1", "j1", "x"), ("s1", "j2", "x"),
+           ("s2", "j1", "x"), ("s2", "j2", "x")]
+    r2 = ag.fleiss_kappa(_df(spark, uni), 2).collect()[0]
+    assert r2.p_e == 1.0 and r2.kappa is None
+    # nothing survives the count filter -> all NULL, n_samples 0
+    r3 = ag.fleiss_kappa(_df(spark, uni), 4).collect()[0]
+    assert r3.n_samples == 0 and r3.kappa is None and r3.p_bar is None
+    with pytest.raises(ValueError):
+        ag.fleiss_kappa(_df(spark, uni), 1)
+    with pytest.raises(ValueError):
+        ag.duck_fleiss_kappa_sql("s", 0)
+
+
+@pytest.mark.parametrize("which", ["cohen", "fleiss"])
+def test_kappa_twins_bit_identical(spark, which):
+    rows = COHEN_ROWS + FLEISS_ROWS
+    pdf = pd.DataFrame(rows, columns=["sample_id", "judge_id", "label"])
+    con = duckdb.connect()
+    con.register("rt", pdf)
+    if which == "cohen":
+        got = ag.cohen_kappa(_df(spark, rows), "j1", "j2").collect()
+        want = con.sql(
+            ag.duck_cohen_kappa_sql("SELECT * FROM rt", "j1", "j2")
+        ).fetchall()
+    else:
+        got = ag.fleiss_kappa(_df(spark, rows), 2).collect()
+        want = con.sql(ag.duck_fleiss_kappa_sql("SELECT * FROM rt", 2)).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_kappa_partition_invariance(spark):
+    df = _df(spark, COHEN_ROWS + FLEISS_ROWS)
+    a = ag.cohen_kappa(df, "j1", "j2").collect()
+    b = ag.cohen_kappa(df.repartition(7, "label"), "j1", "j2").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = ag.fleiss_kappa(df, 2).collect()
+    d = ag.fleiss_kappa(df.repartition(5, "judge_id"), 2).collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in d]
