@@ -307,3 +307,108 @@ def duck_classifier_scores_sql(
         SELECT id, CAST(z AS BIGINT) AS logit_micro, {sig} AS prob
         FROM scored ORDER BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# Calibration: reliability bins over the integer logit axis
+# ---------------------------------------------------------------------------
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "logit_micro",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability curve for a scored+labeled sample: equal-WIDTH bins
+    over the integer micro-logit axis, each with its exact positive
+    rate — the diagnostic you read before trusting classifier_scores'
+    prob as a probability (a well-calibrated model shows pos_rate
+    rising with the bin). Equal-width rather than NTILE quantile bins
+    on purpose: quantile binning needs a GLOBAL sort (one-task window
+    at scale) and ties on the score make bin membership
+    order-dependent; equal-width binning is two hash aggregations and
+    bin membership is a pure integer function of the score.
+
+    Rows with NULL ``label_col`` are dropped (unlabeled); NULL scores
+    are dropped too (unscorable). Returns one row per NON-EMPTY bin:
+    (bin, bin_lo, bin_hi [observed], n, n_pos, pos_rate,
+    mean_score_micro) — pos_rate and the mean are the only doubles
+    (one division each, shared with the twin). Bin index is exact
+    integer arithmetic: b = (score − lo) · n_bins DIV (hi − lo + 1)
+    over the observed [lo, hi], all operands BIGINT (micro-logits are
+    ~10^7, so the product is far inside 2^63 for any sane n_bins);
+    all scores equal → everything lands in bin 0.
+
+    Scale shape: one global (lo, hi) agg broadcast by crossJoin, one
+    map-side-combined hash agg per bin. No sort, no window."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    rows = scored.where(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("_z"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    bounds = rows.agg(
+        F.min("_z").alias("_lo"), F.max("_z").alias("_hi")
+    )
+    b = F.expr(f"((_z - _lo) * {int(n_bins)}) DIV (_hi - _lo + 1)")
+    agg = (
+        rows.crossJoin(F.broadcast(bounds))
+        .withColumn("_b", b)
+        .groupBy("_b")
+        .agg(
+            F.min("_z").cast("long").alias("bin_lo"),
+            F.max("_z").cast("long").alias("bin_hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum("_z").cast("long").alias("_zsum"),
+        )
+    )
+    return agg.select(
+        F.col("_b").cast("long").alias("bin"),
+        "bin_lo",
+        "bin_hi",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("pos_rate"),
+        (F.col("_zsum").cast("double") / F.col("n").cast("double")).alias(
+            "mean_score_micro"
+        ),
+    )
+
+
+def duck_calibration_bins_sql(
+    scored_sql: str,
+    n_bins: int = 10,
+    score_col: str = "logit_micro",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of calibration_bins — the same integer bin
+    function ((z−lo)·n_bins // span over nonnegative operands, where
+    // and Spark's DIV agree) and the same two single-division
+    doubles."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    n = int(n_bins)
+    return f"""
+        WITH cb_rows AS (
+            SELECT CAST({score_col} AS BIGINT) AS z,
+                   CAST({label_col} AS BIGINT) AS y
+            FROM ({scored_sql}) s0
+            WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL),
+        cb_bounds AS (
+            SELECT MIN(z) AS lo, MAX(z) AS hi FROM cb_rows),
+        cb_agg AS (
+            SELECT ((z - lo) * {n}) // (hi - lo + 1) AS b,
+                   CAST(MIN(z) AS BIGINT) AS bin_lo,
+                   CAST(MAX(z) AS BIGINT) AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(z) AS BIGINT) AS zsum
+            FROM cb_rows CROSS JOIN cb_bounds
+            GROUP BY 1)
+        SELECT CAST(b AS BIGINT) AS bin, bin_lo, bin_hi, n, n_pos,
+               CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+               CAST(zsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score_micro
+        FROM cb_agg
+    """

@@ -295,3 +295,66 @@ def test_overlapping_label_ids_do_not_corrupt_training(spark, model):
         pos, neg, "id", "text", v=V, epochs=EPOCHS, lr=LR
     )
     assert overlap_model == model
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins
+# ---------------------------------------------------------------------------
+CAL_ROWS = [
+    # (id, logit_micro, label): two clean halves over [0, 19]
+    (1, 0, 0), (2, 1, 0), (3, 2, 0), (4, 3, 1),
+    (5, 10, 1), (6, 11, 1), (7, 12, 0), (8, 19, 1),
+    (9, 5, None),      # unlabeled -> dropped
+    (10, None, 1),     # unscored -> dropped
+]
+CAL_SCHEMA = "id long, logit_micro long, label long"
+
+
+def _cal_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(CAL_ROWS, columns=["id", "logit_micro", "label"]), CAL_SCHEMA
+    )
+
+
+def test_calibration_bins_semantics(spark):
+    got = {r.bin: r for r in clf.calibration_bins(_cal_df(spark), n_bins=2).collect()}
+    assert set(got) == {0, 1}
+    b0, b1 = got[0], got[1]
+    assert (b0.bin_lo, b0.bin_hi, b0.n, b0.n_pos) == (0, 3, 4, 1)
+    assert b0.pos_rate == 0.25 and b0.mean_score_micro == 1.5
+    assert (b1.bin_lo, b1.bin_hi, b1.n, b1.n_pos) == (10, 19, 4, 3)
+    assert b1.pos_rate == 0.75 and b1.mean_score_micro == 13.0
+    # all-equal scores -> single bin 0
+    one = spark.createDataFrame(
+        pd.DataFrame([(1, 5, 1), (2, 5, 0)], columns=["id", "logit_micro", "label"]),
+        CAL_SCHEMA,
+    )
+    rows = clf.calibration_bins(one, n_bins=10).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 2
+    with pytest.raises(ValueError):
+        clf.calibration_bins(one, n_bins=0)
+    with pytest.raises(ValueError):
+        clf.duck_calibration_bins_sql("s", n_bins=-1)
+
+
+@pytest.mark.parametrize("n_bins", [2, 3, 10])
+def test_calibration_bins_twin_bit_identical(spark, n_bins):
+    got = sorted(
+        map(tuple, clf.calibration_bins(_cal_df(spark), n_bins=n_bins).collect())
+    )
+    con = duckdb.connect()
+    con.register("cal", pd.DataFrame(CAL_ROWS, columns=["id", "logit_micro", "label"]))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            clf.duck_calibration_bins_sql("SELECT * FROM cal", n_bins=n_bins)
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_calibration_bins_partition_invariance(spark):
+    df = _cal_df(spark)
+    a = sorted(map(tuple, clf.calibration_bins(df, n_bins=3).collect()))
+    b = sorted(map(tuple, clf.calibration_bins(df.repartition(5, "id"), n_bins=3).collect()))
+    assert a == b
