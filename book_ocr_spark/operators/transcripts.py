@@ -190,6 +190,91 @@ def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
 # ---------------------------------------------------------------------------
 # Discounted per-turn returns (RL credit assignment over trajectories)
 # ---------------------------------------------------------------------------
+def terminal_rewards(
+    df: DataFrame,
+    verdicts: DataFrame,
+    pass_reward: float = 1.0,
+    fail_reward: float = 0.0,
+    role: str | None = "assistant",
+) -> DataFrame:
+    """Outcome-reward shaping: turn a conversation-level verdict into
+    the per-turn ``reward`` column the credit-assignment family
+    consumes — the standard sparse-outcome-reward setup (the verdict
+    lands on the LAST ``role`` turn; every other turn gets 0), so
+    ``terminal_rewards → turn_returns/turn_advantages →
+    group_relative_advantages`` is the full offline-RL labeling chain
+    with no glue code.
+
+    ``verdicts`` is the pass_at_k shape: (conv_id, passed boolean) —
+    first column the id, second the verdict; missing or NULL verdicts
+    count as failed (the pass_at_k convention). ``role=None`` puts the
+    reward on the conversation's last turn regardless of role. A conv
+    with NO role-matching turn gets all-zero rewards (there is no
+    terminal to pay). Rewards are caller literals embedded identically
+    in both engines — no float arithmetic beyond the literal itself.
+
+    Scale shape: one window max over the module's conv_id exchange +
+    one broadcastable verdict join; no Python."""
+    pr, fr = float(pass_reward), float(fail_reward)
+    v = verdicts.select(
+        F.col(verdicts.columns[0]).cast("string").alias("conv_id"),
+        F.col(verdicts.columns[1]).cast("boolean").alias("_passed"),
+    )
+    eligible = (
+        F.lit(True) if role is None else (F.col("role") == F.lit(role))
+    )
+    w = Window.partitionBy("conv_id")
+    with_max = df.withColumn(
+        "_term_idx",
+        F.max(F.when(eligible, F.col("turn_idx"))).over(w),
+    )
+    is_term = F.col("_term_idx").isNotNull() & (
+        F.col("turn_idx") == F.col("_term_idx")
+    )
+    verdict_reward = F.when(
+        F.coalesce(F.col("_passed"), F.lit(False)), F.lit(pr)
+    ).otherwise(F.lit(fr))
+    return (
+        with_max.join(v, "conv_id", "left")
+        .withColumn(
+            "reward", F.when(is_term, verdict_reward).otherwise(F.lit(0.0))
+        )
+        .drop("_term_idx", "_passed")
+    )
+
+
+def duck_terminal_rewards_sql(
+    src_sql: str,
+    verdicts_sql: str,
+    pass_reward: float = 1.0,
+    fail_reward: float = 0.0,
+    role: str | None = "assistant",
+) -> str:
+    """DuckDB twin of terminal_rewards (same terminal rule, same
+    missing-verdict-is-failed coalesce, same literals)."""
+    pr, fr = float(pass_reward), float(fail_reward)
+    elig = "TRUE" if role is None else f"role = '{role}'"
+    return f"""
+        WITH tr_src AS (
+            SELECT s.*,
+                   MAX(CASE WHEN {elig} THEN turn_idx END)
+                       OVER (PARTITION BY conv_id) AS _term_idx
+            FROM ({src_sql}) s),
+        tr_v AS (
+            SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+                   CAST(passed AS BOOLEAN) AS _passed
+            FROM ({verdicts_sql}) v0)
+        SELECT * EXCLUDE (_term_idx, _passed),
+               CASE WHEN _term_idx IS NOT NULL AND turn_idx = _term_idx
+                    THEN CASE WHEN COALESCE(_passed, FALSE)
+                              THEN CAST('{pr!r}' AS DOUBLE)
+                              ELSE CAST('{fr!r}' AS DOUBLE) END
+                    ELSE CAST('0.0' AS DOUBLE)
+               END AS reward
+        FROM tr_src LEFT JOIN tr_v USING (conv_id)
+    """
+
+
 def turn_returns(df: DataFrame, reward_col: str, gamma: float) -> DataFrame:
     """(conv_id, turn_idx, reward, ret): the discounted return
     G_t = r_t + gamma * G_{t+1} per turn over the conversation's turn

@@ -2188,6 +2188,79 @@ def test_sft_jsonl_weight_mask_from_window_turns(spark):
 
 
 # ---------------------------------------------------------------------------
+# Terminal-reward shaping (verdict -> per-turn reward column)
+# ---------------------------------------------------------------------------
+TRW_ROWS = [
+    ("t1", 0, "user", "q", None, TS),
+    ("t1", 1, "assistant", "a", None, TS),
+    ("t1", 2, "user", "ok?", None, TS),
+    ("t1", 3, "assistant", "done", None, TS),   # terminal assistant turn
+    ("t2", 0, "user", "q", None, TS),
+    ("t2", 1, "assistant", "nope", None, TS),
+    ("t3", 0, "user", "q", None, TS),
+    ("t3", 1, "assistant", "maybe", None, TS),  # no verdict row -> failed
+    ("t4", 0, "user", "solo", None, TS),        # no assistant turn at all
+]
+TRW_VERDICTS = [("t1", True), ("t2", False), ("t9", True)]
+
+
+@pytest.fixture(scope="module")
+def trw(spark):
+    df = spark.createDataFrame(pd.DataFrame(TRW_ROWS, columns=COLS), (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    ))
+    v = spark.createDataFrame(
+        pd.DataFrame(TRW_VERDICTS, columns=["conv_id", "passed"]),
+        "conv_id string, passed boolean",
+    )
+    return df, v
+
+
+def test_terminal_rewards_semantics(trw):
+    df, v = trw
+    got = {(r.conv_id, r.turn_idx): r.reward
+           for r in tr.terminal_rewards(df, v).collect()}
+    assert got[("t1", 3)] == 1.0                       # passed, terminal
+    assert got[("t1", 1)] == 0.0 and got[("t1", 0)] == 0.0
+    assert got[("t2", 1)] == 0.0                       # failed -> fail_reward
+    assert got[("t3", 1)] == 0.0                       # missing verdict = failed
+    assert got[("t4", 0)] == 0.0                       # no terminal to pay
+    # fail_reward=-1: failed/missing convs pay it at their terminal turn
+    neg = {(r.conv_id, r.turn_idx): r.reward
+           for r in tr.terminal_rewards(df, v, fail_reward=-1.0).collect()}
+    assert neg[("t1", 3)] == 1.0 and neg[("t2", 1)] == -1.0
+    assert neg[("t3", 1)] == -1.0 and neg[("t4", 0)] == 0.0
+    # role=None: the last turn regardless of role carries the verdict
+    any_role = {(r.conv_id, r.turn_idx): r.reward
+                for r in tr.terminal_rewards(df, v, role=None).collect()}
+    assert any_role[("t1", 3)] == 1.0 and any_role[("t4", 0)] == 0.0
+
+
+def test_terminal_rewards_twin_and_chain(trw, spark):
+    df, v = trw
+    got = _sorted(map(tuple, tr.terminal_rewards(df, v, 1.0, -0.5).collect()))
+    con = duckdb.connect()
+    con.register("trs", pd.DataFrame(TRW_ROWS, columns=COLS))
+    con.register("trv", pd.DataFrame(TRW_VERDICTS, columns=["conv_id", "passed"]))
+    want = _sorted(
+        tuple(r) for r in con.sql(tr.duck_terminal_rewards_sql(
+            "SELECT * FROM trs", "SELECT * FROM trv", 1.0, -0.5)).fetchall()
+    )
+    assert got == want and got
+    # the full offline-RL labeling chain composes without glue:
+    rewarded = tr.terminal_rewards(df, v)
+    rets = {(r.conv_id, r.turn_idx): r.ret
+            for r in tr.turn_returns(rewarded, "reward", 0.5).collect()}
+    assert rets[("t1", 3)] == 1.0 and rets[("t1", 2)] == 0.5
+    assert rets[("t1", 1)] == 0.25 and rets[("t1", 0)] == 0.125
+    assert rets[("t2", 1)] == 0.0
+    micro = rewarded.withColumn("r_micro", (F.col("reward") * 1000000).cast("long"))
+    adv = tr.group_relative_advantages(micro, "conv_id", "r_micro")
+    assert adv.where(F.col("adv") != 0.0).count() == 4  # only t1 varies
+
+
+# ---------------------------------------------------------------------------
 # Discounted per-turn returns
 # ---------------------------------------------------------------------------
 RET_ROWS = [
