@@ -324,6 +324,22 @@ def main(argv: list[str] | None = None) -> int:
     ij.add_argument("--output", required=True, help="turns parquet dir")
     ij.add_argument("--threads", type=int, default=None)
     ij.add_argument("--log-level", default="WARN")
+    rnk = sub.add_parser(
+        "rank",
+        help="fit a Bradley-Terry leaderboard from (winner, loser) "
+        "outcome rows (ranking.bt_strengths) joined with Wilson "
+        "win-rate intervals (ranking.item_win_rates); writes one "
+        "parquet row per item, prints a JSON summary",
+    )
+    rnk.add_argument("--input", required=True, help="outcomes parquet")
+    rnk.add_argument("--output", required=True, help="leaderboard parquet path")
+    rnk.add_argument("--winner-col", default="winner")
+    rnk.add_argument("--loser-col", default="loser")
+    rnk.add_argument("--iters", type=int, default=20, help="MM iterations")
+    rnk.add_argument("--smoothing", type=float, default=0.5)
+    rnk.add_argument("--z", type=float, default=1.96, help="Wilson interval z")
+    rnk.add_argument("--threads", type=int, default=None)
+    rnk.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
     args = top.parse_args(argv)
 
@@ -613,6 +629,54 @@ def main(argv: list[str] | None = None) -> int:
             }))
             return 0
         finally:
+            spark.stop()
+
+    if args.cmd == "rank":
+        from book_ocr_spark.operators.ranking import bt_strengths, item_win_rates
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-rank", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        handle: list = []
+        try:
+            outcomes = spark.read.parquet(args.input)
+            board = bt_strengths(
+                outcomes,
+                winner_col=args.winner_col,
+                loser_col=args.loser_col,
+                iters=args.iters,
+                smoothing=args.smoothing,
+                storage_handle=handle,
+            ).join(
+                item_win_rates(
+                    outcomes,
+                    winner_col=args.winner_col,
+                    loser_col=args.loser_col,
+                    z=args.z,
+                ).select("item", "win_rate", "wilson_low", "wilson_high"),
+                "item",
+            )
+            board.write.mode("overwrite").parquet(args.output)
+            rows = sorted(
+                spark.read.parquet(args.output).collect(),
+                key=lambda r: (-r.strength, r.item),
+            )
+            print(json.dumps({
+                "n_items": len(rows),
+                "iters": args.iters,
+                "leader": (
+                    {"item": rows[0].item,
+                     "strength": rows[0].strength,
+                     "win_rate": rows[0].win_rate}
+                    if rows else None
+                ),
+                "output": args.output,
+            }))
+            return 0
+        finally:
+            for frame in handle:
+                frame.unpersist()
             spark.stop()
 
     if args.cmd == "profile":

@@ -261,7 +261,11 @@ def item_win_rates(
     token-for-token with the twin (divisions, one sqrt — both
     IEEE-correctly-rounded; z and z² embedded as the same Python
     double literals). Scale shape: two hash aggs + one full-outer
-    join on item, all narrow."""
+    join on item, all narrow. The bounds are NOT clamped to [0,1]:
+    float jitter can leave them a few ULP outside (p=0 gives low ≈
+    −3e-17), and clamping would trade the shared-expression
+    exactness contract for cosmetics — clamp downstream if a UI
+    needs it."""
     if not z > 0:
         raise ValueError("z must be > 0")
     z = float(z)

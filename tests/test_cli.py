@@ -383,3 +383,23 @@ def test_cli_datasheet(spark, tmp_path, monkeypatch, capsys):
     assert card["n_convs"] == 5.0
     assert card["n_turns"] >= card["n_convs"]
     assert any(k.startswith("role_turns:") for k in card)
+
+
+def test_cli_rank(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    inp = str(tmp_path / "outcomes")
+    out = str(tmp_path / "board")
+    rows = [("A", "B")] * 4 + [("B", "A")] + [("B", "C")] * 3 + [("A", "C")] * 2
+    spark.createDataFrame(rows, "winner string, loser string").write.parquet(inp)
+    assert cli.main([
+        "rank", "--input", inp, "--output", out, "--iters", "5",
+    ]) == 0
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_items"] == 3 and card["leader"]["item"] == "A"
+    board = {r.item: r for r in spark.read.parquet(out).collect()}
+    assert set(board) == {"A", "B", "C"}
+    assert board["A"].strength > board["B"].strength > board["C"].strength
+    assert board["A"].wins == 6 and board["A"].games == 7
+    # Wilson bounds can sit a few ULP outside [0,1] (documented; p=0 low is ~-3e-17)
+    assert -1e-12 <= board["C"].wilson_low <= board["C"].win_rate
+    assert board["C"].win_rate <= board["C"].wilson_high <= 1.0 + 1e-12
