@@ -243,6 +243,25 @@ def duck_head_to_head_sql(
     """
 
 
+def wilson_bounds(wins_col, games_col, z: float):
+    """(win_rate, wilson_low, wilson_high) Columns from integer
+    win/game count Columns — ONE expression shape, defined once so
+    the batch operator and the streaming tracker can't drift. See
+    duck_item_win_rates_sql for the literal-embedding contract."""
+    if not z > 0:
+        raise ValueError("z must be > 0")
+    z = float(z)
+    z2 = z * z
+    n = games_col.cast("double")
+    p = wins_col.cast("double") / n
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (F.lit(z) / denom) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * (n * n))
+    )
+    return p, center - half, center + half
+
+
 def item_win_rates(
     outcomes: DataFrame,
     winner_col: str = "winner",
@@ -266,10 +285,6 @@ def item_win_rates(
     −3e-17), and clamping would trade the shared-expression
     exactness contract for cosmetics — clamp downstream if a UI
     needs it."""
-    if not z > 0:
-        raise ValueError("z must be > 0")
-    z = float(z)
-    z2 = z * z
     o = outcomes.select(
         F.col(winner_col).cast("string").alias("_w"),
         F.col(loser_col).cast("string").alias("_l"),
@@ -286,20 +301,14 @@ def item_win_rates(
         .cast("long")
         .alias("games"),
     )
-    n = F.col("games").cast("double")
-    p = F.col("wins").cast("double") / n
-    denom = F.lit(1.0) + F.lit(z2) / n
-    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
-    half = (F.lit(z) / denom) * F.sqrt(
-        p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * (n * n))
-    )
+    p, lo, hi = wilson_bounds(F.col("wins"), F.col("games"), z)
     return base.select(
         "item",
         "wins",
         "games",
         p.alias("win_rate"),
-        (center - half).alias("wilson_low"),
-        (center + half).alias("wilson_high"),
+        lo.alias("wilson_low"),
+        hi.alias("wilson_high"),
     )
 
 

@@ -853,3 +853,121 @@ def start_jsonl_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+OUTCOMES_STREAM_SCHEMA = "winner string, loser string"
+
+
+def start_outcome_tracking(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    z: float = 1.96,
+    available_now: bool = False,
+):
+    """Streaming leaderboard tracking — item_win_rates running
+    continuously over arena/eval outcomes: each micro-batch of
+    (winner, loser) rows becomes a per-item (wins, games) DELTA
+    appended under ``counts/`` (batch_id-keyed dynamic partition
+    overwrite, so at-least-once replays are idempotent), and the
+    CUMULATIVE board — counts through this batch with win_rate +
+    Wilson bounds (ranking.wilson_bounds, the same expression the
+    batch operator uses) — is snapshotted under ``board/`` per batch.
+    The read-then-catch rule is the module standard: a missing
+    ``counts/`` dir means first batch; an unreadable one fails the
+    batch so the engine retries (never silently track from zero).
+    Hygiene matches ranking: NULL ids and self-games dropped.
+
+    Scale shape per batch: two hash aggs over the batch + one sum over
+    the (items-sized) cumulative counts — the full outcome history is
+    never rescanned (deltas sum on read, the standard MERGE shape
+    here)."""
+    from book_ocr_spark.operators.ranking import wilson_bounds
+
+    stream = (
+        spark.readStream.schema(OUTCOMES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    counts_path = f"{out_path}/counts"
+    board_path = f"{out_path}/board"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        o = batch_df.select(
+            F.col("winner").cast("string").alias("_w"),
+            F.col("loser").cast("string").alias("_l"),
+        ).where(
+            F.col("_w").isNotNull() & F.col("_l").isNotNull()
+            & (F.col("_w") != F.col("_l"))
+        )
+        w = o.groupBy(F.col("_w").alias("item")).agg(
+            F.count(F.lit(1)).cast("long").alias("_nw")
+        )
+        l = o.groupBy(F.col("_l").alias("item")).agg(
+            F.count(F.lit(1)).cast("long").alias("_nl")
+        )
+        delta = (
+            w.join(l, "item", "full_outer")
+            .select(
+                "item",
+                F.coalesce("_nw", F.lit(0)).cast("long").alias("wins"),
+                (F.coalesce("_nw", F.lit(0)) + F.coalesce("_nl", F.lit(0)))
+                .cast("long")
+                .alias("games"),
+            )
+            .persist()
+        )
+        try:
+            try:
+                existing = (
+                    spark.read.parquet(counts_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("item", "wins", "games")
+                )
+            except AnalysisException as exc:
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, counts_path
+                ):
+                    raise
+                existing = spark.createDataFrame(
+                    [], "item string, wins long, games long"
+                )
+            cum = (
+                existing.unionByName(delta)
+                .groupBy("item")
+                .agg(
+                    F.sum("wins").cast("long").alias("wins"),
+                    F.sum("games").cast("long").alias("games"),
+                )
+            )
+            p, lo, hi = wilson_bounds(F.col("wins"), F.col("games"), z)
+            (
+                cum.select(
+                    "item", "wins", "games",
+                    p.alias("win_rate"),
+                    lo.alias("wilson_low"),
+                    hi.alias("wilson_high"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(board_path)
+            )
+            (
+                delta.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(counts_path)
+            )
+        finally:
+            delta.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -622,3 +622,53 @@ def test_jsonl_ingest_stream(spark, tmp_path):
     q = jobs.start_jsonl_ingest(spark, inp, out, ckpt, available_now=True)
     q.awaitTermination(120)
     assert spark.read.parquet(f"{out}/turns").count() == 3
+
+
+def test_streaming_outcome_tracking(spark, tmp_path):
+    """Streaming leaderboard: per-batch (wins, games) deltas
+    accumulate; each batch's board snapshot carries the CUMULATIVE
+    Wilson-bounded win rates, matching the batch operator on the same
+    union of outcomes; replays are idempotent (batch_id partitions)."""
+    from book_ocr_spark.operators.ranking import item_win_rates
+
+    inp = str(tmp_path / "oc_in")
+    out = str(tmp_path / "oc_out")
+    b1 = [("A", "B"), ("A", "B"), ("B", "C")]
+    b2 = [("B", "A"), ("A", "C"), ("A", "A"), (None, "B")]  # junk dropped
+    for b in (b1, b2):
+        spark.createDataFrame(b, "winner string, loser string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    q = jobs.start_outcome_tracking(
+        spark, inp, out, str(tmp_path / "ckpt_oc"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    board = spark.read.parquet(f"{out}/board")
+    last = board.agg(F.max("batch_id")).collect()[0][0]
+    final = {r.item: r for r in board.where(F.col("batch_id") == last).collect()}
+    # cumulative: A 3W/4G, B 2W/4G (the NULL-winner row is junk, not
+    # a game), C 0W/2G
+    assert (final["A"].wins, final["A"].games) == (3, 4)
+    assert (final["B"].wins, final["B"].games) == (2, 4)
+    assert (final["C"].wins, final["C"].games) == (0, 2)
+    # the snapshot must equal the batch operator over the same history
+    clean = [t for t in b1 + b2 if t[0] and t[1] and t[0] != t[1]]
+    want = {
+        r.item: r
+        for r in item_win_rates(
+            spark.createDataFrame(clean, "winner string, loser string")
+        ).collect()
+    }
+    for item, row in final.items():
+        ref = want[item]
+        assert (row.wins, row.games) == (ref.wins, ref.games)
+        assert row.win_rate == ref.win_rate
+        assert row.wilson_low == ref.wilson_low
+        assert row.wilson_high == ref.wilson_high
+    # deltas sum to the same counts (the state table is consistent)
+    cum = {r.item: (r.w, r.g) for r in spark.read.parquet(f"{out}/counts")
+           .groupBy("item").agg(F.sum("wins").alias("w"), F.sum("games").alias("g"))
+           .collect()}
+    assert cum == {k: (v.wins, v.games) for k, v in final.items()}
