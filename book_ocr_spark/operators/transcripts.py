@@ -1263,6 +1263,123 @@ def duck_tool_usage_sql(src_sql: str) -> str:
     """
 
 
+def tool_transitions(df: DataFrame) -> DataFrame:
+    """Tool-chain bigrams: (src, dst, n, n_convs) where ``dst`` is the
+    tool called on a conversation's NEXT tool-call turn after ``src``
+    (consecutive in the tool-call subsequence ordered by turn_idx —
+    intervening non-tool turns don't break the chain; that's the
+    "which tool follows which" workflow signal, not mere adjacency).
+    Busiest edge first (ties by src, dst asc). Scale shape: one lag
+    window + one hash agg, both keyed on conv_id / narrow strings —
+    the same single conv_id exchange every transcript op here rides.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = df.where(_tool_valid()).select(
+        "conv_id", "turn_idx", F.col("tool").alias("dst")
+    )
+    edges = calls.select(
+        "conv_id", F.lag("dst").over(w).alias("src"), "dst"
+    ).where(F.col("src").isNotNull())
+    return (
+        edges.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("src").asc(), F.col("dst").asc())
+    )
+
+
+def duck_tool_transitions_sql(src_sql: str) -> str:
+    """DuckDB twin of tool_transitions."""
+    return f"""
+        WITH calls AS (
+            SELECT conv_id, turn_idx, tool AS dst,
+                   LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src
+            FROM ({src_sql}) s
+            WHERE tool IS NOT NULL AND tool <> ''
+        )
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM calls WHERE src IS NOT NULL
+        GROUP BY src, dst
+        ORDER BY n DESC, src ASC, dst ASC
+    """
+
+
+def tool_loops(df: DataFrame, min_run: int = 3) -> DataFrame:
+    """Stuck-agent detection: maximal runs of consecutive tool-call
+    turns (in the conversation's tool-call subsequence, ordered by
+    turn_idx) that repeat the SAME (tool, text) call — the classic
+    runaway-loop trajectory a curation pass must gate out. Emits one
+    row per run of length ≥ min_run: (conv_id, tool, run_len,
+    start_idx, end_idx), ordered by conv_id, start_idx.
+
+    Identical-call key is md5(tool ␟ text) with chr(1) as the NULL
+    sentinel, so runs group on a 32-char hex instead of arbitrary-
+    length text (NULL text ≠ '' text). Gaps-and-islands: island id =
+    row_number over the call subsequence − row_number over (key) —
+    constant within a run, distinct across runs. Scale shape: two
+    windows + one hash agg, ALL keyed on conv_id (one exchange); run
+    length is bounded by conversation length, never corpus size."""
+    if min_run < 2:
+        raise ValueError("min_run must be >= 2 (a run of 1 is not a loop)")
+    key = F.md5(
+        F.concat(
+            F.col("tool"),
+            F.lit("\x1f"),
+            F.coalesce(F.col("text"), F.lit("\x01")),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wk = Window.partitionBy("conv_id", "_k").orderBy("turn_idx")
+    calls = df.where(_tool_valid()).select(
+        "conv_id", "turn_idx", "tool", key.alias("_k")
+    )
+    islands = calls.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "_k",
+        (F.row_number().over(w) - F.row_number().over(wk)).alias("_isl"),
+    )
+    return (
+        islands.groupBy("conv_id", "_k", "_isl")
+        .agg(
+            F.first("tool").alias("tool"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("turn_idx").alias("start_idx"),
+            F.max("turn_idx").alias("end_idx"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select("conv_id", "tool", "run_len", "start_idx", "end_idx")
+        .orderBy("conv_id", "start_idx")
+    )
+
+
+def duck_tool_loops_sql(src_sql: str, min_run: int = 3) -> str:
+    """DuckDB twin of tool_loops."""
+    return f"""
+        WITH calls AS (
+            SELECT conv_id, turn_idx, tool,
+                   md5(tool || chr(31) || COALESCE(text, chr(1))) AS k
+            FROM ({src_sql}) s
+            WHERE tool IS NOT NULL AND tool <> ''
+        ), isl AS (
+            SELECT conv_id, turn_idx, tool, k,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   - ROW_NUMBER() OVER (PARTITION BY conv_id, k ORDER BY turn_idx)
+                       AS g
+            FROM calls
+        )
+        SELECT conv_id, MIN(tool) AS tool, CAST(COUNT(*) AS BIGINT) AS run_len,
+               MIN(turn_idx) AS start_idx, MAX(turn_idx) AS end_idx
+        FROM isl GROUP BY conv_id, k, g
+        HAVING COUNT(*) >= {int(min_run)}
+        ORDER BY conv_id, start_idx
+    """
+
+
 # ---------------------------------------------------------------------------
 # Conversation prefix dedup (agent re-run dedup)
 # ---------------------------------------------------------------------------

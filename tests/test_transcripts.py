@@ -190,6 +190,66 @@ def test_tool_usage_twin(tdf, con):
     assert got[0][0] == "calc" and got[0][1] == 4 and got[0][2] == 2
 
 
+def test_tool_transitions_twin_and_values(tdf, con):
+    """Tool-chain bigrams skip non-tool turns: conv b's two 'search'
+    calls sit at turn 1 and 3 with a tool-less turn between, and still
+    chain. conv a has one lone call -> contributes no edge."""
+    got = [tuple(r) for r in tr.tool_transitions(tdf).collect()]
+    want = [tuple(r) for r in con.sql(tr.duck_tool_transitions_sql(SRC)).fetchall()]
+    assert got == want
+    assert got == [("calc", "calc", 2, 2), ("search", "search", 1, 1)]
+
+
+LOOP_ROWS = [
+    # conv L: calc(x) ×3 then calc(y) then calc(x) ×2 — two runs of the
+    # same (tool, text) key, split by the y call; only the first passes
+    # min_run=3. A search(x) call can't merge with calc(x).
+    ("L", 0, "assistant", "x", "calc", TS),
+    ("L", 1, "assistant", "x", "calc", TS),
+    ("L", 2, "user", "noise, no tool", None, TS),
+    ("L", 3, "assistant", "x", "calc", TS),
+    ("L", 4, "assistant", "y", "calc", TS),
+    ("L", 5, "assistant", "x", "calc", TS),
+    ("L", 6, "assistant", "x", "calc", TS),
+    ("L", 7, "assistant", "x", "search", TS),
+    # conv M: NULL text vs '' text are DIFFERENT calls (chr(1) sentinel)
+    ("M", 0, "assistant", None, "calc", TS),
+    ("M", 1, "assistant", "", "calc", TS),
+    ("M", 2, "assistant", None, "calc", TS),
+]
+
+
+def test_tool_loops_semantics_and_twin(spark):
+    pdf = pd.DataFrame(LOOP_ROWS, columns=COLS)
+    ldf = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = [tuple(r) for r in tr.tool_loops(ldf, min_run=3).collect()]
+    # one run: calc(x) spanning turns 0..3 (turn 2 is not a tool call
+    # and does not break the call-subsequence run), length 3
+    assert got == [("L", "calc", 3, 0, 3)]
+    at2 = [tuple(r) for r in tr.tool_loops(ldf, min_run=2).collect()]
+    assert at2 == [("L", "calc", 3, 0, 3), ("L", "calc", 2, 5, 6)]
+    c = duckdb.connect()
+    c.register("lt", pdf)
+    for mr in (2, 3):
+        want = [
+            tuple(r)
+            for r in c.sql(tr.duck_tool_loops_sql("SELECT * FROM lt", min_run=mr)).fetchall()
+        ]
+        have = [tuple(r) for r in tr.tool_loops(ldf, min_run=mr).collect()]
+        assert have == want
+    with pytest.raises(ValueError):
+        tr.tool_loops(ldf, min_run=1)
+
+
+def test_tool_loops_empty_on_fixture(tdf, con):
+    """The shared fixture has no repeated identical call — both
+    engines agree on the empty result."""
+    assert tr.tool_loops(tdf).count() == 0
+    assert con.sql(tr.duck_tool_loops_sql(SRC)).fetchall() == []
+
+
 def test_prefix_dedup_twin(tdf, con):
     got = _sorted([tuple(r) for r in tr.prefix_dedup(tdf).collect()])
     want = _sorted([tuple(r) for r in con.sql(tr.duck_prefix_dedup_sql(SRC)).fetchall()])
