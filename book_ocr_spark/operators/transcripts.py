@@ -1381,6 +1381,138 @@ def duck_tool_loops_sql(src_sql: str, min_run: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Response-echo detection (verbatim copy of earlier context)
+# ---------------------------------------------------------------------------
+# Tokenization shared with the DuckDB twin: split on the EXPLICIT
+# ASCII whitespace class (Java \s and RE2 \s disagree on \x0B), drop
+# empty tokens. A turn shorter than n tokens emits no grams and is
+# absent from the output.
+_ECHO_WS = "[ \\t\\n\\r\\f]+"
+
+
+def echo_rate(df: DataFrame, n: int = 8, role: str | None = "assistant") -> DataFrame:
+    """Per-turn verbatim-echo rate: the fraction of a turn's distinct
+    word n-grams that already occurred in an EARLIER turn of the same
+    conversation (any role). High echo_rate marks responses that
+    mostly restate context — quote-heavy answers, copy-loop agents,
+    tool output parroted back — a quality signal turn-grain filters
+    gate on. Emits (conv_id, turn_idx, n_grams, n_echoed, echo_rate)
+    for turns of ``role`` (None = all) with ≥ 1 gram, ordered by
+    (conv_id, turn_idx).
+
+    "Already occurred" = the conversation-wide FIRST turn_idx carrying
+    the gram is strictly smaller than this turn's — so a gram repeated
+    inside one turn, or coined by this turn, is not an echo. Grams key
+    as position-free 48-bit md5 ints (the module's portable-hash
+    idiom): the shuffle moves (conv_id, h48) rows, never gram text.
+
+    Scale shape: one explode (≈ tokens-per-turn rows), then ONE
+    exchange on (conv_id, gram-hash) where a window-min tags each gram
+    row with its conversation-wide first turn (no self-join — the
+    explode lineage runs once), then a per-turn hash agg. No driver
+    action; everything is conversation-local so 10^12 turns
+    parallelize by conv_id."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tk = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), _ECHO_WS),
+        lambda x: x != "",
+    )
+    # per-turn distinct BEFORE the explode (array_distinct is a local
+    # map) — a post-explode .distinct() would cost a whole extra
+    # exchange on (conv_id, turn_idx, gram)
+    gram_keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i, n))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    grams = (
+        df.select("conv_id", "turn_idx", "role", tk.alias("_tk"))
+        .where(F.size("_tk") >= n)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.explode(gram_keys).alias("_g"),
+        )
+    )
+    # first-occurrence as a window min, not an agg + self-join: one
+    # exchange on (conv_id, gram) and the explode lineage runs ONCE
+    # (the join formulation recomputes it per side)
+    first = F.min("turn_idx").over(Window.partitionBy("conv_id", "_g"))
+    tagged = grams.select(
+        "conv_id", "turn_idx", "role", first.alias("_first")
+    )
+    target = tagged if role is None else tagged.where(
+        F.coalesce(F.col("role"), F.lit("")) == role
+    )
+    return (
+        target.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_first") < F.col("turn_idx")).cast("long"))
+            .cast("long")
+            .alias("n_echoed"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_grams",
+            "n_echoed",
+            (F.col("n_echoed").cast("double") / F.col("n_grams").cast("double"))
+            .alias("echo_rate"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def duck_echo_rate_sql(src_sql: str, n: int = 8, role: str | None = "assistant") -> str:
+    """DuckDB twin of echo_rate (same tokenizer, same 48-bit gram
+    keys, same first-occurrence rule)."""
+    n = int(n)
+    role_pred = (
+        "TRUE" if role is None else f"COALESCE(role, '') = '{role}'"
+    )
+    return f"""
+        WITH e_toks AS (
+            SELECT conv_id, turn_idx, role,
+                   list_filter(
+                       string_split_regex(COALESCE(text, ''), '[ \t\n\r\f]+'),
+                       x -> x <> '') AS tk
+            FROM ({src_sql}) s
+        ), e_grams AS (
+            SELECT DISTINCT conv_id, turn_idx, role,
+                   CAST(('0x' || substr(md5(
+                       array_to_string(tk[i.u:i.u + {n - 1}], ' ')
+                   ), 1, 12)) AS BIGINT) AS g
+            FROM e_toks, UNNEST(range(1, len(tk) - {n} + 2)) AS i(u)
+            WHERE len(tk) >= {n}
+        ), e_first AS (
+            SELECT conv_id, g, MIN(turn_idx) AS f
+            FROM e_grams GROUP BY conv_id, g
+        )
+        SELECT t.conv_id, t.turn_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN e_first.f < t.turn_idx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_echoed,
+               CAST(SUM(CASE WHEN e_first.f < t.turn_idx THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS echo_rate
+        FROM e_grams t
+        JOIN e_first ON t.conv_id = e_first.conv_id AND t.g = e_first.g
+        WHERE {role_pred}
+        GROUP BY t.conv_id, t.turn_idx
+        ORDER BY t.conv_id, t.turn_idx
+    """
+
+
+# ---------------------------------------------------------------------------
 # Conversation prefix dedup (agent re-run dedup)
 # ---------------------------------------------------------------------------
 def _spark_turn_h48() -> str:

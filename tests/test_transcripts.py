@@ -250,6 +250,74 @@ def test_tool_loops_empty_on_fixture(tdf, con):
     assert con.sql(tr.duck_tool_loops_sql(SRC)).fetchall() == []
 
 
+ECHO_ROWS = [
+    # conv E hand-case at n=3 (grams in [] per turn):
+    # t0 user  "a b c d e"      -> [abc, bcd, cde]       coins all
+    # t1 asst  "x y a b c d"    -> [xya, yab, abc, bcd]  2/4 echoed
+    # t2 asst  "a b c"          -> [abc]                 1/1 echoed
+    # t3 asst  "p q"            -> too short, absent
+    # t4 user  "a b c d e"      -> all echoed, visible only role=None
+    # t5 asst  "z z z z"        -> [zzz]x2 distinct to 1, coined HERE
+    #                              (in-turn repeat is not an echo) -> 0.0
+    ("E", 0, "user", "a b c d e", None, TS),
+    ("E", 1, "assistant", "x\ty a\nb c d", None, TS),
+    ("E", 2, "assistant", "a b c", None, TS),
+    ("E", 3, "assistant", "p q", None, TS),
+    ("E", 4, "user", "a b c d e", None, TS),
+    ("E", 5, "assistant", "z z  z z", None, TS),
+    # conv F: same grams as E but a different conversation — first-
+    # occurrence is conversation-local, so nothing here is an echo
+    ("F", 0, "assistant", "a b c d e", None, TS),
+    ("F", 1, None, None, None, TS),
+]
+
+
+def test_echo_rate_semantics(spark):
+    pdf = pd.DataFrame(ECHO_ROWS, columns=COLS)
+    edf = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in tr.echo_rate(edf, n=3).collect()}
+    assert set(got) == {("E", 1), ("E", 2), ("E", 5), ("F", 0)}
+    assert (got[("E", 1)].n_grams, got[("E", 1)].n_echoed) == (4, 2)
+    assert got[("E", 1)].echo_rate == 0.5
+    assert (got[("E", 2)].n_grams, got[("E", 2)].n_echoed) == (1, 1)
+    assert (got[("E", 5)].n_grams, got[("E", 5)].n_echoed) == (1, 0)
+    assert (got[("F", 0)].n_grams, got[("F", 0)].n_echoed) == (3, 0)
+    all_roles = {
+        (r.conv_id, r.turn_idx): r for r in tr.echo_rate(edf, n=3, role=None).collect()
+    }
+    assert (all_roles[("E", 4)].n_grams, all_roles[("E", 4)].n_echoed) == (3, 3)
+    assert (all_roles[("E", 0)].n_grams, all_roles[("E", 0)].n_echoed) == (3, 0)
+    with pytest.raises(ValueError):
+        tr.echo_rate(edf, n=0)
+
+
+def test_echo_rate_twin(spark):
+    pdf = pd.DataFrame(ECHO_ROWS, columns=COLS)
+    edf = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    c = duckdb.connect()
+    c.register("et", pdf)
+    for kw in ({"n": 3}, {"n": 3, "role": None}, {"n": 2}, {"n": 1, "role": "user"}):
+        got = [tuple(r) for r in tr.echo_rate(edf, **kw).collect()]
+        want = [
+            tuple(r)
+            for r in c.sql(tr.duck_echo_rate_sql("SELECT * FROM et", **kw)).fetchall()
+        ]
+        assert got == want, kw
+
+
+def test_echo_rate_twin_on_shared_fixture(tdf, con):
+    """Shared fixture (multiline + unicode text, NULLs, dup convs):
+    both engines agree at the default-ish n and with role=None."""
+    for kw in ({"n": 2}, {"n": 3, "role": None}):
+        got = [tuple(r) for r in tr.echo_rate(tdf, **kw).collect()]
+        want = [tuple(r) for r in con.sql(tr.duck_echo_rate_sql(SRC, **kw)).fetchall()]
+        assert got == want, kw
+
+
 def test_prefix_dedup_twin(tdf, con):
     got = _sorted([tuple(r) for r in tr.prefix_dedup(tdf).collect()])
     want = _sorted([tuple(r) for r in con.sql(tr.duck_prefix_dedup_sql(SRC)).fetchall()])
