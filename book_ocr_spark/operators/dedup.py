@@ -496,6 +496,151 @@ def minhash_near_dup(
 
 
 # ---------------------------------------------------------------------------
+# Edit-similarity near-dup (normalized Levenshtein verification)
+# ---------------------------------------------------------------------------
+def _edit_sim_cols(threshold: float):
+    """(length-gate predicate, unrounded edit_sim Column) over t_a /
+    t_b. sim = 1 − lev(a,b)/max(len) with both-empty defined as 1.0.
+    The gate is the free pre-filter lev ≥ |len(a) − len(b)|: a pair
+    whose length gap alone already puts sim below the threshold never
+    pays the O(L²) DP."""
+    la, lb = F.length("t_a"), F.length("t_b")
+    mx = F.greatest(la, lb).cast("double")
+    gate = F.abs(la - lb).cast("double") <= (F.lit(1.0) - F.lit(threshold)) * mx
+    sim = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein("t_a", "t_b").cast("double") / mx
+    )
+    return gate, sim
+
+
+def edit_verify(
+    pairs: DataFrame, corpus: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact normalized edit similarity on candidate (id_a, id_b)
+    pairs: re-attach both texts by equi-join, gate on the length-gap
+    bound (lev ≥ |Δlen|, so the gate drops only pairs that cannot
+    qualify), then filter 1 − lev/max(len) ≥ threshold on the
+    UNROUNDED value; the projection rounds to 4 (the jaccard_verify
+    convention). NULL text verifies as ''. Spark's levenshtein counts
+    CHARACTERS (code points) — see duck_edit_near_dup_sql for the
+    byte-based-DuckDB caveat."""
+    t = corpus.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    gate, sim = _edit_sim_cols(threshold)
+    j = (
+        pairs.join(
+            t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a"
+        )
+        .join(
+            t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b"
+        )
+        .where(gate)
+        .withColumn("_s", sim)
+    )
+    return j.filter(F.col("_s") >= threshold).select(
+        "id_a", "id_b", F.round("_s", 4).alias("edit_sim")
+    )
+
+
+def edit_near_dup(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    bands: int = BANDS,
+    materialize: bool = True,
+    storage_handle: list | None = None,
+    hot_bucket_cap: int | None = None,
+    hot_bucket_policy: str = "salt",
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """Near-dup pairs under NORMALIZED EDIT SIMILARITY ≥ threshold —
+    the criterion code-corpus dedup (CodeParrot/BigCode) and eval-
+    contamination audits use where word-Jaccard is too coarse (small
+    in-place edits, reordered identifiers).
+
+    Candidates come from the minhash/LSH machinery over CHAR
+    k-shingles: one edit touches at most k shingle windows, so d ≤
+    (1−θ)·Lmax edits shifts char-shingle Jaccard by at most ~k·d
+    shingles — J(a,b) ≳ (S − kd)/(S + kd) for S ≈ L distinct
+    shingles. At the default θ=0.8, k=3 that floor is ≈ 0.25, where
+    the default 32×2 banding hits ≈ 87% per-pair recall (use
+    choose_minhash_bands on the floor to buy more). Verification is
+    EXACT (edit_verify kills every LSH false positive), so precision
+    is 1.0; recall is the banding's — edit_near_dup_bruteforce is the
+    definitional ground truth the tests compare against. Hot-bucket
+    controls pass straight through to the band join.
+
+    Scale shape: identical to minhash_near_dup (banded equi-join on
+    narrow rows, no cartesian) plus the per-candidate DP, which the
+    length-gap gate skips wherever |Δlen| alone disqualifies."""
+    grams = shingle_sets(corpus, id_col, text_col, k, unit="char")
+    if materialize:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        if storage_handle is not None:
+            storage_handle.append(grams)
+    cands = lsh_candidate_pairs(
+        _signature_from_grams(grams), "id",
+        hot_bucket_cap, hot_bucket_policy, dropped_handle, bands,
+    )
+    return edit_verify(cands, corpus, id_col, text_col, threshold)
+
+
+def edit_near_dup_bruteforce(
+    corpus: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """The O(n²) all-pairs definition — verification-grade only (the
+    recall ground truth for the LSH-candidate path;
+    duck_edit_near_dup_sql is its SQL twin)."""
+    t = corpus.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    a = t.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    gate, sim = _edit_sim_cols(threshold)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(gate)
+        .withColumn("_s", sim)
+        .filter(F.col("_s") >= threshold)
+        .select("id_a", "id_b", F.round("_s", 4).alias("edit_sim"))
+    )
+
+
+def duck_edit_near_dup_sql(
+    src_sql: str, id_col: str, text_col: str, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of edit_near_dup_bruteforce. CROSS-ENGINE CAVEAT:
+    DuckDB's levenshtein counts BYTES (levenshtein('café','cafe')=2)
+    while Spark's counts CHARACTERS (=1), so the twin agrees only on
+    ASCII text; the unicode semantics are pinned by a pure-Python DP
+    reference in the tests instead. length() counts characters in
+    both engines."""
+    th = float(threshold)
+    sim = (
+        "CASE WHEN greatest(length(a.t), length(b.t)) = 0 THEN 1.0 "
+        "ELSE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) "
+        "/ CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) END"
+    )
+    return f"""
+        WITH ed_d AS (
+            SELECT {id_col} AS id, COALESCE({text_col}, '') AS t
+            FROM ({src_sql}) s
+        )
+        SELECT a.id AS id_a, b.id AS id_b, ROUND({sim}, 4) AS edit_sim
+        FROM ed_d a JOIN ed_d b ON a.id < b.id
+        WHERE {sim} >= {th!r}
+        ORDER BY id_a, id_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # Incremental (snapshot + new batch) dedup — the daily-ingest shape
 # ---------------------------------------------------------------------------
 def incremental_exact_dedup(

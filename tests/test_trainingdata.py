@@ -1536,3 +1536,139 @@ def test_redact_secrets_placeholder_never_rematches(spark):
     want = sorted(map(tuple, con.sql(
         duck_redact_secrets_sql("SELECT * FROM ph")).fetchall()))
     assert sorted(tuple(r) for r in redact_secrets(df, "id", "text").collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# Edit-similarity near-dup
+# ---------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    """Pure-Python Levenshtein DP — the definitional (code-point)
+    reference that pins the unicode semantics the DuckDB twin can't
+    (byte-based levenshtein there)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+EDIT_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # lev 3 vs 0
+    (2, "an entirely different sentence about shuffle partitions"),
+    (3, ""),
+    (4, ""),          # (3,4): both empty -> sim 1.0 by definition
+    (5, None),        # NULL verifies as '' -> sim 1.0 vs 3 and 4
+    (6, "cafe au lait and a croissant for breakfast today please"),
+    (7, "caff au lait and a croissant for breakfast today please"),  # lev 1
+]
+
+
+def _py_edit_pairs(rows, threshold):
+    txt = {i: (t or "") for i, t in rows}
+    out = {}
+    ids = sorted(txt)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = txt[ids[x]], txt[ids[y]]
+            mx = max(len(a), len(b))
+            sim = 1.0 if mx == 0 else 1.0 - _lev(a, b) / mx
+            if sim >= threshold:
+                out[(ids[x], ids[y])] = sim
+    return out
+
+
+def test_edit_near_dup_bruteforce_vs_python(spark):
+    df = spark.createDataFrame(EDIT_DOCS, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_sim
+        for r in dedup.edit_near_dup_bruteforce(df, "id", "text", 0.8).collect()
+    }
+    want = _py_edit_pairs(EDIT_DOCS, 0.8)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 5e-5, k
+    assert set(want) == {(0, 1), (3, 4), (3, 5), (4, 5), (6, 7)}
+
+
+def test_edit_near_dup_bruteforce_vs_python_unicode(spark):
+    """Code-point semantics: one é-for-e edit on 12-char strings is
+    sim 1 − 1/12, not the byte-based 1 − 2/12."""
+    rows = [(0, "café au lait"), (1, "cafe au lait")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_sim
+        for r in dedup.edit_near_dup_bruteforce(df, "id", "text", 0.8).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - (1.0 - 1.0 / 12.0)) < 5e-5
+
+
+def test_edit_near_dup_lsh_matches_bruteforce_on_nonempty(spark):
+    """The LSH-candidate path equals the all-pairs definition on the
+    non-degenerate docs (empty docs shed no shingles, so only the
+    brute-force/definitional path can pair them — documented)."""
+    nonempty = [(i, t) for i, t in EDIT_DOCS if t]
+    df = spark.createDataFrame(nonempty, "id int, text string")
+    handle = []
+    lsh = {
+        (r.id_a, r.id_b): r.edit_sim
+        for r in dedup.edit_near_dup(
+            df, "id", "text", threshold=0.8, storage_handle=handle
+        ).collect()
+    }
+    for h in handle:
+        h.unpersist()
+    brute = {
+        (r.id_a, r.id_b): r.edit_sim
+        for r in dedup.edit_near_dup_bruteforce(df, "id", "text", 0.8).collect()
+    }
+    assert lsh == brute
+    assert set(lsh) == {(0, 1), (6, 7)}
+
+
+def test_edit_near_dup_duck_twin_ascii(spark):
+    """Bit-identical vs the DuckDB twin on ASCII (where byte-lev ==
+    char-lev), including the rounded projection."""
+    import duckdb
+
+    rows = [(i, t) for i, t in EDIT_DOCS]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = sorted(
+        tuple(r)
+        for r in dedup.edit_near_dup_bruteforce(df, "id", "text", 0.8).collect()
+    )
+    con = duckdb.connect()
+    con.register("ed", pd.DataFrame(rows, columns=["id", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            dedup.duck_edit_near_dup_sql("SELECT * FROM ed", "id", "text", 0.8)
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_edit_verify_length_gate_only_drops_unqualifiable(spark):
+    """The |Δlen| gate is conservative: a candidate pair killed by the
+    gate can never reach the threshold, so forcing ALL candidate pairs
+    through verification changes nothing."""
+    rows = [(i, t) for i, t in EDIT_DOCS if t]
+    df = spark.createDataFrame(rows, "id int, text string")
+    ids = [i for i, _ in rows]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a int, id_b int"
+    )
+    via_verify = {
+        (r.id_a, r.id_b)
+        for r in dedup.edit_verify(all_pairs, df, "id", "text", 0.8).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.edit_near_dup_bruteforce(df, "id", "text", 0.8).collect()
+    }
+    assert via_verify == brute
