@@ -1,0 +1,146 @@
+"""Answer-accuracy scoring for eval transcripts: SQuAD-style exact
+match and token F1 of a predicted answer against a gold answer
+(Rajpurkar et al. 2016's official normalizer, re-expressed as engine-
+portable SQL expressions).
+
+Normalization (the official order): lowercase → strip ASCII
+punctuation (replace with NOTHING, so "end.The" fuses — that is the
+reference behavior, reproduced deliberately) → drop the articles
+a/an/the as whole words → collapse whitespace. Token F1 is the
+MULTISET overlap: common = Σ_t min(count_pred(t), count_gold(t)),
+F1 = 2·common / (n_pred + n_gold), with the both-empty edge defined
+as EM=true / F1=1 and one-side-empty as 0 (the official scorer's
+rule).
+
+Scale shape: everything is a per-row projection over token ARRAYS —
+the multiset intersection runs as array HOFs (aggregate over the
+distinct union of tokens), so scoring 10^12 rows needs ZERO
+exchanges: no explode, no groupBy, no join. Answer strings are short
+(they're answers), so the O(distinct·len) per-row HOF is trivia
+next to a shuffle it replaces.
+
+The punctuation class is written as explicit ASCII ranges
+(``[!-/:-@\\[-`{-~]``) with the ``[`` escaped: Java regex treats a
+bare ``[`` inside a class as a NESTED class start, RE2 (DuckDB)
+treats it literally — escaping is the one spelling both engines read
+the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PUNCT = "[!-/:-@\\[-`{-~]"
+_WS = "[ \\t\\n\\r\\f]+"
+_ARTICLES = "\\b(a|an|the)\\b"
+
+
+def squad_normalize(col: Column) -> Column:
+    """Normalized answer string (see module docstring for the order).
+    NULL normalizes like ''."""
+    s = F.lower(F.coalesce(col, F.lit("")))
+    s = F.regexp_replace(s, _PUNCT, "")
+    s = F.regexp_replace(s, _ARTICLES, " ")
+    return F.trim(F.regexp_replace(s, _WS, " "))
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(squad_normalize(col), " "), lambda x: x != "")
+
+
+def token_f1(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """(id, n_pred, n_gold, n_common, em, f1) per row — exact match
+    and multiset-token F1 under SQuAD normalization. Pure projection:
+    see the module docstring for why this never shuffles."""
+    p, g = _toks(F.col(pred_col)), _toks(F.col(gold_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        p.alias("_p"),
+        g.alias("_g"),
+        squad_normalize(F.col(pred_col)).alias("_np"),
+        squad_normalize(F.col(gold_col)).alias("_ng"),
+    )
+    count_in = lambda arr, t: F.size(F.filter(arr, lambda x: x == t))  # noqa: E731
+    common = F.aggregate(
+        F.array_distinct(F.concat(F.col("_p"), F.col("_g"))),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.least(count_in(F.col("_p"), t), count_in(F.col("_g"), t)),
+    )
+    np_, ng = F.size("_p").cast("long"), F.size("_g").cast("long")
+    denom = (np_ + ng).cast("double")
+    f1 = F.when(denom == F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(2.0) * F.col("n_common").cast("double") / denom
+    )
+    return (
+        base.select(
+            "id",
+            np_.alias("n_pred"),
+            ng.alias("n_gold"),
+            common.cast("long").alias("n_common"),
+            (F.col("_np") == F.col("_ng")).alias("em"),
+            "_p",
+            "_g",
+        )
+        .select(
+            "id",
+            "n_pred",
+            "n_gold",
+            "n_common",
+            "em",
+            f1.alias("f1"),
+        )
+        .orderBy("id")
+    )
+
+
+_DUCK_PUNCT = "[!-/:-@\\[-`{-~]"
+
+
+def _duck_norm(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower(COALESCE({expr}, '')), '{_DUCK_PUNCT}', '', 'g'), "
+        "'\\b(a|an|the)\\b', ' ', 'g'), '[ \t\n\r\f]+', ' ', 'g'))"
+    )
+
+
+def duck_token_f1_sql(src_sql: str, id_col: str, pred_col: str, gold_col: str) -> str:
+    """DuckDB twin of token_f1 (same normalizer, same multiset HOF)."""
+    return f"""
+        WITH f1_n AS (
+            SELECT {id_col} AS id,
+                   {_duck_norm(pred_col)} AS np,
+                   {_duck_norm(gold_col)} AS ng
+            FROM ({src_sql}) s
+        ), f1_t AS (
+            SELECT id, np, ng,
+                   list_filter(string_split(np, ' '), x -> x <> '') AS p,
+                   list_filter(string_split(ng, ' '), x -> x <> '') AS g
+            FROM f1_n
+        ), f1_c AS (
+            SELECT id, np, ng, p, g,
+                   COALESCE(list_sum(list_transform(
+                       list_distinct(list_concat(p, g)),
+                       t -> least(len(list_filter(p, x -> x = t)),
+                                  len(list_filter(g, x -> x = t)))
+                   )), 0) AS common
+            FROM f1_t
+        )
+        SELECT id,
+               CAST(len(p) AS BIGINT) AS n_pred,
+               CAST(len(g) AS BIGINT) AS n_gold,
+               CAST(common AS BIGINT) AS n_common,
+               np = ng AS em,
+               CASE WHEN len(p) + len(g) = 0 THEN 1.0
+                    ELSE 2.0 * CAST(common AS DOUBLE)
+                         / CAST(len(p) + len(g) AS DOUBLE) END AS f1
+        FROM f1_c
+        ORDER BY id
+    """

@@ -1,0 +1,94 @@
+"""SQuAD-style answer scoring (exact match + multiset token F1):
+pinned against a pure-Python port of the official normalizer and a
+bit-identical DuckDB twin."""
+
+import re
+import string
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import evals
+
+
+def _py_norm(s):
+    """Straight port of the official SQuAD normalize_answer()."""
+    s = (s or "").lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def _py_f1(pred, gold):
+    p, g = _py_norm(pred).split(), _py_norm(gold).split()
+    if not p and not g:
+        return 1.0
+    from collections import Counter
+
+    common = sum((Counter(p) & Counter(g)).values())
+    if common == 0:
+        return 0.0
+    return 2.0 * common / (len(p) + len(g))
+
+
+ROWS = [
+    (0, "The quick brown fox.", "quick brown fox"),          # EM after norm
+    (1, "An answer: forty-two!", "forty two"),               # punct fusion: "fortytwo" != "forty two"
+    (2, "Paris", "The city of Paris"),                       # partial overlap
+    (3, "", ""),                                             # both empty -> EM, F1 1
+    (4, "something", ""),                                    # one empty -> F1 0
+    (5, None, "gold"),                                       # NULL pred = ''
+    (6, "a a the an", "an a"),                               # only articles -> both empty
+    (7, "word word word", "word"),                           # multiset: min(3,1)=1
+    (8, "Tabs\tand\nnewlines  here", "tabs and newlines here"),
+    (9, "Café au lait", "café au lait"),           # unicode passthrough
+]
+
+
+@pytest.fixture(scope="module")
+def adf(spark):
+    return spark.createDataFrame(ROWS, "id int, pred string, gold string")
+
+
+def test_token_f1_matches_python_reference(adf):
+    got = {r.id: r for r in evals.token_f1(adf, "id", "pred", "gold").collect()}
+    for i, pred, gold in ROWS:
+        assert got[i].em == (_py_norm(pred) == _py_norm(gold)), i
+        assert abs(got[i].f1 - _py_f1(pred, gold)) < 1e-12, i
+    assert got[0].em is True and got[0].f1 == 1.0
+    assert got[1].f1 == 0.0  # "fortytwo" fused by punctuation strip
+    assert got[3].f1 == 1.0 and got[3].em is True
+    assert got[4].f1 == 0.0
+    assert got[6].f1 == 1.0 and got[6].em is True
+    assert (got[7].n_pred, got[7].n_gold, got[7].n_common) == (3, 1, 1)
+    assert got[7].f1 == 0.5
+
+
+def test_token_f1_duck_twin(adf):
+    got = [tuple(r) for r in evals.token_f1(adf, "id", "pred", "gold").collect()]
+    con = duckdb.connect()
+    con.register("ans", pd.DataFrame(ROWS, columns=["id", "pred", "gold"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            evals.duck_token_f1_sql("SELECT * FROM ans", "id", "pred", "gold")
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_token_f1_no_exchange(adf):
+    """Scoring is a pure projection — the plan must contain no
+    shuffle besides the output sort."""
+    plan = (
+        evals.token_f1(adf, "id", "pred", "gold")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in ex), plan
+    assert "CartesianProduct" not in plan
