@@ -144,3 +144,86 @@ def duck_token_f1_sql(src_sql: str, id_col: str, pred_col: str, gold_col: str) -
         FROM f1_c
         ORDER BY id
     """
+
+
+def answer_verdicts(
+    df: DataFrame,
+    gold: DataFrame,
+    threshold: float = 0.5,
+    metric: str = "f1",
+    role: str | None = "assistant",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Grade each conversation's TERMINAL answer against a gold table
+    and emit the (conv_id, passed) verdict shape pass_at_k and
+    terminal_rewards already consume — the adapter that closes the
+    arc  transcripts → token_f1 → pass@k / reward shaping  with no
+    glue code.
+
+    The graded answer is the text of the conversation's LAST ``role``
+    turn (the terminal_rewards rule; role=None grades the last turn of
+    any role), NULL text reading as '' — the max_by aggregates a
+    coalesced value so both engines pick the same row. One row per
+    ``gold`` conversation: a conv with no eligible turn grades '' (so
+    passed only if gold normalizes empty). ``metric``: 'f1' (token F1
+    ≥ threshold) or 'em' (exact match; threshold ignored).
+
+    Scale shape: one conv_id hash agg (max_by), one equi-join against
+    the (small, broadcastable) gold table, then the token_f1 pure
+    projection — nothing new shuffles beyond the agg."""
+    if metric not in ("f1", "em"):
+        raise ValueError("metric must be 'f1' or 'em'")
+    rows = df if role is None else df.where(
+        F.coalesce(F.col("role"), F.lit("")) == role
+    )
+    last = rows.groupBy("conv_id").agg(
+        F.max_by(F.coalesce(F.col("text"), F.lit("")), F.col("turn_idx")).alias(
+            "_pred"
+        )
+    )
+    joined = gold.select("conv_id", F.col(gold_col).alias("_gold")).join(
+        last, "conv_id", "left"
+    )
+    scored = token_f1(joined, "conv_id", "_pred", "_gold").withColumnRenamed(
+        "id", "conv_id"
+    )
+    passed = (
+        F.col("em")
+        if metric == "em"
+        else (F.col("f1") >= F.lit(float(threshold)))
+    )
+    return scored.select(
+        "conv_id", "n_pred", "n_gold", "n_common", "em", "f1",
+        passed.alias("passed"),
+    ).orderBy("conv_id")
+
+
+def duck_answer_verdicts_sql(
+    src_sql: str,
+    gold_sql: str,
+    threshold: float = 0.5,
+    metric: str = "f1",
+    role: str | None = "assistant",
+    gold_col: str = "gold",
+) -> str:
+    """DuckDB twin of answer_verdicts (arg_max over the coalesced
+    text picks the same terminal turn both engines see)."""
+    if metric not in ("f1", "em"):
+        raise ValueError("metric must be 'f1' or 'em'")
+    role_pred = "TRUE" if role is None else f"COALESCE(role, '') = '{role}'"
+    passed = "em" if metric == "em" else f"f1 >= {float(threshold)!r}"
+    inner = f"""
+        WITH av_last AS (
+            SELECT conv_id, arg_max(COALESCE(text, ''), turn_idx) AS pred
+            FROM ({src_sql}) s WHERE {role_pred} GROUP BY conv_id
+        )
+        SELECT g.conv_id AS conv_id, av_last.pred AS pred,
+               g.{gold_col} AS gold
+        FROM ({gold_sql}) g LEFT JOIN av_last USING (conv_id)
+    """
+    f1 = duck_token_f1_sql(inner, "conv_id", "pred", "gold")
+    return f"""
+        SELECT id AS conv_id, n_pred, n_gold, n_common, em, f1,
+               ({passed}) AS passed
+        FROM ({f1}) q ORDER BY conv_id
+    """

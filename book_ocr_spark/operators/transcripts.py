@@ -1315,6 +1315,14 @@ def tool_loops(df: DataFrame, min_run: int = 3) -> DataFrame:
     row per run of length ≥ min_run: (conv_id, tool, run_len,
     start_idx, end_idx), ordered by conv_id, start_idx.
 
+    Complement of loop_signals/filter_looping_convs (strict TURN
+    adjacency): the realistic agent loop is call → tool-result turn →
+    identical call again, which adjacency-grain runs can't see because
+    the interleaved result turn breaks them — here the run is over the
+    tool-call SUBSEQUENCE, so it survives interleaving. Use
+    loop_signals for re-emitted identical replies, tool_loops for
+    re-issued identical calls.
+
     Identical-call key is md5(tool ␟ text) with chr(1) as the NULL
     sentinel, so runs group on a 32-char hex instead of arbitrary-
     length text (NULL text ≠ '' text). Gaps-and-islands: island id =
@@ -4042,7 +4050,9 @@ def loop_signals(df: DataFrame) -> DataFrame:
     runs, a (conv_id, run) count measures them, a conv_id agg rolls
     up. No turn ever compares beyond its immediate predecessor, so
     per-turn cost is O(1) at 10^12 turns and a monster conversation
-    costs its own length, nothing quadratic."""
+    costs its own length, nothing quadratic. See tool_loops for the
+    complementary grain: identical CALLS re-issued across interleaved
+    tool-result turns, which strict turn adjacency can't see."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     same = (
         F.col("role").eqNullSafe(F.lag("role").over(w))

@@ -92,3 +92,99 @@ def test_token_f1_no_exchange(adf):
     ex = [l for l in plan.splitlines() if "Exchange" in l]
     assert all("rangepartitioning" in l for l in ex), plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# answer_verdicts: terminal-answer grading -> the pass_at_k verdict shape
+# ---------------------------------------------------------------------------
+CONVS = [
+    # c1: terminal assistant answer matches gold after normalization
+    ("c1", 0, "user", "what is the capital of France?", None, None),
+    ("c1", 1, "assistant", "I think it's Paris.", None, None),
+    ("c1", 2, "assistant", "The capital is Paris!", None, None),
+    # c2: terminal answer wrong
+    ("c2", 0, "user", "2+2?", None, None),
+    ("c2", 1, "assistant", "five", None, None),
+    # c3: no assistant turn at all
+    ("c3", 0, "user", "anyone there?", None, None),
+    # c4: terminal assistant turn is NULL text (grades as '')
+    ("c4", 0, "assistant", "early real answer", None, None),
+    ("c4", 1, "assistant", None, None, None),
+]
+GOLD = [("c1", "capital is Paris"), ("c2", "4"), ("c3", ""), ("c4", "x"),
+        ("c9", "ungraded conv id")]
+
+
+@pytest.fixture(scope="module")
+def cdf(spark):
+    return spark.createDataFrame(
+        CONVS,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def gdf(spark):
+    return spark.createDataFrame(GOLD, "conv_id string, gold string")
+
+
+def test_answer_verdicts_semantics(cdf, gdf):
+    got = {r.conv_id: r for r in evals.answer_verdicts(cdf, gdf, threshold=0.9).collect()}
+    assert set(got) == {"c1", "c2", "c3", "c4", "c9"}
+    assert got["c1"].passed is True and got["c1"].em is True
+    assert got["c2"].passed is False and got["c2"].f1 == 0.0
+    # c3: no eligible turn -> pred '', gold '' -> both empty -> pass
+    assert got["c3"].passed is True and got["c3"].f1 == 1.0
+    # c4: terminal turn NULL -> '' vs non-empty gold -> fail (the
+    # earlier real answer must NOT be graded)
+    assert got["c4"].passed is False
+    # c9: gold for a conv that never ran -> pred '' vs gold -> fail
+    assert got["c9"].passed is False
+    em = {r.conv_id: r.passed for r in evals.answer_verdicts(cdf, gdf, metric="em").collect()}
+    assert em == {"c1": True, "c2": False, "c3": True, "c4": False, "c9": False}
+    with pytest.raises(ValueError):
+        evals.answer_verdicts(cdf, gdf, metric="rouge")
+
+
+def test_answer_verdicts_duck_twin(cdf, gdf):
+    con = duckdb.connect()
+    con.register("cv", pd.DataFrame(
+        CONVS, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+    con.register("gd", pd.DataFrame(GOLD, columns=["conv_id", "gold"]))
+    for kw in ({"threshold": 0.9}, {"metric": "em"}, {"threshold": 0.4, "role": None}):
+        got = [tuple(r) for r in evals.answer_verdicts(cdf, gdf, **kw).collect()]
+        want = [
+            tuple(r)
+            for r in con.sql(
+                evals.duck_answer_verdicts_sql(
+                    "SELECT * FROM cv", "SELECT * FROM gd", **kw
+                )
+            ).fetchall()
+        ]
+        assert got == want, kw
+
+
+def test_answer_verdicts_feed_pass_at_k(spark, cdf, gdf):
+    """The verdict shape drops straight into pass_at_k: re-runs of one
+    context graded by token F1 produce the unbiased estimator with no
+    glue code."""
+    from book_ocr_spark.operators import transcripts as tr
+
+    # two re-runs sharing an identical depth-1 prefix; r1 passes, r2 fails
+    rows = [
+        ("r1", 0, "user", "q?", None, None),
+        ("r1", 1, "assistant", "right answer", None, None),
+        ("r2", 0, "user", "q?", None, None),
+        ("r2", 1, "assistant", "wrong", None, None),
+    ]
+    rdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    g = spark.createDataFrame(
+        [("r1", "right answer"), ("r2", "right answer")], "conv_id string, gold string"
+    )
+    verdicts = evals.answer_verdicts(rdf, g, threshold=0.9).select("conv_id", "passed")
+    out = {r.k: r for r in tr.pass_at_k(rdf, 1, verdicts, ks=(1, 2)).collect()}
+    assert out[1].n_candidates == 2 and out[1].n_passed == 1
+    assert out[1].pass_at_k == 0.5 and out[2].pass_at_k == 1.0
