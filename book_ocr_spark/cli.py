@@ -205,6 +205,15 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated roles eligible for the boilerplate strip "
         "(default: all roles)",
     )
+    ct.add_argument(
+        "--max-echo-rate", type=float, default=None,
+        help="drop conversations whose assistant turns' gram-weighted "
+        "echo rate vs earlier context exceeds this (parrot gate)",
+    )
+    ct.add_argument(
+        "--echo-n", type=int, default=8,
+        help="word n-gram size for the echo gate (default 8)",
+    )
     ct.add_argument("--redact", action="store_true", help="turn-grain PII redaction")
     ct.add_argument(
         "--redact-secrets", action="store_true",
@@ -494,6 +503,8 @@ def main(argv: list[str] | None = None) -> int:
                     if args.boilerplate_roles is not None
                     else None
                 ),
+                max_echo_rate=args.max_echo_rate,
+                echo_n=args.echo_n,
                 redact=args.redact,
                 redact_secrets=args.redact_secrets,
                 semantic_dim=args.semantic_dim,

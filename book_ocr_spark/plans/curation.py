@@ -446,6 +446,8 @@ def curate_transcripts(
     tool_output_max_chars: int | None = None,
     boilerplate_min_convs: int | None = None,
     boilerplate_roles: list[str] | None = None,
+    max_echo_rate: float | None = None,
+    echo_n: int = 8,
     redact: bool = False,
     redact_secrets: bool = False,
     semantic_dim: int | None = None,
@@ -498,6 +500,11 @@ def curate_transcripts(
          the web pass's line-dedup rule applied to turns; scope with
          ``boilerplate_roles``. Runs AFTER redaction on purpose:
          placeholder-collapsed texts count as the same template);
+      2b''. optional parrot gate (``max_echo_rate`` [+ ``echo_n``]:
+         conversations whose assistant turns' gram-weighted echo rate
+         — transcripts.echo_rate rolled up to conv grain — exceeds
+         the cap drop; an agent that mostly restates its context is a
+         bad trajectory even when every individual turn passes);
       2c. optional conversation-grain semantic dedup (``semantic_dim``:
          transcripts.conv_semantic_dedup on the extracted — and, with
          ``redact``, scrubbed — turns; REWORDED/REORDERED re-runs that
@@ -631,6 +638,36 @@ def curate_transcripts(
             ext, boilerplate_min_convs, boilerplate_roles
         )
         _audit_mark(audit, "boilerplate_strip", ext)
+    if max_echo_rate is not None:
+        # conversation-grain parrot gate on the extracted (post-
+        # redaction, post-boilerplate) text: a conversation whose
+        # assistant turns' gram-weighted echo rate — Σ n_echoed /
+        # Σ n_grams over transcripts.echo_rate — EXCEEDS the cap is an
+        # agent that mostly restates its context and never reaches
+        # assembly. Conversations with no assistant grams are kept
+        # (nothing to judge). echo_rate references ext and the anti-
+        # join reads it again — pin it, or the Python extraction
+        # re-runs per reference (the module's unpinned-lazy-input
+        # lesson).
+        from book_ocr_spark.operators.transcripts import echo_rate
+
+        ext = ext.persist()
+        if storage_handle is not None:
+            storage_handle.append(ext)
+        parrots = (
+            echo_rate(ext, n=echo_n, role="assistant")
+            .groupBy("conv_id")
+            .agg(
+                (
+                    F.sum("n_echoed").cast("double")
+                    / F.sum("n_grams").cast("double")
+                ).alias("_er")
+            )
+            .where(F.col("_er") > F.lit(float(max_echo_rate)))
+            .select("conv_id")
+        )
+        ext = ext.join(parrots, "conv_id", "left_anti")
+        _audit_mark(audit, "echo_gate", ext)
     if semantic_dim is not None:
         # conversation-grain semantic dedup on the extracted text:
         # hashed-TF embedding -> IVF-celled exact cosine -> min-id

@@ -69,7 +69,8 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
                 rows=None, benchmark=None, contamination_n=13,
                 max_viol=None, max_run=None, tool_cap=None,
                 bp_min_convs=None,
-                bp_roles=None, redact=False, redact_secrets=False,
+                bp_roles=None, max_echo=None, echo_n=8,
+                redact=False, redact_secrets=False,
                 semantic_dim=None,
                 semantic_threshold=0.9, semantic_cells=16,
                 window_max_turns=None, window_stride=None,
@@ -154,6 +155,23 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             ).df(),
         )
         src = "SELECT * FROM bps"
+    if max_echo is not None:
+        from book_ocr_spark.operators.transcripts import duck_echo_rate_sql
+
+        con.register(
+            "parrot",
+            con.sql(
+                "SELECT conv_id FROM ("
+                + duck_echo_rate_sql(src, n=echo_n, role="assistant")
+                + ") e GROUP BY conv_id HAVING "
+                "CAST(SUM(n_echoed) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)"
+                f" > {float(max_echo)!r}"
+            ).df(),
+        )
+        src = (
+            f"SELECT * FROM ({src}) eg "
+            "WHERE conv_id NOT IN (SELECT conv_id FROM parrot)"
+        )
     if semantic_dim is not None:
         from book_ocr_spark.operators.transcripts import (
             duck_conv_semantic_pairs_sql,
@@ -618,6 +636,50 @@ def test_curate_transcripts_tool_cap_stage(spark):
         (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
         for cid, ex, nt, ntt, el, fp, tok in con.sql(
             _duck_chain(con, rows=rows, tool_cap=120)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_transcripts_echo_gate(spark):
+    """2b'': a conversation whose assistant turns mostly parrot earlier
+    context drops at the conv-grain echo gate; a novel-answer sibling
+    survives — and the composed pass twins stage for stage."""
+    question = "please summarize the quarterly revenue figures for me now"
+    rows = _rows() + [
+        # pe: the assistant's only turn echoes the user verbatim
+        ("pe", 0, "user", question, "plain", TS),
+        ("pe", 1, "assistant", question, "plain", TS + pd.Timedelta(seconds=30)),
+        # pn: same user turn, novel answer -> kept
+        ("pn", 0, "user", question, "plain", TS),
+        ("pn", 1, "assistant", "revenue grew nine percent on strong subscriptions",
+         "plain", TS + pd.Timedelta(seconds=30)),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+
+    base = sorted(
+        r.conv_id
+        for r in curate_transcripts(df, n_parts=4, prefix_max_depth=64).collect()
+    )
+    assert "pe" in base and "pn" in base  # no gate -> both survive
+
+    got = sorted(
+        map(
+            tuple,
+            curate_transcripts(
+                df, n_parts=4, prefix_max_depth=64,
+                max_echo_rate=0.5, echo_n=3,
+            ).collect(),
+        )
+    )
+    ids = [r[0] for r in got]
+    assert "pe" not in ids and "pn" in ids
+
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(
+            _duck_chain(con, rows=rows, max_echo=0.5, echo_n=3)
         ).fetchall()
     )
     assert got == want
