@@ -49,6 +49,22 @@ def _term_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def token_buckets(
+    df: DataFrame, text_col: str = "text", m: int = M_BUCKETS
+) -> DataFrame:
+    """(b, c): the hashed-unigram bucket histogram — the persistable
+    half of jsd_summary. A monitoring pipeline stores THIS per corpus
+    snapshot / micro-batch (m narrow rows, broadcast material) and
+    compares histograms later via jsd_from_buckets, so the corpus is
+    tokenized exactly once ever."""
+    return (
+        df.select(F.explode(ws_tokens(text_col)).alias("t"))
+        .select((F.expr(spark_h28("t")) % m).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
 def jsd_summary(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -63,22 +79,27 @@ def jsd_summary(
     exactly 0). jsd_micro is an integer sum of per-bucket micro-rounded
     contributions — reproducible and twin-exact. Bounded by ln 2 ≈
     693147 micro-nats; alert on a fraction of that."""
-    buckets_a = (
-        df_a.select(F.explode(ws_tokens(text_col)).alias("t"))
-        .select((F.expr(spark_h28("t")) % m).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("ca"))
+    return jsd_from_buckets(
+        token_buckets(df_a, text_col, m),
+        token_buckets(df_b, text_col, m),
+        m=m,
+        alpha=alpha,
     )
-    buckets_b = (
-        df_b.select(F.explode(ws_tokens(text_col)).alias("t"))
-        .select((F.expr(spark_h28("t")) % m).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("cb"))
-    )
+
+
+def jsd_from_buckets(
+    ba: DataFrame, bb: DataFrame, m: int = M_BUCKETS, alpha: float = ALPHA
+) -> DataFrame:
+    """jsd_summary's comparison half over two stored (b, c) histograms
+    (token_buckets output). ONE expression shape shared with the
+    streaming drift monitor so batch and stream can't diverge — the
+    wilson_bounds factoring rule applied here."""
+    buckets_a = ba.select("b", F.col("c").alias("ca"))
+    buckets_b = bb.select("b", F.col("c").alias("cb"))
     tot = buckets_a.agg(
         F.coalesce(F.sum("ca"), F.lit(0)).alias("na")
     ).crossJoin(buckets_b.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("nb")))
-    spark = df_a.sparkSession
+    spark = ba.sparkSession
     spine = spark.range(m).select(F.col("id").cast("long").alias("b"))
     joined = (
         spine.join(buckets_a, "b", "left")

@@ -971,3 +971,93 @@ def start_outcome_tracking(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_drift_monitor(
+    spark: SparkSession,
+    input_path: str,
+    reference_buckets_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    m: int | None = None,
+    alpha: float | None = None,
+    alert_micro: int | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming distribution-drift monitor: every micro-batch of
+    transcript turns is reduced to its hashed-unigram bucket histogram
+    (drift.token_buckets — m narrow rows) and scored against a
+    PRECOMPUTED reference histogram with drift.jsd_from_buckets, the
+    SAME expressions the batch jsd_summary runs (factored so batch and
+    stream can't drift — the wilson_bounds rule). Per batch this
+    appends the histogram under ``buckets/`` and one metrics row
+    (batch_id, n_tokens, n_buckets, jsd_micro, alert) under
+    ``metrics/`` — both batch_id-keyed dynamic partition overwrites,
+    so at-least-once replays are idempotent.
+
+    The reference is a token_buckets parquet the caller wrote once
+    (``token_buckets(ref_df).write.parquet(path)``); it is a
+    PRECONDITION, not state — an unreadable reference FAILS the batch
+    (never silently score against nothing). ``alert_micro``: threshold
+    on jsd_micro (bounded by ln 2 ≈ 693147); None records alert=false.
+
+    Scale shape per batch: one tokenize+hash-agg over the batch, a
+    broadcast-sized (m-row) spine join, a one-row write — the corpus
+    history is never re-tokenized (histograms sum, the MERGE shape)."""
+    from book_ocr_spark.operators.drift import (
+        ALPHA,
+        M_BUCKETS,
+        jsd_from_buckets,
+        token_buckets,
+    )
+
+    m = M_BUCKETS if m is None else m
+    alpha = ALPHA if alpha is None else alpha
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bb = token_buckets(batch_df, "text", m).persist()
+        try:
+            ref = spark.read.parquet(reference_buckets_path)
+            jsd = jsd_from_buckets(ref, bb, m=m, alpha=alpha)
+            n_tokens = bb.agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens")
+            )
+            alert = (
+                F.lit(False)
+                if alert_micro is None
+                else (F.col("jsd_micro") > F.lit(int(alert_micro)))
+            )
+            metrics = (
+                jsd.crossJoin(n_tokens)
+                .select(
+                    "n_tokens",
+                    "n_buckets",
+                    "jsd_micro",
+                    alert.alias("alert"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+            (
+                metrics.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_path}/metrics")
+            )
+            (
+                bb.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_path}/buckets")
+            )
+        finally:
+            bb.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -672,3 +672,55 @@ def test_streaming_outcome_tracking(spark, tmp_path):
            .groupBy("item").agg(F.sum("wins").alias("w"), F.sum("games").alias("g"))
            .collect()}
     assert cum == {k: (v.wins, v.games) for k, v in final.items()}
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-batch JSD vs a precomputed reference histogram: the in-
+    distribution batch scores low, the drifted batch high; each
+    metrics row EQUALS the batch jsd_summary on the same frames (the
+    shared-expression guarantee), and the alert threshold separates
+    them."""
+    from book_ocr_spark.operators import drift
+
+    sch = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def turns(cid, texts):
+        return [(f"{cid}{i}", 0, "user", t, None, None) for i, t in enumerate(texts)]
+
+    ref_texts = ["alpha beta gamma delta"] * 20
+    same_texts = ["alpha beta gamma delta"] * 5
+    drifted_texts = ["omega psi chi phi upsilon tau"] * 5
+
+    ref_df = spark.createDataFrame(turns("r", ref_texts), sch)
+    ref_path = str(tmp_path / "refbuckets")
+    drift.token_buckets(ref_df).write.parquet(ref_path)
+
+    inp = str(tmp_path / "dm_in")
+    for batch in (turns("s", same_texts), turns("d", drifted_texts)):
+        spark.createDataFrame(batch, sch).coalesce(1).write.mode("append").parquet(inp)
+
+    # expected per-batch values straight from the batch operator
+    low = drift.jsd_summary(ref_df, spark.createDataFrame(turns("s", same_texts), sch)).collect()[0].jsd_micro
+    high = drift.jsd_summary(ref_df, spark.createDataFrame(turns("d", drifted_texts), sch)).collect()[0].jsd_micro
+    assert low < high
+    cut = (low + high) // 2
+
+    q = jobs.start_drift_monitor(
+        spark, inp, ref_path, str(tmp_path / "dm_out"),
+        str(tmp_path / "dm_ckpt"), alert_micro=cut,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(str(tmp_path / "dm_out/metrics")).collect()
+    assert len(rows) == 2
+    by_jsd = sorted(rows, key=lambda r: r.jsd_micro)
+    assert by_jsd[0].jsd_micro == low and by_jsd[0].alert is False
+    assert by_jsd[1].jsd_micro == high and by_jsd[1].alert is True
+    assert by_jsd[0].n_tokens == 20 and by_jsd[1].n_tokens == 30
+    # histograms landed per batch and sum to the corpus histogram
+    bk = spark.read.parquet(str(tmp_path / "dm_out/buckets"))
+    assert bk.agg(F.sum("c")).collect()[0][0] == 50
