@@ -1388,6 +1388,100 @@ def duck_tool_loops_sql(src_sql: str, min_run: int = 3) -> str:
     """
 
 
+def merge_doubled_turns(df: DataFrame, sep: str = SEP) -> DataFrame:
+    """REPAIR counterpart to the alternation-violation gate: instead
+    of dropping a conversation whose speaker emitted consecutive
+    same-role turns (streamed replies, retried sends), MERGE each
+    maximal run of adjacent same-role turns (null-safe role equality,
+    strict turn adjacency) into one turn — texts joined by ``sep`` in
+    turn order with NULL reading as '', the run's first NON-NULL tool
+    tag (untagged turns don't erase a later tag) and earliest ts
+    kept, turn_idx = the run's first. ``new_idx``
+    re-densifies 0..n−1 so downstream consumers see a well-formed
+    alternating conversation; ``n_merged`` counts the run (audit
+    trail). conv_stats(merge_doubled_turns(df)) reports ZERO
+    alternation violations by construction (property-tested).
+
+    Scale shape: the loop_signals gaps-and-islands windows + one hash
+    agg + one re-index window, ALL on the conv_id exchange; the
+    ordered text join is sort_array over the run's collected turns —
+    bounded by run length, never conversation length."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    same = F.col("role").eqNullSafe(F.lag("role").over(w))
+    new_run = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(same, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    staged = df.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        new_run.alias("_new"),
+    ).withColumn("_run", F.sum("_new").over(w))
+    merged = staged.groupBy("conv_id", "_run").agg(
+        F.min("turn_idx").alias("turn_idx"),
+        F.first("role").alias("role"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: F.coalesce(s["text"], F.lit("")),
+            ),
+        ).alias("text"),
+        F.min(
+            F.when(
+                F.col("tool").isNotNull(), F.struct("turn_idx", "tool")
+            )
+        )["tool"].alias("tool"),
+        F.min("ts").alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    )
+    return merged.select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w) - F.lit(1)).alias("new_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "n_merged",
+    ).orderBy("conv_id", "turn_idx")
+
+
+def duck_merge_doubled_turns_sql(src_sql: str, sep: str = SEP) -> str:
+    """DuckDB twin of merge_doubled_turns."""
+    sep_sql = "'" + sep.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+    return f"""
+        WITH md_r AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+                   CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                        WHEN role IS NOT DISTINCT FROM LAG(role) OVER w THEN 0
+                        ELSE 1 END AS nr
+            FROM ({src_sql}) s
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), md_i AS (
+            SELECT *, SUM(nr) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS run
+            FROM md_r
+        ), md_m AS (
+            SELECT conv_id, MIN(turn_idx) AS turn_idx,
+                   MIN(role) AS role,
+                   string_agg(COALESCE(text, ''), {sep_sql}
+                              ORDER BY turn_idx) AS text,
+                   arg_min(tool, turn_idx) AS tool,
+                   MIN(ts) AS ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_merged
+            FROM md_i GROUP BY conv_id, run
+        )
+        SELECT conv_id, turn_idx,
+               CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) - 1 AS INT)
+                   AS new_idx,
+               role, text, tool, ts, n_merged
+        FROM md_m
+        ORDER BY conv_id, turn_idx
+    """
+
+
 # ---------------------------------------------------------------------------
 # Response-echo detection (verbatim copy of earlier context)
 # ---------------------------------------------------------------------------

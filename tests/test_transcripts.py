@@ -250,6 +250,65 @@ def test_tool_loops_empty_on_fixture(tdf, con):
     assert con.sql(tr.duck_tool_loops_sql(SRC)).fetchall() == []
 
 
+MERGE_ROWS = [
+    # conv X: assistant doubles twice (turns 1,2,3), then user, then a
+    # same-role pair with NULL text in the middle
+    ("X", 0, "user", "hi", None, TS),
+    ("X", 1, "assistant", "part one", "search", TS),
+    ("X", 2, "assistant", None, None, TS),
+    ("X", 3, "assistant", "part three", "calc", TS),
+    ("X", 4, "user", "ok", None, TS),
+    ("X", 5, "user", "and?", "t5", TS),
+    # conv Y: all-NULL-role run merges too (null-safe equality)
+    ("Y", 0, None, "a", None, TS),
+    ("Y", 1, None, "b", None, TS),
+    ("Y", 2, "user", "c", None, TS),
+]
+
+
+def test_merge_doubled_turns_semantics(spark):
+    mdf = spark.createDataFrame(
+        pd.DataFrame(MERGE_ROWS, columns=COLS),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in tr.merge_doubled_turns(mdf).collect()}
+    assert set(got) == {("X", 0), ("X", 1), ("X", 4), ("Y", 0), ("Y", 2)}
+    run = got[("X", 1)]
+    assert run.text == "part one\n\npart three"  # NULL reads as ''
+    assert run.tool == "search" and run.n_merged == 3 and run.new_idx == 1
+    pair = got[("X", 4)]
+    assert pair.text == "ok\nand?" and pair.tool == "t5" and pair.new_idx == 2
+    y = got[("Y", 0)]
+    assert y.role is None and y.text == "a\nb" and y.n_merged == 2
+    # repair property: the merged conversation has ZERO violations
+    viol = tr.conv_stats(tr.merge_doubled_turns(mdf)).agg(
+        F.sum("alternation_violations")
+    ).collect()[0][0]
+    assert viol == 0
+
+
+def test_merge_doubled_turns_twin(tdf, con, spark):
+    mdf = spark.createDataFrame(
+        pd.DataFrame(MERGE_ROWS, columns=COLS),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    c = duckdb.connect()
+    c.register("md", pd.DataFrame(MERGE_ROWS, columns=COLS))
+    got = [tuple(r) for r in tr.merge_doubled_turns(mdf).collect()]
+    want = [
+        tuple(r)
+        for r in c.sql(tr.duck_merge_doubled_turns_sql("SELECT * FROM md")).fetchall()
+    ]
+    assert got == want
+    # shared fixture too (unicode text, NULL-everything singleton)
+    got2 = [tuple(r) for r in tr.merge_doubled_turns(tdf).collect()]
+    want2 = [
+        tuple(r)
+        for r in con.sql(tr.duck_merge_doubled_turns_sql(SRC)).fetchall()
+    ]
+    assert got2 == want2
+
+
 ECHO_ROWS = [
     # conv E hand-case at n=3 (grams in [] per turn):
     # t0 user  "a b c d e"      -> [abc, bcd, cde]       coins all
