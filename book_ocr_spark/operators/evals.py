@@ -28,6 +28,7 @@ the same way.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -227,3 +228,82 @@ def duck_answer_verdicts_sql(
                ({passed}) AS passed
         FROM ({f1}) q ORDER BY conv_id
     """
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (LCS F-measure) — the pandas-UDF tier
+# ---------------------------------------------------------------------------
+# The LCS dynamic program is the one scoring recurrence built-in SQL
+# functions genuinely cannot express (quadratic data-dependent
+# recursion per row), so this op lives at the Arrow-batched pandas-UDF
+# tier — the module's token_f1 stays the pure-JVM fast path, rouge_l
+# is the documented slow-path sibling. Normalization reuses the SQuAD
+# rules (module docstring) so the two metrics tokenize identically; a
+# pure-Python port in the tests is the ground truth.
+
+
+def _squad_norm_py(s: str | None) -> list[str]:
+    """Python twin of squad_normalize + tokenization (used INSIDE the
+    UDF so the Arrow batch never round-trips to the JVM)."""
+    import re as _re
+
+    s = (s or "").lower()
+    s = _re.sub(r"[!-/:-@\[-`{-~]", "", s)
+    s = _re.sub(r"\b(a|an|the)\b", " ", s)
+    return s.split()
+
+
+def _lcs_len(p: list[str], g: list[str]) -> int:
+    """O(len(p)·len(g)) LCS length, two rolling rows."""
+    if not p or not g:
+        return 0
+    prev = [0] * (len(g) + 1)
+    for tok in p:
+        cur = [0]
+        for j, gt in enumerate(g, 1):
+            cur.append(prev[j - 1] + 1 if tok == gt else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """(id, n_pred, n_gold, lcs, rouge_l) per row: ROUGE-L F1 —
+    2·P·R/(P+R) with P = LCS/n_pred, R = LCS/n_gold over
+    SQuAD-normalized tokens; both-empty scores 1.0, one-side-empty 0
+    (the token_f1 edge convention). Arrow-batched pandas UDF: one
+    Python pass per batch, no shuffle, no join — the plan is a pure
+    projection like token_f1, just on the UDF tier."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_pred long, n_gold long, lcs long, rouge_l double")
+    def _score(pred: pd.Series, gold: pd.Series) -> pd.DataFrame:
+        out = []
+        for pv, gv in zip(pred, gold):
+            p, g = _squad_norm_py(pv), _squad_norm_py(gv)
+            if not p and not g:
+                out.append((0, 0, 0, 1.0))
+                continue
+            l = _lcs_len(p, g)
+            if l == 0:
+                out.append((len(p), len(g), 0, 0.0))
+                continue
+            prec, rec = l / len(p), l / len(g)
+            out.append((len(p), len(g), l, 2.0 * prec * rec / (prec + rec)))
+        return pd.DataFrame(out, columns=["n_pred", "n_gold", "lcs", "rouge_l"])
+
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        _score(F.col(pred_col), F.col(gold_col)).alias("_s"),
+    )
+    return scored.select(
+        "id",
+        F.col("_s.n_pred").alias("n_pred"),
+        F.col("_s.n_gold").alias("n_gold"),
+        F.col("_s.lcs").alias("lcs"),
+        F.col("_s.rouge_l").alias("rouge_l"),
+    ).orderBy("id")

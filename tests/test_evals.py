@@ -188,3 +188,56 @@ def test_answer_verdicts_feed_pass_at_k(spark, cdf, gdf):
     out = {r.k: r for r in tr.pass_at_k(rdf, 1, verdicts, ks=(1, 2)).collect()}
     assert out[1].n_candidates == 2 and out[1].n_passed == 1
     assert out[1].pass_at_k == 0.5 and out[2].pass_at_k == 1.0
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (pandas-UDF tier)
+# ---------------------------------------------------------------------------
+def _py_lcs(a, b):
+    """Independent reference DP (full table, no rolling optimization)."""
+    n, m = len(a), len(b)
+    T = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            T[i][j] = (
+                T[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                else max(T[i - 1][j], T[i][j - 1])
+            )
+    return T[n][m]
+
+
+def _py_rouge_l(pred, gold):
+    p = [t for t in _py_norm(pred).split() if t]
+    g = [t for t in _py_norm(gold).split() if t]
+    if not p and not g:
+        return 1.0
+    l = _py_lcs(p, g)
+    if l == 0:
+        return 0.0
+    prec, rec = l / len(p), l / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+RL_ROWS = [
+    (0, "the cat sat on the mat", "the cat was on the red mat"),
+    (1, "b a c d", "a b c d"),        # order matters: LCS 3 not 4
+    (2, "", ""),
+    (3, "something", ""),
+    (4, None, "gold words here"),
+    (5, "An Answer: forty-two!", "forty two answer"),  # punct fusion
+    (6, "x y z", "p q r"),
+]
+
+
+def test_rouge_l_matches_reference(spark):
+    df = spark.createDataFrame(RL_ROWS, "id int, pred string, gold string")
+    got = {r.id: r for r in evals.rouge_l(df, "id", "pred", "gold").collect()}
+    for i, pred, gold in RL_ROWS:
+        assert abs(got[i].rouge_l - _py_rouge_l(pred, gold)) < 1e-12, i
+    assert got[1].lcs == 3
+    assert got[2].rouge_l == 1.0
+    assert got[3].rouge_l == 0.0 and got[6].rouge_l == 0.0
+    # rouge_l and token_f1 share the tokenizer: identical token counts
+    f1 = {r.id: r for r in evals.token_f1(df, "id", "pred", "gold").collect()}
+    for i in f1:
+        assert (got[i].n_pred, got[i].n_gold) == (f1[i].n_pred, f1[i].n_gold), i
