@@ -349,6 +349,28 @@ def main(argv: list[str] | None = None) -> int:
     rnk.add_argument("--z", type=float, default=1.96, help="Wilson interval z")
     rnk.add_argument("--threads", type=int, default=None)
     rnk.add_argument("--log-level", default="WARN")
+    grd = sub.add_parser(
+        "grade",
+        help="grade each conversation's terminal answer against a gold "
+        "table (evals.answer_verdicts: token F1 or exact match), write "
+        "verdicts parquet, optionally report pass@k over re-run groups",
+    )
+    grd.add_argument("--input", required=True, help="transcript turns parquet")
+    grd.add_argument("--gold", required=True,
+                     help="gold parquet with (conv_id, gold)")
+    grd.add_argument("--output", required=True, help="verdicts parquet path")
+    grd.add_argument("--metric", choices=("f1", "em"), default="f1")
+    grd.add_argument("--threshold", type=float, default=0.5,
+                     help="token-F1 pass threshold (metric=f1)")
+    grd.add_argument("--role", default="assistant",
+                     help="graded role ('' = any role)")
+    grd.add_argument("--pass-at-depth", type=int, default=None,
+                     help="also compute pass@k over re-run groups whose "
+                     "first DEPTH turns are identical")
+    grd.add_argument("--ks", default="1,5,10",
+                     help="comma-separated k list for --pass-at-depth")
+    grd.add_argument("--threads", type=int, default=None)
+    grd.add_argument("--log-level", default="WARN")
     sub.add_parser("version")
     args = top.parse_args(argv)
 
@@ -688,6 +710,53 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             for frame in handle:
                 frame.unpersist()
+            spark.stop()
+
+    if args.cmd == "grade":
+        from pyspark.sql import functions as F
+
+        from book_ocr_spark.operators.evals import answer_verdicts
+        from book_ocr_spark.session import get_spark
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-grade", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            turns = spark.read.parquet(args.input)
+            gold = spark.read.parquet(args.gold)
+            verdicts = answer_verdicts(
+                turns, gold, threshold=args.threshold, metric=args.metric,
+                role=args.role or None,
+            )
+            verdicts.write.mode("overwrite").parquet(args.output)
+            stored = spark.read.parquet(args.output)
+            n = stored.count()
+            n_passed = stored.where(F.col("passed")).count()
+            summary = {
+                "n_graded": n,
+                "n_passed": n_passed,
+                "metric": args.metric,
+                "output": args.output,
+            }
+            if args.pass_at_depth is not None:
+                from book_ocr_spark.operators.transcripts import pass_at_k
+
+                ks = tuple(int(k) for k in args.ks.split(","))
+                pk = pass_at_k(
+                    turns, args.pass_at_depth,
+                    stored.select("conv_id", "passed"), ks=ks,
+                    role=args.role or None,
+                )
+                pk.write.mode("overwrite").parquet(f"{args.output}_pass_at_k")
+                agg = (
+                    spark.read.parquet(f"{args.output}_pass_at_k")
+                    .groupBy("k").agg(F.avg("pass_at_k").alias("mean"))
+                    .orderBy("k").collect()
+                )
+                summary["pass_at_k"] = {int(r.k): r.mean for r in agg}
+            print(json.dumps(summary))
+            return 0
+        finally:
             spark.stop()
 
     if args.cmd == "profile":

@@ -403,3 +403,32 @@ def test_cli_rank(spark, tmp_path, monkeypatch, capsys):
     # Wilson bounds can sit a few ULP outside [0,1] (documented; p=0 low is ~-3e-17)
     assert -1e-12 <= board["C"].wilson_low <= board["C"].win_rate
     assert board["C"].win_rate <= board["C"].wilson_high <= 1.0 + 1e-12
+
+
+def test_cli_grade(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    inp = str(tmp_path / "turns")
+    gold = str(tmp_path / "gold")
+    out = str(tmp_path / "verdicts")
+    rows = [
+        ("g1", 0, "user", "q?", None, None),
+        ("g1", 1, "assistant", "right answer", None, None),
+        ("g2", 0, "user", "q?", None, None),
+        ("g2", 1, "assistant", "wrong", None, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(inp)
+    spark.createDataFrame(
+        [("g1", "right answer"), ("g2", "right answer")], "conv_id string, gold string"
+    ).write.parquet(gold)
+    assert cli.main([
+        "grade", "--input", inp, "--gold", gold, "--output", out,
+        "--threshold", "0.9", "--pass-at-depth", "1", "--ks", "1,2",
+    ]) == 0
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_graded"] == 2 and card["n_passed"] == 1
+    assert card["pass_at_k"]["1"] == 0.5 and card["pass_at_k"]["2"] == 1.0
+    v = {r.conv_id: r.passed for r in spark.read.parquet(out).collect()}
+    assert v == {"g1": True, "g2": False}
