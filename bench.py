@@ -191,6 +191,17 @@ def bench_round() -> dict:
     timings["extract_pipeline"] = round(dt, 3)
     tps = n_turns / dt
 
+    # round-3 late addition: per-turn response-echo detection over the
+    # full bench transcript table — the gram-explode + window-min-on-
+    # composite-key shape (shuffle rows ≈ token count) the set
+    # otherwise lacks
+    from book_ocr_spark.operators.transcripts import echo_rate as _echo
+
+    t0 = time.perf_counter()
+    _noop(_echo(spark.read.parquet(tpath), n=8, role="assistant"))
+    timings["echo_rate"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
     # composed transcripts -> SFT-training-corpus pass
     # (plans.curation.curate_transcripts: prefix dedup -> extract ->
     # SFT assembly -> example-grain exact/near-dup) on a deterministic

@@ -1,0 +1,175 @@
+"""Portable cardinality sketches: a HyperLogLog built from engine-
+portable integer expressions (md5-derived hashes, string-length
+leading-zero counts, micro-rounded harmonic sums) so Spark and DuckDB
+produce BIT-IDENTICAL estimates — unlike the engines' built-in
+``approx_count_distinct`` implementations, which use incompatible
+internal sketches and can never cross-check.
+
+Why it exists at 100 TB: ``COUNT(DISTINCT x)`` over 10^12 rows
+shuffles the full distinct key set; the HLL bucket table is m = 2^p
+narrow rows produced by ONE map-side-combined hash agg (max per
+bucket commutes), merges across corpora/days by per-bucket max
+(``hll_merge``), and the stored table IS the resumable state — the
+counts/ MERGE shape applied to cardinality.
+
+Determinism contract (the DSIR/drift idiom): the harmonic sum
+Σ 2^{-M_j} lands as per-bucket ROUND(1e15·2^{-M_j}) → BIGINT (empty
+buckets contribute exactly 1e15), so the sum is integer-exact and
+partition/merge-order independent; the final estimate is ONE double
+expression both engines evaluate identically. Max bucket count
+(p ≤ 12 → 4096·1e15 ≈ 4.1e18) stays inside BIGINT.
+
+Hash layout: h = first 15 hex chars of md5 (60 bits, inside BIGINT);
+bucket = top p bits (h >> (60−p)); w = low (60−p) bits; rho(w) =
+(60−p) − length(bin(w)) + 1 with w = 0 → (60−p)+1 — ``bin()`` drops
+leading zeros in BOTH engines, so the leading-zero count is an
+integer string-length identity, no float log2 at bucket boundaries.
+
+Bias handling: the standard small-range linear-counting switch
+(E ≤ 2.5·m and empty buckets exist → m·ln(m/V)); the large-range
+correction is irrelevant below ~2^57 distinct keys. Relative error
+≈ 1.04/√m (1.6% at p = 12).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P_DEFAULT = 12
+_SCALE = 1_000_000_000_000_000  # 1e15 micro-units per 2^0
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_buckets(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
+    """(b, mx): the HLL register table — max rho per bucket over the
+    column's non-NULL values. m = 2^p narrow rows, ONE hash agg with
+    map-side partial max; this is the persistable / mergeable half
+    (store it per day, hll_merge to roll up)."""
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12] (m = 16..4096)")
+    wbits = 60 - p
+    # h > 2^53, so / (double division in BOTH engines) would corrupt
+    # the bucket id — integer `div` / `%` only
+    hstr = (
+        f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    b = F.expr(f"({hstr}) div {2 ** wbits}")
+    w = F.expr(f"({hstr}) % {2 ** wbits}")
+    rho = F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.expr("bin(_w)")) + F.lit(1)
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("b"), w.alias("_w"))
+        .select("b", rho.cast("int").alias("_rho"))
+        .groupBy("b")
+        .agg(F.max("_rho").alias("mx"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables: per-bucket max (max commutes, so
+    estimate(merge(A, B)) EXACTLY equals estimate over A ∪ B — the
+    property the tests pin)."""
+    return (
+        a.unionByName(b).groupBy("b").agg(F.max("mx").alias("mx"))
+    )
+
+
+def hll_estimate(buckets: DataFrame, p: int = P_DEFAULT) -> DataFrame:
+    """One row (m, filled, estimate) from a register table. The
+    harmonic sum is an integer sum of micro-rounded contributions
+    (module docstring); linear counting below 2.5·m."""
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12]")
+    m = 2 ** p
+    alpha = _alpha(m)
+    contrib = F.round(F.lit(float(_SCALE)) * F.pow(F.lit(2.0), -F.col("mx"))).cast(
+        "long"
+    )
+    agg = buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("filled"),
+        F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("_s"),
+    )
+    # empty buckets contribute exactly 1e15 each
+    s = (F.col("_s") + (F.lit(m) - F.col("filled")) * F.lit(_SCALE)).cast(
+        "double"
+    ) / F.lit(float(_SCALE))
+    raw = F.lit(alpha * m * m) / s
+    v = F.lit(m) - F.col("filled")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "filled",
+        F.round(est).cast("long").alias("estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
+    """End to end: (m, filled, estimate) for a column's distinct
+    count."""
+    return hll_estimate(hll_buckets(df, col, p), p)
+
+
+def duck_hll_buckets_sql(src_sql: str, col: str, p: int = P_DEFAULT) -> str:
+    """DuckDB twin of hll_buckets."""
+    wbits = 60 - p
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+        WITH hll_h AS (
+            SELECT {h} AS h FROM ({src_sql}) s WHERE {col} IS NOT NULL
+        ), hll_w AS (
+            SELECT h // {2 ** wbits} AS b,
+                   h % {2 ** wbits} AS w
+            FROM hll_h
+        )
+        SELECT b, MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                           ELSE {wbits} - length(bin(w)) + 1 END) AS mx
+        FROM hll_w GROUP BY b
+    """
+
+
+def duck_hll_estimate_sql(buckets_sql: str, p: int = P_DEFAULT) -> str:
+    """DuckDB twin of hll_estimate (same micro-rounded harmonic sum,
+    same linear-counting switch)."""
+    m = 2 ** p
+    alpha = _alpha(m)
+    return f"""
+        WITH hll_a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS filled,
+                   CAST(COALESCE(SUM(CAST(ROUND({float(_SCALE)!r} *
+                       power(2.0, -mx)) AS BIGINT)), 0) AS BIGINT) AS s_i
+            FROM ({buckets_sql}) bk
+        )
+        SELECT CAST({m} AS BIGINT) AS m, filled,
+               CAST(ROUND(CASE
+                   WHEN ({alpha * m * m!r} /
+                         (CAST(s_i + ({m} - filled) * {_SCALE} AS DOUBLE)
+                          / {float(_SCALE)!r})) <= {2.5 * m!r}
+                        AND {m} - filled > 0
+                   THEN CAST({m} AS DOUBLE) *
+                        ln(CAST({m} AS DOUBLE) / CAST({m} - filled AS DOUBLE))
+                   ELSE {alpha * m * m!r} /
+                        (CAST(s_i + ({m} - filled) * {_SCALE} AS DOUBLE)
+                         / {float(_SCALE)!r})
+               END) AS BIGINT) AS estimate
+        FROM hll_a
+    """

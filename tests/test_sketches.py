@@ -1,0 +1,72 @@
+"""Portable HyperLogLog: accuracy vs exact distinct counts,
+bit-identical DuckDB twins, and the exact merge property."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    # 5000 distinct keys, each duplicated 3x (duplicates must not move
+    # the estimate at all — max per bucket is idempotent)
+    rows = [(f"key-{i}",) for i in range(5000)] * 3
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_hll_estimate_accuracy(ids_df):
+    got = sk.hll_distinct(ids_df, "k", p=12).collect()[0]
+    assert got.m == 4096
+    # 1.04/sqrt(4096) ~ 1.6% rel err; allow 5%
+    assert abs(got.estimate - 5000) / 5000 < 0.05
+    # small cardinality -> linear counting regime, still accurate
+    small = sk.hll_distinct(ids_df.limit(300), "k", p=12).collect()[0]
+    assert abs(small.estimate - 100) < 10 or small.estimate <= 300
+
+
+def test_hll_duplicates_are_free(spark, ids_df):
+    once = spark.createDataFrame([(f"key-{i}",) for i in range(5000)], "k string")
+    a = sk.hll_distinct(ids_df, "k", p=10).collect()[0]
+    b = sk.hll_distinct(once, "k", p=10).collect()[0]
+    assert a.estimate == b.estimate and a.filled == b.filled
+
+
+def test_hll_duck_twin(spark, ids_df):
+    pdf = pd.DataFrame({"k": [f"key-{i}" for i in range(5000)] * 3})
+    con = duckdb.connect()
+    con.register("ht", pdf)
+    for p in (8, 12):
+        got = tuple(sk.hll_distinct(ids_df, "k", p=p).collect()[0])
+        bk = sk.duck_hll_buckets_sql("SELECT * FROM ht", "k", p)
+        want = tuple(con.sql(sk.duck_hll_estimate_sql(bk, p)).fetchall()[0])
+        assert got == want, p
+    # NULLs are not keys
+    with_null = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    got = sk.hll_distinct(with_null, "k", p=8).collect()[0]
+    assert got.estimate == 2
+
+
+def test_hll_merge_exact_property(spark):
+    """estimate(merge(A, B)) EXACTLY equals estimate(A ∪ B): per-bucket
+    max commutes, so sharded/daily sketches lose nothing."""
+    a_rows = [(f"a-{i}",) for i in range(2000)]
+    b_rows = [(f"b-{i}",) for i in range(1500)] + a_rows[:500]  # overlap
+    A = spark.createDataFrame(a_rows, "k string")
+    B = spark.createDataFrame(b_rows, "k string")
+    U = A.unionByName(B)
+    merged = sk.hll_estimate(
+        sk.hll_merge(sk.hll_buckets(A, "k"), sk.hll_buckets(B, "k"))
+    ).collect()[0]
+    direct = sk.hll_distinct(U, "k").collect()[0]
+    assert tuple(merged) == tuple(direct)
+
+
+def test_hll_validation(ids_df):
+    with pytest.raises(ValueError):
+        sk.hll_buckets(ids_df, "k", p=3)
+    with pytest.raises(ValueError):
+        sk.hll_estimate(sk.hll_buckets(ids_df, "k"), p=13)
