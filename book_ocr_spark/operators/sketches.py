@@ -33,8 +33,6 @@ correction is irrelevant below ~2^57 distinct keys. Relative error
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,4 +170,116 @@ def duck_hll_estimate_sql(buckets_sql: str, p: int = P_DEFAULT) -> str:
                          / {float(_SCALE)!r})
                END) AS BIGINT) AS estimate
         FROM hll_a
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (portable, additive-mergeable)
+# ---------------------------------------------------------------------------
+# The frequency companion to the HLL above: a d×w integer counter
+# table answering "how often did key x appear" with one-sided error
+# (estimate ≥ truth, ≤ truth + εN w.h.p., ε ≈ e/w). Where
+# profile.heavy_hitters shuffles the full distinct vocabulary, the
+# CMS is d·w BIGINT cells from ONE map-side-combined agg, merges
+# across shards/days by plain cell addition (EXACT, integer sums),
+# and the stored table is the resumable state. All hashing is the
+# module's md5 idiom salted by the row index, so estimates are
+# bit-identical cross-engine.
+
+D_DEFAULT = 4
+W_DEFAULT = 1024
+
+
+def _cms_hash(col_expr: str, j: str, w: int) -> str:
+    """Spark SQL expr: row-j bucket of a key (md5 salted by j)."""
+    return (
+        f"cast(conv(substring(md5(concat(cast({j} as string), chr(31), "
+        f"cast({col_expr} as string))), 1, 15), 16, 10) as bigint) % {w}"
+    )
+
+
+def cms_build(
+    df: DataFrame, col: str, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> DataFrame:
+    """(r, b, c): the d×w counter table over the column's non-NULL
+    values. One explode (d rows per input row, d is 4) + one hash agg
+    with map-side partial sums."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 and w >= 2")
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("_k"), F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    )
+    return (
+        rows.select("r", F.expr(_cms_hash("_k", "r", w)).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise addition — EXACT: cms_merge(build(A), build(B)) is
+    bit-identical to build(A ∪ B) (integer sums commute)."""
+    return (
+        a.unionByName(b).groupBy("r", "b").agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cms_query(
+    cms: DataFrame, keys: DataFrame, col: str, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> DataFrame:
+    """(key, estimate) upper-bound frequency per distinct key in
+    ``keys``. The d probe rows per key equi-join the (broadcastable,
+    d·w-row) counter table; a missing cell reads 0."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 and w >= 2")
+    probes = (
+        keys.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("key"))
+        .distinct()
+        .select(
+            "key", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+        )
+        .select("key", "r", F.expr(_cms_hash("key", "r", w)).alias("b"))
+    )
+    return (
+        probes.join(F.broadcast(cms), ["r", "b"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("estimate"))
+        .orderBy("key")
+    )
+
+
+def duck_cms_build_sql(src_sql: str, col: str, d: int = D_DEFAULT, w: int = W_DEFAULT) -> str:
+    """DuckDB twin of cms_build."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || chr(31) || "
+        f"CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % {w}"
+    )
+    return f"""
+        SELECT r, {h} AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ({src_sql}) s CROSS JOIN (SELECT unnest(range({d})) AS r) rr
+        WHERE {col} IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def duck_cms_query_sql(
+    cms_sql: str, keys_sql: str, col: str, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> str:
+    """DuckDB twin of cms_query."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || chr(31) || "
+        f"key), 1, 15)) AS BIGINT) % {w}"
+    )
+    return f"""
+        WITH cq_k AS (
+            SELECT DISTINCT CAST({col} AS VARCHAR) AS key
+            FROM ({keys_sql}) s WHERE {col} IS NOT NULL
+        ), cq_p AS (
+            SELECT key, r, {h} AS b
+            FROM cq_k CROSS JOIN (SELECT unnest(range({d})) AS r) rr
+        )
+        SELECT key, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS estimate
+        FROM cq_p LEFT JOIN ({cms_sql}) cm USING (r, b)
+        GROUP BY key ORDER BY key
     """

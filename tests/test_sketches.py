@@ -70,3 +70,79 @@ def test_hll_validation(ids_df):
         sk.hll_buckets(ids_df, "k", p=3)
     with pytest.raises(ValueError):
         sk.hll_estimate(sk.hll_buckets(ids_df, "k"), p=13)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def zipf_df(spark):
+    # zipf-ish: key-i appears ~ 1000/(i+1) times
+    rows = []
+    for i in range(50):
+        rows += [(f"z-{i}",)] * (1000 // (i + 1))
+    return spark.createDataFrame(rows, "k string")
+
+
+def _true_counts():
+    return {f"z-{i}": 1000 // (i + 1) for i in range(50)}
+
+
+def test_cms_one_sided_error(spark, zipf_df):
+    cms = sk.cms_build(zipf_df, "k", d=4, w=1024)
+    keys = spark.createDataFrame([(k,) for k in _true_counts()], "k string")
+    est = {r.key: r.estimate for r in sk.cms_query(cms, keys, "k", d=4, w=1024).collect()}
+    true = _true_counts()
+    n = sum(true.values())
+    for k, t in true.items():
+        assert est[k] >= t, k                     # never underestimates
+        assert est[k] <= t + (3 * n) // 1024 + 5, k  # eps*N slack
+    # unseen key reads (near) zero collisions only
+    unseen = spark.createDataFrame([("never-seen",)], "k string")
+    u = sk.cms_query(cms, unseen, "k", d=4, w=1024).collect()[0].estimate
+    assert u <= (3 * n) // 1024 + 5
+
+
+def test_cms_merge_exact(spark, zipf_df):
+    """cms_merge(build(A), build(B)) is BIT-IDENTICAL to build(A∪B)."""
+    direct = sk.cms_build(zipf_df.unionByName(zipf_df.limit(700)), "k")
+    merged = sk.cms_merge(sk.cms_build(zipf_df, "k"), sk.cms_build(zipf_df.limit(700), "k"))
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+
+
+def test_cms_duck_twin(spark, zipf_df):
+    pdf = zipf_df.toPandas()
+    con = duckdb.connect()
+    con.register("zt", pdf)
+    got_b = sorted(map(tuple, sk.cms_build(zipf_df, "k", d=3, w=256).collect()))
+    want_b = sorted(
+        map(tuple, con.sql(sk.duck_cms_build_sql("SELECT * FROM zt", "k", 3, 256)).fetchall())
+    )
+    assert got_b == want_b
+    keys = spark.createDataFrame([(f"z-{i}",) for i in range(0, 50, 7)] + [(None,)], "k string")
+    con.register("kt", keys.toPandas())
+    got_q = [
+        tuple(r)
+        for r in sk.cms_query(
+            sk.cms_build(zipf_df, "k", d=3, w=256), keys, "k", d=3, w=256
+        ).collect()
+    ]
+    want_q = [
+        tuple(r)
+        for r in con.sql(
+            sk.duck_cms_query_sql(
+                sk.duck_cms_build_sql("SELECT * FROM zt", "k", 3, 256),
+                "SELECT * FROM kt", "k", 3, 256,
+            )
+        ).fetchall()
+    ]
+    assert got_q == want_q
+
+
+def test_cms_validation(zipf_df):
+    with pytest.raises(ValueError):
+        sk.cms_build(zipf_df, "k", d=0)
+    with pytest.raises(ValueError):
+        sk.cms_query(sk.cms_build(zipf_df, "k"), zipf_df, "k", w=1)
