@@ -1061,3 +1061,79 @@ def start_drift_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_cardinality_tracking(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    col: str = "conv_id",
+    p: int = 12,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming distinct-count tracking: each micro-batch's HLL
+    register table (sketches.hll_buckets over ``col``) merges into the
+    cumulative registers by per-bucket max — the EXACT merge the batch
+    operator proves (estimate(merge) == estimate(union)) — and the
+    running estimate snapshots per batch. Registers land under
+    ``registers/`` keyed by batch_id (idempotent replays; cumulative =
+    max over register partitions, history never rescanned at row
+    grain), estimates under ``estimates/`` as (batch_id, m, filled,
+    estimate). Read-then-catch: missing registers dir = first batch,
+    unreadable = fail the batch (module standard).
+
+    Scale shape per batch: one map-side-combined hash agg to ≤ 2^p
+    narrow rows + a max-merge over (batches × 2^p) register rows —
+    the turn history itself is never re-read."""
+    from book_ocr_spark.operators.sketches import (
+        hll_buckets,
+        hll_estimate,
+        hll_merge,
+    )
+
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    reg_path = f"{out_path}/registers"
+    est_path = f"{out_path}/estimates"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bb = hll_buckets(batch_df, col, p).persist()
+        try:
+            try:
+                existing = (
+                    spark.read.parquet(reg_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("b", "mx")
+                )
+            except AnalysisException as exc:
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, reg_path
+                ):
+                    raise
+                existing = spark.createDataFrame([], "b long, mx int")
+            cum = hll_merge(existing, bb)
+            (
+                hll_estimate(cum, p)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(est_path)
+            )
+            (
+                bb.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(reg_path)
+            )
+        finally:
+            bb.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -724,3 +724,39 @@ def test_streaming_drift_monitor(spark, tmp_path):
     # histograms landed per batch and sum to the corpus histogram
     bk = spark.read.parquet(str(tmp_path / "dm_out/buckets"))
     assert bk.agg(F.sum("c")).collect()[0][0] == 50
+
+
+def test_streaming_cardinality_tracking(spark, tmp_path):
+    """Per-batch HLL registers merge into the cumulative sketch; the
+    final estimate EQUALS the batch operator on the full input (exact
+    merge property, now proven through the stream), and intermediate
+    estimates are monotone."""
+    from book_ocr_spark.operators import sketches as sk
+
+    sch = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    b1 = [(f"c-{i}", 0, "user", "x", None, None) for i in range(800)]
+    b2 = [(f"c-{i}", 0, "user", "x", None, None) for i in range(500, 1500)]
+    inp = str(tmp_path / "hll_in")
+    for b in (b1, b2):
+        spark.createDataFrame(b, sch).coalesce(1).write.mode("append").parquet(inp)
+
+    q = jobs.start_cardinality_tracking(
+        spark, inp, str(tmp_path / "hll_out"), str(tmp_path / "hll_ckpt"),
+        col="conv_id", p=12, available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    est = spark.read.parquet(str(tmp_path / "hll_out/estimates")).collect()
+    assert len(est) == 2
+    by_batch = sorted(est, key=lambda r: r.batch_id)
+    # cumulative: estimates never shrink
+    assert by_batch[1].estimate >= by_batch[0].estimate
+    # final snapshot == batch operator over the union (exact merge)
+    full = spark.createDataFrame(b1 + b2, sch)
+    want = sk.hll_distinct(full, "conv_id", p=12).collect()[0]
+    assert (by_batch[1].m, by_batch[1].filled, by_batch[1].estimate) == tuple(want)
+    # and the estimate is near the true 1500 distinct convs
+    assert abs(by_batch[1].estimate - 1500) / 1500 < 0.05
