@@ -3124,6 +3124,87 @@ def duck_label_preference_pairs_sql(
     """
 
 
+def dpo_jsonl(
+    pairs: DataFrame,
+    prompt_col: str = "context",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    include_margin: bool = False,
+) -> DataFrame:
+    """(conv_a, conv_b, depth, jsonl, n_ctrl_stripped): each labeled
+    preference pair rendered as ONE standard DPO-format JSON line —
+    ``{"prompt":...,"chosen":...,"rejected":...}`` — the interchange
+    shape DPO/RLHF trainers consume; sft_jsonl's sibling for the
+    preference arc (same _JSON_ESC chain, so the LINE is engine-
+    pinned byte-for-byte, not just its parse). Input is the
+    label_preference_pairs output shape. ``include_margin`` appends
+    the integer ``"margin_micro"`` key (classifier confidence).
+    NULL fields render as JSON null; ``n_ctrl_stripped`` counts C0
+    control characters removed across all three escaped fields.
+    Pure narrow projection — no agg, no shuffle at any scale."""
+    _cnt = lambda c: F.coalesce(  # noqa: E731
+        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
+    )
+    parts = [
+        F.lit('{"prompt":'),
+        _json_str_or_null(F.col(prompt_col)),
+        F.lit(',"chosen":'),
+        _json_str_or_null(F.col(chosen_col)),
+        F.lit(',"rejected":'),
+        _json_str_or_null(F.col(rejected_col)),
+    ]
+    if include_margin:
+        parts += [
+            F.lit(',"margin_micro":'),
+            F.coalesce(
+                F.col("margin_micro").cast("string"), F.lit("null")
+            ),
+        ]
+    parts.append(F.lit("}"))
+    ctrl = (
+        _cnt(F.col(prompt_col))
+        + _cnt(F.col(chosen_col))
+        + _cnt(F.col(rejected_col))
+    )
+    return pairs.select(
+        "conv_a",
+        "conv_b",
+        "depth",
+        F.concat(*parts).alias("jsonl"),
+        ctrl.cast("bigint").alias("n_ctrl_stripped"),
+    )
+
+
+def duck_dpo_jsonl_sql(
+    src_sql: str,
+    prompt_col: str = "context",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    include_margin: bool = False,
+) -> str:
+    """DuckDB twin of dpo_jsonl (same escape chain, same assembly)."""
+    pr = _duck_json_str_or_null(prompt_col)
+    ch = _duck_json_str_or_null(chosen_col)
+    rj = _duck_json_str_or_null(rejected_col)
+    margin = (
+        """ || ',"margin_micro":' || COALESCE(CAST(margin_micro AS VARCHAR), 'null')"""
+        if include_margin
+        else ""
+    )
+    cnt = (
+        f"COALESCE(LEN(regexp_extract_all({prompt_col}, '{_CTRL_RE}', 0)), 0)"
+        f" + COALESCE(LEN(regexp_extract_all({chosen_col}, '{_CTRL_RE}', 0)), 0)"
+        f" + COALESCE(LEN(regexp_extract_all({rejected_col}, '{_CTRL_RE}', 0)), 0)"
+    )
+    return f"""
+        SELECT conv_a, conv_b, depth,
+               '{{"prompt":' || {pr} || ',"chosen":' || {ch}
+               || ',"rejected":' || {rj}{margin} || '}}' AS jsonl,
+               CAST({cnt} AS BIGINT) AS n_ctrl_stripped
+        FROM ({src_sql}) s
+    """
+
+
 def preference_length_stats(
     pairs: DataFrame,
     chosen_col: str = "chosen",

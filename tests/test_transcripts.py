@@ -2825,3 +2825,41 @@ def test_preference_length_twins_bit_identical(spark, max_ratio):
         ).fetchall()
     )
     assert got_f == want_f and got_f
+
+
+def test_dpo_jsonl_twin_and_parse(spark):
+    """DPO-format JSONL: engine-pinned byte-for-byte line (same
+    escape chain as sft_jsonl), json-parseable, C0 loss counted."""
+    import json as _json
+
+    rows = [
+        ("a1", "b1", 2, 'ctx with "quotes"\nand newline', "good\tanswer", "bad", 1500),
+        ("a2", "b2", 1, None, "chosen only", None, 0),
+        ("a3", "b3", 3, "ctx", "ctrl\x01char", "clean", 42),
+    ]
+    sch = ("conv_a string, conv_b string, depth int, context string, "
+           "chosen string, rejected string, margin_micro long")
+    pdf = pd.DataFrame(rows, columns=[
+        "conv_a", "conv_b", "depth", "context", "chosen", "rejected", "margin_micro"])
+    df = spark.createDataFrame(pdf, sch)
+    for margin in (False, True):
+        got = sorted(
+            tuple(r) for r in tr.dpo_jsonl(df, include_margin=margin).collect()
+        )
+        c = duckdb.connect()
+        c.register("dp", pdf)
+        want = sorted(
+            tuple(r)
+            for r in c.sql(
+                tr.duck_dpo_jsonl_sql("SELECT * FROM dp", include_margin=margin)
+            ).fetchall()
+        )
+        assert got == want
+    out = {r.conv_a: r for r in tr.dpo_jsonl(df, include_margin=True).collect()}
+    line = _json.loads(out["a1"].jsonl)
+    assert line["prompt"] == 'ctx with "quotes"\nand newline'
+    assert line["chosen"] == "good\tanswer" and line["rejected"] == "bad"
+    assert line["margin_micro"] == 1500
+    assert _json.loads(out["a2"].jsonl)["prompt"] is None
+    assert out["a3"].n_ctrl_stripped == 1
+    assert _json.loads(out["a3"].jsonl)["chosen"] == "ctrlchar"
