@@ -283,3 +283,192 @@ def duck_cms_query_sql(
         FROM cq_p LEFT JOIN ({cms_sql}) cm USING (r, b)
         GROUP BY key ORDER BY key
     """
+
+
+# ---------------------------------------------------------------------------
+# Exponential (log-linear) histogram — portable quantile sketch
+# ---------------------------------------------------------------------------
+# The quantile companion to HLL (cardinality) and CMS (frequency):
+# the HDR-histogram / OpenTelemetry-exponential-histogram bucketing
+# scheme, built from INTEGER arithmetic only so Spark and DuckDB agree
+# bit-for-bit — unlike the engines' approx_percentile/approx_quantile,
+# whose internal sketches are incompatible and can never cross-check.
+#
+# Why it exists at 100 TB: exact percentiles over 10^12 rows need a
+# global sort or a full-width percentile_approx pass per query; this
+# bucket table is at most ~(63-k)*2^k + 2^(k+1) narrow rows from ONE
+# map-side-combined hash agg, merges across shards/days by plain count
+# addition (EXACT), and the stored table is the resumable state — the
+# same MERGE shape as the other two sketches.
+#
+# Bucketing (all integer, no float log — the HLL bin() idiom):
+#   v     = CAST(ROUND(x * scale) AS BIGINT)      micro-unit quantize
+#   a,sgn = |v|, sign(v)
+#   e     = length(bin(a)) - 1                    floor(log2 a), exact
+#   shift = max(0, e - k)
+#   m     = a >> shift                            mantissa bucket
+#   okey  = sgn * ((shift << k) + m)              monotone in x
+# For shift = 0 the bucket is the exact integer a (zero error below
+# 2^(k+1) micro-units); above that, bucket width / lower bound = 1/m
+# <= 2^-k, so quantile answers carry <= 2^-k relative error plus the
+# 1/scale quantization. okey is continuous across the regime switch:
+# at a = 2^(k+1), (1 << k) + (a >> 1) = 2^(k+1) picks up exactly where
+# the unit buckets stop.
+#
+# Representative value: rep2 = 2*(m << shift) + (1 << shift) - 1 (twice
+# the bucket midpoint, kept integer); value = sgn * rep2 / (2*scale) is
+# ONE double division both engines evaluate identically, and is EXACT
+# (the original value, not an approximation) whenever shift = 0.
+
+K_DEFAULT = 7  # 2^-7 ~ 0.8% relative error, <= ~8.4k buckets worst case
+EH_SCALE_DEFAULT = 1_000_000  # micro-units per 1.0
+
+
+def _eh_validate(k: int, scale: int) -> None:
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+    if not isinstance(scale, int) or scale < 1:
+        raise ValueError("scale must be a positive integer")
+
+
+def eh_buckets(
+    df: DataFrame, col: str, k: int = K_DEFAULT, scale: int = EH_SCALE_DEFAULT
+) -> DataFrame:
+    """(okey, sgn, shift, m, cnt): the log-linear bucket table over the
+    column's non-NULL values. One projection + one hash agg with
+    map-side partial counts; |x|*scale must stay below 2^62 (the
+    doubled-midpoint representative needs one extra bit)."""
+    _eh_validate(k, scale)
+    v = f"cast(round(cast({col} as double) * {scale}) as bigint)"
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.expr(f"abs({v})").alias("_a"),
+        F.expr(f"cast(sign({v}) as int)").alias("sgn"),
+    )
+    shift = F.expr(f"greatest(0, length(bin(_a)) - 1 - {k})")
+    with_idx = rows.select(
+        "sgn",
+        F.when(F.col("_a") == 0, F.lit(0)).otherwise(shift).cast("int").alias("shift"),
+        F.col("_a").alias("_a"),
+    ).select(
+        "sgn",
+        "shift",
+        F.expr("shiftright(_a, shift)").alias("m"),
+    )
+    okey = (F.col("sgn").cast("long") * (
+        F.expr(f"shiftleft(cast(shift as bigint), {k})") + F.col("m")
+    )).alias("okey")
+    return (
+        with_idx.select(okey, "sgn", "shift", "m")
+        .groupBy("okey", "sgn", "shift", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def eh_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise addition — EXACT: eh_merge(build(A), build(B)) is
+    bit-identical to build(A ∪ B) (integer sums commute)."""
+    return (
+        a.unionByName(b)
+        .groupBy("okey", "sgn", "shift", "m")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _eh_value(scale: int):
+    rep2 = (
+        F.expr("2 * shiftleft(m, shift) + shiftleft(cast(1 as bigint), shift) - 1")
+    )
+    return F.when(F.col("sgn") == 0, F.lit(0.0)).otherwise(
+        F.col("sgn").cast("double") * rep2.cast("double") / F.lit(float(2 * scale))
+    )
+
+
+def eh_quantiles(
+    buckets: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = EH_SCALE_DEFAULT,
+) -> DataFrame:
+    """(q, value) nearest-rank quantiles from a bucket table: cumulative
+    counts in okey order, rank = max(1, ceil(q*n)). The window is
+    global ON THE SKETCH (<= ~8.4k rows by construction, never the
+    data), so the single-partition WindowExec is fine."""
+    from pyspark.sql import Window
+
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("each q must be in [0, 1]")
+    w = Window.orderBy("okey").rowsBetween(Window.unboundedPreceding, 0)
+    b = buckets.select(
+        "okey", _eh_value(scale).alias("value"), "cnt"
+    ).withColumn("cum", F.sum("cnt").over(w))
+    b = b.crossJoin(F.broadcast(buckets.agg(F.sum("cnt").cast("long").alias("n"))))
+    qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    probes = buckets.sparkSession.range(1).select(qdf)
+    hits = probes.join(
+        b,
+        F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))),
+        "inner",
+    )
+    return (
+        hits.groupBy("q")
+        .agg(F.min_by("value", "okey").alias("value"))
+        .orderBy("q")
+    )
+
+
+def duck_eh_buckets_sql(
+    src_sql: str, col: str, k: int = K_DEFAULT, scale: int = EH_SCALE_DEFAULT
+) -> str:
+    """DuckDB twin of eh_buckets."""
+    _eh_validate(k, scale)
+    v = f"CAST(ROUND(CAST({col} AS DOUBLE) * {scale}) AS BIGINT)"
+    return f"""
+        WITH eh_v AS (
+            SELECT abs({v}) AS a,
+                   CAST(CASE WHEN {v} > 0 THEN 1
+                             WHEN {v} < 0 THEN -1 ELSE 0 END AS INT) AS sgn
+            FROM ({src_sql}) s WHERE {col} IS NOT NULL
+        ), eh_b AS (
+            SELECT sgn,
+                   CAST(CASE WHEN a = 0 THEN 0
+                        ELSE greatest(0, length(bin(a)) - 1 - {k}) END AS INT)
+                       AS shift,
+                   a
+            FROM eh_v
+        ), eh_m AS (
+            SELECT sgn, shift, a >> shift AS m FROM eh_b
+        )
+        SELECT CAST(sgn AS BIGINT) * ((CAST(shift AS BIGINT) << {k}) + m)
+                   AS okey,
+               sgn, shift, m, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM eh_m GROUP BY 1, 2, 3, 4
+    """
+
+
+def duck_eh_quantiles_sql(
+    buckets_sql: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = EH_SCALE_DEFAULT,
+) -> str:
+    """DuckDB twin of eh_quantiles (same rank rule, same midpoint
+    representative, same single double division)."""
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("each q must be in [0, 1]")
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    value = (
+        "CASE WHEN sgn = 0 THEN 0.0 ELSE CAST(sgn AS DOUBLE) * "
+        "CAST(2 * (m << shift) + (CAST(1 AS BIGINT) << shift) - 1 AS DOUBLE)"
+        f" / {float(2 * scale)!r} END"
+    )
+    return f"""
+        WITH ehq_b AS (
+            SELECT okey, {value} AS value, cnt,
+                   SUM(cnt) OVER (ORDER BY okey
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM ({buckets_sql}) bk
+        ), ehq_q AS (SELECT * FROM (VALUES {qvals}) t(q))
+        SELECT q, min_by(value, okey) AS value
+        FROM ehq_q JOIN ehq_b
+          ON cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+        GROUP BY q ORDER BY q
+    """

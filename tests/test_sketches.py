@@ -146,3 +146,107 @@ def test_cms_validation(zipf_df):
         sk.cms_build(zipf_df, "k", d=0)
     with pytest.raises(ValueError):
         sk.cms_query(sk.cms_build(zipf_df, "k"), zipf_df, "k", w=1)
+
+
+# ---------------------------------------------------------------------------
+# Exponential (log-linear) histogram quantile sketch
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vals_df(spark):
+    # mixed magnitudes, negatives, zeros, duplicates — the shapes the
+    # integer bucketing must order correctly
+    vals = (
+        [0.0] * 5
+        + [-12.75, -0.003, -500.0]
+        + [float(i) for i in range(1, 200)]
+        + [1e4, 2.5e4, 9.9e4] * 3
+    )
+    return spark.createDataFrame([(v,) for v in vals], "x double")
+
+
+def _true_quantile(vals, q):
+    s = sorted(vals)
+    import math
+
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_eh_quantile_accuracy(spark, vals_df):
+    vals = [r.x for r in vals_df.collect()]
+    bk = sk.eh_buckets(vals_df, "x", k=7)
+    got = {r.q: r.value for r in sk.eh_quantiles(bk, (0.0, 0.5, 0.9, 0.99, 1.0)).collect()}
+    for q in (0.0, 0.5, 0.9, 0.99, 1.0):
+        t = _true_quantile(vals, q)
+        if t == 0.0:
+            assert got[q] == 0.0, q
+        else:
+            # 2^-7 relative + 1e-6 quantization
+            assert abs(got[q] - t) <= abs(t) * (1 / 128) + 1e-5, (q, got[q], t)
+
+
+def test_eh_exact_below_unit_buckets(spark):
+    # below 2^(k+1) micro-units the buckets are exact integers: the
+    # sketch answer IS the (quantized) value, zero bucket error
+    df = spark.createDataFrame([(i / 1000.0,) for i in range(1, 50)], "x double")
+    bk = sk.eh_buckets(df, "x", k=7, scale=1000)
+    got = {r.q: r.value for r in sk.eh_quantiles(bk, (0.5, 1.0), scale=1000).collect()}
+    assert got[0.5] == 25 / 1000.0
+    assert got[1.0] == 49 / 1000.0
+
+
+def test_eh_merge_exact(spark, vals_df):
+    direct = sk.eh_buckets(vals_df.unionByName(vals_df.limit(100)), "x")
+    merged = sk.eh_merge(sk.eh_buckets(vals_df, "x"), sk.eh_buckets(vals_df.limit(100), "x"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_eh_duck_twin(spark, vals_df):
+    con = duckdb.connect()
+    con.register("vt", vals_df.toPandas())
+    got_b = sorted(map(tuple, sk.eh_buckets(vals_df, "x", k=5, scale=1000).collect()))
+    want_b = sorted(
+        map(tuple, con.sql(sk.duck_eh_buckets_sql("SELECT * FROM vt", "x", 5, 1000)).fetchall())
+    )
+    assert got_b == want_b
+    qs = (0.1, 0.5, 0.9, 0.999)
+    got_q = [
+        tuple(r)
+        for r in sk.eh_quantiles(sk.eh_buckets(vals_df, "x", k=5, scale=1000), qs, scale=1000).collect()
+    ]
+    want_q = [
+        tuple(r)
+        for r in con.sql(
+            sk.duck_eh_quantiles_sql(
+                sk.duck_eh_buckets_sql("SELECT * FROM vt", "x", 5, 1000), qs, scale=1000
+            )
+        ).fetchall()
+    ]
+    assert got_q == want_q  # bit-identical doubles
+
+
+def test_eh_negative_ordering(spark):
+    # okey must totally order the reals: all negatives before zero
+    # before positives, magnitude-correct within each sign
+    df = spark.createDataFrame(
+        [(-1000.0,), (-1.0,), (0.0,), (2.0,), (3000.0,)], "x double"
+    )
+    bk = sk.eh_buckets(df, "x")
+    rows = sorted(bk.collect(), key=lambda r: r.okey)
+    vals = [r.okey for r in rows]
+    assert vals == sorted(vals)
+    got = {r.q: r.value for r in sk.eh_quantiles(bk, (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)).collect()}
+    assert got[0.2] <= got[0.4] <= got[0.6] <= got[0.8] <= got[1.0]
+    assert got[0.0] < -999  # min lands in the -1000 bucket
+    assert abs(got[0.4] - 0.0) < 1e-9 or got[0.4] < 0  # rank 2 = -1.0
+    assert got[1.0] > 2900
+
+
+def test_eh_validation(vals_df):
+    with pytest.raises(ValueError):
+        sk.eh_buckets(vals_df, "x", k=0)
+    with pytest.raises(ValueError):
+        sk.eh_buckets(vals_df, "x", scale=0)
+    with pytest.raises(ValueError):
+        sk.eh_quantiles(sk.eh_buckets(vals_df, "x"), (1.5,))
+    with pytest.raises(ValueError):
+        sk.duck_eh_quantiles_sql("SELECT 1", ())
