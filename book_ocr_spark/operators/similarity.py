@@ -644,3 +644,282 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — the memory-bound scale path
+# ---------------------------------------------------------------------------
+# Reference pattern: Jégou et al., "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011) — the IVF-PQ layout every production
+# vector store (FAISS, Milvus, Lucene HNSW-PQ) uses when the vectors
+# themselves no longer fit: each vector is split into m_sub subvectors,
+# each subspace gets its own n_codes-entry codebook (k-means), and a
+# vector is stored as m_sub SMALL INTS (codes) instead of dim floats —
+# a 64-dim float32 vector becomes 4 bytes at m_sub=4/n_codes<=256, a
+# 64x compression. Query scoring is ADC (asymmetric distance
+# computation): ONE lookup table of dot(q_sub, centroid) per query
+# (m_sub x n_codes entries), then every corpus vector scores as an
+# integer-sum of m_sub table hits — no corpus vector is ever touched.
+#
+# Spark shape at 10^12 rows: the codes table (id, sub, code) is the
+# only corpus-wide state (narrow ints, columnar-friendly); the LUT is
+# query-side and broadcast; scoring is one broadcast-hash equi-join on
+# (sub, code) + one integer-sum hash agg — no shuffle of vectors, no
+# cross join, map-side combinable.
+#
+# Determinism contract (the ivf_build idiom, extended): k-means init =
+# smallest md5(id) per subspace; assignment ties break to the lower
+# code; centroid means round to 6dp so Lloyd replays bit-identically
+# cross-engine; LUT entries are micro-rounded to BIGINT so the ADC sum
+# is integer-exact and partition/merge-order independent. The DuckDB
+# twin replays the WHOLE recurrence, so scores — not just ranks —
+# match bit-for-bit.
+
+PQ_SCALE = 1_000_000  # micro-units per 1.0 of dot product
+
+
+def _pq_validate(dim: int | None, m_sub: int, n_codes: int, iters: int) -> None:
+    if dim is None or dim < 1:
+        raise ValueError("dim (embedding dimensionality) is required")
+    if m_sub < 1 or dim % m_sub != 0:
+        raise ValueError("m_sub must divide dim")
+    if n_codes < 1 or iters < 1:
+        raise ValueError("need n_codes >= 1 and iters >= 1")
+
+
+def _subvec_explode(df: DataFrame, keep_col: str, dim: int, m_sub: int) -> DataFrame:
+    """(keep_col, sub, sv): split the double-cast vector `v` into
+    m_sub contiguous subvectors via constant-folded slice bounds."""
+    sd = dim // m_sub
+    slices = ",".join(
+        f"slice(cast(v as array<double>), {s * sd + 1}, {sd})" for s in range(m_sub)
+    )
+    return df.select(
+        keep_col, F.posexplode(F.expr(f"array({slices})")).alias("sub", "sv")
+    )
+
+
+_PQ_D2 = (
+    "({svsv}) - 2*({svc}) + ({cc})"  # fixed evaluation order both engines share
+)
+
+
+def pq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+):
+    """Train per-subspace codebooks (Lloyd, L2 on subvectors) and
+    encode the corpus. Returns (codes DF (id, sub, code), codebooks DF
+    (sub, code, c_vec)) where `codes` is the assignment under the
+    RETURNED codebooks — the pair ADC scoring needs (assigning under a
+    post-update codebook the codes don't reference would silently
+    corrupt every score).
+
+    Scale: the Lloyd loop is the one-off index build (same cost shape
+    as ivf_build — broadcast K·m_sub-row codebooks against a narrow
+    (id, sub, sv) projection); the steady-state artifact is the codes
+    table, m_sub small ints per vector."""
+    _pq_validate(dim, m_sub, n_codes, iters)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    subs = _subvec_explode(c, "id", dim, m_sub)
+    h = "cast(conv(substring(md5(cast(id as string)), 1, 7), 16, 10) as bigint)"
+    w_init = Window.partitionBy("sub").orderBy("_h", "id")
+    cb = (
+        subs.withColumn("_h", F.expr(h))
+        .withColumn("_rk", F.row_number().over(w_init))
+        .filter(F.col("_rk") <= n_codes)
+        .select(
+            "sub",
+            (F.col("_rk") - 1).cast("int").alias("code"),
+            F.col("sv").alias("c_vec"),
+        )
+    )
+    d2 = F.expr(
+        _PQ_D2.format(
+            svsv=DOT.format(a="sv", b="sv"),
+            svc=DOT.format(a="sv", b="c_vec"),
+            cc=DOT.format(a="c_vec", b="c_vec"),
+        )
+    )
+    codes = None
+    for _ in range(iters):
+        wa = Window.partitionBy("id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+        assign = (
+            subs.join(F.broadcast(cb), "sub")
+            .withColumn("_d", d2)
+            .withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") == 1)
+            .select("id", "sub", "code", "sv")
+        )
+        codes, used_cb = assign, cb
+        cb = (
+            assign.select("sub", "code", F.posexplode(F.col("sv")))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("sub", "code", F.expr("transform(_pm, x -> x.m)").alias("c_vec"))
+        )
+    return codes.select("id", "sub", "code"), used_cb
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 5,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """ADC inner-product top-k: (query_id, rank, neighbor_id, score).
+    score is the PQ-approximate dot(query, neighbor) — ranking uses
+    the exact integer micro-sum, so ties and order are deterministic
+    cross-engine. Self-matches are excluded.
+
+    The scan shape IS the scale story: corpus-side work is the codes
+    table joined (broadcast) to the per-query LUT on (sub, code), then
+    an integer-sum hash agg — the vectors never move after the build."""
+    codes, cb = pq_build(corpus, id_col, vec_col, dim, m_sub, n_codes, iters)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    )
+    qsubs = _subvec_explode(q, "query_id", dim, m_sub)
+    t = F.expr(
+        f"cast(round({PQ_SCALE} * ({DOT.format(a='sv', b='c_vec')})) as bigint)"
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", t.alias("t")
+    )
+    scores = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("t").alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("_s").cast("double") / F.lit(float(PQ_SCALE)), 4).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def _duck_pq_ctes(corpus_sql: str, dim: int, m_sub: int, n_codes: int, iters: int) -> list[str]:
+    """CTE chain replaying the exact pq_build recurrence (md5 init per
+    subspace, lower-code ties, 6dp means). Yields corpus, subs,
+    cb0..cb{iters}, assign1..assign{iters}; corpus_sql must yield
+    (id, v)."""
+    sd = dim // m_sub
+    h = "CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7)) AS BIGINT)"
+    d2 = _PQ_D2.format(
+        svsv="list_dot_product(s.sv, s.sv)",
+        svc="list_dot_product(s.sv, cb.c_vec)",
+        cc="list_dot_product(cb.c_vec, cb.c_vec)",
+    )
+    ctes = [
+        f"corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM ({corpus_sql}) c0)",
+        f"""subs AS (
+            SELECT id, r.sub AS sub,
+                   list_slice(v, r.sub * {sd} + 1, r.sub * {sd} + {sd}) AS sv
+            FROM corpus CROSS JOIN (SELECT unnest(range({m_sub})) AS sub) r)""",
+        f"""cb0 AS (
+            SELECT sub, CAST(rk - 1 AS INT) AS code, sv AS c_vec FROM (
+                SELECT sub, sv, ROW_NUMBER() OVER (PARTITION BY sub
+                    ORDER BY {h}, id) AS rk FROM subs) t
+            WHERE rk <= {n_codes})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""assign{i} AS (
+            SELECT id, sub, code, sv FROM (
+                SELECT s.id, s.sub, s.sv, cb.code,
+                       ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                           ORDER BY {d2} ASC, cb.code ASC) AS rk
+                FROM subs s JOIN cb{i - 1} cb USING (sub)) t
+            WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+            SELECT sub, code, list(m ORDER BY pos) AS c_vec FROM (
+                SELECT sub, code, u.pos AS pos, ROUND(AVG(u.val), 6) AS m
+                FROM (SELECT sub, code,
+                             unnest(list_transform(sv, (x,j) -> {{'pos': j, 'val': x}})) AS u
+                      FROM assign{i}) z
+                GROUP BY sub, code, u.pos) g
+            GROUP BY sub, code)"""
+        )
+    return ctes
+
+
+def duck_pq_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 5,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of pq_topk: the shared subspace-Lloyd recurrence,
+    the same micro-rounded LUT, the same integer-sum ADC scoring. The
+    LUT joins cb{iters-1} — the codebook assign{iters} was computed
+    against (see pq_build). corpus_sql must yield (id, v); queries_sql
+    (query_id, q_vec)."""
+    _pq_validate(dim, m_sub, n_codes, iters)
+    sd = dim // m_sub
+    ctes = _duck_pq_ctes(corpus_sql, dim, m_sub, n_codes, iters)
+    ctes.append(
+        f"""qs AS (SELECT query_id, CAST(q_vec AS DOUBLE[]) AS v
+            FROM ({queries_sql}) q0)"""
+    )
+    ctes.append(
+        f"""qsubs AS (
+            SELECT query_id, r.sub AS sub,
+                   list_slice(v, r.sub * {sd} + 1, r.sub * {sd} + {sd}) AS sv
+            FROM qs CROSS JOIN (SELECT unnest(range({m_sub})) AS sub) r)"""
+    )
+    ctes.append(
+        f"""lut AS (
+            SELECT q.query_id, cb.sub, cb.code,
+                   CAST(ROUND({PQ_SCALE} * (list_dot_product(q.sv, cb.c_vec)))
+                        AS BIGINT) AS t
+            FROM qsubs q JOIN cb{iters - 1} cb USING (sub))"""
+    )
+    ctes.append(
+        f"""pq_scores AS (
+            SELECT l.query_id, a.id AS neighbor_id, SUM(l.t) AS s
+            FROM assign{iters} a
+            JOIN lut l ON a.sub = l.sub AND a.code = l.code
+            WHERE a.id <> l.query_id
+            GROUP BY 1, 2)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT query_id, rank, neighbor_id,
+               ROUND(CAST(s AS DOUBLE) / {float(PQ_SCALE)!r}, 4) AS score
+        FROM (
+            SELECT query_id, neighbor_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id ASC) AS rank
+            FROM pq_scores) t
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+    )

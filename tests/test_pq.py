@@ -1,0 +1,121 @@
+"""Product quantization (ADC): exactness in the degenerate config,
+recall on clustered data, and bit-identical DuckDB twin scores."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators import similarity as sim
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 10
+    vecs = np.vstack(
+        [centers[i % 8] + rng.normal(scale=0.4, size=16) for i in range(120)]
+    ).astype("float32")
+    return _emb_df(spark, vecs), vecs.astype("float64")
+
+
+def test_pq_degenerate_config_is_exact_dot_topk(spark):
+    """m_sub=1 + n_codes >= N + iters=1: the init codebook IS the
+    corpus, every vector quantizes to itself (distance 0), so ADC
+    reproduces exact inner-product top-k up to 1e-6 LUT quantization."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    df = _emb_df(spark, vecs)
+    got = sim.pq_topk(
+        df, df.filter(F.col("vec_id") < 4), dim=8, k=3, m_sub=1, n_codes=40, iters=1
+    ).collect()
+    v = vecs.astype("float64")
+    dots = v @ v.T
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q in range(4):
+        want = sorted(
+            ((round(-dots[q, j], 4), j) for j in range(len(v)) if j != q)
+        )[:3]
+        rows = sorted(by_q[q], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rows] == [j for _, j in want]
+        for r, (negd, _) in zip(rows, want):
+            assert abs(r.score - (-negd)) <= 2e-4, (q, r.score, -negd)
+
+
+def test_pq_recall_on_clustered_data(clustered):
+    """PQ's retrieval guarantee is cluster-grain: within a cluster all
+    members can quantize to the SAME codes (that's the compression),
+    so exact top-1 is not promised — but every returned neighbor must
+    come from the query's own cluster, and the ADC score must sit
+    close to the true dot (quantization distortion, not garbage)."""
+    df, v = clustered
+    queries = df.filter(F.col("vec_id") < 5)
+    got = sim.pq_topk(df, queries, dim=16, k=3, m_sub=4, n_codes=16, iters=3)
+    rows = got.orderBy("query_id", "rank").collect()
+    assert rows
+    dots = v @ v.T
+    for r in rows:
+        assert r.neighbor_id % 8 == r.query_id % 8, (r.query_id, r.neighbor_id)
+        true_dot = dots[r.query_id, r.neighbor_id]
+        assert abs(r.score - true_dot) <= 0.3 * abs(true_dot), (
+            r.query_id, r.neighbor_id, r.score, true_dot,
+        )
+
+
+def test_pq_duck_twin_bit_identical(spark, clustered):
+    df, v = clustered
+    queries = df.filter(F.col("vec_id") < 5)
+    got = [
+        tuple(r)
+        for r in sim.pq_topk(
+            df, queries, dim=16, k=4, m_sub=4, n_codes=8, iters=2
+        ).orderBy("query_id", "rank").collect()
+    ]
+    con = duckdb.connect()
+    con.register("corpus_t", df.selectExpr("vec_id AS id", "embedding AS v").toPandas())
+    con.register(
+        "queries_t",
+        queries.selectExpr("vec_id AS query_id", "embedding AS q_vec").toPandas(),
+    )
+    want = [
+        tuple(r)
+        for r in con.sql(
+            sim.duck_pq_topk_sql(
+                "SELECT * FROM corpus_t", "SELECT * FROM queries_t",
+                dim=16, k=4, m_sub=4, n_codes=8, iters=2,
+            )
+        ).fetchall()
+    ]
+    assert got == want  # scores bit-identical, not just ranks
+
+
+def test_pq_codes_are_the_compressed_artifact(clustered):
+    df, _ = clustered
+    codes, cb = sim.pq_build(df, dim=16, m_sub=4, n_codes=8, iters=2)
+    assert dict(codes.dtypes) == {"id": "bigint", "sub": "int", "code": "int"}
+    n = df.count()
+    assert codes.count() == n * 4  # m_sub small ints per vector
+    assert codes.agg(F.max("code")).collect()[0][0] < 8
+    # codebook is broadcast-sized: <= m_sub * n_codes rows
+    assert cb.count() <= 32
+
+
+def test_pq_validation(clustered):
+    df, _ = clustered
+    with pytest.raises(ValueError):
+        sim.pq_build(df, dim=None)
+    with pytest.raises(ValueError):
+        sim.pq_build(df, dim=16, m_sub=5)
+    with pytest.raises(ValueError):
+        sim.pq_topk(df, df, dim=16, iters=0)
+    with pytest.raises(ValueError):
+        sim.duck_pq_topk_sql("s", "q", dim=16, m_sub=3)
