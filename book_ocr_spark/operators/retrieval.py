@@ -365,3 +365,108 @@ def duck_cosine_hard_negatives_sql(
     return duck_mine_hard_negatives_sql(
         cand, positives_sql, n_neg, below_positive, score_col="sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — per-doc top-k characteristic terms
+# ---------------------------------------------------------------------------
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, rank, term, score_micro): each document's ``topk`` most
+    characteristic terms by smooth TF-IDF (the sklearn formulation:
+    (tf/dl) * (ln((1+N)/(1+df)) + 1)), rank 1 = strongest, ties broken
+    on ascending term. score_micro is the integer micro-unit score —
+    each term's score is rounded ONCE (no sum), so determinism needs
+    no further care; divide by 1e6 for the float value.
+
+    Why a curation pipeline wants it: per-doc keywords are the cheap
+    corpus cartography primitive — topic browsing, mixture audits
+    ("what is cluster 17 about?"), and near-dup triage all read them.
+
+    Scale shape: two narrow map-side-combined hash aggs over the
+    tokenized corpus (per-doc tf+dl; per-term df), then ONE shuffle
+    join of tf against the vocabulary-sized df table on term (many-to-
+    one, no row explosion; stop-word keys are heavy but each carries a
+    single df row, so no task reads more than its tf share), and a
+    per-doc top-k window. ``min_df`` prunes hapax noise BEFORE the
+    join when asked. The df table is NOT broadcast — vocabulary at
+    10^12 turns is itself warehouse-scale."""
+    if topk <= 0:
+        raise ValueError("topk must be positive")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    toks = _terms(docs, id_col, text_col)
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    n_docs = dl.agg(F.count("*").alias("n_docs"))
+    df_t = tf.groupBy("t").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        df_t = df_t.where(F.col("df") >= min_df)
+    idf = F.log(
+        (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(df_t, "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            F.col("t").alias("term"),
+            F.round(
+                F.lit(MICRO) * (F.col("tf").cast("double") / F.col("dl")) * idf
+            ).cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("id", "rank", "term", "score_micro")
+    )
+
+
+def duck_tfidf_keywords_sql(
+    docs_sql: str, topk: int = 5, min_df: int = 1
+) -> str:
+    """DuckDB twin of tfidf_keywords: same tokenizer, same smooth idf,
+    same single micro rounding, same tie rule. docs_sql must yield
+    (id, text)."""
+    if topk <= 0:
+        raise ValueError("topk must be positive")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    return f"""
+        WITH toks AS (
+            SELECT id, t
+            FROM (SELECT id, unnest(regexp_split_to_array(lower(text),
+                         '{TOKEN_SPLIT}')) AS t
+                  FROM ({docs_sql}) d0) d1
+            WHERE t <> ''
+        ),
+        tf AS (SELECT id, t, COUNT(*) AS tf FROM toks GROUP BY id, t),
+        dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+        nd AS (SELECT COUNT(*) AS n_docs FROM dl),
+        df_t AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+                 HAVING COUNT(*) >= {min_df}),
+        scored AS (
+            SELECT f.id, f.t AS term,
+                   CAST(ROUND({MICRO} * (CAST(f.tf AS DOUBLE) / dl.dl)
+                        * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)
+                   ) AS BIGINT) AS score_micro
+            FROM tf f JOIN df_t USING (t) JOIN dl ON dl.id = f.id CROSS JOIN nd
+        ),
+        ranked AS (SELECT id, term, score_micro,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY score_micro DESC, term ASC) AS INT) AS rank
+                   FROM scored)
+        SELECT id, rank, term, score_micro FROM ranked
+        WHERE rank <= {topk}
+        ORDER BY id, rank
+    """

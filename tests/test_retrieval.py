@@ -243,3 +243,70 @@ def test_hard_negatives_validation(spark):
         retrieval.bm25_hard_negatives(docs, qs, pos, n_neg=0)
     with pytest.raises(ValueError):
         retrieval.bm25_hard_negatives(docs, qs, pos, n_neg=5, pool=3)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+KW_ROWS = [
+    (1, "spark shuffle spark partition spark the the of"),
+    (2, "duckdb vector duckdb the of of"),
+    (3, "spark duckdb parquet footer the of"),
+    (4, "the of the of the of"),
+]
+
+
+def test_tfidf_keywords_sanity(spark):
+    docs = spark.createDataFrame(KW_ROWS, "doc_id long, text string")
+    got = retrieval.tfidf_keywords(docs, topk=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.id, []).append((r.rank, r.term))
+    # the repeated distinctive term wins over stop-ish terms in every doc
+    assert by_doc[1][0] == (1, "spark")
+    assert by_doc[2][0] == (1, "duckdb")
+    # doc 3's unique terms beat its shared terms; the equal-score tie
+    # breaks alphabetically (footer < parquet)
+    assert sorted(by_doc[3]) == [(1, "footer"), (2, "parquet")]
+    # doc 4 has only corpus-wide terms; it still gets ranked rows
+    assert len(by_doc[4]) == 2
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_tfidf_keywords_twin_bit_identical(spark):
+    docs = spark.createDataFrame(KW_ROWS, "doc_id long, text string")
+    for topk, min_df in ((3, 1), (2, 2)):
+        got = sorted(
+            map(tuple, retrieval.tfidf_keywords(docs, topk=topk, min_df=min_df).collect())
+        )
+        con = duckdb.connect()
+        con.register("kd", pd.DataFrame(KW_ROWS, columns=["id", "text"]))
+        want = sorted(
+            map(
+                tuple,
+                con.sql(
+                    retrieval.duck_tfidf_keywords_sql(
+                        "SELECT id, text FROM kd", topk=topk, min_df=min_df
+                    )
+                ).fetchall(),
+            )
+        )
+        assert got == want, (topk, min_df)
+
+
+def test_tfidf_keywords_min_df_prunes_hapax(spark):
+    docs = spark.createDataFrame(KW_ROWS, "doc_id long, text string")
+    got = retrieval.tfidf_keywords(docs, topk=3, min_df=2).collect()
+    terms = {r.term for r in got}
+    assert "parquet" not in terms  # df=1 pruned
+    assert "spark" in terms        # df=2 kept
+
+
+def test_tfidf_keywords_validation(spark):
+    docs = spark.createDataFrame(KW_ROWS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        retrieval.tfidf_keywords(docs, topk=0)
+    with pytest.raises(ValueError):
+        retrieval.tfidf_keywords(docs, min_df=0)
+    with pytest.raises(ValueError):
+        retrieval.duck_tfidf_keywords_sql("s", topk=-1)
