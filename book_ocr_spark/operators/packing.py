@@ -288,3 +288,113 @@ def duck_pack_next_fit_sql(
                size > {capacity} AS overfull
         FROM step ORDER BY grp, bin, bin_pos
     """
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform — infilling training examples
+# ---------------------------------------------------------------------------
+# Reference pattern: Bavarian et al., "Efficient Training of Language
+# Models to Fill in the Middle" (2022): move a random middle span of a
+# deterministic fraction of documents behind the context, so the model
+# learns infilling alongside left-to-right generation. PSM layout is
+# <pre>prefix<suf>suffix<mid>middle; SPM puts the suffix sentinel
+# block first. Selection and both cut points derive from md5(id) (the
+# dedup.spark_h28 idiom), so the transform is a pure row-local
+# projection: reproducible run-to-run, engine-to-engine, and across
+# resumes — no RNG state, no shuffle, nothing to checkpoint.
+
+FIM_PRE = "<|fim_prefix|>"
+FIM_SUF = "<|fim_suffix|>"
+FIM_MID = "<|fim_middle|>"
+_H_MOD = 1_000_000
+
+
+def _fim_validate(fim_rate: float, mode: str) -> None:
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError("fim_rate must be in [0, 1]")
+    if mode not in ("psm", "spm"):
+        raise ValueError("mode must be 'psm' or 'spm'")
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+    mode: str = "psm",
+) -> DataFrame:
+    """(id, text, is_fim): rewrite a deterministic ``fim_rate``
+    fraction of documents into FIM layout; the rest pass through
+    unchanged (is_fim = false). Cut points are two independent
+    md5-derived positions in [0, len] (lo = min, hi = max), so empty
+    prefix/middle/suffix are all reachable — the paper's behavior.
+
+    Scale shape: one stateless JVM projection (md5 + substring +
+    concat), no shuffle, no UDF; safe to fuse into any scan."""
+    _fim_validate(fim_rate, mode)
+    from book_ocr_spark.operators.dedup import spark_h28
+
+    key_sel = f"concat('fimsel:', cast({id_col} as string))"
+    key_a = f"concat('fima:', cast({id_col} as string))"
+    key_b = f"concat('fimb:', cast({id_col} as string))"
+    sel = f"({spark_h28(key_sel)}) % {_H_MOD}"
+    ha = f"({spark_h28(key_a)})"
+    hb = f"({spark_h28(key_b)})"
+    ln = f"length({text_col})"
+    ca = f"({ha} % ({ln} + 1))"
+    cb = f"({hb} % ({ln} + 1))"
+    lo = f"least({ca}, {cb})"
+    hi = f"greatest({ca}, {cb})"
+    pre = f"substring({text_col}, 1, {lo})"
+    mid = f"substring({text_col}, {lo} + 1, {hi} - {lo})"
+    suf = f"substring({text_col}, {hi} + 1, {ln} - {hi})"
+    if mode == "psm":
+        fim = (
+            f"concat('{FIM_PRE}', {pre}, '{FIM_SUF}', {suf}, '{FIM_MID}', {mid})"
+        )
+    else:  # spm: suffix block leads, prefix follows the sentinel pair
+        fim = (
+            f"concat('{FIM_PRE}', '{FIM_SUF}', {suf}, '{FIM_MID}', {pre}, {mid})"
+        )
+    is_fim = F.expr(f"{sel} < {int(round(fim_rate * _H_MOD))}") & F.col(
+        text_col
+    ).isNotNull()
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(is_fim, F.expr(fim)).otherwise(F.col(text_col)).alias("text"),
+        is_fim.alias("is_fim"),
+    )
+
+
+def duck_fim_transform_sql(
+    src_sql: str, fim_rate: float = 0.5, mode: str = "psm"
+) -> str:
+    """DuckDB twin of fim_transform; src_sql must yield (id, text)."""
+    _fim_validate(fim_rate, mode)
+    from book_ocr_spark.operators.dedup import duck_h28
+
+    key_sel = "'fimsel:' || CAST(id AS VARCHAR)"
+    key_a = "'fima:' || CAST(id AS VARCHAR)"
+    key_b = "'fimb:' || CAST(id AS VARCHAR)"
+    sel = f"({duck_h28(key_sel)}) % {_H_MOD}"
+    ha = f"({duck_h28(key_a)})"
+    hb = f"({duck_h28(key_b)})"
+    ca = f"({ha} % (length(text) + 1))"
+    cb = f"({hb} % (length(text) + 1))"
+    lo = f"least({ca}, {cb})"
+    hi = f"greatest({ca}, {cb})"
+    pre = f"substring(text, 1, CAST({lo} AS INT))"
+    mid = f"substring(text, CAST({lo} AS INT) + 1, CAST({hi} - {lo} AS INT))"
+    suf = f"substring(text, CAST({hi} AS INT) + 1, CAST(length(text) - {hi} AS INT))"
+    if mode == "psm":
+        fim = f"'{FIM_PRE}' || {pre} || '{FIM_SUF}' || {suf} || '{FIM_MID}' || {mid}"
+    else:
+        fim = f"'{FIM_PRE}' || '{FIM_SUF}' || {suf} || '{FIM_MID}' || {pre} || {mid}"
+    thr = int(round(fim_rate * _H_MOD))
+    return f"""
+        SELECT id,
+               CASE WHEN {sel} < {thr} AND text IS NOT NULL
+                    THEN {fim} ELSE text END AS text,
+               ({sel} < {thr} AND text IS NOT NULL) AS is_fim
+        FROM ({src_sql}) s
+    """

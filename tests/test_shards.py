@@ -159,3 +159,87 @@ def test_write_training_shards_readback(spark, tmp_path):
     back = spark.read.parquet(out)
     got = sorted((r.id, r.text, int(r.shard), r.seq) for r in back.collect())
     assert got == _spark_rows(spark)
+
+
+# ---------------------------------------------------------------------------
+# FIM transform
+# ---------------------------------------------------------------------------
+def test_fim_reassembly_invariant(spark):
+    """Stripping the sentinels and re-ordering prefix+middle+suffix
+    must reproduce the original text exactly, for BOTH layouts."""
+    from book_ocr_spark.operators import packing as pk
+
+    rows = [(i, f"doc {i} body with some text to cut {'x' * (i % 7)}") for i in range(40)]
+    rows += [(100, ""), (101, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dict(rows)
+    for mode in ("psm", "spm"):
+        out = pk.fim_transform(df, fim_rate=1.0, mode=mode).collect()
+        assert all(r.is_fim for r in out)
+        for r in out:
+            body = r.text
+            assert body.startswith(pk.FIM_PRE)
+            body = body[len(pk.FIM_PRE):]
+            if mode == "psm":
+                pre, rest = body.split(pk.FIM_SUF, 1)
+                suf, mid = rest.split(pk.FIM_MID, 1)
+            else:
+                # spm layout: <pre><suf>SUFFIX<mid>PREFIX+MIDDLE
+                assert body.startswith(pk.FIM_SUF)
+                suf, rest = body[len(pk.FIM_SUF):].split(pk.FIM_MID, 1)
+                assert rest + suf == orig[r.id], r.id
+                continue
+            assert pre + mid + suf == orig[r.id], r.id
+
+
+def test_fim_rate_and_determinism(spark):
+    from book_ocr_spark.operators import packing as pk
+
+    rows = [(i, f"text body number {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = {r.id: (r.text, r.is_fim) for r in pk.fim_transform(df, fim_rate=0.5).collect()}
+    out2 = {r.id: (r.text, r.is_fim) for r in pk.fim_transform(df, fim_rate=0.5).collect()}
+    assert out1 == out2  # pure function of id
+    n_fim = sum(1 for _, f in out1.values() if f)
+    assert 140 <= n_fim <= 260  # ~50% +- slack
+    # untouched rows pass through byte-identical
+    for i, (t, f) in out1.items():
+        if not f:
+            assert t == f"text body number {i}"
+
+
+def test_fim_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import packing as pk
+
+    rows = [(i, f"alpha beta gamma delta {i}") for i in range(60)] + [(900, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("ft", pd.DataFrame(rows, columns=["id", "text"]))
+    for mode in ("psm", "spm"):
+        got = sorted(map(tuple, pk.fim_transform(df, fim_rate=0.4, mode=mode).collect()))
+        want = sorted(
+            map(
+                tuple,
+                con.sql(
+                    pk.duck_fim_transform_sql("SELECT * FROM ft", fim_rate=0.4, mode=mode)
+                ).fetchall(),
+            )
+        )
+        assert got == want, mode
+
+
+def test_fim_validation(spark):
+    from book_ocr_spark.operators import packing as pk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        pk.fim_transform(df, fim_rate=1.5)
+    with pytest.raises(ValueError):
+        pk.fim_transform(df, mode="pms")
+    with pytest.raises(ValueError):
+        pk.duck_fim_transform_sql("s", fim_rate=-0.1)
