@@ -183,3 +183,119 @@ def duck_heavy_hitters_sql(corpus_sql: str, k: int = 20, ngram: int = 1) -> str:
         SELECT gram, COUNT(*) AS cnt FROM g
         GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix — mixture design / contamination audit
+# ---------------------------------------------------------------------------
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k_shingle: int = 9,
+) -> DataFrame:
+    """(src_a, src_b, shingles_a, shingles_b, shared, jaccard,
+    contain_a_in_b, contain_b_in_a) for every unordered source pair
+    (src_a < src_b): set overlap between the sources' distinct hashed
+    character k-shingle vocabularies. containment(A in B) =
+    |A ∩ B| / |A| is the mixture-design signal ("source A is 80%
+    already inside B — don't pay for it twice"); jaccard is the
+    symmetric view. Ratios are rounded to 6dp (single division of two
+    exact integers — deterministic cross-engine).
+
+    Scale shape: the corpus collapses to distinct (source, h56)
+    rows — ONE map-side-combined distinct per scan, narrow 2-column
+    state. The pair join is an equi-join on the shingle hash whose
+    fan-out per hash is bounded by the number of SOURCES (not docs):
+    a shingle shared by all m sources emits m(m-1)/2 pairs, and m is
+    tens, not billions. Pair counts then aggregate map-side. Nothing
+    in the plan grows with corpus size except the first distinct."""
+    from book_ocr_spark.operators.dedup import shingle_col, spark_h56
+
+    if k_shingle < 1:
+        raise ValueError("k_shingle must be >= 1")
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingle_col(text_col, k_shingle)).alias("_sh"),
+        )
+        .select("src", F.expr(spark_h56("_sh")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("src").alias("src_a"), "h")
+    b = sh.select(F.col("src").alias("src_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    pairs = (
+        sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("shingles_a"))
+        .crossJoin(
+            sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("shingles_b"))
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    m = pairs.join(shared, ["src_a", "src_b"], "left").withColumn(
+        "shared", F.coalesce(F.col("shared"), F.lit(0)).cast("long")
+    )
+    return m.select(
+        "src_a",
+        "src_b",
+        F.col("shingles_a").cast("long").alias("shingles_a"),
+        F.col("shingles_b").cast("long").alias("shingles_b"),
+        "shared",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("shingles_a") + F.col("shingles_b") - F.col("shared")),
+            6,
+        ).alias("jaccard"),
+        F.round(F.col("shared").cast("double") / F.col("shingles_a"), 6).alias(
+            "contain_a_in_b"
+        ),
+        F.round(F.col("shared").cast("double") / F.col("shingles_b"), 6).alias(
+            "contain_b_in_a"
+        ),
+    ).orderBy("src_a", "src_b")
+
+
+def duck_source_overlap_sql(corpus_sql: str, k_shingle: int = 9) -> str:
+    """DuckDB twin of source_overlap; corpus_sql must yield
+    (src, text)."""
+    from book_ocr_spark.operators.dedup import duck_h56, duck_shingles
+
+    if k_shingle < 1:
+        raise ValueError("k_shingle must be >= 1")
+    return f"""
+        WITH so_sh AS (
+            SELECT DISTINCT src, {duck_h56('sh')} AS h
+            FROM (SELECT src, unnest({duck_shingles('text', k_shingle)}) AS sh
+                  FROM ({corpus_sql}) c0) s
+        ),
+        so_sz AS (SELECT src, COUNT(*) AS n_sh FROM so_sh GROUP BY src),
+        so_shared AS (
+            SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared
+            FROM so_sh a JOIN so_sh b ON a.h = b.h AND a.src < b.src
+            GROUP BY 1, 2
+        ),
+        so_pairs AS (
+            SELECT a.src AS src_a, b.src AS src_b,
+                   a.n_sh AS shingles_a, b.n_sh AS shingles_b
+            FROM so_sz a JOIN so_sz b ON a.src < b.src
+        )
+        SELECT src_a, src_b,
+               CAST(shingles_a AS BIGINT) AS shingles_a,
+               CAST(shingles_b AS BIGINT) AS shingles_b,
+               CAST(COALESCE(shared, 0) AS BIGINT) AS shared,
+               ROUND(CAST(COALESCE(shared, 0) AS DOUBLE)
+                     / (shingles_a + shingles_b - COALESCE(shared, 0)), 6)
+                   AS jaccard,
+               ROUND(CAST(COALESCE(shared, 0) AS DOUBLE) / shingles_a, 6)
+                   AS contain_a_in_b,
+               ROUND(CAST(COALESCE(shared, 0) AS DOUBLE) / shingles_b, 6)
+                   AS contain_b_in_a
+        FROM so_pairs LEFT JOIN so_shared USING (src_a, src_b)
+        ORDER BY src_a, src_b
+    """

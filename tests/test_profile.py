@@ -103,3 +103,68 @@ def test_validation(docs_df):
         profile.heavy_hitters(docs_df, "text", k=0)
     with pytest.raises(ValueError):
         profile.heavy_hitters(docs_df, "text", k=3, ngram=0)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix
+# ---------------------------------------------------------------------------
+def test_source_overlap_semantics(spark):
+    from book_ocr_spark.operators.profile import source_overlap
+
+    rows = [
+        ("A", "the quick brown fox jumps over the lazy dog"),
+        ("B", "the quick brown fox jumps over the lazy dog"),  # A == B
+        ("C", "completely different content with zero overlap here!"),
+        ("A", "another alpha document body"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r.src_a, r.src_b): r for r in source_overlap(df).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    # B's shingle set is a subset of A's (A has B's doc plus one more)
+    assert ab.shared == ab.shingles_b
+    assert ab.contain_b_in_a == 1.0
+    assert 0.0 < ab.contain_a_in_b < 1.0
+    assert got[("B", "C")].shared == 0
+    assert got[("B", "C")].jaccard == 0.0
+
+
+def test_source_overlap_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.profile import (
+        duck_source_overlap_sql,
+        source_overlap,
+    )
+
+    rows = [
+        (f"s{i % 3}", f"shared boilerplate header number {i % 5} body {i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = [tuple(r) for r in source_overlap(df, k_shingle=7).collect()]
+    con = duckdb.connect()
+    con.register("ot", pd.DataFrame(rows, columns=["src", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            duck_source_overlap_sql("SELECT * FROM ot", k_shingle=7)
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_source_overlap_validation(spark):
+    import pytest
+
+    from book_ocr_spark.operators.profile import (
+        duck_source_overlap_sql,
+        source_overlap,
+    )
+
+    df = spark.createDataFrame([("A", "x")], "source string, text string")
+    with pytest.raises(ValueError):
+        source_overlap(df, k_shingle=0)
+    with pytest.raises(ValueError):
+        duck_source_overlap_sql("s", k_shingle=-1)
