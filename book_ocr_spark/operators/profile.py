@@ -299,3 +299,111 @@ def duck_source_overlap_sql(corpus_sql: str, k_shingle: int = 9) -> str:
         FROM so_pairs LEFT JOIN so_shared USING (src_a, src_b)
         ORDER BY src_a, src_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law) — tokenizer / corpus-size planning
+# ---------------------------------------------------------------------------
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoints: tuple[int, ...] = (1, 10, 100, 1_000, 10_000),
+) -> DataFrame:
+    """(n_docs, n_tokens, vocab): distinct-token vocabulary size after
+    the first ``n_docs`` documents in ``id_col`` order, at each
+    requested checkpoint (checkpoints beyond the corpus clamp to the
+    full corpus and dedup away). Heaps'-law fits (V ~ K·n^b) over this
+    table drive tokenizer vocab sizing and "is more data still adding
+    words?" curation calls.
+
+    Scale note: the naive formulation replays the corpus prefix per
+    checkpoint; this one is three aggregates — each token's FIRST
+    occurrence rank (min over a hash agg), per-rank token counts, and
+    a cumulative join against the (tiny, broadcast) checkpoint list —
+    so the corpus is scanned once regardless of checkpoint count. The
+    doc rank is a global row_number over id — an audit-grain sort; at
+    10^12 turns run it per-source or feed pre-ranked ids."""
+    from pyspark.sql import Window
+
+    cps = sorted(set(int(c) for c in checkpoints))
+    if not cps or cps[0] < 1:
+        raise ValueError("checkpoints must be positive")
+    w = Window.orderBy(id_col)
+    ranked = df.select(
+        F.row_number().over(w).alias("_rk"),
+        ws_tokens(text_col).alias("_toks"),
+    )
+    per_doc = ranked.select("_rk", F.size("_toks").alias("_nt"), "_toks")
+    firsts = (
+        per_doc.select("_rk", F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("_rk").alias("first_rk"))
+        .groupBy("first_rk")
+        .agg(F.count("*").alias("new_words"))
+    )
+    cp_df = ranked.sparkSession.createDataFrame(
+        [(c,) for c in cps], "n_docs long"
+    )
+    n_max = per_doc.agg(F.max("_rk").alias("m"))
+    cp_eff = (
+        cp_df.crossJoin(F.broadcast(n_max))
+        .select(F.least(F.col("n_docs"), F.col("m")).alias("n_docs"))
+        .distinct()
+    )
+    vocab = (
+        cp_eff.join(firsts, F.col("first_rk") <= F.col("n_docs"), "left")
+        .groupBy("n_docs")
+        .agg(F.coalesce(F.sum("new_words"), F.lit(0)).cast("long").alias("vocab"))
+    )
+    toks = (
+        cp_eff.join(per_doc.select("_rk", "_nt"), F.col("_rk") <= F.col("n_docs"), "left")
+        .groupBy("n_docs")
+        .agg(F.coalesce(F.sum("_nt"), F.lit(0)).cast("long").alias("n_tokens"))
+    )
+    return (
+        vocab.join(toks, "n_docs")
+        .select("n_docs", "n_tokens", "vocab")
+        .orderBy("n_docs")
+    )
+
+
+def duck_vocab_growth_sql(
+    corpus_sql: str, checkpoints: tuple[int, ...] = (1, 10, 100, 1_000, 10_000)
+) -> str:
+    """DuckDB twin of vocab_growth; corpus_sql must yield (id, text)."""
+    cps = sorted(set(int(c) for c in checkpoints))
+    if not cps or cps[0] < 1:
+        raise ValueError("checkpoints must be positive")
+    cp_vals = ", ".join(f"({c})" for c in cps)
+    return f"""
+        WITH vg_ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY id) AS rk,
+                   list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                       w -> w <> '') AS toks
+            FROM ({corpus_sql}) c0),
+        vg_doc AS (SELECT rk, len(toks) AS nt, toks FROM vg_ranked),
+        vg_first AS (
+            SELECT first_rk, COUNT(*) AS new_words FROM (
+                SELECT tok, MIN(rk) AS first_rk
+                FROM (SELECT rk, unnest(toks) AS tok FROM vg_doc) t
+                GROUP BY tok) f
+            GROUP BY first_rk),
+        vg_cp AS (
+            SELECT DISTINCT least(n_docs, (SELECT MAX(rk) FROM vg_doc))
+                       AS n_docs
+            FROM (VALUES {cp_vals}) t(n_docs)),
+        vg_vocab AS (
+            SELECT c.n_docs,
+                   CAST(COALESCE(SUM(f.new_words), 0) AS BIGINT) AS vocab
+            FROM vg_cp c LEFT JOIN vg_first f ON f.first_rk <= c.n_docs
+            GROUP BY c.n_docs),
+        vg_toks AS (
+            SELECT c.n_docs,
+                   CAST(COALESCE(SUM(d.nt), 0) AS BIGINT) AS n_tokens
+            FROM vg_cp c LEFT JOIN vg_doc d ON d.rk <= c.n_docs
+            GROUP BY c.n_docs)
+        SELECT n_docs, n_tokens, vocab
+        FROM vg_vocab JOIN vg_toks USING (n_docs)
+        ORDER BY n_docs
+    """

@@ -168,3 +168,51 @@ def test_source_overlap_validation(spark):
         source_overlap(df, k_shingle=0)
     with pytest.raises(ValueError):
         duck_source_overlap_sql("s", k_shingle=-1)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law)
+# ---------------------------------------------------------------------------
+def test_vocab_growth_semantics(spark):
+    from book_ocr_spark.operators.profile import vocab_growth
+
+    rows = [
+        (1, "a b c"),
+        (2, "a b d"),      # adds d
+        (3, "a a a"),      # adds nothing
+        (4, "e f"),        # adds e f
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = [(r.n_docs, r.n_tokens, r.vocab) for r in vocab_growth(df, "id", "text", (1, 2, 3, 4, 99)).collect()]
+    # checkpoint 99 clamps to 4 and dedups away
+    assert got == [(1, 3, 3), (2, 6, 4), (3, 9, 4), (4, 11, 6)]
+
+
+def test_vocab_growth_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.profile import duck_vocab_growth_sql, vocab_growth
+
+    rows = [(i, f"tok{i % 17} tok{i % 5} common word{i // 9}") for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = [tuple(r) for r in vocab_growth(df, "id", "text", (1, 5, 25, 80)).collect()]
+    con = duckdb.connect()
+    con.register("vg", pd.DataFrame(rows, columns=["id", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(duck_vocab_growth_sql("SELECT * FROM vg", (1, 5, 25, 80))).fetchall()
+    ]
+    assert got == want
+
+
+def test_vocab_growth_validation(spark):
+    import pytest
+
+    from book_ocr_spark.operators.profile import duck_vocab_growth_sql, vocab_growth
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        vocab_growth(df, "id", "text", (0,))
+    with pytest.raises(ValueError):
+        duck_vocab_growth_sql("s", ())
