@@ -332,24 +332,34 @@ def _eh_validate(k: int, scale: int) -> None:
 
 
 def eh_buckets(
-    df: DataFrame, col: str, k: int = K_DEFAULT, scale: int = EH_SCALE_DEFAULT
+    df: DataFrame,
+    col: str,
+    k: int = K_DEFAULT,
+    scale: int = EH_SCALE_DEFAULT,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(okey, sgn, shift, m, cnt): the log-linear bucket table over the
-    column's non-NULL values. One projection + one hash agg with
-    map-side partial counts; |x|*scale must stay below 2^62 (the
-    doubled-midpoint representative needs one extra bit)."""
+    """(*by, okey, sgn, shift, m, cnt): the log-linear bucket table
+    over the column's non-NULL values, one independent sketch per
+    ``by`` group (the per-language / per-source / per-transition
+    shape). One projection + one hash agg with map-side partial
+    counts; |x|*scale must stay below 2^62 (the doubled-midpoint
+    representative needs one extra bit)."""
     _eh_validate(k, scale)
+    by = tuple(by)
     v = f"cast(round(cast({col} as double) * {scale}) as bigint)"
     rows = df.where(F.col(col).isNotNull()).select(
+        *by,
         F.expr(f"abs({v})").alias("_a"),
         F.expr(f"cast(sign({v}) as int)").alias("sgn"),
     )
     shift = F.expr(f"greatest(0, length(bin(_a)) - 1 - {k})")
     with_idx = rows.select(
+        *by,
         "sgn",
         F.when(F.col("_a") == 0, F.lit(0)).otherwise(shift).cast("int").alias("shift"),
         F.col("_a").alias("_a"),
     ).select(
+        *by,
         "sgn",
         "shift",
         F.expr("shiftright(_a, shift)").alias("m"),
@@ -358,18 +368,18 @@ def eh_buckets(
         F.expr(f"shiftleft(cast(shift as bigint), {k})") + F.col("m")
     )).alias("okey")
     return (
-        with_idx.select(okey, "sgn", "shift", "m")
-        .groupBy("okey", "sgn", "shift", "m")
+        with_idx.select(*by, okey, "sgn", "shift", "m")
+        .groupBy(*by, "okey", "sgn", "shift", "m")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
-def eh_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+def eh_merge(a: DataFrame, b: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """Cell-wise addition — EXACT: eh_merge(build(A), build(B)) is
     bit-identical to build(A ∪ B) (integer sums commute)."""
     return (
         a.unionByName(b)
-        .groupBy("okey", "sgn", "shift", "m")
+        .groupBy(*by, "okey", "sgn", "shift", "m")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
 
@@ -387,20 +397,30 @@ def eh_quantiles(
     buckets: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     scale: int = EH_SCALE_DEFAULT,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(q, value) nearest-rank quantiles from a bucket table: cumulative
-    counts in okey order, rank = max(1, ceil(q*n)). The window is
-    global ON THE SKETCH (<= ~8.4k rows by construction, never the
-    data), so the single-partition WindowExec is fine."""
+    """(*by, q, value) nearest-rank quantiles from a bucket table:
+    cumulative counts in okey order (within each ``by`` group), rank =
+    max(1, ceil(q*n)). The window runs ON THE SKETCH (<= ~8.4k rows
+    per group by construction, never the data), so the ungrouped
+    single-partition WindowExec is fine."""
     from pyspark.sql import Window
 
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError("each q must be in [0, 1]")
-    w = Window.orderBy("okey").rowsBetween(Window.unboundedPreceding, 0)
+    by = tuple(by)
+    w = Window.partitionBy(*by).orderBy("okey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     b = buckets.select(
-        "okey", _eh_value(scale).alias("value"), "cnt"
+        *by, "okey", _eh_value(scale).alias("value"), "cnt"
     ).withColumn("cum", F.sum("cnt").over(w))
-    b = b.crossJoin(F.broadcast(buckets.agg(F.sum("cnt").cast("long").alias("n"))))
+    totals = buckets.groupBy(*by).agg(F.sum("cnt").cast("long").alias("n"))
+    b = (
+        b.join(F.broadcast(totals), list(by))
+        if by
+        else b.crossJoin(F.broadcast(totals))
+    )
     qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     probes = buckets.sparkSession.range(1).select(qdf)
     hits = probes.join(
@@ -409,38 +429,44 @@ def eh_quantiles(
         "inner",
     )
     return (
-        hits.groupBy("q")
+        hits.groupBy(*by, "q")
         .agg(F.min_by("value", "okey").alias("value"))
-        .orderBy("q")
+        .orderBy(*by, "q")
     )
 
 
 def duck_eh_buckets_sql(
-    src_sql: str, col: str, k: int = K_DEFAULT, scale: int = EH_SCALE_DEFAULT
+    src_sql: str,
+    col: str,
+    k: int = K_DEFAULT,
+    scale: int = EH_SCALE_DEFAULT,
+    by: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of eh_buckets."""
     _eh_validate(k, scale)
+    bysel = "".join(f"{c}, " for c in by)
+    bygrp = "".join(f", {c}" for c in by)
     v = f"CAST(ROUND(CAST({col} AS DOUBLE) * {scale}) AS BIGINT)"
     return f"""
         WITH eh_v AS (
-            SELECT abs({v}) AS a,
+            SELECT {bysel}abs({v}) AS a,
                    CAST(CASE WHEN {v} > 0 THEN 1
                              WHEN {v} < 0 THEN -1 ELSE 0 END AS INT) AS sgn
             FROM ({src_sql}) s WHERE {col} IS NOT NULL
         ), eh_b AS (
-            SELECT sgn,
+            SELECT {bysel}sgn,
                    CAST(CASE WHEN a = 0 THEN 0
                         ELSE greatest(0, length(bin(a)) - 1 - {k}) END AS INT)
                        AS shift,
                    a
             FROM eh_v
         ), eh_m AS (
-            SELECT sgn, shift, a >> shift AS m FROM eh_b
+            SELECT {bysel}sgn, shift, a >> shift AS m FROM eh_b
         )
-        SELECT CAST(sgn AS BIGINT) * ((CAST(shift AS BIGINT) << {k}) + m)
+        SELECT {bysel}CAST(sgn AS BIGINT) * ((CAST(shift AS BIGINT) << {k}) + m)
                    AS okey,
                sgn, shift, m, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM eh_m GROUP BY 1, 2, 3, 4
+        FROM eh_m GROUP BY sgn, shift, m{bygrp}
     """
 
 
@@ -448,12 +474,17 @@ def duck_eh_quantiles_sql(
     buckets_sql: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     scale: int = EH_SCALE_DEFAULT,
+    by: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of eh_quantiles (same rank rule, same midpoint
     representative, same single double division)."""
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError("each q must be in [0, 1]")
     qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    bysel = "".join(f"{c}, " for c in by)
+    bypart = ("PARTITION BY " + ", ".join(by)) if by else ""
+    bygrp = "".join(f"{c}, " for c in by)
+    byord = "".join(f"{c}, " for c in by)
     value = (
         "CASE WHEN sgn = 0 THEN 0.0 ELSE CAST(sgn AS DOUBLE) * "
         "CAST(2 * (m << shift) + (CAST(1 AS BIGINT) << shift) - 1 AS DOUBLE)"
@@ -461,14 +492,14 @@ def duck_eh_quantiles_sql(
     )
     return f"""
         WITH ehq_b AS (
-            SELECT okey, {value} AS value, cnt,
-                   SUM(cnt) OVER (ORDER BY okey
+            SELECT {bysel}okey, {value} AS value, cnt,
+                   SUM(cnt) OVER ({bypart} ORDER BY okey
                        ROWS UNBOUNDED PRECEDING) AS cum,
-                   SUM(cnt) OVER () AS n
+                   SUM(cnt) OVER ({bypart}) AS n
             FROM ({buckets_sql}) bk
         ), ehq_q AS (SELECT * FROM (VALUES {qvals}) t(q))
-        SELECT q, min_by(value, okey) AS value
+        SELECT {bysel}q, min_by(value, okey) AS value
         FROM ehq_q JOIN ehq_b
           ON cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
-        GROUP BY q ORDER BY q
+        GROUP BY {bygrp}q ORDER BY {byord}q
     """

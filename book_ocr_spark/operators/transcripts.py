@@ -4611,3 +4611,81 @@ def duck_validate_transcripts_sql(
             FROM ({src_sql}) v
         ) q
     """
+
+
+# ---------------------------------------------------------------------------
+# Turn latency — response-time distribution per role transition
+# ---------------------------------------------------------------------------
+def turn_latency(df: DataFrame) -> DataFrame:
+    """(conv_id, from_role, to_role, lat_s): seconds between each turn
+    and its predecessor within the conversation (turn_idx order), one
+    row per non-first turn. The agent-performance primitive: how long
+    assistant turns take after a user/tool turn, per transition kind.
+
+    Row grain on purpose — feed it to latency_summary for exact
+    per-transition stats, or to sketches.eh_buckets(..., by=
+    ("from_role", "to_role")) for mergeable p50/p90/p99 at corpus
+    scale. One lag window on the conv_id exchange, no second
+    shuffle."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return (
+        df.select(
+            "conv_id",
+            prev_role.alias("from_role"),
+            F.col("role").alias("to_role"),
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("lat_s"),
+        )
+        .where(F.col("lat_s").isNotNull())
+    )
+
+
+def latency_summary(df: DataFrame) -> DataFrame:
+    """(from_role, to_role, n, mean_s, min_s, max_s) over turn_latency
+    rows: exact integer aggregates; mean is ONE 6dp-rounded division
+    of two exact integers, so the summary is bit-identical
+    cross-engine. Map-side combined hash agg, ~|roles|^2 output rows."""
+    lat = turn_latency(df)
+    return (
+        lat.groupBy("from_role", "to_role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("lat_s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_s"
+            ),
+            F.min("lat_s").cast("long").alias("min_s"),
+            F.max("lat_s").cast("long").alias("max_s"),
+        )
+        .orderBy("from_role", "to_role")
+    )
+
+
+def duck_turn_latency_sql(src_sql: str) -> str:
+    """DuckDB twin of turn_latency; src_sql must yield the transcript
+    columns (conv_id, turn_idx, role, ts)."""
+    return f"""
+        SELECT conv_id, from_role, to_role, lat_s FROM (
+            SELECT conv_id,
+                   LAG(role) OVER w AS from_role,
+                   role AS to_role,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS lat_s
+            FROM ({src_sql}) s
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ) t WHERE lat_s IS NOT NULL
+    """
+
+
+def duck_latency_summary_sql(src_sql: str) -> str:
+    """DuckDB twin of latency_summary (same single rounded division)."""
+    return f"""
+        SELECT from_role, to_role,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(lat_s) AS DOUBLE) / COUNT(*), 6) AS mean_s,
+               CAST(MIN(lat_s) AS BIGINT) AS min_s,
+               CAST(MAX(lat_s) AS BIGINT) AS max_s
+        FROM ({duck_turn_latency_sql(src_sql)}) l
+        GROUP BY from_role, to_role
+        ORDER BY from_role, to_role
+    """

@@ -2863,3 +2863,84 @@ def test_dpo_jsonl_twin_and_parse(spark):
     assert _json.loads(out["a2"].jsonl)["prompt"] is None
     assert out["a3"].n_ctrl_stripped == 1
     assert _json.loads(out["a3"].jsonl)["chosen"] == "ctrlchar"
+
+
+# ---------------------------------------------------------------------------
+# Turn latency
+# ---------------------------------------------------------------------------
+def _lat_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    return [
+        ("c1", 0, "user", "q", None, s(0)),
+        ("c1", 1, "assistant", "a", None, s(7)),     # user->assistant 7s
+        ("c1", 2, "user", "q2", None, s(10)),        # assistant->user 3s
+        ("c1", 3, "assistant", "a2", None, s(30)),   # user->assistant 20s
+        ("c2", 0, "user", "q", None, s(100)),
+        ("c2", 1, "tool", "r", "calc", s(101)),      # user->tool 1s
+        ("c2", 2, "assistant", "a", None, s(109)),   # tool->assistant 8s
+    ]
+
+
+def test_turn_latency_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(_lat_rows(), columns=COLS),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    lat = {(r.conv_id, r.from_role, r.to_role): r.lat_s for r in tr.turn_latency(df).collect()}
+    assert lat[("c1", "assistant", "user")] == 3
+    assert lat[("c2", "tool", "assistant")] == 8
+    summ = {(r.from_role, r.to_role): (r.n, r.mean_s, r.min_s, r.max_s)
+            for r in tr.latency_summary(df).collect()}
+    assert summ[("user", "assistant")] == (2, 13.5, 7, 20)
+    assert summ[("user", "tool")] == (1, 1.0, 1, 1)
+
+
+def test_turn_latency_duck_twin(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(_lat_rows(), columns=COLS),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    c = duckdb.connect()
+    c.register("lt", pd.DataFrame(_lat_rows(), columns=COLS))
+    got = sorted(map(tuple, tr.turn_latency(df).collect()))
+    want = sorted(map(tuple, c.sql(tr.duck_turn_latency_sql("SELECT * FROM lt")).fetchall()))
+    assert got == want
+    got_s = [tuple(r) for r in tr.latency_summary(df).collect()]
+    want_s = [tuple(r) for r in c.sql(tr.duck_latency_summary_sql("SELECT * FROM lt")).fetchall()]
+    assert got_s == want_s
+
+
+def test_turn_latency_grouped_eh_composition(spark):
+    """The corpus-scale percentile path: grouped EH sketch over the
+    latency rows, per-transition quantiles, twin bit-identical."""
+    from book_ocr_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        pd.DataFrame(_lat_rows(), columns=COLS),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    lat = tr.turn_latency(df)
+    by = ("from_role", "to_role")
+    got = [
+        tuple(r)
+        for r in sk.eh_quantiles(
+            sk.eh_buckets(lat, "lat_s", k=7, scale=1, by=by), (0.5, 1.0), scale=1, by=by
+        ).collect()
+    ]
+    c = duckdb.connect()
+    c.register("lt", pd.DataFrame(_lat_rows(), columns=COLS))
+    bk = sk.duck_eh_buckets_sql(
+        tr.duck_turn_latency_sql("SELECT * FROM lt"), "lat_s", k=7, scale=1, by=by
+    )
+    want = [
+        tuple(r)
+        for r in c.sql(sk.duck_eh_quantiles_sql(bk, (0.5, 1.0), scale=1, by=by)).fetchall()
+    ]
+    assert got == want
+    vals = {(f, t, q): v for f, t, q, v in got}
+    # scale=1 + small ints => unit buckets => EXACT quantiles
+    assert vals[("user", "assistant", 1.0)] == 20.0
+    assert vals[("user", "assistant", 0.5)] == 7.0
