@@ -398,3 +398,163 @@ def duck_fim_transform_sql(
                ({sel} < {thr} AND text IS NOT NULL) AS is_fim
         FROM ({src_sql}) s
     """
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5/UL2 denoising) — masked-span training examples
+# ---------------------------------------------------------------------------
+# Reference pattern: Raffel et al., "Exploring the Limits of Transfer
+# Learning" (T5, 2020) §3.1.4: replace token spans with sentinel
+# tokens in the input and emit the spans behind matching sentinels as
+# the target. Token selection is IID per position from md5(id:pos)
+# (the FIM idiom — the documented simplification vs T5's mean-span-3
+# sampling; adjacent masked tokens still merge into one span), so the
+# rewrite is a deterministic pure function of (id, text): no RNG
+# state, reproducible across runs, engines, and resumes.
+
+SC_SENT_PRE = "<extra_id_"
+
+
+def _sc_validate(mask_rate: float) -> None:
+    if not 0.0 <= mask_rate < 1.0:
+        raise ValueError("mask_rate must be in [0, 1)")
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+) -> DataFrame:
+    """(id, inputs, targets, n_spans): T5-style denoising pairs.
+    ``inputs`` is the text with each masked span replaced by
+    <extra_id_k>; ``targets`` is "<extra_id_0> span0 <extra_id_1>
+    span1 ... <extra_id_n>" (trailing terminator sentinel, the T5
+    convention). Rows where nothing got masked pass through with
+    inputs = text, targets = '', n_spans = 0. Tokens are
+    single-space splits so inputs+targets reassemble the text exactly.
+
+    Scale shape: one explode + one lag/sum window on the id exchange +
+    one ordered re-assembly hash agg — the same (partition once, walk
+    in order) shape as the compose path; no Python, no second
+    shuffle."""
+    _sc_validate(mask_rate)
+    from pyspark.sql import Window
+
+    thr = int(round(mask_rate * _H_MOD))
+    key = "concat('sc:', cast(id as string), ':', cast(pos as string))"
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).withColumn("_m", F.expr(f"({spark_h28(key)}) % {_H_MOD} < {thr}"))
+    w = Window.partitionBy("id").orderBy("pos")
+    new_span = F.col("_m") & ~F.coalesce(F.lag("_m").over(w), F.lit(False))
+    staged = toks.withColumn("_new", new_span).withColumn(
+        "_span", F.sum(F.col("_new").cast("int")).over(w)
+    )
+    sent = "concat('" + SC_SENT_PRE + "', cast(_span - 1 as string), '>')"
+    in_piece = (
+        F.when(~F.col("_m"), F.col("tok"))
+        .when(F.col("_new"), F.expr(sent))
+        .otherwise(F.lit(None))
+    )
+    tgt_piece = (
+        F.when(F.col("_new"), F.expr(f"concat({sent}, ' ', tok)"))
+        .when(F.col("_m"), F.col("tok"))
+        .otherwise(F.lit(None))
+    )
+    assembled = (
+        staged.select(
+            "id",
+            "_text",
+            "pos",
+            in_piece.alias("_ip"),
+            tgt_piece.alias("_tp"),
+            F.col("_span").alias("_sp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.first("_text").alias("_text"),
+            F.array_sort(F.collect_list(F.struct("pos", F.col("_ip").alias("p")))).alias("_ins"),
+            F.array_sort(F.collect_list(F.struct("pos", F.col("_tp").alias("p")))).alias("_tgs"),
+            F.max("_sp").cast("int").alias("n_spans"),
+        )
+    )
+    join_pieces = (
+        "array_join(transform(filter({arr}, x -> x.p is not null),"
+        " x -> x.p), ' ')"
+    )
+    term = (
+        "concat('" + SC_SENT_PRE + "', cast(n_spans as string), '>')"
+    )
+    return assembled.select(
+        "id",
+        F.when(F.col("n_spans") == 0, F.col("_text"))
+        .otherwise(F.expr(join_pieces.format(arr="_ins")))
+        .alias("inputs"),
+        F.when(F.col("n_spans") == 0, F.lit(""))
+        .otherwise(
+            F.expr(f"concat({join_pieces.format(arr='_tgs')}, ' ', {term})")
+        )
+        .alias("targets"),
+        "n_spans",
+    )
+
+
+def duck_span_corruption_sql(src_sql: str, mask_rate: float = 0.15) -> str:
+    """DuckDB twin of span_corruption; src_sql must yield (id, text)."""
+    _sc_validate(mask_rate)
+    from book_ocr_spark.operators.dedup import duck_h28
+
+    thr = int(round(mask_rate * _H_MOD))
+    key = "'sc:' || CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+    sent = f"'{SC_SENT_PRE}' || CAST(sp - 1 AS VARCHAR) || '>'"
+    return f"""
+        WITH sc_tok AS (
+            SELECT id, text, u.pos AS pos, u.tok AS tok
+            FROM (SELECT id, text,
+                         unnest(list_transform(string_split(text, ' '),
+                             (x, j) -> {{'pos': j - 1, 'tok': x}})) AS u
+                  FROM ({src_sql}) s0) s1
+        ), sc_m AS (
+            SELECT id, text, pos, tok,
+                   ({duck_h28(key)}) % {_H_MOD} < {thr} AS m
+            FROM sc_tok
+        ), sc_ns AS (
+            SELECT id, text, pos, tok, m,
+                   m AND NOT COALESCE(LAG(m) OVER w, FALSE) AS new_span
+            FROM sc_m
+            WINDOW w AS (PARTITION BY id ORDER BY pos)
+        ), sc_sp AS (
+            SELECT id, text, pos, tok, m, new_span,
+                   SUM(CASE WHEN new_span THEN 1 ELSE 0 END) OVER w2 AS sp
+            FROM sc_ns
+            WINDOW w2 AS (PARTITION BY id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING)
+        ), sc_p AS (
+            SELECT id, text, pos,
+                   CASE WHEN NOT m THEN tok
+                        WHEN new_span THEN {sent}
+                        ELSE NULL END AS ip,
+                   CASE WHEN new_span THEN {sent} || ' ' || tok
+                        WHEN m THEN tok
+                        ELSE NULL END AS tp,
+                   sp
+            FROM sc_sp
+        )
+        SELECT id,
+               CASE WHEN n_spans = 0 THEN any_text
+                    ELSE ins END AS inputs,
+               CASE WHEN n_spans = 0 THEN ''
+                    ELSE tgs || ' ' || '{SC_SENT_PRE}'
+                         || CAST(n_spans AS VARCHAR) || '>' END AS targets,
+               n_spans
+        FROM (
+            SELECT id,
+                   MIN(text) AS any_text,
+                   string_agg(ip, ' ' ORDER BY pos) AS ins,
+                   string_agg(tp, ' ' ORDER BY pos) AS tgs,
+                   CAST(MAX(sp) AS INT) AS n_spans
+            FROM sc_p GROUP BY id) g
+    """

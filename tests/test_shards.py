@@ -243,3 +243,85 @@ def test_fim_validation(spark):
         pk.fim_transform(df, mode="pms")
     with pytest.raises(ValueError):
         pk.duck_fim_transform_sql("s", fim_rate=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5 denoising)
+# ---------------------------------------------------------------------------
+def _sc_reassemble(inputs: str, targets: str, n_spans: int) -> str:
+    """Invert span_corruption: substitute each target span back over
+    its sentinel."""
+    if n_spans == 0:
+        return inputs
+    spans = {}
+    parts = targets.split("<extra_id_")
+    for p in parts[1:]:
+        k, rest = p.split(">", 1)
+        if int(k) < n_spans:
+            spans[int(k)] = rest.strip(" ")
+    out = inputs
+    for k in range(n_spans):
+        out = out.replace(f"<extra_id_{k}>", spans.get(k, ""), 1)
+    return out
+
+
+def test_span_corruption_reassembly(spark):
+    from book_ocr_spark.operators import packing as pk
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(20))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dict(rows)
+    out = pk.span_corruption(df, mask_rate=0.3).collect()
+    assert any(r.n_spans > 0 for r in out)
+    for r in out:
+        assert _sc_reassemble(r.inputs, r.targets, r.n_spans) == orig[r.id], r.id
+        if r.n_spans > 0:
+            assert r.targets.endswith(f"<extra_id_{r.n_spans}>")
+        else:
+            assert r.targets == "" and r.inputs == orig[r.id]
+
+
+def test_span_corruption_merges_adjacent_masks(spark):
+    from book_ocr_spark.operators import packing as pk
+
+    # mask_rate ~ 0.9: nearly everything masks, so spans must merge
+    rows = [(7, " ".join(f"tok{j}" for j in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = pk.span_corruption(df, mask_rate=0.9).collect()[0]
+    assert 0 < r.n_spans < 15  # far fewer spans than masked tokens
+    assert _sc_reassemble(r.inputs, r.targets, r.n_spans) == rows[0][1]
+
+
+def test_span_corruption_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import packing as pk
+
+    rows = [(i, " ".join(f"x{i}y{j}" for j in range(12))) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("sct", pd.DataFrame(rows, columns=["id", "text"]))
+    for rate in (0.15, 0.5):
+        got = sorted(map(tuple, pk.span_corruption(df, mask_rate=rate).collect()))
+        want = sorted(
+            map(
+                tuple,
+                con.sql(
+                    pk.duck_span_corruption_sql("SELECT * FROM sct", mask_rate=rate)
+                ).fetchall(),
+            )
+        )
+        assert got == want, rate
+
+
+def test_span_corruption_validation(spark):
+    import pytest
+
+    from book_ocr_spark.operators import packing as pk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pk.span_corruption(df, mask_rate=1.0)
+    with pytest.raises(ValueError):
+        pk.duck_span_corruption_sql("s", mask_rate=-0.1)
