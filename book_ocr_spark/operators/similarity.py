@@ -923,3 +923,81 @@ def duck_pq_topk_sql(
         ORDER BY query_id, rank
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse cells bound the candidates, ADC scores them
+# ---------------------------------------------------------------------------
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score): the FAISS IVF-PQ layout —
+    ivf_build's coarse cells bound WHICH vectors each query scores
+    (nprobe cells' inverted lists instead of the whole corpus), and
+    pq_build's codes + the broadcast ADC LUT decide HOW each candidate
+    is scored (integer micro-sum of m_sub table hits; score is the
+    PQ-approximate dot, 4dp).
+
+    Scale shape: the steady-state corpus artifacts are the cell
+    assignment (id, cell) and the codes table (id, sub, code) — both
+    narrow-int, both built once. Per query batch: one broadcast probe
+    against K centroids, one equi-join on cell, one broadcast equi-join
+    on (sub, code), one integer-sum agg. Nothing re-reads vectors, so
+    the scan cost per query batch is proportional to the PROBED share
+    of the codes table (~nprobe/n_cells), not the corpus.
+
+    Both recurrences are the deterministic builds their twins replay;
+    ivfpq has no separate DuckDB twin — correctness is pinned by the
+    ivf and pq twins plus the composition tests."""
+    assign, centroids = ivf_build(corpus, id_col, vec_col, n_cells, iters)
+    codes, cb = pq_build(corpus, id_col, vec_col, dim, m_sub, n_codes, iters)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _cosine_expr("v", "c_vec"))
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsubs = _subvec_explode(q, "query_id", dim, m_sub)
+    t = F.expr(
+        f"cast(round({PQ_SCALE} * ({DOT.format(a='sv', b='c_vec')})) as bigint)"
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", t.alias("t")
+    )
+    cand = codes.join(assign, "id").join(
+        F.broadcast(probed), "cell"
+    )  # only probed cells' inverted lists are scored
+    scores = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("t").alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("_s").cast("double") / F.lit(float(PQ_SCALE)), 4).alias(
+                "score"
+            ),
+        )
+    )

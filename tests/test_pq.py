@@ -119,3 +119,39 @@ def test_pq_validation(clustered):
         sim.pq_topk(df, df, dim=16, iters=0)
     with pytest.raises(ValueError):
         sim.duck_pq_topk_sql("s", "q", dim=16, m_sub=3)
+
+
+def test_ivfpq_prunes_to_probed_cells_and_ranks(clustered):
+    """IVF-PQ composition: results come only from probed cells, all
+    from the query's own cluster; with nprobe = n_cells it degrades to
+    plain pq_topk exactly (same candidates, same ADC scores)."""
+    df, v = clustered
+    queries = df.filter(F.col("vec_id") < 4)
+    got = sim.ivfpq_topk(
+        df, queries, dim=16, k=3, n_cells=8, nprobe=2, m_sub=4, n_codes=16, iters=2
+    )
+    rows = got.orderBy("query_id", "rank").collect()
+    assert rows
+    for r in rows:
+        assert r.neighbor_id % 8 == r.query_id % 8, (r.query_id, r.neighbor_id)
+    full = sim.ivfpq_topk(
+        df, queries, dim=16, k=3, n_cells=4, nprobe=4, m_sub=4, n_codes=16, iters=2
+    )
+    plain = sim.pq_topk(df, queries, dim=16, k=3, m_sub=4, n_codes=16, iters=2)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivfpq_scores_match_pq_on_shared_neighbors(clustered):
+    """Where IVF-PQ and plain PQ return the same (query, neighbor)
+    pair, the ADC score must be IDENTICAL — the cell pruning changes
+    the candidate set, never the scoring."""
+    df, _ = clustered
+    queries = df.filter(F.col("vec_id") < 4)
+    a = {(r.query_id, r.neighbor_id): r.score for r in sim.ivfpq_topk(
+        df, queries, dim=16, k=5, n_cells=8, nprobe=3, iters=2).collect()}
+    b = {(r.query_id, r.neighbor_id): r.score for r in sim.pq_topk(
+        df, queries, dim=16, k=5, iters=2).collect()}
+    shared = set(a) & set(b)
+    assert shared
+    for key in shared:
+        assert a[key] == b[key], key
