@@ -436,3 +436,70 @@ def bpe_decode(
         "id",
         F.rtrim(F.translate(joined, eow, " ")).alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — per-language compression audit of a merge list
+# ---------------------------------------------------------------------------
+def tokenizer_fertility(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | DataFrame,
+    lang_col: str | None = None,
+    eow: str = EOW,
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_chars, n_pieces, pieces_per_word,
+    chars_per_piece): how well a learned merge list compresses each
+    language — the fairness audit every multilingual tokenizer needs
+    (a vocab trained on English runs 2-4x more pieces per word on
+    underrepresented languages, which taxes their effective context
+    and training budget; see the fertility metric in the mBERT/XLM-R
+    literature). ``lang_col`` uses a trusted label column; default
+    derives labels with textstats.lang_pred. Ratios are single
+    6dp-rounded divisions of exact integer sums.
+
+    Scale shape: bpe_encode's distinct-word skeleton (Zipf-small merge
+    work, one join-back) plus ONE narrow per-language hash agg."""
+    from book_ocr_spark.operators.textstats import ws_tokens
+
+    enc = bpe_encode(df, id_col, text_col, merges, eow)
+    if lang_col is None:
+        from book_ocr_spark.operators.textstats import lang_pred
+
+        labeled = lang_pred(df, text_col).select(
+            F.col(id_col).alias("id"),
+            F.col("pred_lang").alias("lang"),
+            F.col(text_col).alias("_t"),
+        )
+    else:
+        labeled = df.select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("lang"),
+            F.col(text_col).alias("_t"),
+        )
+    base = labeled.select(
+        "id",
+        "lang",
+        F.length("_t").cast("long").alias("_chars"),
+        F.size(ws_tokens("_t")).cast("long").alias("_words"),
+    )
+    joined = base.join(enc.select("id", "n_pieces"), "id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_words").alias("n_words"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.greatest(F.sum("_words"), F.lit(1)),
+                6,
+            ).alias("pieces_per_word"),
+            F.round(
+                F.sum("_chars").cast("double") / F.greatest(F.sum("n_pieces"), F.lit(1)),
+                6,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )

@@ -271,3 +271,61 @@ def test_decode_multichar_words_and_spacing(spark):
         bpe.bpe_encode(df, "doc_id", "text", merges)
     ).collect()}
     assert got == {0: "a bb c", 1: "x"}
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+def test_tokenizer_fertility_matches_encode_aggregation(spark, corpus_df, learned):
+    """Fertility rows are exactly the per-lang aggregation of
+    bpe_encode's outputs (labels given explicitly)."""
+    from pyspark.sql import functions as F
+
+    labeled = corpus_df.withColumn(
+        "lang", F.when(F.col("doc_id") < 3, "en").otherwise("xx")
+    )
+    got = {
+        r.lang: r
+        for r in bpe.tokenizer_fertility(
+            labeled, "doc_id", "text", learned, lang_col="lang"
+        ).collect()
+    }
+    enc = {r.id: r.n_pieces for r in bpe.bpe_encode(corpus_df, "doc_id", "text", learned).collect()}
+    for lang, ids in (("en", [0, 1, 2]), ("xx", [3, 4, 5, 6])):
+        want_pieces = sum(enc[i] for i in ids)
+        want_words = sum(len(CORPUS[i].split()) for i in ids)
+        want_chars = sum(len(CORPUS[i]) for i in ids)
+        r = got[lang]
+        assert (r.n_docs, r.n_words, r.n_chars, r.n_pieces) == (
+            len(ids), want_words, want_chars, want_pieces,
+        ), lang
+        assert r.pieces_per_word == round(want_pieces / max(want_words, 1), 6)
+        assert r.chars_per_piece == round(want_chars / max(want_pieces, 1), 6)
+
+
+def test_tokenizer_fertility_flags_unseen_language(spark, corpus_df, learned):
+    """A merge list trained on English must show higher fertility
+    (more pieces per word) on text it never saw — the audit signal."""
+    from pyspark.sql import functions as F
+
+    mixed = spark.createDataFrame(
+        [
+            (0, "the lowest newest dog jumps over the lazy dog", "en"),
+            (1, "zqv xkwj pfrt gmbl vxzq wjkq trqf blgm", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.lang: r.pieces_per_word
+        for r in bpe.tokenizer_fertility(
+            mixed, "doc_id", "text", learned, lang_col="lang"
+        ).collect()
+    }
+    assert got["xx"] > got["en"]
+
+
+def test_tokenizer_fertility_default_lang_pred(spark, corpus_df, learned):
+    """Without a label column the textstats language id supplies one."""
+    out = bpe.tokenizer_fertility(corpus_df, "doc_id", "text", learned).collect()
+    assert {r.lang for r in out} <= {"en", "de", "fr", "es", "zh"}
+    assert sum(r.n_docs for r in out) == len(CORPUS)
