@@ -407,6 +407,14 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+# retired from the 50-row registry in the r3 extension (class covered
+# via simhash_fingerprint); twin-pinned in test_unregistered_queries.py
+DOC_FINGERPRINT_ORACLE_SQL = """
+    SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: hash of whitespace-canonicalized text."""
     d = _t(spark, sf_dir, "documents")
@@ -880,6 +888,22 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-5 (the compressed-vector ANN tier):
+    per-subspace Lloyd codebooks quantize the corpus to m_sub=4 small
+    ints per vector; queries score via a broadcast micro-rounded LUT
+    and an integer-sum hash agg. Deterministic init + 6dp-rounded
+    means + integer ADC sums => the whole recurrence (scores included)
+    replays bit-identically in DuckDB."""
+    from book_ocr_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, k=5, m_sub=4,
+        n_codes=16, iters=2,
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine high-similarity pairs (near-dup dedup signal)."""
     from book_ocr_spark.operators.similarity import cosine_near_dup_pairs
@@ -1159,7 +1183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lead/lag stay covered via rollup_metrics and user_event_lag /
     # user_sessions) swapped for the transcripts-native sft_assembly /
     # prefix_dedup; the retired pair keeps twin coverage in
-    # tests/test_unregistered_queries.py.
+    # tests/test_unregistered_queries.py. r3 extension: doc_fingerprint
+    # (md5-projection fingerprinting stays covered via
+    # simhash_fingerprint) swapped for pq_adc_topk — the
+    # compressed-vector ANN tier is a new operator class; the retiree
+    # keeps twin coverage in tests/test_unregistered_queries.py.
     return {
         "compose_docs": q_compose_docs,
         "pipeline_plain_sql": q_pipeline_plain_sql,
@@ -1187,7 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "line_dedup": q_line_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
+        "pq_adc_topk": q_pq_adc_topk,
         "minhash_near_dup": q_minhash_near_dup,
         "pii_redaction": q_pii_redaction,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1262,6 +1290,17 @@ def _similarity_oracle_sql(which: str) -> str:
             "SELECT vec_id AS id, embedding AS v FROM embeddings",
             "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10",
             k=5,
+        )
+    if which == "pq":
+        from book_ocr_spark.operators.similarity import duck_pq_topk_sql
+
+        # deterministic subspace-Lloyd + integer ADC sums => scores,
+        # not just ranks, replay bit-identically (same params as
+        # q_pq_adc_topk)
+        return duck_pq_topk_sql(
+            "SELECT vec_id AS id, embedding AS v FROM embeddings",
+            "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10",
+            dim=64, k=5, m_sub=4, n_codes=16, iters=2,
         )
     if which == "pairs_bucketed":
         # brute-force all-pairs ground truth over the constructed
@@ -1637,10 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": _token_stats_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(),
-        "doc_fingerprint": """
-            SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
-            FROM documents ORDER BY doc_id
-        """,
+        "pq_adc_topk": _similarity_oracle_sql("pq"),
         "post_signup_activity_bucketed": _POST_SIGNUP_SQL,
         "user_sessions": """
             WITH g AS (

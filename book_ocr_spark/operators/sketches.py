@@ -503,3 +503,74 @@ def duck_eh_quantiles_sql(
           ON cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
         GROUP BY {bygrp}q ORDER BY {byord}q
     """
+
+
+def eh_winsorize(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    k: int = K_DEFAULT,
+    scale: int = EH_SCALE_DEFAULT,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """All input columns + ``<col>_w``: the column clamped to its
+    [lo, hi] sketch quantiles (per ``by`` group when given) — the
+    reward-cleaning / outlier-taming pass an RL or quality-score
+    pipeline runs before normalization, at sketch cost instead of a
+    global sort. NULLs pass through NULL; values inside the bounds are
+    UNTOUCHED (clamping never re-quantizes).
+
+    Scale shape: one sketch build (map-side-combined hash agg), a
+    ≤ 2-row-per-group bound table broadcast back, one clamp
+    projection. The bounds carry the sketch's 2^-k relative error —
+    winsorization tolerates that by design (it's already an arbitrary
+    percentile cut)."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    by = tuple(by)
+    qs = eh_quantiles(eh_buckets(df, col, k, scale, by), (lo, hi), scale, by)
+    bounds = qs.groupBy(*by).agg(
+        F.min_by("value", "q").alias("_blo"), F.max_by("value", "q").alias("_bhi")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(by))
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.when(
+        F.col(col).isNotNull(),
+        F.least(F.greatest(F.col(col).cast("double"), F.col("_blo")), F.col("_bhi")),
+    )
+    return joined.withColumn(f"{col}_w", clamped).drop("_blo", "_bhi")
+
+
+def duck_eh_winsorize_sql(
+    src_sql: str,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    k: int = K_DEFAULT,
+    scale: int = EH_SCALE_DEFAULT,
+    by: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of eh_winsorize."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    qsql = duck_eh_quantiles_sql(
+        duck_eh_buckets_sql(src_sql, col, k, scale, by), (lo, hi), scale, by
+    )
+    bysel = "".join(f"{c}, " for c in by)
+    bygrp = ("GROUP BY " + ", ".join(by)) if by else ""
+    join = ("JOIN ehw_b USING (" + ", ".join(by) + ")") if by else "CROSS JOIN ehw_b"
+    return f"""
+        WITH ehw_q AS ({qsql}),
+        ehw_b AS (
+            SELECT {bysel}min_by(value, q) AS blo, max_by(value, q) AS bhi
+            FROM ehw_q {bygrp}
+        )
+        SELECT s.*, CASE WHEN {col} IS NOT NULL
+                    THEN least(greatest(CAST({col} AS DOUBLE), blo), bhi)
+                    END AS {col}_w
+        FROM ({src_sql}) s {join}
+    """

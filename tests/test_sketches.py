@@ -250,3 +250,57 @@ def test_eh_validation(vals_df):
         sk.eh_quantiles(sk.eh_buckets(vals_df, "x"), (1.5,))
     with pytest.raises(ValueError):
         sk.duck_eh_quantiles_sql("SELECT 1", ())
+
+
+def test_eh_winsorize_clamps_tails_only(spark):
+    rows = [(i % 3, float(v)) for i, v in enumerate(
+        list(range(1, 100)) + [10_000.0, -10_000.0]
+    )]
+    df = spark.createDataFrame(rows, "g int, x double")
+    out = sk.eh_winsorize(df, "x", lo=0.05, hi=0.95, scale=1000).collect()
+    by_x = {r.x: r.x_w for r in out}
+    # outliers clamp inward
+    assert by_x[10_000.0] < 10_000.0
+    assert by_x[-10_000.0] > -10_000.0
+    # interior values pass through untouched (never re-quantized)
+    assert by_x[50.0] == 50.0
+    assert len(out) == len(rows)
+
+
+def test_eh_winsorize_grouped_and_twin(spark):
+    import pandas as pd
+
+    rows = [("a", float(i)) for i in range(1, 60)] + [
+        ("a", 9e5), ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", -7e5), (None, 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    df = spark.createDataFrame(pdf, "g string, x double")
+    got = sorted(
+        map(tuple, sk.eh_winsorize(df, "x", 0.3, 0.9, scale=100, by=("g",)).collect()),
+        key=str,
+    )
+    con = duckdb.connect()
+    con.register("wt", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                sk.duck_eh_winsorize_sql("SELECT * FROM wt", "x", 0.3, 0.9, scale=100, by=("g",))
+            ).fetchall(),
+        ),
+        key=str,
+    )
+    assert got == want
+    # group b's outlier clamps to ITS own group's p30 bound: values
+    # (-7e5, 1, 2, 3), rank ceil(0.3*4)=2 -> 1.0 (exact: unit bucket)
+    b_vals = {x: w for g, x, w in got if g == "b"}
+    assert b_vals[-7e5] == 1.0
+    assert b_vals[2.0] == 2.0
+
+
+def test_eh_winsorize_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        sk.eh_winsorize(df, "x", lo=0.9, hi=0.1)
+    with pytest.raises(ValueError):
+        sk.duck_eh_winsorize_sql("s", "x", lo=-0.1, hi=0.5)

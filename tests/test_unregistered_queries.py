@@ -50,6 +50,9 @@ def con():
     c.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
     )
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
     return c
 
 
@@ -80,4 +83,15 @@ def test_union_event_slices_twin(spark, con):
     _compare(
         em.q_union_event_slices(spark, SF_DIR).toPandas(),
         con.execute(em.UNION_EVENT_SLICES_ORACLE).df(),
+    )
+
+
+def test_doc_fingerprint_twin(spark, con):
+    """Retired in favor of the compressed-vector pq_adc_topk row; the
+    fingerprinting class stays driver-covered via simhash_fingerprint."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_doc_fingerprint(spark, SF_DIR).toPandas(),
+        con.execute(em.DOC_FINGERPRINT_ORACLE_SQL).df(),
     )
