@@ -431,7 +431,9 @@ def span_corruption(
     <extra_id_k>; ``targets`` is "<extra_id_0> span0 <extra_id_1>
     span1 ... <extra_id_n>" (trailing terminator sentinel, the T5
     convention). Rows where nothing got masked pass through with
-    inputs = text, targets = '', n_spans = 0. Tokens are
+    inputs = text, targets = '', n_spans = 0; NULL-text rows pass
+    through too (inputs NULL — posexplode would otherwise silently
+    DROP them, losing ids the sibling fim_transform keeps). Tokens are
     single-space splits so inputs+targets reassemble the text exactly.
 
     Scale shape: one explode + one lag/sum window on the id exchange +
@@ -488,7 +490,7 @@ def span_corruption(
     term = (
         "concat('" + SC_SENT_PRE + "', cast(n_spans as string), '>')"
     )
-    return assembled.select(
+    out = assembled.select(
         "id",
         F.when(F.col("n_spans") == 0, F.col("_text"))
         .otherwise(F.expr(join_pieces.format(arr="_ins")))
@@ -500,6 +502,13 @@ def span_corruption(
         .alias("targets"),
         "n_spans",
     )
+    null_rows = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("inputs"),
+        F.lit("").alias("targets"),
+        F.lit(0).cast("int").alias("n_spans"),
+    )
+    return out.unionByName(null_rows)
 
 
 def duck_span_corruption_sql(src_sql: str, mask_rate: float = 0.15) -> str:
@@ -557,4 +566,7 @@ def duck_span_corruption_sql(src_sql: str, mask_rate: float = 0.15) -> str:
                    string_agg(tp, ' ' ORDER BY pos) AS tgs,
                    CAST(MAX(sp) AS INT) AS n_spans
             FROM sc_p GROUP BY id) g
+        UNION ALL
+        SELECT id, text AS inputs, '' AS targets, CAST(0 AS INT) AS n_spans
+        FROM ({src_sql}) sn WHERE text IS NULL
     """

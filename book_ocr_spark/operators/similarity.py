@@ -689,13 +689,23 @@ def _pq_validate(dim: int | None, m_sub: int, n_codes: int, iters: int) -> None:
 
 def _subvec_explode(df: DataFrame, keep_col: str, dim: int, m_sub: int) -> DataFrame:
     """(keep_col, sub, sv): split the double-cast vector `v` into
-    m_sub contiguous subvectors via constant-folded slice bounds."""
+    m_sub contiguous subvectors via constant-folded slice bounds.
+    A vector whose length differs from ``dim`` RAISES at execution
+    time — slice() past the array end would silently yield empty
+    subvectors, zero out those subspaces' dot products, and corrupt
+    every ADC score with no error (and the DuckDB twin would replay
+    the same garbage, so bit-equality tests could never catch it)."""
     sd = dim // m_sub
     slices = ",".join(
         f"slice(cast(v as array<double>), {s * sd + 1}, {sd})" for s in range(m_sub)
     )
+    guarded = (
+        f"CASE WHEN size(v) = {dim} THEN array({slices}) "
+        f"ELSE raise_error(concat('pq: embedding length ', "
+        f"cast(size(v) as string), ' != dim={dim}')) END"
+    )
     return df.select(
-        keep_col, F.posexplode(F.expr(f"array({slices})")).alias("sub", "sv")
+        keep_col, F.posexplode(F.expr(guarded)).alias("sub", "sv")
     )
 
 
@@ -770,6 +780,45 @@ def pq_build(
     return codes.select("id", "sub", "code"), used_cb
 
 
+def _adc_lut(qsubs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(query_id, sub, code, t): the per-query ADC lookup table —
+    micro-rounded dot of each query subvector against every codebook
+    entry. THE single source of the scoring contract (PQ_SCALE,
+    rounding); pq_topk and ivfpq_topk both consume it, so the
+    documented score-identity between them cannot drift."""
+    t = F.expr(
+        f"cast(round({PQ_SCALE} * ({DOT.format(a='sv', b='c_vec')})) as bigint)"
+    )
+    return qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", t.alias("t")
+    )
+
+
+def _adc_rank(cand_codes: DataFrame, lut: DataFrame, join_keys: list, k: int) -> DataFrame:
+    """Ranked ADC scores from candidate code rows: broadcast-join the
+    LUT, integer-sum per (query_id, neighbor), shared tie rule
+    (score DESC, neighbor ASC), self-matches excluded."""
+    scores = (
+        cand_codes.join(F.broadcast(lut), join_keys)
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("t").alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("_s").cast("double") / F.lit(float(PQ_SCALE)), 4).alias(
+                "score"
+            ),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -794,31 +843,7 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     )
     qsubs = _subvec_explode(q, "query_id", dim, m_sub)
-    t = F.expr(
-        f"cast(round({PQ_SCALE} * ({DOT.format(a='sv', b='c_vec')})) as bigint)"
-    )
-    lut = qsubs.join(F.broadcast(cb), "sub").select(
-        "query_id", "sub", "code", t.alias("t")
-    )
-    scores = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.sum("t").alias("_s"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round(F.col("_s").cast("double") / F.lit(float(PQ_SCALE)), 4).alias(
-                "score"
-            ),
-        )
-    )
+    return _adc_rank(codes, _adc_lut(qsubs, cb), ["sub", "code"], k)
 
 
 def _duck_pq_ctes(corpus_sql: str, dim: int, m_sub: int, n_codes: int, iters: int) -> list[str]:
@@ -973,31 +998,7 @@ def ivfpq_topk(
         .select("query_id", "cell")
     )
     qsubs = _subvec_explode(q, "query_id", dim, m_sub)
-    t = F.expr(
-        f"cast(round({PQ_SCALE} * ({DOT.format(a='sv', b='c_vec')})) as bigint)"
-    )
-    lut = qsubs.join(F.broadcast(cb), "sub").select(
-        "query_id", "sub", "code", t.alias("t")
-    )
     cand = codes.join(assign, "id").join(
         F.broadcast(probed), "cell"
     )  # only probed cells' inverted lists are scored
-    scores = (
-        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.sum("t").alias("_s"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round(F.col("_s").cast("double") / F.lit(float(PQ_SCALE)), 4).alias(
-                "score"
-            ),
-        )
-    )
+    return _adc_rank(cand, _adc_lut(qsubs, cb), ["query_id", "sub", "code"], k)

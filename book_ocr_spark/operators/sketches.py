@@ -416,11 +416,18 @@ def eh_quantiles(
         *by, "okey", _eh_value(scale).alias("value"), "cnt"
     ).withColumn("cum", F.sum("cnt").over(w))
     totals = buckets.groupBy(*by).agg(F.sum("cnt").cast("long").alias("n"))
-    b = (
-        b.join(F.broadcast(totals), list(by))
-        if by
-        else b.crossJoin(F.broadcast(totals))
-    )
+    if by:
+        # null-safe equi-join: a NULL group key is a group, not a
+        # join miss — a plain USING join would silently drop it
+        for c in by:
+            totals = totals.withColumnRenamed(c, f"_t_{c}")
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        b = b.join(F.broadcast(totals), cond).drop(*[f"_t_{c}" for c in by])
+    else:
+        b = b.crossJoin(F.broadcast(totals))
     qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     probes = buckets.sparkSession.range(1).select(qdf)
     hits = probes.join(
@@ -519,7 +526,10 @@ def eh_winsorize(
     reward-cleaning / outlier-taming pass an RL or quality-score
     pipeline runs before normalization, at sketch cost instead of a
     global sort. NULLs pass through NULL; values inside the bounds are
-    UNTOUCHED (clamping never re-quantizes).
+    UNTOUCHED (clamping never re-quantizes). EVERY input row survives:
+    the bound join is null-safe + left (a NULL group key is a group,
+    and a group with no sketch — all values NULL — passes its rows
+    through unclamped).
 
     Scale shape: one sketch build (map-side-combined hash agg), a
     ≤ 2-row-per-group bound table broadcast back, one clamp
@@ -533,16 +543,25 @@ def eh_winsorize(
     bounds = qs.groupBy(*by).agg(
         F.min_by("value", "q").alias("_blo"), F.max_by("value", "q").alias("_bhi")
     )
-    joined = (
-        df.join(F.broadcast(bounds), list(by))
-        if by
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if by:
+        for c in by:
+            bounds = bounds.withColumnRenamed(c, f"_b_{c}")
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(bounds), cond, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    x = F.col(col).cast("double")
     clamped = F.when(
         F.col(col).isNotNull(),
-        F.least(F.greatest(F.col(col).cast("double"), F.col("_blo")), F.col("_bhi")),
+        F.least(
+            F.greatest(x, F.coalesce(F.col("_blo"), x)),
+            F.coalesce(F.col("_bhi"), x),
+        ),
     )
-    return joined.withColumn(f"{col}_w", clamped).drop("_blo", "_bhi")
+    return joined.select(*df.columns, clamped.alias(f"{col}_w"))
 
 
 def duck_eh_winsorize_sql(
@@ -562,15 +581,21 @@ def duck_eh_winsorize_sql(
     )
     bysel = "".join(f"{c}, " for c in by)
     bygrp = ("GROUP BY " + ", ".join(by)) if by else ""
-    join = ("JOIN ehw_b USING (" + ", ".join(by) + ")") if by else "CROSS JOIN ehw_b"
+    if by:
+        on = " AND ".join(f"s.{c} IS NOT DISTINCT FROM b.{c}" for c in by)
+        join = f"LEFT JOIN ehw_b b ON {on}"
+    else:
+        join = "CROSS JOIN ehw_b b"
     return f"""
         WITH ehw_q AS ({qsql}),
         ehw_b AS (
             SELECT {bysel}min_by(value, q) AS blo, max_by(value, q) AS bhi
             FROM ehw_q {bygrp}
         )
-        SELECT s.*, CASE WHEN {col} IS NOT NULL
-                    THEN least(greatest(CAST({col} AS DOUBLE), blo), bhi)
+        SELECT s.*, CASE WHEN s.{col} IS NOT NULL
+                    THEN least(greatest(CAST(s.{col} AS DOUBLE),
+                               COALESCE(b.blo, CAST(s.{col} AS DOUBLE))),
+                               COALESCE(b.bhi, CAST(s.{col} AS DOUBLE)))
                     END AS {col}_w
         FROM ({src_sql}) s {join}
     """

@@ -155,3 +155,13 @@ def test_ivfpq_scores_match_pq_on_shared_neighbors(clustered):
     assert shared
     for key in shared:
         assert a[key] == b[key], key
+
+
+def test_pq_raises_on_wrong_dim(clustered):
+    """Review regression: a dim that disagrees with the vectors must
+    RAISE, not zero out subspaces into silent garbage scores."""
+    df, _ = clustered  # 16-dim vectors
+    with pytest.raises(Exception, match="pq: embedding length"):
+        sim.pq_topk(
+            df, df.filter(F.col("vec_id") < 2), dim=32, k=2, m_sub=4, iters=1
+        ).collect()

@@ -325,3 +325,25 @@ def test_span_corruption_validation(spark):
         pk.span_corruption(df, mask_rate=1.0)
     with pytest.raises(ValueError):
         pk.duck_span_corruption_sql("s", mask_rate=-0.1)
+
+
+def test_span_corruption_keeps_null_text_rows(spark):
+    """Review regression: NULL-text rows must survive (fim_transform
+    keeps them; posexplode alone would drop them); twin agrees."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import packing as pk
+
+    rows = [(1, "a b c d e f"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.inputs, r.targets, r.n_spans) for r in pk.span_corruption(df, mask_rate=0.4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (None, "", 0)
+    con = duckdb.connect()
+    con.register("nt", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(pk.duck_span_corruption_sql("SELECT * FROM nt", mask_rate=0.4)).fetchall()
+    }
+    assert out == want

@@ -304,3 +304,38 @@ def test_eh_winsorize_validation(spark):
         sk.eh_winsorize(df, "x", lo=0.9, hi=0.1)
     with pytest.raises(ValueError):
         sk.duck_eh_winsorize_sql("s", "x", lo=-0.1, hi=0.5)
+
+
+def test_eh_winsorize_keeps_null_group_and_all_null_groups(spark):
+    """Review regression: NULL group keys and groups whose values are
+    all NULL must survive (left null-safe join), passing through
+    unclamped; twin agrees."""
+    import pandas as pd
+
+    rows = (
+        [("a", float(i)) for i in range(1, 21)]
+        + [("a", 8e5), (None, 5.0), (None, None), ("c", None), ("c", None)]
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    df = spark.createDataFrame(pdf, "g string, x double")
+    out = sk.eh_winsorize(df, "x", 0.1, 0.9, scale=100, by=("g",)).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    got = sorted(map(tuple, out), key=str)
+    con = duckdb.connect()
+    con.register("nt", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                sk.duck_eh_winsorize_sql("SELECT * FROM nt", "x", 0.1, 0.9, scale=100, by=("g",))
+            ).fetchall(),
+        ),
+        key=str,
+    )
+    assert got == want
+    rows_by = {(g, x): w for g, x, w in got}
+    # its own (NULL) group: single value — bounds are its bucket rep,
+    # so the clamp moves it by at most the sketch's 2^-k error
+    assert abs(rows_by[(None, 5.0)] - 5.0) <= 5.0 / 128
+    assert rows_by[("c", None)] is None  # NULL value passes through NULL
+    assert rows_by[("a", 8e5)] < 8e5  # clamping still happens
