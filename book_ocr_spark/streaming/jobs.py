@@ -1137,3 +1137,87 @@ def start_cardinality_tracking(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_quantile_tracking(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    value_expr: str = "length(text)",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 7,
+    scale: int = 1,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming quantile tracking: each micro-batch's exponential-
+    histogram bucket table (sketches.eh_buckets over ``value_expr``,
+    e.g. turn length) merges into the cumulative sketch by per-bucket
+    count ADDITION — the EXACT merge the batch operator proves
+    (merge(build(A), build(B)) == build(A ∪ B)) — and the running
+    p50/p90/p99 snapshot per batch. Buckets land under ``buckets/``
+    keyed by batch_id (idempotent replays; cumulative = sum over
+    bucket partitions, history never rescanned at row grain),
+    quantiles under ``quantiles/`` as (batch_id, q, value).
+    Read-then-catch: missing buckets dir = first batch, unreadable =
+    fail the batch (module standard). Completes the streaming sketch
+    trio: HLL (cardinality), drift histogram (distribution), EH
+    (quantiles).
+
+    Scale shape per batch: one map-side-combined hash agg to ≤ ~8.4k
+    narrow rows + a sum-merge over (batches × buckets) rows."""
+    from book_ocr_spark.operators.sketches import (
+        eh_buckets,
+        eh_merge,
+        eh_quantiles,
+    )
+
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    bk_path = f"{out_path}/buckets"
+    q_path = f"{out_path}/quantiles"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bb = eh_buckets(
+            batch_df.select(F.expr(value_expr).alias("_v")), "_v", k, scale
+        ).persist()
+        try:
+            try:
+                existing = (
+                    spark.read.parquet(bk_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("okey", "sgn", "shift", "m", "cnt")
+                )
+            except AnalysisException as exc:
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, bk_path
+                ):
+                    raise
+                existing = spark.createDataFrame(
+                    [], "okey long, sgn int, shift int, m long, cnt long"
+                )
+            cum = eh_merge(existing, bb)
+            (
+                eh_quantiles(cum, qs, scale)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(q_path)
+            )
+            (
+                bb.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(bk_path)
+            )
+        finally:
+            bb.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

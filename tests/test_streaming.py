@@ -760,3 +760,40 @@ def test_streaming_cardinality_tracking(spark, tmp_path):
     assert (by_batch[1].m, by_batch[1].filled, by_batch[1].estimate) == tuple(want)
     # and the estimate is near the true 1500 distinct convs
     assert abs(by_batch[1].estimate - 1500) / 1500 < 0.05
+
+
+def test_streaming_quantile_tracking(spark, tmp_path):
+    """Per-batch EH buckets merge into the cumulative sketch by count
+    addition; the final quantile snapshot EQUALS the batch operator on
+    the full input (exact merge, proven through the stream)."""
+    from book_ocr_spark.operators import sketches as sk
+
+    sch = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    b1 = [(f"c-{i}", 0, "user", "x" * (10 + i % 50), None, None) for i in range(400)]
+    b2 = [(f"d-{i}", 0, "user", "x" * (200 + i % 300), None, None) for i in range(400)]
+    inp = str(tmp_path / "eh_in")
+    for b in (b1, b2):
+        spark.createDataFrame(b, sch).coalesce(1).write.mode("append").parquet(inp)
+
+    q = jobs.start_quantile_tracking(
+        spark, inp, str(tmp_path / "eh_out"), str(tmp_path / "eh_ckpt"),
+        value_expr="length(text)", qs=(0.5, 0.99), k=7, scale=1,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(str(tmp_path / "eh_out/quantiles")).collect()
+    assert {r.batch_id for r in rows} == {0, 1}
+    final = {r.q: r.value for r in rows if r.batch_id == 1}
+    full = spark.createDataFrame(b1 + b2, sch).selectExpr("length(text) AS _v")
+    want = {
+        r.q: r.value
+        for r in sk.eh_quantiles(sk.eh_buckets(full, "_v", 7, 1), (0.5, 0.99), 1).collect()
+    }
+    assert final == want  # streamed merge == batch build, bit-equal
+    # batch 2's long texts must pull the cumulative p99 up
+    first = {r.q: r.value for r in rows if r.batch_id == 0}
+    assert final[0.99] > first[0.99]
