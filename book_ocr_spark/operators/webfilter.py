@@ -136,3 +136,117 @@ def duck_url_flags_sql(
         SELECT *, block_reason <> '' AS url_blocked
         FROM flagged
     """
+
+
+# ---------------------------------------------------------------------------
+# Link harvesting — the extraction tier's anchor/href byproduct
+# ---------------------------------------------------------------------------
+# The boilerplate-strip pass throws anchors away; a web-scale pipeline
+# harvests them first (URL frontier seeding, link-graph features,
+# anchor-text training signal — the classic WebText/CommonCrawl
+# byproduct). Regexes stay in the Java ∩ RE2 subset (non-greedy
+# quantifiers are in both; no lookaround), so both engines agree.
+
+ANCHOR_TAG_RE = r"""(?is)<a\s[^>]*>.*?</a>"""
+HREF_RE = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>"""
+ANCHOR_TEXT_RE = r"""(?is)<a\s[^>]*>(.*?)</a>"""
+INNER_TAG_RE = r"(?s)<[^>]*>"
+
+
+def extract_links(
+    df: DataFrame, id_cols: tuple[str, ...] = ("conv_id", "turn_idx"), text_col: str = "text"
+) -> DataFrame:
+    """(*id_cols, href, anchor_text): every <a href=...> in the HTML
+    payload, in document order; anchor_text is the tag's inner text
+    with nested markup stripped and whitespace canonicalized. Anchors
+    without an href are dropped (href = the harvest key); hrefs keep
+    their original case (URLs are case-significant past the host),
+    anchor text is trimmed but case-preserved.
+
+    Scale shape: one regexp_extract_all projection + one explode —
+    stateless, codegen'd, no shuffle; safe to fuse into the same scan
+    as the boilerplate strip that discards these anchors. (The regex
+    constants carry quote characters, so the Spark side uses the
+    PySpark function forms — patterns as Python strings — instead of
+    F.expr SQL embedding.)"""
+    tags = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_TAG_RE), F.lit(0))
+    exploded = df.select(*id_cols, F.explode(tags).alias("_tag"))
+    href = F.regexp_extract(F.col("_tag"), HREF_RE, 1)
+    inner = F.regexp_extract(F.col("_tag"), ANCHOR_TEXT_RE, 1)
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(inner, INNER_TAG_RE, " "), r"\s+", " "
+        )
+    )
+    return (
+        exploded.select(
+            *id_cols, href.alias("href"), text.alias("anchor_text")
+        )
+        .where(F.col("href") != "")
+    )
+
+
+def link_graph(
+    df: DataFrame, id_cols: tuple[str, ...] = ("conv_id", "turn_idx"), text_col: str = "text"
+) -> DataFrame:
+    """(domain, n_links, n_docs): harvested-link histogram by naive
+    registered domain (url_parts rule) — the URL-frontier / outlink-
+    audit view. Non-URL hrefs (fragments, relative paths) land under
+    domain ''. One hash agg over the extract_links projection."""
+    links = extract_links(df, id_cols, text_col)
+    with_host = url_parts(links, "href")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    return (
+        with_host.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.count_distinct(key).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_links"), F.asc("domain"))
+    )
+
+
+def duck_extract_links_sql(
+    src_sql: str, id_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> str:
+    """DuckDB twin of extract_links; src_sql must yield (*id_cols,
+    text)."""
+    ids = ", ".join(id_cols)
+    tag_re = ANCHOR_TAG_RE.replace("'", "''")
+    href_re = HREF_RE.replace("'", "''")
+    text_re = ANCHOR_TEXT_RE.replace("'", "''")
+    return f"""
+        WITH xl_tags AS (
+            SELECT {ids},
+                   unnest(regexp_extract_all(text, '{tag_re}', 0)) AS tag
+            FROM ({src_sql}) s
+        )
+        SELECT {ids},
+               regexp_extract(tag, '{href_re}', 1) AS href,
+               trim(regexp_replace(regexp_replace(
+                   regexp_extract(tag, '{text_re}', 1),
+                   '{INNER_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor_text
+        FROM xl_tags
+        WHERE regexp_extract(tag, '{href_re}', 1) <> ''
+    """
+
+
+def duck_link_graph_sql(
+    src_sql: str, id_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> str:
+    """DuckDB twin of link_graph (same host/domain regex constants)."""
+    ids = ", ".join(id_cols)
+    key = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    return f"""
+        WITH lg_links AS ({duck_extract_links_sql(src_sql, id_cols)}),
+        lg_hosts AS (
+            SELECT {ids}, href,
+                   regexp_extract(lower(href), '{HOST_RE}', 1) AS host
+            FROM lg_links
+        )
+        SELECT regexp_extract(host, '{DOMAIN_RE}', 1) AS domain,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_docs
+        FROM lg_hosts
+        GROUP BY 1 ORDER BY n_links DESC, domain ASC
+    """

@@ -572,3 +572,65 @@ def test_web_corpus_decontamination_stage(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Link harvesting
+# ---------------------------------------------------------------------------
+HTML_ROWS = [
+    ("c1", 0, '<p>intro <a href="https://example.com/a">First <b>Link</b></a> and '
+               '<a class="x" href=\'http://sub.other.org/b?q=1\'>second</a></p>'),
+    ("c1", 1, '<a name="no-href">anchor without href</a> plain text'),
+    ("c2", 0, '<A HREF="https://example.com/c">UPPER tag</A> <a href="#frag">frag</a>'),
+    ("c2", 1, None),
+]
+
+
+def _links_df(spark):
+    return spark.createDataFrame(
+        HTML_ROWS, "conv_id string, turn_idx int, text string"
+    )
+
+
+def test_extract_links_semantics(spark):
+    from book_ocr_spark.operators.webfilter import extract_links
+
+    got = {
+        (r.conv_id, r.turn_idx, r.href): r.anchor_text
+        for r in extract_links(_links_df(spark)).collect()
+    }
+    assert got[("c1", 0, "https://example.com/a")] == "First Link"  # nested tag stripped
+    assert got[("c1", 0, "http://sub.other.org/b?q=1")] == "second"
+    assert got[("c2", 0, "https://example.com/c")] == "UPPER tag"  # (?i) tag match
+    assert ("c2", 0, "#frag") in got  # fragment hrefs harvested (domain '' later)
+    assert not any(c == "c1" and t == 1 for c, t, _ in got)  # no-href dropped
+
+
+def test_extract_links_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.webfilter import (
+        duck_extract_links_sql,
+        duck_link_graph_sql,
+        extract_links,
+        link_graph,
+    )
+
+    con = duckdb.connect()
+    con.register("ht", pd.DataFrame(HTML_ROWS, columns=["conv_id", "turn_idx", "text"]))
+    got = sorted(map(tuple, extract_links(_links_df(spark)).collect()))
+    want = sorted(map(tuple, con.sql(duck_extract_links_sql("SELECT * FROM ht")).fetchall()))
+    assert got == want
+    got_g = [tuple(r) for r in link_graph(_links_df(spark)).collect()]
+    want_g = [tuple(r) for r in con.sql(duck_link_graph_sql("SELECT * FROM ht")).fetchall()]
+    assert got_g == want_g
+
+
+def test_link_graph_domains(spark):
+    from book_ocr_spark.operators.webfilter import link_graph
+
+    got = {r.domain: (r.n_links, r.n_docs) for r in link_graph(_links_df(spark)).collect()}
+    assert got["example.com"] == (2, 2)   # two links from two different turns
+    assert got["other.org"] == (1, 1)
+    assert got[""] == (1, 1)              # the #frag href has no host
