@@ -407,3 +407,89 @@ def duck_vocab_growth_sql(
         FROM vg_vocab JOIN vg_toks USING (n_docs)
         ORDER BY n_docs
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff — what changed between two corpus versions
+# ---------------------------------------------------------------------------
+def corpus_diff(
+    before: DataFrame,
+    after: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status) for every id whose row changed between two corpus
+    snapshots: 'added' (only in after), 'removed' (only in before),
+    'changed' (both, content hash differs — NULL text hashes as a
+    distinct sentinel, so NULL→'' counts as a change). Unchanged ids
+    are NOT emitted — at 10^12 rows the diff is the small output, the
+    identity is the bulk. Release-notes companion to
+    transcripts.datasheet_diff (which diffs summaries; this names the
+    rows).
+
+    Scale shape: two narrow (id, md5) projections + ONE full-outer
+    hash join on id; the text columns never shuffle."""
+    h = lambda side: F.when(
+        F.col(text_col).isNotNull(), F.md5(F.col(text_col))
+    ).otherwise(F.lit("\x00null")).alias(side)
+    b = before.select(F.col(id_col).alias("id"), h("_hb"))
+    a = after.select(F.col(id_col).alias("id"), h("_ha"))
+    joined = b.join(a, "id", "full_outer")
+    status = (
+        F.when(F.col("_hb").isNull(), F.lit("added"))
+        .when(F.col("_ha").isNull(), F.lit("removed"))
+        .when(F.col("_hb") != F.col("_ha"), F.lit("changed"))
+    )
+    return (
+        joined.select("id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+        .orderBy("status", "id")
+    )
+
+
+def corpus_diff_summary(
+    before: DataFrame,
+    after: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(status, n) counts over corpus_diff plus an 'unchanged' row —
+    the one-glance release gate ("this rebuild replaced 90% of the
+    corpus — did you mean to?")."""
+    diff = corpus_diff(before, after, id_col, text_col)
+    counted = diff.groupBy("status").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_before = before.select(F.col(id_col)).count()
+    n_removed_changed = (
+        counted.where(F.col("status").isin("removed", "changed"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)))
+        .collect()[0][0]
+    )
+    unchanged = before.sparkSession.createDataFrame(
+        [("unchanged", int(n_before - n_removed_changed))], "status string, n long"
+    )
+    return counted.unionByName(unchanged).orderBy("status")
+
+
+def duck_corpus_diff_sql(before_sql: str, after_sql: str) -> str:
+    """DuckDB twin of corpus_diff; each side must yield (id, text)."""
+    h = (
+        "CASE WHEN text IS NOT NULL THEN md5(text) "
+        "ELSE chr(0) || 'null' END"
+    )
+    return f"""
+        WITH cd_b AS (SELECT id, {h} AS hb FROM ({before_sql}) b0),
+        cd_a AS (SELECT id, {h} AS ha FROM ({after_sql}) a0),
+        cd_j AS (
+            SELECT COALESCE(cd_b.id, cd_a.id) AS id, hb, ha
+            FROM cd_b FULL OUTER JOIN cd_a ON cd_b.id = cd_a.id
+        )
+        SELECT id,
+               CASE WHEN hb IS NULL THEN 'added'
+                    WHEN ha IS NULL THEN 'removed'
+                    WHEN hb <> ha THEN 'changed' END AS status
+        FROM cd_j
+        WHERE (CASE WHEN hb IS NULL THEN 'added'
+                    WHEN ha IS NULL THEN 'removed'
+                    WHEN hb <> ha THEN 'changed' END) IS NOT NULL
+        ORDER BY status, id
+    """

@@ -216,3 +216,37 @@ def test_vocab_growth_validation(spark):
         vocab_growth(df, "id", "text", (0,))
     with pytest.raises(ValueError):
         duck_vocab_growth_sql("s", ())
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+def test_corpus_diff_semantics_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.profile import (
+        corpus_diff,
+        corpus_diff_summary,
+        duck_corpus_diff_sql,
+    )
+
+    before = [(1, "same"), (2, "old text"), (3, "gone"), (4, None), (5, "keep")]
+    after = [(1, "same"), (2, "new text"), (4, ""), (5, "keep"), (6, "fresh")]
+    bdf = spark.createDataFrame(before, "doc_id long, text string")
+    adf = spark.createDataFrame(after, "doc_id long, text string")
+    got = {r.id: r.status for r in corpus_diff(bdf, adf).collect()}
+    # NULL -> '' is a change (sentinel hashing), unchanged ids absent
+    assert got == {2: "changed", 3: "removed", 4: "changed", 6: "added"}
+    con = duckdb.connect()
+    con.register("bt", pd.DataFrame(before, columns=["id", "text"]))
+    con.register("at", pd.DataFrame(after, columns=["id", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            duck_corpus_diff_sql("SELECT * FROM bt", "SELECT * FROM at")
+        ).fetchall()
+    ]
+    assert sorted(map(tuple, corpus_diff(bdf, adf).collect())) == sorted(want)
+    summ = {r.status: r.n for r in corpus_diff_summary(bdf, adf).collect()}
+    assert summ == {"added": 1, "removed": 1, "changed": 2, "unchanged": 2}
