@@ -1002,3 +1002,64 @@ def ivfpq_topk(
         F.broadcast(probed), "cell"
     )  # only probed cells' inverted lists are scored
     return _adc_rank(cand, _adc_lut(qsubs, cb), ["query_id", "sub", "code"], k)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    m_sub: int = 4,
+) -> DataFrame:
+    """(id, sub, code): encode vectors against a FROZEN codebook — the
+    daily-ingest MERGE shape for a PQ index (pq_build trains once; new
+    batches encode here and append to the stored codes table; the
+    existing corpus is never re-encoded). Assignment rule is
+    pq_build's exactly (L2 argmin, ties to the lower code), so
+    encoding pq_build's own corpus against its returned codebooks
+    reproduces its codes bit-for-bit (pinned in tests)."""
+    if m_sub < 1 or dim is None or dim < 1 or dim % m_sub != 0:
+        raise ValueError("need dim divisible by m_sub")
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    subs = _subvec_explode(c, "id", dim, m_sub)
+    d2 = F.expr(
+        _PQ_D2.format(
+            svsv=DOT.format(a="sv", b="sv"),
+            svc=DOT.format(a="sv", b="c_vec"),
+            cc=DOT.format(a="c_vec", b="c_vec"),
+        )
+    )
+    wa = Window.partitionBy("id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .withColumn("_d", d2)
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .select("id", "sub", "code")
+    )
+
+
+def pq_topk_from_index(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 5,
+    m_sub: int = 4,
+) -> DataFrame:
+    """ADC top-k against a PREBUILT index (stored codes + codebooks) —
+    the serving path: no Lloyd work per query batch, just the
+    broadcast LUT and the integer-sum scan of the codes table.
+    pq_topk == pq_build + this (pinned in tests)."""
+    if m_sub < 1 or dim is None or dim < 1 or dim % m_sub != 0:
+        raise ValueError("need dim divisible by m_sub")
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    )
+    qsubs = _subvec_explode(q, "query_id", dim, m_sub)
+    return _adc_rank(codes, _adc_lut(qsubs, codebooks), ["sub", "code"], k)

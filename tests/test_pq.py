@@ -165,3 +165,36 @@ def test_pq_raises_on_wrong_dim(clustered):
         sim.pq_topk(
             df, df.filter(F.col("vec_id") < 2), dim=32, k=2, m_sub=4, iters=1
         ).collect()
+
+
+def test_pq_encode_and_index_serving_match_pq_build(clustered):
+    """The production arc: pq_encode against the frozen codebook
+    reproduces pq_build's codes bit-for-bit, and serving from the
+    stored index equals the end-to-end pq_topk."""
+    df, _ = clustered
+    codes, cb = sim.pq_build(df, dim=16, m_sub=4, n_codes=16, iters=2)
+    re_encoded = sim.pq_encode(df, cb, dim=16, m_sub=4)
+    assert sorted(map(tuple, re_encoded.collect())) == sorted(map(tuple, codes.collect()))
+    queries = df.filter(F.col("vec_id") < 4)
+    served = sim.pq_topk_from_index(codes, cb, queries, dim=16, k=4, m_sub=4)
+    direct = sim.pq_topk(df, queries, dim=16, k=4, m_sub=4, n_codes=16, iters=2)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+    # incremental shape: a new batch encodes against the SAME codebook
+    # and appends; existing codes are untouched
+    batch = df.filter(F.col("vec_id") >= 100).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    new_codes = sim.pq_encode(batch, cb, dim=16, m_sub=4)
+    assert new_codes.count() == batch.count() * 4
+    merged = codes.unionByName(new_codes)
+    out = sim.pq_topk_from_index(merged, cb, queries, dim=16, k=4, m_sub=4)
+    assert out.count() == 16  # 4 queries x k
+
+
+def test_pq_encode_validation(clustered):
+    df, _ = clustered
+    _, cb = sim.pq_build(df, dim=16, m_sub=4, n_codes=4, iters=1)
+    with pytest.raises(ValueError):
+        sim.pq_encode(df, cb, dim=None)
+    with pytest.raises(ValueError):
+        sim.pq_topk_from_index(df, cb, df, dim=15, m_sub=4)
