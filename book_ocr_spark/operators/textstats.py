@@ -821,3 +821,93 @@ def compression_ratio(
     return df.select(
         F.col(id_col).alias("id"), _ratio(F.col(text_col)).alias("_r")
     ).select("id", "_r.n_bytes", "_r.zlib_ratio")
+
+
+# ---------------------------------------------------------------------------
+# Lexicon gate — word-list flagging (the C4/Gopher bad-words pass)
+# ---------------------------------------------------------------------------
+# C4 dropped any page containing a term from a public blocklist;
+# Gopher kept a softer per-document ratio. Both shapes are here:
+# per-doc hit counts + a keep flag at a hit-ratio threshold. The
+# lexicon is a PARAMETER (pipelines maintain their own vetted lists);
+# the default is a tiny illustrative placeholder, not a policy.
+
+DEFAULT_LEXICON = ("badword", "slur1", "slur2")
+
+
+def lexicon_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...] = DEFAULT_LEXICON,
+    max_hit_ratio: float = 0.0,
+) -> DataFrame:
+    """(id, n_words, lex_hits, hit_ratio, keep): whole-word,
+    case-insensitive lexicon hits per document; keep = hit_ratio <=
+    max_hit_ratio (default 0.0 = C4's any-hit drop; raise it for the
+    Gopher-style soft gate). Terms must be plain words ([a-z0-9_]+) —
+    they are compiled into ONE alternation regex inside word
+    boundaries, so the scan is a single codegen'd regexp projection,
+    no join, no explode.
+
+    hit_ratio is ONE 4dp-rounded division of two exact integers."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(f"lexicon term {t!r} must match [a-z0-9_]+")
+    if not 0.0 <= max_hit_ratio <= 1.0:
+        raise ValueError("max_hit_ratio must be in [0, 1]")
+    alt = "|".join(sorted(terms))
+    pat = rf"\b({alt})\b"
+    t = F.lower(F.col(text_col))
+    hits = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+    n_words = F.size(ws_tokens(text_col)).cast("long")
+    ratio = F.round(
+        hits.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"), 4
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        hits.alias("lex_hits"),
+        ratio.alias("hit_ratio"),
+        (ratio <= F.lit(max_hit_ratio)).alias("keep"),
+    )
+
+
+def duck_lexicon_flags_sql(
+    corpus_sql: str,
+    terms: tuple[str, ...] = DEFAULT_LEXICON,
+    max_hit_ratio: float = 0.0,
+) -> str:
+    """DuckDB twin of lexicon_flags; corpus_sql must yield (id, text)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(f"lexicon term {t!r} must match [a-z0-9_]+")
+    if not 0.0 <= max_hit_ratio <= 1.0:
+        raise ValueError("max_hit_ratio must be in [0, 1]")
+    alt = "|".join(sorted(terms))
+    pat = rf"\b({alt})\b"
+    return f"""
+        WITH lx AS (
+            SELECT id,
+                   CAST(len(regexp_extract_all(lower(text), '{pat}', 0))
+                        AS BIGINT) AS lex_hits,
+                   CAST(len(list_filter(regexp_split_to_array(TRIM(text),
+                        '\\s+'), w -> w <> '')) AS BIGINT) AS n_words
+            FROM ({corpus_sql}) s
+        )
+        SELECT id, n_words, lex_hits,
+               ROUND(CAST(lex_hits AS DOUBLE)
+                     / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS hit_ratio,
+               ROUND(CAST(lex_hits AS DOUBLE)
+                     / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+                   <= {float(max_hit_ratio)!r} AS keep
+        FROM lx
+    """

@@ -1672,3 +1672,60 @@ def test_edit_verify_length_gate_only_drops_unqualifiable(spark):
         for r in dedup.edit_near_dup_bruteforce(df, "id", "text", 0.8).collect()
     }
     assert via_verify == brute
+
+
+# ---------------------------------------------------------------------------
+# Lexicon gate
+# ---------------------------------------------------------------------------
+def test_lexicon_flags_semantics_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.textstats import (
+        duck_lexicon_flags_sql,
+        lexicon_flags,
+    )
+
+    rows = [
+        (0, "clean text with no hits at all"),
+        (1, "one BadWord here"),                      # case-insensitive
+        (2, "badword badword badword spam spam"),     # ratio 3/5
+        (3, "notbadword embedded badwords"),          # word boundary: no hit
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in lexicon_flags(df, "doc_id", "text", ("badword",)).collect()}
+    assert (got[0].lex_hits, got[0].keep) == (0, True)
+    assert (got[1].lex_hits, got[1].keep) == (1, False)
+    assert (got[2].lex_hits, got[2].hit_ratio) == (3, 0.6)
+    assert got[3].lex_hits == 0  # whole-word only
+    assert (got[4].lex_hits, got[4].keep) == (0, True)
+    # soft gate: Gopher-style ratio threshold
+    soft = {r.id: r.keep for r in lexicon_flags(
+        df, "doc_id", "text", ("badword",), max_hit_ratio=0.4).collect()}
+    assert soft[1] is True and soft[2] is False  # 1/3 <= 0.4 < 3/5
+    con = duckdb.connect()
+    con.register("lxt", pd.DataFrame(rows, columns=["id", "text"]))
+    for ratio in (0.0, 0.3):
+        got_t = sorted(map(tuple, lexicon_flags(
+            df, "doc_id", "text", ("badword", "spam"), ratio).collect()))
+        want_t = sorted(map(tuple, con.sql(duck_lexicon_flags_sql(
+            "SELECT * FROM lxt", ("badword", "spam"), ratio)).fetchall()))
+        assert got_t == want_t, ratio
+
+
+def test_lexicon_flags_validation(spark):
+    import pytest
+
+    from book_ocr_spark.operators.textstats import (
+        duck_lexicon_flags_sql,
+        lexicon_flags,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lexicon_flags(df, "doc_id", "text", ())
+    with pytest.raises(ValueError):
+        lexicon_flags(df, "doc_id", "text", ("bad word",))  # not a plain word
+    with pytest.raises(ValueError):
+        duck_lexicon_flags_sql("s", ("ok",), max_hit_ratio=2.0)
