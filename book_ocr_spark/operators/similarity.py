@@ -1063,3 +1063,29 @@ def pq_topk_from_index(
     )
     qsubs = _subvec_explode(q, "query_id", dim, m_sub)
     return _adc_rank(codes, _adc_lut(qsubs, codebooks), ["sub", "code"], k)
+
+
+def ivf_assign(
+    batch: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): assign a NEW batch to frozen IVF centroids — the
+    daily-ingest MERGE shape for the coarse index (ivf_build trains
+    once; new vectors assign here and append to the stored cell table;
+    the existing corpus is never re-assigned). Assignment rule is
+    ivf_build's exactly (max cosine, ties to the lower cell). Pairs
+    with pq_encode: together they extend a stored IVF-PQ index
+    without touching history."""
+    c = batch.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _cosine_expr("v", "c_vec"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "cell")
+    )

