@@ -493,3 +493,74 @@ def duck_corpus_diff_sql(before_sql: str, after_sql: str) -> str:
                     WHEN hb <> ha THEN 'changed' END) IS NOT NULL
         ORDER BY status, id
     """
+
+
+# ---------------------------------------------------------------------------
+# Key-skew report — "will this key shuffle safely" diagnostics
+# ---------------------------------------------------------------------------
+def skew_report(
+    df: DataFrame, key_col: str, topn: int = 10
+) -> DataFrame:
+    """One row per heavy key plus a '<TOTAL>' summary row:
+    (key, n_rows, share_ppm) for the ``topn`` heaviest values of
+    ``key_col`` (ties broken key ASC), share in exact parts-per-
+    million (ROUND(1e6·n/total) — integer-exact cross-engine). The
+    pre-flight check before hash-partitioning a 10^12-row table on a
+    key: the compose path's auto-salting triggers off exactly this
+    shape (plans/fused.py), and a >20% single key here is the
+    interval-join/LSH hot-bucket story before it happens. NULL keys
+    count under the '<NULL>' label — at web scale NULL is usually the
+    heaviest "key" and the first thing a skew audit must surface.
+
+    Scale shape: one map-side-combined hash agg +
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge) +
+    a 1-row total crossJoin — never a global sort."""
+    if topn < 1:
+        raise ValueError("topn must be >= 1")
+    keyed = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")).alias("key")
+    )
+    counts = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("long").alias("_tot"))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(topn)
+        .crossJoin(F.broadcast(total))
+    )
+    share = F.round(F.lit(1_000_000) * F.col("n_rows").cast("double") / F.col("_tot")).cast(
+        "long"
+    )
+    head = top.select("key", "n_rows", share.alias("share_ppm"))
+    tot_row = total.select(
+        F.lit("<TOTAL>").alias("key"),
+        F.col("_tot").alias("n_rows"),
+        F.lit(1_000_000).cast("long").alias("share_ppm"),
+    )
+    return head.unionByName(tot_row).orderBy(F.desc("n_rows"), F.asc("key"))
+
+
+def duck_skew_report_sql(src_sql: str, key_col: str, topn: int = 10) -> str:
+    """DuckDB twin of skew_report; src_sql must yield key_col."""
+    if topn < 1:
+        raise ValueError("topn must be >= 1")
+    return f"""
+        WITH sk_k AS (
+            SELECT COALESCE(CAST({key_col} AS VARCHAR), '<NULL>') AS key
+            FROM ({src_sql}) s
+        ),
+        sk_c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows
+                 FROM sk_k GROUP BY key),
+        sk_t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM sk_c),
+        sk_top AS (
+            SELECT key, n_rows,
+                   CAST(ROUND(1000000 * CAST(n_rows AS DOUBLE) / tot)
+                        AS BIGINT) AS share_ppm
+            FROM sk_c CROSS JOIN sk_t
+            ORDER BY n_rows DESC, key ASC LIMIT {topn}
+        )
+        SELECT * FROM (
+            SELECT key, n_rows, share_ppm FROM sk_top
+            UNION ALL
+            SELECT '<TOTAL>', tot, CAST(1000000 AS BIGINT) FROM sk_t
+        ) u ORDER BY n_rows DESC, key ASC
+    """

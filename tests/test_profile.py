@@ -250,3 +250,42 @@ def test_corpus_diff_semantics_and_twin(spark):
     assert sorted(map(tuple, corpus_diff(bdf, adf).collect())) == sorted(want)
     summ = {r.status: r.n for r in corpus_diff_summary(bdf, adf).collect()}
     assert summ == {"added": 1, "removed": 1, "changed": 2, "unchanged": 2}
+
+
+def test_skew_report_semantics_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.profile import duck_skew_report_sql, skew_report
+
+    rows = (
+        [("hot",)] * 60 + [("warm",)] * 25 + [("cool",)] * 10
+        + [(None,)] * 5
+    )
+    pdf = pd.DataFrame(rows, columns=["k"])
+    df = spark.createDataFrame(pdf, "k string")
+    got = [tuple(r) for r in skew_report(df, "k", topn=3).collect()]
+    con = duckdb.connect()
+    con.register("st", pdf)
+    want = [
+        tuple(r) for r in con.sql(duck_skew_report_sql("SELECT * FROM st", "k", 3)).fetchall()
+    ]
+    assert got == want
+    by_key = {k: (n, s) for k, n, s in got}
+    assert by_key["<TOTAL>"] == (100, 1_000_000)
+    assert by_key["hot"] == (60, 600_000)
+    assert "<NULL>" not in by_key  # below topn=3 on this fixture
+    wide = {k: s for k, _, s in skew_report(df, "k", topn=10).collect()}
+    assert wide["<NULL>"] == 50_000  # NULLs surface as a key
+
+
+def test_skew_report_validation(spark):
+    import pytest
+
+    from book_ocr_spark.operators.profile import duck_skew_report_sql, skew_report
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError):
+        skew_report(df, "k", topn=0)
+    with pytest.raises(ValueError):
+        duck_skew_report_sql("s", "k", topn=-1)
