@@ -564,3 +564,127 @@ def duck_skew_report_sql(src_sql: str, key_col: str, topn: int = 10) -> str:
             SELECT '<TOTAL>', tot, CAST(1000000 AS BIGINT) FROM sk_t
         ) u ORDER BY n_rows DESC, key ASC
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — is this corpus shaped like natural language?
+# ---------------------------------------------------------------------------
+ZIPF_SCALE = 1_000_000_000  # 1e-9 micro-units for the regression terms
+
+
+def zipf_fit(df: DataFrame, text_col: str, topn: int = 1000) -> DataFrame:
+    """ONE row (n_points, alpha, r2): least-squares fit of
+    log(freq) = c − alpha·log(rank) over the ``topn`` most frequent
+    tokens. Natural text sits near alpha ≈ 1 (Zipf 1949); a corpus
+    dominated by templates/boilerplate flattens the head (alpha < 1)
+    and machine-generated spam often steepens it — a one-number
+    naturalness signal next to bigram_entropy.
+
+    Determinism: ranks are exact ((cnt DESC, token ASC) total order,
+    the heavy_hitters rule); each regression term ln(rank), ln(freq),
+    and their products is micro-rounded to 1e-9 BIGINT units so the
+    sums are integer-exact and partition/merge-order independent; the
+    final slope/r2 are fixed double expressions over six exact sums.
+    Scale shape: one hash agg + one top-N + a 6-sum agg over N rows."""
+    if topn < 3:
+        raise ValueError("topn must be >= 3 (a 2-point fit is vacuous)")
+    from pyspark.sql import Window
+
+    toks = _doc_tokens(df, text_col).select(F.explode("_toks").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(topn).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    mic = lambda e: F.round(F.lit(float(ZIPF_SCALE)) * e).cast("long")
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    terms = head.select(
+        mic(x).alias("_x"),
+        mic(y).alias("_y"),
+        mic(x * y).alias("_xy"),
+        mic(x * x).alias("_xx"),
+        mic(y * y).alias("_yy"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum("_xy").alias("sxy"),
+        F.sum("_xx").alias("sxx"),
+        F.sum("_yy").alias("syy"),
+    )
+    sc = float(ZIPF_SCALE)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / sc
+    sy = F.col("sy").cast("double") / sc
+    sxy = F.col("sxy").cast("double") / sc
+    sxx = F.col("sxx").cast("double") / sc
+    syy = F.col("syy").cast("double") / sc
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    # degenerate fits (constant rank or constant freq) are NULL, not a
+    # division error (Spark ANSI mode) / inf (DuckDB float division)
+    slope = F.when(varx != 0.0, cov / varx)
+    r2 = F.when(varx * vary != 0.0, (cov * cov) / (varx * vary))
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def duck_zipf_fit_sql(corpus_sql: str, topn: int = 1000) -> str:
+    """DuckDB twin of zipf_fit; corpus_sql must yield (text)."""
+    if topn < 3:
+        raise ValueError("topn must be >= 3 (a 2-point fit is vacuous)")
+    sc = float(ZIPF_SCALE)
+    mic = lambda e: f"CAST(ROUND({sc!r} * ({e})) AS BIGINT)"
+    return f"""
+        WITH zf_t AS (
+            SELECT unnest(list_filter(regexp_split_to_array(TRIM(text),
+                   '\\s+'), w -> w <> '')) AS tok
+            FROM ({corpus_sql}) c0),
+        zf_c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM zf_t GROUP BY tok),
+        zf_h AS (
+            SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)
+                        AS BIGINT) AS rank
+            FROM zf_c ORDER BY cnt DESC, tok ASC LIMIT {topn}),
+        zf_m AS (
+            SELECT {mic('ln(CAST(rank AS DOUBLE))')} AS x,
+                   {mic('ln(CAST(cnt AS DOUBLE))')} AS y,
+                   {mic('ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))')} AS xy,
+                   {mic('ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))')} AS xx,
+                   {mic('ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))')} AS yy
+            FROM zf_h),
+        zf_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(xy) AS BIGINT) AS sxy,
+                   CAST(SUM(xx) AS BIGINT) AS sxx,
+                   CAST(SUM(yy) AS BIGINT) AS syy
+            FROM zf_m)
+        SELECT n AS n_points,
+               ROUND(-(CASE WHEN (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / {sc!r})
+                         - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sx AS DOUBLE) / {sc!r})) <> 0.0 THEN ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / {sc!r})
+                        - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sy AS DOUBLE) / {sc!r}))
+                       / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / {sc!r})
+                          - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sx AS DOUBLE) / {sc!r}))) END), 6)
+                   AS alpha,
+               ROUND((CASE WHEN ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / {sc!r})
+                         - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sx AS DOUBLE) / {sc!r}))
+                        * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / {sc!r})
+                           - (CAST(sy AS DOUBLE) / {sc!r}) * (CAST(sy AS DOUBLE) / {sc!r}))) <> 0.0
+                   THEN ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / {sc!r})
+                       - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sy AS DOUBLE) / {sc!r}))
+                      * (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / {sc!r})
+                         - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sy AS DOUBLE) / {sc!r})))
+                     / ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / {sc!r})
+                         - (CAST(sx AS DOUBLE) / {sc!r}) * (CAST(sx AS DOUBLE) / {sc!r}))
+                        * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / {sc!r})
+                           - (CAST(sy AS DOUBLE) / {sc!r}) * (CAST(sy AS DOUBLE) / {sc!r}))) END), 6)
+                   AS r2
+        FROM zf_s
+    """

@@ -289,3 +289,36 @@ def test_skew_report_validation(spark):
         skew_report(df, "k", topn=0)
     with pytest.raises(ValueError):
         duck_skew_report_sql("s", "k", topn=-1)
+
+
+def test_zipf_fit_recovers_alpha_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.profile import duck_zipf_fit_sql, zipf_fit
+
+    # construct an exact-Zipf corpus: token i appears floor(600/i) times
+    toks = []
+    for i in range(1, 40):
+        toks += [f"w{i:03d}"] * (600 // i)
+    text = " ".join(toks)
+    rows = [(0, text[: len(text) // 2]), (1, text[len(text) // 2 + 1:])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = zipf_fit(df, "text", topn=39).collect()[0]
+    assert got.n_points == 39
+    assert 0.8 <= got.alpha <= 1.2   # Zipf alpha ~ 1
+    assert got.r2 > 0.97
+    con = duckdb.connect()
+    con.register("zt", pd.DataFrame(rows, columns=["id", "text"]))
+    want = con.sql(duck_zipf_fit_sql("SELECT text FROM zt", topn=39)).fetchall()[0]
+    assert tuple(got) == tuple(want)  # bit-identical
+    # a degenerate all-same-token corpus has an undefined fit: vary=0
+    flat = spark.createDataFrame([(0, "a a a a a")], "doc_id long, text string")
+    r = zipf_fit(flat, "text", topn=3).collect()[0]
+    assert r.n_points == 1  # only one token survives; alpha/r2 NULL or NaN
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zipf_fit(df, "text", topn=2)
+    with _pytest.raises(ValueError):
+        duck_zipf_fit_sql("s", topn=1)
