@@ -163,6 +163,15 @@ def main(argv: list[str] | None = None) -> int:
         "--contamination-min-hits", type=int, default=1,
         help="distinct colliding n-grams that make a document contaminated",
     )
+    cur.add_argument(
+        "--lexicon-term", action="append", default=None,
+        help="bad-words lexicon entry ([a-z0-9_]+ only; repeatable) "
+        "enabling the C4/Gopher lexicon gate (operators.textstats)",
+    )
+    cur.add_argument(
+        "--lexicon-max-hit-ratio", type=float, default=0.0,
+        help="max lexicon hits per word (0.0 = C4 any-hit drop)",
+    )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
     ct = sub.add_parser(
@@ -468,6 +477,12 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 contamination_n=args.contamination_n,
                 contamination_min_hits=args.contamination_min_hits,
+                lexicon_terms=(
+                    tuple(args.lexicon_term)
+                    if args.lexicon_term is not None
+                    else None
+                ),
+                lexicon_max_hit_ratio=args.lexicon_max_hit_ratio,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

@@ -198,13 +198,18 @@ def curate_web_corpus(
     contamination_min_hits: int = 1,
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
+    lexicon_terms: tuple[str, ...] | None = None,
+    lexicon_max_hit_ratio: float = 0.0,
 ) -> DataFrame:
     """The full web-corpus pass: URL gate (when ``url_col`` is given;
     with ``max_per_domain``, a deterministic per-registered-domain
     document cap follows immediately — the RefinedWeb rule, placed
     first so template farms never reach the expensive stages)
     -> corpus-level line dedup (documents emptied by boilerplate
-    removal drop out) -> optional exact repeated-substring removal
+    removal drop out) -> optional lexicon gate (when ``lexicon_terms``
+    is given: C4's bad-words drop on the cleaned text at
+    ``lexicon_max_hit_ratio`` 0.0, Gopher's soft ratio above it)
+    -> optional exact repeated-substring removal
     (when ``substring_n`` is given: cross-document token runs >=
     substring_n long are stripped per the Lee et al. 2021 rule;
     documents emptied by it drop out; note it whitespace-canonicalizes
@@ -278,6 +283,20 @@ def curate_web_corpus(
         .filter(F.col("clean_text") != "")
         .select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col))
     )
+    if lexicon_terms is not None:
+        # C4's bad-words position: on the boilerplate-cleaned text,
+        # before the expensive model-scored/dedup stages (default
+        # ratio 0.0 = any-hit drop; raise for the Gopher soft gate)
+        from book_ocr_spark.operators.textstats import lexicon_flags
+
+        kept = (
+            lexicon_flags(
+                cleaned, id_col, text_col, lexicon_terms, lexicon_max_hit_ratio
+            )
+            .filter(F.col("keep"))
+            .select(F.col("id").alias(id_col))
+        )
+        cleaned = cleaned.join(kept, id_col, "left_semi")
     if substring_n is not None:
         from book_ocr_spark.operators.substring import substring_dedup
 

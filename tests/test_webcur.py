@@ -634,3 +634,58 @@ def test_link_graph_domains(spark):
     assert got["example.com"] == (2, 2)   # two links from two different turns
     assert got["other.org"] == (1, 1)
     assert got[""] == (1, 1)              # the #frag href has no host
+
+
+def test_web_corpus_lexicon_stage(spark):
+    """The lexicon gate drops its designed victim inside the composed
+    pass, at the documented position (after line dedup, before the
+    curate tail), and the stage twin replays it."""
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.operators.textstats import duck_lexicon_flags_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    base = (
+        "a long enough clean document about distributed dedup and "
+        "shuffle strategies for web scale corpora with many words"
+    )
+    rows = [
+        (1, base + " first variant of respectable content here"),
+        (2, "this otherwise fine document mentions badword once plus "
+            "enough other words to pass every heuristic quality gate"),
+        (3, base.replace("dedup", "watermark") + " second respectable body"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        r.id
+        for r in curate_web_corpus(
+            df, "id", "text", lexicon_terms=("badword",)
+        ).collect()
+    )
+    assert got == [1, 3]  # doc 2 dropped by the lexicon gate alone
+    # stage twin: line dedup -> lexicon keep -> curate
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c")
+            + ") WHERE clean_text <> ''"
+        ).df(),
+    )
+    con.register(
+        "gated",
+        con.sql(
+            "SELECT c2.id, c2.text FROM cleaned c2 JOIN ("
+            + duck_lexicon_flags_sql("SELECT id, text FROM cleaned", ("badword",))
+            + ") lf ON c2.id = lf.id WHERE lf.keep"
+        ).df(),
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(duck_curate_sql("SELECT id, text FROM gated")).fetchall()
+    )
+    assert got == want
