@@ -470,3 +470,56 @@ def test_semantic_contamination_no_cartesian_over_corpus(spark):
     assert "CartesianProduct" not in plan, plan
     # the bench-side candidate attach stays an equi-join
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Extension-session operators: scale-contract pins
+# ---------------------------------------------------------------------------
+def test_extract_links_is_shuffle_free(spark):
+    """Link harvesting must fuse into the scan: a projection + explode,
+    zero exchanges (the north-rule 'no extra pass over the text')."""
+    from book_ocr_spark.operators.webfilter import extract_links
+
+    df = spark.createDataFrame(
+        [("c", 0, '<a href="https://x.com/a">t</a>')],
+        "conv_id string, turn_idx int, text string",
+    )
+    plan = _explain(extract_links(df))
+    assert "Exchange" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_tfidf_df_table_is_not_broadcast(spark):
+    """The vocabulary-sized df table must SHUFFLE-join (broadcasting a
+    10^12-turn vocabulary would OOM the driver); the doc-length join
+    can do whatever AQE likes."""
+    from book_ocr_spark.operators.retrieval import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common text body") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _explain(tfidf_keywords(df, topk=2))
+    # the t-keyed join: no broadcast hint was planted on df_t — assert
+    # at least one SortMergeJoin/ShuffledHashJoin survives in the plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_pq_lut_and_codes_join_is_broadcast(spark):
+    """ADC scoring joins the query-side LUT by BROADCAST — the codes
+    table (the 10^12-row side) must never shuffle for scoring."""
+    from book_ocr_spark.operators import similarity as sim
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.pq_topk(df, df.limit(3), dim=4, k=2, m_sub=2, n_codes=4, iters=1)
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_skew_report_no_global_sort(spark):
+    from book_ocr_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame([("k",)] * 30, "k string")
+    plan = _explain(skew_report(df, "k", topn=3))
+    assert "TakeOrderedAndProject" in plan, plan
