@@ -244,3 +244,79 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})")).alias("frame_idx"),
         )
     )
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 1000, stride_ms: int = 500
+) -> DataFrame:
+    """Audio windowing plumbing: fixed-duration sliding windows over
+    16-bit mono PCM, derived PURELY from metadata (payload byte length
+    + sample_rate) — decode stays behind the stubbed UDF, exactly like
+    resize_plan/frame_sample_plan. Emits (media_id, win_idx,
+    start_sample, end_sample, start_ms, end_ms); the trailing partial
+    window is kept (ASR pipelines transcribe the tail). All integer
+    arithmetic (samples domain first, ms derived by integer div), so
+    the DuckDB twin replays bit-for-bit.
+
+    Scale shape: one filter + one sequence/explode projection, no
+    shuffle, payload column read only for its length."""
+    if window_ms < 1 or stride_ms < 1:
+        raise ValueError("window_ms and stride_ms must be >= 1")
+    a = media.filter(F.col("kind") == "audio")
+    n_samples = "(length(payload) div 2)"
+    win = f"((({window_ms}) * sample_rate) div 1000)"
+    stride = f"((({stride_ms}) * sample_rate) div 1000)"
+    return (
+        a.select(
+            "media_id",
+            "sample_rate",
+            F.expr(n_samples).alias("_ns"),
+            F.explode(
+                F.expr(f"sequence(0, ({n_samples} - 1) div {stride})")
+            ).alias("win_idx"),
+        )
+        .select(
+            "media_id",
+            F.col("win_idx").cast("int").alias("win_idx"),
+            F.expr(f"win_idx * {stride}").alias("start_sample"),
+            F.expr(f"least(win_idx * {stride} + {win}, _ns)").alias("end_sample"),
+            F.expr(f"(win_idx * {stride} * 1000) div sample_rate").alias("start_ms"),
+            F.expr(
+                f"(least(win_idx * {stride} + {win}, _ns) * 1000) div sample_rate"
+            ).alias("end_ms"),
+        )
+        .orderBy("media_id", "win_idx")
+    )
+
+
+def duck_audio_window_sql(
+    n: int, window_ms: int = 1000, stride_ms: int = 500, sr: int = 16000
+) -> str:
+    """DuckDB twin of audio_window_plan over synth_media(n): audio rows
+    (media_id % 3 == 1), payload length 1024 + media_id % 4096 (the
+    synth rule), same integer windowing arithmetic."""
+    if window_ms < 1 or stride_ms < 1:
+        raise ValueError("window_ms and stride_ms must be >= 1")
+    return f"""
+        WITH aw_a AS (
+            SELECT CAST(r.range AS BIGINT) AS media_id,
+                   (1024 + r.range % 4096) // 2 AS ns,
+                   ({window_ms} * {sr}) // 1000 AS win,
+                   ({stride_ms} * {sr}) // 1000 AS stride
+            FROM range({n}) r WHERE r.range % 3 = 1
+        )
+        , aw_w AS (
+            SELECT media_id, ns, win, stride,
+                   unnest(range((ns - 1) // stride + 1)) AS wi
+            FROM aw_a
+        )
+        SELECT media_id,
+               CAST(wi AS INT) AS win_idx,
+               CAST(wi * stride AS BIGINT) AS start_sample,
+               CAST(least(wi * stride + win, ns) AS BIGINT) AS end_sample,
+               CAST((wi * stride * 1000) // {sr} AS BIGINT) AS start_ms,
+               CAST((least(wi * stride + win, ns) * 1000) // {sr} AS BIGINT)
+                   AS end_ms
+        FROM aw_w
+        ORDER BY media_id, win_idx
+    """

@@ -56,3 +56,51 @@ def test_resize_and_frame_sample_plans(media_df):
     for r in fs:
         per_vid.setdefault(r.media_id, []).append(r.frame_idx)
     assert all(v == [0, 10, 20] for v in per_vid.values())  # n_frames=30
+
+
+def test_audio_window_plan_semantics_and_twin(spark):
+    """Windows tile each audio payload: first window starts at 0,
+    consecutive starts differ by the stride, the tail partial window
+    ends exactly at n_samples; DuckDB twin bit-identical."""
+    import duckdb
+
+    from book_ocr_spark.operators.multimodal import (
+        audio_window_plan,
+        duck_audio_window_sql,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24)
+    got = [tuple(r) for r in audio_window_plan(media, 100, 40).collect()]
+    con = duckdb.connect()
+    want = [tuple(r) for r in con.sql(duck_audio_window_sql(24, 100, 40)).fetchall()]
+    assert got == want and got
+    by_media = {}
+    for mid, wi, ss, es, sms, ems in got:
+        by_media.setdefault(mid, []).append((wi, ss, es, sms, ems))
+    for mid, wins in by_media.items():
+        wins.sort()
+        assert wins[0][1] == 0  # starts at sample 0
+        strides = {b[1] - a[1] for a, b in zip(wins, wins[1:])}
+        assert strides <= {(40 * 16000) // 1000}
+        n_samples = (1024 + mid % 4096) // 2
+        assert wins[-1][2] == n_samples  # tail window ends at the end
+        for _, ss, es, sms, ems in wins:
+            assert 0 <= ss < es <= n_samples
+            assert sms == ss * 1000 // 16000 and ems == es * 1000 // 16000
+
+
+def test_audio_window_validation(spark):
+    import pytest
+
+    from book_ocr_spark.operators.multimodal import (
+        audio_window_plan,
+        duck_audio_window_sql,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=3)
+    with pytest.raises(ValueError):
+        audio_window_plan(media, window_ms=0)
+    with pytest.raises(ValueError):
+        duck_audio_window_sql(3, stride_ms=0)
