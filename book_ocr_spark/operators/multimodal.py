@@ -262,7 +262,11 @@ def audio_window_plan(
     shuffle, payload column read only for its length."""
     if window_ms < 1 or stride_ms < 1:
         raise ValueError("window_ms and stride_ms must be >= 1")
-    a = media.filter(F.col("kind") == "audio")
+    # sample-less payloads (0-1 bytes) emit ZERO windows, not a
+    # degenerate (0,0) window — (ns-1) div stride truncates -1 to 0
+    a = media.filter(
+        (F.col("kind") == "audio") & (F.expr("length(payload)") >= 2)
+    )
     n_samples = "(length(payload) div 2)"
     win = f"((({window_ms}) * sample_rate) div 1000)"
     stride = f"((({stride_ms}) * sample_rate) div 1000)"
@@ -303,7 +307,7 @@ def duck_audio_window_sql(
                    (1024 + r.range % 4096) // 2 AS ns,
                    ({window_ms} * {sr}) // 1000 AS win,
                    ({stride_ms} * {sr}) // 1000 AS stride
-            FROM range({n}) r WHERE r.range % 3 = 1
+            FROM range({n}) r WHERE r.range % 3 = 1 AND 1024 + r.range % 4096 >= 2
         )
         , aw_w AS (
             SELECT media_id, ns, win, stride,

@@ -453,21 +453,31 @@ def corpus_diff_summary(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(status, n) counts over corpus_diff plus an 'unchanged' row —
-    the one-glance release gate ("this rebuild replaced 90% of the
-    corpus — did you mean to?")."""
-    diff = corpus_diff(before, after, id_col, text_col)
-    counted = diff.groupBy("status").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    n_before = before.select(F.col(id_col)).count()
-    n_removed_changed = (
-        counted.where(F.col("status").isin("removed", "changed"))
-        .agg(F.coalesce(F.sum("n"), F.lit(0)))
-        .collect()[0][0]
+    """(status, n) counts including 'unchanged' — the one-glance
+    release gate ("this rebuild replaced 90% of the corpus — did you
+    mean to?"). Lazy like every sibling operator: ONE full-outer join
+    + one hash agg over a status CASE that also names 'unchanged' (no
+    driver actions, no lineage recomputation — the don't-emit-
+    unchanged optimization belongs to the row-grain corpus_diff, not
+    the 4-row summary)."""
+    h = lambda side: F.when(
+        F.col(text_col).isNotNull(), F.md5(F.col(text_col))
+    ).otherwise(F.lit("\x00null")).alias(side)
+    b = before.select(F.col(id_col).alias("id"), h("_hb"))
+    a = after.select(F.col(id_col).alias("id"), h("_ha"))
+    status = (
+        F.when(F.col("_hb").isNull(), F.lit("added"))
+        .when(F.col("_ha").isNull(), F.lit("removed"))
+        .when(F.col("_hb") != F.col("_ha"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
     )
-    unchanged = before.sparkSession.createDataFrame(
-        [("unchanged", int(n_before - n_removed_changed))], "status string, n long"
+    return (
+        b.join(a, "id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("status")
     )
-    return counted.unionByName(unchanged).orderBy("status")
 
 
 def duck_corpus_diff_sql(before_sql: str, after_sql: str) -> str:
@@ -501,16 +511,19 @@ def duck_corpus_diff_sql(before_sql: str, after_sql: str) -> str:
 def skew_report(
     df: DataFrame, key_col: str, topn: int = 10
 ) -> DataFrame:
-    """One row per heavy key plus a '<TOTAL>' summary row:
-    (key, n_rows, share_ppm) for the ``topn`` heaviest values of
+    """One row per heavy key plus a summary row:
+    (kind, key, n_rows, share_ppm) for the ``topn`` heaviest values of
     ``key_col`` (ties broken key ASC), share in exact parts-per-
     million (ROUND(1e6·n/total) — integer-exact cross-engine). The
     pre-flight check before hash-partitioning a 10^12-row table on a
     key: the compose path's auto-salting triggers off exactly this
     shape (plans/fused.py), and a >20% single key here is the
-    interval-join/LSH hot-bucket story before it happens. NULL keys
-    count under the '<NULL>' label — at web scale NULL is usually the
-    heaviest "key" and the first thing a skew audit must surface.
+    interval-join/LSH hot-bucket story before it happens. ``kind``
+    disambiguates structurally — 'key' for real values, 'null' for
+    the NULL-key bucket (at web scale NULL is usually the heaviest
+    "key"), 'total' for the summary row — so a corpus whose keys
+    literally contain '<NULL>'/'<TOTAL>' strings cannot corrupt the
+    audit.
 
     Scale shape: one map-side-combined hash agg +
     TakeOrderedAndProject (per-partition top-k, k-row driver merge) +
@@ -518,9 +531,14 @@ def skew_report(
     if topn < 1:
         raise ValueError("topn must be >= 1")
     keyed = df.select(
-        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")).alias("key")
+        F.when(F.col(key_col).isNull(), F.lit("null"))
+        .otherwise(F.lit("key"))
+        .alias("kind"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("key"),
     )
-    counts = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    counts = keyed.groupBy("kind", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
     total = counts.agg(F.sum("n_rows").cast("long").alias("_tot"))
     top = (
         counts.orderBy(F.desc("n_rows"), F.asc("key"))
@@ -530,13 +548,14 @@ def skew_report(
     share = F.round(F.lit(1_000_000) * F.col("n_rows").cast("double") / F.col("_tot")).cast(
         "long"
     )
-    head = top.select("key", "n_rows", share.alias("share_ppm"))
+    head = top.select("kind", "key", "n_rows", share.alias("share_ppm"))
     tot_row = total.select(
-        F.lit("<TOTAL>").alias("key"),
+        F.lit("total").alias("kind"),
+        F.lit("").alias("key"),
         F.col("_tot").alias("n_rows"),
         F.lit(1_000_000).cast("long").alias("share_ppm"),
     )
-    return head.unionByName(tot_row).orderBy(F.desc("n_rows"), F.asc("key"))
+    return head.unionByName(tot_row).orderBy(F.desc("n_rows"), F.asc("kind"), F.asc("key"))
 
 
 def duck_skew_report_sql(src_sql: str, key_col: str, topn: int = 10) -> str:
@@ -545,24 +564,26 @@ def duck_skew_report_sql(src_sql: str, key_col: str, topn: int = 10) -> str:
         raise ValueError("topn must be >= 1")
     return f"""
         WITH sk_k AS (
-            SELECT COALESCE(CAST({key_col} AS VARCHAR), '<NULL>') AS key
+            SELECT CASE WHEN {key_col} IS NULL THEN 'null' ELSE 'key' END
+                       AS kind,
+                   COALESCE(CAST({key_col} AS VARCHAR), '') AS key
             FROM ({src_sql}) s
         ),
-        sk_c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows
-                 FROM sk_k GROUP BY key),
+        sk_c AS (SELECT kind, key, CAST(COUNT(*) AS BIGINT) AS n_rows
+                 FROM sk_k GROUP BY kind, key),
         sk_t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM sk_c),
         sk_top AS (
-            SELECT key, n_rows,
+            SELECT kind, key, n_rows,
                    CAST(ROUND(1000000 * CAST(n_rows AS DOUBLE) / tot)
                         AS BIGINT) AS share_ppm
             FROM sk_c CROSS JOIN sk_t
             ORDER BY n_rows DESC, key ASC LIMIT {topn}
         )
         SELECT * FROM (
-            SELECT key, n_rows, share_ppm FROM sk_top
+            SELECT kind, key, n_rows, share_ppm FROM sk_top
             UNION ALL
-            SELECT '<TOTAL>', tot, CAST(1000000 AS BIGINT) FROM sk_t
-        ) u ORDER BY n_rows DESC, key ASC
+            SELECT 'total', '', tot, CAST(1000000 AS BIGINT) FROM sk_t
+        ) u ORDER BY n_rows DESC, kind ASC, key ASC
     """
 
 

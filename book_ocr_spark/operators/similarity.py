@@ -714,6 +714,29 @@ _PQ_D2 = (
 )
 
 
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(id, sub, code, sv): nearest-codebook-entry assignment — THE
+    single source of the PQ assignment rule (L2 argmin via _PQ_D2,
+    ties to the lower code). pq_build's Lloyd loop and pq_encode's
+    frozen-codebook ingest both call it, so the documented
+    'encode reproduces build' identity is structural."""
+    d2 = F.expr(
+        _PQ_D2.format(
+            svsv=DOT.format(a="sv", b="sv"),
+            svc=DOT.format(a="sv", b="c_vec"),
+            cc=DOT.format(a="c_vec", b="c_vec"),
+        )
+    )
+    wa = Window.partitionBy("id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+    return (
+        subs.join(F.broadcast(cb), "sub")
+        .withColumn("_d", d2)
+        .withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .select("id", "sub", "code", "sv")
+    )
+
+
 def pq_build(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -751,23 +774,9 @@ def pq_build(
             F.col("sv").alias("c_vec"),
         )
     )
-    d2 = F.expr(
-        _PQ_D2.format(
-            svsv=DOT.format(a="sv", b="sv"),
-            svc=DOT.format(a="sv", b="c_vec"),
-            cc=DOT.format(a="c_vec", b="c_vec"),
-        )
-    )
     codes = None
     for _ in range(iters):
-        wa = Window.partitionBy("id", "sub").orderBy(F.asc("_d"), F.asc("code"))
-        assign = (
-            subs.join(F.broadcast(cb), "sub")
-            .withColumn("_d", d2)
-            .withColumn("_rk", F.row_number().over(wa))
-            .filter(F.col("_rk") == 1)
-            .select("id", "sub", "code", "sv")
-        )
+        assign = _pq_assign(subs, cb)
         codes, used_cb = assign, cb
         cb = (
             assign.select("sub", "code", F.posexplode(F.col("sv")))
@@ -1018,28 +1027,14 @@ def pq_encode(
     existing corpus is never re-encoded). Assignment rule is
     pq_build's exactly (L2 argmin, ties to the lower code), so
     encoding pq_build's own corpus against its returned codebooks
-    reproduces its codes bit-for-bit (pinned in tests)."""
-    if m_sub < 1 or dim is None or dim < 1 or dim % m_sub != 0:
-        raise ValueError("need dim divisible by m_sub")
+    reproduces its codes bit-for-bit (pinned in tests; _pq_assign is
+    the shared rule, so the identity is structural)."""
+    _pq_validate(dim, m_sub, 1, 1)
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     subs = _subvec_explode(c, "id", dim, m_sub)
-    d2 = F.expr(
-        _PQ_D2.format(
-            svsv=DOT.format(a="sv", b="sv"),
-            svc=DOT.format(a="sv", b="c_vec"),
-            cc=DOT.format(a="c_vec", b="c_vec"),
-        )
-    )
-    wa = Window.partitionBy("id", "sub").orderBy(F.asc("_d"), F.asc("code"))
-    return (
-        subs.join(F.broadcast(codebooks), "sub")
-        .withColumn("_d", d2)
-        .withColumn("_rk", F.row_number().over(wa))
-        .filter(F.col("_rk") == 1)
-        .select("id", "sub", "code")
-    )
+    return _pq_assign(subs, codebooks).select("id", "sub", "code")
 
 
 def pq_topk_from_index(
@@ -1056,8 +1051,7 @@ def pq_topk_from_index(
     the serving path: no Lloyd work per query batch, just the
     broadcast LUT and the integer-sum scan of the codes table.
     pq_topk == pq_build + this (pinned in tests)."""
-    if m_sub < 1 or dim is None or dim < 1 or dim % m_sub != 0:
-        raise ValueError("need dim divisible by m_sub")
+    _pq_validate(dim, m_sub, 1, 1)
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     )

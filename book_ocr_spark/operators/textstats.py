@@ -850,7 +850,11 @@ def lexicon_flags(
     boundaries, so the scan is a single codegen'd regexp projection,
     no join, no explode.
 
-    hit_ratio is ONE 4dp-rounded division of two exact integers."""
+    hit_ratio is ONE 4dp-rounded division of two exact integers.
+    NULL text counts as empty (0 words, 0 hits, keep) — under ANSI
+    semantics a bare lower(NULL) chain would make keep NULL, and a
+    NULL keep drops the row from BOTH keep-filters and drop-filters
+    (the span_corruption NULL-text lesson)."""
     if not terms:
         raise ValueError("terms must be non-empty")
     import re as _re
@@ -862,9 +866,11 @@ def lexicon_flags(
         raise ValueError("max_hit_ratio must be in [0, 1]")
     alt = "|".join(sorted(terms))
     pat = rf"\b({alt})\b"
-    t = F.lower(F.col(text_col))
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     hits = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
-    n_words = F.size(ws_tokens(text_col)).cast("long")
+    n_words = F.size(
+        F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    ).cast("long")
     ratio = F.round(
         hits.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"), 4
     )
@@ -897,9 +903,10 @@ def duck_lexicon_flags_sql(
     return f"""
         WITH lx AS (
             SELECT id,
-                   CAST(len(regexp_extract_all(lower(text), '{pat}', 0))
-                        AS BIGINT) AS lex_hits,
-                   CAST(len(list_filter(regexp_split_to_array(TRIM(text),
+                   CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                        '{pat}', 0)) AS BIGINT) AS lex_hits,
+                   CAST(len(list_filter(regexp_split_to_array(
+                        TRIM(lower(COALESCE(text, ''))),
                         '\\s+'), w -> w <> '')) AS BIGINT) AS n_words
             FROM ({corpus_sql}) s
         )

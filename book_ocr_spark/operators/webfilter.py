@@ -147,9 +147,16 @@ def duck_url_flags_sql(
 # byproduct). Regexes stay in the Java ∩ RE2 subset (non-greedy
 # quantifiers are in both; no lookaround), so both engines agree.
 
-ANCHOR_TAG_RE = r"""(?is)<a\s[^>]*>.*?</a>"""
-HREF_RE = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>"""
-ANCHOR_TEXT_RE = r"""(?is)<a\s[^>]*>(.*?)</a>"""
+# Split the document at every anchor OPENING: each fragment after the
+# first then carries exactly one anchor's attrs + body (up to the next
+# anchor). This is what makes an UNCLOSED <a> harmless — its fragment
+# simply has no </a>, so its href still harvests and only its text is
+# empty; the naive "<a ...>.*?</a>" whole-tag match would instead span
+# across the next anchor and swallow that anchor's href entirely (and
+# RE2 has no lookaround to forbid it inside the body).
+ANCHOR_SPLIT_RE = r"(?i)<a[\s]"
+FRAG_HREF_RE = r"""(?is)^[^>]*?href\s*=\s*["']([^"']*)["']"""
+FRAG_TEXT_RE = r"""(?is)^[^>]*>(.*?)</a>"""
 INNER_TAG_RE = r"(?s)<[^>]*>"
 
 
@@ -158,21 +165,24 @@ def extract_links(
 ) -> DataFrame:
     """(*id_cols, href, anchor_text): every <a href=...> in the HTML
     payload, in document order; anchor_text is the tag's inner text
-    with nested markup stripped and whitespace canonicalized. Anchors
+    (up to its </a>) with nested markup stripped and whitespace
+    canonicalized — '' when the anchor is never closed. Anchors
     without an href are dropped (href = the harvest key); hrefs keep
     their original case (URLs are case-significant past the host),
     anchor text is trimmed but case-preserved.
 
-    Scale shape: one regexp_extract_all projection + one explode —
-    stateless, codegen'd, no shuffle; safe to fuse into the same scan
-    as the boilerplate strip that discards these anchors. (The regex
-    constants carry quote characters, so the Spark side uses the
-    PySpark function forms — patterns as Python strings — instead of
-    F.expr SQL embedding.)"""
-    tags = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_TAG_RE), F.lit(0))
-    exploded = df.select(*id_cols, F.explode(tags).alias("_tag"))
-    href = F.regexp_extract(F.col("_tag"), HREF_RE, 1)
-    inner = F.regexp_extract(F.col("_tag"), ANCHOR_TEXT_RE, 1)
+    Scale shape: one split projection + one explode + two
+    regexp_extracts — stateless, codegen'd, no shuffle; safe to fuse
+    into the same scan as the boilerplate strip that discards these
+    anchors. (The regex constants carry quote characters, so the
+    Spark side uses the PySpark function forms — patterns as Python
+    strings — instead of F.expr SQL embedding.)"""
+    frags = F.split(F.col(text_col), ANCHOR_SPLIT_RE)
+    exploded = df.select(
+        *id_cols, F.posexplode(frags).alias("_fpos", "_frag")
+    ).where(F.col("_fpos") > 0)  # fragment 0 precedes the first anchor
+    href = F.regexp_extract(F.col("_frag"), FRAG_HREF_RE, 1)
+    inner = F.regexp_extract(F.col("_frag"), FRAG_TEXT_RE, 1)
     text = F.trim(
         F.regexp_replace(
             F.regexp_replace(inner, INNER_TAG_RE, " "), r"\s+", " "
@@ -192,10 +202,16 @@ def link_graph(
     """(domain, n_links, n_docs): harvested-link histogram by naive
     registered domain (url_parts rule) — the URL-frontier / outlink-
     audit view. Non-URL hrefs (fragments, relative paths) land under
-    domain ''. One hash agg over the extract_links projection."""
+    domain ''. One hash agg over the extract_links projection. The
+    doc-count key is null-safe (a NULL id part becomes a chr(30)
+    sentinel on BOTH engines — concat_ws would silently skip it and
+    collide distinct docs; the twin's || would nullify the key)."""
     links = extract_links(df, id_cols, text_col)
     with_host = url_parts(links, "href")
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in id_cols],
+    )
     return (
         with_host.groupBy("domain")
         .agg(
@@ -212,22 +228,25 @@ def duck_extract_links_sql(
     """DuckDB twin of extract_links; src_sql must yield (*id_cols,
     text)."""
     ids = ", ".join(id_cols)
-    tag_re = ANCHOR_TAG_RE.replace("'", "''")
-    href_re = HREF_RE.replace("'", "''")
-    text_re = ANCHOR_TEXT_RE.replace("'", "''")
+    split_re = ANCHOR_SPLIT_RE.replace("'", "''")
+    href_re = FRAG_HREF_RE.replace("'", "''")
+    text_re = FRAG_TEXT_RE.replace("'", "''")
     return f"""
-        WITH xl_tags AS (
-            SELECT {ids},
-                   unnest(regexp_extract_all(text, '{tag_re}', 0)) AS tag
-            FROM ({src_sql}) s
+        WITH xl_f AS (
+            SELECT {ids}, u.frag AS frag, u.fpos AS fpos
+            FROM (SELECT {ids},
+                         unnest(list_transform(
+                             regexp_split_to_array(text, '{split_re}'),
+                             (x, j) -> {{'fpos': j - 1, 'frag': x}})) AS u
+                  FROM ({src_sql}) s0) s1
         )
         SELECT {ids},
-               regexp_extract(tag, '{href_re}', 1) AS href,
+               regexp_extract(frag, '{href_re}', 1) AS href,
                trim(regexp_replace(regexp_replace(
-                   regexp_extract(tag, '{text_re}', 1),
+                   regexp_extract(frag, '{text_re}', 1),
                    '{INNER_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor_text
-        FROM xl_tags
-        WHERE regexp_extract(tag, '{href_re}', 1) <> ''
+        FROM xl_f
+        WHERE fpos > 0 AND regexp_extract(frag, '{href_re}', 1) <> ''
     """
 
 
@@ -236,7 +255,9 @@ def duck_link_graph_sql(
 ) -> str:
     """DuckDB twin of link_graph (same host/domain regex constants)."""
     ids = ", ".join(id_cols)
-    key = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    key = " || chr(31) || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(30))" for c in id_cols
+    )
     return f"""
         WITH lg_links AS ({duck_extract_links_sql(src_sql, id_cols)}),
         lg_hosts AS (

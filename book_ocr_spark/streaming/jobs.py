@@ -1063,6 +1063,75 @@ def start_drift_monitor(
     return writer.start()
 
 
+def _run_sketch_tracking(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    build_batch,
+    merge,
+    snapshot,
+    state_schema: str,
+    state_dir: str,
+    snap_dir: str,
+    available_now: bool,
+    max_files_per_trigger: int | None,
+):
+    """Shared skeleton for the streaming sketch trackers (HLL
+    cardinality, EH quantiles): per micro-batch, ``build_batch`` the
+    batch sketch, merge with the cumulative state (read-then-catch:
+    missing state dir = first batch, unreadable = fail the batch),
+    write ``snapshot`` then the batch sketch under batch_id-keyed
+    idempotent dynamic-partition overwrites. ONE copy of the
+    persist/read/merge/write contract — a fix here fixes every
+    tracker."""
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    state_path = f"{out_path}/{state_dir}"
+    snap_path = f"{out_path}/{snap_dir}"
+    state_cols = [c.split()[0] for c in state_schema.split(",")]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bb = build_batch(batch_df).persist()
+        try:
+            try:
+                existing = (
+                    spark.read.parquet(state_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select(*state_cols)
+                )
+            except AnalysisException as exc:
+                if not _is_path_missing(exc) and _table_dir_has_data(
+                    spark, state_path
+                ):
+                    raise
+                existing = spark.createDataFrame([], state_schema)
+            cum = merge(existing, bb)
+            (
+                snapshot(cum)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(snap_path)
+            )
+            (
+                bb.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(state_path)
+            )
+        finally:
+            bb.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_cardinality_tracking(
     spark: SparkSession,
     input_path: str,
@@ -1080,12 +1149,12 @@ def start_cardinality_tracking(
     running estimate snapshots per batch. Registers land under
     ``registers/`` keyed by batch_id (idempotent replays; cumulative =
     max over register partitions, history never rescanned at row
-    grain), estimates under ``estimates/`` as (batch_id, m, filled,
-    estimate). Read-then-catch: missing registers dir = first batch,
-    unreadable = fail the batch (module standard).
+    grain), estimates under ``estimates/``. The persist/read-then-
+    catch/write contract lives in _run_sketch_tracking (shared with
+    the quantile tracker).
 
-    Scale shape per batch: one map-side-combined hash agg to ≤ 2^p
-    narrow rows + a max-merge over (batches × 2^p) register rows —
+    Scale shape per batch: one map-side-combined hash agg to <= 2^p
+    narrow rows + a max-merge over (batches x 2^p) register rows -
     the turn history itself is never re-read."""
     from book_ocr_spark.operators.sketches import (
         hll_buckets,
@@ -1093,50 +1162,17 @@ def start_cardinality_tracking(
         hll_merge,
     )
 
-    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
-    reg_path = f"{out_path}/registers"
-    est_path = f"{out_path}/estimates"
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bb = hll_buckets(batch_df, col, p).persist()
-        try:
-            try:
-                existing = (
-                    spark.read.parquet(reg_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .select("b", "mx")
-                )
-            except AnalysisException as exc:
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, reg_path
-                ):
-                    raise
-                existing = spark.createDataFrame([], "b long, mx int")
-            cum = hll_merge(existing, bb)
-            (
-                hll_estimate(cum, p)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(est_path)
-            )
-            (
-                bb.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(reg_path)
-            )
-        finally:
-            bb.unpersist()
-
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_path
+    return _run_sketch_tracking(
+        spark, input_path, out_path, checkpoint_path,
+        build_batch=lambda df: hll_buckets(df, col, p),
+        merge=hll_merge,
+        snapshot=lambda cum: hll_estimate(cum, p),
+        state_schema="b long, mx int",
+        state_dir="registers",
+        snap_dir="estimates",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_quantile_tracking(
@@ -1156,68 +1192,30 @@ def start_quantile_tracking(
     e.g. turn length) merges into the cumulative sketch by per-bucket
     count ADDITION — the EXACT merge the batch operator proves
     (merge(build(A), build(B)) == build(A ∪ B)) — and the running
-    p50/p90/p99 snapshot per batch. Buckets land under ``buckets/``
-    keyed by batch_id (idempotent replays; cumulative = sum over
-    bucket partitions, history never rescanned at row grain),
-    quantiles under ``quantiles/`` as (batch_id, q, value).
-    Read-then-catch: missing buckets dir = first batch, unreadable =
-    fail the batch (module standard). Completes the streaming sketch
-    trio: HLL (cardinality), drift histogram (distribution), EH
-    (quantiles).
+    p50/p90/p99 snapshot per batch. Buckets land under ``buckets/``,
+    quantiles under ``quantiles/``; the persist/read-then-catch/write
+    contract lives in _run_sketch_tracking (shared with the
+    cardinality tracker). Completes the streaming sketch trio: HLL
+    (cardinality), drift histogram (distribution), EH (quantiles).
 
-    Scale shape per batch: one map-side-combined hash agg to ≤ ~8.4k
-    narrow rows + a sum-merge over (batches × buckets) rows."""
+    Scale shape per batch: one map-side-combined hash agg to <= ~8.4k
+    narrow rows + a sum-merge over (batches x buckets) rows."""
     from book_ocr_spark.operators.sketches import (
         eh_buckets,
         eh_merge,
         eh_quantiles,
     )
 
-    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
-    bk_path = f"{out_path}/buckets"
-    q_path = f"{out_path}/quantiles"
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bb = eh_buckets(
-            batch_df.select(F.expr(value_expr).alias("_v")), "_v", k, scale
-        ).persist()
-        try:
-            try:
-                existing = (
-                    spark.read.parquet(bk_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .select("okey", "sgn", "shift", "m", "cnt")
-                )
-            except AnalysisException as exc:
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, bk_path
-                ):
-                    raise
-                existing = spark.createDataFrame(
-                    [], "okey long, sgn int, shift int, m long, cnt long"
-                )
-            cum = eh_merge(existing, bb)
-            (
-                eh_quantiles(cum, qs, scale)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(q_path)
-            )
-            (
-                bb.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(bk_path)
-            )
-        finally:
-            bb.unpersist()
-
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_path
+    return _run_sketch_tracking(
+        spark, input_path, out_path, checkpoint_path,
+        build_batch=lambda df: eh_buckets(
+            df.select(F.expr(value_expr).alias("_v")), "_v", k, scale
+        ),
+        merge=eh_merge,
+        snapshot=lambda cum: eh_quantiles(cum, qs, scale),
+        state_schema="okey long, sgn int, shift int, m long, cnt long",
+        state_dir="buckets",
+        snap_dir="quantiles",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -104,3 +104,19 @@ def test_audio_window_validation(spark):
         audio_window_plan(media, window_ms=0)
     with pytest.raises(ValueError):
         duck_audio_window_sql(3, stride_ms=0)
+
+
+def test_audio_window_empty_payload_emits_no_window(spark):
+    """Review regression: 0/1-byte audio payloads produce ZERO windows,
+    not a degenerate (0, 0) one."""
+    from book_ocr_spark.operators.multimodal import MEDIA_SCHEMA, audio_window_plan
+
+    rows = [
+        (1, "audio", b"", None, None, 16000, None),
+        (2, "audio", b"\x01", None, None, 16000, None),
+        (3, "audio", b"\x01" * 64, None, None, 16000, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = audio_window_plan(df, 1, 1).collect()
+    assert {r.media_id for r in got} == {3}
+    assert all(r.start_sample < r.end_sample for r in got)

@@ -271,12 +271,16 @@ def test_skew_report_semantics_and_twin(spark):
         tuple(r) for r in con.sql(duck_skew_report_sql("SELECT * FROM st", "k", 3)).fetchall()
     ]
     assert got == want
-    by_key = {k: (n, s) for k, n, s in got}
-    assert by_key["<TOTAL>"] == (100, 1_000_000)
-    assert by_key["hot"] == (60, 600_000)
-    assert "<NULL>" not in by_key  # below topn=3 on this fixture
-    wide = {k: s for k, _, s in skew_report(df, "k", topn=10).collect()}
-    assert wide["<NULL>"] == 50_000  # NULLs surface as a key
+    by = {(kind, k): (n, s) for kind, k, n, s in got}
+    assert by[("total", "")] == (100, 1_000_000)
+    assert by[("key", "hot")] == (60, 600_000)
+    wide = {(kind, k): s for kind, k, _, s in skew_report(df, "k", topn=10).collect()}
+    assert wide[("null", "")] == 50_000  # NULLs surface, structurally marked
+    # a corpus whose key literally contains the old sentinel strings
+    # cannot corrupt the audit (kind disambiguates)
+    tricky = spark.createDataFrame([("<NULL>",), (None,)], "k string")
+    rows = {(r.kind, r.key): r.n_rows for r in skew_report(tricky, "k", topn=5).collect()}
+    assert rows[("key", "<NULL>")] == 1 and rows[("null", "")] == 1
 
 
 def test_skew_report_validation(spark):

@@ -1729,3 +1729,26 @@ def test_lexicon_flags_validation(spark):
         lexicon_flags(df, "doc_id", "text", ("bad word",))  # not a plain word
     with pytest.raises(ValueError):
         duck_lexicon_flags_sql("s", ("ok",), max_hit_ratio=2.0)
+
+
+def test_lexicon_flags_null_text_passes_through(spark):
+    """Review regression: NULL text = empty (0 words, 0 hits, keep) —
+    a NULL keep would vanish from keep-filters AND drop-filters."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.textstats import (
+        duck_lexicon_flags_sql,
+        lexicon_flags,
+    )
+
+    rows = [(1, "fine words"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_words, r.lex_hits, r.hit_ratio, r.keep)
+           for r in lexicon_flags(df, "doc_id", "text", ("badword",)).collect()}
+    assert got[2] == (0, 0, 0.0, True)
+    con = duckdb.connect()
+    con.register("lxn", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {r[0]: tuple(r[1:]) for r in con.sql(
+        duck_lexicon_flags_sql("SELECT * FROM lxn", ("badword",))).fetchall()}
+    assert got == want

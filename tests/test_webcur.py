@@ -689,3 +689,39 @@ def test_web_corpus_lexicon_stage(spark):
         for r in con.sql(duck_curate_sql("SELECT id, text FROM gated")).fetchall()
     )
     assert got == want
+
+
+def test_extract_links_unclosed_anchor_and_null_ids(spark):
+    """Review regressions: an UNCLOSED anchor must not swallow the next
+    anchor's href (fragment-split design), and link_graph's doc key is
+    null-safe (NULL id parts must not collapse distinct docs or
+    nullify the twin's key)."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.webfilter import (
+        duck_extract_links_sql,
+        duck_link_graph_sql,
+        extract_links,
+        link_graph,
+    )
+
+    rows = [
+        ("u1", 0, '<a href="https://x.com/a">open <a href="https://x.com/b">b</a>'),
+        ("u2", None, '<a href="https://x.com/c">c</a>'),
+        (None, 1, '<a href="https://x.com/d">d</a>'),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {(r.conv_id, r.turn_idx, r.href): r.anchor_text for r in extract_links(df).collect()}
+    # both hrefs of the unclosed-anchor doc harvested; the unclosed one
+    # has empty text, the closed one keeps its text
+    assert got[("u1", 0, "https://x.com/a")] == ""
+    assert got[("u1", 0, "https://x.com/b")] == "b"
+    con = duckdb.connect()
+    con.register("ut", pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"]))
+    want = sorted(map(tuple, con.sql(duck_extract_links_sql("SELECT * FROM ut")).fetchall()), key=str)
+    assert sorted(map(tuple, extract_links(df).collect()), key=str) == want
+    g_got = [tuple(r) for r in link_graph(df).collect()]
+    g_want = [tuple(r) for r in con.sql(duck_link_graph_sql("SELECT * FROM ut")).fetchall()]
+    assert g_got == g_want
+    assert dict((k, (a, b)) for k, a, b in g_got)["x.com"] == (4, 3)  # 3 distinct docs
