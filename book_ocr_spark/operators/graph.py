@@ -1,0 +1,259 @@
+"""Link-graph centrality for web-corpus curation: PageRank over a
+(src, dst) edge table — the classic domain-quality prior (Common
+Crawl publishes exactly this as its host/domain-level rank files, and
+curation pipelines join it back as a per-document quality feature).
+
+Pairs with `webfilter.extract_links`/`link_graph`: harvest anchors,
+aggregate to domain edges, rank domains, broadcast-join the rank back
+onto the corpus as a keep/weight signal.
+
+Reference parity: the book-ocr spec has no graph stage; this is part
+of the training-data-pipeline extension brief (link-graph features).
+
+Determinism contract (the repo-wide twin rule): the recurrence is
+replayed *exactly* in DuckDB — same init, same dangling-mass rule,
+same damping — with every iteration's rank ROUNDED to 9dp, the same
+trick that makes the IVF Lloyd recurrence replay bit-identically
+(`similarity.py` rounds centroids to 6dp): rounding absorbs the
+ULP-level float-sum-order noise between engines so it cannot compound
+across iterations. Fixed iteration count (no convergence test), so
+the SQL twin is a finite unrolled CTE chain.
+
+Scale shape (100 TB / 10^10-edge graph):
+- Edges are deduped, outdegree-annotated ONCE, and persisted
+  (MEMORY_AND_DISK) — every iteration re-traverses them.
+- Per iteration: one equi-join (ranks onto edges by src — ranks are
+  the |V|-row side, edges the |E|-row side; AQE picks the smaller
+  side to broadcast or co-shuffles) + one hash agg by dst (map-side
+  combined) + one BROADCAST of a 1-row dangling-mass scalar
+  (crossJoin with a single-row aggregate — NO driver collect in the
+  loop, unlike the MLlib count()-per-round pattern).
+- Ranks are localCheckpoint(eager)'d each iteration: the plan
+  references the previous ranks twice (contribution join + dangling
+  sum), so without truncation the plan tree doubles per iteration and
+  Catalyst chokes compiling round ~20 — same reasoning as
+  `dedup.near_dup_clusters`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 9dp per-iteration rounding: coarse enough to absorb cross-engine
+# float-sum-order ULP noise, fine enough that 10-20 iterations of a
+# rank in [0,1] lose no meaningful precision (PageRank is consumed as
+# an ordinal / log-scale feature).
+RANK_DECIMALS = 9
+DEFAULT_DAMPING = 0.85
+DEFAULT_ITERATIONS = 10
+
+
+def graph_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct node universe of an edge table: src ∪ dst, one
+    ``node`` column. Two narrow projections + one hash distinct."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DEFAULT_DAMPING,
+    iterations: int = DEFAULT_ITERATIONS,
+    storage_handle: list | None = None,
+) -> DataFrame:
+    """PageRank over (src, dst) edges → (node, rank), rank descending
+    then node ascending (a total order, so the twin compare is
+    stable).
+
+    Semantics (standard Brin/Page with uniform teleport):
+    - duplicate edges collapse (DISTINCT) — one link, one vote;
+      self-loops count like any edge;
+    - init rank = round(1/N, 9);
+    - r'(v) = round((1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N), 9)
+      where D = Σ r(u) over dangling nodes (outdeg 0) — dangling mass
+      is redistributed uniformly, so total mass stays ≈ 1 (exact up
+      to the 9dp rounding; pinned in tests);
+    - FIXED ``iterations`` (default 10 — the web-graph standard burn;
+      no convergence count(), which both kills the per-round driver
+      action and makes the DuckDB twin a finite unrolled replay).
+
+    Returns an eagerly local-checkpointed DataFrame (materialized,
+    lineage truncated). The internal edge cache is released before
+    returning; ``storage_handle`` receives the result frame for the
+    uniform cleanup contract (unpersist() is a no-op on a
+    checkpointed frame).
+    """
+    if iterations < 1:
+        raise ValueError("pagerank needs at least 1 iteration")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    from pyspark import StorageLevel
+
+    dedup_edges = edges.select("src", "dst").distinct()
+    out_deg = dedup_edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    # outdegree rides along with the edges so the per-iteration join
+    # is a single equi-join on src, not two
+    edges_deg = (
+        dedup_edges.join(out_deg, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()  # one up-front action; N is a plan constant below
+    if n == 0:
+        # empty graph: empty result with the contract schema
+        empty = nodes.select(
+            F.col("node"), F.lit(0.0).alias("rank")
+        ).localCheckpoint(eager=True)
+        edges_deg.unpersist()
+        nodes.unpersist()
+        return empty
+
+    # dangling nodes = never a src (appear only as dst)
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), RANK_DECIMALS).alias("rank")
+    ).localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n
+    try:
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(ranks, edges_deg.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("outdeg")).alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("contrib"))
+            )
+            # 1-row dangling-mass scalar, broadcast — keeps the loop
+            # free of driver actions (vs collect()ing the sum)
+            dmass = F.broadcast(
+                dangling.join(ranks, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(dmass)
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("contrib", F.lit(0.0))
+                            + F.col("dmass") / F.lit(float(n))
+                        ),
+                        RANK_DECIMALS,
+                    ).alias("rank"),
+                )
+            ).localCheckpoint(eager=True)
+    finally:
+        edges_deg.unpersist()
+        nodes.unpersist()
+        dangling.unpersist()
+    out = ranks.orderBy(F.desc("rank"), F.asc("node"))
+    if storage_handle is not None:
+        storage_handle.append(ranks)
+    return out
+
+
+def duck_pagerank_sql(
+    edges_sql: str,
+    damping: float = DEFAULT_DAMPING,
+    iterations: int = DEFAULT_ITERATIONS,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical recurrence
+    unrolled as one CTE per iteration (fixed iteration count is what
+    makes this finite), same 9dp per-iteration rounding, same
+    dangling rule. ``edges_sql`` must yield (src, dst)."""
+    if iterations < 1:
+        raise ValueError("pagerank needs at least 1 iteration")
+    ctes = [
+        f"pr_edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}) pr_e0)",
+        "pr_out AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg"
+        " FROM pr_edges GROUP BY src)",
+        "pr_nodes AS (SELECT src AS node FROM pr_edges"
+        " UNION SELECT dst FROM pr_edges)",
+        "pr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pr_nodes)",
+        "pr_dang AS (SELECT node FROM pr_nodes"
+        " WHERE node NOT IN (SELECT src FROM pr_out))",
+        f"pr_r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM pr_n),"
+        f" {RANK_DECIMALS}) AS rank FROM pr_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr_r{i - 1}"
+        ctes.append(
+            f"""pr_c{i} AS (
+                SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS contrib
+                FROM pr_edges e
+                JOIN {prev} r ON e.src = r.node
+                JOIN pr_out o ON e.src = o.src
+                GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr_d{i} AS (
+                SELECT COALESCE(SUM(r.rank), 0.0) AS dmass
+                FROM pr_dang d JOIN {prev} r ON d.node = r.node)"""
+        )
+        ctes.append(
+            f"""pr_r{i} AS (
+                SELECT nd.node,
+                       ROUND((1.0 - {damping}) / pn.n
+                             + {damping} * (COALESCE(c.contrib, 0.0)
+                                            + dm.dmass / pn.n),
+                             {RANK_DECIMALS}) AS rank
+                FROM pr_nodes nd
+                CROSS JOIN pr_n pn
+                CROSS JOIN pr_d{i} dm
+                LEFT JOIN pr_c{i} c ON nd.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM pr_r{iterations}"
+        " ORDER BY rank DESC, node ASC"
+    )
+
+
+def rank_features(
+    corpus: DataFrame, ranks: DataFrame, key_col: str
+) -> DataFrame:
+    """Join a (node, rank) table back onto a corpus as a quality
+    feature: adds ``rank`` (NULL→0.0 for keys outside the graph) and
+    ``log_rank_bucket`` (int floor of log10(rank), the standard
+    coarse quality tier). The rank table is |V| rows — tiny next to
+    the corpus — so the join is an explicit broadcast: shuffle-free
+    regardless of plan-time statistics."""
+    r = F.broadcast(
+        ranks.select(F.col("node").alias(key_col), "rank")
+    )
+    joined = corpus.join(r, key_col, "left").withColumn(
+        "rank", F.coalesce("rank", F.lit(0.0))
+    )
+    return joined.withColumn(
+        "log_rank_bucket",
+        F.when(F.col("rank") > 0, F.floor(F.log10("rank")).cast("int")),
+    )
+
+
+def duck_rank_features_sql(
+    corpus_sql: str, ranks_sql: str, key_col: str
+) -> str:
+    """DuckDB twin of :func:`rank_features`."""
+    return f"""
+        SELECT c.*, COALESCE(r.rank, 0.0) AS rank,
+               CASE WHEN COALESCE(r.rank, 0.0) > 0
+                    THEN CAST(FLOOR(LOG10(r.rank)) AS INTEGER) END
+                   AS log_rank_bucket
+        FROM ({corpus_sql}) c
+        LEFT JOIN ({ranks_sql}) r ON c.{key_col} = r.node
+    """

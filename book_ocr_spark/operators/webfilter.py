@@ -222,6 +222,150 @@ def link_graph(
     )
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+# A crawl re-fetches the same page under cosmetically different URLs
+# (tracking params, fragments, case-shifted hosts, default ports,
+# trailing slashes, shuffled query order). Canonicalizing BEFORE
+# content dedup removes the bulk of exact re-fetches with one narrow
+# projection + one hash agg — far cheaper than shingling the bodies.
+# Rules are the conservative, loss-free subset every production
+# canonicalizer agrees on; anything content-changing (param dropping
+# beyond the tracking list, %-decode) is deliberately out of scope and
+# documented. All expressions live in the Spark-SQL ∩ DuckDB common
+# subset (regexp + list HOFs) so the twin replays bit-for-bit.
+
+# tracking params stripped by the canonicalizer (lowercased name match)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid"
+    r"|yclid|s_kwcid|ref|ref_src|spm|_hsenc|_hsmi)$"
+)
+# scheme (group 1) — ASCII letters either case; RFC 3986 schemes
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+# explicit port (group 1)
+PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)"
+# everything after authority: path + query + fragment (group 1)
+REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def canonical_url(df: DataFrame, url_col: str) -> DataFrame:
+    """Adds ``canonical_url`` (and keeps every input column).
+
+    Canonical form: lowercased scheme and host, userinfo stripped,
+    default port stripped (http:80 / https:443 — other schemes keep
+    any explicit port), fragment dropped, tracking params dropped
+    (``TRACKING_PARAM_RE``), surviving query params sorted bytewise
+    as whole ``k=v`` strings, trailing slashes collapsed (path '' or
+    '/'+ tail → '/'; deeper paths lose trailing '/'). Percent-decoding
+    and non-tracking param dropping are deliberately NOT applied —
+    they can change which resource a URL names. Unparseable input
+    (no scheme) passes through verbatim: a junk URL stays its own
+    dedup key instead of collapsing with other junk under NULL.
+
+    Scale shape: stateless narrow projection — regexp extracts +
+    array HOFs, fully codegen'd, no shuffle, fuses into the scan."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    host = F.regexp_extract(F.lower(u), HOST_RE, 1)
+    port = F.regexp_extract(u, PORT_RE, 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rest = F.regexp_extract(u, REST_RE, 1)
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    cpath = F.regexp_replace(path, "/+$", "")
+    cpath = F.when(cpath == "", F.lit("/")).otherwise(cpath)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).rlike(
+            TRACKING_PARAM_RE
+        ),
+    )
+    cquery = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        cpath,
+        F.when(cquery != "", F.concat(F.lit("?"), cquery)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn(
+        "canonical_url", F.when(scheme == "", u).otherwise(canon)
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(*input columns, canonical_url, keep): one keeper per
+    canonical URL — the row with the MINIMUM id (same deterministic
+    keeper rule as ``exact_dedup_groups``). One canonicalize
+    projection + one window over the canonical key (hash-partitioned
+    by canonical_url — group sizes are re-fetch counts of one page,
+    so no skew pathology)."""
+    from pyspark.sql import Window
+
+    canon = canonical_url(df, url_col)
+    w = Window.partitionBy("canonical_url")
+    return canon.withColumn(
+        "keep", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
+def duck_canonical_url_sql(src_sql: str, url_col: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (same regex constants,
+    same param filter + bytewise sort)."""
+    u = url_col
+    scheme = f"lower(regexp_extract({u}, '{SCHEME_RE}', 1))"
+    host = f"regexp_extract(lower({u}), '{HOST_RE}', 1)"
+    port = f"regexp_extract({u}, '{PORT_RE}', 1)"
+    rest = f"regexp_extract({u}, '{REST_RE}', 1)"
+    return f"""
+        WITH cu_parts AS (
+            SELECT s0.*,
+                   {scheme} AS _scheme, {host} AS _host, {port} AS _port,
+                   regexp_extract({rest}, '^([^?#]*)', 1) AS _path,
+                   regexp_extract({rest}, '\\?([^#]*)', 1) AS _query
+            FROM ({src_sql}) s0),
+        cu_norm AS (
+            SELECT cu_parts.*,
+                   CASE WHEN regexp_replace(_path, '/+$', '') = '' THEN '/'
+                        ELSE regexp_replace(_path, '/+$', '') END AS _cpath,
+                   array_to_string(list_sort(list_filter(
+                       string_split(_query, '&'),
+                       kv -> kv <> '' AND NOT regexp_matches(
+                           lower(regexp_extract(kv, '^([^=]*)', 1)),
+                           '{TRACKING_PARAM_RE}'))), '&') AS _cquery,
+                   (_port <> '' AND NOT ((_scheme = 'http' AND _port = '80')
+                        OR (_scheme = 'https' AND _port = '443'))) AS _keep_port
+            FROM cu_parts)
+        SELECT * EXCLUDE (_scheme, _host, _port, _path, _query, _cpath,
+                          _cquery, _keep_port),
+               CASE WHEN _scheme = '' THEN {u}
+                    ELSE _scheme || '://' || _host
+                         || CASE WHEN _keep_port THEN ':' || _port ELSE '' END
+                         || _cpath
+                         || CASE WHEN _cquery <> '' THEN '?' || _cquery
+                            ELSE '' END
+               END AS canonical_url
+        FROM cu_norm
+    """
+
+
+def duck_url_dedup_sql(src_sql: str, id_col: str, url_col: str) -> str:
+    """DuckDB twin of :func:`url_dedup`."""
+    return f"""
+        SELECT *, {id_col} = MIN({id_col}) OVER (
+                   PARTITION BY canonical_url) AS keep
+        FROM ({duck_canonical_url_sql(src_sql, url_col)}) cu
+    """
+
+
 def duck_extract_links_sql(
     src_sql: str, id_cols: tuple[str, ...] = ("conv_id", "turn_idx")
 ) -> str:

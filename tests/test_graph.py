@@ -1,0 +1,138 @@
+"""PageRank over link-graph edges: recurrence correctness vs a pure
+Python replay, DuckDB-twin parity, mass conservation, and the
+broadcast-join plan shape of the rank-feature join."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import graph
+
+
+def _py_pagerank(edges, damping=0.85, iterations=10):
+    """Reference replay of the exact recurrence (same init, same
+    dangling rule, same 9dp per-iteration rounding)."""
+    dedup = sorted(set(edges))
+    nodes = sorted({s for s, _ in dedup} | {d for _, d in dedup})
+    out = {}
+    for s, _ in dedup:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: round(1.0 / n, graph.RANK_DECIMALS) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in dedup:
+            contrib[d] += r[s] / out[s]
+        dmass = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: round(
+                (1 - damping) / n + damping * (contrib[v] + dmass / n),
+                graph.RANK_DECIMALS,
+            )
+            for v in nodes
+        }
+    return r
+
+
+def _rand_edges(seed=13, n_nodes=40, n_edges=160):
+    """Seeded graph with duplicate edges, a self-loop, and dangling
+    nodes (high-numbered nodes never appear as src)."""
+    rng = random.Random(seed)
+    edges = [
+        (f"n{rng.randrange(n_nodes - 8)}", f"n{rng.randrange(n_nodes)}")
+        for _ in range(n_edges)
+    ]
+    edges += [("n0", "n1"), ("n0", "n1"), ("n5", "n5")]  # dups + self-loop
+    return edges
+
+
+def test_pagerank_matches_python_replay(spark):
+    edges = _rand_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in graph.pagerank(df, iterations=6).collect()}
+    want = _py_pagerank(edges, iterations=6)
+    assert got == want
+
+
+def test_pagerank_duck_twin(spark):
+    edges = _rand_edges(seed=29)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = [
+        (r.node, r.rank) for r in graph.pagerank(df, iterations=8).collect()
+    ]
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = con.sql(
+        graph.duck_pagerank_sql("SELECT src, dst FROM e", iterations=8)
+    ).fetchall()
+    assert got == [(n, v) for n, v in want]
+
+
+def test_pagerank_mass_and_dangling(spark):
+    # a -> b -> c, c dangling: mass must stay ~1 (9dp rounding slack),
+    # and c (fed by the chain) must outrank a (teleport-only)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(df, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks["c"] > ranks["b"] > ranks["a"]
+
+
+def test_pagerank_symmetry(spark):
+    # two symmetric 2-cycles: within each cycle ranks are equal, and
+    # the cycles mirror each other exactly
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(df, iterations=5).collect()}
+    assert ranks["a"] == ranks["b"] == ranks["x"] == ranks["y"]
+
+
+def test_pagerank_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iteration"):
+        graph.pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        graph.duck_pagerank_sql("SELECT 1 AS src, 2 AS dst", iterations=0)
+
+
+def test_rank_features_twin_and_broadcast(spark):
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    corpus_rows = [(1, "a"), (2, "c"), (3, "zzz")]  # zzz: outside graph
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    cdf = spark.createDataFrame(corpus_rows, "id int, domain string")
+    ranks = graph.pagerank(edf, iterations=3)
+    feat = graph.rank_features(cdf, ranks, "domain")
+    got = {
+        r.id: (r.rank, r.log_rank_bucket)
+        for r in feat.collect()
+    }
+    assert got[3] == (0.0, None)  # off-graph key: rank 0, NULL bucket
+    assert got[1][0] > 0 and got[1][1] is not None
+
+    # the rank join must be a broadcast (shuffle-free on the corpus)
+    plan = feat._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    con.register("c", pd.DataFrame(corpus_rows, columns=["id", "domain"]))
+    want = {
+        int(r[0]): (r[1], r[2])
+        for r in con.sql(
+            "SELECT id, rank, log_rank_bucket FROM ("
+            + graph.duck_rank_features_sql(
+                "SELECT id, domain FROM c",
+                graph.duck_pagerank_sql("SELECT src, dst FROM e", iterations=3),
+                "domain",
+            )
+            + ") t"
+        ).fetchall()
+    }
+    assert got == want

@@ -725,3 +725,70 @@ def test_extract_links_unclosed_anchor_and_null_ids(spark):
     g_want = [tuple(r) for r in con.sql(duck_link_graph_sql("SELECT * FROM ut")).fetchall()]
     assert g_got == g_want
     assert dict((k, (a, b)) for k, a, b in g_got)["x.com"] == (4, 3)  # 3 distinct docs
+
+
+# ---------------------------------------------------------------------------
+# canonical_url / url_dedup
+# ---------------------------------------------------------------------------
+
+CANON_ROWS = [
+    (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+    (2, "https://www.example.com/a/b?a=1&b=2"),          # canon-equal to 1
+    (3, "http://user:pw@example.com:80/"),                # userinfo+def port
+    (4, "http://example.com"),                            # empty path -> /
+    (5, "https://example.com:8443/x"),                    # non-default port
+    (6, "https://example.com/x/?gclid=abc&UTM_MEDIUM=y"), # all-tracking query
+    (7, "no scheme here"),                                # unparseable
+    (8, "https://example.com/deep///"),                   # trailing slashes
+    (9, "ftp://Example.com:21/f"),                        # non-http keeps port
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame(CANON_ROWS, "id int, url string")
+    got = {r.id: r.canonical_url for r in webfilter.canonical_url(df, "url").collect()}
+    assert got[1] == "https://www.example.com/a/b?a=1&b=2"
+    assert got[1] == got[2]                      # tracking+order+case+port
+    assert got[3] == "http://example.com/"       # userinfo + :80 stripped
+    assert got[4] == "http://example.com/"
+    assert got[5] == "https://example.com:8443/x"
+    assert got[6] == "https://example.com/x"     # query vanishes entirely
+    assert got[7] == "no scheme here"            # verbatim passthrough
+    assert got[8] == "https://example.com/deep"
+    assert got[9] == "ftp://example.com:21/f"    # explicit non-http port kept
+
+
+def test_canonical_url_duck_twin(spark):
+    df = spark.createDataFrame(CANON_ROWS, "id int, url string")
+    got = {r.id: r.canonical_url for r in webfilter.canonical_url(df, "url").collect()}
+    con = duckdb.connect()
+    con.register("cu", pd.DataFrame(CANON_ROWS, columns=["id", "url"]))
+    want = {
+        int(r[0]): r[1]
+        for r in con.sql(
+            "SELECT id, canonical_url FROM ("
+            + webfilter.duck_canonical_url_sql("SELECT id, url FROM cu", "url")
+            + ") t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_url_dedup_twin(spark):
+    df = spark.createDataFrame(CANON_ROWS, "id int, url string")
+    got = {r.id: r.keep for r in webfilter.url_dedup(df, "id", "url").collect()}
+    assert got[1] and not got[2]   # min-id keeper per canonical group
+    assert all(got[i] for i in (3, 5, 6, 7, 8, 9))
+    # 3 and 4 canonicalize equal -> only the min id survives
+    assert got[3] and not got[4]
+    con = duckdb.connect()
+    con.register("cu", pd.DataFrame(CANON_ROWS, columns=["id", "url"]))
+    want = {
+        int(r[0]): bool(r[1])
+        for r in con.sql(
+            "SELECT id, keep FROM ("
+            + webfilter.duck_url_dedup_sql("SELECT id, url FROM cu", "id", "url")
+            + ") t"
+        ).fetchall()
+    }
+    assert got == want
