@@ -1,0 +1,276 @@
+"""Margin-based bitext mining: align two embedding corpora (e.g.
+sentences in two languages embedded in a shared space) by the
+RATIO-MARGIN rule — cos(x,y) normalized by the mean similarity of
+each side's k nearest neighbors — the CCMatrix / LASER mining
+criterion (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining",
+ACL 2019). Raw cosine over-selects hub sentences that are close to
+everything; dividing by the local NN density cancels the hubness.
+
+    margin(x, y) = sim(x, y) / ((avg_f(x) + avg_b(y)) / 2)
+
+where avg_f(x) = mean sim of x's k nearest targets and avg_b(y) =
+mean sim of y's k nearest sources. A pair is mined when y is x's
+best-margin candidate, (optionally) x is y's best-margin source
+among the candidates (mutual-best), and the margin clears the
+threshold (> 1 ⇔ better than the neighborhood average).
+
+Reference parity: the book-ocr spec has no mining stage; this is the
+training-data-pipeline extension brief (cross-lingual pair mining).
+
+Determinism contract (repo twin rule): sims round to 4dp (the
+`similarity.py` convention), NN means and margins to 6dp, every
+window is totally ordered with id tie-breaks — so the DuckDB twin
+replays bit-for-bit.
+
+Scale shape (10^9 × 10^9 sentences):
+- `bitext_margin_pairs` scores ALL src×tgt pairs — the O(S·T)
+  verification-grade variant that exists as the oracle twin (same
+  role as the brute near-dup variants).
+- `bitext_margin_pairs_bucketed` is the scale path: candidates come
+  from a hyperplane-LSH bucket equi-join (the `similarity.py` sign
+  -bit machinery, deterministic, so even the "approximate" variant
+  twins exactly), NN means are computed within the candidate set —
+  exactly what FAISS-backed CCMatrix does, where the k-NN graph is
+  itself approximate. No broadcast is forced: both sides are corpus
+  -sized, AQE picks the join strategy per bucket statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    N_PLANES,
+    _cosine_expr,
+    _hyperplane_sign_bits,
+    duck_hyperplane_bucket,
+)
+
+DEFAULT_KNN_K = 4
+DEFAULT_THRESHOLD = 1.05
+
+
+def _margin_pairs_from_scored(
+    scored: DataFrame, knn_k: int, threshold: float, mutual: bool
+) -> DataFrame:
+    """Shared margin math over a scored candidate table
+    (src_id, tgt_id, sim): NN means per side, ratio margin, best-per
+    -src (and optionally mutual best-per-tgt), threshold gate."""
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.desc("sim"), F.asc("tgt_id")
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.desc("sim"), F.asc("src_id")
+    )
+    ranked = scored.withColumn(
+        "rank_f", F.row_number().over(w_f)
+    ).withColumn("rank_b", F.row_number().over(w_b))
+    fwd = ranked.filter(F.col("rank_f") <= knn_k)
+    avg_f = fwd.groupBy("src_id").agg(
+        F.round(F.avg("sim"), 6).alias("avg_f")
+    )
+    avg_b = (
+        ranked.filter(F.col("rank_b") <= knn_k)
+        .groupBy("tgt_id")
+        .agg(F.round(F.avg("sim"), 6).alias("avg_b"))
+    )
+    denom = (F.col("avg_f") + F.col("avg_b")) / 2.0
+    cand = (
+        fwd.join(avg_f, "src_id")
+        .join(avg_b, "tgt_id")
+        # denom <= 0 (all-negative neighborhoods) makes the ratio
+        # meaningless: NULL margin, dropped by the threshold gate
+        .withColumn(
+            "margin",
+            F.when(denom > 0, F.round(F.col("sim") / denom, 6)),
+        )
+    )
+    w_mf = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    best = cand.withColumn("best_f", F.row_number().over(w_mf)).filter(
+        F.col("best_f") == 1
+    )
+    if mutual:
+        w_mb = Window.partitionBy("tgt_id").orderBy(
+            F.desc("margin"), F.asc("src_id")
+        )
+        best = best.withColumn(
+            "best_b", F.row_number().over(w_mb)
+        ).filter(F.col("best_b") == 1)
+    return (
+        best.filter(F.col("margin") > threshold)
+        .select("src_id", "tgt_id", "sim", "margin")
+        .orderBy("src_id")
+    )
+
+
+def _scored_all_pairs(
+    src: DataFrame, tgt: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    s = src.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("s_vec")
+    )
+    t = tgt.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("t_vec")
+    )
+    return s.crossJoin(t).select(
+        "src_id",
+        "tgt_id",
+        F.round(_cosine_expr("s_vec", "t_vec"), 4).alias("sim"),
+    )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_k: int = DEFAULT_KNN_K,
+    threshold: float = DEFAULT_THRESHOLD,
+    mutual: bool = True,
+) -> DataFrame:
+    """Mined pairs (src_id, tgt_id, sim, margin), src_id ascending —
+    exact (all-pairs) variant; the oracle twin of the bucketed scale
+    path. No same-id filter: the two corpora are distinct universes,
+    equal ids are a coincidence, not identity (unlike cosine_topk's
+    single-corpus contract)."""
+    scored = _scored_all_pairs(src, tgt, id_col, vec_col)
+    return _margin_pairs_from_scored(scored, knn_k, threshold, mutual)
+
+
+def bitext_margin_pairs_bucketed(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_k: int = DEFAULT_KNN_K,
+    threshold: float = DEFAULT_THRESHOLD,
+    mutual: bool = True,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: candidates restricted to pairs sharing a
+    hyperplane-LSH bucket (2^n_planes buckets; default 8 planes =
+    256 — coarser than ANN's 12 because mining wants recall on
+    mid-similarity pairs, not just near-duplicates). NN means are
+    computed within the candidate set, the standard ANN-margin
+    approximation. Pass ``dim`` to avoid the one-row driver read."""
+    src = src.filter(F.col(vec_col).isNotNull())
+    tgt = tgt.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        row = src.select(vec_col).first()
+        if row is None:
+            return bitext_margin_pairs(
+                src, tgt, id_col, vec_col, knn_k, threshold, mutual
+            )
+        dim = len(row[0])
+    sig = _hyperplane_sign_bits(vec_col, n_planes, dim)
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("s_vec"),
+        sig.alias("bucket"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("t_vec"),
+        sig.alias("bucket"),
+    )
+    scored = s.join(t, "bucket").select(
+        "src_id",
+        "tgt_id",
+        F.round(_cosine_expr("s_vec", "t_vec"), 4).alias("sim"),
+    )
+    return _margin_pairs_from_scored(scored, knn_k, threshold, mutual)
+
+
+def _duck_margin_tail(
+    scored_cte: str, knn_k: int, threshold: float, mutual: bool
+) -> str:
+    mutual_gate = (
+        """bt_bb AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                ORDER BY margin DESC NULLS LAST, src_id ASC) AS best_b
+            FROM bt_best WHERE best_f = 1),
+        bt_fin AS (SELECT * FROM bt_bb WHERE best_b = 1)"""
+        if mutual
+        else "bt_fin AS (SELECT * FROM bt_best WHERE best_f = 1)"
+    )
+    return f"""
+        {scored_cte},
+        bt_rank AS (
+            SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY src_id
+                    ORDER BY sim DESC, tgt_id ASC) AS rank_f,
+                ROW_NUMBER() OVER (PARTITION BY tgt_id
+                    ORDER BY sim DESC, src_id ASC) AS rank_b
+            FROM bt_scored),
+        bt_avgf AS (SELECT src_id, ROUND(AVG(sim), 6) AS avg_f
+                    FROM bt_rank WHERE rank_f <= {knn_k} GROUP BY src_id),
+        bt_avgb AS (SELECT tgt_id, ROUND(AVG(sim), 6) AS avg_b
+                    FROM bt_rank WHERE rank_b <= {knn_k} GROUP BY tgt_id),
+        bt_cand AS (
+            SELECT r.src_id, r.tgt_id, r.sim,
+                   CASE WHEN (f.avg_f + b.avg_b) / 2.0 > 0
+                        THEN ROUND(r.sim / ((f.avg_f + b.avg_b) / 2.0), 6)
+                   END AS margin
+            FROM bt_rank r
+            JOIN bt_avgf f ON r.src_id = f.src_id
+            JOIN bt_avgb b ON r.tgt_id = b.tgt_id
+            WHERE r.rank_f <= {knn_k}),
+        bt_best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                ORDER BY margin DESC NULLS LAST, tgt_id ASC) AS best_f
+            FROM bt_cand),
+        {mutual_gate}
+        SELECT src_id, tgt_id, sim, margin FROM bt_fin
+        WHERE margin > {threshold}
+        ORDER BY src_id
+    """
+
+
+def duck_bitext_margin_sql(
+    src_sql: str,
+    tgt_sql: str,
+    knn_k: int = DEFAULT_KNN_K,
+    threshold: float = DEFAULT_THRESHOLD,
+    mutual: bool = True,
+) -> str:
+    """DuckDB twin of :func:`bitext_margin_pairs`. src_sql/tgt_sql
+    must yield (src_id, s_vec) / (tgt_id, t_vec)."""
+    dot = "list_dot_product(CAST(s.s_vec AS DOUBLE[]), CAST(t.t_vec AS DOUBLE[]))"
+    ns = "sqrt(list_dot_product(CAST(s.s_vec AS DOUBLE[]), CAST(s.s_vec AS DOUBLE[])))"
+    nt = "sqrt(list_dot_product(CAST(t.t_vec AS DOUBLE[]), CAST(t.t_vec AS DOUBLE[])))"
+    scored = f"""WITH bt_scored AS (
+            SELECT s.src_id, t.tgt_id,
+                   ROUND(({dot}) / (({ns}) * ({nt})), 4) AS sim
+            FROM ({src_sql}) s CROSS JOIN ({tgt_sql}) t
+            WHERE s.s_vec IS NOT NULL AND t.t_vec IS NOT NULL)"""
+    return _duck_margin_tail(scored, knn_k, threshold, mutual)
+
+
+def duck_bitext_margin_bucketed_sql(
+    src_sql: str,
+    tgt_sql: str,
+    dim: int,
+    knn_k: int = DEFAULT_KNN_K,
+    threshold: float = DEFAULT_THRESHOLD,
+    mutual: bool = True,
+    n_planes: int = 8,
+) -> str:
+    """DuckDB twin of :func:`bitext_margin_pairs_bucketed` — the
+    deterministic hyperplane buckets make even the approximate
+    variant exactly replayable."""
+    dot = "list_dot_product(CAST(s.s_vec AS DOUBLE[]), CAST(t.t_vec AS DOUBLE[]))"
+    ns = "sqrt(list_dot_product(CAST(s.s_vec AS DOUBLE[]), CAST(s.s_vec AS DOUBLE[])))"
+    nt = "sqrt(list_dot_product(CAST(t.t_vec AS DOUBLE[]), CAST(t.t_vec AS DOUBLE[])))"
+    sb = duck_hyperplane_bucket("s.s_vec", n_planes, dim)
+    tb = duck_hyperplane_bucket("t.t_vec", n_planes, dim)
+    scored = f"""WITH bt_scored AS (
+            SELECT s.src_id, t.tgt_id,
+                   ROUND(({dot}) / (({ns}) * ({nt})), 4) AS sim
+            FROM ({src_sql}) s JOIN ({tgt_sql}) t
+              ON ({sb}) = ({tb})
+            WHERE s.s_vec IS NOT NULL AND t.t_vec IS NOT NULL)"""
+    return _duck_margin_tail(scored, knn_k, threshold, mutual)

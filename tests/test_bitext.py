@@ -1,0 +1,160 @@
+"""Margin-based bitext mining: planted-alignment recovery, DuckDB
+twin parity (exact + bucketed), mutual-best hub suppression, and
+bucketed-vs-brute recall."""
+
+import random
+
+import duckdb
+import pandas as pd
+
+from book_ocr_spark.operators import bitext
+
+DIM = 8
+
+
+def _unit(rng):
+    v = [rng.gauss(0, 1) for _ in range(DIM)]
+    n = sum(x * x for x in v) ** 0.5
+    return [round(x / n, 6) for x in v]
+
+
+def _perturb(v, rng, eps=0.05):
+    w = [x + rng.gauss(0, eps) for x in v]
+    n = sum(x * x for x in w) ** 0.5
+    return [round(x / n, 6) for x in w]
+
+
+def _planted(seed=17, n_pairs=12, n_noise=10):
+    """src i aligns with tgt i for i < n_pairs; the rest is noise on
+    both sides."""
+    rng = random.Random(seed)
+    src, tgt = [], []
+    for i in range(n_pairs):
+        base = _unit(rng)
+        src.append((i, base))
+        tgt.append((i, _perturb(base, rng)))
+    for j in range(n_noise):
+        src.append((100 + j, _unit(rng)))
+        tgt.append((200 + j, _unit(rng)))
+    return src, tgt
+
+
+def _spark_dfs(spark, src, tgt):
+    schema = "vec_id int, embedding array<double>"
+    return (
+        spark.createDataFrame(src, schema),
+        spark.createDataFrame(tgt, schema),
+    )
+
+
+def _duck_con(src, tgt):
+    con = duckdb.connect()
+    con.register(
+        "s", pd.DataFrame(src, columns=["src_id", "s_vec"])
+    )
+    con.register(
+        "t", pd.DataFrame(tgt, columns=["tgt_id", "t_vec"])
+    )
+    return con
+
+
+def test_bitext_recovers_planted_pairs(spark):
+    src, tgt = _planted()
+    sdf, tdf = _spark_dfs(spark, src, tgt)
+    mined = bitext.bitext_margin_pairs(sdf, tdf).collect()
+    got = {(r.src_id, r.tgt_id) for r in mined}
+    planted = {(i, i) for i in range(12)}
+    # every planted pair is mined with near-1 cosine; stray noise-noise
+    # matches are legitimate (margin corrects hubness, it is not a
+    # quality score) but must never displace a planted alignment
+    assert planted <= got
+    sims = {(r.src_id, r.tgt_id): r.sim for r in mined}
+    assert all(sims[p] > 0.97 for p in planted)
+    assert all(r.margin > bitext.DEFAULT_THRESHOLD for r in mined)
+    # mutual-best: each src and each tgt appears at most once
+    srcs = [s for s, _ in got]
+    tgts = [t for _, t in got]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+
+
+def test_bitext_duck_twin(spark):
+    src, tgt = _planted(seed=23)
+    sdf, tdf = _spark_dfs(spark, src, tgt)
+    got = [
+        (r.src_id, r.tgt_id, r.sim, r.margin)
+        for r in bitext.bitext_margin_pairs(sdf, tdf).collect()
+    ]
+    con = _duck_con(src, tgt)
+    want = con.sql(
+        bitext.duck_bitext_margin_sql(
+            "SELECT src_id, s_vec FROM s", "SELECT tgt_id, t_vec FROM t"
+        )
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_bitext_bucketed_twin_and_recall(spark):
+    src, tgt = _planted(seed=31, n_pairs=15, n_noise=8)
+    sdf, tdf = _spark_dfs(spark, src, tgt)
+    got = [
+        (r.src_id, r.tgt_id, r.sim, r.margin)
+        for r in bitext.bitext_margin_pairs_bucketed(
+            sdf, tdf, dim=DIM, n_planes=4
+        ).collect()
+    ]
+    con = _duck_con(src, tgt)
+    want = con.sql(
+        bitext.duck_bitext_margin_bucketed_sql(
+            "SELECT src_id, s_vec FROM s",
+            "SELECT tgt_id, t_vec FROM t",
+            dim=DIM,
+            n_planes=4,
+        )
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    # near-identical planted pairs share sign buckets at eps=0.05:
+    # the bucketed path keeps most of the brute-mined alignment
+    brute = {
+        (r.src_id, r.tgt_id)
+        for r in bitext.bitext_margin_pairs(sdf, tdf).collect()
+    }
+    bucketed = {(s, t) for s, t, _, _ in got}
+    assert len(bucketed & brute) >= 0.6 * len(brute)
+
+
+def test_bitext_mutual_suppresses_hubs(spark):
+    # two sources both nearest the SAME target hub: mutual-best keeps
+    # at most one of the competing pairs
+    rng = random.Random(5)
+    hub = _unit(rng)
+    src = [(1, _perturb(hub, rng, 0.02)), (2, _perturb(hub, rng, 0.02))]
+    # extra background so kNN means are defined away from the hub
+    src += [(10 + j, _unit(rng)) for j in range(6)]
+    tgt = [(7, hub)] + [(300 + j, _unit(rng)) for j in range(6)]
+    sdf, tdf = _spark_dfs(spark, src, tgt)
+    mutual = bitext.bitext_margin_pairs(sdf, tdf, mutual=True).collect()
+    loose = bitext.bitext_margin_pairs(sdf, tdf, mutual=False).collect()
+    assert sum(1 for r in mutual if r.tgt_id == 7) <= 1
+    assert sum(1 for r in loose if r.tgt_id == 7) >= sum(
+        1 for r in mutual if r.tgt_id == 7
+    )
+    # twin parity holds for the non-mutual variant too
+    con = _duck_con(src, tgt)
+    want = con.sql(
+        bitext.duck_bitext_margin_sql(
+            "SELECT src_id, s_vec FROM s",
+            "SELECT tgt_id, t_vec FROM t",
+            mutual=False,
+        )
+    ).fetchall()
+    assert [
+        (r.src_id, r.tgt_id, r.sim, r.margin) for r in loose
+    ] == [tuple(r) for r in want]
+
+
+def test_bitext_threshold_gate(spark):
+    src, tgt = _planted(seed=41)
+    sdf, tdf = _spark_dfs(spark, src, tgt)
+    low = bitext.bitext_margin_pairs(sdf, tdf, threshold=1.0).count()
+    high = bitext.bitext_margin_pairs(sdf, tdf, threshold=1.5).count()
+    assert high <= low
