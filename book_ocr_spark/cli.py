@@ -164,6 +164,21 @@ def main(argv: list[str] | None = None) -> int:
         help="distinct colliding n-grams that make a document contaminated",
     )
     cur.add_argument(
+        "--dedup-urls", action="store_true",
+        help="collapse canonical-URL re-fetches (min-id keeper) before "
+        "the URL gate (operators.webfilter.url_dedup; requires --url-col)",
+    )
+    cur.add_argument(
+        "--domain-ranks", default=None,
+        help="parquet of (node, rank) — operators.graph.pagerank output "
+        "— enabling the domain-rank prior gate (requires --url-col)",
+    )
+    cur.add_argument(
+        "--min-domain-rank", type=float, default=0.0,
+        help="drop documents whose RANKED domain scores below this "
+        "(unranked domains pass; use the blocklist for those)",
+    )
+    cur.add_argument(
         "--lexicon-term", action="append", default=None,
         help="bad-words lexicon entry ([a-z0-9_]+ only; repeatable) "
         "enabling the C4/Gopher lexicon gate (operators.textstats)",
@@ -483,6 +498,13 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 lexicon_max_hit_ratio=args.lexicon_max_hit_ratio,
+                dedup_urls=args.dedup_urls,
+                domain_ranks=(
+                    spark.read.parquet(args.domain_ranks)
+                    if args.domain_ranks is not None
+                    else None
+                ),
+                min_domain_rank=args.min_domain_rank,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

@@ -200,11 +200,24 @@ def curate_web_corpus(
     bench_text_col: str | None = None,
     lexicon_terms: tuple[str, ...] | None = None,
     lexicon_max_hit_ratio: float = 0.0,
+    dedup_urls: bool = False,
+    domain_ranks: DataFrame | None = None,
+    min_domain_rank: float = 0.0,
 ) -> DataFrame:
-    """The full web-corpus pass: URL gate (when ``url_col`` is given;
+    """The full web-corpus pass: optional canonical-URL dedup (when
+    ``dedup_urls``: re-fetches of one page under cosmetic URL variants
+    — tracking params, fragments, case, ports, query order — collapse
+    to the min-id row BEFORE anything else runs; the cheapest dedup in
+    the whole pass, so it goes first) -> URL gate (when ``url_col`` is given;
     with ``max_per_domain``, a deterministic per-registered-domain
     document cap follows immediately — the RefinedWeb rule, placed
-    first so template farms never reach the expensive stages)
+    first so template farms never reach the expensive stages; with
+    ``domain_ranks``, a (node, rank) table — operators.graph.pagerank
+    output over the link graph — broadcast-joins on the registered
+    domain between the gate and the cap, and documents from RANKED
+    domains below ``min_domain_rank`` drop; unranked domains (rank 0)
+    pass — the blocklist, not the rank prior, is the tool for domains
+    outside the graph)
     -> corpus-level line dedup (documents emptied by boilerplate
     removal drop out) -> optional lexicon gate (when ``lexicon_terms``
     is given: C4's bad-words drop on the cleaned text at
@@ -248,8 +261,30 @@ def curate_web_corpus(
     from book_ocr_spark.operators.webfilter import filter_urls
 
     cur = corpus
+    if url_col is None and (dedup_urls or domain_ranks is not None):
+        raise ValueError("dedup_urls / domain_ranks require url_col")
     if url_col is not None:
+        if dedup_urls:
+            from book_ocr_spark.operators.webfilter import url_dedup
+
+            # keep already IS the kept row set — project off the
+            # helper columns rather than semi-joining back
+            cur = (
+                url_dedup(cur, id_col, url_col)
+                .filter(F.col("keep"))
+                .select(*cur.columns)
+            )
         cur = filter_urls(cur, url_col, block_domains)
+        if domain_ranks is not None:
+            from book_ocr_spark.operators.graph import rank_features
+            from book_ocr_spark.operators.webfilter import url_parts
+
+            ranked = rank_features(
+                url_parts(cur, url_col), domain_ranks, "domain"
+            )
+            cur = ranked.filter(
+                (F.col("rank") == 0.0) | (F.col("rank") >= min_domain_rank)
+            ).select(*cur.columns)
         if max_per_domain is not None:
             # RefinedWeb-style per-domain page cap, right behind the
             # URL gate: deterministic k-smallest-hash keep per

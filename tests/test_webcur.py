@@ -792,3 +792,100 @@ def test_url_dedup_twin(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_web_corpus_url_dedup_and_rank_stages(spark):
+    """dedup_urls collapses canonical re-fetches to the min-id row
+    before the URL gate; the domain-rank prior drops ranked domains
+    below the threshold while unranked domains pass; both verified
+    inside the composed pass with a DuckDB stage replay."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.operators.webfilter import duck_url_dedup_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    base = (
+        "a long enough clean document about distributed dedup and "
+        "shuffle strategies for web scale corpora with many words"
+    )
+    rows = [
+        # 1 and 2: same page refetched under tracking params -> min id kept
+        (1, base + " first respectable body", "https://good.com/a?utm_source=x"),
+        (2, base + " first respectable body", "https://good.com/a"),
+        # 3: ranked low domain -> dropped by the rank prior
+        (3, base.replace("dedup", "spamfarm") + " low quality neighborhood",
+         "https://lowrank.net/p"),
+        # 4: unranked domain -> passes the rank prior
+        (4, base.replace("dedup", "hobby") + " unranked but fine",
+         "https://tiny-blog.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, url string")
+    ranks = spark.createDataFrame(
+        [("good.com", 0.5), ("lowrank.net", 0.001)], "node string, rank double"
+    )
+    got = sorted(
+        r.id
+        for r in curate_web_corpus(
+            df, "id", "text", url_col="url",
+            dedup_urls=True, domain_ranks=ranks, min_domain_rank=0.01,
+        ).collect()
+    )
+    assert got == [1, 4]  # 2 = canonical dup, 3 = rank-gated
+
+    # stage replay: url_dedup keep -> rank gate -> line dedup -> curate
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text", "url"]))
+    con.register("ranks", pd.DataFrame(
+        [("good.com", 0.5), ("lowrank.net", 0.001)], columns=["node", "rank"]
+    ))
+    con.register(
+        "kept",
+        con.sql(
+            "SELECT id, text, url FROM ("
+            + duck_url_dedup_sql("SELECT id, text, url FROM c", "id", "url")
+            + ") WHERE keep"
+        ).df(),
+    )
+    from book_ocr_spark.operators.webfilter import DOMAIN_RE, HOST_RE
+
+    con.register(
+        "rank_gated",
+        con.sql(
+            f"""SELECT k.id, k.text FROM kept k
+                LEFT JOIN ranks r ON r.node = regexp_extract(
+                    regexp_extract(lower(k.url), '{HOST_RE}', 1),
+                    '{DOMAIN_RE}', 1)
+                WHERE COALESCE(r.rank, 0.0) = 0.0
+                   OR COALESCE(r.rank, 0.0) >= 0.01"""
+        ).df(),
+    )
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM rank_gated")
+            + ") WHERE clean_text <> ''"
+        ).df(),
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(duck_curate_sql("SELECT id, text FROM cleaned")).fetchall()
+    )
+    assert got == want
+
+
+def test_web_corpus_url_stage_validation(spark):
+    import pytest as _pt
+
+    from book_ocr_spark.plans.curation import curate_web_corpus
+
+    df = spark.createDataFrame([(1, "t")], "id long, text string")
+    with _pt.raises(ValueError, match="url_col"):
+        curate_web_corpus(df, "id", "text", dedup_urls=True)
+    with _pt.raises(ValueError, match="url_col"):
+        curate_web_corpus(
+            df, "id", "text",
+            domain_ranks=df.selectExpr("'a' AS node", "0.5 AS rank"),
+        )
