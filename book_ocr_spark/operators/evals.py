@@ -307,3 +307,191 @@ def rouge_l(
         F.col("_s.lcs").alias("lcs"),
         F.col("_s.rouge_l").alias("rouge_l"),
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Sentence BLEU (Papineni et al. 2002) — the n-gram precision sibling
+# ---------------------------------------------------------------------------
+# BLEU-N per row: clipped n-gram precisions p_n for n = 1..max_n, the
+# brevity penalty, and the unsmoothed geometric-mean score. Unlike
+# ROUGE-L this IS SQL-expressible — every p_n is the same multiset
+# intersection token_f1 runs, just over n-gram arrays instead of
+# tokens — so it stays on the pure-JVM tier: a zero-exchange per-row
+# projection at any corpus size. Normalization reuses the SQuAD rules
+# so token_f1 / rouge_l / sentence_bleu all tokenize identically.
+#
+# Conventions (the sacrebleu smooth='none' sentence semantics):
+# a zero clipped count at ANY order (including a prediction shorter
+# than max_n tokens, which has zero max_n-grams) scores 0; both sides
+# empty scores 1.0 (the module's token_f1 edge rule); one side empty
+# scores 0. The integer match/candidate counts per order are emitted
+# alongside the doubles so the oracle compare anchors on exact ints.
+
+
+def _gram_attr(attr: str, n: int) -> str:
+    """Spark SQL expr: NON-distinct word n-grams over an
+    already-materialized token-array attribute (empty when the array
+    is shorter than n — no partial grams). Attribute reference, not an
+    inline expression, for the dedup.py:116 O(words^2) reason."""
+    if n == 1:
+        return attr
+    return (
+        f"CASE WHEN size({attr}) >= {n} THEN "
+        f"transform(sequence(1, size({attr})-{n}+1),"
+        f" i -> concat_ws(' ', slice({attr}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def _clip_attr(pg: str, gg: str) -> str:
+    """Spark SQL expr: clipped match count — for each DISTINCT pred
+    gram, min(its pred count, its gold count), summed. The token_f1
+    multiset intersection restricted to the pred side's support (BLEU
+    clips against gold; gold-only grams contribute nothing)."""
+    return (
+        f"aggregate(array_distinct({pg}), 0,"
+        f" (acc, t) -> acc + least("
+        f"size(filter({pg}, x -> x = t)), size(filter({gg}, x -> x = t))))"
+    )
+
+
+def sentence_bleu(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """(id, n_pred, n_gold, m1..m{max_n}, c1..c{max_n}, bp, bleu) per
+    row — unsmoothed sentence BLEU under SQuAD normalization. m_n =
+    clipped n-gram matches, c_n = pred n-gram count, bp = brevity
+    penalty (1 when n_pred >= n_gold, else exp(1 - n_gold/n_pred),
+    0 when the pred is empty), bleu = bp * exp(mean_n ln(m_n/c_n))
+    with any zero m_n/c_n collapsing the score to 0 and the both-empty
+    row scoring 1.0. Pure projection: zero exchanges at 10^12 rows."""
+    if not 1 <= max_n <= 8:
+        raise ValueError("max_n must be in 1..8")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _toks(F.col(pred_col)).alias("_p"),
+        _toks(F.col(gold_col)).alias("_g"),
+    )
+    for n in range(2, max_n + 1):
+        # materialize per-order gram arrays as attributes first (the
+        # HOF lambdas below must not re-evaluate gram construction)
+        base = base.withColumn(f"_pg{n}", F.expr(_gram_attr("_p", n)))
+        base = base.withColumn(f"_gg{n}", F.expr(_gram_attr("_g", n)))
+    cols = [
+        F.col("id"),
+        F.size("_p").cast("long").alias("n_pred"),
+        F.size("_g").cast("long").alias("n_gold"),
+    ]
+    for n in range(1, max_n + 1):
+        pg, gg = ("_p", "_g") if n == 1 else (f"_pg{n}", f"_gg{n}")
+        cols.append(F.expr(_clip_attr(pg, gg)).cast("long").alias(f"m{n}"))
+        cols.append(F.size(pg).cast("long").alias(f"c{n}"))
+    counted = base.select(*cols)
+    any_zero = None
+    log_sum = F.lit(0.0)
+    for n in range(1, max_n + 1):
+        zn = (F.col(f"m{n}") == 0) | (F.col(f"c{n}") == 0)
+        any_zero = zn if any_zero is None else (any_zero | zn)
+        # guard the log args: the branch is dead when any_zero is true
+        log_sum = log_sum + (
+            F.log(F.greatest(F.col(f"m{n}"), F.lit(1)).cast("double"))
+            - F.log(F.greatest(F.col(f"c{n}"), F.lit(1)).cast("double"))
+        )
+    bp = (
+        F.when(F.col("n_pred") == 0, F.lit(0.0))
+        .when(F.col("n_pred") >= F.col("n_gold"), F.lit(1.0))
+        .otherwise(
+            F.exp(
+                F.lit(1.0)
+                - F.col("n_gold").cast("double") / F.col("n_pred").cast("double")
+            )
+        )
+    )
+    bleu = (
+        F.when((F.col("n_pred") == 0) & (F.col("n_gold") == 0), F.lit(1.0))
+        .when(any_zero, F.lit(0.0))
+        .otherwise(bp * F.exp(log_sum / F.lit(float(max_n))))
+    )
+    return counted.select(
+        "*", bp.alias("bp"), bleu.alias("bleu")
+    ).orderBy("id")
+
+
+def _duck_grams(attr: str, n: int) -> str:
+    if n == 1:
+        return attr
+    return (
+        f"list_transform(generate_series(1, len({attr})-{n}+1),"
+        f" i -> array_to_string(list_slice({attr}, i, i+{n}-1), ' '))"
+    )
+
+
+def _duck_clip(pg: str, gg: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(list_distinct({pg}),"
+        f" t -> least(len(list_filter({pg}, x -> x = t)),"
+        f" len(list_filter({gg}, x -> x = t))))), 0)"
+    )
+
+
+def duck_sentence_bleu_sql(
+    src_sql: str,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+    max_n: int = 4,
+) -> str:
+    """DuckDB twin of sentence_bleu (same normalizer, same clipped
+    multiset HOFs, same zero/empty edge rules)."""
+    if not 1 <= max_n <= 8:
+        raise ValueError("max_n must be in 1..8")
+    gram_cols = ", ".join(
+        f"{_duck_grams('p', n)} AS pg{n}, {_duck_grams('g', n)} AS gg{n}"
+        for n in range(2, max_n + 1)
+    )
+    gram_cols = (", " + gram_cols) if gram_cols else ""
+    count_cols = ", ".join(
+        f"CAST({_duck_clip('pg' + str(n) if n > 1 else 'p', 'gg' + str(n) if n > 1 else 'g')} AS BIGINT) AS m{n}, "
+        f"CAST(len({'pg' + str(n) if n > 1 else 'p'}) AS BIGINT) AS c{n}"
+        for n in range(1, max_n + 1)
+    )
+    any_zero = " OR ".join(f"m{n} = 0 OR c{n} = 0" for n in range(1, max_n + 1))
+    log_sum = " + ".join(
+        f"ln(CAST(greatest(m{n}, 1) AS DOUBLE)) - ln(CAST(greatest(c{n}, 1) AS DOUBLE))"
+        for n in range(1, max_n + 1)
+    )
+    return f"""
+        WITH sb_t AS (
+            SELECT {id_col} AS id,
+                   list_filter(string_split({_duck_norm(pred_col)}, ' '),
+                               x -> x <> '') AS p,
+                   list_filter(string_split({_duck_norm(gold_col)}, ' '),
+                               x -> x <> '') AS g
+            FROM ({src_sql}) s
+        ), sb_g AS (
+            SELECT id, p, g{gram_cols} FROM sb_t
+        ), sb_c AS (
+            SELECT id,
+                   CAST(len(p) AS BIGINT) AS n_pred,
+                   CAST(len(g) AS BIGINT) AS n_gold,
+                   {count_cols}
+            FROM sb_g
+        ), sb_s AS (
+            SELECT *,
+                   CASE WHEN n_pred = 0 THEN 0.0
+                        WHEN n_pred >= n_gold THEN 1.0
+                        ELSE exp(1.0 - CAST(n_gold AS DOUBLE)
+                                 / CAST(n_pred AS DOUBLE)) END AS bp
+            FROM sb_c
+        )
+        SELECT *,
+               CASE WHEN n_pred = 0 AND n_gold = 0 THEN 1.0
+                    WHEN {any_zero} THEN 0.0
+                    ELSE bp * exp(({log_sum}) / {float(max_n)!r}) END AS bleu
+        FROM sb_s
+        ORDER BY id
+    """

@@ -241,3 +241,102 @@ def test_rouge_l_matches_reference(spark):
     f1 = {r.id: r for r in evals.token_f1(df, "id", "pred", "gold").collect()}
     for i in f1:
         assert (got[i].n_pred, got[i].n_gold) == (f1[i].n_pred, f1[i].n_gold), i
+
+
+# ---------------------------------------------------------------------------
+# sentence_bleu: clipped n-gram precision + brevity penalty
+# ---------------------------------------------------------------------------
+BLEU_ROWS = [
+    (1, "cat sat on mat", "cat is on mat"),            # m3 = 0 -> bleu 0
+    (2, "", ""),                                        # both empty -> 1.0
+    (3, "hello", ""),                                   # gold empty -> 0
+    (4, "", "gold here"),                               # pred empty -> 0
+    (5, "cat cat cat cat cat", "cat dog cat bird"),     # clipping: m1 = 2
+    (6, "exact short answer match here now",
+        "exact short answer match here now"),           # perfect -> 1.0
+    (7, "cat sat on mat today", "cat sat on mat"),      # longer pred, bp = 1
+    (8, "cat sat on mat", "cat sat on mat today fine"), # short pred, bp < 1
+]
+
+
+def _py_bleu(pred, gold, max_n=4):
+    """Straight unsmoothed sentence BLEU over the SQuAD tokenizer."""
+    import math
+    from collections import Counter
+
+    p, g = _py_norm(pred).split(), _py_norm(gold).split()
+    if not p and not g:
+        return 1.0
+    ps = []
+    for n in range(1, max_n + 1):
+        pg = [" ".join(p[i:i + n]) for i in range(len(p) - n + 1)]
+        gg = [" ".join(g[i:i + n]) for i in range(len(g) - n + 1)]
+        m = sum((Counter(pg) & Counter(gg)).values())
+        if m == 0 or not pg:
+            return 0.0
+        ps.append(m / len(pg))
+    bp = 1.0 if len(p) >= len(g) else math.exp(1.0 - len(g) / len(p))
+    return bp * math.exp(sum(math.log(x) for x in ps) / max_n)
+
+
+def test_sentence_bleu_matches_python_reference(spark):
+    df = spark.createDataFrame(BLEU_ROWS, "id int, pred string, gold string")
+    got = {r.id: r for r in evals.sentence_bleu(df, "id", "pred", "gold").collect()}
+    for i, pred, gold in BLEU_ROWS:
+        assert abs(got[i].bleu - _py_bleu(pred, gold)) < 1e-12, i
+    assert got[2].bleu == 1.0 and got[3].bleu == 0.0 and got[4].bleu == 0.0
+    assert (got[5].m1, got[5].c1) == (2, 5)      # "cat" clipped at gold's 2
+    assert got[6].bleu == 1.0 and got[6].bp == 1.0
+    assert got[7].bp == 1.0 and got[7].bleu > 0.0
+    assert 0.0 < got[8].bp < 1.0 and 0.0 < got[8].bleu < got[7].bleu
+    # shares the tokenizer with token_f1: identical token counts
+    f1 = {r.id: r for r in evals.token_f1(df, "id", "pred", "gold").collect()}
+    for i in f1:
+        assert (got[i].n_pred, got[i].n_gold) == (f1[i].n_pred, f1[i].n_gold), i
+
+
+def test_sentence_bleu_duck_twin(spark):
+    df = spark.createDataFrame(BLEU_ROWS, "id int, pred string, gold string")
+    for max_n in (1, 2, 4):
+        got = [
+            tuple(r)
+            for r in evals.sentence_bleu(
+                df, "id", "pred", "gold", max_n=max_n
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.register("b", pd.DataFrame(BLEU_ROWS, columns=["id", "pred", "gold"]))
+        want = [
+            tuple(r)
+            for r in con.sql(
+                evals.duck_sentence_bleu_sql(
+                    "SELECT * FROM b", "id", "pred", "gold", max_n=max_n
+                )
+            ).fetchall()
+        ]
+        assert len(got) == len(want)
+        for gr, wr in zip(got, want):
+            assert gr[:-2] == wr[:-2], (max_n, gr, wr)       # exact ints
+            assert abs(gr[-2] - wr[-2]) < 1e-12, (max_n, gr)  # bp
+            assert abs(gr[-1] - wr[-1]) < 1e-12, (max_n, gr)  # bleu
+
+
+def test_sentence_bleu_no_exchange(spark):
+    df = spark.createDataFrame(BLEU_ROWS, "id int, pred string, gold string")
+    plan = (
+        evals.sentence_bleu(df, "id", "pred", "gold")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in ex), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sentence_bleu_validation(spark):
+    df = spark.createDataFrame(BLEU_ROWS, "id int, pred string, gold string")
+    with pytest.raises(ValueError, match="max_n"):
+        evals.sentence_bleu(df, "id", "pred", "gold", max_n=0)
+    with pytest.raises(ValueError, match="max_n"):
+        evals.duck_sentence_bleu_sql("SELECT 1", "id", "p", "g", max_n=9)
