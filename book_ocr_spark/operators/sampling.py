@@ -636,3 +636,104 @@ def duck_leakage_safe_split_sql(
         FROM ({corpus_sql}) c
         LEFT JOIN ({clusters_sql}) cl ON cl.id = c.{id_col}
     """
+
+
+def _curr_validate(cuts) -> tuple[float, ...]:
+    cuts = tuple(float(c) for c in cuts)
+    if not cuts:
+        raise ValueError("cuts must be non-empty")
+    if any(a >= b for a, b in zip(cuts, cuts[1:])):
+        raise ValueError("cuts must be strictly ascending")
+    if any(c != c or c in (float("inf"), float("-inf")) for c in cuts):
+        raise ValueError("cuts must be finite")
+    return cuts
+
+
+def curriculum_keys(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    cuts,
+    easy_first: bool = True,
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum-learning order (Bengio et al. 2009) as two added
+    columns: ``bucket`` (difficulty tier) and ``seq`` (dense 0-based
+    within-bucket order) — the loader reads buckets in order, each
+    bucket shuffled. Epoch order = lexicographic (bucket, seq).
+
+    ``bucket`` counts the FIXED ``cuts`` at or below the score
+    (score in [c_i, c_{i+1}) -> i+1; below c_1 -> 0), so with
+    ascending cuts and higher-score-is-harder, easy rows come first;
+    ``easy_first=False`` flips the tier order (anti-curriculum).
+    A NULL score lands in the final tier — unknown difficulty trains
+    last; filter beforehand to drop instead. Cut points are CALLER
+    inputs, not computed here: derive them from a prior profiling
+    pass (operators.sketches.eh_quantiles or percentile_approx), so
+    bucketing stays a pure projection. ``seq`` is the dense rank by
+    the portable hash(salt:id) (ties by id) — the training_shards
+    within-shard order rule, so reruns, resumes, other cluster shapes
+    and the DuckDB twin emit identical (bucket, seq) bits; a new salt
+    is a new within-tier permutation.
+
+    Scale shape (100 TB): ONE hash exchange on ``bucket`` (the
+    window's requirement) and a per-bucket sort — there is NO global
+    sort; with k+1 buckets each sort handles corpus/(k+1) rows, and a
+    skewed tier can be subdivided by adding cuts. Do not replace this
+    with a global row_number (single-partition window — the
+    scale-killer the (bucket, seq) pair exists to avoid)."""
+    cuts = _curr_validate(cuts)
+    taken = {"bucket", "seq", "_ord"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"curriculum_keys would overwrite existing column(s) {sorted(taken)}"
+        )
+    k = len(cuts)
+    arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts) + ")"
+    tier = (
+        f"CASE WHEN {score_col} IS NULL THEN {k} ELSE "
+        f"size(filter({arr}, c -> c <= CAST({score_col} AS DOUBLE))) END"
+    )
+    if not easy_first:
+        tier = f"({k} - ({tier}))"
+    h_order = F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
+    w = Window.partitionBy("bucket").orderBy(F.col("_ord"), F.col(id_col))
+    return (
+        df.withColumn("bucket", F.expr(tier).cast("int"))
+        .withColumn("_ord", h_order)
+        .withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_ord")
+    )
+
+
+def duck_curriculum_keys_sql(
+    corpus_sql: str,
+    id_expr: str,
+    score_expr: str,
+    cuts,
+    easy_first: bool = True,
+    salt: str = "curr",
+) -> str:
+    """DuckDB twin of curriculum_keys: identical (bucket, seq) bits."""
+    cuts = _curr_validate(cuts)
+    k = len(cuts)
+    arr = "[" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts) + "]"
+    tier = (
+        f"CASE WHEN {score_expr} IS NULL THEN {k} ELSE "
+        f"len(list_filter({arr}, c -> c <= CAST({score_expr} AS DOUBLE))) END"
+    )
+    if not easy_first:
+        tier = f"({k} - ({tier}))"
+    ho = duck_h28(f"('{salt}:' || CAST({id_expr} AS VARCHAR))")
+    return f"""
+        SELECT * EXCLUDE (_ord) FROM (
+            SELECT s.*,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY bucket ORDER BY _ord, {id_expr}
+                   ) - 1 AS BIGINT) AS seq
+            FROM (
+                SELECT c0.*,
+                       CAST({tier} AS INTEGER) AS bucket,
+                       {ho} AS _ord
+                FROM ({corpus_sql}) c0) s)
+    """

@@ -150,3 +150,121 @@ def test_temperature_mixture_plan_composes(spark):
     # tau=2 up-samples the tail: wiki's share rises above natural 0.1
     by = {r[0]: r for r in got}
     assert by["wiki"][2] > 0.1 and by["web"][2] < 0.8
+
+
+# ---------------------------------------------------------------------------
+# curriculum_keys: fixed-cut difficulty tiers + deterministic in-tier order
+# ---------------------------------------------------------------------------
+CURR_ROWS = [(i, float(i % 7) if i % 11 else None) for i in range(1, 60)]
+CURR_CUTS = (2.0, 4.5)
+
+
+def test_curriculum_keys_semantics(spark):
+    df = spark.createDataFrame(CURR_ROWS, "id long, score double")
+    got = {r.id: r for r in sampling.curriculum_keys(
+        df, "id", "score", CURR_CUTS).collect()}
+    for i, s in CURR_ROWS:
+        want = 2 if s is None else sum(1 for c in CURR_CUTS if c <= s)
+        assert got[i].bucket == want, (i, s)
+    # seq is a dense 0-based permutation of each tier
+    by_tier = {}
+    for r in got.values():
+        by_tier.setdefault(r.bucket, []).append(r.seq)
+    for t, seqs in by_tier.items():
+        assert sorted(seqs) == list(range(len(seqs))), t
+    # anti-curriculum flips tiers, keeps the within-tier order
+    flipped = {r.id: r for r in sampling.curriculum_keys(
+        df, "id", "score", CURR_CUTS, easy_first=False).collect()}
+    for i in got:
+        assert flipped[i].bucket == 2 - got[i].bucket, i
+        assert flipped[i].seq == got[i].seq, i
+    # a new salt is a new within-tier permutation of the same tiers
+    resalt = {r.id: r for r in sampling.curriculum_keys(
+        df, "id", "score", CURR_CUTS, salt="curr2").collect()}
+    assert all(resalt[i].bucket == got[i].bucket for i in got)
+    assert any(resalt[i].seq != got[i].seq for i in got)
+
+
+def test_curriculum_keys_duck_twin(spark):
+    df = spark.createDataFrame(CURR_ROWS, "id long, score double")
+    for easy in (True, False):
+        got = sorted(
+            tuple(r)
+            for r in sampling.curriculum_keys(
+                df, "id", "score", CURR_CUTS, easy_first=easy
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("c", pd.DataFrame(CURR_ROWS, columns=["id", "score"]))
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                sampling.duck_curriculum_keys_sql(
+                    "SELECT * FROM c", "id", "score", CURR_CUTS, easy_first=easy
+                )
+            ).fetchall()
+        )
+        assert got == want, easy
+
+
+def test_curriculum_keys_partition_invariance(spark):
+    df = spark.createDataFrame(CURR_ROWS, "id long, score double")
+    a = sorted(tuple(r) for r in sampling.curriculum_keys(
+        df.repartition(1), "id", "score", CURR_CUTS).collect())
+    b = sorted(tuple(r) for r in sampling.curriculum_keys(
+        df.repartition(13, "score"), "id", "score", CURR_CUTS).collect())
+    assert a == b
+
+
+def test_curriculum_keys_single_exchange_on_bucket(spark):
+    """The plan's only hash exchange is the per-tier window's — no
+    global sort, no single-partition window."""
+    df = spark.createDataFrame(CURR_ROWS, "id long, score double")
+    plan = (
+        sampling.curriculum_keys(df, "id", "score", CURR_CUTS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hash_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "bucket" in hash_ex[0], plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_curriculum_keys_validation(spark):
+    df = spark.createDataFrame(CURR_ROWS, "id long, score double")
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.curriculum_keys(df, "id", "score", ())
+    with pytest.raises(ValueError, match="ascending"):
+        sampling.curriculum_keys(df, "id", "score", (2.0, 2.0))
+    with pytest.raises(ValueError, match="finite"):
+        sampling.duck_curriculum_keys_sql(
+            "SELECT 1", "id", "score", (float("nan"),))
+    with pytest.raises(ValueError, match="overwrite"):
+        sampling.curriculum_keys(
+            df.selectExpr("id", "score", "0 AS bucket"),
+            "id", "score", CURR_CUTS)
+
+
+def test_curriculum_cuts_compose_from_percentiles(spark):
+    """The intended derivation: profile the score with exact
+    percentiles, feed the cut points straight into the bucketing."""
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in CURR_ROWS if s is not None],
+        "id long, score double",
+    )
+    cuts = df.selectExpr(
+        "percentile(score, array(0.33, 0.66)) AS c"
+    ).collect()[0].c
+    keyed = sampling.curriculum_keys(df, "id", "score", tuple(cuts))
+    sizes = {r.bucket: r.n for r in keyed.groupBy("bucket").agg(
+        pd_count().alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2}
+    assert max(sizes.values()) <= 2 * min(sizes.values())
+
+
+def pd_count():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1))
