@@ -211,6 +211,173 @@ def duck_lm_cross_entropy_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1998) —
+# the smoothing KenLM actually uses, grafted at bigram order
+# ---------------------------------------------------------------------------
+# Add-alpha (lm_cross_entropy above) spreads unseen-bigram mass
+# uniformly; Kneser-Ney spreads it by CONTINUATION probability — how
+# many distinct histories a word follows — which is why KenLM-scored
+# CCNet filters separate fluent text from boilerplate soup so much
+# better ("francisco" is frequent but only ever follows "san", so its
+# unigram backoff weight should be tiny). Model, with fixed absolute
+# discount 0 < D < 1:
+#
+#   pcont(u2)  = (N1+(·,u2) + a) / (N1+(··) + a·v)      [add-a floor so
+#                ln is finite for never-continuing buckets]
+#   seen u1:     p(u2|u1) = max(c(u1,u2) − D, 0)/c(u1)
+#                           + (D·N1+(u1,·)/c(u1)) · pcont(u2)
+#   unseen u1:   p(u2|u1) = pcont(u2)
+#
+# Determinism contract: identical to lm_cross_entropy — the per-bigram
+# ln p is written as the SAME IEEE double expression in both engines
+# (same operand order, shared literals), micro-rounded to bigint once,
+# and each doc's total is an integer dot product. Scale shape: the
+# model is now THREE narrow tables (bigram, history, continuation —
+# all derived from the one grouped bigram table, no second corpus
+# pass) plus a 1-row total; scoring still touches the candidate corpus
+# exactly once and attaches the model by (broadcastable) equi-joins.
+
+DISCOUNT = 0.75
+
+
+def kn_cross_entropy(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    v: int = V_BUCKETS,
+    discount: float = DISCOUNT,
+    alpha: float = ALPHA,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_bigrams, logp_micro, xent_micro) for EVERY document in
+    ``docs`` under an interpolated Kneser-Ney bigram LM trained on
+    ``corpus`` — same output contract as lm_cross_entropy, better
+    smoothing (see the section comment). NULL xent_micro when the doc
+    has no bigram; filter on xent_micro ascending, perplexity =
+    exp(xent_micro / 1e6)."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (continuation floor)")
+    bi = (
+        _bigrams(corpus, id_col, text_col, v)
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("c12"))
+    )
+    hist = bi.groupBy("u1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = bi.groupBy("u2").agg(F.count("*").alias("n1p"))
+    tot = bi.agg(F.count("*").alias("n_bi"))
+    if broadcast_model:
+        bi, hist, cont = F.broadcast(bi), F.broadcast(hist), F.broadcast(cont)
+    db = (
+        _bigrams(docs, id_col, text_col, v)
+        .groupBy("id", "u1", "u2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    d, a = float(discount), float(alpha)
+    # the SAME double expression the twin spells (operand order matters
+    # for bit-identity; micro-rounding absorbs libm ln ulp differences)
+    p = F.expr(
+        f"CASE WHEN c1 IS NULL THEN "
+        f"(CAST(COALESCE(n1p, 0) AS DOUBLE) + {a!r})"
+        f" / (CAST(n_bi AS DOUBLE) + {a!r} * {v}) "
+        f"ELSE greatest(CAST(COALESCE(c12, 0) AS DOUBLE) - {d!r}, 0.0)"
+        f" / CAST(c1 AS DOUBLE)"
+        f" + ({d!r} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        f" * ((CAST(COALESCE(n1p, 0) AS DOUBLE) + {a!r})"
+        f" / (CAST(n_bi AS DOUBLE) + {a!r} * {v})) END"
+    )
+    lp = F.round(MICRO * F.log(p)).cast("long")
+    scored = (
+        db.join(bi, ["u1", "u2"], "left")
+        .join(hist, ["u1"], "left")
+        .join(cont, ["u2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("id", "cnt", lp.alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("logp_micro"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(scored, "id", "left")
+        .fillna(0, ["n_bigrams", "logp_micro"])
+        .withColumn(
+            "xent_micro",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    -F.col("logp_micro").cast("double") / F.col("n_bigrams")
+                ).cast("long"),
+            ),
+        )
+    )
+
+
+def duck_kn_cross_entropy_sql(
+    docs_sql: str,
+    corpus_sql: str,
+    v: int = V_BUCKETS,
+    discount: float = DISCOUNT,
+    alpha: float = ALPHA,
+) -> str:
+    """DuckDB twin of kn_cross_entropy: same hash, same three model
+    tables, the same IEEE double expression for p — logp_micro is
+    bit-identical and xent_micro follows from the same two integers."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (continuation floor)")
+    d, a = float(discount), float(alpha)
+    pcont = (
+        f"(CAST(COALESCE(n1p, 0) AS DOUBLE) + {a!r})"
+        f" / (CAST(n_bi AS DOUBLE) + {a!r} * {v})"
+    )
+    p = (
+        f"CASE WHEN c1 IS NULL THEN {pcont} "
+        f"ELSE greatest(CAST(COALESCE(c12, 0) AS DOUBLE) - {d!r}, 0.0)"
+        f" / CAST(c1 AS DOUBLE)"
+        f" + ({d!r} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        f" * ({pcont}) END"
+    )
+    return f"""
+        WITH cg AS ({_duck_bigrams(corpus_sql, v)}),
+        dg AS ({_duck_bigrams(docs_sql, v)}),
+        bi AS (SELECT u1, u2, COUNT(*) AS c12 FROM cg GROUP BY 1, 2),
+        hist AS (SELECT u1, SUM(c12) AS c1, COUNT(*) AS n1f
+                 FROM bi GROUP BY 1),
+        cont AS (SELECT u2, COUNT(*) AS n1p FROM bi GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_bi FROM bi),
+        db AS (SELECT id, u1, u2, COUNT(*) AS cnt FROM dg GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(cnt * CAST(ROUND({MICRO} * ln({p}))
+                                  AS BIGINT)) AS BIGINT) AS logp_micro
+            FROM db
+            LEFT JOIN bi USING (u1, u2)
+            LEFT JOIN hist USING (u1)
+            LEFT JOIN cont USING (u2)
+            CROSS JOIN tot
+            GROUP BY id)
+        SELECT dd.id,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               COALESCE(logp_micro, 0) AS logp_micro,
+               CASE WHEN COALESCE(n_bigrams, 0) > 0 THEN
+                   CAST(ROUND(-CAST(logp_micro AS DOUBLE) / n_bigrams)
+                        AS BIGINT)
+               END AS xent_micro
+        FROM (SELECT DISTINCT id FROM ({docs_sql}) d0) dd
+        LEFT JOIN scored ON dd.id = scored.id
+        ORDER BY dd.id
+    """
+
+
 def _bins_validate(cuts: tuple[float, float]) -> None:
     c1, c2 = cuts
     # a mis-ordered or out-of-range cut pair silently puts everything

@@ -281,3 +281,107 @@ def test_ppl_bins_global_and_cuts(spark):
     for bad in ((0.0, 0.5), (0.7, 0.3), (0.5, 1.2)):
         with _pt.raises(ValueError):
             lm.ppl_bins(scored, cuts=bad)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney
+# ---------------------------------------------------------------------------
+
+def _kn_spark(spark, doc_rows, corpus_rows, **kw):
+    docs = spark.createDataFrame(doc_rows, "id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "id long, text string")
+    return sorted(
+        (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+        for r in lm.kn_cross_entropy(docs, corpus, "id", "text", **kw).collect()
+    )
+
+
+def _kn_duck(doc_rows, corpus_rows, **kw):
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(doc_rows, columns=["id", "text"]))
+    con.register("c", pd.DataFrame(corpus_rows, columns=["id", "text"]))
+    rows = con.sql(
+        lm.duck_kn_cross_entropy_sql(
+            "SELECT id, text FROM d", "SELECT id, text FROM c", **kw
+        )
+    ).fetchall()
+    return sorted(
+        tuple(None if x is None else int(x) for x in row) for row in rows
+    )
+
+
+def test_kn_twin_and_fluency_ranking(spark):
+    """Kneser-Ney logp_micro is the same integer dot product shape —
+    bit-identical to the DuckDB replay — and preserves the fluency
+    ordering the add-alpha model establishes."""
+    got = _kn_spark(spark, DOC_ROWS, CORPUS_ROWS)
+    assert got == _kn_duck(DOC_ROWS, CORPUS_ROWS)
+
+    xent = {i: x for i, _, _, x in got}
+    assert xent[1] < xent[2]  # corpus sentence beats gibberish
+    assert xent[3] < xent[2]  # near-domain beats gibberish
+    assert xent[4] is None and xent[5] is None  # no bigram -> no score
+    assert {i for i, *_ in got} == {1, 2, 3, 4, 5}
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The property add-alpha CANNOT express: after an UNSEEN history,
+    KN prefers the word with many distinct left-contexts over the word
+    that is frequent but only ever follows one context ("francisco"
+    only follows "san"), while add-alpha scores every continuation of
+    an unseen history identically."""
+    corpus = [
+        (100, "san francisco san francisco san francisco san francisco"),
+        (101, "the dog a dog my dog her dog"),
+    ]
+    # "paris" is unseen as a history in the corpus; 'francisco' has ONE
+    # distinct left-context (plus itself via the repeat chain), 'dog'
+    # has four
+    docs = [(1, "paris francisco"), (2, "paris dog")]
+    kn = {i: x for i, _, _, x in _kn_spark(spark, docs, corpus)}
+    assert kn[2] < kn[1]  # many-contexts word wins after unseen history
+    add_a = {
+        i: x
+        for i, _, _, x in (
+            (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+            for r in lm.lm_cross_entropy(
+                spark.createDataFrame(docs, "id long, text string"),
+                spark.createDataFrame(corpus, "id long, text string"),
+                "id",
+                "text",
+            ).collect()
+        )
+    }
+    assert add_a[1] == add_a[2]  # add-alpha is blind to continuations
+
+
+def test_kn_partition_invariance_and_hash_join(spark):
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string").repartition(7)
+    corpus = spark.createDataFrame(
+        CORPUS_ROWS, "id long, text string"
+    ).repartition(3)
+    reparted = sorted(
+        (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+        for r in lm.kn_cross_entropy(docs, corpus, "id", "text").collect()
+    )
+    assert reparted == _kn_spark(spark, DOC_ROWS, CORPUS_ROWS)
+    plain = sorted(
+        (r.id, r.n_bigrams, r.logp_micro, r.xent_micro)
+        for r in lm.kn_cross_entropy(
+            docs, corpus, "id", "text", broadcast_model=False
+        ).collect()
+    )
+    assert plain == reparted
+
+
+def test_kn_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "id long, text string")
+    for bad in (0.0, 1.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="discount"):
+            lm.kn_cross_entropy(docs, docs, "id", "text", discount=bad)
+        with pytest.raises(ValueError, match="discount"):
+            lm.duck_kn_cross_entropy_sql("q", "q", discount=bad)
+    with pytest.raises(ValueError, match="alpha"):
+        lm.kn_cross_entropy(docs, docs, "id", "text", alpha=0.0)
