@@ -495,3 +495,272 @@ def duck_sentence_bleu_sql(
         FROM sb_s
         ORDER BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# chrF (Popović 2015) — character n-gram F-score, the MT-eval sibling
+# ---------------------------------------------------------------------------
+# chrF_beta over char n-grams n = 1..max_n of the WHITESPACE-REMOVED
+# raw strings (the sacrebleu convention: chrF is case-sensitive and
+# does not tokenize — removing whitespace is its only normalization).
+# Per order: m_n = clipped multiset matches, P = m/|pred grams|,
+# R = m/|gold grams|, F_n = (1+β²)PR/(β²P+R) (0 when any denominator
+# or m is 0); orders where BOTH sides have no grams are skipped
+# ("effective order"), so chrf = Σ F_n / n_eff, with the both-empty
+# row scoring 1.0 (n=1 always has grams for a non-empty string, so
+# n_eff = 0 iff both strings are empty). SQL-expressible like
+# sentence_bleu — per-row HOFs over char-gram arrays, zero exchanges;
+# integer m/c columns are emitted so the oracle anchors on exact ints.
+
+
+def _chr_grams(attr: str, n: int) -> str:
+    """Spark/DuckDB-shared SQL expr: char n-grams of a string
+    attribute (both engines index substrings by CODE POINT on
+    varchar). Empty when the string is shorter than n."""
+    return (
+        f"CASE WHEN length({attr}) >= {n} THEN "
+        f"transform(sequence(1, length({attr})-{n}+1),"
+        f" i -> substring({attr}, i, {n})) "
+        f"ELSE array() END"
+    )
+
+
+def _duck_chr_grams(attr: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, length({attr})-{n}+1),"
+        f" i -> substring({attr}, i, {n}))"
+    )
+
+
+def chr_f(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """(id, m1..m{max_n}, cp1..cp{max_n}, cg1..cg{max_n}, chrf) per
+    row — chrF_beta (see section comment). Pure projection: zero
+    exchanges at any corpus size; per-row cost O(orders·len·distinct),
+    sized for eval answers/references, not megabyte documents."""
+    if not 1 <= max_n <= 8:
+        raise ValueError("max_n must be in 1..8")
+    if beta <= 0:
+        raise ValueError("beta must be > 0")
+    b2 = float(beta) * float(beta)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.coalesce(F.col(pred_col), F.lit("")), _WS, "").alias("_sp"),
+        F.regexp_replace(F.coalesce(F.col(gold_col), F.lit("")), _WS, "").alias("_sg"),
+    )
+    for n in range(1, max_n + 1):
+        base = base.withColumn(f"_pg{n}", F.expr(_chr_grams("_sp", n)))
+        base = base.withColumn(f"_gg{n}", F.expr(_chr_grams("_sg", n)))
+    cols = [F.col("id")]
+    for n in range(1, max_n + 1):
+        cols.append(
+            F.expr(_clip_attr(f"_pg{n}", f"_gg{n}")).cast("long").alias(f"m{n}")
+        )
+        cols.append(F.size(f"_pg{n}").cast("long").alias(f"cp{n}"))
+        cols.append(F.size(f"_gg{n}").cast("long").alias(f"cg{n}"))
+    counted = base.select(*cols)
+    # the SAME double expression in both engines (operand order pinned)
+    f_sum = F.lit(0.0)
+    eff = F.lit(0)
+    for n in range(1, max_n + 1):
+        m, cp, cg = F.col(f"m{n}"), F.col(f"cp{n}"), F.col(f"cg{n}")
+        has = (cp > 0) | (cg > 0)
+        eff = eff + F.when(has, 1).otherwise(0)
+        prec = m.cast("double") / cp.cast("double")
+        rec = m.cast("double") / cg.cast("double")
+        fn = F.when(
+            (m > 0) & (cp > 0) & (cg > 0),
+            F.lit(1.0 + b2) * prec * rec / (F.lit(b2) * prec + rec),
+        ).otherwise(F.lit(0.0))
+        f_sum = f_sum + fn
+    chrf = F.when(eff == 0, F.lit(1.0)).otherwise(
+        f_sum / eff.cast("double")
+    )
+    return counted.select("*", chrf.alias("chrf")).orderBy("id")
+
+
+def duck_chr_f_sql(
+    src_sql: str,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> str:
+    """DuckDB twin of chr_f (same whitespace strip, same clipped
+    multiset HOFs, same per-order F expression and skip rule)."""
+    if not 1 <= max_n <= 8:
+        raise ValueError("max_n must be in 1..8")
+    if beta <= 0:
+        raise ValueError("beta must be > 0")
+    b2 = float(beta) * float(beta)
+    gram_cols = ", ".join(
+        f"{_duck_chr_grams('sp', n)} AS pg{n}, {_duck_chr_grams('sg', n)} AS gg{n}"
+        for n in range(1, max_n + 1)
+    )
+    count_cols = ", ".join(
+        f"CAST({_duck_clip(f'pg{n}', f'gg{n}')} AS BIGINT) AS m{n}, "
+        f"CAST(len(pg{n}) AS BIGINT) AS cp{n}, "
+        f"CAST(len(gg{n}) AS BIGINT) AS cg{n}"
+        for n in range(1, max_n + 1)
+    )
+    eff = " + ".join(
+        f"CASE WHEN cp{n} > 0 OR cg{n} > 0 THEN 1 ELSE 0 END"
+        for n in range(1, max_n + 1)
+    )
+    f_sum = " + ".join(
+        f"CASE WHEN m{n} > 0 AND cp{n} > 0 AND cg{n} > 0 THEN "
+        f"{1.0 + b2!r} * (CAST(m{n} AS DOUBLE) / CAST(cp{n} AS DOUBLE))"
+        f" * (CAST(m{n} AS DOUBLE) / CAST(cg{n} AS DOUBLE))"
+        f" / ({b2!r} * (CAST(m{n} AS DOUBLE) / CAST(cp{n} AS DOUBLE))"
+        f" + (CAST(m{n} AS DOUBLE) / CAST(cg{n} AS DOUBLE)))"
+        f" ELSE 0.0 END"
+        for n in range(1, max_n + 1)
+    )
+    return f"""
+        WITH cf_s AS (
+            SELECT {id_col} AS id,
+                   regexp_replace(COALESCE({pred_col}, ''),
+                                  '[ \t\n\r\f]+', '', 'g') AS sp,
+                   regexp_replace(COALESCE({gold_col}, ''),
+                                  '[ \t\n\r\f]+', '', 'g') AS sg
+            FROM ({src_sql}) s
+        ), cf_g AS (
+            SELECT id, {gram_cols} FROM cf_s
+        ), cf_c AS (
+            SELECT id, {count_cols} FROM cf_g
+        )
+        SELECT *,
+               CASE WHEN ({eff}) = 0 THEN 1.0
+                    ELSE ({f_sum}) / CAST(({eff}) AS DOUBLE) END AS chrf
+        FROM cf_c
+        ORDER BY id
+    """
+
+
+# ---------------------------------------------------------------------------
+# CER / WER — the reference's acceptance metric, grafted
+# ---------------------------------------------------------------------------
+# The reference's acceptance gate is MEAN PAGE RECOGNITION ACCURACY
+# >= 90% (docs/prd.md:33,75): per-page OCR output vs golden text. The
+# standard formulations are character error rate CER = lev(pred,
+# gold)/|gold| and word error rate WER = word-level lev/|gold words|;
+# accuracy = 1 - CER (can go negative when the prediction is much
+# longer than the gold — standard, documented). No normalization is
+# applied (OCR accuracy grades raw output); callers pre-normalize if
+# they want case folding.
+#
+# CER runs on the JVM (`levenshtein` is built in) with a DuckDB twin —
+# valid on ASCII fixtures; DuckDB's levenshtein counts BYTES where
+# Spark counts code points (the operators.dedup edit-distance caveat),
+# so the twin pins ASCII and the pure-Python DP in the tests pins
+# code-point semantics. WER needs an edit DP over word sequences —
+# not SQL-expressible (the rouge_l carve-out) — so it rides the same
+# Arrow-batched pandas-UDF tier with a pure-Python oracle.
+
+
+def cer(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """(id, edits, n_pred_chars, n_gold_chars, cer) per row —
+    character error rate, NULL when the gold is empty (no silent
+    division convention). One JVM projection, zero exchanges."""
+    p = F.coalesce(F.col(pred_col), F.lit(""))
+    g = F.coalesce(F.col(gold_col), F.lit(""))
+    edits = F.levenshtein(p, g).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        edits.alias("edits"),
+        F.length(p).cast("long").alias("n_pred_chars"),
+        F.length(g).cast("long").alias("n_gold_chars"),
+        F.when(
+            F.length(g) > 0,
+            edits.cast("double") / F.length(g).cast("double"),
+        ).alias("cer"),
+    ).orderBy("id")
+
+
+def duck_cer_sql(src_sql: str, id_col: str, pred_col: str, gold_col: str) -> str:
+    """DuckDB twin of cer — bit-identical on ASCII (see the section
+    comment for the byte-vs-codepoint caveat on multibyte text)."""
+    return f"""
+        SELECT {id_col} AS id,
+               CAST(levenshtein(COALESCE({pred_col}, ''),
+                                COALESCE({gold_col}, '')) AS BIGINT) AS edits,
+               CAST(length(COALESCE({pred_col}, '')) AS BIGINT) AS n_pred_chars,
+               CAST(length(COALESCE({gold_col}, '')) AS BIGINT) AS n_gold_chars,
+               CASE WHEN length(COALESCE({gold_col}, '')) > 0 THEN
+                   CAST(levenshtein(COALESCE({pred_col}, ''),
+                                    COALESCE({gold_col}, '')) AS DOUBLE)
+                   / CAST(length(COALESCE({gold_col}, '')) AS DOUBLE)
+               END AS cer
+        FROM ({src_sql}) s
+        ORDER BY id
+    """
+
+
+def _edit_dp(p: list, g: list) -> int:
+    """O(len(p)·len(g)) Levenshtein over any sequence, two rolling
+    rows (the _lcs_len shape with substitution)."""
+    if not p:
+        return len(g)
+    if not g:
+        return len(p)
+    prev = list(range(len(g) + 1))
+    for i, pt in enumerate(p, 1):
+        cur = [i]
+        for j, gt in enumerate(g, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[-1] + 1,
+                    prev[j - 1] + (0 if pt == gt else 1),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def wer(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """(id, w_edits, n_pred_words, n_gold_words, wer) per row — word
+    error rate over whitespace tokens, NULL when the gold has no
+    words. Arrow-batched pandas UDF (edit DP is the rouge_l
+    carve-out): one Python pass per batch, no shuffle, no join."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("w_edits long, n_pred_words long, n_gold_words long, wer double")
+    def _score(pred: pd.Series, gold: pd.Series) -> pd.DataFrame:
+        out = []
+        for pv, gv in zip(pred, gold):
+            p, g = (pv or "").split(), (gv or "").split()
+            e = _edit_dp(p, g)
+            out.append((e, len(p), len(g), e / len(g) if g else None))
+        return pd.DataFrame(
+            out, columns=["w_edits", "n_pred_words", "n_gold_words", "wer"]
+        )
+
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        _score(F.col(pred_col), F.col(gold_col)).alias("_s"),
+    )
+    return scored.select(
+        "id",
+        F.col("_s.w_edits").alias("w_edits"),
+        F.col("_s.n_pred_words").alias("n_pred_words"),
+        F.col("_s.n_gold_words").alias("n_gold_words"),
+        F.col("_s.wer").alias("wer"),
+    ).orderBy("id")

@@ -340,3 +340,125 @@ def test_sentence_bleu_validation(spark):
         evals.sentence_bleu(df, "id", "pred", "gold", max_n=0)
     with pytest.raises(ValueError, match="max_n"):
         evals.duck_sentence_bleu_sql("SELECT 1", "id", "p", "g", max_n=9)
+
+
+# ---------------------------------------------------------------------------
+# chrF / CER / WER
+# ---------------------------------------------------------------------------
+
+CHRF_ROWS = [
+    (1, "the cat sat", "the cat sat"),        # identical
+    (2, "the cat sat", "a dog ran by"),       # mostly disjoint
+    (3, "kitten", "sitting"),                  # classic partial
+    (4, "", ""),                               # both empty
+    (5, None, "gold only"),                    # NULL pred
+    (6, "pred only", ""),                      # empty gold
+    (7, "ab", "ab ab ab"),                     # multiset clipping
+]
+
+
+def _py_chrf(pred, gold, max_n=6, beta=2.0):
+    """Pure-Python chrF reference (whitespace removed, clipped
+    multiset matches, effective-order average)."""
+    from collections import Counter
+
+    sp = "".join((pred or "").split())
+    sg = "".join((gold or "").split())
+    b2 = beta * beta
+    f_sum, eff = 0.0, 0
+    for n in range(1, max_n + 1):
+        pg = [sp[i : i + n] for i in range(len(sp) - n + 1)]
+        gg = [sg[i : i + n] for i in range(len(sg) - n + 1)]
+        if not pg and not gg:
+            continue
+        eff += 1
+        m = sum((Counter(pg) & Counter(gg)).values())
+        if m == 0 or not pg or not gg:
+            continue
+        prec, rec = m / len(pg), m / len(gg)
+        f_sum += (1 + b2) * prec * rec / (b2 * prec + rec)
+    return 1.0 if eff == 0 else f_sum / eff
+
+
+def test_chrf_twin_and_reference(spark):
+    """chr_f matches the DuckDB twin bit-for-bit (integer m/cp/cg
+    anchor the compare) and the pure-Python reference to 1e-12."""
+    df = spark.createDataFrame(CHRF_ROWS, "id long, pred string, gold string")
+    got = sorted(map(tuple, evals.chr_f(df, "id", "pred", "gold").collect()))
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(CHRF_ROWS, columns=["id", "pred", "gold"]))
+    want = sorted(
+        map(tuple, con.sql(
+            evals.duck_chr_f_sql("SELECT * FROM t", "id", "pred", "gold")
+        ).fetchall())
+    )
+    assert [r[:-1] for r in got] == [
+        tuple(int(x) for x in r[:-1]) for r in want
+    ]
+    for gr, wr in zip(got, want):
+        assert gr[-1] == wr[-1]  # identical double expression both engines
+
+    by_id = {r[0]: r[-1] for r in got}
+    for i, p, g in CHRF_ROWS:
+        assert abs(by_id[i] - _py_chrf(p, g)) < 1e-12, i
+    assert by_id[1] == 1.0 and by_id[4] == 1.0
+    assert by_id[2] < 0.35 and by_id[5] == 0.0 and by_id[6] == 0.0
+
+
+def test_chrf_validation():
+    with pytest.raises(ValueError, match="max_n"):
+        evals.duck_chr_f_sql("q", "id", "p", "g", max_n=0)
+    with pytest.raises(ValueError, match="beta"):
+        evals.duck_chr_f_sql("q", "id", "p", "g", beta=0.0)
+
+
+CER_ROWS = [
+    (1, "kitten", "sitting"),      # 3 edits / 7
+    (2, "page one text", "page one text"),
+    (3, "", "gold"),               # all-insert
+    (4, "pred", ""),               # empty gold -> NULL cer
+    (5, None, None),               # NULLs read as ''
+]
+
+
+def test_cer_twin_and_values(spark):
+    df = spark.createDataFrame(CER_ROWS, "id long, pred string, gold string")
+    got = sorted(map(tuple, evals.cer(df, "id", "pred", "gold").collect()))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(CER_ROWS, columns=["id", "pred", "gold"]))
+    want = sorted(
+        tuple(None if x is None else (float(x) if j == 4 else int(x))
+              for j, x in enumerate(r))
+        for r in con.sql(
+            evals.duck_cer_sql("SELECT * FROM t", "id", "pred", "gold")
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == 3 and abs(by_id[1][4] - 3 / 7) < 1e-15
+    assert by_id[2][4] == 0.0
+    assert by_id[3] == (3, 4, 0, 4, 1.0)
+    assert by_id[4][4] is None and by_id[5][4] is None
+
+
+WER_ROWS = [
+    (1, "the cat sat down", "the cat sat down"),
+    (2, "the cat sat", "the dog sat down"),   # 1 sub + 1 ins = 2/4
+    (3, "", "gold words here"),               # 3 inserts
+    (4, "pred words", ""),                    # no gold words -> NULL
+    (5, None, "one"),
+]
+
+
+def test_wer_matches_python_dp(spark):
+    df = spark.createDataFrame(WER_ROWS, "id long, pred string, gold string")
+    got = {r.id: (r.w_edits, r.n_pred_words, r.n_gold_words, r.wer)
+           for r in evals.wer(df, "id", "pred", "gold").collect()}
+    for i, p, g in WER_ROWS:
+        pw, gw = (p or "").split(), (g or "").split()
+        e = evals._edit_dp(pw, gw)
+        want = (e, len(pw), len(gw), e / len(gw) if gw else None)
+        assert got[i] == want, i
+    assert got[2][0] == 2 and got[2][3] == 0.5
+    assert got[4][3] is None
