@@ -1083,3 +1083,260 @@ def ivf_assign(
         .filter(F.col("_rk") == 1)
         .select("id", "cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the simplest compressed-vector tier
+# ---------------------------------------------------------------------------
+# Per-dimension uniform int8-style quantization (the FAISS
+# ScalarQuantizer / Milvus SQ8 shape): train = one pass computing
+# per-dimension (lo, hi) over the corpus; encode = round(levels ·
+# (x−lo)/(hi−lo)) clamped to [0, levels] — dim small ints per vector,
+# a 4x memory cut at levels=255 with far better fidelity than PQ at
+# the same budget (PQ wins at 16-32x). Scoring is asymmetric: the
+# float query dots the DECODED corpus vector x̂_d = lo_d + code_d ·
+# (hi_d − lo_d)/levels.
+#
+# Scale shape: params are dim rows (collected and re-embedded as
+# literal arrays — the k-means-centroid precedent), so ENCODE IS A
+# ZERO-SHUFFLE PROJECTION: no explode, no join, no agg touches the
+# corpus. Scoring broadcasts the probe set like cosine_topk. The
+# cross-engine contract: codes are bit-identical (the quantization
+# expression is written with pinned IEEE operand order in both
+# engines); scores compare at the ROUND(·, 4) grain (the cosine_topk
+# convention — Spark folds, DuckDB list_dot_product).
+
+SQ_LEVELS = 255
+
+
+def _sq_validate(dim: int | None, levels: int) -> None:
+    if dim is None or dim < 1:
+        raise ValueError("dim (embedding dimensionality) is required")
+    if not 1 <= levels <= 65535:
+        raise ValueError("levels must be in 1..65535")
+
+
+def sq_params(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(pos, lo, hi): per-dimension min/max over the corpus, rounded
+    to 6dp (the centroid-mean convention, so the re-embedded literals
+    are short and identical cross-engine). One posexplode + hash agg —
+    the only corpus pass training needs. A vector of the wrong length
+    raises (the _subvec_explode rule: silent truncation would corrupt
+    every downstream code)."""
+    _sq_validate(dim, SQ_LEVELS)
+    guarded = (
+        f"CASE WHEN size({vec_col}) = {dim} THEN "
+        f"cast({vec_col} as array<double>) "
+        f"ELSE raise_error(concat('sq: embedding length ', "
+        f"cast(size({vec_col}) as string), ' != dim={dim}')) END"
+    )
+    return (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.expr(guarded)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+    )
+
+
+def _sq_collect_params(params: DataFrame, dim: int) -> tuple[str, str]:
+    """Collect the dim-row params table and re-embed it as two literal
+    array<double> SQL expressions (lo, hi), position-ordered."""
+    rows = {r.pos: (r.lo, r.hi) for r in params.collect()}
+    if sorted(rows) != list(range(dim)):
+        raise ValueError(
+            f"params must cover positions 0..{dim - 1}, got {sorted(rows)}"
+        )
+    lo = ",".join(repr(float(rows[p][0])) for p in range(dim))
+    hi = ",".join(repr(float(rows[p][1])) for p in range(dim))
+    return f"array({lo})", f"array({hi})"
+
+
+def _sq_code_expr(v: str, lo: str, hi: str, dim: int, levels: int) -> str:
+    """Spark/DuckDB-shared quantization expression (pinned operand
+    order: subtract, divide, scale, round, clamp; degenerate dims
+    with hi == lo encode 0)."""
+    return (
+        f"transform(sequence(1, {dim}), i -> CASE "
+        f"WHEN element_at({hi}, i) > element_at({lo}, i) THEN "
+        f"cast(least(greatest(round({levels} * "
+        f"((element_at(cast({v} as array<double>), i) - element_at({lo}, i))"
+        f" / (element_at({hi}, i) - element_at({lo}, i)))), 0D), {levels}D)"
+        f" as int) "
+        f"ELSE 0 END)"
+    )
+
+
+def _sq_decode_expr(codes: str, lo: str, hi: str, dim: int, levels: int) -> str:
+    """Decoded approximation x̂ (same operand order both engines)."""
+    return (
+        f"transform(sequence(1, {dim}), i -> "
+        f"element_at({lo}, i) + cast(element_at({codes}, i) as double)"
+        f" * ((element_at({hi}, i) - element_at({lo}, i)) / {float(levels)!r}))"
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    levels: int = SQ_LEVELS,
+) -> DataFrame:
+    """(id, codes array<int>): quantize vectors against FROZEN params —
+    both the build-time encode and the daily-ingest extend (the
+    pq_encode analog: train once, encode new batches forever, history
+    untouched). Zero-shuffle projection — see the section comment."""
+    _sq_validate(dim, levels)
+    lo, hi = _sq_collect_params(params, dim)
+    guarded = (
+        f"CASE WHEN size({vec_col}) = {dim} THEN "
+        f"{_sq_code_expr(vec_col, lo, hi, dim, levels)} "
+        f"ELSE raise_error(concat('sq: embedding length ', "
+        f"cast(size({vec_col}) as string), ' != dim={dim}')) END"
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.expr(guarded).alias("codes")
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 5,
+    levels: int = SQ_LEVELS,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score): asymmetric SQ top-k by
+    inner product — float queries against the decoded quantized
+    corpus, ranked by (round(score, 4) desc, neighbor asc), self-
+    matches excluded (the pq_topk contract). End-to-end: trains
+    params, encodes, scores — the serving path against a stored codes
+    table is sq_topk_from_index."""
+    _sq_validate(dim, levels)
+    params = sq_params(corpus, id_col, vec_col, dim)
+    codes = sq_encode(corpus, params, id_col, vec_col, dim, levels)
+    return sq_topk_from_index(codes, params, queries, id_col, vec_col, dim, k, levels)
+
+
+def sq_topk_from_index(
+    codes: DataFrame,
+    params: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 5,
+    levels: int = SQ_LEVELS,
+) -> DataFrame:
+    """sq_topk against STORED artifacts (codes + params) — the serving
+    half: no corpus float vectors touched, the probe set broadcast,
+    decode inlined into the scoring projection."""
+    _sq_validate(dim, levels)
+    lo, hi = _sq_collect_params(params, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    xhat = _sq_decode_expr("codes", lo, hi, dim, levels)
+    score = F.round(F.expr(DOT.format(a="q_vec", b=f"({xhat})")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"), "score")
+    )
+
+
+def duck_sq_encode_sql(
+    corpus_sql: str,
+    dim: int,
+    levels: int = SQ_LEVELS,
+) -> str:
+    """DuckDB twin of sq_params + sq_encode: replays the whole
+    min/max → quantize recurrence; codes are BIT-IDENTICAL (pinned
+    IEEE operand order). corpus_sql must yield (vec_id, embedding)."""
+    _sq_validate(dim, levels)
+    return f"""
+        WITH sq_c AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM ({corpus_sql}) s WHERE embedding IS NOT NULL
+        ), sq_e AS (
+            SELECT id, i.i AS pos, v[i.i] AS x
+            FROM sq_c CROSS JOIN generate_series(1, {dim}) i(i)
+        ), sq_p AS (
+            SELECT list(round(lo, 6) ORDER BY pos) AS lo,
+                   list(round(hi, 6) ORDER BY pos) AS hi
+            FROM (SELECT pos, MIN(x) AS lo, MAX(x) AS hi
+                  FROM sq_e GROUP BY pos) pp
+        )
+        SELECT id,
+               list_transform(generate_series(1, {dim}), i -> CASE
+                   WHEN sq_p.hi[i] > sq_p.lo[i] THEN
+                       CAST(least(greatest(round({levels} *
+                           ((v[i] - sq_p.lo[i])
+                            / (sq_p.hi[i] - sq_p.lo[i]))), 0), {levels})
+                            AS INT)
+                   ELSE 0 END) AS codes
+        FROM sq_c CROSS JOIN sq_p
+        ORDER BY id
+    """
+
+
+def duck_sq_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 5,
+    levels: int = SQ_LEVELS,
+) -> str:
+    """DuckDB twin of sq_topk: same params recurrence, same decode
+    expression, scores at the ROUND(·, 4) compare grain, same tie
+    rule. Sources must yield (vec_id, embedding)."""
+    _sq_validate(dim, levels)
+    enc = duck_sq_encode_sql(corpus_sql, dim, levels)
+    return f"""
+        WITH sq_codes AS ({enc}),
+        sq_p2 AS (
+            SELECT list(round(lo, 6) ORDER BY pos) AS lo,
+                   list(round(hi, 6) ORDER BY pos) AS hi
+            FROM (SELECT i.i AS pos, MIN(v[i.i]) AS lo, MAX(v[i.i]) AS hi
+                  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+                        FROM ({corpus_sql}) c0
+                        WHERE embedding IS NOT NULL) cc
+                  CROSS JOIN generate_series(1, {dim}) i(i)
+                  GROUP BY pos) pp
+        ),
+        sq_hat AS (
+            SELECT id,
+                   list_transform(generate_series(1, {dim}), i ->
+                       sq_p2.lo[i] + CAST(codes[i] AS DOUBLE)
+                       * ((sq_p2.hi[i] - sq_p2.lo[i]) / {float(levels)!r})) AS xhat
+            FROM sq_codes CROSS JOIN sq_p2
+        ),
+        sq_sc AS (
+            SELECT q.vec_id AS query_id, h.id AS neighbor_id,
+                   ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          h.xhat), 4) AS score
+            FROM sq_hat h CROSS JOIN ({queries_sql}) q
+            WHERE h.id <> q.vec_id)
+        SELECT query_id, rank, neighbor_id, score FROM (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM sq_sc) t
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

@@ -1,0 +1,154 @@
+"""Scalar quantization (SQ8): bit-identical codes vs the DuckDB twin,
+twin top-k equality, fidelity vs exact inner product, frozen-params
+serving path, and validation."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators import similarity as sim
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _emb_pdf(vecs):
+    return pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 10
+    vecs = np.vstack(
+        [centers[i % 8] + rng.normal(scale=0.4, size=16) for i in range(120)]
+    ).astype("float32")
+    return _emb_df(spark, vecs), vecs.astype("float64")
+
+
+def test_sq_codes_twin_bit_identical(clustered):
+    df, vecs = clustered
+    params = sim.sq_params(df, dim=16)
+    got = sorted(
+        (r.id, tuple(r.codes))
+        for r in sim.sq_encode(df, params, dim=16).collect()
+    )
+    con = duckdb.connect()
+    con.register("e", _emb_pdf(vecs))
+    want = sorted(
+        (int(i), tuple(int(c) for c in codes))
+        for i, codes in con.sql(
+            sim.duck_sq_encode_sql("SELECT * FROM e", dim=16)
+        ).fetchall()
+    )
+    assert got == want
+    # every code in range, every vector encoded
+    assert len(got) == len(vecs)
+    assert all(0 <= c <= 255 for _, cs in got for c in cs)
+
+
+def test_sq_topk_twin_and_fidelity(clustered):
+    df, vecs = clustered
+    probes = df.filter(F.col("vec_id") < 6)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.score)
+        for r in sim.sq_topk(df, probes, dim=16, k=5).collect()
+    )
+    con = duckdb.connect()
+    con.register("e", _emb_pdf(vecs))
+    want = sorted(
+        (int(q), int(rk), int(n), float(s))
+        for q, rk, n, s in con.sql(
+            sim.duck_sq_topk_sql(
+                "SELECT * FROM e", "SELECT * FROM e WHERE vec_id < 6", dim=16
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+    # fidelity: 255-level codes over a ~40-unit range quantize each dim
+    # to ~0.16, so top-5-by-decoded-dot must recall nearly all of the
+    # exact top-5 and scores must sit within the per-dim step bound
+    dots = vecs @ vecs.T
+    step = (vecs.max(axis=0) - vecs.min(axis=0)) / 255.0
+    hits = total = 0
+    for q in range(6):
+        exact = set([j for j in np.argsort(-dots[q]) if j != q][:5])
+        mine = {n for qq, _, n, _ in got if qq == q}
+        hits += len(mine & exact)
+        total += 5
+        for qq, _, n, s in got:
+            if qq == q:
+                bound = float(np.abs(vecs[q]) @ step) + 1e-3
+                assert abs(s - dots[q, n]) <= bound, (q, n, s, dots[q, n])
+    assert hits / total >= 0.9
+
+
+def test_sq_serving_path_and_frozen_params(clustered):
+    """sq_topk == sq_topk_from_index over stored artifacts, and a new
+    batch encoded against frozen params reproduces build codes for
+    identical vectors (the pq_encode identity)."""
+    df, _ = clustered
+    probes = df.filter(F.col("vec_id") < 3)
+    params = sim.sq_params(df, dim=16)
+    codes = sim.sq_encode(df, params, dim=16)
+    via_index = sorted(
+        map(tuple, sim.sq_topk_from_index(codes, params, probes, dim=16, k=4).collect())
+    )
+    end_to_end = sorted(map(tuple, sim.sq_topk(df, probes, dim=16, k=4).collect()))
+    assert via_index == end_to_end
+
+    batch = df.filter(F.col("vec_id").isin([5, 17, 99]))
+    re_enc = sorted(
+        (r.id, tuple(r.codes))
+        for r in sim.sq_encode(batch, params, dim=16).collect()
+    )
+    full = {
+        r.id: tuple(r.codes) for r in codes.collect()
+    }
+    assert re_enc == sorted((i, full[i]) for i in (5, 17, 99))
+
+
+def test_sq_degenerate_dim_and_validation(spark):
+    # constant dimension: hi == lo -> code 0, decode returns lo
+    vecs = [[1.0, 5.0], [1.0, 7.0], [1.0, 6.0]]
+    df = _emb_df(spark, vecs)
+    params = sim.sq_params(df, dim=2)
+    codes = {r.id: list(r.codes) for r in sim.sq_encode(df, params, dim=2).collect()}
+    assert all(c[0] == 0 for c in codes.values())
+    assert codes[0][1] == 0 and codes[1][1] == 255
+
+    with pytest.raises(ValueError, match="dim"):
+        sim.sq_params(df)
+    with pytest.raises(ValueError, match="levels"):
+        sim.sq_encode(df, params, dim=2, levels=0)
+    with pytest.raises(ValueError, match="levels"):
+        sim.duck_sq_topk_sql("q", "q", dim=2, levels=100000)
+
+    # wrong-dim vector raises instead of silently truncating
+    bad = _emb_df(spark, [[1.0, 2.0, 3.0]])
+    with pytest.raises(Exception, match="sq: embedding length"):
+        sim.sq_params(bad, dim=2).collect()
+
+
+def test_sq_encode_is_shuffle_free(clustered):
+    """The encode plan must contain no Exchange: params re-embed as
+    literals, so quantization is a pure projection."""
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    df, _ = clustered
+    params = sim.sq_params(df, dim=16)
+    buf = StringIO()
+    with redirect_stdout(buf):
+        sim.sq_encode(df, params, dim=16).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
