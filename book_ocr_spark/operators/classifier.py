@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from book_ocr_spark.operators.dedup import duck_h28, spark_h28
@@ -411,4 +411,240 @@ def duck_calibration_bins_sql(
                CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
                CAST(zsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score_micro
         FROM cb_agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Threshold-free evaluation: exact ROC-AUC + the full PR curve
+# ---------------------------------------------------------------------------
+def _score_table(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """(z, pos, neg) per DISTINCT score over the labeled sample —
+    the one hash agg both curve operators share. NULL label (no
+    annotation) and NULL score (unscorable) rows drop, mirroring
+    calibration_bins."""
+    return (
+        scored.where(
+            F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+        )
+        .select(
+            F.col(score_col).cast("long").alias("z"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("z")
+        .agg(
+            F.sum("_y").cast("long").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("neg"),
+        )
+    )
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "logit_micro",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact, tie-aware ROC-AUC of a scored+labeled sample in ONE
+    row: (n_pos, n_neg, n_scores, auc_num2, auc) — the
+    threshold-free companion to calibration_bins (calibration asks
+    "is prob a probability?", AUC asks "does the score RANK a random
+    positive above a random negative?").
+
+    Mann-Whitney formulation over the distinct-score table: for each
+    distinct score z with pos_z positives and neg_z negatives,
+    positives at z beat the negatives strictly below (weight 1) and
+    tie the negatives at z (weight 1/2), so
+
+        auc_num2 = Σ_z (2·pos_z·cumneg_lt(z) + pos_z·neg_z)
+        auc      = auc_num2 / (2·P·N)
+
+    auc_num2 is an INTEGER (the 1/2 tie weight is absorbed into the
+    ×2 numerator), so it is partition- and merge-order independent
+    and the twin compares it bit-for-bit; auc is the one double
+    division, shared with the twin. Empty class (P or N = 0) ⇒ auc
+    NULL (undefined, surfaced not guessed).
+
+    Integer bound: auc_num2 ≤ 2·P·N, so exactness holds to
+    P·N < 2^62 — a balanced labeled sample of ~4·10^9 rows. Labels
+    are annotations; an eval set beyond that is not a realistic
+    shape (the 100 TB corpus is SCORED at scale, AUC is measured on
+    the labeled sample).
+
+    Scale shape: one map-side-combined hash agg corpus-side, then a
+    single-task ordered prefix sum over the DISTINCT-SCORE table
+    only — the accepted vocab-table shape (drift.term_drift, BPE's
+    argmax): micro-logits of a v-bucket linear model take far fewer
+    distinct values than rows, and a caller with a continuous score
+    quantizes first (that IS what micro units are)."""
+    per = _score_table(scored, score_col, label_col)
+    w = Window.orderBy("z").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per.select(
+        "pos",
+        "neg",
+        (
+            2 * F.col("pos") * F.coalesce(F.sum("neg").over(w), F.lit(0))
+            + F.col("pos") * F.col("neg")
+        ).alias("_c"),
+    )
+    tot = contrib.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum("_c").cast("long").alias("auc_num2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "auc_num2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_num2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+    )
+
+
+def duck_roc_auc_sql(
+    scored_sql: str,
+    score_col: str = "logit_micro",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of roc_auc — same distinct-score prefix sum, same
+    integer numerator, same single division."""
+    return f"""
+        WITH ra_rows AS (
+            SELECT CAST({score_col} AS BIGINT) AS z,
+                   CAST({label_col} AS BIGINT) AS y
+            FROM ({scored_sql}) s0
+            WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL),
+        ra_per AS (
+            SELECT z,
+                   CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+            FROM ra_rows GROUP BY z),
+        ra_c AS (
+            SELECT pos, neg,
+                   2 * pos * COALESCE(SUM(neg) OVER (
+                       ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)
+                   + pos * neg AS c
+            FROM ra_per),
+        ra_tot AS (
+            SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg,
+                   CAST(COUNT(*) AS BIGINT) AS n_scores,
+                   CAST(SUM(c) AS BIGINT) AS auc_num2
+            FROM ra_c)
+        SELECT n_pos, n_neg, n_scores, auc_num2,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   CAST(auc_num2 AS DOUBLE)
+                   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               END AS auc
+        FROM ra_tot
+    """
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "logit_micro",
+    label_col: str = "label",
+) -> DataFrame:
+    """The FULL precision/recall curve: one row per distinct score z,
+    describing the operating point "keep documents scoring ≥ z" —
+    (threshold, tp, fp, fn, precision, recall, f1). This is the
+    artifact you read to PICK the curation gate's threshold (keep
+    rate vs purity trade), where roc_auc summarizes and
+    calibration_bins diagnoses.
+
+    tp/fp at z are suffix sums over the distinct-score table
+    (everything scoring ≥ z is kept); fn = P − tp. precision, recall
+    and f1 = 2pr/(p+r) are the only doubles, each one shared IEEE
+    expression with the twin. A kept set is never empty (the highest
+    threshold keeps its own rows), so precision never divides by
+    zero; P = 0 ⇒ recall/f1 NULL; f1 is also NULL at p = r = 0.
+
+    Same scale shape as roc_auc: corpus-side hash agg, single-task
+    ordered suffix sum over the distinct-score table only."""
+    per = _score_table(scored, score_col, label_col)
+    w = Window.orderBy(F.col("z").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        F.col("z").alias("threshold"),
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        F.sum("neg").over(w).cast("long").alias("fp"),
+        (F.sum("pos").over(tot) - F.sum("pos").over(w))
+        .cast("long")
+        .alias("fn"),
+    )
+    p = F.col("tp").cast("double") / (
+        F.col("tp") + F.col("fp")
+    ).cast("double")
+    r = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(
+            (F.col("tp") + F.col("fn") > 0)
+            & (p + r > F.lit(0.0)),
+            2.0 * p * r / (p + r),
+        ).alias("f1"),
+    )
+
+
+def duck_pr_curve_sql(
+    scored_sql: str,
+    score_col: str = "logit_micro",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of pr_curve — same suffix sums, same IEEE
+    precision/recall/f1 expressions."""
+    return f"""
+        WITH pc_rows AS (
+            SELECT CAST({score_col} AS BIGINT) AS z,
+                   CAST({label_col} AS BIGINT) AS y
+            FROM ({scored_sql}) s0
+            WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL),
+        pc_per AS (
+            SELECT z,
+                   CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+            FROM pc_rows GROUP BY z),
+        pc_cum AS (
+            SELECT z AS threshold,
+                   CAST(SUM(pos) OVER (ORDER BY z DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS tp,
+                   CAST(SUM(neg) OVER (ORDER BY z DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS fp,
+                   CAST(SUM(pos) OVER ()
+                       - SUM(pos) OVER (ORDER BY z DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS fn
+            FROM pc_per),
+        pc_pr AS (
+            SELECT threshold, tp, fp, fn,
+                   CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+                   CASE WHEN tp + fn > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                   END AS recall
+            FROM pc_cum)
+        SELECT threshold, tp, fp, fn, precision, recall,
+               CASE WHEN tp + fn > 0 AND precision + recall > 0.0 THEN
+                   2.0 * precision * recall / (precision + recall)
+               END AS f1
+        FROM pc_pr
     """

@@ -358,3 +358,105 @@ def test_calibration_bins_partition_invariance(spark):
     a = sorted(map(tuple, clf.calibration_bins(df, n_bins=3).collect()))
     b = sorted(map(tuple, clf.calibration_bins(df.repartition(5, "id"), n_bins=3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Threshold-free eval: roc_auc + pr_curve
+# ---------------------------------------------------------------------------
+SCORED = [
+    # (logit_micro, label) — ties on 20 and 5, tied pos/neg at 20
+    (30, 1), (20, 1), (20, 1), (20, 0), (10, 1), (10, 0), (5, 0), (5, 0),
+]
+
+
+@pytest.fixture(scope="module")
+def scored_df(spark):
+    return spark.createDataFrame(SCORED, "logit_micro long, label int")
+
+
+def _brute_auc(rows):
+    pos = [z for z, y in rows if y == 1]
+    neg = [z for z, y in rows if y == 0]
+    num = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    return num / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_brute_pairs_and_twin(spark, scored_df):
+    got = clf.roc_auc(scored_df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["auc"] == pytest.approx(_brute_auc(SCORED), abs=0)
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(SCORED, columns=["logit_micro", "label"]))
+    exp = con.sql(clf.duck_roc_auc_sql("SELECT * FROM s")).fetchall()[0]
+    assert (r["n_pos"], r["n_neg"], r["n_scores"], r["auc_num2"]) == tuple(
+        int(v) for v in exp[:4]
+    )
+    assert r["auc"] == exp[4]  # bit-identical: same single division
+
+
+def test_roc_auc_edges(spark):
+    # perfect separation -> 1.0; reversed -> 0.0; one-class -> NULL
+    perfect = spark.createDataFrame(
+        [(9, 1), (8, 1), (2, 0), (1, 0)], "logit_micro long, label int"
+    )
+    assert clf.roc_auc(perfect).collect()[0]["auc"] == 1.0
+    reverse = spark.createDataFrame(
+        [(1, 1), (2, 1), (8, 0), (9, 0)], "logit_micro long, label int"
+    )
+    assert clf.roc_auc(reverse).collect()[0]["auc"] == 0.0
+    onecls = spark.createDataFrame(
+        [(1, 1), (2, 1)], "logit_micro long, label int"
+    )
+    row = clf.roc_auc(onecls).collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
+    # NULL label / NULL score rows drop
+    nulls = spark.createDataFrame(
+        [(30, 1), (5, 0), (None, 1), (7, None)],
+        "logit_micro long, label int",
+    )
+    r = clf.roc_auc(nulls).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (1, 1, 1.0)
+
+
+def test_roc_auc_partition_invariance(spark, scored_df):
+    a = clf.roc_auc(scored_df).collect()[0]
+    b = clf.roc_auc(scored_df.repartition(7)).collect()[0]
+    assert a == b
+
+
+def test_pr_curve_matches_twin_bit_for_bit(spark, scored_df):
+    got = sorted(
+        tuple(r) for r in clf.pr_curve(scored_df).collect()
+    )
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(SCORED, columns=["logit_micro", "label"]))
+    exp = sorted(
+        tuple(r) for r in con.sql(
+            clf.duck_pr_curve_sql("SELECT * FROM s")
+        ).fetchall()
+    )
+    assert [tuple(int(v) for v in row[:4]) for row in got] == [
+        tuple(int(v) for v in row[:4]) for row in exp
+    ]
+    for g, e in zip(got, exp):
+        assert g[4:] == e[4:]  # precision/recall/f1 bit-identical
+
+
+def test_pr_curve_designed_points(spark, scored_df):
+    # SCORED: P=4, N=4. threshold=30: tp=1 fp=0 -> precision 1, recall .25
+    # threshold=20: tp=3 fp=1; threshold=10: tp=4 fp=2; threshold=5: tp=4 fp=4
+    pts = {r["threshold"]: r for r in clf.pr_curve(scored_df).collect()}
+    assert pts[30]["precision"] == 1.0 and pts[30]["recall"] == 0.25
+    assert (pts[20]["tp"], pts[20]["fp"], pts[20]["fn"]) == (3, 1, 1)
+    assert pts[5]["recall"] == 1.0 and pts[5]["precision"] == 0.5
+    assert pts[20]["f1"] == pytest.approx(0.75, abs=0)
+    # all-negative sample: recall/f1 NULL, precision defined
+    negs = spark.createDataFrame(
+        [(3, 0), (9, 0)], "logit_micro long, label int"
+    )
+    for r in clf.pr_curve(negs).collect():
+        assert r["recall"] is None and r["f1"] is None
+        assert r["precision"] == 0.0
