@@ -1,0 +1,205 @@
+"""WARC ingestion — the web-archive front door of the extraction
+engine: raw crawl archives (ISO 28500 WARC/1.0/1.1, the Common-Crawl
+container) → a typed record table → HTTP response payloads → the
+`documents(id, url, text)` shape `curate_web_corpus` and the HTML
+boilerplate-strip heuristics already consume.
+
+Reference lineage: the reference's stage-0 is a directory scan of
+page images into a task list (docs/technical_architecture.md:96);
+for the web-scale graft the analogous raw-input container is the
+crawl archive, and this module is that scan.
+
+Design (Spark-first):
+
+* **File grain = task grain.** `spark.read.format("binaryFile")`
+  hands each archive to one task whole — WARC members are
+  back-to-back (gzip members per record), so the format is not
+  block-splittable without an index; crawlers cap archives at ~1 GiB
+  for exactly this reason, which bounds per-task memory. At 100 TB
+  the parallelism unit is the archive FILE (100k+ files), not bytes
+  within one.
+* **One Python pass, Arrow-batched.** Record splitting is a
+  byte-stream scan (headers are text, payload length comes from
+  Content-Length) — no columnar form exists, so it runs in
+  `mapInPandas` like the segmenters; everything AFTER the split
+  (HTTP header/body separation, status parse, charset decode) is
+  JVM built-ins on the binary column — no second Python pass.
+* **Surface, don't guess.** A malformed region quarantines as a row
+  with `error` set (offset preserved) instead of being skipped or
+  crashing the file; `max_payload_bytes` caps rogue payloads with a
+  `truncated` flag (the reference's size-limit gate,
+  docs/prd.md:51).
+
+Determinism: record rows are a pure function of the archive bytes
+(offsets in the decompressed stream), so reruns and the pytest
+reference replay agree exactly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SCHEMA = (
+    "warc_file string, rec_idx long, rec_offset long, warc_version string, "
+    "warc_type string, record_id string, target_uri string, "
+    "warc_date string, content_type string, content_length long, "
+    "payload binary, payload_len long, truncated boolean, error string"
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _inflate(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member, i.e. per-record-gzipped)
+    WARC; plain archives pass through. Python's gzip reader
+    concatenates members, so record offsets are uniformly in the
+    DECOMPRESSED stream for both layouts."""
+    if data[:2] == _GZIP_MAGIC:
+        return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    return data
+
+
+def parse_warc_bytes(
+    data: bytes, fname: str, max_payload_bytes: int | None = None
+) -> list[tuple]:
+    """Split one archive's bytes into RECORD_SCHEMA tuples — the pure
+    function `warc_records` maps and the tests replay. A structural
+    error emits one quarantine row for the unparseable tail (offset
+    kept) and stops: WARC has no resync marker mid-stream, so
+    guessing a next record boundary could fabricate records."""
+    data = _inflate(data)
+    rows: list[tuple] = []
+    pos, n, idx = 0, len(data), 0
+
+    def _err(off: int, reason: str) -> tuple:
+        return (fname, idx, off, None, None, None, None, None, None,
+                None, None, None, False, reason)
+
+    while pos < n:
+        while data[pos:pos + 2] == b"\r\n":  # inter-record CRLFs
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            rows.append(_err(pos, "bad_version_line"))
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            rows.append(_err(pos, "unterminated_header"))
+            break
+        lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            rows.append(_err(pos, "bad_content_length"))
+            break
+        body_at = hdr_end + 4
+        payload = data[body_at:body_at + clen]
+        short = len(payload) < clen
+        capped = (
+            max_payload_bytes is not None and len(payload) > max_payload_bytes
+        )
+        rows.append((
+            fname, idx, pos, lines[0].strip(),
+            headers.get("warc-type"), headers.get("warc-record-id"),
+            headers.get("warc-target-uri"), headers.get("warc-date"),
+            headers.get("content-type"), clen,
+            payload[:max_payload_bytes] if capped else payload,
+            min(len(payload), max_payload_bytes) if capped else len(payload),
+            capped, "truncated_payload" if short else None,
+        ))
+        if short:
+            break
+        idx += 1
+        pos = body_at + clen
+    return rows
+
+
+def warc_records(
+    spark: SparkSession, path: str, max_payload_bytes: int | None = None
+) -> DataFrame:
+    """Archive files under ``path`` (`*.warc` / `*.warc.gz`) → one row
+    per WARC record. binaryFile scan → one mapInPandas split pass."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in RECORD_SCHEMA.split(", ")]
+        for b in batches:
+            out: list[tuple] = []
+            for fname, blob in zip(b["path"], b["content"]):
+                out.extend(
+                    parse_warc_bytes(bytes(blob), fname, max_payload_bytes)
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(split, RECORD_SCHEMA)
+
+
+def http_responses(records: DataFrame) -> DataFrame:
+    """WARC `response` records → (warc_file, rec_idx, record_id,
+    target_uri, warc_date, http_status, html) with the HTTP envelope
+    stripped — ALL JVM built-ins, no Python: the header/body boundary
+    is located on a byte-faithful ISO-8859-1 decode (every byte maps
+    to one char, so `instr` positions ARE byte offsets), the body is
+    sliced from the BINARY column, and the text is one UTF-8 decode
+    (malformed bytes → U+FFFD, never a crash; charset sniffing beyond
+    UTF-8 is a documented simplification — the quality gates
+    downstream drop mojibake). Quarantined (`error` set) and capped
+    (`truncated`) records are excluded: a truncated body would parse
+    as a silently-shorter page."""
+    latin = F.decode(F.col("payload"), "ISO-8859-1")
+    sep = F.instr(latin, "\r\n\r\n")
+    body = F.expr("substring(payload, _body_at, payload_len)")
+    status = F.split(F.substring_index(latin, "\r\n", 1), " ").getItem(1)
+    return (
+        records.where(
+            F.col("error").isNull()
+            & ~F.col("truncated")
+            & (F.col("warc_type") == "response")
+            & F.col("content_type").startswith("application/http")
+        )
+        .withColumn("_body_at", sep + 4)
+        .where(sep > 0)
+        .select(
+            "warc_file",
+            "rec_idx",
+            "record_id",
+            "target_uri",
+            "warc_date",
+            status.cast("int").alias("http_status"),
+            F.decode(body, "UTF-8").alias("html"),
+        )
+    )
+
+
+def warc_documents(
+    spark: SparkSession, path: str, max_payload_bytes: int | None = None
+) -> DataFrame:
+    """The composed front door: archives → `(id, url, text)` — the
+    documents shape `curate_web_corpus` ingests (its URL gate reads
+    `url`, its HTML heuristics read `text`). Only 2xx responses
+    survive (redirect/error bodies are boilerplate by construction).
+    id = `record_id` when the archive carries one (globally unique
+    per ISO 28500), else `file#idx`."""
+    rec = warc_records(spark, path, max_payload_bytes)
+    resp = http_responses(rec).where(
+        (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+    )
+    return resp.select(
+        F.coalesce(
+            F.col("record_id"),
+            F.concat_ws("#", "warc_file", F.col("rec_idx").cast("string")),
+        ).alias("id"),
+        F.col("target_uri").alias("url"),
+        F.col("html").alias("text"),
+    )

@@ -1,0 +1,160 @@
+"""WARC ingestion: record split (plain + per-record gzip), HTTP
+envelope strip (JVM-side), quarantine/cap rules, and the composed
+documents front door."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from book_ocr_spark.sources import warc as W
+
+HTML_A = "<html><body><p>Main article text. Café content.</p></body></html>"
+HTML_B = "<html><body><p>Second page body.</p></body></html>"
+
+
+def _http(status: str, body: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n\r\n".encode()
+        + body
+    )
+
+
+def _rec(rtype: str, payload: bytes, uri: str | None = None,
+         rid: str | None = None, ctype: str = "application/http; msgtype=response") -> bytes:
+    hdrs = [
+        b"WARC/1.0",
+        f"WARC-Type: {rtype}".encode(),
+        f"WARC-Date: 2026-01-01T00:00:0{len(payload) % 10}Z".encode(),
+        f"Content-Type: {ctype}".encode(),
+        f"Content-Length: {len(payload)}".encode(),
+    ]
+    if uri:
+        hdrs.append(f"WARC-Target-URI: {uri}".encode())
+    if rid:
+        hdrs.append(f"WARC-Record-ID: <urn:uuid:{rid}>".encode())
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+RECORDS = [
+    _rec("warcinfo", b"software: synthetic\r\n", ctype="application/warc-fields"),
+    _rec("request", b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+         uri="http://a.example/", ctype="application/http; msgtype=request"),
+    _rec("response", _http("200 OK", HTML_A.encode()),
+         uri="http://a.example/", rid="aaa-111"),
+    _rec("response", _http("404 Not Found", b"<html>gone</html>"),
+         uri="http://a.example/missing"),
+    _rec("response", _http("200 OK", HTML_B.encode()),
+         uri="http://b.example/page"),
+]
+ARCHIVE = b"".join(RECORDS)
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    (d / "a.warc").write_bytes(ARCHIVE)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def gz_dir(tmp_path_factory):
+    # per-record gzip members, the Common-Crawl layout
+    d = tmp_path_factory.mktemp("warcgz")
+    (d / "a.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in RECORDS)
+    )
+    return str(d)
+
+
+def test_record_split_matches_pure_reference(spark, warc_dir):
+    got = sorted(
+        W.warc_records(spark, warc_dir).collect(), key=lambda r: r["rec_idx"]
+    )
+    assert len(got) == 5
+    exp = W.parse_warc_bytes(ARCHIVE, got[0]["warc_file"])
+    assert [tuple(r) for r in got] == exp
+    assert [r["warc_type"] for r in got] == [
+        "warcinfo", "request", "response", "response", "response"
+    ]
+    # offsets are strictly increasing byte positions; payloads exact
+    offs = [r["rec_offset"] for r in got]
+    assert offs == sorted(set(offs))
+    assert bytes(got[2]["payload"]) == _http("200 OK", HTML_A.encode())
+    assert got[2]["record_id"] == "<urn:uuid:aaa-111>"
+    assert all(r["error"] is None for r in got)
+
+
+def test_gzip_members_equal_plain(spark, warc_dir, gz_dir):
+    plain = [
+        tuple(r)[1:] for r in sorted(
+            W.warc_records(spark, warc_dir).collect(),
+            key=lambda r: r["rec_idx"],
+        )
+    ]
+    gz = [
+        tuple(r)[1:] for r in sorted(
+            W.warc_records(spark, gz_dir).collect(),
+            key=lambda r: r["rec_idx"],
+        )
+    ]
+    assert gz == plain  # identical apart from the file path
+
+
+def test_malformed_tail_quarantines(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "bad.warc").write_bytes(RECORDS[2] + b"GARBAGE NOT A RECORD")
+    rows = sorted(
+        W.warc_records(spark, str(d)).collect(), key=lambda r: r["rec_idx"]
+    )
+    assert rows[0]["error"] is None and rows[0]["warc_type"] == "response"
+    assert rows[-1]["error"] == "bad_version_line"
+    # short payload (lying Content-Length) quarantines too
+    (d / "bad.warc").write_bytes(ARCHIVE[: len(ARCHIVE) - 40])
+    short = sorted(
+        W.warc_records(spark, str(d)).collect(), key=lambda r: r["rec_idx"]
+    )
+    assert short[-1]["error"] == "truncated_payload"
+
+
+def test_payload_cap_flags_and_excludes(spark, warc_dir):
+    rec = W.warc_records(spark, warc_dir, max_payload_bytes=60)
+    rows = {r["rec_idx"]: r for r in rec.collect()}
+    big = [r for r in rows.values() if r["content_length"] > 60]
+    assert big and all(
+        r["truncated"] and r["payload_len"] == 60 and
+        len(bytes(r["payload"])) == 60 for r in big
+    )
+    # capped responses never reach the HTTP stage (silent short page)
+    assert all(
+        not r["truncated"]
+        for r in W.http_responses(rec).join(
+            rec.select("rec_idx", "truncated"), "rec_idx"
+        ).collect()
+    )
+
+
+def test_http_responses_jvm_strip(spark, warc_dir):
+    resp = sorted(
+        W.http_responses(W.warc_records(spark, warc_dir)).collect(),
+        key=lambda r: r["rec_idx"],
+    )
+    assert [r["http_status"] for r in resp] == [200, 404, 200]
+    assert resp[0]["html"] == HTML_A  # UTF-8 multibyte survives
+    assert resp[2]["html"] == HTML_B
+    assert resp[0]["target_uri"] == "http://a.example/"
+
+
+def test_warc_documents_front_door(spark, warc_dir):
+    docs = sorted(
+        W.warc_documents(spark, warc_dir).collect(), key=lambda r: r["url"]
+    )
+    # only the 2xx responses; 404 body and non-response records drop
+    assert [r["url"] for r in docs] == [
+        "http://a.example/", "http://b.example/page"
+    ]
+    assert docs[0]["id"] == "<urn:uuid:aaa-111>"  # record id when present
+    assert "#2" not in docs[0]["id"] and "#" in docs[1]["id"]  # fallback id
+    assert docs[0]["text"] == HTML_A
