@@ -1,0 +1,233 @@
+"""PCA / whitening over the embedding column — the dimensionality
+tier under the ANN stack: reduce `array<float>` vectors to their top-k
+principal axes (and optionally whiten) before LSH banding / IVF
+clustering / SemDeDup, where fewer, decorrelated dimensions mean
+cheaper dot products and better-behaved hyperplane buckets.
+
+The classic two-phase distributed shape (MLlib's RowMatrix PCA):
+
+  1. **Moments, in-engine.** One pass computes n, Σx (d values) and
+     the Gram Σxxᵀ (d(d+1)/2 upper-triangle values) — tiny against
+     the corpus, so the eigendecomposition is a DRIVER problem no
+     matter how big the data.
+  2. **Eigh, on the driver.** numpy's symmetric eigendecomposition of
+     the covariance assembled from the moments; O(d³) on ~100 doubles.
+
+Determinism contract (the dsir/classifier convention, extended to
+second moments): each vector's contribution to every moment cell is
+micro-rounded to an INTEGER (`SCALE` = 1e9; products of unit-norm
+floats are in [-1, 1]); partials are int64 sums inside each Arrow
+batch and BIGINT sums across batches — associative integer addition,
+so the moments are bit-identical under any partitioning and the twin
+replays them exactly. Overflow bound: |cell| ≤ SCALE·n ⇒ exact to
+n < 9·10⁹ vectors per fit (fit on a sample beyond that — PCA of
+10⁹+ rows is estimation, not accounting). The eigendecomposition and
+the projection are IEEE float (reference-impl oracle, the BPE/Lloyd
+carve-out), with the sign of each component fixed deterministically
+(largest-|loading| coordinate made positive, ties to the lowest
+index).
+
+Projection stays JVM-side: k fused `aggregate(zip_with(...))` fold
+expressions (the similarity.py DOT idiom) over broadcast literal
+component arrays — no Python in the corpus-wide pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # micro-rounding unit for moment contributions
+
+MOMENTS_SCHEMA = "i int, j int, s long"
+
+
+def gram_moments(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """(i, j, s) BIGINT moment cells: j = -1 rows carry Σx_i (the mean
+    numerator), (i ≤ j) rows carry the Gram upper triangle, and
+    (-1, -1) carries n·SCALE (the count in the same unit). Each
+    vector's cell contribution is round-half-away(SCALE · x_i · x_j)
+    — integers from the first reduction step, so the total is
+    partition- and merge-order independent. Vectors of the wrong
+    length fail loudly (a silent skip would bias the fit);
+    NULL/empty vectors are dropped as unscorable."""
+    d_known = dim
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = d_known
+        acc_g = None
+        acc_m = None
+        n = 0
+        for b in batches:
+            vecs = [v for v in b[vec_col] if v is not None and len(v)]
+            if not vecs:
+                continue
+            if d is None:
+                d = len(vecs[0])
+            for v in vecs:
+                if len(v) != d:
+                    raise ValueError(
+                        f"gram_moments: vector length {len(v)} != {d}"
+                    )
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            # per-vector integer contributions, summed as int64
+            prods = x[:, :, None] * x[:, None, :]  # (n_b, d, d)
+            g = np.where(
+                prods >= 0,
+                np.floor(prods * SCALE + 0.5),
+                np.ceil(prods * SCALE - 0.5),
+            ).astype(np.int64).sum(axis=0)
+            mx = x * SCALE
+            m = np.where(
+                mx >= 0, np.floor(mx + 0.5), np.ceil(mx - 0.5)
+            ).astype(np.int64).sum(axis=0)
+            acc_g = g if acc_g is None else acc_g + g
+            acc_m = m if acc_m is None else acc_m + m
+            n += x.shape[0]
+        if acc_g is None:
+            yield pd.DataFrame({"i": [], "j": [], "s": []})
+            return
+        iu, ju = np.triu_indices(d)
+        rows = {
+            "i": np.concatenate([iu, np.arange(d), [-1]]),
+            "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+            "s": np.concatenate(
+                [acc_g[iu, ju], acc_m, [n * SCALE]]
+            ),
+        }
+        yield pd.DataFrame(rows)
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(partials, MOMENTS_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+
+
+def duck_gram_moments_sql(src_sql: str, vec_col: str = "embedding") -> str:
+    """DuckDB twin of gram_moments — same per-vector micro-rounded
+    integer contributions (ROUND is half-away in both engines), same
+    BIGINT sums, bit-identical cells."""
+    return f"""
+        WITH gm_vecs AS (
+            -- rid: duplicate vectors must not cross-match in the
+            -- element self-join (identity, any order works)
+            SELECT ROW_NUMBER() OVER () AS rid, {vec_col} AS v
+            FROM ({src_sql}) g0
+            WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0),
+        gm_elems AS (
+            SELECT rid, CAST(u.pos AS INT) - 1 AS i,
+                   CAST(u.val AS DOUBLE) AS x
+            FROM gm_vecs,
+                 unnest(list_transform(v, (x, j) -> {{'pos': j, 'val': x}}))
+                     AS t(u)),
+        gm_gram AS (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(CAST(ROUND({SCALE} * a.x * b.x)
+                       AS BIGINT)) AS BIGINT) AS s
+            FROM gm_elems a JOIN gm_elems b
+              ON a.rid = b.rid AND a.i <= b.i
+            GROUP BY a.i, b.i),
+        gm_mean AS (
+            SELECT i, CAST(-1 AS INT) AS j,
+                   CAST(SUM(CAST(ROUND({SCALE} * x) AS BIGINT))
+                       AS BIGINT) AS s
+            FROM gm_elems GROUP BY i),
+        gm_n AS (
+            SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+                   CAST(COUNT(*) * {SCALE} AS BIGINT) AS s
+            FROM gm_vecs)
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, s FROM gm_gram
+        UNION ALL SELECT i, j, s FROM gm_mean
+        UNION ALL SELECT i, j, s FROM gm_n
+    """
+
+
+def fit_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    dim: int | None = None,
+) -> dict:
+    """Fit on the moments: returns {"mean": [d], "components": k×d
+    (rows = axes, variance-descending), "eigvals": [k], "n": int}.
+    Signs fixed deterministically; k defaults to d."""
+    cells = {
+        (r["i"], r["j"]): r["s"]
+        for r in gram_moments(df, vec_col, dim).collect()
+    }
+    if not cells:
+        raise ValueError("fit_pca: no vectors")
+    n = cells[(-1, -1)] // SCALE
+    if n < 2:
+        raise ValueError("fit_pca: need at least 2 vectors")
+    d = max(i for i, j in cells if j == -1 and i >= 0) + 1
+    g = np.zeros((d, d))
+    m = np.zeros(d)
+    for (i, j), s in cells.items():
+        if i == -1:
+            continue
+        if j == -1:
+            m[i] = s / SCALE
+        else:
+            g[i, j] = s / SCALE
+            g[j, i] = s / SCALE
+    mu = m / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    comps = vecs.T  # rows = components
+    for r in range(comps.shape[0]):
+        pivot = int(np.argmax(np.abs(comps[r])))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    kk = d if k is None else int(k)
+    if not 1 <= kk <= d:
+        raise ValueError(f"fit_pca: k must be in [1, {d}]")
+    return {
+        "mean": mu.tolist(),
+        "components": comps[:kk].tolist(),
+        "eigvals": vals[:kk].tolist(),
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Append `out_col: array<double>` = components · (x − mean),
+    optionally whitened (each axis scaled by 1/√eigval; axes with
+    eigval ≤ eps are zeroed — a degenerate direction carries no
+    signal and dividing by ~0 would amplify rounding noise). All JVM:
+    one centered-fold expression per component over broadcast
+    literals; no Python in the corpus pass."""
+    comps = model["components"]
+    mean = model["mean"]
+    exprs = []
+    for r, comp in enumerate(comps):
+        w = 1.0
+        if whiten:
+            ev = model["eigvals"][r]
+            w = 0.0 if ev <= eps else 1.0 / float(np.sqrt(ev))
+        carr = ", ".join(f"{c!r}D" for c in comp)
+        marr = ", ".join(f"{v!r}D" for v in mean)
+        exprs.append(
+            f"{w!r}D * aggregate(zip_with("
+            f"zip_with(cast({vec_col} as array<double>), array({marr}),"
+            f" (x, mu) -> x - mu), array({carr}), (cx, c) -> cx * c),"
+            f" 0D, (acc, v) -> acc + v)"
+        )
+    return df.withColumn(out_col, F.expr(f"array({', '.join(exprs)})"))

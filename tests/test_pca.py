@@ -1,0 +1,148 @@
+"""PCA/whitening: bit-identical integer moments (Spark vs DuckDB vs
+pure numpy replay), partition invariance, numpy-reference projection,
+axis recovery on a designed anisotropic cloud, whitening property."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import pca as P
+
+RNG_SALT = 20260819
+D, N = 6, 80
+
+
+def _fixture() -> list[tuple[int, list[float]]]:
+    # deterministic anisotropic cloud: variance concentrated on a
+    # known axis pair, md5-free but seeded numpy is fine in tests
+    rng = np.random.default_rng(RNG_SALT)
+    basis = np.linalg.qr(rng.normal(size=(D, D)))[0]
+    scales = np.array([4.0, 2.0, 0.5, 0.2, 0.1, 0.05])
+    x = rng.normal(size=(N, D)) * scales @ basis.T + rng.normal(size=D)
+    return [(i, [float(v) for v in np.float32(row)]) for i, row in enumerate(x)]
+
+
+ROWS = _fixture()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(ROWS, "vec_id long, embedding array<float>")
+
+
+def _moments_py(rows):
+    cells = {}
+    n = 0
+    d = None
+
+    def rnd(p):
+        v = p * P.SCALE
+        return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
+
+    for _, v in rows:
+        x = np.asarray(v, dtype=np.float64)
+        d = len(x)
+        n += 1
+        for i in range(d):
+            cells[(i, -1)] = cells.get((i, -1), 0) + rnd(x[i])
+            for j in range(i, d):
+                cells[(i, j)] = cells.get((i, j), 0) + rnd(x[i] * x[j])
+    cells[(-1, -1)] = n * P.SCALE
+    return cells
+
+
+def test_moments_bit_identical_spark_duck_python(spark, vecs):
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in P.gram_moments(vecs).collect()
+    }
+    assert got == _moments_py(ROWS)
+    con = duckdb.connect()
+    con.register(
+        "e", pd.DataFrame(ROWS, columns=["vec_id", "embedding"])
+    )
+    duck = {
+        (int(i), int(j)): int(s)
+        for i, j, s in con.sql(
+            P.duck_gram_moments_sql("SELECT * FROM e")
+        ).fetchall()
+    }
+    assert duck == got
+
+
+def test_moments_partition_invariant(spark, vecs):
+    a = sorted(tuple(r) for r in P.gram_moments(vecs).collect())
+    b = sorted(
+        tuple(r) for r in P.gram_moments(vecs.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_fit_recovers_variance_order_and_axes(spark, vecs):
+    model = P.fit_pca(vecs)
+    ev = model["eigvals"]
+    assert ev == sorted(ev, reverse=True) and ev[0] > 10 * ev[2]
+    # components orthonormal
+    c = np.asarray(model["components"])
+    assert np.allclose(c @ c.T, np.eye(D), atol=1e-9)
+    # matches numpy PCA of the same data up to sign (signs are fixed
+    # deterministically, so compare |cosine| of axes)
+    x = np.asarray([v for _, v in ROWS], dtype=np.float64)
+    cov = np.cov(x, rowvar=False)
+    vals, vecs_np = np.linalg.eigh(cov)
+    top = vecs_np[:, np.argsort(vals)[::-1]][:, :2].T
+    for r in range(2):
+        assert abs(float(np.dot(c[r], top[r]))) > 0.999
+    # deterministic sign rule: largest-|loading| coordinate positive
+    for row in c:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_projection_matches_numpy_reference(spark, vecs):
+    model = P.fit_pca(vecs, k=3)
+    got = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in P.pca_project(vecs, model, out_col="pca").collect()
+    }
+    c = np.asarray(model["components"])
+    mu = np.asarray(model["mean"])
+    for vid, v in ROWS:
+        exp = c @ (np.asarray(v, dtype=np.float64) - mu)
+        assert np.allclose(got[vid], exp, atol=1e-9)
+
+
+def test_whitening_identity_covariance(spark, vecs):
+    model = P.fit_pca(vecs, k=4)
+    rows = P.pca_project(vecs, model, whiten=True, out_col="pca").collect()
+    z = np.asarray([r["pca"] for r in rows])
+    cov = np.cov(z, rowvar=False)
+    assert np.allclose(cov, np.eye(4), atol=1e-6)
+
+
+def test_validation_and_edges(spark, vecs):
+    with pytest.raises(ValueError, match="k must be"):
+        P.fit_pca(vecs, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        P.fit_pca(vecs, k=D + 1)
+    empty = vecs.where("vec_id < 0")
+    with pytest.raises(ValueError, match="no vectors"):
+        P.fit_pca(empty)
+    # ragged vectors fail loudly, never a silent skip
+    ragged = vecs.sparkSession.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="vector length"):
+        P.gram_moments(ragged.coalesce(1)).collect()
+    # NULL/empty vectors drop as unscorable
+    mixed = vecs.sparkSession.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    n_cell = {
+        (r["i"], r["j"]): r["s"] for r in P.gram_moments(mixed).collect()
+    }[(-1, -1)]
+    assert n_cell == 1 * P.SCALE
