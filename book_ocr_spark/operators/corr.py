@@ -1,0 +1,177 @@
+"""Score-agreement correlation — the diagnostic that compares two
+quality signals over the same corpus (classifier logit vs CCNet LM
+cross-entropy vs DSIR weight vs Gopher flags): do they RANK documents
+the same way (Spearman), and how linear is the relationship on the
+micro-integer score axis (Pearson)?
+
+Determinism contract (the roc_auc convention, extended to second
+moments of ranks): ties get AVERAGE ranks carried as 2·rank INTEGERS
+(`r2 = 2·cum_lt + c + 1`, always odd+even exact), and all five
+correlation sums (Σx, Σy, Σx², Σy², Σxy) are DECIMAL(38,0) sums of
+integer products — partition/merge-order independent and compared
+bit-for-bit by the twin. The final ρ is one shared IEEE expression
+over those exact sums. Magnitude bound: Σ(r2)² ≤ 4n³ < 10³⁸ ⇒ exact
+to n ≈ 2.9·10¹¹ rows; Pearson on micro scores |z| ≤ Z bounds at
+n·Z² < 10³⁸.
+
+Scale shape (shared with roc_auc/pr_curve): per-signal hash agg to
+the DISTINCT-VALUE table, a single-task prefix sum over THAT table
+only (the accepted vocab-table shape — micro-integer scores have
+≪ n distinct values; continuous scores quantize first), one equi-join
+per signal to re-attach ranks, one final map-side-combined agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def _rank2(rows: DataFrame, col: str, out: str) -> DataFrame:
+    """(value, r2) per DISTINCT value of ``col``: twice the average
+    (tie-shared) rank, an exact integer."""
+    per = rows.groupBy(F.col(col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    return per.select(
+        F.col("_v").alias(col),
+        (
+            2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+            + F.col("_c")
+            + 1
+        ).cast("long").alias(out),
+    )
+
+
+def _corr_from_sums(agg: DataFrame) -> DataFrame:
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return agg.select(
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+            num / F.sqrt(vx * vy),
+        ).alias("rho"),
+    )
+
+
+def _sums(rows: DataFrame, xc, yc) -> DataFrame:
+    # cast to decimal BEFORE multiplying: a long·long product of
+    # 2n-scale ranks would overflow int64 past n ≈ 2·10⁹
+    xd, yd = xc.cast(DEC), yc.cast(DEC)
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(yd * yd).alias("_syy"),
+        F.sum(xd * yd).alias("_sxy"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One row (n, rho): Spearman rank correlation with exact
+    tie-shared average ranks. Rows where either score is NULL drop
+    (unscorable by one signal says nothing about agreement).
+    Degenerate axis (all values equal) or n < 2 ⇒ rho NULL."""
+    rows = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    ranked = rows.join(_rank2(rows, "_x", "_rx"), "_x").join(
+        _rank2(rows, "_y", "_ry"), "_y"
+    )
+    return _corr_from_sums(
+        _sums(ranked, F.col("_rx"), F.col("_ry"))
+    )
+
+
+def pearson_micro(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One row (n, rho): Pearson correlation over INTEGER (micro-unit)
+    scores — exact decimal sums, one shared IEEE final expression.
+    Same NULL-drop and degeneracy rules as spearman_rho."""
+    rows = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    return _corr_from_sums(_sums(rows, F.col("_x"), F.col("_y")))
+
+
+def _duck_corr(select_xy: str, ranked: bool) -> str:
+    core = f"""
+        cr_rows AS ({select_xy}),
+        cr_rx AS (
+            SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1 AS rx
+            FROM (SELECT x, COUNT(*) AS cnt FROM cr_rows GROUP BY x) t),
+        cr_ry AS (
+            SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1 AS ry
+            FROM (SELECT y, COUNT(*) AS cnt FROM cr_rows GROUP BY y) t),
+        cr_j AS (
+            SELECT {"rx AS jx, ry AS jy" if ranked else "x AS jx, y AS jy"}
+            FROM cr_rows
+            {"JOIN cr_rx USING (x) JOIN cr_ry USING (y)" if ranked else ""}),
+        cr_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(jx AS HUGEINT)) AS sx,
+                   SUM(CAST(jy AS HUGEINT)) AS sy,
+                   SUM(CAST(jx AS HUGEINT) * jx) AS sxx,
+                   SUM(CAST(jy AS HUGEINT) * jy) AS syy,
+                   SUM(CAST(jx AS HUGEINT) * jy) AS sxy
+            FROM cr_j)
+        SELECT n,
+               CASE WHEN n >= 2
+                    AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS rho
+        FROM cr_s
+    """
+    return "WITH " + core
+
+
+def duck_spearman_sql(src_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of spearman_rho — same r2 integer ranks, HUGEINT
+    sums, same final IEEE expression."""
+    sel = (
+        f"SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y "
+        f"FROM ({src_sql}) c0 "
+        f"WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL"
+    )
+    return _duck_corr(sel, ranked=True)
+
+
+def duck_pearson_sql(src_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of pearson_micro."""
+    sel = (
+        f"SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y "
+        f"FROM ({src_sql}) c0 "
+        f"WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL"
+    )
+    return _duck_corr(sel, ranked=False)

@@ -1,0 +1,91 @@
+"""Score-agreement correlation: Spearman (tie-shared exact ranks) and
+micro-Pearson vs scipy-free closed-form references + bit-identical
+DuckDB twins."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import corr as C
+
+# ties on both axes, designed disagreement
+ROWS = [
+    (10, 100), (10, 250), (20, 200), (30, 200), (30, 400),
+    (40, 350), (50, 500), (50, 450), (60, 600), (70, 550),
+]
+
+
+def _rank_avg(vals):
+    order = sorted(set(vals))
+    out = {}
+    lt = 0
+    for v in order:
+        c = vals.count(v)
+        out[v] = lt + (c + 1) / 2.0
+        lt += c
+    return [out[v] for v in vals]
+
+
+def _pearson(xs, ys):
+    x, y = np.asarray(xs, dtype=float), np.asarray(ys, dtype=float)
+    xc, yc = x - x.mean(), y - y.mean()
+    return float((xc @ yc) / np.sqrt((xc @ xc) * (yc @ yc)))
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    return spark.createDataFrame(ROWS, "x long, y long")
+
+
+def test_spearman_matches_reference_and_twin(spark, scored):
+    got = C.spearman_rho(scored, "x", "y").collect()[0]
+    xs, ys = [r[0] for r in ROWS], [r[1] for r in ROWS]
+    ref = _pearson(_rank_avg(xs), _rank_avg(ys))
+    assert got["n"] == len(ROWS)
+    assert got["rho"] == pytest.approx(ref, abs=1e-12)
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(ROWS, columns=["x", "y"]))
+    exp = con.sql(C.duck_spearman_sql("SELECT * FROM s", "x", "y")).fetchall()[0]
+    assert (got["n"], got["rho"]) == (int(exp[0]), exp[1])  # bit-identical
+
+
+def test_pearson_matches_reference_and_twin(spark, scored):
+    got = C.pearson_micro(scored, "x", "y").collect()[0]
+    xs, ys = [r[0] for r in ROWS], [r[1] for r in ROWS]
+    assert got["rho"] == pytest.approx(_pearson(xs, ys), abs=1e-12)
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(ROWS, columns=["x", "y"]))
+    exp = con.sql(C.duck_pearson_sql("SELECT * FROM s", "x", "y")).fetchall()[0]
+    assert (got["n"], got["rho"]) == (int(exp[0]), exp[1])
+
+
+def test_monotone_transform_gives_spearman_one(spark):
+    rows = [(v, v * v * v + 7) for v in range(-5, 15)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    assert C.spearman_rho(df, "x", "y").collect()[0]["rho"] == pytest.approx(1.0)
+    anti = spark.createDataFrame(
+        [(v, -v * 3) for v in range(20)], "x long, y long"
+    )
+    assert C.spearman_rho(anti, "x", "y").collect()[0]["rho"] == pytest.approx(-1.0)
+
+
+def test_degenerate_and_null_rules(spark):
+    flat = spark.createDataFrame([(1, 5), (1, 9), (1, 2)], "x long, y long")
+    assert C.spearman_rho(flat, "x", "y").collect()[0]["rho"] is None
+    one = spark.createDataFrame([(1, 5)], "x long, y long")
+    assert C.pearson_micro(one, "x", "y").collect()[0]["rho"] is None
+    nulls = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (4, None), (5, 50)],
+        "x long, y long",
+    )
+    got = C.spearman_rho(nulls, "x", "y").collect()[0]
+    assert got["n"] == 3 and got["rho"] == pytest.approx(1.0)
+
+
+def test_partition_invariance(spark, scored):
+    a = C.spearman_rho(scored, "x", "y").collect()[0]
+    b = C.spearman_rho(scored.repartition(7), "x", "y").collect()[0]
+    assert a == b
