@@ -470,3 +470,201 @@ def duck_tfidf_keywords_sql(
         WHERE rank <= {topk}
         ORDER BY id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality metrics: recall/precision@k, MRR, nDCG
+# ---------------------------------------------------------------------------
+def retrieval_metrics(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval run (`results`:
+    (qid, doc_id, rank) — bm25_scores/ann top-k output shape) against
+    graded `judgments` (qid, doc_id, rel ≥ 0): one row per JUDGED
+    query — (qid, n_rel, hits_at_k, recall_at_k, precision_at_k,
+    rr_micro, mrr, dcg_micro, idcg_micro, ndcg).
+
+    Conventions (standard TREC): relevant = rel > 0; unjudged
+    retrieved docs gain 0 (never guessed relevant); DCG gain is
+    (2^rel − 1)/log2(rank + 1); IDCG ranks the query's top-k
+    judgments by (rel desc, doc_id) — the doc_id tie-break makes the
+    ideal ordering deterministic. A judged query none of whose docs
+    are relevant (n_rel = 0) keeps its row with recall/mrr/ndcg NULL
+    (undefined, surfaced not guessed).
+
+    Determinism contract: every per-doc contribution is micro-rounded
+    to an INTEGER (rr_micro = round(1e6/rank); dcg/idcg contributions
+    = round(1e6 · gain / log2(rank+1)), positive so Spark HALF_UP ==
+    DuckDB half-away) and summed as BIGINT — partition/merge-order
+    independent, twin-comparable bit-for-bit; recall/precision/mrr/
+    ndcg are single shared divisions.
+
+    Scale shape: one (qid, doc_id) equi-join vs the judgment table,
+    one qid-partitioned window for the ideal ranking, two
+    qid-grouped hash aggs — everything co-partitions on qid."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    res = results.select(
+        F.col(qid_col).alias("qid"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).where(F.col("rank") <= k)
+    jud = judgments.select(
+        F.col(qid_col).alias("qid"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    log2r = F.log2(F.col("rank").cast("double") + 1.0)
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+    hit = (
+        res.join(jud, ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_at_k"),
+            F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias(
+                "_first_rel_rank"
+            ),
+            F.sum(
+                F.round(F.lit(float(MICRO)) * gain / log2r).cast("long")
+            ).alias("dcg_micro"),
+        )
+    )
+    iw = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        jud.withColumn("_ir", F.row_number().over(iw).cast("long"))
+        .where(F.col("_ir") <= k)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(float(MICRO))
+                    * (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+                    / F.log2(F.col("_ir").cast("double") + 1.0)
+                ).cast("long")
+            ).alias("idcg_micro")
+        )
+    )
+    nrel = jud.where(F.col("rel") > 0).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    base = (
+        jud.select("qid")
+        .distinct()
+        .join(nrel, "qid", "left")
+        .join(ideal, "qid", "left")
+        .join(hit, "qid", "left")
+        .fillna({"n_rel": 0, "hits_at_k": 0, "dcg_micro": 0, "idcg_micro": 0})
+    )
+    rr = F.when(
+        F.col("_first_rel_rank").isNotNull(),
+        F.round(F.lit(float(MICRO)) / F.col("_first_rel_rank").cast("double")).cast(
+            "long"
+        ),
+    )
+    has_rel = F.col("n_rel") > 0
+    return base.select(
+        "qid",
+        "n_rel",
+        "hits_at_k",
+        F.when(
+            has_rel,
+            F.col("hits_at_k").cast("double")
+            / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+        ).alias("recall_at_k"),
+        (F.col("hits_at_k").cast("double") / float(k)).alias("precision_at_k"),
+        F.coalesce(rr, F.when(has_rel, F.lit(0))).cast("long").alias("rr_micro"),
+        F.when(
+            has_rel, F.coalesce(rr, F.lit(0)).cast("double") / float(MICRO)
+        ).alias("mrr"),
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            has_rel & (F.col("idcg_micro") > 0),
+            F.col("dcg_micro").cast("double") / F.col("idcg_micro").cast("double"),
+        ).alias("ndcg"),
+    )
+
+
+def duck_retrieval_metrics_sql(
+    results_sql: str,
+    judgments_sql: str,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> str:
+    """DuckDB twin of retrieval_metrics — same integer contributions,
+    same NULL rules, same single divisions."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    m = float(MICRO)
+    return f"""
+        WITH rm_res AS (
+            SELECT {qid_col} AS qid, {doc_col} AS doc_id,
+                   CAST({rank_col} AS BIGINT) AS rank
+            FROM ({results_sql}) r0 WHERE {rank_col} <= {k}),
+        rm_jud AS (
+            SELECT {qid_col} AS qid, {doc_col} AS doc_id,
+                   CAST({rel_col} AS BIGINT) AS rel
+            FROM ({judgments_sql}) j0),
+        rm_hit AS (
+            SELECT r.qid,
+                   CAST(SUM(CASE WHEN j.rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hits_at_k,
+                   MIN(CASE WHEN j.rel > 0 THEN r.rank END) AS first_rel_rank,
+                   CAST(SUM(CAST(ROUND({m} * (POW(2.0, j.rel) - 1.0)
+                       / log2(CAST(r.rank AS DOUBLE) + 1.0)) AS BIGINT))
+                       AS BIGINT) AS dcg_micro
+            FROM rm_res r JOIN rm_jud j USING (qid, doc_id)
+            GROUP BY r.qid),
+        rm_ideal AS (
+            SELECT qid,
+                   CAST(SUM(CAST(ROUND({m} * (POW(2.0, rel) - 1.0)
+                       / log2(CAST(ir AS DOUBLE) + 1.0)) AS BIGINT))
+                       AS BIGINT) AS idcg_micro
+            FROM (
+                SELECT qid, rel,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY rel DESC, doc_id) AS ir
+                FROM rm_jud) t
+            WHERE ir <= {k}
+            GROUP BY qid),
+        rm_nrel AS (
+            SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+            FROM rm_jud WHERE rel > 0 GROUP BY qid),
+        rm_base AS (
+            SELECT q.qid,
+                   COALESCE(n.n_rel, 0) AS n_rel,
+                   COALESCE(h.hits_at_k, 0) AS hits_at_k,
+                   h.first_rel_rank,
+                   COALESCE(h.dcg_micro, 0) AS dcg_micro,
+                   COALESCE(i.idcg_micro, 0) AS idcg_micro
+            FROM (SELECT DISTINCT qid FROM rm_jud) q
+            LEFT JOIN rm_nrel n USING (qid)
+            LEFT JOIN rm_ideal i USING (qid)
+            LEFT JOIN rm_hit h USING (qid))
+        SELECT qid, n_rel, hits_at_k,
+               CASE WHEN n_rel > 0 THEN CAST(hits_at_k AS DOUBLE)
+                   / CAST(LEAST(n_rel, {k}) AS DOUBLE) END AS recall_at_k,
+               CAST(hits_at_k AS DOUBLE) / {float(k)!r} AS precision_at_k,
+               CASE WHEN first_rel_rank IS NOT NULL THEN
+                   CAST(ROUND({m} / CAST(first_rel_rank AS DOUBLE)) AS BIGINT)
+                   WHEN n_rel > 0 THEN 0 END AS rr_micro,
+               CASE WHEN n_rel > 0 THEN
+                   CAST(COALESCE(CAST(ROUND({m} / CAST(first_rel_rank AS DOUBLE))
+                       AS BIGINT), 0) AS DOUBLE) / {m!r} END AS mrr,
+               dcg_micro, idcg_micro,
+               CASE WHEN n_rel > 0 AND idcg_micro > 0 THEN
+                   CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+               END AS ndcg
+        FROM rm_base
+    """

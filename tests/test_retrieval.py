@@ -310,3 +310,99 @@ def test_tfidf_keywords_validation(spark):
         retrieval.tfidf_keywords(docs, min_df=0)
     with pytest.raises(ValueError):
         retrieval.duck_tfidf_keywords_sql("s", topk=-1)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality metrics: recall/precision@k, MRR, nDCG
+# ---------------------------------------------------------------------------
+RM_RESULTS = [
+    # q1: rel docs at ranks 1 and 3; unjudged doc at rank 2
+    ("q1", "d1", 1), ("q1", "dX", 2), ("q1", "d2", 3), ("q1", "d9", 4),
+    # q2: first relevant at rank 2 (graded rel=2 doc behind a rel=0)
+    ("q2", "d5", 1), ("q2", "d6", 2), ("q2", "d7", 3),
+    # q3: judged query, nothing relevant retrieved
+    ("q3", "d8", 1),
+]
+RM_JUDGMENTS = [
+    ("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d9", 0), ("q1", "d99", 1),
+    ("q2", "d5", 0), ("q2", "d6", 2), ("q2", "d7", 1),
+    ("q3", "d8", 0), ("q3", "d77", 0),
+    ("q4", "d50", 1),  # judged query with no results at all
+]
+
+
+def _rm_frames(spark):
+    res = spark.createDataFrame(RM_RESULTS, "qid string, doc_id string, rank long")
+    jud = spark.createDataFrame(RM_JUDGMENTS, "qid string, doc_id string, rel int")
+    return res, jud
+
+
+def test_retrieval_metrics_designed_values(spark):
+    import math
+    res, jud = _rm_frames(spark)
+    got = {r["qid"]: r for r in retrieval.retrieval_metrics(res, jud, k=3).collect()}
+    assert set(got) == {"q1", "q2", "q3", "q4"}
+    q1 = got["q1"]
+    # 3 relevant judged (d1, d2, d99); hits in top-3: d1, d2
+    assert (q1["n_rel"], q1["hits_at_k"]) == (3, 2)
+    assert q1["recall_at_k"] == pytest.approx(2 / 3)
+    assert q1["precision_at_k"] == pytest.approx(2 / 3)
+    assert q1["mrr"] == 1.0  # first relevant at rank 1
+    # dcg = (2^1-1)/log2(2) + (2^2-1)/log2(4); ideal = rel 2 then 1,1
+    dcg = round(1e6 * 1 / 1) + round(1e6 * 3 / 2)
+    idcg = (
+        round(1e6 * 3 / 1)
+        + round(1e6 * 1 / math.log2(3))
+        + round(1e6 * 1 / 2)
+    )
+    assert (q1["dcg_micro"], q1["idcg_micro"]) == (dcg, idcg)
+    assert q1["ndcg"] == dcg / idcg
+    q2 = got["q2"]
+    assert q2["mrr"] == 0.5 and q2["hits_at_k"] == 2
+    q3 = got["q3"]  # no relevant judged: metrics undefined, surfaced
+    assert q3["n_rel"] == 0 and q3["recall_at_k"] is None
+    assert q3["mrr"] is None and q3["ndcg"] is None
+    q4 = got["q4"]  # relevant exists, nothing retrieved: zeros not NULLs
+    assert (q4["hits_at_k"], q4["rr_micro"], q4["mrr"]) == (0, 0, 0.0)
+    assert q4["recall_at_k"] == 0.0 and q4["ndcg"] == 0.0
+
+
+def test_retrieval_metrics_twin_bit_identical(spark):
+    res, jud = _rm_frames(spark)
+    for k in (1, 3, 10):
+        got = sorted(
+            tuple(r) for r in retrieval.retrieval_metrics(res, jud, k=k).collect()
+        )
+        con = duckdb.connect()
+        con.register("res", pd.DataFrame(RM_RESULTS, columns=["qid", "doc_id", "rank"]))
+        con.register("jud", pd.DataFrame(RM_JUDGMENTS, columns=["qid", "doc_id", "rel"]))
+        exp = sorted(
+            tuple(r)
+            for r in con.sql(
+                retrieval.duck_retrieval_metrics_sql(
+                    "SELECT * FROM res", "SELECT * FROM jud", k=k
+                )
+            ).fetchall()
+        )
+        norm = lambda rows: [
+            tuple(int(v) if isinstance(v, (int,)) and not isinstance(v, bool)
+                  else v for v in row)
+            for row in rows
+        ]
+        assert norm(got) == norm(exp), k
+
+
+def test_retrieval_metrics_partition_invariance_and_validation(spark):
+    res, jud = _rm_frames(spark)
+    a = sorted(tuple(r) for r in retrieval.retrieval_metrics(res, jud, k=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in retrieval.retrieval_metrics(
+            res.repartition(5), jud.repartition(3), k=3
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        retrieval.retrieval_metrics(res, jud, k=0)
+    with pytest.raises(ValueError):
+        retrieval.duck_retrieval_metrics_sql("x", "y", k=0)
