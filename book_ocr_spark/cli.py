@@ -187,8 +187,29 @@ def main(argv: list[str] | None = None) -> int:
         "--lexicon-max-hit-ratio", type=float, default=0.0,
         help="max lexicon hits per word (0.0 = C4 any-hit drop)",
     )
+    cur.add_argument(
+        "--input-format", choices=("parquet", "warc"), default="parquet",
+        help="warc: --input is a dir of *.warc/*.warc.gz crawl archives, "
+        "ingested via sources.warc.warc_documents (columns become "
+        "id/url/text; pass --url-col url to enable the URL gate)",
+    )
+    cur.add_argument(
+        "--max-payload-bytes", type=int, default=None,
+        help="WARC payload size cap (oversized records quarantine; "
+        "only with --input-format warc)",
+    )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="materialize crawl archives as a documents parquet "
+        "(id, url, text) — the WARC front door (sources.warc)",
+    )
+    iw.add_argument("--input", required=True, help="dir of *.warc/*.warc.gz")
+    iw.add_argument("--output", required=True, help="documents parquet path")
+    iw.add_argument("--max-payload-bytes", type=int, default=None)
+    iw.add_argument("--threads", type=int, default=None)
+    iw.add_argument("--log-level", default="WARN")
     ct = sub.add_parser(
         "curate-transcripts",
         help="the transcripts -> SFT-training-corpus pass: prefix dedup "
@@ -422,6 +443,22 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
 
+    if args.cmd == "ingest-warc":
+        from book_ocr_spark.session import get_spark
+        from book_ocr_spark.sources.warc import warc_documents
+
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-ingest-warc", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            docs = warc_documents(spark, args.input, args.max_payload_bytes)
+            docs.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"documents": n, "output": args.output}))
+            return 0
+        finally:
+            spark.stop()
+
     if args.cmd == "curate":
         from book_ocr_spark.plans.curation import curate_web_corpus
         from book_ocr_spark.session import get_spark
@@ -442,7 +479,14 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel(args.log_level)
         handle: list = []
         try:
-            docs = spark.read.parquet(args.input)
+            if args.input_format == "warc":
+                from book_ocr_spark.sources.warc import warc_documents
+
+                docs = warc_documents(
+                    spark, args.input, args.max_payload_bytes
+                )
+            else:
+                docs = spark.read.parquet(args.input)
             block = None
             if args.block_domains is not None:
                 reader = spark.read

@@ -432,3 +432,40 @@ def test_cli_grade(spark, tmp_path, monkeypatch, capsys):
     assert card["pass_at_k"]["1"] == 0.5 and card["pass_at_k"]["2"] == 1.0
     v = {r.conv_id: r.passed for r in spark.read.parquet(out).collect()}
     assert v == {"g1": True, "g2": False}
+
+
+def test_cli_ingest_warc_and_curate_warc(spark, tmp_path, capsys, monkeypatch):
+    """WARC front door end-to-end: ingest-warc materializes
+    (id, url, text) parquet; curate --input-format warc runs the
+    curation pass straight off the archives with the URL gate live."""
+    import gzip
+
+    from tests.test_warc import RECORDS
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    wdir = tmp_path / "archives"
+    wdir.mkdir()
+    (wdir / "a.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in RECORDS)
+    )
+    docs_out = str(tmp_path / "docs")
+    assert cli.main(
+        ["ingest-warc", "--input", str(wdir), "--output", docs_out]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["documents"] == 2  # the two 2xx responses
+    got = {r["url"] for r in spark.read.parquet(docs_out).collect()}
+    assert got == {"http://a.example/", "http://b.example/page"}
+
+    block = str(tmp_path / "block")
+    spark.createDataFrame([("b.example",)], "domain string").write.parquet(block)
+    cur_out = str(tmp_path / "curated")
+    assert cli.main([
+        "curate", "--input", str(wdir), "--input-format", "warc",
+        "--url-col", "url", "--block-domains", block,
+        "--output", cur_out, "--line-min-docs", "2",
+    ]) == 0
+    kept = spark.read.parquet(cur_out)
+    assert {r["id"] for r in kept.select("id").collect()} == {
+        "<urn:uuid:aaa-111>"
+    }  # b.example blocked at the URL gate; a.example survives

@@ -10,8 +10,16 @@ import pytest
 
 from book_ocr_spark.sources import warc as W
 
-HTML_A = "<html><body><p>Main article text. Café content.</p></body></html>"
-HTML_B = "<html><body><p>Second page body.</p></body></html>"
+HTML_A = (
+    "<html><body><p>Main article text with Café content and enough "
+    "plain running words that the downstream quality gate keeps this "
+    "page as a real document worth curating today.</p></body></html>"
+)
+HTML_B = (
+    "<html><body><p>Second page body also carries a long enough run "
+    "of ordinary words to clear the corpus quality thresholds used "
+    "by the curation pass in the tests.</p></body></html>"
+)
 
 
 def _http(status: str, body: bytes, ctype: str = "text/html") -> bytes:
