@@ -146,3 +146,42 @@ def test_validation_and_edges(spark, vecs):
         (r["i"], r["j"]): r["s"] for r in P.gram_moments(mixed).collect()
     }[(-1, -1)]
     assert n_cell == 1 * P.SCALE
+
+
+def test_pca_feeds_ann_stack(spark):
+    """Composition: PCA-reduced vectors are a drop-in input to the
+    banded-LSH near-dup path — the bucketed op over the reduced
+    embeddings equals its own brute-force definition, and every
+    designed near-dup cluster survives the reduction."""
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(5, 16))
+    rows, vid = [], 0
+    for b in base:
+        for _ in range(4):
+            v = b + rng.normal(scale=0.01, size=16)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in np.float32(v)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = P.fit_pca(df, k=8)
+    red = P.pca_project(df, model, out_col="emb8").select(
+        "vec_id", F.col("emb8").cast("array<float>").alias("embedding")
+    )
+    brute = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(red, threshold=0.9).collect()
+    )
+    banded = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs_bucketed(
+            red, threshold=0.9, dim=8
+        ).collect()
+    )
+    assert banded == brute
+    # all 5 clusters' C(4,2)=6 within-cluster pairs survive reduction
+    clusters = {(a, b) for a, b in brute if a // 4 == b // 4}
+    assert len(clusters) == 30
