@@ -513,6 +513,15 @@ def q_order_gap_days(spark, sf_dir):
 # (grouping-sets stays driver-covered via rollup_metrics, lead/lag via
 # user_event_lag + user_sessions); their oracles live on here and are
 # pinned by tests/test_unregistered_queries.py.
+USER_EVENT_LAG_ORACLE = """
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER w, 4) AS delta,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+"""
+
 CUBE_ORDER_METRICS_ORACLE = """
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS order_year,
@@ -888,6 +897,57 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Threshold-free classifier eval: exact tie-aware ROC-AUC (integer
+    Mann-Whitney numerator) of a deterministic score — micro-rounded
+    first embedding component — against the binarized label column.
+    The auc field is one shared double division, hash-checked."""
+    from book_ocr_spark.operators.classifier import roc_auc
+
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.round(
+            F.element_at(F.col("embedding").cast("array<double>"), 1)
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("logit_micro"),
+        (F.col("label") % 2).cast("int").alias("label"),
+    )
+    return roc_auc(scored)
+
+
+def q_ann_quality(spark, sf_dir):
+    """Composed retrieval eval: the brute-force cosine top-5 run
+    (the existing ann oracle's exact plan) graded by label-agreement
+    judgments — recall/precision@5, MRR, nDCG per query, every
+    contribution micro-rounded to an integer so the whole composition
+    (ANN ranking INCLUDED) replays bit-identically in DuckDB."""
+    from book_ocr_spark.operators.retrieval import retrieval_metrics
+    from book_ocr_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    res = cosine_topk(e, probes, k=5).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    jud = (
+        probes.select(F.col("vec_id").alias("qid"), F.col("label").alias("q_lab"))
+        .crossJoin(
+            e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("d_lab"))
+        )
+        .where(F.col("qid") != F.col("doc_id"))
+        .select(
+            "qid",
+            "doc_id",
+            F.when(F.col("q_lab") == F.col("d_lab"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    return retrieval_metrics(res, jud, k=5).orderBy("qid")
+
+
 def q_pq_adc_topk(spark, sf_dir):
     """Product-quantization ADC top-5 (the compressed-vector ANN tier):
     per-subspace Lloyd codebooks quantize the corpus to m_sub=4 small
@@ -1188,6 +1248,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_fingerprint) swapped for pq_adc_topk — the
     # compressed-vector ANN tier is a new operator class; the retiree
     # keeps twin coverage in tests/test_unregistered_queries.py.
+    # Late-r3 extension: user_event_lag / media_frame_sample (lead/lag
+    # stays covered via user_sessions + order_window_compose;
+    # multimodal via multimodal_features) swapped for ann_quality
+    # (composed retrieval eval: ANN run graded by judgments —
+    # recall/precision@k, MRR, nDCG) and classifier_auc (exact
+    # tie-aware ROC-AUC) — the eval-metric operator class was
+    # otherwise unrepresented in the gate; both retirees keep twin
+    # coverage in tests/test_unregistered_queries.py.
     return {
         "compose_docs": q_compose_docs,
         "pipeline_plain_sql": q_pipeline_plain_sql,
@@ -1202,7 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": q_rollup_metrics,
         "nations_setops": q_nations_setops,
         "preference_pairs": q_preference_pairs,
-        "user_event_lag": q_user_event_lag,
+        "ann_quality": q_ann_quality,
         "global_page_numbers": q_global_page_numbers,
         "daily_event_rollup": q_daily_event_rollup,
         "json_props": q_json_props,
@@ -1236,7 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         "bigram_entropy": q_bigram_entropy,
         "multimodal_features": q_multimodal_features,
-        "media_frame_sample": q_media_frame_sample,
+        "classifier_auc": q_classifier_auc,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
     }
@@ -1262,6 +1330,36 @@ def _dedup_oracle_sql(which: str) -> str:
     if which == "simhash_pairs":
         return duck_simhash_near_dup_sql(_dedup_corpus_sql(), max_hamming=4)
     return duck_ngram_jaccard_sql(_dedup_corpus_sql(max_id=150), n=3, threshold=0.2)
+
+
+def _classifier_auc_oracle_sql() -> str:
+    from book_ocr_spark.operators.classifier import duck_roc_auc_sql
+
+    return duck_roc_auc_sql(
+        "SELECT CAST(ROUND(1000000.0 * CAST(embedding[1] AS DOUBLE)) AS BIGINT)"
+        " AS logit_micro, label % 2 AS label FROM embeddings"
+    )
+
+
+def _ann_quality_oracle_sql() -> str:
+    from book_ocr_spark.operators.retrieval import duck_retrieval_metrics_sql
+    from book_ocr_spark.operators.similarity import duck_cosine_topk_sql
+
+    topk = duck_cosine_topk_sql(
+        "SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings",
+        "SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10",
+        k=5,
+    )
+    results = (
+        f"SELECT query_id AS qid, neighbor_id AS doc_id, rank FROM ({topk}) tk"
+    )
+    judgments = (
+        "SELECT q.vec_id AS qid, d.vec_id AS doc_id, "
+        "CASE WHEN q.label = d.label THEN 1 ELSE 0 END AS rel "
+        "FROM embeddings q, embeddings d "
+        "WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id"
+    )
+    return duck_retrieval_metrics_sql(results, judgments, k=5)
 
 
 def _similarity_oracle_sql(which: str) -> str:
@@ -1627,14 +1725,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY op, nationkey
         """,
         "preference_pairs": _preference_pairs_oracle_sql(),
-        "user_event_lag": """
-            SELECT user_id, event_id,
-                   ROUND(value - LAG(value) OVER w, 4) AS delta,
-                   LAG(event_type) OVER w AS prev_type
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ORDER BY user_id, event_id
-        """,
+        "ann_quality": _ann_quality_oracle_sql(),
         "global_page_numbers": """
             SELECT n_name,
                    PRINTF('page_%03d', ROW_NUMBER() OVER (ORDER BY n_name)) AS page
@@ -1734,7 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_flags": _textstats_oracle_sql("quality"),
         "bigram_entropy": _textstats_oracle_sql("entropy"),
         "multimodal_features": _multimodal_oracle_sql("features"),
-        "media_frame_sample": _multimodal_oracle_sql("frames"),
+        "classifier_auc": _classifier_auc_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "repetition_signals": _repetition_oracle_sql(),
         "pipeline_plain_sql": """

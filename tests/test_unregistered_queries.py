@@ -95,3 +95,27 @@ def test_doc_fingerprint_twin(spark, con):
         em.q_doc_fingerprint(spark, SF_DIR).toPandas(),
         con.execute(em.DOC_FINGERPRINT_ORACLE_SQL).df(),
     )
+
+
+def test_user_event_lag_twin(spark, con):
+    """Retired in favor of the composed ann_quality row; the lead/lag
+    window class stays driver-covered via user_sessions (lag-based
+    sessionization) and order_window_compose."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_user_event_lag(spark, SF_DIR).toPandas(),
+        con.execute(em.USER_EVENT_LAG_ORACLE).df(),
+    )
+
+
+def test_media_frame_sample_twin(spark, con):
+    """Retired in favor of the classifier_auc eval-curve row; the
+    multimodal class stays driver-covered via multimodal_features
+    (which hash-checks all six feature columns)."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_media_frame_sample(spark, SF_DIR).toPandas(),
+        con.execute(em._multimodal_oracle_sql("frames")).df(),
+    )
