@@ -11,7 +11,7 @@ correlation sums (Σx, Σy, Σx², Σy², Σxy) are DECIMAL(38,0) sums of
 integer products — partition/merge-order independent and compared
 bit-for-bit by the twin. The final ρ is one shared IEEE expression
 over those exact sums. Magnitude bound: Σ(r2)² ≤ 4n³ < 10³⁸ ⇒ exact
-to n ≈ 2.9·10¹¹ rows; Pearson on micro scores |z| ≤ Z bounds at
+to n ≈ 2.9·10¹² rows; Pearson on micro scores |z| ≤ Z bounds at
 n·Z² < 10³⁸.
 
 Scale shape (shared with roc_auc/pr_curve): per-signal hash agg to

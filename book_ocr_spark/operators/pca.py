@@ -150,6 +150,27 @@ def duck_gram_moments_sql(src_sql: str, vec_col: str = "embedding") -> str:
     """
 
 
+def merge_moments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Moment tables are ADDITIVE integers, so merging two corpora's
+    (or two days') moments is one per-cell BIGINT sum — the
+    incremental-fit shape: keep yesterday's d²-cell table, add
+    today's batch's moments, refit; the raw corpus is never
+    rescanned. merge(moments(A), moments(B)) == moments(A ∪ B)
+    bit-for-bit (integer associativity, pinned in tests)."""
+    return (
+        a.unionByName(b)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+
+
+def fit_pca_from_moments(moments: DataFrame, k: int | None = None) -> dict:
+    """Fit from a (possibly merged) moments table — the incremental
+    entry point; fit_pca(df) is exactly this over gram_moments(df)."""
+    cells = {(r["i"], r["j"]): r["s"] for r in moments.collect()}
+    return _fit_from_cells(cells, k)
+
+
 def fit_pca(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -163,6 +184,10 @@ def fit_pca(
         (r["i"], r["j"]): r["s"]
         for r in gram_moments(df, vec_col, dim).collect()
     }
+    return _fit_from_cells(cells, k)
+
+
+def _fit_from_cells(cells: dict, k: int | None) -> dict:
     if not cells:
         raise ValueError("fit_pca: no vectors")
     n = cells[(-1, -1)] // SCALE

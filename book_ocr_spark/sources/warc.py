@@ -72,14 +72,22 @@ def parse_warc_bytes(
     function `warc_records` maps and the tests replay. A structural
     error emits one quarantine row for the unparseable tail (offset
     kept) and stops: WARC has no resync marker mid-stream, so
-    guessing a next record boundary could fabricate records."""
-    data = _inflate(data)
+    guessing a next record boundary could fabricate records. A
+    corrupt gzip stream quarantines the whole FILE as one `bad_gzip`
+    row (a half-inflated archive is re-fetched, not half-trusted)
+    rather than failing the task."""
     rows: list[tuple] = []
-    pos, n, idx = 0, len(data), 0
+    idx = 0
 
     def _err(off: int, reason: str) -> tuple:
         return (fname, idx, off, None, None, None, None, None, None,
                 None, None, None, False, reason)
+
+    try:
+        data = _inflate(data)
+    except (OSError, EOFError):
+        return [_err(0, "bad_gzip")]
+    pos, n = 0, len(data)
 
     while pos < n:
         while data[pos:pos + 2] == b"\r\n":  # inter-record CRLFs

@@ -185,3 +185,17 @@ def test_pca_feeds_ann_stack(spark):
     # all 5 clusters' C(4,2)=6 within-cluster pairs survive reduction
     clusters = {(a, b) for a, b in brute if a // 4 == b // 4}
     assert len(clusters) == 30
+
+
+def test_moments_merge_is_union_fit(spark, vecs):
+    """Incremental shape: merge(moments(A), moments(B)) ==
+    moments(A ∪ B) bit-for-bit, and the refit from merged moments
+    equals the full-corpus fit exactly."""
+    a = vecs.where("vec_id % 2 = 0")
+    b = vecs.where("vec_id % 2 = 1")
+    merged = P.merge_moments(P.gram_moments(a), P.gram_moments(b))
+    full = P.gram_moments(vecs)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    assert P.fit_pca_from_moments(merged, k=3) == P.fit_pca(vecs, k=3)

@@ -166,3 +166,12 @@ def test_warc_documents_front_door(spark, warc_dir):
     assert docs[0]["id"] == "<urn:uuid:aaa-111>"  # record id when present
     assert "#2" not in docs[0]["id"] and "#" in docs[1]["id"]  # fallback id
     assert docs[0]["text"] == HTML_A
+
+
+def test_corrupt_gzip_quarantines_file(spark, tmp_path):
+    d = tmp_path / "gz"
+    d.mkdir()
+    blob = gzip.compress(RECORDS[2])
+    (d / "bad.warc.gz").write_bytes(blob[: len(blob) - 6] + b"\x00" * 6)
+    rows = W.warc_records(spark, str(d)).collect()
+    assert len(rows) == 1 and rows[0]["error"] == "bad_gzip"
