@@ -975,6 +975,136 @@ def duck_ngram_jaccard_sql(corpus_sql: str, n: int, threshold: float) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Containment near-dup: the ASYMMETRIC criterion (Broder's second measure)
+# ---------------------------------------------------------------------------
+def containment_pairs(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+    stop_shingle_df: int | None = None,
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """Directed containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    ≥ threshold — the superset/quote-expansion criterion symmetric
+    Jaccard MISSES (a doc fully quoted inside a 10× bigger doc has
+    Jaccard ≈ 0.1 but containment 1.0). Emits (contained_id,
+    container_id, shared, n_contained, containment); equal-set dups
+    appear in both directions (containment 1.0 each way).
+
+    Shape (the inverted-index similarity join, NOT minhash): shingles
+    hash to 56-bit keys (narrow shuffle rows; containment is defined
+    on the hashed shingle space — deterministic cross-engine, the
+    2⁻⁵⁶-per-pair collision class shared with every h56 use here); a
+    self-equi-join per shingle key + one (a, b) hash agg counts the
+    intersection EXACTLY (shingle sets are distinct per doc), so no
+    re-attach verify pass is needed. Per-key join work is df(key)²;
+    ``stop_shingle_df`` drops keys appearing in more documents than
+    the cap — the standard stop-shingle policy (a shingle shared by
+    half the corpus is boilerplate, costs O(df²) pairs, and carries
+    the least evidence). Dropping is LOSSY-conservative: shared
+    counts can only shrink, so capped containment never fabricates a
+    pair; the dropped-key count is appended to ``dropped_handle``
+    (surfaced, not silent) and pairs whose evidence was ONLY
+    stop-shingles are the template family handled by line/substring
+    dedup upstream.
+
+    Scale: one explode (linear in total shingles), per-key bounded
+    self-join, one pair hash agg. 100 TB guidance: run AFTER exact +
+    line dedup (they remove the mass that makes shingle df explode)
+    and set the cap; at threshold τ the contained side needs
+    shared ≥ τ·|A|, so candidates with one shared rare shingle are
+    cheap to count and die in the HAVING."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingle_sets(corpus, id_col, text_col, k, unit)
+    gk = sh.select(
+        "id", F.explode("sh").alias("_g")
+    ).select("id", F.expr(spark_h56("_g")).alias("gk")).distinct()
+    if stop_shingle_df is not None:
+        if stop_shingle_df < 1:
+            raise ValueError("stop_shingle_df must be >= 1")
+        dfc = gk.groupBy("gk").agg(F.count(F.lit(1)).alias("_df"))
+        if dropped_handle is not None:
+            dropped_handle.append(
+                dfc.where(F.col("_df") > stop_shingle_df).count()
+            )
+        keep = dfc.where(F.col("_df") <= stop_shingle_df).select("gk")
+        gk = gk.join(keep, "gk")
+    sizes = gk.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = gk.select(F.col("id").alias("contained_id"), "gk")
+    b = gk.select(F.col("id").alias("container_id"), "gk")
+    shared = (
+        a.join(b, "gk")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = shared.join(
+        sizes.withColumnRenamed("id", "contained_id").withColumnRenamed(
+            "n_sh", "n_contained"
+        ),
+        "contained_id",
+    )
+    c = F.col("shared").cast("double") / F.col("n_contained").cast("double")
+    return out.where(c >= threshold).select(
+        "contained_id",
+        "container_id",
+        "shared",
+        "n_contained",
+        c.alias("containment"),
+    )
+
+
+def duck_containment_pairs_sql(
+    corpus_sql: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+    stop_shingle_df: int | None = None,
+) -> str:
+    """DuckDB twin of containment_pairs — same hashed shingle space,
+    same counts, same single division."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    grams = (
+        duck_word_grams("text", k) if unit == "word" else duck_shingles("text", k)
+    )
+    cap = (
+        f""", cp_keep AS (
+            SELECT gk FROM cp_gk GROUP BY gk
+            HAVING COUNT(*) <= {int(stop_shingle_df)})"""
+        if stop_shingle_df is not None
+        else ""
+    )
+    src = "cp_gk JOIN cp_keep USING (gk)" if stop_shingle_df is not None else "cp_gk"
+    return f"""
+        WITH cp_corpus AS ({corpus_sql}),
+        cp_gk AS (
+            SELECT DISTINCT id, {duck_h56('g')} AS gk
+            FROM (SELECT id, unnest({grams}) AS g FROM cp_corpus) t){cap},
+        cp_kept AS (SELECT id, gk FROM {src}),
+        cp_sizes AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM cp_kept GROUP BY id),
+        cp_shared AS (
+            SELECT a.id AS contained_id, b.id AS container_id,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM cp_kept a JOIN cp_kept b USING (gk)
+            WHERE a.id <> b.id
+            GROUP BY a.id, b.id)
+        SELECT s.contained_id, s.container_id, s.shared,
+               z.n_sh AS n_contained,
+               CAST(s.shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS containment
+        FROM cp_shared s JOIN cp_sizes z ON s.contained_id = z.id
+        WHERE CAST(s.shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) >= {threshold}
+        ORDER BY contained_id, container_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the pair graph
 # ---------------------------------------------------------------------------
 def near_dup_clusters(

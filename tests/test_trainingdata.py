@@ -1752,3 +1752,132 @@ def test_lexicon_flags_null_text_passes_through(spark):
     want = {r[0]: tuple(r[1:]) for r in con.sql(
         duck_lexicon_flags_sql("SELECT * FROM lxn", ("badword",))).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (the asymmetric criterion)
+# ---------------------------------------------------------------------------
+CONT_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),          # contained in 2
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),        # the container
+    (3, "one two three four five six seven"),                       # equal dup of 4
+    (4, "one two three four five six seven"),
+    (5, "totally unrelated words in this document here now"),
+]
+
+
+def _cont_py(docs, k=3, threshold=0.8):
+    grams = {
+        i: {
+            " ".join(t.split(" ")[j:j + k])
+            for j in range(max(len(t.split(" ")) - k + 1, 1))
+        }
+        for i, t in docs
+    }
+    out = {}
+    for a, ga in grams.items():
+        for b, gb in grams.items():
+            if a == b:
+                continue
+            c = len(ga & gb) / len(ga)
+            if c >= threshold:
+                out[(a, b)] = (len(ga & gb), len(ga), c)
+    return out
+
+
+def test_containment_pairs_designed_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        duck_containment_pairs_sql,
+    )
+
+    df = spark.createDataFrame(CONT_DOCS, "id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]):
+            (r["shared"], r["n_contained"], r["containment"])
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == _cont_py(CONT_DOCS)
+    # asymmetry: 1 ⊂ 2 but not 2 ⊂ 1; equal dups both ways at 1.0
+    assert (1, 2) in got and (2, 1) not in got
+    assert got[(3, 4)][2] == 1.0 and got[(4, 3)][2] == 1.0
+    assert not any(5 in pair for pair in got)
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(CONT_DOCS, columns=["id", "text"]))
+    exp = {
+        (a, b): (int(s), int(n), c)
+        for a, b, s, n, c in con.sql(
+            duck_containment_pairs_sql("SELECT id, text FROM d", threshold=0.8)
+        ).fetchall()
+    }
+    assert exp == got  # bit-identical incl. the containment double
+
+
+def test_containment_stop_shingle_cap_conservative(spark):
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        duck_containment_pairs_sql,
+    )
+
+    # boilerplate shingle shared by everyone + one real containment
+    docs = [
+        (1, "common legal footer text alpha beta gamma delta"),
+        (2, "common legal footer text alpha beta gamma delta extra tail words here"),
+        (3, "common legal footer text unrelated body one"),
+        (4, "common legal footer text unrelated body two"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    full = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    handle: list = []
+    capped_df = containment_pairs(
+        df, threshold=0.6, stop_shingle_df=3, dropped_handle=handle
+    )
+    capped = {
+        (r["contained_id"], r["container_id"]) for r in capped_df.collect()
+    }
+    assert capped <= full          # lossy-conservative, never fabricates
+    assert (1, 2) in capped        # the real containment survives the cap
+    assert handle and handle[0] > 0  # dropped keys surfaced
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["id", "text"]))
+    exp = {
+        (a, b)
+        for a, b, *_ in con.sql(
+            duck_containment_pairs_sql(
+                "SELECT id, text FROM d", threshold=0.6, stop_shingle_df=3
+            )
+        ).fetchall()
+    }
+    assert exp == capped
+
+
+def test_containment_partition_invariance_and_validation(spark):
+    import pytest as _pt
+
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        duck_containment_pairs_sql,
+    )
+
+    df = spark.createDataFrame(CONT_DOCS, "id long, text string")
+    a = sorted(tuple(r) for r in containment_pairs(df).collect())
+    b = sorted(
+        tuple(r) for r in containment_pairs(df.repartition(7)).collect()
+    )
+    assert a == b
+    with _pt.raises(ValueError):
+        containment_pairs(df, threshold=0.0)
+    with _pt.raises(ValueError):
+        containment_pairs(df, stop_shingle_df=0)
+    with _pt.raises(ValueError):
+        duck_containment_pairs_sql("x", threshold=1.5)
