@@ -1076,16 +1076,24 @@ def _run_sketch_tracking(
     snap_dir: str,
     available_now: bool,
     max_files_per_trigger: int | None,
+    stream_schema=None,
 ):
     """Shared skeleton for the streaming sketch trackers (HLL
-    cardinality, EH quantiles): per micro-batch, ``build_batch`` the
-    batch sketch, merge with the cumulative state (read-then-catch:
-    missing state dir = first batch, unreadable = fail the batch),
-    write ``snapshot`` then the batch sketch under batch_id-keyed
-    idempotent dynamic-partition overwrites. ONE copy of the
-    persist/read/merge/write contract — a fix here fixes every
-    tracker."""
-    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    cardinality, EH quantiles, embedding moments): per micro-batch,
+    ``build_batch`` the batch sketch, merge with the cumulative state
+    (read-then-catch: missing state dir = first batch, unreadable =
+    fail the batch), write ``snapshot`` then the batch sketch under
+    batch_id-keyed idempotent dynamic-partition overwrites. ONE copy
+    of the persist/read/merge/write contract — a fix here fixes every
+    tracker. ``stream_schema`` (DDL string) switches the file source
+    off the default transcripts table (declared, never inferred)."""
+    if stream_schema is None:
+        stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    else:
+        reader = spark.readStream.schema(stream_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(input_path)
     state_path = f"{out_path}/{state_dir}"
     snap_path = f"{out_path}/{snap_dir}"
     state_cols = [c.split()[0] for c in state_schema.split(",")]
@@ -1218,4 +1226,73 @@ def start_quantile_tracking(
         snap_dir="quantiles",
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def start_embedding_moments_tracking(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k_components: int | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming embedding-distribution tracking — the drift signal
+    for the ANN stack: each micro-batch's INTEGER moment table
+    (pca.gram_moments) merges into the cumulative moments by per-cell
+    BIGINT addition (the EXACT merge the batch operator proves:
+    merge(moments(A), moments(B)) == moments(A ∪ B)), and the running
+    eigen-spectrum snapshots per batch as (comp, eigval, explained,
+    n) — a collapsing or rotating spectrum is the signal that tuned
+    hyperplane bands / IVF centroids / PCA projections no longer fit
+    the arriving embeddings. Moments land under ``moments/`` keyed by
+    batch_id (idempotent replays; cumulative = cell-sum over
+    partitions, vector history never rescanned), spectra under
+    ``spectrum/``. Input files carry (..., vec_col array<float>);
+    schema is declared, never inferred.
+
+    A cumulative state with n < 2 vectors has no spectrum yet — the
+    snapshot is EMPTY for that batch (surfaced by absence), not a
+    fabricated eigenvalue. Scale shape per batch: one Arrow pass to
+    d(d+1)/2+d+1 integer cells + a cell-sum over (batches × cells)
+    rows; eigh is O(d³) on the driver."""
+    from book_ocr_spark.operators.pca import (
+        fit_pca_from_moments,
+        gram_moments,
+        merge_moments,
+    )
+
+    spec_schema = "comp int, eigval double, explained double, n long"
+
+    def snapshot(cum: DataFrame) -> DataFrame:
+        try:
+            model = fit_pca_from_moments(cum, k=k_components)
+        except ValueError:
+            return spark.createDataFrame([], spec_schema)
+        tot = sum(model["eigvals"])
+        rows = [
+            (
+                i,
+                float(ev),
+                float(ev / tot) if tot > 0 else None,
+                model["n"],
+            )
+            for i, ev in enumerate(model["eigvals"])
+        ]
+        return spark.createDataFrame(rows, spec_schema)
+
+    return _run_sketch_tracking(
+        spark, input_path, out_path, checkpoint_path,
+        build_batch=lambda df: gram_moments(df, vec_col, dim),
+        merge=merge_moments,
+        snapshot=snapshot,
+        state_schema="i int, j int, s long",
+        state_dir="moments",
+        snap_dir="spectrum",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        stream_schema=f"vec_id long, {vec_col} array<float>",
     )

@@ -797,3 +797,52 @@ def test_streaming_quantile_tracking(spark, tmp_path):
     # batch 2's long texts must pull the cumulative p99 up
     first = {r.q: r.value for r in rows if r.batch_id == 0}
     assert final[0.99] > first[0.99]
+
+
+def test_streaming_embedding_moments_tracking(spark, tmp_path):
+    """Per-batch INTEGER moment cells merge by addition; the final
+    spectrum snapshot EQUALS the batch fit over the full vector set
+    (exact merge proven through the stream), and a rank-expanding
+    second batch shows up as a fatter tail in `explained`."""
+    import numpy as np
+
+    from book_ocr_spark.operators import pca as P
+
+    rng = np.random.default_rng(11)
+    # batch 1: variance on one axis; batch 2: a second axis appears
+    b1 = [
+        (i, [float(v) for v in np.float32([x, 0.05 * y, 0.01 * z, 0.01 * w])])
+        for i, (x, y, z, w) in enumerate(rng.normal(size=(60, 4)) * [3, 1, 1, 1])
+    ]
+    b2 = [
+        (100 + i, [float(v) for v in np.float32([0.05 * x, 3 * y, 0.01 * z, 0.01 * w])])
+        for i, (x, y, z, w) in enumerate(rng.normal(size=(60, 4)))
+    ]
+    sch = "vec_id long, embedding array<float>"
+    inp = str(tmp_path / "emb_in")
+    for b in (b1, b2):
+        spark.createDataFrame(b, sch).coalesce(1).write.mode("append").parquet(inp)
+
+    q = jobs.start_embedding_moments_tracking(
+        spark, inp, str(tmp_path / "emb_out"), str(tmp_path / "emb_ckpt"),
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    spec = spark.read.parquet(str(tmp_path / "emb_out/spectrum")).collect()
+    assert {r.batch_id for r in spec} == {0, 1}
+    final = {r.comp: (r.eigval, r.explained) for r in spec if r.batch_id == 1}
+    full = P.fit_pca(spark.createDataFrame(b1 + b2, sch))
+    for i, ev in enumerate(full["eigvals"]):
+        assert final[i][0] == ev  # streamed merge == batch fit, bit-equal
+    assert all(r.n == 120 for r in spec if r.batch_id == 1)
+    # batch 2 adds a second strong axis: comp-1 explained share rises
+    first = {r.comp: r.explained for r in spec if r.batch_id == 0}
+    assert final[1][1] > first[1]
+    # cumulative moment state is per-batch partitioned and re-mergeable
+    cells = spark.read.parquet(str(tmp_path / "emb_out/moments"))
+    merged = P.merge_moments(
+        cells.where("batch_id = 0").select("i", "j", "s"),
+        cells.where("batch_id = 1").select("i", "j", "s"),
+    )
+    assert P.fit_pca_from_moments(merged) == full
