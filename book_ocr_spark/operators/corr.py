@@ -175,3 +175,109 @@ def duck_pearson_sql(src_sql: str, x_col: str, y_col: str) -> str:
         f"WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL"
     )
     return _duck_corr(sel, ranked=False)
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row (n, n_concordant, n_discordant, rho): Kendall τ-b with
+    the standard tie correction — the third agreement view (Spearman
+    asks "same ranking?", τ-b asks "what fraction of PAIRS order the
+    same way?", robust to a few wild disagreements that crater ρ).
+
+    Shape: the rows collapse to the JOINT contingency table (x, y,
+    cnt) in one hash agg — bounded by distinct (x, y) VALUE pairs, the
+    2-D vocab-table analog (micro-integer scores; quantize continuous
+    scores first) — then concordant/discordant pair counts are 2-D
+    dominance sums over that table: a (b.x < a.x AND b.y < a.y)
+    self-join, O(g²) over g cells, never over n rows. C and D are
+    DECIMAL(38,0) sums of cnt·cnt integer products (exact; compared
+    bit-for-bit by the twin); τ-b is one shared IEEE expression over
+    C, D, n and the two tie terms. Degenerate axis or n < 2 ⇒ NULL."""
+    rows = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    cells = rows.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    a = cells.select(
+        F.col("_x").alias("ax"), F.col("_y").alias("ay"), F.col("_c").alias("ac")
+    )
+    b = cells.select(
+        F.col("_x").alias("bx"), F.col("_y").alias("by"), F.col("_c").alias("bc")
+    )
+    prod = (F.col("ac").cast(DEC) * F.col("bc").cast(DEC))
+    conc = (
+        a.join(b, (F.col("bx") < F.col("ax")) & (F.col("by") < F.col("ay")))
+        .agg(F.coalesce(F.sum(prod), F.lit(0).cast(DEC)).alias("n_concordant"))
+    )
+    disc = (
+        a.join(b, (F.col("bx") < F.col("ax")) & (F.col("by") > F.col("ay")))
+        .agg(F.coalesce(F.sum(prod), F.lit(0).cast(DEC)).alias("n_discordant"))
+    )
+    tx = (
+        rows.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast(DEC).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("n1"))
+    )
+    ty = (
+        rows.groupBy("_y")
+        .agg(F.count(F.lit(1)).cast(DEC).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("n2"))
+    )
+    nn = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = (
+        nn.crossJoin(conc).crossJoin(disc).crossJoin(tx).crossJoin(ty)
+    )
+    n0 = F.expr(f"cast(n as {DEC}) * (cast(n as {DEC}) - 1) / 2")
+    c, d = F.col("n_concordant").cast("double"), F.col("n_discordant").cast("double")
+    vx = (n0 - F.coalesce(F.col("n1"), F.lit(0).cast(DEC))).cast("double")
+    vy = (n0 - F.coalesce(F.col("n2"), F.lit(0).cast(DEC))).cast("double")
+    return tot.select(
+        "n",
+        F.col("n_concordant").cast("long").alias("n_concordant"),
+        F.col("n_discordant").cast("long").alias("n_discordant"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+            (c - d) / F.sqrt(vx * vy),
+        ).alias("rho"),
+    )
+
+
+def duck_kendall_sql(src_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of kendall_tau — same contingency dominance sums,
+    HUGEINT-exact, same final IEEE expression."""
+    return f"""
+        WITH kt_rows AS (
+            SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y
+            FROM ({src_sql}) k0
+            WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+        kt_cells AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM kt_rows GROUP BY x, y),
+        kt_c AS (
+            SELECT COALESCE(SUM(CAST(a.c AS HUGEINT) * b.c), 0) AS nc
+            FROM kt_cells a JOIN kt_cells b ON b.x < a.x AND b.y < a.y),
+        kt_d AS (
+            SELECT COALESCE(SUM(CAST(a.c AS HUGEINT) * b.c), 0) AS nd
+            FROM kt_cells a JOIN kt_cells b ON b.x < a.x AND b.y > a.y),
+        kt_t1 AS (
+            SELECT COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1) // 2), 0) AS n1
+            FROM (SELECT COUNT(*) AS c FROM kt_rows GROUP BY x) t),
+        kt_t2 AS (
+            SELECT COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1) // 2), 0) AS n2
+            FROM (SELECT COUNT(*) AS c FROM kt_rows GROUP BY y) t),
+        kt_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kt_rows)
+        SELECT n,
+               CAST(nc AS BIGINT) AS n_concordant,
+               CAST(nd AS BIGINT) AS n_discordant,
+               CASE WHEN n >= 2
+                    AND CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1 AS DOUBLE) > 0.0
+                    AND CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2 AS DOUBLE) > 0.0
+               THEN (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+                    / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1 AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2 AS DOUBLE))
+               END AS rho
+        FROM kt_n, kt_c, kt_d, kt_t1, kt_t2
+    """

@@ -89,3 +89,54 @@ def test_partition_invariance(spark, scored):
     a = C.spearman_rho(scored, "x", "y").collect()[0]
     b = C.spearman_rho(scored.repartition(7), "x", "y").collect()[0]
     assert a == b
+
+
+def _kendall_ref(rows):
+    import itertools
+    c = d = 0
+    tx = ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(rows, 2):
+        if x1 == x2 and y1 == y2:
+            tx += 1
+            ty += 1
+        elif x1 == x2:
+            tx += 1
+        elif y1 == y2:
+            ty += 1
+        elif (x1 - x2) * (y1 - y2) > 0:
+            c += 1
+        else:
+            d += 1
+    n = len(rows)
+    n0 = n * (n - 1) / 2
+    import math
+    return c, d, (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+
+
+def test_kendall_matches_reference_and_twin(spark, scored):
+    got = C.kendall_tau(scored, "x", "y").collect()[0]
+    rc, rd, rt = _kendall_ref(ROWS)
+    assert (got["n_concordant"], got["n_discordant"]) == (rc, rd)
+    assert got["rho"] == pytest.approx(rt, abs=1e-12)
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(ROWS, columns=["x", "y"]))
+    exp = con.sql(C.duck_kendall_sql("SELECT * FROM s", "x", "y")).fetchall()[0]
+    assert (got["n"], got["n_concordant"], got["n_discordant"], got["rho"]) == (
+        int(exp[0]), int(exp[1]), int(exp[2]), exp[3]
+    )
+
+
+def test_kendall_edges_and_invariance(spark, scored):
+    perfect = spark.createDataFrame(
+        [(v, v * 2) for v in range(10)], "x long, y long"
+    )
+    assert C.kendall_tau(perfect, "x", "y").collect()[0]["rho"] == pytest.approx(1.0)
+    anti = spark.createDataFrame(
+        [(v, -v) for v in range(10)], "x long, y long"
+    )
+    assert C.kendall_tau(anti, "x", "y").collect()[0]["rho"] == pytest.approx(-1.0)
+    flat = spark.createDataFrame([(1, 5), (1, 9)], "x long, y long")
+    assert C.kendall_tau(flat, "x", "y").collect()[0]["rho"] is None
+    a = C.kendall_tau(scored, "x", "y").collect()[0]
+    b = C.kendall_tau(scored.repartition(5), "x", "y").collect()[0]
+    assert a == b
