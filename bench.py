@@ -70,6 +70,10 @@ HEADLINE = [
     "lm_xent",
     "semantic_pairs",
     "substring_dedup",
+    # late-extension addition: containment near-dup — the
+    # inverted-index similarity-join shape (per-shingle-key self-join
+    # bounded by the stop-shingle cap)
+    "containment",
 ]
 
 
@@ -110,10 +114,24 @@ def _bench_extra():
         )
         return _ss.substring_dedup(docs, "doc_id", "text", n=8)
 
+    def containment(spark, sf_dir):
+        from book_ocr_spark.operators import dedup as _dd
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # the inverted-index similarity-join cost shape (per-key
+        # self-join bounded by the stop-shingle cap) — distinct from
+        # the banded-LSH and broadcast-probe shapes already timed
+        return _dd.containment_pairs(
+            docs, "doc_id", "text", threshold=0.8, stop_shingle_df=100
+        )
+
     return {
         "lm_xent": lm_xent,
         "semantic_pairs": semantic_pairs,
         "substring_dedup": substring_dedup,
+        "containment": containment,
     }
 
 

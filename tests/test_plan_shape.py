@@ -523,3 +523,16 @@ def test_skew_report_no_global_sort(spark):
     df = spark.createDataFrame([("k",)] * 30, "k string")
     plan = _explain(skew_report(df, "k", topn=3))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_containment_join_is_equi_join(spark):
+    """Containment pair generation is the inverted-index equi-join on
+    the hashed shingle key — never a cartesian/NLJ over documents."""
+    from book_ocr_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} words here") for i in range(8)],
+        "id long, text string",
+    )
+    plan = containment_pairs(docs, stop_shingle_df=16)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
