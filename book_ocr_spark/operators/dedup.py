@@ -1104,6 +1104,111 @@ def duck_containment_pairs_sql(
     """
 
 
+def shingle_postings(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """(id, gk) distinct hashed-shingle postings — the materialized
+    state table incremental_containment_pairs joins against (written
+    once per ingest, appended, never recomputed; the inverted-index
+    analog of minhash_signature's (id, sh, sig))."""
+    sh = shingle_sets(corpus, id_col, text_col, k, unit)
+    return (
+        sh.select("id", F.explode("sh").alias("_g"))
+        .select("id", F.expr(spark_h56("_g")).alias("gk"))
+        .distinct()
+    )
+
+
+def incremental_containment_pairs(
+    new_docs: DataFrame,
+    existing_postings: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+    stop_shingle_df: int | None = None,
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """Containment detection of a NEW batch against an EXISTING corpus
+    whose (id, gk) postings table is already materialized — the MERGE
+    shape of the daily ingest: candidates come from batch×existing and
+    batch×batch postings joins; existing×existing NEVER materializes
+    (those pairs were found on their own ingest days). Same directed
+    output contract as containment_pairs, restricted to pairs with at
+    least one batch-side doc; containment denominators are each doc's
+    OWN posting count, so batch-vs-existing values equal the
+    whole-corpus operator's exactly (pinned in tests).
+
+    ``stop_shingle_df`` caps the key's document frequency measured
+    over batch+existing postings TOGETHER (a key that is boilerplate
+    corpus-wide must not re-enter through a small batch); same
+    lossy-conservative drop semantics as containment_pairs. Re-sent
+    ids (already in the postings table) are excluded from the batch
+    side — the incumbent's postings represent that id (the
+    incremental_minhash existing-wins rule)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    ex = existing_postings.select("id", "gk")
+    batch = shingle_postings(new_docs, id_col, text_col, k, unit)
+    batch = batch.join(
+        ex.select("id").distinct(), "id", "left_anti"
+    )
+    allp = batch.unionByName(ex)
+    if stop_shingle_df is not None:
+        if stop_shingle_df < 1:
+            raise ValueError("stop_shingle_df must be >= 1")
+        dfc = allp.groupBy("gk").agg(F.count(F.lit(1)).alias("_df"))
+        if dropped_handle is not None:
+            dropped_handle.append(
+                dfc.where(F.col("_df") > stop_shingle_df).count()
+            )
+        keep = dfc.where(F.col("_df") <= stop_shingle_df).select("gk")
+        batch = batch.join(keep, "gk")
+        allp = allp.join(keep, "gk")
+    sizes = allp.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    b = batch.select(F.col("id").alias("_bid"), "gk")
+    o = allp.select(F.col("id").alias("_oid"), "gk")
+    # batch×(batch ∪ existing), both directions, never existing×existing
+    shared = (
+        b.join(o, "gk")
+        .where(F.col("_bid") != F.col("_oid"))
+        .groupBy("_bid", "_oid")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    directed = shared.select(
+        F.col("_bid").alias("contained_id"),
+        F.col("_oid").alias("container_id"),
+        "shared",
+    ).unionByName(
+        shared.select(
+            F.col("_oid").alias("contained_id"),
+            F.col("_bid").alias("container_id"),
+            "shared",
+        )
+    ).distinct()
+    out = directed.join(
+        sizes.withColumnRenamed("id", "contained_id").withColumnRenamed(
+            "n_sh", "n_contained"
+        ),
+        "contained_id",
+    )
+    c = F.col("shared").cast("double") / F.col("n_contained").cast("double")
+    return out.where(c >= threshold).select(
+        "contained_id",
+        "container_id",
+        "shared",
+        "n_contained",
+        c.alias("containment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the pair graph
 # ---------------------------------------------------------------------------

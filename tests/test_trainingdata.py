@@ -1881,3 +1881,66 @@ def test_containment_partition_invariance_and_validation(spark):
         containment_pairs(df, stop_shingle_df=0)
     with _pt.raises(ValueError):
         duck_containment_pairs_sql("x", threshold=1.5)
+
+
+def test_incremental_containment_matches_whole_corpus(spark):
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        incremental_containment_pairs,
+        shingle_postings,
+    )
+
+    old = CONT_DOCS[:3]
+    new = CONT_DOCS[3:]
+    old_df = spark.createDataFrame(old, "id long, text string")
+    new_df = spark.createDataFrame(new, "id long, text string")
+    full_df = spark.createDataFrame(CONT_DOCS, "id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]):
+            (r["shared"], r["n_contained"], r["containment"])
+        for r in incremental_containment_pairs(
+            new_df, shingle_postings(old_df), threshold=0.8
+        ).collect()
+    }
+    new_ids = {i for i, _ in new}
+    want = {
+        (r["contained_id"], r["container_id"]):
+            (r["shared"], r["n_contained"], r["containment"])
+        for r in containment_pairs(full_df, threshold=0.8).collect()
+        if r["contained_id"] in new_ids or r["container_id"] in new_ids
+    }
+    assert got == want  # batch-involving pairs, values exactly equal
+    assert (3, 4) in got and (4, 3) in got  # cross old/new equal dup, both ways
+
+
+def test_incremental_containment_resent_id_and_cap(spark):
+    from book_ocr_spark.operators.dedup import (
+        incremental_containment_pairs,
+        shingle_postings,
+    )
+
+    old_df = spark.createDataFrame(CONT_DOCS[:3], "id long, text string")
+    state = shingle_postings(old_df)
+    # re-sent id 1 with drifted content: incumbent postings win, the
+    # batch copy contributes nothing new
+    resent = spark.createDataFrame(
+        [(1, "completely different drifted content now")],
+        "id long, text string",
+    )
+    assert (
+        incremental_containment_pairs(resent, state, threshold=0.5).count() == 0
+    )
+    # cap surfaces dropped keys and stays conservative
+    boiler = spark.createDataFrame(
+        [(9, CONT_DOCS[0][1]), (10, CONT_DOCS[0][1])], "id long, text string"
+    )
+    handle: list = []
+    capped = incremental_containment_pairs(
+        boiler, state, threshold=0.8, stop_shingle_df=2,
+        dropped_handle=handle,
+    )
+    full = incremental_containment_pairs(boiler, state, threshold=0.8)
+    assert {tuple(r)[:2] for r in capped.collect()} <= {
+        tuple(r)[:2] for r in full.collect()
+    }
+    assert handle and handle[0] > 0
