@@ -1,0 +1,138 @@
+"""Z-order layout: Morton interleave correctness (python + DuckDB
+replays), bucketize bounds, and the locality property that justifies
+the technique (z-sorted files cover smaller filter-space rectangles
+than single-column sorting)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import layout as L
+
+
+def _morton_py(vals: list[int], bits: int) -> int:
+    m = len(vals)
+    key = 0
+    for j, v in enumerate(vals):
+        off = m - 1 - j
+        for i in range(bits):
+            key |= ((v >> i) & 1) << (i * m + off)
+    return key
+
+
+def test_zorder_key_matches_python_and_duck(spark):
+    rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", L.zorder_key(["x", "y"], bits=6)).collect()
+    }
+    assert got == {(x, y): _morton_py([x, y], 6) for x, y in rows}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["x", "y"]))
+    exp = {
+        (int(x), int(y)): int(z)
+        for x, y, z in con.sql(
+            f"SELECT x, y, {L.duck_zorder_key(['x', 'y'], 6)} AS z FROM t"
+        ).fetchall()
+    }
+    assert exp == got
+    # column 0 owns the most significant bit: x dominates ordering
+    assert got[(63, 0)] > got[(0, 60)]
+
+
+def test_zorder_bucketize_bounds_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(5, 100), (10, 200), (None, 300), (25, None)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["_zb_a"], r["_zb_b"])
+        for r in L.zorder_bucketize(df, ["a", "b"], bits=4).collect()
+    }
+    for (a, b), (za, zb) in got.items():
+        assert 0 <= za < 16 and 0 <= zb < 16
+    assert got[(5, 100)][0] == 0          # min -> bucket 0
+    assert got[(None, 300)][0] == 0       # NULL -> bucket 0
+    assert got[(25, None)] == (15, 0)     # max -> top bucket
+    # all-equal column: everything bucket 0, no division blowup
+    flat = spark.createDataFrame([(7, 1), (7, 2)], "a long, b long")
+    assert all(
+        r["_zb_a"] == 0
+        for r in L.zorder_bucketize(flat, ["a"], bits=4).collect()
+    )
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """The property that buys scan pruning: split the sorted rows into
+    many files and count how many files' (x, y) min/max bounding boxes
+    a small 2-D box query intersects — the files a stats-pruning
+    reader must open. Single-column sorting constrains only x (every
+    file spans all of y, so every x-matching strip is read); the
+    z-key bounds BOTH, so far fewer files match."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(x), int(y))
+        for x, y in rng.integers(0, 1024, size=(4096, 2))
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+    n_parts = 256
+
+    def files_touched(sorted_df, qx=(300, 363), qy=(500, 563)):
+        boxes = (
+            sorted_df.withColumn(
+                "_p",
+                ((F.row_number().over(W.orderBy("_k")) - 1)
+                 * n_parts / 4096).cast("int"),
+            )
+            .groupBy("_p")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+        return sum(
+            1
+            for b in boxes
+            if b["x1"] >= qx[0] and b["x0"] <= qx[1]
+            and b["y1"] >= qy[0] and b["y0"] <= qy[1]
+        )
+
+    zb = L.zorder_bucketize(df, ["x", "y"], bits=10)
+    z = zb.withColumn("_k", L.zorder_key(["_zb_x", "_zb_y"], 10))
+    x_sorted = df.withColumn("_k", F.col("x"))
+    z_touched = files_touched(z)
+    x_touched = files_touched(x_sorted)
+    assert z_touched * 2 <= x_touched  # >= 2x fewer files opened
+    assert z_touched <= n_parts // 8   # and absolutely few of them
+
+
+def test_cluster_by_zorder_end_to_end(spark, tmp_path):
+    rows = [(i % 97, (i * 31) % 89, f"r{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "x long, y long, payload string")
+    out = L.cluster_by_zorder(df, ["x", "y"], bits=8, n_files=8)
+    assert set(out.columns) == {"x", "y", "payload", "_zkey"}
+    path = str(tmp_path / "z")
+    out.drop("_zkey").write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_zorder_validation(spark):
+    with pytest.raises(ValueError):
+        L.zorder_key(["x"], bits=8)
+    with pytest.raises(ValueError):
+        L.zorder_key(["x", "y"], bits=32)
+    with pytest.raises(ValueError):
+        L.duck_zorder_key(["x", "y"], 40)
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        L.zorder_bucketize(df, [], bits=4)
