@@ -21,7 +21,7 @@ Reference analog: book-ocr's golden-artifact hash comparison
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -1005,11 +1005,13 @@ def containment_pairs(
     the cap — the standard stop-shingle policy (a shingle shared by
     half the corpus is boilerplate, costs O(df²) pairs, and carries
     the least evidence). Dropping is LOSSY-conservative: shared
-    counts can only shrink, so capped containment never fabricates a
-    pair; the dropped-key count is appended to ``dropped_handle``
-    (surfaced, not silent) and pairs whose evidence was ONLY
-    stop-shingles are the template family handled by line/substring
-    dedup upstream.
+    counts can only shrink while denominators stay the FULL posting
+    counts (measured before the cap — dividing by a capped size would
+    INFLATE containment and fabricate pairs, the trap the sf1 decade
+    measurement exposed), so capped containment never fabricates; the
+    dropped-key count is appended to ``dropped_handle`` (surfaced,
+    not silent) and pairs whose evidence was ONLY stop-shingles are
+    the template family handled by line/substring dedup upstream.
 
     Scale: one explode (linear in total shingles), per-key bounded
     self-join, one pair hash agg. 100 TB guidance: run AFTER exact +
@@ -1023,6 +1025,8 @@ def containment_pairs(
     gk = sh.select(
         "id", F.explode("sh").alias("_g")
     ).select("id", F.expr(spark_h56("_g")).alias("gk")).distinct()
+    # denominators BEFORE any cap: |A| is a property of the document
+    sizes = gk.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     if stop_shingle_df is not None:
         if stop_shingle_df < 1:
             raise ValueError("stop_shingle_df must be >= 1")
@@ -1033,7 +1037,6 @@ def containment_pairs(
             )
         keep = dfc.where(F.col("_df") <= stop_shingle_df).select("gk")
         gk = gk.join(keep, "gk")
-    sizes = gk.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = gk.select(F.col("id").alias("contained_id"), "gk")
     b = gk.select(F.col("id").alias("container_id"), "gk")
     shared = (
@@ -1087,8 +1090,10 @@ def duck_containment_pairs_sql(
             FROM (SELECT id, unnest({grams}) AS g FROM cp_corpus) t){cap},
         cp_kept AS (SELECT id, gk FROM {src}),
         cp_sizes AS (
+            -- denominators over the UNCAPPED postings (see the
+            -- operator docstring: capped sizes would inflate C)
             SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh
-            FROM cp_kept GROUP BY id),
+            FROM cp_gk GROUP BY id),
         cp_shared AS (
             SELECT a.id AS contained_id, b.id AS container_id,
                    CAST(COUNT(*) AS BIGINT) AS shared
@@ -1102,6 +1107,102 @@ def duck_containment_pairs_sql(
         WHERE CAST(s.shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) >= {threshold}
         ORDER BY contained_id, container_id
     """
+
+
+def containment_pairs_prefix(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+    stop_shingle_df: int | None = None,
+    dropped_handle: list | None = None,
+) -> DataFrame:
+    """The SCALE path for containment_pairs: prefix-filtered candidate
+    generation (the PPJoin/AllPairs family rule, Xiao et al. 2008),
+    output-identical to the plain operator (pinned in tests).
+
+    Pigeonhole: C(A→B) ≥ τ needs |A∩B| ≥ ⌈τ·|A|⌉, so if B misses ALL
+    of p = |A| − ⌈τ·|A|⌉ + 1 designated shingles of A the pair cannot
+    qualify — candidates need only come from each doc's p
+    LOWEST-DOCUMENT-FREQUENCY shingles (its "prefix"; df ascending =
+    the fewest-candidates choice, ties broken on the hash key for
+    determinism). At τ=0.8 the prefix is ~20% of the postings AND
+    avoids boilerplate keys by construction, so the per-key self-join
+    shrinks on both axes — this is what flattens the measured
+    cap-transition decade (BASELINE.md) back toward linear. Contained
+    side only: the container side probes with its FULL postings (the
+    asymmetric criterion constrains |A|, not |B|).
+
+    Verify stays exact: candidate (A, B) pairs re-count their full
+    intersection through the postings table (two semi-joins), so the
+    prefix only prunes, never decides. ``stop_shingle_df`` caps the
+    CONTAINER-side probe postings like containment_pairs (same
+    lossy-conservative semantics); prefix keys are never capped —
+    dropping them would break the pigeonhole guarantee."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    posts = shingle_postings(corpus, id_col, text_col, k, unit)
+    sizes = posts.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    dfc = posts.groupBy("gk").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    ranked = (
+        posts.join(dfc, "gk")
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("gk"))
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # p = n_sh - ceil(t*n_sh) + 1
+    p = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("long") + 1
+    prefix = ranked.where(F.col("_r") <= p).select(
+        F.col("id").alias("_aid"), "gk"
+    )
+    probe = posts.select(F.col("id").alias("_bid"), "gk")
+    if stop_shingle_df is not None:
+        if stop_shingle_df < 1:
+            raise ValueError("stop_shingle_df must be >= 1")
+        if dropped_handle is not None:
+            dropped_handle.append(
+                dfc.where(F.col("_df") > stop_shingle_df).count()
+            )
+        probe = probe.join(
+            dfc.where(F.col("_df") <= stop_shingle_df).select("gk"), "gk"
+        )
+    cand = (
+        prefix.join(probe, "gk")
+        .where(F.col("_aid") != F.col("_bid"))
+        .select("_aid", "_bid")
+        .distinct()
+    )
+    # exact verify: full intersection count through the postings table
+    pa = posts.select(F.col("id").alias("_aid"), "gk")
+    pb = posts.select(F.col("id").alias("_bid"), "gk")
+    shared = (
+        cand.join(pa, "_aid")
+        .join(pb, ["_bid", "gk"])
+        .groupBy("_aid", "_bid")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = shared.join(
+        sizes.withColumnRenamed("id", "_aid").withColumnRenamed(
+            "n_sh", "n_contained"
+        ),
+        "_aid",
+    )
+    c = F.col("shared").cast("double") / F.col("n_contained").cast("double")
+    return out.where(c >= threshold).select(
+        F.col("_aid").alias("contained_id"),
+        F.col("_bid").alias("container_id"),
+        "shared",
+        "n_contained",
+        c.alias("containment"),
+    )
 
 
 def shingle_postings(
@@ -1159,6 +1260,10 @@ def incremental_containment_pairs(
         ex.select("id").distinct(), "id", "left_anti"
     )
     allp = batch.unionByName(ex)
+    # denominators BEFORE any cap (capped sizes would inflate C)
+    sizes = allp.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
     if stop_shingle_df is not None:
         if stop_shingle_df < 1:
             raise ValueError("stop_shingle_df must be >= 1")
@@ -1170,9 +1275,6 @@ def incremental_containment_pairs(
         keep = dfc.where(F.col("_df") <= stop_shingle_df).select("gk")
         batch = batch.join(keep, "gk")
         allp = allp.join(keep, "gk")
-    sizes = allp.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
-    )
     b = batch.select(F.col("id").alias("_bid"), "gk")
     o = allp.select(F.col("id").alias("_oid"), "gk")
     # batch×(batch ∪ existing), both directions, never existing×existing

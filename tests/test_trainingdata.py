@@ -1944,3 +1944,82 @@ def test_incremental_containment_resent_id_and_cap(spark):
         tuple(r)[:2] for r in full.collect()
     }
     assert handle and handle[0] > 0
+
+
+def test_containment_prefix_path_equals_plain(spark):
+    """The PPJoin prefix filter prunes candidates only: uncapped, the
+    scale path is bit-identical to the definition at several
+    thresholds; capped, it loses pairs only (values stay EXACT —
+    unlike the plain capped path it verifies over full postings)."""
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    docs = CONT_DOCS + [
+        (6, CONT_DOCS[1][1] + " plus yet another tail of trailing words"),
+        (7, "alpha beta gamma delta epsilon zeta"),  # near-contained in 1/2
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    for t in (0.6, 0.8, 1.0):
+        plain = sorted(
+            tuple(r) for r in containment_pairs(df, threshold=t).collect()
+        )
+        pref = sorted(
+            tuple(r)
+            for r in containment_pairs_prefix(df, threshold=t).collect()
+        )
+        assert pref == plain, t
+    uncapped = {
+        (r["contained_id"], r["container_id"]):
+            (r["shared"], r["n_contained"], r["containment"])
+        for r in containment_pairs_prefix(df, threshold=0.6).collect()
+    }
+    handle: list = []
+    capped = {
+        (r["contained_id"], r["container_id"]):
+            (r["shared"], r["n_contained"], r["containment"])
+        for r in containment_pairs_prefix(
+            df, threshold=0.6, stop_shingle_df=3, dropped_handle=handle
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for pair, vals in capped.items():
+        assert vals == uncapped[pair]  # values exact, only pairs pruned
+    assert handle
+
+
+def test_containment_cap_never_inflates(spark):
+    """Regression (found by the sf1 decade measurement): denominators
+    must be the UNCAPPED posting counts. Doc X shares only 2 of its 4
+    grams with Y; the other 2 are boilerplate above the cap. Capped-
+    denominator semantics would score C = 2/2 = 1.0 and fabricate the
+    pair; correct semantics score 2/4 and emit nothing."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        duck_containment_pairs_sql,
+    )
+
+    docs = [
+        (1, "a b BP1 BP2"),
+        (2, "a b c d e"),
+        (3, "BP1 BP2 z1 z2"),
+        (4, "BP1 BP2 z3 z4"),
+        (5, "BP1 BP2 z5 z6"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    kw = dict(k=1, threshold=0.8, stop_shingle_df=3)
+    assert containment_pairs(df, **kw).count() == 0
+    assert containment_pairs_prefix(df, **kw).count() == 0
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["id", "text"]))
+    assert not con.sql(
+        duck_containment_pairs_sql("SELECT id, text FROM d", **kw)
+    ).fetchall()
+    # sanity: without the boilerplate docs the cap never binds and the
+    # SAME X/Y pair is genuinely absent too (C = 2/4 < 0.8)
+    assert containment_pairs(df.where("id <= 2"), k=1, threshold=0.8).count() == 0
