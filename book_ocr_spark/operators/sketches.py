@@ -50,13 +50,18 @@ def _alpha(m: int) -> float:
     return 0.673
 
 
-def hll_buckets(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
-    """(b, mx): the HLL register table — max rho per bucket over the
-    column's non-NULL values. m = 2^p narrow rows, ONE hash agg with
-    map-side partial max; this is the persistable / mergeable half
-    (store it per day, hll_merge to roll up)."""
+def hll_buckets(
+    df: DataFrame, col: str, p: int = P_DEFAULT, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*by, b, mx): the HLL register table — max rho per bucket over
+    the column's non-NULL values, one INDEPENDENT sketch per ``by``
+    group (the per-language / per-source distinct-count shape, the
+    eh_buckets grouping convention). m = 2^p narrow rows per group,
+    ONE hash agg with map-side partial max; this is the persistable /
+    mergeable half (store it per day, hll_merge to roll up)."""
     if not 4 <= p <= 12:
         raise ValueError("p must be in [4, 12] (m = 16..4096)")
+    by = tuple(by)
     wbits = 60 - p
     # h > 2^53, so / (double division in BOTH engines) would corrupt
     # the bucket id — integer `div` / `%` only
@@ -71,36 +76,51 @@ def hll_buckets(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
     )
     return (
         df.where(F.col(col).isNotNull())
-        .select(b.alias("b"), w.alias("_w"))
-        .select("b", rho.cast("int").alias("_rho"))
-        .groupBy("b")
+        .select(*by, b.alias("b"), w.alias("_w"))
+        .select(*by, "b", rho.cast("int").alias("_rho"))
+        .groupBy(*by, "b")
         .agg(F.max("_rho").alias("mx"))
     )
 
 
-def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Union two register tables: per-bucket max (max commutes, so
-    estimate(merge(A, B)) EXACTLY equals estimate over A ∪ B — the
-    property the tests pin)."""
+def hll_merge(
+    a: DataFrame, b: DataFrame, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two register tables: per-(group, bucket) max (max
+    commutes, so estimate(merge(A, B)) EXACTLY equals estimate over
+    A ∪ B — the property the tests pin)."""
+    by = tuple(by)
     return (
-        a.unionByName(b).groupBy("b").agg(F.max("mx").alias("mx"))
+        a.unionByName(b).groupBy(*by, "b").agg(F.max("mx").alias("mx"))
     )
 
 
-def hll_estimate(buckets: DataFrame, p: int = P_DEFAULT) -> DataFrame:
-    """One row (m, filled, estimate) from a register table. The
-    harmonic sum is an integer sum of micro-rounded contributions
-    (module docstring); linear counting below 2.5·m."""
+def hll_estimate(
+    buckets: DataFrame, p: int = P_DEFAULT, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*by, m, filled, estimate) from a register table — one row per
+    ``by`` group (one row total when ungrouped). The harmonic sum is
+    an integer sum of micro-rounded contributions (module docstring);
+    linear counting below 2.5·m. Per-group estimates are EXACTLY the
+    ungrouped operator over that group's rows (pinned in tests)."""
     if not 4 <= p <= 12:
         raise ValueError("p must be in [4, 12]")
     m = 2 ** p
+    by = tuple(by)
     alpha = _alpha(m)
     contrib = F.round(F.lit(float(_SCALE)) * F.pow(F.lit(2.0), -F.col("mx"))).cast(
         "long"
     )
-    agg = buckets.agg(
-        F.count(F.lit(1)).cast("long").alias("filled"),
-        F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("_s"),
+    agg = (
+        buckets.groupBy(*by).agg(
+            F.count(F.lit(1)).cast("long").alias("filled"),
+            F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("_s"),
+        )
+        if by
+        else buckets.agg(
+            F.count(F.lit(1)).cast("long").alias("filled"),
+            F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("_s"),
+        )
     )
     # empty buckets contribute exactly 1e15 each
     s = (F.col("_s") + (F.lit(m) - F.col("filled")) * F.lit(_SCALE)).cast(
@@ -113,6 +133,7 @@ def hll_estimate(buckets: DataFrame, p: int = P_DEFAULT) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(
+        *by,
         F.lit(m).cast("long").alias("m"),
         "filled",
         F.round(est).cast("long").alias("estimate"),

@@ -339,3 +339,40 @@ def test_eh_winsorize_keeps_null_group_and_all_null_groups(spark):
     assert abs(rows_by[(None, 5.0)] - 5.0) <= 5.0 / 128
     assert rows_by[("c", None)] is None  # NULL value passes through NULL
     assert rows_by[("a", 8e5)] < 8e5  # clamping still happens
+
+
+def test_hll_grouped_equals_per_group_ungrouped(spark):
+    """by= grouping: each group's registers and estimate EXACTLY equal
+    the ungrouped operator over that group's rows, and grouped merge
+    keeps the exact-merge property per group."""
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.operators import sketches as sk
+
+    rows = [
+        ("en", f"d-{i}") for i in range(800)
+    ] + [
+        ("fr", f"d-{i % 37}") for i in range(500)
+    ] + [("de", None)]
+    df = spark.createDataFrame(rows, "lang string, k string")
+    grouped = {
+        r["lang"]: (r["filled"], r["estimate"])
+        for r in sk.hll_estimate(
+            sk.hll_buckets(df, "k", p=8, by=("lang",)), p=8, by=("lang",)
+        ).collect()
+    }
+    assert set(grouped) == {"en", "fr"}  # all-NULL group has no rows
+    for lang in ("en", "fr"):
+        solo = sk.hll_distinct(df.where(F.col("lang") == lang), "k", p=8).collect()[0]
+        assert grouped[lang] == (solo["filled"], solo["estimate"])
+    # grouped merge == grouped build over the union, bit-for-bit
+    a = df.where("k < 'd-4'")
+    b = df.where("k >= 'd-4' OR k IS NULL")
+    merged = sk.hll_merge(
+        sk.hll_buckets(a, "k", p=8, by=("lang",)),
+        sk.hll_buckets(b, "k", p=8, by=("lang",)),
+        by=("lang",),
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in sk.hll_buckets(df, "k", p=8, by=("lang",)).collect()
+    )
