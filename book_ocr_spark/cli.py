@@ -200,6 +200,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     cur.add_argument("--threads", type=int, default=None)
     cur.add_argument("--log-level", default="WARN")
+    fg = sub.add_parser(
+        "forget",
+        help="deletion propagation (right-to-be-forgotten): remove ids "
+        "from the corpus and every derived store "
+        "(plans.maintenance.forget_ids)",
+    )
+    fg.add_argument(
+        "--ids", required=True,
+        help="comma-separated ids (all-digit ids are matched as longs)",
+    )
+    fg.add_argument(
+        "--table", action="append", required=True,
+        help="PATH:ID_COL (repeatable — list the corpus AND its "
+        "derived stores)",
+    )
+    fg.add_argument(
+        "--partitioned", action="append", default=None,
+        help="PATH:COL1[,COL2] — rewrite only affected partitions of "
+        "PATH instead of the whole table",
+    )
+    fg.add_argument("--threads", type=int, default=None)
+    fg.add_argument("--log-level", default="WARN")
     iw = sub.add_parser(
         "ingest-warc",
         help="materialize crawl archives as a documents parquet "
@@ -439,6 +461,35 @@ def main(argv: list[str] | None = None) -> int:
             )
             summary.update(expire_stream_batches(args.output, keep_last=args.keep_batches))
             print(json.dumps(summary))
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "forget":
+        from book_ocr_spark.plans.maintenance import forget_ids
+        from book_ocr_spark.session import get_spark
+
+        raw = [v for v in args.ids.split(",") if v != ""]
+        if not raw:
+            top.error("--ids must list at least one id")
+        ids = [int(v) for v in raw] if all(v.isdigit() for v in raw) else raw
+        tables = []
+        for spec in args.table:
+            path, _, col = spec.rpartition(":")
+            if not path or not col:
+                top.error(f"--table {spec!r} must be PATH:ID_COL")
+            tables.append((path, col))
+        pcols = {}
+        for spec in args.partitioned or ():
+            path, _, cols = spec.rpartition(":")
+            if not path or not cols:
+                top.error(f"--partitioned {spec!r} must be PATH:COLS")
+            pcols[path] = cols.split(",")
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark(app_name="book-ocr-spark-forget", master=master)
+        spark.sparkContext.setLogLevel(args.log_level)
+        try:
+            print(json.dumps(forget_ids(spark, ids, tables, pcols or None)))
             return 0
         finally:
             spark.stop()

@@ -193,3 +193,79 @@ def compact_small_files(
         "files_after": n_after,
         "rows": int(rows_after),
     }
+
+
+def forget_ids(
+    spark: SparkSession,
+    ids,
+    tables: list[tuple[str, str]],
+    partition_cols: dict[str, list[str]] | None = None,
+) -> dict:
+    """Deletion propagation (the right-to-be-forgotten job): remove
+    every row whose id matches the deletion set from EACH listed
+    parquet table — the raw corpus AND its derived state (content-hash
+    tables, minhash signatures, shingle postings, shard exports), the
+    stores an ingest MERGE writes and a plain corpus delete would
+    silently leave behind. Iceberg analog: `DELETE FROM t WHERE id IN
+    (...)` per table; on the parquet stand-in, non-partitioned tables
+    rewrite through the same two-rename atomic swap as
+    compact_small_files (a crash never unlinks the live table), and
+    tables registered in ``partition_cols`` rewrite ONLY the
+    partitions that contain matching rows (dynamic partition
+    overwrite — idempotent, untouched partitions not rewritten).
+
+    ``ids``: a single-column DataFrame or a Python list of ids (the
+    deletion set is request-sized, so it broadcasts). ``tables``:
+    (path, id_col) pairs. Returns {path: {"rows_before",
+    "rows_removed"}}; idempotent — a rerun removes 0 rows. Missing
+    tables are skipped with a row_before of 0 (a derived store that
+    was never materialized is already forgotten)."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(ids, DataFrame):
+        ids = ids.toDF("_fid")
+    else:
+        vals = list(ids)
+        if not vals:
+            raise ValueError("forget_ids: empty deletion set")
+        typ = "string" if isinstance(vals[0], str) else "long"
+        ids = spark.createDataFrame([(v,) for v in vals], f"_fid {typ}")
+    ids = ids.distinct()
+    out: dict = {}
+    for path, id_col in tables:
+        if not io.exists(path):
+            out[path] = {"rows_before": 0, "rows_removed": 0}
+            continue
+        df = spark.read.parquet(path)
+        before = df.count()
+        cond = df[id_col] == F.col("_fid")
+        kept = df.join(F.broadcast(ids), cond, "left_anti")
+        pcols = (partition_cols or {}).get(path)
+        if pcols:
+            hit = (
+                df.join(F.broadcast(ids), cond, "left_semi")
+                .select(*pcols)
+                .distinct()
+            )
+            affected = kept.join(F.broadcast(hit), pcols, "left_semi")
+            io.write_partitioned(affected, path, pcols)
+        else:
+            old = path.rstrip("/") + "__preforget"
+            if os.path.isdir(old):
+                if not io.exists(path):
+                    os.replace(old, path)
+                else:
+                    shutil.rmtree(old)
+            tmp = path.rstrip("/") + "__forgetting"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            kept.write.mode("overwrite").parquet(tmp)
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old)
+        after = spark.read.parquet(path).count()
+        out[path] = {
+            "rows_before": int(before),
+            "rows_removed": int(before - after),
+        }
+    return out

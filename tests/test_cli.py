@@ -469,3 +469,17 @@ def test_cli_ingest_warc_and_curate_warc(spark, tmp_path, capsys, monkeypatch):
     assert {r["id"] for r in kept.select("id").collect()} == {
         "<urn:uuid:aaa-111>"
     }  # b.example blocked at the URL gate; a.example survives
+
+
+def test_cli_forget(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "id long, text string"
+    ).write.parquet(corpus)
+    assert cli.main([
+        "forget", "--ids", "2,5", "--table", f"{corpus}:id",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report[corpus] == {"rows_before": 10, "rows_removed": 2}
+    assert spark.read.parquet(corpus).count() == 8

@@ -351,3 +351,53 @@ def test_run_meta_pins_n_parts(spark, transcripts_pd, out_dir):
     # same explicit value is fine
     res3 = run(spark, "<fixture>", out_dir, n_parts=8, resume=True, transcripts=sdf)
     assert res3["parts_processed"] == []
+
+
+def test_forget_ids_propagates_and_is_idempotent(spark, tmp_path):
+    """Deletion propagation: matching rows vanish from the corpus AND
+    its derived stores; non-matching rows and unaffected partitions
+    survive byte-identically; a rerun removes 0 rows."""
+    import os
+
+    from book_ocr_spark.operators.dedup import shingle_postings
+    from book_ocr_spark.plans.maintenance import forget_ids
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words", i % 3)
+         for i in range(30)],
+        "id long, text string, part int",
+    )
+    corpus = str(tmp_path / "corpus")
+    posts = str(tmp_path / "postings")
+    parted = str(tmp_path / "parted")
+    docs.select("id", "text").write.parquet(corpus)
+    shingle_postings(docs, "id", "text").write.parquet(posts)
+    docs.write.partitionBy("part").parquet(parted)
+    # partition part=1 must not be rewritten (no deleted ids in it)
+    p1 = os.path.join(parted, "part=1")
+    p1_files = sorted(os.listdir(p1))
+    p1_mtimes = [os.path.getmtime(os.path.join(p1, f)) for f in p1_files]
+
+    report = forget_ids(
+        spark,
+        [3, 6, 999],  # 999: never existed — must be a no-op
+        [(corpus, "id"), (posts, "id"), (parted, "id")],
+        partition_cols={parted: ["part"]},
+    )
+    assert report[corpus]["rows_removed"] == 2
+    assert report[posts]["rows_removed"] > 0
+    assert report[parted]["rows_removed"] == 2
+    for path, col in ((corpus, "id"), (posts, "id"), (parted, "id")):
+        left = {r[col] for r in spark.read.parquet(path).select(col).collect()}
+        assert not ({3, 6} & left) and 4 in left
+    assert spark.read.parquet(corpus).count() == 28
+    assert sorted(os.listdir(p1)) == p1_files
+    assert [
+        os.path.getmtime(os.path.join(p1, f)) for f in p1_files
+    ] == p1_mtimes  # untouched partition not rewritten
+    # idempotent
+    again = forget_ids(spark, [3, 6], [(corpus, "id")])
+    assert again[corpus] == {"rows_before": 28, "rows_removed": 0}
+    # missing table: already forgotten
+    gone = forget_ids(spark, [1], [(str(tmp_path / "nope"), "id")])
+    assert gone[str(tmp_path / "nope")]["rows_removed"] == 0
