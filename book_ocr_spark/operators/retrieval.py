@@ -668,3 +668,112 @@ def duck_retrieval_metrics_sql(
                END AS ndcg
         FROM rm_base
     """
+
+
+def _rrf_validate(n_runs: int, k_rrf: int, topk: int | None) -> None:
+    if n_runs < 1:
+        raise ValueError("rrf_fuse needs at least one run")
+    if k_rrf < 1:
+        raise ValueError("k_rrf must be >= 1")
+    if topk is not None and topk < 1:
+        raise ValueError("topk must be >= 1 when given")
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int | None = None,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked runs —
+    the standard score-free combiner for hybrid retrieval (BM25 +
+    dense ANN + anything else that emits (qid, doc_id, rank)): each
+    run contributes 1/(k_rrf + rank) per doc, fused docs re-rank by
+    the summed contribution. Output: (qid, doc_id, n_runs, rrf_micro,
+    rank) — ranks 1..topk per query when `topk` is given.
+
+    Determinism contract (the module idiom): each run's contribution
+    is micro-rounded ONCE — round(1e6 / (k_rrf + rank)), positive so
+    Spark HALF_UP == DuckDB half-away — and summed as BIGINT, so
+    rrf_micro is partition/merge-order independent; the fused rank
+    breaks ties on (rrf_micro desc, doc_id asc), reproducible run to
+    run and bit-identical to the DuckDB twin. Duplicate (qid, doc_id)
+    rows within one run are collapsed to that run's BEST (minimum)
+    rank before scoring, so a malformed run cannot double-vote.
+
+    Scale shape: runs are top-k outputs — |queries|*k rows by
+    construction, never corpus-sized. Per run: one (qid, doc_id)
+    hash agg (min rank); fusion: unionByName + one (qid, doc_id)
+    hash agg + one qid window (WindowGroupLimit under topk). No
+    joins, nothing touches the corpus."""
+    _rrf_validate(len(runs), k_rrf, topk)
+    per_run = [
+        r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("rank"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(
+                F.lit(float(MICRO)) / (F.min("rank") + F.lit(k_rrf)).cast("double")
+            )
+            .cast("long")
+            .alias("contrib_micro")
+        )
+        for r in runs
+    ]
+    united = per_run[0]
+    for p in per_run[1:]:
+        united = united.unionByName(p)
+    fused = united.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("contrib_micro").cast("long").alias("rrf_micro"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("long"))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out.select("qid", "doc_id", "n_runs", "rrf_micro", "rank")
+
+
+def duck_rrf_fuse_sql(
+    run_sqls: list[str],
+    k_rrf: int = 60,
+    topk: int | None = None,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin of rrf_fuse — same per-run min-rank collapse, same
+    integer contributions, same (rrf_micro desc, doc_id) rank."""
+    _rrf_validate(len(run_sqls), k_rrf, topk)
+    m = float(MICRO)
+    per_run = " UNION ALL ".join(
+        f"""SELECT qid, doc_id,
+               CAST(ROUND({m} / (CAST(MIN(rank) AS DOUBLE) + {k_rrf})) AS BIGINT)
+                   AS contrib_micro
+            FROM (SELECT {qid_col} AS qid, {doc_col} AS doc_id,
+                         CAST({rank_col} AS BIGINT) AS rank
+                  FROM ({sql}) rrf_r{i})
+            GROUP BY qid, doc_id"""
+        for i, sql in enumerate(run_sqls)
+    )
+    limit = f"WHERE rank <= {topk}" if topk is not None else ""
+    return f"""
+        SELECT qid, doc_id, n_runs, rrf_micro, rank FROM (
+            SELECT qid, doc_id, n_runs, rrf_micro,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+            FROM (
+                SELECT qid, doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_runs,
+                       CAST(SUM(contrib_micro) AS BIGINT) AS rrf_micro
+                FROM ({per_run}) rrf_u
+                GROUP BY qid, doc_id) rrf_f) rrf_ranked
+        {limit}
+    """

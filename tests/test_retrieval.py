@@ -406,3 +406,92 @@ def test_retrieval_metrics_partition_invariance_and_validation(spark):
         retrieval.retrieval_metrics(res, jud, k=0)
     with pytest.raises(ValueError):
         retrieval.duck_retrieval_metrics_sql("x", "y", k=0)
+
+
+# ---------------------------------------------------------------- RRF fusion
+
+RRF_RUN_A = [  # e.g. BM25: (qid, doc_id, rank)
+    (1, 10, 1), (1, 11, 2), (1, 12, 3),
+    (2, 20, 1), (2, 21, 2),
+]
+RRF_RUN_B = [  # e.g. dense ANN
+    (1, 11, 1), (1, 13, 2), (1, 10, 3),
+    (2, 22, 1),
+]
+
+
+def _rrf_frames(spark):
+    a = spark.createDataFrame(RRF_RUN_A, "qid long, doc_id long, rank long")
+    b = spark.createDataFrame(RRF_RUN_B, "qid long, doc_id long, rank long")
+    return a, b
+
+
+def test_rrf_fuse_semantics(spark):
+    """Hand-computed fusion at k_rrf=60: doc 11 (ranks 2+1) beats doc
+    10 (ranks 1+3); single-run docs trail fused ones; a run-2-only doc
+    still appears."""
+    a, b = _rrf_frames(spark)
+    got = {
+        (r.qid, r.doc_id): (r.n_runs, r.rrf_micro, r.rank)
+        for r in retrieval.rrf_fuse([a, b]).collect()
+    }
+    m = retrieval.MICRO
+    c = lambda rank: round(m / (60 + rank))
+    assert got[(1, 11)] == (2, c(2) + c(1), 1)
+    assert got[(1, 10)] == (2, c(1) + c(3), 2)
+    # doc 12 (run A rank 3) vs doc 13 (run B rank 2): 13 wins
+    assert got[(1, 13)] == (1, c(2), 3)
+    assert got[(1, 12)] == (1, c(3), 4)
+    assert got[(2, 20)][2] == 1  # rank 1 in A beats rank 1 in B? both c(1)...
+    # 20 and 22 tie on rrf_micro (both rank 1 in one run): doc_id breaks it
+    assert got[(2, 20)] == (1, c(1), 1)
+    assert got[(2, 22)] == (1, c(1), 2)
+    assert got[(2, 21)][2] == 3
+
+
+def test_rrf_fuse_duplicate_rows_collapse_to_best_rank(spark):
+    """A malformed run listing one doc twice votes once, at its best
+    rank."""
+    a = spark.createDataFrame(
+        [(1, 10, 4), (1, 10, 2)], "qid long, doc_id long, rank long"
+    )
+    [row] = retrieval.rrf_fuse([a]).collect()
+    assert row.rrf_micro == round(retrieval.MICRO / 62)
+    assert row.n_runs == 1
+
+
+@pytest.mark.parametrize("k_rrf,topk", [(60, None), (10, 2), (1, 3)])
+def test_rrf_fuse_twin_bit_identical(spark, k_rrf, topk):
+    a, b = _rrf_frames(spark)
+    got = sorted(
+        tuple(r)
+        for r in retrieval.rrf_fuse([a, b], k_rrf=k_rrf, topk=topk).collect()
+    )
+    con = duckdb.connect()
+    con.register("ra", pd.DataFrame(RRF_RUN_A, columns=["qid", "doc_id", "rank"]))
+    con.register("rb", pd.DataFrame(RRF_RUN_B, columns=["qid", "doc_id", "rank"]))
+    exp = sorted(
+        tuple(int(v) for v in row)
+        for row in con.sql(
+            retrieval.duck_rrf_fuse_sql(
+                ["SELECT * FROM ra", "SELECT * FROM rb"], k_rrf=k_rrf, topk=topk
+            )
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_rrf_fuse_partition_invariance_and_validation(spark):
+    a, b = _rrf_frames(spark)
+    x = sorted(tuple(r) for r in retrieval.rrf_fuse([a, b]).collect())
+    y = sorted(
+        tuple(r)
+        for r in retrieval.rrf_fuse([a.repartition(7), b.repartition(3)]).collect()
+    )
+    assert x == y
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([])
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([a], k_rrf=0)
+    with pytest.raises(ValueError):
+        retrieval.duck_rrf_fuse_sql(["q"], topk=0)
