@@ -1,0 +1,313 @@
+"""Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization";
+the SentencePiece default) — vocabulary induction by Viterbi-EM +
+pruning, and exact Viterbi encoding, re-expressed for a 100 TB corpus
+on Spark. The other major subword algorithm next to operators/bpe.py:
+BPE grows a vocabulary bottom-up by merges, unigram SHRINKS a large
+seed vocabulary top-down by likelihood, which empirically segments
+morphology better and is what most modern multilingual tokenizers
+train.
+
+Scale shape (the learn_bpe_driver precedent): unigram statistics are
+a pure function of the corpus's word-frequency table, so Spark does
+the ONE pass that touches 100 TB (the distinct-word hash agg, Zipf:
+billions of tokens -> millions of words) and the strictly sequential
+EM/prune recurrence runs on the driver over the collected table —
+guarded by ``max_distinct_words`` fail-fast. The corpus is read
+exactly once for learning and once for encoding (distinct words
+Viterbi-encoded in an Arrow-batched pandas stage with an in-executor
+cache, broadcast-joined back to word positions — the
+bpe_encode_arrow shape).
+
+Determinism contract: training internals use float log-probs, but
+the PUBLISHED model is integer micro-nats (``logp_micro =
+round(logp * 1e6)``), and encoding maximizes an INTEGER sum with a
+total-order tie-break (on equal score prefer the LONGER last piece),
+so encodings are a pure function of (text, model) — partition-,
+run- and engine-independent. Training itself is deterministic given
+the exact-integer word table (pure-Python loop, total-order seed and
+prune ranks); the EM recurrence is iterative, so its oracle is the
+pure-Python reference replay in tests/test_unigram.py, not SQL —
+the same carve-out as BPE / streaming stateful ops.
+
+Out-of-vocabulary characters (impossible when encoding the training
+corpus — all seen single chars are protected from pruning) fall back
+to single-char pieces scored ``unk_logp_micro``, so every string is
+encodable and decode(encode(x)) round-trips; ``n_unk`` surfaces the
+fallback count per document.
+
+Reference lineage: same as bpe.py — the reference pipeline's
+recognize stage emits per-unit text (docs/prd.md:30); training a
+tokenizer over it is the first downstream step, and textstats.py's
+static token counting is this operator's untrained sibling.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from book_ocr_spark.operators.bpe import _doc_words, word_counts
+
+WB = "▁"  # sentencepiece's visible word-boundary marker (prefix)
+MICRO = 1_000_000
+UNK_LOGP_MICRO = -20 * MICRO  # ~e^-20: below any trainable piece
+
+PIECE_SCHEMA = StructType(
+    [
+        StructField("piece", StringType(), False),
+        StructField("logp_micro", LongType(), False),
+    ]
+)
+
+
+def _validate(vocab_size: int, max_piece_len: int, em_iters: int) -> None:
+    if vocab_size < 2:
+        raise ValueError("vocab_size must be >= 2")
+    if max_piece_len < 1:
+        raise ValueError("max_piece_len must be >= 1")
+    if em_iters < 1:
+        raise ValueError("em_iters must be >= 1")
+
+
+def _viterbi(word: str, logp: dict[str, int], max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under integer piece scores —
+    unknown chars fall back to single-char pieces at UNK_LOGP_MICRO.
+    Tie rule: scanning split points from longest last piece to
+    shortest and updating only on a STRICT improvement keeps the
+    longest last piece on equal score — a total order, pinned by
+    tests."""
+    n = len(word)
+    best = [None] * (n + 1)  # type: list[int | None]
+    back = [0] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            s = logp.get(piece)
+            if s is None:
+                if i - j > 1:
+                    continue
+                s = UNK_LOGP_MICRO
+            cand = best[j] + s
+            if best[i] is None or cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram(
+    words: dict[str, int],
+    vocab_size: int,
+    max_piece_len: int = 8,
+    seed_factor: int = 8,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+) -> list[tuple[str, int]]:
+    """The driver-side trainer: (word -> count) table in, model
+    [(piece, logp_micro)] out, sorted (logp_micro DESC, piece ASC).
+    Pure Python and deterministic — the reference replay in tests
+    calls exactly this function on an independently-built table.
+
+    Viterbi-EM variant of Kudo's algorithm: seed = all substrings of
+    marked words up to ``max_piece_len`` ranked by occurrence mass
+    (top ``seed_factor * vocab_size``; every seen single char is
+    protected); each round runs ``em_iters`` hard-EM steps (E: best
+    segmentation per distinct word under current scores; M: piece
+    prob = expected count / total) then prunes the lowest-mass
+    multi-char pieces to ``max(vocab_size, shrink * |V|)`` until the
+    vocabulary fits."""
+    _validate(vocab_size, max_piece_len, em_iters)
+    if not 0.0 < shrink < 1.0:
+        raise ValueError("shrink must be in (0, 1)")
+    marked = {WB + w: c for w, c in words.items() if w}
+    if not marked:
+        return []
+    # --- seed: substring occurrence mass (multiplicity within a word
+    # counts — it is occupancy, not document frequency)
+    seed: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, c in marked.items():
+        chars.update(w)
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                seed[p] = seed.get(p, 0) + c
+    multi = sorted(
+        ((p, m) for p, m in seed.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, seed_factor * vocab_size - len(chars))]
+    counts: dict[str, float] = {c: float(seed[c]) for c in chars}
+    counts.update({p: float(m) for p, m in multi})
+
+    def em_round(cur: dict[str, float]) -> dict[str, float]:
+        total = sum(cur.values())
+        lp = {
+            p: round(math.log(m / total) * MICRO)
+            for p, m in cur.items()
+            if m > 0
+        }
+        nxt: dict[str, float] = {}
+        for w, c in marked.items():
+            for piece in _viterbi(w, lp, max_piece_len):
+                nxt[piece] = nxt.get(piece, 0.0) + c
+        for ch in chars:  # protected floor: every seen char encodable
+            nxt.setdefault(ch, 0.5)
+        return nxt
+
+    while True:
+        for _ in range(em_iters):
+            counts = em_round(counts)
+        if len(counts) <= vocab_size:
+            break
+        target = max(vocab_size, int(len(counts) * shrink))
+        keep_multi = sorted(
+            ((p, m) for p, m in counts.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: max(0, target - len(chars))]
+        counts = {c: counts[c] for c in chars}
+        counts.update(dict(keep_multi))
+    total = sum(counts.values())
+    model = [
+        (p, int(round(math.log(m / total) * MICRO)))
+        for p, m in counts.items()
+        if m > 0
+    ]
+    model.sort(key=lambda kv: (-kv[1], kv[0]))
+    return model
+
+
+def learn_unigram(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    max_piece_len: int = 8,
+    seed_factor: int = 8,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    max_distinct_words: int = 5_000_000,
+    min_word_count: int = 1,
+) -> list[tuple[str, int]]:
+    """ONE corpus pass (the distinct-word hash agg) + the driver
+    trainer. ``max_distinct_words`` fails fast instead of OOMing the
+    driver; ``min_word_count`` floors the table first (hapax words
+    rarely move the model) — the learn_bpe_driver contract."""
+    _validate(vocab_size, max_piece_len, em_iters)
+    wc = word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.where(F.col("cnt") >= min_word_count)
+    rows = wc.limit(max_distinct_words + 1).collect()
+    if len(rows) > max_distinct_words:
+        raise ValueError(
+            f"more than {max_distinct_words} distinct words; raise "
+            "min_word_count / max_distinct_words"
+        )
+    return train_unigram(
+        {r["word"]: int(r["cnt"]) for r in rows},
+        vocab_size,
+        max_piece_len=max_piece_len,
+        seed_factor=seed_factor,
+        em_iters=em_iters,
+        shrink=shrink,
+    )
+
+
+def pieces_to_df(spark: SparkSession, model: list[tuple[str, int]]) -> DataFrame:
+    """Materialize the model as a (piece, logp_micro) table — the
+    serializable artifact an ingest job stores beside the corpus."""
+    return spark.createDataFrame(
+        [(p, int(s)) for p, s in model], PIECE_SCHEMA
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: list[tuple[str, int]] | DataFrame,
+) -> DataFrame:
+    """(id, pieces array<string>, n_pieces, n_unk): every document
+    Viterbi-encoded under the integer model. Scale shape: the corpus
+    sees the scan, one broadcast join-back and one ordered hash agg;
+    the DP runs over DISTINCT words only, Arrow-batched with an
+    in-executor cache (bpe_encode_arrow's shape). ``n_unk`` counts
+    single-char fallback pieces (chars absent from the model)."""
+    import pandas as pd
+
+    if isinstance(model, DataFrame):
+        model = [
+            (r["piece"], int(r["logp_micro"]))
+            for r in model.collect()  # model-sized: vocab rows
+        ]
+    logp = {p: s for p, s in model}
+    max_len = max((len(p) for p in logp), default=1)
+
+    def encode_words(batches):
+        cache: dict[str, tuple[list[str], int]] = {}
+        for pdf in batches:
+            syms, unks = [], []
+            for w in pdf["word"]:
+                got = cache.get(w)
+                if got is None:
+                    pieces = _viterbi(WB + w, logp, max_len)
+                    n_unk = sum(1 for p in pieces if p not in logp)
+                    got = cache[w] = (pieces, n_unk)
+                syms.append(got[0])
+                unks.append(got[1])
+            yield pd.DataFrame(
+                {"word": pdf["word"], "syms": syms, "unk": unks}
+            )
+
+    doc_words = _doc_words(df, id_col, text_col)
+    distinct = doc_words.select("word").distinct().mapInPandas(
+        encode_words, "word string, syms array<string>, unk long"
+    )
+    encoded = doc_words.join(F.broadcast(distinct), "word").select(
+        "id", "pos", "syms", "unk"
+    )
+    per_doc = encoded.groupBy("id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(pos, syms))),"
+            " x -> x.syms))"
+        ).alias("pieces"),
+        F.sum(F.size("syms")).alias("n_pieces"),
+        F.sum("unk").alias("n_unk"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("pieces", F.array().cast("array<string>")).alias(
+                "pieces"
+            ),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
+        )
+    )
+
+
+def unigram_decode(
+    encoded: DataFrame, id_col: str = "id", pieces_col: str = "pieces"
+) -> DataFrame:
+    """(id, text): invert unigram_encode — concatenate pieces, turn
+    word-boundary markers back into spaces. decode(encode(x)) equals
+    whitespace-normalized x (the ws_tokens convention), pinned by
+    tests. Two narrow JVM projections, no shuffle."""
+    joined = F.concat_ws("", F.col(pieces_col))
+    return encoded.select(
+        F.col(id_col).alias("id"),
+        F.trim(F.replace(joined, F.lit(WB), F.lit(" "))).alias("text"),
+    )

@@ -1,0 +1,165 @@
+"""Unigram-LM tokenizer (Kudo 2018): pure-Python reference replay for
+both training and encoding (the iterative-op carve-out — reference
+oracle, not SQL), coverage/round-trip/UNK semantics, partition
+invariance, and validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators import unigram
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a cat and a dog and a catdog",
+    "matting and catting and batting",
+    "dogs chase cats, cats chase rats",
+    "the batter sat on the matter",
+]
+
+
+def _docs(spark, texts=TEXTS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+
+
+def _py_word_counts(texts=TEXTS):
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _py_encode(text: str, model) -> tuple[list[str], int]:
+    logp = dict(model)
+    max_len = max((len(p) for p in logp), default=1)
+    pieces: list[str] = []
+    n_unk = 0
+    for w in text.split():
+        got = unigram._viterbi(unigram.WB + w, logp, max_len)
+        pieces.extend(got)
+        n_unk += sum(1 for p in got if p not in logp)
+    return pieces, n_unk
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return unigram.learn_unigram(_docs(spark), "text", vocab_size=40)
+
+
+def test_learn_matches_pure_python_reference(spark, model):
+    """The Spark operator is ONE word-count pass + the driver trainer;
+    the reference builds the identical word table in pure Python and
+    must reproduce the model exactly, scores included."""
+    assert model == unigram.train_unigram(_py_word_counts(), vocab_size=40)
+
+
+def test_model_shape_and_coverage(model):
+    pieces = [p for p, _ in model]
+    assert len(pieces) == len(set(pieces))
+    assert len(pieces) <= 40
+    assert all(1 <= len(p) <= 8 for p in pieces)
+    # every char seen in training (incl. the marker) survives pruning
+    chars = set(unigram.WB.join([""] + list(_py_word_counts())))
+    assert {c for c in chars} <= set(pieces) | {""}
+    # sorted (logp_micro desc, piece asc) and all scores negative ints
+    assert model == sorted(model, key=lambda kv: (-kv[1], kv[0]))
+    assert all(isinstance(s, int) and s < 0 for _, s in model)
+    # multi-char pieces were actually learned (the point of the op)
+    assert any(len(p) > 2 for p in pieces)
+
+
+def test_encode_matches_pure_python_and_roundtrip(spark, model):
+    got = {
+        r.id: (list(r.pieces), r.n_pieces, r.n_unk)
+        for r in unigram.unigram_encode(_docs(spark), "id", "text", model).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        pieces, n_unk = _py_encode(t, model)
+        assert got[i] == (pieces, len(pieces), n_unk), t
+        assert "".join(pieces).replace(unigram.WB, " ").strip() == " ".join(
+            t.split()
+        )
+    # decode operator inverts the encode operator
+    dec = {
+        r.id: r.text
+        for r in unigram.unigram_decode(
+            unigram.unigram_encode(_docs(spark), "id", "text", model)
+        ).collect()
+    }
+    assert dec == {i: " ".join(t.split()) for i, t in enumerate(TEXTS)}
+
+
+def test_unk_fallback_and_empty_doc(spark, model):
+    """Chars never seen in training encode as single-char UNK pieces
+    (every string stays encodable); empty docs re-attach with zero
+    pieces."""
+    df = spark.createDataFrame(
+        [(0, "cat zebraZ!"), (1, ""), (2, "   ")], "id long, text string"
+    )
+    got = {
+        r.id: (list(r.pieces), r.n_unk)
+        for r in unigram.unigram_encode(df, "id", "text", model).collect()
+    }
+    pieces, n_unk = got[0]
+    assert n_unk > 0
+    assert "".join(pieces).replace(unigram.WB, " ").strip() == "cat zebraZ!"
+    assert got[1] == ([], 0) and got[2] == ([], 0)
+
+
+def test_encode_via_model_dataframe(spark, model):
+    pdf = unigram.pieces_to_df(spark, model)
+    a = sorted(
+        (r.id, tuple(r.pieces))
+        for r in unigram.unigram_encode(_docs(spark), "id", "text", pdf).collect()
+    )
+    b = sorted(
+        (r.id, tuple(r.pieces))
+        for r in unigram.unigram_encode(_docs(spark), "id", "text", model).collect()
+    )
+    assert a == b
+
+
+def test_partition_invariance(spark, model):
+    docs = _docs(spark)
+    m2 = unigram.learn_unigram(docs.repartition(7), "text", vocab_size=40)
+    assert m2 == model
+    a = sorted(
+        tuple(r)
+        for r in unigram.unigram_encode(docs, "id", "text", model)
+        .select("id", "n_pieces", "n_unk")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in unigram.unigram_encode(
+            docs.repartition(5), "id", "text", model
+        )
+        .select("id", "n_pieces", "n_unk")
+        .collect()
+    )
+    assert a == b
+
+
+def test_tie_rule_prefers_longer_last_piece():
+    """On equal Viterbi score the longer last piece wins — the
+    documented total order."""
+    logp = {"ab": -10, "a": -5, "b": -5, "c": -1}
+    assert unigram._viterbi("ab", logp, 2) == ["ab"]
+
+
+def test_min_word_count_and_validation(spark):
+    docs = _docs(spark)
+    # flooring hapax words shrinks or preserves the model, never errors
+    m = unigram.learn_unigram(docs, "text", vocab_size=40, min_word_count=2)
+    assert len(m) <= 40
+    with pytest.raises(ValueError):
+        unigram.learn_unigram(docs, "text", vocab_size=1)
+    with pytest.raises(ValueError):
+        unigram.train_unigram({"a": 1}, 5, max_piece_len=0)
+    with pytest.raises(ValueError):
+        unigram.train_unigram({"a": 1}, 5, shrink=1.0)
+    with pytest.raises(ValueError):
+        unigram.learn_unigram(docs, "text", vocab_size=40, max_distinct_words=3)
