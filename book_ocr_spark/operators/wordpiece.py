@@ -1,0 +1,304 @@
+"""WordPiece subword tokenizer (Schuster & Nakajima 2012; the BERT
+tokenizer) — likelihood-ratio merge training and greedy
+longest-match-first encoding, re-expressed for a 100 TB corpus on
+Spark. Completes the tokenizer family next to operators/bpe.py
+(frequency-ranked merges) and operators/unigram.py (top-down
+likelihood pruning): WordPiece grows bottom-up like BPE but ranks a
+candidate merge by count(pair) / (count(left) * count(right)) — the
+pointwise-mutual-information criterion — and its ENCODER is not a
+merge replay at all but BERT's greedy longest-prefix match over the
+final vocabulary, with whole-word [UNK] fallback.
+
+Scale shape (the learn_bpe_driver precedent): WordPiece statistics
+are a pure function of the corpus's word-frequency table, so Spark
+does the ONE pass that touches 100 TB (the distinct-word hash agg,
+Zipf: billions of tokens -> millions of words) and the strictly
+sequential merge recurrence runs on the driver over the collected
+table — guarded by ``max_distinct_words`` fail-fast. Encoding runs
+over DISTINCT words only (Arrow-batched pandas with an in-executor
+cache, broadcast join-back, one ordered hash agg — the
+bpe_encode_arrow shape), so the corpus is scanned once and never
+carries more than (id, pos, word) + the per-word piece arrays.
+
+Determinism contract: merge scores are FRACTIONS of exact integers;
+the trainer compares candidates by integer cross-multiplication
+(a·b'·c' vs a'·b·c), never by float division, with a lexicographic
+(left, right) tie-break — a total order, so the learned vocabulary
+is a pure function of the word table (partition/run independent;
+documented divergence from HuggingFace's first-seen tie order).
+Encoding is a pure function of (word, vocab-set): greedy longest
+match has no scores to tie-break. Iterative recurrence => the
+oracle is a pure-Python reference replay in tests/test_wordpiece.py,
+not SQL — the same carve-out as BPE / unigram / streaming stateful
+ops.
+
+BERT's two [UNK] rules are both kept: a word longer than
+``max_word_len`` chars is [UNK] without attempting the DP, and a
+word with ANY unmatchable position is [UNK] as a whole (partial
+pieces discarded) — so ``n_unk`` counts exactly the words the
+vocabulary cannot represent, and decode(encode(x)) round-trips
+whitespace-normalized x on fully-covered corpora (every training
+word is covered: its single chars are always in the vocabulary).
+
+Reference lineage: same as bpe.py/unigram.py — the reference
+pipeline's recognize stage emits per-unit text
+(/root/reference/docs/prd.md:30); tokenizer induction over that text
+is the first downstream training-data step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from book_ocr_spark.operators.bpe import _doc_words, word_counts
+
+CONT = "##"  # BERT's continuation-piece marker (prefix)
+UNK = "[UNK]"
+
+VOCAB_SCHEMA = StructType([StructField("piece", StringType(), False)])
+
+
+def _validate(vocab_size: int, max_word_len: int) -> None:
+    if vocab_size < 2:
+        raise ValueError("vocab_size must be >= 2")
+    if max_word_len < 1:
+        raise ValueError("max_word_len must be >= 1")
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    """word -> (c0, ##c1, ##c2, ...): first char bare, continuations
+    marked — BERT's within-word convention (no end-of-word marker)."""
+    return tuple(
+        word[i] if i == 0 else CONT + word[i] for i in range(len(word))
+    )
+
+
+def _merge_piece(left: str, right: str) -> str:
+    """The token a (left, right) merge creates: right's continuation
+    marker is interior and disappears; left keeps its own."""
+    return left + (right[len(CONT):] if right.startswith(CONT) else right)
+
+
+def train_wordpiece(
+    words: dict[str, int],
+    vocab_size: int,
+    min_pair_count: int = 2,
+) -> list[str]:
+    """The driver-side trainer: (word -> count) table in, vocabulary
+    list out — [UNK] first, then the initial alphabet (sorted), then
+    merged tokens in creation order. Pure Python and deterministic;
+    the reference replay in tests calls an independent reimplementation
+    on the same table and compares lists.
+
+    Each round scores every adjacent symbol pair at the current
+    segmentation by count(pair) / (count(left) * count(right)) —
+    integers compared by cross-multiplication, ties broken by
+    lexicographic (left, right) — merges the winner everywhere, and
+    stops when the vocabulary reaches ``vocab_size`` or no pair
+    occurs ``min_pair_count`` times."""
+    _validate(vocab_size, 1)
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    segs: dict[str, tuple[tuple[str, ...], int]] = {
+        w: (_word_symbols(w), c) for w, c in words.items() if w
+    }
+    alphabet: set[str] = set()
+    for syms, _ in segs.values():
+        alphabet.update(syms)
+    vocab: list[str] = [UNK] + sorted(alphabet)
+    seen = set(vocab)
+    while len(vocab) < vocab_size:
+        pair_n: dict[tuple[str, str], int] = {}
+        sym_n: dict[str, int] = {}
+        for syms, c in segs.values():
+            for s in syms:
+                sym_n[s] = sym_n.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + c
+        best: tuple[str, str] | None = None
+        bn = bl = br = 0  # best (pair, left-sym, right-sym) counts
+        for (l, r), n in pair_n.items():
+            if n < min_pair_count:
+                continue
+            nl, nr = sym_n[l], sym_n[r]
+            if best is None:
+                better = True
+            else:
+                # n/(nl*nr) vs bn/(bl*br), exact: n*bl*br vs bn*nl*nr
+                lhs, rhs = n * bl * br, bn * nl * nr
+                better = lhs > rhs or (lhs == rhs and (l, r) < best)
+            if better:
+                best, bn, bl, br = (l, r), n, nl, nr
+        if best is None:
+            break
+        merged = _merge_piece(*best)
+        if merged not in seen:
+            vocab.append(merged)
+            seen.add(merged)
+        l, r = best
+        nxt: dict[str, tuple[tuple[str, ...], int]] = {}
+        for w, (syms, c) in segs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[w] = (tuple(out), c)
+        segs = nxt
+    return vocab
+
+
+def learn_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    min_pair_count: int = 2,
+    max_distinct_words: int = 5_000_000,
+    min_word_count: int = 1,
+) -> list[str]:
+    """ONE corpus pass (the distinct-word hash agg) + the driver
+    trainer. ``max_distinct_words`` fails fast instead of OOMing the
+    driver; ``min_word_count`` floors the table first — the
+    learn_bpe_driver contract."""
+    _validate(vocab_size, 1)
+    wc = word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.where(F.col("cnt") >= min_word_count)
+    rows = wc.limit(max_distinct_words + 1).collect()
+    if len(rows) > max_distinct_words:
+        raise ValueError(
+            f"more than {max_distinct_words} distinct words; raise "
+            "min_word_count / max_distinct_words"
+        )
+    return train_wordpiece(
+        {r["word"]: int(r["cnt"]) for r in rows},
+        vocab_size,
+        min_pair_count=min_pair_count,
+    )
+
+
+def vocab_to_df(spark: SparkSession, vocab: list[str]) -> DataFrame:
+    """Materialize the vocabulary as a one-column (piece) table — the
+    serializable artifact an ingest job stores beside the corpus."""
+    return spark.createDataFrame([(p,) for p in vocab], VOCAB_SCHEMA)
+
+
+def _greedy(word: str, vocab: set[str], max_word_len: int) -> tuple[list[str], int]:
+    """BERT's WordPieceTokenizer: longest-prefix match left to right;
+    overlong or unmatchable words collapse to a single [UNK]."""
+    if len(word) > max_word_len:
+        return [UNK], 1
+    pieces: list[str] = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        hit: str | None = None
+        while end > start:
+            sub = word[start:end]
+            if start > 0:
+                sub = CONT + sub
+            if sub in vocab:
+                hit = sub
+                break
+            end -= 1
+        if hit is None:
+            return [UNK], 1
+        pieces.append(hit)
+        start = end
+    return pieces, 0
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str] | DataFrame,
+    max_word_len: int = 100,
+) -> DataFrame:
+    """(id, pieces array<string>, n_pieces, n_unk): every document
+    greedy-encoded under the vocabulary. Scale shape: the corpus sees
+    the scan, one broadcast join-back and one ordered hash agg; the
+    longest-match loop runs over DISTINCT words only, Arrow-batched
+    with an in-executor cache (bpe_encode_arrow's shape). ``n_unk``
+    counts words that collapsed to [UNK]."""
+    import pandas as pd
+
+    _validate(2, max_word_len)
+    if isinstance(vocab, DataFrame):
+        vocab = [r["piece"] for r in vocab.collect()]  # vocab-sized
+    vset = set(vocab)
+
+    def encode_words(batches):
+        cache: dict[str, tuple[list[str], int]] = {}
+        for pdf in batches:
+            syms, unks = [], []
+            for w in pdf["word"]:
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _greedy(w, vset, max_word_len)
+                syms.append(got[0])
+                unks.append(got[1])
+            yield pd.DataFrame(
+                {"word": pdf["word"], "syms": syms, "unk": unks}
+            )
+
+    doc_words = _doc_words(df, id_col, text_col)
+    distinct = doc_words.select("word").distinct().mapInPandas(
+        encode_words, "word string, syms array<string>, unk long"
+    )
+    encoded = doc_words.join(F.broadcast(distinct), "word").select(
+        "id", "pos", "syms", "unk"
+    )
+    per_doc = encoded.groupBy("id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(pos, syms))),"
+            " x -> x.syms))"
+        ).alias("pieces"),
+        F.sum(F.size("syms")).alias("n_pieces"),
+        F.sum("unk").alias("n_unk"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("pieces", F.array().cast("array<string>")).alias(
+                "pieces"
+            ),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
+        )
+    )
+
+
+def wordpiece_decode(
+    encoded: DataFrame, id_col: str = "id", pieces_col: str = "pieces"
+) -> DataFrame:
+    """(id, text): invert wordpiece_encode — continuation pieces glue
+    to the previous piece, word-initial pieces take a space. One pure
+    JVM fold, no Python, no shuffle. decode(encode(x)) equals
+    whitespace-normalized x wherever no word collapsed to [UNK]
+    (pinned by tests; [UNK] is lossy by definition)."""
+    folded = F.aggregate(
+        F.col(pieces_col),
+        F.lit("").cast("string"),
+        lambda acc, x: F.concat(
+            acc,
+            F.when(
+                F.startswith(x, F.lit(CONT)),
+                F.substring(x, len(CONT) + 1, 2_000_000),
+            ).otherwise(F.concat(F.lit(" "), x)),
+        ),
+    )
+    return encoded.select(
+        F.col(id_col).alias("id"), F.trim(folded).alias("text")
+    )

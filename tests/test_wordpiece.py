@@ -1,0 +1,202 @@
+"""WordPiece tokenizer (Schuster & Nakajima 2012 / BERT): independent
+pure-Python reference replay for training (Fraction-scored, vs the
+operator's integer cross-multiplication — two exactness mechanisms,
+one answer; the iterative-op carve-out), BERT greedy-longest-match
+encode semantics on hand-computed fixtures, whole-word [UNK] rules,
+round-trip, partition invariance, and validation."""
+
+from fractions import Fraction
+
+import pytest
+
+from book_ocr_spark.operators import wordpiece as wp
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a cat and a dog and a catdog",
+    "matting and catting and batting",
+    "dogs chase cats cats chase rats",
+    "the batter sat on the matter",
+]
+
+
+def _docs(spark, texts=TEXTS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+
+
+def _py_word_counts(texts=TEXTS):
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _replay_train(words: dict[str, int], vocab_size: int, min_pair: int = 2):
+    """Independent trainer: same semantics, Fraction scores instead of
+    cross-multiplied integers, dict-free max via explicit sort."""
+    segs = {
+        w: [w[i] if i == 0 else "##" + w[i] for i in range(len(w))]
+        for w in words
+        if w
+    }
+    alphabet = sorted({s for syms in segs.values() for s in syms})
+    vocab = ["[UNK]"] + alphabet
+    while len(vocab) < vocab_size:
+        pair_n: dict[tuple[str, str], int] = {}
+        sym_n: dict[str, int] = {}
+        for w, syms in segs.items():
+            c = words[w]
+            for s in syms:
+                sym_n[s] = sym_n.get(s, 0) + c
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + c
+        scored = sorted(
+            (
+                (-Fraction(n, sym_n[l] * sym_n[r]), (l, r))
+                for (l, r), n in pair_n.items()
+                if n >= min_pair
+            ),
+        )
+        if not scored:
+            break
+        l, r = scored[0][1]
+        merged = l + (r[2:] if r.startswith("##") else r)
+        if merged not in vocab:
+            vocab.append(merged)
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return vocab
+
+
+@pytest.fixture(scope="module")
+def vocab(spark):
+    return wp.learn_wordpiece(_docs(spark), "text", vocab_size=45)
+
+
+def test_learn_matches_independent_replay(spark, vocab):
+    """Integer cross-multiplication in the operator, Fraction scores
+    in the replay — the vocabularies (order included) must agree."""
+    assert vocab == _replay_train(_py_word_counts(), 45)
+
+
+def test_vocab_shape(vocab):
+    assert vocab[0] == wp.UNK
+    assert len(vocab) == len(set(vocab)) and len(vocab) <= 45
+    # alphabet block is sorted and complete before any merged token
+    n_alpha = 1
+    while n_alpha < len(vocab) and (
+        len(vocab[n_alpha]) == 1 or (
+            vocab[n_alpha].startswith("##") and len(vocab[n_alpha]) == 3
+        )
+    ):
+        n_alpha += 1
+    assert vocab[1:n_alpha] == sorted(vocab[1:n_alpha])
+    assert any(len(p.replace("##", "")) > 1 for p in vocab)  # real merges
+
+
+def test_greedy_encode_hand_fixture(spark):
+    """BERT's own docstring example + both [UNK] rules."""
+    vocab = [wp.UNK, "un", "##aff", "##able", "runn", "##ing", "r"]
+    df = spark.createDataFrame(
+        [(0, "unaffable running x unaffableq")], "id long, text string"
+    )
+    (row,) = wp.wordpiece_encode(df, "id", "text", vocab).collect()
+    # "running" greedy-matches runn+##ing; "x" has no piece -> [UNK];
+    # "unaffableq": prefix matches but the final q fails -> WHOLE word
+    # [UNK] (partial pieces discarded)
+    assert list(row.pieces) == [
+        "un", "##aff", "##able", "runn", "##ing", wp.UNK, wp.UNK,
+    ]
+    assert row.n_pieces == 7 and row.n_unk == 2
+
+
+def test_max_word_len_unk(spark):
+    vocab = [wp.UNK, "a", "##a"]
+    df = spark.createDataFrame([(0, "aaaaa aa")], "id long, text string")
+    (row,) = wp.wordpiece_encode(df, "id", "text", vocab, max_word_len=4).collect()
+    assert list(row.pieces) == [wp.UNK, "a", "##a"]
+    assert row.n_unk == 1
+
+
+def test_training_corpus_fully_covered_and_roundtrip(spark, vocab):
+    """Every training word's chars are in the vocabulary, so n_unk == 0
+    corpus-wide and decode(encode(x)) == ws-normalized x."""
+    enc = wp.wordpiece_encode(_docs(spark), "id", "text", vocab)
+    rows = {r.id: r for r in enc.collect()}
+    assert all(r.n_unk == 0 for r in rows.values())
+    assert all(r.n_pieces == len(r.pieces) for r in rows.values())
+    dec = {r.id: r.text for r in wp.wordpiece_decode(enc).collect()}
+    assert dec == {i: " ".join(t.split()) for i, t in enumerate(TEXTS)}
+
+
+def test_encode_matches_per_word_greedy(spark, vocab):
+    got = {
+        r.id: list(r.pieces)
+        for r in wp.wordpiece_encode(_docs(spark), "id", "text", vocab).collect()
+    }
+    vset = set(vocab)
+    for i, t in enumerate(TEXTS):
+        expect: list[str] = []
+        for w in t.split():
+            expect.extend(wp._greedy(w, vset, 100)[0])
+        assert got[i] == expect, t
+
+
+def test_encode_via_vocab_dataframe_and_empty_docs(spark, vocab):
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, "   ")], "id long, text string"
+    )
+    vdf = wp.vocab_to_df(spark, vocab)
+    a = sorted(
+        (r.id, tuple(r.pieces), r.n_unk)
+        for r in wp.wordpiece_encode(df, "id", "text", vdf).collect()
+    )
+    b = sorted(
+        (r.id, tuple(r.pieces), r.n_unk)
+        for r in wp.wordpiece_encode(df, "id", "text", vocab).collect()
+    )
+    assert a == b
+    empties = {r[0]: r for r in a if r[0] in (1, 2)}
+    assert empties[1][1] == () and empties[2][1] == ()
+
+
+def test_partition_invariance(spark, vocab):
+    docs = _docs(spark)
+    assert wp.learn_wordpiece(docs.repartition(7), "text", vocab_size=45) == vocab
+    a = sorted(
+        tuple(r)
+        for r in wp.wordpiece_encode(docs, "id", "text", vocab)
+        .select("id", "n_pieces", "n_unk")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in wp.wordpiece_encode(docs.repartition(5), "id", "text", vocab)
+        .select("id", "n_pieces", "n_unk")
+        .collect()
+    )
+    assert a == b
+
+
+def test_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        wp.learn_wordpiece(docs, "text", vocab_size=1)
+    with pytest.raises(ValueError):
+        wp.train_wordpiece({"a": 1}, 5, min_pair_count=0)
+    with pytest.raises(ValueError):
+        wp.wordpiece_encode(docs, "id", "text", [wp.UNK], max_word_len=0)
+    with pytest.raises(ValueError):
+        wp.learn_wordpiece(docs, "text", vocab_size=40, max_distinct_words=3)
