@@ -1440,6 +1440,103 @@ def duck_clusters_sql(pairs_sql: str, ids_sql: str) -> str:
     """
 
 
+def incremental_cc(
+    labels_prev: DataFrame,
+    new_ids: DataFrame,
+    new_edges: DataFrame,
+    max_iters: int = 20,
+    delta_handle: list | None = None,
+) -> DataFrame:
+    """Incremental connected components: merge a NEW batch's near-dup
+    edges into an EXISTING cluster-label table without ever rescanning
+    the corpus's edge history — the MERGE-shape companion to
+    near_dup_clusters, completing the daily-ingest family next to
+    incremental_exact_dedup / incremental_minhash_near_dup (whose
+    (new_id, match_id) output is exactly this operator's edge input).
+
+    Invariant in == invariant out: ``labels_prev`` labels every id
+    with the MINIMUM id reachable in the graph seen so far (what
+    near_dup_clusters emits, and what this function re-emits), so
+    runs chain: day N's output is day N+1's ``labels_prev``, and the
+    result after any prefix of batches equals the batch algorithm on
+    the union of all edges (pinned by test).
+
+    Why it scales: a new edge (a, b) can only merge whole existing
+    components, so the iterative work runs on the CONTRACTED graph —
+    endpoints first map to their current labels (one equi-join against
+    the label table), self-loops inside one component drop out, and
+    what remains is O(|batch edges|) label-level edges, independent of
+    corpus size. near_dup_clusters' doubling propagation runs on that
+    contracted graph only; the corpus-sized label table is then
+    touched by ONE equi-join on cluster_id against the (small,
+    AQE-broadcastable) remap — existing × existing never recomputes.
+
+    labels_prev: (id, cluster_id); new_ids: one column ``id`` (docs in
+    the batch — ids already labeled keep their incumbent row, the
+    existing-wins rule the other incremental operators apply);
+    new_edges: (id_a, id_b) in ANY id universe (new x existing,
+    new x new; edges between existing ids are legal and simply merge
+    their components). Returns the full updated (id, cluster_id)
+    table. ``delta_handle`` (a list) receives the MERGE write set —
+    exactly the rows whose label changed plus rows for genuinely new
+    ids — so a partitioned store rewrites only affected partitions
+    instead of the whole table.
+
+    Raises RuntimeError (from near_dup_clusters) if the contracted
+    graph fails to converge in ``max_iters`` doubling rounds."""
+    lab_a = labels_prev.select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("_la")
+    )
+    lab_b = labels_prev.select(
+        F.col("id").alias("id_b"), F.col("cluster_id").alias("_lb")
+    )
+    # endpoints -> current labels; an id the table has never seen is
+    # its own (provisional) label — exactly the batch algorithm's
+    # starting point for a fresh node
+    contracted = (
+        new_edges.select("id_a", "id_b")
+        .join(lab_a, "id_a", "left")
+        .join(lab_b, "id_b", "left")
+        .select(
+            F.coalesce("_la", "id_a").alias("id_a"),
+            F.coalesce("_lb", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    reps = (
+        contracted.select(F.col("id_a").alias("id"))
+        .unionByName(contracted.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # remap: old label (or new id) -> merged component's min label.
+    # Contraction preserves the minimum: every old label IS its
+    # component's min id, so the min over merged labels and fresh ids
+    # is the global min of the merged component.
+    remap = near_dup_clusters(contracted, reps, max_iters=max_iters)
+    remap_nontrivial = remap.filter(F.col("id") != F.col("cluster_id"))
+    rm = remap_nontrivial.select(
+        F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_new")
+    )
+    updated_existing = labels_prev.join(rm, "cluster_id", "left").select(
+        "id", F.coalesce("_new", "cluster_id").alias("cluster_id")
+    )
+    fresh = (
+        new_ids.select("id")
+        .distinct()
+        .join(labels_prev.select("id"), "id", "left_anti")
+        .join(remap.withColumnRenamed("cluster_id", "_c"), "id", "left")
+        .select("id", F.coalesce("_c", "id").alias("cluster_id"))
+    )
+    out = updated_existing.unionByName(fresh)
+    if delta_handle is not None:
+        changed = labels_prev.join(rm, "cluster_id", "inner").select(
+            "id", F.col("_new").alias("cluster_id")
+        )
+        delta_handle.append(changed.unionByName(fresh))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination — n-gram overlap against an eval set
 # ---------------------------------------------------------------------------

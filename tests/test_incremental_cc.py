@@ -1,0 +1,116 @@
+"""Incremental connected components (incremental_cc): the MERGE-shape
+cluster-label maintenance operator. Pins (1) equality with the batch
+algorithm on the union of all edges after any prefix of batches —
+the operator's whole contract, (2) the DuckDB recursive-CTE twin,
+(3) the delta (MERGE write set) — changed + fresh rows only, with
+untouched components absent, (4) the existing-wins rule for re-sent
+ids and the degenerate batches (no edges; edges only inside one
+existing component)."""
+
+import duckdb
+import pandas as pd
+
+from book_ocr_spark.operators import dedup
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id_a", "id_b"]), "id_a long, id_b long"
+    )
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame(pd.DataFrame({"id": list(vals)}), "id long")
+
+
+OLD_EDGES = [(1, 2), (2, 3), (5, 6)]  # comps {1,2,3}, {5,6}; 4,7,8 isolated
+OLD_IDS = range(1, 9)
+# batch 1: an existing-existing merge edge, a new-new-existing chain,
+# an isolated new id, and a re-sent existing id
+B1_EDGES = [(3, 5), (9, 10), (10, 4)]
+B1_IDS = [9, 10, 11, 5]
+# batch 2 on top: stitches an old isolated id to a batch-1 id
+B2_EDGES = [(7, 9)]
+B2_IDS = [12]
+
+
+def _labels(df):
+    return {r.id: r.cluster_id for r in df.collect()}
+
+
+def test_incremental_cc_equals_batch_and_chains(spark):
+    prev = dedup.near_dup_clusters(_pairs(spark, OLD_EDGES), _ids(spark, OLD_IDS))
+
+    delta1 = []
+    after1 = dedup.incremental_cc(
+        prev, _ids(spark, B1_IDS), _pairs(spark, B1_EDGES), delta_handle=delta1
+    )
+    batch1 = dedup.near_dup_clusters(
+        _pairs(spark, OLD_EDGES + B1_EDGES), _ids(spark, list(OLD_IDS) + [9, 10, 11])
+    )
+    got1 = _labels(after1)
+    assert got1 == _labels(batch1)
+    # the merge edge (3,5) united {1,2,3} and {5,6} under min id 1;
+    # the chain put 4,9,10 together under 4; 11 is its own cluster
+    assert got1[5] == got1[6] == got1[1] == 1
+    assert got1[9] == got1[10] == got1[4] == 4
+    assert got1[11] == 11 and got1[8] == 8
+
+    # delta = changed rows + fresh ids, nothing else: 8 never moves,
+    # re-sent id 5 appears because its label changed (6 too), 1/2/3
+    # keep label 1 so they are NOT in the write set
+    d1 = _labels(delta1[0])
+    assert d1 == {5: 1, 6: 1, 9: 4, 10: 4, 11: 11}
+
+    # chain a second batch on day-1's output: result == batch CC on
+    # the union of every edge ever seen
+    after2 = dedup.incremental_cc(after1, _ids(spark, B2_IDS), _pairs(spark, B2_EDGES))
+    batch2 = dedup.near_dup_clusters(
+        _pairs(spark, OLD_EDGES + B1_EDGES + B2_EDGES),
+        _ids(spark, list(OLD_IDS) + [9, 10, 11, 12]),
+    )
+    got2 = _labels(after2)
+    assert got2 == _labels(batch2)
+    assert got2[7] == got2[9] == 4  # the stitch joins 7 to {4,9,10}
+
+
+def test_incremental_cc_duckdb_twin(spark):
+    prev = dedup.near_dup_clusters(_pairs(spark, OLD_EDGES), _ids(spark, OLD_IDS))
+    after = dedup.incremental_cc(prev, _ids(spark, B1_IDS), _pairs(spark, B1_EDGES))
+    all_edges = OLD_EDGES + B1_EDGES
+    all_ids = sorted(set(OLD_IDS) | set(B1_IDS))
+    pairs_sql = " UNION ALL ".join(
+        f"SELECT {a} AS id_a, {b} AS id_b" for a, b in all_edges
+    )
+    ids_sql = " UNION ALL ".join(f"SELECT {i} AS id" for i in all_ids)
+    duck = duckdb.sql(dedup.duck_clusters_sql(pairs_sql, ids_sql)).df()
+    want = dict(zip(duck["id"], duck["cluster_id"]))
+    assert _labels(after) == want
+
+
+def test_incremental_cc_degenerate_batches(spark):
+    prev = dedup.near_dup_clusters(_pairs(spark, OLD_EDGES), _ids(spark, OLD_IDS))
+    base = _labels(prev)
+
+    # no edges: labels unchanged, delta carries exactly the fresh ids
+    delta = []
+    out = dedup.incremental_cc(
+        prev, _ids(spark, [20, 21]), _pairs(spark, []), delta_handle=delta
+    )
+    assert _labels(out) == {**base, 20: 20, 21: 21}
+    assert _labels(delta[0]) == {20: 20, 21: 21}
+
+    # every edge inside one existing component: contraction leaves no
+    # work, nothing changes, the delta is empty
+    delta2 = []
+    out2 = dedup.incremental_cc(
+        prev, _ids(spark, []), _pairs(spark, [(1, 3), (2, 3)]), delta_handle=delta2
+    )
+    assert _labels(out2) == base
+    assert delta2[0].count() == 0
+
+    # re-sent existing id with no new evidence: incumbent row wins,
+    # no duplicate rows in the output
+    out3 = dedup.incremental_cc(prev, _ids(spark, [5, 5]), _pairs(spark, []))
+    assert out3.count() == len(base)
+    assert _labels(out3) == base
