@@ -24,7 +24,7 @@ an arriving-file directory or an Iceberg/Kafka source.
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
@@ -393,6 +393,147 @@ def start_incremental_dedup(
                 .partitionBy("batch_id")
                 .parquet(sigs_path)
             )
+        finally:
+            sigs.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cluster_labels(spark: SparkSession, out_path: str) -> DataFrame:
+    """Current (id, cluster_id) view of start_incremental_clustering's
+    delta log: the latest row per id wins (each batch writes only the
+    rows it changed or created, so the log is a standard LSM shape —
+    compact with maintenance.expire_stream_batches-style folding when
+    the tail grows). One window over the log, corpus never touched."""
+    deltas = spark.read.parquet(f"{out_path}/labels")
+    w = Window.partitionBy("id").orderBy(F.desc("batch_id"))
+    return (
+        deltas.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "cluster_id")
+    )
+
+
+def start_incremental_clustering(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    available_now: bool = False,
+    hot_bucket_cap: int | None = None,
+):
+    """Streaming near-dup CLUSTER maintenance — start_incremental_dedup
+    plus the label state: each micro-batch's matches become edges into
+    operators.dedup.incremental_cc, which merges them into the
+    cumulative (id, cluster_id) table on the CONTRACTED graph only
+    (corpus labels are joined once, never iterated over), and the
+    batch writes just the MERGE delta — rows whose label changed plus
+    rows for new ids — to `labels/` as a batch_id-keyed partition.
+    Current labels = latest row per id (read_cluster_labels). After
+    any prefix of batches the reconstructed table equals the batch
+    algorithm (near_dup_clusters) on every edge seen so far — the
+    incremental_cc invariant, pinned end-to-end in tests.
+
+    Effectively-once: all three writes (matches, labels delta, sigs)
+    are dynamic-partition overwrites keyed by batch_id, and every read
+    of cumulative state filters batch_id < current, so an
+    at-least-once replay sees exactly the pre-batch state the first
+    attempt saw and rewrites its partitions bit-identically."""
+    from pyspark import StorageLevel
+
+    from book_ocr_spark.operators.dedup import (
+        incremental_cc,
+        incremental_minhash_near_dup,
+        minhash_signature,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    sigs_path = f"{out_path}/sigs"
+    matches_path = f"{out_path}/matches"
+    labels_path = f"{out_path}/labels"
+
+    def _cumulative(path: str, schema, batch_id: int, cols: list[str]) -> DataFrame:
+        """Read a batch_id-partitioned state table as of before this
+        batch — the read-then-catch contract of start_incremental_dedup
+        (missing/empty dir = first batch; real read errors fail the
+        batch so the engine retries)."""
+        try:
+            return (
+                spark.read.parquet(path)
+                .filter(F.col("batch_id") < batch_id)
+                .select(*cols)
+            )
+        except AnalysisException as exc:
+            if not _is_path_missing(exc) and _table_dir_has_data(spark, path):
+                raise
+            return spark.createDataFrame([], schema)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signature(batch_df, "id", "text", k=k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            existing = _cumulative(sigs_path, sigs.schema, batch_id, ["id", "sh", "sig"])
+            matches = incremental_minhash_near_dup(
+                sigs, existing, threshold, hot_bucket_cap=hot_bucket_cap
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                (
+                    matches.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(matches_path)
+                )
+                log = _cumulative(
+                    labels_path,
+                    "id long, cluster_id long, batch_id long",
+                    batch_id,
+                    ["id", "cluster_id", "batch_id"],
+                )
+                w = Window.partitionBy("id").orderBy(F.desc("batch_id"))
+                labels_prev = (
+                    log.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") == 1)
+                    .select("id", "cluster_id")
+                )
+                delta: list = []
+                incremental_cc(
+                    labels_prev,
+                    batch_df.select("id"),
+                    matches.select(
+                        F.col("new_id").alias("id_a"),
+                        F.col("match_id").alias("id_b"),
+                    ),
+                    delta_handle=delta,
+                )
+                (
+                    delta[0].withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(labels_path)
+                )
+                (
+                    sigs.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(sigs_path)
+                )
+            finally:
+                matches.unpersist()
         finally:
             sigs.unpersist()
 

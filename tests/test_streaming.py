@@ -846,3 +846,58 @@ def test_streaming_embedding_moments_tracking(spark, tmp_path):
         cells.where("batch_id = 1").select("i", "j", "s"),
     )
     assert P.fit_pca_from_moments(merged) == full
+
+
+def test_streaming_incremental_clustering(spark, tmp_path):
+    """Streaming cluster-label maintenance: after three micro-batches
+    (a near-dup arriving per batch, chaining 1 <- 10 <- 11), the label
+    log reconstructed via read_cluster_labels equals the BATCH
+    algorithm — near_dup_clusters over minhash_near_dup pairs on the
+    whole corpus — and each batch's delta partition carries only the
+    rows that batch changed or created."""
+    from book_ocr_spark.operators.dedup import minhash_near_dup, near_dup_clusters
+
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "clu_out")
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps running"),
+        (2, "catalyst prunes columns pushes filters and plans broadcast joins"),
+    ]
+    b2 = [(10, "the quick brown fox jumps over the lazy dog and keeps walking")]
+    b3 = [
+        (11, "the quick brown fox jumps over the lazy dog and keeps sprinting"),
+        (12, "a completely unrelated sentence about watermarked session windows"),
+    ]
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, "id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    q = jobs.start_incremental_clustering(
+        spark, inp, out, str(tmp_path / "ckpt_clu"), k=3, threshold=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.id: r.cluster_id for r in jobs.read_cluster_labels(spark, out).collect()
+    }
+    corpus = spark.createDataFrame(b1 + b2 + b3, "id long, text string")
+    pairs = minhash_near_dup(corpus, "id", "text", k=3, threshold=0.5)
+    want = {
+        r.id: r.cluster_id
+        for r in near_dup_clusters(pairs, corpus.select("id")).collect()
+    }
+    assert got == want
+    assert got[10] == got[11] == got[1] == 1  # the planted chain
+    assert got[2] == 2 and got[12] == 12      # unrelated docs untouched
+
+    # per-batch deltas are minimal: batch 0 created 1 and 2; later
+    # batches never rewrote them (their labels never changed)
+    log = spark.read.parquet(f"{out}/labels")
+    by_batch = {
+        (r.batch_id, r.id): r.cluster_id for r in log.collect()
+    }
+    assert by_batch[(0, 1)] == 1 and by_batch[(0, 2)] == 2
+    assert (1, 1) not in by_batch and (2, 2) not in by_batch
+    assert by_batch[(1, 10)] == 1 and by_batch[(2, 11)] == 1
