@@ -56,7 +56,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -489,4 +489,260 @@ def duck_bt_strengths_sql(
         FROM bt_pi{iters} p
         CROSS JOIN bt_ref r
         JOIN bt_wdeg w ON w.i = p.i
+    """
+
+
+def pl_strengths(
+    rankings: DataFrame,
+    list_col: str = "list_id",
+    item_col: str = "item",
+    pos_col: str = "pos",
+    iters: int = 20,
+    smoothing: float = 0.5,
+    storage_handle: list | None = None,
+) -> DataFrame:
+    """Plackett–Luce strength fitting over RANKED LISTS — the listwise
+    generalization of bt_strengths for n-way preference data (k-way
+    arena battles, best-of-n orderings with a full ranking, human
+    rating panels): each list is a permutation of items from best to
+    worst, modeled as sequential choices P(list) = Π_t π_{i_t} /
+    Σ_{k in suffix_t} π_k, fitted with Hunter's (2004) MM recurrence
+
+        π_i ← (W_i + s) / (D_i + s)
+
+    where W_i counts the stages item i WON (every appearance except a
+    last place) and D_i = Σ_{lists ∋ i} Σ_{t ≤ min(rank_i, m−2)}
+    1/S_t with S_t the π-sum of the suffix from rank t. The +s on
+    both sides is the MAP estimate under a Gamma(s+1, s) prior — it
+    keeps never-winning items (always last) well-defined, the PL
+    analog of bt_strengths' Laplace smoothing, and leaves π = 1 the
+    exact fixed point for items seen only in singleton lists (no
+    evidence ⇒ prior mean).
+
+    Input: (list_col, item_col, pos_col) rows; smaller pos = better.
+    Ranks are normalized per list by (pos, md5(item)) — md5 so a pos
+    tie breaks identically in both engines (raw strings compare UTF-16
+    in Spark vs UTF-8 in DuckDB); each (list, item) should appear
+    once. NULLs in any key column drop. Lists of length 1 contribute
+    no stages (choosing from one item is deterministic). Output:
+    (item, strength, wins, lists) with the bt_strengths min-md5(item)
+    = 1 normalization.
+
+    Engine-exactness (module contract): W_i and list sizes are exact
+    BIGINT aggregates; every double fold is ORDER-FIXED — suffix sums
+    fold in ascending rank order, per-item contribution prefixes fold
+    in ascending stage order, and the cross-list reduction folds in
+    md5(list_id) order — all left-associated with init 0.0 (DuckDB's
+    init-less list_reduce agrees bitwise because 0.0 + t == t), so
+    the DuckDB twin replays bit-identically with no rounding crutch.
+
+    Scale shape: one rank-normalization window + one BIGINT hash agg
+    once; per iteration, one BROADCAST join of the items-sized π
+    table onto the rankings, one hash agg per list whose array work
+    is O(m²) in the LIST length (k-way comparisons — m is single
+    digits; it is NOT corpus-sized), one explode back to rows, and
+    one degree-bounded per-item fold. π is items-sized
+    (models/policies/checkpoints — driver-sized BY CONSTRUCTION), so
+    like bt_strengths each iteration collects and re-embeds it
+    (iters + 1 driver actions; see the module docstring for why that
+    beats localCheckpoint-chained lazy iteration on this Spark)."""
+    _bt_validate(iters, smoothing)
+    spark = rankings.sparkSession
+    s = float(smoothing)
+    r = rankings.select(
+        F.col(list_col).cast("string").alias("lid"),
+        F.col(item_col).cast("string").alias("it"),
+        F.col(pos_col).cast("long").alias("p"),
+    ).where(
+        F.col("lid").isNotNull() & F.col("it").isNotNull() & F.col("p").isNotNull()
+    )
+    w_rank = Window.partitionBy("lid").orderBy(F.col("p"), F.md5("it"))
+    w_list = Window.partitionBy("lid")
+    norm = r.select(
+        "lid",
+        "it",
+        (F.row_number().over(w_rank) - 1).alias("rk"),
+        F.count(F.lit(1)).over(w_list).alias("m"),
+    ).persist()
+    wtab = (
+        norm.groupBy(F.col("it").alias("i"))
+        .agg(
+            F.sum(F.when(F.col("rk") < F.col("m") - 1, 1).otherwise(0))
+            .cast("long")
+            .alias("wins"),
+            F.count(F.lit(1)).cast("long").alias("lists"),
+        )
+        .persist()
+    )
+    if storage_handle is not None:
+        storage_handle.extend([norm, wtab])
+    pi_rows = [(row.i, 1.0) for row in wtab.select("i").collect()]
+    for _ in range(iters):
+        pdf = spark.createDataFrame(pi_rows, "it string, pi double")
+        per_list = (
+            norm.join(F.broadcast(pdf), "it")
+            .groupBy("lid")
+            .agg(F.array_sort(F.collect_list(F.struct("rk", "it", "pi"))).alias("arr"))
+        )
+        m = F.size("arr")
+        pis = F.transform("arr", lambda x: x["pi"])
+        # stage suffix sums S_t (t = 0..m-2), each a left fold in
+        # ascending rank order; sequence() is guarded because Spark's
+        # sequence(0, -1) DESCENDS instead of returning empty
+        s_arr = F.when(
+            m >= F.lit(2),
+            F.transform(
+                F.sequence(F.lit(0), m - 2),
+                lambda t: F.aggregate(
+                    F.slice(pis, t + 1, m - t), F.lit(0.0), lambda a, x: a + x
+                ),
+            ),
+        ).otherwise(F.array().cast("array<double>"))
+        inv = F.transform(s_arr, lambda x: F.lit(1.0) / x)
+        # element at rank p contributes Σ_{t=0}^{min(p, m-2)} 1/S_t —
+        # a prefix fold of inv; slice length 0 ⇒ fold init 0.0 (m = 1)
+        contribs = F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda p: F.struct(
+                F.element_at(F.transform("arr", lambda x: x["it"]), p + 1).alias(
+                    "it"
+                ),
+                F.aggregate(
+                    F.slice(inv, F.lit(1), F.least(p + 1, m - 1)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("c"),
+            ),
+        )
+        ex = per_list.select("lid", F.explode(contribs).alias("e")).select(
+            "lid", F.col("e.it").alias("i"), F.col("e.c").alias("c")
+        )
+        d_i = (
+            ex.groupBy("i")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.md5("lid").alias("_ml"), F.col("c")))
+                ).alias("_a")
+            )
+            .select(
+                "i",
+                F.aggregate(
+                    F.transform("_a", lambda x: x["c"]),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                ).alias("d"),
+            )
+        )
+        new_pi = wtab.join(d_i, "i").select(
+            "i",
+            (
+                (F.col("wins").cast("double") + F.lit(s)) / (F.col("d") + F.lit(s))
+            ).alias("pi"),
+        )
+        pi_rows = [(row.i, row.pi) for row in new_pi.collect()]
+    refpi = min(
+        pi_rows, key=lambda t: hashlib.md5(t[0].encode("utf-8")).hexdigest()
+    )[1]
+    final = spark.createDataFrame(pi_rows, "i string, pi double")
+    return final.join(wtab, "i").select(
+        F.col("i").alias("item"),
+        (F.col("pi") / F.lit(refpi)).alias("strength"),
+        "wins",
+        "lists",
+    )
+
+
+def duck_pl_strengths_sql(
+    rankings_sql: str,
+    list_col: str = "list_id",
+    item_col: str = "item",
+    pos_col: str = "pos",
+    iters: int = 20,
+    smoothing: float = 0.5,
+) -> str:
+    """DuckDB twin of pl_strengths: iterations UNROLLED into one CTE
+    chain per MM step replaying the identical arithmetic — the same
+    (pos, md5(item)) rank normalization, the same ascending-rank
+    suffix folds / ascending-stage prefix folds / md5(list_id)
+    cross-list folds (list_reduce's init-less start agrees bitwise
+    with Spark's 0.0 init), the same smoothing literals as explicit
+    DOUBLE casts, the same min-md5 normalization. Multiply-referenced
+    CTEs are AS MATERIALIZED (the duck_bt_strengths_sql tree-doubling
+    rule)."""
+    _bt_validate(iters, smoothing)
+    s = float(smoothing)
+    ctes = [
+        f"""pl_r AS (
+            SELECT CAST({list_col} AS VARCHAR) AS lid,
+                   CAST({item_col} AS VARCHAR) AS it,
+                   CAST({pos_col} AS BIGINT) AS p
+            FROM ({rankings_sql}) s0
+            WHERE {list_col} IS NOT NULL AND {item_col} IS NOT NULL
+              AND {pos_col} IS NOT NULL),
+        pl_n AS MATERIALIZED (
+            SELECT lid, it,
+                   ROW_NUMBER() OVER (PARTITION BY lid
+                                      ORDER BY p, md5(it)) - 1 AS rk,
+                   COUNT(*) OVER (PARTITION BY lid) AS m
+            FROM pl_r),
+        pl_w AS MATERIALIZED (
+            SELECT it AS i,
+                   CAST(SUM(CASE WHEN rk < m - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS wins,
+                   CAST(COUNT(*) AS BIGINT) AS lists
+            FROM pl_n GROUP BY it),
+        pl_pi0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS pi FROM pl_w)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        pl_arr{k} AS (
+            SELECT n.lid,
+                   list(n.it ORDER BY n.rk) AS items,
+                   list(p.pi ORDER BY n.rk) AS pis,
+                   CAST(MAX(n.m) AS INTEGER) AS m
+            FROM pl_n n JOIN pl_pi{k - 1} p ON p.i = n.it
+            GROUP BY n.lid),
+        pl_sfx{k} AS (
+            SELECT lid, items, m,
+                   CASE WHEN m >= 2 THEN
+                       list_transform(
+                           generate_series(0, m - 2),
+                           t -> CAST(1.0 AS DOUBLE)
+                                / list_reduce(list_slice(pis, t + 1, m),
+                                              (a, x) -> a + x))
+                   ELSE CAST([] AS DOUBLE[]) END AS inv
+            FROM pl_arr{k}),
+        pl_c{k} AS (
+            SELECT lid, u.it AS i, u.c AS c FROM (
+                SELECT lid,
+                       unnest(list_transform(
+                           generate_series(1, m),
+                           q -> struct_pack(
+                               it := items[q],
+                               c := CASE WHEN least(q, m - 1) >= 1
+                                    THEN list_reduce(
+                                        list_slice(inv, 1, least(q, m - 1)),
+                                        (a, x) -> a + x)
+                                    ELSE CAST(0.0 AS DOUBLE) END))) AS u
+                FROM pl_sfx{k}) q0),
+        pl_d{k} AS (
+            SELECT i,
+                   list_reduce(list(c ORDER BY md5(lid)), (a, t) -> a + t) AS d
+            FROM pl_c{k} GROUP BY i),
+        pl_pi{k} AS MATERIALIZED (
+            SELECT w.i,
+                   (CAST(w.wins AS DOUBLE) + CAST('{s!r}' AS DOUBLE))
+                   / (d.d + CAST('{s!r}' AS DOUBLE)) AS pi
+            FROM pl_w w JOIN pl_d{k} d ON d.i = w.i)""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body},
+        pl_ref AS (
+            SELECT pi AS refpi FROM pl_pi{iters}
+            ORDER BY md5(i) LIMIT 1)
+        SELECT p.i AS item, p.pi / r.refpi AS strength,
+               w.wins AS wins, w.lists AS lists
+        FROM pl_pi{iters} p
+        CROSS JOIN pl_ref r
+        JOIN pl_w w ON w.i = p.i
     """

@@ -192,3 +192,104 @@ def test_bt_validation(spark):
         rk.duck_bt_strengths_sql("s", iters=0)
     with pytest.raises(ValueError):
         rk.duck_bt_strengths_sql("s", smoothing=-1.0)
+
+
+# ---------------------------------------------------------------- PL
+
+PL_LISTS = (
+    [("l1", "A", 0), ("l1", "B", 1), ("l1", "C", 2)]
+    + [("l2", "A", 0), ("l2", "C", 1), ("l2", "B", 2)]
+    + [("l3", "B", 0), ("l3", "A", 1), ("l3", "C", 2)]
+    + [("l4", "C", 0), ("l4", "D", 1)]
+    + [("l5", "D", 0)]                 # singleton: contributes no stage
+    + [("l6", "A", 0), ("l6", "B", 0)]  # pos tie -> md5(item) break
+)
+
+
+def _pl_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["list_id", "item", "pos"]),
+        "list_id string, item string, pos int",
+    )
+
+
+def test_pl_two_item_ratio(spark):
+    # 2-item lists: the stage denominator D_i = sum_lists 1/(pi_A+pi_B)
+    # is SYMMETRIC in the two items, so pi_A/pi_B = (W_A+s)/(W_B+s)
+    # = 3.5/1.5 exactly from iteration 1 onward (PL degenerates to
+    # unpaired-smoothing BT at m=2)
+    rows = []
+    for i, (w, l) in enumerate([("A", "B")] * 3 + [("B", "A")]):
+        rows += [(f"g{i}", w, 0), (f"g{i}", l, 1)]
+    got = _by_item(rk.pl_strengths(_pl_df(spark, rows), iters=3).collect())
+    assert set(got) == {"A", "B"}
+    assert (got["A"].wins, got["A"].lists) == (3, 4)
+    assert (got["B"].wins, got["B"].lists) == (1, 4)
+    assert abs(got["A"].strength / got["B"].strength - 3.5 / 1.5) < 1e-12
+    assert 1.0 in (got["A"].strength, got["B"].strength)  # min-md5 ref
+
+
+def test_pl_transitive_ordering_and_positivity(spark):
+    # the same full ranking A > B > C five times over
+    rows = []
+    for i in range(5):
+        rows += [(f"r{i}", "A", 0), (f"r{i}", "B", 1), (f"r{i}", "C", 2)]
+    got = _by_item(rk.pl_strengths(_pl_df(spark, rows), iters=20).collect())
+    assert got["A"].strength > got["B"].strength > got["C"].strength > 0
+    # C never wins a stage (always last); A wins both its stages
+    assert got["C"].wins == 0 and got["A"].wins == 5 and got["B"].wins == 5
+
+
+def test_pl_singleton_lists_are_prior_mean(spark):
+    # items seen ONLY in singleton lists have W=0, D=0 -> pi = s/s = 1
+    # exactly (the Gamma-prior mean); with every item in that state all
+    # strengths normalize to exactly 1.0
+    rows = [("s1", "A", 0), ("s2", "B", 0), ("s3", "C", 0)]
+    got = _by_item(rk.pl_strengths(_pl_df(spark, rows), iters=5).collect())
+    assert {r.strength for r in got.values()} == {1.0}
+    assert all(r.wins == 0 and r.lists == 1 for r in got.values())
+
+
+@pytest.mark.parametrize("iters,smoothing", [(1, 0.5), (5, 0.5), (5, 1.0)])
+def test_pl_twin_bit_identical(spark, iters, smoothing):
+    pdf = pd.DataFrame(PL_LISTS, columns=["list_id", "item", "pos"])
+    got = sorted(
+        map(tuple, rk.pl_strengths(
+            _pl_df(spark, PL_LISTS), iters=iters, smoothing=smoothing).collect())
+    )
+    con = duckdb.connect()
+    con.register("plx", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(rk.duck_pl_strengths_sql(
+            "SELECT * FROM plx", iters=iters, smoothing=smoothing)).fetchall()
+    )
+    assert got == want and got
+
+
+def test_pl_drops_nulls(spark):
+    noisy = PL_LISTS + [(None, "A", 0), ("lx", None, 0), ("ly", "B", None)]
+    a = sorted(map(tuple, rk.pl_strengths(_pl_df(spark, PL_LISTS), iters=5).collect()))
+    b = sorted(map(tuple, rk.pl_strengths(_pl_df(spark, noisy), iters=5).collect()))
+    assert a == b
+
+
+def test_pl_partition_invariance_and_storage_handle(spark):
+    df = _pl_df(spark, PL_LISTS)
+    handle = []
+    a = sorted(map(tuple, rk.pl_strengths(df, iters=4, storage_handle=handle).collect()))
+    assert len(handle) == 2  # norm + wtab pinned frames handed back
+    b = sorted(map(tuple, rk.pl_strengths(df.repartition(7, "item"), iters=4).collect()))
+    assert a == b
+
+
+def test_pl_validation(spark):
+    df = _pl_df(spark, PL_LISTS)
+    with pytest.raises(ValueError):
+        rk.pl_strengths(df, iters=0)
+    with pytest.raises(ValueError):
+        rk.pl_strengths(df, smoothing=0.0)
+    with pytest.raises(ValueError):
+        rk.duck_pl_strengths_sql("s", iters=0)
+    with pytest.raises(ValueError):
+        rk.duck_pl_strengths_sql("s", smoothing=-1.0)
