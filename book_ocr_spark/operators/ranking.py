@@ -746,3 +746,236 @@ def duck_pl_strengths_sql(
         CROSS JOIN pl_ref r
         JOIN pl_w w ON w.i = p.i
     """
+
+
+def elo_ratings(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    ts_col: str = "ts",
+    k: float = 32.0,
+    scale: float = 400.0,
+    base: float = 1500.0,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Online Elo rating replay — the ORDER-DEPENDENT third member of
+    the ranking family (bt_strengths = batch pairwise MLE,
+    pl_strengths = batch listwise MLE, elo = the streaming estimator
+    arena leaderboards actually run online): fold the game history in
+    timestamp order, updating two ratings per game
+
+        E_w = 1 / (1 + 10^((r_l − r_w)/scale))
+        d   = round(k · (1 − E_w), 9);  r_w += d;  r_l −= d
+
+    The symmetric ±d keeps total rating mass EXACTLY conserved at
+    n_items · base. Unseen items enter at ``base``.
+
+    Ordering contract: games fold in ascending
+    (unix_micros(ts), md5(winner), md5(loser)) order — md5 so ts ties
+    break identically in both engines (raw strings compare UTF-16 in
+    Spark vs UTF-8 in DuckDB); two literally identical rows commute.
+    ``ts_col`` must be a timestamp column. NULL keys and self-games
+    drop (the bt_strengths hygiene rule).
+
+    Engine-exactness: d is rounded to 9dp each game — the
+    graph.pagerank trick — so the 1-ulp licence Java's Math.pow and
+    DuckDB's pow each enjoy cannot leak into (let alone compound
+    across) the state chain; every subsequent +/− is a correctly
+    rounded IEEE op on identical doubles, so the DuckDB twin (a
+    recursive-CTE replay) agrees bitwise with no tolerance.
+
+    Scale shape: Elo is INHERENTLY SEQUENTIAL — each game reads the
+    ratings its predecessors wrote, so one rating pool is one state
+    chain and CANNOT fan out (contrast bt/pl, which are order-free
+    hash aggs + broadcast iterations). The honest Spark shape is
+    therefore: groupBy(``by``) (league / arena / time-shard — the
+    parallel unit), collect each group's games SORTED into one array,
+    and run the fold as ONE JVM higher-order ``aggregate`` over a
+    map<item, rating> accumulator — no Python, no per-game shuffle,
+    no driver loop; plus two exact BIGINT hash aggs for win/loss
+    counts. Per-task memory is one group's history; a pool too big
+    for one task must be sharded by epoch via ``by`` and stitched
+    (rating carry-over), which is a pipeline decision, not an
+    operator default. With ``by=()`` the whole input is one chain —
+    correct, and exactly as parallel as the math allows.
+
+    Output: ``by`` + (item, rating, wins, losses, games), ordered by
+    ``by`` then rating DESC, item ASC. Group-key columns must be
+    non-NULL (NULL-keyed rows drop).
+    """
+    _elo_validate(k, scale)
+    bycols = list(by)
+    g = outcomes.select(
+        *[F.col(c) for c in bycols],
+        F.col(winner_col).cast("string").alias("w"),
+        F.col(loser_col).cast("string").alias("l"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+    )
+    cond = (
+        F.col("w").isNotNull()
+        & F.col("l").isNotNull()
+        & F.col("t").isNotNull()
+        & (F.col("w") != F.col("l"))
+    )
+    for c in bycols:
+        cond = cond & F.col(c).isNotNull()
+    g = g.where(cond)
+    grouped = g.groupBy(*bycols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "t", F.md5("w").alias("_mw"), F.md5("l").alias("_ml"), "w", "l"
+                )
+            )
+        ).alias("gs")
+    )
+
+    def _step(acc, gm):
+        rw = F.coalesce(F.element_at(acc, gm["w"]), F.lit(float(base)))
+        rl = F.coalesce(F.element_at(acc, gm["l"]), F.lit(float(base)))
+        e = F.lit(1.0) / (
+            F.lit(1.0) + F.pow(F.lit(10.0), (rl - rw) / F.lit(float(scale)))
+        )
+        d = F.round(F.lit(float(k)) * (F.lit(1.0) - e), 9)
+        return F.map_concat(
+            F.map_filter(acc, lambda mk, _mv: (mk != gm["w"]) & (mk != gm["l"])),
+            F.create_map(gm["w"], rw + d, gm["l"], rl - d),
+        )
+
+    folded = grouped.select(
+        *bycols,
+        F.explode(
+            F.aggregate(
+                "gs", F.expr("map()").cast("map<string,double>"), _step
+            )
+        ).alias("item", "rating"),
+    )
+    wins = g.groupBy(*bycols, F.col("w").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("wins")
+    )
+    losses = g.groupBy(*bycols, F.col("l").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("losses")
+    )
+    keys = bycols + ["item"]
+    counts = (
+        wins.join(losses, keys, "full_outer")
+        .select(
+            *keys,
+            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+            F.coalesce("losses", F.lit(0)).cast("long").alias("losses"),
+        )
+        .withColumn("games", (F.col("wins") + F.col("losses")).cast("long"))
+    )
+    return folded.join(counts, keys).orderBy(
+        *bycols, F.desc("rating"), F.asc("item")
+    )
+
+
+def duck_elo_ratings_sql(
+    outcomes_sql: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    ts_col: str = "ts",
+    k: float = 32.0,
+    scale: float = 400.0,
+    base: float = 1500.0,
+    by: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`elo_ratings`: a RECURSIVE CTE replays the
+    fold one game per recursion step (the iteration count is
+    data-dependent — games per group — so the bt/pl unrolled-CTE trick
+    doesn't apply). State is ONE row per group carrying the full
+    ratings table as a LIST of (it, r) structs, stepped with
+    list_transform; the same epoch-microsecond + md5 ordering, the
+    same 9dp-rounded ±d update (DuckDB round() is half-away-from-zero
+    and d > 0, matching Spark's HALF_UP), the same exact BIGINT
+    win/loss counts. Groups are keyed internally by md5 over the
+    ``by`` columns (unit key when empty)."""
+    _elo_validate(k, scale)
+    bycols = list(by)
+    bysel = "".join(f"CAST({c} AS VARCHAR) || chr(31) || " for c in bycols)
+    grp = f"md5({bysel}'')"
+    byout = "".join(f"g0.{c}, " for c in bycols)
+    bynn = "".join(f" AND {c} IS NOT NULL" for c in bycols)
+    kx = f"CAST('{float(k)!r}' AS DOUBLE)"
+    sx = f"CAST('{float(scale)!r}' AS DOUBLE)"
+    bx = f"CAST('{float(base)!r}' AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE
+        elo_g0 AS (
+            SELECT {byout}{grp} AS grp,
+                   CAST({winner_col} AS VARCHAR) AS w,
+                   CAST({loser_col} AS VARCHAR) AS l,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) AS t
+            FROM ({outcomes_sql}) g0
+            WHERE {winner_col} IS NOT NULL AND {loser_col} IS NOT NULL
+              AND {ts_col} IS NOT NULL
+              AND CAST({winner_col} AS VARCHAR) <> CAST({loser_col} AS VARCHAR)
+              {bynn}),
+        elo_g AS MATERIALIZED (
+            SELECT grp, w, l,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY grp
+                       ORDER BY t, md5(w), md5(l), w, l) AS gi
+            FROM elo_g0),
+        elo_items AS MATERIALIZED (
+            SELECT DISTINCT grp, it FROM (
+                SELECT grp, w AS it FROM elo_g
+                UNION ALL SELECT grp, l FROM elo_g) u0),
+        elo_st AS (
+            SELECT grp, 0::BIGINT AS gi,
+                   list(struct_pack(it := it, r := {bx}) ORDER BY it) AS rs
+            FROM elo_items GROUP BY grp
+            UNION ALL
+            SELECT s.grp, s.gi + 1,
+                   list_transform(
+                       s.rs,
+                       x -> struct_pack(
+                           it := x.it,
+                           r := CASE
+                               WHEN x.it = gm.w THEN x.r + round(
+                                   {kx} * (1.0 - 1.0 / (1.0 + pow(10.0,
+                                       (list_filter(s.rs, y -> y.it = gm.l)[1].r
+                                        - list_filter(s.rs, y -> y.it = gm.w)[1].r)
+                                       / {sx}))), 9)
+                               WHEN x.it = gm.l THEN x.r - round(
+                                   {kx} * (1.0 - 1.0 / (1.0 + pow(10.0,
+                                       (list_filter(s.rs, y -> y.it = gm.l)[1].r
+                                        - list_filter(s.rs, y -> y.it = gm.w)[1].r)
+                                       / {sx}))), 9)
+                               ELSE x.r END)) AS rs
+            FROM elo_st s
+            JOIN elo_g gm ON gm.grp = s.grp AND gm.gi = s.gi + 1),
+        elo_final AS (
+            SELECT grp, u.it AS item, u.r AS rating FROM (
+                SELECT grp, unnest(rs) AS u FROM (
+                    SELECT grp, rs,
+                           ROW_NUMBER() OVER (PARTITION BY grp
+                                              ORDER BY gi DESC) AS rn
+                    FROM elo_st) q0 WHERE rn = 1) q1),
+        elo_w AS (
+            SELECT grp, w AS item, CAST(COUNT(*) AS BIGINT) AS wins
+            FROM elo_g GROUP BY grp, w),
+        elo_l AS (
+            SELECT grp, l AS item, CAST(COUNT(*) AS BIGINT) AS losses
+            FROM elo_g GROUP BY grp, l),
+        elo_by AS (
+            SELECT DISTINCT {byout}{grp} AS grp
+            FROM ({outcomes_sql}) g0 WHERE TRUE {bynn})
+        SELECT {"".join(f"b.{c}, " for c in bycols)}f.item, f.rating,
+               COALESCE(w.wins, 0)::BIGINT AS wins,
+               COALESCE(l.losses, 0)::BIGINT AS losses,
+               (COALESCE(w.wins, 0) + COALESCE(l.losses, 0))::BIGINT AS games
+        FROM elo_final f
+        JOIN elo_by b ON b.grp = f.grp
+        LEFT JOIN elo_w w ON w.grp = f.grp AND w.item = f.item
+        LEFT JOIN elo_l l ON l.grp = f.grp AND l.item = f.item
+        ORDER BY {"".join(f"b.{c}, " for c in bycols)}f.rating DESC, f.item ASC
+    """
+
+
+def _elo_validate(k: float, scale: float) -> None:
+    if not k > 0:
+        raise ValueError("k must be > 0")
+    if not scale > 0:
+        raise ValueError("scale must be > 0")

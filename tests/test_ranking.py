@@ -293,3 +293,113 @@ def test_pl_validation(spark):
         rk.duck_pl_strengths_sql("s", iters=0)
     with pytest.raises(ValueError):
         rk.duck_pl_strengths_sql("s", smoothing=-1.0)
+
+
+# --------------------------------------------------------------- Elo
+
+import datetime as _dt
+
+_ET0 = _dt.datetime(2025, 1, 1)
+
+ELO_GAMES = [
+    ("A", "B"), ("B", "C"), ("A", "C"), ("C", "A"),
+    ("A", "B"), ("D", "A"), ("B", "D"),
+]
+
+
+def _elo_rows(games=ELO_GAMES, start=_ET0):
+    return [
+        (w, l, start + _dt.timedelta(minutes=i))
+        for i, (w, l) in enumerate(games)
+    ]
+
+
+def _elo_df(spark, rows, schema="winner string, loser string, ts timestamp"):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=schema.replace(" string", "")
+                     .replace(" timestamp", "").split(", ")),
+        schema,
+    )
+
+
+def test_elo_known_first_updates_and_mass(spark):
+    # equal ratings -> E_w = 0.5 exactly -> d = k/2; replay by hand
+    rows = _elo_rows([("A", "B"), ("B", "A")])
+    got = _by_item(rk.elo_ratings(_elo_df(spark, rows), k=32.0).collect())
+    # game 1: A 1516, B 1484; game 2: E_B = 1/(1+10^(32/400)),
+    # d = round(32*(1-E_B), 9) -- B gains MORE than 16 (upset)
+    import math
+    e_b = 1.0 / (1.0 + 10.0 ** ((1516.0 - 1484.0) / 400.0))
+    d2 = round(32.0 * (1.0 - e_b), 9)
+    assert got["B"].rating == 1484.0 + d2
+    assert got["A"].rating == 1516.0 - d2
+    assert d2 > 16.0
+    # exact mass conservation at n_items * base
+    assert abs(sum(r.rating for r in got.values()) - 2 * 1500.0) < 1e-9
+    assert (got["A"].wins, got["A"].losses, got["A"].games) == (1, 1, 2)
+
+
+def test_elo_order_dependence(spark):
+    # Elo is order-dependent BY DESIGN: reversing the game order over
+    # a non-commuting history changes the final ratings
+    fwd = _elo_rows([("A", "B"), ("B", "C"), ("C", "A")])
+    rev = [
+        (w, l, _ET0 + _dt.timedelta(minutes=len(fwd) - i))
+        for i, (w, l, _) in enumerate(fwd)
+    ]
+    a = {r.item: r.rating for r in rk.elo_ratings(_elo_df(spark, fwd)).collect()}
+    b = {r.item: r.rating for r in rk.elo_ratings(_elo_df(spark, rev)).collect()}
+    assert a != b
+
+
+@pytest.mark.parametrize("k,scale,base", [(32.0, 400.0, 1500.0), (16.0, 200.0, 1000.0)])
+def test_elo_twin_bit_identical(spark, k, scale, base):
+    rows = _elo_rows() + [("C", "B", _ET0), ("B", "A", _ET0)]  # ts ties
+    pdf = pd.DataFrame(rows, columns=["winner", "loser", "ts"])
+    got = [tuple(r) for r in rk.elo_ratings(
+        _elo_df(spark, rows), k=k, scale=scale, base=base).collect()]
+    con = duckdb.connect()
+    con.register("eg", pdf)
+    want = [tuple(r) for r in con.sql(rk.duck_elo_ratings_sql(
+        "SELECT * FROM eg", k=k, scale=scale, base=base)).fetchall()]
+    assert got == want and got
+
+
+def test_elo_grouped_twin_and_isolation(spark):
+    rows = _elo_rows()
+    pdf = pd.DataFrame(rows, columns=["winner", "loser", "ts"])
+    pdf["league"] = ["x", "y"] * 3 + ["x"]
+    df = spark.createDataFrame(
+        pdf, "winner string, loser string, ts timestamp, league string")
+    got = [tuple(r) for r in rk.elo_ratings(df, by=("league",)).collect()]
+    con = duckdb.connect()
+    con.register("eg2", pdf)
+    want = [tuple(r) for r in con.sql(rk.duck_elo_ratings_sql(
+        "SELECT * FROM eg2", by=("league",))).fetchall()]
+    assert got == want and got
+    # each league's mass conserves independently
+    for lg in ("x", "y"):
+        sub = [r for r in got if r[0] == lg]
+        assert abs(sum(r[2] for r in sub) - 1500.0 * len(sub)) < 1e-9
+
+
+def test_elo_hygiene_and_partition_invariance(spark):
+    rows = _elo_rows()
+    noisy = rows + [("A", "A", _ET0), (None, "B", _ET0), ("C", None, _ET0),
+                    ("A", "B", None)]
+    a = [tuple(r) for r in rk.elo_ratings(_elo_df(spark, rows)).collect()]
+    b = [tuple(r) for r in rk.elo_ratings(_elo_df(spark, noisy)).collect()]
+    assert a == b
+    c = [tuple(r) for r in rk.elo_ratings(
+        _elo_df(spark, rows).repartition(7, "loser")).collect()]
+    assert a == c
+
+
+def test_elo_validation(spark):
+    df = _elo_df(spark, _elo_rows())
+    with pytest.raises(ValueError):
+        rk.elo_ratings(df, k=0.0)
+    with pytest.raises(ValueError):
+        rk.elo_ratings(df, scale=-1.0)
+    with pytest.raises(ValueError):
+        rk.duck_elo_ratings_sql("s", k=-2.0)
