@@ -257,3 +257,192 @@ def duck_rank_features_sql(
         FROM ({corpus_sql}) c
         LEFT JOIN ({ranks_sql}) r ON c.{key_col} = r.node
     """
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = DEFAULT_DAMPING,
+    iterations: int = DEFAULT_ITERATIONS,
+    storage_handle: list | None = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating
+    Web Spam with TrustRank") over (src, dst) edges with a trusted
+    ``seeds`` table (one ``node`` column) → (node, trust), trust
+    descending then node ascending.
+
+    The spam-demotion sibling of :func:`pagerank`: identical power
+    iteration, but the UNIFORM teleport vector is replaced by the
+    seed-personalized one, so trust flows OUT from the hand-vetted
+    seed set and decays with link distance — pages no trusted region
+    links into (spam islands, link farms) get trust ~0 instead of the
+    PageRank floor (1−d)/N. Curation use: seed with vetted domains,
+    join `trust` back via :func:`rank_features`, and gate or
+    down-weight the un-trusted tail.
+
+    Semantics (personalized PageRank, standard conventions):
+    - seeds are intersected with the graph's node universe; seeds
+      outside the graph are ignored; empty effective seed set raises
+      (an all-zero teleport has no stationary distribution);
+    - s(v) = 1/|S_eff| on effective seeds, 0 elsewhere;
+    - init t0 = s (rounded 9dp — the pagerank twin trick);
+    - t'(v) = round((1−d)·s(v) + d·(Σ_{u→v} t(u)/outdeg(u)
+      + D·s(v)), 9) with D = Σ t(u) over dangling nodes — dangling
+      mass teleports BY THE SEED VECTOR (the personalized analog of
+      pagerank's uniform redistribution), so total mass stays ≈ 1;
+    - FIXED ``iterations`` (no convergence action; finite unrolled
+      twin).
+
+    Scale shape = pagerank's: edges outdegree-annotated and persisted
+    once; per iteration one equi-join + one map-side-combined hash agg
+    + one broadcast 1-row dangling scalar; ranks localCheckpoint'd
+    per round (plan-doubling guard); seed vector is a |V|-row narrow
+    frame built ONCE via a broadcast left-semi-ish join (seeds are
+    hand-vetted — small by construction)."""
+    if iterations < 1:
+        raise ValueError("trustrank needs at least 1 iteration")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    from pyspark import StorageLevel
+
+    dedup_edges = edges.select("src", "dst").distinct()
+    out_deg = dedup_edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    edges_deg = (
+        dedup_edges.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    seed_nodes = (
+        nodes.join(F.broadcast(seeds.select("node").distinct()), "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_seeds = seed_nodes.count()  # one up-front action (= pagerank's count)
+    if n_seeds == 0:
+        edges_deg.unpersist()
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        raise ValueError(
+            "trustrank needs at least one seed inside the graph's node set"
+        )
+    # seed teleport vector rides as a column of the node frame: s(v)
+    sv = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("_s", F.lit(1.0 / n_seeds))),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_s", F.lit(0.0)).alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ranks = sv.select(
+        "node", F.round(F.col("s"), RANK_DECIMALS).alias("trust")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(ranks, edges_deg.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("trust") / F.col("outdeg")).alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("contrib"))
+            )
+            dmass = F.broadcast(
+                dangling.join(ranks, "node")
+                .agg(F.coalesce(F.sum("trust"), F.lit(0.0)).alias("dmass"))
+            )
+            ranks = (
+                sv.join(contribs, "node", "left")
+                .crossJoin(dmass)
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(1.0 - damping) * F.col("s")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("contrib", F.lit(0.0))
+                            + F.col("dmass") * F.col("s")
+                        ),
+                        RANK_DECIMALS,
+                    ).alias("trust"),
+                )
+            ).localCheckpoint(eager=True)
+    finally:
+        edges_deg.unpersist()
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        sv.unpersist()
+        dangling.unpersist()
+    out = ranks.orderBy(F.desc("trust"), F.asc("node"))
+    if storage_handle is not None:
+        storage_handle.append(ranks)
+    return out
+
+
+def duck_trustrank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    damping: float = DEFAULT_DAMPING,
+    iterations: int = DEFAULT_ITERATIONS,
+) -> str:
+    """DuckDB twin of :func:`trustrank`: identical recurrence unrolled
+    one CTE triple per iteration, same 9dp rounding, same
+    seed-personalized teleport + dangling rule. ``edges_sql`` must
+    yield (src, dst); ``seeds_sql`` one ``node`` column."""
+    if iterations < 1:
+        raise ValueError("trustrank needs at least 1 iteration")
+    ctes = [
+        f"tr_edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}) tr_e0)",
+        "tr_out AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg"
+        " FROM tr_edges GROUP BY src)",
+        "tr_nodes AS (SELECT src AS node FROM tr_edges"
+        " UNION SELECT dst FROM tr_edges)",
+        f"tr_seed AS (SELECT DISTINCT n.node FROM tr_nodes n"
+        f" JOIN ({seeds_sql}) s0 ON n.node = s0.node)",
+        "tr_ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM tr_seed)",
+        "tr_sv AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0.0"
+        " ELSE 1.0 / (SELECT ns FROM tr_ns) END AS s"
+        " FROM tr_nodes n LEFT JOIN tr_seed s ON n.node = s.node)",
+        "tr_dang AS (SELECT node FROM tr_nodes"
+        " WHERE node NOT IN (SELECT src FROM tr_out))",
+        f"tr_r0 AS (SELECT node, ROUND(s, {RANK_DECIMALS}) AS trust"
+        " FROM tr_sv)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"tr_r{i - 1}"
+        ctes.append(
+            f"""tr_c{i} AS (
+                SELECT e.dst AS node, SUM(r.trust / o.outdeg) AS contrib
+                FROM tr_edges e
+                JOIN {prev} r ON e.src = r.node
+                JOIN tr_out o ON e.src = o.src
+                GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""tr_d{i} AS (
+                SELECT COALESCE(SUM(r.trust), 0.0) AS dmass
+                FROM tr_dang d JOIN {prev} r ON d.node = r.node)"""
+        )
+        ctes.append(
+            f"""tr_r{i} AS (
+                SELECT sv.node,
+                       ROUND((1.0 - {damping}) * sv.s
+                             + {damping} * (COALESCE(c.contrib, 0.0)
+                                            + dm.dmass * sv.s),
+                             {RANK_DECIMALS}) AS trust
+                FROM tr_sv sv
+                CROSS JOIN tr_d{i} dm
+                LEFT JOIN tr_c{i} c ON sv.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, trust FROM tr_r{iterations}"
+        " ORDER BY trust DESC, node ASC"
+    )

@@ -136,3 +136,98 @@ def test_rank_features_twin_and_broadcast(spark):
         ).fetchall()
     }
     assert got == want
+
+def _py_trustrank(edges, seeds, damping=0.85, iterations=10):
+    """Reference replay of the trustrank recurrence (seed-personalized
+    teleport, dangling mass redistributed BY the seed vector, same
+    9dp per-iteration rounding)."""
+    dedup = sorted(set(edges))
+    nodes = sorted({s for s, _ in dedup} | {d for _, d in dedup})
+    out = {}
+    for s, _ in dedup:
+        out[s] = out.get(s, 0) + 1
+    eff = sorted(set(seeds) & set(nodes))
+    sv = {v: (1.0 / len(eff) if v in eff else 0.0) for v in nodes}
+    r = {v: round(sv[v], graph.RANK_DECIMALS) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in dedup:
+            contrib[d] += r[s] / out[s]
+        dmass = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: round(
+                (1 - damping) * sv[v]
+                + damping * (contrib[v] + dmass * sv[v]),
+                graph.RANK_DECIMALS,
+            )
+            for v in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_python_replay(spark):
+    edges = _rand_edges(seed=47)
+    seeds = ["n0", "n3", "n7", "nope"]  # one seed outside the graph
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        r.node: r.trust
+        for r in graph.trustrank(df, sdf, iterations=6).collect()
+    }
+    want = _py_trustrank(edges, seeds, iterations=6)
+    # FP summation order (Spark partition-order sum vs Python edge-order
+    # loop) can land a contribution exactly on a 9dp rounding boundary:
+    # allow one final-digit ulp per node, exact otherwise.
+    assert set(got) == set(want)
+    for node, trust in got.items():
+        assert abs(trust - want[node]) <= 1.1e-9, (node, trust, want[node])
+
+
+def test_trustrank_duck_twin(spark):
+    edges = _rand_edges(seed=61)
+    seeds = ["n1", "n2", "n9"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = [
+        (r.node, r.trust)
+        for r in graph.trustrank(df, sdf, iterations=8).collect()
+    ]
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    con.register("s", pd.DataFrame({"node": seeds}))
+    want = con.sql(
+        graph.duck_trustrank_sql(
+            "SELECT src, dst FROM e", "SELECT node FROM s", iterations=8
+        )
+    ).fetchall()
+    assert got == [(n, v) for n, v in want]
+
+
+def test_trustrank_spam_island_gets_zero(spark):
+    # trusted component a->b->c (seed a) plus a disconnected spam
+    # 2-cycle x<->y: unlike pagerank, the island gets trust exactly 0
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    sdf = spark.createDataFrame([("a",)], "node string")
+    t = {r.node: r.trust for r in graph.trustrank(df, sdf, iterations=5).collect()}
+    assert t["x"] == 0.0 and t["y"] == 0.0
+    assert t["a"] > 0 and t["b"] > 0 and t["c"] > 0
+    # dangling c teleports its mass back BY the seed vector -> mass ~1
+    assert abs(sum(t.values()) - 1.0) < 1e-6
+
+
+def test_trustrank_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    sdf = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="iteration"):
+        graph.trustrank(df, sdf, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        graph.trustrank(df, sdf, damping=0.0)
+    # seeds entirely outside the graph: no stationary distribution
+    off = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        graph.trustrank(df, off, iterations=3)
+    with pytest.raises(ValueError):
+        graph.duck_trustrank_sql("SELECT 1, 2", "SELECT 'a'", iterations=0)
