@@ -446,3 +446,201 @@ def duck_trustrank_sql(
         + f"\nSELECT node, trust FROM tr_r{iterations}"
         " ORDER BY trust DESC, node ASC"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = DEFAULT_ITERATIONS,
+    storage_handle: list | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    Sources in a Hyperlinked Environment") over (src, dst) edges →
+    (node, authority, hub), authority descending then node ascending.
+
+    The complementary signal to PageRank/TrustRank for link-graph
+    curation: authority scores pages many good HUBS point at (the
+    quality-content prior), hub scores pages that point at many good
+    AUTHORITIES (directory/aggregator detection — often exactly the
+    low-value link-list pages a training corpus wants to down-weight).
+
+    Semantics (standard mutual recursion, L1-normalized):
+    - init a = h = 1/N over the node universe (src ∪ dst);
+    - a_raw(v) = Σ_{u→v} h(u);  h_raw(u) = Σ_{u→v} a(v) with the
+      CURRENT iteration's a (Kleinberg's I-then-O operation order);
+    - each vector is L1-normalized (sum = 1) then rounded to 9dp —
+      L1 chosen over the textbook L2 deliberately: no sqrt, so the
+      DuckDB twin replays the recurrence with exact same arithmetic
+      (the ordering induced is identical — normalization is a
+      positive scalar);
+    - raw sums are rounded to 9dp BEFORE normalization too, so the
+      only cross-engine noise is ULP sum-order inside one hash agg,
+      absorbed by the rounding (the pagerank trick, both stages);
+    - FIXED ``iterations``; no convergence action.
+
+    Scale shape = pagerank's: edges deduped + persisted once; per
+    iteration two equi-joins + two map-side-combined hash aggs + two
+    broadcast 1-row normalization scalars; both vectors
+    localCheckpoint'd per round (each is referenced twice — join +
+    norm sum — so the plan would double per round otherwise)."""
+    if iterations < 1:
+        raise ValueError("hits needs at least 1 iteration")
+    from pyspark import StorageLevel
+
+    dedup_edges = edges.select("src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()  # one up-front action (the pagerank pattern)
+    if n == 0:
+        dedup_edges.unpersist()
+        nodes.unpersist()
+        raise ValueError("hits needs a non-empty edge table")
+
+    init = F.round(F.lit(1.0 / n), RANK_DECIMALS)
+    auth = nodes.select("node", init.alias("authority"))
+    hub = nodes.select("node", init.alias("hub")).localCheckpoint(eager=True)
+
+    def _l1_step(raw: DataFrame, col: str) -> DataFrame:
+        """nodes LEFT JOIN raw → zero-fill, 9dp-round raw, L1-normalize
+        (broadcast 1-row sum), 9dp-round the result."""
+        filled = nodes.join(raw, "node", "left").select(
+            "node",
+            F.round(F.coalesce(col, F.lit(0.0)), RANK_DECIMALS).alias("_r"),
+        )
+        total = F.broadcast(filled.agg(F.sum("_r").alias("_t")))
+        return filled.crossJoin(total).select(
+            "node",
+            F.round(F.col("_r") / F.col("_t"), RANK_DECIMALS).alias(col),
+        )
+
+    try:
+        for _ in range(iterations):
+            a_raw = (
+                dedup_edges.join(hub, dedup_edges.src == hub.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority"))
+            )
+            auth = _l1_step(a_raw, "authority").localCheckpoint(eager=True)
+            h_raw = (
+                dedup_edges.join(auth, dedup_edges.dst == auth.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub"))
+            )
+            hub = _l1_step(h_raw, "hub").localCheckpoint(eager=True)
+    finally:
+        dedup_edges.unpersist()
+        nodes.unpersist()
+    out = (
+        auth.join(hub, "node")
+        .select("node", "authority", "hub")
+        .orderBy(F.desc("authority"), F.asc("node"))
+    )
+    if storage_handle is not None:
+        storage_handle.extend([auth, hub])
+    return out
+
+
+def duck_hits_sql(edges_sql: str, iterations: int = DEFAULT_ITERATIONS) -> str:
+    """DuckDB twin of :func:`hits`: identical I-then-O recurrence
+    unrolled one CTE sextet per iteration, same double 9dp rounding
+    and L1 normalization. ``edges_sql`` must yield (src, dst).
+
+    Every CTE is AS MATERIALIZED — each iteration's vectors are read
+    two-three times (join + norm subquery + next stage), so plain CTE
+    inlining grows the plan ~4^iterations and DuckDB's optimizer never
+    returns (the duck_bt_strengths_sql tree-doubling lesson; measured:
+    6 iterations plain = stuck >15 min, materialized = 0.07 s)."""
+    if iterations < 1:
+        raise ValueError("hits needs at least 1 iteration")
+    d = RANK_DECIMALS
+    ctes = [
+        f"ht_edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) ht_e0)",
+        "ht_nodes AS MATERIALIZED (SELECT src AS node FROM ht_edges"
+        " UNION SELECT dst FROM ht_edges)",
+        "ht_n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ht_nodes)",
+        f"ht_a0 AS MATERIALIZED (SELECT node, ROUND(1.0 / (SELECT n FROM ht_n), {d})"
+        " AS authority FROM ht_nodes)",
+        f"ht_h0 AS MATERIALIZED (SELECT node, ROUND(1.0 / (SELECT n FROM ht_n), {d})"
+        " AS hub FROM ht_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""ht_ar{i} AS MATERIALIZED (
+                SELECT n.node,
+                       ROUND(COALESCE(SUM(h.hub), 0.0), {d}) AS r
+                FROM ht_nodes n
+                LEFT JOIN ht_edges e ON e.dst = n.node
+                LEFT JOIN ht_h{i - 1} h ON e.src = h.node
+                GROUP BY n.node)"""
+        )
+        ctes.append(
+            f"ht_a{i} AS MATERIALIZED (SELECT node, ROUND(r / (SELECT SUM(r)"
+            f" FROM ht_ar{i}), {d}) AS authority FROM ht_ar{i})"
+        )
+        ctes.append(
+            f"""ht_hr{i} AS MATERIALIZED (
+                SELECT n.node,
+                       ROUND(COALESCE(SUM(a.authority), 0.0), {d}) AS r
+                FROM ht_nodes n
+                LEFT JOIN ht_edges e ON e.src = n.node
+                LEFT JOIN ht_a{i} a ON e.dst = a.node
+                GROUP BY n.node)"""
+        )
+        ctes.append(
+            f"ht_h{i} AS MATERIALIZED (SELECT node, ROUND(r / (SELECT SUM(r)"
+            f" FROM ht_hr{i}), {d}) AS hub FROM ht_hr{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.node, a.authority, h.hub"
+        f" FROM ht_a{iterations} a JOIN ht_h{iterations} h"
+        " ON a.node = h.node ORDER BY a.authority DESC, a.node ASC"
+    )
+
+
+def spam_mass(pagerank_df: DataFrame, trustrank_df: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen
+    2006, "Link Spam Detection Based on Mass Estimation"): the
+    fraction of a node's PageRank NOT accounted for by trust flowing
+    from the seed set — ``(rank − trust) / rank`` clamped to [0, 1],
+    rounded 9dp. Input: :func:`pagerank` output (node, rank) and
+    :func:`trustrank` output (node, trust) over the SAME edge table
+    (both L1 mass ≈ 1, so the scales are directly comparable).
+    Output (node, rank, trust, spam_mass), spam_mass desc / node asc —
+    the curation gate is "drop or down-weight spam_mass > τ".
+
+    One equi-join of two |V|-row narrow frames (AQE broadcasts the
+    smaller), one codegen projection — nothing iterative."""
+    return (
+        pagerank_df.join(trustrank_df, "node")
+        .select(
+            "node",
+            "rank",
+            "trust",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(1.0),
+                        (F.col("rank") - F.col("trust")) / F.col("rank"),
+                    ),
+                ),
+                RANK_DECIMALS,
+            ).alias("spam_mass"),
+        )
+        .orderBy(F.desc("spam_mass"), F.asc("node"))
+    )
+
+
+def duck_spam_mass_sql(pagerank_sql: str, trustrank_sql: str) -> str:
+    """DuckDB twin of :func:`spam_mass` over the two rank twins."""
+    return f"""
+        SELECT p.node, p.rank, t.trust,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                     (p.rank - t.trust) / p.rank)), {RANK_DECIMALS})
+                   AS spam_mass
+        FROM ({pagerank_sql}) p
+        JOIN ({trustrank_sql}) t ON p.node = t.node
+        ORDER BY spam_mass DESC, p.node ASC
+    """

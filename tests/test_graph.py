@@ -231,3 +231,109 @@ def test_trustrank_validation(spark):
         graph.trustrank(df, off, iterations=3)
     with pytest.raises(ValueError):
         graph.duck_trustrank_sql("SELECT 1, 2", "SELECT 'a'", iterations=0)
+
+
+def _py_hits(edges, iterations=10):
+    """Reference replay of the HITS recurrence (I-then-O order, double
+    9dp rounding, L1 normalization)."""
+    dedup = sorted(set(edges))
+    nodes = sorted({s for s, _ in dedup} | {d for _, d in dedup})
+    rd = graph.RANK_DECIMALS
+    a = {v: round(1.0 / len(nodes), rd) for v in nodes}
+    h = dict(a)
+    for _ in range(iterations):
+        raw = {v: 0.0 for v in nodes}
+        for s, d in dedup:
+            raw[d] += h[s]
+        raw = {v: round(x, rd) for v, x in raw.items()}
+        t = sum(raw.values())
+        a = {v: round(x / t, rd) for v, x in raw.items()}
+        raw = {v: 0.0 for v in nodes}
+        for s, d in dedup:
+            raw[s] += a[d]
+        raw = {v: round(x, rd) for v, x in raw.items()}
+        t = sum(raw.values())
+        h = {v: round(x / t, rd) for v, x in raw.items()}
+    return a, h
+
+
+def test_hits_matches_python_replay(spark):
+    edges = _rand_edges(seed=83)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = graph.hits(df, iterations=5).collect()
+    wa, wh = _py_hits(edges, iterations=5)
+    assert {r.node for r in rows} == set(wa)
+    for r in rows:  # 1-ulp-at-9dp slack for FP sum order (replay rule)
+        assert abs(r.authority - wa[r.node]) <= 1.1e-9, r
+        assert abs(r.hub - wh[r.node]) <= 1.1e-9, r
+
+
+def test_hits_duck_twin(spark):
+    edges = _rand_edges(seed=97)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = [
+        (r.node, r.authority, r.hub)
+        for r in graph.hits(df, iterations=6).collect()
+    ]
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = con.sql(
+        graph.duck_hits_sql("SELECT src, dst FROM e", iterations=6)
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_hits_hub_authority_split(spark):
+    # directory d links to a,b,c which all link to star s:
+    # s is the top authority; d the top hub; s has hub 0 (no out-edges
+    # after s->nothing), d authority 0 (nothing links to d)
+    df = spark.createDataFrame(
+        [("d", "a"), ("d", "b"), ("d", "c"),
+         ("a", "s"), ("b", "s"), ("c", "s")],
+        "src string, dst string",
+    )
+    r = {x.node: (x.authority, x.hub) for x in graph.hits(df, iterations=4).collect()}
+    assert r["s"][0] == max(v[0] for v in r.values())  # top authority
+    assert r["d"][1] == max(v[1] for v in r.values())  # top hub
+    assert r["d"][0] == 0.0 and r["s"][1] == 0.0
+    assert abs(sum(v[0] for v in r.values()) - 1.0) < 1e-6  # L1 norms
+    assert abs(sum(v[1] for v in r.values()) - 1.0) < 1e-6
+
+
+def test_hits_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iteration"):
+        graph.hits(df, iterations=0)
+    with pytest.raises(ValueError):
+        graph.duck_hits_sql("SELECT 1, 2", iterations=0)
+
+
+def test_spam_mass_twin_and_clamp(spark):
+    # trusted chain a->b->c seeded at a, spam island x<->y pumping
+    # pagerank: the island's trust is 0 => spam_mass exactly 1;
+    # the seed's trust >= its rank => clamped at 0
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([("a",)], "node string")
+    pr = graph.pagerank(df, iterations=5)
+    tr = graph.trustrank(df, sdf, iterations=5)
+    got = [
+        (r.node, r.rank, r.trust, r.spam_mass)
+        for r in graph.spam_mass(pr, tr).collect()
+    ]
+    by_node = {n: sm for n, _, _, sm in got}
+    assert by_node["x"] == 1.0 and by_node["y"] == 1.0
+    assert by_node["a"] == 0.0
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = con.sql(
+        graph.duck_spam_mass_sql(
+            graph.duck_pagerank_sql("SELECT src, dst FROM e", iterations=5),
+            graph.duck_trustrank_sql(
+                "SELECT src, dst FROM e",
+                "SELECT 'a' AS node",
+                iterations=5,
+            ),
+        )
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
