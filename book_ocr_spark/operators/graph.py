@@ -644,3 +644,249 @@ def duck_spam_mass_sql(pagerank_sql: str, trustrank_sql: str) -> str:
         JOIN ({trustrank_sql}) t ON p.node = t.node
         ORDER BY spam_mass DESC, p.node ASC
     """
+
+
+def lpa_communities(
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007, "Near linear time algorithm to detect
+    community structures in large-scale networks") over (src, dst)
+    edges treated as UNDIRECTED → (node, community), ordered by
+    (community, node).
+
+    The density-aware complement to connected components: CC merges
+    everything reachable; LPA splits a component into locally-dense
+    communities — on a link graph that's topical site clusters and
+    (densely interlinked) link farms, feeding source-diversity caps
+    and spam review queues.
+
+    Deterministic semantics (the twin rule — plain LPA is famously
+    order-dependent, so every choice is pinned):
+    - edges symmetrized + deduped; self-loops dropped (a self-vote
+      would just echo the current label);
+    - label(v) init = v;
+    - SYNCHRONOUS rounds: label'(v) = the label held by the most
+      neighbors of v, ties broken by MIN label (count DESC, label
+      ASC) — no randomized visit order, no async sweep;
+    - isolated nodes (none, since the node universe comes from the
+      edge table) and FIXED ``iterations`` (default 5: LPA empirically
+      converges in a handful of sweeps; synchronous LPA can 2-cycle on
+      bipartite-ish structures, which a fixed count also bounds);
+    - labels are node ids, so the output needs no re-canonicalization.
+
+    Scale shape: symmetrized edges persisted once; per round one
+    equi-join (labels onto edges by neighbor — |V|-row side vs |E|-row
+    side, AQE picks), one (node, label) hash count (map-side
+    combined), one per-node top-1 window (WindowGroupLimit pushes the
+    rank-1 filter down), labels localCheckpoint'd (referenced once per
+    round but the lineage would still stack ``iterations`` deep).
+    No driver action inside the loop."""
+    if iterations < 1:
+        raise ValueError("lpa_communities needs at least 1 iteration")
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = graph_nodes(sym).select("node", F.col("node").alias("community"))
+    labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("community")
+    )
+    try:
+        for _ in range(iterations):
+            votes = (
+                sym.join(labels, sym.dst == labels.node)
+                .select(F.col("src").alias("node"), "community")
+                .groupBy("node", "community")
+                .agg(F.count(F.lit(1)).alias("votes"))
+            )
+            labels = (
+                votes.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .select("node", "community")
+            ).localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+    return labels.orderBy("community", "node")
+
+
+def duck_lpa_communities_sql(edges_sql: str, iterations: int = 5) -> str:
+    """DuckDB twin of :func:`lpa_communities`: same symmetrization,
+    same synchronous most-frequent-neighbor-label update with the
+    (count DESC, label ASC) tie-break, unrolled one CTE pair per
+    iteration. All CTEs AS MATERIALIZED (the duck_hits_sql lesson —
+    each round's labels are read once per vote CTE but the unrolled
+    chain still compounds under plain inlining)."""
+    if iterations < 1:
+        raise ValueError("lpa_communities needs at least 1 iteration")
+    ctes = [
+        f"""lp_edges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ({edges_sql}) lp_e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM ({edges_sql}) lp_e1
+            ) lp_sym WHERE src <> dst)""",
+        "lp_l0 AS MATERIALIZED (SELECT node, node AS community FROM ("
+        "SELECT src AS node FROM lp_edges"
+        " UNION SELECT dst FROM lp_edges) lp_n)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""lp_v{i} AS MATERIALIZED (
+                SELECT e.src AS node, l.community, COUNT(*) AS votes
+                FROM lp_edges e
+                JOIN lp_l{i - 1} l ON e.dst = l.node
+                GROUP BY e.src, l.community)"""
+        )
+        ctes.append(
+            f"""lp_l{i} AS MATERIALIZED (
+                SELECT node, community FROM (
+                    SELECT node, community,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY node
+                               ORDER BY votes DESC, community ASC
+                           ) AS rk
+                    FROM lp_v{i}) lp_r
+                WHERE rk = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, community FROM lp_l{iterations}"
+        " ORDER BY community, node"
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 20,
+) -> DataFrame:
+    """k-core extraction (Seidman 1983 "Network structure and minimum
+    degree"): the maximal subgraph of the UNDIRECTED (symmetrized,
+    self-loops dropped) graph in which every node has degree ≥ k →
+    (node, degree) with degree measured INSIDE the core, ordered by
+    node. Link-graph curation use: dense cores are exactly where link
+    farms and boilerplate interlink rings live (paired with
+    :func:`lpa_communities` / :func:`spam_mass`), while low-coreness
+    pages are the weakly-cited tail.
+
+    Semantics: synchronous peeling — each round drops EVERY node whose
+    degree within the surviving subgraph is < k, simultaneously.
+    FIXED ``rounds`` (the pagerank no-action-in-loop pattern), then
+    ONE final fixpoint assertion: if any surviving node still has
+    degree < k the peel hadn't converged and ValueError is raised
+    (rounds needed = peel depth; pathological chains peel O(|V|)
+    layers — raise ``rounds`` for those, typical web graphs converge
+    in a handful). Extra rounds after the fixpoint are no-ops, which
+    is what lets the DuckDB twin unroll exactly ``rounds`` CTE pairs.
+
+    Scale shape: symmetrized edges persisted once; per round one
+    semi-join of edges onto the surviving node set (both sides narrow;
+    AQE broadcasts the node set once it shrinks), one map-side hash
+    count, one degree filter; node set localCheckpoint'd per round
+    (it is referenced twice — both edge endpoints). The only driver
+    action is the final convergence check."""
+    if k < 1:
+        raise ValueError(f"k_core needs k >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError("k_core needs at least 1 round")
+    from pyspark import StorageLevel
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _degrees(nodes: DataFrame) -> DataFrame:
+        """Degree of each surviving node within the induced subgraph."""
+        alive = (
+            sym.join(nodes.select(F.col("node").alias("src")), "src")
+            .join(nodes.select(F.col("node").alias("dst")), "dst")
+        )
+        return alive.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    nodes = graph_nodes(sym).localCheckpoint(eager=True)
+    try:
+        for _ in range(rounds):
+            nodes = (
+                _degrees(nodes)
+                .where(F.col("degree") >= k)
+                .select("node")
+            ).localCheckpoint(eager=True)
+        final = _degrees(nodes).localCheckpoint(eager=True)
+        if final.where(F.col("degree") < k).limit(1).count() > 0:
+            raise ValueError(
+                f"k_core did not converge in {rounds} rounds; the peel"
+                " is deeper than `rounds` — raise it"
+            )
+    finally:
+        sym.unpersist()
+    return final.orderBy("node")
+
+
+def duck_k_core_sql(edges_sql: str, k: int, rounds: int = 20) -> str:
+    """DuckDB twin of :func:`k_core`: same synchronous peel unrolled
+    one CTE pair per round (idempotent past the fixpoint, so the fixed
+    unroll matches whenever the Spark side converged). All CTEs
+    AS MATERIALIZED (the duck_hits_sql lesson — each round's node set
+    feeds two endpoint filters)."""
+    if k < 1:
+        raise ValueError(f"k_core needs k >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError("k_core needs at least 1 round")
+    ctes = [
+        f"""kc_edges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ({edges_sql}) kc_e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM ({edges_sql}) kc_e1
+            ) kc_sym WHERE src <> dst)""",
+        "kc_n0 AS MATERIALIZED (SELECT src AS node FROM kc_edges"
+        " UNION SELECT dst FROM kc_edges)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"kc_n{i - 1}"
+        ctes.append(
+            f"""kc_d{i} AS MATERIALIZED (
+                SELECT e.src AS node, COUNT(*) AS degree
+                FROM kc_edges e
+                JOIN {prev} a ON e.src = a.node
+                JOIN {prev} b ON e.dst = b.node
+                GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"kc_n{i} AS MATERIALIZED (SELECT node FROM kc_d{i}"
+            f" WHERE degree >= {k})"
+        )
+    last = f"kc_n{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT e.src AS node, COUNT(*) AS degree
+        FROM kc_edges e
+        JOIN {last} a ON e.src = a.node
+        JOIN {last} b ON e.dst = b.node
+        GROUP BY e.src
+        ORDER BY node"""
+    )

@@ -337,3 +337,92 @@ def test_spam_mass_twin_and_clamp(spark):
         )
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_lpa_two_cliques_resist_bridge(spark):
+    # two 6-cliques joined by ONE bridge edge: LPA keeps them as two
+    # communities (each collapses to its min node label); CC would
+    # merge them — the density-awareness this operator exists for
+    cl1 = [f"a{i}" for i in range(6)]
+    cl2 = [f"b{i}" for i in range(6)]
+    edges = [(x, y) for x in cl1 for y in cl1 if x < y]
+    edges += [(x, y) for x in cl2 for y in cl2 if x < y]
+    edges += [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comm = {
+        r.node: r.community
+        for r in graph.lpa_communities(df, iterations=5).collect()
+    }
+    assert {comm[x] for x in cl1} == {"a0"}
+    assert {comm[x] for x in cl2} == {"b0"}
+
+
+def test_lpa_duck_twin(spark):
+    edges = _rand_edges(seed=101)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = [
+        (r.node, r.community)
+        for r in graph.lpa_communities(df, iterations=4).collect()
+    ]
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = con.sql(
+        graph.duck_lpa_communities_sql("SELECT src, dst FROM e", iterations=4)
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_lpa_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iteration"):
+        graph.lpa_communities(df, iterations=0)
+    with pytest.raises(ValueError):
+        graph.duck_lpa_communities_sql("SELECT 1, 2", iterations=0)
+
+
+def test_k_core_clique_survives_tail_peels(spark):
+    # 5-clique (all degrees 4) + a path tail hanging off c0: the
+    # 3-core is exactly the clique with its internal degrees; the
+    # tail (degrees <= 2) peels away
+    cl = [f"c{i}" for i in range(5)]
+    edges = [(x, y) for x in cl for y in cl if x < y]
+    edges += [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = [(r.node, r.degree) for r in graph.k_core(df, k=3).collect()]
+    assert got == [(c, 4) for c in cl]
+    # k above the max coreness: empty core, no error
+    assert graph.k_core(df, k=5).count() == 0
+
+
+def test_k_core_duck_twin(spark):
+    edges = _rand_edges(seed=107)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    for k in (2, 4):
+        got = [(r.node, r.degree) for r in graph.k_core(df, k=k).collect()]
+        want = con.sql(
+            graph.duck_k_core_sql("SELECT src, dst FROM e", k=k)
+        ).fetchall()
+        assert got == [tuple(w) for w in want], k
+
+
+def test_k_core_nonconvergence_raises(spark):
+    # a 12-node path peels one layer per round from each end under
+    # k=2 (never converging to its empty core in 1 round)
+    edges = [(f"p{i}", f"p{i + 1}") for i in range(11)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(ValueError, match="converge"):
+        graph.k_core(df, k=2, rounds=1)
+    # enough rounds: the empty core, cleanly
+    assert graph.k_core(df, k=2, rounds=6).count() == 0
+
+
+def test_k_core_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        graph.k_core(df, k=0)
+    with pytest.raises(ValueError, match="round"):
+        graph.k_core(df, k=2, rounds=0)
+    with pytest.raises(ValueError):
+        graph.duck_k_core_sql("SELECT 1, 2", k=0)
