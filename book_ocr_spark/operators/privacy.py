@@ -1,0 +1,210 @@
+"""Dataset-level privacy gates: k-anonymity and l-diversity over
+quasi-identifier columns (Sweeney 2002, "k-anonymity: a model for
+protecting privacy"; Machanavajjhala et al. 2007, "l-diversity:
+privacy beyond k-anonymity").
+
+The structural complement to `textstats.pii_redaction` (which scrubs
+PII *inside* text): releasing a curated corpus with metadata columns
+(domain, locale, user cohort, date bucket, ...) can re-identify
+people through rare *combinations* even with every literal scrubbed.
+The gate: a quasi-identifier combination shared by fewer than k rows
+is suppressed (row dropped) or masked (quasi columns nulled), and a
+combination whose *sensitive* column shows fewer than l distinct
+values is flagged (homogeneity attack: "everyone in this bucket has
+X" leaks X even at k-anonymous sizes).
+
+Reference parity: the book-ocr spec has no privacy stage; this is
+part of the training-data-pipeline extension brief (PII/privacy
+tier alongside pii_redaction).
+
+Scale shape: one hash aggregation over the quasi columns (map-side
+combined) + one equi-join of the narrow (quasi → n) table back onto
+the corpus — AQE broadcasts it when the distinct-combination count is
+small (the common case: quasi columns are low-cardinality by
+construction), else it co-shuffles. No windows over the full corpus,
+no Python. NULL is treated as a regular value (NULL-safe grouping in
+both engines): an absent locale is itself an identifying signal.
+
+Determinism contract: counts are exact integers; every output is
+totally ordered; the DuckDB twins replay the same grouping rules
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _validate(cols: list[str], threshold: int, what: str) -> None:
+    if not cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate quasi column in {cols}")
+    if threshold < 2:
+        raise ValueError(f"{what} must be >= 2, got {threshold}")
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Per-combination census: (quasi_cols..., n, violates) for every
+    distinct quasi-identifier combination, ``violates`` = n < k.
+    Ordered by (quasi_cols...). The release gate is "no violating
+    combination survives"; the report is what a datasheet cites."""
+    _validate(quasi_cols, k, "k")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("violates", F.col("n") < F.lit(k))
+        .orderBy(*quasi_cols)
+    )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    policy: str = "suppress",
+) -> DataFrame:
+    """Enforce k-anonymity over ``quasi_cols``:
+
+    - ``policy="suppress"`` — drop every row whose combination occurs
+      fewer than k times (the lossless-for-survivors default);
+    - ``policy="mask"`` — keep the row but NULL every quasi column
+      (coarsest generalization: the row joins the "unknown" bucket;
+      note the masked bucket itself is k-anonymous only if ≥ k rows
+      land in it OR all-NULL was already a combination — the report
+      run *after* masking is the check that matters).
+
+    Column set and order are preserved. One agg + one join; the
+    count table is quasi-cardinality-sized, broadcastable."""
+    _validate(quasi_cols, k, "k")
+    if policy not in ("suppress", "mask"):
+        raise ValueError(f"policy must be suppress|mask, got {policy!r}")
+    counts = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # NULL-safe equi-join on the quasi columns (eqNullSafe per column:
+    # NULL is a value here, so NULL==NULL must match its own bucket)
+    joined = df.alias("d").join(
+        counts.alias("c"),
+        on=[
+            F.col(f"d.{c}").eqNullSafe(F.col(f"c.{c}"))
+            for c in quasi_cols
+        ],
+        how="left",
+    )
+    keep_cols = [F.col(f"d.{c}") for c in df.columns]
+    if policy == "suppress":
+        return joined.where(F.col("_n") >= k).select(*keep_cols)
+    masked = [
+        (
+            F.when(F.col("_n") >= k, F.col(f"d.{c}"))
+            .otherwise(F.lit(None))
+            .alias(c)
+            if c in quasi_cols
+            else F.col(f"d.{c}").alias(c)
+        )
+        for c in df.columns
+    ]
+    return joined.select(*masked)
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l_val: int
+) -> DataFrame:
+    """Per-combination sensitive-value diversity: (quasi_cols..., n,
+    n_sensitive, violates) with ``n_sensitive`` = exact distinct count
+    of ``sensitive_col`` within the combination (NULL counted as a
+    value via a sentinel, matching the grouping philosophy) and
+    ``violates`` = n_sensitive < l. Ordered by (quasi_cols...).
+
+    Catches the homogeneity attack k-anonymity misses: a 50-row
+    bucket where every row shares one sensitive value still reveals
+    that value for anyone known to be in the bucket."""
+    _validate(quasi_cols, l_val, "l")
+    if sensitive_col in quasi_cols:
+        raise ValueError("sensitive_col cannot be a quasi column")
+    sent = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("\x00null")
+    )
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sent).alias("n_sensitive"),
+        )
+        .withColumn("violates", F.col("n_sensitive") < F.lit(l_val))
+        .orderBy(*quasi_cols)
+    )
+
+
+def _duck_cols(cols: list[str]) -> str:
+    return ", ".join(cols)
+
+
+def duck_k_anonymity_report_sql(
+    src_sql: str, quasi_cols: list[str], k: int
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_report` (GROUP BY treats
+    NULLs as equal in both engines)."""
+    _validate(quasi_cols, k, "k")
+    q = _duck_cols(quasi_cols)
+    return f"""
+        SELECT {q}, COUNT(*) AS n, COUNT(*) < {k} AS violates
+        FROM ({src_sql}) ka_src
+        GROUP BY {q}
+        ORDER BY {q}
+    """
+
+
+def duck_k_anonymize_sql(
+    src_sql: str,
+    all_cols: list[str],
+    quasi_cols: list[str],
+    k: int,
+    policy: str = "suppress",
+) -> str:
+    """DuckDB twin of :func:`k_anonymize`. ``all_cols`` pins the
+    output column order (Spark preserves the input schema)."""
+    _validate(quasi_cols, k, "k")
+    if policy not in ("suppress", "mask"):
+        raise ValueError(f"policy must be suppress|mask, got {policy!r}")
+    q = _duck_cols(quasi_cols)
+    base = f"""
+        SELECT *, COUNT(*) OVER (PARTITION BY {q}) AS _n
+        FROM ({src_sql}) ka_src
+    """
+    if policy == "suppress":
+        cols = _duck_cols(all_cols)
+        return f"SELECT {cols} FROM ({base}) ka_c WHERE _n >= {k}"
+    out = ", ".join(
+        f"CASE WHEN _n >= {k} THEN {c} ELSE NULL END AS {c}"
+        if c in quasi_cols
+        else c
+        for c in all_cols
+    )
+    return f"SELECT {out} FROM ({base}) ka_c"
+
+
+def duck_l_diversity_report_sql(
+    src_sql: str, quasi_cols: list[str], sensitive_col: str, l_val: int
+) -> str:
+    """DuckDB twin of :func:`l_diversity_report` (same NULL sentinel)."""
+    _validate(quasi_cols, l_val, "l")
+    if sensitive_col in quasi_cols:
+        raise ValueError("sensitive_col cannot be a quasi column")
+    q = _duck_cols(quasi_cols)
+    sent = (
+        f"COALESCE(CAST({sensitive_col} AS VARCHAR), CHR(0) || 'null')"
+    )
+    return f"""
+        SELECT {q}, COUNT(*) AS n,
+               COUNT(DISTINCT {sent}) AS n_sensitive,
+               COUNT(DISTINCT {sent}) < {l_val} AS violates
+        FROM ({src_sql}) ld_src
+        GROUP BY {q}
+        ORDER BY {q}
+    """

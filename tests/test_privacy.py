@@ -1,0 +1,158 @@
+"""k-anonymity / l-diversity gates: rule fixtures (rare combination
+suppressed/masked, homogeneous bucket flagged), NULL-as-value
+grouping, DuckDB-twin parity, and the broadcastable-join plan."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import privacy
+
+ROWS = [
+    # (id, domain, locale, label)  — (web, en) x4: safe at k=3;
+    # (web, fr) x2: violates k=3; (chat, None) x3: NULL locale bucket;
+    # homogeneous sensitive label in the (web, en) bucket
+    (1, "web", "en", "good"),
+    (2, "web", "en", "good"),
+    (3, "web", "en", "good"),
+    (4, "web", "en", "good"),
+    (5, "web", "fr", "good"),
+    (6, "web", "fr", "bad"),
+    (7, "chat", None, "good"),
+    (8, "chat", None, "bad"),
+    (9, "chat", None, "spam"),
+]
+SCHEMA = "id int, domain string, locale string, label string"
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _con():
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(ROWS, columns=["id", "domain", "locale", "label"]),
+    )
+    return con
+
+
+def test_report_counts_and_twin(spark):
+    rep = privacy.k_anonymity_report(_df(spark), ["domain", "locale"], 3)
+    got = [tuple(r) for r in rep.collect()]
+    assert (("chat", None, 3, False)) in got
+    assert (("web", "fr", 2, True)) in got
+    con = _con()
+    want = [
+        tuple(r)
+        for r in con.sql(
+            privacy.duck_k_anonymity_report_sql(
+                "SELECT * FROM t", ["domain", "locale"], 3
+            )
+        )
+        .fetchall()
+    ]
+    assert got == want
+
+
+def test_suppress_and_twin(spark):
+    out = privacy.k_anonymize(_df(spark), ["domain", "locale"], 3)
+    got = sorted(tuple(r) for r in out.collect())
+    assert {r[0] for r in got} == {1, 2, 3, 4, 7, 8, 9}  # fr rows gone
+    assert out.columns == ["id", "domain", "locale", "label"]
+    con = _con()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            privacy.duck_k_anonymize_sql(
+                "SELECT * FROM t",
+                ["id", "domain", "locale", "label"],
+                ["domain", "locale"],
+                3,
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_mask_and_twin(spark):
+    out = privacy.k_anonymize(
+        _df(spark), ["domain", "locale"], 3, policy="mask"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    by_id = {r[0]: r for r in got}
+    assert by_id[5] == (5, None, None, "good")  # quasi cols nulled
+    assert by_id[1] == (1, "web", "en", "good")  # safe row untouched
+    assert by_id[7] == (7, "chat", None, "good")  # NULL bucket is size 3
+    con = _con()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            privacy.duck_k_anonymize_sql(
+                "SELECT * FROM t",
+                ["id", "domain", "locale", "label"],
+                ["domain", "locale"],
+                3,
+                policy="mask",
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_l_diversity_and_twin(spark):
+    rep = privacy.l_diversity_report(
+        _df(spark), ["domain", "locale"], "label", 2
+    )
+    got = [tuple(r) for r in rep.collect()]
+    # (web, en): 4 rows, all "good" -> homogeneity violation
+    assert ("web", "en", 4, 1, True) in got
+    # (chat, NULL): 3 distinct labels -> fine
+    assert ("chat", None, 3, 3, False) in got
+    con = _con()
+    want = [
+        tuple(r)
+        for r in con.sql(
+            privacy.duck_l_diversity_report_sql(
+                "SELECT * FROM t", ["domain", "locale"], "label", 2
+            )
+        )
+        .fetchall()
+    ]
+    assert got == want
+
+
+def test_null_sensitive_counts_as_value(spark):
+    rows = [(1, "a", "x"), (2, "a", None), (3, "a", "x")]
+    df = spark.createDataFrame(rows, "id int, g string, s string")
+    rep = privacy.l_diversity_report(df, ["g"], "s", 2).collect()
+    assert [tuple(r) for r in rep] == [("a", 3, 2, False)]
+
+
+def test_broadcastable_count_join(spark):
+    # the count table is quasi-cardinality-sized: AQE must convert the
+    # enforcement join to a broadcast at runtime on a small distinct
+    # set (statically it's a SortMergeJoin — agg output size unknown)
+    out = privacy.k_anonymize(_df(spark), ["domain", "locale"], 3)
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        privacy.k_anonymity_report(df, [], 3)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        privacy.k_anonymity_report(df, ["domain"], 1)
+    with pytest.raises(ValueError, match="duplicate"):
+        privacy.k_anonymize(df, ["domain", "domain"], 3)
+    with pytest.raises(ValueError, match="policy"):
+        privacy.k_anonymize(df, ["domain"], 3, policy="generalize")
+    with pytest.raises(ValueError, match="sensitive_col"):
+        privacy.l_diversity_report(df, ["domain"], "domain", 2)
+    with pytest.raises(ValueError):
+        privacy.duck_k_anonymize_sql("SELECT 1", ["a"], ["a"], 2, "nope")
