@@ -415,3 +415,328 @@ def duck_link_graph_sql(
         FROM lg_hosts
         GROUP BY 1 ORDER BY n_links DESC, domain ASC
     """
+
+
+# --------------------------------------------------------------------
+# robots.txt compliance (RFC 9309, Robots Exclusion Protocol) — the
+# crawl-etiquette gate CCNet/C4-class pipelines apply before content
+# ever reaches curation. Pure JVM/SQL: line parsing is split+regex,
+# group assignment is a lag/cumsum window, wildcard rule matching is
+# LIKE with in-engine pattern translation (*→%, trailing $→anchored;
+# no per-row Python, no regex-escape gymnastics).
+# --------------------------------------------------------------------
+
+ROBOTS_FIELD_RE = r"^([A-Za-z-]+)\s*:"
+ROBOTS_VALUE_RE = r"^[A-Za-z-]+\s*:\s*(\S*)"
+URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
+
+
+def robots_rules(robots: DataFrame) -> DataFrame:
+    """Parse robots.txt bodies → one rule row per (host, agent, rule,
+    path), ordered by (host, agent, rule, path).
+
+    Input: ``(host, body)`` — one robots.txt per host (host already
+    lowercased, the `url_parts` convention). Parsing follows RFC 9309:
+
+    - lines are ``field: value``; ``#`` starts a comment; unknown
+      fields (Sitemap, Crawl-delay, ...) are ignored;
+    - consecutive ``User-agent`` lines open ONE group whose rules
+      apply to all the named agents (the lag/cumsum group-id trick:
+      a ua line whose previous parsed line is not a ua line starts a
+      new group);
+    - ``Allow`` / ``Disallow`` values are path patterns; an EMPTY
+      Disallow value ("Disallow:") means "no restriction" and is
+      dropped at parse (it can never be the longest match);
+    - agent product tokens are lowercased (matching is
+      case-insensitive); paths keep their case (path matching is
+      case-sensitive);
+    - a rule line before any User-agent line has no group and is
+      dropped (RFC: rules outside a group are ignored).
+
+    Scale shape: one explode over lines (robots bodies are KBs), two
+    narrow windows per host (lag + running sum over line_no), one
+    equi-join of agents × rules on (host, group) — per-host row
+    counts are tiny, the shuffle key is host."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("body"), r"\r?\n")).alias(
+            "line_no", "raw"
+        ),
+    )
+    parsed = (
+        lines.withColumn(
+            "clean", F.trim(F.regexp_replace("raw", r"#.*$", ""))
+        )
+        .withColumn(
+            "field",
+            F.lower(F.regexp_extract("clean", ROBOTS_FIELD_RE, 1)),
+        )
+        .withColumn("value", F.regexp_extract("clean", ROBOTS_VALUE_RE, 1))
+        .where(F.col("field").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = (
+        parsed.withColumn("is_ua", F.col("field") == "user-agent")
+        .withColumn(
+            "starts",
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "group_id",
+            F.sum(F.col("starts").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(F.col("group_id") > 0)
+    )
+    agents = (
+        grouped.where(F.col("is_ua"))
+        .select(
+            "host", "group_id", F.lower(F.col("value")).alias("agent")
+        )
+    )
+    rules = (
+        grouped.where(~F.col("is_ua"))
+        .select(
+            "host",
+            "group_id",
+            F.col("field").alias("rule"),
+            F.col("value").alias("path"),
+        )
+        .where(F.col("path") != "")
+    )
+    return (
+        agents.join(rules, ["host", "group_id"])
+        .select("host", "agent", "rule", "path")
+        .distinct()
+        .orderBy("host", "agent", "rule", "path")
+    )
+
+
+def _like_pattern(path):
+    """Robots path pattern → SQL LIKE pattern (escape char ``\\``):
+    literal ``\\ % _`` escaped, ``*`` → ``%``, a TRAILING ``$``
+    anchors (drop it, no trailing ``%``), otherwise prefix-match
+    (append ``%``). In-engine column expression — rule paths are
+    data, so the translation cannot happen at plan-build time."""
+    esc = F.regexp_replace(path, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, "%", r"\\%")
+    esc = F.regexp_replace(esc, "_", r"\\_")
+    esc = F.regexp_replace(esc, r"\*", "%")
+    return F.when(
+        path.endswith("$"), esc.substr(F.lit(1), F.length(esc) - 1)
+    ).otherwise(F.concat(esc, F.lit("%")))
+
+
+def robots_decisions(
+    urls: DataFrame,
+    rules: DataFrame,
+    user_agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-URL fetch decision against :func:`robots_rules` output →
+    ``(url_col, allowed, rule, path)`` ordered by url. RFC 9309
+    matching:
+
+    - the applicable group per host is the ``user_agent``'s own (
+      case-insensitive token match) if one exists, else ``*``; a host
+      with no robots rows allows everything;
+    - among applicable rules whose pattern matches the URL's path
+      (+query), the LONGEST path (most octets) wins; equal lengths →
+      Allow wins; no match → allowed;
+    - rule wildcards: ``*`` matches any octets, trailing ``$``
+      anchors end-of-path (translated to LIKE in-engine).
+
+    Scale shape: rules collapse to (host, rule, path) after group
+    selection — a narrow table far smaller than the URL corpus, so
+    the match join broadcasts under AQE; per-URL winner is one
+    (length DESC, allow-first) row_number window over matched
+    candidates only. The corpus never shuffles on anything but the
+    optional host key."""
+    if not user_agent:
+        raise ValueError("user_agent must be non-empty")
+    from pyspark.sql import Window
+
+    ua = user_agent.lower()
+    spec = rules.groupBy("host").agg(
+        F.max((F.col("agent") == ua).cast("int")).alias("_has_spec")
+    )
+    applicable = (
+        rules.join(spec, "host")
+        .where(
+            F.when(F.col("_has_spec") == 1, F.col("agent") == ua).otherwise(
+                F.col("agent") == "*"
+            )
+        )
+        .select("host", "rule", "path")
+        .distinct()
+        .withColumn("_like", _like_pattern(F.col("path")))
+    )
+    parts = urls.select(
+        F.col(url_col).alias("_url"),
+    ).distinct().select(
+        "_url",
+        F.regexp_extract(F.lower(F.col("_url")), HOST_RE, 1).alias(
+            "host"
+        ),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("_url"), URL_PATH_RE, 1), F.lit("")
+            ),
+            F.lit("/"),
+        ).alias("_path"),
+    )
+    cand = parts.join(F.broadcast(applicable), "host", "left").withColumn(
+        "_hit",
+        F.col("_like").isNotNull()
+        & F.expr("_path LIKE _like ESCAPE '\\\\'"),
+    )
+    # matched rules first, then RFC longest-path, then Allow-wins tie
+    w = Window.partitionBy("_url").orderBy(
+        F.desc("_hit"),
+        F.desc(F.length("path")),
+        F.asc(F.col("rule") != "allow"),
+        F.asc("path"),
+    )
+    ranked = (
+        cand.withColumn(
+            "_rk",
+            F.row_number().over(w),
+        )
+        .where((F.col("_rk") == 1))
+        .select(
+            F.col("_url").alias(url_col),
+            F.when(F.col("_hit"), F.col("rule") == "allow")
+            .otherwise(F.lit(True))
+            .alias("allowed"),
+            F.when(F.col("_hit"), F.col("rule")).alias("rule"),
+            F.when(F.col("_hit"), F.col("path")).alias("path"),
+        )
+    )
+    return ranked.orderBy(url_col)
+
+
+def filter_robots(
+    docs: DataFrame,
+    robots: DataFrame,
+    user_agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep only documents whose URL robots.txt allows for
+    ``user_agent``: :func:`robots_rules` → :func:`robots_decisions` →
+    semi-join on the allowed set. Schema preserved."""
+    dec = robots_decisions(
+        docs.select(url_col), robots_rules(robots), user_agent, url_col
+    )
+    return docs.join(
+        dec.where(F.col("allowed")).select(url_col), url_col, "left_semi"
+    )
+
+
+def duck_robots_rules_sql(robots_sql: str) -> str:
+    """DuckDB twin of :func:`robots_rules`: same line split, comment
+    strip, field/value regexes, lag/cumsum group assignment, and
+    agents × rules join. ``robots_sql`` must yield (host, body)."""
+    return f"""
+        WITH rb_lines AS MATERIALIZED (
+            SELECT host,
+                   generate_subscripts(
+                       string_split_regex(body, '\\r?\\n'), 1) AS line_no,
+                   unnest(string_split_regex(body, '\\r?\\n')) AS raw
+            FROM ({robots_sql}) rb_src),
+        rb_parsed AS MATERIALIZED (
+            SELECT host, line_no,
+                   lower(regexp_extract(clean, '{ROBOTS_FIELD_RE}', 1))
+                       AS field,
+                   regexp_extract(clean, '{ROBOTS_VALUE_RE}', 1) AS value
+            FROM (SELECT host, line_no,
+                         trim(regexp_replace(raw, '#.*$', '')) AS clean
+                  FROM rb_lines) rb_c
+            WHERE lower(regexp_extract(clean, '{ROBOTS_FIELD_RE}', 1))
+                  IN ('user-agent', 'allow', 'disallow')),
+        rb_grouped AS MATERIALIZED (
+            SELECT *,
+                   SUM(CASE WHEN starts THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY host ORDER BY line_no) AS group_id
+            FROM (SELECT *,
+                         is_ua AND NOT COALESCE(
+                             lag(is_ua) OVER (
+                                 PARTITION BY host ORDER BY line_no),
+                             FALSE) AS starts
+                  FROM (SELECT *, field = 'user-agent' AS is_ua
+                        FROM rb_parsed) rb_u) rb_s),
+        rb_agents AS (
+            SELECT host, group_id, lower(value) AS agent
+            FROM rb_grouped WHERE is_ua AND group_id > 0),
+        rb_rules AS (
+            SELECT host, group_id, field AS rule, value AS path
+            FROM rb_grouped
+            WHERE NOT is_ua AND group_id > 0 AND value <> '')
+        SELECT DISTINCT a.host, a.agent, r.rule, r.path
+        FROM rb_agents a
+        JOIN rb_rules r
+          ON a.host = r.host AND a.group_id = r.group_id
+        ORDER BY a.host, a.agent, r.rule, r.path
+    """
+
+
+def duck_robots_decisions_sql(
+    urls_sql: str, rules_sql: str, user_agent: str, url_col: str = "url"
+) -> str:
+    """DuckDB twin of :func:`robots_decisions`: same group selection,
+    LIKE-pattern translation (identical replace chain), longest-match
+    + Allow-wins ranking. One row per DISTINCT url."""
+    if not user_agent:
+        raise ValueError("user_agent must be non-empty")
+    ua = user_agent.lower().replace("'", "''")
+    return f"""
+        WITH rd_rules AS MATERIALIZED ({rules_sql}),
+        rd_spec AS (
+            SELECT host,
+                   MAX(CASE WHEN agent = '{ua}' THEN 1 ELSE 0 END)
+                       AS has_spec
+            FROM rd_rules GROUP BY host),
+        rd_app AS MATERIALIZED (
+            SELECT DISTINCT host, rule, path,
+                   CASE WHEN path LIKE '%$'
+                        THEN substr(esc, 1, length(esc) - 1)
+                        ELSE esc || '%' END AS like_pat
+            FROM (SELECT r.host, r.rule, r.path,
+                         replace(replace(replace(replace(r.path,
+                             '\\', '\\\\'), '%', '\\%'), '_', '\\_'),
+                             '*', '%') AS esc
+                  FROM rd_rules r
+                  JOIN rd_spec s ON r.host = s.host
+                  WHERE CASE WHEN s.has_spec = 1
+                             THEN r.agent = '{ua}'
+                             ELSE r.agent = '*' END) rd_e),
+        rd_parts AS MATERIALIZED (
+            SELECT DISTINCT {url_col} AS _url,
+                   regexp_extract(lower({url_col}), '{HOST_RE}', 1)
+                       AS host,
+                   COALESCE(NULLIF(
+                       regexp_extract({url_col}, '{URL_PATH_RE}', 1),
+                       ''), '/') AS _path
+            FROM ({urls_sql}) rd_u),
+        rd_cand AS MATERIALIZED (
+            SELECT p._url, a.rule, a.path,
+                   (a.like_pat IS NOT NULL)
+                   AND (p._path LIKE a.like_pat ESCAPE '\\') AS hit
+            FROM rd_parts p LEFT JOIN rd_app a ON p.host = a.host),
+        rd_rank AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY _url
+                       ORDER BY hit DESC, length(path) DESC,
+                                (rule <> 'allow') ASC, path ASC) AS rk
+            FROM rd_cand)
+        SELECT _url AS {url_col},
+               CASE WHEN hit THEN rule = 'allow' ELSE TRUE END AS allowed,
+               CASE WHEN hit THEN rule END AS rule,
+               CASE WHEN hit THEN path END AS path
+        FROM rd_rank WHERE rk = 1
+        ORDER BY {url_col}
+    """

@@ -1,0 +1,171 @@
+"""robots.txt compliance (RFC 9309): group parsing (multi-agent
+groups, comments, unknown fields, preamble rules), longest-match +
+Allow-wins decisions, wildcard/anchor translation, LIKE-metachar
+literals, specific-agent vs * fallback, and DuckDB-twin parity."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.operators import webfilter as wf
+
+BODY = """# comment line
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/ok*
+Disallow: /tmp$
+
+User-agent: *
+Disallow: /
+Allow: /public/
+Sitemap: https://x.example/sitemap.xml
+Crawl-delay: 10
+"""
+# empty Disallow = no restriction; rule before any ua line is dropped
+BODY2 = "Disallow: /orphan\nUser-agent: *\nDisallow:\n"
+# LIKE metacharacters in paths must stay literal
+BODY3 = "User-agent: *\nDisallow: /a_b\nDisallow: /c%d\nAllow: /a_bc\n"
+ROBOTS = [
+    ("site.example", BODY),
+    ("open.example", BODY2),
+    ("meta.example", BODY3),
+]
+URLS = [
+    "https://site.example/private/secret.html",  # disallow /private/
+    "https://site.example/private/ok/page",  # allow /private/ok* (longer)
+    "https://site.example/tmp",  # $-anchored disallow
+    "https://site.example/tmpfile",  # $ means no prefix match
+    "https://site.example/other",  # no applicable rule
+    "HTTPS://SITE.EXAMPLE/private/x",  # host case-folded
+    "https://open.example/anything",  # empty disallow host
+    "https://norobots.example/x",  # no robots at all
+    "https://meta.example/a_b",  # literal underscore disallowed
+    "https://meta.example/aXb",  # _ is NOT a wildcard -> allowed
+    "https://meta.example/a_bc",  # allow wins (longer)
+    "https://meta.example/c%d",  # literal percent disallowed
+]
+
+
+def _rules(spark):
+    return wf.robots_rules(
+        spark.createDataFrame(ROBOTS, "host string, body string")
+    )
+
+
+def _urls(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+def _con():
+    con = duckdb.connect()
+    con.register("rb", pd.DataFrame(ROBOTS, columns=["host", "body"]))
+    con.register("u", pd.DataFrame({"url": URLS}))
+    return con
+
+
+def test_rules_parse_and_twin(spark):
+    got = [tuple(r) for r in _rules(spark).collect()]
+    # the two-agent group shares all three rules
+    assert ("site.example", "goodbot", "disallow", "/private/") in got
+    assert ("site.example", "otherbot", "allow", "/private/ok*") in got
+    # preamble rule and empty Disallow dropped
+    assert not any(p == "/orphan" for (_, _, _, p) in got)
+    assert not any(h == "open.example" for (h, _, _, _) in got)
+    con = _con()
+    want = [
+        tuple(r)
+        for r in con.sql(
+            wf.duck_robots_rules_sql("SELECT host, body FROM rb")
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("agent", ["GoodBot", "randombot"])
+def test_decisions_twin(spark, agent):
+    dec = wf.robots_decisions(_urls(spark), _rules(spark), agent)
+    got = [tuple(r) for r in dec.collect()]
+    con = _con()
+    want = [
+        tuple(r)
+        for r in con.sql(
+            wf.duck_robots_decisions_sql(
+                "SELECT url FROM u",
+                wf.duck_robots_rules_sql("SELECT host, body FROM rb"),
+                agent,
+            )
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_decision_rules(spark):
+    dec = {
+        r.url: (r.allowed, r.rule, r.path)
+        for r in wf.robots_decisions(
+            _urls(spark), _rules(spark), "goodbot"
+        ).collect()
+    }
+    assert dec["https://site.example/private/secret.html"][0] is False
+    # longest match wins: allow /private/ok* beats disallow /private/
+    assert dec["https://site.example/private/ok/page"] == (
+        True, "allow", "/private/ok*",
+    )
+    # $ anchors: /tmp blocked, /tmpfile not
+    assert dec["https://site.example/tmp"][0] is False
+    assert dec["https://site.example/tmpfile"] == (True, None, None)
+    # unmatched url and unknown host default to allowed
+    assert dec["https://site.example/other"] == (True, None, None)
+    assert dec["https://norobots.example/x"] == (True, None, None)
+    # host matching is case-insensitive
+    assert dec["HTTPS://SITE.EXAMPLE/private/x"][0] is False
+    # goodbot has its own group: the * group's Disallow / does NOT apply
+    assert dec["https://site.example/other"][0] is True
+
+
+def test_star_fallback_applies(spark):
+    dec = {
+        r.url: r.allowed
+        for r in wf.robots_decisions(
+            _urls(spark), _rules(spark), "randombot"
+        ).collect()
+    }
+    # randombot falls back to *: Disallow / blocks everything except
+    # the longer Allow /public/
+    assert dec["https://site.example/other"] is False
+    assert dec["https://site.example/private/ok/page"] is False
+
+
+def test_like_metachars_are_literal(spark):
+    dec = {
+        r.url: (r.allowed, r.path)
+        for r in wf.robots_decisions(
+            _urls(spark), _rules(spark), "anybot"
+        ).collect()
+    }
+    assert dec["https://meta.example/a_b"][0] is False
+    assert dec["https://meta.example/aXb"] == (True, None)  # _ literal
+    assert dec["https://meta.example/a_bc"] == (True, "/a_bc")
+    assert dec["https://meta.example/c%d"][0] is False
+
+
+def test_filter_robots_semijoin(spark):
+    docs = spark.createDataFrame(
+        [(u, f"text{i}") for i, u in enumerate(URLS)],
+        "url string, text string",
+    )
+    robots = spark.createDataFrame(ROBOTS, "host string, body string")
+    kept = wf.filter_robots(docs, robots, "goodbot")
+    assert kept.columns == ["url", "text"]
+    urls_kept = {r.url for r in kept.collect()}
+    assert "https://site.example/private/secret.html" not in urls_kept
+    assert "https://site.example/other" in urls_kept
+    assert "https://norobots.example/x" in urls_kept
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="user_agent"):
+        wf.robots_decisions(_urls(spark), _rules(spark), "")
+    with pytest.raises(ValueError, match="user_agent"):
+        wf.duck_robots_decisions_sql("SELECT 1", "SELECT 1", "")
