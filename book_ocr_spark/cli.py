@@ -179,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
         "(unranked domains pass; use the blocklist for those)",
     )
     cur.add_argument(
+        "--robots", default=None,
+        help="parquet of (host, body) robots.txt snapshots enabling the "
+        "RFC 9309 compliance gate (operators.webfilter.filter_robots; "
+        "requires --url-col)",
+    )
+    cur.add_argument(
+        "--robots-agent", default="*",
+        help="product token the robots gate matches groups against "
+        "(case-insensitive; '*' uses only the wildcard groups)",
+    )
+    cur.add_argument(
         "--lexicon-term", action="append", default=None,
         help="bad-words lexicon entry ([a-z0-9_]+ only; repeatable) "
         "enabling the C4/Gopher lexicon gate (operators.textstats)",
@@ -600,6 +611,12 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 min_domain_rank=args.min_domain_rank,
+                robots=(
+                    spark.read.parquet(args.robots)
+                    if args.robots is not None
+                    else None
+                ),
+                robots_agent=args.robots_agent,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

@@ -203,8 +203,14 @@ def curate_web_corpus(
     dedup_urls: bool = False,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float = 0.0,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> DataFrame:
-    """The full web-corpus pass: optional canonical-URL dedup (when
+    """The full web-corpus pass: optional robots.txt compliance gate
+    (when ``robots`` — a (host, body) table — is given: documents
+    whose URL RFC-9309-disallows ``robots_agent`` drop FIRST, before
+    even URL dedup, so a disallowed URL can't hide behind an allowed
+    canonical variant) -> optional canonical-URL dedup (when
     ``dedup_urls``: re-fetches of one page under cosmetic URL variants
     — tracking params, fragments, case, ports, query order — collapse
     to the min-id row BEFORE anything else runs; the cheapest dedup in
@@ -261,9 +267,18 @@ def curate_web_corpus(
     from book_ocr_spark.operators.webfilter import filter_urls
 
     cur = corpus
-    if url_col is None and (dedup_urls or domain_ranks is not None):
-        raise ValueError("dedup_urls / domain_ranks require url_col")
+    if url_col is None and (
+        dedup_urls or domain_ranks is not None or robots is not None
+    ):
+        raise ValueError("dedup_urls / domain_ranks / robots require url_col")
     if url_col is not None:
+        if robots is not None:
+            # RFC 9309 compliance gate FIRST — before canonical-URL
+            # dedup, so a disallowed URL can never survive by being
+            # collapsed into an allowed variant's keeper row
+            from book_ocr_spark.operators.webfilter import filter_robots
+
+            cur = filter_robots(cur, robots, robots_agent, url_col)
         if dedup_urls:
             from book_ocr_spark.operators.webfilter import url_dedup
 

@@ -889,3 +889,85 @@ def test_web_corpus_url_stage_validation(spark):
             df, "id", "text",
             domain_ranks=df.selectExpr("'a' AS node", "0.5 AS rank"),
         )
+
+
+def test_web_corpus_robots_stage(spark):
+    """The RFC 9309 gate drops disallowed URLs FIRST — before
+    canonical-URL dedup, so a disallowed URL cannot survive by
+    collapsing into an allowed variant; verified inside the composed
+    pass with a DuckDB stage replay."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.operators.webfilter import (
+        duck_robots_decisions_sql,
+        duck_robots_rules_sql,
+    )
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    base = (
+        "a long enough clean document about crawl compliance and "
+        "robots directives for web scale corpora with many words"
+    )
+    rows = [
+        (1, base + " public landing page", "https://site.com/public/a"),
+        # 2: robots-disallowed; would otherwise be the min-id keeper
+        # of the canonical group shared with 3
+        (2, base + " mirrored body", "https://site.com/private/p"),
+        (3, base.replace("compliance", "etiquette").replace("robots", "polite")
+            + " entirely different middle section about sharding",
+         "https://site.com/ok?utm_source=x"),
+        (4, base.replace("crawl", "archive").replace("corpora", "libraries")
+            + " open host discussing storage formats at length",
+         "https://open.org/x"),
+    ]
+    robots_rows = [
+        ("site.com", "User-agent: *\nDisallow: /private/\n"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, url string")
+    robots = spark.createDataFrame(robots_rows, "host string, body string")
+    got = sorted(
+        r.id
+        for r in curate_web_corpus(
+            df, "id", "text", url_col="url", robots=robots,
+        ).collect()
+    )
+    assert got == [1, 3, 4]  # 2 dropped by the compliance gate
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text", "url"]))
+    con.register("rb", pd.DataFrame(robots_rows, columns=["host", "body"]))
+    con.register(
+        "allowed",
+        con.sql(
+            "SELECT c.id, c.text FROM c JOIN ("
+            + duck_robots_decisions_sql(
+                "SELECT url FROM c",
+                duck_robots_rules_sql("SELECT host, body FROM rb"),
+                "*",
+            )
+            + ") d ON c.url = d.url WHERE d.allowed"
+        ).df(),
+    )
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM allowed")
+            + ") WHERE clean_text <> ''"
+        ).df(),
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            duck_curate_sql("SELECT id, text FROM cleaned")
+        ).fetchall()
+    )
+    assert got == want
+
+    # robots without url_col: refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="url_col"):
+        curate_web_corpus(df, "id", "text", robots=robots)
