@@ -190,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
         "(case-insensitive; '*' uses only the wildcard groups)",
     )
     cur.add_argument(
+        "--c4-lines", action="store_true",
+        help="apply C4's per-line cleaning rules (terminal punctuation, "
+        ">=3 words, no javascript; page drops for '{', lorem ipsum, "
+        "<5 sentences) before line dedup (operators.textstats)",
+    )
+    cur.add_argument(
         "--lexicon-term", action="append", default=None,
         help="bad-words lexicon entry ([a-z0-9_]+ only; repeatable) "
         "enabling the C4/Gopher lexicon gate (operators.textstats)",
@@ -617,6 +623,7 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 robots_agent=args.robots_agent,
+                c4_lines=args.c4_lines,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

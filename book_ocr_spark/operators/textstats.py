@@ -918,3 +918,119 @@ def duck_lexicon_flags_sql(
                    <= {float(max_hit_ratio)!r} AS keep
         FROM lx
     """
+
+
+# --------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2 — the rules behind
+# the Colossal Clean Crawled Corpus). Distinct from dedup.line_dedup
+# (cross-document repetition): these are PER-LINE form rules plus
+# per-page drops, applied before any corpus-level stage.
+# --------------------------------------------------------------------
+
+# a line is kept iff it ends in terminal punctuation (C4 includes the
+# closing-quote forms) AND has >= min_words words AND does not mention
+# javascript (case-insensitive)
+C4_TERMINAL_RE = '[.!?]["”’]?$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    min_sentences: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning pass → ``(id_col, clean_text)`` for surviving
+    pages, ordered by id. Rules (Raffel et al. 2020 §2.2, faithfully):
+
+    - PAGE drops first: any page containing ``{`` (source code) or
+      the phrase "lorem ipsum" (case-insensitive) is removed whole;
+    - LINE keeps: a line survives iff its trimmed form ends in
+      terminal punctuation (``. ! ?`` with an optional closing
+      quote), has at least ``min_words`` whitespace words, and does
+      not contain the word "javascript" (case-insensitive);
+    - PAGE floor second: pages whose retained text holds fewer than
+      ``min_sentences`` sentences drop (sentence count = number of
+      terminal-punctuation marks in the retained text — every
+      retained line contributes at least its final one);
+    - the lexicon ("bad words") page rule is NOT here — that's the
+      existing `lexicon_flags` stage; compose both for full C4.
+
+    Scale shape: one codegen'd projection — split, higher-order
+    `filter` over the line array, `array_join` — plus one narrow
+    filter; no shuffle, no Python, no window. The whole pass fuses
+    into the scan."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if min_sentences < 0:
+        raise ValueError(
+            f"min_sentences must be >= 0, got {min_sentences}"
+        )
+    text = F.col(text_col)
+    page_ok = ~text.contains("{") & ~F.lower(text).contains("lorem ipsum")
+
+    def _line_ok(line):
+        t = F.trim(line)
+        return (
+            t.rlike(C4_TERMINAL_RE)
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    cleaned = F.array_join(
+        F.filter(F.split(text, sep), _line_ok), sep
+    )
+    sentences = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[.!?]", "")
+    )
+    return (
+        df.where(page_ok)
+        .select(F.col(id_col), cleaned.alias("clean_text"))
+        .where(F.col("clean_text") != "")
+        .where(sentences >= min_sentences)
+        .orderBy(id_col)
+    )
+
+
+def duck_c4_line_filter_sql(
+    src_sql: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    min_sentences: int = 5,
+    sep: str = "\n",
+) -> str:
+    """DuckDB twin of :func:`c4_line_filter`: same page drops, same
+    list_filter line rules, same terminal-punct sentence count."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if min_sentences < 0:
+        raise ValueError(
+            f"min_sentences must be >= 0, got {min_sentences}"
+        )
+    s = sep.replace("'", "''")
+    term = C4_TERMINAL_RE.replace("'", "''")
+    return f"""
+        WITH c4_pages AS (
+            SELECT {id_col},
+                   array_to_string(list_filter(
+                       string_split({text_col}, '{s}'),
+                       l -> regexp_matches(trim(l), '{term}')
+                            AND len(regexp_split_to_array(
+                                    trim(l), '\\s+')) >= {min_words}
+                            AND NOT contains(lower(trim(l)),
+                                             'javascript')
+                   ), '{s}') AS clean_text
+            FROM ({src_sql}) c4_src
+            WHERE NOT contains({text_col}, '{{')
+              AND NOT contains(lower({text_col}), 'lorem ipsum')
+        )
+        SELECT {id_col}, clean_text
+        FROM c4_pages
+        WHERE clean_text <> ''
+          AND length(clean_text)
+              - length(regexp_replace(clean_text, '[.!?]', '', 'g'))
+              >= {min_sentences}
+        ORDER BY {id_col}
+    """

@@ -205,6 +205,9 @@ def curate_web_corpus(
     min_domain_rank: float = 0.0,
     robots: DataFrame | None = None,
     robots_agent: str = "*",
+    c4_lines: bool = False,
+    c4_min_words: int = 3,
+    c4_min_sentences: int = 5,
 ) -> DataFrame:
     """The full web-corpus pass: optional robots.txt compliance gate
     (when ``robots`` — a (host, body) table — is given: documents
@@ -328,6 +331,18 @@ def curate_web_corpus(
             ).select(*cur.columns)
     elif max_per_domain is not None:
         raise ValueError("max_per_domain requires url_col")
+    if c4_lines:
+        # C4's per-line form rules (terminal punct, >=3 words, no
+        # javascript; page drops for '{'/lorem ipsum/<5 sentences)
+        # run BEFORE cross-document line dedup: form-garbage lines
+        # never get to vote in the repetition census
+        from book_ocr_spark.operators.textstats import c4_line_filter
+
+        cur = c4_line_filter(
+            cur, id_col, text_col,
+            min_words=c4_min_words, min_sentences=c4_min_sentences,
+            sep=line_sep,
+        ).select(F.col(id_col), F.col("clean_text").alias(text_col))
     cleaned = (
         line_dedup(cur, id_col, text_col, sep=line_sep, min_docs=line_min_docs)
         .filter(F.col("clean_text") != "")

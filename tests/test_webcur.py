@@ -971,3 +971,111 @@ def test_web_corpus_robots_stage(spark):
 
     with _pt.raises(ValueError, match="url_col"):
         curate_web_corpus(df, "id", "text", robots=robots)
+
+
+def test_c4_line_filter_rules_and_twin(spark):
+    """C4 §2.2 rules standalone: page drops ('{', lorem ipsum,
+    sentence floor), line keeps (terminal punct incl. closing quote,
+    word floor, javascript), DuckDB twin bit-equal."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import textstats as ts
+
+    rows = [
+        (1, 'Good first sentence here. Another follows! A third one?'
+            ' A fourth sentence lands. "A quoted fifth sentence."\n'
+            'short line\nno terminal punct line at all\n'
+            'This line mentions JavaScript code here.'),
+        (2, 'Has a curly brace { so drops. Many. More. And. Another.'),
+        (3, 'Has Lorem Ipsum filler. Two. Three. Four. Five. Six.'),
+        (4, 'Only two sentences survive. And this is the second one.'),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = [
+        (r.id, r.clean_text)
+        for r in ts.c4_line_filter(df, "id", "text").collect()
+    ]
+    assert [g[0] for g in got] == [1]
+    kept = got[0][1]
+    assert "short line" not in kept and "JavaScript" not in kept
+    assert kept.startswith("Good first") and kept.endswith('sentence."')
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            ts.duck_c4_line_filter_sql("SELECT id, text FROM t", "id", "text")
+        ).fetchall()
+    ]
+    assert got == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_words"):
+        ts.c4_line_filter(df, "id", "text", min_words=0)
+    with _pt.raises(ValueError, match="min_sentences"):
+        ts.duck_c4_line_filter_sql("SELECT 1", "id", "text", min_sentences=-1)
+
+
+def test_web_corpus_c4_lines_stage(spark):
+    """c4_lines inside the composed pass: form-garbage lines vanish
+    before the repetition census; stage replay in DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.operators.textstats import duck_c4_line_filter_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    doc1 = (
+        "This is a clean first sentence about data curation pipelines."
+        " Another full sentence with enough words follows right here."
+        " A third sentence rounds out the paragraph nicely today."
+        " Fourth sentence adds material about partitioning and shuffles."
+        " Fifth sentence closes the storage discussion completely."
+    )
+    doc2 = (
+        "Entirely different opening statement concerning crawl archives."
+        " The second document discusses broadcast joins and skew salting."
+        " Compression codecs deserve an entire paragraph of their own."
+        " Columnar layouts keep scans narrow and projection cheap always."
+        " Adaptive execution replans shuffles from runtime statistics."
+    )
+    rows = [
+        (1, doc1 + "\nnav menu stub"),
+        (2, doc2 + "\nnav menu stub"),
+        # 3: all lines fail the C4 rules -> page empties out
+        (3, "tiny\nfragments only\nno punct"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        r.id
+        for r in curate_web_corpus(df, "id", "text", c4_lines=True).collect()
+    )
+    assert got == [1, 2]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register(
+        "c4ed",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_c4_line_filter_sql("SELECT id, text FROM c", "id", "text")
+            + ") t"
+        ).df(),
+    )
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c4ed")
+            + ") WHERE clean_text <> ''"
+        ).df(),
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            duck_curate_sql("SELECT id, text FROM cleaned")
+        ).fetchall()
+    )
+    assert got == want
