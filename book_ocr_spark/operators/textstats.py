@@ -1034,3 +1034,220 @@ def duck_c4_line_filter_sql(
               >= {min_sentences}
         ORDER BY {id_col}
     """
+
+
+# --------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1)
+# — the full seven-rule bundle, of which quality_flags is the light
+# subset. Every signal is a JVM expression (splits, higher-order
+# filter/aggregate, length deltas); no Python, no shuffle.
+# --------------------------------------------------------------------
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The seven Gopher repetition-free quality rules → one row per
+    document: ``(id, n_words, mean_word_len, symbol_ratio,
+    bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits, keep,
+    reason)``, ordered by id, ``reason`` naming the FIRST failing
+    rule in the fixed order below ('ok' when all pass):
+
+    1. word count in [min_words, max_words]            (word_count_*)
+    2. mean word length in [3, 10]                     (mean_word_len_*)
+    3. (# '#' chars + # '...' runs) / words <= 0.1     (symbol_ratio)
+    4. <= 90% of lines start with a bullet (• - *)     (bullet_ratio)
+    5. <= 30% of lines end with an ellipsis (... or …) (ellipsis_ratio)
+    6. >= 80% of words contain an alphabetic char      (alpha_ratio)
+    7. >= 2 of Gopher's 8 stop words occur as words    (stop_words)
+
+    Ratios are exact IEEE doubles of integer counts — bit-equal
+    across engines by construction — and are ROUNDED 4dp only in the
+    output columns; rule comparisons use the unrounded values.
+    '...'-run counting is the non-overlapping replace-delta trick
+    (len − len(replace))/3, identical in both engines."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    # split('') yields [''] — an empty doc must count 0 words
+    n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_wl = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),  # int would overflow on GB-scale docs
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_wl.cast("double") / nw
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_dots = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_dots).cast("double") / nw
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 1).isin(*GOPHER_BULLETS),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast(
+            "double"
+        )
+        / nw
+    )
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            lambda s: F.array_contains(low_words, s),
+        )
+    )
+    reason = (
+        F.when(n_words < min_words, "word_count_low")
+        .when(n_words > max_words, "word_count_high")
+        .when(mean_wl < min_mean_word_len, "mean_word_len_low")
+        .when(mean_wl > max_mean_word_len, "mean_word_len_high")
+        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
+        .when(bullet_ratio > max_bullet_ratio, "bullet_ratio")
+        .when(ellipsis_ratio > max_ellipsis_ratio, "ellipsis_ratio")
+        .when(alpha_ratio < min_alpha_ratio, "alpha_ratio")
+        .when(stop_hits < min_stop_words, "stop_words")
+        .otherwise("ok")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.cast("bigint").alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(symbol_ratio, 4).alias("symbol_ratio"),
+            F.round(bullet_ratio, 4).alias("bullet_ratio"),
+            F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+            F.round(alpha_ratio, 4).alias("alpha_ratio"),
+            stop_hits.cast("int").alias("stop_hits"),
+            (reason == "ok").alias("keep"),
+            reason.alias("reason"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duck_gopher_quality_flags_sql(
+    src_sql: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_flags` — same counts,
+    same exact-double ratios, same first-failing-rule order."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOP_WORDS)
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
+    return f"""
+        WITH gq_m AS MATERIALIZED (
+            SELECT {id_col},
+                   CASE WHEN trim({text_col}) = '' THEN 0
+                        ELSE len(string_split_regex(
+                                 trim({text_col}), '\\s+')) END
+                       AS n_words,
+                   string_split_regex(trim({text_col}), '\\s+') AS words,
+                   list_filter(list_transform(
+                       string_split({text_col}, chr(10)),
+                       l -> trim(l)), l -> l <> '') AS lines,
+                   length({text_col})
+                   - length(replace({text_col}, '#', '')) AS n_hash,
+                   (length({text_col})
+                    - length(replace({text_col}, '...', ''))) / 3
+                       AS n_dots
+            FROM ({src_sql}) gq_src),
+        gq_r AS MATERIALIZED (
+            SELECT {id_col}, n_words,
+                   CAST(list_sum(list_transform(words, w -> length(w)))
+                        AS DOUBLE)
+                   / GREATEST(n_words, 1) AS mean_wl,
+                   CAST(n_hash + n_dots AS DOUBLE)
+                   / GREATEST(n_words, 1) AS symbol_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> list_contains([{bullets}], l[1:1])))
+                        AS DOUBLE)
+                   / GREATEST(len(lines), 1) AS bullet_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> l LIKE '%...' OR l LIKE '%…'))
+                        AS DOUBLE)
+                   / GREATEST(len(lines), 1) AS ellipsis_ratio,
+                   CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[a-zA-Z]')))
+                        AS DOUBLE)
+                   / GREATEST(n_words, 1) AS alpha_ratio,
+                   len(list_filter([{stops}],
+                       s -> list_contains(
+                           list_transform(words, w -> lower(w)), s)))
+                       AS stop_hits
+            FROM gq_m),
+        gq_f AS (
+            SELECT *,
+                   CASE WHEN n_words < {min_words} THEN 'word_count_low'
+                        WHEN n_words > {max_words} THEN 'word_count_high'
+                        WHEN mean_wl < {min_mean_word_len!r}
+                            THEN 'mean_word_len_low'
+                        WHEN mean_wl > {max_mean_word_len!r}
+                            THEN 'mean_word_len_high'
+                        WHEN symbol_ratio > {max_symbol_ratio!r}
+                            THEN 'symbol_ratio'
+                        WHEN bullet_ratio > {max_bullet_ratio!r}
+                            THEN 'bullet_ratio'
+                        WHEN ellipsis_ratio > {max_ellipsis_ratio!r}
+                            THEN 'ellipsis_ratio'
+                        WHEN alpha_ratio < {min_alpha_ratio!r}
+                            THEN 'alpha_ratio'
+                        WHEN stop_hits < {min_stop_words}
+                            THEN 'stop_words'
+                        ELSE 'ok' END AS reason
+            FROM gq_r)
+        SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mean_wl, 4) AS mean_word_len,
+               ROUND(symbol_ratio, 4) AS symbol_ratio,
+               ROUND(bullet_ratio, 4) AS bullet_ratio,
+               ROUND(ellipsis_ratio, 4) AS ellipsis_ratio,
+               ROUND(alpha_ratio, 4) AS alpha_ratio,
+               CAST(stop_hits AS INT) AS stop_hits,
+               reason = 'ok' AS keep, reason
+        FROM gq_f ORDER BY {id_col}
+    """

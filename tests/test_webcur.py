@@ -1079,3 +1079,90 @@ def test_web_corpus_c4_lines_stage(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_gopher_quality_flags_rules_and_twin(spark):
+    """The seven Gopher A1.1 rules: one designed victim per rule, a
+    clean survivor, first-failing-reason order, and a bit-identical
+    DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import textstats as ts
+
+    good = (
+        "The quick brown fox jumps over the lazy dog near the river "
+        "bank and that sentence happens to have plenty of ordinary "
+        "words with normal length so every ratio stays well inside "
+        "the gates of the seven rules that Gopher applies to pages "
+        "before anything expensive runs on them at all today."
+    )
+    rows = [
+        (1, good),
+        (2, "too few words here."),                          # word_count_low
+        (3, " ".join(["a"] * 60)),                           # mean_word_len_low
+        (4, " ".join(["extraordinarily"] * 60)),             # mean_word_len_high
+        # 8 hashes: ratio 8/60 > 0.1 while the 1-char tokens leave
+        # the mean word length inside its gate
+        (5, good + " " + " ".join(["#"] * 8)),               # symbol_ratio
+        # bullet lines carry 3 words each so mean word length stays
+        # inside the gate and the bullet rule is the one that fires
+        (6, "\n".join(
+            "• " + " ".join(good.split()[i:i + 3])
+            for i in range(0, 48, 3)
+        )),                                                  # bullet_ratio
+        # unicode ellipsis only — ASCII '...' would trip the symbol
+        # rule (which precedes ellipsis in the fixed order)
+        (7, "\n".join(
+            " ".join(good.split()[i:i + 3]) + "…"
+            for i in range(0, 51, 3)
+        )),                                                  # ellipsis_ratio
+        (8, good + " " + " ".join(["1234"] * 80)),           # alpha_ratio
+        (9, " ".join(["window"] * 60)),                      # stop_words
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = ts.gopher_quality_flags(df, "id", "text")
+    got = [tuple(r) for r in out.collect()]
+    reasons = {r[0]: r[-1] for r in got}
+    assert reasons[1] == "ok"
+    assert reasons[2] == "word_count_low"
+    assert reasons[3] == "mean_word_len_low"
+    assert reasons[4] == "mean_word_len_high"
+    assert reasons[5] == "symbol_ratio"
+    assert reasons[6] == "bullet_ratio"
+    assert reasons[7] == "ellipsis_ratio"
+    assert reasons[8] == "alpha_ratio"
+    assert reasons[9] == "stop_words"
+    keep = {r[0]: r[-2] for r in got}
+    assert keep[1] is True and all(not keep[i] for i in range(2, 10))
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            ts.duck_gopher_quality_flags_sql(
+                "SELECT id, text FROM t", "id", "text"
+            )
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_gopher_empty_and_threshold_params(spark):
+    from book_ocr_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "id long, text string"
+    )
+    got = {r.id: (r.n_words, r.reason) for r in
+           ts.gopher_quality_flags(df, "id", "text").collect()}
+    assert got[1] == (0, "word_count_low")
+    assert got[2] == (0, "word_count_low")
+    # threshold params reach the rules: drop the floor, doc passes
+    df2 = spark.createDataFrame(
+        [(1, "The words and that have to be of decent length today.")],
+        "id long, text string",
+    )
+    out = ts.gopher_quality_flags(df2, "id", "text", min_words=5).collect()
+    assert out[0].reason == "ok"
