@@ -1166,3 +1166,78 @@ def test_gopher_empty_and_threshold_params(spark):
     )
     out = ts.gopher_quality_flags(df2, "id", "text", min_words=5).collect()
     assert out[0].reason == "ok"
+
+
+def test_gopher_repetition_flags_rules_and_twin(spark):
+    """The 13 Gopher repetition signals: per-rule victims, clean
+    survivor, short-doc zero signals, custom thresholds, twin parity."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import textstats as ts
+
+    clean = " ".join(
+        f"unique{i} token{i * 7 % 13} varied{i * 3} content{i}"
+        for i in range(30)
+    )
+    rows = [
+        (1, clean),                                       # ok
+        (2, "repeat line\nrepeat line\nrepeat line\nunique closer"),
+        (3, "para\n\npara\n\npara\n\nother"),
+        (4, "buy now " * 30),                             # top_2gram
+        (5, ("the quick brown fox jumps over the lazy dog " * 4) + "end"),
+        (6, ""),                                          # empty -> zeros
+        (7, "one"),                                       # single word
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = ts.gopher_repetition_flags(df, "id", "text")
+    got = [tuple(r) for r in out.collect()]
+    by_id = {r[0]: r for r in got}
+    reasons = {r[0]: r[-1] for r in got}
+    assert reasons[1] == "ok"
+    assert reasons[2] == "dup_line_frac"
+    assert by_id[2][1] == 0.5  # 2 beyond-first of 4 line occurrences
+    assert reasons[3] == "dup_line_frac"  # paras are single lines too
+    assert by_id[3][2] == 0.5  # dup_para_frac right behind it
+    assert reasons[4] == "top_2gram_char_frac"
+    assert by_id[4][5] > 0.8  # "buy now" owns the doc
+    assert reasons[6] == "ok" and reasons[7] == "ok"  # no units -> zeros
+    assert all(v == 0.0 for v in by_id[6][1:-2])
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            ts.duck_gopher_repetition_flags_sql(
+                "SELECT id, text FROM t", "id", "text"
+            )
+        ).fetchall()
+    ]
+    assert got == want
+
+    # custom thresholds: relax the top-gram gates so the dup-5gram
+    # signal is the one that names row 5
+    relax = {f"top_{n}gram_char_frac": 9.9 for n in (2, 3, 4)}
+    out2 = ts.gopher_repetition_flags(df, "id", "text", thresholds=relax)
+    r5 = {r.id: r.reason for r in out2.collect()}[5]
+    assert r5 == "dup_5gram_char_frac"
+    want2 = [
+        tuple(r)
+        for r in con.sql(
+            ts.duck_gopher_repetition_flags_sql(
+                "SELECT id, text FROM t", "id", "text", thresholds=relax
+            )
+        ).fetchall()
+    ]
+    got2 = [tuple(r) for r in out2.collect()]
+    assert got2 == want2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown threshold"):
+        ts.gopher_repetition_flags(df, "id", "text", thresholds={"nope": 1})
+    with _pt.raises(ValueError, match="unknown threshold"):
+        ts.duck_gopher_repetition_flags_sql(
+            "SELECT 1", "id", "text", thresholds={"nope": 1}
+        )
