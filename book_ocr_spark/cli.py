@@ -196,6 +196,12 @@ def main(argv: list[str] | None = None) -> int:
         "<5 sentences) before line dedup (operators.textstats)",
     )
     cur.add_argument(
+        "--gopher-rules", action="store_true",
+        help="apply the full Gopher A1.1 bundle (7 quality rules, then "
+        "13 repetition signals) on the cleaned text "
+        "(operators.textstats.gopher_quality_flags/_repetition_flags)",
+    )
+    cur.add_argument(
         "--lexicon-term", action="append", default=None,
         help="bad-words lexicon entry ([a-z0-9_]+ only; repeatable) "
         "enabling the C4/Gopher lexicon gate (operators.textstats)",
@@ -624,6 +630,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 robots_agent=args.robots_agent,
                 c4_lines=args.c4_lines,
+                gopher_rules=args.gopher_rules,
             )
             result.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

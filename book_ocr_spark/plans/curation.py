@@ -208,6 +208,7 @@ def curate_web_corpus(
     c4_lines: bool = False,
     c4_min_words: int = 3,
     c4_min_sentences: int = 5,
+    gopher_rules: bool = False,
 ) -> DataFrame:
     """The full web-corpus pass: optional robots.txt compliance gate
     (when ``robots`` — a (host, body) table — is given: documents
@@ -362,6 +363,29 @@ def curate_web_corpus(
             .select(F.col("id").alias(id_col))
         )
         cleaned = cleaned.join(kept, id_col, "left_semi")
+    if gopher_rules:
+        # the full Gopher A1.1 bundle — quality rules first (their
+        # 50-word floor is what makes the repetition top-gram
+        # thresholds meaningful), then the 13 repetition signals; on
+        # the boilerplate-cleaned text like the lexicon gate, before
+        # the model-scored/dedup tail
+        from book_ocr_spark.operators.textstats import (
+            gopher_quality_flags,
+            gopher_repetition_flags,
+        )
+
+        q_keep = (
+            gopher_quality_flags(cleaned, id_col, text_col)
+            .filter(F.col("keep"))
+            .select(F.col(id_col))
+        )
+        cleaned = cleaned.join(q_keep, id_col, "left_semi")
+        r_keep = (
+            gopher_repetition_flags(cleaned, id_col, text_col)
+            .filter(F.col("keep"))
+            .select(F.col("id").alias(id_col))
+        )
+        cleaned = cleaned.join(r_keep, id_col, "left_semi")
     if substring_n is not None:
         from book_ocr_spark.operators.substring import substring_dedup
 

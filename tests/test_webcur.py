@@ -1241,3 +1241,72 @@ def test_gopher_repetition_flags_rules_and_twin(spark):
         ts.duck_gopher_repetition_flags_sql(
             "SELECT 1", "id", "text", thresholds={"nope": 1}
         )
+
+
+def test_web_corpus_gopher_stage(spark):
+    """gopher_rules inside the composed pass: quality floor first,
+    then repetition signals; DuckDB stage replay."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.operators.textstats import (
+        duck_gopher_quality_flags_sql,
+        duck_gopher_repetition_flags_sql,
+    )
+    from book_ocr_spark.plans.curation import curate_web_corpus, duck_curate_sql
+
+    stops = ["with the", "and that", "of have", "to be"]
+    clean = " ".join(
+        f"unique{i} token{i * 7 % 13} varied{i * 3} content{i}"
+        f" {stops[i % 4]}"
+        for i in range(20)
+    )
+    spammy = "buy now and save today with the offer " * 12
+    rows = [
+        (1, clean),            # survives both bundles
+        (2, "too short."),     # quality: word_count_low
+        (3, spammy),           # repetition: top-gram concentration
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        r.id
+        for r in curate_web_corpus(df, "id", "text", gopher_rules=True).collect()
+    )
+    assert got == [1]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c")
+            + ") WHERE clean_text <> ''"
+        ).df(),
+    )
+    con.register(
+        "gq",
+        con.sql(
+            "SELECT c.id, c.text FROM cleaned c JOIN ("
+            + duck_gopher_quality_flags_sql(
+                "SELECT id, text FROM cleaned", "id", "text"
+            )
+            + ") q ON c.id = q.id WHERE q.keep"
+        ).df(),
+    )
+    con.register(
+        "gr",
+        con.sql(
+            "SELECT c.id, c.text FROM gq c JOIN ("
+            + duck_gopher_repetition_flags_sql(
+                "SELECT id, text FROM gq", "id", "text"
+            )
+            + ") r ON c.id = r.id WHERE r.keep"
+        ).df(),
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(duck_curate_sql("SELECT id, text FROM gr")).fetchall()
+    )
+    assert got == want
