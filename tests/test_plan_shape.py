@@ -536,3 +536,57 @@ def test_containment_join_is_equi_join(spark):
     )
     plan = containment_pairs(docs, stop_shingle_df=16)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_robots_decisions_broadcasts_rules(spark):
+    """The robots match join must broadcast the narrow rule table —
+    the URL corpus (the 10^12-row side) never shuffles — and the
+    wildcard LIKE translation must not introduce a cartesian."""
+    from book_ocr_spark.operators import webfilter as wf
+
+    robots = spark.createDataFrame(
+        [("s.com", "User-agent: *\nDisallow: /p/\nAllow: /p/ok*\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://s.com/p/{i}",) for i in range(12)], "url string"
+    )
+    out = wf.robots_decisions(urls, wf.robots_rules(robots), "bot")
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_flags_no_python_no_window(spark):
+    """Both Gopher bundles must stay JVM-side (no Python eval in the
+    plan) and the repetition signals must be pure aggregations —
+    no per-doc window over the exploded n-gram table."""
+    from book_ocr_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(i, f"some words {i} repeated words here") for i in range(6)],
+        "id long, text string",
+    )
+    for out in (
+        ts.gopher_quality_flags(df, "id", "text"),
+        ts.gopher_repetition_flags(df, "id", "text"),
+    ):
+        plan = _explain(out)
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+        assert "Window" not in plan, plan
+
+
+def test_c4_line_filter_fuses_into_scan(spark):
+    """The C4 pass is one codegen'd projection + filters: no
+    exchange besides the final presentation sort, no Python."""
+    from book_ocr_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(i, "A good enough sentence here. " * 6) for i in range(6)],
+        "id long, text string",
+    )
+    plan = _explain(ts.c4_line_filter(df, "id", "text"))
+    assert "BatchEvalPython" not in plan, plan
+    # exactly the sort's exchange — nothing from the filter logic
+    # (formatted explain lists each node twice: tree + detail)
+    assert plan.count("+- Exchange") <= 1, plan
