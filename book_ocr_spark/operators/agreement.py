@@ -209,6 +209,204 @@ def fleiss_kappa(
     )
 
 
+def clustering_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) and normalized
+    mutual information (Strehl & Ghosh 2002, 2·I/(H_a+H_b)
+    normalization) between two cluster assignments over the same item
+    universe — the stability layer for the dedup family: run
+    ``minhash`` clusters against ``simhash`` clusters (or today's
+    incremental labels against a from-scratch recompute) and measure
+    whether the two partitions actually agree before trusting either
+    as the keep/drop authority.
+
+    Input: two (id, label) frames; items are paired by INNER join on
+    ``id_col`` (items present in only one assignment are dropped —
+    n_items makes the drop auditable). An id labeled more than once in
+    one frame collapses to the MIN label (the cohen_kappa hygiene
+    rule). Returns ONE row: (n_items, ari, nmi).
+
+    Engine-exactness (the repo twin rule): every ARI moment is an
+    exact BIGINT — contingency Σ n_ij², row/col marginal Σ a_i²,
+    Σ b_j², and the pair counts derived from them via
+    C2(x) = (Σ x² − n)/2 (integers throughout, since Σ x² ≡ n mod 2
+    cancels) — so ARI's doubles appear only in the fixed final
+    expression, shared token-for-token with the DuckDB twin and
+    ROUND-ed to 6dp. NMI uses the single-aggregate entropy identity
+    (the char_bigram_entropy trick) H = log2(n) − (Σ c·log2 c)/n and
+    I = log2(n) + (Σ n_ij·log2 n_ij − Σ a_i·log2 a_i
+    − Σ b_j·log2 b_j)/n, each Σ one hash-agg double; 6dp rounding
+    absorbs cross-engine sum-order ULP noise. Degeneracy detected on
+    integers, never floats: ARI is NULL when max_index == expected
+    exactly (4·C(n,2)·(C2a+C2b) == 8·C2a·C2b scaled — both partitions
+    all-singletons or both one-cluster); NMI is NULL when both
+    partitions are a single cluster (H_a = H_b = 0). Overflow bound:
+    Σ a_i² < 2^63 needs n < 3·10⁹ paired items — shard by corpus
+    slice first at 10^12 scale (also the statistically useful grain).
+
+    Scale shape: three map-side-combined hash aggs over narrow rows
+    (contingency cells, two marginal tables) + 1-row crossJoins — no
+    windows, no pairwise item comparison; the contingency table is
+    |labels_a| × |labels_b| cells at most, in practice ~cluster count.
+    """
+    pa = (
+        a.select(F.col(id_col).alias("_i"), _lab(label_col).alias("_la"))
+        .groupBy("_i")
+        .agg(F.min("_la").alias("_la"))
+    )
+    pb = (
+        b.select(F.col(id_col).alias("_i"), _lab(label_col).alias("_lb"))
+        .groupBy("_i")
+        .agg(F.min("_lb").alias("_lb"))
+    )
+    paired = pa.join(pb, "_i")
+    cells = paired.groupBy("_la", "_lb").agg(
+        F.count(F.lit(1)).cast("long").alias("_nij")
+    )
+    top = cells.agg(
+        F.coalesce(F.sum("_nij"), F.lit(0)).cast("long").alias("n_items"),
+        F.coalesce(F.sum(F.col("_nij") * F.col("_nij")), F.lit(0))
+        .cast("long")
+        .alias("_sij2"),
+        F.coalesce(
+            F.sum(F.col("_nij").cast("double") * F.log2(F.col("_nij").cast("double"))),
+            F.lit(0.0),
+        ).alias("_hij"),
+    )
+    ra = cells.groupBy("_la").agg(F.sum("_nij").cast("long").alias("_ai"))
+    rb = cells.groupBy("_lb").agg(F.sum("_nij").cast("long").alias("_bj"))
+    ma = ra.agg(
+        F.count(F.lit(1)).cast("long").alias("_ka"),
+        F.coalesce(F.sum(F.col("_ai") * F.col("_ai")), F.lit(0))
+        .cast("long")
+        .alias("_sa2"),
+        F.coalesce(
+            F.sum(F.col("_ai").cast("double") * F.log2(F.col("_ai").cast("double"))),
+            F.lit(0.0),
+        ).alias("_ha"),
+    )
+    mb = rb.agg(
+        F.count(F.lit(1)).cast("long").alias("_kb"),
+        F.coalesce(F.sum(F.col("_bj") * F.col("_bj")), F.lit(0))
+        .cast("long")
+        .alias("_sb2"),
+        F.coalesce(
+            F.sum(F.col("_bj").cast("double") * F.log2(F.col("_bj").cast("double"))),
+            F.lit(0.0),
+        ).alias("_hb"),
+    )
+    n_l = F.col("n_items")
+    nd = n_l.cast("double")
+    # pair counts: C2x = (Σx² − n)/2 — `/` is fractional in both
+    # engines, but the numerators are even so the doubles are exact
+    # (to 2^53; see the overflow note) and the expression is shared
+    # token-for-token with the twin
+    c2n = (n_l * (n_l - F.lit(1).cast("long"))).cast("double") / F.lit(2.0)
+    c2ij = (F.col("_sij2") - n_l).cast("double") / F.lit(2.0)
+    c2a = (F.col("_sa2") - n_l).cast("double") / F.lit(2.0)
+    c2b = (F.col("_sb2") - n_l).cast("double") / F.lit(2.0)
+    # ARI = (c2ij − c2a·c2b/c2n) / ((c2a+c2b)/2 − c2a·c2b/c2n). The
+    # denominator is 0 iff (c2n−c2a)·c2b + (c2n−c2b)·c2a == 0, i.e.
+    # (both all-singletons) or (both one-cluster) — detected EXACTLY
+    # on the integer moments: Σx² == n (singletons) / Σx² == n²
+    # (one cluster).
+    ari_degen = (n_l < 2) | (
+        ((F.col("_sa2") == n_l * n_l) | (F.col("_sb2") == n_l))
+        & ((F.col("_sb2") == n_l * n_l) | (F.col("_sa2") == n_l))
+    )
+    exp_idx = c2a * c2b / c2n
+    ari = (c2ij - exp_idx) / ((c2a + c2b) / F.lit(2.0) - exp_idx)
+    # entropies/MI via the single-agg identity
+    ha = F.log2(nd) - F.col("_ha") / nd
+    hb = F.log2(nd) - F.col("_hb") / nd
+    mi = F.log2(nd) + (F.col("_hij") - F.col("_ha") - F.col("_hb")) / nd
+    nmi_degen = (n_l == 0) | ((F.col("_ka") == 1) & (F.col("_kb") == 1))
+    return top.crossJoin(ma).crossJoin(mb).select(
+        "n_items",
+        F.when(ari_degen, F.lit(None).cast("double"))
+        .otherwise(F.round(ari, 6))
+        .alias("ari"),
+        F.when(nmi_degen, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(2.0) * mi / (ha + hb), 6))
+        .alias("nmi"),
+    )
+
+
+def duck_clustering_agreement_sql(
+    a_sql: str,
+    b_sql: str,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of clustering_agreement: same MIN-label hygiene,
+    same exact integer pair-count moments, same single-agg entropy
+    identity and final expressions, same integer degeneracy rules."""
+    lab = f"COALESCE(CAST({label_col} AS VARCHAR), chr(1))"
+    return f"""
+        WITH cg_a AS (
+            SELECT {id_col} AS i, MIN({lab}) AS la
+            FROM ({a_sql}) a0 GROUP BY {id_col}),
+        cg_b AS (
+            SELECT {id_col} AS i, MIN({lab}) AS lb
+            FROM ({b_sql}) b0 GROUP BY {id_col}),
+        cg_cells AS (
+            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM cg_a JOIN cg_b USING (i) GROUP BY la, lb),
+        cg_top AS (
+            SELECT CAST(COALESCE(SUM(nij), 0) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(nij * nij), 0) AS BIGINT) AS sij2,
+                   COALESCE(SUM(CAST(nij AS DOUBLE)
+                                * log2(CAST(nij AS DOUBLE))), 0.0) AS hij
+            FROM cg_cells),
+        cg_ra AS (SELECT la, CAST(SUM(nij) AS BIGINT) AS ai
+                  FROM cg_cells GROUP BY la),
+        cg_rb AS (SELECT lb, CAST(SUM(nij) AS BIGINT) AS bj
+                  FROM cg_cells GROUP BY lb),
+        cg_ma AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS ka,
+                   CAST(COALESCE(SUM(ai * ai), 0) AS BIGINT) AS sa2,
+                   COALESCE(SUM(CAST(ai AS DOUBLE)
+                                * log2(CAST(ai AS DOUBLE))), 0.0) AS ha
+            FROM cg_ra),
+        cg_mb AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+                   CAST(COALESCE(SUM(bj * bj), 0) AS BIGINT) AS sb2,
+                   COALESCE(SUM(CAST(bj AS DOUBLE)
+                                * log2(CAST(bj AS DOUBLE))), 0.0) AS hb
+            FROM cg_rb),
+        cg_c2 AS (
+            SELECT n_items, sij2, hij, ka, sa2, ha, kb, sb2, hb,
+                   CAST(n_items * (n_items - 1) AS DOUBLE) / 2.0 AS c2n,
+                   CAST(sij2 - n_items AS DOUBLE) / 2.0 AS c2ij,
+                   CAST(sa2 - n_items AS DOUBLE) / 2.0 AS c2a,
+                   CAST(sb2 - n_items AS DOUBLE) / 2.0 AS c2b
+            FROM cg_top CROSS JOIN cg_ma CROSS JOIN cg_mb)
+        SELECT n_items,
+               CASE WHEN n_items < 2
+                         OR ((sa2 = n_items * n_items OR sb2 = n_items)
+                             AND (sb2 = n_items * n_items OR sa2 = n_items))
+                    THEN NULL
+                    ELSE ROUND((c2ij - c2a * c2b / c2n)
+                               / ((c2a + c2b) / 2.0
+                                  - c2a * c2b / c2n), 6)
+               END AS ari,
+               CASE WHEN n_items = 0 OR (ka = 1 AND kb = 1) THEN NULL
+                    ELSE ROUND(2.0 * (log2(CAST(n_items AS DOUBLE))
+                                      + (hij - ha - hb)
+                                        / CAST(n_items AS DOUBLE))
+                               / ((log2(CAST(n_items AS DOUBLE))
+                                   - ha / CAST(n_items AS DOUBLE))
+                                  + (log2(CAST(n_items AS DOUBLE))
+                                     - hb / CAST(n_items AS DOUBLE))), 6)
+               END AS nmi
+        FROM cg_c2
+    """
+
+
 def duck_fleiss_kappa_sql(
     ratings_sql: str,
     n_raters: int,

@@ -620,171 +620,6 @@ def duck_repetition_signals_sql(corpus_sql: str) -> str:
     """
 
 
-# ---------------------------------------------------------------------------
-# Full Gopher quality-rule composite (Rae et al. 2021, Table A1)
-# ---------------------------------------------------------------------------
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-GOPHER_DEFAULTS = dict(
-    min_words=50, max_words=100_000,
-    min_mean_word_len=3.0, max_mean_word_len=10.0,
-    max_symbol_ratio=0.1, max_bullet_frac=0.9, max_ellipsis_frac=0.3,
-    min_alpha_word_frac=0.8, min_stop_hits=2,
-)
-_BULLET_RE = "^[-*•]"
-_ELLIPSIS_RE = "(\\.\\.\\.|…)$"
-# the same pattern re-escaped for embedding in a Spark SQL string
-# literal (the SQL parser eats one level of backslashes)
-_ELLIPSIS_RE_SQL = _ELLIPSIS_RE.replace("\\", "\\\\")
-
-
-def gopher_quality_flags(
-    df: DataFrame, id_col: str, text_col: str, sep: str = "\n", **overrides
-) -> DataFrame:
-    """The canonical Gopher document-quality rules as ONE shuffle-free
-    projection: word-count bounds, mean word length band, symbol
-    (#/ellipsis)-to-word ratio, bullet-line and ellipsis-line
-    fractions, alphabetic-word fraction, and stopword presence.
-    Returns every signal column plus ``keep`` and the FIRST failing
-    ``reason`` (fixed rule order, so both engines agree).
-
-    Thresholds default to the published Table A1 values and override
-    via kwargs (same channel as the extraction Thresholds). The
-    within-document repetition rules are `repetition_signals` (they
-    need their own aggs); this operator is the narrow remainder.
-    ``sep`` must be a plain string with no regex metacharacters (it
-    is a split regex in Spark and a literal in DuckDB — same contract
-    as line_dedup; stick to '\\n' etc.).
-
-    Scale shape: everything is higher-order functions over the
-    split-token/line arrays — no explode, no shuffle, packs into the
-    scan's projection. HOF lambdas evaluate interpreted (outside
-    whole-stage codegen), which measures fine for a per-doc linear
-    pass; the explode+agg formulation would be codegen'd but costs
-    two shuffles — the wrong trade for a filter."""
-    p = {**GOPHER_DEFAULTS, **overrides}
-    toks = F.split(F.col(text_col), " ")
-    lines = F.split(F.col(text_col), sep)
-    n_words = F.size(toks)
-    mean_wl = F.round(
-        F.expr("aggregate(_w, 0L, (a, x) -> a + length(x))") / F.col("n_words"), 4
-    )
-    n_symbols = (
-        F.size(F.split(F.col(text_col), "#", -1)) - 1
-        + F.size(F.split(F.col(text_col), "\\.\\.\\.", -1)) - 1
-        + F.size(F.split(F.col(text_col), "…", -1)) - 1
-    )
-    symbol_ratio = F.round(n_symbols / F.col("n_words"), 4)
-    bullet_frac = F.round(
-        F.expr(f"size(filter(_l, x -> trim(x) rlike '{_BULLET_RE}'))")
-        / F.size(F.col("_l")),
-        4,
-    )
-    ellipsis_frac = F.round(
-        F.expr(f"size(filter(_l, x -> trim(x) rlike '{_ELLIPSIS_RE_SQL}'))")
-        / F.size(F.col("_l")),
-        4,
-    )
-    alpha_frac = F.round(
-        F.expr("size(filter(_w, x -> x rlike '[a-zA-Z]'))") / F.col("n_words"), 4
-    )
-    low = F.lower(F.col(text_col))
-    stop_hits = sum(
-        F.when(low.rlike(f"\\b{w}\\b"), 1).otherwise(0) for w in GOPHER_STOPWORDS
-    )
-    out = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col),
-            toks.alias("_w"),
-            lines.alias("_l"),
-        )
-        .withColumn("n_words", n_words.cast("long"))
-        .withColumn("mean_word_len", mean_wl)
-        .withColumn("symbol_ratio", symbol_ratio)
-        .withColumn("bullet_frac", bullet_frac)
-        .withColumn("ellipsis_frac", ellipsis_frac)
-        .withColumn("alpha_word_frac", alpha_frac)
-        .withColumn("n_stop_hits", stop_hits.cast("int"))
-    )
-    reason = (
-        F.when(F.col("n_words") < p["min_words"], F.lit("too_few_words"))
-        .when(F.col("n_words") > p["max_words"], F.lit("too_many_words"))
-        .when(F.col("mean_word_len") < p["min_mean_word_len"], F.lit("short_words"))
-        .when(F.col("mean_word_len") > p["max_mean_word_len"], F.lit("long_words"))
-        .when(F.col("symbol_ratio") > p["max_symbol_ratio"], F.lit("symbols"))
-        .when(F.col("bullet_frac") > p["max_bullet_frac"], F.lit("bullets"))
-        .when(F.col("ellipsis_frac") > p["max_ellipsis_frac"], F.lit("ellipses"))
-        .when(
-            F.col("alpha_word_frac") < p["min_alpha_word_frac"],
-            F.lit("non_alpha"),
-        )
-        .when(F.col("n_stop_hits") < p["min_stop_hits"], F.lit("no_stopwords"))
-        .otherwise(F.lit(""))
-    )
-    return (
-        out.withColumn("reason", reason)
-        .withColumn("keep", F.col("reason") == "")
-        .drop("_w", "_l", text_col)
-    )
-
-
-def duck_gopher_quality_sql(
-    corpus_sql: str, sep: str = "\n", **overrides
-) -> str:
-    """DuckDB twin of gopher_quality_flags (same constants, same rule
-    order, same 4dp rounding)."""
-    p = {**GOPHER_DEFAULTS, **overrides}
-    s = sep.replace("'", "''")
-    stop_sum = " + ".join(
-        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INTEGER)"
-        for w in GOPHER_STOPWORDS
-    )
-    return f"""
-        WITH base AS (
-            SELECT id, text,
-                   string_split(text, ' ') AS _w,
-                   string_split(text, '{s}') AS _l
-            FROM ({corpus_sql}) c0),
-        sig AS (
-            SELECT id,
-                   CAST(len(_w) AS BIGINT) AS n_words,
-                   ROUND(CAST(list_sum(list_transform(_w, x -> len(x))) AS DOUBLE)
-                         / len(_w), 4) AS mean_word_len,
-                   ROUND(CAST(len(text) - len(replace(text, '#', ''))
-                         + (len(text) - len(replace(text, '...', ''))) / 3
-                         + len(text) - len(replace(text, '…', '')) AS DOUBLE)
-                         / len(_w), 4) AS symbol_ratio,
-                   ROUND(CAST(len(list_filter(_l,
-                         x -> regexp_matches(trim(x), '{_BULLET_RE}'))) AS DOUBLE)
-                         / len(_l), 4) AS bullet_frac,
-                   ROUND(CAST(len(list_filter(_l,
-                         x -> regexp_matches(trim(x), '{_ELLIPSIS_RE}'))) AS DOUBLE)
-                         / len(_l), 4) AS ellipsis_frac,
-                   ROUND(CAST(len(list_filter(_w,
-                         x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-                         / len(_w), 4) AS alpha_word_frac,
-                   CAST({stop_sum} AS INTEGER) AS n_stop_hits
-            FROM base),
-        flagged AS (
-            SELECT *,
-                   CASE WHEN n_words < {p["min_words"]} THEN 'too_few_words'
-                        WHEN n_words > {p["max_words"]} THEN 'too_many_words'
-                        WHEN mean_word_len < {p["min_mean_word_len"]} THEN 'short_words'
-                        WHEN mean_word_len > {p["max_mean_word_len"]} THEN 'long_words'
-                        WHEN symbol_ratio > {p["max_symbol_ratio"]} THEN 'symbols'
-                        WHEN bullet_frac > {p["max_bullet_frac"]} THEN 'bullets'
-                        WHEN ellipsis_frac > {p["max_ellipsis_frac"]} THEN 'ellipses'
-                        WHEN alpha_word_frac < {p["min_alpha_word_frac"]} THEN 'non_alpha'
-                        WHEN n_stop_hits < {p["min_stop_hits"]} THEN 'no_stopwords'
-                        ELSE '' END AS reason
-            FROM sig)
-        SELECT id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-               ellipsis_frac, alpha_word_frac, n_stop_hits, reason,
-               reason = '' AS keep
-        FROM flagged ORDER BY id
-    """
-
-
 def compression_ratio(
     df: DataFrame, id_col: str, text_col: str, level: int = 6
 ) -> DataFrame:

@@ -91,6 +91,90 @@ def duck_tree_violations_sql(src_sql: str) -> str:
     """
 
 
+def _leaf_chains(nodes: DataFrame, max_depth: int) -> DataFrame:
+    """(run_id, leaf_id, anc, dist) for every leaf and each of its
+    ancestors (dist steps above it, dist 0 = the leaf itself), built by
+    pointer doubling — the shared core of ``tree_paths`` and
+    ``tree_backup``. ``nodes`` must be the validated (and persisted —
+    this re-reads it several times) node table. Raises RuntimeError on
+    over-depth chains / cycles and on leafless-cycle components (see
+    tree_paths docstring); the returned frame is eagerly
+    local-checkpointed."""
+    parents = (
+        nodes.where(F.col("parent_id").isNotNull())
+        .select("run_id", F.col("parent_id").alias("node_id"))
+        .distinct()
+    )
+    leaves = nodes.select("run_id", "node_id").join(
+        parents, ["run_id", "node_id"], "left_anti"
+    )
+    # chains: (run_id, leaf_id, anc, dist) — anc is the node dist
+    # steps above the leaf. Start: every leaf at distance 0.
+    chains = leaves.select(
+        "run_id",
+        F.col("node_id").alias("leaf_id"),
+        F.col("node_id").alias("anc"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    # jump table: 2^k-step parent pointers, squared each round
+    jumps = (
+        nodes.where(F.col("parent_id").isNotNull())
+        .select(
+            "run_id",
+            F.col("node_id").alias("node"),
+            F.col("parent_id").alias("jump"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # after K rounds chains cover all distances < 2^K; pick K so a
+    # cycle (an unbounded chain) provably realizes a distance
+    # STRICTLY above max_depth: 2^K >= max_depth + 2
+    rounds = (max_depth + 1).bit_length()
+    step = 1
+    for _ in range(rounds):
+        ext = chains.join(
+            jumps,
+            (chains.run_id == jumps.run_id) & (chains.anc == jumps.node),
+        ).select(
+            chains.run_id,
+            "leaf_id",
+            F.col("jump").alias("anc"),
+            (F.col("dist") + F.lit(step)).alias("dist"),
+        )
+        ext = ext.localCheckpoint(eager=True)
+        if ext.count() == 0:  # longer jumps can't apply either
+            break
+        chains = chains.unionByName(ext).localCheckpoint(eager=True)
+        j2 = jumps.alias("a").join(
+            jumps.alias("b"),
+            (F.col("a.run_id") == F.col("b.run_id"))
+            & (F.col("a.jump") == F.col("b.node")),
+        ).select(
+            F.col("a.run_id").alias("run_id"),
+            F.col("a.node").alias("node"),
+            F.col("b.jump").alias("jump"),
+        )
+        jumps = j2.localCheckpoint(eager=True)
+        step *= 2
+    if chains.where(F.col("dist") > max_depth).count() > 0:
+        raise RuntimeError(
+            f"tree_paths: a chain exceeds max_depth={max_depth} "
+            "(over-deep tree or a parent-pointer cycle)"
+        )
+    # In an acyclic parent-forest EVERY node is an ancestor of some
+    # leaf (walk children downward until one), so a node absent
+    # from all chains proves a LEAFLESS cycle — a component with no
+    # leaf to start a chain from, which the dist guard above can
+    # never see. Without this count the run silently vanishes.
+    n_reached = chains.select("run_id", "anc").distinct().count()
+    if n_reached != nodes.select("run_id", "node_id").distinct().count():
+        raise RuntimeError(
+            "tree_paths: nodes unreachable from any leaf — a "
+            "leafless parent-pointer cycle (no path contains them)"
+        )
+    return chains
+
+
 def tree_paths(df: DataFrame, max_depth: int = 512) -> DataFrame:
     """Flatten every root-to-leaf path of every run into canonical
     transcript rows (conv_id, turn_idx, role, text, tool):
@@ -117,78 +201,7 @@ def tree_paths(df: DataFrame, max_depth: int = 512) -> DataFrame:
     # final attach all re-read the node table
     nodes = nodes.persist()
     try:
-        parents = (
-            nodes.where(F.col("parent_id").isNotNull())
-            .select("run_id", F.col("parent_id").alias("node_id"))
-            .distinct()
-        )
-        leaves = nodes.select("run_id", "node_id").join(
-            parents, ["run_id", "node_id"], "left_anti"
-        )
-        # chains: (run_id, leaf_id, anc, dist) — anc is the node dist
-        # steps above the leaf. Start: every leaf at distance 0.
-        chains = leaves.select(
-            "run_id",
-            F.col("node_id").alias("leaf_id"),
-            F.col("node_id").alias("anc"),
-            F.lit(0).cast("long").alias("dist"),
-        ).localCheckpoint(eager=True)
-        # jump table: 2^k-step parent pointers, squared each round
-        jumps = (
-            nodes.where(F.col("parent_id").isNotNull())
-            .select(
-                "run_id",
-                F.col("node_id").alias("node"),
-                F.col("parent_id").alias("jump"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # after K rounds chains cover all distances < 2^K; pick K so a
-        # cycle (an unbounded chain) provably realizes a distance
-        # STRICTLY above max_depth: 2^K >= max_depth + 2
-        rounds = (max_depth + 1).bit_length()
-        step = 1
-        for _ in range(rounds):
-            ext = chains.join(
-                jumps,
-                (chains.run_id == jumps.run_id) & (chains.anc == jumps.node),
-            ).select(
-                chains.run_id,
-                "leaf_id",
-                F.col("jump").alias("anc"),
-                (F.col("dist") + F.lit(step)).alias("dist"),
-            )
-            ext = ext.localCheckpoint(eager=True)
-            if ext.count() == 0:  # longer jumps can't apply either
-                break
-            chains = chains.unionByName(ext).localCheckpoint(eager=True)
-            j2 = jumps.alias("a").join(
-                jumps.alias("b"),
-                (F.col("a.run_id") == F.col("b.run_id"))
-                & (F.col("a.jump") == F.col("b.node")),
-            ).select(
-                F.col("a.run_id").alias("run_id"),
-                F.col("a.node").alias("node"),
-                F.col("b.jump").alias("jump"),
-            )
-            jumps = j2.localCheckpoint(eager=True)
-            step *= 2
-        if chains.where(F.col("dist") > max_depth).count() > 0:
-            raise RuntimeError(
-                f"tree_paths: a chain exceeds max_depth={max_depth} "
-                "(over-deep tree or a parent-pointer cycle)"
-            )
-        # In an acyclic parent-forest EVERY node is an ancestor of some
-        # leaf (walk children downward until one), so a node absent
-        # from all chains proves a LEAFLESS cycle — a component with no
-        # leaf to start a chain from, which the dist guard above can
-        # never see. Without this count the run silently vanishes.
-        n_reached = chains.select("run_id", "anc").distinct().count()
-        if n_reached != nodes.select("run_id", "node_id").distinct().count():
-            raise RuntimeError(
-                "tree_paths: nodes unreachable from any leaf — a "
-                "leafless parent-pointer cycle (no path contains them)"
-            )
+        chains = _leaf_chains(nodes, max_depth)
         depth = chains.groupBy("run_id", "leaf_id").agg(F.max("dist").alias("_d"))
         out = (
             chains.join(depth, ["run_id", "leaf_id"])
@@ -243,4 +256,107 @@ def duck_tree_paths_sql(src_sql: str, max_depth: int = 512) -> str:
         FROM tp_chain c
         JOIN tp_depth d ON d.run_id = c.run_id AND d.leaf_id = c.leaf_id
         JOIN tp_nodes n ON n.run_id = c.run_id AND n.node_id = c.anc
+    """
+
+
+def tree_backup(
+    df: DataFrame,
+    rewards: DataFrame,
+    max_depth: int = 512,
+    reward_col: str = "reward",
+) -> DataFrame:
+    """MCTS-style value backup over search-tree runs: every node's
+    value is the aggregate of the TERMINAL rewards of the leaves in
+    its subtree — the statistics a search-data curation pass selects
+    on (keep the high-value branches, prune dead subtrees) and the
+    visit-count/mean-value columns an offline tree-policy dataset
+    trains against (the backup step of Browne et al. 2012's MCTS
+    survey, computed in bulk instead of incrementally).
+
+    ``df`` is the tree-run table (``REQUIRED`` schema, same
+    preconditions as :func:`tree_paths` — gate on
+    :func:`tree_violations` first; cycles/over-depth raise).
+    ``rewards`` is (run_id, node_id, <reward_col>) scored at the
+    LEAF grain (non-leaf reward rows are ignored — backup is from
+    terminals only; a leaf scored more than once collapses to the MIN
+    reward, the repo's deterministic-hygiene rule). Leaves absent
+    from ``rewards`` still count in ``n_leaves`` but not in the value
+    aggregates — n_leaves vs n_scored makes unscored coverage
+    auditable instead of silently shifting means.
+
+    Returns (run_id, node_id, n_leaves, n_scored, mean_reward,
+    max_reward, min_reward) for EVERY node, ordered by (run_id,
+    node_id); mean_reward is ROUND(6) (sum-order ULP absorption —
+    the shared-double-expression twin rule), min/max are order-free
+    and exact. Value NULLs where n_scored = 0.
+
+    Scale shape: the ceil(log2 D) pointer-doubling rounds of
+    ``tree_paths`` build the (leaf, ancestor) incidence — output
+    rows = Σ leaf depths, nothing quadratic — then ONE broadcast-able
+    equi-join of leaf rewards onto the incidence and ONE map-side
+    combined hash agg by (run_id, ancestor). No windows, no driver
+    loop beyond the doubling rounds' counts."""
+    nodes = _validated(df)
+    nodes = nodes.persist()
+    try:
+        chains = _leaf_chains(nodes, max_depth)
+        lr = (
+            rewards.groupBy(
+                F.col("run_id"), F.col("node_id").alias("leaf_id")
+            )
+            .agg(F.min(reward_col).cast("double").alias("_r"))
+        )
+        scored = chains.join(lr, ["run_id", "leaf_id"], "left")
+        return (
+            scored.groupBy("run_id", F.col("anc").alias("node_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_leaves"),
+                F.count("_r").cast("long").alias("n_scored"),
+                F.round(F.avg("_r"), 6).alias("mean_reward"),
+                F.max("_r").alias("max_reward"),
+                F.min("_r").alias("min_reward"),
+            )
+            .orderBy("run_id", "node_id")
+        )
+    finally:
+        nodes.unpersist()
+
+
+def duck_tree_backup_sql(
+    src_sql: str,
+    rewards_sql: str,
+    max_depth: int = 512,
+    reward_col: str = "reward",
+) -> str:
+    """DuckDB twin of tree_backup: the definitional per-level
+    recursive walk (the duck_tree_paths_sql construction) feeding the
+    same MIN-collapse, left-join and per-ancestor aggregate."""
+    return f"""
+        WITH RECURSIVE tb_nodes AS (SELECT * FROM ({src_sql}) s0),
+        tb_leaves AS (
+            SELECT run_id, node_id AS leaf_id FROM tb_nodes n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM tb_nodes c
+                WHERE c.run_id = n.run_id AND c.parent_id = n.node_id)),
+        tb_chain AS (
+            SELECT run_id, leaf_id, leaf_id AS anc, 0 AS dist FROM tb_leaves
+            UNION ALL
+            SELECT c.run_id, c.leaf_id, n.parent_id, c.dist + 1
+            FROM tb_chain c
+            JOIN tb_nodes n ON n.run_id = c.run_id AND n.node_id = c.anc
+            WHERE n.parent_id IS NOT NULL AND c.dist < {max_depth}),
+        tb_r AS (
+            SELECT run_id, node_id AS leaf_id,
+                   CAST(MIN({reward_col}) AS DOUBLE) AS r
+            FROM ({rewards_sql}) r0 GROUP BY run_id, node_id)
+        SELECT c.run_id, c.anc AS node_id,
+               CAST(COUNT(*) AS BIGINT) AS n_leaves,
+               CAST(COUNT(r.r) AS BIGINT) AS n_scored,
+               ROUND(AVG(r.r), 6) AS mean_reward,
+               MAX(r.r) AS max_reward,
+               MIN(r.r) AS min_reward
+        FROM tb_chain c
+        LEFT JOIN tb_r r ON r.run_id = c.run_id AND r.leaf_id = c.leaf_id
+        GROUP BY c.run_id, c.anc
+        ORDER BY c.run_id, c.anc
     """

@@ -103,3 +103,74 @@ def test_kappa_partition_invariance(spark):
     c = ag.fleiss_kappa(df, 2).collect()
     d = ag.fleiss_kappa(df.repartition(5, "judge_id"), 2).collect()
     assert [tuple(r) for r in c] == [tuple(r) for r in d]
+
+
+# --- clustering agreement (ARI / NMI) ---------------------------------------
+# A: {1,2,3}->a {4,5,6}->b ; B: {1,2}->x {3,4}->y {5,6}->z
+# contingency (2,1;1,2)-ish: sum nij^2 = 10, sum a^2 = 18, sum b^2 = 12
+# C2: ij=2, a=6, b=3, n=15 -> ARI = (2-1.2)/(4.5-1.2) = 8/33
+# H_a = 1, H_b = log2(6)-1, MI = 2/3 -> NMI = (4/3)/(log2 6) ~ 0.515803
+CLUST_A = [(i, "a" if i <= 3 else "b") for i in range(1, 7)]
+CLUST_B = [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z"), (6, "z")]
+
+
+def _cdf(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "label"]), "id long, label string"
+    )
+
+
+def test_clustering_agreement_hand_computed(spark):
+    r = ag.clustering_agreement(
+        _cdf(spark, CLUST_A), _cdf(spark, CLUST_B)
+    ).collect()[0]
+    assert r.n_items == 6
+    assert r.ari == round(8.0 / 33.0, 6)
+    assert r.nmi == 0.515804  # (4/3)/log2(6), 6dp
+
+
+def test_clustering_agreement_identity_and_degenerate(spark):
+    a = _cdf(spark, CLUST_A)
+    r = ag.clustering_agreement(a, a).collect()[0]
+    assert r.ari == 1.0 and r.nmi == 1.0
+    # both all-singletons: ARI is 0/0 -> NULL, but NMI is DEFINED
+    # (H_a = H_b = log2 n > 0, MI = log2 n -> perfect agreement = 1)
+    singl = _cdf(spark, [(i, str(i)) for i in range(1, 5)])
+    r2 = ag.clustering_agreement(singl, singl).collect()[0]
+    assert r2.ari is None and r2.nmi == 1.0
+    # both one-cluster -> both NULL
+    one = _cdf(spark, [(i, "c") for i in range(1, 5)])
+    r3 = ag.clustering_agreement(one, one).collect()[0]
+    assert r3.ari is None and r3.nmi is None
+    # one-cluster vs singletons: ARI and NMI both DEFINED and 0
+    r4 = ag.clustering_agreement(one, singl).collect()[0]
+    assert r4.ari == 0.0 and r4.nmi == 0.0
+    # items present in only one frame are dropped (inner join),
+    # duplicate ids collapse to MIN label
+    extra = _cdf(spark, CLUST_A + [(99, "zz"), (1, "zzz")])
+    r5 = ag.clustering_agreement(extra, _cdf(spark, CLUST_B)).collect()[0]
+    assert r5.n_items == 6 and r5.ari == round(8.0 / 33.0, 6)
+
+
+def test_clustering_agreement_twin_bit_identical(spark):
+    con = duckdb.connect()
+    con.register("ca", pd.DataFrame(CLUST_A, columns=["id", "label"]))
+    con.register("cb", pd.DataFrame(CLUST_B, columns=["id", "label"]))
+    got = ag.clustering_agreement(
+        _cdf(spark, CLUST_A), _cdf(spark, CLUST_B)
+    ).collect()
+    want = con.sql(
+        ag.duck_clustering_agreement_sql(
+            "SELECT * FROM ca", "SELECT * FROM cb"
+        )
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_clustering_agreement_partition_invariance(spark):
+    a, b = _cdf(spark, CLUST_A), _cdf(spark, CLUST_B)
+    r1 = ag.clustering_agreement(a, b).collect()
+    r2 = ag.clustering_agreement(
+        a.repartition(7, "label"), b.repartition(5, "id")
+    ).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]

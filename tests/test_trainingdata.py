@@ -1104,83 +1104,10 @@ def test_deterministic_shuffle(spark):
     assert a == want
 
 
-GOPHER_CLEAN = (
-    "the quick brown fox jumps over the lazy dog and then walks back home to have "
-    "a long rest with friends that come over for dinner and they talk about the day "
-    "and all of the things that happened while the fox was out running in the field today ok"
-)
-GOPHER_ROWS = [
-    (1, GOPHER_CLEAN),                                           # passes all rules
-    (2, "too short to pass"),
-    (3, " ".join(["supercalifragilistic"] * 60)),                # long words
-    (4, GOPHER_CLEAN + " " + "# " * 30),                         # symbol ratio
-    (5, "\n".join(["- bullet line"] * 10) + "\n" + GOPHER_CLEAN),
-    (6, "\n".join([w + "..." for w in GOPHER_CLEAN.split(" ")[:20]])
-        + "\n" + GOPHER_CLEAN),                                  # ellipses (and symbols)
-    (7, " ".join(["12345"] * 40) + " " + GOPHER_CLEAN),          # non-alpha words
-    (8, ""),                                                     # empty
-]
-
-
-def test_gopher_quality_flags(spark):
-    """Full Gopher rule composite: the clean doc passes, every
-    designed victim fails its rule in the fixed first-failing order,
-    and the DuckDB twin matches bit-for-bit."""
-    import duckdb
-
-    df = spark.createDataFrame(GOPHER_ROWS, "id long, text string")
-    res = textstats.gopher_quality_flags(df, "id", "text")
-    order = ["id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
-             "ellipsis_frac", "alpha_word_frac", "n_stop_hits", "reason", "keep"]
-    idx = [res.columns.index(c) for c in order]
-    got = sorted(tuple(tuple(r)[i] for i in idx) for r in res.collect())
-
-    con = duckdb.connect()
-    con.register("c", pd.DataFrame(GOPHER_ROWS, columns=["id", "text"]))
-    want = sorted(
-        (int(r[0]), int(r[1]), float(r[2]), float(r[3]), float(r[4]),
-         float(r[5]), float(r[6]), int(r[7]), r[8], bool(r[9]))
-        for r in con.sql(
-            textstats.duck_gopher_quality_sql("SELECT id, text FROM c")
-        ).fetchall()
-    )
-    assert got == want
-
-    reasons = {g[0]: g[8] for g in got}
-    assert reasons == {
-        1: "", 2: "too_few_words", 3: "long_words", 4: "short_words",
-        5: "bullets", 6: "symbols", 7: "non_alpha", 8: "too_few_words",
-    }
-    assert {g[0] for g in got if g[9]} == {1}
-
-
-def test_gopher_quality_overrides(spark):
-    """Thresholds override per call and both engines apply the SAME
-    overridden rule order (doc 6 fails 'symbols' at defaults; with a
-    permissive symbol ratio it falls through to 'ellipses')."""
-    import duckdb
-
-    df = spark.createDataFrame(GOPHER_ROWS, "id long, text string")
-    got = {
-        r.id: r.reason
-        for r in textstats.gopher_quality_flags(
-            df, "id", "text", max_symbol_ratio=1.0
-        ).collect()
-    }
-    assert got[6] == "ellipses"
-    con = duckdb.connect()
-    con.register("c", pd.DataFrame(GOPHER_ROWS, columns=["id", "text"]))
-    want = {
-        int(r[0]): r[8]
-        for r in con.sql(
-            textstats.duck_gopher_quality_sql(
-                "SELECT id, text FROM c", max_symbol_ratio=1.0
-            )
-        ).fetchall()
-    }
-    assert got == want
-
-
+# NOTE: the Gopher quality composite that used to be pinned here was
+# superseded by the full bundle (gopher_quality_flags at
+# operators/textstats.py) whose rules + DuckDB twin + overrides are
+# covered in tests/test_webcur.py.
 def test_near_dup_clusters_long_chain_pointer_jumping(spark):
     """A 300-node path has diameter 299: plain min-propagation needs
     ~300 rounds, pointer jumping labels it inside max_iters=12 —

@@ -155,3 +155,71 @@ def test_tree_paths_leafless_cycle_raises(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCH)
     with pytest.raises(RuntimeError, match="leafless|unreachable"):
         trees.tree_paths(df, max_depth=8)
+
+
+# --- tree_backup (MCTS-style terminal-reward backup) ------------------------
+REWARD_ROWS = [
+    ("r1", "n4", 1.0),
+    ("r1", "n2", 0.0),
+    ("r1", "n8", 0.5),
+    # r2/n0 deliberately unscored -> n_scored 0, NULL values
+    ("r1", "n1", 9.0),   # NON-leaf reward: must be ignored entirely
+    ("r1", "n4", 2.0),   # duplicate leaf score: collapses to MIN (1.0)
+]
+RSCH = "run_id string, node_id string, reward double"
+
+
+@pytest.fixture(scope="module")
+def reward_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(REWARD_ROWS, columns=["run_id", "node_id", "reward"]), RSCH
+    )
+
+
+def test_tree_backup_semantics(tree_df, reward_df):
+    got = {
+        (r.run_id, r.node_id): (
+            r.n_leaves, r.n_scored, r.mean_reward, r.max_reward, r.min_reward
+        )
+        for r in trees.tree_backup(tree_df, reward_df).collect()
+    }
+    # root aggregates BOTH branches' terminals; the non-leaf n1 reward
+    # row is invisible (n1's value comes from its subtree leaf n4)
+    assert got[("r1", "n0")] == (2, 2, 0.5, 1.0, 0.0)
+    assert got[("r1", "n1")] == (1, 1, 1.0, 1.0, 1.0)
+    assert got[("r1", "n3")] == (1, 1, 1.0, 1.0, 1.0)
+    assert got[("r1", "n2")] == (1, 1, 0.0, 0.0, 0.0)
+    assert got[("r1", "n4")] == (1, 1, 1.0, 1.0, 1.0)
+    assert got[("r1", "n9")] == (1, 1, 0.5, 0.5, 0.5)
+    assert got[("r1", "n8")] == (1, 1, 0.5, 0.5, 0.5)
+    # unscored leaf: counted, value NULL — auditable, not mean-shifting
+    assert got[("r2", "n0")] == (1, 0, None, None, None)
+    assert len(got) == 8  # every node, exactly once
+
+
+def test_tree_backup_twin_bit_identical(tree_df, reward_df):
+    con = duckdb.connect()
+    con.register("tn", pd.DataFrame(TREE_ROWS, columns=COLS))
+    con.register(
+        "tr", pd.DataFrame(REWARD_ROWS, columns=["run_id", "node_id", "reward"])
+    )
+    got = [tuple(r) for r in trees.tree_backup(tree_df, reward_df).collect()]
+    want = con.sql(
+        trees.duck_tree_backup_sql("SELECT * FROM tn", "SELECT * FROM tr")
+    ).fetchall()
+    assert got == want
+
+
+def test_tree_backup_shares_the_guards(spark, reward_df):
+    cyc = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("r", "a", "b", "user", "t", None),
+                ("r", "b", "a", "user", "t", None),
+            ],
+            columns=COLS,
+        ),
+        SCH,
+    )
+    with pytest.raises(RuntimeError):
+        trees.tree_backup(cyc, reward_df)
