@@ -1607,6 +1607,91 @@ def duck_contamination_sql(
     """
 
 
+def memorization_scores(
+    samples: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    sample_id_col: str | None = None,
+    sample_text_col: str | None = None,
+) -> DataFrame:
+    """Per-sample n-gram overlap against the training corpus — the
+    memorization audit run over model GENERATIONS (Carlini et al.
+    2021's extraction methodology, bulked; Lee et al. 2022 report the
+    same overlap statistic to show dedup reduces regurgitation): for
+    each generated sample, what fraction of its distinct word n-grams
+    already occur verbatim anywhere in the corpus. ~1.0 = the
+    generation is stitched from training text; low = novel.
+    ``contamination_check`` is the transposed question (which CORPUS
+    docs collide with a benchmark); this one scores the probe set.
+
+    Returns (id, n_grams, n_hit, overlap_ratio) per sample — ratio
+    ROUND 4, samples with zero grams never exist by construction
+    (shingle_sets emits the whole text as one gram below n words).
+
+    Scale shape (100 TB corpus, small probe set): the corpus side is
+    a single explode → the (gram) equi-join probes it with the sample
+    gram set, which is tiny by construction (a generation batch) — AQE
+    broadcasts it, so the corpus is scanned once, never shuffled on
+    gram, and no corpus-side distinct is materialized (the per-sample
+    count is COUNT(DISTINCT gram) after the join). Sample columns
+    default to the corpus names; override via ``sample_id_col`` /
+    ``sample_text_col``."""
+    sg = shingle_sets(
+        samples, sample_id_col or id_col, sample_text_col or text_col, n, "word"
+    ).select("id", F.explode("sh").alias("g"))
+    totals = sg.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    cg = shingle_sets(corpus, id_col, text_col, n, "word").select(
+        F.explode("sh").alias("g")
+    )
+    hits = (
+        cg.join(sg, "g")
+        .groupBy("id")
+        .agg(F.count_distinct("g").cast("long").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_grams").cast("double"),
+                4,
+            ).alias("overlap_ratio"),
+        )
+        .orderBy("id")
+    )
+
+
+def duck_memorization_scores_sql(
+    samples_sql: str, corpus_sql: str, n: int = 13
+) -> str:
+    """DuckDB twin of memorization_scores; both inputs yield
+    (id, text)."""
+    grams = duck_word_grams("text", n)
+    return f"""
+        WITH mm_sg AS (
+            SELECT id, unnest({grams}) AS g FROM ({samples_sql}) s0),
+        mm_tot AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM mm_sg GROUP BY id),
+        mm_cg AS (
+            SELECT unnest({grams}) AS g FROM ({corpus_sql}) c0),
+        mm_hit AS (
+            SELECT id, CAST(COUNT(DISTINCT mm_sg.g) AS BIGINT) AS n_hit
+            FROM mm_cg JOIN mm_sg USING (g) GROUP BY id)
+        SELECT t.id, t.n_grams,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                     / CAST(t.n_grams AS DOUBLE), 4) AS overlap_ratio
+        FROM mm_tot t LEFT JOIN mm_hit h ON t.id = h.id
+        ORDER BY t.id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level line dedup (CCNet-style boilerplate line removal)
 # ---------------------------------------------------------------------------

@@ -737,3 +737,86 @@ def duck_curriculum_keys_sql(
                        {ho} AS _ord
                 FROM ({corpus_sql}) c0) s)
     """
+
+
+def duplicate_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    groups: DataFrame | None = None,
+) -> DataFrame:
+    """Soft dedup (He et al. 2024, "SoftDedup: an Efficient Data
+    Reweighting Method for Speeding Up Language Model Pre-training"):
+    instead of DROPPING duplicates, keep every copy and down-weight it
+    by its commonness — weight = 1 / (number of copies of the same
+    content) — so the training loss sees each distinct content with
+    total mass 1 while the loader keeps its natural sharding. The
+    companion to the hard exact/near-dup gates for corpora where
+    deletion is too blunt (high-quality boilerplate, templated code).
+
+    Default grouping is exact content (md5 of ``text_col`` — the
+    exact_dedup_groups key). Pass ``groups`` (id, group_id) — e.g.
+    near_dup_clusters' (id, cluster_id) — to weight by NEAR-dup family
+    size instead; ids absent from ``groups`` are singletons (weight 1).
+
+    Returns ``df`` + (n_dup, weight), weight ROUND 6 so both engines
+    agree on the 1/3-style repeating quotients. Scale shape: one
+    map-side-combined hash count on the group key + one equi-join of
+    the (distinct-content-sized) count table back — or, with
+    ``groups``, a window-free count over the broadcast-able label
+    table; no Python, no all-pairs anything."""
+    if groups is None:
+        counts = df.groupBy(F.md5(F.col(text_col)).alias("_k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup")
+        )
+        return (
+            df.withColumn("_k", F.md5(F.col(text_col)))
+            .join(counts, "_k")
+            .drop("_k")
+            .withColumn(
+                "weight", F.round(F.lit(1.0) / F.col("n_dup").cast("double"), 6)
+            )
+        )
+    g = groups.select(
+        F.col(groups.columns[0]).alias(id_col),
+        F.col(groups.columns[1]).alias("_g"),
+    )
+    sizes = g.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    labeled = df.join(g, id_col, "left").join(sizes, "_g", "left")
+    return (
+        labeled.withColumn("n_dup", F.coalesce(F.col("_n"), F.lit(1).cast("long")))
+        .drop("_g", "_n")
+        .withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("n_dup").cast("double"), 6)
+        )
+    )
+
+
+def duck_duplicate_weights_sql(
+    corpus_sql: str, id_col: str, text_col: str, groups_sql: str | None = None
+) -> str:
+    """DuckDB twin of duplicate_weights (same md5 / group-size key,
+    same ROUND 6 reciprocal)."""
+    if groups_sql is None:
+        return f"""
+            WITH dw_c AS (
+                SELECT md5({text_col}) AS k, CAST(COUNT(*) AS BIGINT) AS n_dup
+                FROM ({corpus_sql}) c0 GROUP BY md5({text_col}))
+            SELECT c.*, d.n_dup,
+                   ROUND(1.0 / CAST(d.n_dup AS DOUBLE), 6) AS weight
+            FROM ({corpus_sql}) c JOIN dw_c d ON md5(c.{text_col}) = d.k
+            ORDER BY c.{id_col}
+        """
+    # groups_sql must yield columns named (id, group_id) — the twin
+    # analog of the Spark side's first-two-columns contract
+    return f"""
+        WITH dw_s AS (
+            SELECT id,
+                   CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n
+            FROM ({groups_sql}) g0)
+        SELECT c.*, CAST(COALESCE(s.n, 1) AS BIGINT) AS n_dup,
+               ROUND(1.0 / CAST(COALESCE(s.n, 1) AS DOUBLE), 6) AS weight
+        FROM ({corpus_sql}) c
+        LEFT JOIN dw_s s ON c.{id_col} = s.id
+        ORDER BY c.{id_col}
+    """

@@ -268,3 +268,79 @@ def pd_count():
     from pyspark.sql import functions as F
 
     return F.count(F.lit(1))
+
+
+# --- duplicate_weights (soft dedup reweighting) -----------------------------
+DW_ROWS = [
+    (1, "the same text", "web"),
+    (2, "the same text", "web"),
+    (3, "the same text", "wiki"),
+    (4, "another text", "web"),
+    (5, "unique text", "books"),
+]
+
+
+def _dw_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DW_ROWS, columns=["id", "text", "source"]),
+        "id long, text string, source string",
+    )
+
+
+def test_duplicate_weights_exact_content(spark):
+    got = {
+        r.id: (r.n_dup, r.weight)
+        for r in sampling.duplicate_weights(_dw_df(spark), "id", "text").collect()
+    }
+    assert got[1] == (3, 0.333333) and got[2] == (3, 0.333333)
+    assert got[3] == (3, 0.333333)
+    assert got[4] == (1, 1.0) and got[5] == (1, 1.0)
+    # total training mass per distinct content is ~1
+    assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-4
+
+
+def test_duplicate_weights_near_dup_groups(spark):
+    # near-dup family {1,2,4} from a cluster table; 3 missing -> singleton
+    groups = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 10), (2, 10), (4, 10), (5, 50)], columns=["id", "cluster_id"]
+        ),
+        "id long, cluster_id long",
+    )
+    got = {
+        r.id: (r.n_dup, r.weight)
+        for r in sampling.duplicate_weights(
+            _dw_df(spark), "id", "text", groups=groups
+        ).collect()
+    }
+    assert got[1] == (3, 0.333333) and got[4] == (3, 0.333333)
+    assert got[3] == (1, 1.0)  # absent from groups: singleton
+    assert got[5] == (1, 1.0)
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_duplicate_weights_twin_bit_identical(spark, grouped):
+    con = duckdb.connect()
+    con.register("dw", pd.DataFrame(DW_ROWS, columns=["id", "text", "source"]))
+    gpdf = pd.DataFrame(
+        [(1, 10), (2, 10), (4, 10), (5, 50)], columns=["id", "group_id"]
+    )
+    con.register("dwg", gpdf)
+    if grouped:
+        groups = spark.createDataFrame(gpdf, "id long, group_id long")
+        got = sampling.duplicate_weights(
+            _dw_df(spark), "id", "text", groups=groups
+        )
+        sql = sampling.duck_duplicate_weights_sql(
+            "SELECT * FROM dw", "id", "text", "SELECT * FROM dwg"
+        )
+    else:
+        got = sampling.duplicate_weights(_dw_df(spark), "id", "text")
+        sql = sampling.duck_duplicate_weights_sql("SELECT * FROM dw", "id", "text")
+    got_rows = [
+        tuple(r)
+        for r in got.select("id", "text", "source", "n_dup", "weight")
+        .orderBy("id")
+        .collect()
+    ]
+    assert got_rows == con.sql(sql).fetchall()

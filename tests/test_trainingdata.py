@@ -1950,3 +1950,43 @@ def test_containment_cap_never_inflates(spark):
     # sanity: without the boilerplate docs the cap never binds and the
     # SAME X/Y pair is genuinely absent too (C = 2/4 < 0.8)
     assert containment_pairs(df.where("id <= 2"), k=1, threshold=0.8).count() == 0
+
+
+# --- memorization_scores (generation-vs-corpus n-gram overlap) --------------
+def test_memorization_scores_semantics_and_twin(spark):
+    import duckdb
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z")], "id long, text string"
+    )
+    samples = spark.createDataFrame(
+        [
+            (10, "a b c"),        # grams {a b, b c}: both in corpus -> 1.0
+            (11, "c d q r"),      # {c d, d q, q r}: 1/3
+            (12, "new words only"),  # 0/2
+            (13, "hello"),        # sub-n doc: whole text is the one gram, 0/1
+            (14, "x y z"),        # {x y, y z}: 2/2
+        ],
+        "id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in dedup.memorization_scores(samples, corpus, "id", "text", n=2)
+        .collect()
+    ]
+    assert got == [
+        (10, 2, 2, 1.0),
+        (11, 3, 1, 0.3333),
+        (12, 2, 0, 0.0),
+        (13, 1, 0, 0.0),
+        (14, 2, 2, 1.0),
+    ]
+    con = duckdb.connect()
+    con.register("mc", corpus.toPandas())
+    con.register("ms", samples.toPandas())
+    want = con.sql(
+        dedup.duck_memorization_scores_sql(
+            "SELECT * FROM ms", "SELECT * FROM mc", n=2
+        )
+    ).fetchall()
+    assert got == want
