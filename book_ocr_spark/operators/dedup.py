@@ -1121,7 +1121,9 @@ def containment_pairs_prefix(
 ) -> DataFrame:
     """The SCALE path for containment_pairs: prefix-filtered candidate
     generation (the PPJoin/AllPairs family rule, Xiao et al. 2008),
-    output-identical to the plain operator (pinned in tests).
+    output-identical to the plain operator when ``stop_shingle_df`` is
+    None (pinned in tests). UNDER a cap the two deliberately diverge
+    — see the cap note at the end.
 
     Pigeonhole: C(A→B) ≥ τ needs |A∩B| ≥ ⌈τ·|A|⌉, so if B misses ALL
     of p = |A| − ⌈τ·|A|⌉ + 1 designated shingles of A the pair cannot
@@ -1137,10 +1139,14 @@ def containment_pairs_prefix(
 
     Verify stays exact: candidate (A, B) pairs re-count their full
     intersection through the postings table (two semi-joins), so the
-    prefix only prunes, never decides. ``stop_shingle_df`` caps the
-    CONTAINER-side probe postings like containment_pairs (same
-    lossy-conservative semantics); prefix keys are never capped —
-    dropping them would break the pigeonhole guarantee."""
+    prefix only prunes, never decides. Cap note: ``stop_shingle_df``
+    here caps only CANDIDATE GENERATION's container-side probe (the
+    prefix keys are never capped — dropping them would break the
+    pigeonhole guarantee), while the verify still counts over FULL
+    postings — so under a cap shared counts stay EXACT and pairs the
+    capped plain operator undercounts or suppresses are still emitted
+    (strictly closer to the uncapped truth; the divergence is pinned
+    in tests). Swap the two operators freely only with the cap off."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     posts = shingle_postings(corpus, id_col, text_col, k, unit)

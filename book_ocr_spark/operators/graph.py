@@ -47,6 +47,22 @@ from pyspark.sql import functions as F
 RANK_DECIMALS = 9
 DEFAULT_DAMPING = 0.85
 DEFAULT_ITERATIONS = 10
+# 9dp resolution bound: ranks live near 1/N, so past ~1e8 nodes the
+# per-iteration rounding erodes them (and at N > 2e9 the init itself
+# rounds to 0.0 — all-zero ranks / NaN HITS norms). The operators
+# raise rather than silently degrade; shard the graph (host-level
+# rank per crawl segment is also the statistically useful grain) or
+# raise RANK_DECIMALS consistently with every twin.
+MAX_NODES_AT_9DP = 100_000_000
+
+
+def _check_rank_resolution(n: int, op: str) -> None:
+    if n > MAX_NODES_AT_9DP:
+        raise ValueError(
+            f"{op}: {n} nodes exceeds the {RANK_DECIMALS}dp rank "
+            f"resolution bound ({MAX_NODES_AT_9DP}); shard the graph "
+            "or raise RANK_DECIMALS (twins included)"
+        )
 
 
 def graph_nodes(edges: DataFrame) -> DataFrame:
@@ -113,6 +129,7 @@ def pagerank(
         edges_deg.unpersist()
         nodes.unpersist()
         return empty
+    _check_rank_resolution(n, "pagerank")
 
     # dangling nodes = never a src (appear only as dst)
     dangling = nodes.join(
@@ -317,6 +334,8 @@ def trustrank(
         nodes.join(F.broadcast(seeds.select("node").distinct()), "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_nodes = nodes.count()
+    _check_rank_resolution(n_nodes, "trustrank")
     n_seeds = seed_nodes.count()  # one up-front action (= pagerank's count)
     if n_seeds == 0:
         edges_deg.unpersist()
@@ -495,6 +514,7 @@ def hits(
         dedup_edges.unpersist()
         nodes.unpersist()
         raise ValueError("hits needs a non-empty edge table")
+    _check_rank_resolution(n, "hits")
 
     init = F.round(F.lit(1.0 / n), RANK_DECIMALS)
     auth = nodes.select("node", init.alias("authority"))

@@ -112,9 +112,13 @@ def gram_moments(
 
 
 def duck_gram_moments_sql(src_sql: str, vec_col: str = "embedding") -> str:
-    """DuckDB twin of gram_moments — same per-vector micro-rounded
-    integer contributions (ROUND is half-away in both engines), same
-    BIGINT sums, bit-identical cells."""
+    """DuckDB twin of gram_moments — the per-vector micro-rounding is
+    replicated as the numpy side's EXACT expression tree
+    (floor((x·y)·SCALE + 0.5) / ceil(−0.5 side), same association
+    order), not an engine ROUND(): ROUND half-away and floor(v+0.5)
+    disagree 1 ulp below a .5 boundary, and (SCALE·x)·y rounds
+    differently than (x·y)·SCALE — either would break the
+    bit-identical-cells contract intermittently. Same BIGINT sums."""
     return f"""
         WITH gm_vecs AS (
             -- rid: duplicate vectors must not cross-match in the
@@ -130,15 +134,21 @@ def duck_gram_moments_sql(src_sql: str, vec_col: str = "embedding") -> str:
                      AS t(u)),
         gm_gram AS (
             SELECT a.i AS i, b.i AS j,
-                   CAST(SUM(CAST(ROUND({SCALE} * a.x * b.x)
+                   CAST(SUM(CAST(
+                       CASE WHEN (a.x * b.x) >= 0
+                            THEN FLOOR((a.x * b.x) * {SCALE} + 0.5)
+                            ELSE CEIL((a.x * b.x) * {SCALE} - 0.5) END
                        AS BIGINT)) AS BIGINT) AS s
             FROM gm_elems a JOIN gm_elems b
               ON a.rid = b.rid AND a.i <= b.i
             GROUP BY a.i, b.i),
         gm_mean AS (
             SELECT i, CAST(-1 AS INT) AS j,
-                   CAST(SUM(CAST(ROUND({SCALE} * x) AS BIGINT))
-                       AS BIGINT) AS s
+                   CAST(SUM(CAST(
+                       CASE WHEN x >= 0
+                            THEN FLOOR(x * {SCALE} + 0.5)
+                            ELSE CEIL(x * {SCALE} - 0.5) END
+                       AS BIGINT)) AS BIGINT) AS s
             FROM gm_elems GROUP BY i),
         gm_n AS (
             SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,

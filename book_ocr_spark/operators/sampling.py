@@ -665,9 +665,10 @@ def curriculum_keys(
     ``bucket`` counts the FIXED ``cuts`` at or below the score
     (score in [c_i, c_{i+1}) -> i+1; below c_1 -> 0), so with
     ascending cuts and higher-score-is-harder, easy rows come first;
-    ``easy_first=False`` flips the tier order (anti-curriculum).
-    A NULL score lands in the final tier — unknown difficulty trains
-    last; filter beforehand to drop instead. Cut points are CALLER
+    ``easy_first=False`` flips the tier order of SCORED rows
+    (anti-curriculum). A NULL score lands in the final tier under
+    BOTH orders — unknown difficulty trains last, it never silently
+    leads the epoch; filter beforehand to drop instead. Cut points are CALLER
     inputs, not computed here: derive them from a prior profiling
     pass (operators.sketches.eh_quantiles or percentile_approx), so
     bucketing stays a pure projection. ``seq`` is the dense rank by
@@ -690,12 +691,13 @@ def curriculum_keys(
         )
     k = len(cuts)
     arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts) + ")"
-    tier = (
-        f"CASE WHEN {score_col} IS NULL THEN {k} ELSE "
-        f"size(filter({arr}, c -> c <= CAST({score_col} AS DOUBLE))) END"
-    )
+    scored = f"size(filter({arr}, c -> c <= CAST({score_col} AS DOUBLE)))"
     if not easy_first:
-        tier = f"({k} - ({tier}))"
+        # flip SCORED tiers only: the NULL tier must stay last under
+        # both orders (a blanket k-tier flip would put unknown
+        # difficulty at the very front of the epoch)
+        scored = f"({k} - ({scored}))"
+    tier = f"CASE WHEN {score_col} IS NULL THEN {k} ELSE {scored} END"
     h_order = F.expr(spark_h28(f"concat('{salt}:', cast({id_col} as string))"))
     w = Window.partitionBy("bucket").orderBy(F.col("_ord"), F.col(id_col))
     return (
@@ -718,12 +720,11 @@ def duck_curriculum_keys_sql(
     cuts = _curr_validate(cuts)
     k = len(cuts)
     arr = "[" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts) + "]"
-    tier = (
-        f"CASE WHEN {score_expr} IS NULL THEN {k} ELSE "
-        f"len(list_filter({arr}, c -> c <= CAST({score_expr} AS DOUBLE))) END"
-    )
+    scored = f"len(list_filter({arr}, c -> c <= CAST({score_expr} AS DOUBLE)))"
     if not easy_first:
-        tier = f"({k} - ({tier}))"
+        # scored tiers flip; the NULL tier stays last (see the Spark side)
+        scored = f"({k} - ({scored}))"
+    tier = f"CASE WHEN {score_expr} IS NULL THEN {k} ELSE {scored} END"
     ho = duck_h28(f"('{salt}:' || CAST({id_expr} AS VARCHAR))")
     return f"""
         SELECT * EXCLUDE (_ord) FROM (

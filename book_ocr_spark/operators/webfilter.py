@@ -237,9 +237,14 @@ def link_graph(
 # subset (regexp + list HOFs) so the twin replays bit-for-bit.
 
 # tracking params stripped by the canonicalizer (lowercased name match)
+# bare `ref` is deliberately NOT here despite being a common referral
+# tag: it is also a content-SELECTING param on plenty of real APIs
+# (?ref=<branch> on git hosting), and the canonical_url contract is
+# conservative — never collapse two URLs that may name different
+# resources. ref_src (Twitter's referral source) is tracking-only.
 TRACKING_PARAM_RE = (
     r"^(utm_[a-z0-9_]*|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid"
-    r"|yclid|s_kwcid|ref|ref_src|spm|_hsenc|_hsmi)$"
+    r"|yclid|s_kwcid|ref_src|spm|_hsenc|_hsmi)$"
 )
 # scheme (group 1) — ASCII letters either case; RFC 3986 schemes
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -447,6 +452,11 @@ def robots_rules(robots: DataFrame) -> DataFrame:
     - ``Allow`` / ``Disallow`` values are path patterns; an EMPTY
       Disallow value ("Disallow:") means "no restriction" and is
       dropped at parse (it can never be the longest match);
+    - a group with NO surviving rules still EXISTS (the whitelist
+      idiom ``User-agent: goodbot`` + ``Disallow:`` — RFC 9309 allows
+      everything for that agent rather than falling through to the
+      ``*`` group): it is emitted as one (host, agent, NULL, NULL)
+      row so group selection downstream can see it;
     - agent product tokens are lowercased (matching is
       case-insensitive); paths keep their case (path matching is
       case-sensitive);
@@ -508,11 +518,21 @@ def robots_rules(robots: DataFrame) -> DataFrame:
         )
         .where(F.col("path") != "")
     )
+    # LEFT join: a rule-less group keeps its agents as (NULL, NULL)
+    # rows — dropping them would make the whitelist idiom invisible
+    # to robots_decisions' group selection. NULLS LAST explicitly
+    # (Spark's asc defaults nulls-first, DuckDB's nulls-last — the
+    # twin compare needs one convention).
     return (
-        agents.join(rules, ["host", "group_id"])
+        agents.join(rules, ["host", "group_id"], "left")
         .select("host", "agent", "rule", "path")
         .distinct()
-        .orderBy("host", "agent", "rule", "path")
+        .orderBy(
+            "host",
+            "agent",
+            F.asc_nulls_last("rule"),
+            F.asc_nulls_last("path"),
+        )
     )
 
 
@@ -543,7 +563,10 @@ def robots_decisions(
 
     - the applicable group per host is the ``user_agent``'s own (
       case-insensitive token match) if one exists, else ``*``; a host
-      with no robots rows allows everything;
+      with no robots rows allows everything; a RULE-LESS group for
+      the agent (robots_rules' (host, agent, NULL, NULL) whitelist
+      row) selects the agent's group and allows everything — the NULL
+      pattern can never match, so no ``*`` fallback applies;
     - among applicable rules whose pattern matches the URL's path
       (+query), the LONGEST path (most octets) wins; equal lengths →
       Allow wins; no match → allowed;
@@ -627,13 +650,22 @@ def filter_robots(
 ) -> DataFrame:
     """Keep only documents whose URL robots.txt allows for
     ``user_agent``: :func:`robots_rules` → :func:`robots_decisions` →
-    semi-join on the allowed set. Schema preserved."""
+    semi-join on the allowed set. Schema preserved. Documents with a
+    NULL url pass through untouched — the filter_urls convention
+    (robots compliance is a statement about URLs; a missing URL is
+    the URL GATE's decision to make, and an equi-semi-join silently
+    dropping NULLs would turn this flag into undocumented data
+    loss)."""
     dec = robots_decisions(
-        docs.select(url_col), robots_rules(robots), user_agent, url_col
+        docs.where(F.col(url_col).isNotNull()).select(url_col),
+        robots_rules(robots),
+        user_agent,
+        url_col,
     )
-    return docs.join(
+    kept = docs.join(
         dec.where(F.col("allowed")).select(url_col), url_col, "left_semi"
     )
+    return docs.where(F.col(url_col).isNull()).unionByName(kept)
 
 
 def duck_robots_rules_sql(robots_sql: str) -> str:
@@ -677,9 +709,9 @@ def duck_robots_rules_sql(robots_sql: str) -> str:
             WHERE NOT is_ua AND group_id > 0 AND value <> '')
         SELECT DISTINCT a.host, a.agent, r.rule, r.path
         FROM rb_agents a
-        JOIN rb_rules r
+        LEFT JOIN rb_rules r
           ON a.host = r.host AND a.group_id = r.group_id
-        ORDER BY a.host, a.agent, r.rule, r.path
+        ORDER BY a.host, a.agent, r.rule NULLS LAST, r.path NULLS LAST
     """
 
 

@@ -69,9 +69,15 @@ def test_rules_parse_and_twin(spark):
     # the two-agent group shares all three rules
     assert ("site.example", "goodbot", "disallow", "/private/") in got
     assert ("site.example", "otherbot", "allow", "/private/ok*") in got
-    # preamble rule and empty Disallow dropped
+    # preamble rule and empty Disallow dropped — but the group itself
+    # SURVIVES as a (host, agent, NULL, NULL) whitelist row (RFC 9309:
+    # a rule-less group allows everything; dropping it would fall
+    # back to * for agents the site explicitly whitelisted)
     assert not any(p == "/orphan" for (_, _, _, p) in got)
-    assert not any(h == "open.example" for (h, _, _, _) in got)
+    assert ("open.example", "*", None, None) in got
+    assert [t for t in got if t[0] == "open.example"] == [
+        ("open.example", "*", None, None)
+    ]
     con = _con()
     want = [
         tuple(r)
@@ -169,3 +175,52 @@ def test_validation(spark):
         wf.robots_decisions(_urls(spark), _rules(spark), "")
     with pytest.raises(ValueError, match="user_agent"):
         wf.duck_robots_decisions_sql("SELECT 1", "SELECT 1", "")
+
+
+def test_whitelisted_agent_rule_less_group(spark):
+    """RFC 9309 whitelist idiom: 'User-agent: goodbot / Disallow:'
+    means goodbot may fetch EVERYTHING — the rule-less group selects
+    goodbot's own (empty) rule set, it must NOT fall through to the
+    * group's Disallow /."""
+    body = "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    robots = spark.createDataFrame(
+        [("wl.example", body)], "host string, body string"
+    )
+    urls = spark.createDataFrame(
+        [("https://wl.example/deep/page.html",)], "url string"
+    )
+    rules = wf.robots_rules(robots)
+    good = wf.robots_decisions(urls, rules, "goodbot").collect()[0]
+    assert (good.allowed, good.rule, good.path) == (True, None, None)
+    other = wf.robots_decisions(urls, rules, "randombot").collect()[0]
+    assert other.allowed is False  # * group still blocks everyone else
+    # twin agrees on both agents
+    con = duckdb.connect()
+    con.register("rb2", pd.DataFrame([("wl.example", body)],
+                                     columns=["host", "body"]))
+    con.register("u2", pd.DataFrame({"url": ["https://wl.example/deep/page.html"]}))
+    for agent, want_allowed in (("goodbot", True), ("randombot", False)):
+        got = [
+            tuple(r)
+            for r in wf.robots_decisions(urls, rules, agent).collect()
+        ]
+        want = con.sql(
+            wf.duck_robots_decisions_sql(
+                "SELECT url FROM u2",
+                wf.duck_robots_rules_sql("SELECT host, body FROM rb2"),
+                agent,
+            )
+        ).fetchall()
+        assert got == want and got[0][1] is want_allowed
+
+
+def test_filter_robots_null_url_passthrough(spark):
+    """A NULL url must pass through filter_robots untouched (the
+    filter_urls convention) — not vanish in the equi-semi-join."""
+    docs = spark.createDataFrame(
+        [("https://site.example/other", "a"), (None, "no-url")],
+        "url string, text string",
+    )
+    robots = spark.createDataFrame(ROBOTS, "host string, body string")
+    kept = {r.text for r in wf.filter_robots(docs, robots, "goodbot").collect()}
+    assert kept == {"a", "no-url"}

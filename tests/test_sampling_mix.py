@@ -172,12 +172,21 @@ def test_curriculum_keys_semantics(spark):
         by_tier.setdefault(r.bucket, []).append(r.seq)
     for t, seqs in by_tier.items():
         assert sorted(seqs) == list(range(len(seqs))), t
-    # anti-curriculum flips tiers, keeps the within-tier order
+    # anti-curriculum flips SCORED tiers; NULL difficulty stays in
+    # the FINAL tier under both orders (it must never lead the epoch)
     flipped = {r.id: r for r in sampling.curriculum_keys(
         df, "id", "score", CURR_CUTS, easy_first=False).collect()}
-    for i in got:
-        assert flipped[i].bucket == 2 - got[i].bucket, i
-        assert flipped[i].seq == got[i].seq, i
+    for i, s in CURR_ROWS:
+        if s is None:
+            assert flipped[i].bucket == 2, i
+        else:
+            assert flipped[i].bucket == 2 - got[i].bucket, i
+    # seq stays a dense 0-based permutation of each flipped tier
+    by_tier_f = {}
+    for r in flipped.values():
+        by_tier_f.setdefault(r.bucket, []).append(r.seq)
+    for t, seqs in by_tier_f.items():
+        assert sorted(seqs) == list(range(len(seqs))), t
     # a new salt is a new within-tier permutation of the same tiers
     resalt = {r.id: r for r in sampling.curriculum_keys(
         df, "id", "score", CURR_CUTS, salt="curr2").collect()}
