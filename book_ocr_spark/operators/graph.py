@@ -75,6 +75,51 @@ def graph_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def _prepared_graph(edges: DataFrame):
+    """The shared power-iteration prep of pagerank/trustrank:
+    (edges_deg, nodes, dangling), each persisted MEMORY_AND_DISK —
+    the CALLER owns the unpersist. Edges dedup'd (one link, one
+    vote); outdegree rides along with the edges so the per-iteration
+    join is a single equi-join on src; dangling = never-a-src."""
+    from pyspark import StorageLevel
+
+    dedup_edges = edges.select("src", "dst").distinct()
+    out_deg = dedup_edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    edges_deg = (
+        dedup_edges.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return edges_deg, nodes, dangling
+
+
+def _contribs(edges_deg: DataFrame, ranks: DataFrame, col: str) -> DataFrame:
+    """(node, contrib): Σ over in-links of rank/outdeg — one equi-join
+    + one map-side-combined hash agg, shared by both rank loops."""
+    return (
+        edges_deg.join(ranks, edges_deg.src == ranks.node)
+        .select(
+            F.col("dst").alias("node"),
+            (F.col(col) / F.col("outdeg")).alias("share"),
+        )
+        .groupBy("node")
+        .agg(F.sum("share").alias("contrib"))
+    )
+
+
+def _dangling_mass(dangling: DataFrame, ranks: DataFrame, col: str):
+    """Broadcast 1-row dangling-mass scalar — keeps the loops free of
+    driver actions (vs collect()ing the sum)."""
+    return F.broadcast(
+        dangling.join(ranks, "node")
+        .agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("dmass"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = DEFAULT_DAMPING,
@@ -107,19 +152,7 @@ def pagerank(
         raise ValueError("pagerank needs at least 1 iteration")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0,1), got {damping}")
-    from pyspark import StorageLevel
-
-    dedup_edges = edges.select("src", "dst").distinct()
-    out_deg = dedup_edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
-    )
-    # outdegree rides along with the edges so the per-iteration join
-    # is a single equi-join on src, not two
-    edges_deg = (
-        dedup_edges.join(out_deg, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    edges_deg, nodes, dangling = _prepared_graph(edges)
     n = nodes.count()  # one up-front action; N is a plan constant below
     if n == 0:
         # empty graph: empty result with the contract schema
@@ -128,13 +161,9 @@ def pagerank(
         ).localCheckpoint(eager=True)
         edges_deg.unpersist()
         nodes.unpersist()
+        dangling.unpersist()
         return empty
     _check_rank_resolution(n, "pagerank")
-
-    # dangling nodes = never a src (appear only as dst)
-    dangling = nodes.join(
-        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n), RANK_DECIMALS).alias("rank")
@@ -142,21 +171,8 @@ def pagerank(
     teleport = (1.0 - damping) / n
     try:
         for _ in range(iterations):
-            contribs = (
-                edges_deg.join(ranks, edges_deg.src == ranks.node)
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("outdeg")).alias("share"),
-                )
-                .groupBy("node")
-                .agg(F.sum("share").alias("contrib"))
-            )
-            # 1-row dangling-mass scalar, broadcast — keeps the loop
-            # free of driver actions (vs collect()ing the sum)
-            dmass = F.broadcast(
-                dangling.join(ranks, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-            )
+            contribs = _contribs(edges_deg, ranks, "rank")
+            dmass = _dangling_mass(dangling, ranks, "rank")
             ranks = (
                 nodes.join(contribs, "node", "left")
                 .crossJoin(dmass)
@@ -322,14 +338,7 @@ def trustrank(
         raise ValueError(f"damping must be in (0,1), got {damping}")
     from pyspark import StorageLevel
 
-    dedup_edges = edges.select("src", "dst").distinct()
-    out_deg = dedup_edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
-    )
-    edges_deg = (
-        dedup_edges.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    edges_deg, nodes, dangling = _prepared_graph(edges)
     seed_nodes = (
         nodes.join(F.broadcast(seeds.select("node").distinct()), "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -340,6 +349,7 @@ def trustrank(
     if n_seeds == 0:
         edges_deg.unpersist()
         nodes.unpersist()
+        dangling.unpersist()
         seed_nodes.unpersist()
         raise ValueError(
             "trustrank needs at least one seed inside the graph's node set"
@@ -354,28 +364,13 @@ def trustrank(
         .select("node", F.coalesce("_s", F.lit(0.0)).alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dangling = nodes.join(
-        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
     ranks = sv.select(
         "node", F.round(F.col("s"), RANK_DECIMALS).alias("trust")
     ).localCheckpoint(eager=True)
     try:
         for _ in range(iterations):
-            contribs = (
-                edges_deg.join(ranks, edges_deg.src == ranks.node)
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("trust") / F.col("outdeg")).alias("share"),
-                )
-                .groupBy("node")
-                .agg(F.sum("share").alias("contrib"))
-            )
-            dmass = F.broadcast(
-                dangling.join(ranks, "node")
-                .agg(F.coalesce(F.sum("trust"), F.lit(0.0)).alias("dmass"))
-            )
+            contribs = _contribs(edges_deg, ranks, "trust")
+            dmass = _dangling_mass(dangling, ranks, "trust")
             ranks = (
                 sv.join(contribs, "node", "left")
                 .crossJoin(dmass)
