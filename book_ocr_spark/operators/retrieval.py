@@ -777,3 +777,183 @@ def duck_rrf_fuse_sql(
                 GROUP BY qid, doc_id) rrf_f) rrf_ranked
         {limit}
     """
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap — top-weighted similarity of two ranked runs
+# ---------------------------------------------------------------------------
+RBO_MICRO = 1_000_000_000_000  # 1e-12 resolution on per-doc contributions
+
+
+def _rbo_contribs(p: float, k: int) -> list[float]:
+    """contrib[d0-1] = a shared doc first counted at depth d0's total
+    RBO_ext weight: (1-p)/p · Σ_{d=d0..k} p^d/d  +  p^k/k (the
+    extrapolation term — X_k/k counts every shared doc with d0 ≤ k).
+    Computed ONCE driver-side in plain Python so both engines consume
+    the exact same double literals — no pow() in either engine (libm
+    pow is not bit-portable; the repo rule since turn_returns)."""
+    pw = [1.0]
+    for _ in range(k):
+        pw.append(pw[-1] * p)  # p^d by repeated multiply, deterministic
+    out = []
+    for d0 in range(1, k + 1):
+        tail = sum((1.0 - p) / p * pw[d] / d for d in range(d0, k + 1))
+        out.append(tail + pw[k] / k)
+    return out
+
+
+def _rbo_validate(p: float, k: int) -> None:
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0,1), got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    p: float = 0.9,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), the
+    extrapolated RBO_ext at evaluation depth ``k`` with persistence
+    ``p``, per query → (qid, n_shared, rbo) ordered by qid.
+
+    The top-weighted run-similarity measure: Kendall τ-b needs both
+    runs to rank the SAME items and weights all positions equally;
+    RBO compares indefinite top-k lists (disjoint tails fine) and
+    geometrically discounts depth — exactly the question "did the
+    cheap ANN config retrieve the same top results as brute force"
+    (`ann_lsh_bucket` vs `ann_cosine_topk`) or "did the index rebuild
+    change what users actually see".
+
+    Semantics: rows with rank > k are ignored; ranks must be
+    1-based and distinct per (qid, run) — duplicate ranks raise (a
+    tie would make overlap-at-depth ill-defined; break ties upstream
+    like rrf_fuse does). ``k`` is a FIXED evaluation depth: a run
+    shorter than k is treated as retrieving nothing past its end, so
+    two identical length-ℓ lists score < 1 when ℓ < k (the mass past
+    depth ℓ is unearned) — the conservative fixed-depth reading,
+    pinned in tests; pass k = the run length for the classic
+    identical ⇒ 1.0 reading (Webber et al.'s uneven-list
+    extrapolation, eq. 32, deliberately not implemented — it assumes
+    continued agreement past the shorter list, which for ANN-config
+    comparison credits results that were never retrieved). A doc shared by both prefixes first counts
+    at depth d0 = max(rank_a, rank_b); its total weight
+    Σ_{d≥d0} (1-p)/p·p^d/d + p^k/k is a pure function of d0,
+    precomputed driver-side (``_rbo_contribs``) and summed as exact
+    micro-integers (1e-12 units) so the per-query sum is
+    order-independent and engine-exact; the final rbo is the shared
+    ROUND(micro/1e12, 6) expression. Queries appearing in only one
+    run score 0 with n_shared 0 (a run pair that retrieved disjoint
+    docs IS similarity 0, not a missing row).
+
+    Scale shape: one equi-join on (qid, doc) — both sides ≤ k rows
+    per query, AQE broadcasts the smaller run — one integer lookup
+    via a k-row broadcast contrib table, one map-side-combined hash
+    agg per qid. No windows over the corpus, no explode beyond the
+    k-row contrib attach."""
+    _rbo_validate(p, k)
+    spark = run_a.sparkSession
+    contribs = _rbo_contribs(p, k)
+    micro = [(d0, int(round(c * RBO_MICRO))) for d0, c in enumerate(contribs, 1)]
+    ctab = F.broadcast(
+        spark.createDataFrame(micro, "d0 int, contrib_micro long")
+    )
+
+    def side(run: DataFrame, suffix: str) -> DataFrame:
+        s = run.select(
+            F.col(qid_col).alias("qid"),
+            F.col(doc_col).alias("doc"),
+            F.col(rank_col).cast("int").alias(f"r{suffix}"),
+        ).where(F.col(f"r{suffix}") <= k)
+        return s
+
+    a, b = side(run_a, "a"), side(run_b, "b")
+    for s, rc in ((a, "ra"), (b, "rb")):
+        dup = (
+            s.groupBy("qid", rc)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"rbo: duplicate {rc} rank within a query — ranks must "
+                "be distinct per (qid, run); break ties upstream"
+            )
+    qids = (
+        a.select("qid").unionByName(b.select("qid")).distinct()
+    )
+    shared = (
+        a.join(b, ["qid", "doc"])
+        .withColumn("d0", F.greatest("ra", "rb"))
+        .join(ctab, "d0")
+    )
+    per_q = shared.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.sum("contrib_micro").cast("long").alias("_m"),
+    )
+    return (
+        qids.join(per_q, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.round(
+                F.coalesce("_m", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(RBO_MICRO)),
+                6,
+            ).alias("rbo"),
+        )
+        .orderBy("qid")
+    )
+
+
+def duck_rbo_sql(
+    run_a_sql: str,
+    run_b_sql: str,
+    p: float = 0.9,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin of rbo: the same driver-side contrib literals
+    (VALUES table), same micro-integer sum, same final expression."""
+    _rbo_validate(p, k)
+    contribs = _rbo_contribs(p, k)
+    vals = ", ".join(
+        f"({d0}, {int(round(c * RBO_MICRO))})"
+        for d0, c in enumerate(contribs, 1)
+    )
+    return f"""
+        WITH rbo_c(d0, contrib_micro) AS (VALUES {vals}),
+        rbo_a AS (
+            SELECT {qid_col} AS qid, {doc_col} AS doc,
+                   CAST({rank_col} AS INT) AS ra
+            FROM ({run_a_sql}) ra0 WHERE {rank_col} <= {k}),
+        rbo_b AS (
+            SELECT {qid_col} AS qid, {doc_col} AS doc,
+                   CAST({rank_col} AS INT) AS rb
+            FROM ({run_b_sql}) rb0 WHERE {rank_col} <= {k}),
+        rbo_q AS (
+            SELECT qid FROM rbo_a UNION SELECT qid FROM rbo_b),
+        rbo_s AS (
+            SELECT a.qid, GREATEST(a.ra, b.rb) AS d0
+            FROM rbo_a a JOIN rbo_b b ON a.qid = b.qid AND a.doc = b.doc),
+        rbo_p AS (
+            SELECT s.qid, CAST(COUNT(*) AS BIGINT) AS n_shared,
+                   CAST(SUM(c.contrib_micro) AS BIGINT) AS m
+            FROM rbo_s s JOIN rbo_c c ON s.d0 = c.d0
+            GROUP BY s.qid)
+        SELECT q.qid,
+               CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+               ROUND(CAST(COALESCE(p.m, 0) AS DOUBLE)
+                     / CAST({float(RBO_MICRO)} AS DOUBLE), 6) AS rbo
+        FROM rbo_q q LEFT JOIN rbo_p p ON q.qid = p.qid
+        ORDER BY q.qid
+    """

@@ -495,3 +495,76 @@ def test_rrf_fuse_partition_invariance_and_validation(spark):
         retrieval.rrf_fuse([a], k_rrf=0)
     with pytest.raises(ValueError):
         retrieval.duck_rrf_fuse_sql(["q"], topk=0)
+
+
+# --- rank-biased overlap ----------------------------------------------------
+RBO_A = [("q1", "x", 1), ("q1", "y", 2), ("q1", "z", 3),
+         ("q2", "a", 1), ("q2", "b", 2),
+         ("q3", "m", 1),
+         ("q1", "deep", 9)]  # beyond k=3: ignored
+RBO_B = [("q1", "x", 1), ("q1", "z", 2), ("q1", "w", 3),
+         ("q2", "c", 1), ("q2", "d", 2),  # disjoint from A's q2
+         ("q4", "n", 1)]  # q4 absent from A
+RBO_SCH = "qid string, doc_id string, rank int"
+
+
+def _rdf(spark, rows):
+    return spark.createDataFrame(rows, RBO_SCH)
+
+
+def test_rbo_semantics(spark):
+    got = {
+        r.qid: (r.n_shared, r.rbo)
+        for r in retrieval.rbo(
+            _rdf(spark, RBO_A), _rdf(spark, RBO_B), p=0.9, k=3
+        ).collect()
+    }
+    # hand-computed from the definition (NOT via _rbo_contribs):
+    # X_1=1 (x), X_2=1, X_3=2 (x, z); (1-p)/p Σ p^d X_d/d + p^3 X_3/3
+    pw = [1.0, 0.9, 0.81, 0.729]
+    ext = (1 - 0.9) / 0.9 * (pw[1] * 1 / 1 + pw[2] * 1 / 2 + pw[3] * 2 / 3)
+    want_q1 = round(ext + pw[3] * 2 / 3, 6)
+    assert got["q1"] == (2, want_q1)
+    # disjoint prefixes ARE similarity 0, not a missing row
+    assert got["q2"] == (0, 0.0)
+    # queries present in only one run score 0
+    assert got["q3"] == (0, 0.0) and got["q4"] == (0, 0.0)
+
+
+def test_rbo_identity_and_validation(spark):
+    a = _rdf(spark, RBO_A)
+    got = {r.qid: r.rbo for r in retrieval.rbo(a, a, p=0.9, k=3).collect()}
+    # RBO_ext(run, run) == 1 exactly when the run fills the eval
+    # depth (mass telescopes); shorter runs earn < 1 at fixed depth
+    # (documented conservative reading) and 1.0 at k = their length
+    assert got["q1"] == 1.0
+    assert got["q2"] < 1.0 and got["q3"] < 1.0
+    at_len = {r.qid: r.rbo for r in retrieval.rbo(a, a, p=0.9, k=2).collect()}
+    assert at_len["q2"] == 1.0
+    with pytest.raises(ValueError, match="p must be"):
+        retrieval.rbo(a, a, p=1.0)
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval.duck_rbo_sql("s", "s", k=0)
+    dup = _rdf(spark, RBO_A + [("q1", "dupd", 1)])
+    with pytest.raises(ValueError, match="distinct"):
+        retrieval.rbo(dup, a, p=0.9, k=3)
+
+
+def test_rbo_twin_bit_identical(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("rba", pd.DataFrame(RBO_A, columns=["qid", "doc_id", "rank"]))
+    con.register("rbb", pd.DataFrame(RBO_B, columns=["qid", "doc_id", "rank"]))
+    got = [
+        tuple(r)
+        for r in retrieval.rbo(
+            _rdf(spark, RBO_A), _rdf(spark, RBO_B), p=0.85, k=3
+        ).collect()
+    ]
+    want = con.sql(
+        retrieval.duck_rbo_sql(
+            "SELECT * FROM rba", "SELECT * FROM rbb", p=0.85, k=3
+        )
+    ).fetchall()
+    assert got == want
