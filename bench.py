@@ -249,7 +249,7 @@ def bench_round() -> dict:
 
     spark.stop()
     total = round(sum(timings.values()), 3)
-    return {
+    out = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
@@ -259,6 +259,18 @@ def bench_round() -> dict:
         "turns_per_sec": round(tps, 1),
         "cpus": CPUS,
     }
+    # Ride the latest two-parallelism scaling evidence along (the
+    # north_rule's N->4N criterion): SCALING.json is written by
+    # `python bench.py --scaling` — a SEPARATE measured run, labeled
+    # as such, never synthesized here.
+    spath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(spath):
+        try:
+            with open(spath) as fh:
+                out["scaling"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
+    return out
 
 
 def bench_scaling() -> dict:
@@ -300,8 +312,17 @@ def bench_scaling() -> dict:
             "unit": "ratio",
             f"local{lo}": {"sec": round(t_lo, 3), "turns_per_sec": round(tp_lo, 1)},
             f"local{hi}": {"sec": round(t_hi, 3), "turns_per_sec": round(tp_hi, 1)},
+            "source": "bench.py --scaling",
         }
     )
+    # persist so the per-round bench JSON can carry the latest
+    # measured point (see bench_round)
+    spath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    try:
+        with open(spath, "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass
     return out
 
 
