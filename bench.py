@@ -313,6 +313,11 @@ def bench_scaling() -> dict:
             f"local{lo}": {"sec": round(t_lo, 3), "turns_per_sec": round(tp_lo, 1)},
             f"local{hi}": {"sec": round(t_hi, 3), "turns_per_sec": round(tp_hi, 1)},
             "source": "bench.py --scaling",
+            # staleness marker: the carried block in a later round's
+            # bench JSON is only as fresh as this stamp says
+            "measured_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
         }
     )
     # persist so the per-round bench JSON can carry the latest

@@ -153,23 +153,21 @@ def pagerank(
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0,1), got {damping}")
     edges_deg, nodes, dangling = _prepared_graph(edges)
-    n = nodes.count()  # one up-front action; N is a plan constant below
-    if n == 0:
-        # empty graph: empty result with the contract schema
-        empty = nodes.select(
-            F.col("node"), F.lit(0.0).alias("rank")
-        ).localCheckpoint(eager=True)
-        edges_deg.unpersist()
-        nodes.unpersist()
-        dangling.unpersist()
-        return empty
-    _check_rank_resolution(n, "pagerank")
-
-    ranks = nodes.select(
-        "node", F.round(F.lit(1.0 / n), RANK_DECIMALS).alias("rank")
-    ).localCheckpoint(eager=True)
-    teleport = (1.0 - damping) / n
+    # ONE try/finally from here: the resolution guard (and anything
+    # else that raises) must not leak the persisted prep frames
     try:
+        n = nodes.count()  # one up-front action; N is a plan constant
+        if n == 0:
+            # empty graph: empty result with the contract schema
+            return nodes.select(
+                F.col("node"), F.lit(0.0).alias("rank")
+            ).localCheckpoint(eager=True)
+        _check_rank_resolution(n, "pagerank")
+
+        ranks = nodes.select(
+            "node", F.round(F.lit(1.0 / n), RANK_DECIMALS).alias("rank")
+        ).localCheckpoint(eager=True)
+        teleport = (1.0 - damping) / n
         for _ in range(iterations):
             contribs = _contribs(edges_deg, ranks, "rank")
             dmass = _dangling_mass(dangling, ranks, "rank")
@@ -339,35 +337,37 @@ def trustrank(
     from pyspark import StorageLevel
 
     edges_deg, nodes, dangling = _prepared_graph(edges)
-    seed_nodes = (
-        nodes.join(F.broadcast(seeds.select("node").distinct()), "node")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_nodes = nodes.count()
-    _check_rank_resolution(n_nodes, "trustrank")
-    n_seeds = seed_nodes.count()  # one up-front action (= pagerank's count)
-    if n_seeds == 0:
-        edges_deg.unpersist()
-        nodes.unpersist()
-        dangling.unpersist()
-        seed_nodes.unpersist()
-        raise ValueError(
-            "trustrank needs at least one seed inside the graph's node set"
-        )
-    # seed teleport vector rides as a column of the node frame: s(v)
-    sv = (
-        nodes.join(
-            F.broadcast(seed_nodes.withColumn("_s", F.lit(1.0 / n_seeds))),
-            "node",
-            "left",
-        )
-        .select("node", F.coalesce("_s", F.lit(0.0)).alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ranks = sv.select(
-        "node", F.round(F.col("s"), RANK_DECIMALS).alias("trust")
-    ).localCheckpoint(eager=True)
+    cached = [edges_deg, nodes, dangling]
+    # ONE try/finally over every persisted frame: the resolution
+    # guard and the empty-seed raise must not leak the caches
     try:
+        seed_nodes = (
+            nodes.join(F.broadcast(seeds.select("node").distinct()), "node")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(seed_nodes)
+        n_nodes = nodes.count()
+        _check_rank_resolution(n_nodes, "trustrank")
+        n_seeds = seed_nodes.count()  # one up-front action
+        if n_seeds == 0:
+            raise ValueError(
+                "trustrank needs at least one seed inside the graph's"
+                " node set"
+            )
+        # seed teleport vector rides as a column of the node frame: s(v)
+        sv = (
+            nodes.join(
+                F.broadcast(seed_nodes.withColumn("_s", F.lit(1.0 / n_seeds))),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_s", F.lit(0.0)).alias("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(sv)
+        ranks = sv.select(
+            "node", F.round(F.col("s"), RANK_DECIMALS).alias("trust")
+        ).localCheckpoint(eager=True)
         for _ in range(iterations):
             contribs = _contribs(edges_deg, ranks, "trust")
             dmass = _dangling_mass(dangling, ranks, "trust")
@@ -388,11 +388,8 @@ def trustrank(
                 )
             ).localCheckpoint(eager=True)
     finally:
-        edges_deg.unpersist()
-        nodes.unpersist()
-        seed_nodes.unpersist()
-        sv.unpersist()
-        dangling.unpersist()
+        for frame in cached:
+            frame.unpersist()
     out = ranks.orderBy(F.desc("trust"), F.asc("node"))
     if storage_handle is not None:
         storage_handle.append(ranks)
@@ -505,11 +502,14 @@ def hits(
     )
     nodes = graph_nodes(dedup_edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()  # one up-front action (the pagerank pattern)
-    if n == 0:
+    try:
+        if n == 0:
+            raise ValueError("hits needs a non-empty edge table")
+        _check_rank_resolution(n, "hits")
+    except ValueError:
         dedup_edges.unpersist()
         nodes.unpersist()
-        raise ValueError("hits needs a non-empty edge table")
-    _check_rank_resolution(n, "hits")
+        raise
 
     init = F.round(F.lit(1.0 / n), RANK_DECIMALS)
     auth = nodes.select("node", init.alias("authority"))

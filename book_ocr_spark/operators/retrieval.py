@@ -831,9 +831,15 @@ def rbo(
     change what users actually see".
 
     Semantics: rows with rank > k are ignored; ranks must be
-    1-based and distinct per (qid, run) — duplicate ranks raise (a
-    tie would make overlap-at-depth ill-defined; break ties upstream
-    like rrf_fuse does). ``k`` is a FIXED evaluation depth: a run
+    1-based (rank < 1 raises — the classic 0-based off-by-one would
+    otherwise silently drop or mis-weight docs) and distinct per
+    (qid, run) — duplicate ranks raise (a tie would make
+    overlap-at-depth ill-defined; break ties upstream like rrf_fuse
+    does). A doc listed at several ranks within one run collapses to
+    its BEST (minimum) rank — the rrf_fuse malformed-run rule, so a
+    double-listed doc cannot double-count. Non-integer rank values
+    floor (identical in both engines; integral ranks are the real
+    contract). ``k`` is a FIXED evaluation depth: a run
     shorter than k is treated as retrieving nothing past its end, so
     two identical length-ℓ lists score < 1 when ℓ < k (the mass past
     depth ℓ is unearned) — the conservative fixed-depth reading,
@@ -865,27 +871,47 @@ def rbo(
     )
 
     def side(run: DataFrame, suffix: str) -> DataFrame:
-        s = run.select(
-            F.col(qid_col).alias("qid"),
-            F.col(doc_col).alias("doc"),
-            F.col(rank_col).cast("int").alias(f"r{suffix}"),
-        ).where(F.col(f"r{suffix}") <= k)
-        return s
+        # floor-then-filter so both engines agree on any numeric rank
+        # type; eagerly checkpointed — validation plus the join reuse
+        # the materialized rows instead of re-running the (possibly
+        # expensive ANN) upstream plan per pass
+        return (
+            run.select(
+                F.col(qid_col).alias("qid"),
+                F.col(doc_col).alias("doc"),
+                F.floor(rank_col).cast("int").alias(f"r{suffix}"),
+            )
+            .where(F.col(f"r{suffix}") <= k)
+            .localCheckpoint(eager=True)
+        )
 
     a, b = side(run_a, "a"), side(run_b, "b")
-    for s, rc in ((a, "ra"), (b, "rb")):
-        dup = (
-            s.groupBy("qid", rc)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > 1)
-            .limit(1)
-            .count()
+    # ONE validation job for both runs and both rules (sub-1 ranks,
+    # duplicate ranks within a (qid, run))
+    tagged = a.select(
+        F.lit("run_a").alias("_run"), "qid", F.col("ra").alias("r")
+    ).unionByName(
+        b.select(F.lit("run_b").alias("_run"), "qid", F.col("rb").alias("r"))
+    )
+    viol = (
+        tagged.groupBy("_run", "qid", "r")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("r") < 1) | (F.col("_n") > 1))
+        .limit(1)
+        .collect()
+    )
+    if viol:
+        v = viol[0]
+        problem = "rank < 1 (ranks are 1-based)" if v.r < 1 else (
+            "duplicate rank within a query — ranks must be distinct "
+            "per (qid, run); break ties upstream"
         )
-        if dup:
-            raise ValueError(
-                f"rbo: duplicate {rc} rank within a query — ranks must "
-                "be distinct per (qid, run); break ties upstream"
-            )
+        raise ValueError(f"rbo: {problem} (first hit: {v._run} qid={v.qid})")
+    # a doc listed at several ranks collapses to its best rank — the
+    # rrf_fuse rule; without this the (qid, doc) join fans out and a
+    # double-listed doc inflates the score past 1.0
+    a = a.groupBy("qid", "doc").agg(F.min("ra").alias("ra"))
+    b = b.groupBy("qid", "doc").agg(F.min("rb").alias("rb"))
     qids = (
         a.select("qid").unionByName(b.select("qid")).distinct()
     )
@@ -923,7 +949,10 @@ def duck_rbo_sql(
     rank_col: str = "rank",
 ) -> str:
     """DuckDB twin of rbo: the same driver-side contrib literals
-    (VALUES table), same micro-integer sum, same final expression."""
+    (VALUES table), same floor-cast + min-rank dup-doc collapse, same
+    micro-integer sum and final expression. The Spark side's
+    validation raises on malformed ranks, so twins compare on valid
+    runs (the duck_tree_paths_sql convention)."""
     _rbo_validate(p, k)
     contribs = _rbo_contribs(p, k)
     vals = ", ".join(
@@ -933,13 +962,17 @@ def duck_rbo_sql(
     return f"""
         WITH rbo_c(d0, contrib_micro) AS (VALUES {vals}),
         rbo_a AS (
-            SELECT {qid_col} AS qid, {doc_col} AS doc,
-                   CAST({rank_col} AS INT) AS ra
-            FROM ({run_a_sql}) ra0 WHERE {rank_col} <= {k}),
+            SELECT qid, doc, MIN(ra) AS ra FROM (
+                SELECT {qid_col} AS qid, {doc_col} AS doc,
+                       CAST(FLOOR({rank_col}) AS INT) AS ra
+                FROM ({run_a_sql}) ra0) ra1
+            WHERE ra <= {k} GROUP BY qid, doc),
         rbo_b AS (
-            SELECT {qid_col} AS qid, {doc_col} AS doc,
-                   CAST({rank_col} AS INT) AS rb
-            FROM ({run_b_sql}) rb0 WHERE {rank_col} <= {k}),
+            SELECT qid, doc, MIN(rb) AS rb FROM (
+                SELECT {qid_col} AS qid, {doc_col} AS doc,
+                       CAST(FLOOR({rank_col}) AS INT) AS rb
+                FROM ({run_b_sql}) rb0) rb1
+            WHERE rb <= {k} GROUP BY qid, doc),
         rbo_q AS (
             SELECT qid FROM rbo_a UNION SELECT qid FROM rbo_b),
         rbo_s AS (

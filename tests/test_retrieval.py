@@ -548,6 +548,23 @@ def test_rbo_identity_and_validation(spark):
     dup = _rdf(spark, RBO_A + [("q1", "dupd", 1)])
     with pytest.raises(ValueError, match="distinct"):
         retrieval.rbo(dup, a, p=0.9, k=3)
+    zero = _rdf(spark, [("q1", "x", 0), ("q1", "y", 1)])
+    with pytest.raises(ValueError, match="1-based"):
+        retrieval.rbo(zero, a, p=0.9, k=3)
+
+
+def test_rbo_duplicate_doc_collapses_to_best_rank(spark):
+    # a doc listed at two ranks in one run must count ONCE at its
+    # best rank (the rrf_fuse malformed-run rule) — never fan the
+    # (qid, doc) join out and push rbo past 1.0
+    a = _rdf(spark, [("q1", "x", 1), ("q1", "x", 3), ("q1", "y", 2)])
+    b = _rdf(spark, [("q1", "x", 1), ("q1", "y", 2), ("q1", "z", 3)])
+    r = retrieval.rbo(a, b, p=0.9, k=3).collect()[0]
+    assert r.n_shared == 2 and r.rbo <= 1.0
+    # equals the run with the duplicate row dropped
+    clean = _rdf(spark, [("q1", "x", 1), ("q1", "y", 2)])
+    r2 = retrieval.rbo(clean, b, p=0.9, k=3).collect()[0]
+    assert (r.n_shared, r.rbo) == (r2.n_shared, r2.rbo)
 
 
 def test_rbo_twin_bit_identical(spark):
