@@ -135,13 +135,17 @@ WORD_LEN_LO, WORD_LEN_HI = 2.0, 12.0
 def quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_chars, digit_ratio, mean_word_len, keep, reason):
     the composite quality gate a pretraining pipeline applies before
-    dedup. First failing rule names the reason (deterministic order)."""
-    t = F.col(text_col)
+    dedup. First failing rule names the reason (deterministic order).
+    NULL text counts as empty (reason 'too_short', keep false) — a
+    NULL would otherwise evaluate every rule to NULL, fall through
+    the when-chain to 'ok', and sail past the gate with NULL metrics
+    while the DuckDB twin drops it (cross-engine divergence)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t).cast("double")
     n_words = F.size(F.split(F.trim(t), r"\s+")).cast("double")
-    digit_ratio = F.size(F.expr(f"regexp_extract_all({text_col}, '[0-9]', 0)")) / F.greatest(
-        n_chars, F.lit(1.0)
-    )
+    digit_ratio = F.size(
+        F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '[0-9]', 0)")
+    ) / F.greatest(n_chars, F.lit(1.0))
     mean_wl = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1.0))
     reason = (
         F.when(n_chars < MIN_CHARS, "too_short")
@@ -164,10 +168,10 @@ def duck_quality_flags_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
         WITH m AS (
             SELECT {id_col},
-                   CAST(LENGTH({text_col}) AS DOUBLE) AS n_chars,
-                   CAST(LEN(string_split_regex(TRIM({text_col}), '\\s+')) AS DOUBLE) AS n_words,
-                   LEN(regexp_extract_all({text_col}, '[0-9]', 0))
-                       / GREATEST(CAST(LENGTH({text_col}) AS DOUBLE), 1.0) AS digit_ratio
+                   CAST(LENGTH(COALESCE({text_col}, '')) AS DOUBLE) AS n_chars,
+                   CAST(LEN(string_split_regex(TRIM(COALESCE({text_col}, '')), '\\s+')) AS DOUBLE) AS n_words,
+                   LEN(regexp_extract_all(COALESCE({text_col}, ''), '[0-9]', 0))
+                       / GREATEST(CAST(LENGTH(COALESCE({text_col}, '')) AS DOUBLE), 1.0) AS digit_ratio
             FROM {table}),
         r AS (
             SELECT {id_col}, n_chars, digit_ratio,

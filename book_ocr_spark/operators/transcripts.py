@@ -780,6 +780,14 @@ _JSON_ESC = [
 _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
+def _ctrl_count(c):
+    """C0-control-char count of one escaped field (0 for NULL) — the
+    shared n_ctrl_stripped term of sft_jsonl and dpo_jsonl."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
+    )
+
+
 def _json_esc_col(col: Column) -> Column:
     for pat, rep, _ in _JSON_ESC:
         col = F.regexp_replace(col, F.lit(pat), F.lit(rep))
@@ -860,9 +868,7 @@ def sft_jsonl(
     # count C0 loss across EVERY field the escaper touches — role and
     # tool (and the id when include_id) strip too, and a lossy row
     # must not report 0
-    _cnt1 = lambda c: F.coalesce(  # noqa: E731
-        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
-    )
+    _cnt1 = _ctrl_count
     ctrl = _cnt1(F.col("text")) + _cnt1(F.col("role")) + _cnt1(F.col("tool"))
     items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
     head = (
@@ -989,7 +995,10 @@ def chat_jsonl_violations(
     'bad_json' (unparseable / wrong shape), 'no_messages' (valid JSON,
     messages key missing or null), 'empty_messages' (a messages: []
     line contributes zero turns, so the conversation silently
-    vanishes from the import), and with ``line_id`` also 'no_id' (the
+    vanishes from the import), 'null_line' (the jsonl column itself
+    is NULL — parse_chat_jsonl emits zero turns for it, so dropping
+    it from this report too would let a conversation vanish with the
+    precondition still green), and with ``line_id`` also 'no_id' (the
     line's turns would all import under conv_id NULL). An empty
     result is the lossless-ingest precondition. With ``line_id`` the
     reported key is the line's own "id" (NULL when the JSON is too
@@ -1010,7 +1019,8 @@ def chat_jsonl_violations(
     )
     msgs = F.col("_d.messages")
     reason = (
-        F.when(F.col("_probe").isNull(), F.lit("bad_json"))
+        F.when(F.col("_j").isNull(), F.lit("null_line"))
+        .when(F.col("_probe").isNull(), F.lit("bad_json"))
         .when(msgs.isNull(), F.lit("no_messages"))
         .when(F.size(msgs) == 0, F.lit("empty_messages"))
     )
@@ -1019,8 +1029,7 @@ def chat_jsonl_violations(
             F.col("_d.id").isNull(), F.lit("no_id")
         )
     return (
-        parsed.where(F.col("_j").isNotNull())
-        .select("conv_id", reason.alias("reason"))
+        parsed.select("conv_id", reason.alias("reason"))
         .where(F.col("reason").isNotNull())
     )
 
@@ -1627,9 +1636,15 @@ def _spark_turn_h48() -> str:
     )
 
 
+_DUCK_TURN_MD5 = (
+    "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
+    " || chr(31) || COALESCE(text, chr(1)))"
+)
+# the per-turn digest pre-image is the module's ONE signature
+# contract: H48 is the first-12-hex-digits BIGINT form of the same
+# md5 the jsonl twins consume whole
 _DUCK_TURN_H48 = (
-    "CAST(('0x' || substr(md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
-    " || chr(31) || COALESCE(text, chr(1))), 1, 12)) AS BIGINT)"
+    f"CAST(('0x' || substr({_DUCK_TURN_MD5}, 1, 12)) AS BIGINT)"
 )
 
 
@@ -3142,9 +3157,7 @@ def dpo_jsonl(
     NULL fields render as JSON null; ``n_ctrl_stripped`` counts C0
     control characters removed across all three escaped fields.
     Pure narrow projection — no agg, no shuffle at any scale."""
-    _cnt = lambda c: F.coalesce(  # noqa: E731
-        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
-    )
+    _cnt = _ctrl_count
     parts = [
         F.lit('{"prompt":'),
         _json_str_or_null(F.col(prompt_col)),
@@ -3445,10 +3458,7 @@ def duck_best_of_n_sql(
     same (logit DESC, conv_id ASC) pivot."""
     from book_ocr_spark.operators.classifier import duck_classifier_scores_sql
 
-    th = (
-        "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
-        " || chr(31) || COALESCE(text, chr(1)))"
-    )
+    th = _DUCK_TURN_MD5
     role_pred = "" if role is None else f"AND n.role = '{role}'"
     scores = duck_classifier_scores_sql(
         "SELECT conv_id AS id, resp AS text FROM bn_elig", pos_sql, neg_sql
@@ -3594,10 +3604,7 @@ def duck_majority_vote_sql(
         raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
     if min_candidates < 1:
         raise ValueError("min_candidates must be >= 1")
-    th = (
-        "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
-        " || chr(31) || COALESCE(text, chr(1)))"
-    )
+    th = _DUCK_TURN_MD5
     role_pred = "" if role is None else f"AND n.role = '{role}'"
     return f"""
         WITH mv_pos AS (
@@ -3780,10 +3787,7 @@ def duck_pass_at_k_sql(
     _binom_rows table inlined as VALUES, the same one int->double
     division. ``verdicts_sql`` yields (conv_id, passed)."""
     ks = _pak_validate(depth, ks, max_n)
-    th = (
-        "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
-        " || chr(31) || COALESCE(text, chr(1)))"
-    )
+    th = _DUCK_TURN_MD5
     role_pred = "" if role is None else f"AND n.role = '{role}'"
     kvals = ", ".join(f"({k})" for k in ks)
     bvals = ", ".join(f"({m}, {j}, {b})" for m, j, b in _binom_rows(max_n, ks))

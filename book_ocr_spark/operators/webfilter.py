@@ -309,16 +309,22 @@ def canonical_url(df: DataFrame, url_col: str) -> DataFrame:
 def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     """(*input columns, canonical_url, keep): one keeper per
     canonical URL — the row with the MINIMUM id (same deterministic
-    keeper rule as ``exact_dedup_groups``). One canonicalize
-    projection + one window over the canonical key (hash-partitioned
-    by canonical_url — group sizes are re-fetch counts of one page,
-    so no skew pathology)."""
+    keeper rule as ``exact_dedup_groups``). Rows with a NULL url
+    (canonical_url NULL) are ALL kept: they share no URL, they share
+    the absence of one — grouping them under the NULL window key
+    would mass-drop unrelated documents (the filter_robots NULL
+    convention). One canonicalize projection + one window over the
+    canonical key (hash-partitioned by canonical_url — group sizes
+    are re-fetch counts of one page, so no skew pathology; the NULL
+    rows short-circuit before the window)."""
     from pyspark.sql import Window
 
     canon = canonical_url(df, url_col)
     w = Window.partitionBy("canonical_url")
     return canon.withColumn(
-        "keep", F.col(id_col) == F.min(id_col).over(w)
+        "keep",
+        F.col("canonical_url").isNull()
+        | (F.col(id_col) == F.min(id_col).over(w)),
     )
 
 
@@ -363,10 +369,11 @@ def duck_canonical_url_sql(src_sql: str, url_col: str) -> str:
 
 
 def duck_url_dedup_sql(src_sql: str, id_col: str, url_col: str) -> str:
-    """DuckDB twin of :func:`url_dedup`."""
+    """DuckDB twin of :func:`url_dedup` (same NULL-url keep-all)."""
     return f"""
-        SELECT *, {id_col} = MIN({id_col}) OVER (
-                   PARTITION BY canonical_url) AS keep
+        SELECT *, canonical_url IS NULL
+                  OR {id_col} = MIN({id_col}) OVER (
+                         PARTITION BY canonical_url) AS keep
         FROM ({duck_canonical_url_sql(src_sql, url_col)}) cu
     """
 

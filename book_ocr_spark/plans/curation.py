@@ -828,6 +828,14 @@ def curate_transcripts(
         ).select(F.col("id").alias("conv_id"))
         ex = ex.join(dirty, "conv_id", "left_anti")
         _audit_mark(audit, "decontamination", ex)
+    if semantic_contamination_threshold is not None and benchmark is None:
+        # the sibling half-specified-option rule (lm_corpus /
+        # clf_pos / window_stride): a threshold with no benchmark
+        # must raise, not silently skip the stage the caller believes
+        # ran
+        raise ValueError(
+            "semantic_contamination_threshold requires benchmark"
+        )
     if benchmark is not None and semantic_contamination_threshold is not None:
         # 4c: SEMANTIC decontamination against the same eval table —
         # hashed-TF cosine at example grain catches the PARAPHRASED

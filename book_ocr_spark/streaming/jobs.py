@@ -85,6 +85,41 @@ def _table_dir_has_data(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def _read_cumulative(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    empty_schema,
+    shape=None,
+) -> DataFrame:
+    """Cumulative-state read as of BEFORE this batch — the ONE copy of
+    the first-batch/unreadable classification every incremental job
+    shares (the _run_sketch_tracking rule: a fix here fixes every
+    tracker). read-then-catch instead of a driver-local isdir probe so
+    the table is found on ANY store (HDFS/S3/...); the
+    ``batch_id < current`` filter makes an at-least-once REPLAY see
+    exactly the pre-batch state the first attempt saw — the batch's
+    own (possibly already written) rows never feed back as "existing",
+    keeping the rewrite bit-identical. "First batch, empty state"
+    means: the path does not exist, OR it exists but holds no
+    committed data file (a first write that died pre-commit —
+    re-raising would wedge the stream on the same error every retry).
+    Any read failure over a table WITH data (permissions, corrupt
+    footer, transient store error) re-raises so the engine retries the
+    batch — silently running against empty state would make the miss
+    permanent once this batch's state is appended. ``shape``
+    post-processes the filtered frame (select / agg);
+    ``empty_schema`` is the POST-shape schema."""
+    try:
+        raw = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if not _is_path_missing(exc) and _table_dir_has_data(spark, path):
+            raise
+        return spark.createDataFrame([], empty_schema)
+    cur = raw.filter(F.col("batch_id") < batch_id)
+    return shape(cur) if shape is not None else cur
+
+
 def read_transcript_stream(
     spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -191,7 +226,7 @@ def session_metrics_stream(
 
 STATEFUL_OUT = (
     "conv_id string, turn_idx int, extracted_text string, "
-    "turn_seq int, char_offset long"
+    "turn_seq int, char_offset long, failed boolean"
 )
 STATEFUL_STATE = "seq int, off long, max_idx int"
 
@@ -256,6 +291,10 @@ def stateful_compose_stream(spark: SparkSession, input_path: str):
                 "extracted_text": rec["extracted_text"].to_numpy(),
                 "turn_seq": seqs.astype("int32"),
                 "char_offset": offs.astype("int64"),
+                # the T3 quarantine flag the batch writer keeps: a
+                # failed extraction would otherwise stream out as an
+                # indistinguishable empty-text row
+                "failed": rec["failed"].astype(bool).to_numpy(),
             }
         )
         seq += len(pdf)
@@ -349,33 +388,10 @@ def start_incremental_dedup(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
-            # read-then-catch instead of a driver-local isdir probe so
-            # the cumulative table is found on ANY store (HDFS/S3/...);
-            # batch_id < current makes an at-least-once REPLAY see
-            # exactly the pre-batch state the first attempt saw — the
-            # batch's own (possibly already written) signatures never
-            # feed back as "existing", keeping the rewrite bit-identical
-            try:
-                existing = (
-                    spark.read.parquet(sigs_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .select("id", "sh", "sig")
-                )
-            except AnalysisException as exc:
-                # "First batch, empty corpus" means: the path does not
-                # exist, OR it exists but holds no committed data file
-                # (a first write that died pre-commit — re-raising would
-                # wedge the stream on the same error every retry). Any
-                # read failure over a table WITH data (permissions,
-                # corrupt footer, transient store error) must fail the
-                # batch so the streaming engine retries — silently
-                # deduping against an empty corpus would make the missed
-                # matches permanent once this batch's sigs are appended.
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, sigs_path
-                ):
-                    raise
-                existing = spark.createDataFrame([], sigs.schema)
+            existing = _read_cumulative(
+                spark, sigs_path, batch_id, sigs.schema,
+                lambda df: df.select("id", "sh", "sig"),
+            )
             matches = incremental_minhash_near_dup(
                 sigs, existing, threshold, hot_bucket_cap=hot_bucket_cap
             )
@@ -464,20 +480,9 @@ def start_incremental_clustering(
     labels_path = f"{out_path}/labels"
 
     def _cumulative(path: str, schema, batch_id: int, cols: list[str]) -> DataFrame:
-        """Read a batch_id-partitioned state table as of before this
-        batch — the read-then-catch contract of start_incremental_dedup
-        (missing/empty dir = first batch; real read errors fail the
-        batch so the engine retries)."""
-        try:
-            return (
-                spark.read.parquet(path)
-                .filter(F.col("batch_id") < batch_id)
-                .select(*cols)
-            )
-        except AnalysisException as exc:
-            if not _is_path_missing(exc) and _table_dir_has_data(spark, path):
-                raise
-            return spark.createDataFrame([], schema)
+        return _read_cumulative(
+            spark, path, batch_id, schema, lambda df: df.select(*cols)
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sigs = minhash_signature(batch_df, "id", "text", k=k).persist(
@@ -587,19 +592,10 @@ def start_incremental_line_dedup(
             batch_df, "id", "text", sep=sep, min_chars=min_chars
         ).persist()
         try:
-            try:
-                existing = (
-                    spark.read.parquet(lines_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .groupBy("k")
-                    .agg(F.sum("ndocs").alias("ndocs"))
-                )
-            except AnalysisException as exc:
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, lines_path
-                ):
-                    raise
-                existing = spark.createDataFrame([], "k string, ndocs long")
+            existing = _read_cumulative(
+                spark, lines_path, batch_id, "k string, ndocs long",
+                lambda df: df.groupBy("k").agg(F.sum("ndocs").alias("ndocs")),
+            )
             cleaned, _ = incremental_line_dedup(
                 batch_df, existing, "id", "text",
                 sep=sep, min_docs=min_docs, min_chars=min_chars,
@@ -664,19 +660,10 @@ def start_incremental_substring_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_window_counts(batch_df, "id", "text", n=n).persist()
         try:
-            try:
-                existing = (
-                    spark.read.parquet(windows_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .groupBy("whash")
-                    .agg(F.sum("ndocs").alias("ndocs"))
-                )
-            except AnalysisException as exc:
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, windows_path
-                ):
-                    raise
-                existing = spark.createDataFrame([], "whash long, ndocs long")
+            existing = _read_cumulative(
+                spark, windows_path, batch_id, "whash long, ndocs long",
+                lambda df: df.groupBy("whash").agg(F.sum("ndocs").alias("ndocs")),
+            )
             cleaned, _ = incremental_substring_dedup(
                 batch_df, existing, "id", "text",
                 n=n, min_docs=min_docs, batch_counts=delta,
@@ -760,12 +747,7 @@ def start_incremental_prefix_dedup(
     dec_path = f"{out_path}/decisions"
 
     def _read_state(path: str, schema: str, batch_id: int) -> DataFrame:
-        try:
-            return spark.read.parquet(path).filter(F.col("batch_id") < batch_id)
-        except AnalysisException as exc:
-            if not _is_path_missing(exc) and _table_dir_has_data(spark, path):
-                raise
-            return spark.createDataFrame([], schema + ", batch_id long")
+        return _read_cumulative(spark, path, batch_id, schema + ", batch_id long")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         tombs = _read_state(tomb_path, "conv_id string, n_turns long", batch_id).select(
@@ -891,16 +873,10 @@ def start_incremental_boilerplate_strip(
     crossed_path = f"{out_path}/crossed"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            deltas = spark.read.parquet(state_path).filter(
-                F.col("batch_id") < batch_id
-            )
-        except AnalysisException as exc:
-            if not _is_path_missing(exc) and _table_dir_has_data(spark, state_path):
-                raise
-            deltas = spark.createDataFrame(
-                [], "text_md5 string, n_convs long, n_turns long, batch_id long"
-            )
+        deltas = _read_cumulative(
+            spark, state_path, batch_id,
+            "text_md5 string, n_convs long, n_turns long, batch_id long",
+        )
         state = merge_boilerplate_state(deltas.drop("batch_id"))
         kept, delta, crossed = incremental_strip_boilerplate(
             batch_df, state, min_convs=min_convs, roles=roles
@@ -1060,20 +1036,10 @@ def start_outcome_tracking(
             .persist()
         )
         try:
-            try:
-                existing = (
-                    spark.read.parquet(counts_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .select("item", "wins", "games")
-                )
-            except AnalysisException as exc:
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, counts_path
-                ):
-                    raise
-                existing = spark.createDataFrame(
-                    [], "item string, wins long, games long"
-                )
+            existing = _read_cumulative(
+                spark, counts_path, batch_id, "item string, wins long, games long",
+                lambda df: df.select("item", "wins", "games"),
+            )
             cum = (
                 existing.unionByName(delta)
                 .groupBy("item")
@@ -1242,18 +1208,10 @@ def _run_sketch_tracking(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bb = build_batch(batch_df).persist()
         try:
-            try:
-                existing = (
-                    spark.read.parquet(state_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .select(*state_cols)
-                )
-            except AnalysisException as exc:
-                if not _is_path_missing(exc) and _table_dir_has_data(
-                    spark, state_path
-                ):
-                    raise
-                existing = spark.createDataFrame([], state_schema)
+            existing = _read_cumulative(
+                spark, state_path, batch_id, state_schema,
+                lambda df: df.select(*state_cols),
+            )
             cum = merge(existing, bb)
             (
                 snapshot(cum)

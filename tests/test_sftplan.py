@@ -762,6 +762,12 @@ def test_curate_transcripts_window_validation(spark):
     df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
     with pytest.raises(ValueError, match="window_stride requires"):
         curate_transcripts(df, n_parts=4, window_stride=2)
+    # the sibling half-specified-option rule: a semantic threshold
+    # without a benchmark must raise, not silently skip stage 4c
+    with pytest.raises(ValueError, match="requires benchmark"):
+        curate_transcripts(
+            df, n_parts=4, semantic_contamination_threshold=0.9
+        )
 
 
 def test_tree_paths_feed_curate_transcripts(spark):

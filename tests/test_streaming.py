@@ -170,6 +170,9 @@ def test_stateful_compose_stream(spark, tmp_path):
     assert got["extracted_text"].equals(exp["extracted_text"])
     assert got["turn_seq"].astype("int64").equals(exp["turn_seq"].astype("int64"))
     assert got["char_offset"].astype("int64").equals(exp["char_offset"].astype("int64"))
+    # the T3 quarantine flag rides the stateful output too: failed
+    # turns must be distinguishable from legitimately-empty ones
+    assert got["failed"].astype(bool).equals(exp["failed"].astype(bool))
 
 
 def test_stateful_compose_multi_chunk_groups(spark, tmp_path):

@@ -2157,7 +2157,10 @@ def test_parse_chat_jsonl_foreign_and_violations(spark):
         ("f2", '{ "messages" : [ {"content": null, "role": null} ] }'),
         ("b1", '{"messages": oops not json'),
         ("b2", '{"other_key": []}'),
-        ("b3", None),  # NULL line: skipped, NOT a violation
+        # NULL line: parse emits zero turns, so the violations report
+        # must name it — dropping it would let the conversation
+        # vanish with the lossless-ingest precondition still green
+        ("b3", None),
     ]
     df = spark.createDataFrame(rows, "conv_id string, jsonl string")
     got = _sorted(map(tuple, tr.parse_chat_jsonl(df).collect()))
@@ -2167,7 +2170,11 @@ def test_parse_chat_jsonl_foreign_and_violations(spark):
         ("f2", 0, None, None, None),
     ]
     v = {(r.conv_id, r.reason) for r in tr.chat_jsonl_violations(df).collect()}
-    assert v == {("b1", "bad_json"), ("b2", "no_messages")}
+    assert v == {
+        ("b1", "bad_json"),
+        ("b2", "no_messages"),
+        ("b3", "null_line"),
+    }
     con = duckdb.connect()
     con.register("fj", pd.DataFrame(rows, columns=["conv_id", "jsonl"]))
     want = _sorted(

@@ -5,7 +5,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from book_ocr_spark.operators import packing, webfilter
+from book_ocr_spark.operators import packing, textstats, webfilter
 
 URL_ROWS = [
     (1, "https://www.example.com/articles/1"),
@@ -1308,5 +1308,53 @@ def test_web_corpus_gopher_stage(spark):
     want = sorted(
         r[0]
         for r in con.sql(duck_curate_sql("SELECT id, text FROM gr")).fetchall()
+    )
+    assert got == want
+
+
+def test_url_dedup_null_urls_all_kept(spark):
+    """NULL-url rows share the ABSENCE of a URL, not a URL: url_dedup
+    must keep them all (the filter_robots NULL convention) instead of
+    windowing them into one NULL group and mass-dropping all but the
+    min id. Twin agrees."""
+    import duckdb
+
+    rows = [(1, None, "a"), (2, None, "b"),
+            (3, "https://x.example/p", "c"),
+            (4, "https://x.example/p?utm_source=z", "d")]
+    df = spark.createDataFrame(rows, "id long, url string, text string")
+    out = {r.id: r.keep for r in webfilter.url_dedup(df, "id", "url").collect()}
+    assert out == {1: True, 2: True, 3: True, 4: False}
+    con = duckdb.connect()
+    con.register("ud", pd.DataFrame(rows, columns=["id", "url", "text"]))
+    want = {
+        r[0]: r[-1]
+        for r in con.sql(
+            webfilter.duck_url_dedup_sql("SELECT * FROM ud", "id", "url")
+        ).fetchall()
+    }
+    assert want == out
+
+
+def test_quality_flags_null_text_dropped_both_engines(spark):
+    """NULL text counts as empty: keep=false / 'too_short' in BOTH
+    engines (it used to fall through Spark's when-chain as 'ok' with
+    NULL metrics while the DuckDB twin dropped it)."""
+    import duckdb
+
+    rows = [(1, None), (2, "real words " * 30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        tuple(r) for r in textstats.quality_flags(df, "id", "text").collect()
+    )
+    assert got[0][0] == 1 and got[0][1] == 0  # n_chars 0, not NULL
+    assert got[0][4] is False and got[0][5] == "too_short"
+    con = duckdb.connect()
+    con.register("qf", pd.DataFrame(rows, columns=["id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            textstats.duck_quality_flags_sql("qf", "id", "text")
+        ).fetchall()
     )
     assert got == want
