@@ -6,7 +6,15 @@ portable SQL expressions).
 Normalization (the official order): lowercase → strip ASCII
 punctuation (replace with NOTHING, so "end.The" fuses — that is the
 reference behavior, reproduced deliberately) → drop the articles
-a/an/the as whole words → collapse whitespace. Token F1 is the
+a/an/the at TOKEN grain (split on whitespace, filter the three
+words) → collapse whitespace. Token-grain article removal is a
+DELIBERATE, documented deviation from the official ``\b``-regex
+spelling: Python/Java ``\b`` is Unicode-aware while RE2 (DuckDB) is
+ASCII-only, so the regex spelling cannot be engine-portable (verified:
+``año`` survives Java, loses its ``a`` under RE2) and RE2 has no
+lookarounds to emulate it — the token rule is equivalent on ASCII
+text (pinned by tests) and identically defined in all three engines
+on any text. Token F1 is the
 MULTISET overlap: common = Σ_t min(count_pred(t), count_gold(t)),
 F1 = 2·common / (n_pred + n_gold), with the both-empty edge defined
 as EM=true / F1=1 and one-side-empty as 0 (the official scorer's
@@ -34,16 +42,19 @@ from pyspark.sql import functions as F
 
 _PUNCT = "[!-/:-@\\[-`{-~]"
 _WS = "[ \\t\\n\\r\\f]+"
-_ARTICLES = "\\b(a|an|the)\\b"
+_ARTICLES = ("a", "an", "the")
 
 
 def squad_normalize(col: Column) -> Column:
-    """Normalized answer string (see module docstring for the order).
-    NULL normalizes like ''."""
+    """Normalized answer string (see module docstring for the order,
+    incl. the token-grain article rule). NULL normalizes like ''."""
     s = F.lower(F.coalesce(col, F.lit("")))
     s = F.regexp_replace(s, _PUNCT, "")
-    s = F.regexp_replace(s, _ARTICLES, " ")
-    return F.trim(F.regexp_replace(s, _WS, " "))
+    toks = F.filter(
+        F.split(s, _WS),
+        lambda x: (x != "") & ~x.isin(*_ARTICLES),
+    )
+    return F.array_join(toks, " ")
 
 
 def _toks(col: Column) -> Column:
@@ -105,10 +116,14 @@ _DUCK_PUNCT = "[!-/:-@\\[-`{-~]"
 
 
 def _duck_norm(expr: str) -> str:
+    # outer COALESCE: DuckDB's array_to_string([]) is NULL where
+    # Spark's array_join([]) is '' — the all-filtered case must
+    # normalize to '' in both engines
     return (
-        "trim(regexp_replace(regexp_replace(regexp_replace("
-        f"lower(COALESCE({expr}, '')), '{_DUCK_PUNCT}', '', 'g'), "
-        "'\\b(a|an|the)\\b', ' ', 'g'), '[ \t\n\r\f]+', ' ', 'g'))"
+        "COALESCE(array_to_string(list_filter(string_split_regex("
+        f"regexp_replace(lower(COALESCE({expr}, '')), '{_DUCK_PUNCT}', '', 'g'),"
+        " '[ \t\n\r\f]+'),"
+        " x -> x <> '' AND x NOT IN ('a', 'an', 'the')), ' '), '')"
     )
 
 
@@ -249,8 +264,7 @@ def _squad_norm_py(s: str | None) -> list[str]:
 
     s = (s or "").lower()
     s = _re.sub(r"[!-/:-@\[-`{-~]", "", s)
-    s = _re.sub(r"\b(a|an|the)\b", " ", s)
-    return s.split()
+    return [t for t in s.split() if t not in _ARTICLES]
 
 
 def _lcs_len(p: list[str], g: list[str]) -> int:

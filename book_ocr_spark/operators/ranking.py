@@ -60,6 +60,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def valid_outcomes(
+    outcomes: DataFrame, winner_col: str = "winner", loser_col: str = "loser"
+) -> DataFrame:
+    """(_w, _l) string-cast outcome pairs with the module's ONE
+    hygiene rule applied: NULL ids and self-games drop. Shared by
+    bt_strengths / head_to_head / item_win_rates (and the streaming
+    leaderboard) so the rule cannot drift between them; elo_ratings
+    extends the same predicate with its ts/by conditions inline."""
+    return outcomes.select(
+        F.col(winner_col).cast("string").alias("_w"),
+        F.col(loser_col).cast("string").alias("_l"),
+    ).where(
+        F.col("_w").isNotNull() & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+
+
 def _bt_validate(iters: int, smoothing: float) -> None:
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -88,13 +106,7 @@ def bt_strengths(
     spark = outcomes.sparkSession
     s = float(smoothing)
     two_s = 2.0 * s
-    o = outcomes.select(
-        F.col(winner_col).cast("string").alias("_w"),
-        F.col(loser_col).cast("string").alias("_l"),
-    ).where(
-        F.col("_w").isNotNull() & F.col("_l").isNotNull()
-        & (F.col("_w") != F.col("_l"))
-    )
+    o = valid_outcomes(outcomes, winner_col, loser_col)
     d = o.groupBy(F.col("_w").alias("i"), F.col("_l").alias("j")).agg(
         F.count(F.lit(1)).alias("_wn")
     )
@@ -157,6 +169,13 @@ def bt_strengths(
             ).alias("pi"),
         )
         pi_rows = [(r.i, r.pi) for r in new_pi.collect()]
+    if not pi_rows:
+        # empty input (or every row dropped by the NULL/self-game
+        # hygiene): an empty result with the contract schema, matching
+        # the twin's empty relation — not a bare min()-of-nothing crash
+        return spark.createDataFrame(
+            [], "item string, strength double, wins long, games long"
+        )
     refpi = min(
         pi_rows, key=lambda r: hashlib.md5(r[0].encode("utf-8")).hexdigest()
     )[1]
@@ -186,13 +205,7 @@ def head_to_head(
     are dropped (the bt_strengths hygiene). win_rate is ONE double
     division; everything else is exact BIGINT. Scale shape: one hash
     agg + one full-outer self-join on narrow rows."""
-    o = outcomes.select(
-        F.col(winner_col).cast("string").alias("_w"),
-        F.col(loser_col).cast("string").alias("_l"),
-    ).where(
-        F.col("_w").isNotNull() & F.col("_l").isNotNull()
-        & (F.col("_w") != F.col("_l"))
-    )
+    o = valid_outcomes(outcomes, winner_col, loser_col)
     d = o.groupBy(F.col("_w").alias("item"), F.col("_l").alias("opponent")).agg(
         F.count(F.lit(1)).alias("_wn")
     )
@@ -285,13 +298,7 @@ def item_win_rates(
     −3e-17), and clamping would trade the shared-expression
     exactness contract for cosmetics — clamp downstream if a UI
     needs it."""
-    o = outcomes.select(
-        F.col(winner_col).cast("string").alias("_w"),
-        F.col(loser_col).cast("string").alias("_l"),
-    ).where(
-        F.col("_w").isNotNull() & F.col("_l").isNotNull()
-        & (F.col("_w") != F.col("_l"))
-    )
+    o = valid_outcomes(outcomes, winner_col, loser_col)
     w = o.groupBy(F.col("_w").alias("item")).agg(F.count(F.lit(1)).alias("_nw"))
     l = o.groupBy(F.col("_l").alias("item")).agg(F.count(F.lit(1)).alias("_nl"))
     base = w.join(l, "item", "full_outer").select(
@@ -640,6 +647,11 @@ def pl_strengths(
             ).alias("pi"),
         )
         pi_rows = [(row.i, row.pi) for row in new_pi.collect()]
+    if not pi_rows:
+        # the bt_strengths empty rule: contract-schema empty result
+        return spark.createDataFrame(
+            [], "item string, strength double, wins long, lists long"
+        )
     refpi = min(
         pi_rows, key=lambda t: hashlib.md5(t[0].encode("utf-8")).hexdigest()
     )[1]
@@ -757,6 +769,7 @@ def elo_ratings(
     scale: float = 400.0,
     base: float = 1500.0,
     by: tuple[str, ...] = (),
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """Online Elo rating replay — the ORDER-DEPENDENT third member of
     the ranking family (bt_strengths = batch pairwise MLE,
@@ -819,7 +832,15 @@ def elo_ratings(
     )
     for c in bycols:
         cond = cond & F.col(c).isNotNull()
-    g = g.where(cond)
+    # g feeds THREE aggregations (the grouped fold + the win and loss
+    # counts): persist the narrow projection once instead of scanning
+    # and filtering the source three times (the bt/pl convention);
+    # storage_handle receives it for deterministic unpersist
+    from pyspark import StorageLevel
+
+    g = g.where(cond).persist(StorageLevel.MEMORY_AND_DISK)
+    if storage_handle is not None:
+        storage_handle.append(g)
     grouped = g.groupBy(*bycols).agg(
         F.array_sort(
             F.collect_list(

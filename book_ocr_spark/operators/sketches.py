@@ -40,6 +40,30 @@ P_DEFAULT = 12
 _SCALE = 1_000_000_000_000_000  # 1e15 micro-units per 2^0
 
 
+
+def _attach_by_group(
+    left: DataFrame, right: DataFrame, by: tuple[str, ...],
+    prefix: str, how: str = "inner",
+) -> DataFrame:
+    """Broadcast-attach a small per-group frame onto ``left`` with the
+    null-safe equi-join BOTH eh consumers need (a NULL group key is a
+    GROUP, not a join miss — a plain USING join would silently drop
+    it); ``by=()`` degrades to a crossJoin of the 1-row frame. The
+    right side's ``by`` columns are prefix-renamed and dropped after
+    the join so the left schema survives untouched."""
+    if not by:
+        return left.crossJoin(F.broadcast(right))
+    for c in by:
+        right = right.withColumnRenamed(c, f"{prefix}{c}")
+    cond = None
+    for c in by:
+        eq = F.col(c).eqNullSafe(F.col(f"{prefix}{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return left.join(F.broadcast(right), cond, how).drop(
+        *[f"{prefix}{c}" for c in by]
+    )
+
+
 def _alpha(m: int) -> float:
     if m >= 128:
         return 0.7213 / (1.0 + 1.079 / m)
@@ -146,39 +170,50 @@ def hll_distinct(df: DataFrame, col: str, p: int = P_DEFAULT) -> DataFrame:
     return hll_estimate(hll_buckets(df, col, p), p)
 
 
-def duck_hll_buckets_sql(src_sql: str, col: str, p: int = P_DEFAULT) -> str:
-    """DuckDB twin of hll_buckets."""
+def duck_hll_buckets_sql(
+    src_sql: str, col: str, p: int = P_DEFAULT, by: tuple[str, ...] = ()
+) -> str:
+    """DuckDB twin of hll_buckets (same optional ``by`` grouping —
+    one independent sketch per group)."""
     wbits = 60 - p
+    by = tuple(by)
+    bysel = "".join(f"{c}, " for c in by)
     h = (
         f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
     return f"""
         WITH hll_h AS (
-            SELECT {h} AS h FROM ({src_sql}) s WHERE {col} IS NOT NULL
+            SELECT {bysel}{h} AS h FROM ({src_sql}) s WHERE {col} IS NOT NULL
         ), hll_w AS (
-            SELECT h // {2 ** wbits} AS b,
+            SELECT {bysel}h // {2 ** wbits} AS b,
                    h % {2 ** wbits} AS w
             FROM hll_h
         )
-        SELECT b, MAX(CASE WHEN w = 0 THEN {wbits + 1}
+        SELECT {bysel}b, MAX(CASE WHEN w = 0 THEN {wbits + 1}
                            ELSE {wbits} - length(bin(w)) + 1 END) AS mx
-        FROM hll_w GROUP BY b
+        FROM hll_w GROUP BY {bysel}b
     """
 
 
-def duck_hll_estimate_sql(buckets_sql: str, p: int = P_DEFAULT) -> str:
+def duck_hll_estimate_sql(
+    buckets_sql: str, p: int = P_DEFAULT, by: tuple[str, ...] = ()
+) -> str:
     """DuckDB twin of hll_estimate (same micro-rounded harmonic sum,
-    same linear-counting switch)."""
+    same linear-counting switch, same optional ``by`` grouping)."""
     m = 2 ** p
     alpha = _alpha(m)
+    by = tuple(by)
+    bysel = "".join(f"{c}, " for c in by)
+    group = f"GROUP BY {', '.join(by)}" if by else ""
     return f"""
         WITH hll_a AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS filled,
+            SELECT {bysel}CAST(COUNT(*) AS BIGINT) AS filled,
                    CAST(COALESCE(SUM(CAST(ROUND({float(_SCALE)!r} *
                        power(2.0, -mx)) AS BIGINT)), 0) AS BIGINT) AS s_i
             FROM ({buckets_sql}) bk
+            {group}
         )
-        SELECT CAST({m} AS BIGINT) AS m, filled,
+        SELECT {bysel}CAST({m} AS BIGINT) AS m, filled,
                CAST(ROUND(CASE
                    WHEN ({alpha * m * m!r} /
                          (CAST(s_i + ({m} - filled) * {_SCALE} AS DOUBLE)
@@ -437,18 +472,7 @@ def eh_quantiles(
         *by, "okey", _eh_value(scale).alias("value"), "cnt"
     ).withColumn("cum", F.sum("cnt").over(w))
     totals = buckets.groupBy(*by).agg(F.sum("cnt").cast("long").alias("n"))
-    if by:
-        # null-safe equi-join: a NULL group key is a group, not a
-        # join miss — a plain USING join would silently drop it
-        for c in by:
-            totals = totals.withColumnRenamed(c, f"_t_{c}")
-        cond = None
-        for c in by:
-            eq = F.col(c).eqNullSafe(F.col(f"_t_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        b = b.join(F.broadcast(totals), cond).drop(*[f"_t_{c}" for c in by])
-    else:
-        b = b.crossJoin(F.broadcast(totals))
+    b = _attach_by_group(b, totals, by, "_t_")
     qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     probes = buckets.sparkSession.range(1).select(qdf)
     hits = probes.join(
@@ -564,16 +588,7 @@ def eh_winsorize(
     bounds = qs.groupBy(*by).agg(
         F.min_by("value", "q").alias("_blo"), F.max_by("value", "q").alias("_bhi")
     )
-    if by:
-        for c in by:
-            bounds = bounds.withColumnRenamed(c, f"_b_{c}")
-        cond = None
-        for c in by:
-            eq = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = df.join(F.broadcast(bounds), cond, "left")
-    else:
-        joined = df.crossJoin(F.broadcast(bounds))
+    joined = _attach_by_group(df, bounds, by, "_b_", how="left")
     x = F.col(col).cast("double")
     clamped = F.when(
         F.col(col).isNotNull(),

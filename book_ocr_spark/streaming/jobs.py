@@ -1011,13 +1011,9 @@ def start_outcome_tracking(
     board_path = f"{out_path}/board"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        o = batch_df.select(
-            F.col("winner").cast("string").alias("_w"),
-            F.col("loser").cast("string").alias("_l"),
-        ).where(
-            F.col("_w").isNotNull() & F.col("_l").isNotNull()
-            & (F.col("_w") != F.col("_l"))
-        )
+        from book_ocr_spark.operators.ranking import valid_outcomes
+
+        o = valid_outcomes(batch_df, "winner", "loser")
         w = o.groupBy(F.col("_w").alias("item")).agg(
             F.count(F.lit(1)).cast("long").alias("_nw")
         )

@@ -462,3 +462,30 @@ def test_wer_matches_python_dp(spark):
         assert got[i] == want, i
     assert got[2][0] == 2 and got[2][3] == 0.5
     assert got[4][3] is None
+
+
+def test_squad_normalizer_unicode_engine_parity(spark):
+    """Token-grain article removal is identical across Spark, DuckDB
+    and the Python UDF twin on non-ASCII text — the \\b-regex
+    spelling was NOT (Java/Python \\b is Unicode-aware, RE2 is
+    ASCII-only: 'año' kept its 'a' in Spark but lost it in DuckDB)."""
+    import duckdb
+
+    rows = [(1, "año nuevo", "año nuevo"),
+            (2, "the año", "año"),          # article still stripped
+            (3, "a—b", "a—b")]              # non-ASCII separator: token kept
+    df = spark.createDataFrame(rows, "id long, pred string, gold string")
+    got = [tuple(r) for r in evals.token_f1(df, "id", "pred", "gold").collect()]
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(rows, columns=["id", "pred", "gold"]))
+    want = con.sql(
+        evals.duck_token_f1_sql("SELECT * FROM u", "id", "pred", "gold")
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][4] is True and by_id[1][5] == 1.0   # em, f1
+    assert by_id[2][4] is True                          # 'the' dropped
+    assert by_id[3][4] is True                          # a—b == a—b
+    # python twin agrees token-for-token
+    assert evals._squad_norm_py("the año") == ["año"]
+    assert evals._squad_norm_py("a—b") == ["a—b"]

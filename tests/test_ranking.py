@@ -403,3 +403,26 @@ def test_elo_validation(spark):
         rk.elo_ratings(df, scale=-1.0)
     with pytest.raises(ValueError):
         rk.duck_elo_ratings_sql("s", k=-2.0)
+
+
+def test_strengths_empty_input_contract_schema(spark):
+    """Empty outcomes (or everything dropped by NULL/self-game
+    hygiene) returns an empty result with the contract schema — not a
+    bare min()-of-nothing ValueError — matching the twins' empty
+    relations."""
+    empty = spark.createDataFrame([], "winner string, loser string")
+    r = rk.bt_strengths(empty)
+    assert r.collect() == []
+    assert r.schema.simpleString() == (
+        "struct<item:string,strength:double,wins:bigint,games:bigint>"
+    )
+    dropped = spark.createDataFrame(
+        [("x", "x"), (None, "y")], "winner string, loser string"
+    )
+    assert rk.bt_strengths(dropped).collect() == []
+    er = spark.createDataFrame([], "list_id string, item string, pos int")
+    r2 = rk.pl_strengths(er)
+    assert r2.collect() == []
+    assert r2.schema.simpleString() == (
+        "struct<item:string,strength:double,wins:bigint,lists:bigint>"
+    )

@@ -376,3 +376,31 @@ def test_hll_grouped_equals_per_group_ungrouped(spark):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in sk.hll_buckets(df, "k", p=8, by=("lang",)).collect()
     )
+
+
+def test_hll_grouped_duck_twin_bit_identical(spark):
+    """The by= grouped HLL path now has its cross-engine oracle too:
+    per-group register tables and estimates match DuckDB bit-for-bit
+    (the ungrouped twins never covered the grouped shape)."""
+    rows = [(f"d{i % 7}", "en" if i % 3 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc string, lang string")
+    got_b = sorted(
+        tuple(r)
+        for r in sk.hll_buckets(df, "doc", p=6, by=("lang",)).collect()
+    )
+    con = duckdb.connect()
+    con.register("hg", pd.DataFrame(rows, columns=["doc", "lang"]))
+    bsql = sk.duck_hll_buckets_sql("SELECT * FROM hg", "doc", p=6, by=("lang",))
+    want_b = sorted(tuple(r) for r in con.sql(bsql).fetchall())
+    assert got_b == want_b
+    got_e = sorted(
+        tuple(r)
+        for r in sk.hll_estimate(
+            sk.hll_buckets(df, "doc", p=6, by=("lang",)), p=6, by=("lang",)
+        ).collect()
+    )
+    want_e = sorted(
+        tuple(r)
+        for r in con.sql(sk.duck_hll_estimate_sql(bsql, p=6, by=("lang",))).fetchall()
+    )
+    assert got_e == want_e
