@@ -1636,14 +1636,16 @@ def memorization_scores(
     ROUND 4, samples with zero grams never exist by construction
     (shingle_sets emits the whole text as one gram below n words).
 
-    Scale shape (100 TB corpus, small probe set): the corpus side is
-    a single explode → the (gram) equi-join probes it with the sample
-    gram set, which is tiny by construction (a generation batch) — AQE
-    broadcasts it, so the corpus is scanned once, never shuffled on
-    gram, and no corpus-side distinct is materialized (the per-sample
-    count is COUNT(DISTINCT gram) after the join). Sample columns
-    default to the corpus names; override via ``sample_id_col`` /
-    ``sample_text_col``."""
+    Scale shape (100 TB corpus, small probe set): the corpus gram
+    stream is SEMI-joined against the broadcast distinct probe-gram
+    set (corpus scanned once, never shuffled on gram, each corpus row
+    survives at most once — a high-frequency gram cannot fan the join
+    out by its corpus occurrence count), the surviving hit grams are
+    reduced to a distinct set (map-side partial agg; the shuffle
+    carries at most the probe-gram vocabulary per partition), and that
+    tiny set broadcasts back onto the per-sample grams for the hit
+    count. Sample columns default to the corpus names; override via
+    ``sample_id_col`` / ``sample_text_col``."""
     sg = shingle_sets(
         samples, sample_id_col or id_col, sample_text_col or text_col, n, "word"
     ).select("id", F.explode("sh").alias("g"))
@@ -1651,8 +1653,12 @@ def memorization_scores(
     cg = shingle_sets(corpus, id_col, text_col, n, "word").select(
         F.explode("sh").alias("g")
     )
+    probe_grams = sg.select("g").distinct()
+    hit_grams = (
+        cg.join(F.broadcast(probe_grams), "g", "semi").distinct()
+    )
     hits = (
-        cg.join(sg, "g")
+        sg.join(F.broadcast(hit_grams), "g")
         .groupBy("id")
         .agg(F.count_distinct("g").cast("long").alias("n_hit"))
     )

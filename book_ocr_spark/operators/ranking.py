@@ -833,13 +833,17 @@ def elo_ratings(
     for c in bycols:
         cond = cond & F.col(c).isNotNull()
     # g feeds THREE aggregations (the grouped fold + the win and loss
-    # counts): persist the narrow projection once instead of scanning
-    # and filtering the source three times (the bt/pl convention);
-    # storage_handle receives it for deterministic unpersist
+    # counts). Persisting the narrow projection saves two re-scans, but
+    # elo returns a LAZY frame — an internal unpersist-in-finally would
+    # fire before the caller ever runs an action — so the persist is
+    # gated on storage_handle: no handle, no persist, no leaked cache
+    # entries in long-lived sessions (callers that care pass a handle
+    # and unpersist deterministically, the module convention).
     from pyspark import StorageLevel
 
-    g = g.where(cond).persist(StorageLevel.MEMORY_AND_DISK)
+    g = g.where(cond)
     if storage_handle is not None:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
         storage_handle.append(g)
     grouped = g.groupBy(*bycols).agg(
         F.array_sort(

@@ -831,6 +831,8 @@ def rbo(
     change what users actually see".
 
     Semantics: rows with rank > k are ignored; ranks must be
+    non-NULL (a NULL rank raises — it would otherwise silently slip
+    past the depth filter and drop the row) and
     1-based (rank < 1 raises — the classic 0-based off-by-one would
     otherwise silently drop or mis-weight docs) and distinct per
     (qid, run) — duplicate ranks raise (a tie would make
@@ -881,13 +883,17 @@ def rbo(
                 F.col(doc_col).alias("doc"),
                 F.floor(rank_col).cast("int").alias(f"r{suffix}"),
             )
-            .where(F.col(f"r{suffix}") <= k)
+            .where(
+                F.col(f"r{suffix}").isNull() | (F.col(f"r{suffix}") <= k)
+            )
             .localCheckpoint(eager=True)
         )
 
     a, b = side(run_a, "a"), side(run_b, "b")
-    # ONE validation job for both runs and both rules (sub-1 ranks,
-    # duplicate ranks within a (qid, run))
+    # ONE validation job for both runs and all three rules (NULL
+    # ranks, sub-1 ranks, duplicate ranks within a (qid, run)); NULL
+    # ranks survive side()'s depth filter so they reach validation
+    # instead of silently dropping
     tagged = a.select(
         F.lit("run_a").alias("_run"), "qid", F.col("ra").alias("r")
     ).unionByName(
@@ -896,16 +902,21 @@ def rbo(
     viol = (
         tagged.groupBy("_run", "qid", "r")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .where((F.col("r") < 1) | (F.col("_n") > 1))
+        .where(F.col("r").isNull() | (F.col("r") < 1) | (F.col("_n") > 1))
         .limit(1)
         .collect()
     )
     if viol:
         v = viol[0]
-        problem = "rank < 1 (ranks are 1-based)" if v.r < 1 else (
-            "duplicate rank within a query — ranks must be distinct "
-            "per (qid, run); break ties upstream"
-        )
+        if v.r is None:
+            problem = "NULL rank (every row needs a rank)"
+        elif v.r < 1:
+            problem = "rank < 1 (ranks are 1-based)"
+        else:
+            problem = (
+                "duplicate rank within a query — ranks must be distinct "
+                "per (qid, run); break ties upstream"
+            )
         raise ValueError(f"rbo: {problem} (first hit: {v._run} qid={v.qid})")
     # a doc listed at several ranks collapses to its best rank — the
     # rrf_fuse rule; without this the (qid, doc) join fans out and a

@@ -745,6 +745,8 @@ def duplicate_weights(
     id_col: str,
     text_col: str,
     groups: DataFrame | None = None,
+    groups_id_col: str = "id",
+    groups_group_col: str = "group_id",
 ) -> DataFrame:
     """Soft dedup (He et al. 2024, "SoftDedup: an Efficient Data
     Reweighting Method for Speeding Up Language Model Pre-training"):
@@ -756,9 +758,16 @@ def duplicate_weights(
     deletion is too blunt (high-quality boilerplate, templated code).
 
     Default grouping is exact content (md5 of ``text_col`` — the
-    exact_dedup_groups key). Pass ``groups`` (id, group_id) — e.g.
-    near_dup_clusters' (id, cluster_id) — to weight by NEAR-dup family
-    size instead; ids absent from ``groups`` are singletons (weight 1).
+    exact_dedup_groups key). Pass ``groups`` — e.g. near_dup_clusters'
+    (id, cluster_id) — to weight by NEAR-dup family size instead; its
+    id / group columns are resolved BY NAME via ``groups_id_col`` /
+    ``groups_group_col`` (defaults ``id`` / ``group_id``, the same
+    literal contract the DuckDB twin requires, so both engines share
+    one contract). Ids absent from ``groups`` are singletons
+    (weight 1). An id appearing in MORE THAN ONE group row raises
+    (eager validation aggregation over the labels table — otherwise
+    the join would silently fan out df rows); both engines require
+    unique ids in ``groups``.
 
     Returns ``df`` + (n_dup, weight), weight ROUND 6 so both engines
     agree on the 1/3-style repeating quotients. Scale shape: one
@@ -778,10 +787,29 @@ def duplicate_weights(
                 "weight", F.round(F.lit(1.0) / F.col("n_dup").cast("double"), 6)
             )
         )
+    for c in (groups_id_col, groups_group_col):
+        if c not in groups.columns:
+            raise ValueError(
+                f"duplicate_weights: groups has no column {c!r} "
+                f"(columns: {groups.columns})"
+            )
     g = groups.select(
-        F.col(groups.columns[0]).alias(id_col),
-        F.col(groups.columns[1]).alias("_g"),
+        F.col(groups_id_col).alias(id_col),
+        F.col(groups_group_col).alias("_g"),
     )
+    dup = (
+        g.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "duplicate_weights: groups id "
+            f"{dup[0][id_col]!r} appears in multiple group rows; "
+            "group labels must be a function of id"
+        )
     sizes = g.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
     labeled = df.join(g, id_col, "left").join(sizes, "_g", "left")
     return (
@@ -808,8 +836,8 @@ def duck_duplicate_weights_sql(
             FROM ({corpus_sql}) c JOIN dw_c d ON md5(c.{text_col}) = d.k
             ORDER BY c.{id_col}
         """
-    # groups_sql must yield columns named (id, group_id) — the twin
-    # analog of the Spark side's first-two-columns contract
+    # groups_sql must yield columns named (id, group_id) with unique
+    # ids — the same by-name contract the Spark side validates eagerly
     return f"""
         WITH dw_s AS (
             SELECT id,

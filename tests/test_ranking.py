@@ -395,6 +395,22 @@ def test_elo_hygiene_and_partition_invariance(spark):
     assert a == c
 
 
+def test_elo_no_handle_no_persist_leak(spark):
+    """Without a storage_handle, elo_ratings must not leave cached
+    frames behind in the session (the persist is gated on the handle;
+    an internal unpersist cannot work on a lazily-returned frame)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rk.elo_ratings(_elo_df(spark, _elo_rows())).collect()
+    assert jsc.getPersistentRDDs().size() == before
+    # with a handle, the persisted frame is surrendered for cleanup
+    handle = []
+    rk.elo_ratings(_elo_df(spark, _elo_rows()), storage_handle=handle).collect()
+    assert len(handle) == 1
+    for fr in handle:
+        fr.unpersist(blocking=True)
+
+
 def test_elo_validation(spark):
     df = _elo_df(spark, _elo_rows())
     with pytest.raises(ValueError):

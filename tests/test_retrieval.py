@@ -551,6 +551,11 @@ def test_rbo_identity_and_validation(spark):
     zero = _rdf(spark, [("q1", "x", 0), ("q1", "y", 1)])
     with pytest.raises(ValueError, match="1-based"):
         retrieval.rbo(zero, a, p=0.9, k=3)
+    # a NULL rank raises instead of silently slipping past the depth
+    # filter and dropping the row
+    nullr = _rdf(spark, [("q1", "x", 1), ("q1", "y", None)])
+    with pytest.raises(ValueError, match="NULL rank"):
+        retrieval.rbo(nullr, a, p=0.9, k=3)
 
 
 def test_rbo_duplicate_doc_collapses_to_best_rank(spark):

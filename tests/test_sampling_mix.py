@@ -319,12 +319,30 @@ def test_duplicate_weights_near_dup_groups(spark):
     got = {
         r.id: (r.n_dup, r.weight)
         for r in sampling.duplicate_weights(
-            _dw_df(spark), "id", "text", groups=groups
+            _dw_df(spark), "id", "text", groups=groups,
+            groups_group_col="cluster_id",
         ).collect()
     }
     assert got[1] == (3, 0.333333) and got[4] == (3, 0.333333)
     assert got[3] == (1, 1.0)  # absent from groups: singleton
     assert got[5] == (1, 1.0)
+
+
+def test_duplicate_weights_groups_contract(spark):
+    # missing column name fails loudly (by-name resolution, not positional)
+    groups = spark.createDataFrame(
+        pd.DataFrame([(1, 10)], columns=["id", "cluster_id"]),
+        "id long, cluster_id long",
+    )
+    with pytest.raises(ValueError, match="no column 'group_id'"):
+        sampling.duplicate_weights(_dw_df(spark), "id", "text", groups=groups)
+    # an id in two group rows fails loudly instead of fanning out df rows
+    multi = spark.createDataFrame(
+        pd.DataFrame([(1, 10), (1, 20), (2, 10)], columns=["id", "group_id"]),
+        "id long, group_id long",
+    )
+    with pytest.raises(ValueError, match="multiple group rows"):
+        sampling.duplicate_weights(_dw_df(spark), "id", "text", groups=multi)
 
 
 @pytest.mark.parametrize("grouped", [False, True])

@@ -1990,3 +1990,22 @@ def test_memorization_scores_semantics_and_twin(spark):
         )
     ).fetchall()
     assert got == want
+
+
+def test_memorization_scores_high_frequency_gram_no_inflation(spark):
+    """A gram occurring many times across the corpus counts ONCE per
+    sample (the semi-join shape cannot fan out on corpus multiplicity)."""
+    corpus = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)] + [(99, "a b q")],
+        "id long, text string",
+    )
+    samples = spark.createDataFrame(
+        [(10, "a b c d")], "id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in dedup.memorization_scores(samples, corpus, "id", "text", n=2)
+        .collect()
+    ]
+    # grams {a b, b c, c d}: "a b" (x51 in corpus) and "b c" (x50) hit once each
+    assert got == [(10, 3, 2, 0.6667)]
