@@ -1180,6 +1180,82 @@ def q_pipeline_mixed(spark, sf_dir):
     )
 
 
+def q_pipeline_markup_sql(spark, sf_dir):
+    """Full 3-stage pipeline over CONSTRAINED markup — real HTML
+    payloads (nav with a link farm, heading, body paragraph, footer)
+    built over a fixed tag vocabulary, so the DOM-heuristic strip the
+    pipeline runs (block split, container context, link density,
+    length gates, stopword confidence) has a closed-form SQL twin:
+    the nav/footer drop, the h1+p keep decision, the per-block conf
+    product (density * length * stopword scores) and their kept-mean
+    are all expressible over the reconstructed payload parts. This is
+    the pipeline_plain_sql technique extended to markup — the
+    unconstrained mixed fixture (q_pipeline_mixed) stays byte-exact
+    golden-tested in tests/, per the r3 verdict decision.
+
+    The embedded body is the documents text canonicalized to printable
+    ASCII with markup metacharacters ([<>&]) removed BEFORE whitespace
+    collapse, so tag-strip + entity-decode are the identity on it in
+    both engines."""
+    from book_ocr_spark.plans.pipeline import build_fused_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[<>&]", ""), "[^ -~]", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(50))).orderBy("doc_id")
+    base = docs.select(
+        F.format_string(
+            "conv_%03d", F.pmod(F.col("doc_id"), F.lit(50)).cast("int")
+        ).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        body.alias("body"),
+    )
+    t = base.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit(
+                '<nav><a href="/">Home</a> <a href="/about">About</a> '
+                '<a href="/contact">Contact</a></nav><h1>Section '
+            ),
+            F.col("conv_id"),
+            F.lit(" part "),
+            F.col("turn_idx").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("body"),
+            F.lit(
+                "</p><footer>Copyright 2026 Example Corp All rights "
+                "reserved</footer>"
+            ),
+        ).alias("text"),
+        F.lit("html").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    out = build_fused_plan(t, n_parts=8, lineage_prefix="q")
+    return (
+        out.filter(F.col("rec") == "data")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "extracted_text",
+            "conf",
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.col("turn_seq").cast("bigint").alias("turn_seq"),
+            "char_offset",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def q_compose_docs(spark, sf_dir):
     """Per-conversation composed document (S5 ordered merge sink) over
     the plain synthesized transcripts — SQL-expressible."""
@@ -1256,10 +1332,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tie-aware ROC-AUC) — the eval-metric operator class was
     # otherwise unrepresented in the gate; both retirees keep twin
     # coverage in tests/test_unregistered_queries.py.
+    # r4: pipeline_mixed (the lone rows-only row — DOM heuristics over
+    # the unconstrained mixed fixture have no SQL oracle) swapped for
+    # pipeline_markup_sql, a constrained-markup variant whose strip IS
+    # SQL-expressible, so every driver row carries a full
+    # rows+schema+hash oracle; pipeline_mixed stays byte-exact
+    # golden-tested (tests/test_golden.py) and rows-pinned in
+    # tests/test_unregistered_queries.py.
     return {
         "compose_docs": q_compose_docs,
         "pipeline_plain_sql": q_pipeline_plain_sql,
-        "pipeline_mixed": q_pipeline_mixed,
+        "pipeline_markup_sql": q_pipeline_markup_sql,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "customers_without_orders": q_customers_without_orders,
@@ -1841,6 +1924,60 @@ def oracle_sql() -> dict[str, str]:
                        (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS char_offset
             FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ORDER BY conv_id, turn_idx
+        """,
+        # Closed-form replay of the constrained-markup pipeline: the
+        # payload is <nav>(3-anchor farm)</nav><h1>title</h1><p>body
+        # </p><footer>…</footer>, so the block splitter always yields
+        # 4 fragments; nav/footer drop on container context, h1 keeps
+        # (len >= min_head_len 3), p keeps iff len(body) >= 25
+        # (min_main_len); per-block conf = density(=1 for kept blocks,
+        # exact) * clip(len/80, .05, 1) * clip(.5 + stop_ratio, .5, 1)
+        # and the turn conf is the kept-blocks mean — every factor an
+        # identical IEEE double expression in both engines.
+        "pipeline_markup_sql": """
+            WITH t AS (
+                SELECT PRINTF('conv_%03d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS INT)
+                           AS turn_idx,
+                       TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                           text, '[<>&]', '', 'g'), '[^ -~]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS body
+                FROM documents),
+            b AS (
+                SELECT conv_id, turn_idx, body,
+                       'Section ' || conv_id || ' part ' || CAST(turn_idx AS VARCHAR) AS title,
+                       LENGTH(body) >= 25 AS keep_p
+                FROM t),
+            c AS (
+                SELECT conv_id, turn_idx, body, title, keep_p,
+                       LEAST(GREATEST(CAST(LENGTH(title) AS DOUBLE) / 80.0, 0.05), 1.0)
+                         * LEAST(0.5
+                             + CAST(len(regexp_extract_all(title,
+                                 '(?i)\\b(?:the|a|an|of|to|and|in|is|it|that|for|on|with|as|this|be|are|was|at|by)\\b')) AS DOUBLE)
+                             / CAST(GREATEST(len(regexp_extract_all(title, '\\S+')), 1) AS DOUBLE),
+                           1.0) AS conf_h,
+                       LEAST(GREATEST(CAST(LENGTH(body) AS DOUBLE) / 80.0, 0.05), 1.0)
+                         * LEAST(0.5
+                             + CAST(len(regexp_extract_all(body,
+                                 '(?i)\\b(?:the|a|an|of|to|and|in|is|it|that|for|on|with|as|this|be|are|was|at|by)\\b')) AS DOUBLE)
+                             / CAST(GREATEST(len(regexp_extract_all(body, '\\S+')), 1) AS DOUBLE),
+                           1.0) AS conf_p
+                FROM b),
+            e AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN keep_p THEN title || chr(10) || body ELSE title END AS extracted_text,
+                       CASE WHEN keep_p THEN (conf_h + conf_p) / 2 ELSE conf_h END AS conf,
+                       CAST(4 AS BIGINT) AS n_blocks,
+                       CAST(CASE WHEN keep_p THEN 2 ELSE 1 END AS BIGINT) AS n_kept
+                FROM c)
+            SELECT conv_id, turn_idx, extracted_text, conf, n_blocks, n_kept,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS turn_seq,
+                   CAST(COALESCE(SUM(LENGTH(extracted_text) + 1) OVER
+                       (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS char_offset
+            FROM e
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
             ORDER BY conv_id, turn_idx
         """,

@@ -119,3 +119,23 @@ def test_media_frame_sample_twin(spark, con):
         em.q_media_frame_sample(spark, SF_DIR).toPandas(),
         con.execute(em._multimodal_oracle_sql("frames")).df(),
     )
+
+
+def test_pipeline_mixed_retired_rows_pinned(spark):
+    """Retired (r4) in favor of pipeline_markup_sql, whose constrained
+    markup gives the driver a full rows+schema+hash oracle. The
+    unconstrained mixed fixture has no SQL twin by nature (DOM
+    heuristics); its SEMANTICS stay byte-exact golden-tested against
+    the pure-pandas oracle in tests/test_golden.py — here we pin the
+    driver-row contract it used to carry: the row count, schema, and
+    non-degenerate extraction over the seeded fixture."""
+    import __spark_entry__ as em
+
+    got = em.q_pipeline_mixed(spark, SF_DIR).toPandas()
+    assert list(got.columns) == [
+        "conv_id", "turn_idx", "extracted_text", "conf", "n_blocks",
+        "n_kept", "turn_seq", "char_offset",
+    ]
+    assert len(got) == 858  # the r3 driver-gate row count, seed 42
+    assert (got["extracted_text"].str.len() > 0).any()
+    assert (got["n_kept"] <= got["n_blocks"]).all()
