@@ -964,6 +964,22 @@ def q_pq_adc_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_sq_topk(spark, sf_dir):
+    """SQ8 scalar-quantization top-5 (the lightweight compressed-vector
+    ANN tier next to PQ): per-dimension min/max params quantize each
+    component to an 8-bit code; queries score by inner product against
+    the decoded approximation. Params rounded 6dp + pinned IEEE
+    operand order => codes AND scores replay bit-identically in
+    DuckDB (r4 registry surface for the previously tested-but-
+    undocumented operator; see tests/test_sq.py)."""
+    from book_ocr_spark.operators.similarity import sq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sq_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, k=5
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine high-similarity pairs (near-dup dedup signal)."""
     from book_ocr_spark.operators.similarity import cosine_near_dup_pairs
@@ -1338,6 +1354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SQL-expressible, so every driver row carries a full
     # rows+schema+hash oracle; pipeline_mixed stays byte-exact
     # golden-tested (tests/test_golden.py) and rows-pinned in
+    # tests/test_unregistered_queries.py. r4: simhash_fingerprint (the
+    # fingerprint projection stays driver-covered via simhash_near_dup,
+    # which computes the same fingerprints as its first stage) swapped
+    # for sq_topk — the SQ8 scalar-quantization ANN tier existed fully
+    # tested (tests/test_sq.py) but outside the registry, this repo's
+    # documented undocumented-operator pitfall; retiree twin-pinned in
     # tests/test_unregistered_queries.py.
     return {
         "compose_docs": q_compose_docs,
@@ -1376,7 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shared_chunks": q_cdc_shared_chunks,
         "incremental_exact_dedup": q_incremental_exact_dedup,
         "incremental_near_dup": q_incremental_near_dup,
-        "simhash_fingerprint": q_simhash_fingerprint,
+        "sq_topk": q_sq_topk,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_pairs_bucketed": q_embedding_pairs_bucketed,
@@ -1391,6 +1413,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
     }
+
+
+def _sq_topk_oracle_sql() -> str:
+    from book_ocr_spark.operators.similarity import duck_sq_topk_sql
+
+    twin = duck_sq_topk_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+        dim=64,
+        k=5,
+    )
+    return f"SELECT * FROM ({twin}) t ORDER BY query_id, rank"
 
 
 def _dedup_oracle_sql(which: str) -> str:
@@ -1898,7 +1932,7 @@ def oracle_sql() -> dict[str, str]:
             FROM surv GROUP BY content_hash ORDER BY canonical_id
         """,
         "incremental_near_dup": _dedup_oracle_sql("incremental"),
-        "simhash_fingerprint": _dedup_oracle_sql("simhash"),
+        "sq_topk": _sq_topk_oracle_sql(),
         "simhash_near_dup": _dedup_oracle_sql("simhash_pairs"),
         "ann_cosine_topk": _similarity_oracle_sql("topk"),
         "ann_lsh_bucket": _similarity_oracle_sql("lsh_bucket"),

@@ -139,3 +139,16 @@ def test_pipeline_mixed_retired_rows_pinned(spark):
     assert len(got) == 858  # the r3 driver-gate row count, seed 42
     assert (got["extracted_text"].str.len() > 0).any()
     assert (got["n_kept"] <= got["n_blocks"]).all()
+
+
+def test_simhash_fingerprint_retired_twin(spark, con):
+    """Retired (r4) in favor of the sq_topk SQ8 ANN row; the
+    fingerprint-projection class stays driver-covered via
+    simhash_near_dup, which computes the same fingerprints as its
+    first stage."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_simhash_fingerprint(spark, SF_DIR).toPandas(),
+        con.execute(em._dedup_oracle_sql("simhash")).df(),
+    )
