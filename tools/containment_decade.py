@@ -1,0 +1,112 @@
+"""Containment-asymptote measurement (r3 VERDICT next-round #1): run
+`containment_pairs` (and the PPJoin prefix path) over the
+VOCABULARY-GROWING corpora from `gen_sf.py --grow-vocab` and record,
+per corpus: wall time (min of N), output pairs, the cap-bound metrics
+(dropped stop-shingle keys, kept-candidate volume Σ df² over kept
+keys, total postings), so BASELINE.md can show the per-decade ratio
+settling once vocabulary grows with corpus size.
+
+Usage:
+    python tools/containment_decade.py /tmp/vg/sf0.1 /tmp/vg/sf1 [...]
+        [--runs=2] [--skip-prefix]
+
+Prints one JSON line per corpus dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+CAP = 100
+THRESHOLD = 0.8
+
+
+def measure(spark, sf_dir: str, runs: int, with_prefix: bool) -> dict:
+    from book_ocr_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        shingle_sets,
+        spark_h56,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+
+    # cap diagnostics: df distribution of the hashed shingle keys —
+    # the same derivation containment_pairs uses internally
+    gk = (
+        shingle_sets(docs, "doc_id", "text", 3, "word")
+        .select("id", F.explode("sh").alias("_g"))
+        .select("id", F.expr(spark_h56("_g")).alias("gk"))
+        .distinct()
+    )
+    dfc = gk.groupBy("gk").agg(F.count(F.lit(1)).alias("df"))
+    diag = dfc.agg(
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum("df").alias("total_postings"),
+        F.sum(F.when(F.col("df") > CAP, 1).otherwise(0)).alias("dropped_keys"),
+        F.sum(
+            F.when(F.col("df") <= CAP, F.col("df") * F.col("df")).otherwise(0)
+        ).alias("kept_candidates"),
+        F.max("df").alias("max_df"),
+    ).collect()[0]
+
+    def timed(fn) -> tuple[float, int]:
+        best, n_pairs = None, None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_pairs = fn().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), n_pairs
+
+    capped_sec, capped_pairs = timed(
+        lambda: containment_pairs(
+            docs, "doc_id", "text", threshold=THRESHOLD, stop_shingle_df=CAP
+        )
+    )
+    out = {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "distinct_keys": int(diag["distinct_keys"]),
+        "total_postings": int(diag["total_postings"]),
+        "dropped_keys": int(diag["dropped_keys"]),
+        "kept_candidates": int(diag["kept_candidates"]),
+        "max_df": int(diag["max_df"]),
+        "capped_sec": capped_sec,
+        "capped_pairs": capped_pairs,
+    }
+    if with_prefix:
+        prefix_sec, prefix_pairs = timed(
+            lambda: containment_pairs_prefix(
+                docs, "doc_id", "text", threshold=THRESHOLD, stop_shingle_df=CAP
+            )
+        )
+        out["prefix_sec"] = prefix_sec
+        out["prefix_pairs"] = prefix_pairs
+    return out
+
+
+if __name__ == "__main__":
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+    with_prefix = "--skip-prefix" not in sys.argv
+    from book_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="containment_decade")
+    for d in dirs:
+        print(json.dumps(measure(spark, d, runs, with_prefix)), flush=True)
+    spark.stop()
