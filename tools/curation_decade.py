@@ -1,0 +1,116 @@
+"""curate_web_corpus end-to-end decade measurement (r3 VERDICT #6):
+run the composed web pass at two scale factors with stages enabled
+CUMULATIVELY, so each stage's marginal cost is the time delta between
+consecutive configurations, and report per-stage decade ratios
+(flagging any stage > 3× per 10× data).
+
+The stage list mirrors the CLI `curate` surface over the documents
+table (which has no URL column, so the URL-family stages are exercised
+by the webfilter suite instead): line dedup -> lexicon gate ->
+substring removal -> LM perplexity gate -> quality+near-dup core ->
+benchmark decontamination.
+
+Usage:
+    python tools/curation_decade.py /root/testdata/sf0.1 /tmp/dec/sf1
+        [--runs=2]
+
+Prints one JSON line per sf dir with cumulative and marginal times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def measure(spark, sf_dir: str, runs: int) -> dict:
+    from book_ocr_spark.plans.curation import curate_web_corpus
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    n_docs = docs.count()
+    # aux inputs derived from the corpus itself (no external data):
+    # a benchmark slice for decontamination, the corpus as LM corpus
+    benchmark = docs.filter(F.col("id") % 97 == 0).select(
+        F.col("id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+
+    # cumulative stage configurations (each adds ONE stage)
+    stages: list[tuple[str, dict]] = [
+        ("quality_near_dup_core", {}),  # curate(): quality gate + near-dup
+        ("line_dedup", {"line_min_docs": 3}),
+        ("lexicon_gate", {
+            "lexicon_terms": ("spam", "casino"), "lexicon_max_hit_ratio": 0.2,
+        }),
+        ("substring_removal", {"substring_n": 8, "substring_min_docs": 3}),
+        ("lm_gate", {"max_xent_micro": 4_000_000}),
+        ("decontamination", {
+            "contamination_n": 13, "contamination_min_hits": 1,
+            "bench_id_col": "bench_id", "bench_text_col": "bench_text",
+        }),
+    ]
+
+    def run_cfg(upto: int) -> float:
+        kw: dict = {"threshold": 0.6, "hot_bucket_cap": 64}
+        for name, extra in stages[: upto + 1]:
+            kw.update(extra)
+            if name == "lm_gate":
+                kw["lm_corpus"] = docs
+            if name == "decontamination":
+                kw["benchmark"] = benchmark
+        best = None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            handle: list = []
+            t0 = time.perf_counter()
+            curate_web_corpus(
+                docs, "id", "text", storage_handle=handle, **kw
+            ).count()
+            dt = time.perf_counter() - t0
+            for fr in handle:
+                try:
+                    fr.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    cumulative = []
+    for i in range(len(stages)):
+        cumulative.append(run_cfg(i))
+    marginal = {
+        stages[0][0]: cumulative[0],
+        **{
+            stages[i][0]: round(cumulative[i] - cumulative[i - 1], 3)
+            for i in range(1, len(stages))
+        },
+    }
+    return {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "end_to_end_sec": cumulative[-1],
+        "cumulative_sec": dict(zip([s[0] for s in stages], cumulative)),
+        "marginal_sec": marginal,
+    }
+
+
+if __name__ == "__main__":
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+    from book_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="curation_decade")
+    for d in dirs:
+        print(json.dumps(measure(spark, d, runs)), flush=True)
+    spark.stop()
