@@ -17,8 +17,11 @@ the CLI applies its own explicit flags on top (a flag left at its
 keys in the user file or environment RAISE — a 40-flag surface needs
 typo detection, not silent no-ops (the half-specified-option bug
 class). Values are type-checked against the defaults schema; env
-values parse as YAML scalars so ``BOOCR__PIPELINE__N_PARTS=8`` is the
-int 8 and ``BOOCR__SPARK__LOG_LEVEL=INFO`` stays a string.
+values for non-string slots parse as YAML scalars
+(``BOOCR__PIPELINE__N_PARTS=8`` is the int 8) while string slots take
+the env value VERBATIM (``BOOCR__SPARK__LOG_LEVEL=OFF`` stays the
+string ``OFF`` — YAML 1.1 would read it as a boolean). Explicit nulls
+are only legal on keys whose default is null.
 """
 
 from __future__ import annotations
@@ -50,25 +53,40 @@ def load_defaults() -> dict[str, dict[str, Any]]:
     return {s: dict(v) for s, v in cfg.items()}
 
 
-def _check_value(section: str, key: str, value: Any, default: Any) -> Any:
-    """Validate ``value`` against the schema slot's type; coerce
-    int-valued floats arriving from YAML (``8.0`` -> ``8``) but reject
-    genuine type mismatches loudly."""
-    if value is None:
-        return None
-    want: type | None
+def _slot_type(section: str, key: str, default: Any) -> type | None:
+    """The slot's non-null type: read off the default, or the nullable
+    table when the default is null."""
     if default is not None:
-        want = type(default)
-    else:
-        want = _NULLABLE_TYPES.get((section, key))
+        return type(default)
+    return _NULLABLE_TYPES.get((section, key))
+
+
+def _check_value(section: str, key: str, value: Any, default: Any) -> Any:
+    """Validate ``value`` against the schema slot's type. Coercions:
+    int -> float for float slots, integral float -> int for int slots
+    (``8.0`` -> ``8``); everything else mismatched raises. ``None`` is
+    only legal for NULLABLE slots (default null in defaults.yml) — an
+    explicit null on a non-nullable key raises here instead of
+    crashing far away (setLogLevel(None), Thresholds(None) inside an
+    executor UDF)."""
+    if value is None:
+        if default is not None:
+            raise ValueError(
+                f"config: {section}.{key} is not nullable "
+                f"(default {default!r}); remove the key to use the default"
+            )
+        return None
+    want = _slot_type(section, key, default)
     if want is None:
         return value
-    if want is float and isinstance(value, int) and not isinstance(value, bool):
-        return float(value)
-    if want is int and isinstance(value, bool):
+    if isinstance(value, bool) and want is not bool:
         raise ValueError(
             f"config: {section}.{key} expects {want.__name__}, got bool {value!r}"
         )
+    if want is float and isinstance(value, int):
+        return float(value)
+    if want is int and isinstance(value, float) and value.is_integer():
+        return int(value)
     if not isinstance(value, want):
         raise ValueError(
             f"config: {section}.{key} expects {want.__name__}, "
@@ -137,11 +155,17 @@ def load_config(
                 f"config: env var {var} must be {ENV_PREFIX}SECTION__KEY"
             )
         section, key = parts
+        # string slots take the env value VERBATIM — YAML-parsing it
+        # would turn log4j's OFF (YAML-1.1 boolean) into False and
+        # reject a value the legacy BOOCR_LOG_LEVEL channel accepts;
+        # non-string slots parse as YAML scalars ("8" -> 8)
+        want = _slot_type(
+            section, key, defaults.get(section, {}).get(key)
+        )
+        raw = env[var]
+        value = raw if want is str else yaml.safe_load(raw)
         _merge_mapping(
-            cfg,
-            {section: {key: yaml.safe_load(env[var])}},
-            f"env var {var}",
-            defaults,
+            cfg, {section: {key: value}}, f"env var {var}", defaults
         )
     return cfg
 

@@ -2,12 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas UDFs via
 mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is
-stubbed: `decode_image` raises NotImplementedError unless the
-deterministic fake decoder is selected. Everything around it — the
-schema, the mapInPandas batch iteration, the per-batch vectorized
-feature math, partitioning behavior — is real and tested; swapping
-the stub for PIL/libav is a one-function change.
+The container has no image/audio codec LIBRARIES, but PNG decodes for
+real: `decode_png` is a pure-Python decoder (stdlib zlib inflate +
+scanline unfilter) and `decode_image` routes PNG payloads through it;
+every OTHER codec raises NotImplementedError (swapping in PIL/libav
+is a one-function change), with `fake_decode_image` as the
+deterministic stand-in for plumbing tests. Everything around the
+boundary — the schema, the mapInPandas batch iteration, the per-batch
+vectorized feature math, partitioning behavior — is real and tested.
 
 Reference analog: book-ocr's S3 image decode + F1 preprocess
 (/root/reference/docs/prd.md:29,51-52 [spec]) — blob in, features out,
@@ -396,10 +398,16 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for _, r in pdf.iterrows():
+                # nullable metadata: NaN/None dims must not crash the
+                # task or misclassify a decodable payload — PNG is
+                # self-describing, so dimension-less rows decode via
+                # decode_png and report the decoded shape
+                w_raw, h_raw = r["width"], r["height"]
+                have_dims = pd.notna(w_raw) and pd.notna(h_raw)
                 row = {
                     "media_id": int(r["media_id"]),
-                    "width": r["width"],
-                    "height": r["height"],
+                    "width": int(w_raw) if pd.notna(w_raw) else None,
+                    "height": int(h_raw) if pd.notna(h_raw) else None,
                     "decode_ok": "ok",
                     "mean_r": None,
                     "mean_g": None,
@@ -408,9 +416,16 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
                     "luma_std": None,
                 }
                 try:
-                    img = decode_image(
-                        bytes(r["payload"]), int(r["width"]), int(r["height"])
-                    )
+                    payload = bytes(r["payload"])
+                    if have_dims:
+                        img = decode_image(payload, int(w_raw), int(h_raw))
+                    elif payload[:8] == PNG_SIGNATURE:
+                        img = decode_png(payload)
+                        row["height"], row["width"] = (
+                            int(img.shape[0]), int(img.shape[1])
+                        )
+                    else:
+                        raise NotImplementedError("non-PNG without dims")
                 except NotImplementedError:
                     row["decode_ok"] = "unsupported_codec"
                 except ValueError:

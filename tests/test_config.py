@@ -85,6 +85,36 @@ def test_unknown_keys_and_bad_types_raise(tmp_path):
     assert load_config(str(f), env={})["thresholds"]["max_link_density"] == 1.0
 
 
+def test_null_string_and_coercion_contracts(tmp_path):
+    """Review-pass pins: explicit null on a non-nullable key raises
+    (instead of poisoning setLogLevel/Thresholds far away); string
+    slots take env values verbatim (log4j OFF must not YAML-parse to
+    False); integral floats coerce for int slots."""
+    f = tmp_path / "bad.yml"
+    f.write_text("spark:\n  log_level: null\n")
+    with pytest.raises(ValueError, match="not nullable"):
+        load_config(str(f), env={})
+    f.write_text("thresholds:\n  min_main_len: null\n")
+    with pytest.raises(ValueError, match="not nullable"):
+        load_config(str(f), env={})
+    # nullable keys still accept explicit null
+    f.write_text("pipeline:\n  n_parts: null\n")
+    assert load_config(str(f), env={})["pipeline"]["n_parts"] is None
+    # env empty string for a non-string slot is YAML null -> raises
+    with pytest.raises(ValueError, match="not nullable"):
+        load_config(env={"BOOCR__PIPELINE__N_CHUNKS": ""})
+    # string slot verbatim: OFF stays 'OFF', both env channels agree
+    cfg = load_config(env={"BOOCR__SPARK__LOG_LEVEL": "OFF"})
+    assert cfg["spark"]["log_level"] == "OFF"
+    assert load_config(env={"BOOCR_LOG_LEVEL": "OFF"})["spark"]["log_level"] == "OFF"
+    # integral float -> int slot coerces; fractional raises
+    f.write_text("pipeline:\n  n_parts: 8.0\n")
+    assert load_config(str(f), env={})["pipeline"]["n_parts"] == 8
+    f.write_text("pipeline:\n  n_parts: 8.5\n")
+    with pytest.raises(ValueError, match="expects int"):
+        load_config(str(f), env={})
+
+
 def test_cli_config_file_feeds_thresholds_end_to_end(
     spark, tmp_path, capsys, monkeypatch
 ):

@@ -250,3 +250,28 @@ def test_extract_pixel_features_failure_classification(spark):
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
     got = {r.media_id: r.decode_ok for r in mm.extract_pixel_features(media).collect()}
     assert got == {1: "ok", 2: "unsupported_codec", 3: "malformed"}
+
+
+def test_extract_pixel_features_null_dims(spark):
+    """Review-pass pin: NULL declared dims neither crash the task nor
+    misclassify — PNG is self-describing, so the row decodes and
+    reports the decoded shape; non-PNG without dims classifies as
+    unsupported_codec."""
+    import pandas as pd
+
+    png = mm.encode_png(_img(12, 16), filter_type=2)
+    rows = pd.DataFrame(
+        [
+            {"media_id": 1, "kind": "image", "payload": png,
+             "width": None, "height": None, "sample_rate": None, "n_frames": None},
+            {"media_id": 2, "kind": "image", "payload": b"GIF89a...",
+             "width": None, "height": None, "sample_rate": None, "n_frames": None},
+        ]
+    )
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.extract_pixel_features(media).collect()}
+    assert got[1].decode_ok == "ok"
+    assert (got[1].width, got[1].height) == (16, 12)
+    assert got[1].luma_mean is not None
+    assert got[2].decode_ok == "unsupported_codec"
+    assert got[2].width is None and got[2].height is None

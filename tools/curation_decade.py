@@ -6,9 +6,13 @@ consecutive configurations, and report per-stage decade ratios
 
 The stage list mirrors the CLI `curate` surface over the documents
 table (which has no URL column, so the URL-family stages are exercised
-by the webfilter suite instead): line dedup -> lexicon gate ->
-substring removal -> LM perplexity gate -> quality+near-dup core ->
-benchmark decontamination.
+by the webfilter suite instead). Cumulative configuration order — the
+base config is the quality+near-dup core, each subsequent config adds
+one stage: quality+near-dup core -> line dedup -> lexicon gate ->
+substring removal -> LM perplexity gate -> benchmark decontamination.
+(This is the MEASUREMENT order; curate_web_corpus itself applies the
+stages in its own documented pipeline order regardless of which are
+enabled.)
 
 Usage:
     python tools/curation_decade.py /root/testdata/sf0.1 /tmp/dec/sf1

@@ -84,6 +84,11 @@ def generate(
     bounded as the corpus scales — the vocabulary-growing decade the
     containment asymptote measurement needs. ``only`` restricts
     generation to the named tables (docs-only runs are ~10× cheaper)."""
+    if only is not None and "lineitem" in only and "orders" not in only:
+        # lineitem derives from the orders table WRITTEN BY THIS RUN;
+        # reading back a stale/other-sf orders.parquet would silently
+        # produce an inconsistent corpus
+        raise ValueError("--only=lineitem requires orders too")
     _emit = globals()["_write"]
 
     def _write(df: DataFrame, od: str, name: str, n_files: int) -> None:
