@@ -1555,11 +1555,12 @@ def _textstats_oracle_sql(which: str) -> str:
 
 
 _POST_SIGNUP_SQL = """
-    SELECT s.event_id AS signup_event_id, COUNT(*) AS n_events,
-           ROUND(SUM(e.value), 4) AS total_value
+    SELECT s.event_id AS signup_event_id,
+           COUNT(e.event_id) AS n_events,
+           COALESCE(ROUND(SUM(e.value), 4), 0) AS total_value
     FROM (SELECT user_id, event_id, ts FROM events
           WHERE event_type = 'signup') s
-    JOIN events e
+    LEFT JOIN events e
       ON e.user_id = s.user_id
      AND e.ts > s.ts
      AND e.ts <= s.ts + INTERVAL 24 HOURS

@@ -134,7 +134,11 @@ def bloom_build(
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     rows = (
-        df.select(F.explode(bloom_positions(col, m_bits, k)).alias("pos"))
+        # NULL keys carry no hashable content and cannot be members;
+        # without the filter their NULL positions form a NULL word
+        # group that crashes the collect below
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(bloom_positions(col, m_bits, k)).alias("pos"))
         .distinct()
         .groupBy(F.expr("pos div 64").alias("w"))
         .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
@@ -174,9 +178,27 @@ def with_bloom_maybe(
         w = bc.value
         if len(pos) == 0:
             return pd.Series([], dtype=bool)
-        a = np.stack(pos.to_numpy()).astype(np.uint64)  # (n, k) positions
-        hit = (w[(a >> np.uint64(6)).astype(np.int64)] >> (a & np.uint64(63))) & np.uint64(1)
-        return pd.Series(hit.all(axis=1))
+        # a NULL key yields an array of NULL positions: it cannot be a
+        # member (bloom_build skips NULLs), so it flags False — the
+        # absence GUARANTEE holds and the np.stack cast never sees the
+        # Nones (which would raise TypeError and kill the task)
+        arrs = pos.to_numpy()
+        valid = np.array(
+            [
+                p is not None and len(p) > 0 and not pd.isna(p[0])
+                for p in arrs
+            ],
+            dtype=bool,
+        )
+        out = np.zeros(len(arrs), dtype=bool)
+        if valid.any():
+            a = np.stack(arrs[valid]).astype(np.uint64)  # (n, k) positions
+            hit = (
+                w[(a >> np.uint64(6)).astype(np.int64)]
+                >> (a & np.uint64(63))
+            ) & np.uint64(1)
+            out[valid] = hit.all(axis=1)
+        return pd.Series(out)
 
     return df.withColumn(
         flag, _might_contain(bloom_positions(col, filt.m_bits, filt.k))

@@ -123,7 +123,7 @@ def dsir_log_weights(
         .groupBy("id", "b")
         .agg(F.count("*").alias("cnt"))
     )
-    return (
+    scored = (
         doc_buckets.join(lam, "b")
         .groupBy("id")
         .agg(
@@ -131,6 +131,12 @@ def dsir_log_weights(
             F.sum(F.col("cnt") * F.col("lam_micro")).alias("logw_micro"),
         )
     )
+    # Re-attach gram-less documents (NULL text: split -> NULL, explode
+    # emits no rows) so EVERY raw id gets a row — the lm_cross_entropy
+    # rule; a zero-gram doc scores the neutral (0, 0), present in the
+    # resampling universe instead of silently falling out of it.
+    ids = raw.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(scored, "id", "left").fillna(0, ["n_grams", "logw_micro"])
 
 
 def _duck_grams(corpus_sql: str) -> str:
@@ -168,9 +174,17 @@ def duck_dsir_log_weights_sql(
                    )) AS BIGINT) AS lam_micro
             FROM range({m}) r CROSS JOIN tot
             LEFT JOIN tc ON tc.b = r.range LEFT JOIN rc ON rc.b = r.range),
-        db AS (SELECT id, {h} % {m} AS b, COUNT(*) AS cnt FROM rg GROUP BY 1, 2)
-        SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
-               CAST(SUM(cnt * lam_micro) AS BIGINT) AS logw_micro
-        FROM db JOIN lam USING (b)
-        GROUP BY id ORDER BY id
+        db AS (SELECT id, {h} % {m} AS b, COUNT(*) AS cnt FROM rg GROUP BY 1, 2),
+        dsir_scored AS (
+            SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   CAST(SUM(cnt * lam_micro) AS BIGINT) AS logw_micro
+            FROM db JOIN lam USING (b)
+            GROUP BY id)
+        -- gram-less (NULL-text) docs re-attach with the neutral (0, 0)
+        -- score, mirroring the Spark side's every-document contract
+        SELECT r.id, CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.logw_micro, 0) AS BIGINT) AS logw_micro
+        FROM (SELECT DISTINCT id FROM ({raw_sql}) rr) r
+        LEFT JOIN dsir_scored s USING (id)
+        ORDER BY r.id
     """

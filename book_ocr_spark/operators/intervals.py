@@ -25,7 +25,9 @@ Two formulations with IDENTICAL output (asserted in tests):
     the compose path salts conv_id.
 
 Both return one row per anchor: (signup_event_id, n_events,
-total_value).
+total_value) — anchors with ZERO in-window events keep their row as
+(id, 0, 0.0) (left join + zero-fill; an inner join would silently
+drop inactive anchors and inflate every per-anchor downstream mean).
 """
 
 from __future__ import annotations
@@ -53,11 +55,13 @@ def interval_activity(
         & (F.col("ts") <= F.col("s_ts") + F.expr(f"INTERVAL {window_hours} HOURS"))
     )
     return (
-        s.join(events, cond)
+        s.join(events, cond, "left")
         .groupBy("signup_event_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count(F.col("event_id")).alias("n_events"),
+            F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)).alias(
+                "total_value"
+            ),
         )
     )
 
@@ -84,14 +88,19 @@ def interval_activity_bucketed(
             )
         ),
     )
+    # the range predicate rides IN the left join condition: as a
+    # post-join filter it would drop the NULL-event rows that keep
+    # zero-activity anchors present (each anchor has 2 bucket
+    # replicas; both aggregate away into the one (id, 0, 0.0) row)
     joined = s.join(
         e,
-        (F.col("user_id") == F.col("s_user")) & (F.col("bucket") == F.col("s_bucket")),
-    ).filter(
-        (F.col("ts") > F.col("s_ts"))
-        & (F.col("ts") <= F.col("s_ts") + F.expr(f"INTERVAL {window_hours} HOURS"))
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("bucket") == F.col("s_bucket"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr(f"INTERVAL {window_hours} HOURS")),
+        "left",
     )
     return joined.groupBy("signup_event_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count(F.col("event_id")).alias("n_events"),
+        F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)).alias("total_value"),
     )

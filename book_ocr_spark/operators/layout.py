@@ -65,9 +65,14 @@ def zorder_bucketize(
     df: DataFrame, cols: list[str], bits: int = 16, out_prefix: str = "_zb_"
 ) -> DataFrame:
     """Append `{out_prefix}{col}` integer buckets in [0, 2^bits) per
-    column: b = (v − lo) · 2^bits DIV (hi − lo + 1) over the observed
-    global [lo, hi] (exact integer arithmetic; all-equal column ⇒
-    bucket 0). NULLs bucket to 0 — they sort first, which is also
+    column: b = clamp(⌊(v − lo) · 2^bits / (hi − lo + 1)⌋) over the
+    observed global [lo, hi] (all-equal column ⇒ bucket 0). The scale
+    is computed in DOUBLE: the naive bigint form ((v−lo)·2^bits) wraps
+    negative for ranges wider than 2^(63−bits) — e.g. h56-derived ids
+    — silently breaking the [0, 2^bits) precondition and destroying
+    clustering; a 53-bit mantissa is far more than the `bits` of
+    precision bucketing needs, and the clamp absorbs the one-ulp edge
+    at v = hi. NULLs bucket to 0 — they sort first, which is also
     where a min/max-stats reader looks for them."""
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -79,8 +84,14 @@ def zorder_bucketize(
     out = df.crossJoin(F.broadcast(bounds))
     for c in cols:
         b = F.expr(
-            f"((cast({c} as bigint) - _lo_{c}) * {n})"
-            f" DIV (_hi_{c} - _lo_{c} + 1)"
+            # explicit NULL branch: Spark's least/greatest SKIP NULLs,
+            # so clamping a NULL would yield the clamp bound instead
+            # of falling through to the coalesce-to-0 below
+            f"case when {c} is null then null else "
+            f"greatest(0L, least(cast({n - 1} as bigint), cast(floor("
+            f"(cast({c} as double) - cast(_lo_{c} as double))"
+            f" * ({n}.0D / (cast(_hi_{c} as double) - cast(_lo_{c} as double) + 1.0D))"
+            f") as bigint))) end"
         )
         out = out.withColumn(
             f"{out_prefix}{c}", F.coalesce(b, F.lit(0)).cast("long")

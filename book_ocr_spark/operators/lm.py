@@ -117,11 +117,16 @@ def lm_cross_entropy(
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unseen bigrams need mass)")
     model = bigram_lm(corpus, id_col, text_col, v)
+    # The bigram and history counts attach through SEPARATE left
+    # joins: an unseen (u1, u2) whose HISTORY u1 is seen must keep the
+    # true c(u1) denominator — joining only on (u1, u2) would zero it
+    # and score gibberish continuations of frequent histories as far
+    # too fluent (p(.|u1) un-normalized). Fully unseen histories take
+    # c12 = c1 = 0, the pure-smoothing conditional ln(a) - ln(a*v).
+    hist = model.groupBy("u1").agg(F.max("c1").alias("c1"))
+    pairs = model.select("u1", "u2", "c12")
     if broadcast_model:
-        model = F.broadcast(model)
-    # Unseen histories (u1 absent from the model) take c12 = c1 = 0 —
-    # the pure-smoothing conditional ln(a) - ln(a*v) — so the left
-    # join needs no second backoff table.
+        pairs, hist = F.broadcast(pairs), F.broadcast(hist)
     db = (
         _bigrams(docs, id_col, text_col, v)
         .groupBy("id", "u1", "u2")
@@ -135,7 +140,8 @@ def lm_cross_entropy(
         )
     ).cast("long")
     scored = (
-        db.join(model, ["u1", "u2"], "left")
+        db.join(pairs, ["u1", "u2"], "left")
+        .join(hist, ["u1"], "left")
         .select("id", "cnt", lp.alias("lp"))
         .groupBy("id")
         .agg(
@@ -186,17 +192,19 @@ def duck_lm_cross_entropy_sql(
     return f"""
         WITH cg AS ({_duck_bigrams(corpus_sql, v)}),
         dg AS ({_duck_bigrams(docs_sql, v)}),
-        bi AS (SELECT u1, u2, COUNT(*) AS c12,
-                      SUM(COUNT(*)) OVER (PARTITION BY u1) AS c1
-               FROM cg GROUP BY 1, 2),
+        bi AS (SELECT u1, u2, COUNT(*) AS c12 FROM cg GROUP BY 1, 2),
+        hist AS (SELECT u1, COUNT(*) AS c1 FROM cg GROUP BY 1),
         db AS (SELECT id, u1, u2, COUNT(*) AS cnt FROM dg GROUP BY 1, 2, 3),
         scored AS (
+            -- history count attaches through its OWN left join so a
+            -- seen history keeps its true c(u1) denominator on unseen
+            -- bigrams (same fix as the Spark side)
             SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
                    CAST(SUM(cnt * CAST(ROUND({MICRO} * (
                        ln(COALESCE(c12, 0) + {alpha})
                      - ln(COALESCE(c1, 0) + {alpha} * {v})
                    )) AS BIGINT)) AS BIGINT) AS logp_micro
-            FROM db LEFT JOIN bi USING (u1, u2)
+            FROM db LEFT JOIN bi USING (u1, u2) LEFT JOIN hist USING (u1)
             GROUP BY id)
         SELECT d.id,
                COALESCE(n_bigrams, 0) AS n_bigrams,

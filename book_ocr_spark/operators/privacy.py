@@ -145,6 +145,15 @@ def _duck_cols(cols: list[str]) -> str:
     return ", ".join(cols)
 
 
+def _duck_order(cols: list[str]) -> str:
+    """ORDER BY list pinned to NULLS FIRST: Spark's ascending sort is
+    NULLS FIRST while DuckDB's default is NULLS LAST, so without the
+    pin the two engines' 'totally ordered' outputs diverge on row
+    order whenever a quasi column contains NULL (a regular value
+    here)."""
+    return ", ".join(f"{c} NULLS FIRST" for c in cols)
+
+
 def duck_k_anonymity_report_sql(
     src_sql: str, quasi_cols: list[str], k: int
 ) -> str:
@@ -152,11 +161,12 @@ def duck_k_anonymity_report_sql(
     NULLs as equal in both engines)."""
     _validate(quasi_cols, k, "k")
     q = _duck_cols(quasi_cols)
+    oq = _duck_order(quasi_cols)
     return f"""
         SELECT {q}, COUNT(*) AS n, COUNT(*) < {k} AS violates
         FROM ({src_sql}) ka_src
         GROUP BY {q}
-        ORDER BY {q}
+        ORDER BY {oq}
     """
 
 
@@ -197,6 +207,7 @@ def duck_l_diversity_report_sql(
     if sensitive_col in quasi_cols:
         raise ValueError("sensitive_col cannot be a quasi column")
     q = _duck_cols(quasi_cols)
+    oq = _duck_order(quasi_cols)
     sent = (
         f"COALESCE(CAST({sensitive_col} AS VARCHAR), CHR(0) || 'null')"
     )
@@ -206,5 +217,5 @@ def duck_l_diversity_report_sql(
                COUNT(DISTINCT {sent}) < {l_val} AS violates
         FROM ({src_sql}) ld_src
         GROUP BY {q}
-        ORDER BY {q}
+        ORDER BY {oq}
     """

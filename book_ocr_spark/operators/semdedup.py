@@ -269,7 +269,7 @@ def duck_semantic_contamination_sql(
                        ROW_NUMBER() OVER (PARTITION BY p.id
                            ORDER BY {cos('p.v', 'ct.c_vec')} DESC,
                                     ct.cell ASC) AS rk
-                FROM sc_probes p CROSS JOIN cent{iters} ct) t
+                FROM sc_probes p CROSS JOIN cent{iters - 1} ct) t
             WHERE rk <= {nprobe})"""
     )
     sim = cos("p.v", "a.v")
@@ -385,7 +385,7 @@ def duck_prototype_scores_sql(
     return (
         "WITH " + ",\n".join(ctes) + f"""
         SELECT a.id, a.cell, ROUND({cos}, 6) AS proto_sim
-        FROM assign{iters} a JOIN cent{iters} ct USING (cell)
+        FROM assign{iters} a JOIN cent{iters - 1} ct USING (cell)
         ORDER BY id
     """
     )

@@ -266,10 +266,11 @@ def _hyperplane_band_keys(
     declarative sum-aggregates exceed whole-stage-codegen limits and
     fall back to interpreted aggregation, so the trick that wins for
     64 simple min() aggregates loses for wide weighted sums."""
+    gv = _guarded_dim_vec(vec_col, dim, "hyperplane_bands")
     terms = []
     for band in range(n_bands):
         bits = [
-            _plane_sign_term(vec_col, band * band_planes + p, dim, p)
+            _plane_sign_term(gv, band * band_planes + p, dim, p)
             for p in range(band_planes)
         ]
         terms.append("cast((" + " + ".join(bits) + ") as int)")
@@ -323,9 +324,22 @@ def ivf_build(
     is K rows — driver-sized by construction, like every production
     k-means (MLlib does the same collect per iteration).
 
-    Returns (assignments DF (id, cell), centroids DF (cell, c_vec)).
+    Returns (assignments DF (id, cell), centroids DF (cell, c_vec)) —
+    the centroids are the ones the FINAL assignment was computed
+    against (the pq_build used_cb convention): a stored (assign,
+    centroids) pair must be mutually consistent, so ivf_assign on a
+    vector identical to a stored one lands in the stored row's cell
+    and ivf_topk probes cells ranked by the same centroids that
+    partitioned the inverted lists. The last Lloyd mean update is
+    deliberately not returned (it has no assignment consistent with
+    it).
     """
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NULL vectors drop up front: a NULL v yields NULL cosine against
+    # every centroid, yet row_number would still hand it an arbitrary
+    # cell — a garbage assignment poisoning that cell's mean
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     pool = c.withColumn(
         "_h", F.expr("cast(conv(substring(md5(cast(id as string)), 1, 7), 16, 10) as bigint)")
     )
@@ -341,6 +355,7 @@ def ivf_build(
         )
     )
     assign = None
+    used = centroids
     for _ in range(iters):
         sim = _cosine_expr("v", "c_vec")
         w = Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
@@ -351,6 +366,7 @@ def ivf_build(
             .filter(F.col("_rk") == 1)
             .select("id", "cell", "v")
         )
+        used = centroids
         centroids = (
             assign.select("cell", F.posexplode(F.col("v").cast("array<double>")))
             .groupBy("cell", "pos")
@@ -361,7 +377,7 @@ def ivf_build(
             )
             .select("cell", F.expr("transform(_pm, x -> x.m)").alias("c_vec"))
         )
-    return assign.select("id", "cell"), centroids
+    return assign.select("id", "cell"), used
 
 
 def ivf_topk(
@@ -380,7 +396,11 @@ def ivf_topk(
     of the hyperplane-bucket path (use IVF when the corpus has cluster
     structure, LSH when it doesn't)."""
     assign, centroids = ivf_build(corpus, id_col, vec_col, n_cells, iters)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # NULL probes drop for the same reason ivf_build drops NULL
+    # corpus vectors (see its comment)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
     probed = (
         q.crossJoin(F.broadcast(centroids))
@@ -418,12 +438,16 @@ def _duck_ivf_ctes(corpus_sql: str, n_cells: int, iters: int) -> list[str]:
     6dp centroid rounding is what makes the two engines' Lloyd
     iterations bit-identical despite different partial-sum orders (see
     ivf_build). Yields corpus, cent0..cent{iters}, assign1..assign{iters};
-    corpus_sql must yield (id, v). Shared by duck_ivf_topk_sql and
-    semdedup.duck_semantic twins."""
+    assign{iters} was computed against cent{iters - 1}, which is the
+    centroid table ivf_build RETURNS (the used-centroids convention) —
+    consumers pairing assignment with centroids must reference
+    cent{iters - 1}, never cent{iters}. corpus_sql must yield (id, v).
+    Shared by duck_ivf_topk_sql and semdedup.duck_semantic twins."""
     cos = _duck_cos
     h = "CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7)) AS BIGINT)"
     ctes = [
-        f"corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM ({corpus_sql}) c0)",
+        "corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v "
+        f"FROM ({corpus_sql}) c0 WHERE v IS NOT NULL)",
         f"""cent0 AS (
             SELECT ROW_NUMBER() OVER (ORDER BY {h}, id) - 1 AS cell, v AS c_vec
             FROM corpus ORDER BY {h}, id LIMIT {n_cells})""",
@@ -466,7 +490,7 @@ def duck_ivf_topk_sql(
     ctes = _duck_ivf_ctes(corpus_sql, n_cells, iters)
     ctes.append(
         f"""probes AS (SELECT query_id, CAST(q_vec AS DOUBLE[]) AS q_vec
-            FROM ({queries_sql}) q0)"""
+            FROM ({queries_sql}) q0 WHERE q_vec IS NOT NULL)"""
     )
     ctes.append(
         f"""probed AS (
@@ -474,7 +498,7 @@ def duck_ivf_topk_sql(
                 SELECT q.query_id, q.q_vec, ct.cell,
                        ROW_NUMBER() OVER (PARTITION BY q.query_id
                            ORDER BY {cos('q.q_vec', 'ct.c_vec')} DESC, ct.cell ASC) AS rk
-                FROM probes q CROSS JOIN cent{iters} ct) t
+                FROM probes q CROSS JOIN cent{iters - 1} ct) t
             WHERE rk <= {nprobe})"""
     )
     ctes.append(
@@ -517,6 +541,21 @@ def _plane_weight(p: int, d: int) -> int:
     return h % 2001 - 1000
 
 
+def _guarded_dim_vec(vec_col: str, dim: int, op: str) -> str:
+    """The _subvec_explode/sq_encode rule for the hyperplane paths: a
+    vector whose length differs from ``dim`` RAISES instead of letting
+    zip_with pad with NULL, fold the projection to NULL, and silently
+    collapse the vector to bucket 0 (false negatives + a pathological
+    hot bucket). NULL vectors pass through as NULL (consumers filter
+    them with their own documented policies)."""
+    return (
+        f"(case when {vec_col} is null then cast(null as array<double>) "
+        f"when size({vec_col}) = {dim} then cast({vec_col} as array<double>) "
+        f"else raise_error(concat('{op}: embedding length ', "
+        f"cast(size({vec_col}) as string), ' != dim={dim}')) end)"
+    )
+
+
 def _plane_sign_term(vec_col: str, plane: int, dim: int, bit: int) -> str:
     """SQL for one hyperplane's sign bit (worth 2^bit): dot the
     double-cast vector against plane ``plane``'s literal weight array
@@ -537,7 +576,8 @@ def _plane_sign_term(vec_col: str, plane: int, dim: int, bit: int) -> str:
 def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int):
     """Signature = sign bits against n_planes pseudo-random
     hyperplanes, packed into one int key."""
-    terms = [_plane_sign_term(vec_col, p, dim, p) for p in range(n_planes)]
+    gv = _guarded_dim_vec(vec_col, dim, "hyperplane")
+    terms = [_plane_sign_term(gv, p, dim, p) for p in range(n_planes)]
     return F.expr(" + ".join(terms)).cast("int")
 
 
@@ -868,7 +908,8 @@ def _duck_pq_ctes(corpus_sql: str, dim: int, m_sub: int, n_codes: int, iters: in
         cc="list_dot_product(cb.c_vec, cb.c_vec)",
     )
     ctes = [
-        f"corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM ({corpus_sql}) c0)",
+        "corpus AS (SELECT id, CAST(v AS DOUBLE[]) AS v "
+        f"FROM ({corpus_sql}) c0 WHERE v IS NOT NULL)",
         f"""subs AS (
             SELECT id, r.sub AS sub,
                    list_slice(v, r.sub * {sd} + 1, r.sub * {sd} + {sd}) AS sv
@@ -1244,7 +1285,10 @@ def sq_topk_from_index(
     decode inlined into the scoring projection."""
     _sq_validate(dim, levels)
     lo, hi = _sq_collect_params(params, dim)
-    q = queries.select(
+    # NULL probe vectors drop (the lsh_bucket_topk rule): a NULL q_vec
+    # would score NULL against every code row yet still receive ranks,
+    # emitting k garbage result rows per NULL probe
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     xhat = _sq_decode_expr("codes", lo, hi, dim, levels)
@@ -1331,7 +1375,7 @@ def duck_sq_topk_sql(
                    ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
                                           h.xhat), 4) AS score
             FROM sq_hat h CROSS JOIN ({queries_sql}) q
-            WHERE h.id <> q.vec_id)
+            WHERE h.id <> q.vec_id AND q.embedding IS NOT NULL)
         SELECT query_id, rank, neighbor_id, score FROM (
             SELECT query_id, neighbor_id, score,
                    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -54,9 +54,15 @@ def _window_hash_expr(n: int) -> str:
 
 
 def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # NULL text coalesces to '' (the chunking.split_long_docs rule):
+    # split(NULL) is NULL and posexplode(NULL) emits NO rows, which
+    # would silently drop the document from the output in violation of
+    # the every-document contract
     return df.select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias(
+            "_toks"
+        ),
     )
 
 
@@ -188,7 +194,10 @@ def _duck_base_ctes(corpus_sql: str, n: int) -> str:
     whash = duck_h56(f"array_to_string(toks[i + 1 : i + {n}], ' ')")
     return f"""
         arr AS (
-            SELECT id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+            -- COALESCE matches the Spark side's NULL-text rule
+            SELECT id,
+                   regexp_split_to_array(TRIM(COALESCE(text, '')), '\\s+')
+                       AS toks
             FROM ({corpus_sql}) c0),
         winpos AS (
             SELECT id, toks,

@@ -82,3 +82,36 @@ def test_dsir_lambda_table_is_broadcast(spark):
     # (the 1-row totals attach via a broadcast nested-loop join — that
     # is the intended shape for scalar fan-out, not a pairwise join)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_null_text_neutral_row(spark):
+    """Review-pass pin: NULL-text raw docs keep a row with the neutral
+    (0, 0) score instead of silently falling out of the resampling
+    universe; twin agrees."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import dsir
+
+    raw_rows = [(1, "alpha beta gamma"), (2, None), (3, "delta alpha")]
+    tgt_rows = [(10, "alpha beta"), (11, "beta gamma")]
+    raw = spark.createDataFrame(raw_rows, "id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "id long, text string")
+    got = {
+        r.id: (r.n_grams, r.logw_micro)
+        for r in dsir.dsir_log_weights(raw, tgt, "id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0)
+    con = duckdb.connect()
+    con.register("dr", pd.DataFrame(raw_rows, columns=["id", "text"]))
+    con.register("dt", pd.DataFrame(tgt_rows, columns=["id", "text"]))
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.sql(
+            dsir.duck_dsir_log_weights_sql(
+                "SELECT id, text FROM dr", "SELECT id, text FROM dt"
+            )
+        ).fetchall()
+    }
+    assert got == want

@@ -136,3 +136,21 @@ def test_zorder_validation(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError):
         L.zorder_bucketize(df, [], bits=4)
+
+
+def test_zorder_bucketize_wide_range_no_overflow(spark):
+    """Review-pass pin: a column spanning ~2^56 (h56-derived ids) must
+    bucket into [0, 2^bits) monotonically — the old bigint multiply
+    wrapped negative for ranges wider than 2^(63-bits), silently
+    destroying clustering."""
+    from book_ocr_spark.operators.layout import zorder_bucketize
+
+    vals = [0, 1, 2**40, 2**55, 2**56 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r.x: r._zb_x for r in zorder_bucketize(df, ["x"], bits=16).collect()
+    }
+    assert all(0 <= b < 2**16 for b in got.values()), got
+    ordered = [got[v] for v in vals]
+    assert ordered == sorted(ordered)  # monotone in the value
+    assert got[0] == 0 and got[2**56 - 1] == 2**16 - 1

@@ -385,3 +385,37 @@ def test_kn_validation(spark):
             lm.duck_kn_cross_entropy_sql("q", "q", discount=bad)
     with pytest.raises(ValueError, match="alpha"):
         lm.kn_cross_entropy(docs, docs, "id", "text", alpha=0.0)
+
+
+def test_lm_seen_history_unseen_bigram_denominator(spark):
+    """Review-pass pin: an unseen bigram AFTER a seen history must pay
+    the history's true count in the denominator (ln(c1 + a*v)), not be
+    scored as a fully-unseen history (ln(a*v)) — the (u1,u2)-only join
+    bug made gibberish continuations of frequent histories look far
+    too fluent."""
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the zzzz"), (2, "yyyy zzzz")], "id long, text string"
+    )
+    got = {
+        r.id: r.logp_micro
+        for r in lm.lm_cross_entropy(docs, corpus, "id", "text").collect()
+    }
+    # 'the' is a frequent corpus history, 'yyyy' unseen; both bigrams
+    # unseen => doc 1's denominator is strictly larger
+    assert got[1] < got[2]
+    # and the twin replays the same fix bit-identically
+    con = duckdb.connect()
+    con.register("d2", pd.DataFrame(
+        [(1, "the zzzz"), (2, "yyyy zzzz")], columns=["id", "text"]
+    ))
+    con.register("c2", pd.DataFrame(CORPUS_ROWS, columns=["id", "text"]))
+    want = {
+        int(r[0]): int(r[2])
+        for r in con.sql(
+            lm.duck_lm_cross_entropy_sql(
+                "SELECT id, text FROM d2", "SELECT id, text FROM c2"
+            )
+        ).fetchall()
+    }
+    assert got == want

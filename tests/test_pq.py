@@ -222,3 +222,54 @@ def test_ivf_assign_matches_build_and_extends_index(clustered):
     )
     nb = {r.id - 5000: r.cell for r in ivf_assign(batch, centroids).collect()}
     assert nb == {i: got[i] for i in nb}
+
+
+def test_ivf_build_returns_used_centroids(spark, clustered):
+    """Review-pass pin: the returned (assign, centroids) pair must be
+    mutually consistent — re-assigning the corpus against the RETURNED
+    centroids (ivf_assign, the frozen-centroid serving rule) must
+    reproduce the stored assignment exactly. The old post-update
+    return broke this: a new vector identical to a stored one could
+    land in a different cell than its stored twin."""
+    from book_ocr_spark.operators.similarity import ivf_assign, ivf_build
+
+    df, _ = clustered
+    assign, cent = ivf_build(df, n_cells=4, iters=2)
+    stored = {r.id: r.cell for r in assign.collect()}
+    re_assigned = {r.id: r.cell for r in ivf_assign(df, cent).collect()}
+    assert stored == re_assigned
+
+
+def test_hyperplane_dim_mismatch_raises(spark):
+    """Review-pass pin: a vector whose length differs from dim must
+    RAISE (the sq_encode/_subvec_explode rule) instead of silently
+    collapsing to bucket 0 (false negatives + a hot bucket)."""
+    import pytest as _pt
+
+    rows = [(0, [1.0] * 16), (1, [1.0] * 16), (2, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pt.raises(Exception, match="hyperplane.*length 8"):
+        sim.lsh_bucket_topk(df, df.filter(F.col("vec_id") < 1), dim=16).collect()
+    with _pt.raises(Exception, match="hyperplane.*length 8"):
+        sim.cosine_near_dup_pairs_bucketed(df, dim=16).collect()
+
+
+def test_ivf_sq_null_probes_drop(spark, clustered):
+    """Review-pass pin: NULL query/corpus vectors drop instead of
+    receiving ranks with NULL scores (the lsh_bucket_topk rule,
+    extended to ivf_topk and the SQ serving path)."""
+    df, _ = clustered
+    null_probe = spark.createDataFrame(
+        [(1000, None)], "vec_id long, embedding array<float>"
+    )
+    probes = df.filter(F.col("vec_id") < 2).unionByName(null_probe)
+    got = sim.ivf_topk(df, probes, k=3, n_cells=4, iters=1).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    assert all(r.sim is not None for r in got)
+    got_sq = sim.sq_topk(df, probes, dim=16, k=3).collect()
+    assert {r.query_id for r in got_sq} == {0, 1}
+    assert all(r.score is not None for r in got_sq)
+    # NULL corpus vectors vanish from ivf_build's assignment
+    corpus_with_null = df.unionByName(null_probe)
+    assign, _cent = sim.ivf_build(corpus_with_null, n_cells=4, iters=1)
+    assert 1000 not in {r.id for r in assign.collect()}

@@ -156,3 +156,52 @@ def test_validation(spark):
         privacy.l_diversity_report(df, ["domain"], "domain", 2)
     with pytest.raises(ValueError):
         privacy.duck_k_anonymize_sql("SELECT 1", ["a"], ["a"], 2, "nope")
+
+
+def test_privacy_reports_null_quasi_order_matches_twin(spark):
+    """Review-pass pin: Spark ascending sort is NULLS FIRST, DuckDB's
+    default is NULLS LAST — the twins pin NULLS FIRST so the totally
+    ordered outputs agree POSITIONALLY when a quasi column has NULL."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import privacy as pv
+
+    rows = [
+        ("chat", None, "a"),
+        ("chat", None, "b"),
+        ("chat", "en", "a"),
+        ("web", "de", "a"),
+        ("web", "de", "a"),
+    ]
+    df = spark.createDataFrame(rows, "source string, locale string, sens string")
+    got = [
+        tuple(r)
+        for r in pv.k_anonymity_report(df, ["source", "locale"], 2).collect()
+    ]
+    con = duckdb.connect()
+    con.register("pv", pd.DataFrame(rows, columns=["source", "locale", "sens"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            pv.duck_k_anonymity_report_sql(
+                "SELECT * FROM pv", ["source", "locale"], 2
+            )
+        ).fetchall()
+    ]
+    assert got == want  # positional equality, NULL group included
+    got_l = [
+        tuple(r)
+        for r in pv.l_diversity_report(
+            df, ["source", "locale"], "sens", 2
+        ).collect()
+    ]
+    want_l = [
+        tuple(r)
+        for r in con.sql(
+            pv.duck_l_diversity_report_sql(
+                "SELECT * FROM pv", ["source", "locale"], "sens", 2
+            )
+        ).fetchall()
+    ]
+    assert got_l == want_l

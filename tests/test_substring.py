@@ -217,3 +217,35 @@ def test_partition_invariance(spark):
         map(tuple, substring_dedup(df.coalesce(1), "id", "text", n=N).collect())
     )
     assert a == b
+
+
+def test_substring_dedup_null_text_kept(spark):
+    """Review-pass pin: NULL-text documents must pass through (as
+    empty) instead of silently vanishing from the output — the
+    every-document contract; the DuckDB twin agrees."""
+    import duckdb
+    import pandas as pd
+
+    from book_ocr_spark.operators import substring as ss
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in ss.substring_dedup(docs, "id", "text", n=8).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[3][0] == "" and got[3][2] == 0
+    con = duckdb.connect()
+    con.register("sd", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.sql(
+            ss.duck_substring_dedup_sql("SELECT id, text FROM sd", n=8)
+        ).fetchall()
+    }
+    assert got == want

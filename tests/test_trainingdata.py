@@ -348,6 +348,11 @@ def test_interval_join_bucketed_equals_definitional_on_skew(spark):
     rows.append((eid, 98, "signup", tneg, 1.0)); eid += 1
     rows.append((eid, 98, "click", tneg + dt.timedelta(hours=2), 3.0)); eid += 1
     rows.append((eid, 98, "click", tneg + dt.timedelta(hours=25), 3.0)); eid += 1
+    # an anchor with ZERO in-window events keeps its row as (id, 0, 0.0)
+    # in BOTH plans (one-row-per-anchor contract; an inner join would
+    # silently drop it and inflate per-anchor means downstream)
+    lone_eid = eid
+    rows.append((eid, 97, "signup", t0, 1.0)); eid += 1
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
     )
@@ -365,6 +370,9 @@ def test_interval_join_bucketed_equals_definitional_on_skew(spark):
     # pre-1970 anchor: the +2h event attributes, the +25h one is outside
     neg = {x for x in a if x[0] == neg_eid}
     assert neg == {(neg_eid, 1, 3.0)}
+    # zero-event anchor survives with zero counts
+    lone = {x for x in a if x[0] == lone_eid}
+    assert lone == {(lone_eid, 0, 0.0)}
 
 
 # ---------------------------------------------------------------------------
