@@ -90,8 +90,13 @@ def cohen_kappa(
         .alias("_pe_num")
     )
     n = F.col("n_items").cast("double")
-    po = F.col("_diag").cast("double") / n
-    pe = F.col("_pe_num").cast("double") / (n * n)
+    # zero shared samples: po/pe are guarded WHEN n > 0 (ANSI mode
+    # raises DIVIDE_BY_ZERO on the bare division; the DuckDB twin's
+    # double/0 is NULL, so the guarded NULLs keep the engines aligned
+    # on the (0, NULL, NULL, NULL) row)
+    nonzero = F.col("n_items") > 0
+    po = F.when(nonzero, F.col("_diag").cast("double") / n)
+    pe = F.when(nonzero, F.col("_pe_num").cast("double") / (n * n))
     degenerate = F.col("_pe_num") == F.col("n_items") * F.col("n_items")
     return stats.crossJoin(pe_num).select(
         "n_items",

@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
-    N_PLANES,
     _cosine_expr,
     _hyperplane_sign_bits,
     duck_hyperplane_bucket,

@@ -431,10 +431,14 @@ def bpe_decode(
     """
     joined = F.concat_ws("", F.col(pieces_col))
     # every word ends with eow, so "replace eow with space + trim" ==
-    # "strip the trailing eow, replace interior ones with spaces"
+    # "strip the trailing eow, replace interior ones with spaces".
+    # F.replace (whole-substring, the unigram_decode idiom) — NOT
+    # F.translate, whose per-CHARACTER mapping corrupts any
+    # multi-char marker like Sennrich's '</w>' (every 'w' in the
+    # text would be deleted)
     return encoded.select(
         "id",
-        F.rtrim(F.translate(joined, eow, " ")).alias("text"),
+        F.rtrim(F.replace(joined, F.lit(eow), F.lit(" "))).alias("text"),
     )
 
 
@@ -461,8 +465,6 @@ def tokenizer_fertility(
 
     Scale shape: bpe_encode's distinct-word skeleton (Zipf-small merge
     work, one join-back) plus ONE narrow per-language hash agg."""
-    from book_ocr_spark.operators.textstats import ws_tokens
-
     enc = bpe_encode(df, id_col, text_col, merges, eow)
     if lang_col is None:
         from book_ocr_spark.operators.textstats import lang_pred

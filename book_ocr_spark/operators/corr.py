@@ -216,17 +216,22 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         a.join(b, (F.col("bx") < F.col("ax")) & (F.col("by") > F.col("ay")))
         .agg(F.coalesce(F.sum(prod), F.lit(0).cast(DEC)).alias("n_discordant"))
     )
+    # tie terms and n derive from the CELLS table, not the raw rows:
+    # per-x count = Σ_c over that x's cells (identical integers), and
+    # the identical cells subplan lets Spark's ReusedExchange serve
+    # all five consumers from ONE corpus aggregation — re-aggregating
+    # `rows` here would add three more full-corpus scans per call
     tx = (
-        rows.groupBy("_x")
-        .agg(F.count(F.lit(1)).cast(DEC).alias("c"))
+        cells.groupBy("_x")
+        .agg(F.sum("_c").cast(DEC).alias("c"))
         .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("n1"))
     )
     ty = (
-        rows.groupBy("_y")
-        .agg(F.count(F.lit(1)).cast(DEC).alias("c"))
+        cells.groupBy("_y")
+        .agg(F.sum("_c").cast(DEC).alias("c"))
         .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("n2"))
     )
-    nn = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nn = cells.agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"))
     tot = (
         nn.crossJoin(conc).crossJoin(disc).crossJoin(tx).crossJoin(ty)
     )

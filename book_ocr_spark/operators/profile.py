@@ -219,6 +219,11 @@ def source_overlap(
             F.col(source_col).alias("src"),
             F.explode(shingle_col(text_col, k_shingle)).alias("_sh"),
         )
+        # NULL text yields [NULL] from shingle_col: the phantom NULL
+        # shingle would survive the distinct, inflate that source's
+        # vocabulary, and diverge from the twin (whose list_distinct
+        # drops NULLs) — a NULL is not a shingle
+        .where(F.col("_sh").isNotNull())
         .select("src", F.expr(spark_h56("_sh")).alias("h"))
         .distinct()
     )

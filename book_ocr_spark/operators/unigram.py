@@ -144,6 +144,15 @@ def train_unigram(
             for l in range(1, min(max_piece_len, len(w) - i) + 1):
                 p = w[i : i + l]
                 seed[p] = seed.get(p, 0) + c
+    if len(chars) > vocab_size:
+        # every seen char (plus the WB marker) is protected — the
+        # prune step can never shrink below the alphabet, so a smaller
+        # vocab_size would spin the refinement loop forever
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than the corpus "
+            f"alphabet ({len(chars)} protected single-char pieces "
+            "incl. the word-boundary marker); raise vocab_size"
+        )
     multi = sorted(
         ((p, m) for p, m in seed.items() if len(p) > 1),
         key=lambda kv: (-kv[1], kv[0]),

@@ -174,3 +174,26 @@ def test_clustering_agreement_partition_invariance(spark):
         a.repartition(7, "label"), b.repartition(5, "id")
     ).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_cohen_kappa_disjoint_judges_null_row(spark):
+    """Review-pass pin: judges sharing zero samples return the
+    (0, NULL, NULL, NULL) row in BOTH engines instead of raising
+    DIVIDE_BY_ZERO under ANSI mode."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(1, "a", "x"), (2, "b", "y")]  # no shared sample
+    df = spark.createDataFrame(
+        rows, "sample_id long, judge_id string, label string"
+    )
+    got = ag.cohen_kappa(df, "a", "b").collect()[0]
+    assert tuple(got) == (0, None, None, None)
+    con = duckdb.connect()
+    con.register(
+        "ck0", pd.DataFrame(rows, columns=["sample_id", "judge_id", "label"])
+    )
+    want = con.sql(
+        ag.duck_cohen_kappa_sql("SELECT * FROM ck0", "a", "b")
+    ).fetchall()[0]
+    assert tuple(got) == tuple(want)

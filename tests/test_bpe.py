@@ -329,3 +329,16 @@ def test_tokenizer_fertility_default_lang_pred(spark, corpus_df, learned):
     out = bpe.tokenizer_fertility(corpus_df, "doc_id", "text", learned).collect()
     assert {r.lang for r in out} <= {"en", "de", "fr", "es", "zh"}
     assert sum(r.n_docs for r in out) == len(CORPUS)
+
+
+def test_bpe_decode_multichar_eow_round_trips(spark):
+    """Review-pass pin: a multi-character eow marker (Sennrich's own
+    '</w>') must round-trip — F.translate's per-character mapping was
+    deleting every 'w' in the text."""
+    df = spark.createDataFrame(
+        [(1, "world wide web"), (2, "now or never")], "id long, text string"
+    )
+    merges = bpe.learn_bpe(df, "text", n_merges=10, eow="</w>")
+    enc = bpe.bpe_encode(df, "id", "text", merges, eow="</w>")
+    got = {r.id: r.text for r in bpe.bpe_decode(enc, eow="</w>").collect()}
+    assert got == {1: "world wide web", 2: "now or never"}

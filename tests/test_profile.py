@@ -326,3 +326,37 @@ def test_zipf_fit_recovers_alpha_and_twin(spark):
         zipf_fit(df, "text", topn=2)
     with _pytest.raises(ValueError):
         duck_zipf_fit_sql("s", topn=1)
+
+
+def test_source_overlap_null_text_no_phantom_shingle(spark):
+    """Review-pass pin: a NULL-text row must not add a phantom NULL
+    shingle to its source's vocabulary (the twin's list_distinct drops
+    NULLs; the engines must agree)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "A", "hello world hello"),
+        (2, "A", None),
+        (3, "B", "hello world hello"),
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    got = [
+        tuple(r)
+        for r in profile.source_overlap(df, "source", "text", k_shingle=9)
+        .orderBy("src_a", "src_b")
+        .collect()
+    ]
+    assert got[0][2] == got[0][3]  # shingles_a == shingles_b (no phantom)
+    assert got[0][5] == 1.0  # identical vocabularies -> jaccard 1
+    con = duckdb.connect()
+    con.register("so", pd.DataFrame(rows, columns=["id", "source", "text"]))
+    want = [
+        tuple(r)
+        for r in con.sql(
+            profile.duck_source_overlap_sql(
+                "SELECT source AS src, text FROM so", k_shingle=9
+            )
+        ).fetchall()
+    ]
+    assert got == want

@@ -163,3 +163,15 @@ def test_min_word_count_and_validation(spark):
         unigram.train_unigram({"a": 1}, 5, shrink=1.0)
     with pytest.raises(ValueError):
         unigram.learn_unigram(docs, "text", vocab_size=40, max_distinct_words=3)
+
+
+def test_train_unigram_vocab_smaller_than_alphabet_raises():
+    """Review-pass pin: the prune step can never shrink below the
+    protected alphabet, so vocab_size < |alphabet| must raise instead
+    of spinning the refinement loop forever."""
+    import pytest as _pt
+
+    from book_ocr_spark.operators.unigram import train_unigram
+
+    with _pt.raises(ValueError, match="alphabet"):
+        train_unigram({"ab": 3}, vocab_size=2)
