@@ -138,7 +138,12 @@ def compose_docs(
     # honored at BUCKET granularity: whole buckets are kept while the
     # running turn count stays within the cap (a cap rounded down to a
     # bucket boundary — bounded memory is the contract, an exact row
-    # cut is not), and `truncated` reports any drop.
+    # cut is not), except the FIRST bucket, which is always kept: a
+    # cap smaller than one bucket would otherwise keep ZERO buckets
+    # and emit an empty doc where the single-level branch keeps the
+    # first turn_cap turns. `truncated` is True iff the conversation
+    # exceeds the cap — the same reading as the single-level branch's
+    # size(items) > cap, whether or not a bucket was dropped.
     bucket = (F.col("turn_idx").cast("long") / F.lit(bucket_size)).cast("long")
     partial = (
         base.withColumn("_bucket", bucket)
@@ -163,7 +168,11 @@ def compose_docs(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         partial = partial.withColumn("_cum", F.sum("_bn").over(wb)).withColumn(
-            "_keep", F.col("_cum") <= F.lit(turn_cap)
+            # _cum == _bn identifies the first bucket (running sum of
+            # its own count only)
+            "_keep",
+            (F.col("_cum") <= F.lit(turn_cap))
+            | (F.col("_cum") == F.col("_bn")),
         )
         # doc content comes from the kept buckets only; the stats
         # (n_turns/n_failed/avg_conf) describe the WHOLE conversation —
@@ -187,7 +196,7 @@ def compose_docs(
             F.sum("_bn").alias("n_turns"),
             F.sum("_bfailed").alias("n_failed"),
             F.sum("_bconf").alias("_conf_sum"),
-            (~F.min("_keep")).alias("truncated"),
+            (F.max("_cum") > F.lit(turn_cap)).alias("truncated"),
         )
         return _finish(agg)
     agg = partial.groupBy("conv_id").agg(

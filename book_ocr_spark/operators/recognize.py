@@ -52,6 +52,19 @@ def make_extract_udf(thresholds):
     return _udf
 
 
+def zip_spans(starts, ends, labels):
+    """array<struct<start:int,end:int,label:string>> from the three
+    parallel span arrays — the SINGLE source of the span struct shape.
+    Both the window plan (with_extraction) and the fused plan
+    (plans.fused) build spans through this, so the two paths cannot
+    silently diverge and break build_hybrid_plan's unionByName."""
+    return F.arrays_zip(
+        starts.cast("array<int>").alias("start"),
+        ends.cast("array<int>").alias("end"),
+        labels.alias("label"),
+    )
+
+
 def with_extraction(df: DataFrame, thresholds=None) -> DataFrame:
     """transcripts -> per-turn extraction columns.
 
@@ -61,10 +74,8 @@ def with_extraction(df: DataFrame, thresholds=None) -> DataFrame:
     """
     udf = extract_udf if thresholds is None else make_extract_udf(thresholds)
     r = df.withColumn("_r", udf(F.col("text"), F.col("tool")))
-    spans = F.arrays_zip(
-        F.col("_r.starts").cast("array<int>").alias("start"),
-        F.col("_r.ends").cast("array<int>").alias("end"),
-        F.col("_r.labels").alias("label"),
+    spans = zip_spans(
+        F.col("_r.starts"), F.col("_r.ends"), F.col("_r.labels")
     )
     return r.select(
         "conv_id",

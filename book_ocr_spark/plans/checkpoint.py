@@ -47,14 +47,28 @@ def mark(
     io.append_log(spark.createDataFrame(rows, schema=CHECKPOINTS), path)
 
 
+def status_rank():
+    """done > failed > pending rank expression — the SINGLE source of
+    the status ordering. maintenance.compact_checkpoint_log's window
+    key must match current_status's max_by key exactly (compaction
+    must never change what resume/replay see), so both sites import
+    this instead of re-implementing it."""
+    return (
+        F.when(F.col("status") == DONE, 2)
+        .when(F.col("status") == FAILED, 1)
+        .otherwise(0)
+    )
+
+
 def current_status(spark: SparkSession, path: str) -> DataFrame:
     """part_id -> latest status (latest updated_at wins; ties broken by
     status rank so done > failed > pending within one timestamp)."""
     if not io.exists(path):
         return spark.createDataFrame([], schema=CHECKPOINTS).select("part_id", "status")
     log = io.read_table(spark, path, CHECKPOINTS)
-    rank = F.when(F.col("status") == DONE, 2).when(F.col("status") == FAILED, 1).otherwise(0)
-    key = F.struct(F.col("updated_at"), rank.alias("_rank"), F.col("status"))
+    key = F.struct(
+        F.col("updated_at"), status_rank().alias("_rank"), F.col("status")
+    )
     return log.groupBy("part_id").agg(F.max_by("status", key).alias("status"))
 
 

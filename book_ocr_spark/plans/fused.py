@@ -151,13 +151,12 @@ def fused_extract_compose(
 
     out = df.mapInPandas(gen, schema=FUSED_SCHEMA)
     # Zip parallel span arrays into array<struct<start,end,label>> —
-    # a pure projection, no partitioning requirement, no shuffle.
+    # a pure projection, no partitioning requirement, no shuffle; the
+    # struct shape is recognize.zip_spans, shared with the window plan
+    from book_ocr_spark.operators.recognize import zip_spans
+
     spans = F.when(
         F.col("rec") == REC_DATA,
-        F.arrays_zip(
-            F.col("starts").cast("array<int>").alias("start"),
-            F.col("ends").cast("array<int>").alias("end"),
-            F.col("labels").alias("label"),
-        ),
+        zip_spans(F.col("starts"), F.col("ends"), F.col("labels")),
     )
     return out.withColumn("spans", spans).drop("starts", "ends", "labels")

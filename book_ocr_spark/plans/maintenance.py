@@ -62,13 +62,10 @@ def compact_checkpoint_log(
         return {"rows_before": 0, "rows_after": 0}
     log = io.read_table(spark, ckpt_path, CHECKPOINTS)
     rows_before = log.count()
-    rank = (
-        F.when(F.col("status") == cp.DONE, 2)
-        .when(F.col("status") == cp.FAILED, 1)
-        .otherwise(0)
-    )
+    # the shared rank expression (checkpoint.status_rank) keeps this
+    # window key and current_status's max_by key from drifting apart
     w = Window.partitionBy("part_id").orderBy(
-        F.desc("updated_at"), rank.desc(), F.desc("status")
+        F.desc("updated_at"), cp.status_rank().desc(), F.desc("status")
     )
     kept = (
         log.withColumn("_rk", F.row_number().over(w))
@@ -118,6 +115,73 @@ def expire_stream_batches(out_path: str, keep_last: int = 2) -> dict:
     return {"dirs_removed": removed}
 
 
+def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
+    """Crash recovery for the two-rename atomic swap — call BEFORE any
+    existence check on ``path`` (an existence check first would report
+    a mid-swap-crashed table as 'already gone' forever, with the only
+    full copy stranded at ``old``).
+
+    Three states: (a) ``path`` missing -> mid-swap crash, restore
+    ``old`` wholesale; (b) both exist with MATCHING swap tokens ->
+    post-swap crash before cleanup, ``old`` is a stale duplicate,
+    drop it; (c) both exist without matching tokens -> a writer
+    recreated ``path`` after a mid-swap crash, so ``old`` holds the
+    only copy of the pre-crash rows — MERGE them back (the recreated
+    table holds only post-crash rows, so the union is exact) and swap
+    cleanly. Without the token check, (b) and (c) are
+    indistinguishable and either rmtree (loses (c)'s rows) or merge
+    (duplicates (b)'s rows) is wrong half the time."""
+    if not os.path.isdir(old):
+        return
+    if not io.exists(path):
+        os.replace(old, path)
+        return
+    tok_old = os.path.join(old, "_swap_token")
+    tok_live = os.path.join(path, "_swapped_from")
+    try:
+        same = (
+            os.path.isfile(tok_old)
+            and os.path.isfile(tok_live)
+            and open(tok_old).read() == open(tok_live).read()
+        )
+    except OSError:
+        same = False
+    if same:
+        shutil.rmtree(old)
+        return
+    merged = spark.read.parquet(path).unionByName(spark.read.parquet(old))
+    tmp = path.rstrip("/") + "__merging"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    prev = path.rstrip("/") + "__premerge"
+    if os.path.isdir(prev):
+        shutil.rmtree(prev)
+    os.replace(path, prev)
+    os.replace(tmp, path)
+    shutil.rmtree(prev)
+    shutil.rmtree(old)
+
+
+def _swap_write(spark: SparkSession, path: str, df, old: str) -> None:
+    """Rewrite ``path`` with ``df`` through the tokenized two-rename
+    swap (never an unlink of the live table). ``old`` must be the SAME
+    sibling name the caller hands _recover_swap, and the tokens are
+    what let recovery tell a stale post-swap leftover from a recreated
+    table."""
+    tmp = path.rstrip("/") + "__swapping"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    token = os.urandom(16).hex()
+    for d, name in ((path, "_swap_token"), (tmp, "_swapped_from")):
+        with open(os.path.join(d, name), "w") as f:
+            f.write(token)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_small_files(
     spark: SparkSession,
     table_path: str,
@@ -147,11 +211,7 @@ def compact_small_files(
     # existence check before this restore would wrongly report an
     # empty table forever
     old = table_path.rstrip("/") + "__precompact"
-    if os.path.isdir(old):
-        if not io.exists(table_path):
-            os.replace(old, table_path)  # mid-swap crash: restore
-        else:
-            shutil.rmtree(old)  # stale leftover from a post-swap crash
+    _recover_swap(spark, table_path, old)
     if not io.exists(table_path):
         return {"files_before": 0, "files_after": 0, "rows": 0}
     files = [
@@ -178,6 +238,13 @@ def compact_small_files(
         raise RuntimeError(
             f"compaction row-count drift {rows_before} -> {rows_after}; aborted"
         )
+    # tokenized swap (see _recover_swap: the tokens are what let a
+    # future recovery tell this run's stale leftover from a table a
+    # writer recreated after a mid-swap crash)
+    token = os.urandom(16).hex()
+    for d, name in ((table_path, "_swap_token"), (tmp, "_swapped_from")):
+        with open(os.path.join(d, name), "w") as f:
+            f.write(token)
     os.replace(table_path, old)
     os.replace(tmp, table_path)
     shutil.rmtree(old)
@@ -233,6 +300,12 @@ def forget_ids(
     ids = ids.distinct()
     out: dict = {}
     for path, id_col in tables:
+        # crash recovery BEFORE the existence check (same order rule
+        # as compact_small_files): a prior forget that died mid-swap
+        # left the only full table at __preforget and nothing at
+        # `path` — checking existence first would report it 'already
+        # forgotten' forever
+        _recover_swap(spark, path, path.rstrip("/") + "__preforget")
         if not io.exists(path):
             out[path] = {"rows_before": 0, "rows_removed": 0}
             continue
@@ -248,22 +321,44 @@ def forget_ids(
                 .distinct()
             )
             affected = kept.join(F.broadcast(hit), pcols, "left_semi")
+            # dynamic partition overwrite only rewrites partitions it
+            # has rows FOR: a hit partition whose rows ALL matched the
+            # deletion set gets no rewrite and would silently keep
+            # every row — those partition directories are deleted
+            # outright below. Collected BEFORE the overwrite: the plan
+            # reads the pre-write file listing, which the rewrite
+            # replaces (the deletion set is request-sized, so the
+            # fully-emptied partition list is driver-safe).
+            emptied = hit.join(
+                kept.select(*pcols).distinct(), pcols, "left_anti"
+            ).collect()
             io.write_partitioned(affected, path, pcols)
+            for r in emptied:
+                d = r.asDict()
+                sub = os.path.join(
+                    path,
+                    *[
+                        f"{c}="
+                        + (
+                            "__HIVE_DEFAULT_PARTITION__"
+                            if d[c] is None
+                            else str(d[c])
+                        )
+                        for c in pcols
+                    ],
+                )
+                if os.path.isdir(sub):
+                    shutil.rmtree(sub)
+            # manual directory surgery invalidates Spark's cached file
+            # listing for this path; without the refresh a subsequent
+            # read can chase deleted part files (FILE_NOT_EXIST)
+            spark.catalog.refreshByPath(path)
         else:
-            old = path.rstrip("/") + "__preforget"
-            if os.path.isdir(old):
-                if not io.exists(path):
-                    os.replace(old, path)
-                else:
-                    shutil.rmtree(old)
-            tmp = path.rstrip("/") + "__forgetting"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
-            kept.write.mode("overwrite").parquet(tmp)
-            os.replace(path, old)
-            os.replace(tmp, path)
-            shutil.rmtree(old)
-        after = spark.read.parquet(path).count()
+            _swap_write(spark, path, kept, path.rstrip("/") + "__preforget")
+            spark.catalog.refreshByPath(path)
+        # a table whose every partition was emptied has no committed
+        # files left to read
+        after = spark.read.parquet(path).count() if io.exists(path) else 0
         out[path] = {
             "rows_before": int(before),
             "rows_removed": int(before - after),

@@ -78,8 +78,19 @@ def append_log(df: DataFrame, path: str) -> None:
 
 
 def exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        name.endswith(".parquet") or name.startswith("part-")
-        for root, _, files in os.walk(path)
-        for name in files
-    )
+    """True iff ``path`` holds at least one COMMITTED data file.
+    Hidden files and in-flight ``_temporary``/``.staging`` trees are
+    pruned from the walk (the streaming ``_table_dir_has_data`` rule,
+    local-FS edition): a write that died pre-commit leaves only
+    task-attempt debris, and counting it would make every subsequent
+    read fail with UNABLE_TO_INFER_SCHEMA until manual cleanup."""
+    if not os.path.isdir(path):
+        return False
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            if name.endswith(".parquet") or name.startswith("part-"):
+                return True
+    return False

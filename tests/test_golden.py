@@ -241,3 +241,27 @@ def test_compose_docs_turn_cap_both_paths(spark, transcripts_skew_pd):
     small_a = flat[~flat["truncated"]].reset_index(drop=True)
     small_b = bucketed[~bucketed["truncated"]].reset_index(drop=True)
     assert small_a["doc"].equals(small_b["doc"])
+
+
+def test_compose_docs_turn_cap_smaller_than_first_bucket(spark, transcripts_pd):
+    """Review-pass pin: a turn_cap smaller than the first bucket's row
+    count keeps the FIRST bucket (bucket-granularity floor) instead of
+    emitting an empty doc — the single-level branch keeps the first
+    turn_cap turns, so producing nothing would be a contract break;
+    truncated reads True exactly when the conversation exceeds the
+    cap, same as the single-level size>cap rule."""
+    from book_ocr_spark.plans.pipeline import build_extract_plan
+
+    extracted = build_extract_plan(to_spark(spark, transcripts_pd), n_parts=4)
+    out = (
+        compose_docs(extracted, bucket_size=200, turn_cap=1)
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    multi = out[out["n_turns"] > 1]
+    assert not multi.empty
+    assert (multi["doc"].str.len() > 0).all()  # never an empty doc
+    assert multi["truncated"].all()  # cap exceeded -> truncated
+    single = out[out["n_turns"] == 1]
+    if not single.empty:
+        assert not single["truncated"].any()

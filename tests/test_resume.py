@@ -294,17 +294,23 @@ def test_compact_small_files(spark, tmp_path):
     res2 = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
     assert res2["files_before"] == res2["files_after"] == 1
 
-    # stale __precompact leftover (crash after swap) must be removed
+    # stale __precompact leftover (crash after the swap, before the
+    # cleanup): a TRUE post-swap leftover carries matching swap tokens
+    # — with them present, recovery drops it; without them recovery
+    # must assume the recreated-table case and merge (pinned in
+    # test_compact_recovery_merges_recreated_table)
     import os
     import shutil
 
     leftover = tbl + "__precompact"
     shutil.copytree(tbl, leftover)
-    df2 = spark.range(10).selectExpr("id", "id AS v")
-    df2.repartition(4).write.mode("overwrite").parquet(tbl)
+    with open(os.path.join(leftover, "_swap_token"), "w") as f:
+        f.write("tok1")
+    with open(os.path.join(tbl, "_swapped_from"), "w") as f:
+        f.write("tok1")
     res3 = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
     assert not os.path.isdir(leftover)
-    assert res3["rows"] == 10
+    assert res3["rows"] == 2000
 
 
 def test_compact_small_files_mid_swap_recovery(spark, tmp_path):
@@ -401,3 +407,94 @@ def test_forget_ids_propagates_and_is_idempotent(spark, tmp_path):
     # missing table: already forgotten
     gone = forget_ids(spark, [1], [(str(tmp_path / "nope"), "id")])
     assert gone[str(tmp_path / "nope")]["rows_removed"] == 0
+
+
+def test_forget_ids_fully_emptied_partition_removed(spark, tmp_path):
+    """Review-pass pin: a partition whose rows ALL match the deletion
+    set must actually disappear — dynamic overwrite has no rows to
+    rewrite it with, so the directory is deleted outright (the old
+    code reported rows_removed=0 and kept every row)."""
+    from book_ocr_spark.plans.maintenance import forget_ids
+    from book_ocr_spark.sources import io as bio
+
+    tbl = str(tmp_path / "parted")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(9)], "id long, part long, text string"
+    )
+    bio.write_partitioned(df, tbl, ["part"])
+    # part=0 holds exactly ids {0, 3, 6}: delete all of them
+    report = forget_ids(
+        spark, [0, 3, 6], [(tbl, "id")], partition_cols={tbl: ["part"]}
+    )
+    assert report[tbl] == {"rows_before": 9, "rows_removed": 3}
+    left = spark.read.parquet(tbl)
+    assert left.count() == 6
+    assert left.filter("part = 0").count() == 0
+    # idempotent rerun
+    again = forget_ids(
+        spark, [0, 3, 6], [(tbl, "id")], partition_cols={tbl: ["part"]}
+    )
+    assert again[tbl]["rows_removed"] == 0
+
+
+def test_forget_ids_mid_swap_crash_recovery(spark, tmp_path):
+    """Review-pass pin: a forget that died between its two renames
+    (only copy at __preforget, nothing live) must RESTORE on the next
+    run, not report the table 'already forgotten' (the recovery used
+    to sit after the existence check and was unreachable)."""
+    import os
+
+    from book_ocr_spark.plans.maintenance import forget_ids
+
+    tbl = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, text string"
+    ).write.parquet(tbl)
+    os.replace(tbl, tbl + "__preforget")  # simulate the crash window
+    report = forget_ids(spark, [2], [(tbl, "id")])
+    assert report[tbl] == {"rows_before": 6, "rows_removed": 1}
+    assert spark.read.parquet(tbl).count() == 5
+    assert not os.path.isdir(tbl + "__preforget")
+
+
+def test_compact_recovery_merges_recreated_table(spark, tmp_path):
+    """Review-pass pin: when a mid-swap crash stranded the table at
+    __precompact AND a writer recreated the live path with new rows,
+    recovery must MERGE the stranded rows back, not rmtree the only
+    copy of them. (A stale post-swap leftover carries matching swap
+    tokens and still drops.)"""
+    import os
+
+    from book_ocr_spark.plans.maintenance import compact_small_files
+
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"old{i}") for i in range(4)], "id long, text string"
+    ).write.parquet(tbl)
+    os.replace(tbl, tbl + "__precompact")  # crash window A
+    # a writer recreates the table with only post-crash rows
+    spark.createDataFrame(
+        [(100, "new100")], "id long, text string"
+    ).write.parquet(tbl)
+    res = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
+    assert res["rows"] == 5  # 4 stranded + 1 recreated, none lost
+    ids = {r.id for r in spark.read.parquet(tbl).collect()}
+    assert ids == {0, 1, 2, 3, 100}
+    assert not os.path.isdir(tbl + "__precompact")
+
+
+def test_io_exists_ignores_uncommitted_temporary_debris(tmp_path):
+    """Review-pass pin: task-attempt files under _temporary/ are NOT
+    committed data; counting them wedged every subsequent read with
+    UNABLE_TO_INFER_SCHEMA after a crashed write."""
+    import os
+
+    from book_ocr_spark.sources import io as bio
+
+    d = tmp_path / "tbl" / "_temporary" / "0" / "task_0"
+    os.makedirs(d)
+    (d / "part-00000.snappy.parquet").write_bytes(b"junk")
+    assert bio.exists(str(tmp_path / "tbl")) is False
+    # a committed file flips it
+    (tmp_path / "tbl" / "part-00000.snappy.parquet").write_bytes(b"junk")
+    assert bio.exists(str(tmp_path / "tbl")) is True
