@@ -192,6 +192,10 @@ def bench_round() -> dict:
 
     qs = {**entry.queries(), **_bench_extra()}
     timings: dict[str, float] = {}
+    # a HEADLINE name missing from the registry (a rename/retire that
+    # forgot to update this list) must be SURFACED, not silently
+    # shrink headline_total_sec against prior rounds' envelopes
+    skipped = [name for name in HEADLINE if name not in qs]
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -259,6 +263,8 @@ def bench_round() -> dict:
         "turns_per_sec": round(tps, 1),
         "cpus": CPUS,
     }
+    if skipped:
+        out["skipped"] = skipped
     # Ride the latest two-parallelism scaling evidence along (the
     # north_rule's N->4N criterion): SCALING.json is written by
     # `python bench.py --scaling` — a SEPARATE measured run, labeled

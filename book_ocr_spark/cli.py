@@ -516,11 +516,26 @@ def main(argv: list[str] | None = None) -> int:
                 top.error(f"--table {spec!r} must be PATH:ID_COL")
             tables.append((path, col))
         pcols = {}
+        # normalize trailing slashes so --table /d/x + --partitioned
+        # /d/x/ still match (forget_ids looks partition specs up by
+        # exact path)
+        tables = [(p.rstrip("/"), c) for p, c in tables]
         for spec in args.partitioned or ():
             path, _, cols = spec.rpartition(":")
             if not path or not cols:
                 top.error(f"--partitioned {spec!r} must be PATH:COLS")
-            pcols[path] = cols.split(",")
+            pcols[path.rstrip("/")] = cols.split(",")
+        # a --partitioned path that is not also a --table would be
+        # SILENTLY skipped by forget_ids (it iterates tables and looks
+        # partition specs up per path) — a compliance deletion the
+        # operator believes ran but didn't; fail loudly instead
+        table_paths = {p for p, _ in tables}
+        orphans = sorted(set(pcols) - table_paths)
+        if orphans:
+            top.error(
+                f"--partitioned paths not listed in --table: {orphans}; "
+                "every partitioned table must also be a --table PATH:ID_COL"
+            )
         master = f"local[{args.threads}]" if args.threads else None
         spark = get_spark(app_name="book-ocr-spark-forget", master=master)
         spark.sparkContext.setLogLevel(args.log_level)
@@ -560,6 +575,12 @@ def main(argv: list[str] | None = None) -> int:
             top.error(
                 "--clf-pos, --clf-neg and --min-clf-prob must be given together"
             )
+        # same all-or-nothing rule for the LM pair: curate_web_corpus
+        # only validates the lm_corpus->max_xent_micro direction, so a
+        # threshold without a corpus would be silently ignored and the
+        # user would believe the perplexity gate ran
+        if args.max_xent_micro is not None and args.lm_corpus is None:
+            top.error("--max-xent-micro requires --lm-corpus")
 
         master = f"local[{args.threads}]" if args.threads else None
         spark = get_spark(app_name="book-ocr-spark-curate", master=master)

@@ -106,7 +106,13 @@ def detect_kind(tool: pd.Series, text: pd.Series) -> pd.Series:
     # register_segmenter are first-class); KINDS is the built-in set
     known = tuple(SEGMENTERS) if SEGMENTERS else KINDS
     kind = tool.where(tool.isin(known), other=None)
-    is_pdf = text.str.match(r"\s*\{") & text.str.contains('"blocks"', regex=False)
+    # the pdf claim needs the STRUCTURAL '"blocks": [' key, not the
+    # substring anywhere — JSON tool output whose string leaves merely
+    # mention "blocks" must stay json, not get quarantined as
+    # unparseable pdf layout
+    is_pdf = text.str.match(r"\s*\{") & text.str.contains(
+        r'"blocks"\s*:\s*\[', regex=True
+    )
     # JSON needs a structural opening ({"key", nested array, scalar
     # literal...) AND a closing bracket at the end: a markdown
     # paragraph starting with an inline link ("[text](url) ...") or a
@@ -216,7 +222,11 @@ def _loads_blocks(payload: str):
     try:
         obj = json.loads(payload)
         blocks = obj.get("blocks")
-        return blocks if isinstance(blocks, list) and blocks else None
+        # an EMPTY blocks list is a valid blank page, not a parse
+        # failure — quarantining it would feed replay-failed a row
+        # that can never succeed (the json/html segmenters likewise
+        # treat zero blocks as an empty extraction)
+        return blocks if isinstance(blocks, list) else None
     except (ValueError, AttributeError):
         return None
 

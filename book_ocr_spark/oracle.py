@@ -19,14 +19,17 @@ from .functions.heuristics import extract_batch
 SEP = "\n"  # turn joiner inside a composed conversation document
 
 
-def oracle_extract(transcripts: pd.DataFrame) -> pd.DataFrame:
+def oracle_extract(transcripts: pd.DataFrame, thresholds=None) -> pd.DataFrame:
     """Full pipeline (stage 1+2+3) in pandas. Returns the
     extracted_turns table: one row per (conv_id, turn_idx), sorted,
-    with spans as list[dict(start, end, label)]."""
+    with spans as list[dict(start, end, label)]. ``thresholds``
+    (heuristics.Thresholds) forwards to the shared extract_batch, so a
+    thresholds-overridden Spark run (the --min-main-len family) has
+    the same byte-equality oracle surface as the defaults."""
     t = transcripts.sort_values(["conv_id", "turn_idx"], kind="stable")
     t = t.drop_duplicates(["conv_id", "turn_idx"], keep="first").reset_index(drop=True)
 
-    rec = extract_batch(t["text"], t["tool"])
+    rec = extract_batch(t["text"], t["tool"], thresholds)
 
     out = pd.DataFrame(
         {

@@ -18,10 +18,23 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # Master resolution order: explicit arg > SPARK_MASTER env > a
+    # master already configured by the launcher (spark-submit --master
+    # sets spark.master in the JVM system properties — forcing
+    # local[*] over it would silently run the whole job on the driver
+    # node, the exact failure cli.py's --threads help warns about) >
+    # local[*] for bare `python script.py` runs.
+    from pyspark import SparkConf
+
+    master = master or os.environ.get("SPARK_MASTER")
+    launcher_master = SparkConf().get("spark.master", None)
+    if master is None and launcher_master is None:
+        master = "local[*]"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # Oracle comparison + reproducibility: DuckDB timestamps are
         # UTC-naive, Spark's are session-TZ — pin UTC.
         .config("spark.sql.session.timeZone", "UTC")
@@ -39,7 +52,13 @@ def get_spark(
         # single-process GPU worker amortization
         # (/root/reference/docs/technical_architecture.md:167).
         .config("spark.python.worker.reuse", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_parallelism(master)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(
+                shuffle_partitions
+                or _default_parallelism(master or launcher_master or "")
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -52,7 +71,9 @@ def get_spark(
 
 def _default_parallelism(master: str) -> int:
     """shuffle.partitions ~ cores for local mode (the 200 default is
-    wrong at both ends)."""
+    wrong at both ends); for a cluster master (or an unknown one) a
+    2x-cores floor that cluster-appropriate extra_conf should
+    override."""
     if master.startswith("local["):
         inner = master[len("local[") : -1]
         if inner == "*":

@@ -483,3 +483,26 @@ def test_cli_forget(spark, tmp_path, capsys, monkeypatch):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report[corpus] == {"rows_before": 10, "rows_removed": 2}
     assert spark.read.parquet(corpus).count() == 8
+
+
+def test_forget_partitioned_orphan_and_lm_halfpair_fail_loudly():
+    """Review-pass pins: a --partitioned path not listed in --table
+    exits non-zero (forget_ids would silently skip it — a compliance
+    deletion that never ran); --max-xent-micro without --lm-corpus
+    likewise (the gate would silently not run)."""
+    with pytest.raises(SystemExit) as e:
+        cli.main(
+            [
+                "forget", "--ids", "1", "--table", "/d/corpus:id",
+                "--partitioned", "/d/shards:dt",
+            ]
+        )
+    assert e.value.code != 0
+    with pytest.raises(SystemExit) as e2:
+        cli.main(
+            [
+                "curate", "--input", "/x", "--output", "/y",
+                "--max-xent-micro", "600",
+            ]
+        )
+    assert e2.value.code != 0

@@ -227,3 +227,37 @@ def test_thresholds_reach_executors_via_closure(spark):
     assert "short main block" in extracted(None)
     assert "short main block" not in extracted(Thresholds(min_main_len=60))
     assert "comfortably longer" in extracted(Thresholds(min_main_len=60))
+
+
+def test_pdf_sniff_requires_structural_blocks_key():
+    """Review-pass pin: JSON tool output merely MENTIONING "blocks"
+    must stay json (extracted), not be routed to the pdf segmenter and
+    quarantined; an actual layout payload still sniffs pdf."""
+    import pandas as pd
+
+    from book_ocr_spark.functions.heuristics import detect_kind, recognize_batch
+
+    texts = pd.Series(
+        [
+            '{"stdout": "found 3 blocks", "blocks": "none"}',
+            '{"blocks": [{"text": "real layout", "page": 0}]}',
+        ]
+    )
+    kinds = detect_kind(pd.Series(["", ""]), texts)
+    assert list(kinds) == ["json", "pdf"]
+    rec = recognize_batch(texts, pd.Series(["", ""]))
+    assert not rec["failed"].any()
+
+
+def test_pdf_empty_blocks_list_is_blank_page_not_failure():
+    """Review-pass pin: {"blocks": []} is a valid BLANK page — empty
+    extraction, failed=False — not a parse failure fed to the
+    replay-failed path where it can never succeed."""
+    import pandas as pd
+
+    from book_ocr_spark.functions.heuristics import recognize_batch
+
+    rec = recognize_batch(pd.Series(['{"blocks": []}']), pd.Series(["pdf"]))
+    r = rec.iloc[0]
+    assert r["failed"] == False  # noqa: E712
+    assert r["extracted_text"] == "" and r["n_blocks"] == 0
