@@ -238,7 +238,8 @@ def incremental_exact_dedup_bloom(
     if filt is None:
         filt = bloom_build(existing_hashes, "content_hash", bits_per_key=bits_per_key)
     h = new_docs.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
     )
     flagged = with_bloom_maybe(h, "content_hash", filt, spark)
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")

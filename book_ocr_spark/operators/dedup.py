@@ -99,17 +99,23 @@ def duck_h56(expr: str) -> str:
 # ---------------------------------------------------------------------------
 def shingle_col(col: str, k: int) -> Column:
     """Distinct character k-shingles, computed JVM-side via
-    sequence+transform (no explode, no Python)."""
+    sequence+transform (no explode, no Python). NULL text coalesces to
+    '' (same [''] degenerate set as an empty document) — without it
+    Spark emitted a phantom NULL-bearing set while the DuckDB side's
+    NULL propagation emitted an empty one, and every pair operator
+    built on shingles diverged cross-engine on NULL docs."""
+    c = f"coalesce({col}, '')"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({col})-{k}+1, 1)),"
-        f" i -> substring({col}, i, {k})))"
+        f"array_distinct(transform(sequence(1, greatest(length({c})-{k}+1, 1)),"
+        f" i -> substring({c}, i, {k})))"
     )
 
 
 def duck_shingles(col: str, k: int) -> str:
+    c = f"COALESCE({col}, '')"
     return (
-        f"list_distinct(list_transform(range(1, greatest(len({col})-{k}+1, 1)+1),"
-        f" i -> substr({col}, i, {k})))"
+        f"list_distinct(list_transform(range(1, greatest(len({c})-{k}+1, 1)+1),"
+        f" i -> substr({c}, i, {k})))"
     )
 
 
@@ -133,10 +139,13 @@ def word_grams_from_tokens(tokens_attr: str, n: int) -> Column:
 
 
 def duck_word_grams(col: str, n: int) -> str:
+    # COALESCE mirrors the Spark side's NULL-text-as-'' rule (see
+    # shingle_col)
+    c = f"COALESCE({col}, '')"
     return (
         f"list_distinct(list_transform("
-        f"range(1, greatest(len(string_split({col}, ' '))-{n}+1, 1)+1),"
-        f" i -> array_to_string(list_slice(string_split({col}, ' '), i, i+{n}-1), ' ')))"
+        f"range(1, greatest(len(string_split({c}, ' '))-{n}+1, 1)+1),"
+        f" i -> array_to_string(list_slice(string_split({c}, ' '), i, i+{n}-1), ' ')))"
     )
 
 
@@ -147,7 +156,14 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group by content hash; one canonical id per group. Map-side
     partial agg + single hash shuffle — the exact-dedup baseline."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        # NULL text hashes as '' (the shingle_col rule): md5(NULL) is
+        # NULL, and a NULL content_hash can never match an anti-join
+        # in the incremental path — NULL docs would re-surface as "new"
+        # every batch while this batch operator groups them as one
+        # family
+        df.groupBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash")
+        )
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -166,14 +182,20 @@ def shingle_sets(
     (k-shingle)."""
     if unit == "word":
         toks = df.select(
-            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_w")
+            F.col(id_col).alias("id"),
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
         )
         return toks.select("id", word_grams_from_tokens("_w", k).alias("sh"))
     return df.select(F.col(id_col).alias("id"), shingle_col(text_col, k).alias("sh"))
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, unit: str = "word"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    unit: str = "word",
+    storage_handle: list | None = None,
 ) -> DataFrame:
     """(id, sh, sig): shingle set + N_HASHES minhash signature.
 
@@ -186,8 +208,19 @@ def minhash_signature(
     `transform(sequence(...), j -> array_min(transform(h0, ...)))` —
     is 6x slower: nested lambda evaluation is interpreted per element
     and never enters codegen.
+
+    The grams frame feeds BOTH the output projection and the
+    signature aggregation; pass ``storage_handle`` (the module's
+    persist convention — persist is gated on the handle because the
+    return is lazy, so an internal unpersist could never fire) to pay
+    the shingle derivation once instead of twice per action —
+    minhash_near_dup's ``materialize`` flag is the same lever for the
+    full near-dup chain.
     """
     grams = shingle_sets(df, id_col, text_col, k, unit)
+    if storage_handle is not None:
+        grams = grams.persist()
+        storage_handle.append(grams)
     return grams.join(_signature_from_grams(grams), "id")
 
 
@@ -332,6 +365,10 @@ def capped_bucket_pairs(
     mean is free until a genuine template-family bucket appears."""
     if policy not in ("salt", "drop"):
         raise ValueError(f"unknown hot-bucket policy {policy!r}")
+    if cap is not None and cap < 1:
+        # cap=0 under "salt" reaches ceil(_n/0): DIVIDE_BY_ZERO on
+        # ANSI Spark, silently empty candidates on legacy clusters
+        raise ValueError(f"hot-bucket cap must be >= 1, got {cap}")
     self_join = right is None
     if right is None:
         right = left
@@ -432,25 +469,34 @@ def lsh_candidate_pairs(
     )
 
 
+def _verified_jaccard(
+    joined: DataFrame, threshold: float, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Shared exact-Jaccard verify tail over (sh_a, sh_b): filter on
+    the UNROUNDED value (the oracles' WHERE is unrounded), round 4dp
+    only in the projection. SINGLE source of the verify convention —
+    the batch (jaccard_verify) and incremental paths both end here, so
+    a change to the rounding or filter rule cannot make them drift."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    j = joined.withColumn("_j", inter / union)
+    return j.filter(F.col("_j") >= threshold).select(
+        id_a, id_b, F.round("_j", 4).alias("jaccard")
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame, sigs: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact Jaccard on candidates (kills LSH false positives):
     join shingle sets back, array_intersect/array_union, filter."""
     sh = sigs.select(F.col(id_col).alias("id"), "sh")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
-    j = (
-        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("_j", inter / union)
+    joined = pairs.join(
+        sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+    ).join(
+        sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
     )
-    # filter on the UNROUNDED value (the oracle's WHERE is unrounded);
-    # round only in the projection
-    return (
-        j.filter(F.col("_j") >= threshold)
-        .select("id_a", "id_b", F.round("_j", 4).alias("jaccard"))
-    )
+    return _verified_jaccard(joined, threshold)
 
 
 def minhash_near_dup(
@@ -659,7 +705,8 @@ def incremental_exact_dedup(
     (content_hash, canonical_id, n_copies) for content genuinely new
     to the corpus."""
     h = new_docs.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
     )
     survivors = h.join(
         existing_hashes.select("content_hash"), "content_hash", "left_anti"
@@ -735,12 +782,11 @@ def incremental_minhash_near_dup(
         .unionByName(new_only)
         .select(F.col("id").alias("match_id"), F.col("sh").alias("sh_b"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
-    j = cands.join(sh_new, "new_id").join(sh_all, "match_id").withColumn("_j", inter / union)
-    return (
-        j.filter(F.col("_j") >= threshold)
-        .select("new_id", "match_id", F.round("_j", 4).alias("jaccard"))
+    return _verified_jaccard(
+        cands.join(sh_new, "new_id").join(sh_all, "match_id"),
+        threshold,
+        "new_id",
+        "match_id",
     )
 
 
@@ -809,9 +855,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one md5 each -> hash-aggregate with SIMHASH_BITS unrolled
     sign-vote sums (codegen'd, map-side combined) — measured ~10x
     faster than the per-row lambda-fold projection."""
+    # NULL text coalesces to '' so every document keeps a fingerprint
+    # row ([''] tokenizes to one empty token): explode(split(NULL))
+    # silently dropped NULL docs while the DuckDB twin emitted a row,
+    # diverging both the fingerprint table and the near-dup oracle
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("t"),
     ).select("id", F.expr(spark_h56("t")).alias("h"))
     aggs = [
         F.sum(
@@ -836,7 +888,8 @@ def duck_simhash_sql(corpus_sql: str) -> str:
     )
     return f"""
         WITH corpus AS ({corpus_sql}),
-        toks AS (SELECT id, list_transform(string_split(text, ' '),
+        toks AS (SELECT id,
+                        list_transform(string_split(COALESCE(text, ''), ' '),
                          t -> {duck_h56('t')}) AS hs FROM corpus)
         SELECT id, {bit_terms} AS simhash FROM toks ORDER BY id
     """
@@ -955,11 +1008,10 @@ def ngram_jaccard_pairs(
 
 
 def duck_ngram_jaccard_sql(corpus_sql: str, n: int, threshold: float) -> str:
-    grams = (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len(string_split(text, ' '))-{n}+1, 1)+1),"
-        f" i -> array_to_string(list_slice(string_split(text, ' '), i, i+{n}-1), ' ')))"
-    )
+    # the shared gram builder, NOT an inline copy — a fix to
+    # duck_word_grams (e.g. the NULL-text coalesce) must reach this
+    # oracle too
+    grams = duck_word_grams("text", n)
     return f"""
         WITH corpus AS ({corpus_sql}),
         g AS (SELECT id, {grams} AS g FROM corpus)

@@ -567,8 +567,13 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     One explode + two hash aggs per signal, all JVM; 4dp rounding for
     cross-engine hash equality. Ties in the top-bigram count resolve
     identically on both engines because only the COUNT is used."""
+    # NULL text coalesces to '' (one empty word -> (0.0, 1.0) signals)
+    # so every id keeps a row — the module's every-id-survives rule; a
+    # NULL doc silently vanishing from the signals table would slip
+    # past any gate that joins on them
     toks = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_w")
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
     )
     words = toks.select("id", F.explode("_w").alias("w"))
     wstats = words.groupBy("id").agg(
@@ -604,7 +609,8 @@ def duck_repetition_signals_sql(corpus_sql: str) -> str:
     """DuckDB twin of repetition_signals; corpus_sql yields (id, text)."""
     return f"""
         WITH corpus AS ({corpus_sql}),
-        toks AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+        toks AS (SELECT id, string_split(COALESCE(text, ''), ' ') AS w
+                 FROM corpus),
         wstats AS (
             SELECT id, ROUND(1.0 - CAST(count(DISTINCT u) AS DOUBLE)
                                    / count(*), 4) AS dup_word_frac
@@ -919,8 +925,12 @@ def gopher_quality_flags(
     across engines by construction — and are ROUNDED 4dp only in the
     output columns; rule comparisons use the unrounded values.
     '...'-run counting is the non-overlapping replace-delta trick
-    (len − len(replace))/3, identical in both engines."""
-    t = F.col(text_col)
+    (len − len(replace))/3, identical in both engines. NULL text
+    coalesces to '' (the quality_flags rule): without it every rule
+    evaluates NULL, falls through to a misattributed 'stop_words'
+    reason with NULL metrics, and legacy non-ANSI Spark (size(NULL) =
+    -1) diverges from the twin."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(t), r"\s+")
     # split('') yields [''] — an empty doc must count 0 words
     n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words))
@@ -1035,7 +1045,8 @@ def duck_gopher_quality_flags_sql(
                    (length({text_col})
                     - length(replace({text_col}, '...', ''))) / 3
                        AS n_dots
-            FROM ({src_sql}) gq_src),
+            FROM (SELECT {id_col}, COALESCE({text_col}, '') AS {text_col}
+                  FROM ({src_sql}) gq_src0) gq_src),
         gq_r AS MATERIALIZED (
             SELECT {id_col}, n_words,
                    CAST(list_sum(list_transform(words, w -> length(w)))

@@ -2017,3 +2017,93 @@ def test_memorization_scores_high_frequency_gram_no_inflation(spark):
     ]
     # grams {a b, b c, c d}: "a b" (x51 in corpus) and "b c" (x50) hit once each
     assert got == [(10, 3, 2, 0.6667)]
+
+
+# --- NULL-text policy: NULL ≡ '' at every tokenization/hash boundary --------
+def test_null_text_policy_dedup_engines_agree(spark):
+    """Review-pass pins: NULL text behaves as '' in BOTH engines at
+    the shingle/token/hash boundaries — previously Spark emitted a
+    phantom NULL-bearing shingle set (minhash paired docs the oracle
+    never paired), dropped NULL docs from simhash (twin kept them),
+    and NULL content hashes re-surfaced as 'new' every batch."""
+    import duckdb
+
+    rows = [(1, None), (2, None), (3, "real text body here")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    con = duckdb.connect()
+    con.register("nt", pd.DataFrame(rows, columns=["id", "text"]))
+
+    # minhash near-dup: both engines pair the two empty-content docs
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_near_dup(df, "id", "text", threshold=0.6).collect()
+    )
+    want = sorted(
+        (int(a), int(b), float(j))
+        for a, b, j in con.sql(
+            dedup.duck_jaccard_pairs_sql("SELECT id, text FROM nt", 3, 0.6)
+        ).fetchall()
+    )
+    assert got == want and got == [(1, 2, 1.0)]
+
+    # simhash: every id keeps a fingerprint row, bit-equal to the twin
+    got_sh = sorted(
+        (r.id, r.simhash) for r in dedup.simhash(df, "id", "text").collect()
+    )
+    want_sh = sorted(
+        (int(i), int(s))
+        for i, s in con.sql(
+            dedup.duck_simhash_sql("SELECT id, text FROM nt")
+        ).fetchall()
+    )
+    assert got_sh == want_sh and len(got_sh) == 3
+
+    # incremental exact dedup: a NULL doc in the corpus suppresses the
+    # next batch's NULL doc (hash of '' matches), consistent with the
+    # batch operator's one-family grouping
+    hashes = dedup.exact_dedup_groups(df, "id", "text").select("content_hash")
+    day2 = spark.createDataFrame([(10, None)], "id long, text string")
+    assert dedup.incremental_exact_dedup(day2, hashes, "id", "text").count() == 0
+
+
+def test_null_text_policy_quality_signals(spark):
+    """gopher_quality_flags and repetition_signals keep a well-formed
+    row for NULL-text docs (word_count_low reason / degenerate
+    signals), matching their twins."""
+    import duckdb
+
+    from book_ocr_spark.operators import textstats as ts
+
+    rows = [(1, None), (2, "some real words appear in this document body")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    con = duckdb.connect()
+    con.register("nq", pd.DataFrame(rows, columns=["id", "text"]))
+
+    g = {r.id: r for r in ts.gopher_quality_flags(df, "id", "text").collect()}
+    assert g[1].reason == "word_count_low" and g[1].n_words == 0
+    want = {
+        int(r[0]): r
+        for r in con.sql(
+            ts.duck_gopher_quality_flags_sql("SELECT * FROM nq", "id", "text")
+        ).fetchall()
+    }
+    assert g[1].reason == want[1][-1] and g[2].reason == want[2][-1]
+
+    rep = {r.id: r for r in ts.repetition_signals(df, "id", "text").collect()}
+    assert set(rep) == {1, 2}
+    assert (rep[1].dup_word_frac, rep[1].top_bigram_frac) == (0.0, 1.0)
+    want_rep = {
+        int(r[0]): (float(r[1]), float(r[2]))
+        for r in con.sql(
+            ts.duck_repetition_signals_sql("SELECT id, text FROM nq")
+        ).fetchall()
+    }
+    assert {i: (r.dup_word_frac, r.top_bigram_frac) for i, r in rep.items()} == want_rep
+
+
+def test_hot_bucket_cap_zero_raises(spark):
+    """Review-pass pin: cap=0 would reach ceil(n/0) — DIVIDE_BY_ZERO
+    under ANSI, silent empty candidates on legacy clusters."""
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        dedup.minhash_near_dup(df, "id", "text", hot_bucket_cap=0).collect()
