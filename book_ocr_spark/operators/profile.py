@@ -219,11 +219,11 @@ def source_overlap(
             F.col(source_col).alias("src"),
             F.explode(shingle_col(text_col, k_shingle)).alias("_sh"),
         )
-        # NULL text yields [NULL] from shingle_col: the phantom NULL
-        # shingle would survive the distinct, inflate that source's
-        # vocabulary, and diverge from the twin (whose list_distinct
-        # drops NULLs) — a NULL is not a shingle
-        .where(F.col("_sh").isNotNull())
+        # NULL/empty text yields the degenerate [''] set from
+        # shingle_col (the NULL≡'' policy): the empty shingle carries
+        # no content and would inflate that source's vocabulary and
+        # its overlap ratios — an empty string is not a shingle
+        .where(F.col("_sh").isNotNull() & (F.col("_sh") != ""))
         .select("src", F.expr(spark_h56("_sh")).alias("h"))
         .distinct()
     )
@@ -275,9 +275,12 @@ def duck_source_overlap_sql(corpus_sql: str, k_shingle: int = 9) -> str:
         raise ValueError("k_shingle must be >= 1")
     return f"""
         WITH so_sh AS (
+            -- sh <> '' mirrors the Spark side's empty-shingle drop
+            -- (NULL≡'' policy: NULL/empty docs carry no vocabulary)
             SELECT DISTINCT src, {duck_h56('sh')} AS h
             FROM (SELECT src, unnest({duck_shingles('text', k_shingle)}) AS sh
                   FROM ({corpus_sql}) c0) s
+            WHERE sh IS NOT NULL AND sh <> ''
         ),
         so_sz AS (SELECT src, COUNT(*) AS n_sh FROM so_sh GROUP BY src),
         so_shared AS (
