@@ -115,6 +115,40 @@ def expire_stream_batches(out_path: str, keep_last: int = 2) -> dict:
     return {"dirs_removed": removed}
 
 
+# Characters Spark's ExternalCatalogUtils.escapePathName percent-escapes
+# in partition directory names (plus all control chars below 0x20).
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_part_dir(col: str, value) -> str:
+    """`col=value` directory name exactly as Spark writes it — NULLs
+    as __HIVE_DEFAULT_PARTITION__, booleans lowercased, strings
+    percent-escaped per Hive. Unsupported value types RAISE: building
+    a wrong name would make the caller's directory surgery silently
+    skip a partition (the compliance failure this module exists to
+    avoid)."""
+    if value is None:
+        enc = "__HIVE_DEFAULT_PARTITION__"
+    elif isinstance(value, bool):
+        enc = "true" if value else "false"
+    elif isinstance(value, int):
+        enc = str(value)
+    elif isinstance(value, str):
+        enc = "".join(
+            f"%{ord(ch):02X}"
+            if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20
+            else ch
+            for ch in value
+        )
+    else:
+        raise ValueError(
+            f"forget_ids: unsupported partition value type "
+            f"{type(value).__name__} for column {col!r}; partition-dir "
+            "cleanup cannot be encoded safely (int/str/bool/NULL only)"
+        )
+    return f"{col}={enc}"
+
+
 def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
     """Crash recovery for the two-rename atomic swap — call BEFORE any
     existence check on ``path`` (an existence check first would report
@@ -130,10 +164,25 @@ def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
     table holds only post-crash rows, so the union is exact) and swap
     cleanly. Without the token check, (b) and (c) are
     indistinguishable and either rmtree (loses (c)'s rows) or merge
-    (duplicates (b)'s rows) is wrong half the time."""
+    (duplicates (b)'s rows) is wrong half the time.
+
+    The merge itself re-enters the token protocol: the merged tmp
+    carries ``_swapped_from`` equal to ``old``'s existing
+    ``_swap_token``, so a crash AFTER the merge swap but before the
+    cleanup re-classifies as state (b) (tokens match -> drop old)
+    instead of merging — and duplicating — a second time. A crash
+    BETWEEN the merge's two renames restores ``old`` wholesale on the
+    next run and leaves the recreated rows at ``__premerge`` on disk
+    (stranded-but-recoverable, never silently deleted)."""
     if not os.path.isdir(old):
         return
     if not io.exists(path):
+        # path may still EXIST as a directory of uncommitted debris
+        # (a recreating writer that died pre-commit): os.replace onto
+        # a non-empty dir raises ENOTEMPTY and would wedge recovery
+        # forever; io.exists just certified it holds no committed data
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         os.replace(old, path)
         return
     tok_old = os.path.join(old, "_swap_token")
@@ -154,12 +203,36 @@ def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     merged.write.mode("overwrite").parquet(tmp)
+    # re-token: old keeps (or gains) a token, the merged tmp carries
+    # the SAME one, so a post-merge-swap crash drops old instead of
+    # double-merging its rows
+    if os.path.isfile(tok_old):
+        token = open(tok_old).read()
+    else:
+        token = os.urandom(16).hex()
+        with open(tok_old, "w") as f:
+            f.write(token)
+    with open(os.path.join(tmp, "_swapped_from"), "w") as f:
+        f.write(token)
     prev = path.rstrip("/") + "__premerge"
     if os.path.isdir(prev):
         shutil.rmtree(prev)
     os.replace(path, prev)
     os.replace(tmp, path)
     shutil.rmtree(prev)
+    shutil.rmtree(old)
+
+
+def _tokenized_swap(path: str, tmp: str, old: str) -> None:
+    """The shared swap tail: write matching tokens into the live and
+    replacement dirs, two renames, cleanup — the SINGLE copy of the
+    protocol _recover_swap discriminates on."""
+    token = os.urandom(16).hex()
+    for d, name in ((path, "_swap_token"), (tmp, "_swapped_from")):
+        with open(os.path.join(d, name), "w") as f:
+            f.write(token)
+    os.replace(path, old)
+    os.replace(tmp, path)
     shutil.rmtree(old)
 
 
@@ -173,13 +246,7 @@ def _swap_write(spark: SparkSession, path: str, df, old: str) -> None:
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
-    token = os.urandom(16).hex()
-    for d, name in ((path, "_swap_token"), (tmp, "_swapped_from")):
-        with open(os.path.join(d, name), "w") as f:
-            f.write(token)
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old)
+    _tokenized_swap(path, tmp, old)
 
 
 def compact_small_files(
@@ -241,13 +308,7 @@ def compact_small_files(
     # tokenized swap (see _recover_swap: the tokens are what let a
     # future recovery tell this run's stale leftover from a table a
     # writer recreated after a mid-swap crash)
-    token = os.urandom(16).hex()
-    for d, name in ((table_path, "_swap_token"), (tmp, "_swapped_from")):
-        with open(os.path.join(d, name), "w") as f:
-            f.write(token)
-    os.replace(table_path, old)
-    os.replace(tmp, table_path)
-    shutil.rmtree(old)
+    _tokenized_swap(table_path, tmp, old)
     n_after = len(
         [
             f
@@ -286,9 +347,24 @@ def forget_ids(
     (path, id_col) pairs. Returns {path: {"rows_before",
     "rows_removed"}}; idempotent — a rerun removes 0 rows. Missing
     tables are skipped with a row_before of 0 (a derived store that
-    was never materialized is already forgotten)."""
+    was never materialized is already forgotten). Paths normalize
+    (trailing slashes stripped) BEFORE the partition-spec lookup, and
+    a ``partition_cols`` path not present in ``tables`` RAISES — a
+    silently-skipped partition spec would flatten a partitioned table
+    through the unpartitioned rewrite, or skip its deletion entirely
+    (this validation lives here, not only in the CLI, so direct API
+    callers get it too)."""
     from pyspark.sql import DataFrame
 
+    tables = [(p.rstrip("/"), c) for p, c in tables]
+    partition_cols = {
+        p.rstrip("/"): cols for p, cols in (partition_cols or {}).items()
+    }
+    orphans = sorted(set(partition_cols) - {p for p, _ in tables})
+    if orphans:
+        raise ValueError(
+            f"forget_ids: partition_cols paths not listed in tables: {orphans}"
+        )
     if isinstance(ids, DataFrame):
         ids = ids.toDF("_fid")
     else:
@@ -313,14 +389,31 @@ def forget_ids(
         before = df.count()
         cond = df[id_col] == F.col("_fid")
         kept = df.join(F.broadcast(ids), cond, "left_anti")
-        pcols = (partition_cols or {}).get(path)
+        pcols = partition_cols.get(path)
         if pcols:
             hit = (
                 df.join(F.broadcast(ids), cond, "left_semi")
                 .select(*pcols)
                 .distinct()
             )
-            affected = kept.join(F.broadcast(hit), pcols, "left_semi")
+            # NULL partition values are in scope (Spark writes them as
+            # __HIVE_DEFAULT_PARTITION__), so the partition-tuple
+            # joins must be NULL-SAFE: with plain equality a NULL
+            # partition never matches itself — its surviving rows
+            # would be excluded from the rewrite AND the partition
+            # would land in `emptied` and be rmtree'd wholesale
+            def _ns_cond(left_alias: str, right_alias: str):
+                c = None
+                for col in pcols:
+                    e = F.col(f"{left_alias}.{col}").eqNullSafe(
+                        F.col(f"{right_alias}.{col}")
+                    )
+                    c = e if c is None else c & e
+                return c
+
+            affected = kept.alias("k").join(
+                F.broadcast(hit.alias("h")), _ns_cond("k", "h"), "left_semi"
+            )
             # dynamic partition overwrite only rewrites partitions it
             # has rows FOR: a hit partition whose rows ALL matched the
             # deletion set gets no rewrite and would silently keep
@@ -329,26 +422,29 @@ def forget_ids(
             # reads the pre-write file listing, which the rewrite
             # replaces (the deletion set is request-sized, so the
             # fully-emptied partition list is driver-safe).
-            emptied = hit.join(
-                kept.select(*pcols).distinct(), pcols, "left_anti"
-            ).collect()
+            emptied = (
+                hit.alias("h")
+                .join(
+                    kept.select(*pcols).distinct().alias("kk"),
+                    _ns_cond("h", "kk"),
+                    "left_anti",
+                )
+                .collect()
+            )
             io.write_partitioned(affected, path, pcols)
             for r in emptied:
                 d = r.asDict()
                 sub = os.path.join(
-                    path,
-                    *[
-                        f"{c}="
-                        + (
-                            "__HIVE_DEFAULT_PARTITION__"
-                            if d[c] is None
-                            else str(d[c])
-                        )
-                        for c in pcols
-                    ],
+                    path, *[_hive_part_dir(c, d[c]) for c in pcols]
                 )
                 if os.path.isdir(sub):
                     shutil.rmtree(sub)
+                else:
+                    raise RuntimeError(
+                        f"forget_ids: expected fully-emptied partition "
+                        f"directory {sub!r} not found — its rows were NOT "
+                        "deleted (partition-path encoding mismatch?)"
+                    )
             # manual directory surgery invalidates Spark's cached file
             # listing for this path; without the refresh a subsequent
             # read can chase deleted part files (FILE_NOT_EXIST)

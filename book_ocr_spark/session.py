@@ -19,16 +19,24 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     # Master resolution order: explicit arg > SPARK_MASTER env > a
-    # master already configured by the launcher (spark-submit --master
-    # sets spark.master in the JVM system properties — forcing
+    # launcher-provided master (spark-submit --master — forcing
     # local[*] over it would silently run the whole job on the driver
     # node, the exact failure cli.py's --threads help warns about) >
     # local[*] for bare `python script.py` runs.
+    #
+    # Launcher detection CANNOT rely on SparkConf(): before the first
+    # SparkContext the py4j gateway does not exist and SparkConf reads
+    # an empty local dict, so the submitted master is invisible. Under
+    # spark-submit the Python driver is launched by PythonRunner with
+    # PYSPARK_GATEWAY_PORT in its environment — that (or an
+    # already-configured SparkConf once the JVM is up) is the signal
+    # that a master is managed for us.
     from pyspark import SparkConf
 
     master = master or os.environ.get("SPARK_MASTER")
     launcher_master = SparkConf().get("spark.master", None)
-    if master is None and launcher_master is None:
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and launcher_master is None and not under_submit:
         master = "local[*]"
     builder = SparkSession.builder.appName(app_name)
     if master is not None:

@@ -87,7 +87,15 @@ def exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False
     for _root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        # prune commit-protocol trees, but NOT partition directories:
+        # a user partition column may itself start with '_'
+        # (`_src=web`), and pruning it would report the whole table
+        # missing
+        dirs[:] = [
+            d
+            for d in dirs
+            if "=" in d or not d.startswith(("_", "."))
+        ]
         for name in files:
             if name.startswith(("_", ".")):
                 continue

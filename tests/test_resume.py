@@ -498,3 +498,103 @@ def test_io_exists_ignores_uncommitted_temporary_debris(tmp_path):
     # a committed file flips it
     (tmp_path / "tbl" / "part-00000.snappy.parquet").write_bytes(b"junk")
     assert bio.exists(str(tmp_path / "tbl")) is True
+
+
+def test_forget_ids_null_partition_value_null_safe(spark, tmp_path):
+    """Review-pass pin: NULL partition values join NULL-SAFELY — with
+    plain equality a NULL partition never matches itself, so its
+    surviving rows were excluded from the rewrite AND the whole
+    directory was rmtree'd (destroying surviving rows)."""
+    from book_ocr_spark.plans.maintenance import forget_ids
+    from book_ocr_spark.sources import io as bio
+
+    tbl = str(tmp_path / "nullpart")
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "web", "c"), (4, "web", "d")],
+        "id long, src string, text string",
+    )
+    bio.write_partitioned(df, tbl, ["src"])
+    report = forget_ids(
+        spark, [1], [(tbl, "id")], partition_cols={tbl: ["src"]}
+    )
+    assert report[tbl] == {"rows_before": 4, "rows_removed": 1}
+    left = {r.id for r in spark.read.parquet(tbl).collect()}
+    assert left == {2, 3, 4}  # id=2 (NULL partition) SURVIVES
+    # fully-emptied NULL partition is removed
+    report2 = forget_ids(
+        spark, [2], [(tbl, "id")], partition_cols={tbl: ["src"]}
+    )
+    assert report2[tbl]["rows_removed"] == 1
+    assert {r.id for r in spark.read.parquet(tbl).collect()} == {3, 4}
+
+
+def test_forget_ids_orphan_partition_spec_raises(spark, tmp_path):
+    """Review-pass pin: the orphan check lives in the OPERATOR, not
+    only the CLI — and trailing slashes normalize before lookup."""
+    import pytest as _pt
+
+    from book_ocr_spark.plans.maintenance import forget_ids
+
+    with _pt.raises(ValueError, match="not listed in tables"):
+        forget_ids(
+            spark, [1], [("/d/x", "id")], partition_cols={"/d/y": ["p"]}
+        )
+    # trailing slash on either side still matches (no raise for the
+    # same path spelled two ways; the table itself is absent so the
+    # run is a no-op report)
+    out = forget_ids(
+        spark, [1], [(str(tmp_path / "gone") + "/", "id")],
+        partition_cols={str(tmp_path / "gone"): ["p"]},
+    )
+    assert out[str(tmp_path / "gone")]["rows_removed"] == 0
+
+
+def test_hive_part_dir_encoding():
+    """Review-pass pin: directory names match Spark's partition-path
+    encoding (bool lowercase, Hive percent-escaping); unsupported
+    types raise instead of silently missing the directory."""
+    import pytest as _pt
+
+    from book_ocr_spark.plans.maintenance import _hive_part_dir
+
+    assert _hive_part_dir("flag", True) == "flag=true"
+    assert _hive_part_dir("n", 7) == "n=7"
+    assert _hive_part_dir("src", None) == "src=__HIVE_DEFAULT_PARTITION__"
+    assert _hive_part_dir("t", "a:b/c") == "t=a%3Ab%2Fc"
+    with _pt.raises(ValueError, match="unsupported partition value"):
+        _hive_part_dir("ts", 1.5)
+
+
+def test_recover_swap_restores_over_uncommitted_debris(spark, tmp_path):
+    """Review-pass pin: a mid-swap crash plus a recreating writer that
+    died pre-commit leaves `path` as a debris-only directory; recovery
+    must clear it and restore, not wedge on ENOTEMPTY forever."""
+    import os
+
+    from book_ocr_spark.plans.maintenance import forget_ids
+
+    tbl = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"x{i}") for i in range(4)], "id long, text string"
+    ).write.parquet(tbl)
+    os.replace(tbl, tbl + "__preforget")  # mid-swap crash
+    debris = os.path.join(tbl, "_temporary", "0")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-0000.snappy.parquet"), "wb") as f:
+        f.write(b"junk")
+    report = forget_ids(spark, [0], [(tbl, "id")])
+    assert report[tbl] == {"rows_before": 4, "rows_removed": 1}
+    assert spark.read.parquet(tbl).count() == 3
+
+
+def test_io_exists_keeps_underscore_partition_dirs(tmp_path):
+    """Review-pass pin: a partition COLUMN may start with '_'
+    (`_src=web`); pruning it reported the whole table missing."""
+    import os
+
+    from book_ocr_spark.sources import io as bio
+
+    d = tmp_path / "tbl" / "_src=web"
+    os.makedirs(d)
+    (d / "part-00000.snappy.parquet").write_bytes(b"junk")
+    assert bio.exists(str(tmp_path / "tbl")) is True
