@@ -219,7 +219,11 @@ def minhash_signature(
     """
     grams = shingle_sets(df, id_col, text_col, k, unit)
     if storage_handle is not None:
-        grams = grams.persist()
+        from pyspark import StorageLevel
+
+        # same explicit level as minhash_near_dup's materialization of
+        # the identical projection
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
         storage_handle.append(grams)
     return grams.join(_signature_from_grams(grams), "id")
 

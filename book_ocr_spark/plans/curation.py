@@ -69,7 +69,7 @@ def curate(
     )
     return final.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("n_tokens"),
     )
 
@@ -139,10 +139,10 @@ def duck_curate_sql(
               AND NOT (digit_ratio > {MAX_DIGIT_RATIO})
               AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) < {WORD_LEN_LO})
               AND NOT ((n_chars - n_words + 1) / GREATEST(n_words, 1.0) > {WORD_LEN_HI})),
-        canon AS (SELECT MIN(id) AS id FROM kept GROUP BY MD5(text)),
+        canon AS (SELECT MIN(id) AS id FROM kept GROUP BY MD5(COALESCE(text, ''))),
         surv_docs AS (SELECT k.id, k.text FROM kept k JOIN canon USING (id)),
         pairs AS ({pairs_sql})"""
-    out = """SELECT s.id, MD5(s.text) AS fingerprint,
+    out = """SELECT s.id, MD5(COALESCE(s.text, '')) AS fingerprint,
                CAST(LEN(string_split_regex(TRIM(s.text), '\\s+')) AS BIGINT) AS n_tokens"""
     if clustering == "cc":
         return f"""
@@ -485,7 +485,7 @@ def duck_example_dedup_sql(
         "SELECT id, text FROM surv_docs", k=k, threshold=threshold
     )
     prefix = f"""corpus AS ({corpus_sql}),
-        canon AS (SELECT MIN(id) AS id FROM corpus GROUP BY MD5(text)),
+        canon AS (SELECT MIN(id) AS id FROM corpus GROUP BY MD5(COALESCE(text, ''))),
         surv_docs AS (SELECT c.id, c.text FROM corpus c JOIN canon USING (id)),
         pairs AS ({pairs_sql})"""
     if clustering == "cc":
@@ -863,7 +863,7 @@ def curate_transcripts(
         # the window re-render — a token/schema change applies once
         return exdf.select(
             "conv_id", "example", "n_turns", "n_train_turns", "example_len",
-            F.md5(F.col("example")).alias("fingerprint"),
+            F.md5(F.coalesce(F.col("example"), F.lit(""))).alias("fingerprint"),
             F.size(F.split(F.trim(F.col("example")), r"\s+"))
             .cast("bigint").alias("n_tokens"),
         )

@@ -127,11 +127,19 @@ def _hive_part_dir(col: str, value) -> str:
     a wrong name would make the caller's directory surgery silently
     skip a partition (the compliance failure this module exists to
     avoid)."""
+    import datetime
+
     if value is None:
         enc = "__HIVE_DEFAULT_PARTITION__"
     elif isinstance(value, bool):
         enc = "true" if value else "false"
     elif isinstance(value, int):
+        enc = str(value)
+    elif isinstance(value, datetime.date) and not isinstance(
+        value, datetime.datetime
+    ):
+        # DateType partitions (partition-type inference default):
+        # Spark writes ISO yyyy-MM-dd, exactly str(date)
         enc = str(value)
     elif isinstance(value, str):
         enc = "".join(
@@ -144,7 +152,8 @@ def _hive_part_dir(col: str, value) -> str:
         raise ValueError(
             f"forget_ids: unsupported partition value type "
             f"{type(value).__name__} for column {col!r}; partition-dir "
-            "cleanup cannot be encoded safely (int/str/bool/NULL only)"
+            "cleanup cannot be encoded safely "
+            "(int/str/bool/date/NULL only)"
         )
     return f"{col}={enc}"
 
@@ -156,24 +165,27 @@ def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
     full copy stranded at ``old``).
 
     Three states: (a) ``path`` missing -> mid-swap crash, restore
-    ``old`` wholesale; (b) both exist with MATCHING swap tokens ->
-    post-swap crash before cleanup, ``old`` is a stale duplicate,
-    drop it; (c) both exist without matching tokens -> a writer
-    recreated ``path`` after a mid-swap crash, so ``old`` holds the
-    only copy of the pre-crash rows — MERGE them back (the recreated
-    table holds only post-crash rows, so the union is exact) and swap
-    cleanly. Without the token check, (b) and (c) are
-    indistinguishable and either rmtree (loses (c)'s rows) or merge
-    (duplicates (b)'s rows) is wrong half the time.
+    ``old`` wholesale; (b) both exist and ``path`` carries the
+    ``_swapped_from`` marker -> ``path`` was produced by THIS
+    module's swap protocol (post-swap crash before cleanup, possibly
+    with further swaps since), so ``old`` is a stale pre-swap copy,
+    drop it; (c) both exist and ``path`` is unmarked -> an external
+    writer recreated ``path`` after a mid-swap crash (external writes
+    start from a Spark overwrite, which clears the marker), so
+    ``old`` holds the only copy of the pre-crash rows — MERGE them
+    back (the recreated table holds only post-crash rows, so the
+    union is exact) and swap cleanly. The discriminator is marker
+    PRESENCE, never token equality: an interleaved swap (say a
+    compaction between a forget crash and its recovery) rotates the
+    live token, and value comparison would mis-read that as (c) and
+    merge a pre-forget copy back — resurrecting forgotten rows.
 
-    The merge itself re-enters the token protocol: the merged tmp
-    carries ``_swapped_from`` equal to ``old``'s existing
-    ``_swap_token``, so a crash AFTER the merge swap but before the
-    cleanup re-classifies as state (b) (tokens match -> drop old)
-    instead of merging — and duplicating — a second time. A crash
-    BETWEEN the merge's two renames restores ``old`` wholesale on the
-    next run and leaves the recreated rows at ``__premerge`` on disk
-    (stranded-but-recoverable, never silently deleted)."""
+    The merge marks its own output, so a crash AFTER the merge swap
+    re-classifies as (b) instead of merging — and duplicating — a
+    second time. A crash BETWEEN the merge's two renames restores
+    ``old`` wholesale on the next run and leaves the recreated rows
+    at ``__premerge`` on disk (stranded-but-recoverable, never
+    silently deleted)."""
     if not os.path.isdir(old):
         return
     if not io.exists(path):
@@ -185,17 +197,19 @@ def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
             shutil.rmtree(path)
         os.replace(old, path)
         return
-    tok_old = os.path.join(old, "_swap_token")
     tok_live = os.path.join(path, "_swapped_from")
-    try:
-        same = (
-            os.path.isfile(tok_old)
-            and os.path.isfile(tok_live)
-            and open(tok_old).read() == open(tok_live).read()
-        )
-    except OSError:
-        same = False
-    if same:
+    # Discriminate on the PRESENCE of the live-side marker, not token
+    # equality: only this module's swap protocol ever writes
+    # `_swapped_from` (an external writer recreating the table starts
+    # from a Spark overwrite, which clears the dir), so a marked live
+    # table means `old` is a stale pre-swap copy — even when ANOTHER
+    # swap (e.g. a compaction between a forget crash and its recovery)
+    # has since rotated the token. Comparing token VALUES here would
+    # mis-classify that interleaving as a recreated table and MERGE
+    # the pre-forget copy back: resurrected forgotten rows plus a
+    # duplicated table. Presence needs no file read, so an unreadable
+    # token cannot silently route to the destructive branch either.
+    if os.path.isfile(tok_live):
         shutil.rmtree(old)
         return
     merged = spark.read.parquet(path).unionByName(spark.read.parquet(old))
@@ -203,17 +217,11 @@ def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     merged.write.mode("overwrite").parquet(tmp)
-    # re-token: old keeps (or gains) a token, the merged tmp carries
-    # the SAME one, so a post-merge-swap crash drops old instead of
-    # double-merging its rows
-    if os.path.isfile(tok_old):
-        token = open(tok_old).read()
-    else:
-        token = os.urandom(16).hex()
-        with open(tok_old, "w") as f:
-            f.write(token)
+    # mark the merged table as swap-produced so a crash after the
+    # merge swap (but before the cleanup) classifies `old` as stale on
+    # the next run instead of double-merging its rows
     with open(os.path.join(tmp, "_swapped_from"), "w") as f:
-        f.write(token)
+        f.write(os.urandom(16).hex())
     prev = path.rstrip("/") + "__premerge"
     if os.path.isdir(prev):
         shutil.rmtree(prev)
@@ -431,20 +439,26 @@ def forget_ids(
                 )
                 .collect()
             )
-            io.write_partitioned(affected, path, pcols)
-            for r in emptied:
-                d = r.asDict()
-                sub = os.path.join(
-                    path, *[_hive_part_dir(c, d[c]) for c in pcols]
+            # encode (and thereby type-validate) every emptied
+            # partition directory BEFORE the rewrite mutates the
+            # table: an unsupported partition type must abort with
+            # the table untouched, not mid-surgery
+            emptied_dirs = [
+                os.path.join(
+                    path, *[_hive_part_dir(c, r.asDict()[c]) for c in pcols]
                 )
-                if os.path.isdir(sub):
-                    shutil.rmtree(sub)
-                else:
+                for r in emptied
+            ]
+            for sub in emptied_dirs:
+                if not os.path.isdir(sub):
                     raise RuntimeError(
                         f"forget_ids: expected fully-emptied partition "
-                        f"directory {sub!r} not found — its rows were NOT "
-                        "deleted (partition-path encoding mismatch?)"
+                        f"directory {sub!r} not found — aborting before any "
+                        "rewrite (partition-path encoding mismatch?)"
                     )
+            io.write_partitioned(affected, path, pcols)
+            for sub in emptied_dirs:
+                shutil.rmtree(sub)
             # manual directory surgery invalidates Spark's cached file
             # listing for this path; without the refresh a subsequent
             # read can chase deleted part files (FILE_NOT_EXIST)

@@ -38,6 +38,15 @@ def get_spark(
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     if master is None and launcher_master is None and not under_submit:
         master = "local[*]"
+    # shuffle.partitions follows the same precedence rule as the
+    # master: an explicit arg always wins, the driver-local CPU
+    # heuristic applies only when WE chose the master — under
+    # spark-submit a launcher-provided --conf value (sized for the
+    # cluster, not this driver's cpu_count) must survive
+    if shuffle_partitions is None and (
+        launcher_master is None and not under_submit
+    ):
+        shuffle_partitions = _default_parallelism(master or "")
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
@@ -60,16 +69,13 @@ def get_spark(
         # single-process GPU worker amortization
         # (/root/reference/docs/technical_architecture.md:167).
         .config("spark.python.worker.reuse", "true")
-        .config(
-            "spark.sql.shuffle.partitions",
-            str(
-                shuffle_partitions
-                or _default_parallelism(master or launcher_master or "")
-            ),
-        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
