@@ -104,9 +104,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error as e:
+                # a short-DECLARED IHDR (length < 13) passes the
+                # truncation check above but breaks the unpack; it is a
+                # malformed payload, not a task crash
+                raise ValueError(f"malformed PNG IHDR: {e}") from e
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} unsupported")
             if color not in (0, 2, 6):
@@ -126,7 +132,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, color = meta
     bpp = {0: 1, 2: 3, 6: 4}[color]
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt IDAT deflate stream == malformed payload; callers
+        # classify ValueError as decode_ok='malformed' rather than
+        # letting zlib.error kill the Spark task
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     raw = raw.reshape(h, stride + 1)

@@ -232,13 +232,16 @@ def _recover_swap(spark: SparkSession, path: str, old: str) -> None:
 
 
 def _tokenized_swap(path: str, tmp: str, old: str) -> None:
-    """The shared swap tail: write matching tokens into the live and
-    replacement dirs, two renames, cleanup — the SINGLE copy of the
-    protocol _recover_swap discriminates on."""
-    token = os.urandom(16).hex()
-    for d, name in ((path, "_swap_token"), (tmp, "_swapped_from")):
-        with open(os.path.join(d, name), "w") as f:
-            f.write(token)
+    """The shared swap tail: mark the REPLACEMENT dir with
+    `_swapped_from`, two renames, cleanup — the SINGLE copy of the
+    protocol. Recovery (`_recover_swap`) discriminates on the
+    PRESENCE of `_swapped_from` in the live dir only — no token
+    comparison, and nothing is ever written into the live table dir
+    before the rename (a pre-rename mutation of the live dir would be
+    a window where a crash leaves a marker in a table no swap
+    produced)."""
+    with open(os.path.join(tmp, "_swapped_from"), "w") as f:
+        f.write(os.urandom(16).hex())
     os.replace(path, old)
     os.replace(tmp, path)
     shutil.rmtree(old)
@@ -247,9 +250,9 @@ def _tokenized_swap(path: str, tmp: str, old: str) -> None:
 def _swap_write(spark: SparkSession, path: str, df, old: str) -> None:
     """Rewrite ``path`` with ``df`` through the tokenized two-rename
     swap (never an unlink of the live table). ``old`` must be the SAME
-    sibling name the caller hands _recover_swap, and the tokens are
-    what let recovery tell a stale post-swap leftover from a recreated
-    table."""
+    sibling name the caller hands _recover_swap; the `_swapped_from`
+    marker in the live dir is what lets recovery tell a stale
+    post-swap leftover from a recreated table."""
     tmp = path.rstrip("/") + "__swapping"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)

@@ -252,6 +252,74 @@ def test_extract_pixel_features_failure_classification(spark):
     assert got == {1: "ok", 2: "unsupported_codec", 3: "malformed"}
 
 
+def _corrupt_idat_png() -> bytes:
+    """A structurally valid PNG whose IDAT holds garbage deflate bytes
+    — zlib.decompress raises zlib.error on it."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    return (
+        mm.PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xff\xfe\xfd\xfc not deflate")
+        + chunk(b"IEND", b"")
+    )
+
+
+def _short_ihdr_png() -> bytes:
+    """A PNG whose IHDR DECLARES a short length (< 13 bytes) — the
+    chunk is internally consistent, so the truncation check passes,
+    but struct.unpack of the 13-byte IHDR layout fails."""
+    import struct
+    import zlib
+
+    data = struct.pack(">II", 4, 4)  # only 8 of the 13 IHDR bytes
+    return (
+        mm.PNG_SIGNATURE
+        + struct.pack(">I", len(data)) + b"IHDR" + data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+    )
+
+
+def test_decode_png_corrupt_streams_raise_valueerror():
+    """ADVICE r4: corrupt IDAT deflate (zlib.error) and short-declared
+    IHDR (struct.error) must surface as ValueError from decode_png so
+    the Arrow-batch classifier maps them to 'malformed' instead of the
+    raw error killing the Spark task."""
+    import pytest
+
+    with pytest.raises(ValueError, match="IDAT"):
+        mm.decode_png(_corrupt_idat_png())
+    with pytest.raises(ValueError, match="IHDR"):
+        mm.decode_png(_short_ihdr_png())
+
+
+def test_extract_pixel_features_corrupt_deflate_classified(spark):
+    """The full-job contract from ADVICE r4: a corrupt-deflate PNG and
+    a short-declared IHDR both surface as decode_ok='malformed' rows —
+    the job completes, no task crash, no dropped rows."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        [
+            {"media_id": 1, "kind": "image", "payload": _corrupt_idat_png(),
+             "width": 4, "height": 4, "sample_rate": None, "n_frames": None},
+            {"media_id": 2, "kind": "image", "payload": _short_ihdr_png(),
+             "width": None, "height": None, "sample_rate": None, "n_frames": None},
+        ]
+    )
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {r.media_id: r.decode_ok for r in mm.extract_pixel_features(media).collect()}
+    assert got == {1: "malformed", 2: "malformed"}
+
+
 def test_extract_pixel_features_null_dims(spark):
     """Review-pass pin: NULL declared dims neither crash the task nor
     misclassify — PNG is self-describing, so the row decodes and

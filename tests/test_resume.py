@@ -295,17 +295,15 @@ def test_compact_small_files(spark, tmp_path):
     assert res2["files_before"] == res2["files_after"] == 1
 
     # stale __precompact leftover (crash after the swap, before the
-    # cleanup): a TRUE post-swap leftover carries matching swap tokens
-    # — with them present, recovery drops it; without them recovery
-    # must assume the recreated-table case and merge (pinned in
-    # test_compact_recovery_merges_recreated_table)
+    # cleanup): after a TRUE swap the LIVE dir carries `_swapped_from`
+    # — with it present, recovery drops the leftover; without it
+    # recovery must assume the recreated-table case and merge (pinned
+    # in test_compact_recovery_merges_recreated_table)
     import os
     import shutil
 
     leftover = tbl + "__precompact"
     shutil.copytree(tbl, leftover)
-    with open(os.path.join(leftover, "_swap_token"), "w") as f:
-        f.write("tok1")
     with open(os.path.join(tbl, "_swapped_from"), "w") as f:
         f.write("tok1")
     res3 = compact_small_files(spark, tbl, target_file_bytes=1 << 30)
