@@ -1321,6 +1321,135 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact repeated-substring removal (Lee et al. 2021): every token
+    inside a cross-document-repeated 8-token window is stripped, one
+    window-hash agg + bounded joins — linear in total tokens, no
+    pairwise comparison (the suffix-array-free scale shape). Run over
+    the constructed near-dup corpus so removals have ground-truth
+    positives at every sf. r5 registry rotation: a bench headline
+    shape that had never sat under the driver hash gate."""
+    from book_ocr_spark.operators.substring import substring_dedup
+
+    return substring_dedup(
+        _dedup_corpus(spark, sf_dir), "id", "text", n=8
+    ).orderBy("id")
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directed containment (Broder) via the inverted-index similarity
+    join: per-shingle-key self-join bounded by the stop-shingle cap,
+    denominators measured BEFORE the cap (capped denominators would
+    inflate C — the sf1-decade bug class, regression-pinned). r5
+    registry rotation: the second bench-headline shape promoted to a
+    full rows+schema+hash driver row."""
+    from book_ocr_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _dedup_corpus(spark, sf_dir),
+        threshold=0.8,
+        stop_shingle_df=100,
+    ).orderBy("contained_id", "container_id")
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 top-10 per query via the inverted-index probe: query terms
+    broadcast into the postings, integer-exact micro-unit scores so
+    the DuckDB replay is bit-identical. Queries are the first ten
+    docs' 80-char prefixes — deterministic and engine-portable."""
+    from book_ocr_spark.operators.retrieval import bm25_scores
+
+    docs = _canon_docs(spark, sf_dir)
+    qs = docs.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"),
+        F.substring("text", 1, 80).alias("qtext"),
+    )
+    return bm25_scores(
+        docs, qs, id_col="id", text_col="text", topk=10
+    ).orderBy("qid", "rank")
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (6 rounds) over a deterministic
+    orders-derived link graph (custkey→orderkey residues): per round
+    one equi-join + hash agg, dangling mass as a broadcast 1-row
+    scalar, localCheckpoint plan truncation — no driver action inside
+    the loop. The DuckDB oracle replays the identical recurrence as a
+    finite unrolled CTE chain with the same 9dp per-round rounding."""
+    from book_ocr_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("n"), (F.col("o_custkey") % 97).cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 101).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return pagerank(edges, iterations=6)
+
+
+def q_gopher_flags(spark, sf_dir):
+    """The Gopher composite (Rae et al. 2021 A1.1 quality rules):
+    seven rules, first-failing-reason attribution, exact-double
+    ratios — all codegen'd projections over RAW document text (line
+    rules need the newlines `_canon_docs` strips). Distinct from the
+    registered `quality_flags` (C4-style composite) and
+    `repetition_signals` (word-level repetition pair)."""
+    from book_ocr_spark.operators.textstats import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return gopher_quality_flags(d, "id", "text")
+
+
+def _substring_dedup_oracle_sql() -> str:
+    from book_ocr_spark.operators.substring import duck_substring_dedup_sql
+
+    return duck_substring_dedup_sql(_dedup_corpus_sql(), n=8)
+
+
+def _containment_pairs_oracle_sql() -> str:
+    from book_ocr_spark.operators.dedup import duck_containment_pairs_sql
+
+    return duck_containment_pairs_sql(
+        _dedup_corpus_sql(), threshold=0.8, stop_shingle_df=100
+    )
+
+
+def _bm25_scores_oracle_sql() -> str:
+    from book_ocr_spark.operators.retrieval import duck_bm25_scores_sql
+
+    return duck_bm25_scores_sql(
+        _CANON_DOCS_SQL,
+        f"SELECT id AS qid, substr(text, 1, 80) AS qtext "
+        f"FROM ({_CANON_DOCS_SQL}) bm_q WHERE id < 10",
+        topk=10,
+    )
+
+
+_PAGERANK_EDGES_SQL = (
+    "SELECT 'n' || CAST(o_custkey % 97 AS VARCHAR) AS src, "
+    "'n' || CAST(o_orderkey % 101 AS VARCHAR) AS dst FROM orders"
+)
+
+
+def _pagerank_oracle_sql() -> str:
+    from book_ocr_spark.operators.graph import duck_pagerank_sql
+
+    return duck_pagerank_sql(_PAGERANK_EDGES_SQL, iterations=6)
+
+
+def _gopher_flags_oracle_sql() -> str:
+    from book_ocr_spark.operators.textstats import duck_gopher_quality_flags_sql
+
+    return duck_gopher_quality_flags_sql(
+        "SELECT doc_id AS id, text FROM documents", "id", "text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Exactly 50 entries: CORRECTNESS_r02 covered exactly the FIRST 50
     # registered queries, so the registry is consolidated to fit the
@@ -1361,22 +1490,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tested (tests/test_sq.py) but outside the registry, this repo's
     # documented undocumented-operator pitfall; retiree twin-pinned in
     # tests/test_unregistered_queries.py.
+    # r5 rotation (VERDICT r4 item 1): five never-registered
+    # heavyweights promoted under the hash gate — substring_dedup +
+    # containment_pairs (bench headliners that never had a driver
+    # row), bm25_scores (inverted-index probe), pagerank (unrolled-CTE
+    # oracle), gopher_flags (the Gopher composite). Retired in
+    # exchange, all covered-class shapes: ordered_collect (A1 ⊂
+    # compose_docs), customers_without_orders / customers_with_open
+    # _orders (J1/J2 anti/semi — also exercised by resume/replay
+    # tests), global_page_numbers (W2/F6a ⊂ pipeline_plain_sql's
+    # numbering), top3_orders_per_customer (O4 ⊂ the WindowGroupLimit
+    # plan pin). Every retiree keeps its q_ function + a module-level
+    # oracle constant and is twin-pinned in
+    # tests/test_unregistered_queries.py.
     return {
         "compose_docs": q_compose_docs,
         "pipeline_plain_sql": q_pipeline_plain_sql,
         "pipeline_markup_sql": q_pipeline_markup_sql,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
-        "customers_without_orders": q_customers_without_orders,
-        "customers_with_open_orders": q_customers_with_open_orders,
+        "substring_dedup": q_substring_dedup,
+        "containment_pairs": q_containment_pairs,
         "order_window_compose": q_order_window_compose,
-        "top3_orders_per_customer": q_top3_orders_per_customer,
-        "ordered_collect": q_ordered_collect,
+        "bm25_scores": q_bm25_scores,
+        "pagerank": q_pagerank,
         "rollup_metrics": q_rollup_metrics,
         "nations_setops": q_nations_setops,
         "preference_pairs": q_preference_pairs,
         "ann_quality": q_ann_quality,
-        "global_page_numbers": q_global_page_numbers,
+        "gopher_flags": q_gopher_flags,
         "daily_event_rollup": q_daily_event_rollup,
         "json_props": q_json_props,
         "validation_filter": q_validation_filter,
@@ -1762,8 +1904,54 @@ def _line_dedup_oracle_sql() -> str:
     )
 
 
+# Oracle SQL for queries retired from the 50-row driver window in the
+# r5 rotation — kept as module constants so tests/test_unregistered_
+# queries.py pins each retiree against the identical twin.
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """
+
+CUSTOMERS_WITH_OPEN_ORDERS_ORACLE = """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            ORDER BY c_custkey
+        """
+
+TOP3_ORDERS_PER_CUSTOMER_ORACLE = """
+            SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders) t
+            WHERE rk <= 3 ORDER BY o_custkey, rk
+        """
+
+ORDERED_COLLECT_ORACLE = """
+            SELECT l_orderkey,
+                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY l_linenumber) AS line_numbers,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+        """
+
+GLOBAL_PAGE_NUMBERS_ORACLE = """
+            SELECT n_name,
+                   PRINTF('page_%03d', ROW_NUMBER() OVER (ORDER BY n_name)) AS page
+            FROM nation ORDER BY n_name
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "substring_dedup": _substring_dedup_oracle_sql(),
+        "containment_pairs": _containment_pairs_oracle_sql(),
+        "bm25_scores": _bm25_scores_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        "gopher_flags": _gopher_flags_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 4) AS sum_qty,
@@ -1785,18 +1973,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
         """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-            ORDER BY c_custkey
-        """,
-        "customers_with_open_orders": """
-            SELECT c_custkey, c_mktsegment FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-            ORDER BY c_custkey
-        """,
         "order_window_compose": """
             SELECT o_custkey, o_orderkey,
                    ROW_NUMBER() OVER w AS order_seq,
@@ -1806,21 +1982,6 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, order_seq
-        """,
-        "top3_orders_per_customer": """
-            SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
-                SELECT o_custkey, o_orderkey, o_totalprice,
-                       ROW_NUMBER() OVER (PARTITION BY o_custkey
-                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-                FROM orders) t
-            WHERE rk <= 3 ORDER BY o_custkey, rk
-        """,
-        "ordered_collect": """
-            SELECT l_orderkey,
-                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
-                              ORDER BY l_linenumber) AS line_numbers,
-                   COUNT(*) AS n_lines
-            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
         """,
         "rollup_metrics": """
             SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -1844,11 +2005,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "preference_pairs": _preference_pairs_oracle_sql(),
         "ann_quality": _ann_quality_oracle_sql(),
-        "global_page_numbers": """
-            SELECT n_name,
-                   PRINTF('page_%03d', ROW_NUMBER() OVER (ORDER BY n_name)) AS page
-            FROM nation ORDER BY n_name
-        """,
         "daily_event_rollup": """
             SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value

@@ -53,6 +53,11 @@ def con():
     c.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
     )
+    # r5 retirees touch the relational side too
+    for t in ("customer", "lineitem", "nation"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     return c
 
 
@@ -151,4 +156,67 @@ def test_simhash_fingerprint_retired_twin(spark, con):
     _compare(
         em.q_simhash_fingerprint(spark, SF_DIR).toPandas(),
         con.execute(em._dedup_oracle_sql("simhash")).df(),
+    )
+
+
+# ---------------------------------------------------------------------
+# r5 rotation retirees: five covered-class rows swapped out of the
+# driver window for substring_dedup / containment_pairs / bm25_scores
+# / pagerank / gopher_flags. Each keeps the IDENTICAL query + oracle
+# pair here (module-level *_ORACLE constants in __spark_entry__).
+# ---------------------------------------------------------------------
+
+
+def test_ordered_collect_retired_twin(spark, con):
+    """A1/S5 ordered collect stays driver-covered via compose_docs
+    (the same array_sort(collect_list) assembly over transcripts)."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_ordered_collect(spark, SF_DIR).toPandas(),
+        con.execute(em.ORDERED_COLLECT_ORACLE).df(),
+    )
+
+
+def test_customers_without_orders_retired_twin(spark, con):
+    """J1 anti-join stays covered by the resume path's done-skip
+    (tests/test_resume.py) and the broadcast plan pin."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_customers_without_orders(spark, SF_DIR).toPandas(),
+        con.execute(em.CUSTOMERS_WITHOUT_ORDERS_ORACLE).df(),
+    )
+
+
+def test_customers_with_open_orders_retired_twin(spark, con):
+    """J2 semi-join stays covered by the replay drive
+    (tests/test_resume.py / plans/pipeline.py)."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_customers_with_open_orders(spark, SF_DIR).toPandas(),
+        con.execute(em.CUSTOMERS_WITH_OPEN_ORDERS_ORACLE).df(),
+    )
+
+
+def test_global_page_numbers_retired_twin(spark, con):
+    """W2/F6a global numbering stays driver-covered via
+    pipeline_plain_sql's turn numbering + zero-padded format."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_global_page_numbers(spark, SF_DIR).toPandas(),
+        con.execute(em.GLOBAL_PAGE_NUMBERS_ORACLE).df(),
+    )
+
+
+def test_top3_orders_per_customer_retired_twin(spark, con):
+    """O4 top-k per group stays pinned by the WindowGroupLimit plan
+    test (tests/test_plan_shape.py) and this twin."""
+    import __spark_entry__ as em
+
+    _compare(
+        em.q_top3_orders_per_customer(spark, SF_DIR).toPandas(),
+        con.execute(em.TOP3_ORDERS_PER_CUSTOMER_ORACLE).df(),
     )
