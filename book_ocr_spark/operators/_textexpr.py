@@ -1,0 +1,14 @@
+"""Leaf helper shared by textstats and redaction (r5 split): the
+regexp-hit-count expression both modules build their rule counts
+from. Lives in its own module so redaction.py stays a true leaf
+(textstats re-exports redaction's names at its bottom — importing
+textstats from redaction would cycle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _count(col: str, pattern: str) -> Column:
+    return F.size(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)")).cast("double")

@@ -1,0 +1,550 @@
+"""Gopher quality + repetition rule bundles (Rae et al. 2021,
+Appendix A1.1) — r5 split from textstats.py, pure moves. The seven
+quality rules with first-failing-reason attribution and the full
+13-signal repetition filter, all codegen'd projections with
+bit-identical DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The seven Gopher repetition-free quality rules → one row per
+    document: ``(id, n_words, mean_word_len, symbol_ratio,
+    bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits, keep,
+    reason)``, ordered by id, ``reason`` naming the FIRST failing
+    rule in the fixed order below ('ok' when all pass):
+
+    1. word count in [min_words, max_words]            (word_count_*)
+    2. mean word length in [3, 10]                     (mean_word_len_*)
+    3. (# '#' chars + # '...' runs) / words <= 0.1     (symbol_ratio)
+    4. <= 90% of lines start with a bullet (• - *)     (bullet_ratio)
+    5. <= 30% of lines end with an ellipsis (... or …) (ellipsis_ratio)
+    6. >= 80% of words contain an alphabetic char      (alpha_ratio)
+    7. >= 2 of Gopher's 8 stop words occur as words    (stop_words)
+
+    Ratios are exact IEEE doubles of integer counts — bit-equal
+    across engines by construction — and are ROUNDED 4dp only in the
+    output columns; rule comparisons use the unrounded values.
+    '...'-run counting is the non-overlapping replace-delta trick
+    (len − len(replace))/3, identical in both engines. NULL text
+    coalesces to '' (the quality_flags rule): without it every rule
+    evaluates NULL, falls through to a misattributed 'stop_words'
+    reason with NULL metrics, and legacy non-ANSI Spark (size(NULL) =
+    -1) diverges from the twin."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(t), r"\s+")
+    # split('') yields [''] — an empty doc must count 0 words
+    n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_wl = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),  # int would overflow on GB-scale docs
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_wl.cast("double") / nw
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_dots = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_dots).cast("double") / nw
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 1).isin(*GOPHER_BULLETS),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast(
+            "double"
+        )
+        / nw
+    )
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            lambda s: F.array_contains(low_words, s),
+        )
+    )
+    reason = (
+        F.when(n_words < min_words, "word_count_low")
+        .when(n_words > max_words, "word_count_high")
+        .when(mean_wl < min_mean_word_len, "mean_word_len_low")
+        .when(mean_wl > max_mean_word_len, "mean_word_len_high")
+        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
+        .when(bullet_ratio > max_bullet_ratio, "bullet_ratio")
+        .when(ellipsis_ratio > max_ellipsis_ratio, "ellipsis_ratio")
+        .when(alpha_ratio < min_alpha_ratio, "alpha_ratio")
+        .when(stop_hits < min_stop_words, "stop_words")
+        .otherwise("ok")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.cast("bigint").alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(symbol_ratio, 4).alias("symbol_ratio"),
+            F.round(bullet_ratio, 4).alias("bullet_ratio"),
+            F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+            F.round(alpha_ratio, 4).alias("alpha_ratio"),
+            stop_hits.cast("int").alias("stop_hits"),
+            (reason == "ok").alias("keep"),
+            reason.alias("reason"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duck_gopher_quality_flags_sql(
+    src_sql: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_flags` — same counts,
+    same exact-double ratios, same first-failing-rule order."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOP_WORDS)
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
+    return f"""
+        WITH gq_m AS MATERIALIZED (
+            SELECT {id_col},
+                   CASE WHEN trim({text_col}) = '' THEN 0
+                        ELSE len(string_split_regex(
+                                 trim({text_col}), '\\s+')) END
+                       AS n_words,
+                   string_split_regex(trim({text_col}), '\\s+') AS words,
+                   list_filter(list_transform(
+                       string_split({text_col}, chr(10)),
+                       l -> trim(l)), l -> l <> '') AS lines,
+                   length({text_col})
+                   - length(replace({text_col}, '#', '')) AS n_hash,
+                   (length({text_col})
+                    - length(replace({text_col}, '...', ''))) / 3
+                       AS n_dots
+            FROM (SELECT {id_col}, COALESCE({text_col}, '') AS {text_col}
+                  FROM ({src_sql}) gq_src0) gq_src),
+        gq_r AS MATERIALIZED (
+            SELECT {id_col}, n_words,
+                   CAST(list_sum(list_transform(words, w -> length(w)))
+                        AS DOUBLE)
+                   / GREATEST(n_words, 1) AS mean_wl,
+                   CAST(n_hash + n_dots AS DOUBLE)
+                   / GREATEST(n_words, 1) AS symbol_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> list_contains([{bullets}], l[1:1])))
+                        AS DOUBLE)
+                   / GREATEST(len(lines), 1) AS bullet_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> l LIKE '%...' OR l LIKE '%…'))
+                        AS DOUBLE)
+                   / GREATEST(len(lines), 1) AS ellipsis_ratio,
+                   CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[a-zA-Z]')))
+                        AS DOUBLE)
+                   / GREATEST(n_words, 1) AS alpha_ratio,
+                   len(list_filter([{stops}],
+                       s -> list_contains(
+                           list_transform(words, w -> lower(w)), s)))
+                       AS stop_hits
+            FROM gq_m),
+        gq_f AS (
+            SELECT *,
+                   CASE WHEN n_words < {min_words} THEN 'word_count_low'
+                        WHEN n_words > {max_words} THEN 'word_count_high'
+                        WHEN mean_wl < {min_mean_word_len!r}
+                            THEN 'mean_word_len_low'
+                        WHEN mean_wl > {max_mean_word_len!r}
+                            THEN 'mean_word_len_high'
+                        WHEN symbol_ratio > {max_symbol_ratio!r}
+                            THEN 'symbol_ratio'
+                        WHEN bullet_ratio > {max_bullet_ratio!r}
+                            THEN 'bullet_ratio'
+                        WHEN ellipsis_ratio > {max_ellipsis_ratio!r}
+                            THEN 'ellipsis_ratio'
+                        WHEN alpha_ratio < {min_alpha_ratio!r}
+                            THEN 'alpha_ratio'
+                        WHEN stop_hits < {min_stop_words}
+                            THEN 'stop_words'
+                        ELSE 'ok' END AS reason
+            FROM gq_r)
+        SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mean_wl, 4) AS mean_word_len,
+               ROUND(symbol_ratio, 4) AS symbol_ratio,
+               ROUND(bullet_ratio, 4) AS bullet_ratio,
+               ROUND(ellipsis_ratio, 4) AS ellipsis_ratio,
+               ROUND(alpha_ratio, 4) AS alpha_ratio,
+               CAST(stop_hits AS INT) AS stop_hits,
+               reason = 'ok' AS keep, reason
+        FROM gq_f ORDER BY {id_col}
+    """
+
+
+# --------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 A1.1, the other half of
+# the bundle): within-document duplicate lines/paragraphs and n-gram
+# character fractions. repetition_signals keeps its two word-level
+# signals as the light pass; this is the full 13-signal filter.
+# --------------------------------------------------------------------
+
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+# the fixed first-failing-reason order (= the paper's table order)
+_GOPHER_REP_ORDER = tuple(GOPHER_REP_THRESHOLDS)
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """The thirteen Gopher repetition signals → one row per document
+    (id, <13 signal columns>, keep, reason), ordered by id, reason =
+    first signal over its threshold in the paper's table order.
+
+    Conventions (pinned for the twin; the common DataTrove/NeMo
+    reading of the paper's definitions):
+
+    - lines = trimmed non-empty ``\\n`` splits; paragraphs = trimmed
+      non-empty blank-line (``\\n\\s*\\n``) splits;
+    - dup_{line,para}_frac: occurrences BEYOND each repeated unit's
+      first, over total unit occurrences (a doc of one repeated line
+      n times scores (n−1)/n);
+    - dup_{line,para}_char_frac: those beyond-first occurrences
+      weighted by unit char length, over TOTAL DOC CHARS;
+    - top_{2,3,4}gram_char_frac: (count × char length) of the most
+      frequent word n-gram over total doc chars; ties resolve by
+      (count, gram length) max — the c×len product is tie-invariant,
+      so the fraction is deterministic cross-engine;
+    - dup_{5..10}gram_char_frac: char mass of ALL occurrences of
+      n-grams seen ≥2 times, over total doc chars (the all-occurrence
+      convention for n-grams vs beyond-first for lines — exactly the
+      DataTrove pairing);
+    - n-gram chars include the single joining spaces; overlapping
+      occurrences are counted independently (the standard
+      approximation — fractions can exceed 1 on degenerate input).
+
+    Scale shape: one line explode + one paragraph explode + ONE
+    n-gram explode covering all nine n (each ~doc_words rows), three
+    (id, unit) hash counts (map-side combined), then one hash agg
+    back to (id) each — all JVM; short docs that produce no units
+    join back as zero signals. The n-gram explode is the dominant
+    cost (~9× words) — the price every Gopher-filter implementation
+    pays.
+
+    Compose AFTER :func:`gopher_quality_flags` (or at least its
+    50-word floor): the paper applies the bundle jointly, and the
+    top-n-gram thresholds presuppose it — on a short document any
+    single 3-gram already holds >16% of the characters, so short
+    docs flag spuriously when this filter runs alone."""
+    th = dict(GOPHER_REP_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold(s): {sorted(unknown)}")
+        th.update(thresholds)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("double").alias("_chars"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+
+    def _unit_stats(split_pat: str, prefix: str) -> DataFrame:
+        units = base.select(
+            "id",
+            "_chars",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split("_t", split_pat), lambda l: F.trim(l)
+                    ),
+                    lambda l: l != "",
+                )
+            ).alias("u"),
+        )
+        per_unit = units.groupBy("id", "_chars", "u").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_unit.groupBy("id").agg(
+            (
+                F.sum(F.when(F.col("c") >= 2, F.col("c") - 1).otherwise(0))
+                / F.sum("c")
+            ).alias(f"{prefix}_frac"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c") >= 2,
+                        (F.col("c") - 1) * F.length("u"),
+                    ).otherwise(0)
+                )
+                / F.greatest(F.first("_chars"), F.lit(1.0))
+            ).alias(f"{prefix}_char_frac"),
+        )
+
+    line_stats = _unit_stats("\n", "dup_line")
+    para_stats = _unit_stats(r"\n\s*\n", "dup_para")
+
+    # one explode for all nine n: (id, n, gram)
+    ns = list(range(2, 11))
+    gram_expr = F.explode(
+        F.flatten(
+            F.array(
+                *[
+                    F.expr(
+                        f"transform("
+                        f"CASE WHEN size(_w) >= {n} THEN "
+                        f"sequence(1, size(_w)-{n}+1) "
+                        f"ELSE array() END,"
+                        f" i -> struct({n} AS n,"
+                        f" concat_ws(' ', slice(_w, i, {n})) AS g))"
+                    )
+                    for n in ns
+                ]
+            )
+        )
+    ).alias("ng")
+    grams = base.select("id", "_chars", gram_expr).select(
+        "id", "_chars", F.col("ng.n").alias("n"), F.col("ng.g").alias("g")
+    )
+    per_gram = grams.groupBy("id", "_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gram_aggs = []
+    for n in (2, 3, 4):
+        # max over (count, gram length): ties on both leave the
+        # c*len product identical, so no further tie-break is needed
+        best = F.max(
+            F.when(
+                F.col("n") == n,
+                F.struct(F.col("c"), F.length("g").alias("gl")),
+            )
+        )
+        gram_aggs.append(
+            (
+                best.getField("c")
+                * best.getField("gl")
+                / F.greatest(F.first("_chars"), F.lit(1.0))
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        gram_aggs.append(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("n") == n) & (F.col("c") >= 2),
+                        F.col("c") * F.length("g"),
+                    ).otherwise(0)
+                )
+                / F.greatest(F.first("_chars"), F.lit(1.0))
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    gram_stats = per_gram.groupBy("id").agg(*gram_aggs)
+
+    out = (
+        base.select("id")
+        .join(line_stats, "id", "left")
+        .join(para_stats, "id", "left")
+        .join(gram_stats, "id", "left")
+    )
+    sig_cols = list(_GOPHER_REP_ORDER)
+    filled = out.select(
+        "id",
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in sig_cols
+        ],
+    )
+    reason = F.lit("ok")
+    for c in reversed(sig_cols):
+        reason = F.when(F.col(c) > th[c], c).otherwise(reason)
+    return (
+        filled.withColumn("keep", reason == "ok")
+        .withColumn("reason", reason)
+        .select(
+            "id",
+            *[F.round(F.col(c), 4).alias(c) for c in sig_cols],
+            "keep",
+            "reason",
+        )
+        .orderBy("id")
+    )
+
+
+def duck_gopher_repetition_flags_sql(
+    src_sql: str,
+    id_col: str,
+    text_col: str,
+    thresholds: dict | None = None,
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition_flags`: same unit
+    splits, same beyond-first / all-occurrence conventions, same
+    (count, gram length) max, same first-failing order."""
+    th = dict(GOPHER_REP_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold(s): {sorted(unknown)}")
+        th.update(thresholds)
+
+    def _unit_ctes(pat: str, tag: str, prefix: str) -> str:
+        return f"""
+        gr_{tag}_u AS MATERIALIZED (
+            SELECT id, chars,
+                   unnest(list_filter(list_transform(
+                       string_split_regex(t, '{pat}'), l -> trim(l)),
+                       l -> l <> '')) AS u
+            FROM gr_base),
+        gr_{tag}_c AS (
+            SELECT id, chars, u, COUNT(*) AS c
+            FROM gr_{tag}_u GROUP BY id, chars, u),
+        gr_{tag}_s AS (
+            SELECT id,
+                   SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END)
+                   / CAST(SUM(c) AS DOUBLE) AS {prefix}_frac,
+                   SUM(CASE WHEN c >= 2 THEN (c - 1) * length(u)
+                            ELSE 0 END)
+                   / GREATEST(ANY_VALUE(chars), 1.0)
+                       AS {prefix}_char_frac
+            FROM gr_{tag}_c GROUP BY id)"""
+
+    gram_selects = []
+    for n in range(2, 11):
+        gram_selects.append(
+            f"""SELECT id, chars, {n} AS n,
+                unnest(CASE WHEN len(w) >= {n} THEN
+                    list_transform(generate_series(1, len(w)-{n}+1),
+                        i -> array_to_string(
+                            list_slice(w, i, i+{n}-1), ' '))
+                    ELSE [] END) AS g
+                FROM gr_base"""
+        )
+    top_cols = []
+    for n in (2, 3, 4):
+        top_cols.append(
+            f"""MAX(CASE WHEN n = {n} THEN
+                    {{'c': c, 'gl': length(g)}} END)['c']
+                * MAX(CASE WHEN n = {n} THEN
+                    {{'c': c, 'gl': length(g)}} END)['gl']
+                / GREATEST(ANY_VALUE(chars), 1.0)
+                    AS top_{n}gram_char_frac"""
+        )
+    for n in range(5, 11):
+        top_cols.append(
+            f"""SUM(CASE WHEN n = {n} AND c >= 2
+                    THEN c * length(g) ELSE 0 END)
+                / GREATEST(ANY_VALUE(chars), 1.0)
+                    AS dup_{n}gram_char_frac"""
+        )
+    sig_cols = list(_GOPHER_REP_ORDER)
+    reason = "'ok'"
+    for c in reversed(sig_cols):
+        reason = (
+            f"CASE WHEN COALESCE({c}, 0.0) > {th[c]!r} THEN '{c}' "
+            f"ELSE {reason} END"
+        )
+    out_sigs = ",\n               ".join(
+        f"ROUND(COALESCE({c}, 0.0), 4) AS {c}" for c in sig_cols
+    )
+    return f"""
+        WITH gr_base AS MATERIALIZED (
+            SELECT {id_col} AS id, {text_col} AS t,
+                   CAST(length({text_col}) AS DOUBLE) AS chars,
+                   string_split_regex(trim({text_col}), '\\s+') AS w
+            FROM ({src_sql}) gr_src),
+        {_unit_ctes(chr(10), 'line', 'dup_line')},
+        {_unit_ctes(chr(92) + 'n' + chr(92) + 's*' + chr(92) + 'n',
+                    'para', 'dup_para')},
+        gr_grams AS MATERIALIZED (
+            {" UNION ALL ".join(gram_selects)}),
+        gr_gc AS (
+            SELECT id, chars, n, g, COUNT(*) AS c
+            FROM gr_grams GROUP BY id, chars, n, g),
+        gr_gs AS (
+            SELECT id,
+                   {",  ".join(top_cols)}
+            FROM gr_gc GROUP BY id),
+        gr_out AS (
+            SELECT b.id,
+                   {", ".join(
+                       "l." + c if c.startswith("dup_line")
+                       else "p." + c if c.startswith("dup_para")
+                       else "g." + c
+                       for c in sig_cols)}
+            FROM (SELECT DISTINCT id FROM gr_base) b
+            LEFT JOIN gr_line_s l ON b.id = l.id
+            LEFT JOIN gr_para_s p ON b.id = p.id
+            LEFT JOIN gr_gs g ON b.id = g.id),
+        gr_r AS (
+            SELECT id,
+                   {", ".join(
+                       f"COALESCE({c}, 0.0) AS {c}" for c in sig_cols)},
+                   {reason} AS reason
+            FROM gr_out)
+        SELECT id,
+               {out_sigs},
+               reason = 'ok' AS keep, reason
+        FROM gr_r ORDER BY id
+    """
+

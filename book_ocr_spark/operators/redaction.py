@@ -1,0 +1,321 @@
+"""Redaction operators (r5 split from textstats.py — pure moves):
+PII scrubbing (emails, phones, SSNs, cards, IPs) and secret /
+credential scrubbing for agent transcripts (cloud keys, tokens,
+private-key blocks), as chained JVM regexp_replace passes — zero
+Python, regexes in the Java-regex ∩ RE2 subset so the DuckDB twins
+replay bit-identically. The redaction *rules* contain public token
+SHAPES (AKIA…, xox…) — they are the filter, not credentials.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from book_ocr_spark.operators._textexpr import _count  # noqa: F401
+
+
+# Java-regex ∩ RE2 subset (no lookaround) so Spark and DuckDB agree.
+# PHONE accepts (a) an international prefix, (b) a parenthesized area
+# code, or (c) a bare number of >=3 separator-delimited 2-4 digit
+# groups — a plain range like '1914-1918' (two groups) or a lone long
+# number is NOT phone-shaped and passes through. Known false-positive
+# class: numeric tables whose cells happen to form 3+ such groups;
+# production scrubbing validates candidates with a phone library
+# (libphonenumber) inside a pandas UDF — this operator is the
+# regex-only first pass both engines can replay exactly.
+PII_RES = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": (
+        r"\+?[0-9]{0,3}[-. ]?\([0-9]{1,4}\)[-. ]?[0-9]{2,4}([-. ]?[0-9]{2,4}){1,3}"
+        r"|\+[0-9]{1,3}[-. ]?[0-9]{2,4}([-. ]?[0-9]{2,4}){1,3}"
+        r"|[0-9]{2,4}([-. ][0-9]{2,4}){2,3}"
+    ),
+}
+PII_ORDER = ("EMAIL", "URL", "PHONE")  # URLs can contain @; emails first
+
+
+def pii_redact_col(text_col: str) -> Column:
+    """The chained typed-placeholder replacement as a bare Column —
+    shared by redact_pii and the turn-grain redaction stage in
+    plans.curation.curate_transcripts (same PII_ORDER, same regexes,
+    so the composed-pass twin reuses duck_pii_redact_expr)."""
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        red = F.regexp_replace(red, PII_RES[kind], f"<{kind}>")
+    return red
+
+
+def duck_pii_redact_expr(col: str) -> str:
+    """DuckDB twin of pii_redact_col as a bare SQL expression."""
+    red = col
+    for kind in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_RES[kind]}', '<{kind}>', 'g')"
+    return red
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted_text, n_email, n_url, n_phone): chained
+    regexp_replace to typed placeholders plus per-kind match counts —
+    one narrow JVM projection, no Python. Counts are taken BEFORE any
+    replacement so an email inside a URL is tallied under both kinds
+    exactly as the oracle tallies it; replacement order is pinned by
+    PII_ORDER on both engines."""
+    counts = {
+        kind: _count(text_col, pat.replace("\\", "\\\\")).cast("bigint")
+        for kind, pat in PII_RES.items()
+    }
+    red = pii_redact_col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        red.alias("redacted_text"),
+        counts["EMAIL"].alias("n_email"),
+        counts["URL"].alias("n_url"),
+        counts["PHONE"].alias("n_phone"),
+    )
+
+
+def duck_redact_pii_sql(corpus_sql: str) -> str:
+    """DuckDB twin of redact_pii; corpus_sql yields (id, text)."""
+    red = duck_pii_redact_expr("text")
+    cnt = {
+        kind: f"CAST(LEN(regexp_extract_all(text, '{pat}', 0)) AS BIGINT)"
+        for kind, pat in PII_RES.items()
+    }
+    return f"""
+        WITH corpus AS ({corpus_sql})
+        SELECT id, {red} AS redacted_text,
+               {cnt['EMAIL']} AS n_email,
+               {cnt['URL']} AS n_url,
+               {cnt['PHONE']} AS n_phone
+        FROM corpus ORDER BY id
+    """
+
+
+def _phone_plausible(candidate: str) -> bool:
+    """Deterministic plausibility subset of libphonenumber's rules —
+    the fallback validator when the `phonenumbers` package is absent:
+    E.164 digit-count bounds (7-15) plus rejection of the regex pass's
+    documented false-positive class (numeric tables: 3+ SHORT digit
+    groups like '12 34 56' with no +country or (area) marker)."""
+    import re as _re
+
+    digits = _re.sub(r"\D", "", candidate)
+    if not 7 <= len(digits) <= 15:
+        return False
+    if "+" in candidate or "(" in candidate:
+        return True
+    groups = _re.findall(r"\d+", candidate)
+    return any(len(g) >= 3 for g in groups)
+
+
+def _phone_valid(candidate: str) -> bool:
+    """libphonenumber validation when available (is_possible_number —
+    length/prefix plausibility, the documented upgrade path from the
+    regex-only pass), else the deterministic fallback subset."""
+    try:
+        import phonenumbers
+    except ImportError:
+        return _phone_plausible(candidate)
+    for region in (None, "US"):
+        try:
+            num = phonenumbers.parse(candidate, region)
+        except phonenumbers.NumberParseException:
+            continue
+        if phonenumbers.is_possible_number(num):
+            return True
+    return False
+
+
+def redact_pii_validated(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two-stage PII scrub — the production shape of redact_pii:
+
+      stage 1 (JVM): EMAIL/URL redaction + all three candidate counts,
+        identical to redact_pii (that regex-only pass stays the
+        SQL-oracle-able operator);
+      stage 2 (Arrow-batched pandas UDF): every PHONE candidate is
+        validated — libphonenumber when importable, else the
+        deterministic _phone_plausible subset — and only validated
+        candidates redact/count. This removes the regex pass's
+        documented false-positive class (numeric tables whose short
+        digit groups match the bare-number alternation) at the cost of
+        one Python stage over rows that contain candidates.
+
+    Returns (id, redacted_text, n_email, n_url, n_phone) with n_phone
+    counting VALIDATED matches only. Stage 2 scans the stage-1 OUTPUT,
+    so a phone-shaped substring inside an email/URL is neither counted
+    nor double-redacted — an intentional divergence from redact_pii
+    (which counts every kind on the raw text): a digits-in-URL path
+    is not a phone number. Not SQL-oracle-able by design (the
+    validator is a Python library decision); pinned by pytest against
+    constructed true/false-positive fixtures instead."""
+    import re as _re
+
+    phone_re = _re.compile(PII_RES["PHONE"])
+
+    @F.pandas_udf("struct<redacted_text: string, n_phone: bigint>")
+    def _phone_pass(text: pd.Series) -> pd.DataFrame:
+        counts = []
+
+        def scrub(s: str) -> str:
+            n = 0
+
+            def repl(m):
+                nonlocal n
+                if _phone_valid(m.group(0)):
+                    n += 1
+                    return "<PHONE>"
+                return m.group(0)
+
+            out = phone_re.sub(repl, s)
+            counts.append(n)
+            return out
+
+        red = text.fillna("").map(scrub)
+        return pd.DataFrame(
+            {"redacted_text": red, "n_phone": pd.Series(counts, dtype="int64")}
+        )
+
+    counts = {
+        kind: _count(text_col, PII_RES[kind].replace("\\", "\\\\")).cast("bigint")
+        for kind in ("EMAIL", "URL")
+    }
+    stage1 = F.col(text_col)
+    for kind in ("EMAIL", "URL"):
+        stage1 = F.regexp_replace(stage1, PII_RES[kind], f"<{kind}>")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        stage1.alias("_s1"),
+        counts["EMAIL"].alias("n_email"),
+        counts["URL"].alias("n_url"),
+    ).withColumn("_p", _phone_pass(F.col("_s1")))
+    return out.select(
+        "id",
+        F.col("_p.redacted_text").alias("redacted_text"),
+        "n_email",
+        "n_url",
+        F.col("_p.n_phone").alias("n_phone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Secret / credential scrubbing — the redaction pass AGENT transcripts
+# need beyond PII: tool outputs echo environment dumps, config files,
+# and HTTP headers, so leaked API keys / JWTs / private keys are the
+# dominant sensitive class in trajectory corpora (emails/phones are
+# the web-corpus class; see PII_RES above).
+# ---------------------------------------------------------------------------
+# Java-regex ∩ RE2 subset, verified bit-identical cross-engine
+# (inline (?i), \b, non-greedy [\s\S]*?, counted quantifiers all agree).
+# Deliberately NOT included: a generic long-hex/base64 rule — in agent
+# transcripts git SHAs, digests, and content hashes are everywhere and
+# redacting them destroys training signal; entropy-gated generic
+# detection belongs in a validated pandas-UDF second pass (the
+# redact_pii_validated shape), not the regex pass both engines replay.
+SECRET_RES = {
+    # PEM block, header through footer (non-greedy so adjacent blocks
+    # redact separately); must run FIRST — its base64 body can contain
+    # substrings the narrower token rules would match
+    "PRIVATE_KEY": (
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----"
+    ),
+    # three base64url segments, first decoding to '{"' — before BEARER
+    # so 'Bearer <jwt>' redacts as the more specific kind
+    "JWT": r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+    "AWS_KEY": r"\b(AKIA|ASIA)[0-9A-Z]{16}\b",
+    "GITHUB_TOKEN": r"\bgh[pousr]_[A-Za-z0-9]{36}\b",
+    "SLACK_TOKEN": r"\bxox[baprs]-[A-Za-z0-9-]{10,}",
+    "BEARER": r"(?i)\bbearer +[A-Za-z0-9._~+/=-]{16,}",
+    # key[=:]value assignments; group 1 keeps the key name in the
+    # output (the training-signal-preserving shape: 'api_key=<...>').
+    # The value class excludes quote/terminator chars so a redacted
+    # placeholder (contains < >) can never re-match, and <8-char
+    # values pass (a short 'secret=abc' is a test fixture, not a leak)
+    "KV_SECRET": (
+        r"""(?i)\b(api[_-]?key|secret|token|passwd|password|pwd)("?)"""
+        r"""\s*[=:]\s*"?[^\s"',;<>]{8,}"?"""
+    ),
+}
+SECRET_ORDER = (
+    "PRIVATE_KEY", "JWT", "AWS_KEY", "GITHUB_TOKEN",
+    "SLACK_TOKEN", "BEARER", "KV_SECRET",
+)
+# replacement strings per engine: only KV_SECRET uses a backreference,
+# and Java spells it $1 where RE2/DuckDB spells it \1
+_SECRET_REPL_SPARK = {k: f"<{k}>" for k in SECRET_ORDER} | {
+    "KV_SECRET": "$1=<KV_SECRET>"
+}
+_SECRET_REPL_DUCK = {k: f"<{k}>" for k in SECRET_ORDER} | {
+    "KV_SECRET": "\\1=<KV_SECRET>"
+}
+
+
+def secret_redact_col(text_col: str) -> Column:
+    """The chained typed-placeholder secret replacement as a bare
+    Column — shared by redact_secrets and the turn-grain stage in
+    plans.curation.curate_transcripts (same SECRET_ORDER, same
+    regexes, so the composed-pass twin reuses
+    duck_secret_redact_expr). Patterns ride F.lit, never F.expr, so
+    the embedded quote characters need no SQL escaping."""
+    red = F.col(text_col)
+    for kind in SECRET_ORDER:
+        red = F.regexp_replace(
+            red, F.lit(SECRET_RES[kind]), F.lit(_SECRET_REPL_SPARK[kind])
+        )
+    return red
+
+
+def duck_secret_redact_expr(col: str) -> str:
+    """DuckDB twin of secret_redact_col as a bare SQL expression."""
+    red = col
+    for kind in SECRET_ORDER:
+        pat = SECRET_RES[kind].replace("'", "''")
+        red = (
+            f"regexp_replace({red}, '{pat}', "
+            f"'{_SECRET_REPL_DUCK[kind]}', 'g')"
+        )
+    return red
+
+
+def redact_secrets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted_text, n_private_key, n_jwt, n_aws_key,
+    n_github_token, n_slack_token, n_bearer, n_kv_secret): chained
+    regexp_replace to typed placeholders plus per-kind match counts —
+    one narrow JVM projection, no Python (the redact_pii shape over
+    the credential class). Counts are taken BEFORE any replacement;
+    replacement order is pinned by SECRET_ORDER on both engines, so
+    a JWT behind 'Bearer ' tallies under both JWT and BEARER but
+    redacts as the more specific <JWT>."""
+    counts = {
+        kind: F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(SECRET_RES[kind]), F.lit(0)
+            )
+        ).cast("bigint").alias(f"n_{kind.lower()}")
+        for kind in SECRET_ORDER
+    }
+    return df.select(
+        F.col(id_col).alias("id"),
+        secret_redact_col(text_col).alias("redacted_text"),
+        *[counts[kind] for kind in SECRET_ORDER],
+    )
+
+
+def duck_redact_secrets_sql(corpus_sql: str) -> str:
+    """DuckDB twin of redact_secrets; corpus_sql yields (id, text)."""
+    red = duck_secret_redact_expr("text")
+    cnt = ", ".join(
+        "CAST(LEN(regexp_extract_all(text, '{}', 0)) AS BIGINT) AS n_{}".format(
+            SECRET_RES[kind].replace("'", "''"), kind.lower()
+        )
+        for kind in SECRET_ORDER
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql})
+        SELECT id, {red} AS redacted_text, {cnt}
+        FROM corpus ORDER BY id
+    """
+
+

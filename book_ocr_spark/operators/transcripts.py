@@ -42,37 +42,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-SEP = "\n"  # separator between rendered turn pieces
-MAX_DEPTH = 4096  # prefix-signature depth cap (see module docstring)
-
-
 # ---------------------------------------------------------------------------
-# Chat-template rendering (shared by spans / examples / fitting)
+# r5 module split (pure moves, stable import paths): shared turn-grain
+# primitives live in transcripts_base; the RL credit-assignment,
+# datasheet/JSONL-export, and preference-mining/selection sections
+# moved to transcripts_rl / transcripts_export /
+# transcripts_preference. Every name they define stays importable
+# from this module via the re-exports below.
 # ---------------------------------------------------------------------------
-def _piece() -> Column:
-    """One rendered turn: ``<|role|>\\n{text}`` (NULLs render empty —
-    the span of a NULL text is empty, start_off == end_off)."""
-    return F.concat(
-        F.lit("<|"),
-        F.coalesce(F.col("role"), F.lit("")),
-        F.lit("|>" + SEP),
-        F.coalesce(F.col("text"), F.lit("")),
-    )
-
-
-def _header_len() -> Column:
-    # "<|" + role + "|>" + SEP
-    return (F.length(F.coalesce(F.col("role"), F.lit(""))) + F.lit(4 + len(SEP))).cast("long")
-
-
-def _piece_len() -> Column:
-    return _header_len() + F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
-
-
-_DUCK_PIECE = "('<|' || COALESCE(role, '') || '|>' || chr(10) || COALESCE(text, ''))"
-_DUCK_HEADER_LEN = "(length(COALESCE(role, '')) + 5)"
-_DUCK_PIECE_LEN = f"({_DUCK_HEADER_LEN} + length(COALESCE(text, '')))"
-
+from book_ocr_spark.operators.transcripts_base import (  # noqa: F401
+    MAX_DEPTH,
+    SEP,
+    _DUCK_HEADER_LEN,
+    _DUCK_PIECE,
+    _DUCK_PIECE_LEN,
+    _DUCK_TURN_H48,
+    _DUCK_TURN_MD5,
+    _cum_sigs,
+    _header_len,
+    _piece,
+    _piece_len,
+    _positioned,
+    _spark_turn_h48,
+    _verified,
+)
+from book_ocr_spark.operators.transcripts_export import *  # noqa: F401,F403
+from book_ocr_spark.operators.transcripts_export import (  # noqa: F401
+    _tool_valid,
+)
+from book_ocr_spark.operators.transcripts_preference import *  # noqa: F401,F403
+from book_ocr_spark.operators.transcripts_rl import *  # noqa: F401,F403
 
 def sft_spans(df: DataFrame) -> DataFrame:
     """Per-turn character spans inside the conversation's rendered
@@ -187,883 +186,6 @@ def duck_fit_last_turns_sql(src_sql: str, max_chars: int) -> str:
     """
 
 
-# ---------------------------------------------------------------------------
-# Discounted per-turn returns (RL credit assignment over trajectories)
-# ---------------------------------------------------------------------------
-def terminal_rewards(
-    df: DataFrame,
-    verdicts: DataFrame,
-    pass_reward: float = 1.0,
-    fail_reward: float = 0.0,
-    role: str | None = "assistant",
-) -> DataFrame:
-    """Outcome-reward shaping: turn a conversation-level verdict into
-    the per-turn ``reward`` column the credit-assignment family
-    consumes — the standard sparse-outcome-reward setup (the verdict
-    lands on the LAST ``role`` turn; every other turn gets 0), so
-    ``terminal_rewards → turn_returns/turn_advantages →
-    group_relative_advantages`` is the full offline-RL labeling chain
-    with no glue code.
-
-    ``verdicts`` is the pass_at_k shape: (conv_id, passed boolean) —
-    first column the id, second the verdict; missing or NULL verdicts
-    count as failed (the pass_at_k convention). ``role=None`` puts the
-    reward on the conversation's last turn regardless of role. A conv
-    with NO role-matching turn gets all-zero rewards (there is no
-    terminal to pay). Rewards are caller literals embedded identically
-    in both engines — no float arithmetic beyond the literal itself.
-
-    Scale shape: one window max over the module's conv_id exchange +
-    one broadcastable verdict join; no Python."""
-    pr, fr = float(pass_reward), float(fail_reward)
-    v = verdicts.select(
-        F.col(verdicts.columns[0]).cast("string").alias("conv_id"),
-        F.col(verdicts.columns[1]).cast("boolean").alias("_passed"),
-    )
-    eligible = (
-        F.lit(True) if role is None else (F.col("role") == F.lit(role))
-    )
-    w = Window.partitionBy("conv_id")
-    with_max = df.withColumn(
-        "_term_idx",
-        F.max(F.when(eligible, F.col("turn_idx"))).over(w),
-    )
-    is_term = F.col("_term_idx").isNotNull() & (
-        F.col("turn_idx") == F.col("_term_idx")
-    )
-    verdict_reward = F.when(
-        F.coalesce(F.col("_passed"), F.lit(False)), F.lit(pr)
-    ).otherwise(F.lit(fr))
-    return (
-        with_max.join(v, "conv_id", "left")
-        .withColumn(
-            "reward", F.when(is_term, verdict_reward).otherwise(F.lit(0.0))
-        )
-        .drop("_term_idx", "_passed")
-    )
-
-
-def duck_terminal_rewards_sql(
-    src_sql: str,
-    verdicts_sql: str,
-    pass_reward: float = 1.0,
-    fail_reward: float = 0.0,
-    role: str | None = "assistant",
-) -> str:
-    """DuckDB twin of terminal_rewards (same terminal rule, same
-    missing-verdict-is-failed coalesce, same literals)."""
-    pr, fr = float(pass_reward), float(fail_reward)
-    elig = "TRUE" if role is None else f"role = '{role}'"
-    return f"""
-        WITH tr_src AS (
-            SELECT s.*,
-                   MAX(CASE WHEN {elig} THEN turn_idx END)
-                       OVER (PARTITION BY conv_id) AS _term_idx
-            FROM ({src_sql}) s),
-        tr_v AS (
-            SELECT CAST(conv_id AS VARCHAR) AS conv_id,
-                   CAST(passed AS BOOLEAN) AS _passed
-            FROM ({verdicts_sql}) v0)
-        SELECT * EXCLUDE (_term_idx, _passed),
-               CASE WHEN _term_idx IS NOT NULL AND turn_idx = _term_idx
-                    THEN CASE WHEN COALESCE(_passed, FALSE)
-                              THEN CAST('{pr!r}' AS DOUBLE)
-                              ELSE CAST('{fr!r}' AS DOUBLE) END
-                    ELSE CAST('0.0' AS DOUBLE)
-               END AS reward
-        FROM tr_src LEFT JOIN tr_v USING (conv_id)
-    """
-
-
-def turn_returns(df: DataFrame, reward_col: str, gamma: float) -> DataFrame:
-    """(conv_id, turn_idx, reward, ret): the discounted return
-    G_t = r_t + gamma * G_{t+1} per turn over the conversation's turn
-    order (NULL rewards count as 0) — the credit-assignment column an
-    advantage-weighted SFT / offline-RL pass trains against, computed
-    next to the rest of the trajectory family (preference_pairs,
-    best_of_n, pass_at_k) instead of in a separate framework.
-
-    Engine-exactness: the recurrence is ONE ordered fold over the
-    reversed reward array (Spark ``aggregate`` HOF / DuckDB
-    ``list_reduce`` with the init element prepended) — multiplications
-    and additions happen in the identical order on both engines, and
-    gamma is embedded as the same Python double literal, so returns
-    are bit-identical with NO rounding convention (the power-free
-    formulation also avoids the cross-libm pow() hazard).
-
-    Scale shape: one collect_list + one posexplode riding the
-    module's conv_id exchange; the fold is O(n) per conversation
-    inside the JVM (the out-array prepends make it O(n^2) COPYING for
-    monster conversations — bounded in practice by the same
-    max-depth reality as the prefix family)."""
-    if not 0.0 <= gamma <= 1.0:
-        raise ValueError("gamma must be in [0, 1]")
-    g = repr(float(gamma))
-    items = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("turn_idx"),
-                F.coalesce(F.col(reward_col).cast("double"), F.lit(0.0)).alias("_r"),
-            )
-        )
-    )
-    folded = F.expr(
-        f"""
-        aggregate(
-            reverse(transform(_items, x -> x._r)),
-            struct(cast(0.0 as double) as g,
-                   cast(array() as array<double>) as out),
-            (acc, r) -> struct(
-                r + cast({g} as double) * acc.g,
-                concat(array(r + cast({g} as double) * acc.g), acc.out)),
-            acc -> acc.out)
-        """
-    )
-    per_conv = df.groupBy("conv_id").agg(items.alias("_items")).select(
-        "conv_id", "_items", folded.alias("_rets")
-    )
-    return per_conv.select(
-        "conv_id",
-        F.posexplode(F.arrays_zip("_items", "_rets")).alias("_i", "_z"),
-    ).select(
-        "conv_id",
-        F.col("_z._items.turn_idx").alias("turn_idx"),
-        F.col("_z._items._r").alias("reward"),
-        F.col("_z._rets").alias("ret"),
-    )
-
-
-def duck_turn_returns_sql(src_sql: str, reward_col: str, gamma: float) -> str:
-    """DuckDB twin of turn_returns — the SAME reversed ordered fold
-    (list_reduce with the init element prepended), the same gamma
-    literal, so the doubles match bit-for-bit."""
-    if not 0.0 <= gamma <= 1.0:
-        raise ValueError("gamma must be in [0, 1]")
-    g = repr(float(gamma))
-    return f"""
-        WITH tr_src AS (
-            SELECT conv_id, turn_idx,
-                   COALESCE(CAST({reward_col} AS DOUBLE), 0.0) AS r
-            FROM ({src_sql}) s0),
-        tr_arr AS (
-            SELECT conv_id,
-                   list(turn_idx ORDER BY turn_idx) AS tids,
-                   list(r ORDER BY turn_idx) AS rs
-            FROM tr_src GROUP BY conv_id),
-        tr_fold AS (
-            -- per-index scalar fold (DuckDB 1.0's list_reduce
-            -- mis-accumulates LIST-typed struct fields, so the O(n)
-            -- list-building fold is off the table): each G_i folds
-            -- b + gamma*a over the reversed suffix rs[i:], which is
-            -- the IDENTICAL arithmetic DAG Spark's single recurrence
-            -- produces for that index -> bit-equal despite the
-            -- different asymptotics (O(n^2) here is twin-only cost)
-            SELECT conv_id, tids, rs,
-                   list_transform(range(1, len(rs) + 1), i ->
-                       list_reduce(
-                           list_prepend(CAST(0 AS DOUBLE),
-                                        list_reverse(rs[i:])),
-                           (a, b) -> b + CAST({g} AS DOUBLE) * a)) AS rets
-            FROM tr_arr)
-        SELECT conv_id,
-               u.t AS turn_idx, u.r AS reward, u.g AS ret
-        FROM tr_fold,
-             UNNEST(list_transform(tids, (t, i) ->
-                 {{'t': t, 'r': rs[i], 'g': rets[i]}})) AS q(u)
-    """
-
-
-
-def turn_advantages(
-    df: DataFrame, reward_col: str, value_col: str, gamma: float, lam: float
-) -> DataFrame:
-    """(conv_id, turn_idx, reward, value, adv): generalized advantage
-    estimation (GAE, Schulman et al. 2015) per turn over the
-    conversation's turn order — delta_t = r_t + gamma*V_{t+1} - V_t
-    (V beyond the last turn is 0), A_t = delta_t +
-    gamma*lambda*A_{t+1}. The lambda knob interpolates between the
-    one-step TD advantage (lam=0) and the full-return baseline-
-    subtracted advantage (lam=1); NULL rewards AND NULL value
-    estimates count as 0 (a missing critic score = zero baseline).
-    This is turn_returns' sibling for actor-critic-style offline RL /
-    advantage-weighted SFT over scored agent trajectories.
-
-    Engine-exactness: same contract as turn_returns — ONE reversed
-    ordered fold, state (A_{t+1}, V_{t+1}) carried as two scalar
-    struct fields, every step the identical left-associated
-    expression ((r + g*vnext) - v) + gl*a with gamma and
-    gamma*lambda embedded as the same Python double literals in both
-    engines, so advantages match bit-for-bit with no rounding
-    convention and no pow().
-
-    Scale shape: identical to turn_returns — one collect_list +
-    posexplode on the module's conv_id exchange, O(n) JVM fold per
-    conversation."""
-    if not 0.0 <= gamma <= 1.0:
-        raise ValueError("gamma must be in [0, 1]")
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError("lam must be in [0, 1]")
-    g = repr(float(gamma))
-    gl = repr(float(gamma) * float(lam))
-    items = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("turn_idx"),
-                F.coalesce(F.col(reward_col).cast("double"), F.lit(0.0)).alias("_r"),
-                F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("_v"),
-            )
-        )
-    )
-    folded = F.expr(
-        f"""
-        aggregate(
-            reverse(transform(_items, x -> struct(x._r as r, x._v as v))),
-            struct(cast(0.0 as double) as a,
-                   cast(0.0 as double) as vnext,
-                   cast(array() as array<double>) as out),
-            (acc, x) -> struct(
-                x.r + cast({g} as double) * acc.vnext - x.v
-                    + cast({gl} as double) * acc.a,
-                x.v,
-                concat(array(x.r + cast({g} as double) * acc.vnext - x.v
-                    + cast({gl} as double) * acc.a), acc.out)),
-            acc -> acc.out)
-        """
-    )
-    per_conv = df.groupBy("conv_id").agg(items.alias("_items")).select(
-        "conv_id", "_items", folded.alias("_advs")
-    )
-    return per_conv.select(
-        "conv_id",
-        F.posexplode(F.arrays_zip("_items", "_advs")).alias("_i", "_z"),
-    ).select(
-        "conv_id",
-        F.col("_z._items.turn_idx").alias("turn_idx"),
-        F.col("_z._items._r").alias("reward"),
-        F.col("_z._items._v").alias("value"),
-        F.col("_z._advs").alias("adv"),
-    )
-
-
-def duck_turn_advantages_sql(
-    src_sql: str, reward_col: str, value_col: str, gamma: float, lam: float
-) -> str:
-    """DuckDB twin of turn_advantages: the same reversed fold with the
-    (A, V_next) state packed as a homogeneous {x, y} double struct
-    (data elements carry x=r, y=v; the accumulator x=A, y=V_next, so
-    list_prepend stays type-uniform), the same left-associated step
-    expression and the same gamma / gamma*lambda literals — per-index
-    scalar-struct folds over the reversed suffix, like
-    duck_turn_returns_sql (twin-only O(n^2))."""
-    if not 0.0 <= gamma <= 1.0:
-        raise ValueError("gamma must be in [0, 1]")
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError("lam must be in [0, 1]")
-    g = repr(float(gamma))
-    gl = repr(float(gamma) * float(lam))
-    return f"""
-        WITH ta_src AS (
-            SELECT conv_id, turn_idx,
-                   COALESCE(CAST({reward_col} AS DOUBLE), 0.0) AS r,
-                   COALESCE(CAST({value_col} AS DOUBLE), 0.0) AS v
-            FROM ({src_sql}) s0),
-        ta_arr AS (
-            SELECT conv_id,
-                   list(turn_idx ORDER BY turn_idx) AS tids,
-                   list(r ORDER BY turn_idx) AS rs,
-                   list(v ORDER BY turn_idx) AS vs,
-                   list({{'x': r, 'y': v}} ORDER BY turn_idx) AS es
-            FROM ta_src GROUP BY conv_id),
-        ta_fold AS (
-            SELECT conv_id, tids, rs, vs,
-                   list_transform(range(1, len(es) + 1), i ->
-                       struct_extract(list_reduce(
-                           list_prepend({{'x': CAST(0 AS DOUBLE),
-                                          'y': CAST(0 AS DOUBLE)}},
-                                        list_reverse(es[i:])),
-                           (acc, e) -> {{'x': e.x + CAST({g} AS DOUBLE) * acc.y
-                                            - e.y
-                                            + CAST({gl} AS DOUBLE) * acc.x,
-                                        'y': e.y}}), 'x')) AS advs
-            FROM ta_arr)
-        SELECT conv_id,
-               u.t AS turn_idx, u.r AS reward, u.v AS value, u.a AS adv
-        FROM ta_fold,
-             UNNEST(list_transform(tids, (t, i) ->
-                 {{'t': t, 'r': rs[i], 'v': vs[i], 'a': advs[i]}})) AS q(u)
-    """
-
-
-
-def group_relative_advantages(
-    df: DataFrame, group_col: str, reward_col: str
-) -> DataFrame:
-    """All input columns + (n_group, adv): GRPO-style group-relative
-    advantage normalization (Shao et al. 2024, DeepSeekMath) —
-    adv_i = (r_i - mean(group)) / std(group), population std, over
-    every row sharing ``group_col``. The group is the re-run family
-    this module already mines (the prefix-digest key of best_of_n /
-    pass_at_k / preference_pairs: N sampled answers to one context);
-    the reward is any integer micro-unit score (classifier
-    logit_micro, a rubric score, turn_returns scaled by 1e6).
-    Degenerate groups (all rewards equal — including singletons) get
-    adv = 0, the GRPO convention, detected EXACTLY via integer
-    min == max, never via a float threshold.
-
-    Engine-exactness: ``reward_col`` is cast to BIGINT (micro units —
-    callers pre-scale float rewards; NULLs count as 0 like
-    turn_returns), so the window moments n, S1 = Σr, S2 = Σr² are
-    exact order-independent integer sums; mean/variance/advantage
-    then derive through ONE fixed left-associated double expression —
-    (CAST(r) - S1/n) / sqrt(S2/n - (S1/n)²) — shared with the twin
-    (sqrt is IEEE-correctly-rounded, no libm pow hazard). A variance
-    that rounds to <= 0 in doubles while integers say the rewards
-    differ also yields 0, identically in both engines. Bound: needs
-    n·r² < 2^63 per group (|r| < ~2^31 with 10^4-member groups) —
-    micro-scaled logits are ~10^7, far inside it.
-
-    Scale shape: three window aggregates over one hash exchange on
-    ``group_col``; no joins, no driver action."""
-    r = F.coalesce(F.col(reward_col).cast("long"), F.lit(0).cast("long"))
-    w = Window.partitionBy(group_col)
-    n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(r).over(w)
-    s2 = F.sum(r * r).over(w)
-    rmin = F.min(r).over(w)
-    rmax = F.max(r).over(w)
-    mean = s1.cast("double") / n.cast("double")
-    ex2 = s2.cast("double") / n.cast("double")
-    var = ex2 - mean * mean
-    adv = (
-        F.when(rmin == rmax, F.lit(0.0))
-        .when(var <= 0, F.lit(0.0))
-        .otherwise((r.cast("double") - mean) / F.sqrt(var))
-    )
-    return df.withColumn("n_group", n.cast("long")).withColumn("adv", adv)
-
-
-def duck_group_relative_advantages_sql(
-    src_sql: str, group_col: str, reward_col: str
-) -> str:
-    """DuckDB twin of group_relative_advantages: the same exact
-    integer window moments and the same left-associated double
-    expression. Emits every src column + (n_group, adv)."""
-    rc = f"COALESCE(CAST({reward_col} AS BIGINT), 0)"
-    return f"""
-        WITH gra_src AS (SELECT * FROM ({src_sql}) s0),
-        gra_m AS (
-            SELECT s.*,
-                   CAST(COUNT(*) OVER w AS BIGINT) AS _n,
-                   CAST(SUM({rc}) OVER w AS BIGINT) AS _s1,
-                   CAST(SUM({rc} * {rc}) OVER w AS BIGINT) AS _s2,
-                   MIN({rc}) OVER w AS _rmin,
-                   MAX({rc}) OVER w AS _rmax
-            FROM gra_src s
-            WINDOW w AS (PARTITION BY {group_col}))
-        SELECT * EXCLUDE (_n, _s1, _s2, _rmin, _rmax),
-               _n AS n_group,
-               CASE WHEN _rmin = _rmax THEN 0.0
-                    WHEN (CAST(_s2 AS DOUBLE) / CAST(_n AS DOUBLE))
-                         - (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
-                           * (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)) <= 0
-                    THEN 0.0
-                    ELSE (CAST({rc} AS DOUBLE)
-                          - CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
-                         / sqrt((CAST(_s2 AS DOUBLE) / CAST(_n AS DOUBLE))
-                                - (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
-                                  * (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)))
-               END AS adv
-        FROM gra_m
-    """
-
-
-# ---------------------------------------------------------------------------
-# Datasheet — the one-call corpus summary a dataset release ships with
-# ---------------------------------------------------------------------------
-def datasheet(df: DataFrame) -> DataFrame:
-    """(metric, value): the long-format "datasheet for datasets"
-    summary of a transcripts table — corpus size (n_convs, n_turns),
-    shape (exact interpolated turns-per-conversation p50/p90/max,
-    chars-per-turn p50/p90), mass (chars_total, ws_tokens_total),
-    hygiene (null_text_turns, empty_text_turns, tool_turns), timing
-    (conv_duration_s_p50 over conversations with timestamps — WHOLE
-    seconds, floor on both engines; the row is omitted when the input
-    has no ``ts`` column, so tree_paths / parse_chat_jsonl /
-    window_turns outputs datasheet directly), and a
-    per-role histogram (``role_turns:<role>``, NULL role as
-    ``role_turns:<null>``). Long format so new metrics append without
-    a schema change; every number is exact (counts, sums, and the
-    percentile/quantile_cont pair both engines interpolate
-    identically, rounded 4dp) — run it before and after a curation
-    pass and diff (the operators/profile.py discipline at
-    conversation grain).
-
-    Scale shape: two hash aggs (turn-grain global + conv-grain) and a
-    role-grain agg, all map-side combined; the global aggregations
-    reduce to one row per metric — no window, no per-row Python."""
-    from book_ocr_spark.operators.textstats import ws_tokens
-
-    has_ts = "ts" in df.columns
-    t = df.select(
-        "conv_id", "role", "text", "tool",
-        *(["ts"] if has_ts else []),
-    )
-    turn = t.agg(
-        F.count(F.lit(1)).cast("double").alias("n_turns"),
-        F.sum(F.length("text")).cast("double").alias("chars_total"),
-        F.sum(F.size(ws_tokens("text"))).cast("double").alias("ws_tokens_total"),
-        F.round(F.expr("percentile(length(text), 0.5)"), 4).alias("chars_per_turn_p50"),
-        F.round(F.expr("percentile(length(text), 0.9)"), 4).alias("chars_per_turn_p90"),
-        F.sum(F.col("text").isNull().cast("long")).cast("double").alias("null_text_turns"),
-        F.sum((F.col("text") == "").cast("long")).cast("double").alias("empty_text_turns"),
-        F.sum(_tool_valid().cast("long")).cast("double").alias("tool_turns"),
-    )
-    # whole-second floor on BOTH engines (Spark unix_timestamp
-    # truncates sub-seconds; the twin floors epoch() to match — the
-    # intervals.py F.floor lesson applied to the duration metric)
-    per_conv = [F.count(F.lit(1)).alias("_nt")] + (
-        [
-            (
-                F.max(F.floor(F.unix_timestamp("ts")))
-                - F.min(F.floor(F.unix_timestamp("ts")))
-            ).alias("_dur")
-        ]
-        if has_ts
-        else []
-    )
-    conv = (
-        t.groupBy("conv_id")
-        .agg(*per_conv)
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_convs"),
-            F.round(F.expr("percentile(_nt, 0.5)"), 4).alias("turns_per_conv_p50"),
-            F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("turns_per_conv_p90"),
-            F.max("_nt").cast("double").alias("turns_per_conv_max"),
-            *(
-                [
-                    F.round(F.expr("percentile(_dur, 0.5)"), 4)
-                    .alias("conv_duration_s_p50")
-                ]
-                if has_ts
-                else []
-            ),
-        )
-    )
-
-    def _melt(row_df: DataFrame) -> DataFrame:
-        cols = row_df.columns
-        pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
-        return row_df.selectExpr(
-            f"stack({len(cols)}, {pairs}) as (metric, value)"
-        )
-
-    roles = t.groupBy("role").agg(F.count(F.lit(1)).alias("_n")).select(
-        F.concat(
-            F.lit("role_turns:"), F.coalesce(F.col("role"), F.lit("<null>"))
-        ).alias("metric"),
-        F.col("_n").cast("double").alias("value"),
-    )
-    return _melt(turn).unionByName(_melt(conv)).unionByName(roles)
-
-
-def duck_datasheet_sql(src_sql: str, has_ts: bool = True) -> str:
-    """DuckDB twin of datasheet (same exact aggregations; quantile_cont
-    is Spark percentile's interpolation twin; FLOOR(epoch()) matches
-    Spark unix_timestamp's whole-second floor — epoch() alone carries
-    microseconds and would diverge on fractional timestamps;
-    empty-token convention shared with the conv_embeddings twin)."""
-    toks = (
-        "LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),"
-        " w -> w <> ''))"
-    )
-    dur_pc = (
-        ",\n                   MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))"
-        " - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS dur"
-        if has_ts
-        else ""
-    )
-    dur_conv = (
-        ",\n                   ROUND(quantile_cont(dur, 0.5), 4)"
-        " AS conv_duration_s_p50"
-        if has_ts
-        else ""
-    )
-    dur_row = (
-        "UNION ALL SELECT 'conv_duration_s_p50', conv_duration_s_p50 FROM conv"
-        if has_ts
-        else ""
-    )
-    return f"""
-        WITH ds AS (SELECT * FROM ({src_sql}) s0),
-        turn AS (
-            SELECT CAST(COUNT(*) AS DOUBLE) AS n_turns,
-                   CAST(SUM(LEN(text)) AS DOUBLE) AS chars_total,
-                   CAST(SUM({toks}) AS DOUBLE) AS ws_tokens_total,
-                   ROUND(quantile_cont(LEN(text), 0.5), 4) AS chars_per_turn_p50,
-                   ROUND(quantile_cont(LEN(text), 0.9), 4) AS chars_per_turn_p90,
-                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                       AS null_text_turns,
-                   CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS DOUBLE)
-                       AS empty_text_turns,
-                   CAST(SUM(CASE WHEN tool IS NOT NULL AND tool <> ''
-                            THEN 1 ELSE 0 END) AS DOUBLE) AS tool_turns
-            FROM ds),
-        pc AS (
-            SELECT conv_id, COUNT(*) AS nt{dur_pc}
-            FROM ds GROUP BY conv_id),
-        conv AS (
-            SELECT CAST(COUNT(*) AS DOUBLE) AS n_convs,
-                   ROUND(quantile_cont(nt, 0.5), 4) AS turns_per_conv_p50,
-                   ROUND(quantile_cont(nt, 0.9), 4) AS turns_per_conv_p90,
-                   CAST(MAX(nt) AS DOUBLE) AS turns_per_conv_max{dur_conv}
-            FROM pc)
-        SELECT 'n_turns' AS metric, n_turns AS value FROM turn
-        UNION ALL SELECT 'chars_total', chars_total FROM turn
-        UNION ALL SELECT 'ws_tokens_total', ws_tokens_total FROM turn
-        UNION ALL SELECT 'chars_per_turn_p50', chars_per_turn_p50 FROM turn
-        UNION ALL SELECT 'chars_per_turn_p90', chars_per_turn_p90 FROM turn
-        UNION ALL SELECT 'null_text_turns', null_text_turns FROM turn
-        UNION ALL SELECT 'empty_text_turns', empty_text_turns FROM turn
-        UNION ALL SELECT 'tool_turns', tool_turns FROM turn
-        UNION ALL SELECT 'n_convs', n_convs FROM conv
-        UNION ALL SELECT 'turns_per_conv_p50', turns_per_conv_p50 FROM conv
-        UNION ALL SELECT 'turns_per_conv_p90', turns_per_conv_p90 FROM conv
-        UNION ALL SELECT 'turns_per_conv_max', turns_per_conv_max FROM conv
-        {dur_row}
-        UNION ALL
-        SELECT 'role_turns:' || COALESCE(role, '<null>') AS metric,
-               CAST(COUNT(*) AS DOUBLE) AS value
-        FROM ds GROUP BY role
-    """
-
-
-def datasheet_diff(before: DataFrame, after: DataFrame) -> DataFrame:
-    """(metric, before, after, delta): two datasheet cards joined full-
-    outer on metric — the "what did the pass do" view (a role that
-    disappeared entirely shows before=N, after=NULL; delta is
-    after−before with absent-as-0). Both inputs are datasheet()
-    outputs or anything (metric, value)-shaped."""
-    b = before.select(F.col("metric"), F.col("value").alias("before"))
-    a = after.select(F.col("metric"), F.col("value").alias("after"))
-    return b.join(a, "metric", "full_outer").select(
-        "metric",
-        "before",
-        "after",
-        (
-            F.coalesce(F.col("after"), F.lit(0.0))
-            - F.coalesce(F.col("before"), F.lit(0.0))
-        ).alias("delta"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# JSONL chat-format export (the training-loader interchange shape)
-# ---------------------------------------------------------------------------
-# Minimal-JSON escape chain, shared verbatim by both engines so the
-# rendered line is BIT-IDENTICAL cross-engine (not just parse-equal):
-# backslash FIRST (later steps emit backslashes), then quote, then the
-# three named controls. Remaining C0 controls (rare — binary junk that
-# survived extraction) are STRIPPED, not \u-escaped (neither engine
-# can compute \u00XX in a regexp replacement), and counted per
-# conversation so the lossy rows are visible. Ordered pairs of
-# (regex pattern, spark replacement, duckdb replacement): Java
-# replacement strings treat '\' specially ('\\\\' emits one
-# backslash) where RE2 replacements emit '\\' as one — the per-engine
-# third/fourth elements encode exactly that difference.
-_JSON_ESC = [
-    (r"\\", "\\\\\\\\", "\\\\\\\\"),
-    (r'"', '\\\\"', '\\\\"'),
-    ("\n", "\\\\n", "\\\\n"),
-    ("\r", "\\\\r", "\\\\r"),
-    ("\t", "\\\\t", "\\\\t"),
-]
-_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
-
-
-def _ctrl_count(c):
-    """C0-control-char count of one escaped field (0 for NULL) — the
-    shared n_ctrl_stripped term of sft_jsonl and dpo_jsonl."""
-    return F.coalesce(
-        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
-    )
-
-
-def _json_esc_col(col: Column) -> Column:
-    for pat, rep, _ in _JSON_ESC:
-        col = F.regexp_replace(col, F.lit(pat), F.lit(rep))
-    return F.regexp_replace(col, F.lit(_CTRL_RE), F.lit(""))
-
-
-def _duck_json_esc(expr: str) -> str:
-    for pat, _, rep in _JSON_ESC:
-        p = pat.replace("'", "''").replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
-    return f"regexp_replace({expr}, '{_CTRL_RE}', '', 'g')"
-
-
-def _json_str_or_null(col: Column) -> Column:
-    return F.when(
-        col.isNotNull(), F.concat(F.lit('"'), _json_esc_col(col), F.lit('"'))
-    ).otherwise(F.lit("null"))
-
-
-def _duck_json_str_or_null(expr: str) -> str:
-    return (
-        f"CASE WHEN {expr} IS NOT NULL THEN "
-        f"'\"' || {_duck_json_esc(expr)} || '\"' ELSE 'null' END"
-    )
-
-
-def sft_jsonl(
-    df: DataFrame, include_id: bool = False, weight_col: str | None = None
-) -> DataFrame:
-    """(conv_id, jsonl, n_ctrl_stripped): each conversation rendered as
-    ONE standard chat-format JSON line —
-    ``{"messages":[{"role":...,"tool":...,"content":...},...]}`` in
-    turn order — the interchange shape training loaders and dataset
-    hubs consume, lossless down to role/tool/text (NULLs render as
-    JSON null; the loss-mask view stays with sft_spans, which shares
-    this module's turn ordering). ``include_id=True`` prepends an
-    ``"id"`` key (``{"id":...,"messages":[...]}``) so the line is
-    self-contained for FILE export, where no sibling column can carry
-    the key (the CLI export/import pair uses this). ``weight_col``
-    names a boolean/numeric column rendered as a per-message
-    ``"weight"`` key (0/1 loss mask or a float) — the loader-facing
-    carrier for window_turns' ``is_new`` flag or any train mask
-    (weight = is_new AND role='assistant' reproduces the sft_spans
-    train∧is_new rule inside the interchange file); NULL weights
-    render as JSON null.
-    ``n_ctrl_stripped`` counts C0
-    control characters (other than \\n \\r \\t) removed by the
-    escaper across EVERY escaped field — role/tool/text, plus the id
-    once when include_id — so a lossy row can never report 0; nonzero
-    rows carried binary junk and deserve a look.
-
-    The JSON is built from an explicit escape chain both engines
-    replay byte-for-byte (see _JSON_ESC), so the line — not just its
-    parse — is engine-pinned, and the pytest twin can hash it. One
-    narrow JVM projection + the module's conv_id exchange for the
-    ordered assembly; no Python, no JSON library in the hot path."""
-    wparts = []
-    if weight_col is not None:
-        # booleans/ints/floats all normalize through DOUBLE so both
-        # engines print the same token for the mask values that
-        # matter (0.0 / 1.0 / plain decimals); exotic exponents may
-        # format differently — keep weights in loss-mask range
-        w = F.col(weight_col).cast("double")
-        wparts = [
-            F.lit(',"weight":'),
-            F.when(w.isNotNull(), w.cast("string")).otherwise(F.lit("null")),
-        ]
-    piece = F.concat(
-        F.lit('{"role":'),
-        _json_str_or_null(F.col("role")),
-        F.lit(',"tool":'),
-        _json_str_or_null(F.col("tool")),
-        F.lit(',"content":'),
-        _json_str_or_null(F.col("text")),
-        *wparts,
-        F.lit("}"),
-    )
-    # count C0 loss across EVERY field the escaper touches — role and
-    # tool (and the id when include_id) strip too, and a lossy row
-    # must not report 0
-    _cnt1 = _ctrl_count
-    ctrl = _cnt1(F.col("text")) + _cnt1(F.col("role")) + _cnt1(F.col("tool"))
-    items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
-    head = (
-        F.concat(
-            F.lit('{"id":'),
-            _json_str_or_null(F.col("conv_id").cast("string")),
-            F.lit(',"messages":['),
-        )
-        if include_id
-        else F.lit('{"messages":[')
-    )
-    return (
-        df.select("conv_id", "turn_idx", ctrl.alias("_nc"), piece.alias("_piece"))
-        .groupBy("conv_id")
-        .agg(
-            F.concat(
-                head,
-                F.array_join(F.transform(items, lambda x: x["_piece"]), ","),
-                F.lit("]}"),
-            ).alias("jsonl"),
-            (
-                F.sum("_nc")
-                + (
-                    _cnt1(F.col("conv_id").cast("string"))
-                    if include_id
-                    else F.lit(0)
-                )
-            ).cast("bigint").alias("n_ctrl_stripped"),
-        )
-    )
-
-
-def duck_sft_jsonl_sql(
-    src_sql: str, include_id: bool = False, weight_col: str | None = None
-) -> str:
-    """DuckDB twin of sft_jsonl (same escape chain, same assembly)."""
-    role = _duck_json_str_or_null("role")
-    tool = _duck_json_str_or_null("tool")
-    content = _duck_json_str_or_null("text")
-    wpart = (
-        f""" || ',"weight":' || COALESCE(
-            CAST(CAST({weight_col} AS DOUBLE) AS VARCHAR), 'null')"""
-        if weight_col is not None
-        else ""
-    )
-    head = (
-        "'{\"id\":' || "
-        + _duck_json_str_or_null("conv_id::VARCHAR")
-        + " || ',\"messages\":['"
-        if include_id
-        else "'{\"messages\":['"
-    )
-    return f"""
-        SELECT conv_id,
-               {head} || string_agg(
-                   '{{"role":' || {role} || ',"tool":' || {tool}
-                   || ',"content":' || {content}{wpart} || '}}',
-                   ',' ORDER BY turn_idx) || ']}}' AS jsonl,
-               CAST(SUM(COALESCE(LEN(regexp_extract_all(text, '{_CTRL_RE}', 0)), 0)
-                        + COALESCE(LEN(regexp_extract_all(role, '{_CTRL_RE}', 0)), 0)
-                        + COALESCE(LEN(regexp_extract_all(tool, '{_CTRL_RE}', 0)), 0))
-                    {"+ COALESCE(LEN(regexp_extract_all(conv_id::VARCHAR, '" + _CTRL_RE + "', 0)), 0)" if include_id else ""}
-                    AS BIGINT) AS n_ctrl_stripped
-        FROM ({src_sql}) s GROUP BY conv_id
-    """
-
-
-_CHAT_SCHEMA = (
-    "struct<id string,"
-    " messages: array<struct<role string, tool string, content string>>>"
-)
-
-
-def parse_chat_jsonl(
-    df: DataFrame,
-    id_col: str = "conv_id",
-    json_col: str = "jsonl",
-    line_id: bool = False,
-) -> DataFrame:
-    """The ingest inverse of ``sft_jsonl``: messages-array JSON lines
-    back to canonical turn rows (conv_id, turn_idx, role, text, tool),
-    turn_idx = 0-based array position. Foreign files interoperate: a
-    message without a "tool" key parses with tool NULL, unknown keys
-    are ignored (standard permissive-schema JSON semantics on both
-    engines). Rows whose JSON fails to parse or lacks a messages
-    array are silently absent here — gate with
-    ``chat_jsonl_violations`` first (the tree_paths precondition
-    idiom). Round trip holds: parse_chat_jsonl(sft_jsonl(t)) == t for
-    any t free of stripped C0 controls (pinned in tests).
-
-    ``line_id=True``: the conversation key comes from the line's own
-    "id" field (the sft_jsonl(include_id=True) / file-export shape)
-    instead of a sibling ``id_col`` — the form a plain
-    spark.read.text of a JSONL corpus needs.
-
-    Scale shape: from_json + posexplode, one narrow JVM projection —
-    no Python JSON in the hot path; no shuffle at all (ingest
-    parallelism is the file split)."""
-    parsed = df.select(
-        F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
-        *([] if line_id else [F.col(id_col).alias("_cid")]),
-    ).select(
-        (F.col("_d.id") if line_id else F.col("_cid")).alias("conv_id"),
-        F.col("_d"),
-    )
-    return parsed.select(
-        "conv_id", F.posexplode(F.col("_d.messages")).alias("turn_idx", "_m")
-    ).select(
-        "conv_id",
-        F.col("turn_idx").cast("int"),
-        F.col("_m.role").alias("role"),
-        F.col("_m.content").alias("text"),
-        F.col("_m.tool").alias("tool"),
-    )
-
-
-def chat_jsonl_violations(
-    df: DataFrame,
-    id_col: str = "conv_id",
-    json_col: str = "jsonl",
-    line_id: bool = False,
-) -> DataFrame:
-    """(conv_id, reason): lines parse_chat_jsonl would mishandle —
-    'bad_json' (unparseable / wrong shape), 'no_messages' (valid JSON,
-    messages key missing or null), 'empty_messages' (a messages: []
-    line contributes zero turns, so the conversation silently
-    vanishes from the import), 'null_line' (the jsonl column itself
-    is NULL — parse_chat_jsonl emits zero turns for it, so dropping
-    it from this report too would let a conversation vanish with the
-    precondition still green), and with ``line_id`` also 'no_id' (the
-    line's turns would all import under conv_id NULL). An empty
-    result is the lossless-ingest precondition. With ``line_id`` the
-    reported key is the line's own "id" (NULL when the JSON is too
-    broken to carry one)."""
-    parsed = df.select(
-        (
-            F.from_json(F.col(json_col), _CHAT_SCHEMA)["id"]
-            if line_id
-            else F.col(id_col)
-        ).alias("conv_id"),
-        F.col(json_col).alias("_j"),
-        F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
-        # PERMISSIVE from_json fills a struct with NULL fields on
-        # malformed input instead of returning a NULL struct, so
-        # validity needs its own probe: the map parse is NULL iff the
-        # JSON itself doesn't parse
-        F.from_json(F.col(json_col), "map<string,string>").alias("_probe"),
-    )
-    msgs = F.col("_d.messages")
-    reason = (
-        F.when(F.col("_j").isNull(), F.lit("null_line"))
-        .when(F.col("_probe").isNull(), F.lit("bad_json"))
-        .when(msgs.isNull(), F.lit("no_messages"))
-        .when(F.size(msgs) == 0, F.lit("empty_messages"))
-    )
-    if line_id:
-        reason = reason.when(
-            F.col("_d.id").isNull(), F.lit("no_id")
-        )
-    return (
-        parsed.select("conv_id", reason.alias("reason"))
-        .where(F.col("reason").isNotNull())
-    )
-
-
-def duck_parse_chat_jsonl_sql(
-    src_sql: str,
-    id_col: str = "conv_id",
-    json_col: str = "jsonl",
-    line_id: bool = False,
-) -> str:
-    """DuckDB twin of parse_chat_jsonl (json_transform + indexed
-    unnest; json_valid guards the malformed rows Spark's from_json
-    NULLs out)."""
-    tmpl = (
-        '{"id":"VARCHAR","messages":[{"role":"VARCHAR","tool":"VARCHAR",'
-        '"content":"VARCHAR"}]}'
-    )
-    cid = f"json_transform({json_col}, '{tmpl}').id" if line_id else id_col
-    return f"""
-        WITH pj AS (
-            SELECT {cid} AS conv_id,
-                   json_transform({json_col}, '{tmpl}') AS d
-            FROM ({src_sql}) s0
-            WHERE {json_col} IS NOT NULL AND json_valid({json_col})),
-        px AS (
-            SELECT conv_id,
-                   unnest(list_transform(d.messages,
-                          (m, i) -> {{'i': i, 'm': m}})) AS u
-            FROM pj WHERE d.messages IS NOT NULL)
-        SELECT conv_id, CAST(u.i - 1 AS INT) AS turn_idx,
-               u.m.role AS role, u.m.content AS text, u.m.tool AS tool
-        FROM px
-    """
-
 
 def _wt_validate(max_turns: int, stride: int) -> None:
     if max_turns < 1:
@@ -1174,10 +296,6 @@ def duck_window_turns_sql(src_sql: str, max_turns: int, stride: int) -> str:
 
 # ---------------------------------------------------------------------------
 # Conversation-grain health metrics
-# ---------------------------------------------------------------------------
-def _tool_valid() -> Column:
-    return F.col("tool").isNotNull() & (F.col("tool") != F.lit(""))
-
 
 def conv_stats(df: DataFrame) -> DataFrame:
     """Per-conversation gate/monitor metrics: (conv_id, n_turns,
@@ -1626,50 +744,6 @@ def duck_echo_rate_sql(src_sql: str, n: int = 8, role: str | None = "assistant")
 # ---------------------------------------------------------------------------
 # Conversation prefix dedup (agent re-run dedup)
 # ---------------------------------------------------------------------------
-def _spark_turn_h48() -> str:
-    """Position-salted 48-bit turn hash — SQL expr string. Same md5
-    bytes as the DuckDB twin (the dedup.py portable-hash idiom)."""
-    return (
-        "cast(conv(substring(md5(concat(cast(_pos as string), chr(31),"
-        " coalesce(role, chr(1)), chr(31), coalesce(text, chr(1)))), 1, 12),"
-        " 16, 10) as bigint)"
-    )
-
-
-_DUCK_TURN_MD5 = (
-    "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
-    " || chr(31) || COALESCE(text, chr(1)))"
-)
-# the per-turn digest pre-image is the module's ONE signature
-# contract: H48 is the first-12-hex-digits BIGINT form of the same
-# md5 the jsonl twins consume whole
-_DUCK_TURN_H48 = (
-    f"CAST(('0x' || substr({_DUCK_TURN_MD5}, 1, 12)) AS BIGINT)"
-)
-
-
-def _positioned(df: DataFrame) -> DataFrame:
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return df.select(
-        "conv_id", F.row_number().over(w).cast("long").alias("_pos"), "role", "text"
-    )
-
-
-def _cum_sigs(pos: DataFrame, max_pos: int) -> DataFrame:
-    """(conv_id, _pos, _sig): cumulative position-salted prefix
-    signature over the first ``max_pos`` turns — THE shared signature
-    definition every prefix/preference operator joins on (one window,
-    one place to change; incremental dedup joins batch signatures
-    against state-table rows, so all producers MUST agree)."""
-    wc = (
-        Window.partitionBy("conv_id")
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return pos.where(F.col("_pos") <= max_pos).select(
-        "conv_id", "_pos", F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig")
-    )
-
 
 def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
     """VERIFIED prefix-duplicate relations: (short_id, long_id, depth,
@@ -1716,42 +790,6 @@ def prefix_dup_pairs(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
         "short_id", "long_id", F.col("depth").cast("long"), F.col("long_len").cast("long")
     )
 
-
-def _verified(cand: DataFrame, short_pos: DataFrame, long_pos: DataFrame) -> DataFrame:
-    """Keep only candidate rows whose first-``depth`` turns match
-    exactly (null-safe) between the short conv (all its positioned
-    rows in ``short_pos``) and the long conv (positional equi-join
-    into ``long_pos``). ``cand`` must carry (short_id, long_id, depth)
-    plus any extra grouping columns, which pass through. Positions are
-    additionally capped PER ROW at the candidate's own ``depth``
-    (preference_pairs_maximal carries varying depths whose convs
-    extend beyond the shared prefix; pre-capped callers see a no-op)."""
-    keys = [c for c in cand.columns]
-    ta = short_pos.select(
-        F.col("conv_id").alias("short_id"),
-        F.col("_pos").alias("_p"),
-        F.col("role").alias("_ra"),
-        F.col("text").alias("_xa"),
-    )
-    tb = long_pos.select(
-        F.col("conv_id").alias("long_id"),
-        F.col("_pos").alias("_p"),
-        F.col("role").alias("_rb"),
-        F.col("text").alias("_xb"),
-    )
-    mism = F.when(
-        F.col("_ra").eqNullSafe(F.col("_rb")) & F.col("_xa").eqNullSafe(F.col("_xb")),
-        F.lit(0),
-    ).otherwise(F.lit(1))
-    return (
-        cand.join(ta, "short_id")
-        .where(F.col("_p") <= F.col("depth"))
-        .join(tb, ["long_id", "_p"])
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"), F.sum(mism).alias("_bad"))
-        .where((F.col("_n") == F.col("depth")) & (F.col("_bad") == 0))
-        .select(*keys)
-    )
 
 
 def prefix_dedup(df: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
@@ -2327,1505 +1365,6 @@ def duck_pack_sft_spans_sql(
         FROM sp s JOIN placed p USING (conv_id)
     """
 
-
-# ---------------------------------------------------------------------------
-# Preference-pair mining (agent re-runs -> DPO-style comparison pairs)
-# ---------------------------------------------------------------------------
-def _render_contexts(pos: DataFrame, depths: DataFrame) -> DataFrame:
-    """Shared context render for the three preference miners:
-    ``depths`` is (conv_id, _ctx_depth) distinct; returns (_ctx_id,
-    _ctx_depth, context) — each conv's first ``_ctx_depth`` turns under
-    the chat template (the sft_examples ordering idiom). One definition
-    so a template change can't silently diverge the miners."""
-    src = (
-        pos.join(depths, "conv_id")
-        .where(F.col("_pos") <= F.col("_ctx_depth"))
-        .withColumn("_piece", _piece())
-    )
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_piece"))))
-    return src.groupBy(
-        F.col("conv_id").alias("_ctx_id"), "_ctx_depth"
-    ).agg(F.array_join(F.transform(items, lambda x: x["_piece"]), SEP).alias("context"))
-def preference_pairs(
-    df: DataFrame,
-    depth: int,
-    role: str | None = "assistant",
-    max_convs_per_prefix: int | None = None,
-    salt: str = "pref",
-) -> DataFrame:
-    """Mine DPO-style comparison pairs from agent re-runs: two
-    conversations whose first ``depth`` turns are EXACTLY equal
-    (role + text, null-safe — the prefix_dedup verify) but whose turn
-    ``depth+1`` texts DIFFER are the same context answered two ways —
-    the natural preference-pair source in a re-run-heavy transcript
-    corpus (a judge/reward model ranks them downstream; this operator
-    only materializes the candidates).
-
-    ``role`` restricts the diverging turn on BOTH sides (default
-    'assistant': same prompt, two model responses; None = any role).
-    ``max_convs_per_prefix`` bounds a hot prefix (thousands of re-runs
-    of one seed would otherwise pair O(B²)): at most k conversations
-    per prefix signature, chosen by the deterministic k-smallest-hash
-    rule (sampling.sample_k_per_group) BEFORE pairing, so pairs per
-    prefix are <= k(k-1)/2 — the same hot-bucket defense the LSH band
-    joins use, applied at candidate-generation time.
-
-    Returns (conv_a, conv_b, depth, context, response_a, response_b),
-    conv_a < conv_b, ``context`` rendered with the shared chat
-    template (the sft_examples idiom over the common prefix).
-
-    Scale shape: signatures/next-turns ride the module's one conv_id
-    exchange; the pair join runs on NARROW (conv_id, sig, response)
-    rows keyed by signature; the exact verify touches only candidate
-    convs' first-``depth`` turns; context render aggregates only
-    verified winners."""
-    if not 1 <= depth <= MAX_DEPTH:
-        raise ValueError(f"depth must be in [1, {MAX_DEPTH}] (signature-sum bound)")
-    pos = _positioned(df)
-    sig = (
-        _cum_sigs(pos, depth)
-        .where(F.col("_pos") == depth)
-        .select("conv_id", "_sig")
-    )
-    nxt = pos.where(F.col("_pos") == depth + 1).select(
-        "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
-    )
-    if role is not None:
-        nxt = nxt.where(F.col("_nrole") == role)
-    elig = sig.join(nxt, "conv_id")
-    if max_convs_per_prefix is not None:
-        from book_ocr_spark.operators.sampling import sample_k_per_group
-
-        elig = sample_k_per_group(
-            elig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
-    a = elig.select(
-        F.col("conv_id").alias("short_id"),
-        "_sig",
-        F.col("_resp").alias("response_a"),
-    )
-    b = elig.select(
-        F.col("conv_id").alias("long_id"),
-        F.col("_sig").alias("_sigb"),
-        F.col("_resp").alias("response_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("_sig") == F.col("_sigb"))
-            & (F.col("short_id") < F.col("long_id")),
-        )
-        .where(~F.col("response_a").eqNullSafe(F.col("response_b")))
-        .select(
-            "short_id",
-            "long_id",
-            F.lit(depth).cast("long").alias("depth"),
-            "response_a",
-            "response_b",
-        )
-    )
-    cpos = pos.where(F.col("_pos") <= depth)
-    a_ids = cand.select(F.col("short_id").alias("conv_id")).distinct()
-    b_ids = cand.select(F.col("long_id").alias("conv_id")).distinct()
-    ver = _verified(
-        cand,
-        cpos.join(a_ids, "conv_id", "left_semi"),
-        cpos.join(b_ids, "conv_id", "left_semi"),
-    )
-    ctx = _render_contexts(
-        pos,
-        ver.select(F.col("short_id").alias("conv_id"))
-        .distinct()
-        .withColumn("_ctx_depth", F.lit(depth).cast("long")),
-    )
-    return ver.join(ctx, F.col("short_id") == F.col("_ctx_id")).select(
-        F.col("short_id").alias("conv_a"),
-        F.col("long_id").alias("conv_b"),
-        "depth",
-        "context",
-        "response_a",
-        "response_b",
-    )
-
-
-def duck_preference_pairs_sql(
-    src_sql: str,
-    depth: int,
-    role: str | None = "assistant",
-    max_convs_per_prefix: int | None = None,
-    salt: str = "pref",
-) -> str:
-    """DuckDB twin of preference_pairs."""
-    h48 = _DUCK_TURN_H48
-    elig_sql = f"""
-        SELECT s.conv_id, s._sig, n._resp FROM (
-            SELECT conv_id, _sig FROM (
-                SELECT conv_id, pos,
-                       SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig
-                FROM pp_pos WHERE pos <= {depth}) q WHERE pos = {depth}) s
-        JOIN (
-            SELECT conv_id, role AS _nrole, text AS _resp
-            FROM pp_pos WHERE pos = {depth + 1}) n USING (conv_id)
-        {"" if role is None else f"WHERE n._nrole = '{role}'"}
-    """
-    if max_convs_per_prefix is not None:
-        from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
-
-        elig_sql = duck_sample_k_per_group_sql(
-            elig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
-    return f"""
-        WITH pp_pos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({src_sql}) s0),
-        elig AS ({elig_sql}),
-        cand AS (
-            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
-                   a._resp AS response_a, b._resp AS response_b
-            FROM elig a JOIN elig b
-              ON a._sig = b._sig AND a.conv_id < b.conv_id
-            WHERE a._resp IS DISTINCT FROM b._resp),
-        ver AS (
-            SELECT c.conv_a, c.conv_b, c.response_a, c.response_b
-            FROM cand c
-            JOIN pp_pos pa ON pa.conv_id = c.conv_a AND pa.pos <= {depth}
-            JOIN pp_pos pb ON pb.conv_id = c.conv_b AND pb.pos = pa.pos
-            GROUP BY c.conv_a, c.conv_b, c.response_a, c.response_b
-            HAVING COUNT(*) = {depth}
-               AND SUM(CASE WHEN pa.role IS NOT DISTINCT FROM pb.role
-                             AND pa.text IS NOT DISTINCT FROM pb.text
-                        THEN 0 ELSE 1 END) = 0),
-        ctx AS (
-            SELECT conv_id,
-                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
-                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
-            FROM pp_pos WHERE pos <= {depth}
-              AND conv_id IN (SELECT conv_a FROM ver)
-            GROUP BY conv_id)
-        SELECT v.conv_a, v.conv_b, CAST({depth} AS BIGINT) AS depth,
-               x.context, v.response_a, v.response_b
-        FROM ver v JOIN ctx x ON x.conv_id = v.conv_a
-    """
-
-
-def preference_pairs_maximal(
-    df: DataFrame,
-    min_depth: int = 1,
-    role: str | None = "assistant",
-    max_convs_per_prefix: int | None = None,
-    max_depth: int = MAX_DEPTH,
-    salt: str = "prefmax",
-) -> DataFrame:
-    """preference_pairs without a caller-known depth: every pair of
-    conversations is mined at its MAXIMAL shared prefix (the length-d
-    prefix equal on both sides with no equal length-(d+1) prefix),
-    d >= ``min_depth`` — real agent re-runs diverge wherever they
-    diverge, not at a configured turn. Divergence at d+1 follows from
-    maximality: equal (role, text) at d+1 would extend the signature
-    match. Pairs whose maximal match reaches ``max_depth`` are
-    EXCLUDED (beyond the signature cap maximality can't be certified);
-    a conv pair where one side simply ends at d is a prefix-dup
-    (prefix_dedup's job), excluded here by requiring a turn at d+1 on
-    both sides.
-
-    ``max_convs_per_prefix`` caps each (depth, signature) bucket
-    BEFORE pairing (k-smallest-hash rule). The cap can only DROP a
-    pair entirely, never misreport its depth: the rank hash is
-    depth-independent and deeper buckets are subsets of shallower
-    ones, so a conv kept in any shared bucket is kept in every deeper
-    one — a surviving pair's max surviving depth IS its true maximum.
-
-    Returns (conv_a, conv_b, depth, context, response_a, response_b).
-
-    Scale shape: the pair join runs on the narrow signature table at
-    every depth — a pair sharing a d-turn prefix costs O(d) candidate
-    rows (same linear-in-shared-turns cost the exact verify pays),
-    grouped down to one max-depth row before any text moves."""
-    if not 1 <= min_depth <= max_depth or max_depth > MAX_DEPTH:
-        raise ValueError(
-            f"need 1 <= min_depth <= max_depth <= {MAX_DEPTH} (signature-sum bound)"
-        )
-    pos = _positioned(df)
-    sigs = _cum_sigs(pos, max_depth).where(F.col("_pos") >= min_depth)
-    if max_convs_per_prefix is not None:
-        from book_ocr_spark.operators.sampling import sample_k_per_group
-
-        sigs = sample_k_per_group(
-            sigs.withColumn(
-                "_bkt", F.concat_ws(":", F.col("_pos"), F.col("_sig"))
-            ),
-            "_bkt",
-            "conv_id",
-            max_convs_per_prefix,
-            salt=salt,
-        ).drop("_bkt")
-    a = sigs.select(F.col("conv_id").alias("short_id"), "_pos", "_sig")
-    b = sigs.select(
-        F.col("conv_id").alias("long_id"),
-        F.col("_pos").alias("_posb"),
-        F.col("_sig").alias("_sigb"),
-    )
-    matched = (
-        a.join(
-            b,
-            (F.col("_pos") == F.col("_posb"))
-            & (F.col("_sig") == F.col("_sigb"))
-            & (F.col("short_id") < F.col("long_id")),
-        )
-        .groupBy("short_id", "long_id")
-        .agg(F.max("_pos").alias("depth"))
-        .where(F.col("depth") < max_depth)
-    )
-    nxt = pos.select(
-        "conv_id", F.col("_pos").alias("_npos"), "role", "text"
-    )
-    if role is not None:
-        nxt = nxt.where(F.col("role") == role)
-    na = nxt.select(
-        F.col("conv_id").alias("_na_id"),
-        F.col("_npos").alias("_na_pos"),
-        F.col("text").alias("response_a"),
-    )
-    nb = nxt.select(
-        F.col("conv_id").alias("_nb_id"),
-        F.col("_npos").alias("_nb_pos"),
-        F.col("text").alias("response_b"),
-    )
-    cand = (
-        matched.join(
-            na,
-            (F.col("short_id") == F.col("_na_id"))
-            & (F.col("_na_pos") == F.col("depth") + 1),
-        )
-        .join(
-            nb,
-            (F.col("long_id") == F.col("_nb_id"))
-            & (F.col("_nb_pos") == F.col("depth") + 1),
-        )
-        # maximality certifies the (role, text) PAIR differs at depth+1;
-        # with role=None that can be a role-only divergence, which is a
-        # byte-identical response pair — useless for preference data
-        .where(~F.col("response_a").eqNullSafe(F.col("response_b")))
-        .select("short_id", "long_id", "depth", "response_a", "response_b")
-    )
-    cpos = pos.where(F.col("_pos") <= max_depth)
-    a_ids = cand.select(F.col("short_id").alias("conv_id")).distinct()
-    b_ids = cand.select(F.col("long_id").alias("conv_id")).distinct()
-    ver = _verified(
-        cand,
-        cpos.join(a_ids, "conv_id", "left_semi"),
-        cpos.join(b_ids, "conv_id", "left_semi"),
-    )
-    # per-pair context depth varies, so render per (conv, depth) only
-    # for depths that actually occur for that conv
-    ctx = _render_contexts(
-        pos,
-        ver.select(
-            F.col("short_id").alias("conv_id"), F.col("depth").alias("_ctx_depth")
-        ).distinct(),
-    )
-    return ver.join(
-        ctx,
-        (F.col("short_id") == F.col("_ctx_id"))
-        & (F.col("depth") == F.col("_ctx_depth")),
-    ).select(
-        F.col("short_id").alias("conv_a"),
-        F.col("long_id").alias("conv_b"),
-        F.col("depth").cast("long").alias("depth"),
-        "context",
-        "response_a",
-        "response_b",
-    )
-
-
-def duck_preference_pairs_maximal_sql(
-    src_sql: str,
-    min_depth: int = 1,
-    role: str | None = "assistant",
-    max_convs_per_prefix: int | None = None,
-    max_depth: int = MAX_DEPTH,
-    salt: str = "prefmax",
-) -> str:
-    """DuckDB twin of preference_pairs_maximal."""
-    h48 = _DUCK_TURN_H48
-    sig_sql = f"""
-        SELECT conv_id, pos AS _pos, _sig FROM (
-            SELECT conv_id, pos,
-                   SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig
-            FROM pm_pos WHERE pos <= {max_depth}) q
-        WHERE pos >= {min_depth}
-    """
-    if max_convs_per_prefix is not None:
-        from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
-
-        sig_sql = duck_sample_k_per_group_sql(
-            f"SELECT conv_id, _pos, _sig,"
-            f" (CAST(_pos AS VARCHAR) || ':' || CAST(_sig AS VARCHAR)) AS _bkt"
-            f" FROM ({sig_sql}) s1",
-            "_bkt",
-            "conv_id",
-            max_convs_per_prefix,
-            salt=salt,
-        )
-        sig_sql = f"SELECT conv_id, _pos, _sig FROM ({sig_sql}) s2"
-    role_f = "" if role is None else f"WHERE role = '{role}'"
-    return f"""
-        WITH pm_pos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({src_sql}) s0),
-        sigs AS ({sig_sql}),
-        matched AS (
-            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
-                   MAX(a._pos) AS depth
-            FROM sigs a JOIN sigs b
-              ON a._pos = b._pos AND a._sig = b._sig AND a.conv_id < b.conv_id
-            GROUP BY a.conv_id, b.conv_id
-            HAVING MAX(a._pos) < {max_depth}),
-        nxt AS (SELECT conv_id, pos, text FROM pm_pos {role_f}),
-        cand AS (
-            SELECT m.conv_a, m.conv_b, m.depth,
-                   na.text AS response_a, nb.text AS response_b
-            FROM matched m
-            JOIN nxt na ON na.conv_id = m.conv_a AND na.pos = m.depth + 1
-            JOIN nxt nb ON nb.conv_id = m.conv_b AND nb.pos = m.depth + 1
-            WHERE na.text IS DISTINCT FROM nb.text),
-        ver AS (
-            SELECT c.conv_a, c.conv_b, c.depth, c.response_a, c.response_b
-            FROM cand c
-            JOIN pm_pos pa ON pa.conv_id = c.conv_a AND pa.pos <= c.depth
-            JOIN pm_pos pb ON pb.conv_id = c.conv_b AND pb.pos = pa.pos
-            GROUP BY c.conv_a, c.conv_b, c.depth, c.response_a, c.response_b
-            HAVING COUNT(*) = c.depth
-               AND SUM(CASE WHEN pa.role IS NOT DISTINCT FROM pb.role
-                             AND pa.text IS NOT DISTINCT FROM pb.text
-                        THEN 0 ELSE 1 END) = 0),
-        ctx AS (
-            SELECT p.conv_id, d.depth,
-                   string_agg('<|' || COALESCE(p.role, '') || '|>' || chr(10)
-                              || COALESCE(p.text, ''), chr(10) ORDER BY p.pos)
-                       AS context
-            FROM pm_pos p
-            JOIN (SELECT DISTINCT conv_a AS conv_id, depth FROM ver) d
-              ON d.conv_id = p.conv_id AND p.pos <= d.depth
-            GROUP BY p.conv_id, d.depth)
-        SELECT v.conv_a, v.conv_b, CAST(v.depth AS BIGINT) AS depth,
-               x.context, v.response_a, v.response_b
-        FROM ver v JOIN ctx x ON x.conv_id = v.conv_a AND x.depth = v.depth
-    """
-
-
-# ---------------------------------------------------------------------------
-# Char spans -> whitespace-token spans (loss masks in token space)
-# ---------------------------------------------------------------------------
-def token_spans(
-    df: DataFrame,
-    text_col: str,
-    start_col: str = "start_off",
-    end_col: str = "end_off",
-) -> DataFrame:
-    """Add ``tok_start``/``tok_end``: the half-open whitespace-token
-    index range covering the character span [start, end) inside
-    ``text_col`` — the conversion a trainer needs to turn sft_spans /
-    pack_sft_examples char offsets into a token-space loss mask
-    (textstats.ws_tokens is the tokenizer convention; a subword
-    tokenizer refines within these words downstream).
-
-    Overlap semantics (robust to spans that cut a token):
-    ``tok_start`` = tokens ENTIRELY before the span; ``tok_end`` =
-    tokens starting before the span's end — i.e. every token
-    overlapping the span is included. For template-aligned spans
-    (sft_spans always starts after the header newline and ends at a
-    piece boundary) the range is exact.
-
-    One narrow JVM projection — three regexp_extract_all counts per
-    row, no shuffle, no Python."""
-
-    def runs_in_prefix(p: str) -> Column:
-        return F.size(
-            F.expr(
-                f"regexp_extract_all(substring({text_col}, 1, cast({p} as int)),"
-                " '\\\\S+', 0)"
-            )
-        )
-
-    # straddle: the prefix's last char AND the span's first char are
-    # both non-space -> the run containing the boundary is cut and
-    # overlaps the span. Guard start > 0: substring position 0 is
-    # engine-quirky (Spark treats it as 1) and an empty prefix can't
-    # straddle anything.
-    straddle = (
-        (F.col(start_col) > 0)
-        & F.expr(f"substring({text_col}, cast({start_col} as int), 1)").rlike(r"\S")
-        & F.expr(f"substring({text_col}, cast({start_col} as int) + 1, 1)").rlike(r"\S")
-    ).cast("int")
-    tok_start = (runs_in_prefix(start_col) - straddle).cast("long")
-    tok_end = runs_in_prefix(end_col).cast("long")
-    return df.withColumn("tok_start", tok_start).withColumn(
-        "tok_end", F.greatest(tok_end, tok_start)
-    )
-
-
-def duck_token_spans_sql(
-    src_sql: str,
-    text_col: str,
-    start_col: str = "start_off",
-    end_col: str = "end_off",
-) -> str:
-    """DuckDB twin of token_spans (input columns + tok_start/tok_end)."""
-
-    def runs(p: str) -> str:
-        return (
-            f"LEN(regexp_extract_all(substr({text_col}, 1, CAST({p} AS INT)),"
-            " '\\S+'))"
-        )
-
-    straddle = (
-        f"(CASE WHEN {start_col} > 0"
-        f" AND regexp_matches(substr({text_col}, CAST({start_col} AS INT), 1),"
-        " '\\S')"
-        f" AND regexp_matches(substr({text_col}, CAST({start_col} AS INT) + 1, 1),"
-        " '\\S') THEN 1 ELSE 0 END)"
-    )
-    return f"""
-        SELECT s.*,
-               CAST({runs(start_col)} - {straddle} AS BIGINT) AS tok_start,
-               CAST(GREATEST({runs(end_col)},
-                             {runs(start_col)} - {straddle}) AS BIGINT) AS tok_end
-        FROM ({src_sql}) s
-    """
-
-
-def incremental_preference_pairs(
-    batch: DataFrame,
-    existing_sigs: DataFrame,
-    existing_turns: DataFrame,
-    depth: int,
-    role: str | None = "assistant",
-    max_convs_per_prefix: int | None = None,
-    salt: str = "ipref",
-) -> DataFrame:
-    """preference_pairs in the daily-ingest MERGE shape: mine CROSS
-    pairs only — a new batch conversation against the accepted corpus —
-    using the ``prefix_signature_table`` state rows as candidates, so
-    the corpus is never rescanned at turn grain (the
-    incremental_prefix_dedup idiom; run ``preference_pairs(batch)``
-    separately for batch-internal pairs). A candidate is an existing
-    conversation whose depth-prefix signature equals a batch conv's;
-    the exact verify and the existing side's response read only
-    candidate conversations' turns (semi-join into ``existing_turns``).
-
-    ``max_convs_per_prefix`` caps EACH side's conversations per prefix
-    signature before pairing (k-smallest-hash rule), bounding a hot
-    seed prompt at ~cap² cross pairs.
-
-    Returns (conv_new, conv_existing, depth, context, response_new,
-    response_existing) — context rendered from the new conv's prefix
-    (the shared turns, verified equal)."""
-    if not 1 <= depth < MAX_DEPTH:
-        raise ValueError(f"depth must be in [1, {MAX_DEPTH}) (signature-sum bound)")
-    bpos = _positioned(batch)
-    bsig = (
-        _cum_sigs(bpos, depth)
-        .where(F.col("_pos") == depth)
-        .select("conv_id", "_sig")
-    )
-    bnxt = bpos.where(F.col("_pos") == depth + 1).select(
-        "conv_id", "role", F.col("text").alias("response_new")
-    )
-    if role is not None:
-        bnxt = bnxt.where(F.col("role") == role)
-    belig = bsig.join(bnxt.select("conv_id", "response_new"), "conv_id")
-
-    esig = existing_sigs.where(
-        (F.col("pos") == depth) & (F.col("len") >= depth + 1)
-    ).select(F.col("conv_id"), F.col("cum_sig").alias("_sig"))
-    if max_convs_per_prefix is not None:
-        from book_ocr_spark.operators.sampling import sample_k_per_group
-
-        belig = sample_k_per_group(
-            belig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
-
-    e_cand_ids = (
-        esig.join(
-            belig.select(F.col("_sig").alias("_bsig")).distinct(),
-            F.col("_sig") == F.col("_bsig"),
-            "left_semi",
-        )
-        .select("conv_id")
-        .distinct()
-    )
-    epos = _positioned(existing_turns.join(e_cand_ids, "conv_id", "left_semi"))
-    enxt = epos.where(F.col("_pos") == depth + 1).select(
-        F.col("conv_id").alias("_e_id"),
-        "role",
-        F.col("text").alias("response_existing"),
-    )
-    if role is not None:
-        enxt = enxt.where(F.col("role") == role)
-    # cap the existing side AFTER role/continuation eligibility — an
-    # ineligible conv must not consume a cap slot and starve real pairs
-    eelig = esig.join(
-        enxt.select(F.col("_e_id").alias("conv_id"), "response_existing"), "conv_id"
-    )
-    if max_convs_per_prefix is not None:
-        eelig = sample_k_per_group(
-            eelig, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
-
-    cand = (
-        belig.select(F.col("conv_id").alias("short_id"), "_sig", "response_new")
-        .join(
-            eelig.select(
-                F.col("conv_id").alias("long_id"),
-                F.col("_sig").alias("_esig"),
-                "response_existing",
-            ),
-            F.col("_sig") == F.col("_esig"),
-        )
-        # a resent id would trivially "pair with itself" (the verify
-        # passes against its own prefix) — never a preference pair
-        .where(F.col("short_id") != F.col("long_id"))
-        .where(~F.col("response_new").eqNullSafe(F.col("response_existing")))
-        .select(
-            "short_id",
-            "long_id",
-            F.lit(depth).cast("long").alias("depth"),
-            "response_new",
-            "response_existing",
-        )
-    )
-    ver = _verified(
-        cand,
-        bpos.where(F.col("_pos") <= depth),
-        epos.where(F.col("_pos") <= depth),
-    )
-    ctx = _render_contexts(
-        bpos,
-        ver.select(F.col("short_id").alias("conv_id"))
-        .distinct()
-        .withColumn("_ctx_depth", F.lit(depth).cast("long")),
-    )
-    return ver.join(ctx, F.col("short_id") == F.col("_ctx_id")).select(
-        F.col("short_id").alias("conv_new"),
-        F.col("long_id").alias("conv_existing"),
-        "depth",
-        "context",
-        "response_new",
-        "response_existing",
-    )
-
-
-def duck_incremental_preference_pairs_sql(
-    batch_sql: str,
-    existing_sql: str,
-    depth: int,
-    role: str | None = "assistant",
-    max_convs_per_prefix: int | None = None,
-    salt: str = "ipref",
-) -> str:
-    """DuckDB twin of incremental_preference_pairs. ``existing_sql``
-    yields the existing corpus TURNS (the twin derives the signature
-    state from them — the operator's state table is
-    prefix_signature_table over the same turns)."""
-    h48 = _DUCK_TURN_H48
-    role_b = "" if role is None else f"AND role = '{role}'"
-    belig_sql = f"""
-        SELECT s.conv_id, s._sig, n.response_new FROM (
-            SELECT conv_id, _sig FROM (
-                SELECT conv_id, pos,
-                       SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig
-                FROM ip_bpos WHERE pos <= {depth}) q WHERE pos = {depth}) s
-        JOIN (SELECT conv_id, text AS response_new FROM ip_bpos
-              WHERE pos = {depth + 1} {role_b}) n USING (conv_id)
-    """
-    # existing side capped AFTER role/continuation eligibility (mirrors
-    # the operator: an ineligible conv must not consume a cap slot)
-    eelig_sql = f"""
-        SELECT s.conv_id, s._sig, n.response_existing FROM (
-            SELECT conv_id, _sig FROM (
-                SELECT conv_id, pos,
-                       SUM({h48}) OVER (PARTITION BY conv_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sig,
-                       MAX(pos) OVER (PARTITION BY conv_id) AS len
-                FROM ip_epos WHERE pos <= {depth + 1}) q
-            WHERE pos = {depth} AND len >= {depth + 1}) s
-        JOIN (SELECT conv_id, text AS response_existing FROM ip_epos
-              WHERE pos = {depth + 1} {role_b}) n USING (conv_id)
-    """
-    if max_convs_per_prefix is not None:
-        from book_ocr_spark.operators.sampling import duck_sample_k_per_group_sql
-
-        belig_sql = duck_sample_k_per_group_sql(
-            belig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
-        eelig_sql = duck_sample_k_per_group_sql(
-            eelig_sql, "_sig", "conv_id", max_convs_per_prefix, salt=salt
-        )
-    return f"""
-        WITH ip_bpos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({batch_sql}) b0),
-        ip_epos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({existing_sql}) e0),
-        belig AS ({belig_sql}),
-        eelig AS ({eelig_sql}),
-        cand AS (
-            SELECT b.conv_id AS conv_new, e.conv_id AS conv_existing,
-                   b.response_new, e.response_existing
-            FROM belig b
-            JOIN eelig e ON e._sig = b._sig
-            WHERE b.conv_id <> e.conv_id
-              AND b.response_new IS DISTINCT FROM e.response_existing),
-        ver AS (
-            SELECT c.conv_new, c.conv_existing, c.response_new,
-                   c.response_existing
-            FROM cand c
-            JOIN ip_bpos pa ON pa.conv_id = c.conv_new AND pa.pos <= {depth}
-            JOIN ip_epos pb ON pb.conv_id = c.conv_existing AND pb.pos = pa.pos
-            GROUP BY c.conv_new, c.conv_existing, c.response_new,
-                     c.response_existing
-            HAVING COUNT(*) = {depth}
-               AND SUM(CASE WHEN pa.role IS NOT DISTINCT FROM pb.role
-                             AND pa.text IS NOT DISTINCT FROM pb.text
-                        THEN 0 ELSE 1 END) = 0),
-        ctx AS (
-            SELECT conv_id,
-                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
-                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
-            FROM ip_bpos WHERE pos <= {depth}
-              AND conv_id IN (SELECT conv_new FROM ver)
-            GROUP BY conv_id)
-        SELECT v.conv_new, v.conv_existing, CAST({depth} AS BIGINT) AS depth,
-               x.context, v.response_new, v.response_existing
-        FROM ver v JOIN ctx x ON x.conv_id = v.conv_new
-    """
-
-
-# ---------------------------------------------------------------------------
-# Preference labeling (mined pairs -> chosen/rejected via the trained
-# quality classifier)
-# ---------------------------------------------------------------------------
-def _lp_sid(side: str, resp_col: str) -> Column:
-    """Collision-free score key for one pair side: md5 over
-    LENGTH-PREFIXED conv ids (an id containing the separator cannot
-    forge another pair's key) + depth + side + the response text
-    itself (two rows with the same (conv_a, conv_b) but different
-    responses — out-of-contract input — score separately instead of
-    silently merging their token features)."""
-    return F.md5(
-        F.concat(
-            F.length("conv_a").cast("string"), F.lit(":"), F.col("conv_a"),
-            F.lit("|"),
-            F.length("conv_b").cast("string"), F.lit(":"), F.col("conv_b"),
-            F.lit("|"), F.col("depth").cast("string"),
-            F.lit("|" + side + "|"),
-            F.coalesce(F.col(resp_col), F.lit("\x01")),
-        )
-    )
-
-
-def _duck_lp_sid(side: str, resp_col: str, q: str = "") -> str:
-    return (
-        f"md5(CAST(length({q}conv_a) AS VARCHAR) || ':' || {q}conv_a || '|'"
-        f" || CAST(length({q}conv_b) AS VARCHAR) || ':' || {q}conv_b || '|'"
-        f" || CAST({q}depth AS VARCHAR)"
-        f" || '|{side}|' || COALESCE({resp_col}, chr(1)))"
-    )
-
-
-def label_preference_pairs(
-    pairs: DataFrame,
-    model: tuple,
-    storage_handle: list | None = None,
-) -> DataFrame:
-    """Turn mined preference pairs into the (context, chosen, rejected)
-    rows a DPO loader consumes, ranked by the in-engine trained quality
-    classifier (operators.classifier — integer micro-logits, so the
-    choice is engine- and partition-exact). Input is the
-    preference_pairs / preference_pairs_maximal shape (conv_a, conv_b,
-    depth, context, response_a, response_b); incremental output renames
-    to this shape first.
-
-    chosen = the higher-logit response; an exact tie keeps side 'a'
-    (deterministic — conv_a < conv_b by the miners' contract).
-    ``margin_micro`` = logit(chosen) − logit(rejected) >= 0, the
-    integer confidence a curator thresholds on.
-
-    The input is eagerly ``localCheckpoint``-ed: the mining DAG under
-    ``pairs`` is expensive and would otherwise re-execute in every
-    branch (exploded a, exploded b, final join). ``storage_handle``
-    receives the pinned frame for deterministic release. Scale shape:
-    responses explode to one narrow (sid, text) row each; scoring is
-    classifier_scores' explode → broadcast model join → hash agg; the
-    two score joins run against that narrow output."""
-    from book_ocr_spark.operators.classifier import classifier_scores
-
-    pairs = pairs.localCheckpoint(eager=True)
-    if storage_handle is not None:
-        storage_handle.append(pairs)
-    keyed = pairs.withColumn("_sid_a", _lp_sid("a", "response_a")).withColumn(
-        "_sid_b", _lp_sid("b", "response_b")
-    )
-    exploded = keyed.select(
-        F.col("_sid_a").alias("sid"), F.col("response_a").alias("text")
-    ).unionByName(
-        keyed.select(F.col("_sid_b").alias("sid"), F.col("response_b").alias("text"))
-    )
-    scores = classifier_scores(exploded, "sid", "text", model).select(
-        F.col("id").alias("sid"), "logit_micro"
-    )
-    za = scores.select(F.col("sid").alias("_sid_a"), F.col("logit_micro").alias("_za"))
-    zb = scores.select(F.col("sid").alias("_sid_b"), F.col("logit_micro").alias("_zb"))
-    a_wins = F.col("_za") >= F.col("_zb")
-    return (
-        keyed.join(za, "_sid_a")
-        .join(zb, "_sid_b")
-        .select(
-            "conv_a",
-            "conv_b",
-            "depth",
-            "context",
-            F.when(a_wins, F.col("response_a")).otherwise(F.col("response_b")).alias("chosen"),
-            F.when(a_wins, F.col("response_b")).otherwise(F.col("response_a")).alias("rejected"),
-            F.when(a_wins, F.lit("a")).otherwise(F.lit("b")).alias("chosen_side"),
-            F.abs(F.col("_za") - F.col("_zb")).cast("long").alias("margin_micro"),
-        )
-    )
-
-
-def duck_label_preference_pairs_sql(
-    pairs_sql: str, pos_sql: str, neg_sql: str
-) -> str:
-    """DuckDB twin of label_preference_pairs: replays the classifier's
-    full training recurrence + scoring (duck_classifier_scores_sql)
-    over the exploded responses, then the same tie-keeps-'a' pivot."""
-    from book_ocr_spark.operators.classifier import duck_classifier_scores_sql
-
-    exploded = f"""
-        SELECT {_duck_lp_sid('a', 'response_a')} AS id, response_a AS text
-        FROM lp_pairs
-        UNION ALL
-        SELECT {_duck_lp_sid('b', 'response_b')} AS id, response_b AS text
-        FROM lp_pairs
-    """
-    scores = duck_classifier_scores_sql(exploded, pos_sql, neg_sql)
-    return f"""
-        WITH lp_pairs AS ({pairs_sql}),
-        sc AS ({scores})
-        SELECT p.conv_a, p.conv_b, p.depth, p.context,
-               CASE WHEN za.logit_micro >= zb.logit_micro
-                    THEN p.response_a ELSE p.response_b END AS chosen,
-               CASE WHEN za.logit_micro >= zb.logit_micro
-                    THEN p.response_b ELSE p.response_a END AS rejected,
-               CASE WHEN za.logit_micro >= zb.logit_micro
-                    THEN 'a' ELSE 'b' END AS chosen_side,
-               CAST(ABS(za.logit_micro - zb.logit_micro) AS BIGINT) AS margin_micro
-        FROM lp_pairs p
-        JOIN sc za ON za.id = {_duck_lp_sid('a', 'p.response_a', 'p.')}
-        JOIN sc zb ON zb.id = {_duck_lp_sid('b', 'p.response_b', 'p.')}
-    """
-
-
-def dpo_jsonl(
-    pairs: DataFrame,
-    prompt_col: str = "context",
-    chosen_col: str = "chosen",
-    rejected_col: str = "rejected",
-    include_margin: bool = False,
-) -> DataFrame:
-    """(conv_a, conv_b, depth, jsonl, n_ctrl_stripped): each labeled
-    preference pair rendered as ONE standard DPO-format JSON line —
-    ``{"prompt":...,"chosen":...,"rejected":...}`` — the interchange
-    shape DPO/RLHF trainers consume; sft_jsonl's sibling for the
-    preference arc (same _JSON_ESC chain, so the LINE is engine-
-    pinned byte-for-byte, not just its parse). Input is the
-    label_preference_pairs output shape. ``include_margin`` appends
-    the integer ``"margin_micro"`` key (classifier confidence).
-    NULL fields render as JSON null; ``n_ctrl_stripped`` counts C0
-    control characters removed across all three escaped fields.
-    Pure narrow projection — no agg, no shuffle at any scale."""
-    _cnt = _ctrl_count
-    parts = [
-        F.lit('{"prompt":'),
-        _json_str_or_null(F.col(prompt_col)),
-        F.lit(',"chosen":'),
-        _json_str_or_null(F.col(chosen_col)),
-        F.lit(',"rejected":'),
-        _json_str_or_null(F.col(rejected_col)),
-    ]
-    if include_margin:
-        parts += [
-            F.lit(',"margin_micro":'),
-            F.coalesce(
-                F.col("margin_micro").cast("string"), F.lit("null")
-            ),
-        ]
-    parts.append(F.lit("}"))
-    ctrl = (
-        _cnt(F.col(prompt_col))
-        + _cnt(F.col(chosen_col))
-        + _cnt(F.col(rejected_col))
-    )
-    return pairs.select(
-        "conv_a",
-        "conv_b",
-        "depth",
-        F.concat(*parts).alias("jsonl"),
-        ctrl.cast("bigint").alias("n_ctrl_stripped"),
-    )
-
-
-def duck_dpo_jsonl_sql(
-    src_sql: str,
-    prompt_col: str = "context",
-    chosen_col: str = "chosen",
-    rejected_col: str = "rejected",
-    include_margin: bool = False,
-) -> str:
-    """DuckDB twin of dpo_jsonl (same escape chain, same assembly)."""
-    pr = _duck_json_str_or_null(prompt_col)
-    ch = _duck_json_str_or_null(chosen_col)
-    rj = _duck_json_str_or_null(rejected_col)
-    margin = (
-        """ || ',"margin_micro":' || COALESCE(CAST(margin_micro AS VARCHAR), 'null')"""
-        if include_margin
-        else ""
-    )
-    cnt = (
-        f"COALESCE(LEN(regexp_extract_all({prompt_col}, '{_CTRL_RE}', 0)), 0)"
-        f" + COALESCE(LEN(regexp_extract_all({chosen_col}, '{_CTRL_RE}', 0)), 0)"
-        f" + COALESCE(LEN(regexp_extract_all({rejected_col}, '{_CTRL_RE}', 0)), 0)"
-    )
-    return f"""
-        SELECT conv_a, conv_b, depth,
-               '{{"prompt":' || {pr} || ',"chosen":' || {ch}
-               || ',"rejected":' || {rj}{margin} || '}}' AS jsonl,
-               CAST({cnt} AS BIGINT) AS n_ctrl_stripped
-        FROM ({src_sql}) s
-    """
-
-
-def preference_length_stats(
-    pairs: DataFrame,
-    chosen_col: str = "chosen",
-    rejected_col: str = "rejected",
-) -> DataFrame:
-    """One-row length-bias audit of a preference dataset — the known
-    DPO/RLHF failure mode where 'chosen' responses are systematically
-    longer, so the trained policy learns verbosity instead of quality
-    (Singhal et al. 2023, 'A Long Way to Go'). Emits: n_pairs,
-    n_chosen_longer / n_rejected_longer / n_equal_len (character
-    lengths, NULL response = 0), sum_chosen_chars / sum_rejected_chars
-    (exact BIGINT sums), chosen_longer_rate = n_chosen_longer/n_pairs
-    and len_sum_ratio = sum_chosen/sum_rejected (each ONE double
-    division, shared with the twin; ratio NULL when the rejected sum
-    is 0). A healthy dataset sits near rate 0.5, ratio 1.0.
-
-    Engine-exactness: every aggregate is an integer count/sum (length
-    counts code points in BOTH engines — Spark UTF8String.numChars ==
-    DuckDB length), so the only doubles are the two final divisions.
-    Scale shape: one map-side-combined hash agg to a single row."""
-    lc = F.coalesce(F.length(F.col(chosen_col)), F.lit(0)).cast("long")
-    lr = F.coalesce(F.length(F.col(rejected_col)), F.lit(0)).cast("long")
-    one = F.count(F.lit(1)).cast("long")
-    agg = pairs.agg(
-        one.alias("n_pairs"),
-        F.sum(F.when(lc > lr, 1).otherwise(0)).cast("long").alias("n_chosen_longer"),
-        F.sum(F.when(lr > lc, 1).otherwise(0)).cast("long").alias("n_rejected_longer"),
-        F.sum(F.when(lc == lr, 1).otherwise(0)).cast("long").alias("n_equal_len"),
-        F.sum(lc).cast("long").alias("sum_chosen_chars"),
-        F.sum(lr).cast("long").alias("sum_rejected_chars"),
-    )
-    return agg.select(
-        "*",
-        (
-            F.col("n_chosen_longer").cast("double")
-            / F.col("n_pairs").cast("double")
-        ).alias("chosen_longer_rate"),
-        F.when(
-            F.col("sum_rejected_chars") > 0,
-            F.col("sum_chosen_chars").cast("double")
-            / F.col("sum_rejected_chars").cast("double"),
-        ).alias("len_sum_ratio"),
-    )
-
-
-def duck_preference_length_stats_sql(
-    pairs_sql: str,
-    chosen_col: str = "chosen",
-    rejected_col: str = "rejected",
-) -> str:
-    """DuckDB twin of preference_length_stats: the same integer
-    aggregates and the same two single-division doubles."""
-    lc = f"COALESCE(length({chosen_col}), 0)"
-    lr = f"COALESCE(length({rejected_col}), 0)"
-    return f"""
-        WITH pls AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                   CAST(SUM(CASE WHEN {lc} > {lr} THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_chosen_longer,
-                   CAST(SUM(CASE WHEN {lr} > {lc} THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_rejected_longer,
-                   CAST(SUM(CASE WHEN {lc} = {lr} THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_equal_len,
-                   CAST(SUM({lc}) AS BIGINT) AS sum_chosen_chars,
-                   CAST(SUM({lr}) AS BIGINT) AS sum_rejected_chars
-            FROM ({pairs_sql}) p0)
-        SELECT *,
-               CAST(n_chosen_longer AS DOUBLE) / CAST(n_pairs AS DOUBLE)
-                   AS chosen_longer_rate,
-               CASE WHEN sum_rejected_chars > 0
-                    THEN CAST(sum_chosen_chars AS DOUBLE)
-                         / CAST(sum_rejected_chars AS DOUBLE)
-               END AS len_sum_ratio
-        FROM pls
-    """
-
-
-def debias_preference_pairs(
-    pairs: DataFrame,
-    max_ratio: float,
-    chosen_col: str = "chosen",
-    rejected_col: str = "rejected",
-) -> DataFrame:
-    """Length-debias filter for DPO data: keep only pairs where
-    len(chosen) <= max_ratio * len(rejected) (character lengths, NULL
-    = 0) — the standard mitigation once preference_length_stats shows
-    a long-bias. max_ratio >= 1; 1.0 keeps only pairs where the chosen
-    response is NO longer than the rejected one (the aggressive
-    setting). A zero-length rejected response keeps the pair only if
-    the chosen one is zero-length too (0 <= ratio*0).
-
-    The predicate is one double multiply+compare with max_ratio as a
-    shared literal — engine-exact. Scale shape: a pushed-down filter,
-    no shuffle."""
-    if not max_ratio >= 1.0:
-        raise ValueError("max_ratio must be >= 1.0")
-    lc = F.coalesce(F.length(F.col(chosen_col)), F.lit(0)).cast("double")
-    lr = F.coalesce(F.length(F.col(rejected_col)), F.lit(0)).cast("double")
-    return pairs.where(lc <= F.lit(float(max_ratio)) * lr)
-
-
-def duck_debias_preference_pairs_sql(
-    pairs_sql: str,
-    max_ratio: float,
-    chosen_col: str = "chosen",
-    rejected_col: str = "rejected",
-) -> str:
-    """DuckDB twin of debias_preference_pairs (same literal, same
-    single multiply+compare)."""
-    if not max_ratio >= 1.0:
-        raise ValueError("max_ratio must be >= 1.0")
-    return f"""
-        SELECT * FROM ({pairs_sql}) p0
-        WHERE CAST(COALESCE(length({chosen_col}), 0) AS DOUBLE)
-              <= CAST('{float(max_ratio)!r}' AS DOUBLE)
-                 * CAST(COALESCE(length({rejected_col}), 0) AS DOUBLE)
-    """
-
-
-# ---------------------------------------------------------------------------
-# Best-of-N rejection sampling (one winner per exactly-equal context)
-# ---------------------------------------------------------------------------
-def _spark_turn_md5() -> Column:
-    """Full 128-bit per-turn digest — same pre-image as
-    ``_spark_turn_h48`` but untruncated, so grouping on it is exact in
-    the ``dedup_exact`` md5 sense (no pairwise verify needed)."""
-    return F.md5(
-        F.concat(
-            F.col("_pos").cast("string"), F.lit("\x1f"),
-            F.coalesce(F.col("role"), F.lit("\x01")), F.lit("\x1f"),
-            F.coalesce(F.col("text"), F.lit("\x01")),
-        )
-    )
-
-
-def _prefix_keys(pos: DataFrame, depth: int) -> DataFrame:
-    """(conv_id, _pkey) for conversations with >= ``depth`` turns: the
-    full-md5 chain over the first ``depth`` turns. Grouping on _pkey is
-    EXACT in the dedup_exact md5 sense — no pairwise verify needed
-    anywhere downstream (unlike the h48 signature buckets)."""
-    turns = pos.where(F.col("_pos") <= depth).withColumn("_th", _spark_turn_md5())
-    items = F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_th"))))
-    return (
-        turns.groupBy("conv_id")
-        .agg(
-            F.md5(F.array_join(F.transform(items, lambda x: x["_th"]), "")).alias("_pkey"),
-            F.count(F.lit(1)).alias("_np"),
-        )
-        .where(F.col("_np") == depth)
-        .select("conv_id", "_pkey")
-    )
-
-
-def best_of_n(
-    df: DataFrame,
-    depth: int,
-    model: tuple,
-    role: str | None = "assistant",
-    min_candidates: int = 1,
-) -> DataFrame:
-    """Rejection sampling over agent re-runs: conversations whose first
-    ``depth`` turns are EXACTLY equal (role + text, null-safe) are N
-    answers to the same context; keep ONE — the turn-``depth+1``
-    response with the highest quality-classifier logit (ties keep the
-    smallest conv_id). The SFT-side complement of ``preference_pairs``:
-    that operator materializes (chosen, rejected) comparisons, this one
-    keeps the single best trajectory per context for the training set.
-
-    ``role`` restricts the scored turn on both the winner and its
-    rivals (default 'assistant'); ``min_candidates`` drops contexts
-    with fewer than that many eligible re-runs (2 = only contexts
-    where rejection sampling actually rejected something).
-
-    Returns (conv_id, depth, n_candidates, context, response,
-    logit_micro): the winning conversation, how many candidates it
-    beat, the shared-template context render, its response, and its
-    integer micro-logit (engine- and partition-exact, see
-    operators.classifier).
-
-    Scale shape — the LINEAR member of the re-run mining family: the
-    group key is a per-conv prefix digest (full md5 chain — exact by
-    the dedup_exact precedent, so unlike the h48 signature buckets no
-    pairwise verify exists anywhere in this plan). Work per hot prefix
-    of B re-runs is O(B log B) (one window sort), never the O(B^2)
-    pairing the preference miners need a k-cap for. Turn rows ride the
-    module's one conv_id exchange; scoring is classifier_scores'
-    explode -> broadcast model join -> hash agg; context renders only
-    for winners."""
-    if not 1 <= depth <= MAX_DEPTH:
-        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
-    if min_candidates < 1:
-        raise ValueError("min_candidates must be >= 1")
-    from book_ocr_spark.operators.classifier import classifier_scores
-
-    pos = _positioned(df)
-    pk = _prefix_keys(pos, depth)
-    nxt = pos.where(F.col("_pos") == depth + 1).select(
-        "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
-    )
-    if role is not None:
-        nxt = nxt.where(F.col("_nrole") == role)
-    elig = pk.join(nxt.select("conv_id", "_resp"), "conv_id")
-    scores = classifier_scores(elig, "conv_id", "_resp", model).select(
-        F.col("id").alias("conv_id"), "logit_micro"
-    )
-    wk = Window.partitionBy("_pkey")
-    wr = wk.orderBy(F.desc("logit_micro"), F.asc("conv_id"))
-    ranked = (
-        elig.join(scores, "conv_id")
-        .withColumn("_rn", F.row_number().over(wr))
-        .withColumn("_nc", F.count(F.lit(1)).over(wk))
-        .where((F.col("_rn") == 1) & (F.col("_nc") >= min_candidates))
-    )
-    ctx = _render_contexts(
-        pos,
-        ranked.select("conv_id").withColumn("_ctx_depth", F.lit(depth).cast("long")),
-    )
-    return ranked.join(ctx, F.col("conv_id") == F.col("_ctx_id")).select(
-        "conv_id",
-        F.lit(depth).cast("long").alias("depth"),
-        F.col("_nc").cast("long").alias("n_candidates"),
-        "context",
-        F.col("_resp").alias("response"),
-        F.col("logit_micro").cast("long").alias("logit_micro"),
-    )
-
-
-def duck_best_of_n_sql(
-    src_sql: str,
-    pos_sql: str,
-    neg_sql: str,
-    depth: int,
-    role: str | None = "assistant",
-    min_candidates: int = 1,
-) -> str:
-    """DuckDB twin of best_of_n: same prefix digest chain, the full
-    classifier train+score recurrence (duck_classifier_scores_sql),
-    same (logit DESC, conv_id ASC) pivot."""
-    from book_ocr_spark.operators.classifier import duck_classifier_scores_sql
-
-    th = _DUCK_TURN_MD5
-    role_pred = "" if role is None else f"AND n.role = '{role}'"
-    scores = duck_classifier_scores_sql(
-        "SELECT conv_id AS id, resp AS text FROM bn_elig", pos_sql, neg_sql
-    )
-    return f"""
-        WITH bn_pos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({src_sql}) s0),
-        bn_pk AS (
-            SELECT conv_id, md5(string_agg(th, '' ORDER BY pos)) AS pkey
-            FROM (SELECT conv_id, pos, {th} AS th
-                  FROM bn_pos WHERE pos <= {depth}) q
-            GROUP BY conv_id HAVING COUNT(*) = {depth}),
-        bn_elig AS (
-            SELECT p.conv_id, p.pkey, n.text AS resp
-            FROM bn_pk p
-            JOIN bn_pos n ON n.conv_id = p.conv_id AND n.pos = {depth + 1}
-                 {role_pred}),
-        bn_sc AS ({scores}),
-        bn_ranked AS (
-            SELECT e.conv_id, e.pkey, e.resp,
-                   CAST(s.logit_micro AS BIGINT) AS logit_micro,
-                   ROW_NUMBER() OVER (PARTITION BY e.pkey
-                       ORDER BY s.logit_micro DESC, e.conv_id ASC) AS rn,
-                   COUNT(*) OVER (PARTITION BY e.pkey) AS nc
-            FROM bn_elig e JOIN bn_sc s ON s.id = e.conv_id),
-        bn_ctx AS (
-            SELECT conv_id,
-                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
-                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
-            FROM bn_pos
-            WHERE pos <= {depth} AND conv_id IN (
-                SELECT conv_id FROM bn_ranked
-                WHERE rn = 1 AND nc >= {min_candidates})
-            GROUP BY conv_id)
-        SELECT r.conv_id, CAST({depth} AS BIGINT) AS depth,
-               CAST(r.nc AS BIGINT) AS n_candidates,
-               x.context, r.resp AS response, r.logit_micro
-        FROM bn_ranked r JOIN bn_ctx x USING (conv_id)
-        WHERE r.rn = 1 AND r.nc >= {min_candidates}
-    """
-
-
-def _mv_norm(col: Column) -> Column:
-    """Answer normalization for voting: NULL → the chr(1) sentinel
-    (the digest convention), all whitespace runs → one space, edge
-    spaces trimmed, lowercased. Pure JVM built-ins; the DuckDB twin is
-    the same three calls (Java and RE2 agree on ASCII ``\\s``)."""
-    return F.lower(
-        F.trim(F.regexp_replace(F.coalesce(col, F.lit("\x01")), r"\s+", " "))
-    )
-
-
-def majority_vote(
-    df: DataFrame,
-    depth: int,
-    role: str | None = "assistant",
-    min_candidates: int = 1,
-) -> DataFrame:
-    """Self-consistency voting (Wang et al. 2022) over agent re-runs:
-    conversations whose first ``depth`` turns are EXACTLY equal are N
-    samples of the same context; their turn-``depth+1`` responses vote,
-    after normalization (whitespace-collapsed, trimmed, lowercased),
-    and the plurality answer wins. The critic-free sibling of
-    ``best_of_n``: that operator needs a quality classifier to pick a
-    winner, this one needs only agreement among the samples — the
-    standard chain-of-thought answer-marginalization recipe.
-
-    Ties break deterministically toward the answer whose smallest
-    voting conv_id is smallest (votes DESC, rep conv_id ASC) — a
-    collation-free total order, since answer strings would compare by
-    UTF-16 code unit in Spark but UTF-8 byte in DuckDB.
-
-    Returns one row per context: (conv_id [smallest voter of the
-    winning answer], depth, n_candidates, n_answers, votes, agreement
-    = votes/n_candidates, context, answer [normalized]). The raw
-    response is ``conv_id``'s turn ``depth+1`` — join back for it;
-    emitting it here would hang the output on cross-engine
-    arg_min/min_by NULL conventions.
-
-    Scale shape — LINEAR like best_of_n: exact md5 prefix grouping (no
-    pairwise verify), one hash-agg per (prefix, answer), one window
-    over prefixes of distinct-answer rows (≤ B rows per hot prefix of
-    B re-runs, already combined map-side). Context renders only for
-    winners."""
-    if not 1 <= depth <= MAX_DEPTH:
-        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
-    if min_candidates < 1:
-        raise ValueError("min_candidates must be >= 1")
-    pos = _positioned(df)
-    pk = _prefix_keys(pos, depth)
-    nxt = pos.where(F.col("_pos") == depth + 1).select(
-        "conv_id", F.col("role").alias("_nrole"), F.col("text").alias("_resp")
-    )
-    if role is not None:
-        nxt = nxt.where(F.col("_nrole") == role)
-    elig = pk.join(nxt.select("conv_id", "_resp"), "conv_id")
-    votes = (
-        elig.withColumn("_ans", _mv_norm(F.col("_resp")))
-        .groupBy("_pkey", "_ans")
-        .agg(F.count(F.lit(1)).alias("_votes"), F.min("conv_id").alias("_rep"))
-    )
-    wk = Window.partitionBy("_pkey")
-    wr = wk.orderBy(F.desc("_votes"), F.asc("_rep"))
-    ranked = (
-        votes.withColumn("_rn", F.row_number().over(wr))
-        .withColumn("_nc", F.sum("_votes").over(wk))
-        .withColumn("_nd", F.count(F.lit(1)).over(wk))
-        .where((F.col("_rn") == 1) & (F.col("_nc") >= min_candidates))
-    )
-    ctx = _render_contexts(
-        pos,
-        ranked.select(F.col("_rep").alias("conv_id")).withColumn(
-            "_ctx_depth", F.lit(depth).cast("long")
-        ),
-    )
-    return ranked.join(ctx, F.col("_rep") == F.col("_ctx_id")).select(
-        F.col("_rep").alias("conv_id"),
-        F.lit(depth).cast("long").alias("depth"),
-        F.col("_nc").cast("long").alias("n_candidates"),
-        F.col("_nd").cast("long").alias("n_answers"),
-        F.col("_votes").cast("long").alias("votes"),
-        (F.col("_votes").cast("double") / F.col("_nc").cast("double")).alias(
-            "agreement"
-        ),
-        "context",
-        F.col("_ans").alias("answer"),
-    )
-
-
-def duck_majority_vote_sql(
-    src_sql: str,
-    depth: int,
-    role: str | None = "assistant",
-    min_candidates: int = 1,
-) -> str:
-    """DuckDB twin of majority_vote: same prefix digest chain, same
-    normalization, same (votes DESC, rep ASC) pivot, same one-division
-    agreement."""
-    if not 1 <= depth <= MAX_DEPTH:
-        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
-    if min_candidates < 1:
-        raise ValueError("min_candidates must be >= 1")
-    th = _DUCK_TURN_MD5
-    role_pred = "" if role is None else f"AND n.role = '{role}'"
-    return f"""
-        WITH mv_pos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({src_sql}) s0),
-        mv_pk AS (
-            SELECT conv_id, md5(string_agg(th, '' ORDER BY pos)) AS pkey
-            FROM (SELECT conv_id, pos, {th} AS th
-                  FROM mv_pos WHERE pos <= {depth}) q
-            GROUP BY conv_id HAVING COUNT(*) = {depth}),
-        mv_elig AS (
-            SELECT p.conv_id, p.pkey,
-                   lower(trim(regexp_replace(
-                       COALESCE(n.text, chr(1)), '\\s+', ' ', 'g'))) AS ans
-            FROM mv_pk p
-            JOIN mv_pos n ON n.conv_id = p.conv_id AND n.pos = {depth + 1}
-                 {role_pred}),
-        mv_votes AS (
-            SELECT pkey, ans, COUNT(*) AS votes, MIN(conv_id) AS rep
-            FROM mv_elig GROUP BY pkey, ans),
-        mv_ranked AS (
-            SELECT *,
-                   ROW_NUMBER() OVER (PARTITION BY pkey
-                       ORDER BY votes DESC, rep ASC) AS rn,
-                   SUM(votes) OVER (PARTITION BY pkey) AS nc,
-                   COUNT(*) OVER (PARTITION BY pkey) AS nd
-            FROM mv_votes),
-        mv_ctx AS (
-            SELECT conv_id,
-                   string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
-                              || COALESCE(text, ''), chr(10) ORDER BY pos) AS context
-            FROM mv_pos
-            WHERE pos <= {depth} AND conv_id IN (
-                SELECT rep FROM mv_ranked
-                WHERE rn = 1 AND nc >= {min_candidates})
-            GROUP BY conv_id)
-        SELECT r.rep AS conv_id, CAST({depth} AS BIGINT) AS depth,
-               CAST(r.nc AS BIGINT) AS n_candidates,
-               CAST(r.nd AS BIGINT) AS n_answers,
-               CAST(r.votes AS BIGINT) AS votes,
-               CAST(r.votes AS DOUBLE) / CAST(r.nc AS DOUBLE) AS agreement,
-               x.context, r.ans AS answer
-        FROM mv_ranked r JOIN mv_ctx x ON x.conv_id = r.rep
-        WHERE r.rn = 1 AND r.nc >= {min_candidates}
-    """
-
-
-def _binom_rows(max_n: int, ks: tuple[int, ...]) -> list[tuple[int, int, int]]:
-    """Exact C(m, j) rows for m in [0, max_n], j in ks — shared DATA
-    (not computation) between pass_at_k's broadcast table and its
-    DuckDB twin, so the estimator divides the same two exact bigints
-    on both engines. j > m rows carry 0 (C(m, j) = 0 there), which is
-    what makes pass@k collapse to exactly 1.0 when k > n - c."""
-    import math
-
-    return [
-        (m, j, math.comb(m, j) if j <= m else 0)
-        for m in range(max_n + 1)
-        for j in ks
-    ]
-
-
-def _pak_validate(depth: int, ks, max_n: int) -> tuple[int, ...]:
-    if not 1 <= depth <= MAX_DEPTH:
-        raise ValueError(f"depth must be in [1, {MAX_DEPTH}]")
-    ks = tuple(dict.fromkeys(int(k) for k in ks))
-    if not ks or any(k < 1 for k in ks):
-        raise ValueError("ks must be a non-empty list of ints >= 1")
-    # C(62, 31) < 2^63; one step larger overflows a bigint binomial
-    if not 1 <= max_n <= 62:
-        raise ValueError("max_n must be in [1, 62] (bigint-exact binomials)")
-    return ks
-
-
-def pass_at_k(
-    df: DataFrame,
-    depth: int,
-    verdicts: DataFrame,
-    ks: tuple[int, ...] = (1, 5, 10),
-    role: str | None = "assistant",
-    max_n: int = 60,
-) -> DataFrame:
-    """Unbiased pass@k over agent re-run groups: conversations whose
-    first ``depth`` turns are EXACTLY equal (the best_of_n prefix-md5
-    group key) are n samples for one context; joined against a
-    caller-supplied ``verdicts`` table (conv_id, passed boolean — an
-    eval harness's per-trajectory grade, ONE row per conv_id; missing
-    or NULL counts as failed), each group reports, for every k in
-    ``ks`` with k <= n,
-
-        pass@k = 1 - C(n - c, k) / C(n, k)
-
-    (c = #passed) — the standard unbiased estimator: the probability
-    that a uniform k-subset of the n samples contains at least one
-    pass. Candidates are conversations with a turn at depth+1
-    (``role``-restricted like best_of_n, so an abandoned context or a
-    user continuation is not a sample).
-
-    Returns (context_id, depth, n_candidates, n_passed, k, pass_at_k):
-    context_id is the group's min conv_id (join it back to
-    sft_examples or _render_contexts for the prompt text). pass_at_k
-    is NULL for groups with n > ``max_n`` (raise max_n, <= 62).
-
-    Engine-exactness: the two binomials come from a broadcast integer
-    table (``_binom_rows`` — data, not per-engine math), so both
-    engines perform the identical IEEE int->double rounding and one
-    division; results are bit-identical cross-engine and across
-    partitionings. Scale shape: narrow conv-grain rows ride the
-    module's one conv_id exchange into a hash agg per group; the k
-    and binomial tables are O(max_n * |ks|) broadcast dims — no
-    per-sample pairing anywhere, so a million-re-run context costs
-    O(B), unlike the k-capped preference miners."""
-    ks = _pak_validate(depth, ks, max_n)
-    spark = df.sparkSession
-    pos = _positioned(df)
-    pk = _prefix_keys(pos, depth)
-    nxt = pos.where(F.col("_pos") == depth + 1).select(
-        "conv_id", F.col("role").alias("_nrole")
-    )
-    if role is not None:
-        nxt = nxt.where(F.col("_nrole") == role)
-    v = verdicts.select(
-        F.col(verdicts.columns[0]).alias("conv_id"),
-        F.col(verdicts.columns[1]).cast("boolean").alias("_passed"),
-    )
-    grp = (
-        pk.join(nxt.select("conv_id"), "conv_id")
-        .join(v, "conv_id", "left")
-        .groupBy("_pkey")
-        .agg(
-            F.min("conv_id").alias("context_id"),
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum(
-                F.coalesce(F.col("_passed"), F.lit(False)).cast("long")
-            ).alias("n_passed"),
-        )
-    )
-    kdf = spark.createDataFrame([(k,) for k in ks], "k long")
-    bt = spark.createDataFrame(_binom_rows(max_n, ks), "m long, j long, b long")
-    den = bt.select(F.col("m").alias("_dm"), F.col("j").alias("_dj"), F.col("b").alias("_db"))
-    num = bt.select(F.col("m").alias("_nm"), F.col("j").alias("_nj"), F.col("b").alias("_nb"))
-    return (
-        grp.join(F.broadcast(kdf), F.col("k") <= F.col("n_candidates"))
-        .join(
-            F.broadcast(den),
-            (F.col("_dm") == F.col("n_candidates")) & (F.col("_dj") == F.col("k")),
-            "left",
-        )
-        .join(
-            F.broadcast(num),
-            (F.col("_nm") == F.col("n_candidates") - F.col("n_passed"))
-            & (F.col("_nj") == F.col("k")),
-            "left",
-        )
-        .select(
-            "context_id",
-            F.lit(depth).cast("long").alias("depth"),
-            "n_candidates",
-            "n_passed",
-            "k",
-            F.when(
-                F.col("_db").isNotNull(),
-                F.lit(1.0) - F.col("_nb").cast("double") / F.col("_db").cast("double"),
-            ).alias("pass_at_k"),
-        )
-    )
-
-
-def duck_pass_at_k_sql(
-    src_sql: str,
-    verdicts_sql: str,
-    depth: int,
-    ks: tuple[int, ...] = (1, 5, 10),
-    role: str | None = "assistant",
-    max_n: int = 60,
-) -> str:
-    """DuckDB twin of pass_at_k: same prefix digest chain, the same
-    _binom_rows table inlined as VALUES, the same one int->double
-    division. ``verdicts_sql`` yields (conv_id, passed)."""
-    ks = _pak_validate(depth, ks, max_n)
-    th = _DUCK_TURN_MD5
-    role_pred = "" if role is None else f"AND n.role = '{role}'"
-    kvals = ", ".join(f"({k})" for k in ks)
-    bvals = ", ".join(f"({m}, {j}, {b})" for m, j, b in _binom_rows(max_n, ks))
-    return f"""
-        WITH pak_pos AS (
-            SELECT conv_id,
-                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
-                   role, text
-            FROM ({src_sql}) s0),
-        pak_pk AS (
-            SELECT conv_id, md5(string_agg(th, '' ORDER BY pos)) AS pkey
-            FROM (SELECT conv_id, pos, {th} AS th
-                  FROM pak_pos WHERE pos <= {depth}) q
-            GROUP BY conv_id HAVING COUNT(*) = {depth}),
-        pak_v AS (SELECT * FROM ({verdicts_sql}) v0),
-        pak_grp AS (
-            SELECT p.pkey, MIN(p.conv_id) AS context_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
-                   CAST(SUM(CASE WHEN COALESCE(v.passed, FALSE)
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
-            FROM pak_pk p
-            JOIN pak_pos n ON n.conv_id = p.conv_id AND n.pos = {depth + 1}
-                 {role_pred}
-            LEFT JOIN pak_v v ON v.conv_id = p.conv_id
-            GROUP BY p.pkey),
-        pak_k (k) AS (VALUES {kvals}),
-        pak_b (m, j, b) AS (VALUES {bvals})
-        SELECT g.context_id, CAST({depth} AS BIGINT) AS depth,
-               g.n_candidates, g.n_passed, CAST(k.k AS BIGINT) AS k,
-               CASE WHEN d.b IS NOT NULL
-                    THEN CAST(1 AS DOUBLE)
-                         - CAST(nm.b AS DOUBLE) / CAST(d.b AS DOUBLE)
-               END AS pass_at_k
-        FROM pak_grp g
-        JOIN pak_k k ON k.k <= g.n_candidates
-        LEFT JOIN pak_b d ON d.m = g.n_candidates AND d.j = k.k
-        LEFT JOIN pak_b nm ON nm.m = g.n_candidates - g.n_passed AND nm.j = k.k
-    """
 
 
 # ---------------------------------------------------------------------------

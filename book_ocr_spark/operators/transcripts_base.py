@@ -1,0 +1,130 @@
+"""Shared turn-grain primitives for the transcripts operator family
+(r5 module split of transcripts.py — pure moves, no behavior change).
+
+Holds the ONE copy of the chat-template render pieces and the
+position-salted turn-signature contract that the prefix-dedup,
+preference-mining, and SFT-render operators all join on (every
+producer MUST agree on these definitions; see _cum_sigs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\n"  # separator between rendered turn pieces
+MAX_DEPTH = 4096  # prefix-signature depth cap (see module docstring)
+
+
+# ---------------------------------------------------------------------------
+# Chat-template rendering (shared by spans / examples / fitting)
+# ---------------------------------------------------------------------------
+def _piece() -> Column:
+    """One rendered turn: ``<|role|>\\n{text}`` (NULLs render empty —
+    the span of a NULL text is empty, start_off == end_off)."""
+    return F.concat(
+        F.lit("<|"),
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit("|>" + SEP),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+
+
+def _header_len() -> Column:
+    # "<|" + role + "|>" + SEP
+    return (F.length(F.coalesce(F.col("role"), F.lit(""))) + F.lit(4 + len(SEP))).cast("long")
+
+
+def _piece_len() -> Column:
+    return _header_len() + F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+
+
+_DUCK_PIECE = "('<|' || COALESCE(role, '') || '|>' || chr(10) || COALESCE(text, ''))"
+_DUCK_HEADER_LEN = "(length(COALESCE(role, '')) + 5)"
+_DUCK_PIECE_LEN = f"({_DUCK_HEADER_LEN} + length(COALESCE(text, '')))"
+
+
+def _spark_turn_h48() -> str:
+    """Position-salted 48-bit turn hash — SQL expr string. Same md5
+    bytes as the DuckDB twin (the dedup.py portable-hash idiom)."""
+    return (
+        "cast(conv(substring(md5(concat(cast(_pos as string), chr(31),"
+        " coalesce(role, chr(1)), chr(31), coalesce(text, chr(1)))), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+
+
+_DUCK_TURN_MD5 = (
+    "md5(pos::VARCHAR || chr(31) || COALESCE(role, chr(1))"
+    " || chr(31) || COALESCE(text, chr(1)))"
+)
+# the per-turn digest pre-image is the module's ONE signature
+# contract: H48 is the first-12-hex-digits BIGINT form of the same
+# md5 the jsonl twins consume whole
+_DUCK_TURN_H48 = (
+    f"CAST(('0x' || substr({_DUCK_TURN_MD5}, 1, 12)) AS BIGINT)"
+)
+
+
+def _positioned(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.select(
+        "conv_id", F.row_number().over(w).cast("long").alias("_pos"), "role", "text"
+    )
+
+
+def _cum_sigs(pos: DataFrame, max_pos: int) -> DataFrame:
+    """(conv_id, _pos, _sig): cumulative position-salted prefix
+    signature over the first ``max_pos`` turns — THE shared signature
+    definition every prefix/preference operator joins on (one window,
+    one place to change; incremental dedup joins batch signatures
+    against state-table rows, so all producers MUST agree)."""
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return pos.where(F.col("_pos") <= max_pos).select(
+        "conv_id", "_pos", F.sum(F.expr(_spark_turn_h48())).over(wc).alias("_sig")
+    )
+
+
+
+
+def _verified(cand: DataFrame, short_pos: DataFrame, long_pos: DataFrame) -> DataFrame:
+    """Keep only candidate rows whose first-``depth`` turns match
+    exactly (null-safe) between the short conv (all its positioned
+    rows in ``short_pos``) and the long conv (positional equi-join
+    into ``long_pos``). ``cand`` must carry (short_id, long_id, depth)
+    plus any extra grouping columns, which pass through. Positions are
+    additionally capped PER ROW at the candidate's own ``depth``
+    (preference_pairs_maximal carries varying depths whose convs
+    extend beyond the shared prefix; pre-capped callers see a no-op)."""
+    keys = [c for c in cand.columns]
+    ta = short_pos.select(
+        F.col("conv_id").alias("short_id"),
+        F.col("_pos").alias("_p"),
+        F.col("role").alias("_ra"),
+        F.col("text").alias("_xa"),
+    )
+    tb = long_pos.select(
+        F.col("conv_id").alias("long_id"),
+        F.col("_pos").alias("_p"),
+        F.col("role").alias("_rb"),
+        F.col("text").alias("_xb"),
+    )
+    mism = F.when(
+        F.col("_ra").eqNullSafe(F.col("_rb")) & F.col("_xa").eqNullSafe(F.col("_xb")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return (
+        cand.join(ta, "short_id")
+        .where(F.col("_p") <= F.col("depth"))
+        .join(tb, ["long_id", "_p"])
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(mism).alias("_bad"))
+        .where((F.col("_n") == F.col("depth")) & (F.col("_bad") == 0))
+        .select(*keys)
+    )
+
+

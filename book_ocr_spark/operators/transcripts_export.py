@@ -1,0 +1,501 @@
+"""Corpus datasheet + JSONL chat-format interchange (r5 split from
+transcripts.py — pure moves): the one-call release datasheet, the
+bit-identical-cross-engine JSONL render (sft_jsonl), and the inverse
+parse/violation gate for ingesting chat JSONL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tool_valid() -> Column:
+    return F.col("tool").isNotNull() & (F.col("tool") != F.lit(""))
+
+
+def datasheet(df: DataFrame) -> DataFrame:
+    """(metric, value): the long-format "datasheet for datasets"
+    summary of a transcripts table — corpus size (n_convs, n_turns),
+    shape (exact interpolated turns-per-conversation p50/p90/max,
+    chars-per-turn p50/p90), mass (chars_total, ws_tokens_total),
+    hygiene (null_text_turns, empty_text_turns, tool_turns), timing
+    (conv_duration_s_p50 over conversations with timestamps — WHOLE
+    seconds, floor on both engines; the row is omitted when the input
+    has no ``ts`` column, so tree_paths / parse_chat_jsonl /
+    window_turns outputs datasheet directly), and a
+    per-role histogram (``role_turns:<role>``, NULL role as
+    ``role_turns:<null>``). Long format so new metrics append without
+    a schema change; every number is exact (counts, sums, and the
+    percentile/quantile_cont pair both engines interpolate
+    identically, rounded 4dp) — run it before and after a curation
+    pass and diff (the operators/profile.py discipline at
+    conversation grain).
+
+    Scale shape: two hash aggs (turn-grain global + conv-grain) and a
+    role-grain agg, all map-side combined; the global aggregations
+    reduce to one row per metric — no window, no per-row Python."""
+    from book_ocr_spark.operators.textstats import ws_tokens
+
+    has_ts = "ts" in df.columns
+    t = df.select(
+        "conv_id", "role", "text", "tool",
+        *(["ts"] if has_ts else []),
+    )
+    turn = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_turns"),
+        F.sum(F.length("text")).cast("double").alias("chars_total"),
+        F.sum(F.size(ws_tokens("text"))).cast("double").alias("ws_tokens_total"),
+        F.round(F.expr("percentile(length(text), 0.5)"), 4).alias("chars_per_turn_p50"),
+        F.round(F.expr("percentile(length(text), 0.9)"), 4).alias("chars_per_turn_p90"),
+        F.sum(F.col("text").isNull().cast("long")).cast("double").alias("null_text_turns"),
+        F.sum((F.col("text") == "").cast("long")).cast("double").alias("empty_text_turns"),
+        F.sum(_tool_valid().cast("long")).cast("double").alias("tool_turns"),
+    )
+    # whole-second floor on BOTH engines (Spark unix_timestamp
+    # truncates sub-seconds; the twin floors epoch() to match — the
+    # intervals.py F.floor lesson applied to the duration metric)
+    per_conv = [F.count(F.lit(1)).alias("_nt")] + (
+        [
+            (
+                F.max(F.floor(F.unix_timestamp("ts")))
+                - F.min(F.floor(F.unix_timestamp("ts")))
+            ).alias("_dur")
+        ]
+        if has_ts
+        else []
+    )
+    conv = (
+        t.groupBy("conv_id")
+        .agg(*per_conv)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_convs"),
+            F.round(F.expr("percentile(_nt, 0.5)"), 4).alias("turns_per_conv_p50"),
+            F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("turns_per_conv_p90"),
+            F.max("_nt").cast("double").alias("turns_per_conv_max"),
+            *(
+                [
+                    F.round(F.expr("percentile(_dur, 0.5)"), 4)
+                    .alias("conv_duration_s_p50")
+                ]
+                if has_ts
+                else []
+            ),
+        )
+    )
+
+    def _melt(row_df: DataFrame) -> DataFrame:
+        cols = row_df.columns
+        pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+        return row_df.selectExpr(
+            f"stack({len(cols)}, {pairs}) as (metric, value)"
+        )
+
+    roles = t.groupBy("role").agg(F.count(F.lit(1)).alias("_n")).select(
+        F.concat(
+            F.lit("role_turns:"), F.coalesce(F.col("role"), F.lit("<null>"))
+        ).alias("metric"),
+        F.col("_n").cast("double").alias("value"),
+    )
+    return _melt(turn).unionByName(_melt(conv)).unionByName(roles)
+
+
+def duck_datasheet_sql(src_sql: str, has_ts: bool = True) -> str:
+    """DuckDB twin of datasheet (same exact aggregations; quantile_cont
+    is Spark percentile's interpolation twin; FLOOR(epoch()) matches
+    Spark unix_timestamp's whole-second floor — epoch() alone carries
+    microseconds and would diverge on fractional timestamps;
+    empty-token convention shared with the conv_embeddings twin)."""
+    toks = (
+        "LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),"
+        " w -> w <> ''))"
+    )
+    dur_pc = (
+        ",\n                   MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))"
+        " - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS dur"
+        if has_ts
+        else ""
+    )
+    dur_conv = (
+        ",\n                   ROUND(quantile_cont(dur, 0.5), 4)"
+        " AS conv_duration_s_p50"
+        if has_ts
+        else ""
+    )
+    dur_row = (
+        "UNION ALL SELECT 'conv_duration_s_p50', conv_duration_s_p50 FROM conv"
+        if has_ts
+        else ""
+    )
+    return f"""
+        WITH ds AS (SELECT * FROM ({src_sql}) s0),
+        turn AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_turns,
+                   CAST(SUM(LEN(text)) AS DOUBLE) AS chars_total,
+                   CAST(SUM({toks}) AS DOUBLE) AS ws_tokens_total,
+                   ROUND(quantile_cont(LEN(text), 0.5), 4) AS chars_per_turn_p50,
+                   ROUND(quantile_cont(LEN(text), 0.9), 4) AS chars_per_turn_p90,
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS null_text_turns,
+                   CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS empty_text_turns,
+                   CAST(SUM(CASE WHEN tool IS NOT NULL AND tool <> ''
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS tool_turns
+            FROM ds),
+        pc AS (
+            SELECT conv_id, COUNT(*) AS nt{dur_pc}
+            FROM ds GROUP BY conv_id),
+        conv AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_convs,
+                   ROUND(quantile_cont(nt, 0.5), 4) AS turns_per_conv_p50,
+                   ROUND(quantile_cont(nt, 0.9), 4) AS turns_per_conv_p90,
+                   CAST(MAX(nt) AS DOUBLE) AS turns_per_conv_max{dur_conv}
+            FROM pc)
+        SELECT 'n_turns' AS metric, n_turns AS value FROM turn
+        UNION ALL SELECT 'chars_total', chars_total FROM turn
+        UNION ALL SELECT 'ws_tokens_total', ws_tokens_total FROM turn
+        UNION ALL SELECT 'chars_per_turn_p50', chars_per_turn_p50 FROM turn
+        UNION ALL SELECT 'chars_per_turn_p90', chars_per_turn_p90 FROM turn
+        UNION ALL SELECT 'null_text_turns', null_text_turns FROM turn
+        UNION ALL SELECT 'empty_text_turns', empty_text_turns FROM turn
+        UNION ALL SELECT 'tool_turns', tool_turns FROM turn
+        UNION ALL SELECT 'n_convs', n_convs FROM conv
+        UNION ALL SELECT 'turns_per_conv_p50', turns_per_conv_p50 FROM conv
+        UNION ALL SELECT 'turns_per_conv_p90', turns_per_conv_p90 FROM conv
+        UNION ALL SELECT 'turns_per_conv_max', turns_per_conv_max FROM conv
+        {dur_row}
+        UNION ALL
+        SELECT 'role_turns:' || COALESCE(role, '<null>') AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value
+        FROM ds GROUP BY role
+    """
+
+
+def datasheet_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """(metric, before, after, delta): two datasheet cards joined full-
+    outer on metric — the "what did the pass do" view (a role that
+    disappeared entirely shows before=N, after=NULL; delta is
+    after−before with absent-as-0). Both inputs are datasheet()
+    outputs or anything (metric, value)-shaped."""
+    b = before.select(F.col("metric"), F.col("value").alias("before"))
+    a = after.select(F.col("metric"), F.col("value").alias("after"))
+    return b.join(a, "metric", "full_outer").select(
+        "metric",
+        "before",
+        "after",
+        (
+            F.coalesce(F.col("after"), F.lit(0.0))
+            - F.coalesce(F.col("before"), F.lit(0.0))
+        ).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL chat-format export (the training-loader interchange shape)
+# ---------------------------------------------------------------------------
+# Minimal-JSON escape chain, shared verbatim by both engines so the
+# rendered line is BIT-IDENTICAL cross-engine (not just parse-equal):
+# backslash FIRST (later steps emit backslashes), then quote, then the
+# three named controls. Remaining C0 controls (rare — binary junk that
+# survived extraction) are STRIPPED, not \u-escaped (neither engine
+# can compute \u00XX in a regexp replacement), and counted per
+# conversation so the lossy rows are visible. Ordered pairs of
+# (regex pattern, spark replacement, duckdb replacement): Java
+# replacement strings treat '\' specially ('\\\\' emits one
+# backslash) where RE2 replacements emit '\\' as one — the per-engine
+# third/fourth elements encode exactly that difference.
+_JSON_ESC = [
+    (r"\\", "\\\\\\\\", "\\\\\\\\"),
+    (r'"', '\\\\"', '\\\\"'),
+    ("\n", "\\\\n", "\\\\n"),
+    ("\r", "\\\\r", "\\\\r"),
+    ("\t", "\\\\t", "\\\\t"),
+]
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def _ctrl_count(c):
+    """C0-control-char count of one escaped field (0 for NULL) — the
+    shared n_ctrl_stripped term of sft_jsonl and dpo_jsonl."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), F.lit(0))), F.lit(0)
+    )
+
+
+def _json_esc_col(col: Column) -> Column:
+    for pat, rep, _ in _JSON_ESC:
+        col = F.regexp_replace(col, F.lit(pat), F.lit(rep))
+    return F.regexp_replace(col, F.lit(_CTRL_RE), F.lit(""))
+
+
+def _duck_json_esc(expr: str) -> str:
+    for pat, _, rep in _JSON_ESC:
+        p = pat.replace("'", "''").replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"regexp_replace({expr}, '{_CTRL_RE}', '', 'g')"
+
+
+def _json_str_or_null(col: Column) -> Column:
+    return F.when(
+        col.isNotNull(), F.concat(F.lit('"'), _json_esc_col(col), F.lit('"'))
+    ).otherwise(F.lit("null"))
+
+
+def _duck_json_str_or_null(expr: str) -> str:
+    return (
+        f"CASE WHEN {expr} IS NOT NULL THEN "
+        f"'\"' || {_duck_json_esc(expr)} || '\"' ELSE 'null' END"
+    )
+
+
+def sft_jsonl(
+    df: DataFrame, include_id: bool = False, weight_col: str | None = None
+) -> DataFrame:
+    """(conv_id, jsonl, n_ctrl_stripped): each conversation rendered as
+    ONE standard chat-format JSON line —
+    ``{"messages":[{"role":...,"tool":...,"content":...},...]}`` in
+    turn order — the interchange shape training loaders and dataset
+    hubs consume, lossless down to role/tool/text (NULLs render as
+    JSON null; the loss-mask view stays with sft_spans, which shares
+    this module's turn ordering). ``include_id=True`` prepends an
+    ``"id"`` key (``{"id":...,"messages":[...]}``) so the line is
+    self-contained for FILE export, where no sibling column can carry
+    the key (the CLI export/import pair uses this). ``weight_col``
+    names a boolean/numeric column rendered as a per-message
+    ``"weight"`` key (0/1 loss mask or a float) — the loader-facing
+    carrier for window_turns' ``is_new`` flag or any train mask
+    (weight = is_new AND role='assistant' reproduces the sft_spans
+    train∧is_new rule inside the interchange file); NULL weights
+    render as JSON null.
+    ``n_ctrl_stripped`` counts C0
+    control characters (other than \\n \\r \\t) removed by the
+    escaper across EVERY escaped field — role/tool/text, plus the id
+    once when include_id — so a lossy row can never report 0; nonzero
+    rows carried binary junk and deserve a look.
+
+    The JSON is built from an explicit escape chain both engines
+    replay byte-for-byte (see _JSON_ESC), so the line — not just its
+    parse — is engine-pinned, and the pytest twin can hash it. One
+    narrow JVM projection + the module's conv_id exchange for the
+    ordered assembly; no Python, no JSON library in the hot path."""
+    wparts = []
+    if weight_col is not None:
+        # booleans/ints/floats all normalize through DOUBLE so both
+        # engines print the same token for the mask values that
+        # matter (0.0 / 1.0 / plain decimals); exotic exponents may
+        # format differently — keep weights in loss-mask range
+        w = F.col(weight_col).cast("double")
+        wparts = [
+            F.lit(',"weight":'),
+            F.when(w.isNotNull(), w.cast("string")).otherwise(F.lit("null")),
+        ]
+    piece = F.concat(
+        F.lit('{"role":'),
+        _json_str_or_null(F.col("role")),
+        F.lit(',"tool":'),
+        _json_str_or_null(F.col("tool")),
+        F.lit(',"content":'),
+        _json_str_or_null(F.col("text")),
+        *wparts,
+        F.lit("}"),
+    )
+    # count C0 loss across EVERY field the escaper touches — role and
+    # tool (and the id when include_id) strip too, and a lossy row
+    # must not report 0
+    _cnt1 = _ctrl_count
+    ctrl = _cnt1(F.col("text")) + _cnt1(F.col("role")) + _cnt1(F.col("tool"))
+    items = F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("_piece"))))
+    head = (
+        F.concat(
+            F.lit('{"id":'),
+            _json_str_or_null(F.col("conv_id").cast("string")),
+            F.lit(',"messages":['),
+        )
+        if include_id
+        else F.lit('{"messages":[')
+    )
+    return (
+        df.select("conv_id", "turn_idx", ctrl.alias("_nc"), piece.alias("_piece"))
+        .groupBy("conv_id")
+        .agg(
+            F.concat(
+                head,
+                F.array_join(F.transform(items, lambda x: x["_piece"]), ","),
+                F.lit("]}"),
+            ).alias("jsonl"),
+            (
+                F.sum("_nc")
+                + (
+                    _cnt1(F.col("conv_id").cast("string"))
+                    if include_id
+                    else F.lit(0)
+                )
+            ).cast("bigint").alias("n_ctrl_stripped"),
+        )
+    )
+
+
+def duck_sft_jsonl_sql(
+    src_sql: str, include_id: bool = False, weight_col: str | None = None
+) -> str:
+    """DuckDB twin of sft_jsonl (same escape chain, same assembly)."""
+    role = _duck_json_str_or_null("role")
+    tool = _duck_json_str_or_null("tool")
+    content = _duck_json_str_or_null("text")
+    wpart = (
+        f""" || ',"weight":' || COALESCE(
+            CAST(CAST({weight_col} AS DOUBLE) AS VARCHAR), 'null')"""
+        if weight_col is not None
+        else ""
+    )
+    head = (
+        "'{\"id\":' || "
+        + _duck_json_str_or_null("conv_id::VARCHAR")
+        + " || ',\"messages\":['"
+        if include_id
+        else "'{\"messages\":['"
+    )
+    return f"""
+        SELECT conv_id,
+               {head} || string_agg(
+                   '{{"role":' || {role} || ',"tool":' || {tool}
+                   || ',"content":' || {content}{wpart} || '}}',
+                   ',' ORDER BY turn_idx) || ']}}' AS jsonl,
+               CAST(SUM(COALESCE(LEN(regexp_extract_all(text, '{_CTRL_RE}', 0)), 0)
+                        + COALESCE(LEN(regexp_extract_all(role, '{_CTRL_RE}', 0)), 0)
+                        + COALESCE(LEN(regexp_extract_all(tool, '{_CTRL_RE}', 0)), 0))
+                    {"+ COALESCE(LEN(regexp_extract_all(conv_id::VARCHAR, '" + _CTRL_RE + "', 0)), 0)" if include_id else ""}
+                    AS BIGINT) AS n_ctrl_stripped
+        FROM ({src_sql}) s GROUP BY conv_id
+    """
+
+
+_CHAT_SCHEMA = (
+    "struct<id string,"
+    " messages: array<struct<role string, tool string, content string>>>"
+)
+
+
+def parse_chat_jsonl(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    json_col: str = "jsonl",
+    line_id: bool = False,
+) -> DataFrame:
+    """The ingest inverse of ``sft_jsonl``: messages-array JSON lines
+    back to canonical turn rows (conv_id, turn_idx, role, text, tool),
+    turn_idx = 0-based array position. Foreign files interoperate: a
+    message without a "tool" key parses with tool NULL, unknown keys
+    are ignored (standard permissive-schema JSON semantics on both
+    engines). Rows whose JSON fails to parse or lacks a messages
+    array are silently absent here — gate with
+    ``chat_jsonl_violations`` first (the tree_paths precondition
+    idiom). Round trip holds: parse_chat_jsonl(sft_jsonl(t)) == t for
+    any t free of stripped C0 controls (pinned in tests).
+
+    ``line_id=True``: the conversation key comes from the line's own
+    "id" field (the sft_jsonl(include_id=True) / file-export shape)
+    instead of a sibling ``id_col`` — the form a plain
+    spark.read.text of a JSONL corpus needs.
+
+    Scale shape: from_json + posexplode, one narrow JVM projection —
+    no Python JSON in the hot path; no shuffle at all (ingest
+    parallelism is the file split)."""
+    parsed = df.select(
+        F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
+        *([] if line_id else [F.col(id_col).alias("_cid")]),
+    ).select(
+        (F.col("_d.id") if line_id else F.col("_cid")).alias("conv_id"),
+        F.col("_d"),
+    )
+    return parsed.select(
+        "conv_id", F.posexplode(F.col("_d.messages")).alias("turn_idx", "_m")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.col("_m.role").alias("role"),
+        F.col("_m.content").alias("text"),
+        F.col("_m.tool").alias("tool"),
+    )
+
+
+def chat_jsonl_violations(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    json_col: str = "jsonl",
+    line_id: bool = False,
+) -> DataFrame:
+    """(conv_id, reason): lines parse_chat_jsonl would mishandle —
+    'bad_json' (unparseable / wrong shape), 'no_messages' (valid JSON,
+    messages key missing or null), 'empty_messages' (a messages: []
+    line contributes zero turns, so the conversation silently
+    vanishes from the import), 'null_line' (the jsonl column itself
+    is NULL — parse_chat_jsonl emits zero turns for it, so dropping
+    it from this report too would let a conversation vanish with the
+    precondition still green), and with ``line_id`` also 'no_id' (the
+    line's turns would all import under conv_id NULL). An empty
+    result is the lossless-ingest precondition. With ``line_id`` the
+    reported key is the line's own "id" (NULL when the JSON is too
+    broken to carry one)."""
+    parsed = df.select(
+        (
+            F.from_json(F.col(json_col), _CHAT_SCHEMA)["id"]
+            if line_id
+            else F.col(id_col)
+        ).alias("conv_id"),
+        F.col(json_col).alias("_j"),
+        F.from_json(F.col(json_col), _CHAT_SCHEMA).alias("_d"),
+        # PERMISSIVE from_json fills a struct with NULL fields on
+        # malformed input instead of returning a NULL struct, so
+        # validity needs its own probe: the map parse is NULL iff the
+        # JSON itself doesn't parse
+        F.from_json(F.col(json_col), "map<string,string>").alias("_probe"),
+    )
+    msgs = F.col("_d.messages")
+    reason = (
+        F.when(F.col("_j").isNull(), F.lit("null_line"))
+        .when(F.col("_probe").isNull(), F.lit("bad_json"))
+        .when(msgs.isNull(), F.lit("no_messages"))
+        .when(F.size(msgs) == 0, F.lit("empty_messages"))
+    )
+    if line_id:
+        reason = reason.when(
+            F.col("_d.id").isNull(), F.lit("no_id")
+        )
+    return (
+        parsed.select("conv_id", reason.alias("reason"))
+        .where(F.col("reason").isNotNull())
+    )
+
+
+def duck_parse_chat_jsonl_sql(
+    src_sql: str,
+    id_col: str = "conv_id",
+    json_col: str = "jsonl",
+    line_id: bool = False,
+) -> str:
+    """DuckDB twin of parse_chat_jsonl (json_transform + indexed
+    unnest; json_valid guards the malformed rows Spark's from_json
+    NULLs out)."""
+    tmpl = (
+        '{"id":"VARCHAR","messages":[{"role":"VARCHAR","tool":"VARCHAR",'
+        '"content":"VARCHAR"}]}'
+    )
+    cid = f"json_transform({json_col}, '{tmpl}').id" if line_id else id_col
+    return f"""
+        WITH pj AS (
+            SELECT {cid} AS conv_id,
+                   json_transform({json_col}, '{tmpl}') AS d
+            FROM ({src_sql}) s0
+            WHERE {json_col} IS NOT NULL AND json_valid({json_col})),
+        px AS (
+            SELECT conv_id,
+                   unnest(list_transform(d.messages,
+                          (m, i) -> {{'i': i, 'm': m}})) AS u
+            FROM pj WHERE d.messages IS NOT NULL)
+        SELECT conv_id, CAST(u.i - 1 AS INT) AS turn_idx,
+               u.m.role AS role, u.m.content AS text, u.m.tool AS tool
+        FROM px
+    """
+
+

@@ -1,0 +1,400 @@
+"""RL credit assignment over transcript trajectories (r5 split from
+transcripts.py — pure moves): terminal-reward shaping, discounted
+per-turn returns, GAE-style advantages, and group-relative (GRPO)
+advantages, each with its bit-identical DuckDB twin. All windows
+partition by conv_id — the same single hash exchange the extract
+pipeline already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def terminal_rewards(
+    df: DataFrame,
+    verdicts: DataFrame,
+    pass_reward: float = 1.0,
+    fail_reward: float = 0.0,
+    role: str | None = "assistant",
+) -> DataFrame:
+    """Outcome-reward shaping: turn a conversation-level verdict into
+    the per-turn ``reward`` column the credit-assignment family
+    consumes — the standard sparse-outcome-reward setup (the verdict
+    lands on the LAST ``role`` turn; every other turn gets 0), so
+    ``terminal_rewards → turn_returns/turn_advantages →
+    group_relative_advantages`` is the full offline-RL labeling chain
+    with no glue code.
+
+    ``verdicts`` is the pass_at_k shape: (conv_id, passed boolean) —
+    first column the id, second the verdict; missing or NULL verdicts
+    count as failed (the pass_at_k convention). ``role=None`` puts the
+    reward on the conversation's last turn regardless of role. A conv
+    with NO role-matching turn gets all-zero rewards (there is no
+    terminal to pay). Rewards are caller literals embedded identically
+    in both engines — no float arithmetic beyond the literal itself.
+
+    Scale shape: one window max over the module's conv_id exchange +
+    one broadcastable verdict join; no Python."""
+    pr, fr = float(pass_reward), float(fail_reward)
+    v = verdicts.select(
+        F.col(verdicts.columns[0]).cast("string").alias("conv_id"),
+        F.col(verdicts.columns[1]).cast("boolean").alias("_passed"),
+    )
+    eligible = (
+        F.lit(True) if role is None else (F.col("role") == F.lit(role))
+    )
+    w = Window.partitionBy("conv_id")
+    with_max = df.withColumn(
+        "_term_idx",
+        F.max(F.when(eligible, F.col("turn_idx"))).over(w),
+    )
+    is_term = F.col("_term_idx").isNotNull() & (
+        F.col("turn_idx") == F.col("_term_idx")
+    )
+    verdict_reward = F.when(
+        F.coalesce(F.col("_passed"), F.lit(False)), F.lit(pr)
+    ).otherwise(F.lit(fr))
+    return (
+        with_max.join(v, "conv_id", "left")
+        .withColumn(
+            "reward", F.when(is_term, verdict_reward).otherwise(F.lit(0.0))
+        )
+        .drop("_term_idx", "_passed")
+    )
+
+
+def duck_terminal_rewards_sql(
+    src_sql: str,
+    verdicts_sql: str,
+    pass_reward: float = 1.0,
+    fail_reward: float = 0.0,
+    role: str | None = "assistant",
+) -> str:
+    """DuckDB twin of terminal_rewards (same terminal rule, same
+    missing-verdict-is-failed coalesce, same literals)."""
+    pr, fr = float(pass_reward), float(fail_reward)
+    elig = "TRUE" if role is None else f"role = '{role}'"
+    return f"""
+        WITH tr_src AS (
+            SELECT s.*,
+                   MAX(CASE WHEN {elig} THEN turn_idx END)
+                       OVER (PARTITION BY conv_id) AS _term_idx
+            FROM ({src_sql}) s),
+        tr_v AS (
+            SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+                   CAST(passed AS BOOLEAN) AS _passed
+            FROM ({verdicts_sql}) v0)
+        SELECT * EXCLUDE (_term_idx, _passed),
+               CASE WHEN _term_idx IS NOT NULL AND turn_idx = _term_idx
+                    THEN CASE WHEN COALESCE(_passed, FALSE)
+                              THEN CAST('{pr!r}' AS DOUBLE)
+                              ELSE CAST('{fr!r}' AS DOUBLE) END
+                    ELSE CAST('0.0' AS DOUBLE)
+               END AS reward
+        FROM tr_src LEFT JOIN tr_v USING (conv_id)
+    """
+
+
+def turn_returns(df: DataFrame, reward_col: str, gamma: float) -> DataFrame:
+    """(conv_id, turn_idx, reward, ret): the discounted return
+    G_t = r_t + gamma * G_{t+1} per turn over the conversation's turn
+    order (NULL rewards count as 0) — the credit-assignment column an
+    advantage-weighted SFT / offline-RL pass trains against, computed
+    next to the rest of the trajectory family (preference_pairs,
+    best_of_n, pass_at_k) instead of in a separate framework.
+
+    Engine-exactness: the recurrence is ONE ordered fold over the
+    reversed reward array (Spark ``aggregate`` HOF / DuckDB
+    ``list_reduce`` with the init element prepended) — multiplications
+    and additions happen in the identical order on both engines, and
+    gamma is embedded as the same Python double literal, so returns
+    are bit-identical with NO rounding convention (the power-free
+    formulation also avoids the cross-libm pow() hazard).
+
+    Scale shape: one collect_list + one posexplode riding the
+    module's conv_id exchange; the fold is O(n) per conversation
+    inside the JVM (the out-array prepends make it O(n^2) COPYING for
+    monster conversations — bounded in practice by the same
+    max-depth reality as the prefix family)."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    g = repr(float(gamma))
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx"),
+                F.coalesce(F.col(reward_col).cast("double"), F.lit(0.0)).alias("_r"),
+            )
+        )
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+            reverse(transform(_items, x -> x._r)),
+            struct(cast(0.0 as double) as g,
+                   cast(array() as array<double>) as out),
+            (acc, r) -> struct(
+                r + cast({g} as double) * acc.g,
+                concat(array(r + cast({g} as double) * acc.g), acc.out)),
+            acc -> acc.out)
+        """
+    )
+    per_conv = df.groupBy("conv_id").agg(items.alias("_items")).select(
+        "conv_id", "_items", folded.alias("_rets")
+    )
+    return per_conv.select(
+        "conv_id",
+        F.posexplode(F.arrays_zip("_items", "_rets")).alias("_i", "_z"),
+    ).select(
+        "conv_id",
+        F.col("_z._items.turn_idx").alias("turn_idx"),
+        F.col("_z._items._r").alias("reward"),
+        F.col("_z._rets").alias("ret"),
+    )
+
+
+def duck_turn_returns_sql(src_sql: str, reward_col: str, gamma: float) -> str:
+    """DuckDB twin of turn_returns — the SAME reversed ordered fold
+    (list_reduce with the init element prepended), the same gamma
+    literal, so the doubles match bit-for-bit."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    g = repr(float(gamma))
+    return f"""
+        WITH tr_src AS (
+            SELECT conv_id, turn_idx,
+                   COALESCE(CAST({reward_col} AS DOUBLE), 0.0) AS r
+            FROM ({src_sql}) s0),
+        tr_arr AS (
+            SELECT conv_id,
+                   list(turn_idx ORDER BY turn_idx) AS tids,
+                   list(r ORDER BY turn_idx) AS rs
+            FROM tr_src GROUP BY conv_id),
+        tr_fold AS (
+            -- per-index scalar fold (DuckDB 1.0's list_reduce
+            -- mis-accumulates LIST-typed struct fields, so the O(n)
+            -- list-building fold is off the table): each G_i folds
+            -- b + gamma*a over the reversed suffix rs[i:], which is
+            -- the IDENTICAL arithmetic DAG Spark's single recurrence
+            -- produces for that index -> bit-equal despite the
+            -- different asymptotics (O(n^2) here is twin-only cost)
+            SELECT conv_id, tids, rs,
+                   list_transform(range(1, len(rs) + 1), i ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                                        list_reverse(rs[i:])),
+                           (a, b) -> b + CAST({g} AS DOUBLE) * a)) AS rets
+            FROM tr_arr)
+        SELECT conv_id,
+               u.t AS turn_idx, u.r AS reward, u.g AS ret
+        FROM tr_fold,
+             UNNEST(list_transform(tids, (t, i) ->
+                 {{'t': t, 'r': rs[i], 'g': rets[i]}})) AS q(u)
+    """
+
+
+
+def turn_advantages(
+    df: DataFrame, reward_col: str, value_col: str, gamma: float, lam: float
+) -> DataFrame:
+    """(conv_id, turn_idx, reward, value, adv): generalized advantage
+    estimation (GAE, Schulman et al. 2015) per turn over the
+    conversation's turn order — delta_t = r_t + gamma*V_{t+1} - V_t
+    (V beyond the last turn is 0), A_t = delta_t +
+    gamma*lambda*A_{t+1}. The lambda knob interpolates between the
+    one-step TD advantage (lam=0) and the full-return baseline-
+    subtracted advantage (lam=1); NULL rewards AND NULL value
+    estimates count as 0 (a missing critic score = zero baseline).
+    This is turn_returns' sibling for actor-critic-style offline RL /
+    advantage-weighted SFT over scored agent trajectories.
+
+    Engine-exactness: same contract as turn_returns — ONE reversed
+    ordered fold, state (A_{t+1}, V_{t+1}) carried as two scalar
+    struct fields, every step the identical left-associated
+    expression ((r + g*vnext) - v) + gl*a with gamma and
+    gamma*lambda embedded as the same Python double literals in both
+    engines, so advantages match bit-for-bit with no rounding
+    convention and no pow().
+
+    Scale shape: identical to turn_returns — one collect_list +
+    posexplode on the module's conv_id exchange, O(n) JVM fold per
+    conversation."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    g = repr(float(gamma))
+    gl = repr(float(gamma) * float(lam))
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx"),
+                F.coalesce(F.col(reward_col).cast("double"), F.lit(0.0)).alias("_r"),
+                F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("_v"),
+            )
+        )
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+            reverse(transform(_items, x -> struct(x._r as r, x._v as v))),
+            struct(cast(0.0 as double) as a,
+                   cast(0.0 as double) as vnext,
+                   cast(array() as array<double>) as out),
+            (acc, x) -> struct(
+                x.r + cast({g} as double) * acc.vnext - x.v
+                    + cast({gl} as double) * acc.a,
+                x.v,
+                concat(array(x.r + cast({g} as double) * acc.vnext - x.v
+                    + cast({gl} as double) * acc.a), acc.out)),
+            acc -> acc.out)
+        """
+    )
+    per_conv = df.groupBy("conv_id").agg(items.alias("_items")).select(
+        "conv_id", "_items", folded.alias("_advs")
+    )
+    return per_conv.select(
+        "conv_id",
+        F.posexplode(F.arrays_zip("_items", "_advs")).alias("_i", "_z"),
+    ).select(
+        "conv_id",
+        F.col("_z._items.turn_idx").alias("turn_idx"),
+        F.col("_z._items._r").alias("reward"),
+        F.col("_z._items._v").alias("value"),
+        F.col("_z._advs").alias("adv"),
+    )
+
+
+def duck_turn_advantages_sql(
+    src_sql: str, reward_col: str, value_col: str, gamma: float, lam: float
+) -> str:
+    """DuckDB twin of turn_advantages: the same reversed fold with the
+    (A, V_next) state packed as a homogeneous {x, y} double struct
+    (data elements carry x=r, y=v; the accumulator x=A, y=V_next, so
+    list_prepend stays type-uniform), the same left-associated step
+    expression and the same gamma / gamma*lambda literals — per-index
+    scalar-struct folds over the reversed suffix, like
+    duck_turn_returns_sql (twin-only O(n^2))."""
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    g = repr(float(gamma))
+    gl = repr(float(gamma) * float(lam))
+    return f"""
+        WITH ta_src AS (
+            SELECT conv_id, turn_idx,
+                   COALESCE(CAST({reward_col} AS DOUBLE), 0.0) AS r,
+                   COALESCE(CAST({value_col} AS DOUBLE), 0.0) AS v
+            FROM ({src_sql}) s0),
+        ta_arr AS (
+            SELECT conv_id,
+                   list(turn_idx ORDER BY turn_idx) AS tids,
+                   list(r ORDER BY turn_idx) AS rs,
+                   list(v ORDER BY turn_idx) AS vs,
+                   list({{'x': r, 'y': v}} ORDER BY turn_idx) AS es
+            FROM ta_src GROUP BY conv_id),
+        ta_fold AS (
+            SELECT conv_id, tids, rs, vs,
+                   list_transform(range(1, len(es) + 1), i ->
+                       struct_extract(list_reduce(
+                           list_prepend({{'x': CAST(0 AS DOUBLE),
+                                          'y': CAST(0 AS DOUBLE)}},
+                                        list_reverse(es[i:])),
+                           (acc, e) -> {{'x': e.x + CAST({g} AS DOUBLE) * acc.y
+                                            - e.y
+                                            + CAST({gl} AS DOUBLE) * acc.x,
+                                        'y': e.y}}), 'x')) AS advs
+            FROM ta_arr)
+        SELECT conv_id,
+               u.t AS turn_idx, u.r AS reward, u.v AS value, u.a AS adv
+        FROM ta_fold,
+             UNNEST(list_transform(tids, (t, i) ->
+                 {{'t': t, 'r': rs[i], 'v': vs[i], 'a': advs[i]}})) AS q(u)
+    """
+
+
+
+def group_relative_advantages(
+    df: DataFrame, group_col: str, reward_col: str
+) -> DataFrame:
+    """All input columns + (n_group, adv): GRPO-style group-relative
+    advantage normalization (Shao et al. 2024, DeepSeekMath) —
+    adv_i = (r_i - mean(group)) / std(group), population std, over
+    every row sharing ``group_col``. The group is the re-run family
+    this module already mines (the prefix-digest key of best_of_n /
+    pass_at_k / preference_pairs: N sampled answers to one context);
+    the reward is any integer micro-unit score (classifier
+    logit_micro, a rubric score, turn_returns scaled by 1e6).
+    Degenerate groups (all rewards equal — including singletons) get
+    adv = 0, the GRPO convention, detected EXACTLY via integer
+    min == max, never via a float threshold.
+
+    Engine-exactness: ``reward_col`` is cast to BIGINT (micro units —
+    callers pre-scale float rewards; NULLs count as 0 like
+    turn_returns), so the window moments n, S1 = Σr, S2 = Σr² are
+    exact order-independent integer sums; mean/variance/advantage
+    then derive through ONE fixed left-associated double expression —
+    (CAST(r) - S1/n) / sqrt(S2/n - (S1/n)²) — shared with the twin
+    (sqrt is IEEE-correctly-rounded, no libm pow hazard). A variance
+    that rounds to <= 0 in doubles while integers say the rewards
+    differ also yields 0, identically in both engines. Bound: needs
+    n·r² < 2^63 per group (|r| < ~2^31 with 10^4-member groups) —
+    micro-scaled logits are ~10^7, far inside it.
+
+    Scale shape: three window aggregates over one hash exchange on
+    ``group_col``; no joins, no driver action."""
+    r = F.coalesce(F.col(reward_col).cast("long"), F.lit(0).cast("long"))
+    w = Window.partitionBy(group_col)
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(r).over(w)
+    s2 = F.sum(r * r).over(w)
+    rmin = F.min(r).over(w)
+    rmax = F.max(r).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    ex2 = s2.cast("double") / n.cast("double")
+    var = ex2 - mean * mean
+    adv = (
+        F.when(rmin == rmax, F.lit(0.0))
+        .when(var <= 0, F.lit(0.0))
+        .otherwise((r.cast("double") - mean) / F.sqrt(var))
+    )
+    return df.withColumn("n_group", n.cast("long")).withColumn("adv", adv)
+
+
+def duck_group_relative_advantages_sql(
+    src_sql: str, group_col: str, reward_col: str
+) -> str:
+    """DuckDB twin of group_relative_advantages: the same exact
+    integer window moments and the same left-associated double
+    expression. Emits every src column + (n_group, adv)."""
+    rc = f"COALESCE(CAST({reward_col} AS BIGINT), 0)"
+    return f"""
+        WITH gra_src AS (SELECT * FROM ({src_sql}) s0),
+        gra_m AS (
+            SELECT s.*,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS _n,
+                   CAST(SUM({rc}) OVER w AS BIGINT) AS _s1,
+                   CAST(SUM({rc} * {rc}) OVER w AS BIGINT) AS _s2,
+                   MIN({rc}) OVER w AS _rmin,
+                   MAX({rc}) OVER w AS _rmax
+            FROM gra_src s
+            WINDOW w AS (PARTITION BY {group_col}))
+        SELECT * EXCLUDE (_n, _s1, _s2, _rmin, _rmax),
+               _n AS n_group,
+               CASE WHEN _rmin = _rmax THEN 0.0
+                    WHEN (CAST(_s2 AS DOUBLE) / CAST(_n AS DOUBLE))
+                         - (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
+                           * (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)) <= 0
+                    THEN 0.0
+                    ELSE (CAST({rc} AS DOUBLE)
+                          - CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
+                         / sqrt((CAST(_s2 AS DOUBLE) / CAST(_n AS DOUBLE))
+                                - (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))
+                                  * (CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)))
+               END AS adv
+        FROM gra_m
+    """
+
+
