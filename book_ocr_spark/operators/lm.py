@@ -475,3 +475,200 @@ def duck_ppl_bins_sql(
         FROM s LEFT JOIN nn USING (id)
         ORDER BY s.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Order-n hashed LM — the actual CCNet/KenLM 5-gram gate shape
+# (Wenzek et al. 2020 filter with a KenLM 5-gram; the bigram operator
+# above keeps the historical stand-in). Contexts are the (n-1)-token
+# history hashed into ``v_ctx`` buckets (2^20 default — the context
+# space is what explodes with order, the next-token space stays v);
+# smoothing, micro-integer determinism, and the score-attach join
+# shape are identical to lm_cross_entropy.
+# ---------------------------------------------------------------------------
+
+V_CTX = 1 << 20
+
+
+def _ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, v: int, v_ctx: int
+) -> DataFrame:
+    """(id, h, u) hashed (history-bucket, next-token-bucket) stream
+    WITH multiplicity; h = h28 of the chr(31)-joined (n-1)-token
+    history mod v_ctx (the unit separator keeps ['a b','c'] and
+    ['a','b c'] distinct), u = h28 of the next token mod v. Docs with
+    fewer than n tokens emit no rows (callers re-attach them)."""
+    ctx = spark_h28(f"array_join(slice(_t, i, {n - 1}), chr(31))")
+    nxt = spark_h28(f"element_at(_t, i + {n - 1})")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_t")
+    ).where(F.size("_t") >= n)
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {n - 1}),"
+                f" i -> struct({ctx} % {v_ctx} AS h, {nxt} % {v} AS u))"
+            )
+        ).alias("p"),
+    )
+    return pairs.select("id", F.col("p.h").alias("h"), F.col("p.u").alias("u"))
+
+
+def _ngram_validate(n: int, alpha: float) -> None:
+    if n < 2:
+        raise ValueError("ngram LM needs order n >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unseen n-grams need mass)")
+
+
+def ngram_lm(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    v: int = V_BUCKETS,
+    v_ctx: int = V_CTX,
+) -> DataFrame:
+    """(h, u, c_hu, c_h): order-n counts plus per-history row sums —
+    the whole LM state in one corpus pass (c_h is a window sum over
+    the grouped n-gram table, never a second scan). Row count is
+    bounded by min(observed n-grams, v_ctx * v)."""
+    from pyspark.sql import Window
+
+    grams = (
+        _ngrams(corpus, id_col, text_col, n, v, v_ctx)
+        .groupBy("h", "u")
+        .agg(F.count("*").alias("c_hu"))
+    )
+    return grams.withColumn("c_h", F.sum("c_hu").over(Window.partitionBy("h")))
+
+
+def ngram_cross_entropy(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    v: int = V_BUCKETS,
+    v_ctx: int = V_CTX,
+    alpha: float = ALPHA,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_ngrams, logp_micro, xent_micro) for EVERY document in
+    ``docs`` under the order-``n`` add-alpha LM trained on ``corpus``
+    — the 5-gram upgrade of lm_cross_entropy (same output contract;
+    n_ngrams replaces n_bigrams). NULL xent_micro when the doc has
+    fewer than n tokens; filter ascending on xent_micro, perplexity =
+    exp(xent_micro / 1e6).
+
+    ln p(u|h) = ln(c(h,u) + a) - ln(c(h) + a*v) — the denominator
+    smooths over the NEXT-TOKEN vocabulary v (not v_ctx): p(.|h) must
+    normalize over possible continuations. Unseen histories take
+    c_hu = c_h = 0, the pure-smoothing conditional ln(a) - ln(a*v).
+
+    Scale shape: identical to lm_cross_entropy — the model is one
+    hash-agg over the (small, trusted) reference corpus; scoring
+    touches the candidate corpus exactly once (explode -> per-doc
+    hash agg -> two left equi-joins against the model -> per-doc
+    agg). The history join attaches separately from the n-gram join
+    for the same reason as the bigram operator: a seen history must
+    keep its true c(h) denominator on unseen continuations. At order
+    5 the model row count grows toward the corpus n-gram count —
+    ``broadcast_model=False`` switches to plain hash joins when the
+    trusted corpus is large enough to matter."""
+    _ngram_validate(n, alpha)
+    model = ngram_lm(corpus, id_col, text_col, n, v, v_ctx)
+    hist = model.groupBy("h").agg(F.max("c_h").alias("c_h"))
+    pairs = model.select("h", "u", "c_hu")
+    if broadcast_model:
+        pairs, hist = F.broadcast(pairs), F.broadcast(hist)
+    db = (
+        _ngrams(docs, id_col, text_col, n, v, v_ctx)
+        .groupBy("id", "h", "u")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lp = F.round(
+        MICRO
+        * (
+            F.log(F.coalesce(F.col("c_hu"), F.lit(0)) + alpha)
+            - F.log(F.coalesce(F.col("c_h"), F.lit(0)) + alpha * v)
+        )
+    ).cast("long")
+    scored = (
+        db.join(pairs, ["h", "u"], "left")
+        .join(hist, ["h"], "left")
+        .select("id", "cnt", lp.alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_ngrams"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("logp_micro"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(scored, "id", "left")
+        .fillna(0, ["n_ngrams", "logp_micro"])
+        .withColumn(
+            "xent_micro",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    -F.col("logp_micro").cast("double") / F.col("n_ngrams")
+                ).cast("long"),
+            ),
+        )
+    )
+
+
+def _duck_ngrams(corpus_sql: str, n: int, v: int, v_ctx: int) -> str:
+    hh = duck_h28(f"array_to_string(list_slice(_t, i, i + {n - 2}), chr(31))")
+    hu = duck_h28(f"_t[i + {n - 1}]")
+    return f"""
+        SELECT id, {hh} % {v_ctx} AS h, {hu} % {v} AS u
+        FROM (
+            SELECT id, _t, unnest(generate_series(1, len(_t) - {n - 1})) AS i
+            FROM (SELECT id, string_split(text, ' ') AS _t
+                  FROM ({corpus_sql}) g0) g1
+            WHERE len(_t) >= {n}) g2
+    """
+
+
+def duck_ngram_cross_entropy_sql(
+    docs_sql: str,
+    corpus_sql: str,
+    n: int = 5,
+    v: int = V_BUCKETS,
+    v_ctx: int = V_CTX,
+    alpha: float = ALPHA,
+) -> str:
+    """DuckDB twin of ngram_cross_entropy: same history/next-token
+    hashes, same smoothing, same micro-integer rounding — logp_micro
+    is bit-identical and xent_micro follows from the same two
+    integers."""
+    _ngram_validate(n, alpha)
+    return f"""
+        WITH cg AS ({_duck_ngrams(corpus_sql, n, v, v_ctx)}),
+        dg AS ({_duck_ngrams(docs_sql, n, v, v_ctx)}),
+        gi AS (SELECT h, u, COUNT(*) AS c_hu FROM cg GROUP BY 1, 2),
+        hist AS (SELECT h, COUNT(*) AS c_h FROM cg GROUP BY 1),
+        db AS (SELECT id, h, u, COUNT(*) AS cnt FROM dg GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(cnt * CAST(ROUND({MICRO} * (
+                       ln(COALESCE(c_hu, 0) + {alpha})
+                     - ln(COALESCE(c_h, 0) + {alpha} * {v})
+                   )) AS BIGINT)) AS BIGINT) AS logp_micro
+            FROM db LEFT JOIN gi USING (h, u) LEFT JOIN hist USING (h)
+            GROUP BY id)
+        SELECT d.id,
+               COALESCE(n_ngrams, 0) AS n_ngrams,
+               COALESCE(logp_micro, 0) AS logp_micro,
+               CASE WHEN COALESCE(n_ngrams, 0) > 0 THEN
+                   CAST(ROUND(-CAST(logp_micro AS DOUBLE) / n_ngrams)
+                        AS BIGINT)
+               END AS xent_micro
+        FROM (SELECT DISTINCT id FROM ({docs_sql}) dd) d
+        LEFT JOIN scored USING (id)
+        ORDER BY d.id
+    """

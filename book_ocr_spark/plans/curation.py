@@ -187,6 +187,7 @@ def curate_web_corpus(
     hot_bucket_cap: int | None = None,
     lm_corpus: DataFrame | None = None,
     max_xent_micro: int | None = None,
+    lm_order: int = 2,
     clf_pos: DataFrame | None = None,
     clf_neg: DataFrame | None = None,
     min_clf_prob: float | None = None,
@@ -402,9 +403,22 @@ def curate_web_corpus(
     if lm_corpus is not None:
         if max_xent_micro is None:
             raise ValueError("lm_corpus requires max_xent_micro")
-        from book_ocr_spark.operators.lm import lm_cross_entropy
+        # lm_order=2 keeps the historical bigram stand-in (and its
+        # per-round bench envelope); lm_order>=3 switches to the
+        # order-n gate — CCNet's actual KenLM shape is lm_order=5.
+        # Thresholds are NOT comparable across orders (higher-order
+        # models assign lower probability per token), so callers that
+        # raise lm_order must recalibrate max_xent_micro.
+        if lm_order == 2:
+            from book_ocr_spark.operators.lm import lm_cross_entropy
 
-        scores = lm_cross_entropy(cleaned, lm_corpus, id_col, text_col)
+            scores = lm_cross_entropy(cleaned, lm_corpus, id_col, text_col)
+        else:
+            from book_ocr_spark.operators.lm import ngram_cross_entropy
+
+            scores = ngram_cross_entropy(
+                cleaned, lm_corpus, id_col, text_col, n=lm_order
+            )
         fluent = scores.filter(
             F.col("xent_micro").isNull()
             | (F.col("xent_micro") <= max_xent_micro)

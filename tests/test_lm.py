@@ -419,3 +419,183 @@ def test_lm_seen_history_unseen_bigram_denominator(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Order-n LM (the CCNet/KenLM 5-gram gate shape) — r5
+# ---------------------------------------------------------------------
+
+
+def _spark_ngram_scores(spark, n, doc_rows=DOC_ROWS):
+    docs = spark.createDataFrame(doc_rows, "id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    return sorted(
+        (r.id, r.n_ngrams, r.logp_micro, r.xent_micro)
+        for r in lm.ngram_cross_entropy(
+            docs, corpus, "id", "text", n=n
+        ).collect()
+    )
+
+
+def _duck_ngram_scores(n):
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(DOC_ROWS, columns=["id", "text"]))
+    con.register("c", pd.DataFrame(CORPUS_ROWS, columns=["id", "text"]))
+    rows = con.sql(
+        lm.duck_ngram_cross_entropy_sql(
+            "SELECT id, text FROM d", "SELECT id, text FROM c", n=n
+        )
+    ).fetchall()
+    return sorted(
+        tuple(None if x is None else int(x) for x in row) for row in rows
+    )
+
+
+def test_ngram_lm_twin_orders_3_and_5(spark):
+    """logp_micro is bit-identical to the DuckDB replay at orders 3
+    and 5, and the fluency ranking (in-domain < gibberish) holds."""
+    for n in (3, 5):
+        got = _spark_ngram_scores(spark, n)
+        assert got == _duck_ngram_scores(n), f"order {n}"
+        xent = {i: x for i, _, _, x in got}
+        assert xent[1] < xent[2], f"order {n}"
+        assert xent[4] is None and xent[5] is None
+        assert {i for i, *_ in got} == {1, 2, 3, 4, 5}
+
+
+def test_ngram_lm_short_doc_boundary(spark):
+    """A doc with exactly n-1 tokens scores NULL; exactly n tokens
+    scores exactly one n-gram — the fencepost the re-attach join must
+    get right."""
+    rows = [(1, "a b c d"), (2, "a b c d e")]
+    got = {r[0]: r for r in _spark_ngram_scores(spark, 5, rows)}
+    assert got[1][1] == 0 and got[1][3] is None
+    assert got[2][1] == 1 and got[2][3] is not None
+    assert _spark_ngram_scores(spark, 5, rows) == _duck_ngram_scores_rows(
+        5, rows
+    )
+
+
+def _duck_ngram_scores_rows(n, rows):
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register("c", pd.DataFrame(CORPUS_ROWS, columns=["id", "text"]))
+    out = con.sql(
+        lm.duck_ngram_cross_entropy_sql(
+            "SELECT id, text FROM d", "SELECT id, text FROM c", n=n
+        )
+    ).fetchall()
+    return sorted(
+        tuple(None if x is None else int(x) for x in row) for row in out
+    )
+
+
+def test_ngram_lm_partition_invariance(spark):
+    """Integer scores are partition-independent: 1 vs 16 partitions,
+    identical rows (the merge-order contract)."""
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    one = sorted(
+        tuple(r)
+        for r in lm.ngram_cross_entropy(
+            docs.coalesce(1), corpus.coalesce(1), "id", "text", n=5
+        ).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in lm.ngram_cross_entropy(
+            docs.repartition(16), corpus.repartition(16), "id", "text", n=5
+        ).collect()
+    )
+    assert one == many
+
+
+def test_ngram_lm_hash_join_mode_matches_broadcast(spark):
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "id long, text string")
+    b = sorted(
+        tuple(r)
+        for r in lm.ngram_cross_entropy(docs, corpus, "id", "text", n=5).collect()
+    )
+    h = sorted(
+        tuple(r)
+        for r in lm.ngram_cross_entropy(
+            docs, corpus, "id", "text", n=5, broadcast_model=False
+        ).collect()
+    )
+    assert b == h
+
+
+def test_ngram_lm_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame(DOC_ROWS, "id long, text string")
+    with pytest.raises(ValueError, match="order"):
+        lm.ngram_cross_entropy(docs, docs, "id", "text", n=1)
+    with pytest.raises(ValueError, match="alpha"):
+        lm.ngram_cross_entropy(docs, docs, "id", "text", n=5, alpha=0.0)
+    with pytest.raises(ValueError, match="order"):
+        lm.duck_ngram_cross_entropy_sql("q", "q", n=1)
+
+
+def test_web_corpus_lm_order_5_gate(spark):
+    """curate_web_corpus(lm_order=5) routes through the order-5 gate:
+    the gibberish document — long and clean enough to pass every
+    heuristic stage — drops at the 5-gram perplexity gate and nowhere
+    else; the surviving set matches the independent order-5 twin
+    filter on the line-deduped text."""
+    from book_ocr_spark.operators.dedup import duck_line_dedup_sql
+    from book_ocr_spark.plans.curation import curate_web_corpus
+
+    fluent_a = (
+        "the quick brown fox jumps over the lazy dog while reading long "
+        "form articles about distributed query engines and careful "
+        "shuffle management strategies for modern analytics workloads"
+    )
+    fluent_b = (
+        "structured streaming jobs process late arriving events with "
+        "watermark semantics and the quick brown fox naps near the lazy "
+        "dog while session window aggregation compacts the state store"
+    )
+    gibberish = (
+        "zxq kelv wompr tashi blen dorvic smeth quapl rindo vekth "
+        "plomb draz yintu caldo werx nubim strak ovell jemp quind "
+        "harlo zuft membro kilv pandro xestu wrenk doliv trasp"
+    )
+    boiler = "Subscribe to our newsletter today"
+    rows = [
+        (1, f"{fluent_a}\n{boiler}"),
+        (2, f"{fluent_b}\n{boiler}"),
+        (3, f"{gibberish}\n{boiler}"),
+    ]
+    trusted = [(100, fluent_a), (101, fluent_b)]
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows, columns=["id", "text"]))
+    con.register("t", pd.DataFrame(trusted, columns=["id", "text"]))
+    con.register(
+        "cleaned",
+        con.sql(
+            "SELECT id, clean_text AS text FROM ("
+            + duck_line_dedup_sql("SELECT id, text FROM c", min_docs=3)
+            + ") x WHERE clean_text <> ''"
+        ).df(),
+    )
+    scores = dict(
+        (int(i), int(x))
+        for i, _, _, x in con.sql(
+            lm.duck_ngram_cross_entropy_sql(
+                "SELECT id, text FROM cleaned", "SELECT id, text FROM t", n=5
+            )
+        ).fetchall()
+    )
+    assert scores[3] > max(scores[1], scores[2])  # gibberish worst at n=5 too
+    cut = (scores[3] + max(scores[1], scores[2])) // 2
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    tdf = spark.createDataFrame(trusted, "id long, text string")
+    out = curate_web_corpus(
+        df, "id", "text", line_min_docs=3,
+        lm_corpus=tdf, max_xent_micro=cut, lm_order=5,
+    )
+    assert sorted(r.id for r in out.select("id").collect()) == [1, 2]
