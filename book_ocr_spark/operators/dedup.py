@@ -1973,3 +1973,65 @@ def duck_incremental_line_dedup_sql(
         FROM keyed LEFT JOIN boiler b ON keyed.k = b.k
         GROUP BY id ORDER BY id
     """
+
+
+def incremental_exact_dedup_merge(
+    spark,
+    new_docs: DataFrame,
+    state_target: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The MERGE-INTO form of the daily exact-dedup ingest: upsert the
+    batch's content hashes into the persistent state table
+    ``state_target`` (content_hash -> canonical_id, n_copies) in ONE
+    transactional statement on a real table format —
+
+        MERGE INTO state t USING batch s ON t.content_hash = s.content_hash
+        WHEN MATCHED THEN UPDATE SET n_copies = t.n_copies + s.n_copies
+        WHEN NOT MATCHED THEN INSERT ...
+
+    — canonical_id stays the FIRST-seen id (matched rows keep
+    t.canonical_id; the min-id rule applies within the batch only,
+    exactly like incremental_exact_dedup's existing-wins contract).
+    On the parquet analog the same resolved state lands through the
+    crash-safe swap (sources/lakehouse.merge_upsert).
+
+    Returns the batch-side aggregate (content_hash, canonical_id,
+    n_copies) BEFORE the merge — the rows the caller feeds downstream
+    (only hashes absent from the pre-merge state are new content;
+    consume via incremental_exact_dedup for that filter). State
+    mutation + downstream filter stay two separate concerns so the
+    merge is idempotent to retry after a downstream failure.
+
+    Scale: the batch aggregates to one row per distinct content hash
+    before the merge; the state table is never rescanned by this op —
+    MERGE's matched-key update is the engine's problem, which is the
+    point of using a real table format at 10^12 rows."""
+    batch = (
+        new_docs.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "content_hash"
+            ),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    from book_ocr_spark.sources.lakehouse import merge_upsert
+
+    merge_upsert(
+        spark,
+        state_target,
+        batch,
+        key_cols=["content_hash"],
+        # matched: keep first-seen canonical_id, accumulate copies
+        set_exprs={
+            "canonical_id": "t.canonical_id",
+            "n_copies": "t.n_copies + s.n_copies",
+        },
+    )
+    return batch

@@ -10,6 +10,13 @@ The store is an append-only log table; the *current* status of a
 partition is its latest row (resolved with a max_by aggregation — the
 parquet analog of Iceberg MERGE). Resume = broadcast anti-join of the
 input against done partitions (SURVEY.md §2.3 J1).
+
+The analog is not just prose: `mark_merge` / `current_status_merged`
+(bottom of this module) are the runnable real-table-format path — one
+`MERGE INTO` per status flip on a configured Iceberg catalog, the
+crash-safe parquet-swap upsert otherwise — routed through
+sources/lakehouse.merge_upsert and pinned equivalent to the append-log
+resolution in tests/test_lakehouse.py.
 """
 
 from __future__ import annotations
@@ -80,3 +87,54 @@ def filter_resume(df: DataFrame, done: DataFrame) -> DataFrame:
     """input \\ done — broadcast anti-join on part_id (the checkpoint
     side is at most n_parts rows, always broadcastable)."""
     return df.join(F.broadcast(done), "part_id", "left_anti")
+
+
+def mark_merge(
+    spark: SparkSession,
+    target: str,
+    parts: list[int],
+    status: str,
+    run_id: str,
+) -> None:
+    """The real-table-format checkpoint flip: one transactional upsert
+    of (part_id -> status, run_id, updated_at) into a CURRENT-STATE
+    checkpoint table keyed by part_id — `MERGE INTO` on an Iceberg
+    catalog table, the crash-safe parquet-swap analog otherwise
+    (sources/lakehouse.merge_upsert decides by target shape). This is
+    the runnable code the append-log analog above stands in for: with
+    a catalog configured, the pending->done flip is a snapshot commit
+    (the reference's transactional meta flip,
+    docs/technical_architecture.md:148) and `current_status` becomes a
+    plain read of the table — no max_by resolution pass.
+
+    The append-log `mark` keeps LINEAGE (every transition, queryable
+    for metrics); `mark_merge` keeps STATE (one row per part). Both
+    resolve to the same (part_id, status) view — pinned in
+    tests/test_lakehouse.py.
+    """
+    if not parts:
+        return
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    rows = [(int(p), status, run_id, now) for p in parts]
+    from book_ocr_spark.sources.lakehouse import merge_upsert
+
+    merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame(rows, schema=CHECKPOINTS),
+        key_cols=["part_id"],
+    )
+
+
+def current_status_merged(spark: SparkSession, target: str) -> DataFrame:
+    """(part_id, status) from a mark_merge-maintained CURRENT-STATE
+    table: a plain projection — the MERGE already resolved history."""
+    from book_ocr_spark.sources.lakehouse import is_table_ref
+
+    if is_table_ref(target):
+        return spark.read.table(target).select("part_id", "status")
+    if not io.exists(target):
+        return spark.createDataFrame([], schema=CHECKPOINTS).select(
+            "part_id", "status"
+        )
+    return spark.read.parquet(target).select("part_id", "status")

@@ -1,0 +1,234 @@
+"""Optional real-table-format (Iceberg) backend behind the io.py seam.
+
+The mission targets Iceberg tables; this sandbox ships no Iceberg
+runtime jar and has no network, so the DEFAULT backend everywhere
+stays the partitioned-parquet analog (sources/io.py — dynamic
+partition overwrite ≈ REPLACE of affected partitions, latest-row
+resolution ≈ MERGE). This module is the runnable upgrade path: when a
+Spark session is built with an Iceberg catalog configured, e.g.
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=s3://bucket/warehouse
+
+every helper here routes to the real thing — `writeTo(...).append()`
+for appends, `MERGE INTO` for upserts (checkpoint status flips,
+incremental-dedup state updates) — and otherwise falls back to the
+parquet analog with IDENTICAL resolved-state semantics (pinned by
+tests/test_lakehouse.py, which also carries the real-catalog test as
+skipped-with-reason in this sandbox).
+
+Targets are disambiguated by shape: a string containing a '/' or
+ending in '.parquet' is a parquet path (analog backend); a dotted
+`catalog.db.table` reference is a catalog table (real backend —
+requires the catalog to actually be configured, else ValueError, not
+a silent parquet write to a weird relative path).
+
+Scale note: MERGE INTO on Iceberg is the one-shot transactional
+upsert (snapshot isolation, no two-rename swap needed); the parquet
+analog reproduces its visible end state but needs the atomic-swap
+machinery in plans/maintenance.py for crash safety. That difference
+— not row semantics — is what the real backend buys at 100 TB.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured Iceberg (or Delta) catalog on this
+    session, or None. Detection is by the catalog implementation
+    class in the session conf — the only signal that exists without
+    the provider jar on the classpath."""
+    try:
+        entries = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - no active context
+        return None
+    prefix = "spark.sql.catalog."
+    for key, value in sorted(entries):
+        rest = key[len(prefix):] if key.startswith(prefix) else ""
+        if rest and "." not in rest and (
+            "iceberg" in value.lower() or "delta" in value.lower()
+        ):
+            return rest
+    return None
+
+
+def table_format_enabled(spark: SparkSession) -> bool:
+    return iceberg_catalog(spark) is not None
+
+
+def is_table_ref(target: str) -> bool:
+    """catalog.db.table (dotted, no path separators) vs parquet path."""
+    return "/" not in target and "\\" not in target and "." in target
+
+
+def _require_catalog(spark: SparkSession, target: str) -> None:
+    if not table_format_enabled(spark):
+        raise ValueError(
+            f"{target!r} is a catalog table reference but no Iceberg/Delta "
+            "catalog is configured on this session (spark.sql.catalog.*); "
+            "pass a parquet path to use the analog backend"
+        )
+
+
+def append_rows(spark: SparkSession, df: DataFrame, target: str) -> None:
+    """Append-only write: `writeTo(target).append()` on the real
+    backend (Iceberg snapshot commit), parquet append on the analog —
+    the two sides of sources/io.py's append_log contract."""
+    if is_table_ref(target):
+        _require_catalog(spark, target)
+        df.writeTo(target).append()
+    else:
+        df.write.mode("append").parquet(target)
+
+
+def merge_into_sql(
+    target: str,
+    source: str,
+    key_cols: list[str],
+    set_exprs: dict[str, str],
+    insert_cols: list[str],
+) -> str:
+    """The MERGE INTO statement (Iceberg/Delta/ANSI shape) for an
+    upsert of ``source`` (a view/table name) into ``target``:
+    matched rows update via ``set_exprs`` (col -> SQL over aliases
+    t/s), unmatched source rows insert ``insert_cols``. Pure string —
+    unit-testable without any engine, executed verbatim by the real
+    backend."""
+    if not key_cols:
+        raise ValueError("MERGE needs at least one key column")
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"{c} = {e}" for c, e in sorted(set_exprs.items()))
+    cols = ", ".join(insert_cols)
+    vals = ", ".join(f"s.{c}" for c in insert_cols)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target: str,
+    source: DataFrame,
+    key_cols: list[str],
+    set_exprs: dict[str, str] | None = None,
+    old: str | None = None,
+) -> None:
+    """Upsert ``source`` into ``target`` by ``key_cols``.
+
+    Real backend (catalog table ref): one transactional `MERGE INTO`
+    built by :func:`merge_into_sql`. Analog backend (parquet path):
+    the SAME resolved state — target rows whose key matches a source
+    row are replaced (or updated per ``set_exprs``), unmatched source
+    rows append — produced as anti-join ∪ transformed-matches and
+    written through the crash-safe two-rename swap
+    (plans/maintenance._swap_write). ``set_exprs`` defaults to
+    replace-all-non-key-columns; entries may reference ``t.col`` /
+    ``s.col`` (e.g. ``{"n_copies": "t.n_copies + s.n_copies"}``).
+
+    ``old`` names the analog backend's swap sibling dir (defaults to
+    ``target + "__premerge"``); callers that may crash mid-swap must
+    run plans/maintenance recovery first, same as every other swap
+    site.
+    """
+    non_key = [c for c in source.columns if c not in key_cols]
+    if set_exprs is None:
+        set_exprs = {c: f"s.{c}" for c in non_key}
+    unknown = set(set_exprs) - set(non_key)
+    if unknown:
+        raise ValueError(f"set_exprs for non-source/non-key columns: {sorted(unknown)}")
+    if is_table_ref(target):
+        _require_catalog(spark, target)
+        view = f"_merge_src_{uuid.uuid4().hex}"
+        source.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                merge_into_sql(
+                    target, view, key_cols, set_exprs, list(source.columns)
+                )
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        return
+
+    from pyspark.sql import functions as F
+
+    from book_ocr_spark.plans.maintenance import _swap_write
+
+    if not io_exists(target):
+        source.write.mode("overwrite").parquet(target)
+        return
+    tgt = spark.read.parquet(target)
+    view_t, view_s = (
+        f"_mu_t_{uuid.uuid4().hex}",
+        f"_mu_s_{uuid.uuid4().hex}",
+    )
+    tgt.createOrReplaceTempView(view_t)
+    source.createOrReplaceTempView(view_s)
+    try:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        updated_cols = ", ".join(
+            [f"t.{k}" for k in key_cols]
+            + [f"({set_exprs[c]}) AS {c}" for c in non_key]
+        )
+        merged = spark.sql(
+            f"SELECT t.* FROM {view_t} t ANTI JOIN {view_s} s ON {on} "
+            f"UNION ALL "
+            f"SELECT {updated_cols} FROM {view_t} t JOIN {view_s} s ON {on} "
+            f"UNION ALL "
+            f"SELECT s.* FROM {view_s} s ANTI JOIN {view_t} t ON {on}"
+        ).select(*tgt.columns)
+        # collect-before-swap is NOT needed: _swap_write materializes
+        # into the __swapping sibling before any rename touches target
+        _swap_write(
+            spark, target, merged, old or (target.rstrip("/") + "__premerge")
+        )
+    finally:
+        spark.catalog.dropTempView(view_t)
+        spark.catalog.dropTempView(view_s)
+    _ = F  # imported for parity with other analog writers
+
+
+def duck_merge_upsert_sql(
+    target_sql: str,
+    source_sql: str,
+    key_cols: list[str],
+    set_exprs: dict[str, str],
+    columns: list[str],
+) -> str:
+    """DuckDB twin of the upsert's RESOLVED STATE (this DuckDB has no
+    MERGE statement): anti-join ∪ updated-matches ∪ new-source-rows,
+    the same three-way union the analog backend writes."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    updated = ", ".join(
+        [f"t.{k} AS {k}" for k in key_cols]
+        + [f"({set_exprs.get(c, f's.{c}')}) AS {c}" for c in columns if c not in key_cols]
+    )
+    cols = ", ".join(columns)
+    return f"""
+        WITH mu_t AS ({target_sql}), mu_s AS ({source_sql})
+        SELECT {cols} FROM (
+            SELECT t.* FROM mu_t t
+            WHERE NOT EXISTS (SELECT 1 FROM mu_s s WHERE {on})
+            UNION ALL
+            SELECT {updated} FROM mu_t t JOIN mu_s s ON {on}
+            UNION ALL
+            SELECT s.* FROM mu_s s
+            WHERE NOT EXISTS (SELECT 1 FROM mu_t t WHERE {on})) mu_out
+    """
+
+
+def io_exists(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for f in os.listdir(path)
+    )

@@ -1,0 +1,225 @@
+"""Real-table-format (Iceberg/Delta) path behind sources/lakehouse:
+MERGE SQL shape, analog-backend upsert semantics vs the DuckDB
+resolved-state twin, checkpoint mark_merge equivalence with the
+append-log resolution, the MERGE-shape incremental dedup, and the
+real-catalog test (skipped-with-reason: this sandbox ships no
+provider jar and has no network)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from book_ocr_spark.sources import lakehouse as lh
+
+
+def test_merge_into_sql_shape():
+    sql = lh.merge_into_sql(
+        "lake.db.state",
+        "src_view",
+        ["content_hash"],
+        {"canonical_id": "t.canonical_id", "n_copies": "t.n_copies + s.n_copies"},
+        ["content_hash", "canonical_id", "n_copies"],
+    )
+    assert sql == (
+        "MERGE INTO lake.db.state t USING src_view s "
+        "ON t.content_hash = s.content_hash "
+        "WHEN MATCHED THEN UPDATE SET canonical_id = t.canonical_id, "
+        "n_copies = t.n_copies + s.n_copies "
+        "WHEN NOT MATCHED THEN INSERT (content_hash, canonical_id, n_copies) "
+        "VALUES (s.content_hash, s.canonical_id, s.n_copies)"
+    )
+    with pytest.raises(ValueError, match="key"):
+        lh.merge_into_sql("t", "s", [], {}, ["a"])
+
+
+def test_is_table_ref():
+    assert lh.is_table_ref("lake.db.checkpoints")
+    assert not lh.is_table_ref("/tmp/x/checkpoints")
+    assert not lh.is_table_ref("rel/path.parquet")
+    assert not lh.is_table_ref("flat_name")
+
+
+def test_table_ref_without_catalog_raises(spark, tmp_path):
+    df = spark.range(3).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="catalog"):
+        lh.merge_upsert(spark, "lake.db.t", df, key_cols=["k"])
+    with pytest.raises(ValueError, match="catalog"):
+        lh.append_rows(spark, df, "lake.db.t")
+
+
+def _upsert_fixture(spark):
+    tgt = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k long, v long, tag string"
+    )
+    src = spark.createDataFrame(
+        [(2, 99, "B"), (4, 40, "d")], "k long, v long, tag string"
+    )
+    return tgt, src
+
+
+def _duck_state(set_exprs):
+    con = duckdb.connect()
+    con.register(
+        "t0", pd.DataFrame([(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+                           columns=["k", "v", "tag"])
+    )
+    con.register(
+        "s0", pd.DataFrame([(2, 99, "B"), (4, 40, "d")],
+                           columns=["k", "v", "tag"])
+    )
+    rows = con.sql(
+        lh.duck_merge_upsert_sql(
+            "SELECT * FROM t0", "SELECT * FROM s0", ["k"], set_exprs,
+            ["k", "v", "tag"],
+        )
+        + " ORDER BY k"
+    ).fetchall()
+    return [tuple(r) for r in rows]
+
+
+def test_merge_upsert_parquet_analog_matches_duck_twin(spark, tmp_path):
+    """Default set_exprs (replace non-key cols): analog backend's
+    resolved state == the DuckDB three-way-union twin."""
+    tgt, src = _upsert_fixture(spark)
+    path = str(tmp_path / "state")
+    tgt.write.parquet(path)
+    lh.merge_upsert(spark, path, src, key_cols=["k"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == _duck_state({})
+    assert got == [(1, 10, "a"), (2, 99, "B"), (3, 30, "c"), (4, 40, "d")]
+
+
+def test_merge_upsert_custom_set_exprs(spark, tmp_path):
+    """Accumulating update (t.v + s.v) — the incremental-dedup shape —
+    matches the twin with the same expression."""
+    tgt, src = _upsert_fixture(spark)
+    path = str(tmp_path / "state2")
+    tgt.write.parquet(path)
+    lh.merge_upsert(
+        spark, path, src, key_cols=["k"],
+        set_exprs={"v": "t.v + s.v", "tag": "t.tag"},
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == _duck_state({"v": "t.v + s.v", "tag": "t.tag"})
+    assert got == [(1, 10, "a"), (2, 119, "b"), (3, 30, "c"), (4, 40, "d")]
+
+
+def test_merge_upsert_creates_missing_target(spark, tmp_path):
+    _, src = _upsert_fixture(spark)
+    path = str(tmp_path / "fresh")
+    lh.merge_upsert(spark, path, src, key_cols=["k"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(2, 99, "B"), (4, 40, "d")]
+
+
+def test_merge_upsert_rejects_unknown_set_cols(spark, tmp_path):
+    tgt, src = _upsert_fixture(spark)
+    path = str(tmp_path / "state3")
+    tgt.write.parquet(path)
+    with pytest.raises(ValueError, match="set_exprs"):
+        lh.merge_upsert(
+            spark, path, src, key_cols=["k"], set_exprs={"nope": "s.v"}
+        )
+    with pytest.raises(ValueError, match="set_exprs"):
+        # key columns are not updatable (MERGE keys never change)
+        lh.merge_upsert(spark, path, src, key_cols=["k"], set_exprs={"k": "s.k"})
+
+
+def test_mark_merge_matches_append_log_resolution(spark, tmp_path):
+    """The CURRENT-STATE table mark_merge maintains resolves to the
+    same (part_id, status) view as the append-log mark +
+    current_status max_by — across a pending -> done/failed -> retry
+    transition sequence."""
+    from book_ocr_spark.plans import checkpoint as cp
+
+    log = str(tmp_path / "cp_log")
+    state = str(tmp_path / "cp_state")
+    seq = [
+        ([0, 1, 2, 3], cp.PENDING, "run1"),
+        ([0, 1], cp.DONE, "run1"),
+        ([2], cp.FAILED, "run1"),
+        ([2, 3], cp.PENDING, "run2"),
+        ([2], cp.DONE, "run2"),
+    ]
+    import time
+
+    for parts, status, run in seq:
+        cp.mark(spark, log, parts, status, run)
+        cp.mark_merge(spark, state, parts, status, run)
+        time.sleep(0.01)  # distinct updated_at for the log resolution
+
+    via_log = sorted(
+        (r.part_id, r.status) for r in cp.current_status(spark, log).collect()
+    )
+    via_state = sorted(
+        (r.part_id, r.status)
+        for r in cp.current_status_merged(spark, state).collect()
+    )
+    assert via_state == via_log
+    assert via_state == [(0, "done"), (1, "done"), (2, "done"), (3, "pending")]
+    # empty flip is a no-op, not a crash
+    cp.mark_merge(spark, state, [], cp.DONE, "run3")
+
+
+def test_incremental_exact_dedup_merge_state(spark, tmp_path):
+    """Two daily batches through the MERGE-shape dedup: canonical_id
+    stays first-seen, n_copies accumulates, batch-side return is the
+    pre-merge aggregate."""
+    from book_ocr_spark.operators.dedup import incremental_exact_dedup_merge
+
+    state = str(tmp_path / "dedup_state")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "id long, text string"
+    )
+    out1 = incremental_exact_dedup_merge(spark, b1, state, "id", "text")
+    got1 = {r.canonical_id: r.n_copies for r in out1.collect()}
+    assert got1 == {1: 2, 2: 1}
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")], "id long, text string"
+    )
+    incremental_exact_dedup_merge(spark, b2, state, "id", "text")
+    st = {
+        r.canonical_id: r.n_copies for r in spark.read.parquet(state).collect()
+    }
+    # alpha: first-seen canonical 1, 2 copies day one + 1 day two
+    assert st == {1: 3, 2: 1, 11: 2}
+
+
+def test_append_rows_parquet(spark, tmp_path):
+    path = str(tmp_path / "log")
+    lh.append_rows(spark, spark.range(3).selectExpr("id"), path)
+    lh.append_rows(spark, spark.range(2).selectExpr("id + 10 AS id"), path)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [
+        0, 1, 2, 10, 11,
+    ]
+
+
+@pytest.mark.skipif(
+    True,
+    reason=(
+        "no Iceberg/Delta runtime jar in this sandbox and no network to "
+        "fetch one (verified: pyiceberg/delta absent, maven unreachable); "
+        "with a catalog configured this test runs the real MERGE path"
+    ),
+)
+def test_real_catalog_merge_roundtrip(spark, tmp_path):  # pragma: no cover
+    """With spark.sql.catalog.lake = Iceberg SparkCatalog configured:
+    create a table, mark_merge flips through MERGE INTO, resolved
+    state equals the analog run on the same sequence."""
+    from book_ocr_spark.plans import checkpoint as cp
+
+    assert lh.table_format_enabled(spark)
+    cat = lh.iceberg_catalog(spark)
+    tbl = f"{cat}.db.checkpoints_test"
+    spark.sql(
+        f"CREATE TABLE {tbl} (part_id INT, status STRING, run_id STRING,"
+        " updated_at TIMESTAMP) USING iceberg"
+    )
+    cp.mark_merge(spark, tbl, [0, 1], cp.PENDING, "r1")
+    cp.mark_merge(spark, tbl, [0], cp.DONE, "r1")
+    got = sorted(
+        (r.part_id, r.status)
+        for r in cp.current_status_merged(spark, tbl).collect()
+    )
+    assert got == [(0, "done"), (1, "pending")]
