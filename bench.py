@@ -116,11 +116,18 @@ HEADLINE = [
 
 
 def _bench_extra():
-    """Bench-only queries for operators outside the (full) 50-row
-    oracle registry; same (spark, sf_dir) -> DataFrame contract as
-    __spark_entry__.queries(). Correctness for these lives in
-    tests/test_lm.py and tests/test_semdedup.py (bit-identical DuckDB
-    twins)."""
+    """Bench-local query definitions; same (spark, sf_dir) ->
+    DataFrame contract as __spark_entry__.queries(). These entries
+    DELIBERATELY take precedence over same-named registry rows (the
+    ``{**queries(), **_bench_extra()}`` merge order): the bench must
+    time the SAME fixed shape every round for envelope continuity,
+    independent of registry rotations. Concretely, `substring_dedup`
+    here runs the raw-documents corpus the envelope was certified on,
+    while the r5 driver row of the same name runs the constructed
+    near-dup corpus under the hash gate — correctness coverage for
+    the rotated rows lives in CORRECTNESS_r*/check_oracles, not here.
+    Correctness for the bench-only operators lives in tests/test_lm.py
+    and tests/test_semdedup.py (bit-identical DuckDB twins)."""
     from pyspark.sql import functions as F
 
     from book_ocr_spark.operators import lm as _lm

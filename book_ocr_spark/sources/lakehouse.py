@@ -42,17 +42,28 @@ from pyspark.sql import DataFrame, SparkSession
 def iceberg_catalog(spark: SparkSession) -> str | None:
     """Name of the first configured Iceberg (or Delta) catalog on this
     session, or None. Detection is by the catalog implementation
-    class in the session conf — the only signal that exists without
-    the provider jar on the classpath."""
+    class — the only signal that exists without the provider jar on
+    the classpath. Probes BOTH conf surfaces: the context snapshot
+    (spark-submit --conf) AND the runtime SQLConf via ``SET`` (a
+    catalog registered after session start with ``spark.conf.set`` is
+    invisible to the context snapshot but fully functional — Spark
+    resolves catalog plugins lazily from SQLConf)."""
+    entries: list[tuple[str, str]] = []
     try:
-        entries = spark.sparkContext.getConf().getAll()
+        entries.extend(spark.sparkContext.getConf().getAll())
     except Exception:  # pragma: no cover - no active context
-        return None
+        pass
+    try:
+        entries.extend(
+            (r.key, r.value) for r in spark.sql("SET").collect()
+        )
+    except Exception:  # pragma: no cover - SQL surface unavailable
+        pass
     prefix = "spark.sql.catalog."
     for key, value in sorted(entries):
         rest = key[len(prefix):] if key.startswith(prefix) else ""
         if rest and "." not in rest and (
-            "iceberg" in value.lower() or "delta" in value.lower()
+            "iceberg" in str(value).lower() or "delta" in str(value).lower()
         ):
             return rest
     return None
@@ -63,8 +74,14 @@ def table_format_enabled(spark: SparkSession) -> bool:
 
 
 def is_table_ref(target: str) -> bool:
-    """catalog.db.table (dotted, no path separators) vs parquet path."""
-    return "/" not in target and "\\" not in target and "." in target
+    """catalog.db.table (dotted, no path separators, not a parquet
+    filename) vs parquet path — a bare ``state.parquet`` is a path,
+    per the module contract."""
+    if "/" in target or "\\" in target:
+        return False
+    if target.endswith(".parquet"):
+        return False
+    return "." in target
 
 
 def _require_catalog(spark: SparkSession, target: str) -> None:
@@ -126,17 +143,24 @@ def merge_upsert(
     Real backend (catalog table ref): one transactional `MERGE INTO`
     built by :func:`merge_into_sql`. Analog backend (parquet path):
     the SAME resolved state — target rows whose key matches a source
-    row are replaced (or updated per ``set_exprs``), unmatched source
-    rows append — produced as anti-join ∪ transformed-matches and
-    written through the crash-safe two-rename swap
-    (plans/maintenance._swap_write). ``set_exprs`` defaults to
-    replace-all-non-key-columns; entries may reference ``t.col`` /
-    ``s.col`` (e.g. ``{"n_copies": "t.n_copies + s.n_copies"}``).
+    row are updated per ``set_exprs``, unmatched source rows append —
+    produced as anti-join ∪ transformed-matches and written through
+    the crash-safe two-rename swap (plans/maintenance._swap_write),
+    with swap-crash RECOVERY run first (same discipline as every
+    maintenance swap site: a crash between the two renames must
+    restore the table, not let the next merge mistake it for a fresh
+    target and overwrite the whole state with one batch).
+
+    ``set_exprs`` semantics follow MERGE: ``None`` = replace every
+    non-key column from the source; an explicit dict updates ONLY the
+    listed columns and matched rows KEEP the target value for
+    unlisted ones (exactly what the generated ``UPDATE SET`` does on
+    the real backend — the analog and the DuckDB twin implement the
+    same rule). Entries may reference ``t.col`` / ``s.col``
+    (e.g. ``{"n_copies": "t.n_copies + s.n_copies"}``).
 
     ``old`` names the analog backend's swap sibling dir (defaults to
-    ``target + "__premerge"``); callers that may crash mid-swap must
-    run plans/maintenance recovery first, same as every other swap
-    site.
+    ``target + "__premerge"``).
     """
     non_key = [c for c in source.columns if c not in key_cols]
     if set_exprs is None:
@@ -158,10 +182,12 @@ def merge_upsert(
             spark.catalog.dropTempView(view)
         return
 
-    from pyspark.sql import functions as F
+    from book_ocr_spark.plans.maintenance import _recover_swap, _swap_write
+    from book_ocr_spark.sources.io import exists as io_exists
 
-    from book_ocr_spark.plans.maintenance import _swap_write
-
+    old = old or (target.rstrip("/") + "__premerge")
+    # recovery BEFORE the existence check — the maintenance.py rule
+    _recover_swap(spark, target, old)
     if not io_exists(target):
         source.write.mode("overwrite").parquet(target)
         return
@@ -174,9 +200,11 @@ def merge_upsert(
     source.createOrReplaceTempView(view_s)
     try:
         on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        # MERGE's matched-row rule: listed columns take their set
+        # expression, unlisted columns KEEP the target value
         updated_cols = ", ".join(
             [f"t.{k}" for k in key_cols]
-            + [f"({set_exprs[c]}) AS {c}" for c in non_key]
+            + [f"({set_exprs.get(c, f't.{c}')}) AS {c}" for c in non_key]
         )
         merged = spark.sql(
             f"SELECT t.* FROM {view_t} t ANTI JOIN {view_s} s ON {on} "
@@ -187,13 +215,10 @@ def merge_upsert(
         ).select(*tgt.columns)
         # collect-before-swap is NOT needed: _swap_write materializes
         # into the __swapping sibling before any rename touches target
-        _swap_write(
-            spark, target, merged, old or (target.rstrip("/") + "__premerge")
-        )
+        _swap_write(spark, target, merged, old)
     finally:
         spark.catalog.dropTempView(view_t)
         spark.catalog.dropTempView(view_s)
-    _ = F  # imported for parity with other analog writers
 
 
 def duck_merge_upsert_sql(
@@ -205,11 +230,14 @@ def duck_merge_upsert_sql(
 ) -> str:
     """DuckDB twin of the upsert's RESOLVED STATE (this DuckDB has no
     MERGE statement): anti-join ∪ updated-matches ∪ new-source-rows,
-    the same three-way union the analog backend writes."""
+    the same three-way union the analog backend writes. Same partial
+    set_exprs rule as MERGE: unlisted non-key columns KEEP the target
+    value on matched rows (callers replaying the replace-all default
+    pass the full ``{c: 's.c'}`` dict, as merge_upsert does)."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
     updated = ", ".join(
         [f"t.{k} AS {k}" for k in key_cols]
-        + [f"({set_exprs.get(c, f's.{c}')}) AS {c}" for c in columns if c not in key_cols]
+        + [f"({set_exprs.get(c, f't.{c}')}) AS {c}" for c in columns if c not in key_cols]
     )
     cols = ", ".join(columns)
     return f"""
@@ -223,12 +251,3 @@ def duck_merge_upsert_sql(
             SELECT s.* FROM mu_s s
             WHERE NOT EXISTS (SELECT 1 FROM mu_t t WHERE {on})) mu_out
     """
-
-
-def io_exists(path: str) -> bool:
-    import os
-
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") or f.startswith("part-")
-        for f in os.listdir(path)
-    )

@@ -37,6 +37,9 @@ def test_is_table_ref():
     assert not lh.is_table_ref("/tmp/x/checkpoints")
     assert not lh.is_table_ref("rel/path.parquet")
     assert not lh.is_table_ref("flat_name")
+    # review pin: a bare parquet filename is a PATH per the module
+    # contract, never a catalog table named db='state', table='parquet'
+    assert not lh.is_table_ref("state.parquet")
 
 
 def test_table_ref_without_catalog_raises(spark, tmp_path):
@@ -79,13 +82,15 @@ def _duck_state(set_exprs):
 
 def test_merge_upsert_parquet_analog_matches_duck_twin(spark, tmp_path):
     """Default set_exprs (replace non-key cols): analog backend's
-    resolved state == the DuckDB three-way-union twin."""
+    resolved state == the DuckDB three-way-union twin (replaying the
+    default means passing the full replace dict — the twin's partial
+    rule is keep-target, matching MERGE)."""
     tgt, src = _upsert_fixture(spark)
     path = str(tmp_path / "state")
     tgt.write.parquet(path)
     lh.merge_upsert(spark, path, src, key_cols=["k"])
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
-    assert got == _duck_state({})
+    assert got == _duck_state({"v": "s.v", "tag": "s.tag"})
     assert got == [(1, 10, "a"), (2, 99, "B"), (3, 30, "c"), (4, 40, "d")]
 
 
@@ -102,6 +107,59 @@ def test_merge_upsert_custom_set_exprs(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got == _duck_state({"v": "t.v + s.v", "tag": "t.tag"})
     assert got == [(1, 10, "a"), (2, 119, "b"), (3, 30, "c"), (4, 40, "d")]
+
+
+def test_merge_upsert_partial_set_exprs_merge_semantics(spark, tmp_path):
+    """Review pin: a PARTIAL set_exprs dict follows MERGE semantics on
+    every backend — listed columns update, unlisted non-key columns
+    KEEP the target value on matched rows. Analog == twin == the SQL
+    the real backend would run (which only sets listed columns)."""
+    tgt, src = _upsert_fixture(spark)
+    path = str(tmp_path / "state_partial")
+    tgt.write.parquet(path)
+    lh.merge_upsert(spark, path, src, key_cols=["k"], set_exprs={"v": "s.v"})
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == _duck_state({"v": "s.v"})
+    # matched row 2: v replaced, tag KEPT ('b' not 'B')
+    assert got == [(1, 10, "a"), (2, 99, "b"), (3, 30, "c"), (4, 40, "d")]
+    sql = lh.merge_into_sql("lake.db.t", "s", ["k"], {"v": "s.v"}, ["k", "v", "tag"])
+    assert "UPDATE SET v = s.v " in sql and "tag =" not in sql.split("INSERT")[0]
+
+
+def test_merge_upsert_mid_swap_crash_recovery(spark, tmp_path):
+    """Review pin: a crash between the swap's two renames (target
+    missing, __premerge holding the only copy) must NOT make the next
+    merge treat the target as fresh and overwrite the state with one
+    batch — recovery restores first, then the merge runs normally."""
+    import os
+
+    tgt, src = _upsert_fixture(spark)
+    path = str(tmp_path / "state_crash")
+    tgt.write.parquet(path)
+    os.replace(path, path + "__premerge")  # simulate mid-swap crash
+    lh.merge_upsert(spark, path, src, key_cols=["k"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 10, "a"), (2, 99, "B"), (3, 30, "c"), (4, 40, "d")]
+    assert not os.path.isdir(path + "__premerge")
+
+
+def test_merge_upsert_stale_premerge_leftover(spark, tmp_path):
+    """Review pin: a post-swap crash (stale __premerge beside a marked
+    live table) must not wedge the next merge with ENOTEMPTY — the
+    leftover is classified stale and dropped."""
+    import os
+    import shutil
+
+    tgt, src = _upsert_fixture(spark)
+    path = str(tmp_path / "state_stale")
+    tgt.write.parquet(path)
+    lh.merge_upsert(spark, path, src, key_cols=["k"])  # leaves _swapped_from
+    shutil.copytree(path, path + "__premerge")  # fake post-swap leftover
+    more = spark.createDataFrame([(5, 50, "e")], "k long, v long, tag string")
+    lh.merge_upsert(spark, path, more, key_cols=["k"])
+    got = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert got == [1, 2, 3, 4, 5]
+    assert not os.path.isdir(path + "__premerge")
 
 
 def test_merge_upsert_creates_missing_target(spark, tmp_path):
