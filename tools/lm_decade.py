@@ -1,0 +1,77 @@
+"""Order-n LM gate decade measurement (r4 VERDICT next-round #3: "a
+BASELINE decade point for the n=5 gate — its cost is the open
+question"): score the full documents corpus against a trusted slice
+at orders 2 (bigram stand-in, the historical envelope) and 5 (the
+CCNet/KenLM shape) at two scale factors, and report per-order decade
+ratios plus the n=5/n=2 cost multiple at each size.
+
+Cost model being verified: the n-gram stream is (len - n + 1) rows
+per doc regardless of n (≈ the bigram row count), so the decade ratio
+should stay ~linear for every order; the n=5 premium is the wider
+model table (more distinct (h, u) keys → bigger broadcast + more
+misses) and the longer md5 pre-images, not a different asymptote.
+
+Usage:
+    python tools/lm_decade.py /root/testdata/sf0.1 /tmp/dec/sf1 [--runs=2]
+
+Prints one JSON line per sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def measure(spark, sf_dir: str, runs: int) -> dict:
+    from book_ocr_spark.operators.lm import lm_cross_entropy, ngram_cross_entropy
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_docs = docs.count()
+    trusted = docs.filter(F.expr("id % 20 = 0"))  # the bench lm_xent slice
+
+    def timed(fn) -> float:
+        best = None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t2 = timed(lambda: lm_cross_entropy(docs, trusted, "id", "text"))
+    t3 = timed(lambda: ngram_cross_entropy(docs, trusted, "id", "text", n=3))
+    t5 = timed(lambda: ngram_cross_entropy(docs, trusted, "id", "text", n=5))
+    return {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "bigram_sec": t2,
+        "ngram3_sec": t3,
+        "ngram5_sec": t5,
+        "n5_over_n2": round(t5 / t2, 2) if t2 else None,
+    }
+
+
+if __name__ == "__main__":
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+    from book_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="lm_decade")
+    for d in dirs:
+        print(json.dumps(measure(spark, d, runs)), flush=True)
+    spark.stop()
