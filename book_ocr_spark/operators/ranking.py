@@ -275,6 +275,30 @@ def wilson_bounds(wins_col, games_col, z: float):
     return p, center - half, center + half
 
 
+def outcome_counts(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """(item, wins, games) exact BIGINT counts per item — THE single
+    copy of the per-item counting rule, shared by `item_win_rates`
+    (batch leaderboard) and `streaming.jobs.start_outcome_tracking`
+    (per-batch delta). A change to the counting rule (tie handling, a
+    draw column, weighting) lands here and both surfaces move
+    together — the drift class valid_outcomes/wilson_bounds were
+    factored out to prevent."""
+    o = valid_outcomes(outcomes, winner_col, loser_col)
+    w = o.groupBy(F.col("_w").alias("item")).agg(F.count(F.lit(1)).alias("_nw"))
+    l = o.groupBy(F.col("_l").alias("item")).agg(F.count(F.lit(1)).alias("_nl"))
+    return w.join(l, "item", "full_outer").select(
+        "item",
+        F.coalesce("_nw", F.lit(0)).cast("long").alias("wins"),
+        (F.coalesce("_nw", F.lit(0)) + F.coalesce("_nl", F.lit(0)))
+        .cast("long")
+        .alias("games"),
+    )
+
+
 def item_win_rates(
     outcomes: DataFrame,
     winner_col: str = "winner",
@@ -298,16 +322,7 @@ def item_win_rates(
     −3e-17), and clamping would trade the shared-expression
     exactness contract for cosmetics — clamp downstream if a UI
     needs it."""
-    o = valid_outcomes(outcomes, winner_col, loser_col)
-    w = o.groupBy(F.col("_w").alias("item")).agg(F.count(F.lit(1)).alias("_nw"))
-    l = o.groupBy(F.col("_l").alias("item")).agg(F.count(F.lit(1)).alias("_nl"))
-    base = w.join(l, "item", "full_outer").select(
-        "item",
-        F.coalesce("_nw", F.lit(0)).cast("long").alias("wins"),
-        (F.coalesce("_nw", F.lit(0)) + F.coalesce("_nl", F.lit(0)))
-        .cast("long")
-        .alias("games"),
-    )
+    base = outcome_counts(outcomes, winner_col, loser_col)
     p, lo, hi = wilson_bounds(F.col("wins"), F.col("games"), z)
     return base.select(
         "item",

@@ -74,6 +74,17 @@ def curate(
     )
 
 
+def _validate_clustering(clustering: str) -> None:
+    # review pin (r5): anything but the two exact rule names must
+    # RAISE — a typo ('CC', 'connected') silently fell through to the
+    # non-production 'pair' rule, whose keep-set differs from cc, the
+    # half-specified-option bug class this module's own gates enforce
+    if clustering not in ("pair", "cc"):
+        raise ValueError(
+            f"clustering must be 'pair' or 'cc', got {clustering!r}"
+        )
+
+
 def _dedup_canonicalize(
     kept: DataFrame,
     id_col: str,
@@ -87,6 +98,7 @@ def _dedup_canonicalize(
     """Shared dedup tail: exact dedup (min id per content hash), then
     near-dup canonicalization under the 'pair' or 'cc' rule. Returns
     the surviving rows of ``kept`` with their original columns."""
+    _validate_clustering(clustering)
     canonical = exact_dedup_groups(kept, id_col, text_col).select(
         F.col("canonical_id").alias(id_col)
     )
@@ -118,6 +130,7 @@ def duck_curate_sql(
     exact dedup, brute-force Jaccard pairs (== the LSH+verify output)
     and the same canonicalization rule ('pair' higher-id drop or 'cc'
     recursive-CTE connected components). corpus_sql yields (id, text)."""
+    _validate_clustering(clustering)
     pairs_sql = duck_jaccard_pairs_sql(
         "SELECT id, text FROM surv_docs", k=k, threshold=threshold
     )
@@ -295,16 +308,21 @@ def curate_web_corpus(
                 .select(*cur.columns)
             )
         cur = filter_urls(cur, url_col, block_domains)
-        if domain_ranks is not None:
-            from book_ocr_spark.operators.graph import rank_features
+        # ONE url_parts projection feeds both the rank gate and the
+        # per-domain cap (review pin r5: each branch used to re-derive
+        # host/domain with its own full regex pass over the corpus)
+        if domain_ranks is not None or max_per_domain is not None:
             from book_ocr_spark.operators.webfilter import url_parts
 
-            ranked = rank_features(
-                url_parts(cur, url_col), domain_ranks, "domain"
-            )
-            cur = ranked.filter(
+            parted = url_parts(cur, url_col)
+        if domain_ranks is not None:
+            from book_ocr_spark.operators.graph import rank_features
+
+            parted = rank_features(parted, domain_ranks, "domain").filter(
                 (F.col("rank") == 0.0) | (F.col("rank") >= min_domain_rank)
-            ).select(*cur.columns)
+            ).drop("rank", "log_rank_bucket")
+            if max_per_domain is None:
+                cur = parted.select(*cur.columns)
         if max_per_domain is not None:
             # RefinedWeb-style per-domain page cap, right behind the
             # URL gate: deterministic k-smallest-hash keep per
@@ -317,9 +335,8 @@ def curate_web_corpus(
             # would lump into one '' group and be capped collectively,
             # silently discarding unrelated documents.
             from book_ocr_spark.operators.sampling import sample_k_per_group
-            from book_ocr_spark.operators.webfilter import url_parts
 
-            keyed = url_parts(cur, url_col).withColumn(
+            keyed = parted.withColumn(
                 "_capgrp",
                 F.when(F.col("domain") != "", F.col("domain"))
                 .when(F.col("host") != "", F.col("host"))
@@ -495,6 +512,7 @@ def duck_example_dedup_sql(
     """DuckDB twin of _dedup_canonicalize at example grain (exact
     dedup + near-dup rule, NO quality gate — SFT examples are not web
     documents). corpus_sql yields (id, text); returns surviving ids."""
+    _validate_clustering(clustering)
     pairs_sql = duck_jaccard_pairs_sql(
         "SELECT id, text FROM surv_docs", k=k, threshold=threshold
     )
@@ -908,6 +926,29 @@ def curate_transcripts(
             wex = wex.filter(F.col("n_train_turns") >= min_train_turns)
         final = _finalize(wex)
         _audit_mark(audit, "window", final)
+        if benchmark is not None and semantic_contamination_threshold is not None:
+            # review pin (r5): hashed-TF cosine is NOT monotone under
+            # dilution — a 5-turn window paraphrasing an eval item can
+            # score ~0.95 inside a 60-turn conversation whose WHOLE
+            # example scored ~0.4 and passed 4c, so windows must
+            # re-check. (The 13-gram rule needs no re-run: a window's
+            # grams are a subset of its conversation's, so any window
+            # hit already dropped the conversation upstream.)
+            from book_ocr_spark.operators.transcripts import (
+                conv_semantic_contamination,
+            )
+
+            w_dirty = conv_semantic_contamination(
+                final.select("conv_id", F.col("example").alias("text")),
+                benchmark,
+                dim=semantic_contamination_dim,
+                threshold=semantic_contamination_threshold,
+                bench_id_col=bench_id_col,
+                bench_text_col=bench_text_col,
+                storage_handle=storage_handle,
+            ).select(F.col("id").alias("conv_id")).distinct()
+            final = final.join(w_dirty, "conv_id", "left_anti")
+            _audit_mark(audit, "window_semantic_decontamination", final)
     if n_shards is not None:
         from book_ocr_spark.operators.sampling import training_shards
 

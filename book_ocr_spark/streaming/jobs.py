@@ -31,6 +31,24 @@ from book_ocr_spark.plans.pipeline import _OUT_COLS, build_fused_plan
 from book_ocr_spark.schemas import TRANSCRIPTS
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """THE batch_id-keyed idempotent sink — ONE copy of the write
+    contract every incremental job's effectively-once guarantee rests
+    on (the read-side sibling of `_read_cumulative`'s one-copy rule):
+    stamp the micro-batch id, dynamic-overwrite exactly that
+    partition, so a replayed micro-batch rewrites its own leaf
+    directory instead of appending duplicates. A change to the
+    contract (a new write option, file sizing) lands here and every
+    job moves together."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def _is_path_missing(exc: AnalysisException) -> bool:
     """True iff an AnalysisException means 'the input path does not
     exist' (first run, nothing written yet) — the one read failure a
@@ -395,20 +413,8 @@ def start_incremental_dedup(
             matches = incremental_minhash_near_dup(
                 sigs, existing, threshold, hot_bucket_cap=hot_bucket_cap
             )
-            (
-                matches.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(matches_path)
-            )
-            (
-                sigs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(sigs_path)
-            )
+            _write_batch_partition(matches, matches_path, batch_id)
+            _write_batch_partition(sigs, sigs_path, batch_id)
         finally:
             sigs.unpersist()
 
@@ -494,13 +500,7 @@ def start_incremental_clustering(
                 sigs, existing, threshold, hot_bucket_cap=hot_bucket_cap
             ).persist(StorageLevel.MEMORY_AND_DISK)
             try:
-                (
-                    matches.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(matches_path)
-                )
+                _write_batch_partition(matches, matches_path, batch_id)
                 log = _cumulative(
                     labels_path,
                     "id long, cluster_id long, batch_id long",
@@ -523,20 +523,8 @@ def start_incremental_clustering(
                     ),
                     delta_handle=delta,
                 )
-                (
-                    delta[0].withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(labels_path)
-                )
-                (
-                    sigs.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(sigs_path)
-                )
+                _write_batch_partition(delta[0], labels_path, batch_id)
+                _write_batch_partition(sigs, sigs_path, batch_id)
             finally:
                 matches.unpersist()
         finally:
@@ -601,20 +589,8 @@ def start_incremental_line_dedup(
                 sep=sep, min_docs=min_docs, min_chars=min_chars,
                 batch_counts=delta,
             )
-            (
-                cleaned.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(clean_path)
-            )
-            (
-                delta.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(lines_path)
-            )
+            _write_batch_partition(cleaned, clean_path, batch_id)
+            _write_batch_partition(delta, lines_path, batch_id)
         finally:
             delta.unpersist()
 
@@ -668,20 +644,8 @@ def start_incremental_substring_dedup(
                 batch_df, existing, "id", "text",
                 n=n, min_docs=min_docs, batch_counts=delta,
             )
-            (
-                cleaned.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(clean_path)
-            )
-            (
-                delta.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(windows_path)
-            )
+            _write_batch_partition(cleaned, clean_path, batch_id)
+            _write_batch_partition(delta, windows_path, batch_id)
         finally:
             delta.unpersist()
 
@@ -790,13 +754,7 @@ def start_incremental_prefix_dedup(
             )
 
             def _write(df: DataFrame, path: str) -> None:
-                (
-                    df.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(path)
-                )
+                _write_batch_partition(df, path, batch_id)
 
             # corpus first, sigs LAST: a mid-batch crash between the two
             # leaves orphan corpus rows that the next attempt's dynamic
@@ -889,13 +847,7 @@ def start_incremental_boilerplate_strip(
         try:
 
             def _write(df: DataFrame, path: str) -> None:
-                (
-                    df.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(path)
-                )
+                _write_batch_partition(df, path, batch_id)
 
             _write(kept, kept_path)
             _write(crossed, crossed_path)
@@ -941,13 +893,7 @@ def start_jsonl_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         def _write(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
+            _write_batch_partition(df, path, batch_id)
 
         # two actions (turns + skipped) read the same lines: pin the
         # batch so the source files parse once, not twice
@@ -1011,26 +957,12 @@ def start_outcome_tracking(
     board_path = f"{out_path}/board"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from book_ocr_spark.operators.ranking import valid_outcomes
+        # the per-batch delta IS the batch operator's counting rule —
+        # one shared copy (review pin r5), so the streaming board can
+        # never drift from the batch leaderboard
+        from book_ocr_spark.operators.ranking import outcome_counts
 
-        o = valid_outcomes(batch_df, "winner", "loser")
-        w = o.groupBy(F.col("_w").alias("item")).agg(
-            F.count(F.lit(1)).cast("long").alias("_nw")
-        )
-        l = o.groupBy(F.col("_l").alias("item")).agg(
-            F.count(F.lit(1)).cast("long").alias("_nl")
-        )
-        delta = (
-            w.join(l, "item", "full_outer")
-            .select(
-                "item",
-                F.coalesce("_nw", F.lit(0)).cast("long").alias("wins"),
-                (F.coalesce("_nw", F.lit(0)) + F.coalesce("_nl", F.lit(0)))
-                .cast("long")
-                .alias("games"),
-            )
-            .persist()
-        )
+        delta = outcome_counts(batch_df, "winner", "loser").persist()
         try:
             existing = _read_cumulative(
                 spark, counts_path, batch_id, "item string, wins long, games long",
@@ -1045,26 +977,16 @@ def start_outcome_tracking(
                 )
             )
             p, lo, hi = wilson_bounds(F.col("wins"), F.col("games"), z)
-            (
+            _write_batch_partition(
                 cum.select(
                     "item", "wins", "games",
                     p.alias("win_rate"),
                     lo.alias("wilson_low"),
                     hi.alias("wilson_high"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(board_path)
+                ),
+                board_path, batch_id,
             )
-            (
-                delta.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(counts_path)
-            )
+            _write_batch_partition(delta, counts_path, batch_id)
         finally:
             delta.unpersist()
 
@@ -1142,19 +1064,8 @@ def start_drift_monitor(
                     F.lit(batch_id).alias("batch_id"),
                 )
             )
-            (
-                metrics.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(f"{out_path}/metrics")
-            )
-            (
-                bb.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(f"{out_path}/buckets")
-            )
+            _write_batch_partition(metrics, f"{out_path}/metrics", batch_id)
+            _write_batch_partition(bb, f"{out_path}/buckets", batch_id)
         finally:
             bb.unpersist()
 
@@ -1209,21 +1120,8 @@ def _run_sketch_tracking(
                 lambda df: df.select(*state_cols),
             )
             cum = merge(existing, bb)
-            (
-                snapshot(cum)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(snap_path)
-            )
-            (
-                bb.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(state_path)
-            )
+            _write_batch_partition(snapshot(cum), snap_path, batch_id)
+            _write_batch_partition(bb, state_path, batch_id)
         finally:
             bb.unpersist()
 

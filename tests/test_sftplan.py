@@ -265,7 +265,7 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             "wturns",
             con.sql(duck_window_turns_sql(wsrc, window_max_turns, stw)).df(),
         )
-        return (
+        wex_sql = (
             "SELECT conv_id, example, n_turns, n_train_turns, example_len,"
             " MD5(example) AS fingerprint,"
             " CAST(LEN(string_split_regex(TRIM(example), '\\s+')) AS BIGINT)"
@@ -275,6 +275,31 @@ def _duck_chain(con, max_chars=None, min_train=1, clustering="pair",
             )
             + f") q WHERE n_train_turns >= {min_train}"
         )
+        if benchmark is not None and sem_cont_threshold is not None:
+            # mirror of the window-grain semantic re-check (review pin
+            # r5: cosine is not monotone under dilution)
+            from book_ocr_spark.operators.transcripts import (
+                duck_conv_semantic_contamination_sql,
+            )
+
+            con.register("wex", con.sql(wex_sql).df())
+            con.register(
+                "wdirty",
+                con.sql(
+                    "SELECT DISTINCT id FROM ("
+                    + duck_conv_semantic_contamination_sql(
+                        "SELECT conv_id, example AS text FROM wex",
+                        "SELECT id AS conv_id, text FROM bench",
+                        dim=sem_cont_dim, threshold=sem_cont_threshold,
+                    )
+                    + ") wz"
+                ).df(),
+            )
+            return (
+                "SELECT * FROM wex "
+                "WHERE conv_id NOT IN (SELECT id FROM wdirty)"
+            )
+        return wex_sql
     return f"""
         SELECT e.conv_id, e.example, e.n_turns, e.n_train_turns, e.example_len,
                MD5(e.example) AS fingerprint,
@@ -847,3 +872,92 @@ def test_curate_transcripts_semantic_decontamination(spark):
         )).fetchall()
     )
     assert got == want
+
+
+def test_curate_transcripts_windowed_semantic_recheck(spark):
+    """Review pin (r5): hashed-TF cosine is not monotone under
+    dilution — a window of turns paraphrasing an eval item can score
+    above the threshold inside a conversation whose WHOLE example
+    scored below it and passed 4c. Windows must re-check; the clean
+    windows of the same conversation survive, and the composed pass
+    twins bit-for-bit."""
+    item = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = item.split()
+    para_turns = [
+        ("user", " ".join(words[:10][::-1])),
+        ("assistant", " ".join(words[10:][::-1])),
+        ("user", " ".join(words[::2][::-1])),
+        ("assistant", " ".join(words[1::2][::-1])),
+    ]
+    filler = [
+        ("user" if i % 2 == 0 else "assistant",
+         " ".join(f"filler{i}w{j}" for j in range(8)))
+        for i in range(8)
+    ]
+    rows = _rows() + _conv("pz", filler + para_turns)
+    bench = [("e1", item)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=COLS), SCHEMA)
+    bdf = spark.createDataFrame(bench, "id string, text string")
+
+    # whole-conversation 4c passes at this threshold (diluted) —
+    # without windowing pz ships
+    no_window = sorted(
+        r.conv_id
+        for r in curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64, benchmark=bdf,
+            semantic_contamination_threshold=0.75,
+            semantic_contamination_dim=64,
+        ).collect()
+    )
+    assert "pz" in no_window
+
+    # tumbling 4-turn windows: [1-4], [5-8] are filler (clean),
+    # [9-12] is the paraphrase block — it must drop at the window
+    # re-check while the clean windows of pz survive
+    got = sorted(
+        map(tuple, curate_transcripts(
+            df, n_parts=4, prefix_max_depth=64, benchmark=bdf,
+            semantic_contamination_threshold=0.75,
+            semantic_contamination_dim=64,
+            window_max_turns=4,
+        ).collect())
+    )
+    ids = sorted(r[0] for r in got)
+    pz_windows = [i for i in ids if i.startswith("pz#")]
+    assert pz_windows == ["pz#w0", "pz#w1"], ids  # w2 (paraphrase) dropped
+
+    con = duckdb.connect()
+    want = sorted(
+        (cid, ex, int(nt), int(ntt), int(el), fp, int(tok))
+        for cid, ex, nt, ntt, el, fp, tok in con.sql(_duck_chain(
+            con, rows=rows, benchmark=bench,
+            sem_cont_threshold=0.75, sem_cont_dim=64,
+            window_max_turns=4,
+        )).fetchall()
+    )
+    assert got == want
+
+
+def test_clustering_param_validated(spark):
+    """Review pin (r5): any clustering value other than the exact
+    strings 'pair'/'cc' raises instead of silently running the
+    non-production pair rule."""
+    from book_ocr_spark.plans.curation import (
+        curate,
+        duck_curate_sql,
+        duck_example_dedup_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here")], "id long, text string"
+    )
+    with pytest.raises(ValueError, match="clustering"):
+        curate(docs, "id", "text", clustering="CC").collect()
+    with pytest.raises(ValueError, match="clustering"):
+        duck_curate_sql("SELECT 1 AS id, 'x' AS text", clustering="connected")
+    with pytest.raises(ValueError, match="clustering"):
+        duck_example_dedup_sql("SELECT 1 AS id, 'x' AS text", clustering="")
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=COLS), SCHEMA)
+    with pytest.raises(ValueError, match="clustering"):
+        curate_transcripts(df, n_parts=4, clustering="Pair").collect()
