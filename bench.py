@@ -421,11 +421,13 @@ def bench_scaling_composed() -> dict:
     extract-pipeline point.
 
     Size the input with SPARK_GRAFT_BENCH_CONVS so compute dominates
-    the per-stage fixed overhead (the same rule as --scaling)."""
-    from pyspark.sql import functions as F
+    the per-stage fixed overhead (the same rule as --scaling).
 
-    from book_ocr_spark.plans.curation import curate_transcripts
-
+    Each side runs in a FRESH SUBPROCESS: a second SparkContext inside
+    an already-used JVM measures ~1.8x slower than a clean process for
+    this pass (measured 122 s vs 68 s at local[16] on the 877k-turn
+    input — heap/GC state from the first context), which would
+    corrupt whichever side runs second."""
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_MASTERS", "4,16").split(",")
     )
@@ -433,37 +435,30 @@ def bench_scaling_composed() -> dict:
     tpath = f"{TMP}/transcripts_sf{sf}.parquet"
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
-    def run_once(spark) -> float:
-        spark.catalog.clearCache()
-        handle: list = []
-        t0 = time.perf_counter()
-        _noop(
-            curate_transcripts(
-                spark.read.parquet(tpath),
-                n_parts=spark.sparkContext.defaultParallelism,
-                prefix_max_depth=4096,
-                storage_handle=handle,
-                max_alternation_violations=4,
-                redact=True,
-            )
-        )
-        dt = time.perf_counter() - t0
-        for h in handle:
-            h.unpersist()
-        return dt
-
-    out: dict = {"sf": sf, "pass": "curate_transcripts"}
     spark = _make_spark(f"local[{lo}]")
     n_turns = _gen_input(spark, sf, tpath)
-    out["turns"] = n_turns
-    run_once(spark)  # warm JIT/codegen/python workers
-    t_lo = min(run_once(spark) for _ in range(reps))
     spark.stop()
+    out: dict = {"sf": sf, "pass": "curate_transcripts", "turns": n_turns}
 
-    spark = _make_spark(f"local[{hi}]")
-    run_once(spark)
-    t_hi = min(run_once(spark) for _ in range(reps))
-    spark.stop()
+    import subprocess
+
+    def side(n: int) -> float:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scaling-composed-side", str(n), tpath, str(reps)]
+        last_err = None
+        for _ in range(2):  # one retry: JVM-shutdown races are transient
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            if r.returncode == 0 and r.stdout.strip():
+                return float(r.stdout.strip().splitlines()[-1])
+            last_err = r.stderr[-2000:] if r.stderr else "<no stderr>"
+            time.sleep(10)
+        raise RuntimeError(
+            f"scaling-composed side local[{n}] failed twice; "
+            f"child stderr tail:\n{last_err}"
+        )
+
+    t_lo = side(lo)
+    t_hi = side(hi)
 
     tp_lo, tp_hi = n_turns / t_lo, n_turns / t_hi
     out.update(
@@ -491,6 +486,39 @@ def bench_scaling_composed() -> dict:
     except (OSError, ValueError):
         pass
     return out
+
+
+def _composed_side(n_cores: int, tpath: str, reps: int) -> None:
+    """Subprocess body for one --scaling-composed side: warm + reps of
+    curate_transcripts at local[n_cores]; prints the best seconds as
+    the LAST stdout line (the parent parses exactly that)."""
+    from book_ocr_spark.plans.curation import curate_transcripts
+
+    spark = _make_spark(f"local[{n_cores}]")
+
+    def run_once() -> float:
+        spark.catalog.clearCache()
+        handle: list = []
+        t0 = time.perf_counter()
+        _noop(
+            curate_transcripts(
+                spark.read.parquet(tpath),
+                n_parts=spark.sparkContext.defaultParallelism,
+                prefix_max_depth=4096,
+                storage_handle=handle,
+                max_alternation_violations=4,
+                redact=True,
+            )
+        )
+        dt = time.perf_counter() - t0
+        for h in handle:
+            h.unpersist()
+        return dt
+
+    run_once()  # warm JIT/codegen/python workers
+    best = min(run_once() for _ in range(reps))
+    spark.stop()
+    print(round(best, 3))
 
 
 def bench_multi_sf() -> dict:
@@ -557,6 +585,10 @@ def bench_multi_sf() -> dict:
 
 
 if __name__ == "__main__":
+    if "--scaling-composed-side" in sys.argv:
+        i = sys.argv.index("--scaling-composed-side")
+        _composed_side(int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]))
+        sys.exit(0)
     if "--scaling-composed" in sys.argv:
         result = bench_scaling_composed()
     elif "--scaling" in sys.argv:

@@ -900,6 +900,27 @@ def curate_transcripts(
             .cast("bigint").alias("n_tokens"),
         )
 
+    # Two scale rules meet at this seam (both measured on the
+    # 877k-turn composed-scaling input, r5):
+    # 1. SPREAD before the explosion: `ex` arrives from the assembly
+    #    aggregate, whose exchange AQE coalesces to a handful of
+    #    partitions (the rendered examples are only ~100s of MB) —
+    #    but the dedup tail then EXPLODES each example into ~100x
+    #    shingle/hash rows, so the whole MinHash stage runs that-many-
+    #    partitions wide regardless of cores (measured: tail nearly
+    #    flat local[4]→local[16]). One narrow repartition of the
+    #    example frame restores full-width parallelism for the hash
+    #    work — the _canon_docs spread-before-heavy-per-doc-work rule.
+    # 2. PIN before the fan-out: the tail references `ex` several
+    #    times (exact-group agg, survivor semi-join, signature build,
+    #    verify join) — without the persist every reference re-runs
+    #    the Python extraction (measured 265→146 s at local[4]).
+    #    Gated on storage_handle per the persist convention (lazy
+    #    return ⇒ an internal unpersist could never fire).
+    ex = ex.repartition(n_parts, "conv_id")
+    if storage_handle is not None:
+        ex = ex.persist()
+        storage_handle.append(ex)
     final = _finalize(
         _dedup_canonicalize(
             ex, "conv_id", "example", k=k, threshold=threshold,
