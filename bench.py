@@ -400,12 +400,19 @@ def bench_scaling() -> dict:
         }
     )
     # persist so the per-round bench JSON can carry the latest
-    # measured point (see bench_round)
+    # measured point (see bench_round). Top-level keys refresh; the
+    # "composed" block (written by --scaling-composed) is preserved —
+    # the two modes own disjoint parts of the file.
     spath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
     try:
+        if os.path.exists(spath):
+            with open(spath) as fh:
+                prior = json.load(fh)
+            if "composed" in prior:
+                out = {**out, "composed": prior["composed"]}
         with open(spath, "w") as fh:
             json.dump(out, fh)
-    except OSError:
+    except (OSError, ValueError):
         pass
     return out
 
